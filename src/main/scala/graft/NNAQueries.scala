@@ -1,0 +1,493 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.inodes.InodeView
+import graft.inodes.InodeView.{NowMs, oracle}
+
+/** The NNA operator inventory (SURVEY.md §2) as named queries, each paired
+  * with a DuckDB oracle statement over the same parquet input (via
+  * [[InodeView.oracleCte]]). Query names are stable keys consumed by
+  * `SparkEntry.queries` / `SparkEntry.oracleSql`.
+  *
+  * Convention: every output column is aliased identically in the DataFrame
+  * plan and the SQL; aggregates are integer-exact (counts, long sums, floored
+  * ratios in ppm) so the hash compare is bit-stable across engines.
+  */
+object NNAQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def inodes(spark: SparkSession, dir: String): DataFrame =
+    InodeView.inodes(spark, dir)
+  private def files(spark: SparkSession, dir: String): DataFrame =
+    inodes(spark, dir).where(col("isFile"))
+  private def dirsOf(spark: SparkSession, dir: String): DataFrame =
+    inodes(spark, dir).where(!col("isFile"))
+
+  private val dayMs = 86400000L
+
+  val queries: Map[String, Q] = Map(
+    // F1/F3/F4: AND-chain of long predicates + A1 count
+    "nna_filter_count" -> ((s, d) =>
+      files(s, d).where(Filters.compileAll("fileSize:eq:0", "files"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // F4 long ops + A3 multi-sum in one pass
+    "nna_filter_multi" -> ((s, d) =>
+      files(s, d)
+        .where(Filters.compileAll("fileSize:gte:1048576,numBlocks:lt:3,fileReplica:gt:2", "files"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(Fields.longField("diskspaceConsumed")).as("diskspaceConsumed"),
+          sum(Fields.longField("numReplicas")).as("numReplicas"))),
+
+    // F6 string ops
+    "nna_filter_string" -> ((s, d) =>
+      files(s, d)
+        .where(Filters.compileAll("name:endsWith:.parquet,path:notStartsWith:/A,path:contains:/d4", "files"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // F8 boolean ops
+    "nna_filter_bool" -> ((s, d) =>
+      files(s, d)
+        .where(Filters.compileAll("isWithSnapshot:eq:true,hasAcl:notEq:true", "files"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // F7 date-string ops (dateGte on MM/dd/yyyy render)
+    "nna_filter_date" -> ((s, d) =>
+      files(s, d)
+        .where(Filters.compileAll("modDate:dateGte:07/01/2024", "files"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // F5 relative-time ops with explicit now
+    "nna_filter_time_ago" -> ((s, d) =>
+      files(s, d)
+        .where(Filters.compileAll("modTime:daysAgo:90", "files"))
+        .agg(count(lit(1)).as("cnt"), sum(col("fileSize")).as("fileSize"))),
+
+    // F5 olderThan + permission/depth derived fields
+    "nna_filter_older_perm" -> ((s, d) =>
+      files(s, d)
+        .where(Filters.compileAll("accessTime:olderThanYears:1,permission:eq:755,depth:eq:4", "files"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // S6 path-dump sink: sorted paths with limit
+    "nna_dump_paths" -> ((s, d) =>
+      files(s, d)
+        .where(Filters.compileAll("user:eq:u1,fileSize:gt:0", "files"))
+        .select(col("path")).orderBy("path").limit(50)),
+
+    // A4 global find max (arg-max inode)
+    "nna_find_global_max" -> ((s, d) =>
+      files(s, d).orderBy(col("fileSize").desc, col("id").asc).limit(1)
+        .select(col("path"), col("fileSize").as("value"))),
+
+    // A1/A2: the full 7-sum file aggregate in one pass
+    "nna_sum_all_fields" -> ((s, d) =>
+      files(s, d).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("fileSize")).as("fileSize"),
+        sum(Fields.longField("diskspaceConsumed")).as("diskspaceConsumed"),
+        sum(col("blockSize")).as("blockSize"),
+        sum(col("numBlocks")).as("numBlocks"),
+        sum(Fields.longField("numReplicas")).as("numReplicas"),
+        sum(Fields.longField("memoryConsumed")).as("memoryConsumed"))),
+
+    // A2 quota-family sums over dirs
+    "nna_sum_quota" -> ((s, d) =>
+      dirsOf(s, d).where(Filters.compileAll("hasQuota:eq:true", "dirs"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("nsQuota")).as("nsQuota"),
+          sum(col("nsQuotaUsed")).as("nsQuotaUsed"),
+          sum(col("dsQuotaUsed")).as("dsQuotaUsed"),
+          sum(Fields.longField("nsQuotaRatioUsed")).as("nsQuotaRatioUsed"))),
+
+    // A5 one-level histogram: user → count
+    "nna_histogram_user" -> ((s, d) =>
+      Histograms.histogram(files(s, d), col("user"), count(lit(1)))),
+
+    // A5 over `all` set with sum=diskspaceConsumed
+    "nna_histogram_group_ds" -> ((s, d) =>
+      Histograms.histogram(inodes(s, d), col("group"),
+        sum(Fields.longField("diskspaceConsumed")))),
+
+    // A6/A7 grouped min/max/avg (avg truncated like the reference)
+    "nna_histogram_find" -> ((s, d) =>
+      files(s, d).groupBy(col("user").as("key")).agg(
+        Histograms.findAgg("min", "fileSize").as("minv"),
+        Histograms.findAgg("max", "fileSize").as("maxv"),
+        Histograms.findAgg("avg", "fileSize").as("avgv"))),
+
+    // A8 two-level histogram: user × storage policy name
+    "nna_histogram2" -> ((s, d) =>
+      Histograms.histogram2(files(s, d), col("user"),
+        Fields.stringField("storageType"), count(lit(1)))),
+
+    // A3 multi-sum histogram (/histogram3) — one pass, several aggregates
+    "nna_histogram_multisum" -> ((s, d) =>
+      files(s, d).groupBy(col("user").as("key")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("fileSize")).as("fileSize"),
+        sum(Fields.longField("diskspaceConsumed")).as("diskspaceConsumed"))),
+
+    // §2.4 space-size bucketizer
+    "nna_histogram_filesize_bins" -> ((s, d) =>
+      Histograms.histogram(files(s, d), Histograms.spaceBucket(col("fileSize")),
+        count(lit(1)))),
+
+    // §2.4 memory bucketizer over `all`
+    "nna_histogram_memory_bins" -> ((s, d) =>
+      Histograms.histogram(inodes(s, d),
+        Histograms.memoryBucket(Fields.longField("memoryConsumed")),
+        count(lit(1)))),
+
+    // §2.4 time-age bucketizer (monthly), zero-filled in canonical order
+    "nna_histogram_time_monthly" -> ((s, d) =>
+      Histograms.zeroFillTime(s,
+        Histograms.histogram(files(s, d),
+          Histograms.timeBucket(col("modTime"), "monthly"), count(lit(1))),
+        "monthly")),
+
+    // §2.4 time-age yearly over accessTime
+    "nna_histogram_time_yearly" -> ((s, d) =>
+      Histograms.zeroFillTime(s,
+        Histograms.histogram(files(s, d),
+          Histograms.timeBucket(col("accessTime"), "yearly"), count(lit(1))),
+        "yearly")),
+
+    // §2.4 modDate day-string grouping
+    "nna_histogram_moddate" -> ((s, d) =>
+      Histograms.histogram(files(s, d), Fields.stringField("modDate"),
+        count(lit(1)))),
+
+    // §2.4 fileType classifier grouping
+    "nna_histogram_filetype" -> ((s, d) =>
+      Histograms.histogram(files(s, d), FileTypes.classify(col("name")),
+        count(lit(1)))),
+
+    // §2.4 storage-policy grouping
+    "nna_histogram_storage" -> ((s, d) =>
+      Histograms.histogram(files(s, d), Fields.stringField("storageType"),
+        count(lit(1)))),
+
+    // §2.4 fileReplica grouping
+    "nna_histogram_replica" -> ((s, d) =>
+      Histograms.histogram(files(s, d), col("fileReplica").cast("string"),
+        count(lit(1)))),
+
+    // §2.4 parentDir at depth 2
+    "nna_histogram_parentdir" -> ((s, d) =>
+      Histograms.histogram(files(s, d),
+        Histograms.parentDirAtDepth(col("path"), 2), sum(col("fileSize")),
+        dropNoMapping = true)),
+
+    // §2.4 dirQuota histogram (ns ratio per quota dir, >0 kept)
+    "nna_histogram_dirquota" -> ((s, d) =>
+      Histograms.histogram(
+        dirsOf(s, d).where(col("hasQuota")), col("path"),
+        sum(Fields.longField("nsQuotaRatioUsed")))
+        .where(col("value") > 0)),
+
+    // P1 histogramConditions (HAVING)
+    "nna_having" -> ((s, d) =>
+      Histograms.histogram(files(s, d), col("user"), count(lit(1)))
+        .where(Histograms.havingCondition("gt:100", col("value")))),
+
+    // P2/P3 top-k by value
+    "nna_topk" -> ((s, d) =>
+      Histograms.topK(
+        Histograms.histogram(files(s, d), col("user"),
+          sum(Fields.longField("diskspaceConsumed"))), 5)),
+
+    "nna_bottomk" -> ((s, d) =>
+      Histograms.bottomK(
+        Histograms.histogram(files(s, d), col("user"), count(lit(1))), 3)),
+
+    // A10 /divide: tiny-file ratio in ppm
+    "nna_divide" -> ((s, d) => {
+      val f = files(s, d)
+      Aggregates.divide(
+        f.where(col("fileSize") > 0 && col("fileSize") <= 1024), count(lit(1)),
+        f, count(lit(1)))
+    }),
+
+    // A11 contentSummary under /R/F
+    "nna_content_summary" -> ((s, d) =>
+      Aggregates.contentSummary(inodes(s, d), "/R/F")),
+
+    // §7.4.1 quota ancestry: files under any nsQuota dir
+    "nna_under_ns_quota" -> ((s, d) =>
+      PathStructure.underQuota(inodes(s, d), "nsQuota")
+        .where(col("isFile")).agg(count(lit(1)).as("cnt"))),
+
+    // §7.4.2 subtree aggregation for shallow dirs (one shuffle for all dirs)
+    "nna_dir_subtree" -> ((s, d) => {
+      val stats = PathStructure.subtreeStats(inodes(s, d))
+      dirsOf(s, d).where(col("depth") <= 2).select(col("path"))
+        .join(stats, Seq("path"), "inner")
+        .orderBy("path")
+    }),
+
+    // §2.6 what-if transform: replica := 2 under /A, then sum diskspace
+    "nna_transform" -> ((s, d) => {
+      val tf = Transforms.transformedField("path:startsWith:/A", "files", 2L)
+      files(s, d).agg(
+        sum(tf("diskspaceConsumed")).as("diskspaceConsumed"),
+        sum(tf("numReplicas")).as("numReplicas"))
+    }),
+
+    // §2.7 SQL surface: Spark SQL over registered files/dirs views
+    "nna_sql" -> ((s, d) => {
+      SqlShim.register(s, d)
+      s.sql("SELECT `user` AS key, SUM(fileSize) AS value FROM files " +
+        "WHERE fileSize > 0 GROUP BY `user`")
+    }),
+
+    // §2.10 suggestions scalars: file-size-class census in one pass
+    "nna_suggestions_core" -> ((s, d) =>
+      inodes(s, d).agg(
+        sum(when(col("isFile") && col("fileSize") === 0, 1L).otherwise(0L)).as("emptyFiles"),
+        sum(when(col("isFile") && col("fileSize") > 0 && col("fileSize") <= 1024, 1L).otherwise(0L)).as("tinyFiles"),
+        sum(when(col("isFile") && col("fileSize") > 1024 && col("fileSize") <= 1048576, 1L).otherwise(0L)).as("smallFiles"),
+        sum(when(col("isFile") && col("fileSize") > 1048576 && col("fileSize") <= 134217728, 1L).otherwise(0L)).as("mediumFiles"),
+        sum(when(col("isFile") && col("fileSize") > 134217728, 1L).otherwise(0L)).as("largeFiles"),
+        sum(when(!col("isFile") && col("dirNumChildren") === 0, 1L).otherwise(0L)).as("emptyDirs"))),
+
+    // §2.10 per-user suggestion maps
+    "nna_suggestions_peruser" -> ((s, d) =>
+      files(s, d).groupBy(col("user").as("key")).agg(
+        sum(when(col("fileSize") === 0, 1L).otherwise(0L)).as("emptyFiles"),
+        sum(when(col("fileSize") > 0 && col("fileSize") <= 1024, 1L).otherwise(0L)).as("tinyFiles"),
+        sum(when(col("accessTime") <= lit(NowMs - 365L * dayMs), 1L).otherwise(0L)).as("oldFiles1yr")))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle statements. Each mirrors the Spark plan above exactly
+  // (same aliases, integer-exact aggregates, same edge semantics).
+  // ---------------------------------------------------------------------
+
+  private def monthlyCase(timeCol: String): String = {
+    val bins = Histograms.timeBins("monthly")._1
+    val whens = bins.map { case (label, bound) =>
+      s"WHEN $NowMs - $timeCol <= $bound THEN '$label'" }.mkString(" ")
+    s"CASE $whens ELSE '23 Months+' END"
+  }
+  private def yearlyCase(timeCol: String): String = {
+    val bins = Histograms.timeBins("yearly")._1
+    val whens = bins.map { case (label, bound) =>
+      s"WHEN $NowMs - $timeCol <= $bound THEN '$label'" }.mkString(" ")
+    s"CASE $whens ELSE '4 Years+' END"
+  }
+  private def binsValues(keys: Seq[String]): String =
+    keys.map(k => s"('$k')").mkString(", ")
+
+  private val spaceCase: String = {
+    val whens = Histograms.spaceBins.map { case (label, bound) =>
+      s"WHEN fileSize <= $bound THEN '$label'" }.mkString(" ")
+    s"CASE $whens ELSE '1 GB+' END"
+  }
+  private val memCaseAll: String = {
+    val mc = "CASE WHEN isFile THEN 150 + 150 * numBlocks ELSE 150 END"
+    val whens = Histograms.memoryBins.map { case (label, bound) =>
+      s"WHEN ($mc) <= $bound THEN '$label'" }.mkString(" ")
+    s"CASE $whens ELSE '64 KB+' END"
+  }
+  private val storageCase: String = {
+    val whens = InodeView.StoragePolicies.map { case (id, nm) =>
+      s"WHEN storagePolicyId = $id THEN '$nm'" }.mkString(" ")
+    s"CASE $whens ELSE 'NO_MAPPING' END"
+  }
+  // mirrors FileTypes.classify on the names this fixture generates
+  private val fileTypeCase: String =
+    "CASE WHEN name LIKE 'part-0%' THEN 'PART' " +
+    "WHEN name LIKE '%.parquet' THEN 'PARQUET' " +
+    "WHEN name LIKE '%.avro' THEN 'AVRO' " +
+    "WHEN name LIKE '%.log' THEN 'LOG' " +
+    "WHEN name LIKE '%.txt' THEN 'TXT' " +
+    "WHEN name LIKE '%.gz' THEN 'GZIP' " +
+    "WHEN name LIKE '%.json' THEN 'JSON' " +
+    "WHEN name LIKE '%.csv' THEN 'CSV' " +
+    "WHEN name LIKE '%.orc' THEN 'ORC' ELSE 'UNKNOWN' END"
+
+  val oracleSql: Map[String, String] = Map(
+    "nna_filter_count" -> oracle(
+      "SELECT COUNT(*) AS cnt FROM inodes WHERE isFile AND fileSize = 0"),
+
+    "nna_filter_multi" -> oracle(
+      "SELECT COUNT(*) AS cnt, " +
+      "CAST(SUM(fileSize * fileReplica) AS BIGINT) AS diskspaceConsumed, " +
+      "CAST(SUM(numBlocks * fileReplica) AS BIGINT) AS numReplicas " +
+      "FROM inodes WHERE isFile AND fileSize >= 1048576 AND numBlocks < 3 AND fileReplica > 2"),
+
+    "nna_filter_string" -> oracle(
+      "SELECT COUNT(*) AS cnt FROM inodes WHERE isFile " +
+      "AND name LIKE '%.parquet' AND path NOT LIKE '/A%' AND path LIKE '%/d4%'"),
+
+    "nna_filter_bool" -> oracle(
+      "SELECT COUNT(*) AS cnt FROM inodes WHERE isFile " +
+      "AND isWithSnapshot AND NOT hasAcl"),
+
+    "nna_filter_date" -> oracle(
+      "SELECT COUNT(*) AS cnt FROM inodes WHERE isFile " +
+      "AND CAST(make_timestamp(modTime * 1000) AS DATE) >= DATE '2024-07-01'"),
+
+    "nna_filter_time_ago" -> oracle(
+      s"SELECT COUNT(*) AS cnt, CAST(SUM(fileSize) AS BIGINT) AS fileSize " +
+      s"FROM inodes WHERE isFile AND modTime >= ${NowMs - 90L * dayMs}"),
+
+    "nna_filter_older_perm" -> oracle(
+      s"SELECT COUNT(*) AS cnt FROM inodes WHERE isFile " +
+      s"AND accessTime <= ${NowMs - 365L * dayMs} AND permission = 755 AND depth = 4"),
+
+    "nna_dump_paths" -> oracle(
+      "SELECT path FROM inodes WHERE isFile AND \"user\" = 'u1' AND fileSize > 0 " +
+      "ORDER BY path LIMIT 50"),
+
+    "nna_find_global_max" -> oracle(
+      "SELECT path, fileSize AS value FROM inodes WHERE isFile " +
+      "ORDER BY fileSize DESC, id ASC LIMIT 1"),
+
+    "nna_sum_all_fields" -> oracle(
+      "SELECT COUNT(*) AS cnt, CAST(SUM(fileSize) AS BIGINT) AS fileSize, " +
+      "CAST(SUM(fileSize * fileReplica) AS BIGINT) AS diskspaceConsumed, " +
+      "CAST(SUM(blockSize) AS BIGINT) AS blockSize, " +
+      "CAST(SUM(numBlocks) AS BIGINT) AS numBlocks, " +
+      "CAST(SUM(numBlocks * fileReplica) AS BIGINT) AS numReplicas, " +
+      "CAST(SUM(150 + 150 * numBlocks) AS BIGINT) AS memoryConsumed " +
+      "FROM inodes WHERE isFile"),
+
+    "nna_sum_quota" -> oracle(
+      "SELECT COUNT(*) AS cnt, CAST(SUM(nsQuota) AS BIGINT) AS nsQuota, " +
+      "CAST(SUM(nsQuotaUsed) AS BIGINT) AS nsQuotaUsed, " +
+      "CAST(SUM(dsQuotaUsed) AS BIGINT) AS dsQuotaUsed, " +
+      "CAST(SUM(CAST(FLOOR(nsQuotaUsed * 100.0 / nsQuota) AS BIGINT)) AS BIGINT) AS nsQuotaRatioUsed " +
+      "FROM inodes WHERE NOT isFile AND hasQuota"),
+
+    "nna_histogram_user" -> oracle(
+      "SELECT \"user\" AS key, COUNT(*) AS value FROM inodes WHERE isFile GROUP BY \"user\""),
+
+    "nna_histogram_group_ds" -> oracle(
+      "SELECT \"group\" AS key, CAST(SUM(fileSize * fileReplica) AS BIGINT) AS value " +
+      "FROM inodes GROUP BY \"group\""),
+
+    "nna_histogram_find" -> oracle(
+      "SELECT \"user\" AS key, CAST(MIN(fileSize) AS BIGINT) AS minv, " +
+      "CAST(MAX(fileSize) AS BIGINT) AS maxv, " +
+      "CAST(FLOOR(AVG(fileSize)) AS BIGINT) AS avgv " +
+      "FROM inodes WHERE isFile GROUP BY \"user\""),
+
+    "nna_histogram2" -> oracle(
+      s"SELECT \"user\" AS key1, $storageCase AS key2, COUNT(*) AS value " +
+      "FROM inodes WHERE isFile GROUP BY 1, 2"),
+
+    "nna_histogram_multisum" -> oracle(
+      "SELECT \"user\" AS key, COUNT(*) AS cnt, " +
+      "CAST(SUM(fileSize) AS BIGINT) AS fileSize, " +
+      "CAST(SUM(fileSize * fileReplica) AS BIGINT) AS diskspaceConsumed " +
+      "FROM inodes WHERE isFile GROUP BY \"user\""),
+
+    "nna_histogram_filesize_bins" -> oracle(
+      s"SELECT $spaceCase AS key, COUNT(*) AS value FROM inodes WHERE isFile GROUP BY 1"),
+
+    "nna_histogram_memory_bins" -> oracle(
+      s"SELECT $memCaseAll AS key, COUNT(*) AS value FROM inodes GROUP BY 1"),
+
+    "nna_histogram_time_monthly" -> oracle(
+      s"SELECT b.key AS key, CAST(COALESCE(h.value, 0) AS BIGINT) AS value " +
+      s"FROM (VALUES ${binsValues(Histograms.timeKeys("monthly"))}) b(key) " +
+      s"LEFT JOIN (SELECT ${monthlyCase("modTime")} AS key, COUNT(*) AS value " +
+      s"FROM inodes WHERE isFile GROUP BY 1) h ON b.key = h.key"),
+
+    "nna_histogram_time_yearly" -> oracle(
+      s"SELECT b.key AS key, CAST(COALESCE(h.value, 0) AS BIGINT) AS value " +
+      s"FROM (VALUES ${binsValues(Histograms.timeKeys("yearly"))}) b(key) " +
+      s"LEFT JOIN (SELECT ${yearlyCase("accessTime")} AS key, COUNT(*) AS value " +
+      s"FROM inodes WHERE isFile GROUP BY 1) h ON b.key = h.key"),
+
+    "nna_histogram_moddate" -> oracle(
+      "SELECT strftime(make_timestamp(modTime * 1000), '%m/%d/%Y') AS key, " +
+      "COUNT(*) AS value FROM inodes WHERE isFile GROUP BY 1"),
+
+    "nna_histogram_filetype" -> oracle(
+      s"SELECT $fileTypeCase AS key, COUNT(*) AS value FROM inodes WHERE isFile GROUP BY 1"),
+
+    "nna_histogram_storage" -> oracle(
+      s"SELECT $storageCase AS key, COUNT(*) AS value FROM inodes WHERE isFile GROUP BY 1"),
+
+    "nna_histogram_replica" -> oracle(
+      "SELECT CAST(fileReplica AS VARCHAR) AS key, COUNT(*) AS value " +
+      "FROM inodes WHERE isFile GROUP BY 1"),
+
+    "nna_histogram_parentdir" -> oracle(
+      "SELECT regexp_extract(path, '^(/[^/]+/[^/]+)', 1) AS key, " +
+      "CAST(SUM(fileSize) AS BIGINT) AS value FROM inodes WHERE isFile GROUP BY 1"),
+
+    "nna_histogram_dirquota" -> oracle(
+      "SELECT path AS key, CAST(FLOOR(nsQuotaUsed * 100.0 / nsQuota) AS BIGINT) AS value " +
+      "FROM inodes WHERE NOT isFile AND hasQuota " +
+      "AND CAST(FLOOR(nsQuotaUsed * 100.0 / nsQuota) AS BIGINT) > 0"),
+
+    "nna_having" -> oracle(
+      "SELECT \"user\" AS key, COUNT(*) AS value FROM inodes WHERE isFile " +
+      "GROUP BY \"user\" HAVING COUNT(*) > 100"),
+
+    "nna_topk" -> oracle(
+      "SELECT \"user\" AS key, CAST(SUM(fileSize * fileReplica) AS BIGINT) AS value " +
+      "FROM inodes WHERE isFile GROUP BY \"user\" ORDER BY value DESC, key ASC LIMIT 5"),
+
+    "nna_bottomk" -> oracle(
+      "SELECT \"user\" AS key, COUNT(*) AS value FROM inodes WHERE isFile " +
+      "GROUP BY \"user\" ORDER BY value ASC, key ASC LIMIT 3"),
+
+    "nna_divide" -> oracle(
+      "SELECT CAST(FLOOR(1000000.0 * " +
+      "(SELECT COUNT(*) FROM inodes WHERE isFile AND fileSize > 0 AND fileSize <= 1024) / " +
+      "(SELECT COUNT(*) FROM inodes WHERE isFile)) AS BIGINT) AS ratio_ppm"),
+
+    "nna_content_summary" -> oracle(
+      "SELECT CAST(SUM(CASE WHEN isFile THEN 1 ELSE 0 END) AS BIGINT) AS fileCount, " +
+      "CAST(SUM(CASE WHEN isFile THEN 0 ELSE 1 END) AS BIGINT) AS dirCount, " +
+      "CAST(SUM(CASE WHEN isFile THEN fileSize ELSE 0 END) AS BIGINT) AS length, " +
+      "CAST(SUM(CASE WHEN isFile THEN fileSize * fileReplica ELSE 0 END) AS BIGINT) AS spaceConsumed " +
+      "FROM inodes WHERE path = '/R/F' OR path LIKE '/R/F/%'"),
+
+    "nna_under_ns_quota" -> oracle(
+      "SELECT COUNT(*) AS cnt FROM inodes WHERE isFile AND parent IN " +
+      "(SELECT path FROM inodes WHERE NOT isFile AND nsQuota >= 0)"),
+
+    "nna_dir_subtree" -> oracle(
+      "SELECT d.path AS path, CAST(SUM(f.fileSize) AS BIGINT) AS dirSubTreeSize, " +
+      "COUNT(*) AS dirSubTreeNumFiles " +
+      "FROM inodes d JOIN inodes f ON f.isFile AND f.path LIKE d.path || '/%' " +
+      "WHERE NOT d.isFile AND d.depth <= 2 GROUP BY d.path ORDER BY d.path"),
+
+    "nna_transform" -> oracle(
+      "SELECT CAST(SUM(CASE WHEN path LIKE '/A%' THEN fileSize * 2 " +
+      "ELSE fileSize * fileReplica END) AS BIGINT) AS diskspaceConsumed, " +
+      "CAST(SUM(CASE WHEN path LIKE '/A%' THEN numBlocks * 2 " +
+      "ELSE numBlocks * fileReplica END) AS BIGINT) AS numReplicas " +
+      "FROM inodes WHERE isFile"),
+
+    "nna_sql" -> oracle(
+      "SELECT \"user\" AS key, CAST(SUM(fileSize) AS BIGINT) AS value " +
+      "FROM inodes WHERE isFile AND fileSize > 0 GROUP BY \"user\""),
+
+    "nna_suggestions_core" -> oracle(
+      "SELECT " +
+      "CAST(SUM(CASE WHEN isFile AND fileSize = 0 THEN 1 ELSE 0 END) AS BIGINT) AS emptyFiles, " +
+      "CAST(SUM(CASE WHEN isFile AND fileSize > 0 AND fileSize <= 1024 THEN 1 ELSE 0 END) AS BIGINT) AS tinyFiles, " +
+      "CAST(SUM(CASE WHEN isFile AND fileSize > 1024 AND fileSize <= 1048576 THEN 1 ELSE 0 END) AS BIGINT) AS smallFiles, " +
+      "CAST(SUM(CASE WHEN isFile AND fileSize > 1048576 AND fileSize <= 134217728 THEN 1 ELSE 0 END) AS BIGINT) AS mediumFiles, " +
+      "CAST(SUM(CASE WHEN isFile AND fileSize > 134217728 THEN 1 ELSE 0 END) AS BIGINT) AS largeFiles, " +
+      "CAST(SUM(CASE WHEN NOT isFile AND dirNumChildren = 0 THEN 1 ELSE 0 END) AS BIGINT) AS emptyDirs " +
+      "FROM inodes"),
+
+    "nna_suggestions_peruser" -> oracle(
+      s"SELECT \"user\" AS key, " +
+      "CAST(SUM(CASE WHEN fileSize = 0 THEN 1 ELSE 0 END) AS BIGINT) AS emptyFiles, " +
+      "CAST(SUM(CASE WHEN fileSize > 0 AND fileSize <= 1024 THEN 1 ELSE 0 END) AS BIGINT) AS tinyFiles, " +
+      s"CAST(SUM(CASE WHEN accessTime <= ${NowMs - 365L * dayMs} THEN 1 ELSE 0 END) AS BIGINT) AS oldFiles1yr " +
+      "FROM inodes WHERE isFile GROUP BY \"user\"")
+  )
+}
