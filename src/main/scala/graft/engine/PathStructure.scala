@@ -22,12 +22,14 @@ object PathStructure {
     * (excluding root and self — the reference checks ancestors only,
     * excluding root, `AbstractQueryEngine.java:356-366`). */
   def withAncestors(df: DataFrame): DataFrame = {
-    // "/a/b/c" → ["/a", "/a/b"]: build prefixes by re-joining split parts
-    val parts = split(col("path"), "/") // ["", "a", "b", "c"]
+    // "/a/b/c" → ["/a", "/a/b"]: build prefixes by re-joining split parts.
+    // Guard size > 2: sequence(2, 1) would DESCEND and include self.
     df.withColumn("ancestor",
       explode(expr(
+        "CASE WHEN size(split(path, '/')) > 2 THEN " +
         "transform(sequence(2, size(split(path, '/')) - 1), " +
-        "i -> array_join(slice(split(path, '/'), 1, i), '/'))")))
+        "i -> array_join(slice(split(path, '/'), 1, i), '/')) " +
+        "ELSE array() END")))
   }
 
   /** Flag inodes that sit under any directory with the given quota kind.
