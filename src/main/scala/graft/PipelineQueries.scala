@@ -87,14 +87,162 @@ object PipelineQueries {
 
     // exact-dup groups: fingerprints appearing more than once
     "dedup_exact_groups" -> ((s, d) =>
-      Tables.documents(s, d)
-        .groupBy(md5(col("text")).as("fingerprint"))
-        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      pipeline.Dedup.exactGroups(Tables.documents(s, d), col("text"), col("doc_id"))
         .where(col("n_copies") > 1)
-        .orderBy(col("fingerprint")))
+        .orderBy(col("fingerprint"))),
+
+    // n-gram Jaccard near-dup pairs (trigram shingles, ≥ 60%)
+    "dedup_jaccard_pairs" -> ((s, d) =>
+      pipeline.Dedup.jaccardPairs(Tables.documents(s, d), "doc_id",
+        col("text"), 3, 600000L).orderBy("ida", "idb")),
+
+    // MinHash+LSH candidate pairs (32 perms, 8 bands) — engine-internal
+    // hashing, rows-only check
+    "dedup_minhash_lsh" -> ((s, d) =>
+      pipeline.Dedup.minhashCandidates(Tables.documents(s, d), "doc_id",
+        col("text")).where(col("est_jaccard_ppm") >= 500000)
+        .orderBy("ida", "idb")),
+
+    // SimHash near-dup candidates (hamming ≤ 3 of 64) — rows-only check
+    "dedup_simhash" -> ((s, d) =>
+      pipeline.Dedup.simhashPairs(Tables.documents(s, d), "doc_id",
+        col("text")).orderBy("ida", "idb")),
+
+    // language-ID heuristic (stopword argmax)
+    "text_langid" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        pipeline.TextAnalysis.langId(col("text")).as("pred_lang"))),
+
+    // full quality-signal extraction
+    "text_quality_full" -> ((s, d) =>
+      pipeline.TextAnalysis.qualitySignals(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), col("text"))
+        .drop("text")),
+
+    // ---- similarity search over `embeddings` ----
+
+    // exact cosine top-5 for the first 5 vectors (baseline path)
+    "ann_bruteforce_top5" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pipeline.Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 5), emb, 5).orderBy("qid", "rank")
+    }),
+
+    // LSH-bucketed approximate top-5 — the scale path; rows-only check
+    "ann_lsh_top5" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pipeline.Similarity.lshTopK(
+        emb.where(col("vec_id") < 5), emb, 5, planes = 4).orderBy("qid", "rank")
+    }),
+
+    // embedding near-dup pairs at cosine ≥ 0.95 within LSH buckets
+    "emb_near_dup" -> ((s, d) =>
+      pipeline.Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d), 950000L, planes = 4).orderBy("ida", "idb")),
+
+    // ---- events (time-series) ----
+
+    // hourly histogram per event type (ns-timestamp handling)
+    "events_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts div 3600000000000 * 3600").as("hour_epoch"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))),
+
+    // per-user event stats (groupBy + multi-agg)
+    "events_user_stats" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"),
+          countDistinct(col("event_type")).as("n_types"))),
+
+    // ---- multimodal plumbing (stubbed decode; rows-only checks) ----
+
+    "multimodal_features" -> ((s, d) => {
+      val assets = pipeline.Multimodal.syntheticAssets(Tables.documents(s, d))
+      assets.select(col("asset_id"), col("modality"),
+        length(col("content")).cast("long").as("n_bytes"),
+        pipeline.Multimodal.stubDecodeFeatures(col("content")).as("features"))
+        .withColumn("feat_norm_x1000",
+          floor(pipeline.Similarity.norm(col("features")) * 1000).cast("long"))
+        .drop("features").orderBy("asset_id")
+    }),
+
+    "multimodal_frames" -> ((s, d) => {
+      val assets = pipeline.Multimodal.syntheticAssets(Tables.documents(s, d))
+        .where(col("modality") === "video")
+      pipeline.Multimodal.sampleFrames(assets, 4, 32)
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).cast("long").as("frame_bytes"))
+    })
   )
 
+  // DuckDB mirrors of the text operators, generated from the same marker
+  // lists so the two engines cannot drift.
+  private def duckList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+  private def hitsSql(lang: String): String =
+    s"len(list_filter($toksSql, x -> list_contains(" +
+      duckList(pipeline.TextAnalysis.stopwords(lang)) + ", x)))"
+  private val langIdSql: String = {
+    val langs = pipeline.TextAnalysis.stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => s"${hitsSql(l)} AS s_$l").mkString(", ")
+    val best = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+    s"WITH s AS (SELECT doc_id, $scores FROM documents), " +
+    s"g AS (SELECT *, $best AS best FROM s) " +
+    s"SELECT doc_id, CASE WHEN best = 0 THEN 'und' $cases ELSE 'und' END AS pred_lang FROM g"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_jaccard_pairs" ->
+      (s"WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+       "sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN " +
+       "list_distinct(list_transform(generate_series(1, len(tk) - 2), " +
+       "i -> array_to_string(tk[i:i+2], ' '))) " +
+       "ELSE [array_to_string(tk, ' ')] END AS sh FROM tk), " +
+       "ex AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM sh), " +
+       "j AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.nsh AS na, b.nsh AS nb, " +
+       "COUNT(*) AS common FROM ex a JOIN ex b ON a.shingle = b.shingle " +
+       "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) " +
+       "SELECT ida, idb, CAST(FLOOR(1000000.0 * common / (na + nb - common)) AS BIGINT) AS jaccard_ppm " +
+       "FROM j WHERE FLOOR(1000000.0 * common / (na + nb - common)) >= 600000 " +
+       "ORDER BY ida, idb"),
+
+    "text_langid" -> langIdSql,
+
+    "text_quality_full" ->
+      (s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text, " +
+       s"CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
+       s"CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct_tokens, " +
+       s"CAST(FLOOR(100.0 * length(regexp_replace(text, '\\s+', '', 'g')) / len($toksSql)) AS BIGINT) AS mean_token_len_x100, " +
+       s"CAST(FLOOR(1000000.0 * ${hitsSql("en")} / len($toksSql)) AS BIGINT) AS stopword_ppm " +
+       "FROM documents"),
+
+    "ann_bruteforce_top5" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), " +
+       "p AS (SELECT q.qid, e.vec_id AS nid, " +
+       "list_cosine_similarity(q.qe, e.embedding) AS sim " +
+       "FROM q, embeddings e WHERE e.vec_id <> q.qid) " +
+       "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM " +
+       "(SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank FROM p) " +
+       "WHERE rank <= 5 ORDER BY qid, rank"),
+
+    "events_hourly" ->
+      ("SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch, " +
+       "COUNT(*) AS n, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
+       "FROM events GROUP BY 1, 2"),
+
+    "events_user_stats" ->
+      ("SELECT user_id, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, " +
+       "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types " +
+       "FROM events GROUP BY user_id"),
+
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, " +
        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every method is shingle-explode → shuffle-on-key →
+  * bounded-bucket pairing. No all-pairs comparison ever happens: candidate
+  * pairs only form inside an LSH band bucket / shared-shingle group — the
+  * standard web-scale dedup shape (explode ≈ linear in corpus size, bucket
+  * joins shuffle on band hash). All expressions are Catalyst higher-order
+  * functions: no UDFs, no driver-side loops.
+  */
+object Dedup {
+
+  /** Word n-gram shingles (distinct) of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array(array_join(toks, " "))))
+  }
+
+  /** Exact duplicate groups by content hash: (fingerprint, n_copies, keeper). */
+  def exactGroups(df: DataFrame, text: Column, idCol: Column): DataFrame =
+    df.groupBy(md5(text).as("fingerprint"))
+      .agg(count(lit(1)).as("n_copies"), min(idCol).as("keeper"))
+
+  /** N-gram Jaccard near-dup pairs: explode shingles, join on shingle,
+    * count common, jaccard = |∩| / (|A|+|B|−|∩|) ≥ threshold.
+    * Pairs are (ida < idb); jaccard emitted in ppm (integer-exact). */
+  def jaccardPairs(df: DataFrame, idCol: String, text: Column, n: Int,
+                   thresholdPpm: Long): DataFrame = {
+    val sh = df.select(col(idCol).as("did"), shingles(text, n).as("sh"))
+      .withColumn("nsh", size(col("sh")).cast("long"))
+    val ex = sh.select(col("did"), col("nsh"), explode(col("sh")).as("shingle"))
+    val a = ex.select(col("did").as("ida"), col("nsh").as("na"), col("shingle"))
+    val b = ex.select(col("did").as("idb"), col("nsh").as("nb"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .where(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard_ppm",
+        floor(lit(1000000.0) * col("common") /
+          (col("na") + col("nb") - col("common"))).cast("long"))
+      .where(col("jaccard_ppm") >= thresholdPpm)
+      .select("ida", "idb", "jaccard_ppm")
+  }
+
+  /** MinHash signature: `perms` hash permutations approximated by seeded
+    * xxhash64 (seed = permutation index); signature[k] = min over shingles. */
+  def minhashSignature(sh: Column, perms: Int): Column =
+    transform(sequence(lit(0), lit(perms - 1)),
+      k => array_min(transform(sh, s => xxhash64(s, k))))
+
+  /** MinHash LSH candidate pairs: split the signature into `bands` bands,
+    * hash each band, bucket-join; estimate Jaccard as the fraction of equal
+    * signature positions (ppm). */
+  def minhashCandidates(df: DataFrame, idCol: String, text: Column,
+                        shingleN: Int = 3, perms: Int = 32,
+                        bands: Int = 8): DataFrame = {
+    require(perms % bands == 0, "perms must divide into bands")
+    val rows = perms / bands
+    val sig = df.select(col(idCol).as("did"),
+      minhashSignature(shingles(text, shingleN), perms).as("sig"))
+    val banded = sig.withColumn("band",
+      explode(array((0 until bands).map(b => struct(lit(b).as("b"),
+        xxhash64(array_join(slice(col("sig"), b * rows + 1, rows)
+          .cast("array<string>"), ",")).as("h"))): _*)))
+    val l = banded.select(col("band.b").as("b"), col("band.h").as("h"),
+      col("did").as("ida"), col("sig").as("siga"))
+    val r = banded.select(col("band.b").as("b"), col("band.h").as("h"),
+      col("did").as("idb"), col("sig").as("sigb"))
+    val matches = size(filter(
+      zip_with(col("siga"), col("sigb"), (x, y) => (x === y).cast("int")),
+      v => v === 1))
+    l.join(r, Seq("b", "h"))
+      .where(col("ida") < col("idb"))
+      .withColumn("est_jaccard_ppm",
+        floor(lit(1000000.0) * matches / size(col("siga"))).cast("long"))
+      .select("ida", "idb", "est_jaccard_ppm")
+      .dropDuplicates("ida", "idb")
+  }
+
+  /** 64-bit SimHash of the token multiset: bit b is set when the ±1-weighted
+    * sum of token-hash bits at position b is positive. */
+  def simhash64(text: Column): Column = {
+    // hash each token once; bit b of the simhash is 1 when more than half
+    // of the token hashes have bit b set (sum of ±1 weights > 0)
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val n = size(hashes)
+    (0 until 64).map { b =>
+      val pop = size(filter(hashes,
+        h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L))
+      when(pop * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup candidates: bucket by 16-bit bands (a pair within
+    * Hamming distance ≤3 shares at least one of 4 bands), then verify with
+    * bit_count(xor) — no all-pairs scan. */
+  def simhashPairs(df: DataFrame, idCol: String, text: Column,
+                   maxHamming: Int = 3): DataFrame = {
+    val h = df.select(col(idCol).as("did"), simhash64(text).as("sh"))
+    val banded = h.withColumn("band",
+      explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(65535L)).as("v"))): _*)))
+    val l = banded.select(col("band.b").as("b"), col("band.v").as("v"),
+      col("did").as("ida"), col("sh").as("sha"))
+    val r = banded.select(col("band.b").as("b"), col("band.v").as("v"),
+      col("did").as("idb"), col("sh").as("shb"))
+    l.join(r, Seq("b", "v"))
+      .where(col("ida") < col("idb"))
+      .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
+      .where(col("hamming") <= maxHamming)
+      .select("ida", "idb", "hamming")
+      .dropDuplicates("ida", "idb")
+  }
+}

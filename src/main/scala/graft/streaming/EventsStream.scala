@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no stream-processing semantics (its "streaming" is
+  * HTTP response streaming — SURVEY §1.3), so this module is part of the
+  * beyond-the-reference pipeline surface: watermarked windowed aggregation
+  * and stateful sessionization, testable locally by pointing `readStream`
+  * at the static parquet and draining with `processAllAvailable()`.
+  */
+object EventsStream {
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS); Spark reads it as LONG
+    * nanos under `nanosAsLong`. Normalize to a microsecond timestamp. */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema)
+      // FileStreamSource needs a directory; select the single table file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  /** Tumbling-window count+sum per event type with a watermark. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  case class Sess(userId: Long, start: Long, end: Long, n: Long)
+  case class Ev(user_id: Long, ts: Long)
+
+  /** Gap-based sessionization with flatMapGroupsWithState: emits a session
+    * row when a user is idle longer than `gapMs`. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), (col("ts") / 1000000L).cast("long").as("ts"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Sess, Sess](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Sess]) =>
+          // batch-drain variant: fold sorted events into gap-split sessions
+          val sorted = evs.map(_.ts).toSeq.sorted
+          val (closed, open) = sorted.foldLeft(
+            (List.empty[Sess], state.getOption)) {
+            case ((done, cur), t) => cur match {
+              case Some(s) if t - s.end <= gapMs =>
+                (done, Some(s.copy(end = t, n = s.n + 1)))
+              case Some(s) => (s :: done, Some(Sess(uid, t, t, 1)))
+              case None => (done, Some(Sess(uid, t, t, 1)))
+            }
+          }
+          open.foreach(state.update)
+          closed.reverseIterator
+      }.toDF()
+  }
+
+  /** Run a streaming query to completion against the static fixture
+    * (memory sink) and return the result table. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame,
+                  name: String, mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q: StreamingQuery = streamed.writeStream
+      .outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline._
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "el rapido zorro marron salta sobre el perro"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "completely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("shingles: trigrams, distinct, short-text fallback") {
+    val sh = docs.where($"doc_id" === 1)
+      .select(Dedup.shingles($"text", 3)).head().getSeq[String](0)
+    assert(sh.contains("the quick brown") && sh.contains("over the lazy"))
+    assert(sh.length === 7) // 9 tokens → 7 trigrams, all distinct
+    val short = Seq((9L, "just two")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text", 3)).head().getSeq[String](0)
+    assert(short === Seq("just two"))
+  }
+
+  test("exact groups find the exact dup only") {
+    val g = Dedup.exactGroups(docs, $"text", $"doc_id")
+      .where($"n_copies" > 1).collect()
+    assert(g.length === 1 && g(0).getLong(1) === 2 && g(0).getLong(2) === 1)
+  }
+
+  test("jaccard pairs find near-dups above threshold") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", $"text", 3, 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup → jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash LSH surfaces the exact dup with est jaccard 1.0") {
+    val cand = Dedup.minhashCandidates(docs, "doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cand((1L, 4L)) === 1000000L)
+    assert(cand.contains((1L, 2L))) // near-dup shares most shingles
+  }
+
+  test("simhash: identical docs have distance 0; near-dups small distance") {
+    val h = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(4L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) <= 16)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", $"text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("langId picks the language with most marker hits") {
+    val got = docs.select($"doc_id", TextAnalysis.langId($"text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "en" && got(3L) === "es")
+  }
+
+  test("cosine similarity: orthogonal 0, identical 1") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val sims = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(sims((1L, 2L))) < 1e-12)
+    assert(math.abs(sims((1L, 3L)) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df.where($"vec_id" === 0), df, 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(top === Seq(3L, 1L))
+  }
+
+  test("LSH top-k finds exact duplicates (same bucket by construction)") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.2f)), (1L, Array(1.0f, 0.2f)), (2L, Array(1.0f, 0.2f)),
+      (3L, Array(1.0f, 0.2f)), (4L, Array(-1.0f, -0.2f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(df.where($"vec_id" === 0), df, 2, planes = 4)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // identical vectors share every sign bucket; cosine 1.0, id tiebreak
+    assert(got === Seq(1L, 2L))
+  }
+
+  test("multimodal: frame sampling slices payload bytes") {
+    val assets = Multimodal.syntheticAssets(
+      core.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val frames = Multimodal.sampleFrames(assets.limit(3), 4, 16)
+    val rows = frames.select("asset_id", "frame_idx", "frame").collect()
+    assert(rows.length > 0)
+    assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 16))
+  }
+
+  test("quality signals are integer-exact") {
+    val r = TextAnalysis.qualitySignals(
+      Seq((1L, "the cat sat")).toDF("doc_id", "text"), $"text")
+      .select("n_tokens", "n_distinct_tokens", "mean_token_len_x100", "stopword_ppm")
+      .head()
+    assert(r.getLong(0) === 3 && r.getLong(1) === 3)
+    assert(r.getLong(2) === 300) // 9 chars / 3 tokens * 100
+    assert(r.getLong(3) === 333333) // 1 stopword of 3
+  }
+}
