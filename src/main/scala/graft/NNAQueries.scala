@@ -259,7 +259,57 @@ object NNAQueries {
       files(s, d).groupBy(col("user").as("key")).agg(
         sum(when(col("fileSize") === 0, 1L).otherwise(0L)).as("emptyFiles"),
         sum(when(col("fileSize") > 0 && col("fileSize") <= 1024, 1L).otherwise(0L)).as("tinyFiles"),
-        sum(when(col("accessTime") <= lit(NowMs - 365L * dayMs), 1L).otherwise(0L)).as("oldFiles1yr")))
+        sum(when(col("accessTime") <= lit(NowMs - 365L * dayMs), 1L).otherwise(0L)).as("oldFiles1yr"))),
+
+    // ---- the top-level NNAQuery API (endpoint-semantics entry point) ----
+
+    // /filter with filters + multi-sum through the API
+    "nna_api_filter" -> ((s, d) =>
+      graft.api.NNAQuery.execute(
+        graft.api.NNAQuery(set = "files", filters = "fileSize:gt:0,fileReplica:gte:3",
+          sum = Seq("count", "fileSize", "diskspaceConsumed")),
+        inodes(s, d))),
+
+    // /histogram2 user × fileType through the API
+    "nna_api_histogram2" -> ((s, d) =>
+      graft.api.NNAQuery.execute(
+        graft.api.NNAQuery(set = "files", histType = Some("user"),
+          histType2 = Some("fileType"), sum = Seq("count")),
+        inodes(s, d))),
+
+    // /histogram weekly age buckets + having + sort through the API
+    "nna_api_weekly_having" -> ((s, d) =>
+      graft.api.NNAQuery.execute(
+        graft.api.NNAQuery(set = "files", histType = Some("modTime"),
+          timeRange = "weekly", sum = Seq("count"),
+          histogramConditions = "gt:50", sortAscending = Some(false)),
+        inodes(s, d))),
+
+    // /histogram with what-if transform through the API: diskspace per user
+    // if everything under /N had replication 1
+    "nna_api_transform_hist" -> ((s, d) =>
+      graft.api.NNAQuery.execute(
+        graft.api.NNAQuery(set = "files", histType = Some("user"),
+          sum = Seq("diskspaceConsumed"),
+          transformConditions = "path:startsWith:/N",
+          transformReplica = Some(1L)),
+        inodes(s, d))),
+
+    // /divide through the API: snapshot-flagged ratio
+    "nna_api_divide" -> ((s, d) =>
+      graft.api.NNAQuery.divide(
+        graft.api.NNAQuery(set = "files", filters = "isWithSnapshot:eq:true",
+          sum = Seq("count")),
+        graft.api.NNAQuery(set = "files", sum = Seq("count")),
+        inodes(s, d))),
+
+    // §2.10 suggestions DAG: whole-namespace census in two passes
+    "nna_suggestions_values" -> ((s, d) =>
+      graft.api.Suggestions.cachedValues(inodes(s, d))),
+
+    // §2.10 top directories at depth 2 by file count
+    "nna_top_directories" -> ((s, d) =>
+      graft.api.Suggestions.topDirectories(inodes(s, d), 2, 5))
   )
 
   // ---------------------------------------------------------------------
@@ -272,6 +322,12 @@ object NNAQueries {
     val whens = bins.map { case (label, bound) =>
       s"WHEN $NowMs - $timeCol <= $bound THEN '$label'" }.mkString(" ")
     s"CASE $whens ELSE '23 Months+' END"
+  }
+  private def weeklyCase(timeCol: String): String = {
+    val bins = Histograms.timeBins("weekly")._1
+    val whens = bins.map { case (label, bound) =>
+      s"WHEN $NowMs - $timeCol <= $bound THEN '$label'" }.mkString(" ")
+    s"CASE $whens ELSE '49 Weeks+' END"
   }
   private def yearlyCase(timeCol: String): String = {
     val bins = Histograms.timeBins("yearly")._1
@@ -488,6 +544,81 @@ object NNAQueries {
       "CAST(SUM(CASE WHEN fileSize = 0 THEN 1 ELSE 0 END) AS BIGINT) AS emptyFiles, " +
       "CAST(SUM(CASE WHEN fileSize > 0 AND fileSize <= 1024 THEN 1 ELSE 0 END) AS BIGINT) AS tinyFiles, " +
       s"CAST(SUM(CASE WHEN accessTime <= ${NowMs - 365L * dayMs} THEN 1 ELSE 0 END) AS BIGINT) AS oldFiles1yr " +
-      "FROM inodes WHERE isFile GROUP BY \"user\"")
+      "FROM inodes WHERE isFile GROUP BY \"user\""),
+
+    "nna_api_filter" -> oracle(
+      "SELECT COUNT(*) AS count, CAST(SUM(fileSize) AS BIGINT) AS fileSize, " +
+      "CAST(SUM(fileSize * fileReplica) AS BIGINT) AS diskspaceConsumed " +
+      "FROM inodes WHERE isFile AND fileSize > 0 AND fileReplica >= 3"),
+
+    "nna_api_histogram2" -> oracle(
+      s"SELECT \"user\" AS key, $fileTypeCase AS key2, COUNT(*) AS value " +
+      "FROM inodes WHERE isFile GROUP BY 1, 2"),
+
+    "nna_api_weekly_having" -> oracle(
+      s"SELECT ${weeklyCase("modTime")} AS key, COUNT(*) AS value " +
+      "FROM inodes WHERE isFile GROUP BY 1 HAVING COUNT(*) > 50 " +
+      "ORDER BY value DESC, key ASC"),
+
+    "nna_api_transform_hist" -> oracle(
+      "SELECT \"user\" AS key, CAST(SUM(CASE WHEN path LIKE '/N%' THEN fileSize * 1 " +
+      "ELSE fileSize * fileReplica END) AS BIGINT) AS value " +
+      "FROM inodes WHERE isFile GROUP BY 1"),
+
+    "nna_api_divide" -> oracle(
+      "SELECT CAST(FLOOR(1000000.0 * " +
+      "(SELECT COUNT(*) FROM inodes WHERE isFile AND isWithSnapshot) / " +
+      "(SELECT COUNT(*) FROM inodes WHERE isFile)) AS BIGINT) AS ratio_ppm"),
+
+    "nna_suggestions_values" -> oracle {
+      val now24h = NowMs - 24L * 3600000L
+      val now1y = NowMs - 365L * dayMs
+      val now2y = NowMs - 2 * 365L * dayMs
+      def cnt(cond: String, name: String) =
+        s"CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS $name"
+      def csum(cond: String, expr: String, name: String) =
+        s"CAST(SUM(CASE WHEN $cond THEN $expr ELSE 0 END) AS BIGINT) AS $name"
+      val mem = "150 + 150 * numBlocks"
+      val ds = "fileSize * fileReplica"
+      val fileCols = Seq(
+        "COUNT(*) AS numFiles",
+        cnt("fileSize = 0", "emptyFiles"),
+        cnt("fileSize > 0 AND fileSize <= 1024", "tinyFiles"),
+        cnt("fileSize > 1024 AND fileSize <= 1048576", "smallFiles"),
+        cnt("fileSize > 1048576 AND fileSize <= 134217728", "mediumFiles"),
+        cnt("fileSize > 134217728", "largeFiles"),
+        cnt(s"fileSize = 0 AND modTime >= $now24h", "emptyFiles24h"),
+        cnt(s"fileSize > 0 AND fileSize <= 1024 AND modTime >= $now24h", "tinyFiles24h"),
+        cnt(s"fileSize > 1024 AND fileSize <= 1048576 AND modTime >= $now24h", "smallFiles24h"),
+        cnt(s"fileSize = 0 AND accessTime <= $now1y", "emptyFiles1yr"),
+        cnt(s"fileSize > 0 AND fileSize <= 1024 AND accessTime <= $now1y", "tinyFiles1yr"),
+        cnt(s"accessTime <= $now1y", "oldFiles1yr"),
+        cnt(s"accessTime <= $now2y", "oldFiles2yr"),
+        csum("fileSize = 0", mem, "emptyFilesMem"),
+        csum("fileSize > 0 AND fileSize <= 1024", ds, "tinyFilesDs"),
+        csum("fileSize > 1024 AND fileSize <= 1048576", ds, "smallFilesDs"),
+        csum(s"accessTime <= $now1y", ds, "oldFiles1yrDs"),
+        "CAST(SUM(fileSize) AS BIGINT) AS totalBytes",
+        s"CAST(SUM($ds) AS BIGINT) AS totalDiskspace",
+        s"CAST(SUM($mem) AS BIGINT) AS totalFileMem",
+        "CAST(SUM(numBlocks) AS BIGINT) AS totalBlocks").mkString(", ")
+      val ratio = "FLOOR(nsQuotaUsed * 100.0 / nsQuota)"
+      val dratio = "FLOOR(dsQuotaUsed * 100.0 / dsQuota)"
+      val dirCols = Seq(
+        "COUNT(*) AS numDirs",
+        cnt("dirNumChildren = 0", "emptyDirs"),
+        cnt("hasQuota", "quotaDirs"),
+        cnt(s"hasQuota AND $ratio >= 85", "nsQuotaHighDirs"),
+        cnt(s"hasQuota AND $dratio >= 85", "dsQuotaHighDirs")).mkString(", ")
+      s"SELECT * FROM (SELECT $fileCols FROM inodes WHERE isFile) " +
+        s"CROSS JOIN (SELECT $dirCols FROM inodes WHERE NOT isFile)"
+    },
+
+    "nna_top_directories" -> oracle(
+      "SELECT regexp_extract(path, '^(/[^/]+/[^/]+)', 1) AS path, " +
+      "COUNT(*) AS numFiles, " +
+      "CAST(SUM(fileSize * fileReplica) AS BIGINT) AS diskspaceConsumed " +
+      "FROM inodes WHERE isFile GROUP BY 1 " +
+      "ORDER BY numFiles DESC, path ASC LIMIT 5")
   )
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api._
+import graft.inodes.InodeView
+
+class ApiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+  lazy val ino = InodeView.inodes(spark, dir).cache()
+
+  test("NNAQuery path dump respects limit and ordering") {
+    val r = NNAQuery.execute(
+      NNAQuery(set = "files", filters = "user:eq:u1", limit = Some(10)), ino)
+    val paths = r.collect().map(_.getString(0))
+    assert(paths.length === 10 && paths.sorted.toSeq === paths.toSeq)
+  }
+
+  test("NNAQuery rejects invalid combos before planning") {
+    intercept[IllegalArgumentException] {
+      NNAQuery.execute(NNAQuery(set = "dirs", sum = Seq("fileSize")), ino)
+    }
+    intercept[IllegalArgumentException] {
+      NNAQuery.execute(NNAQuery(set = "files", histType = Some("dirQuota")), ino)
+    }
+  }
+
+  test("NNAQuery histogram top-k equals manual plan") {
+    val api = NNAQuery.execute(
+      NNAQuery(set = "files", histType = Some("user"),
+        sum = Seq("diskspaceConsumed"), top = Some(3)), ino)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val manual = ino.where(col("isFile")).groupBy(col("user").as("key"))
+      .agg(sum(col("fileSize") * col("fileReplica")).as("value"))
+      .orderBy(col("value").desc, col("key").asc).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(api === manual)
+  }
+
+  test("NNAQuery global find min returns the arg-min inode") {
+    val r = NNAQuery.execute(
+      NNAQuery(set = "files", filters = "fileSize:gt:0",
+        find = Some(("min", "fileSize"))), ino).head()
+    val expect = ino.where(col("isFile") && col("fileSize") > 0)
+      .orderBy(col("fileSize").asc, col("id").asc).limit(1)
+      .select("path", "fileSize").head()
+    assert(r.getString(0) === expect.getString(0))
+    assert(r.getLong(1) === expect.getLong(1))
+  }
+
+  test("suggestions cachedValues is consistent with direct counts") {
+    val v = Suggestions.cachedValues(ino).head()
+    val files = ino.where(col("isFile"))
+    assert(v.getAs[Long]("numFiles") === files.count())
+    val sizeClasses = Seq("emptyFiles", "tinyFiles", "smallFiles",
+      "mediumFiles", "largeFiles").map(v.getAs[Long]).sum
+    assert(sizeClasses === files.count()) // classes partition all files
+    assert(v.getAs[Long]("emptyFiles") ===
+      files.where(col("fileSize") === 0).count())
+  }
+
+  test("renderers produce well-formed output") {
+    val h = NNAQuery.execute(
+      NNAQuery(set = "files", histType = Some("user"), sum = Seq("count"),
+        top = Some(3)), ino)
+    val json = Renderers.toJson(h)
+    assert(json.startsWith("{") && json.endsWith("}") && json.contains("\": "))
+    val csv = Renderers.toCsv(h)
+    assert(csv.linesIterator.size === 4 && csv.startsWith("key,value"))
+    val chart = Renderers.toChartJsJson(h, "t", "count")
+    assert(chart.contains("\"labels\"") && chart.contains("\"datasets\""))
+    val h2 = NNAQuery.execute(
+      NNAQuery(set = "files", histType = Some("user"),
+        histType2 = Some("fileType"), sum = Seq("count")), ino)
+    val nested = Renderers.twoLevelToJson(h2.limit(5))
+    assert(nested.startsWith("{") && nested.endsWith("}"))
+  }
+
+  test("operations: throttled driver-side loop with abort") {
+    val filtered = ino.where(col("isFile")).limit(25)
+    var applied = 0
+    val op = Operations.run(filtered, Operations.Delete, sleepMs = 0,
+      applyFn = { _ => applied += 1; true })
+    assert(op.progress._1 === 25 && applied === 25)
+    // abort flag flips via the public API
+    val op2 = Operations.Operation("x", Operations.Delete, "", 5, _ => true)
+    op2.abort()
+    assert(op2.progress._1 === 0)
+  }
+}
