@@ -20,7 +20,7 @@ object NNAQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def inodes(spark: SparkSession, dir: String): DataFrame =
-    InodeView.inodes(spark, dir)
+    InodeView.snapshot(spark, dir)
   private def files(spark: SparkSession, dir: String): DataFrame =
     inodes(spark, dir).where(col("isFile"))
   private def dirsOf(spark: SparkSession, dir: String): DataFrame =

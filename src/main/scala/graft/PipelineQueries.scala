@@ -34,8 +34,10 @@ object PipelineQueries {
       val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, d)
       val li = Tables.lineitem(s, d)
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // reduce orders by the selective customer filter FIRST (broadcast the
+      // small dim), then join the big fact table once
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey").as("orderkey"))
         .agg(sum(revenueCents).as("revenue_centpct"))
         .orderBy(col("revenue_centpct").desc, col("orderkey").asc)
@@ -48,7 +50,7 @@ object PipelineQueries {
       val ord = Tables.orders(s, d)
       val cust = Tables.customer(s, d)
       val nat = Tables.nation(s, d)
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"))

@@ -16,7 +16,7 @@ object SqlShim {
 
   /** Register the three set views for `spark.sql` queries. */
   def register(spark: SparkSession, dir: String): Unit = {
-    val inodes = InodeView.inodes(spark, dir)
+    val inodes = InodeView.snapshot(spark, dir)
     inodes.createOrReplaceTempView("all")
     inodes.where(col("isFile")).createOrReplaceTempView("files")
     inodes.where(!col("isFile")).createOrReplaceTempView("dirs")

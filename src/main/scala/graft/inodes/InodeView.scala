@@ -57,6 +57,33 @@ object InodeView {
     fs.select(columns.map(col): _*).unionAll(dirs(fs).select(columns.map(col): _*))
   }
 
+  // The reference's whole design is namespace-snapshot-in-memory
+  // (`NameNodeLoader.load` + GSet swap, SURVEY §2.1 S1/S2); the Spark analog
+  // is a persisted DataFrame. One derivation per (session, dir); queries
+  // then run against the columnar in-memory snapshot exactly like NNA's
+  // queries run against its heap set. MEMORY_AND_DISK: spills instead of
+  // OOM at large SF.
+  private val snapshots =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+
+  /** Cached snapshot of the derived inodes relation. */
+  def snapshot(spark: SparkSession, dir: String): DataFrame = {
+    val entry = snapshots.compute(dir, (_, cur) =>
+      if (cur != null && (cur._1 eq spark)) cur
+      else {
+        val df = inodes(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (spark, df)
+      })
+    entry._2
+  }
+
+  /** Drop a cached snapshot (reference `/reloadNamespace` analog). */
+  def invalidate(dir: String): Unit = {
+    val e = snapshots.remove(dir)
+    if (e != null) e._2.unpersist()
+  }
+
   /** File inodes: one per lineitem row. */
   def files(spark: SparkSession, dir: String): DataFrame = {
     val li = graft.core.Tables.lineitem(spark, dir)

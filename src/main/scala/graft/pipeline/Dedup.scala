@@ -36,10 +36,14 @@ object Dedup {
                    thresholdPpm: Long): DataFrame = {
     val sh = df.select(col(idCol).as("did"), shingles(text, n).as("sh"))
       .withColumn("nsh", size(col("sh")).cast("long"))
-    val ex = sh.select(col("did"), col("nsh"), explode(col("sh")).as("shingle"))
-    val a = ex.select(col("did").as("ida"), col("nsh").as("na"), col("shingle"))
-    val b = ex.select(col("did").as("idb"), col("nsh").as("nb"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    // join on the 8-byte shingle hash, not the string: smaller shuffle,
+    // cheaper compares (collision odds ~|shingles|²/2⁶⁴ — negligible)
+    val ex = sh.select(col("did"), col("nsh"),
+      explode(col("sh")).as("shingle"))
+      .select(col("did"), col("nsh"), xxhash64(col("shingle")).as("shingle_h"))
+    val a = ex.select(col("did").as("ida"), col("nsh").as("na"), col("shingle_h"))
+    val b = ex.select(col("did").as("idb"), col("nsh").as("nb"), col("shingle_h"))
+    a.join(b, Seq("shingle_h"))
       .where(col("ida") < col("idb"))
       .groupBy(col("ida"), col("idb"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))
@@ -58,31 +62,57 @@ object Dedup {
 
   /** MinHash LSH candidate pairs: split the signature into `bands` bands,
     * hash each band, bucket-join; estimate Jaccard as the fraction of equal
-    * signature positions (ppm). */
+    * signature positions (ppm).
+    *
+    * Join discipline for scale: only (band, hash, id) tuples flow through
+    * the bucket self-join, candidate pairs are de-duplicated BEFORE the
+    * signatures are joined back (a near-dup pair collides in many bands —
+    * carrying signatures through the explosion is what kills banded joins
+    * on skewed corpora). Default 64 perms × 8 bands = 8 rows/band: high
+    * precision candidate generation on vocab-overlapping corpora; recall
+    * at jaccard 0.9 ≈ 99%. Production pipelines would checkpoint the
+    * signature table instead of recomputing it on both sides of the
+    * pair join. */
+  /** Signature table via explode + hash-aggregate: one codegen'd pass
+    * computing all `perms` minima, instead of nested higher-order-function
+    * lambdas (those are CodegenFallback → interpreted, ~100× slower).
+    * Shingle strings are hashed once; permutations derive from the cheap
+    * long re-hash xxhash64(h, k). */
+  def minhashSignatures(df: DataFrame, idCol: String, text: Column,
+                        shingleN: Int, perms: Int): DataFrame = {
+    val base = df
+      .select(col(idCol).as("did"), explode(shingles(text, shingleN)).as("s"))
+      .select(col("did"), xxhash64(col("s")).as("h0"))
+    val mins = (0 until perms).map(k => min(xxhash64(col("h0"), lit(k))).as(s"m$k"))
+    base.groupBy("did").agg(mins.head, mins.tail: _*)
+      .select(col("did"), array((0 until perms).map(k => col(s"m$k")): _*).as("sig"))
+  }
+
   def minhashCandidates(df: DataFrame, idCol: String, text: Column,
-                        shingleN: Int = 3, perms: Int = 32,
+                        shingleN: Int = 3, perms: Int = 64,
                         bands: Int = 8): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
-    val sig = df.select(col(idCol).as("did"),
-      minhashSignature(shingles(text, shingleN), perms).as("sig"))
-    val banded = sig.withColumn("band",
+    val sig = minhashSignatures(df, idCol, text, shingleN, perms)
+    val banded = sig.select(col("did"),
       explode(array((0 until bands).map(b => struct(lit(b).as("b"),
         xxhash64(array_join(slice(col("sig"), b * rows + 1, rows)
-          .cast("array<string>"), ",")).as("h"))): _*)))
-    val l = banded.select(col("band.b").as("b"), col("band.h").as("h"),
-      col("did").as("ida"), col("sig").as("siga"))
-    val r = banded.select(col("band.b").as("b"), col("band.h").as("h"),
-      col("did").as("idb"), col("sig").as("sigb"))
+          .cast("array<string>"), ",")).as("h"))): _*)).as("band"))
+      .select(col("band.b").as("b"), col("band.h").as("h"), col("did"))
+    val pairs = banded.select(col("b"), col("h"), col("did").as("ida"))
+      .join(banded.select(col("b"), col("h"), col("did").as("idb")), Seq("b", "h"))
+      .where(col("ida") < col("idb"))
+      .select("ida", "idb")
+      .dropDuplicates("ida", "idb")
     val matches = size(filter(
       zip_with(col("siga"), col("sigb"), (x, y) => (x === y).cast("int")),
       v => v === 1))
-    l.join(r, Seq("b", "h"))
-      .where(col("ida") < col("idb"))
+    pairs
+      .join(sig.select(col("did").as("ida"), col("sig").as("siga")), Seq("ida"))
+      .join(sig.select(col("did").as("idb"), col("sig").as("sigb")), Seq("idb"))
       .withColumn("est_jaccard_ppm",
         floor(lit(1000000.0) * matches / size(col("siga"))).cast("long"))
       .select("ida", "idb", "est_jaccard_ppm")
-      .dropDuplicates("ida", "idb")
   }
 
   /** 64-bit SimHash of the token multiset: bit b is set when the ±1-weighted
@@ -99,12 +129,31 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** SimHash table via explode + hash-aggregate (codegen'd, same rationale
+    * as [[minhashSignatures]]): per doc, 64 conditional ±1 sums over token
+    * hashes, then assemble the bits. */
+  def simhashes(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val base = df
+      .select(col(idCol).as("did"),
+        explode(TextAnalysis.tokens(text)).as("t"))
+      .select(col("did"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$b")
+    }
+    base.groupBy("did").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("did"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+  }
+
   /** SimHash near-dup candidates: bucket by 16-bit bands (a pair within
     * Hamming distance ≤3 shares at least one of 4 bands), then verify with
     * bit_count(xor) — no all-pairs scan. */
   def simhashPairs(df: DataFrame, idCol: String, text: Column,
                    maxHamming: Int = 3): DataFrame = {
-    val h = df.select(col(idCol).as("did"), simhash64(text).as("sh"))
+    val h = simhashes(df, idCol, text)
     val banded = h.withColumn("band",
       explode(array((0 until 4).map(b => struct(lit(b).as("b"),
         shiftright(col("sh"), b * 16).bitwiseAND(lit(65535L)).as("v"))): _*)))
