@@ -309,7 +309,23 @@ object NNAQueries {
 
     // §2.10 top directories at depth 2 by file count
     "nna_top_directories" -> ((s, d) =>
-      graft.api.Suggestions.topDirectories(inodes(s, d), 2, 5))
+      graft.api.Suggestions.topDirectories(inodes(s, d), 2, 5)),
+
+    // §2.4 daily age bucketizer (365 bins + overflow; no zero-fill)
+    "nna_histogram_time_daily" -> ((s, d) =>
+      Histograms.histogram(files(s, d),
+        Histograms.timeBucket(col("modTime"), "daily"), count(lit(1)))),
+
+    // §2.4 diskspaceConsumed-keyed space bins with sum=count
+    "nna_histogram_diskspace_bins" -> ((s, d) =>
+      Histograms.histogram(files(s, d),
+        Histograms.spaceBucket(Fields.longField("diskspaceConsumed")),
+        count(lit(1)))),
+
+    // §2.4 accessDate day-string grouping over all
+    "nna_histogram_accessdate" -> ((s, d) =>
+      Histograms.histogram(inodes(s, d), Fields.stringField("accessDate"),
+        count(lit(1))))
   )
 
   // ---------------------------------------------------------------------
@@ -619,6 +635,25 @@ object NNAQueries {
       "COUNT(*) AS numFiles, " +
       "CAST(SUM(fileSize * fileReplica) AS BIGINT) AS diskspaceConsumed " +
       "FROM inodes WHERE isFile GROUP BY 1 " +
-      "ORDER BY numFiles DESC, path ASC LIMIT 5")
+      "ORDER BY numFiles DESC, path ASC LIMIT 5"),
+
+    "nna_histogram_time_daily" -> oracle {
+      val bins = Histograms.timeBins("daily")._1
+      val whens = bins.map { case (label, bound) =>
+        s"WHEN $NowMs - modTime <= $bound THEN '$label'" }.mkString(" ")
+      s"SELECT CASE $whens ELSE '364 Days+' END AS key, COUNT(*) AS value " +
+        "FROM inodes WHERE isFile GROUP BY 1"
+    },
+
+    "nna_histogram_diskspace_bins" -> oracle {
+      val whens = Histograms.spaceBins.map { case (label, bound) =>
+        s"WHEN fileSize * fileReplica <= $bound THEN '$label'" }.mkString(" ")
+      s"SELECT CASE $whens ELSE '1 GB+' END AS key, COUNT(*) AS value " +
+        "FROM inodes WHERE isFile GROUP BY 1"
+    },
+
+    "nna_histogram_accessdate" -> oracle(
+      "SELECT strftime(make_timestamp(accessTime * 1000), '%m/%d/%Y') AS key, " +
+      "COUNT(*) AS value FROM inodes GROUP BY 1")
   )
 }

@@ -1,0 +1,41 @@
+package graft.api
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, Row}
+import scala.jdk.CollectionConverters._
+
+/** User-registered cached queries (§2.10): the reference lets users register
+  * any `/filter` or `/histogram` query string for re-execution on every
+  * suggestions cycle (`SuggestionsEngine.setQueryToAnalysis/
+  * performCustomQueries/getLatestCacheQueryResult`, ~`:744-1010`).
+  *
+  * Here a cached query is an [[NNAQuery]] registered by name; [[refresh]]
+  * re-runs the whole registry against a snapshot (one job per query, all
+  * over the same cached relation), and the latest collected results are
+  * served without touching the cluster — mirroring the reference's
+  * MapDB-backed result cache (S10).
+  */
+object CachedQueries {
+
+  private val registry = new ConcurrentHashMap[String, NNAQuery]()
+  private val results = new ConcurrentHashMap[String, (Long, Array[Row], Seq[String])]()
+
+  def register(name: String, query: NNAQuery): Unit = registry.put(name, query)
+
+  def remove(name: String): Unit = { registry.remove(name); results.remove(name) }
+
+  def list: Seq[String] = registry.keySet().asScala.toSeq.sorted
+
+  /** Re-execute every registered query against the snapshot (one cycle). */
+  def refresh(inodes: DataFrame, nowMs: Long): Unit =
+    registry.asScala.foreach { case (name, q) =>
+      val df = NNAQuery.execute(q.copy(now = nowMs), inodes)
+      results.put(name, (nowMs, df.collect(), df.columns.toSeq))
+    }
+
+  /** Latest cached result with its cycle timestamp (None if never run). */
+  def latest(name: String): Option[(Long, Array[Row], Seq[String])] =
+    Option(results.get(name))
+
+  def clear(): Unit = { registry.clear(); results.clear() }
+}

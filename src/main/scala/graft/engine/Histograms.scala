@@ -64,10 +64,23 @@ object Histograms {
   }
 
   def timeBucket(epochMs: Column, timeRange: String, now: Long = InodeView.NowMs): Column = {
-    val (bins, overflow) = timeBins(timeRange)
+    // time bins are UNIFORM, so the bucket index is arithmetic — a 365-deep
+    // when-chain would blow codegen/analysis recursion for `daily` and is
+    // O(bins) per row; this is O(1). Bin k covers [(k−1)·w+1, k·w] with bin 1
+    // starting at 0 (`TimeHistogram.java:105-199`): idx = ceil(age/w), min 1.
+    val (unitMs, nBins, unitName, overflow) = timeRange match {
+      case "daily"   => (86400000L, 364, "Days", "364 Days+")
+      case "weekly"  => (7 * 86400000L, 49, "Weeks", "49 Weeks+")
+      case "monthly" => (30 * 86400000L, 23, "Months", "23 Months+")
+      case "yearly"  => (365 * 86400000L, 4, "Years", "4 Years+")
+      case other     => throw new IllegalArgumentException(s"unknown timeRange: $other")
+    }
     val age = lit(now) - epochMs
-    // negative age (future timestamps) has no bin in the reference → NO_MAPPING
-    when(age < 0, lit("NO_MAPPING")).otherwise(binChain(age, bins, overflow))
+    // doubles are exact here (ages ≪ 2^53)
+    val idx = greatest(floor((age + (unitMs - 1)) / lit(unitMs.toDouble)).cast("long"), lit(1L))
+    when(age < 0, lit("NO_MAPPING"))
+      .when(idx <= nBins, concat(idx.cast("string"), lit(s" $unitName")))
+      .otherwise(lit(overflow))
   }
 
   /** Bin labels in canonical order (for zero-fill / key ordering,

@@ -77,6 +77,52 @@ class ApiSpec extends AnyFunSuite {
     assert(nested.startsWith("{") && nested.endsWith("}"))
   }
 
+  test("email conditions gate on scalar and indexed values") {
+    import org.apache.spark.sql.Row
+    val row = Row(120L, 5L)
+    assert(Sinks.emailConditionsMet("gt:100", row))
+    assert(!Sinks.emailConditionsMet("gt:100,1:gt:10", row))
+    assert(Sinks.emailConditionsMet("0:gte:120,1:lt:6", row))
+    var sent: Option[String] = None
+    val fired = Sinks.emailIfTriggered(
+      NNAQuery.execute(NNAQuery(set = "files", sum = Seq("count")), ino),
+      "gt:0")(body => sent = Some(body))
+    assert(fired && sent.exists(_.startsWith("count")))
+  }
+
+  test("namespace save / load / reload round-trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("ns").toString + "/img"
+    Namespace.save(ino.limit(100), tmp)
+    val back = Namespace.load(spark, tmp)
+    assert(back.count() === 100)
+    assert(back.columns.toSeq === ino.columns.toSeq)
+    val re = Namespace.reload(spark, dir)
+    assert(re.count() === ino.count())
+  }
+
+  test("history sink appends timestamped cycles") {
+    val tmp = java.nio.file.Files.createTempDirectory("hist").toString + "/h"
+    val perUser = Suggestions.cachedUserMaps(ino).select("user", "numFiles", "emptyFiles")
+    Sinks.appendHistory(perUser, tmp, 1000000L)
+    Sinks.appendHistory(perUser, tmp, 2000000L)
+    val h = Sinks.readHistory(spark, tmp)
+    assert(h.count() === 2 * perUser.count())
+    assert(h.select("cycle_ts").distinct().count() === 2)
+  }
+
+  test("cached queries: register / refresh / latest") {
+    CachedQueries.clear()
+    CachedQueries.register("tiny_by_user",
+      NNAQuery(set = "files", filters = "fileSize:lte:1024",
+        histType = Some("user"), sum = Seq("count")))
+    assert(CachedQueries.latest("tiny_by_user").isEmpty)
+    CachedQueries.refresh(ino, 123L)
+    val Some((ts, rows, cols)) = CachedQueries.latest("tiny_by_user")
+    assert(ts === 123L && rows.nonEmpty && cols === Seq("key", "value"))
+    CachedQueries.remove("tiny_by_user")
+    assert(CachedQueries.list.isEmpty)
+  }
+
   test("operations: throttled driver-side loop with abort") {
     val filtered = ino.where(col("isFile")).limit(25)
     var applied = 0
