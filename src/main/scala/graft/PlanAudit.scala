@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-quality audit: prints `explain("formatted")` for representative
+  * queries so pushdown / pruning / codegen spans can be inspected.
+  * Not part of the driver contract; run manually.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val targets = Seq(
+      "q1_pricing",            // pushdown: shipdate filter must reach the scan
+      "nna_filter_count",      // column pruning through the inode derivation
+      "nna_histogram_user",    // partial agg + single shuffle expected
+      "q3_top_orders",         // join strategy: broadcast for dims
+      "ann_bruteforce_top5")   // broadcast nested loop over corpus scan
+    targets.foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

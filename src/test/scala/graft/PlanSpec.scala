@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: these queries must keep the physical-plan
+  * properties that make them scale (pushdown, pruning, broadcast, top-k
+  * short-circuit, snapshot reuse). A correctness-green change that loses
+  * one of these would silently cost 10–100× at cluster scale.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q1_pricing: shipdate filter pushes into the parquet scan") {
+    val plan = formatted("q1_pricing")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q1_pricing: column pruning reaches the scan (no unused columns)") {
+    val plan = formatted("q1_pricing")
+    val readSchema = plan.linesIterator.find(_.startsWith("ReadSchema:")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"))
+  }
+
+  test("q3_top_orders: dims broadcast; top-k is TakeOrdered, not global sort") {
+    val plan = formatted("q3_top_orders")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("inode queries reuse the cached snapshot (InMemoryTableScan)") {
+    val plan = formatted("nna_filter_count")
+    assert(plan.contains("InMemoryTableScan"))
+  }
+
+  test("histogram aggregation is partial+final around one exchange") {
+    val plan = formatted("nna_histogram_user")
+    // two HashAggregates (partial, final) with exactly one shuffle between,
+    // not counting the cached snapshot's internal exchanges
+    val afterScan = plan.substring(0, plan.indexOf("InMemoryTableScan"))
+    assert(afterScan.count(_ == 'E') >= 1) // sanity: section non-trivial
+    assert("HashAggregate".r.findAllIn(afterScan).size === 2)
+    assert("Exchange".r.findAllIn(afterScan).size === 1)
+  }
+
+  test("find-global-max compiles to TakeOrdered (no full sort)") {
+    val plan = formatted("nna_find_global_max")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}
