@@ -27,7 +27,14 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native codegen'd expression (see [[graft.functions.CosineSimilarity]]);
+    * [[cosineHof]] is the composable higher-order-function formulation —
+    * same bit-exact result, interpreted (kept as the reference
+    * implementation / fallback). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_similarity(a, b)
+
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbors for each query vector (queries ≪ corpus).
     * Output: (qid, nid, rank). Deterministic tiebreak on neighbor id. */

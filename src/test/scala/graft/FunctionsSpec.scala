@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.CosineSimilarity
+import graft.pipeline.Similarity
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 2.0f), Array(0.5f, 0.5f, 1.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.3f, -0.7f, 0.1f), Array(-0.3f, 0.7f, -0.1f))
+  ).toDF("id", "a", "b")
+
+  test("native expression matches the HOF formulation bit-for-bit") {
+    val both = vecs.select(
+      Similarity.cosine($"a", $"b").as("native"),
+      Similarity.cosineHof($"a", $"b").as("hof")).collect()
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("expression works on double arrays too") {
+    val d = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+    assert(d.select(Similarity.cosine($"a", $"b")).head().getDouble(0) === 1.0)
+  }
+
+  test("type check rejects mismatched inputs") {
+    val bad = Seq((Array(1.0f), "x")).toDF("a", "b")
+    intercept[Exception](bad.select(Similarity.cosine($"a", $"b")).collect())
+  }
+
+  test("SQL registration exposes cosine_similarity()") {
+    CosineSimilarity.register(spark)
+    vecs.createOrReplaceTempView("vecs_t")
+    val r = spark.sql(
+      "SELECT id, cosine_similarity(a, b) AS s FROM vecs_t WHERE id = 2").head()
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("expression stays inside whole-stage codegen") {
+    // a local relation folds the projection; use a real scan
+    val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = emb.select(Similarity.cosine($"embedding", $"embedding"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" stage prefix marks WholeStageCodegen in plan toString
+    assert(plan.startsWith("*(1) Project [cosinesimilarity"))
+  }
+}

@@ -35,12 +35,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  // another suite's unpersist() of a same-plan DataFrame evicts the snapshot
+  // cache entry (CacheManager matches by logical plan) — re-establish it
+  private def freshSnapshot(): Unit = {
+    graft.inodes.InodeView.invalidate(dir)
+    graft.inodes.InodeView.snapshot(spark, dir)
+  }
+
   test("inode queries reuse the cached snapshot (InMemoryTableScan)") {
+    freshSnapshot()
     val plan = formatted("nna_filter_count")
     assert(plan.contains("InMemoryTableScan"))
   }
 
   test("histogram aggregation is partial+final around one exchange") {
+    freshSnapshot()
     val plan = formatted("nna_histogram_user")
     // two HashAggregates (partial, final) with exactly one shuffle between,
     // not counting the cached snapshot's internal exchanges
