@@ -137,6 +137,14 @@ object PipelineQueries {
         emb.where(col("vec_id") < 5), emb, 5, planes = 4).orderBy("qid", "rank")
     }),
 
+    // IVF coarse-quantized top-5 (nlist cells, nprobe probes) — rows-only
+    "ann_ivf_top5" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pipeline.Similarity.ivfTopK(
+        emb.where(col("vec_id") < 5), emb, 5, nlist = 16, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     // embedding near-dup pairs at cosine ≥ 0.95 within LSH buckets
     "emb_near_dup" -> ((s, d) =>
       pipeline.Similarity.cosineNearDupPairs(

@@ -23,10 +23,14 @@ object SqlShim {
   }
 
   /** Session settings of the reference dialect
-    * (`INodeSqlStatementVisitor.java:68-86`). */
-  case class Session(parentDirDepth: Int = 3, timeRange: String = "weekly")
+    * (`INodeSqlStatementVisitor.java:68-86`). `strictParity` enforces the
+    * reference's AND-only WHERE restriction (`:111-113` throws on OR);
+    * off by default — Spark SQL is deliberately a superset. */
+  case class Session(parentDirDepth: Int = 3, timeRange: String = "weekly",
+                     strictParity: Boolean = false)
 
   private val SetStmt = """(?i)\s*SET\s+(\w+)\s*=\s*'?([^';]+)'?\s*;?\s*""".r
+  private val DescribeStmt = """(?i)\s*DESCRIBE\s+(\w+)\s*;?\s*""".r
 
   /** Execute a statement: handles SHOW TABLES / DESCRIBE / SET natively,
     * everything else goes to Spark SQL over the registered views. */
@@ -36,17 +40,23 @@ object SqlShim {
     statement.trim match {
       case s if s.equalsIgnoreCase("SHOW TABLES") =>
         Right(Seq("files", "dirs").toDF("tableName"))
-      case s if s.toUpperCase.startsWith("DESCRIBE") =>
-        val fields =
-          (QueryChecker.FilterLong ++ QueryChecker.FilterString ++ QueryChecker.FilterBoolean).toSeq.sorted
+      case DescribeStmt(table) =>
+        // per-set validity, like the reference's DESCRIBE JSON
+        // (`SqlParser.java:59-107`)
+        val set = table.toLowerCase
+        val fields = QueryChecker.filterSet(set).toSeq.sorted
         Right(fields.toDF("field"))
       case SetStmt(key, value) =>
         key.toLowerCase match {
           case "parentdirdepth" => Left(session.copy(parentDirDepth = value.trim.toInt))
           case "timerange"      => Left(session.copy(timeRange = value.trim))
+          case "strictparity"   => Left(session.copy(strictParity = value.trim.toBoolean))
           case other => throw new IllegalArgumentException(s"unknown SET key: $other")
         }
       case sql =>
+        if (session.strictParity && sql.toUpperCase.matches("(?s).*\\bOR\\b.*"))
+          throw new UnsupportedOperationException(
+            "OR is not supported by the reference dialect (strict parity mode)")
         register(spark, dir)
         Right(spark.sql(sql))
     }

@@ -88,6 +88,50 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF (inverted-file) approximate search — the other scale path besides
+    * hyperplane LSH. Coarse quantization: `nlist` centroids chosen
+    * deterministically (the first `nlist` corpus vectors by id — a k-means
+    * iteration can refine them later without changing the query plan);
+    * every corpus vector is assigned to its nearest centroid (one broadcast
+    * pass), queries probe the `nprobe` nearest cells. Candidate generation
+    * is a bucket join on cell id — never all-pairs; the probe factor bounds
+    * scanned fraction at ~nprobe/nlist of the corpus. */
+  def ivfIndex(corpus: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
+    val centroids = broadcast(
+      corpus.orderBy(col("vec_id").asc).limit(nlist)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
+    val w = Window.partitionBy(col("nid")).orderBy(col("csim").desc, col("cent_id").asc)
+    val assigned = corpus
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .crossJoin(centroids)
+      .withColumn("csim", cosine(col("ne"), col("cent")))
+      .withColumn("crank", row_number().over(w))
+      .where(col("crank") === 1)
+      .select(col("cent_id").as("cell"), col("nid"), col("ne"))
+    (centroids, assigned)
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest cells per query. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (centroids, assigned) = ivfIndex(corpus, nlist)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(centroids)
+      .withColumn("csim", cosine(col("qe"), col("cent")))
+      .withColumn("crank", row_number().over(wq))
+      .where(col("crank") <= nprobe)
+      .select(col("cent_id").as("cell"), col("qid"), col("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold within LSH buckets. */
   def cosineNearDupPairs(df: DataFrame, thresholdPpm: Long,
                          planes: Int = 8): DataFrame = {

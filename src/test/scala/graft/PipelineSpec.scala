@@ -96,6 +96,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Seq(1L, 2L))
   }
 
+  test("IVF top-k: full probe (nprobe = nlist) equals brute force") {
+    val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.where($"vec_id" < 3)
+    val bf = Similarity.bruteForceTopK(q, emb, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(q, emb, 3, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    assert(ivf === bf) // probing every cell ⇒ exhaustive ⇒ exact
+    // partial probe returns ranked, non-empty results per query
+    val part = Similarity.ivfTopK(q, emb, 3, nlist = 8, nprobe = 2)
+      .collect()
+    assert(part.nonEmpty && part.forall(_.getLong(2) <= 3))
+  }
+
+  test("salted aggregation matches plain groupBy") {
+    val docs5 = docs
+    val plain = docs5.groupBy($"doc_id" % 2).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = graft.engine.Skew.saltedCount(docs5, $"doc_id" % 2, salts = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+    val plainSum = docs5.agg(sum(length($"text"))).head().getLong(0)
+    val saltedSum = graft.engine.Skew.saltedSum(docs5, lit(1), length($"text"), 4)
+      .head().getLong(1)
+    assert(saltedSum === plainSum)
+  }
+
   test("multimodal: frame sampling slices payload bytes") {
     val assets = Multimodal.syntheticAssets(
       core.Tables.documents(spark, "/root/testdata/sf0.001"))
