@@ -39,10 +39,24 @@ object Renderers {
       .mkString("{", ", ", "}")
   }
 
-  /** CSV with one line per row; columns in DataFrame order. */
-  def toCsv(h: DataFrame): String = {
-    val header = h.columns.mkString(",")
-    val lines = h.collect().map(_.toSeq.map(cell).map { c =>
+  /** CSV with one line per row; columns in DataFrame order.
+    *
+    * Reference quirk (`Histograms.java:101-128`): when the histogram value
+    * is a `find` over `accessTime`/`modTime`, CSV renders the epoch-ms as a
+    * `java.util.Date` string unless `rawTimestamps` — pass the value column
+    * names in `dateColumns` to reproduce. */
+  def toCsv(h: DataFrame, dateColumns: Set[String] = Set.empty,
+            rawTimestamps: Boolean = false): String = {
+    val cols = h.columns
+    val dateIdx: Set[Int] =
+      if (rawTimestamps) Set.empty
+      else cols.zipWithIndex.collect { case (c, i) if dateColumns(c) => i }.toSet
+    val header = cols.mkString(",")
+    val lines = h.collect().map(_.toSeq.zipWithIndex.map { case (v, i) =>
+      val c = v match {
+        case ms: Long if dateIdx(i) => new java.util.Date(ms).toString
+        case other => cell(other)
+      }
       if (c.contains(",") || c.contains("\"") || c.contains("\n"))
         "\"" + c.replace("\"", "\"\"") + "\"" else c
     }.mkString(","))

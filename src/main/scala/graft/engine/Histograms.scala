@@ -110,7 +110,7 @@ object Histograms {
       case "fileSize" => spaceBucket(col("fileSize"))
       case "diskspaceConsumed" => spaceBucket(Fields.longField("diskspaceConsumed"))
       case "memoryConsumed" => memoryBucket(Fields.longField("memoryConsumed"))
-      case "fileReplica" => col("fileReplica").cast("string")
+      case "fileReplica" => replicaKey(ecAware = false)
       case "storageType" => Fields.stringField("storageType")
       case "fileType" => FileTypes.classify(col("name"))
       case "parentDir" => parentDirAtDepth(col("path"), parentDirDepth)
@@ -118,6 +118,15 @@ object Histograms {
       case "modDate" | "accessDate" => Fields.stringField(histType)
       case other => throw new IllegalArgumentException(s"unknown histogram type: $other")
     }
+
+  /** `fileReplica` grouping key. With `ecAware` (Hadoop 3.x semantics,
+    * `VersionContext.java:206-219`, SURVEY §7.4.9) erasure-coded files
+    * group under an EC label instead of their replication factor; behind a
+    * flag because the fixture has no EC files. */
+  def replicaKey(ecAware: Boolean): Column =
+    if (ecAware)
+      when(col("hasEcPolicy"), lit("EC")).otherwise(col("fileReplica").cast("string"))
+    else col("fileReplica").cast("string")
 
   /** Value expression for sum=X (grouped), `AbstractQueryEngine.java:956-963`. */
   def sumAgg(sumField: String): Column = sumField match {

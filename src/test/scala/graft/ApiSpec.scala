@@ -77,6 +77,25 @@ class ApiSpec extends AnyFunSuite {
     assert(nested.startsWith("{") && nested.endsWith("}"))
   }
 
+  test("CSV renders find-time values as Date unless rawTimestamps") {
+    val h = NNAQuery.execute(
+      NNAQuery(set = "files", histType = Some("user"),
+        find = Some(("max", "modTime")), top = Some(2)), ino)
+    val pretty = Renderers.toCsv(h, dateColumns = Set("value"))
+    // java.util.Date.toString, e.g. "Tue Dec 31 23:59:59 UTC 2024"
+    assert(pretty.linesIterator.drop(1).next().matches(".*[A-Z][a-z]{2} [A-Z][a-z]{2} .*\\d{4}.*"))
+    val raw = Renderers.toCsv(h, dateColumns = Set("value"), rawTimestamps = true)
+    assert(raw.linesIterator.drop(1).next().matches(".*,\\d{12,13}$"))
+  }
+
+  test("EC-aware replica grouping flags EC files") {
+    import spark.implicits._
+    val df = Seq((3L, false), (5L, true)).toDF("fileReplica", "hasEcPolicy")
+    val got = df.select(graft.engine.Histograms.replicaKey(ecAware = true))
+      .as[String].collect().sorted
+    assert(got === Array("3", "EC"))
+  }
+
   test("email conditions gate on scalar and indexed values") {
     import org.apache.spark.sql.Row
     val row = Row(120L, 5L)

@@ -25,6 +25,38 @@ class StreamingSpec extends AnyFunSuite {
     streamedMap.foreach { case (k, v) => assert(batchMap(k) === v, s"window $k") }
   }
 
+  test("inode refresh: latest-wins merge with tombstones") {
+    import org.apache.spark.sql.functions._
+    val ino = graft.inodes.InodeView.inodes(spark, dir).limit(10)
+    val first = ino.orderBy("id").limit(1)
+    val muts = first.withColumn("user", lit("changed"))
+      .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+      .unionByName(
+        ino.orderBy(col("id").desc).limit(1)
+          .withColumn("op", lit("delete")).withColumn("seq", lit(2L)))
+    val merged = graft.streaming.InodeRefresh.applyBatch(ino, muts)
+    assert(merged.count() === 9) // one tombstoned
+    val changedId = first.head().getAs[Long]("id")
+    assert(merged.where(col("id") === changedId).head()
+      .getAs[String]("user") === "changed")
+  }
+
+  test("inode refresh: streamed mutations republish the snapshot") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("muts").toString
+    val ino = graft.inodes.InodeView.inodes(spark, dir).limit(20)
+      .localCheckpoint(true)
+    // write one mutation batch: delete the 5 largest ids
+    ino.orderBy(col("id").desc).limit(5)
+      .withColumn("op", lit("delete")).withColumn("seq", lit(1L))
+      .write.parquet(tmp + "/batch1")
+    var published: Option[Long] = None
+    val q = graft.streaming.InodeRefresh.stream(spark, ino, tmp + "/batch1",
+      snap => published = Some(snap.count()))
+    q.awaitTermination()
+    assert(published.contains(15L))
+  }
+
   test("sessionization splits on idle gaps") {
     val events = EventsStream.readStream(spark, dir)
     val sessions = EventsStream.runToMemory(spark,
