@@ -325,7 +325,23 @@ object NNAQueries {
     // §2.4 accessDate day-string grouping over all
     "nna_histogram_accessdate" -> ((s, d) =>
       Histograms.histogram(inodes(s, d), Fields.stringField("accessDate"),
-        count(lit(1))))
+        count(lit(1)))),
+
+    // F-matrix join-backed filters: subtree-stat predicate on dirs
+    "nna_filter_subtree" -> ((s, d) =>
+      graft.api.NNAQuery.execute(
+        graft.api.NNAQuery(set = "dirs",
+          filters = "dirSubTreeNumFiles:gte:100,depth:lte:3",
+          sum = Seq("count", "dirNumChildren")),
+        inodes(s, d))),
+
+    // F-matrix join-backed filters: quota-ancestry flag through the API
+    "nna_filter_under_quota" -> ((s, d) =>
+      graft.api.NNAQuery.execute(
+        graft.api.NNAQuery(set = "files",
+          filters = "isUnderNsQuota:eq:true,fileSize:gt:0",
+          sum = Seq("count")),
+        inodes(s, d)))
   )
 
   // ---------------------------------------------------------------------
@@ -654,6 +670,15 @@ object NNAQueries {
 
     "nna_histogram_accessdate" -> oracle(
       "SELECT strftime(make_timestamp(accessTime * 1000), '%m/%d/%Y') AS key, " +
-      "COUNT(*) AS value FROM inodes GROUP BY 1")
+      "COUNT(*) AS value FROM inodes GROUP BY 1"),
+
+    "nna_filter_subtree" -> oracle(
+      "SELECT COUNT(*) AS count, CAST(SUM(d.dirNumChildren) AS BIGINT) AS dirNumChildren " +
+      "FROM inodes d WHERE NOT d.isFile AND d.depth <= 3 AND " +
+      "(SELECT COUNT(*) FROM inodes f WHERE f.isFile AND f.path LIKE d.path || '/%') >= 100"),
+
+    "nna_filter_under_quota" -> oracle(
+      "SELECT COUNT(*) AS count FROM inodes WHERE isFile AND fileSize > 0 " +
+      "AND parent IN (SELECT path FROM inodes WHERE NOT isFile AND nsQuota >= 0)")
   )
 }

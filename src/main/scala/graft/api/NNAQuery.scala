@@ -40,7 +40,16 @@ object NNAQuery {
     * conventions: path dumps → `path`; sums → one column per sum field;
     * histograms → `key`[, `key2`], value columns named by sum/find field. */
   def execute(q: NNAQuery, inodes: DataFrame): DataFrame = {
-    val base = InodeView.inodeSet(inodes, q.set)
+    // join-backed filter fields (quota ancestry, subtree stats) need the
+    // relation enriched before the predicate can compile
+    val usedJoinFields =
+      if (q.filters.isEmpty) Set.empty[String]
+      else q.filters.split(',').map(_.split(':')(0)).toSet
+        .intersect(PathStructure.joinFields)
+    val enriched =
+      if (usedJoinFields.isEmpty) inodes
+      else PathStructure.enrich(inodes, usedJoinFields)
+    val base = InodeView.inodeSet(enriched, q.set)
     val filtered =
       if (q.filters.isEmpty) base
       else base.where(Filters.compileAll(q.filters, q.set, q.now))

@@ -48,6 +48,8 @@ object Fields {
       when(col("dsQuota") > 0,
         floor(col("dsQuotaUsed") * lit(100.0) / col("dsQuota"))).otherwise(0L)
     case "count" => lit(1L) // summing `count` == COUNT(*)
+    // join-backed fields — present after PathStructure.enrich
+    case "dirSubTreeSize" | "dirSubTreeNumFiles" | "dirSubTreeNumDirs" => col(name)
     case other => throw new IllegalArgumentException(s"unknown long field: $other")
   }
 
@@ -69,14 +71,14 @@ object Fields {
   }
 
   /** Boolean fields (`Constants.java FILTER_BOOLEAN`). The quota-ancestry
-    * fields need a join against the quota-dir set and are handled by
-    * [[QuotaAncestry]], not here. */
+    * flags need the [[PathStructure.enrich]] join first. */
   def booleanField(name: String): Column = name match {
     case "isUnderConstruction" => col("isUnderConstruction")
     case "isWithSnapshot"      => col("isWithSnapshot")
     case "hasAcl"              => col("hasAcl")
     case "hasQuota"            => col("hasQuota")
     case "hasEcPolicy"         => col("hasEcPolicy")
+    case "isUnderNsQuota" | "isUnderDsQuota" => col(name)
     case other => throw new IllegalArgumentException(s"unknown boolean field: $other")
   }
 

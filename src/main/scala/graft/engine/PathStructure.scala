@@ -64,4 +64,48 @@ object PathStructure {
       .groupBy(col("ancestor").as("path"))
       .agg(count(lit(1)).as("dirSubTreeNumDirs"))
   }
+
+  /** The join-backed filter fields of the validity matrix. Unlike the plain
+    * accessor fields these need a structural join, so the query compiler
+    * enriches the relation first (`AbstractQueryEngine` computes them with
+    * per-inode walks; we compute them set-at-a-time). */
+  val joinFields: Set[String] = Set(
+    "isUnderNsQuota", "isUnderDsQuota",
+    "dirSubTreeSize", "dirSubTreeNumFiles", "dirSubTreeNumDirs")
+
+  /** Add any of [[joinFields]] as real columns. Flags become booleans via a
+    * broadcast ancestor semi-join; subtree stats left-join the one-shuffle
+    * aggregate (0 when no descendants — files and empty dirs). */
+  def enrich(inodes: DataFrame, fields: Set[String]): DataFrame = {
+    var df = inodes
+    def flag(field: String, quotaCol: String): Unit = if (fields(field)) {
+      val quotaDirs = inodes
+        .where(!col("isFile") && col(quotaCol) >= 0)
+        .select(col("path").as("ancestor"))
+      val hits = withAncestors(inodes.select(col("id"), col("path")))
+        .join(broadcast(quotaDirs), Seq("ancestor"), "left_semi")
+        .select(col("id")).distinct()
+        .withColumn(field, lit(true))
+      df = df.join(hits, Seq("id"), "left")
+        .withColumn(field, coalesce(col(field), lit(false)))
+    }
+    flag("isUnderNsQuota", "nsQuota")
+    flag("isUnderDsQuota", "dsQuota")
+    if (fields("dirSubTreeSize") || fields("dirSubTreeNumFiles")) {
+      val stats = subtreeStats(inodes)
+      df = df.join(stats.withColumnRenamed("path", "__p"),
+          df("path") === col("__p"), "left")
+        .drop("__p")
+        .withColumn("dirSubTreeSize", coalesce(col("dirSubTreeSize"), lit(0L)))
+        .withColumn("dirSubTreeNumFiles", coalesce(col("dirSubTreeNumFiles"), lit(0L)))
+    }
+    if (fields("dirSubTreeNumDirs")) {
+      val dc = subtreeDirCounts(inodes)
+      df = df.join(dc.withColumnRenamed("path", "__p"),
+          df("path") === col("__p"), "left")
+        .drop("__p")
+        .withColumn("dirSubTreeNumDirs", coalesce(col("dirSubTreeNumDirs"), lit(0L)))
+    }
+    df
+  }
 }
