@@ -22,19 +22,16 @@ object Aggregates {
 
   /** Global find: reduce the filtered set to the arg-min/arg-max inode
     * (`AbstractQueryEngine.java:470-498`; avg not allowed globally).
-    * `max_by`/`min_by` avoid a full sort — single partial/final agg. */
+    * orderBy+limit(1) compiles to TakeOrdered — per-partition top-1 and a
+    * driver merge, no full sort. Tiebreak: smallest id wins. */
   def findInode(df: DataFrame, op: String, field: String): DataFrame = {
     val v = Fields.longField(field)
-    // deterministic tiebreak: among equal values take the smallest id
-    val key = struct(v.as("v"), (-col("id")).as("tb"))
-    val pick = op match {
-      case "max" => max_by(struct(col("path"), col("id"), v.as("value")), key)
-      case "min" => min_by(struct(col("path"), col("id"), v.as("value")),
-        struct(v.as("v"), col("id").as("tb")))
+    val sorted = op match {
+      case "max" => df.orderBy(v.desc, col("id").asc)
+      case "min" => df.orderBy(v.asc, col("id").asc)
       case other => throw new IllegalArgumentException(s"global find only min|max, got $other")
     }
-    df.agg(pick.as("found")).select(col("found.path").as("path"),
-      col("found.value").as("value"))
+    sorted.limit(1).select(col("path"), v.as("value"))
   }
 
   /** `/divide`: ratio of two independently filtered+summed sets

@@ -147,6 +147,14 @@ class EngineSpec extends AnyFunSuite {
     assert(r.getLong(1) === 1L * 10 + 0L * 10 + 2L * 2)
   }
 
+  test("global find picks arg-min/arg-max inode with id tiebreak") {
+    val mx = Aggregates.findInode(tiny.where($"isFile"), "max", "fileSize").head()
+    assert(mx.getString(0) === "/a/b/part-r-0001.txt" && mx.getLong(1) === 1048576L)
+    // two files tie at fileSize extremes? min: ids 6 (0 bytes) — smallest id wins among ties
+    val mn = Aggregates.findInode(tiny.where($"isFile"), "min", "fileSize").head()
+    assert(mn.getString(0) === "/a/c/_SUCCESS" && mn.getLong(1) === 0L)
+  }
+
   test("divide emits exact ppm ratio") {
     val f = tiny.where($"isFile")
     val r = Aggregates.divide(f.where($"fileSize" === 0), count(lit(1)), f, count(lit(1))).head()
