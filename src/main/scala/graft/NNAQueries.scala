@@ -341,7 +341,17 @@ object NNAQueries {
         graft.api.NNAQuery(set = "files",
           filters = "isUnderNsQuota:eq:true,fileSize:gt:0",
           sum = Seq("count")),
-        inodes(s, d)))
+        inodes(s, d))),
+
+    // §2.10 per-user quota analysis (CachedQuotas)
+    "nna_user_quotas" -> ((s, d) =>
+      graft.api.Suggestions.cachedUserQuotas(inodes(s, d))),
+
+    // A8 wide render: storage-policy counts pivoted to columns per user
+    "nna_histogram2_pivot" -> ((s, d) =>
+      Histograms.histogram2Pivot(files(s, d), col("user"),
+        Fields.stringField("storageType"), count(lit(1)),
+        InodeView.StoragePolicies.map(_._2) :+ "NO_MAPPING"))
   )
 
   // ---------------------------------------------------------------------
@@ -679,6 +689,23 @@ object NNAQueries {
 
     "nna_filter_under_quota" -> oracle(
       "SELECT COUNT(*) AS count FROM inodes WHERE isFile AND fileSize > 0 " +
-      "AND parent IN (SELECT path FROM inodes WHERE NOT isFile AND nsQuota >= 0)")
+      "AND parent IN (SELECT path FROM inodes WHERE NOT isFile AND nsQuota >= 0)"),
+
+    "nna_user_quotas" -> oracle(
+      "SELECT \"user\", COUNT(*) AS quotaDirs, " +
+      "CAST(SUM(nsQuota) AS BIGINT) AS nsQuotaAssigned, " +
+      "CAST(SUM(nsQuotaUsed) AS BIGINT) AS nsQuotaUsed, " +
+      "CAST(SUM(dsQuota) AS BIGINT) AS dsQuotaAssigned, " +
+      "CAST(SUM(dsQuotaUsed) AS BIGINT) AS dsQuotaUsed, " +
+      "CAST(SUM(CASE WHEN FLOOR(nsQuotaUsed * 100.0 / nsQuota) >= 85 THEN 1 ELSE 0 END) AS BIGINT) AS nsQuotaHighDirs, " +
+      "CAST(SUM(CASE WHEN FLOOR(dsQuotaUsed * 100.0 / dsQuota) >= 85 THEN 1 ELSE 0 END) AS BIGINT) AS dsQuotaHighDirs " +
+      "FROM inodes WHERE NOT isFile AND hasQuota GROUP BY \"user\""),
+
+    "nna_histogram2_pivot" -> oracle {
+      val cols = (InodeView.StoragePolicies.map(_._2) :+ "NO_MAPPING").map { p =>
+        s"CAST(SUM(CASE WHEN $storageCase = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS \"$p\""
+      }.mkString(", ")
+      s"SELECT \"user\" AS key, $cols FROM inodes WHERE isFile GROUP BY \"user\""
+    }
   )
 }

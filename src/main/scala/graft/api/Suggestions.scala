@@ -88,6 +88,24 @@ object Suggestions {
       .agg(fm.head, fm.tail: _*)
   }
 
+  /** Per-user quota analysis (`cache/CachedQuotas.analyze`,
+    * `CachedQuotas.java:90-170`): per owner, assigned/used quota totals and
+    * the count of dirs at ≥85% utilization. */
+  def cachedUserQuotas(inodes: DataFrame): DataFrame = {
+    val ratio = Fields.longField("nsQuotaRatioUsed")
+    val dratio = Fields.longField("dsQuotaRatioUsed")
+    inodes.where(!col("isFile") && col("hasQuota"))
+      .groupBy(col("user"))
+      .agg(
+        count(lit(1)).as("quotaDirs"),
+        sum(col("nsQuota")).as("nsQuotaAssigned"),
+        sum(col("nsQuotaUsed")).as("nsQuotaUsed"),
+        sum(col("dsQuota")).as("dsQuotaAssigned"),
+        sum(col("dsQuotaUsed")).as("dsQuotaUsed"),
+        sum(when(ratio >= 85, 1L).otherwise(0L)).as("nsQuotaHighDirs"),
+        sum(when(dratio >= 85, 1L).otherwise(0L)).as("dsQuotaHighDirs"))
+  }
+
   /** Top-K directories at a depth by file count and bytes
     * (`SuggestionsEngine.java:287-310`): ancestor explode → one shuffle. */
   def topDirectories(inodes: DataFrame, depth: Int, k: Int): DataFrame = {

@@ -154,6 +154,16 @@ object Histograms {
   def histogram2(df: DataFrame, key1: Column, key2: Column, value: Column): DataFrame =
     df.groupBy(key1.as("key1"), key2.as("key2")).agg(value.as("value"))
 
+  /** Wide-format two-level histogram: key2 values pivoted to columns
+    * (the columnar render of the reference's nested-map output). Pass the
+    * expected key2 domain for a deterministic, shuffle-free-pivot plan. */
+  def histogram2Pivot(df: DataFrame, key1: Column, key2: Column,
+                      value: Column, key2Values: Seq[String]): DataFrame =
+    df.groupBy(key1.as("key"))
+      .pivot(key2.as("key2"), key2Values)
+      .agg(value)
+      .na.fill(0L)
+
   /** Multi-sum histogram (`/histogram3`): one pass, several aggregates —
     * an improvement over the reference, which re-scans once per sum
     * (`NamenodeAnalyticsMethods.java:1872-1944`). */
