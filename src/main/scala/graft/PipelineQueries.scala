@@ -168,6 +168,29 @@ object PipelineQueries {
           sum(round(col("value") * 100).cast("long")).as("value_cents"),
           countDistinct(col("event_type")).as("n_types"))),
 
+    // end-to-end corpus dedup: cluster resolution + keeper selection;
+    // rows-only (engine-internal hashing)
+    "dedup_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = pipeline.Dedup.dedupCorpus(docs, "doc_id", col("text"))
+      docs.agg(count(lit(1)).as("total_docs"))
+        .crossJoin(kept.agg(count(lit(1)).as("kept_docs")))
+    }),
+
+    // quality gate census (oracle-checked: thresholds mirror in SQL)
+    "text_quality_filter" -> ((s, d) =>
+      pipeline.TextAnalysis.qualityFilter(
+        Tables.documents(s, d), col("text"),
+        minTokens = 10, maxTokens = 1000, minDistinctPpm = 200000)
+        .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("kept_chars"))),
+
+    // JSON props extraction + per-type aggregation
+    "events_json_stats" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))),
+
     // ---- multimodal plumbing (stubbed decode; rows-only checks) ----
 
     "multimodal_features" -> ((s, d) => {
@@ -252,6 +275,16 @@ object PipelineQueries {
        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, " +
        "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types " +
        "FROM events GROUP BY user_id"),
+
+    "text_quality_filter" ->
+      (s"SELECT COUNT(*) AS kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars " +
+       s"FROM documents WHERE len($toksSql) >= 10 AND len($toksSql) <= 1000 " +
+       s"AND FLOOR(1000000.0 * len(list_distinct($toksSql)) / len($toksSql)) >= 200000"),
+
+    "events_json_stats" ->
+      ("SELECT event_type, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum " +
+       "FROM events GROUP BY event_type"),
 
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, " +

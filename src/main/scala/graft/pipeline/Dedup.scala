@@ -115,6 +115,41 @@ object Dedup {
       .select("ida", "idb", "est_jaccard_ppm")
   }
 
+  /** Resolve candidate pairs (ida < idb) into duplicate clusters by
+    * iterative min-label propagation: after `iterations` sweeps every node
+    * carries the smallest id reachable within that radius — LSH pair graphs
+    * are shallow (stars around a representative), so a small bound suffices.
+    * Each sweep is one join + one aggregate; `localCheckpoint` truncates
+    * lineage so plans stay bounded. Returns (did, label). */
+  def clusterLabels(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .unionByName(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("did")).distinct()
+      .withColumn("label", col("did"))
+    for (_ <- 1 to iterations) {
+      val prop = edges.join(labels.withColumnRenamed("did", "src"), Seq("src"))
+        .select(col("dst").as("did"), col("label"))
+      labels = labels.unionByName(prop)
+        .groupBy("did").agg(min("label").as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** End-to-end corpus dedup: MinHash-LSH candidates at `thresholdPpm`
+    * estimated Jaccard → cluster resolution → keep the smallest id per
+    * cluster (and every unpaired doc). Returns the kept rows of `df`. */
+  def dedupCorpus(df: DataFrame, idCol: String, text: Column,
+                  thresholdPpm: Long = 900000L): DataFrame = {
+    val pairs = minhashCandidates(df, idCol, text)
+      .where(col("est_jaccard_ppm") >= thresholdPpm)
+    val labels = clusterLabels(pairs)
+    val losers = labels.where(col("did") =!= col("label"))
+      .select(col("did").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash of the token multiset: bit b is set when the ±1-weighted
     * sum of token-hash bits at position b is positive. */
   def simhash64(text: Column): Column = {

@@ -55,6 +55,18 @@ object TextAnalysis {
         floor(lit(1000000.0) * markerHits(toks, en) / nTok).cast("long"))
   }
 
+  /** Quality gate for training-data filtering: token-count window plus a
+    * minimum vocabulary-diversity ratio (distinct/total, in ppm). Returns
+    * the passing rows — a plain pushdown-friendly predicate, no UDF. */
+  def qualityFilter(df: DataFrame, text: Column,
+                    minTokens: Long = 5, maxTokens: Long = 100000,
+                    minDistinctPpm: Long = 100000): DataFrame = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val distinctPpm = floor(lit(1000000.0) * size(array_distinct(toks)) / n).cast("long")
+    df.where(n >= minTokens && n <= maxTokens && distinctPpm >= minDistinctPpm)
+  }
+
   /** Content fingerprint (md5 of normalized text) — portable across engines. */
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
 

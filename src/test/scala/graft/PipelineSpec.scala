@@ -96,6 +96,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Seq(1L, 2L))
   }
 
+  test("corpus dedup keeps one representative per duplicate cluster") {
+    val kept = Dedup.dedupCorpus(docs, "doc_id", $"text", thresholdPpm = 950000L)
+      .select("doc_id").as[Long].collect().toSet
+    // 1 and 4 are exact dups → keep 1, drop 4; everything else unpaired
+    assert(kept === Set(1L, 2L, 3L, 5L))
+  }
+
+  test("cluster labels propagate the minimum id through chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("ida", "idb")
+    val labels = Dedup.clusterLabels(pairs, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) === 1L && labels(2L) === 1L && labels(3L) === 1L)
+    assert(labels(7L) === 7L && labels(9L) === 7L)
+  }
+
+  test("quality filter drops short and low-diversity docs") {
+    val df = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven"),
+      (2L, "too short"),
+      (3L, "rep rep rep rep rep rep rep rep rep rep rep rep")
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.qualityFilter(df, $"text", minTokens = 5,
+      maxTokens = 100, minDistinctPpm = 300000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
   test("IVF top-k: full probe (nprobe = nlist) equals brute force") {
     val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.where($"vec_id" < 3)
