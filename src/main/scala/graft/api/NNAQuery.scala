@@ -96,9 +96,19 @@ object NNAQuery {
         val noMapped = if (dropNoMapping)
           grouped.where(col("key") =!= "NO_MAPPING") else grouped
         val valueCol = if (q.sum.length > 1) col(q.sum.head) else col("value")
-        val havinged = if (q.histogramConditions.nonEmpty)
-          noMapped.where(Histograms.havingCondition(q.histogramConditions, valueCol))
-          else noMapped
+        // multi-sum conditions address columns by index (`idx:op:val`,
+        // `AbstractQueryEngine.java:1086-1104`); 1-level form is `op:val`
+        val havinged = if (q.histogramConditions.nonEmpty) {
+          val pred = q.histogramConditions.split(',').map { c =>
+            val parts = c.split(':')
+            val (target, cond) =
+              if (parts.length == 3)
+                (col(q.sum(parts(0).toInt)), s"${parts(1)}:${parts(2)}")
+              else (valueCol, c)
+            Histograms.havingCondition(cond, target)
+          }.reduce(_ && _)
+          noMapped.where(pred)
+        } else noMapped
         val sliced = (q.top, q.bottom) match {
           case (Some(k), _) => havinged.orderBy(valueCol.desc, col("key").asc).limit(k)
           case (_, Some(k)) => havinged.orderBy(valueCol.asc, col("key").asc).limit(k)
@@ -112,7 +122,9 @@ object NNAQuery {
 
       case None =>
         q.find match {
-          case Some((op, f)) => // global arg-min/max inode
+          case Some((op, f)) => // global arg-min/max inode; avg is grouped-only
+            require(op == "min" || op == "max",
+              s"global find allows only min|max (got $op)") // `AbstractQueryEngine.java:470-498`
             QueryChecker.checkFind(q.set, f)
             val v = Fields.longField(f, q.now)
             val sorted = if (op == "max") filtered.orderBy(v.desc, col("id").asc)

@@ -38,6 +38,22 @@ class ApiSpec extends AnyFunSuite {
     assert(api === manual)
   }
 
+  test("multi-sum having addresses value columns by index") {
+    val q = NNAQuery(set = "files", histType = Some("user"),
+      sum = Seq("count", "fileSize"),
+      histogramConditions = "0:gt:1,1:gt:1000000")
+    val rows = NNAQuery.execute(q, ino).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) > 1 && r.getLong(2) > 1000000L))
+  }
+
+  test("global find rejects avg like the reference") {
+    intercept[IllegalArgumentException] {
+      NNAQuery.execute(NNAQuery(set = "files",
+        find = Some(("avg", "fileSize"))), ino)
+    }
+  }
+
   test("NNAQuery global find min returns the arg-min inode") {
     val r = NNAQuery.execute(
       NNAQuery(set = "files", filters = "fileSize:gt:0",
