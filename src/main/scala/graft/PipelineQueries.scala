@@ -191,6 +191,19 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))),
 
+    // as-of join: each purchase matched to the user's most recent prior
+    // error event (composition: union + one keyed window — one shuffle)
+    "events_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"))
+      operators.AsOfJoin.asofJoin(purchases, errors, "user_id", "ts", Seq("ts"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(expr("(ts - asof_ts) div 1000000000"), lit(-1L)).as("gap_s"))
+    }),
+
     // ---- multimodal plumbing (stubbed decode; rows-only checks) ----
 
     "multimodal_features" -> ((s, d) => {
@@ -285,6 +298,14 @@ object PipelineQueries {
       ("SELECT event_type, COUNT(*) AS n, " +
        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum " +
        "FROM events GROUP BY event_type"),
+
+    "events_asof_join" ->
+      ("SELECT a.event_id, a.user_id, " +
+       "COALESCE((epoch_ns(a.ts) - b.tns) // 1000000000, -1) AS gap_s " +
+       "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') a " +
+       "ASOF LEFT JOIN (SELECT user_id AS u2, epoch_ns(ts) AS tns FROM events " +
+       "WHERE event_type = 'error') b " +
+       "ON a.user_id = b.u2 AND b.tns <= epoch_ns(a.ts)"),
 
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, " +

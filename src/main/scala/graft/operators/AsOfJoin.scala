@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the latest right row with the
+  * same key and `right.ts <= left.ts`.
+  *
+  * Implemented by composition (preference order (a) of the build rules):
+  * tag + union both sides, one window sorted by (ts, right-first), and a
+  * running `last(ignoreNulls)` carries the most recent right payload onto
+  * each left row. Cost: ONE shuffle on the key — same as the dedicated
+  * physical operators in engines that ship one — and it inherits AQE/skew
+  * handling for free. Right-before-left ordering at equal timestamps makes
+  * the match inclusive (`right.ts <= left.ts`), matching DuckDB's
+  * ASOF JOIN semantics used as the oracle.
+  *
+  * `rightCols` are the right-side payload columns to carry; they appear on
+  * the output with their own names (left columns keep theirs).
+  */
+object AsOfJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightCols: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("__is_left", lit(true))
+      .withColumns(rightCols.map(c => s"__r_$c" -> lit(null)).toMap)
+    val rTagged = right
+      .withColumn("__is_left", lit(false))
+      .withColumns(rightCols.map(c => s"__r_$c" -> col(c)).toMap)
+    val unioned = lTagged.select(
+      (left.columns.map(col) :+ col("__is_left")) ++
+        rightCols.map(c => col(s"__r_$c")): _*)
+      .unionByName(rTagged.select(
+        (left.columns.map(c => if (right.columns.contains(c)) col(c)
+          else lit(null).as(c)) :+ col("__is_left")) ++
+          rightCols.map(c => col(s"__r_$c")): _*))
+    // right rows sort before left rows at equal ts → inclusive match
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__is_left"))
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+  }
+}

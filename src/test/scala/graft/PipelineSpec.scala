@@ -159,6 +159,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 16))
   }
 
+  test("as-of join attaches the latest right row at or before left ts") {
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 20L), (2L, 150L, 30L))
+      .toDF("k", "t", "lid").withColumnRenamed("t", "ts").withColumnRenamed("k", "key")
+    val right = Seq((1L, 90L, 991L), (1L, 150L, 992L), (1L, 201L, 993L))
+      .toDF("key", "ts", "rid")
+    val got = graft.operators.AsOfJoin.asofJoin(left, right, "key", "ts", Seq("rid"))
+      .orderBy("lid").collect()
+      .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("asof_rid"))).toMap
+    assert(got(10L) === Some(991L))  // 90 <= 100 < 150
+    assert(got(20L) === Some(992L))  // 150 <= 200 < 201
+    assert(got(30L) === None)        // key 2 has no right rows
+    // inclusive at equal ts
+    val eq = graft.operators.AsOfJoin.asofJoin(
+      Seq((1L, 150L, 99L)).toDF("key", "ts", "lid"), right, "key", "ts", Seq("rid"))
+      .head().getAs[Long]("asof_rid")
+    assert(eq === 992L)
+  }
+
   test("quality signals are integer-exact") {
     val r = TextAnalysis.qualitySignals(
       Seq((1L, "the cat sat")).toDF("doc_id", "text"), $"text")
