@@ -351,7 +351,15 @@ object NNAQueries {
     "nna_histogram2_pivot" -> ((s, d) =>
       Histograms.histogram2Pivot(files(s, d), col("user"),
         Fields.stringField("storageType"), count(lit(1)),
-        InodeView.StoragePolicies.map(_._2) :+ "NO_MAPPING"))
+        InodeView.StoragePolicies.map(_._2) :+ "NO_MAPPING")),
+
+    // A6/A9: grouped find=avg over the `all` set (memoryConsumed is one of
+    // the few all-set find fields in the matrix)
+    "nna_histogram_find_all" -> ((s, d) =>
+      graft.api.NNAQuery.execute(
+        graft.api.NNAQuery(set = "all", histType = Some("group"),
+          find = Some(("avg", "memoryConsumed"))),
+        inodes(s, d)))
   )
 
   // ---------------------------------------------------------------------
@@ -706,6 +714,11 @@ object NNAQueries {
         s"CAST(SUM(CASE WHEN $storageCase = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS \"$p\""
       }.mkString(", ")
       s"SELECT \"user\" AS key, $cols FROM inodes WHERE isFile GROUP BY \"user\""
-    }
+    },
+
+    "nna_histogram_find_all" -> oracle(
+      "SELECT \"group\" AS key, CAST(FLOOR(AVG(CASE WHEN isFile " +
+      "THEN 150 + 150 * numBlocks ELSE 150 END)) AS BIGINT) AS value " +
+      "FROM inodes GROUP BY \"group\"")
   )
 }

@@ -58,6 +58,17 @@ object PipelineQueries {
           count(lit(1)).as("n_lineitems"))
     }),
 
+    // TPC-H Q6-style: pure selective scan — every predicate pushes down
+    "q6_selective_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          round(col("l_discount") * 100).cast("long").between(4, 8) &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 100).cast("long")).as("revenue_centpct"))),
+
     // ---- text analysis over `documents` ----
 
     // token counting (whitespace tokenizer)
@@ -104,6 +115,25 @@ object PipelineQueries {
       pipeline.Dedup.minhashCandidates(Tables.documents(s, d), "doc_id",
         col("text")).where(col("est_jaccard_ppm") >= 500000)
         .orderBy("ida", "idb")),
+
+    // production two-stage dedup: LSH candidate generation + EXACT jaccard
+    // verify computed only on candidate pairs (never all-pairs)
+    "dedup_minhash_verified" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cand = pipeline.Dedup.minhashCandidates(docs, "doc_id", col("text"))
+        .where(col("est_jaccard_ppm") >= 500000)
+      val sh = docs.select(col("doc_id"),
+        pipeline.Dedup.shingles(col("text"), 3).as("sh"))
+      cand
+        .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), Seq("ida"))
+        .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), Seq("idb"))
+        .select(col("ida"), col("idb"),
+          floor(lit(1000000.0) * size(array_intersect(col("sha"), col("shb"))) /
+            size(array_union(col("sha"), col("shb")))).cast("long")
+            .as("jaccard_ppm"))
+        .where(col("jaccard_ppm") >= 600000)
+        .orderBy("ida", "idb")
+    }),
 
     // SimHash near-dup candidates (hamming ≤ 3 of 64) — rows-only check
     "dedup_simhash" -> ((s, d) =>
@@ -335,6 +365,15 @@ object PipelineQueries {
        "JOIN customer ON o_custkey = c_custkey " +
        "JOIN nation ON c_nationkey = n_nationkey " +
        "GROUP BY n_name"),
+
+    "q6_selective_revenue" ->
+      ("SELECT COUNT(*) AS n, " +
+       "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+       "CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_centpct " +
+       "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' " +
+       "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+       "AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 4 AND 8 " +
+       "AND l_quantity < 24"),
 
     "text_tokens" ->
       "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents",
