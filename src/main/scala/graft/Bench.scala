@@ -29,17 +29,23 @@ object Bench {
       graft.inodes.InodeView.snapshot(spark, sfDir).count()
     }
 
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> secs {
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_sec":$loadSec,"n_queries":${results.size},"sf":"$sfDir"}""")
+    // a failed query's time is negated so a run with failures is
+    // machine-distinguishable from a clean one in the emitted JSON
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (failed.contains(k)) -v else v)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_sec":$loadSec,"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -66,16 +66,23 @@ object InodeView {
   private val snapshots =
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
 
-  /** Cached snapshot of the derived inodes relation. */
-  def snapshot(spark: SparkSession, dir: String): DataFrame = {
-    val entry = snapshots.compute(dir, (_, cur) =>
-      if (cur != null && (cur._1 eq spark)) cur
-      else {
-        val df = inodes(spark, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (spark, df)
-      })
-    entry._2
+  /** Cached snapshot of the derived inodes relation. Guarded by a plain
+    * monitor (not ConcurrentHashMap.compute) so Spark plan analysis never
+    * runs under a map bin lock; a displaced entry (same dir, new session —
+    * the old one is typically stopped) is unpersisted to release its blocks. */
+  def snapshot(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val cur = snapshots.get(dir)
+    if (cur != null && (cur._1 eq spark)) cur._2
+    else {
+      val df = inodes(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (cur != null) {
+        try cur._2.unpersist()
+        catch { case _: Throwable => () } // stopped session: nothing to free
+      }
+      snapshots.put(dir, (spark, df))
+      df
+    }
   }
 
   /** Drop a cached snapshot (reference `/reloadNamespace` analog). */

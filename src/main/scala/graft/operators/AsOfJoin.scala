@@ -23,28 +23,33 @@ object AsOfJoin {
 
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightCols: Seq[String]): DataFrame = {
+    // Carry ONE struct of all right payload columns (not each column
+    // independently): a struct built from a right row is non-null even when
+    // some of its fields are null, so last(ignoreNulls) attaches one whole
+    // right row atomically — never a mix of columns from different right
+    // rows, matching DuckDB ASOF JOIN even with NULL payload values.
+    val rStruct = struct(rightCols.map(col): _*)
+    val rNull = lit(null).cast(
+      right.select(rStruct).schema.fields.head.dataType)
     val lTagged = left
       .withColumn("__is_left", lit(true))
-      .withColumns(rightCols.map(c => s"__r_$c" -> lit(null)).toMap)
+      .withColumn("__r", rNull)
     val rTagged = right
       .withColumn("__is_left", lit(false))
-      .withColumns(rightCols.map(c => s"__r_$c" -> col(c)).toMap)
+      .withColumn("__r", rStruct)
     val unioned = lTagged.select(
-      (left.columns.map(col) :+ col("__is_left")) ++
-        rightCols.map(c => col(s"__r_$c")): _*)
+      left.columns.map(col) :+ col("__is_left") :+ col("__r"): _*)
       .unionByName(rTagged.select(
-        (left.columns.map(c => if (right.columns.contains(c)) col(c)
-          else lit(null).as(c)) :+ col("__is_left")) ++
-          rightCols.map(c => col(s"__r_$c")): _*))
+        left.columns.map(c => if (right.columns.contains(c)) col(c)
+          else lit(null).as(c)) :+ col("__is_left") :+ col("__r"): _*))
     // right rows sort before left rows at equal ts → inclusive match
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.where(col("__is_left"))
+    unioned
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__is_left"))
       .select(left.columns.map(col) ++
-        rightCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+        rightCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

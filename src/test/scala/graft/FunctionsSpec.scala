@@ -40,6 +40,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("malformed input yields null, not a plausible number") {
+    // length mismatch
+    val mis = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    assert(mis.select(Similarity.cosine($"a", $"b")).head().isNullAt(0))
+    // null element
+    val ne = Seq((Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)))
+      .toDF("a", "b")
+    assert(ne.select(Similarity.cosine($"a", $"b")).head().isNullAt(0))
+    // zero-norm vector (would be NaN)
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(z.select(Similarity.cosine($"a", $"b")).head().isNullAt(0))
+    // same cases through a parquet-backed scan exercise the codegen path
+    val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(1)
+    val viaScan = emb.select(
+      Similarity.cosine($"embedding", slice($"embedding", 1, 3)).as("mis"),
+      Similarity.cosine(
+        expr("transform(embedding, x -> cast(0.0 as float))"), $"embedding").as("zero"))
+      .head()
+    assert(viaScan.isNullAt(0) && viaScan.isNullAt(1))
+  }
+
   test("expression stays inside whole-stage codegen") {
     // a local relation folds the projection; use a real scan
     val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")

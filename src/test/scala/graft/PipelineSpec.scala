@@ -177,6 +177,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(eq === 992L)
   }
 
+  test("as-of join attaches whole right rows even with NULL payload values") {
+    // right row at ts=150 has a NULL b: the match must carry (NULL, 992),
+    // not resurrect b=881 from the earlier row (per-column last() would)
+    val left = Seq((1L, 200L, 10L)).toDF("key", "ts", "lid")
+    val right = Seq(
+      (1L, 90L, Some(881L), Some(991L)),
+      (1L, 150L, Option.empty[Long], Some(992L)))
+      .toDF("key", "ts", "b", "rid")
+    val r = graft.operators.AsOfJoin.asofJoin(left, right, "key", "ts", Seq("b", "rid"))
+      .head()
+    assert(Option(r.getAs[Any]("asof_b")) === None)
+    assert(r.getAs[Long]("asof_rid") === 992L)
+  }
+
   test("quality signals are integer-exact") {
     val r = TextAnalysis.qualitySignals(
       Seq((1L, "the cat sat")).toDF("doc_id", "text"), $"text")
