@@ -13,11 +13,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    NNAQueries.queries ++ PipelineQueries.queries
+    NNAQueries.queries ++ PipelineQueries.queries ++ IngestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (driver records a weaker rows-only check for those). */
   def oracleSql: Map[String, String] =
-    NNAQueries.oracleSql ++ PipelineQueries.oracleSql
+    NNAQueries.oracleSql ++ PipelineQueries.oracleSql ++ IngestQueries.oracleSql
 }

@@ -51,11 +51,21 @@ object InodeView {
     "isWithSnapshot", "hasAcl", "hasEcPolicy", "hasQuota", "nsQuota",
     "dsQuota", "nsQuotaUsed", "dsQuotaUsed", "dirNumChildren")
 
-  /** The derived inodes DataFrame: files ∪ dirs. */
-  def inodes(spark: SparkSession, dir: String): DataFrame = {
-    val fs = files(spark, dir)
-    fs.select(columns.map(col): _*).unionAll(dirs(fs).select(columns.map(col): _*))
-  }
+  /** The inodes DataFrame for a source locator:
+    *   - `oiv:<path>` → a real namespace, ingested from an OIV delimited
+    *     dump ([[graft.ingest.FsImageSource]]) — the production front door;
+    *   - anything else → the TPCH-derived synthetic fixture (files ∪ dirs)
+    *     used for oracle-checked correctness at scale factors.
+    * Both produce the identical [[columns]] schema, so every operator and
+    * the snapshot cache work unchanged against either. */
+  def inodes(spark: SparkSession, dir: String): DataFrame =
+    if (dir.startsWith("oiv:"))
+      graft.ingest.FsImageSource.inodes(spark, dir.stripPrefix("oiv:"))
+        .select(columns.map(col): _*)
+    else {
+      val fs = files(spark, dir)
+      fs.select(columns.map(col): _*).unionAll(dirs(fs).select(columns.map(col): _*))
+    }
 
   // The reference's whole design is namespace-snapshot-in-memory
   // (`NameNodeLoader.load` + GSet swap, SURVEY §2.1 S1/S2); the Spark analog

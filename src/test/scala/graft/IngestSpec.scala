@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.FsImageSource
+import graft.inodes.InodeView
+
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val locator = s"oiv:${IngestQueries.DumpPath}"
+  lazy val inodes = InodeView.snapshot(spark, locator)
+
+  test("ingested frame has the exact InodeView schema") {
+    assert(inodes.columns.toSeq === InodeView.columns)
+    val expect = InodeView.snapshot(spark, "/root/testdata/sf0.001").schema
+    assert(inodes.schema.map(f => f.name -> f.dataType) ===
+      expect.map(f => f.name -> f.dataType))
+  }
+
+  test("path split: root, name, parent, depth") {
+    val root = inodes.where(col("path") === "/").head()
+    assert(root.getAs[Long]("depth") === 0L)
+    assert(!root.getAs[Boolean]("isFile"))
+    val d = inodes.where(col("path") === "/data/raw/2024").head()
+    assert(d.getAs[String]("name") === "2024")
+    assert(d.getAs[String]("parent") === "/data/raw")
+    assert(d.getAs[Long]("depth") === 3L)
+    val top = inodes.where(col("path") === "/data").head()
+    assert(top.getAs[String]("parent") === "/")
+    assert(top.getAs[Long]("depth") === 1L)
+  }
+
+  test("permission parse: octal, sticky bit, ACL flag") {
+    val tmp = inodes.where(col("path") === "/tmp").head()
+    assert(tmp.getAs[Long]("permission") === 777L) // drwxrwxrwt: t => x
+    assert(
+      inodes.where(col("permission") === 644L && col("isFile")).count() > 0)
+    // '+' suffix rows carry hasAcl and still parse their mode
+    val acl = inodes.where(col("hasAcl"))
+    assert(acl.count() > 0)
+    assert(acl.where(col("permission") === 644L).count() === acl.count())
+  }
+
+  test("times parse at minute resolution as UTC epoch ms") {
+    val d = inodes.where(col("path") === "/data").head()
+    assert(d.getAs[Long]("modTime") === 1675240200000L) // 2023-02-01 08:30 UTC
+    assert(d.getAs[Long]("accessTime") === 0L)          // dirs: epoch 0
+  }
+
+  test("quota columns: flags from dump, usage recomputed from the tree") {
+    val data = inodes.where(col("path") === "/data").head()
+    assert(data.getAs[Boolean]("hasQuota"))
+    assert(data.getAs[Long]("nsQuota") === 5000L)
+    // /data subtree: raw, clean, raw/2024, raw/2025 dirs + files below
+    val descendants = inodes.where(col("path").startsWith("/data/")).count()
+    assert(data.getAs[Long]("nsQuotaUsed") === descendants + 1)
+    // ds usage = sum of descendant fileSize * replication
+    val ds = inodes
+      .where(col("path").startsWith("/data/") && col("isFile"))
+      .agg(sum(col("fileSize") * col("fileReplica"))).head().getLong(0)
+    assert(data.getAs[Long]("dsQuotaUsed") === ds)
+    // ds-only quota dir also flags
+    assert(inodes.where(col("path") === "/data/clean").head()
+      .getAs[Boolean]("hasQuota"))
+    // files never carry quota
+    assert(inodes.where(col("isFile") && col("hasQuota")).count() === 0)
+  }
+
+  test("dirNumChildren counts direct children only; empty dir is 0") {
+    val got = inodes.where(!col("isFile"))
+      .select("path", "dirNumChildren").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("/empty") === 0L)
+    assert(got("/data") === 2L)      // raw, clean
+    assert(got("/data/raw") === 2L)  // 2024, 2025
+    val rootChildren = inodes.where(col("parent") === "/").count()
+    assert(got("/") === rootChildren)
+  }
+
+  test("every NNA query runs against the ingested namespace") {
+    // the whole operator inventory, pointed at a real-namespace locator
+    // instead of the synthetic fixture — must plan and execute
+    val failures = NNAQueries.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        try { q(spark, locator).collect(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("under-quota ancestry spans 3 levels (quota at depth 1, files at 4)") {
+    val under = graft.engine.PathStructure
+      .underQuota(inodes, "nsQuota").where(col("isFile"))
+    // every file under /data (depth-1 quota) or /user/alice (depth-2)
+    val expect = inodes.where(col("isFile") &&
+      (col("path").startsWith("/data/") || col("path").startsWith("/user/alice/")))
+    assert(under.count() === expect.count())
+    assert(under.count() > 0)
+  }
+}
