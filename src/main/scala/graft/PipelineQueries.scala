@@ -160,14 +160,17 @@ object PipelineQueries {
         emb.where(col("vec_id") < 5), emb, 5).orderBy("qid", "rank")
     }),
 
-    // LSH-bucketed approximate top-5 — the scale path; rows-only check
+    // LSH-bucketed approximate top-5 — the scale path. The bucket hash is
+    // integer-exact and SQL-mirrorable, so this carries a FULL oracle.
     "ann_lsh_top5" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       pipeline.Similarity.lshTopK(
-        emb.where(col("vec_id") < 5), emb, 5, planes = 4).orderBy("qid", "rank")
+        emb.where(col("vec_id") < 5), emb, 5, planes = 4, bands = 4)
+        .orderBy("qid", "rank")
     }),
 
-    // IVF coarse-quantized top-5 (nlist cells, nprobe probes) — rows-only
+    // IVF coarse-quantized top-5: deterministic centroids + shuffle-free
+    // cell assignment; the whole algorithm mirrors in SQL → full oracle.
     "ann_ivf_top5" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       pipeline.Similarity.ivfTopK(
@@ -175,10 +178,42 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
-    // embedding near-dup pairs at cosine ≥ 0.95 within LSH buckets
+    // recall report: hits@5 of each approximate path against the exact
+    // brute-force top-5, per query — oracle-checked end to end
+    "ann_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 5)
+      val approx = pipeline.Similarity.ivfTopK(q, emb, 5, nlist = 16, nprobe = 4)
+      val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
+      q.select(col("vec_id").as("qid"))
+        .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
+            Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
+          Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("qid")
+    }),
+
+    "ann_lsh_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 5)
+      val approx = pipeline.Similarity.lshTopK(q, emb, 5, planes = 4, bands = 4)
+      val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
+      q.select(col("vec_id").as("qid"))
+        .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
+            Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
+          Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("qid")
+    }),
+
+    // embedding near-dup pairs: banded LSH candidates + exact-cosine verify
+    // at ≥ 0.40 (the synthetic embeddings are random — 0.40 is the actual
+    // high tail; a threshold above max-sim would make the check vacuous).
+    // planes=6/bands=8 tuned for non-empty, brute-force-confirmable output.
     "emb_near_dup" -> ((s, d) =>
       pipeline.Similarity.cosineNearDupPairs(
-        Tables.embeddings(s, d), 950000L, planes = 4).orderBy("ida", "idb")),
+        Tables.embeddings(s, d), 400000L, planes = 6, bands = 8)
+        .orderBy("ida", "idb")),
 
     // ---- events (time-series) ----
 
@@ -274,7 +309,139 @@ object PipelineQueries {
     s"SELECT doc_id, CASE WHEN best = 0 THEN 'und' $cases ELSE 'und' END AS pred_lang FROM g"
   }
 
+  // ---- DuckDB mirrors of the vector operators ----
+  // LshBuckets is integer arithmetic (see its Scaladoc), so the bucket ids
+  // reproduce exactly in SQL; IVF centroids are deterministic and cosine is
+  // bit-exact vs list_cosine_similarity, so ranks reproduce too.
+
+  /** Double-precision sequential cosine fold — bit-identical to
+    * [[graft.functions.CosineSimilarity]] (list_reduce is left-to-right;
+    * `0.0 + e1 == e1` so the missing init value changes nothing). */
+  private def cosDSql(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b),
+          z -> CAST(struct_extract(z, 1) AS DOUBLE) *
+               CAST(struct_extract(z, 2) AS DOUBLE)), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform($a,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform($b,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))))"""
+
+  /** CTE `bk(vec_id, bucket)` mirroring [[graft.functions.LshBuckets]]. */
+  private def lshBkSql(planes: Int, bands: Int): String =
+    s"""u AS (SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS j FROM embeddings),
+       proj AS (
+         SELECT vec_id, p,
+           SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT) *
+               ((1103515245 * (p * 1000003 + j) + 12345) % 2147483648
+                 - 1073741824)) AS proj
+         FROM u CROSS JOIN
+           (SELECT unnest(generate_series(0, ${bands * planes - 1})) AS p) pp
+         GROUP BY vec_id, p),
+       bk AS (
+         SELECT vec_id, (p // $planes) * ${1L << planes} +
+           CAST(SUM(CASE WHEN proj > 0 THEN 1 << (p % $planes) ELSE 0 END)
+             AS BIGINT) AS bucket
+         FROM proj GROUP BY vec_id, p // $planes)"""
+
+  /** CTEs `assigned(cell,nid,ne)` + `probes(cell,qid,qe)` + `ivf_topk`
+    * mirroring [[graft.pipeline.Similarity.ivfTopK]]. */
+  private def ivfSql(nlist: Int, nprobe: Int, k: Int): String =
+    s"""cent AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+         ORDER BY vec_id LIMIT $nlist),
+       assigned AS (
+         SELECT cell, nid, ne FROM (
+           SELECT ct.cent_id AS cell, e.vec_id AS nid, e.embedding AS ne,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, ct.cent) DESC,
+                        ct.cent_id ASC) AS rk
+           FROM embeddings e CROSS JOIN cent ct) WHERE rk = 1),
+       probes AS (
+         SELECT cell, qid, qe FROM (
+           SELECT ct.cent_id AS cell, q.vec_id AS qid, q.embedding AS qe,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, ct.cent) DESC,
+                        ct.cent_id ASC) AS rk
+           FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+           CROSS JOIN cent ct) WHERE rk <= $nprobe),
+       ivf_topk AS (
+         SELECT qid, nid, rank FROM (
+           SELECT s.qid, s.nid, ROW_NUMBER() OVER (PARTITION BY s.qid
+             ORDER BY s.sim DESC, s.nid ASC) AS rank FROM (
+             SELECT p.qid, a.nid,
+               list_cosine_similarity(p.qe, a.ne) AS sim
+             FROM assigned a JOIN probes p USING (cell)
+             WHERE p.qid <> a.nid) s) WHERE rank <= $k)"""
+
+  /** CTE `lsh_topk(qid,nid,rank)` mirroring `lshTopK` (banded: a pair is a
+    * candidate when ANY band's bucket collides, scored once). */
+  private def lshTopkSql(planes: Int, bands: Int, k: Int): String =
+    s"""${lshBkSql(planes, bands)},
+       lsh_cand AS (
+         SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+         FROM bk q JOIN bk c USING (bucket)
+         WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       lsh_topk AS (
+         SELECT qid, nid, rank FROM (
+           SELECT s.qid, s.nid, ROW_NUMBER() OVER (PARTITION BY s.qid
+             ORDER BY s.sim DESC, s.nid ASC) AS rank FROM (
+             SELECT cd.qid, cd.nid,
+               list_cosine_similarity(eq.embedding, ec.embedding) AS sim
+             FROM lsh_cand cd
+             JOIN embeddings eq ON eq.vec_id = cd.qid
+             JOIN embeddings ec ON ec.vec_id = cd.nid) s)
+         WHERE rank <= $k)"""
+
+  private val bruteTopkSql: String =
+    """brute_topk AS (
+         SELECT qid, nid FROM (
+           SELECT p.qid, p.nid, ROW_NUMBER() OVER (PARTITION BY p.qid
+             ORDER BY p.sim DESC, p.nid ASC) AS rank FROM (
+             SELECT q.vec_id AS qid, e.vec_id AS nid,
+               list_cosine_similarity(q.embedding, e.embedding) AS sim
+             FROM (SELECT * FROM embeddings WHERE vec_id < 5) q,
+               embeddings e WHERE e.vec_id <> q.vec_id) p) WHERE rank <= 5)"""
+
+  private def recallSql(topkCte: String, topkName: String): String =
+    s"""WITH $topkCte, $bruteTopkSql
+       SELECT q.vec_id AS qid, COALESCE(h.hits, 0) AS hits
+       FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+       LEFT JOIN (
+         SELECT a.qid, COUNT(*) AS hits FROM $topkName a
+         JOIN brute_topk b ON a.qid = b.qid AND a.nid = b.nid
+         GROUP BY a.qid) h ON h.qid = q.vec_id
+       ORDER BY qid"""
+
   val oracleSql: Map[String, String] = Map(
+    "ann_ivf_top5" ->
+      (s"WITH ${ivfSql(16, 4, 5)} " +
+       "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivf_topk " +
+       "ORDER BY qid, rank"),
+
+    "ann_lsh_top5" ->
+      (s"WITH ${lshTopkSql(4, 4, 5)} " +
+       "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM lsh_topk " +
+       "ORDER BY qid, rank"),
+
+    "ann_ivf_recall" -> recallSql(ivfSql(16, 4, 5), "ivf_topk"),
+
+    "ann_lsh_recall" -> recallSql(lshTopkSql(4, 4, 5), "lsh_topk"),
+
+    "emb_near_dup" ->
+      (s"WITH ${lshBkSql(6, 8)}, " +
+       "cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb " +
+       "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+       // sim VALUES are emitted (not just ranks), so the oracle must
+       // reproduce the engine's double-precision left-to-right fold:
+       // list_cosine_similarity accumulates float lists in FLOAT, which is
+       // 1 ulp off at FLOOR boundaries — list_reduce is sequential, exact.
+       s"scored AS (SELECT c.ida, c.idb, ${cosDSql("ea.embedding", "eb.embedding")} AS sim " +
+       "FROM cand c JOIN embeddings ea ON ea.vec_id = c.ida " +
+       "JOIN embeddings eb ON eb.vec_id = c.idb) " +
+       "SELECT ida, idb, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_ppm " +
+       "FROM scored WHERE FLOOR(sim * 1000000) >= 400000 " +
+       "ORDER BY ida, idb"),
+
     "dedup_jaccard_pairs" ->
       (s"WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
        "sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN " +

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Banded random-hyperplane LSH buckets for an embedding: `bands` bucket
+  * ids, band `b` built from `planes` sign bits
+  * (`bucket_b = b·2^planes + Σ_i [proj_{b·planes+i} > 0]·2^i`).
+  *
+  * All arithmetic is INTEGER and order-independent, so the bucket ids are
+  * exactly reproducible in plain SQL (the DuckDB oracle mirrors them with
+  * `unnest + generate_subscripts` and the same LCG formula):
+  *   - components are quantized: `vq_j = ⌊e_j · 2^20⌋` (exact for float
+  *     inputs — 2^20 scaling is a power of two);
+  *   - plane `p`'s pseudo-random coefficient for 1-based dimension `j` is
+  *     `comp(p,j) = ((1103515245·(p·1000003 + j) + 12345) mod 2^31) − 2^30`
+  *     (a C-rand-style LCG mix — deterministic, no RNG state to ship);
+  *   - `proj_p = Σ_j vq_j · comp(p,j)`, sign → bit.
+  * Overflow bound: |vq|·|comp|·dim ≤ 2^21·2^30·2^12 = 2^63 — safe for
+  * |e_j| < 2 up to 4096 dims.
+  *
+  * Replaces the `aggregate(zip_with(…))` formulation, which was a
+  * CodegenFallback higher-order function (interpreted per element); here
+  * the loop is one compiled method call per row inside whole-stage codegen.
+  *
+  * Banding trades candidate recall against bucket size exactly like
+  * MinHash-LSH banding: a pair is a candidate if ANY band matches. Scale
+  * `planes` with corpus size (buckets per band = 2^planes bounds the
+  * within-bucket self-join) and `bands` with target recall.
+  */
+case class LshBuckets(child: Expression, planes: Int, bands: Int)
+    extends UnaryExpression {
+
+  require(planes >= 1 && planes <= 62 && bands >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets requires array<float|double>, got ${other.sql}")
+  }
+
+  // comp(p, j) cache, built once per executor on first row (dim-sized)
+  @transient private var compCache: Array[Array[Long]] = _
+
+  private def comps(dim: Int): Array[Array[Long]] = {
+    if (compCache == null || compCache(0).length != dim) {
+      compCache = Array.tabulate(bands * planes, dim) { (p, j0) =>
+        ((1103515245L * (p * 1000003L + (j0 + 1)) + 12345L) % 2147483648L) -
+          1073741824L
+      }
+    }
+    compCache
+  }
+
+  /** Shared by eval and codegen. */
+  def buckets(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val f = isFloat
+    val comp = comps(n)
+    val vq = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val v = if (f) a.getFloat(j).toDouble else a.getDouble(j)
+      vq(j) = math.floor(v * 1048576.0).toLong
+      j += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong << planes
+      var i = 0
+      while (i < planes) {
+        val cp = comp(b * planes + i)
+        var proj = 0L
+        var k = 0
+        while (k < n) { proj += vq(k) * cp(k); k += 1 }
+        if (proj > 0) acc |= (1L << i)
+        i += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = buckets(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBuckets", this, classOf[LshBuckets].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.buckets($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBuckets {
+  def lsh_buckets(e: Column, planes: Int, bands: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    toColumn(LshBuckets(toExpression(e), planes, bands))
+  }
+}

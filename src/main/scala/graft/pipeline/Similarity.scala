@@ -52,34 +52,31 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim j):
-    * a value in [-0.5, 0.5) derived from xxhash64 — identical across runs
-    * and executors, no RNG state to ship. */
-  private def planeComponent(p: Int, j: Column): Column =
-    (pmod(xxhash64(lit(p.toLong) * 131071L + j), lit(100000L)).cast("double") /
-      lit(100000.0)) - 0.5
-
-  /** Sign-bucket id from `planes` random hyperplanes. */
+  /** Sign-bucket id from `planes` deterministic hyperplanes — the single-
+    * band case of [[graft.functions.LshBuckets]]: integer-exact arithmetic
+    * (SQL-mirrorable for oracles), compiled loop instead of the interpreted
+    * `aggregate(zip_with(…))` higher-order functions. */
   def lshBucket(e: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(e, sequence(lit(0L), size(e).cast("long") - 1),
-          (v, j) => v.cast("double") * planeComponent(p, j)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    element_at(graft.functions.LshBuckets.lsh_buckets(e, planes, 1), 1)
 
-  /** Approximate top-k: hash corpus + queries into hyperplane sign buckets,
-    * compare only within a query's bucket. Recall grows as `planes` shrinks
-    * (coarser buckets); verify against [[bruteForceTopK]] on samples. */
+  /** Approximate top-k: hash corpus + queries into banded hyperplane sign
+    * buckets, compare only where some band's bucket collides. `planes`
+    * bounds within-bucket join size (2^planes buckets/band — scale with
+    * corpus size); `bands` amplifies recall MinHash-style (any-band match).
+    * Candidates are deduped before scoring so multi-band hits cost one
+    * cosine. Measure recall with the paired `*_recall` query vs
+    * [[bruteForceTopK]]. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              planes: Int = 8): DataFrame = {
+              planes: Int = 8, bands: Int = 1): DataFrame = {
+    val bucketsOf = (e: Column) =>
+      explode(graft.functions.LshBuckets.lsh_buckets(e, planes, bands))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      lshBucket(col("embedding"), planes).as("bucket"))
+      bucketsOf(col("embedding")).as("bucket"))
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-      lshBucket(col("embedding"), planes).as("bucket"))
+      bucketsOf(col("embedding")).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
       .withColumn("sim", cosine(col("qe"), col("ne")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid").asc)
@@ -91,38 +88,46 @@ object Similarity {
   /** IVF (inverted-file) approximate search — the other scale path besides
     * hyperplane LSH. Coarse quantization: `nlist` centroids chosen
     * deterministically (the first `nlist` corpus vectors by id — a k-means
-    * iteration can refine them later without changing the query plan);
-    * every corpus vector is assigned to its nearest centroid (one broadcast
-    * pass), queries probe the `nprobe` nearest cells. Candidate generation
-    * is a bucket join on cell id — never all-pairs; the probe factor bounds
-    * scanned fraction at ~nprobe/nlist of the corpus. */
-  def ivfIndex(corpus: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
-    val centroids = broadcast(
-      corpus.orderBy(col("vec_id").asc).limit(nlist)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
-    val w = Window.partitionBy(col("nid")).orderBy(col("csim").desc, col("cent_id").asc)
-    val assigned = corpus
-      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
-      .crossJoin(centroids)
-      .withColumn("csim", cosine(col("ne"), col("cent")))
-      .withColumn("crank", row_number().over(w))
-      .where(col("crank") === 1)
-      .select(col("cent_id").as("cell"), col("nid"), col("ne"))
-    (centroids, assigned)
-  }
+    * iteration can refine them later without changing the query plan).
+    *
+    * The centroid table is collected once at index-build time (nlist ≪
+    * corpus; standard IVF training shape) and embedded in a
+    * [[graft.functions.NearestCentroids]] expression, so cell assignment is
+    * a single projection over the corpus scan — NO Exchange between the
+    * scan and the cell id. The previous crossJoin + row_number formulation
+    * shuffled N×nlist rows for the same argmax. Queries probe the `nprobe`
+    * nearest cells; candidate generation is a bucket join on cell id —
+    * never all-pairs; the probe factor bounds the scanned fraction at
+    * ~nprobe/nlist of the corpus. */
+  def centroids(corpus: DataFrame, nlist: Int): Seq[(Long, Array[Double])] =
+    corpus.orderBy(col("vec_id").asc).limit(nlist)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map { r =>
+        val arr = r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+        r.getLong(0) -> arr
+      }.toSeq
+
+  /** Corpus with its IVF cell id — one shuffle-free projection. */
+  def ivfAssign(corpus: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame =
+    corpus.select(
+      element_at(graft.functions.NearestCentroids.nearest_centroids(
+        col("embedding"), cents, 1), 1).as("cell"),
+      col("vec_id").as("nid"), col("embedding").as("ne"))
 
   /** IVF top-k: probe the `nprobe` nearest cells per query. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val (centroids, assigned) = ivfIndex(corpus, nlist)
-    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cent_id").asc)
+    val cents = centroids(corpus, nlist)
+    val assigned = ivfAssign(corpus, cents)
     val probes = queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .crossJoin(centroids)
-      .withColumn("csim", cosine(col("qe"), col("cent")))
-      .withColumn("crank", row_number().over(wq))
-      .where(col("crank") <= nprobe)
-      .select(col("cent_id").as("cell"), col("qid"), col("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(graft.functions.NearestCentroids.nearest_centroids(
+          col("embedding"), cents, nprobe)).as("cell"))
+      .select(col("cell"), col("qid"), col("qe"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     assigned.join(broadcast(probes), Seq("cell"))
       .where(col("qid") =!= col("nid"))
@@ -132,19 +137,26 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
   }
 
-  /** Embedding near-dup pairs: cosine ≥ threshold within LSH buckets. */
+  /** Embedding near-dup pairs: cosine ≥ threshold among banded-LSH
+    * candidates. A pair is a candidate when ANY of the `bands` bucket ids
+    * collide (MinHash-style band amplification: `bands` ↑ recall,
+    * `planes` ↑ bucket count = ↓ within-bucket join cost — scale `planes`
+    * with corpus size). Candidates are deduped BEFORE the exact-cosine
+    * verify so each pair is scored once. */
   def cosineNearDupPairs(df: DataFrame, thresholdPpm: Long,
-                         planes: Int = 8): DataFrame = {
+                         planes: Int = 8, bands: Int = 4): DataFrame = {
     val v = df.select(col("vec_id").as("vid"), col("embedding").as("e"),
-      lshBucket(col("embedding"), planes).as("bucket"))
+      explode(graft.functions.LshBuckets.lsh_buckets(
+        col("embedding"), planes, bands)).as("bucket"))
     val l = v.select(col("bucket"), col("vid").as("ida"), col("e").as("ea"))
     val r = v.select(col("bucket"), col("vid").as("idb"), col("e").as("eb"))
     l.join(r, Seq("bucket"))
       .where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("ea"), col("eb"))
+      .dropDuplicates("ida", "idb")
       .withColumn("sim_ppm",
         floor(cosine(col("ea"), col("eb")) * 1000000.0).cast("long"))
       .where(col("sim_ppm") >= thresholdPpm)
       .select("ida", "idb", "sim_ppm")
-      .dropDuplicates("ida", "idb")
   }
 }

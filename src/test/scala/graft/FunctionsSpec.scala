@@ -61,6 +61,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaScan.isNullAt(0) && viaScan.isNullAt(1))
   }
 
+  test("nearest_centroids matches the crossJoin+window argmax") {
+    val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = graft.pipeline.Similarity.centroids(emb, 8)
+    // reference formulation: score every (vec, centroid), rank, keep 1
+    val centsDf = cents.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("cent_id", "cent")
+    val expect = emb.crossJoin(broadcast(centsDf))
+      .withColumn("csim", Similarity.cosine($"embedding", $"cent"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+          .orderBy($"csim".desc, $"cent_id".asc)))
+      .where($"rk" === 1)
+      .select($"vec_id", $"cent_id".as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.pipeline.Similarity.ivfAssign(emb, cents)
+      .collect().map(r => r.getAs[Long]("nid") -> r.getAs[Long]("cell")).toMap
+    assert(got === expect)
+  }
+
+  test("lsh_buckets: interpreted eval equals codegen; band encoding disjoint") {
+    val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val bCol = graft.functions.LshBuckets.lsh_buckets($"embedding", 5, 3)
+    val viaScan = emb.select($"vec_id", bCol).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // interpreted path: evaluate on locally collected rows
+    val rows = emb.select($"vec_id", $"embedding").collect()
+    rows.foreach { r =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        r.getSeq[Float](1).toArray)
+      val got = graft.functions.LshBuckets(
+          org.apache.spark.sql.catalyst.expressions.Literal(arr,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)), 5, 3)
+        .buckets(arr).toLongArray.toSeq
+      assert(got === viaScan(r.getLong(0)))
+      // band b's bucket lives in [b*2^planes, (b+1)*2^planes)
+      got.zipWithIndex.foreach { case (bk, b) =>
+        assert(bk >= b.toLong * 32 && bk < (b + 1).toLong * 32)
+      }
+    }
+  }
+
   test("expression stays inside whole-stage codegen") {
     // a local relation folds the projection; use a real scan
     val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -63,4 +63,29 @@ class PlanSpec extends AnyFunSuite {
     val plan = formatted("nna_find_global_max")
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("IVF cell assignment is one projection: no Exchange above the scan") {
+    // the crossJoin+window formulation this replaced shuffled N×nlist rows;
+    // assignment must stay scan → project(nearestcentroids) with no
+    // exchange, window, or join in the plan at all
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val cents = graft.pipeline.Similarity.centroids(emb, 16)
+    val plan = graft.pipeline.Similarity.ivfAssign(emb, cents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("nearestcentroids"))
+    assert(!plan.contains("Exchange") && !plan.contains("Window") &&
+      !plan.contains("Join"))
+  }
+
+  test("vector expressions stay inside whole-stage codegen") {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val cents = graft.pipeline.Similarity.centroids(emb, 4)
+    val p1 = graft.pipeline.Similarity.ivfAssign(emb, cents)
+      .queryExecution.executedPlan.toString
+    assert(p1.startsWith("*(1)")) // WholeStageCodegen stage prefix
+    val p2 = emb.select(graft.functions.LshBuckets.lsh_buckets(
+        org.apache.spark.sql.functions.col("embedding"), 4, 2))
+      .queryExecution.executedPlan.toString
+    assert(p2.startsWith("*(1)"))
+  }
 }
