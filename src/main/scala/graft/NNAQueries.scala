@@ -359,7 +359,26 @@ object NNAQueries {
       graft.api.NNAQuery.execute(
         graft.api.NNAQuery(set = "all", histType = Some("group"),
           find = Some(("avg", "memoryConsumed"))),
-        inodes(s, d)))
+        inodes(s, d))),
+
+    // G7 `/token`: per-user last-seen from delegation tokens. The token
+    // frame is derived deterministically from `events` (principal strings
+    // with host/realm decorations + an occasional distinct realUser) so the
+    // kerberos service-name extraction and owner∪realUser∪max semantics are
+    // all oracle-exercised.
+    "nna_token_users" -> ((s, d) => {
+      val ev = graft.core.Tables.events(s, d)
+      val tokens = ev.select(
+        concat(lit("u"), (col("user_id") % 50).cast("string"),
+          when(col("user_id") % 3 === 0, lit("/host1.example.com@EXAMPLE.COM"))
+            .when(col("user_id") % 3 === 1, lit("@EXAMPLE.COM"))
+            .otherwise(lit(""))).as("owner"),
+        when(col("event_type") === "purchase",
+          concat(lit("svc"), (col("user_id") % 5).cast("string"),
+            lit("@EXAMPLE.COM"))).otherwise(lit("")).as("realUser"),
+        expr("ts div 1000000").as("issueDate"))
+      graft.api.TokenAnalysis.lastLogins(tokens)
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -719,6 +738,21 @@ object NNAQueries {
     "nna_histogram_find_all" -> oracle(
       "SELECT \"group\" AS key, CAST(FLOOR(AVG(CASE WHEN isFile " +
       "THEN 150 + 150 * numBlocks ELSE 150 END)) AS BIGINT) AS value " +
-      "FROM inodes GROUP BY \"group\"")
+      "FROM inodes GROUP BY \"group\""),
+
+    "nna_token_users" ->
+      ("WITH tok AS (SELECT " +
+       "'u' || CAST(user_id % 50 AS VARCHAR) || " +
+       "CASE WHEN user_id % 3 = 0 THEN '/host1.example.com@EXAMPLE.COM' " +
+       "WHEN user_id % 3 = 1 THEN '@EXAMPLE.COM' ELSE '' END AS owner, " +
+       "CASE WHEN event_type = 'purchase' THEN " +
+       "'svc' || CAST(user_id % 5 AS VARCHAR) || '@EXAMPLE.COM' " +
+       "ELSE '' END AS realUser, " +
+       "epoch_ns(ts) // 1000000 AS issueDate FROM events), " +
+       "u AS (SELECT regexp_extract(owner, '^([^/@]+)', 1) AS \"user\", issueDate FROM tok " +
+       "UNION ALL " +
+       "SELECT regexp_extract(realUser, '^([^/@]+)', 1), issueDate FROM tok " +
+       "WHERE realUser IS NOT NULL AND realUser <> '' AND realUser <> owner) " +
+       "SELECT \"user\", MAX(issueDate) AS last_seen FROM u GROUP BY \"user\"")
   )
 }

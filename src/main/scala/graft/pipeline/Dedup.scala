@@ -116,23 +116,38 @@ object Dedup {
   }
 
   /** Resolve candidate pairs (ida < idb) into duplicate clusters by
-    * iterative min-label propagation: after `iterations` sweeps every node
-    * carries the smallest id reachable within that radius — LSH pair graphs
-    * are shallow (stars around a representative), so a small bound suffices.
-    * Each sweep is one join + one aggregate; `localCheckpoint` truncates
-    * lineage so plans stay bounded. Returns (did, label). */
-  def clusterLabels(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    * min-label propagation run TO FIXPOINT: sweeps continue until one pass
+    * changes no label (existence check — `isEmpty` stops at the first
+    * changed row), so duplicate chains of any diameter collapse into one
+    * cluster. A fixed sweep budget would split chains longer than the
+    * budget into several clusters and keep extra "keepers".
+    *
+    * Each sweep is one join + one aggregate, `localCheckpoint` truncates
+    * lineage so plans stay bounded; convergence takes ≤ graph-diameter
+    * sweeps (LSH pair graphs are near-stars, so typically 2–3).
+    * `maxIterations` is only a runaway backstop for adversarial graphs.
+    * Returns (did, label). */
+  def clusterLabels(pairs: DataFrame, maxIterations: Int = 100): DataFrame = {
     val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
       .unionByName(pairs.select(col("idb").as("src"), col("ida").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("did")).distinct()
       .withColumn("label", col("did"))
-    for (_ <- 1 to iterations) {
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
       val prop = edges.join(labels.withColumnRenamed("did", "src"), Seq("src"))
         .select(col("dst").as("did"), col("label"))
-      labels = labels.unionByName(prop)
+      val next = labels.unionByName(prop)
         .groupBy("did").agg(min("label").as("label"))
         .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), "did")
+        .where(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
     }
     labels
   }

@@ -169,4 +169,21 @@ class ApiSpec extends AnyFunSuite {
     op2.abort()
     assert(op2.progress._1 === 0)
   }
+
+  test("token last-login: service names, realUser union, max semantics") {
+    import spark.implicits._
+    val tokens = Seq(
+      ("alice@EXAMPLE.COM", "", 100L),
+      ("alice/host@EXAMPLE.COM", "", 300L),          // same service name
+      ("nn/nn1.example.com@EXAMPLE.COM", "hdfs", 200L), // realUser counts too
+      ("bob", "bob", 150L)                           // realUser == owner: skip
+    ).toDF("owner", "realUser", "issueDate")
+    val got = TokenAnalysis.lastLogins(tokens)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("alice" -> 300L, "nn" -> 200L, "hdfs" -> 200L, "bob" -> 150L))
+    // no-namesystem fallback mirrors the reference's stub map
+    val fb = TokenAnalysis.lastLoginsFallback(spark, 999L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fb === Map("hdfs" -> 999L, "n/a" -> -1L))
+  }
 }

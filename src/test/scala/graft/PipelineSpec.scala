@@ -105,10 +105,20 @@ class PipelineSpec extends AnyFunSuite {
 
   test("cluster labels propagate the minimum id through chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("ida", "idb")
-    val labels = Dedup.clusterLabels(pairs, iterations = 4)
+    val labels = Dedup.clusterLabels(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels(1L) === 1L && labels(2L) === 1L && labels(3L) === 1L)
     assert(labels(7L) === 7L && labels(9L) === 7L)
+  }
+
+  test("cluster labels reach fixpoint on chains longer than any fixed budget") {
+    // a 7-link path (diameter 7): the old 5-sweep bound split this into
+    // multiple clusters; fixpoint iteration must collapse it to one
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val labels = Dedup.clusterLabels(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 8)
+    assert(labels.values.toSet === Set(1L), s"expected one cluster, got $labels")
   }
 
   test("quality filter drops short and low-diversity docs") {
