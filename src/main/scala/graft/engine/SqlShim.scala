@@ -23,17 +23,46 @@ object SqlShim {
   }
 
   /** Session settings of the reference dialect
-    * (`INodeSqlStatementVisitor.java:68-86`). `strictParity` enforces the
-    * reference's AND-only WHERE restriction (`:111-113` throws on OR);
-    * off by default — Spark SQL is deliberately a superset. */
+    * (`INodeSqlStatementVisitor.java:68-86`). `strictParity` routes
+    * statements through [[SqlDialect]] — the reference's exact translation
+    * semantics (AND-only, BETWEEN/LIKE lowering, visitor-level OR
+    * rejection) executed on the native query surface; off by default —
+    * Spark SQL is deliberately a superset. */
   case class Session(parentDirDepth: Int = 3, timeRange: String = "weekly",
                      strictParity: Boolean = false)
 
   private val SetStmt = """(?i)\s*SET\s+(\w+)\s*=\s*'?([^';]+)'?\s*;?\s*""".r
   private val DescribeStmt = """(?i)\s*DESCRIBE\s+(\w+)\s*;?\s*""".r
 
-  /** Execute a statement: handles SHOW TABLES / DESCRIBE / SET natively,
-    * everything else goes to Spark SQL over the registered views. */
+  /** The four DESCRIBE sections of the reference (`SqlParser.java:59-107`):
+    * (section, field) rows in section order, fields sorted. */
+  def describe(spark: SparkSession, set: String): DataFrame = {
+    import spark.implicits._
+    val sections = Seq(
+      "WHERE_CONDITIONS" -> QueryChecker.filterSet(set),
+      "GROUP_BYS" -> QueryChecker.typeSet(set),
+      "SUM_FIELDS" -> QueryChecker.sumSet(set),
+      "MIN_MAX_AVG_FIELDS" -> QueryChecker.findSet(set))
+    sections.flatMap { case (sec, fields) =>
+      fields.toSeq.sorted.map(sec -> _)
+    }.toDF("section", "field")
+  }
+
+  /** DESCRIBE as the reference's JSON shape: a 4-key object of field
+    * arrays (`{"WHERE_CONDITIONS": […], "GROUP_BYS": […], …}`). */
+  def describeJson(spark: SparkSession, set: String): String = {
+    val rows = describe(spark, set).collect()
+    rows.groupBy(_.getString(0)).toSeq
+      .sortBy(r => Seq("WHERE_CONDITIONS", "GROUP_BYS", "SUM_FIELDS",
+        "MIN_MAX_AVG_FIELDS").indexOf(r._1))
+      .map { case (sec, rs) =>
+        rs.map(_.getString(1)).mkString(s""""$sec": ["""", "\", \"", "\"]")
+      }.mkString("{", ", ", "}")
+  }
+
+  /** Execute a statement: handles SHOW TABLES / DESCRIBE / SET natively;
+    * other statements go through the strict dialect translator when
+    * `strictParity` is set, else to Spark SQL over the registered views. */
   def execute(spark: SparkSession, dir: String, statement: String,
               session: Session = Session()): Either[Session, DataFrame] = {
     import spark.implicits._
@@ -41,11 +70,7 @@ object SqlShim {
       case s if s.equalsIgnoreCase("SHOW TABLES") =>
         Right(Seq("files", "dirs").toDF("tableName"))
       case DescribeStmt(table) =>
-        // per-set validity, like the reference's DESCRIBE JSON
-        // (`SqlParser.java:59-107`)
-        val set = table.toLowerCase
-        val fields = QueryChecker.filterSet(set).toSeq.sorted
-        Right(fields.toDF("field"))
+        Right(describe(spark, table.toLowerCase))
       case SetStmt(key, value) =>
         key.toLowerCase match {
           case "parentdirdepth" => Left(session.copy(parentDirDepth = value.trim.toInt))
@@ -53,10 +78,12 @@ object SqlShim {
           case "strictparity"   => Left(session.copy(strictParity = value.trim.toBoolean))
           case other => throw new IllegalArgumentException(s"unknown SET key: $other")
         }
+      case sql if session.strictParity =>
+        val q = SqlDialect.toQuery(SqlDialect.parse(spark, sql),
+          session.parentDirDepth, session.timeRange,
+          graft.inodes.InodeView.NowMs)
+        Right(graft.api.NNAQuery.execute(q, InodeView.snapshot(spark, dir)))
       case sql =>
-        if (session.strictParity && sql.toUpperCase.matches("(?s).*\\bOR\\b.*"))
-          throw new UnsupportedOperationException(
-            "OR is not supported by the reference dialect (strict parity mode)")
         register(spark, dir)
         Right(spark.sql(sql))
     }

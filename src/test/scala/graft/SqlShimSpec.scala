@@ -21,11 +21,83 @@ class SqlShimSpec extends AnyFunSuite {
       Set("files", "dirs"))
   }
 
-  test("DESCRIBE returns per-set fields") {
-    val f = run("DESCRIBE files").collect().map(_.getString(0)).toSet
-    val d = run("DESCRIBE dirs").collect().map(_.getString(0)).toSet
-    assert(f.contains("fileSize") && !d.contains("fileSize"))
-    assert(d.contains("dirNumChildren") && !f.contains("dirNumChildren"))
+  test("DESCRIBE returns the four reference sections per set") {
+    // SqlParser.java:59-107: WHERE_CONDITIONS / GROUP_BYS / SUM_FIELDS /
+    // MIN_MAX_AVG_FIELDS with per-set contents
+    def sections(set: String): Map[String, Set[String]] =
+      run(s"DESCRIBE $set").collect()
+        .groupBy(_.getString(0)).map { case (k, v) =>
+          k -> v.map(_.getString(1)).toSet
+        }
+    val f = sections("files")
+    assert(f.keySet === Set("WHERE_CONDITIONS", "GROUP_BYS", "SUM_FIELDS",
+      "MIN_MAX_AVG_FIELDS"))
+    assert(f("WHERE_CONDITIONS").contains("fileSize"))
+    assert(f("GROUP_BYS").contains("fileType") && !f("GROUP_BYS").contains("dirQuota"))
+    assert(f("SUM_FIELDS") === graft.engine.QueryChecker.SumFile)
+    assert(f("MIN_MAX_AVG_FIELDS") === graft.engine.QueryChecker.FindFile)
+    val d = sections("dirs")
+    assert(!d("WHERE_CONDITIONS").contains("fileSize"))
+    assert(d("WHERE_CONDITIONS").contains("dirNumChildren"))
+    assert(d("GROUP_BYS").contains("dirQuota"))
+    assert(d("SUM_FIELDS").contains("nsQuotaUsed"))
+    // JSON render keeps the reference's section order
+    val json = SqlShim.describeJson(spark, "files")
+    assert(json.startsWith("{\"WHERE_CONDITIONS\": ["))
+    assert(json.indexOf("GROUP_BYS") < json.indexOf("SUM_FIELDS"))
+    assert(json.indexOf("SUM_FIELDS") < json.indexOf("MIN_MAX_AVG_FIELDS"))
+  }
+
+  test("dialect translator maps BETWEEN / LIKE / comparisons to filters") {
+    import graft.engine.SqlDialect
+    // LIKE forms (INodeSqlStatementVisitor.java:149-174)
+    assert(SqlDialect.parse(spark,
+      "SELECT COUNT(*) FROM files WHERE name LIKE '%.parquet'").filters ===
+      Seq("name:endsWith:.parquet"))
+    assert(SqlDialect.parse(spark,
+      "SELECT COUNT(*) FROM files WHERE path LIKE '%/d4%'").filters ===
+      Seq("path:contains:/d4"))
+    assert(SqlDialect.parse(spark,
+      "SELECT COUNT(*) FROM files WHERE name LIKE 'part-%'").filters ===
+      Seq("name:startsWith:part-"))
+    assert(SqlDialect.parse(spark,
+      "SELECT COUNT(*) FROM files WHERE user LIKE 'u1'").filters ===
+      Seq("user:eq:u1"))
+    // BETWEEN lowers to gte+lte; date literals to epoch ms (:116-146)
+    assert(SqlDialect.parse(spark,
+      "SELECT COUNT(*) FROM files WHERE fileSize BETWEEN 10 AND 20").filters ===
+      Seq("fileSize:gte:10", "fileSize:lte:20"))
+    assert(SqlDialect.parse(spark,
+      "SELECT COUNT(*) FROM files WHERE modTime BETWEEN DATE '1970-01-02' AND DATE '1970-01-03'")
+      .filters === Seq("modTime:gte:86400000", "modTime:lte:172800000"))
+    // equal bounds collapse to eq (:143-145)
+    assert(SqlDialect.parse(spark,
+      "SELECT COUNT(*) FROM files WHERE fileSize BETWEEN 10 AND 10").filters ===
+      Seq("fileSize:eq:10"))
+    // comparisons + aggregate routing
+    val p = SqlDialect.parse(spark, "SELECT `user`, SUM(fileSize) FROM files " +
+      "WHERE fileSize > 0 AND depth <> 3 GROUP BY `user` ORDER BY 2 DESC LIMIT 5")
+    assert(p.filters === Seq("fileSize:gt:0", "depth:notEq:3"))
+    assert(p.set === "files" && p.histType === Some("user"))
+    assert(p.sum === Some("fileSize") && p.limit === Some(5))
+    assert(p.sortAscending === Some(false))
+    // MIN/MAX/AVG route to find (:260-266)
+    assert(SqlDialect.parse(spark,
+      "SELECT `user`, AVG(fileSize) FROM files GROUP BY `user`").find ===
+      Some("avg:fileSize"))
+  }
+
+  test("strict parity executes through the native engine, same results") {
+    val strict = Session(strictParity = true)
+    val a = run("SELECT COUNT(*) FROM files WHERE fileSize = 0", strict)
+      .head().getLong(0)
+    val b = run("SELECT COUNT(*) AS c FROM files WHERE fileSize = 0")
+      .head().getLong(0)
+    assert(a === b && a > 0)
+    val g = run("SELECT `user`, COUNT(*) FROM files GROUP BY `user` " +
+      "ORDER BY 2 DESC LIMIT 3", strict).collect()
+    assert(g.length === 3)
+    assert(g.map(_.getLong(1)).sliding(2).forall(w => w.head >= w.last))
   }
 
   test("SET statements update the session") {
