@@ -435,6 +435,19 @@ object NNAQueries {
     "WHEN name LIKE '%.csv' THEN 'CSV' " +
     "WHEN name LIKE '%.orc' THEN 'ORC' ELSE 'UNKNOWN' END"
 
+  /** Ids of inodes under any dir carrying the given quota kind, via the
+    * same proper-ancestor-prefix explode the engine runs
+    * (`PathStructure.withAncestors`): split the path, join each prefix
+    * (excluding root and self) against the quota-dir paths. */
+  private def ancestorHitsSql(quotaField: String): String =
+    "SELECT DISTINCT a.id FROM (" +
+    "  SELECT sp.id, array_to_string(sp.parts[1:t.i], '/') AS ancestor" +
+    "  FROM (SELECT id, string_split(path, '/') AS parts FROM inodes) sp," +
+    "  UNNEST(generate_series(2, len(sp.parts) - 1)) AS t(i)" +
+    "  WHERE len(sp.parts) > 2) a " +
+    s"JOIN (SELECT path FROM inodes WHERE NOT isFile AND $quotaField >= 0) q " +
+    "ON a.ancestor = q.path"
+
   val oracleSql: Map[String, String] = Map(
     "nna_filter_count" -> oracle(
       "SELECT COUNT(*) AS cnt FROM inodes WHERE isFile AND fileSize = 0"),
@@ -577,9 +590,11 @@ object NNAQueries {
       "CAST(SUM(CASE WHEN isFile THEN fileSize * fileReplica ELSE 0 END) AS BIGINT) AS spaceConsumed " +
       "FROM inodes WHERE path = '/R/F' OR path LIKE '/R/F/%'"),
 
+    // proper-ancestor walk (mirrors PathStructure.withAncestors): quota now
+    // lives at depth 2 AND 3, so a direct-parent formulation would be wrong
     "nna_under_ns_quota" -> oracle(
-      "SELECT COUNT(*) AS cnt FROM inodes WHERE isFile AND parent IN " +
-      "(SELECT path FROM inodes WHERE NOT isFile AND nsQuota >= 0)"),
+      "SELECT COUNT(*) AS cnt FROM inodes f WHERE f.isFile AND f.id IN (" +
+      ancestorHitsSql("nsQuota") + ")"),
 
     "nna_dir_subtree" -> oracle(
       "SELECT d.path AS path, CAST(SUM(f.fileSize) AS BIGINT) AS dirSubTreeSize, " +
@@ -715,8 +730,8 @@ object NNAQueries {
       "(SELECT COUNT(*) FROM inodes f WHERE f.isFile AND f.path LIKE d.path || '/%') >= 100"),
 
     "nna_filter_under_quota" -> oracle(
-      "SELECT COUNT(*) AS count FROM inodes WHERE isFile AND fileSize > 0 " +
-      "AND parent IN (SELECT path FROM inodes WHERE NOT isFile AND nsQuota >= 0)"),
+      "SELECT COUNT(*) AS count FROM inodes f WHERE f.isFile AND f.fileSize > 0 " +
+      "AND f.id IN (" + ancestorHitsSql("nsQuota") + ")"),
 
     "nna_user_quotas" -> oracle(
       "SELECT \"user\", COUNT(*) AS quotaDirs, " +

@@ -32,15 +32,28 @@ object PathStructure {
         "ELSE array() END")))
   }
 
+  /** Broadcast a build side only when it is PROVABLY small: the hint
+    * overrides Spark's size safety, so an unconditional hint on "usually
+    * small" data OOMs the driver the day a namespace has millions of quota
+    * dirs. The existence check costs one bounded count over the (cached)
+    * snapshot; past the threshold the join strategy is left to Spark/AQE,
+    * which can still pick a broadcast from actual runtime sizes. */
+  def gatedBroadcast(df: DataFrame, maxRows: Long = DefaultBroadcastRows): DataFrame =
+    if (df.limit(maxRows.toInt + 1).count() <= maxRows) broadcast(df) else df
+
+  /** ~100k paths ≈ a few MB broadcast — safely under driver limits. */
+  val DefaultBroadcastRows: Long = 100000L
+
   /** Flag inodes that sit under any directory with the given quota kind.
-    * `quotaField` ∈ {nsQuota, dsQuota}. Broadcast semi-join against the
-    * (small) quota-dir set. */
-  def underQuota(inodes: DataFrame, quotaField: String): DataFrame = {
+    * `quotaField` ∈ {nsQuota, dsQuota}. Semi-join against the quota-dir
+    * set — broadcast when small (the common case), shuffle otherwise. */
+  def underQuota(inodes: DataFrame, quotaField: String,
+                 broadcastMaxRows: Long = DefaultBroadcastRows): DataFrame = {
     val quotaDirs = inodes
       .where(!col("isFile") && col(quotaField) >= 0)
       .select(col("path").as("ancestor"))
     withAncestors(inodes)
-      .join(broadcast(quotaDirs), Seq("ancestor"), "left_semi")
+      .join(gatedBroadcast(quotaDirs, broadcastMaxRows), Seq("ancestor"), "left_semi")
       .dropDuplicates("id")
       .drop("ancestor")
   }
@@ -83,7 +96,7 @@ object PathStructure {
         .where(!col("isFile") && col(quotaCol) >= 0)
         .select(col("path").as("ancestor"))
       val hits = withAncestors(inodes.select(col("id"), col("path")))
-        .join(broadcast(quotaDirs), Seq("ancestor"), "left_semi")
+        .join(gatedBroadcast(quotaDirs), Seq("ancestor"), "left_semi")
         .select(col("id")).distinct()
         .withColumn(field, lit(true))
       df = df.join(hits, Seq("id"), "left")

@@ -197,13 +197,16 @@ object InodeView {
         (substring(substring_index(col("path"), "/d", -1), 1, 10)
           .cast("long") % 2 === 0).as("hasQuota"),
         col("subBytes"))
+    // quota also lives on the depth-2 'O' dirs so the oracle exercises a
+    // REAL ancestor walk (files sit 2 levels below, never direct children)
     val d2 = d3.groupBy(col("parent").as("path"))
       .agg(min("modTime").as("modTime"), min("accessTime").as("accessTime"),
-        count(lit(1)).as("nchild"))
+        count(lit(1)).as("nchild"), sum("subBytes").as("subBytes"))
       .select(col("path"), substring_index(col("path"), "/", -1).as("name"),
         substring_index(col("path"), "/", 2).as("parent"),
         lit(2L).as("depth"), col("modTime"), col("accessTime"), col("nchild"),
-        lit(false).as("hasQuota"), lit(0L).as("subBytes"))
+        (substring_index(col("path"), "/", -1) === "O").as("hasQuota"),
+        col("subBytes"))
     val d1 = d2.groupBy(col("parent").as("path"))
       .agg(min("modTime").as("modTime"), min("accessTime").as("accessTime"),
         count(lit(1)).as("nchild"))
@@ -319,7 +322,8 @@ WITH f0 AS (
     '/' || rf || '/' || ls AS path, ls AS name, '/' || rf AS parent,
     CAST(2 AS BIGINT) AS depth,
     MIN(modTime) AS modTime, MIN(accessTime) AS accessTime,
-    COUNT(*) AS nchild, FALSE AS hasQuota, CAST(0 AS BIGINT) AS subBytes
+    COUNT(*) AS nchild, ls = 'O' AS hasQuota,
+    CAST(SUM(subBytes) AS BIGINT) AS subBytes
   FROM d3 GROUP BY rf, ls
 ), d1 AS (
   SELECT

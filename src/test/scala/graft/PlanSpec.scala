@@ -77,6 +77,25 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("Join"))
   }
 
+  test("quota semi-join broadcasts when small, falls back past the gate") {
+    val inodes = graft.inodes.InodeView.snapshot(spark, dir)
+    // disable size-based auto-broadcast so the two cases are separable:
+    // a forced hint still broadcasts; the gated plan must not
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val small = graft.engine.PathStructure.underQuota(inodes, "nsQuota")
+        .queryExecution.executedPlan.toString
+      assert(small.contains("BroadcastHashJoin")) // hint overrides threshold
+      val big = graft.engine.PathStructure
+        .underQuota(inodes, "nsQuota", broadcastMaxRows = 1)
+        .queryExecution.executedPlan.toString
+      assert(!big.contains("BroadcastHashJoin")) // no hint: driver is safe
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"))
+    } finally spark.conf.set(key, saved)
+  }
+
   test("vector expressions stay inside whole-stage codegen") {
     val emb = graft.core.Tables.embeddings(spark, dir)
     val cents = graft.pipeline.Similarity.centroids(emb, 4)
