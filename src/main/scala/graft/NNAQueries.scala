@@ -107,6 +107,15 @@ object NNAQueries {
     "nna_histogram_user" -> ((s, d) =>
       Histograms.histogram(files(s, d), col("user"), count(lit(1)))),
 
+    // A5 via the two-phase salted path (hot-key mitigation): identical
+    // results to nna_histogram_user — same oracle — and a standing bench
+    // row measuring the salting overhead on uniform data
+    "nna_histogram_user_salted" -> ((s, d) => {
+      s.conf.set("graft.skew.salts", "8")
+      try Histograms.histogram(files(s, d), col("user"), count(lit(1)))
+      finally s.conf.set("graft.skew.salts", "0")
+    }),
+
     // A5 over `all` set with sum=diskspaceConsumed
     "nna_histogram_group_ds" -> ((s, d) =>
       Histograms.histogram(inodes(s, d), col("group"),
@@ -503,6 +512,9 @@ object NNAQueries {
       "FROM inodes WHERE NOT isFile AND hasQuota"),
 
     "nna_histogram_user" -> oracle(
+      "SELECT \"user\" AS key, COUNT(*) AS value FROM inodes WHERE isFile GROUP BY \"user\""),
+
+    "nna_histogram_user_salted" -> oracle(
       "SELECT \"user\" AS key, COUNT(*) AS value FROM inodes WHERE isFile GROUP BY \"user\""),
 
     "nna_histogram_group_ds" -> oracle(

@@ -143,12 +143,35 @@ object Histograms {
     case other => throw new IllegalArgumentException(s"unknown find op: $other")
   }
 
-  /** One-level histogram: filtered set → (key, value). */
+  /** One-level histogram: filtered set → (key, value).
+    *
+    * Skew: when `graft.skew.salts` is set (> 1) and the aggregate is
+    * algebraic (count/sum — partials recombine by summing), the group-by
+    * runs two-phase salted via [[Skew]]: phase 1 spreads a hot key over
+    * `salts` reducers, phase 2 sums the partials. Spark has no pre-runtime
+    * group-by-skew statistics (AQE only re-plans skewed JOINS), so the gate
+    * is an operator-level setting rather than a guess; uniform data pays
+    * one cheap `salts`-way-smaller extra stage. */
   def histogram(df: DataFrame, key: Column, value: Column,
                 dropNoMapping: Boolean = false): DataFrame = {
-    val h = df.groupBy(key.as("key")).agg(value.as("value"))
+    val salts = df.sparkSession.conf.get("graft.skew.salts", "0").toInt
+    val h =
+      if (salts > 1 && isAlgebraic(value))
+        df.withColumn("__salt",
+            pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+          .groupBy(key.as("key"), col("__salt"))
+          .agg(value.as("__partial"))
+          .groupBy(col("key")).agg(sum(col("__partial")).as("value"))
+      else df.groupBy(key.as("key")).agg(value.as("value"))
     if (dropNoMapping) h.where(col("key") =!= "NO_MAPPING") else h
   }
+
+  /** Count and Sum partials recombine losslessly by summing. (Spark 4's
+    * functions API builds connect-style nodes, so the function name is
+    * read at the Column-node layer, pre-analysis.) */
+  private def isAlgebraic(value: Column): Boolean =
+    org.apache.spark.sql.GraftColumnBridge.functionName(value)
+      .exists(n => n.equalsIgnoreCase("count") || n.equalsIgnoreCase("sum"))
 
   /** Two-level histogram (`AbstractQueryEngine.java:934-945`). */
   def histogram2(df: DataFrame, key1: Column, key2: Column, value: Column): DataFrame =

@@ -9,4 +9,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Name of the (unresolved) function a Column invokes, if it is one —
+    * Spark 4's functions API builds connect-style ColumnNodes, so the
+    * function is visible only at the node layer pre-analysis. */
+  def functionName(c: Column): Option[String] = c.node match {
+    case f: internal.UnresolvedFunction => Some(f.functionName)
+    case _ => None
+  }
 }

@@ -170,6 +170,26 @@ class ApiSpec extends AnyFunSuite {
     assert(op2.progress._1 === 0)
   }
 
+  test("query guard cancels a running query promptly") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    // ~10^10-row cross product: minutes of work if not cancelled
+    val guarded = QueryGuard.run(spark, "slow-cross") {
+      spark.range(100000L).crossJoin(spark.range(100000L)).count()
+    }
+    // give the job time to start stages, then kill the group
+    Thread.sleep(1500)
+    assert(QueryGuard.list().exists(_._1 == guarded.id))
+    val t0 = System.nanoTime()
+    guarded.cancel()
+    val err = intercept[Exception] {
+      Await.result(guarded.result, 60.seconds)
+    }
+    val cancelSec = (System.nanoTime() - t0) / 1e9
+    assert(cancelSec < 30, s"cancellation took ${cancelSec}s")
+    assert(err.getMessage != null)
+  }
+
   test("token last-login: service names, realUser union, max semantics") {
     import spark.implicits._
     val tokens = Seq(

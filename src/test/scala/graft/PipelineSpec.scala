@@ -147,6 +147,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(part.nonEmpty && part.forall(_.getLong(2) <= 3))
   }
 
+  test("conf-gated salted histogram: same results, two-phase plan") {
+    val files = graft.inodes.InodeView
+      .snapshot(spark, "/root/testdata/sf0.001").where($"isFile")
+    val plain = graft.engine.Histograms
+      .histogram(files, $"user", count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set("graft.skew.salts", "8")
+    try {
+      val salted = graft.engine.Histograms.histogram(files, $"user", count(lit(1)))
+      val got = salted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === plain)
+      // two aggregation phases: (key, salt) partial then key final
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"))
+      // non-algebraic aggregates must NOT be salted (partials don't combine)
+      val avgPlan = graft.engine.Histograms
+        .histogram(files, $"user", floor(avg($"fileSize")).cast("long"))
+        .queryExecution.executedPlan.toString
+      assert(!avgPlan.contains("__salt"))
+    } finally spark.conf.set("graft.skew.salts", "0")
+  }
+
   test("salted aggregation matches plain groupBy") {
     val docs5 = docs
     val plain = docs5.groupBy($"doc_id" % 2).count()
