@@ -314,6 +314,66 @@ object PipelineQueries {
   // reproduce exactly in SQL; IVF centroids are deterministic and cosine is
   // bit-exact vs list_cosine_similarity, so ranks reproduce too.
 
+  // ---- DuckDB mirrors of the hash-based dedup operators ----
+  // Dedup.portableHash is md5-hex-parse and the permutations are integer
+  // affine maps, so signatures, band keys and simhashes reproduce exactly.
+
+  /** CTE chain `tk → shl → mex → msig → mband → mcand → mest` mirroring
+    * [[graft.pipeline.Dedup.minhashCandidates]] (shingleN=3, perms=64,
+    * bands=8). */
+  private val minhashCtes: String =
+    s"""tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       shl AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(tk) - 2),
+             i -> array_to_string(tk[i:i+2], ' ')))
+         ELSE [array_to_string(tk, ' ')] END AS sh FROM tk),
+       mex AS (SELECT doc_id,
+           ('0x' || substr(md5(u.s), 1, 15))::BIGINT % 2147483647 AS h0p
+         FROM shl, UNNEST(sh) AS u(s)),
+       msig AS (SELECT doc_id, kk.k,
+           MIN((h0p * (((kk.k + 1) * 2654435761) % 2147483647)
+             + ((kk.k + 1) * 40503) % 2147483647) % 2147483647) AS m
+         FROM mex CROSS JOIN
+           (SELECT unnest(generate_series(0, 63)) AS k) kk
+         GROUP BY doc_id, kk.k),
+       mband AS (SELECT doc_id, k // 8 AS b,
+           md5(string_agg(m::VARCHAR, ',' ORDER BY k)) AS h
+         FROM msig GROUP BY doc_id, k // 8),
+       mcand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         FROM mband a JOIN mband b ON a.b = b.b AND a.h = b.h
+           AND a.doc_id < b.doc_id),
+       mest AS (SELECT c.ida, c.idb,
+           CAST(FLOOR(1000000.0 *
+             SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / 64) AS BIGINT)
+             AS est_jaccard_ppm
+         FROM mcand c JOIN msig sa ON sa.doc_id = c.ida
+         JOIN msig sb ON sb.doc_id = c.idb AND sb.k = sa.k
+         GROUP BY c.ida, c.idb)"""
+
+  /** CTE chain mirroring [[graft.pipeline.Dedup.simhashPairs]] (60-bit
+    * portable hash, 4 bands × 15 bits). */
+  private val simhashCtes: String =
+    s"""tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       sth AS (SELECT doc_id,
+           ('0x' || substr(md5(u.t), 1, 15))::BIGINT AS h
+         FROM tk, UNNEST(tk.tk) AS u(t)),
+       sbits AS (SELECT doc_id, bb.b,
+           SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM sth CROSS JOIN
+           (SELECT unnest(generate_series(0, 59)) AS b) bb
+         GROUP BY doc_id, bb.b),
+       ssh AS (SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+             ELSE 0 END) AS BIGINT) AS sh
+         FROM sbits GROUP BY doc_id),
+       sband AS (SELECT doc_id, sh, bb.b, (sh >> (bb.b * 15)) & 32767 AS v
+         FROM ssh CROSS JOIN
+           (SELECT unnest(generate_series(0, 3)) AS b) bb),
+       spairs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+         FROM sband a JOIN sband b ON a.b = b.b AND a.v = b.v
+           AND a.doc_id < b.doc_id)"""
+
   /** Double-precision sequential cosine fold — bit-identical to
     * [[graft.functions.CosineSimilarity]] (list_reduce is left-to-right;
     * `0.0 + e1 == e1` so the missing init value changes nothing). */
@@ -412,7 +472,69 @@ object PipelineQueries {
          GROUP BY a.qid) h ON h.qid = q.vec_id
        ORDER BY qid"""
 
+  /** DuckDB mirror of `Multimodal.stubDecodeFeatures` feature `i` over a
+    * text-backed payload (utf8 string concat ≡ byte concat). */
+  private def stubFeatSql(i: Int): String =
+    s"((('0x' || substr(md5(text || ':$i'), 1, 15))::BIGINT % 1000000) / 1000000.0)"
+
   val oracleSql: Map[String, String] = Map(
+    "multimodal_features" -> {
+      // norm fold in the engine's accumulation order: left-assoc f0²+f1²+…
+      val sumSquares = (0 until 8).map(i => s"${stubFeatSql(i)} * ${stubFeatSql(i)}")
+        .mkString(" + ")
+      "SELECT doc_id AS asset_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' " +
+      "ELSE 'video' END AS modality, " +
+      "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+      s"CAST(FLOOR(sqrt($sumSquares) * 1000) AS BIGINT) AS feat_norm_x1000 " +
+      "FROM documents ORDER BY asset_id"
+    },
+
+    "multimodal_frames" ->
+      ("WITH v AS (SELECT octet_length(encode(text)) AS len FROM documents " +
+       "WHERE doc_id % 3 = 2), " +
+       "fr AS (SELECT CAST(TRUNC(ii.i * GREATEST((len - 32) / 3.0, 1.0)) AS INTEGER) AS off, len " +
+       "FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ii), " +
+       "fl AS (SELECT GREATEST(LEAST(32, len - off), 0) AS fb FROM fr) " +
+       "SELECT 'video' AS modality, COUNT(*) AS n_frames, " +
+       "CAST(SUM(fb) AS BIGINT) AS frame_bytes FROM fl WHERE fb > 0"),
+
+    "dedup_minhash_lsh" ->
+      (s"WITH $minhashCtes " +
+       "SELECT ida, idb, est_jaccard_ppm FROM mest " +
+       "WHERE est_jaccard_ppm >= 500000 ORDER BY ida, idb"),
+
+    "dedup_minhash_verified" ->
+      (s"WITH $minhashCtes, " +
+       "vcand AS (SELECT ida, idb FROM mest WHERE est_jaccard_ppm >= 500000), " +
+       "vj AS (SELECT v.ida, v.idb, " +
+       "CAST(FLOOR(1000000.0 * len(list_intersect(sa.sh, sb.sh)) / " +
+       "len(list_distinct(sa.sh || sb.sh))) AS BIGINT) AS jaccard_ppm " +
+       "FROM vcand v JOIN shl sa ON sa.doc_id = v.ida " +
+       "JOIN shl sb ON sb.doc_id = v.idb) " +
+       "SELECT ida, idb, jaccard_ppm FROM vj " +
+       "WHERE jaccard_ppm >= 600000 ORDER BY ida, idb"),
+
+    "dedup_simhash" ->
+      (s"WITH $simhashCtes " +
+       "SELECT ida, idb, CAST(hamming AS BIGINT) AS hamming FROM spairs " +
+       "WHERE hamming <= 3 ORDER BY ida, idb"),
+
+    // cluster resolution mirrored with a recursive min-label closure over
+    // the candidate graph (the engine's fixpoint loop, as SQL recursion)
+    "dedup_corpus" ->
+      (s"WITH RECURSIVE $minhashCtes, " +
+       "cedges0 AS (SELECT ida, idb FROM mest WHERE est_jaccard_ppm >= 900000), " +
+       "cedges AS (SELECT ida AS src, idb AS dst FROM cedges0 " +
+       "UNION ALL SELECT idb, ida FROM cedges0), " +
+       "reach AS (SELECT DISTINCT src AS did, src AS label FROM cedges " +
+       "UNION SELECT e.dst AS did, r.label FROM reach r " +
+       "JOIN cedges e ON e.src = r.did), " +
+       "comp AS (SELECT did, MIN(label) AS label FROM reach GROUP BY did), " +
+       "nlosers AS (SELECT COUNT(*) AS n FROM comp WHERE label < did) " +
+       "SELECT (SELECT COUNT(*) FROM documents) AS total_docs, " +
+       "(SELECT COUNT(*) FROM documents) - (SELECT n FROM nlosers) AS kept_docs"),
+
     "ann_ivf_top5" ->
       (s"WITH ${ivfSql(16, 4, 5)} " +
        "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivf_topk " +

@@ -54,11 +54,34 @@ object Dedup {
       .select("ida", "idb", "jaccard_ppm")
   }
 
-  /** MinHash signature: `perms` hash permutations approximated by seeded
-    * xxhash64 (seed = permutation index); signature[k] = min over shingles. */
+  /** Mersenne prime 2³¹−1: the universal-hash modulus for permutations. */
+  val HashP: Long = 2147483647L
+
+  /** Portable 60-bit string hash: the first 15 hex chars of md5, parsed as
+    * an integer. Engine-independent (DuckDB: `('0x' || substr(md5(s),1,15))
+    * ::BIGINT`), so every hash-derived result — signatures, band buckets,
+    * simhashes — is oracle-checkable end to end. ~2× the cost of xxhash64
+    * per shingle, but hashed ONCE per shingle: permutations derive from
+    * affine remixes below, which are cheaper than the per-permutation
+    * re-hash they replace. */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Permutation `k` of a base hash: `(A_k·h + B_k) mod p` — the classic
+    * universal-hash family (integer-exact, SQL-mirrorable). */
+  def permute(h0p: Column, k: Int): Column =
+    (h0p * lit((k + 1) * 2654435761L % HashP) +
+      lit((k + 1) * 40503L % HashP)) % HashP
+
+  /** MinHash signature as one nested-HOF expression — the composable
+    * reference formulation (interpreted; [[minhashSignatures]] is the
+    * codegen'd production path). signature[k] = min over shingles of
+    * permutation k. */
   def minhashSignature(sh: Column, perms: Int): Column =
-    transform(sequence(lit(0), lit(perms - 1)),
-      k => array_min(transform(sh, s => xxhash64(s, k))))
+    transform(sequence(lit(0), lit(perms - 1)), k =>
+      array_min(transform(sh, s =>
+        ((portableHash(s) % HashP) * (((k + 1) * lit(2654435761L)) % HashP) +
+          ((k + 1) * lit(40503L)) % HashP) % HashP)))
 
   /** MinHash LSH candidate pairs: split the signature into `bands` bands,
     * hash each band, bucket-join; estimate Jaccard as the fraction of equal
@@ -82,8 +105,8 @@ object Dedup {
                         shingleN: Int, perms: Int): DataFrame = {
     val base = df
       .select(col(idCol).as("did"), explode(shingles(text, shingleN)).as("s"))
-      .select(col("did"), xxhash64(col("s")).as("h0"))
-    val mins = (0 until perms).map(k => min(xxhash64(col("h0"), lit(k))).as(s"m$k"))
+      .select(col("did"), (portableHash(col("s")) % HashP).as("h0p"))
+    val mins = (0 until perms).map(k => min(permute(col("h0p"), k)).as(s"m$k"))
     base.groupBy("did").agg(mins.head, mins.tail: _*)
       .select(col("did"), array((0 until perms).map(k => col(s"m$k")): _*).as("sig"))
   }
@@ -94,9 +117,11 @@ object Dedup {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
     val sig = minhashSignatures(df, idCol, text, shingleN, perms)
+    // band key = md5 of the comma-joined band slice: a portable string key
+    // both engines derive identically
     val banded = sig.select(col("did"),
       explode(array((0 until bands).map(b => struct(lit(b).as("b"),
-        xxhash64(array_join(slice(col("sig"), b * rows + 1, rows)
+        md5(array_join(slice(col("sig"), b * rows + 1, rows)
           .cast("array<string>"), ",")).as("h"))): _*)).as("band"))
       .select(col("band.b").as("b"), col("band.h").as("h"), col("did"))
     val pairs = banded.select(col("b"), col("h"), col("did").as("ida"))
@@ -165,14 +190,18 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** 64-bit SimHash of the token multiset: bit b is set when the ±1-weighted
-    * sum of token-hash bits at position b is positive. */
+  /** SimHash bit width: 60 bits — every bit of the portable 60-bit token
+    * hash (4 bands × 15 bits for the banded candidate join). */
+  val SimhashBits: Int = 60
+
+  /** 60-bit SimHash of the token multiset: bit b is set when the
+    * ±1-weighted sum of token-hash bits at position b is positive. */
   def simhash64(text: Column): Column = {
     // hash each token once; bit b of the simhash is 1 when more than half
     // of the token hashes have bit b set (sum of ±1 weights > 0)
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val hashes = transform(TextAnalysis.tokens(text), t => portableHash(t))
     val n = size(hashes)
-    (0 until 64).map { b =>
+    (0 until SimhashBits).map { b =>
       val pop = size(filter(hashes,
         h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L))
       when(pop * 2 > n, lit(1L << b)).otherwise(lit(0L))
@@ -180,25 +209,25 @@ object Dedup {
   }
 
   /** SimHash table via explode + hash-aggregate (codegen'd, same rationale
-    * as [[minhashSignatures]]): per doc, 64 conditional ±1 sums over token
+    * as [[minhashSignatures]]): per doc, 60 conditional ±1 sums over token
     * hashes, then assemble the bits. */
   def simhashes(df: DataFrame, idCol: String, text: Column): DataFrame = {
     val base = df
       .select(col(idCol).as("did"),
         explode(TextAnalysis.tokens(text)).as("t"))
-      .select(col("did"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map { b =>
+      .select(col("did"), portableHash(col("t")).as("h"))
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$b")
     }
     base.groupBy("did").agg(bitSums.head, bitSums.tail: _*)
       .select(col("did"),
-        (0 until 64).map(b =>
+        (0 until SimhashBits).map(b =>
           when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("sh"))
   }
 
-  /** SimHash near-dup candidates: bucket by 16-bit bands (a pair within
+  /** SimHash near-dup candidates: bucket by 15-bit bands (a pair within
     * Hamming distance ≤3 shares at least one of 4 bands), then verify with
     * bit_count(xor) — no all-pairs scan. */
   def simhashPairs(df: DataFrame, idCol: String, text: Column,
@@ -206,7 +235,7 @@ object Dedup {
     val h = simhashes(df, idCol, text)
     val banded = h.withColumn("band",
       explode(array((0 until 4).map(b => struct(lit(b).as("b"),
-        shiftright(col("sh"), b * 16).bitwiseAND(lit(65535L)).as("v"))): _*)))
+        shiftright(col("sh"), b * 15).bitwiseAND(lit(32767L)).as("v"))): _*)))
     val l = banded.select(col("band.b").as("b"), col("band.v").as("v"),
       col("did").as("ida"), col("sh").as("sha"))
     val r = banded.select(col("band.b").as("b"), col("band.v").as("v"),

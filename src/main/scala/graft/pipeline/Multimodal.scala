@@ -45,13 +45,18 @@ object Multimodal {
         lit("stub").as("codec")).as("meta"))
 
   /** STUB decode → feature vector. A real implementation decodes the media
-    * and runs a feature extractor; this deterministic fake derives 8 doubles
-    * from content bytes so downstream plumbing (schema, joins, ANN over
-    * features) is exercised end-to-end. */
+    * and runs a feature extractor; this deterministic fake derives `dims`
+    * doubles from content bytes so downstream plumbing (schema, joins, ANN
+    * over features) is exercised end-to-end. Hashing is the portable
+    * md5-parse scheme ([[Dedup.portableHash]]) over `content ++ ":i"`, so
+    * the fake features — and everything computed from them — are
+    * oracle-checkable in SQL; the literal array also keeps the projection
+    * out of interpreted higher-order functions. */
   def stubDecodeFeatures(content: Column, dims: Int = 8): Column =
-    transform(sequence(lit(0), lit(dims - 1)),
-      i => (pmod(xxhash64(content, i), lit(1000000L)).cast("double") /
-        lit(1000000.0)))
+    array((0 until dims).map { i =>
+      (conv(substring(md5(concat(content, encode(lit(s":$i"), "UTF-8"))),
+        1, 15), 16, 10).cast("long") % 1000000L).cast("double") / 1000000.0
+    }: _*)
 
   /** Frame sampling for video/audio payloads: slice the binary into `n`
     * evenly-spaced windows of `frameBytes` bytes. Pure byte arithmetic —
