@@ -14,15 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles (distinct) of a text column. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-        .otherwise(array(array_join(toks, " "))))
-  }
+  /** Word n-gram shingles (distinct) of a text column — compiled
+    * ([[graft.functions.NGramShingles]]); identical output to the
+    * composable HOF formulation the oracles mirror. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.NGramShingles.ngram_shingles(TextAnalysis.tokens(text), n)
 
   /** Exact duplicate groups by content hash: (fingerprint, n_copies, keeper). */
   def exactGroups(df: DataFrame, text: Column, idCol: Column): DataFrame =
@@ -38,11 +34,20 @@ object Dedup {
       .withColumn("nsh", size(col("sh")).cast("long"))
     // join on the 8-byte shingle hash, not the string: smaller shuffle,
     // cheaper compares (collision odds ~|shingles|²/2⁶⁴ — negligible)
+    // checkpoint: the exploded table feeds the frequency filter AND both
+    // sides of the self-join — one computation, not four
     val ex = sh.select(col("did"), col("nsh"),
       explode(col("sh")).as("shingle"))
       .select(col("did"), col("nsh"), xxhash64(col("shingle")).as("shingle_h"))
-    val a = ex.select(col("did").as("ida"), col("nsh").as("na"), col("shingle_h"))
-    val b = ex.select(col("did").as("idb"), col("nsh").as("nb"), col("shingle_h"))
+      .localCheckpoint(true)
+    // a shingle held by one doc can't form a pair; on real corpora most
+    // shingles are unique, so the filter shrinks the self-join input by
+    // the long tail (semantics unchanged — unique shingles yield no pairs)
+    val shared = ex.groupBy("shingle_h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1).select("shingle_h")
+    val exs = ex.join(shared, Seq("shingle_h"), "left_semi")
+    val a = exs.select(col("did").as("ida"), col("nsh").as("na"), col("shingle_h"))
+    val b = exs.select(col("did").as("idb"), col("nsh").as("nb"), col("shingle_h"))
     a.join(b, Seq("shingle_h"))
       .where(col("ida") < col("idb"))
       .groupBy(col("ida"), col("idb"), col("na"), col("nb"))
@@ -116,7 +121,11 @@ object Dedup {
                         bands: Int = 8): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
+    // the signature table feeds three consumers (band keys + both sides of
+    // the estimate join-back); checkpoint it so the expensive explode+
+    // 64-min aggregation runs ONCE, not per consumer
     val sig = minhashSignatures(df, idCol, text, shingleN, perms)
+      .localCheckpoint(true)
     // band key = md5 of the comma-joined band slice: a portable string key
     // both engines derive identically
     val banded = sig.select(col("did"),
