@@ -44,18 +44,24 @@ object PathStructure {
   /** ~100k paths ≈ a few MB broadcast — safely under driver limits. */
   val DefaultBroadcastRows: Long = 100000L
 
-  /** Flag inodes that sit under any directory with the given quota kind.
+  /** Inodes that sit under any directory with the given quota kind.
     * `quotaField` ∈ {nsQuota, dsQuota}. Semi-join against the quota-dir
-    * set — broadcast when small (the common case), shuffle otherwise. */
+    * set — broadcast when small (the common case), shuffle otherwise.
+    *
+    * Shape: only (id, path) flows through the ancestor explode, and the
+    * hit-id set distincts on a single long before semi-joining the full
+    * relation back — the previous dropDuplicates-on-everything compiled to
+    * a SortAggregate carrying first() of all 26 columns through the
+    * explosion. */
   def underQuota(inodes: DataFrame, quotaField: String,
                  broadcastMaxRows: Long = DefaultBroadcastRows): DataFrame = {
     val quotaDirs = inodes
       .where(!col("isFile") && col(quotaField) >= 0)
       .select(col("path").as("ancestor"))
-    withAncestors(inodes)
+    val hitIds = withAncestors(inodes.select(col("id"), col("path")))
       .join(gatedBroadcast(quotaDirs, broadcastMaxRows), Seq("ancestor"), "left_semi")
-      .dropDuplicates("id")
-      .drop("ancestor")
+      .select(col("id")).distinct()
+    inodes.join(hitIds, Seq("id"), "left_semi")
   }
 
   /** Subtree stats for EVERY directory in one shuffle: explode file ancestor
