@@ -206,6 +206,41 @@ object PipelineQueries {
         .orderBy("qid")
     }),
 
+    // IVF with a Lloyd-refined (k-means) coarse quantizer — the trained
+    // production shape; recall reported against brute force, full oracle
+    // (quantized centroid updates are integer-exact, see kmeansRefine).
+    // On this clusterless random fixture training does NOT beat the seeded
+    // quantizer (21 vs 23 of 25 hits) — expected: Lloyd pulls centroids
+    // toward the global mean when there is no cluster structure; the gain
+    // appears on real (clustered) embedding corpora.
+    "ann_ivf_kmeans_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 5)
+      val approx = pipeline.Similarity.ivfKmeansTopK(q, emb, 5,
+        nlist = 16, nprobe = 4, iters = 1)
+      val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
+      q.select(col("vec_id").as("qid"))
+        .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
+            Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
+          Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("qid")
+    }),
+
+    // symmetric int8 quantization: per-vector absmax scaling, summarized
+    // with integer-exact stats (saturation count, q-sums) for the oracle
+    "emb_quantize_int8" -> ((s, d) => {
+      val qv = pipeline.Similarity.quantizeInt8(Tables.embeddings(s, d))
+      qv.select(col("vec_id"), col("scale_x1e9"), posexplode(col("qvec")))
+        .groupBy("vec_id")
+        .agg(first(col("scale_x1e9")).as("scale_x1e9"),
+          sum(col("col")).as("q_sum"),
+          min(col("col")).as("q_min"),
+          max(col("col")).as("q_max"),
+          sum(when(abs(col("col")) === 127, 1L).otherwise(0L)).as("n_sat"))
+        .orderBy("vec_id")
+    }),
+
     // embedding near-dup pairs: banded LSH candidates + exact-cosine verify
     // at ≥ 0.40 (the synthetic embeddings are random — 0.40 is the actual
     // high tail; a threshold above max-sim would make the check vacuous).
@@ -452,6 +487,59 @@ object PipelineQueries {
              JOIN embeddings ec ON ec.vec_id = cd.nid) s)
          WHERE rank <= $k)"""
 
+  /** CTE chain mirroring `ivfKmeansTopK(nlist=16, nprobe=4, k=5, iters=1)`:
+    * float-centroid assignment, integer-quantized Lloyd update (`//` is
+    * floor division, matching Math.floorDiv), cosDSql-ranked re-assignment
+    * and probes over the refined double centroids. */
+  private def ivfKmeansSql(nlist: Int, nprobe: Int, k: Int): String =
+    s"""cent0 AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+         ORDER BY vec_id LIMIT $nlist),
+       a1 AS (
+         SELECT cell, nid, ne FROM (
+           SELECT ct.cent_id AS cell, e.vec_id AS nid, e.embedding AS ne,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, ct.cent) DESC,
+                        ct.cent_id ASC) AS rk
+           FROM embeddings e CROSS JOIN cent0 ct) WHERE rk = 1),
+       updx AS (SELECT cell, unnest(ne) AS v,
+           generate_subscripts(ne, 1) AS j FROM a1),
+       upd AS (
+         SELECT cell, j,
+           SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS s,
+           COUNT(*) AS n
+         FROM updx GROUP BY cell, j),
+       cent1 AS (
+         SELECT cell, list((s // n) / 1048576.0 ORDER BY j) AS cent
+         FROM upd GROUP BY cell),
+       centr AS (
+         SELECT c0.cent_id,
+           COALESCE(c1.cent,
+             list_transform(c0.cent, x -> CAST(x AS DOUBLE))) AS cent
+         FROM cent0 c0 LEFT JOIN cent1 c1 ON c1.cell = c0.cent_id),
+       a2 AS (
+         SELECT cell, nid, ne FROM (
+           SELECT ct.cent_id AS cell, e.vec_id AS nid, e.embedding AS ne,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosDSql("e.embedding", "ct.cent")} DESC,
+                        ct.cent_id ASC) AS rk
+           FROM embeddings e CROSS JOIN centr ct) WHERE rk = 1),
+       probes2 AS (
+         SELECT cell, qid, qe FROM (
+           SELECT ct.cent_id AS cell, q.vec_id AS qid, q.embedding AS qe,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosDSql("q.embedding", "ct.cent")} DESC,
+                        ct.cent_id ASC) AS rk
+           FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+           CROSS JOIN centr ct) WHERE rk <= $nprobe),
+       km_topk AS (
+         SELECT qid, nid, rank FROM (
+           SELECT s.qid, s.nid, ROW_NUMBER() OVER (PARTITION BY s.qid
+             ORDER BY s.sim DESC, s.nid ASC) AS rank FROM (
+             SELECT p.qid, a.nid,
+               list_cosine_similarity(p.qe, a.ne) AS sim
+             FROM a2 a JOIN probes2 p USING (cell)
+             WHERE p.qid <> a.nid) s) WHERE rank <= $k)"""
+
   private val bruteTopkSql: String =
     """brute_topk AS (
          SELECT qid, nid FROM (
@@ -546,6 +634,21 @@ object PipelineQueries {
        "ORDER BY qid, rank"),
 
     "ann_ivf_recall" -> recallSql(ivfSql(16, 4, 5), "ivf_topk"),
+
+    "ann_ivf_kmeans_recall" -> recallSql(ivfKmeansSql(16, 4, 5), "km_topk"),
+
+    "emb_quantize_int8" ->
+      ("WITH ex AS (SELECT vec_id, CAST(u.v AS DOUBLE) AS v " +
+       "FROM embeddings, UNNEST(embedding) AS u(v)), " +
+       "am AS (SELECT vec_id, MAX(ABS(v)) AS absmax FROM ex " +
+       "GROUP BY vec_id HAVING MAX(ABS(v)) > 0), " +
+       "qq AS (SELECT e.vec_id, CAST(ROUND(e.v * 127.0 / a.absmax) AS INT) AS q, " +
+       "a.absmax FROM ex e JOIN am a ON a.vec_id = e.vec_id) " +
+       "SELECT vec_id, " +
+       "CAST(FLOOR(absmax / 127.0 * 1000000000.0) AS BIGINT) AS scale_x1e9, " +
+       "CAST(SUM(q) AS BIGINT) AS q_sum, MIN(q) AS q_min, MAX(q) AS q_max, " +
+       "CAST(SUM(CASE WHEN ABS(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat " +
+       "FROM qq GROUP BY vec_id, absmax ORDER BY vec_id"),
 
     "ann_lsh_recall" -> recallSql(lshTopkSql(4, 4, 5), "lsh_topk"),
 

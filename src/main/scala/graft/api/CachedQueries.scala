@@ -17,6 +17,12 @@ import scala.jdk.CollectionConverters._
   */
 object CachedQueries {
 
+  /** Driver-side result rows are capped: histograms/sums are tiny, but a
+    * registered path dump with no limit would otherwise collect an
+    * unbounded namespace listing into the driver heap. Dumps past the cap
+    * must go through the path-dump sink (S6) instead. */
+  val MaxCachedRows: Int = 100000
+
   private val registry = new ConcurrentHashMap[String, NNAQuery]()
   private val results = new ConcurrentHashMap[String, (Long, Array[Row], Seq[String])]()
 
@@ -26,11 +32,18 @@ object CachedQueries {
 
   def list: Seq[String] = registry.keySet().asScala.toSeq.sorted
 
-  /** Re-execute every registered query against the snapshot (one cycle). */
+  /** Re-execute every registered query against the snapshot (one cycle).
+    * A query whose result exceeds [[MaxCachedRows]] is rejected (throws)
+    * rather than silently truncated or OOM-ing the driver. */
   def refresh(inodes: DataFrame, nowMs: Long): Unit =
     registry.asScala.foreach { case (name, q) =>
       val df = NNAQuery.execute(q.copy(now = nowMs), inodes)
-      results.put(name, (nowMs, df.collect(), df.columns.toSeq))
+      val rows = df.limit(MaxCachedRows + 1).collect()
+      if (rows.length > MaxCachedRows)
+        throw new IllegalStateException(
+          s"cached query '$name' returned > $MaxCachedRows rows; " +
+          "register it with a limit or use the path-dump sink")
+      results.put(name, (nowMs, rows, df.columns.toSeq))
     }
 
   /** Latest cached result with its cycle timestamp (None if never run). */

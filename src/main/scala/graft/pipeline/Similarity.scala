@@ -118,6 +118,65 @@ object Similarity {
         col("embedding"), cents, 1), 1).as("cell"),
       col("vec_id").as("nid"), col("embedding").as("ne"))
 
+  /** Lloyd (k-means) refinement of the IVF coarse quantizer: re-assign
+    * every corpus vector to its nearest centroid (shuffle-free projection),
+    * recompute each cell's mean, repeat. Per iteration: one posexplode +
+    * one (cell, dim)-keyed aggregation whose partial agg collapses map-side
+    * to nlist×dim rows — the shuffle is centroid-sized, not corpus-sized.
+    *
+    * Updates are QUANTIZED (component = ⌊Σ⌊v·2²⁰⌋ / n⌋ / 2²⁰, floor
+    * division): integer sums are order-independent, so refined centroids
+    * are deterministic and exactly reproducible in SQL for the oracle —
+    * the ~1e-6 quantization error is far below k-means' own tolerance.
+    * Cells that lose all members keep their previous centroid. */
+  def kmeansRefine(corpus: DataFrame,
+                   init: Seq[(Long, Array[Double])],
+                   iters: Int): Seq[(Long, Array[Double])] = {
+    var cents = init
+    for (_ <- 1 to iters) {
+      val upd = ivfAssign(corpus, cents)
+        .select(col("cell"), posexplode(col("ne")))
+        .select(col("cell"), col("pos"),
+          floor(col("col").cast("double") * 1048576.0).cast("long").as("vq"))
+        .groupBy("cell", "pos")
+        .agg(sum("vq").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        upd.get(cid) match {
+          case Some(rows) =>
+            val arr = old.clone()
+            rows.foreach { r =>
+              arr(r.getInt(1)) =
+                Math.floorDiv(r.getLong(2), r.getLong(3)).toDouble / 1048576.0
+            }
+            cid -> arr
+          case None => cid -> old
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF top-k over k-means-refined centroids. */
+  def ivfKmeansTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    nlist: Int, nprobe: Int, iters: Int): DataFrame = {
+    val refined = kmeansRefine(corpus, centroids(corpus, nlist), iters)
+    val assigned = ivfAssign(corpus, refined)
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(graft.functions.NearestCentroids.nearest_centroids(
+          col("embedding"), refined, nprobe)).as("cell"))
+      .select(col("cell"), col("qid"), col("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+  }
+
   /** IVF top-k: probe the `nprobe` nearest cells per query. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
@@ -135,6 +194,34 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * storage/serving compression for ANN corpora (4× smaller than float32,
+    * SIMD-friendly dot products). Per-vector absmax scaling:
+    * `q_j = round(v_j · 127 / max|v|)` ∈ [−127, 127].
+    *
+    * Shape: one explode + two narrow shuffles (per-vector absmax, then the
+    * quantized re-aggregation) — all codegen, no interpreted HOFs. Output:
+    * (vec_id, qvec, scale_x1e9) with the scale fixed-point-encoded so the
+    * whole result is integer-exact and oracle-checkable. */
+  def quantizeInt8(df: DataFrame): DataFrame = {
+    val ex = df.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"), col("col").cast("double").as("v"))
+    val scales = ex.groupBy("vec_id")
+      .agg(max(abs(col("v"))).as("absmax"))
+      .where(col("absmax") > 0)
+    ex.join(scales, Seq("vec_id"))
+      .select(col("vec_id"), col("pos"),
+        round(col("v") * 127.0 / col("absmax")).cast("int").as("q"),
+        col("absmax"))
+      .groupBy(col("vec_id"))
+      .agg(
+        array_sort(collect_list(struct(col("pos"), col("q")))).as("pq"),
+        first(col("absmax")).as("absmax"))
+      .select(col("vec_id"),
+        transform(col("pq"), p => p.getField("q")).as("qvec"),
+        floor(col("absmax") / 127.0 * 1000000000.0).cast("long").as("scale_x1e9"))
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold among banded-LSH

@@ -147,6 +147,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(part.nonEmpty && part.forall(_.getLong(2) <= 3))
   }
 
+  test("int8 quantization: absmax maps to ±127, full length, exact scale") {
+    val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qv = Similarity.quantizeInt8(emb).collect()
+    assert(qv.length === emb.count())
+    qv.foreach { r =>
+      val q = r.getSeq[Int](1)
+      assert(q.length === 64)
+      assert(q.map(math.abs).max === 127) // the absmax element saturates
+      assert(q.forall(v => v >= -127 && v <= 127))
+    }
+  }
+
+  test("kmeans refinement: quantized cell means, empty cells keep centroid") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val init = Seq(0L -> Array(1.0, 0.0), 2L -> Array(0.0, 1.0),
+      9L -> Array(-1.0, -1.0)) // cell 9 attracts nothing
+    val refined = Similarity.kmeansRefine(df, init, iters = 1).toMap
+    def qmean(vs: Seq[Double]) = // quantized-mean arithmetic of the engine
+      Math.floorDiv(vs.map(v => math.floor(v * 1048576.0).toLong).sum,
+        vs.length.toLong).toDouble / 1048576.0
+    // vectors 0,1 -> cell 0; vectors 2,3 -> cell 2 (cosine argmax)
+    assert(refined(0L)(0) === qmean(Seq(1.0f, 0.9f).map(_.toDouble)))
+    assert(refined(2L)(1) === qmean(Seq(1.0f, 0.9f).map(_.toDouble)))
+    assert(refined(9L).toSeq === Seq(-1.0, -1.0)) // untouched
+  }
+
   test("conf-gated salted histogram: same results, two-phase plan") {
     val files = graft.inodes.InodeView
       .snapshot(spark, "/root/testdata/sf0.001").where($"isFile")
