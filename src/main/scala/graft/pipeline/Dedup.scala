@@ -149,41 +149,78 @@ object Dedup {
       .select("ida", "idb", "est_jaccard_ppm")
   }
 
-  /** Resolve candidate pairs (ida < idb) into duplicate clusters by
-    * min-label propagation run TO FIXPOINT: sweeps continue until one pass
-    * changes no label (existence check — `isEmpty` stops at the first
-    * changed row), so duplicate chains of any diameter collapse into one
-    * cluster. A fixed sweep budget would split chains longer than the
-    * budget into several clusters and keep extra "keepers".
+  /** Resolve candidate pairs (ida < idb) into duplicate clusters: every
+    * node gets the smallest id in its connected component. Returns
+    * (did, label).
     *
-    * Each sweep is one join + one aggregate, `localCheckpoint` truncates
-    * lineage so plans stay bounded; convergence takes ≤ graph-diameter
-    * sweeps (LSH pair graphs are near-stars, so typically 2–3).
-    * `maxIterations` is only a runaway backstop for adversarial graphs.
-    * Returns (did, label). */
-  def clusterLabels(pairs: DataFrame, maxIterations: Int = 100): DataFrame = {
-    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
-      .unionByName(pairs.select(col("idb").as("src"), col("ida").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("did")).distinct()
-      .withColumn("label", col("did"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIterations) {
-      val prop = edges.join(labels.withColumnRenamed("did", "src"), Seq("src"))
-        .select(col("dst").as("did"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy("did").agg(min("label").as("label"))
+    * Near-dup candidate graphs are TINY relative to the corpus (pairs
+    * above a high similarity threshold are rare), so when the edge set
+    * fits a bounded driver budget the components resolve with one collect
+    * + union-find — zero shuffles, exact. Past the budget (or with
+    * `driverMaxEdges = 0`) the distributed min-label propagation runs TO
+    * FIXPOINT: sweeps continue until one pass changes no label (existence
+    * check — a fixed sweep budget would split duplicate chains longer than
+    * the budget and keep extra "keepers"); each sweep is one join + one
+    * aggregate with `localCheckpoint` lineage truncation, converging in
+    * ≤ graph-diameter sweeps (near-star LSH graphs: 2–3). */
+  def clusterLabels(pairs: DataFrame, maxIterations: Int = 100,
+                    driverMaxEdges: Long = 4000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgeRows =
+      if (driverMaxEdges > 0)
+        pairs.select(col("ida").cast("long"), col("idb").cast("long"))
+          .limit(driverMaxEdges.toInt + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (driverMaxEdges > 0 && edgeRows.length <= driverMaxEdges) {
+      // driver-side union-find with path compression, then min-per-root
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edgeRows.foreach { e =>
+        val (a, b) = (e.getLong(0), e.getLong(1))
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(ra, rb)
+      }
+      import scala.jdk.CollectionConverters._
+      val nodes = parent.keySet().asScala.toSeq
+      val minOfRoot = new java.util.HashMap[Long, Long]()
+      nodes.foreach { n =>
+        val r = find(n)
+        val cur = minOfRoot.getOrDefault(r, Long.MaxValue)
+        if (n < cur) minOfRoot.put(r, n)
+      }
+      import spark.implicits._
+      nodes.map(n => (n, minOfRoot.get(find(n)))).toDF("did", "label")
+    } else {
+      val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+        .unionByName(pairs.select(col("idb").as("src"), col("ida").as("dst")))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), "did")
-        .where(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
-      iter += 1
+      var labels = edges.select(col("src").as("did")).distinct()
+        .withColumn("label", col("did"))
+        .localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIterations) {
+        val prop = edges.join(labels.withColumnRenamed("did", "src"), Seq("src"))
+          .select(col("dst").as("did"), col("label"))
+        val next = labels.unionByName(prop)
+          .groupBy("did").agg(min("label").as("label"))
+          .localCheckpoint(true)
+        converged = next.as("n")
+          .join(labels.as("o"), "did")
+          .where(col("n.label") =!= col("o.label"))
+          .isEmpty
+        labels = next
+        iter += 1
+      }
+      labels
     }
-    labels
   }
 
   /** End-to-end corpus dedup: MinHash-LSH candidates at `thresholdPpm`

@@ -113,12 +113,15 @@ class PipelineSpec extends AnyFunSuite {
 
   test("cluster labels reach fixpoint on chains longer than any fixed budget") {
     // a 7-link path (diameter 7): the old 5-sweep bound split this into
-    // multiple clusters; fixpoint iteration must collapse it to one
+    // multiple clusters; both resolution paths must collapse it to one
     val chain = (1L to 7L).map(i => (i, i + 1)).toDF("ida", "idb")
-    val labels = Dedup.clusterLabels(chain)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.size === 8)
-    assert(labels.values.toSet === Set(1L), s"expected one cluster, got $labels")
+    for (gate <- Seq(4000000L /* driver union-find */, 0L /* distributed */)) {
+      val labels = Dedup.clusterLabels(chain, driverMaxEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.size === 8)
+      assert(labels.values.toSet === Set(1L),
+        s"gate=$gate expected one cluster, got $labels")
+    }
   }
 
   test("quality filter drops short and low-diversity docs") {
