@@ -151,6 +151,15 @@ object FsImageSource {
         }: _*)
   }
 
+  /** Convert-once path: materialize an ingested namespace as parquet in
+    * the inodes schema. Re-loading via the `inodes:` locator is then a
+    * columnar scan with predicate pushdown and column pruning — the right
+    * production shape for repeated analysis, instead of re-parsing the
+    * TSV and re-deriving quota usage every session. */
+  def exportParquet(spark: SparkSession, dumpPath: String,
+                    outDir: String): Unit =
+    inodes(spark, dumpPath).write.mode("overwrite").parquet(outDir)
+
   // ---------------------------------------------------------------------------
   // DuckDB mirror of the derivation above, for oracle checks over the SAME
   // dump file. `oiv` is the final CTE (quota-usage columns mirrored via a

@@ -54,13 +54,19 @@ object InodeView {
   /** The inodes DataFrame for a source locator:
     *   - `oiv:<path>` → a real namespace, ingested from an OIV delimited
     *     dump ([[graft.ingest.FsImageSource]]) — the production front door;
+    *   - `inodes:<path>` → a namespace already materialized in this schema
+    *     (e.g. by [[graft.ingest.FsImageSource.exportParquet]]) — columnar
+    *     re-load with pushdown/pruning, no re-derivation;
     *   - anything else → the TPCH-derived synthetic fixture (files ∪ dirs)
     *     used for oracle-checked correctness at scale factors.
-    * Both produce the identical [[columns]] schema, so every operator and
-    * the snapshot cache work unchanged against either. */
+    * All produce the identical [[columns]] schema, so every operator and
+    * the snapshot cache work unchanged against any of them. */
   def inodes(spark: SparkSession, dir: String): DataFrame =
     if (dir.startsWith("oiv:"))
       graft.ingest.FsImageSource.inodes(spark, dir.stripPrefix("oiv:"))
+        .select(columns.map(col): _*)
+    else if (dir.startsWith("inodes:"))
+      spark.read.parquet(dir.stripPrefix("inodes:"))
         .select(columns.map(col): _*)
     else {
       val fs = files(spark, dir)

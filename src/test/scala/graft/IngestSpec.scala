@@ -92,6 +92,21 @@ class IngestSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("; "))
   }
 
+  test("export to parquet and reload via inodes: locator, bit-identical") {
+    val out = java.nio.file.Files.createTempDirectory("graft-inodes-").toString
+    graft.ingest.FsImageSource.exportParquet(spark, IngestQueries.DumpPath, out)
+    val reloaded = InodeView.snapshot(spark, s"inodes:$out")
+    assert(reloaded.columns.toSeq === InodeView.columns)
+    assert(reloaded.count() === inodes.count())
+    // full-row equivalence both directions
+    assert(reloaded.exceptAll(inodes).isEmpty && inodes.exceptAll(reloaded).isEmpty)
+    // pruning/pushdown reach the parquet scan on the reloaded namespace
+    val plan = reloaded.where(col("isFile") && col("fileSize") > 0)
+      .select("path", "fileSize").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(isFile)") ||
+      plan.contains("InMemoryTableScan")) // snapshot cache may serve it
+  }
+
   test("under-quota ancestry spans 3 levels (quota at depth 1, files at 4)") {
     val under = graft.engine.PathStructure
       .underQuota(inodes, "nsQuota").where(col("isFile"))
