@@ -21,7 +21,12 @@ object PlanAudit {
       "nna_filter_count",      // column pruning through the inode derivation
       "nna_histogram_user",    // partial agg + single shuffle expected
       "q3_top_orders",         // join strategy: broadcast for dims
-      "ann_bruteforce_top5")   // broadcast nested loop over corpus scan
+      "ann_bruteforce_top5",   // broadcast nested loop over corpus scan
+      "ann_ivf_top5",          // cell assignment: NO exchange above the scan
+      "nna_ingest_oiv",        // OIV ingest: CSV scan + two linear shuffles
+      "dedup_minhash_lsh",     // banded join: only (band,hash,id) shuffles
+      "nna_under_ns_quota",    // narrow ancestor walk: 16-byte shuffle rows
+      "nna_histogram_user_salted") // two-phase salted group-by
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
