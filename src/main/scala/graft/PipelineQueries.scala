@@ -291,6 +291,32 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))),
 
+    // batch sessionization (30-min gaps): the window-function twin of the
+    // flatMapGroupsWithState streaming path, integer-exact per-user stats
+    "events_sessions" -> ((s, d) =>
+      streaming.EventsStream.sessionizeBatch(
+        Tables.events(s, d), 30L * 60 * 1000 * 1000000)),
+
+    // vocabulary census: exact distinct tokens (production uses
+    // approx_count_distinct at corpus scale — bounded-error HLL, no
+    // value shuffle; the exact twin is the verifiable baseline)
+    "text_vocab" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct"))),
+
+    // top terms by document frequency (stopword discovery / vocab pruning)
+    "text_top_terms" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(pipeline.TextAnalysis.tokens(col("text"))))
+            .as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok").asc)
+        .limit(20)),
+
     // as-of join: each purchase matched to the user's most recent prior
     // error event (composition: union + one keyed window — one shuffle)
     "events_asof_join" -> ((s, d) => {
@@ -720,6 +746,29 @@ object PipelineQueries {
       ("SELECT event_type, COUNT(*) AS n, " +
        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum " +
        "FROM events GROUP BY event_type"),
+
+    "events_sessions" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id FROM events), " +
+       "f AS (SELECT user_id, ts, event_id, " +
+       "CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+       "> 1800000000000 THEN 1 ELSE 0 END AS new_sess FROM e), " +
+       "g AS (SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id " +
+       "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM f), " +
+       "h AS (SELECT user_id, sess, COUNT(*) AS n_events FROM g " +
+       "GROUP BY user_id, sess) " +
+       "SELECT user_id, CAST(MAX(sess) + 1 AS BIGINT) AS n_sessions, " +
+       "MAX(n_events) AS max_session_events FROM h GROUP BY user_id"),
+
+    "text_vocab" ->
+      (s"WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents) " +
+       "SELECT COUNT(*) AS n_tokens, " +
+       "CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct FROM tok"),
+
+    "text_top_terms" ->
+      (s"WITH tok AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok " +
+       "FROM documents) " +
+       "SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok " +
+       "ORDER BY df DESC, tok ASC LIMIT 20"),
 
     "events_asof_join" ->
       ("SELECT a.event_id, a.user_id, " +

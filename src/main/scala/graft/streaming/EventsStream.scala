@@ -68,6 +68,31 @@ object EventsStream {
       }.toDF()
   }
 
+  /** Batch (window-function) sessionization over the same gap semantics as
+    * [[sessionize]]: a new session starts when the gap to the previous
+    * event of the same user exceeds `gapNs`. One shuffle on user_id;
+    * nanosecond-integer arithmetic end to end, so per-user session stats
+    * are exactly reproducible in SQL — the oracle-checked twin of the
+    * stateful streaming path. Output: (user_id, n_sessions,
+    * max_session_events). */
+  def sessionizeBatch(events: DataFrame, gapNs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_sess",
+        when(col("ts") - lag("ts", 1).over(w) > gapNs, 1L).otherwise(0L))
+      .withColumn("sess", sum("new_sess").over(run))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg((max(col("sess")) + 1L).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"))
+  }
+
   /** Run a streaming query to completion against the static fixture
     * (memory sink) and return the result table. */
   def runToMemory(spark: SparkSession, streamed: DataFrame,

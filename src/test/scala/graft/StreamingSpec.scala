@@ -67,4 +67,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("end") >= r.getAs[Long]("start")))
     assert(rows.forall(r => r.getAs[Long]("n") >= 1))
   }
+
+  test("batch sessionization: known gaps; agrees with the streaming path") {
+    import spark.implicits._
+    val m = 60L * 1000 * 1000000 // one minute in ns
+    // user 1: events at 0,10,50min -> gaps 10,40 -> 2 sessions (2 evs, 1 ev)
+    // user 2: one event -> 1 session
+    val ev = Seq(
+      (1L, 0L * m, 100L), (1L, 10L * m, 101L), (1L, 50L * m, 102L),
+      (2L, 5L * m, 200L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = EventsStream.sessionizeBatch(ev, gapNs = 30L * m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === (2L, 2L))
+    assert(got(2L) === (1L, 1L))
+    // vs streaming on the fixture: every user's LAST session stays open in
+    // state, so batch counts exactly one more session per user with events
+    val streamed = spark.table("sessions") // from the previous test's run
+      .groupBy("userId").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("closed"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = EventsStream.sessionizeBatch(
+        graft.core.Tables.events(spark, dir), 30L * m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (uid, n) =>
+      assert(n === streamed.getOrElse(uid, 0L) + 1,
+        s"user $uid: batch $n vs closed ${streamed.getOrElse(uid, 0L)}")
+    }
+  }
+
+  test("approx_count_distinct tracks the exact vocabulary within 5%") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.core.Tables.documents(spark, dir)
+      .select(explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+    val r = toks.agg(
+      countDistinct(col("tok")).as("exact"),
+      approx_count_distinct(col("tok")).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
 }
