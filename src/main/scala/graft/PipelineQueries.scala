@@ -317,6 +317,22 @@ object PipelineQueries {
         .orderBy(col("df").desc, col("tok").asc)
         .limit(20)),
 
+    // operator composition: per-language corpus stats (language-ID keying
+    // a quality aggregation) — the everyday filter-then-report shape of a
+    // multilingual training-data pipeline
+    "text_lang_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+          pipeline.TextAnalysis.langId(col("text")).as("pred_lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          pipeline.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(col("n_tokens")).as("tokens"),
+          floor(avg(col("n_tokens"))).cast("long").as("avg_tokens"))
+    }),
+
     // as-of join: each purchase matched to the user's most recent prior
     // error event (composition: union + one keyed window — one shuffle)
     "events_asof_join" -> ((s, d) => {
@@ -708,6 +724,17 @@ object PipelineQueries {
        "ORDER BY ida, idb"),
 
     "text_langid" -> langIdSql,
+
+    "text_lang_stats" ->
+      (s"WITH lang AS ($langIdSql), " +
+       s"st AS (SELECT d.doc_id, l.pred_lang, length(d.text) AS n_chars, " +
+       s"len($toksSql) AS n_tokens " +
+       "FROM documents d JOIN lang l ON l.doc_id = d.doc_id) " +
+       "SELECT pred_lang, COUNT(*) AS n_docs, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS chars, " +
+       "CAST(SUM(n_tokens) AS BIGINT) AS tokens, " +
+       "CAST(FLOOR(AVG(n_tokens)) AS BIGINT) AS avg_tokens " +
+       "FROM st GROUP BY pred_lang"),
 
     "text_quality_full" ->
       (s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text, " +
