@@ -170,6 +170,25 @@ class ApiSpec extends AnyFunSuite {
     assert(op2.progress._1 === 0)
   }
 
+  test("usage metrics: per-user per-ip counters and JSON shape") {
+    UsageMetrics.clear()
+    UsageMetrics.userLoggedIn("alice", "10.0.0.1")
+    UsageMetrics.userMadeQuery("alice", "10.0.0.1")
+    UsageMetrics.userMadeQuery("alice", "10.0.0.2")
+    UsageMetrics.userMadeQuery("alice", "10.0.0.1")
+    UsageMetrics.userLoggedOut("alice", "10.0.0.1")
+    UsageMetrics.userMadeQuery("bob", "10.0.0.3")
+    val json = UsageMetrics.userMetricsJson
+    assert(json ===
+      """{"users": [{"userName": "alice", """ +
+      """"queryCountsByIp": {"10.0.0.1": 2, "10.0.0.2": 1}, """ +
+      """"loginCountsByIp": {"10.0.0.1": 1}, """ +
+      """"logoutCountsByIp": {"10.0.0.1": 1}}, """ +
+      """{"userName": "bob", "queryCountsByIp": {"10.0.0.3": 1}, """ +
+      """"loginCountsByIp": {}, "logoutCountsByIp": {}}]}""")
+    UsageMetrics.clear()
+  }
+
   test("query guard cancels a running query promptly") {
     import scala.concurrent.Await
     import scala.concurrent.duration._
