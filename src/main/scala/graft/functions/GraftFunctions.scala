@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** One-call SQL registration for the engine's custom expressions, so
+  * `spark.sql` users get them by name:
+  *
+  *   - `cosine_similarity(a, b)`            — codegen'd cosine
+  *   - `lsh_buckets(e, planes, bands)`      — banded hyperplane buckets
+  *   - `ngram_shingles(tokens, n)`          — distinct word n-grams
+  *
+  * Plan-time parameters (planes/bands/n) must be integer literals — they
+  * shape the generated code, exactly like the Column API.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    CosineSimilarity.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_buckets",
+      exprs => LshBuckets(exprs(0),
+        intLit(exprs(1), "planes"), intLit(exprs(2), "bands")),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_shingles",
+      exprs => NGramShingles(exprs(0), intLit(exprs(1), "n")),
+      "scala_udf")
+  }
+}

@@ -40,6 +40,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("registerAll exposes the whole custom-function surface to SQL") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    vecs.createOrReplaceTempView("vecs_t")
+    val b = spark.sql(
+      "SELECT lsh_buckets(a, 4, 2) AS bk FROM vecs_t WHERE id = 1").head()
+      .getSeq[Long](0)
+    assert(b.length === 2 && b(0) < 16 && b(1) >= 16 && b(1) < 32)
+    val sh = spark.sql(
+      "SELECT ngram_shingles(split('a b c d', ' '), 3) AS sh").head()
+      .getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+    // plan-time params must be literals
+    intercept[Exception] {
+      spark.sql("SELECT ngram_shingles(split('a b', ' '), id) FROM vecs_t")
+        .collect()
+    }
+  }
+
   test("malformed input yields null, not a plausible number") {
     // length mismatch
     val mis = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
