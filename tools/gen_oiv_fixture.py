@@ -7,6 +7,7 @@ in the public `hdfs oiv -p Delimited` format (PBImageDelimitedTextWriter):
 its provenance. Regenerate with: python3 tools/gen_oiv_fixture.py
 """
 import os
+import sys
 
 HEADER = ("Path\tReplication\tModificationTime\tAccessTime\tPreferredBlockSize"
           "\tBlocksCount\tFileSize\tNSQUOTA\tDSQUOTA\tPermission\tUserName\tGroupName")
@@ -37,7 +38,16 @@ users = [("alice", "eng"), ("bob", "eng"), ("carol", "data"), ("hdfs", "hdfs")]
 exts = [".parquet", ".csv", ".log", ".gz", ""]
 perms = ["-rw-r--r--", "-rwxr-xr-x", "-rw-rw----", "-rw-r--r--+"]  # last has ACL
 
-for i in range(80):
+# optional scale-stress mode: `gen_oiv_fixture.py <n_files> <out.tsv>`
+# generates extra dirs under /data/raw/2024 so trees deepen with n;
+# the default (no args) regenerates the checked-in 92-inode fixture
+n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 80
+if n_files > 80:
+    for d in range(n_files // 1000 + 1):
+        dir_row(f"/data/raw/2024/batch{d:04d}", "2024-02-01 00:00",
+                ns=(5000 if d % 10 == 0 else -1))
+
+for i in range(n_files):
     user, group = users[i % 4]
     year = 2023 + (i % 3)
     month = 1 + (i * 5) % 12
@@ -51,11 +61,15 @@ for i in range(80):
     repl = 1 + (i % 3)
     perm = perms[i % 4]
     ext = exts[i % 5]
-    parent = ["/data/raw/2024", "/data/raw/2025", "/data/clean",
-              "/user/alice", "/user/bob/proj", "/tmp"][i % 6]
+    if n_files > 80:
+        parent = f"/data/raw/2024/batch{i // 1000:04d}"
+    else:
+        parent = ["/data/raw/2024", "/data/raw/2025", "/data/clean",
+                  "/user/alice", "/user/bob/proj", "/tmp"][i % 6]
     file_row(f"{parent}/f{i:03d}{ext}", repl, mod, acc, bs, nblocks, size, perm, user, group)
 
-out = os.path.join(os.path.dirname(__file__), "..", "fixtures", "oiv_mini.tsv")
+out = (sys.argv[2] if len(sys.argv) > 2 else
+       os.path.join(os.path.dirname(__file__), "..", "fixtures", "oiv_mini.tsv"))
 os.makedirs(os.path.dirname(out), exist_ok=True)
 with open(out, "w") as f:
     f.write(HEADER + "\n")
