@@ -317,6 +317,28 @@ object PipelineQueries {
         .orderBy(col("df").desc, col("tok").asc)
         .limit(20)),
 
+    // deterministic train/val/test assignment from the portable id hash —
+    // reproducible across runs/engines/cluster sizes, census oracled
+    "corpus_splits" -> ((s, d) =>
+      pipeline.Curation.withSplit(Tables.documents(s, d), col("doc_id"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))),
+
+    // 5-gram benchmark decontamination: docs 0–49 play the eval set; any
+    // training doc sharing a 5-gram with it is flagged and dropped
+    "corpus_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.where(col("doc_id") < 50)
+      val train = docs.where(col("doc_id") >= 50)
+      val cont = pipeline.Curation.contaminatedIds(
+        train, bench, "doc_id", col("text"), 5)
+      val clean = pipeline.Curation.decontaminate(
+        train, bench, "doc_id", col("text"), 5)
+      train.agg(count(lit(1)).as("n_train"))
+        .crossJoin(cont.agg(count(lit(1)).as("n_contaminated")))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+    }),
+
     // operator composition: per-language corpus stats (language-ID keying
     // a quality aggregation) — the everyday filter-then-report shape of a
     // multilingual training-data pipeline
@@ -394,6 +416,15 @@ object PipelineQueries {
   // ---- DuckDB mirrors of the hash-based dedup operators ----
   // Dedup.portableHash is md5-hex-parse and the permutations are integer
   // affine maps, so signatures, band keys and simhashes reproduce exactly.
+
+  /** CTEs `tk → shl` mirroring [[graft.pipeline.Dedup.shingles]] for
+    * word `n`-grams (distinct, single-space-joined, short-text fallback). */
+  private def shingleCtes(n: Int): String =
+    s"""tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       shl AS (SELECT doc_id, CASE WHEN len(tk) >= $n THEN
+           list_distinct(list_transform(generate_series(1, len(tk) - ${n - 1}),
+             i -> array_to_string(tk[i:i+${n - 1}], ' ')))
+         ELSE [array_to_string(tk, ' ')] END AS sh FROM tk)"""
 
   /** CTE chain `tk → shl → mex → msig → mband → mcand → mest` mirroring
     * [[graft.pipeline.Dedup.minhashCandidates]] (shingleN=3, perms=64,
@@ -724,6 +755,25 @@ object PipelineQueries {
        "ORDER BY ida, idb"),
 
     "text_langid" -> langIdSql,
+
+    "corpus_splits" ->
+      ("WITH b AS (SELECT n_chars, " +
+       "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 " +
+       "AS bucket FROM documents) " +
+       "SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' " +
+       "ELSE 'test' END AS split, COUNT(*) AS n_docs, " +
+       "CAST(SUM(n_chars) AS BIGINT) AS chars FROM b GROUP BY 1"),
+
+    "corpus_decontaminate" ->
+      (s"WITH ${shingleCtes(5)}, " +
+       "ex AS (SELECT doc_id, unnest(sh) AS g FROM shl), " +
+       "bg AS (SELECT DISTINCT g FROM ex WHERE doc_id < 50), " +
+       "cont AS (SELECT DISTINCT e.doc_id FROM ex e JOIN bg USING (g) " +
+       "WHERE e.doc_id >= 50) " +
+       "SELECT (SELECT COUNT(*) FROM documents WHERE doc_id >= 50) AS n_train, " +
+       "(SELECT COUNT(*) FROM cont) AS n_contaminated, " +
+       "(SELECT COUNT(*) FROM documents WHERE doc_id >= 50) - " +
+       "(SELECT COUNT(*) FROM cont) AS n_clean"),
 
     "text_lang_stats" ->
       (s"WITH lang AS ($langIdSql), " +

@@ -150,6 +150,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(part.nonEmpty && part.forall(_.getLong(2) <= 3))
   }
 
+  test("curation: splits are deterministic, exhaustive, roughly sized") {
+    val docs5 = core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val s1 = Curation.withSplit(docs5, $"doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Curation.withSplit(docs5, $"doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 === s2) // same assignment every run
+    val bywSplit = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bywSplit.keySet === Set("train", "val", "test"))
+    assert(bywSplit("train") > bywSplit("val") && bywSplit("train") > bywSplit("test"))
+    // sample is a subset consistent with the bucket rule
+    val sample = Curation.deterministicSample(docs5, $"doc_id", 10).count()
+    assert(sample > 0 && sample < docs5.count() / 5)
+  }
+
+  test("decontamination removes exactly the flagged docs") {
+    val docsAll = core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docsAll.where($"doc_id" < 50)
+    val train = docsAll.where($"doc_id" >= 50)
+    val cont = Curation.contaminatedIds(train, bench, "doc_id", $"text", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(cont.nonEmpty)
+    val clean = Curation.decontaminate(train, bench, "doc_id", $"text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean.intersect(cont).isEmpty)
+    assert(clean.size + cont.size === train.count())
+    // an exact duplicate of a benchmark doc must always be flagged
+    val dupOfBench = bench.limit(1).withColumn("doc_id", lit(99999L))
+    val cont2 = Curation.contaminatedIds(
+      train.unionByName(dupOfBench), bench, "doc_id", $"text", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(cont2.contains(99999L))
+  }
+
   test("int8 quantization: absmax maps to ±127, full length, exact scale") {
     val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qv = Similarity.quantizeInt8(emb).collect()
