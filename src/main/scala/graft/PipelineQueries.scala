@@ -330,10 +330,11 @@ object PipelineQueries {
       val docs = Tables.documents(s, d)
       val bench = docs.where(col("doc_id") < 50)
       val train = docs.where(col("doc_id") >= 50)
+      // one contamination scan (checkpointed); the clean count still runs
+      // the real anti-join rather than subtracting, as a consistency check
       val cont = pipeline.Curation.contaminatedIds(
-        train, bench, "doc_id", col("text"), 5)
-      val clean = pipeline.Curation.decontaminate(
-        train, bench, "doc_id", col("text"), 5)
+        train, bench, "doc_id", col("text"), 5).localCheckpoint(true)
+      val clean = train.join(cont, Seq("doc_id"), "left_anti")
       train.agg(count(lit(1)).as("n_train"))
         .crossJoin(cont.agg(count(lit(1)).as("n_contaminated")))
         .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
