@@ -38,10 +38,10 @@ object AsOfJoin {
       .withColumn("__is_left", lit(false))
       .withColumn("__r", rStruct)
     val unioned = lTagged.select(
-      left.columns.map(col) :+ col("__is_left") :+ col("__r"): _*)
+      (left.columns.map(col) :+ col("__is_left") :+ col("__r")).toSeq: _*)
       .unionByName(rTagged.select(
-        left.columns.map(c => if (right.columns.contains(c)) col(c)
-          else lit(null).as(c)) :+ col("__is_left") :+ col("__r"): _*))
+        (left.columns.map(c => if (right.columns.contains(c)) col(c)
+          else lit(null).as(c)) :+ col("__is_left") :+ col("__r")).toSeq: _*))
     // right rows sort before left rows at equal ts → inclusive match
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("__is_left").asc)
@@ -49,7 +49,7 @@ object AsOfJoin {
     unioned
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__is_left"))
-      .select(left.columns.map(col) ++
-        rightCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
+      .select((left.columns.map(col) ++
+        rightCols.map(c => col("__asof").getField(c).as(s"asof_$c"))).toSeq: _*)
   }
 }

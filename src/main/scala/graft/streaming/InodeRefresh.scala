@@ -21,13 +21,13 @@ object InodeRefresh {
     * 'delete' tombstones drop the row. */
   def applyBatch(current: DataFrame, mutations: DataFrame): DataFrame = {
     val cols = current.columns.filter(c => c != "op" && c != "seq")
-    val base = current.select(cols.map(col): _*)
+    val base = current.select(cols.map(col).toSeq: _*)
       .withColumn("op", lit("upsert")).withColumn("seq", lit(Long.MinValue))
-    val all = base.unionByName(mutations.select((cols.map(col) :+ col("op") :+ col("seq")): _*))
+    val all = base.unionByName(mutations.select((cols.map(col) :+ col("op") :+ col("seq")).toSeq: _*))
     val w = Window.partitionBy(col("id")).orderBy(col("seq").desc)
     all.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1 && col("op") =!= "delete")
-      .select(cols.map(col): _*)
+      .select(cols.map(col).toSeq: _*)
   }
 
   /** Tail a directory of mutation parquet files, maintaining a published

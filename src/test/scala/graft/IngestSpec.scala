@@ -92,6 +92,28 @@ class IngestSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("; "))
   }
 
+  test("malformed dump rows parse permissively to nulls, never crash") {
+    // a row with too few columns and one with a non-numeric size: Spark's
+    // CSV PERMISSIVE default nulls the broken fields; derivations carry
+    // the nulls through and aggregates simply exclude them (SQL semantics)
+    val dir = java.nio.file.Files.createTempDirectory("graft-oiv-bad-")
+    val tsv = dir.resolve("bad.tsv")
+    java.nio.file.Files.writeString(tsv,
+      "Path\tReplication\tModificationTime\tAccessTime\tPreferredBlockSize" +
+      "\tBlocksCount\tFileSize\tNSQUOTA\tDSQUOTA\tPermission\tUserName\tGroupName\n" +
+      "/ok\t3\t2024-01-01 00:00\t2024-01-01 00:00\t134217728\t1\t100\t0\t0\t-rw-r--r--\tu\tg\n" +
+      "/short-row\t1\n" +
+      "/bad-size\t3\t2024-01-01 00:00\t2024-01-01 00:00\t134217728\t1\tNOTANUMBER\t0\t0\t-rw-r--r--\tu\tg\n")
+    val df = graft.ingest.FsImageSource.inodes(spark, tsv.toString)
+    assert(df.count() === 3) // nothing dropped silently
+    val bySize = df.select("path", "fileSize").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(bySize("/ok") === Some(100L))
+    assert(bySize("/bad-size") === None)
+    // aggregates still run; the good row's value survives
+    assert(df.agg(sum("fileSize")).head().getLong(0) === 100L)
+  }
+
   test("export to parquet and reload via inodes: locator, bit-identical") {
     val out = java.nio.file.Files.createTempDirectory("graft-inodes-").toString
     graft.ingest.FsImageSource.exportParquet(spark, IngestQueries.DumpPath, out)
