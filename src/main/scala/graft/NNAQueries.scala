@@ -370,6 +370,17 @@ object NNAQueries {
           find = Some(("avg", "memoryConsumed"))),
         inodes(s, d))),
 
+    // size-distribution percentiles (capacity-planning census; the exact
+    // `percentile` here is the verifiable twin of approx_percentile, the
+    // sketch production uses at namespace scale)
+    "nna_size_percentiles" -> ((s, d) =>
+      files(s, d).selectExpr(
+        "count(*) AS n",
+        "floor(percentile(fileSize, 0.5)) AS p50",
+        "floor(percentile(fileSize, 0.9)) AS p90",
+        "floor(percentile(fileSize, 0.99)) AS p99",
+        "max(fileSize) AS p100")),
+
     // G7 `/token`: per-user last-seen from delegation tokens. The token
     // frame is derived deterministically from `events` (principal strings
     // with host/realm decorations + an occasional distinct realUser) so the
@@ -766,6 +777,13 @@ object NNAQueries {
       "SELECT \"group\" AS key, CAST(FLOOR(AVG(CASE WHEN isFile " +
       "THEN 150 + 150 * numBlocks ELSE 150 END)) AS BIGINT) AS value " +
       "FROM inodes GROUP BY \"group\""),
+
+    "nna_size_percentiles" -> oracle(
+      "SELECT COUNT(*) AS n, " +
+      "CAST(FLOOR(quantile_cont(fileSize, 0.5)) AS BIGINT) AS p50, " +
+      "CAST(FLOOR(quantile_cont(fileSize, 0.9)) AS BIGINT) AS p90, " +
+      "CAST(FLOOR(quantile_cont(fileSize, 0.99)) AS BIGINT) AS p99, " +
+      "CAST(MAX(fileSize) AS BIGINT) AS p100 FROM inodes WHERE isFile"),
 
     "nna_token_users" ->
       ("WITH tok AS (SELECT " +
