@@ -248,6 +248,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(saltedSum === plainSum)
   }
 
+  test("multimodal: resize stub stamps target dims + content fingerprint") {
+    val assets = Multimodal.syntheticAssets(
+      core.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .where($"modality" === "image").limit(5)
+    val resized = Multimodal.stubResize(assets, 224, 224)
+    val rows = resized.select("resized_meta.width", "resized_meta.height",
+      "resized_fingerprint").collect()
+    assert(rows.length === 5)
+    assert(rows.forall(r => r.getInt(0) === 224 && r.getInt(1) === 224))
+    // fingerprint is a deterministic function of (content, dims)
+    val again = Multimodal.stubResize(assets, 224, 224)
+      .select("resized_fingerprint").collect().map(_.getLong(0)).toSet
+    assert(again === rows.map(_.getLong(2)).toSet)
+    val other = Multimodal.stubResize(assets, 64, 64)
+      .select("resized_fingerprint").collect().map(_.getLong(0)).toSet
+    assert(other.intersect(again).isEmpty)
+  }
+
   test("multimodal: frame sampling slices payload bytes") {
     val assets = Multimodal.syntheticAssets(
       core.Tables.documents(spark, "/root/testdata/sf0.001"))

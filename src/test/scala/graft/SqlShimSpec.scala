@@ -87,6 +87,18 @@ class SqlShimSpec extends AnyFunSuite {
       Some("avg:fileSize"))
   }
 
+  test("strict parity path dump: SELECT path + filters + LIMIT") {
+    val strict = Session(strictParity = true)
+    val rows = run("SELECT path FROM files WHERE `user` = 'u1' LIMIT 7", strict)
+      .collect()
+    assert(rows.length === 7)
+    assert(rows.map(_.getString(0)).distinct.length === 7)
+    // superset mode gives the same paths for the same shape
+    val sup = run("SELECT path FROM files WHERE `user` = 'u1' ORDER BY path LIMIT 7")
+      .collect().map(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq === sup.toSeq) // dump sorts by path
+  }
+
   test("strict parity executes through the native engine, same results") {
     val strict = Session(strictParity = true)
     val a = run("SELECT COUNT(*) FROM files WHERE fileSize = 0", strict)
