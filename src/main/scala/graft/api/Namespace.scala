@@ -24,4 +24,17 @@ object Namespace {
     InodeView.invalidate(dir)
     InodeView.snapshot(spark, dir)
   }
+
+  /** Persist the namespace BUCKETED on a join/group key (saved as a table —
+    * bucketing metadata lives in the catalog). Queries keyed on the bucket
+    * column then run with NO exchange: the scan already provides the hash
+    * distribution, so per-directory aggregations (`dirNumChildren`-style
+    * `groupBy(parent)`) and parent-keyed self-joins skip their shuffle —
+    * the "reuse a partitioning across stages" play for hot namespace keys
+    * at cluster scale. */
+  def saveBucketed(inodes: DataFrame, table: String, bucketCol: String,
+                   buckets: Int = 32): Unit =
+    inodes.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
 }

@@ -96,6 +96,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("bucketed namespace: key-matched aggregation runs with no exchange") {
+    val inodes = graft.inodes.InodeView.snapshot(spark, dir)
+    graft.api.Namespace.saveBucketed(inodes, "inodes_bucketed", "parent", 8)
+    try {
+      val t = spark.table("inodes_bucketed")
+      val agg = t.groupBy("parent").count()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed groupBy(parent) should not shuffle:\n$plan")
+      // same results as the unbucketed aggregation
+      val expect = inodes.groupBy("parent").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === expect)
+    } finally spark.sql("DROP TABLE IF EXISTS inodes_bucketed")
+  }
+
   test("vector expressions stay inside whole-stage codegen") {
     val emb = graft.core.Tables.embeddings(spark, dir)
     val cents = graft.pipeline.Similarity.centroids(emb, 4)
