@@ -232,15 +232,20 @@ object Similarity {
     * verify so each pair is scored once. */
   def cosineNearDupPairs(df: DataFrame, thresholdPpm: Long,
                          planes: Int = 8, bands: Int = 4): DataFrame = {
-    val v = df.select(col("vec_id").as("vid"), col("embedding").as("e"),
+    // only (bucket, id) flows through the self-join and the pair dedup —
+    // carrying the vectors through the band explosion multiplies shuffle
+    // bytes by dim × collisions; they join back once per UNIQUE pair
+    val v = df.select(col("vec_id").as("vid"),
       explode(graft.functions.LshBuckets.lsh_buckets(
         col("embedding"), planes, bands)).as("bucket"))
-    val l = v.select(col("bucket"), col("vid").as("ida"), col("e").as("ea"))
-    val r = v.select(col("bucket"), col("vid").as("idb"), col("e").as("eb"))
-    l.join(r, Seq("bucket"))
+    val pairs = v.select(col("bucket"), col("vid").as("ida"))
+      .join(v.select(col("bucket"), col("vid").as("idb")), Seq("bucket"))
       .where(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), col("ea"), col("eb"))
+      .select("ida", "idb")
       .dropDuplicates("ida", "idb")
+    pairs
+      .join(df.select(col("vec_id").as("ida"), col("embedding").as("ea")), Seq("ida"))
+      .join(df.select(col("vec_id").as("idb"), col("embedding").as("eb")), Seq("idb"))
       .withColumn("sim_ppm",
         floor(cosine(col("ea"), col("eb")) * 1000000.0).cast("long"))
       .where(col("sim_ppm") >= thresholdPpm)
