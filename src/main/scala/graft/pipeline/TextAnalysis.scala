@@ -24,16 +24,22 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "zu", "mit", "den"),
     "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"))
 
-  /** Count of tokens present in a marker set (occurrence count, not distinct). */
+  /** Count of tokens present in a marker set (occurrence count, not
+    * distinct) — compiled one-set case of
+    * [[graft.functions.MarkerHits]]. */
   def markerHits(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, t => array_contains(lit(markers.toArray), t))).cast("long")
+    element_at(graft.functions.MarkerHits.marker_hits(toks, Seq(markers)), 1)
 
   /** Predicted language: argmax of marker-hit counts; ties broken by
-    * language code order; `und` when no marker hits at all. */
+    * language code order; `und` when no marker hits at all. ALL languages
+    * score in one compiled pass over the tokens. */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
     val langs = stopwords.keys.toSeq.sorted
-    val scores = langs.map(l => l -> markerHits(toks, stopwords(l)))
+    val counts = graft.functions.MarkerHits.marker_hits(
+      tokens(text), langs.map(stopwords))
+    val scores = langs.zipWithIndex.map { case (l, i) =>
+      l -> element_at(counts, i + 1)
+    }
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((l, s), acc) =>
       when(best > 0 && s === best, lit(l)).otherwise(acc)
