@@ -562,9 +562,12 @@ object PipelineQueries {
          WHERE rank <= $k)"""
 
   /** CTE chain mirroring `ivfKmeansTopK(nlist=16, nprobe=4, k=5, iters=1)`:
-    * float-centroid assignment, integer-quantized Lloyd update (`//` is
-    * floor division, matching Math.floorDiv), cosDSql-ranked re-assignment
-    * and probes over the refined double centroids. */
+    * float-centroid assignment, integer-quantized Lloyd update, cosDSql-ranked
+    * re-assignment and probes over the refined double centroids. The engine's
+    * update uses `Math.floorDiv` (floors toward −∞); DuckDB `//` TRUNCATES
+    * toward zero (−7//2 = −3, floorDiv gives −4), which diverges whenever a
+    * cell's quantized component sum is negative — so the mirror subtracts the
+    * positive modulus first, making `//` exact floor division. */
   private def ivfKmeansSql(nlist: Int, nprobe: Int, k: Int): String =
     s"""cent0 AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
          ORDER BY vec_id LIMIT $nlist),
@@ -583,7 +586,7 @@ object PipelineQueries {
            COUNT(*) AS n
          FROM updx GROUP BY cell, j),
        cent1 AS (
-         SELECT cell, list((s // n) / 1048576.0 ORDER BY j) AS cent
+         SELECT cell, list(((s - (((s % n) + n) % n)) // n) / 1048576.0 ORDER BY j) AS cent
          FROM upd GROUP BY cell),
        centr AS (
          SELECT c0.cent_id,

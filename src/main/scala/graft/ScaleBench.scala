@@ -39,7 +39,7 @@ object ScaleBench {
     val docs = base.select(col("doc_id"),
       when(col("doc_id") % 100 === 99,
         // near-dup of previous doc: same text modulo one planted token
-        concat(lag_text(spark, base), lit(" plantedtoken")))
+        concat(lag_text, lit(" plantedtoken")))
         .otherwise(col("text0")).as("text"))
       .localCheckpoint(true)
 
@@ -85,8 +85,7 @@ object ScaleBench {
 
   /** Previous row's text without a window-over-everything: doc i pairs
     * with doc i−1 via an equi-join on id (deterministic, shuffle-bounded). */
-  private def lag_text(spark: org.apache.spark.sql.SparkSession,
-                       base: org.apache.spark.sql.DataFrame) = {
+  private def lag_text = {
     // correlated lookup expressed as a join is overkill for a bench
     // generator — the duplicate pairs only need SOME shared source, so
     // reuse the deterministic text of doc_id - 1 by regenerating it

@@ -33,18 +33,27 @@ object CachedQueries {
   def list: Seq[String] = registry.keySet().asScala.toSeq.sorted
 
   /** Re-execute every registered query against the snapshot (one cycle).
-    * A query whose result exceeds [[MaxCachedRows]] is rejected (throws)
-    * rather than silently truncated or OOM-ing the driver. */
-  def refresh(inodes: DataFrame, nowMs: Long): Unit =
+    * A query whose result exceeds [[MaxCachedRows]] (or errors) is SKIPPED —
+    * its previous result stays served, its failure is recorded — and the
+    * cycle continues, so one bad registration can't leave every later query
+    * permanently stale. Returns the failures of this cycle by query name. */
+  def refresh(inodes: DataFrame, nowMs: Long): Map[String, Throwable] = {
+    val failures = Map.newBuilder[String, Throwable]
     registry.asScala.foreach { case (name, q) =>
-      val df = NNAQuery.execute(q.copy(now = nowMs), inodes)
-      val rows = df.limit(MaxCachedRows + 1).collect()
-      if (rows.length > MaxCachedRows)
-        throw new IllegalStateException(
-          s"cached query '$name' returned > $MaxCachedRows rows; " +
-          "register it with a limit or use the path-dump sink")
-      results.put(name, (nowMs, rows, df.columns.toSeq))
+      try {
+        val df = NNAQuery.execute(q.copy(now = nowMs), inodes)
+        val rows = df.limit(MaxCachedRows + 1).collect()
+        if (rows.length > MaxCachedRows)
+          throw new IllegalStateException(
+            s"cached query '$name' returned > $MaxCachedRows rows; " +
+            "register it with a limit or use the path-dump sink")
+        results.put(name, (nowMs, rows, df.columns.toSeq))
+      } catch {
+        case e: Exception => failures += name -> e
+      }
     }
+    failures.result()
+  }
 
   /** Latest cached result with its cycle timestamp (None if never run). */
   def latest(name: String): Option[(Long, Array[Row], Seq[String])] =

@@ -157,8 +157,7 @@ object Histograms {
     val salts = df.sparkSession.conf.get("graft.skew.salts", "0").toInt
     val h =
       if (salts > 1 && isAlgebraic(value))
-        df.withColumn("__salt",
-            pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+        df.withColumn("__salt", Skew.rowSalt(df, salts))
           .groupBy(key.as("key"), col("__salt"))
           .agg(value.as("__partial"))
           .groupBy(col("key")).agg(sum(col("__partial")).as("value"))
@@ -166,12 +165,18 @@ object Histograms {
     if (dropNoMapping) h.where(col("key") =!= "NO_MAPPING") else h
   }
 
-  /** Count and Sum partials recombine losslessly by summing. (Spark 4's
-    * functions API builds connect-style nodes, so the function name is
-    * read at the Column-node layer, pre-analysis.) */
+  /** Count and Sum partials recombine losslessly by summing — but ONLY the
+    * non-DISTINCT forms: count(DISTINCT x) partials per salt bucket would
+    * double-count values appearing in several buckets, so distinct
+    * aggregates refuse the salted path. (Spark 4's functions API builds
+    * connect-style nodes, so name + distinct flag are read at the
+    * Column-node layer, pre-analysis.) */
   private def isAlgebraic(value: Column): Boolean =
-    org.apache.spark.sql.GraftColumnBridge.functionName(value)
-      .exists(n => n.equalsIgnoreCase("count") || n.equalsIgnoreCase("sum"))
+    org.apache.spark.sql.GraftColumnBridge.functionNameDistinct(value)
+      .exists { case (n, isDistinct) =>
+        !isDistinct &&
+          (n.equalsIgnoreCase("count") || n.equalsIgnoreCase("sum"))
+      }
 
   /** Two-level histogram (`AbstractQueryEngine.java:934-945`). */
   def histogram2(df: DataFrame, key1: Column, key2: Column, value: Column): DataFrame =

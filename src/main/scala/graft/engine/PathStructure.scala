@@ -44,6 +44,46 @@ object PathStructure {
   /** ~100k paths ≈ a few MB broadcast — safely under driver limits. */
   val DefaultBroadcastRows: Long = 100000L
 
+  // The gate decision memoized per OWNER relation (the snapshot a derived
+  // build side came from) and a caller-chosen key: repeated quota-family
+  // queries against the same cached snapshot were re-running the bounded
+  // count on every invocation (the round-2 `nna_under_ns_quota` regression).
+  // Weak keys: entries die with the snapshot DataFrame; [[invalidateGates]]
+  // drops them eagerly on explicit snapshot invalidation.
+  private val gateCache = new java.util.WeakHashMap[
+    DataFrame, java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]()
+
+  private def gateDecision(owner: DataFrame, key: String, df: DataFrame,
+                           maxRows: Long): Boolean = {
+    val inner = gateCache.synchronized {
+      var m = gateCache.get(owner)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+        gateCache.put(owner, m)
+      }
+      m
+    }
+    val cached = inner.get(key)
+    if (cached != null) cached.booleanValue()
+    else {
+      // count OUTSIDE the cache lock — it is a (bounded) Spark job; a
+      // racing duplicate count is benign and reaches the same decision
+      val small = df.limit(maxRows.toInt + 1).count() <= maxRows
+      inner.put(key, java.lang.Boolean.valueOf(small))
+      small
+    }
+  }
+
+  /** [[gatedBroadcast]] with the decision memoized per (owner, key). */
+  def gatedBroadcastFor(owner: DataFrame, key: String, df: DataFrame,
+                        maxRows: Long = DefaultBroadcastRows): DataFrame =
+    if (gateDecision(owner, key, df, maxRows)) broadcast(df) else df
+
+  /** Drop memoized gate decisions for a snapshot (wired into
+    * [[graft.inodes.InodeView.invalidate]]). */
+  def invalidateGates(owner: DataFrame): Unit =
+    gateCache.synchronized { gateCache.remove(owner); () }
+
   /** Inodes that sit under any directory with the given quota kind.
     * `quotaField` ∈ {nsQuota, dsQuota}. Semi-join against the quota-dir
     * set — broadcast when small (the common case), shuffle otherwise.
@@ -59,7 +99,9 @@ object PathStructure {
       .where(!col("isFile") && col(quotaField) >= 0)
       .select(col("path").as("ancestor"))
     val hitIds = withAncestors(inodes.select(col("id"), col("path")))
-      .join(gatedBroadcast(quotaDirs, broadcastMaxRows), Seq("ancestor"), "left_semi")
+      .join(gatedBroadcastFor(inodes, s"quota:$quotaField:$broadcastMaxRows",
+          quotaDirs, broadcastMaxRows),
+        Seq("ancestor"), "left_semi")
       .select(col("id")).distinct()
     inodes.join(hitIds, Seq("id"), "left_semi")
   }
@@ -102,7 +144,9 @@ object PathStructure {
         .where(!col("isFile") && col(quotaCol) >= 0)
         .select(col("path").as("ancestor"))
       val hits = withAncestors(inodes.select(col("id"), col("path")))
-        .join(gatedBroadcast(quotaDirs), Seq("ancestor"), "left_semi")
+        .join(gatedBroadcastFor(inodes, s"quota:$quotaCol:$DefaultBroadcastRows",
+            quotaDirs),
+          Seq("ancestor"), "left_semi")
         .select(col("id")).distinct()
         .withColumn(field, lit(true))
       df = df.join(hits, Seq("id"), "left")

@@ -89,7 +89,14 @@ object FsImageSource {
     val parent = when(p === "/", "")
       .when(depth === 1, "/")
       .otherwise(substring(p, lit(1), (length(p) - length(name) - 1).cast("int")))
-    // the delimited format drops inode ids; derive a stable synthetic one
+    // The delimited format drops inode ids; derive a stable synthetic one.
+    // COLLISION BOUND: a 64-bit hash over n paths collides with probability
+    // ≈ n²/2⁶⁵ (birthday) — ~0.3% at 100M inodes, ~3% at 1B, ~50% at 4B; a
+    // collision silently merges two inodes in every id-keyed distinct /
+    // semi-join (underQuota hit-ids, CDC merge). For full-fidelity ingestion
+    // use the XML front door ([[FsImageXmlSource]]), which carries the REAL
+    // inode ids (unique by construction in the NameNode); the delimited path
+    // is kept for quick looks at dump files where ids are absent anyway.
     val id = xxhash64(p)
     val nsQuota = when(isFile, -1L).otherwise(col("NSQUOTA"))
     val dsQuota = when(isFile, -1L).otherwise(col("DSQUOTA"))

@@ -93,6 +93,7 @@ object InodeView {
       val df = inodes(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (cur != null) {
+        graft.engine.PathStructure.invalidateGates(cur._2)
         try cur._2.unpersist()
         catch { case _: Throwable => () } // stopped session: nothing to free
       }
@@ -101,10 +102,14 @@ object InodeView {
     }
   }
 
-  /** Drop a cached snapshot (reference `/reloadNamespace` analog). */
+  /** Drop a cached snapshot (reference `/reloadNamespace` analog), along
+    * with any broadcast-gate decisions memoized against it. */
   def invalidate(dir: String): Unit = {
     val e = snapshots.remove(dir)
-    if (e != null) e._2.unpersist()
+    if (e != null) {
+      graft.engine.PathStructure.invalidateGates(e._2)
+      e._2.unpersist()
+    }
   }
 
   /** File inodes: one per lineitem row. */

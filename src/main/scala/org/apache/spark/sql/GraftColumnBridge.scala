@@ -17,4 +17,13 @@ object GraftColumnBridge {
     case f: internal.UnresolvedFunction => Some(f.functionName)
     case _ => None
   }
+
+  /** (name, isDistinct) of the function a Column invokes. Callers deciding
+    * algebraic-recombination safety (salted two-phase aggregation) MUST
+    * check the distinct flag: count(DISTINCT x) partials do NOT recombine
+    * by summing. */
+  def functionNameDistinct(c: Column): Option[(String, Boolean)] = c.node match {
+    case f: internal.UnresolvedFunction => Some((f.functionName, f.isDistinct))
+    case _ => None
+  }
 }

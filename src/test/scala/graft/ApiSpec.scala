@@ -225,4 +225,36 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(fb === Map("hdfs" -> 999L, "n/a" -> -1L))
   }
+
+  test("query guard honors a cancel that lands before the job group binds") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    @volatile var bodyRan = false
+    val guarded = QueryGuard.runHooked(spark, "prebind-cancel", () => {
+      started.countDown()
+      gate.await() // hold the pool thread BEFORE setJobGroup
+    }) { bodyRan = true; 42 }
+    started.await()
+    guarded.cancel() // fires while the group is not yet bound
+    gate.countDown()
+    val err = intercept[Exception] { Await.result(guarded.result, 30.seconds) }
+    assert(err.isInstanceOf[QueryGuard.CancelledBeforeStart])
+    assert(!bodyRan, "cancelled query must not run its body")
+  }
+
+  test("cached queries: one failing query does not starve the rest") {
+    CachedQueries.clear()
+    CachedQueries.register("good_by_user",
+      NNAQuery(set = "files", histType = Some("user"), sum = Seq("count")))
+    CachedQueries.register("bad_hist_type",
+      NNAQuery(set = "files", histType = Some("noSuchKey"), sum = Seq("count")))
+    val failures = CachedQueries.refresh(ino, 777L)
+    assert(failures.keySet === Set("bad_hist_type"))
+    val Some((ts, rows, _)) = CachedQueries.latest("good_by_user")
+    assert(ts === 777L && rows.nonEmpty)
+    assert(CachedQueries.latest("bad_hist_type").isEmpty)
+    CachedQueries.clear()
+  }
 }

@@ -316,4 +316,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getLong(2) === 300) // 9 chars / 3 tokens * 100
     assert(r.getLong(3) === 333333) // 1 stopword of 3
   }
+
+  test("salts are deterministic: no monotonically_increasing_id in plans") {
+    // a retried task recomputes the same salt for the same row, so partial
+    // stage retries cannot double/drop salted partials
+    val files = graft.inodes.InodeView
+      .snapshot(spark, "/root/testdata/sf0.001").where($"isFile")
+    val saltedPlan = graft.engine.Skew
+      .saltedCount(files.select($"id", $"user"), $"user", salts = 4)
+      .queryExecution.executedPlan.toString
+    assert(!saltedPlan.contains("monotonically"), "salt must be deterministic")
+    spark.conf.set("graft.skew.salts", "8")
+    try {
+      val histPlan = graft.engine.Histograms
+        .histogram(files, $"user", count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(histPlan.contains("__salt") && !histPlan.contains("monotonically"))
+      // DISTINCT aggregates must refuse the salted path: per-salt distinct
+      // partials would double-count values split across buckets
+      val distinctPlan = graft.engine.Histograms
+        .histogram(files, $"user", count_distinct($"group"))
+        .queryExecution.executedPlan.toString
+      assert(!distinctPlan.contains("__salt"),
+        "count(DISTINCT) must not take the salted two-phase path")
+    } finally spark.conf.set("graft.skew.salts", "0")
+    // and twice the same salted query gives identical results
+    val a = graft.engine.Skew.saltedCount(files, $"user", 4).collect().toSet
+    val b = graft.engine.Skew.saltedCount(files, $"user", 4).collect().toSet
+    assert(a === b)
+  }
+
+  test("broadcast gate decision is memoized per snapshot and invalidated") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val ino = graft.inodes.InodeView.snapshot(spark, "/root/testdata/sf0.001")
+    def jobsDuring(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // listener events are async: wait until the count is stable
+        var last = -1; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val c = counter.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    def q(): Unit =
+      graft.engine.PathStructure.underQuota(ino, "nsQuota").count(): Unit
+    q() // warm: gate decision cached for (ino, nsQuota)
+    val warm = jobsDuring(q())
+    graft.engine.PathStructure.invalidateGates(ino)
+    val cold = jobsDuring(q())
+    // the bounded limit-count may stage over >1 job; what matters is that
+    // it runs at all when cold and not at all when memoized
+    assert(cold > warm,
+      s"invalidated gate must re-run the count (warm=$warm cold=$cold)")
+    assert(jobsDuring(q()) === warm, "gate must be memoized again after re-count")
+  }
 }

@@ -24,8 +24,11 @@ def main(sf_dir: str, out_dir: str) -> int:
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = sys.argv[3].split(',') if len(sys.argv) > 3 else None
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and not any(p in name for p in only):
+            continue
         try:
             want = con.execute(sql).df()
         except Exception as e:
