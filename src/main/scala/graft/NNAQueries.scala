@@ -381,6 +381,35 @@ object NNAQueries {
         "floor(percentile(fileSize, 0.99)) AS p99",
         "max(fileSize) AS p100")),
 
+    // The PRODUCTION percentile path: approx_percentile (GK sketch, bounded
+    // memory, no value shuffle — the only shape that holds at billions of
+    // inodes). Its guarantee is on RANK, not value: the returned value's
+    // rank is within n·(p ± 1/accuracy). The query verifies that guarantee
+    // in-engine — rank-position booleans per percentile — so the oracle
+    // (exact ranks + literal TRUEs) fails the round if the sketch ever
+    // drifts out of bounds. Two scalar aggregates crossJoined: scalar ×
+    // scalar, no distributed join.
+    "nna_size_percentiles_approx" -> ((s, d) => {
+      val fs = files(s, d)
+      val acc = 1000 // rank error ≤ n/1000
+      val approx = fs.selectExpr(
+        s"approx_percentile(fileSize, 0.5, $acc) AS a50",
+        s"approx_percentile(fileSize, 0.9, $acc) AS a90",
+        s"approx_percentile(fileSize, 0.99, $acc) AS a99")
+      def okExpr(p: Double, a: String): String = {
+        // ties make a value's rank an interval [cnt_lt, cnt_le]; the sketch
+        // is in-bounds when that interval intersects n·(p ± eps)
+        val eps = 1.0 / acc + 1e-9
+        s"(sum(CASE WHEN fileSize <= $a THEN 1 ELSE 0 END) >= floor(count(*) * ${p - eps})) AND " +
+        s"(sum(CASE WHEN fileSize < $a THEN 1 ELSE 0 END) <= ceil(count(*) * ${p + eps}))"
+      }
+      fs.crossJoin(approx).selectExpr(
+        "count(*) AS n",
+        okExpr(0.5, "a50") + " AS ok_p50",
+        okExpr(0.9, "a90") + " AS ok_p90",
+        okExpr(0.99, "a99") + " AS ok_p99")
+    }),
+
     // G7 `/token`: per-user last-seen from delegation tokens. The token
     // frame is derived deterministically from `events` (principal strings
     // with host/realm decorations + an occasional distinct realUser) so the
@@ -784,6 +813,12 @@ object NNAQueries {
       "CAST(FLOOR(quantile_cont(fileSize, 0.9)) AS BIGINT) AS p90, " +
       "CAST(FLOOR(quantile_cont(fileSize, 0.99)) AS BIGINT) AS p99, " +
       "CAST(MAX(fileSize) AS BIGINT) AS p100 FROM inodes WHERE isFile"),
+
+    // the sketch's rank guarantee, asserted by the oracle: the engine's
+    // booleans must all come back TRUE or the hash mismatches
+    "nna_size_percentiles_approx" -> oracle(
+      "SELECT COUNT(*) AS n, TRUE AS ok_p50, TRUE AS ok_p90, " +
+      "TRUE AS ok_p99 FROM inodes WHERE isFile"),
 
     "nna_token_users" ->
       ("WITH tok AS (SELECT " +

@@ -306,6 +306,22 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_tokens"),
           countDistinct(col("tok")).as("n_distinct"))),
 
+    // The PRODUCTION vocabulary path: approx_count_distinct (HLL++, one
+    // pass, fixed sketch memory, partials merge map-side — no value
+    // shuffle like exact DISTINCT needs at corpus scale). HLL++ with rsd r
+    // has standard error r·exact; the query checks |approx − exact| ≤ 5·r·
+    // exact in-engine (5σ ≈ never for a correct sketch) and returns the
+    // bound as a boolean the oracle pins to TRUE — a drifting sketch fails
+    // the round. Exact twin rides along as the oracled anchor value.
+    "text_vocab_approx" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("n_distinct"),
+          approx_count_distinct(col("tok"), rsd = 0.02).as("__approx"))
+        .select(col("n_distinct"),
+          (abs(col("__approx") - col("n_distinct"))
+            <= col("n_distinct") * lit(5 * 0.02)).as("within_bounds"))),
+
     // top terms by document frequency (stopword discovery / vocab pruning)
     "text_top_terms" -> ((s, d) =>
       Tables.documents(s, d)
@@ -388,6 +404,21 @@ object PipelineQueries {
         .groupBy(col("modality"))
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame"))).cast("long").as("frame_bytes"))
+    }),
+
+    // REAL image decode (javax.imageio, JDK codec): render deterministic
+    // PNGs executor-side, decode them back, and emit integer-exact pixel
+    // sums. The oracle recomputes the sums from the closed-form pixel
+    // formula — so a decode that flips a channel, drops a row, or is
+    // lossy in any way hash-mismatches. 24 images ≤ 32×32: the payload is
+    // small but the codec is the real one.
+    "multimodal_decode" -> ((s, d) => {
+      val specs = Tables.documents(s, d).where(col("doc_id") < 24)
+        .select(col("doc_id").as("asset_id"),
+          (col("doc_id") % 25 + 8).as("w"),
+          ((col("doc_id") * 3) % 25 + 8).as("h"))
+      val assets = pipeline.Multimodal.renderPngAssets(s, specs)
+      pipeline.Multimodal.decodeImageFeatures(s, assets).orderBy("asset_id")
     })
   )
 
@@ -664,6 +695,20 @@ object PipelineQueries {
        "SELECT 'video' AS modality, COUNT(*) AS n_frames, " +
        "CAST(SUM(fb) AS BIGINT) AS frame_bytes FROM fl WHERE fb > 0"),
 
+    // pixel sums from the closed form — decode must reproduce them exactly
+    "multimodal_decode" ->
+      ("WITH a AS (SELECT doc_id AS asset_id, doc_id % 25 + 8 AS w, " +
+       "(doc_id * 3) % 25 + 8 AS h FROM documents WHERE doc_id < 24), " +
+       "px AS (SELECT a.asset_id, a.w, a.h, gx.x, gy.y FROM a, " +
+       "generate_series(0, 32) gx(x), generate_series(0, 32) gy(y) " +
+       "WHERE gx.x < a.w AND gy.y < a.h) " +
+       "SELECT asset_id, CAST(MAX(w) AS INTEGER) AS width, " +
+       "CAST(MAX(h) AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels, " +
+       "CAST(SUM((x * 31 + y * 17 + asset_id * 7) % 256) AS BIGINT) AS sum_r, " +
+       "CAST(SUM((x * 31 + y * 17 + asset_id * 7 + 11) % 256) AS BIGINT) AS sum_g, " +
+       "CAST(SUM((x * 31 + y * 17 + asset_id * 7 + 22) % 256) AS BIGINT) AS sum_b " +
+       "FROM px GROUP BY asset_id ORDER BY asset_id"),
+
     "dedup_minhash_lsh" ->
       (s"WITH $minhashCtes " +
        "SELECT ida, idb, est_jaccard_ppm FROM mest " +
@@ -844,6 +889,11 @@ object PipelineQueries {
       (s"WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents) " +
        "SELECT COUNT(*) AS n_tokens, " +
        "CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct FROM tok"),
+
+    "text_vocab_approx" ->
+      (s"WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents) " +
+       "SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct, " +
+       "TRUE AS within_bounds FROM tok"),
 
     "text_top_terms" ->
       (s"WITH tok AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok " +

@@ -93,6 +93,38 @@ object EventsStream {
         max(col("n_events")).as("max_session_events"))
   }
 
+  /** Per-session frame twin of [[sessionize]] in BATCH: one row per
+    * session (userId, sess, start, end, n), ms-quantized exactly like the
+    * streaming fold (ts ns → ms BEFORE the gap compare). Dropping each
+    * user's last (still-open) session gives precisely the closed-session
+    * frame the streaming path emits — the exact-equivalence anchor. */
+  def sessionFramesBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val run = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .select(col("user_id"), (col("ts") / 1000000L).cast("long").as("ts_ms"),
+        col("event_id"))
+      .withColumn("new_sess",
+        when(col("ts_ms") - lag("ts_ms", 1).over(w) > gapMs, 1L).otherwise(0L))
+      .withColumn("sess", sum("new_sess").over(run))
+      .groupBy(col("user_id").as("userId"), col("sess"))
+      .agg(min("ts_ms").as("start"), max("ts_ms").as("end"),
+        count(lit(1)).as("n"))
+  }
+
+  /** RocksDB state store: the production config for stateful streaming.
+    * The default (HDFSBackedStateStoreProvider) keeps every user's session
+    * state as JVM heap objects per executor — at 100 TB-scale cardinality
+    * (hundreds of millions of keys) that's an OOM; RocksDB spills state to
+    * local disk with bounded heap, and ships in Spark core. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+
   /** Run a streaming query to completion against the static fixture
     * (memory sink) and return the result table. */
   def runToMemory(spark: SparkSession, streamed: DataFrame,

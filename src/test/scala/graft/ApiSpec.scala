@@ -257,4 +257,36 @@ class ApiSpec extends AnyFunSuite {
     assert(CachedQueries.latest("bad_hist_type").isEmpty)
     CachedQueries.clear()
   }
+
+  test("suggestions service: scheduled cycles append history; cancel mid-cycle") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val histDir = java.nio.file.Files.createTempDirectory("sugg").toString + "/hist"
+    // two explicit cycles with distinct timestamps -> two history generations
+    val c1 = SuggestionsService.cycle(spark, ino, Some(histDir), 1000L)
+    val s1 = Await.result(c1.result, 120.seconds)
+    val c2 = SuggestionsService.cycle(spark, ino, Some(histDir), 2000L)
+    val s2 = Await.result(c2.result, 120.seconds)
+    assert(s1.ts === 1000L && s2.ts === 2000L)
+    assert(s1.users > 0 && s1.cachedFailures.isEmpty)
+    val h = Sinks.readHistory(spark, histDir)
+    assert(h.select("cycle_ts").distinct().count() === 2)
+    assert(h.count() === s1.users + s2.users)
+    // the scheduled loop drives cycles by itself
+    var fakeNow = 10000L
+    val svc = new SuggestionsService.Service(spark, ino, None, intervalMs = 100,
+      clock = () => { fakeNow += 1000; fakeNow })
+    svc.start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (svc.history.size < 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    svc.stop()
+    assert(svc.history.size >= 2, "service loop must complete >= 2 cycles")
+    assert(svc.history.map(_.ts).distinct.size === svc.history.size)
+    // a cycle dies cluster-wide when cancelled mid-flight
+    val c3 = SuggestionsService.cycle(spark, ino, None, 3000L)
+    c3.cancel()
+    val err = intercept[Exception] { Await.result(c3.result, 60.seconds) }
+    assert(err != null)
+  }
 }

@@ -380,4 +380,37 @@ class PipelineSpec extends AnyFunSuite {
       s"invalidated gate must re-run the count (warm=$warm cold=$cold)")
     assert(jobsDuring(q()) === warm, "gate must be memoized again after re-count")
   }
+
+  test("approx twins stay inside their error bounds") {
+    val v = SparkEntry.queries("text_vocab_approx")(spark, "/root/testdata/sf0.001").head()
+    assert(v.getBoolean(1), s"HLL drifted >5 sigma: ${v}")
+    val pct = SparkEntry.queries("nna_size_percentiles_approx")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(pct.getBoolean(1) && pct.getBoolean(2) && pct.getBoolean(3),
+      s"approx_percentile rank outside 1/accuracy bound: ${pct}")
+  }
+
+  test("image decode: PNG round trip is pixel-exact; bad payloads flagged") {
+    import spark.implicits._
+    val specs = Seq((7L, 5, 4), (8L, 3, 3)).toDF("asset_id", "w", "h")
+    val assets = graft.pipeline.Multimodal.renderPngAssets(spark, specs)
+      .unionByName(Seq((99L, "not a png".getBytes("UTF-8")))
+        .toDF("asset_id", "content"))
+    val got = graft.pipeline.Multimodal.decodeImageFeatures(spark, assets)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    def sums(seed: Long, w: Int, h: Int) = {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = x * 31L + y * 17L + seed * 7L
+        sr += base % 256; sg += (base + 11) % 256; sb += (base + 22) % 256
+      }
+      (sr, sg, sb)
+    }
+    val (r7, g7, b7) = sums(7L, 5, 4)
+    assert(got(7L) === ((5, 4, 3, r7, g7, b7)))
+    val (r8, g8, b8) = sums(8L, 3, 3)
+    assert(got(8L) === ((3, 3, 3, r8, g8, b8)))
+    assert(got(99L) === ((-1, -1, -1, 0L, 0L, 0L)), "undecodable must be flagged, not dropped")
+  }
 }

@@ -108,4 +108,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx $approx vs exact $exact")
   }
+
+  test("100k-event randomized streaming/batch sessionization equivalence on RocksDB") {
+    import spark.implicits._
+    // seeded generator: ~500 users, ns timestamps over ~3 days, so gap
+    // splits are frequent and per-user event counts are in the hundreds
+    val rnd = new scala.util.Random(42)
+    val threeDaysNs = 3L * 24 * 3600 * 1000 * 1000000L
+    val rows = (0 until 100000).map { i =>
+      (rnd.nextInt(500).toLong, (rnd.nextDouble() * threeDaysNs).toLong, i.toLong)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("sess100k").toString + "/ev"
+    rows.toDF("user_id", "ts", "event_id")
+      // ONE file -> one streaming micro-batch: cross-batch event-time
+      // disorder is out of scope for the gap fold (files are unordered)
+      .coalesce(1).write.parquet(tmp)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType)))
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    EventsStream.useRocksDbStateStore(spark)
+    val gapMs = 10L * 60 * 1000
+    try {
+      val streamed = EventsStream.runToMemory(spark,
+        EventsStream.sessionize(spark,
+          spark.readStream.schema(schema).parquet(tmp), gapMs),
+        "sessions_100k")
+      assert(streamed.queryExecution.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+      val closedStreamed = streamed
+        .select($"userId", $"start", $"end", $"n")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch twin: identical sessions minus each user's open last one
+      val frames = EventsStream.sessionFramesBatch(
+        spark.read.parquet(tmp), gapMs)
+      val lastSess = frames.groupBy($"userId".as("u"))
+        .agg(max($"sess").as("last"))
+      val closedBatch = frames
+        .join(lastSess, frames("userId") === $"u" && $"sess" === $"last",
+          "left_anti")
+        .select($"userId", $"start", $"end", $"n")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(closedStreamed.size > 10000, s"only ${closedStreamed.size} closed sessions")
+      assert(closedStreamed === closedBatch,
+        s"streaming/batch mismatch: ${closedStreamed.size} vs ${closedBatch.size}; " +
+        s"sample diff ${(closedStreamed diff closedBatch).take(3)} / " +
+        s"${(closedBatch diff closedStreamed).take(3)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
