@@ -25,6 +25,17 @@ object IngestQueries {
   private def files(s: SparkSession): DataFrame = inodes(s).where(col("isFile"))
   private def oracle(select: String): String = FsImageSource.oracleCte(DumpPath) + select
 
+  /** Checked-in XML fsimage fixture + its authored flat ground truth
+    * (provenance: `tools/gen_fsimage_xml.py`). */
+  val XmlPath = "/root/repo/fixtures/fsimage_mini.xml"
+  val XmlFlatPath = "/root/repo/fixtures/fsimage_mini_flat.csv"
+  private val XmlLocator = s"oivxml:$XmlPath"
+
+  private def xmlInodes(s: SparkSession): DataFrame =
+    InodeView.snapshot(s, XmlLocator)
+  private def xmlOracle(select: String): String =
+    graft.ingest.FsImageXmlSource.oracleCte(XmlFlatPath) + select
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -76,7 +87,56 @@ object IngestQueries {
     "nna_ingest_under_quota" -> ((s, _) =>
       PathStructure.underQuota(inodes(s), "nsQuota")
         .where(col("isFile"))
-        .agg(count(lit(1)).as("cnt"), sum(col("fileSize")).as("bytes"))))
+        .agg(count(lit(1)).as("cnt"), sum(col("fileSize")).as("bytes"))),
+
+    // ---- XML (full-fidelity) ingestion: fixtures/fsimage_mini.xml ----
+    // The XML dump has NO paths — only (id, name) + parent→child id links —
+    // so these queries hash-check the distributed path reconstruction and
+    // every field the Delimited format drops (real ids, storage policy,
+    // EC, under-construction, snapshot membership).
+
+    // census pinning the reconstruction: per-depth counts, REAL id sums,
+    // block-sum file sizes, and a portable 60-bit hash over every path
+    "nna_ingest_xml_census" -> ((s, _) =>
+      xmlInodes(s).groupBy(col("depth"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("isFile"), 1L).otherwise(0L)).as("n_files"),
+          sum(col("id")).as("id_sum"),
+          sum(col("fileSize")).as("bytes"),
+          sum(col("numBlocks")).as("blocks"),
+          sum(col("permission")).as("perm_sum"),
+          sum(graft.pipeline.Dedup.portableHash(col("path")) % graft.pipeline.Dedup.HashP).as("path_hash_sum"))),
+
+    // K6 storage-policy histogram — the field the delimited dump loses
+    "nna_ingest_xml_storage" -> ((s, _) =>
+      Histograms.histogram(
+        xmlInodes(s).where(col("isFile")),
+        graft.engine.Fields.stringField("storageType"), count(lit(1)))),
+
+    // EC / under-construction / snapshot-membership recovery, plus the
+    // EC-aware replica key (K5 with Hadoop-3 semantics: EC files group
+    // under "EC", not their meaningless replication factor)
+    "nna_ingest_xml_ec_uc" -> ((s, _) =>
+      Histograms.histogram(
+        xmlInodes(s).where(col("isFile")),
+        Histograms.replicaKey(ecAware = true), count(lit(1)))),
+
+    "nna_ingest_xml_flags" -> ((s, _) =>
+      xmlInodes(s).agg(
+        sum(when(col("hasEcPolicy"), 1L).otherwise(0L)).as("n_ec"),
+        sum(when(col("isUnderConstruction"), 1L).otherwise(0L)).as("n_uc"),
+        sum(when(col("isWithSnapshot"), 1L).otherwise(0L)).as("n_snap"),
+        sum(when(col("hasAcl"), 1L).otherwise(0L)).as("n_acl"),
+        max(col("id")).as("max_id"),
+        countDistinct(col("id")).as("distinct_ids"))),
+
+    // quota usage over the reconstructed tree: composition of path
+    // rebuild + ancestor aggregation
+    "nna_ingest_xml_quota" -> ((s, _) =>
+      xmlInodes(s).where(col("hasQuota"))
+        .select(col("path"), col("nsQuota"), col("dsQuota"),
+          col("nsQuotaUsed"), col("dsQuotaUsed"), col("dirNumChildren"))))
 
   val oracleSql: Map[String, String] = Map(
     "nna_ingest_oiv" -> oracle("""
@@ -116,5 +176,42 @@ object IngestQueries {
       WHERE f.isFile AND EXISTS (
         SELECT 1 FROM oiv q
         WHERE NOT q.isFile AND q.nsQuota >= 0 AND q.path <> '/'
-          AND f.path LIKE q.path || '/%')"""))
+          AND f.path LIKE q.path || '/%')"""),
+
+    "nna_ingest_xml_census" -> xmlOracle("""
+      SELECT depth, COUNT(*) AS cnt,
+        CAST(SUM(CASE WHEN isFile THEN 1 ELSE 0 END) AS BIGINT) AS n_files,
+        CAST(SUM(id) AS BIGINT) AS id_sum,
+        CAST(SUM(fileSize) AS BIGINT) AS bytes,
+        CAST(SUM(numBlocks) AS BIGINT) AS blocks,
+        CAST(SUM(permission) AS BIGINT) AS perm_sum,
+        CAST(SUM(('0x' || substr(md5(path), 1, 15))::BIGINT % 2147483647) AS BIGINT)
+          AS path_hash_sum
+      FROM oivxml GROUP BY depth"""),
+
+    "nna_ingest_xml_storage" -> xmlOracle("""
+      SELECT CASE storagePolicyId WHEN 15 THEN 'LAZY_PERSIST'
+        WHEN 12 THEN 'ALL_SSD' WHEN 10 THEN 'ONE_SSD' WHEN 7 THEN 'HOT'
+        WHEN 5 THEN 'WARM' WHEN 2 THEN 'COLD' WHEN 1 THEN 'PROVIDED'
+        ELSE 'NO_MAPPING' END AS key, COUNT(*) AS value
+      FROM oivxml WHERE isFile GROUP BY 1"""),
+
+    "nna_ingest_xml_ec_uc" -> xmlOracle("""
+      SELECT CASE WHEN hasEcPolicy THEN 'EC'
+        ELSE CAST(fileReplica AS VARCHAR) END AS key, COUNT(*) AS value
+      FROM oivxml WHERE isFile GROUP BY 1"""),
+
+    "nna_ingest_xml_flags" -> xmlOracle("""
+      SELECT
+        CAST(SUM(CASE WHEN hasEcPolicy THEN 1 ELSE 0 END) AS BIGINT) AS n_ec,
+        CAST(SUM(CASE WHEN isUnderConstruction THEN 1 ELSE 0 END) AS BIGINT) AS n_uc,
+        CAST(SUM(CASE WHEN isWithSnapshot THEN 1 ELSE 0 END) AS BIGINT) AS n_snap,
+        CAST(SUM(CASE WHEN hasAcl THEN 1 ELSE 0 END) AS BIGINT) AS n_acl,
+        MAX(id) AS max_id,
+        CAST(COUNT(DISTINCT id) AS BIGINT) AS distinct_ids
+      FROM oivxml"""),
+
+    "nna_ingest_xml_quota" -> xmlOracle("""
+      SELECT path, nsQuota, dsQuota, nsQuotaUsed, dsQuotaUsed, dirNumChildren
+      FROM oivxml WHERE hasQuota"""))
 }

@@ -62,7 +62,10 @@ object InodeView {
     * All produce the identical [[columns]] schema, so every operator and
     * the snapshot cache work unchanged against any of them. */
   def inodes(spark: SparkSession, dir: String): DataFrame =
-    if (dir.startsWith("oiv:"))
+    if (dir.startsWith("oivxml:"))
+      graft.ingest.FsImageXmlSource.inodes(spark, dir.stripPrefix("oivxml:"))
+        .select(columns.map(col): _*)
+    else if (dir.startsWith("oiv:"))
       graft.ingest.FsImageSource.inodes(spark, dir.stripPrefix("oiv:"))
         .select(columns.map(col): _*)
     else if (dir.startsWith("inodes:"))
