@@ -533,7 +533,8 @@ object PipelineQueries {
        proj AS (
          SELECT vec_id, p,
            SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT) *
-               ((1103515245 * (p * 1000003 + j) + 12345) % 2147483648
+               (('0x' || substr(md5(CAST(p AS VARCHAR) || ',' ||
+                  CAST(j AS VARCHAR)), 1, 15))::BIGINT % 2147483648
                  - 1073741824)) AS proj
          FROM u CROSS JOIN
            (SELECT unnest(generate_series(0, ${bands * planes - 1})) AS p) pp

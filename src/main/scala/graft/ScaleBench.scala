@@ -29,6 +29,33 @@ object ScaleBench {
       println(f"SCALEBENCH $name ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
     }
 
+    /** Like t(), plus total shuffle-write volume across the job's stages —
+      * the evidence that candidate joins move (band, hash, id) tuples, not
+      * documents: bytes/record stays O(tens), independent of doc size. */
+    def tm(name: String)(f: => Any): Unit = {
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+            bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // listener bus drain
+      spark.sparkContext.removeSparkListener(l)
+      val bpr = if (recs.get() > 0) bytes.get().toDouble / recs.get() else 0.0
+      println(f"SCALEBENCH $name $sec%.2f s ($r) shuffleRecords=${recs.get()} " +
+        f"shuffleBytes=${bytes.get()} bytesPerRecord=$bpr%.1f")
+    }
+
     // --- corpus: ~40-token docs from a power-law-ish vocab; every 100th
     // doc is a near-duplicate of its predecessor (one token changed) ---
     val words = expr(
@@ -44,9 +71,18 @@ object ScaleBench {
       .localCheckpoint(true)
 
     t("corpus_count") { docs.count() }
-    t("minhash_candidates") {
+    tm("minhash_candidates") {
       pipeline.Dedup.minhashCandidates(docs, "doc_id", col("text"))
         .where(col("est_jaccard_ppm") >= 500000).count()
+    }
+    t("minhash_plant_recall") {
+      // ground truth: every doc with id % 100 == 99 is a near-dup of its
+      // predecessor; recall = planted pairs surfacing as LSH candidates
+      val found = pipeline.Dedup.minhashCandidates(docs, "doc_id", col("text"))
+        .where(col("est_jaccard_ppm") >= 500000)
+        .where(col("idb") === col("ida") + 1 && col("idb") % 100 === 99)
+        .count()
+      s"$found/${nDocs / 100} planted pairs"
     }
     t("dedup_corpus_end_to_end") {
       pipeline.Dedup.dedupCorpus(docs, "doc_id", col("text")).count()
@@ -55,11 +91,21 @@ object ScaleBench {
       pipeline.Dedup.simhashPairs(docs, "doc_id", col("text")).count()
     }
 
-    // --- embeddings: deterministic 64-dim vectors ---
+    // --- embeddings: deterministic 64-dim vectors; every 1000th is a
+    // PLANTED near-dup of its predecessor (one component nudged 5e-4 →
+    // cosine ≈ 0.9999) so near-dup recall is measurable, not vacuous ---
+    val vecFormula =
+      """transform(sequence(0, 63), j ->
+           cast(pmod(xxhash64(SRC, j), 2000) as float) / 1000.0 - 1.0
+             + (case when PLANT and j = 0 then cast(0.0005 as float)
+                else cast(0.0 as float) end))"""
     val emb = spark.range(nVecs)
-      .select(col("id").as("vec_id"), expr(
-        """transform(sequence(0, 63), j ->
-             cast(pmod(xxhash64(id, j), 2000) as float) / 1000.0 - 1.0)""")
+      .select(col("id").as("vec_id"),
+        expr(
+          s"""case when id % 1000 = 999
+             then ${vecFormula.replace("SRC", "id - 1").replace("PLANT", "true")}
+             else ${vecFormula.replace("SRC", "id").replace("PLANT", "false")}
+             end""")
         .cast("array<float>").as("embedding"))
       .localCheckpoint(true)
     val queries = emb.where(col("vec_id") < 10)
@@ -75,9 +121,23 @@ object ScaleBench {
     t("lsh_top10_banded") {
       pipeline.Similarity.lshTopK(queries, emb, 10, planes = 12, bands = 4).count()
     }
-    t("near_dup_pairs") {
+    // planes must SCALE with the corpus: with p planes a band has 2^p
+    // buckets, so expected occupancy is n/2^p and the verify stage costs
+    // ~n²/2^(p+1) pairs per band — at 1M vectors, 14 planes meant ~61 per
+    // bucket and ~120M verified pairs (9 minutes for nothing). Target ~4
+    // per bucket: p = log2(n) − 2.
+    val planes = math.max(14,
+      (math.log(nVecs.toDouble) / math.log(2)).ceil.toInt - 2)
+    tm(s"near_dup_pairs_planes$planes") {
       pipeline.Similarity.cosineNearDupPairs(emb, 900000L,
-        planes = 14, bands = 4).count()
+        planes = planes, bands = 4).count()
+    }
+    t("near_dup_plant_recall") {
+      val found = pipeline.Similarity.cosineNearDupPairs(emb, 900000L,
+          planes = planes, bands = 4)
+        .where(col("idb") === col("ida") + 1 && col("idb") % 1000 === 999)
+        .count()
+      s"$found/${nVecs / 1000} planted pairs"
     }
     t("quantize_int8") { pipeline.Similarity.quantizeInt8(emb).count() }
     spark.stop()

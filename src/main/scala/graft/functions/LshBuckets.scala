@@ -17,8 +17,13 @@ import org.apache.spark.sql.types._
   *   - components are quantized: `vq_j = ⌊e_j · 2^20⌋` (exact for float
   *     inputs — 2^20 scaling is a power of two);
   *   - plane `p`'s pseudo-random coefficient for 1-based dimension `j` is
-  *     `comp(p,j) = ((1103515245·(p·1000003 + j) + 12345) mod 2^31) − 2^30`
-  *     (a C-rand-style LCG mix — deterministic, no RNG state to ship);
+  *     `comp(p,j) = (md5("p,j")[0:15 hex] mod 2^31) − 2^30` — an md5
+  *     avalanche per (plane, dim) pair, computed ONCE per executor (the
+  *     cache below), never per row. A C-rand-style LCG over `p·k + j` was
+  *     tried first and is a trap: within a plane it makes the coefficient
+  *     vector an ARITHMETIC PROGRESSION in `j` (constant step mod 2^31),
+  *     so projections correlate across planes and bucket occupancy blows
+  *     up ~65× at 1M vectors (12k-vector buckets → a 4G-row self-join);
   *   - `proj_p = Σ_j vq_j · comp(p,j)`, sign → bit.
   * Overflow bound: |vq|·|comp|·dim ≤ 2^21·2^30·2^12 = 2^63 — safe for
   * |e_j| < 2 up to 4096 dims.
@@ -55,9 +60,11 @@ case class LshBuckets(child: Expression, planes: Int, bands: Int)
 
   private def comps(dim: Int): Array[Array[Long]] = {
     if (compCache == null || compCache(0).length != dim) {
+      val md = java.security.MessageDigest.getInstance("MD5")
       compCache = Array.tabulate(bands * planes, dim) { (p, j0) =>
-        ((1103515245L * (p * 1000003L + (j0 + 1)) + 12345L) % 2147483648L) -
-          1073741824L
+        val hex = md.digest(s"$p,${j0 + 1}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16) % 2147483648L - 1073741824L
       }
     }
     compCache

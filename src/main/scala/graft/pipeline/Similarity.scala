@@ -238,14 +238,26 @@ object Similarity {
     val v = df.select(col("vec_id").as("vid"),
       explode(graft.functions.LshBuckets.lsh_buckets(
         col("embedding"), planes, bands)).as("bucket"))
+    // SHUFFLE_HASH hint: both sides of the bucket self-join are the same
+    // corpus-sized exploded table, so broadcasting one (which Spark picks
+    // when upstream stats lie small — e.g. checkpointed RDDs report no
+    // size) ships n·bands rows to the driver and every executor. The
+    // symmetric shuffled hash join is the scale-safe plan; the hint takes
+    // precedence over the size-estimate broadcast decision.
     val pairs = v.select(col("bucket"), col("vid").as("ida"))
-      .join(v.select(col("bucket"), col("vid").as("idb")), Seq("bucket"))
+      .join(v.select(col("bucket"), col("vid").as("idb")).hint("shuffle_hash"),
+        Seq("bucket"))
       .where(col("ida") < col("idb"))
       .select("ida", "idb")
       .dropDuplicates("ida", "idb")
+    // join-backs: the embeddings side is corpus-sized — never its build
+    // side a broadcast (same stats hazard as above); candidates × corpus
+    // as a shuffled hash join stays linear at any corpus size
     pairs
-      .join(df.select(col("vec_id").as("ida"), col("embedding").as("ea")), Seq("ida"))
-      .join(df.select(col("vec_id").as("idb"), col("embedding").as("eb")), Seq("idb"))
+      .join(df.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+        .hint("shuffle_hash"), Seq("ida"))
+      .join(df.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+        .hint("shuffle_hash"), Seq("idb"))
       .withColumn("sim_ppm",
         floor(cosine(col("ea"), col("eb")) * 1000000.0).cast("long"))
       .where(col("sim_ppm") >= thresholdPpm)

@@ -138,4 +138,63 @@ class IngestSpec extends AnyFunSuite {
     assert(under.count() === expect.count())
     assert(under.count() > 0)
   }
+
+  test("binary fsimage spike: summary + INODE section parse by field number") {
+    // hand-rolled protobuf writer (varints only) building a minimal
+    // uncompressed fsimage in the public container layout; the reader
+    // must recover the section index and every inode stub
+    val bos = new java.io.ByteArrayOutputStream()
+    def varint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def field(out: java.io.ByteArrayOutputStream, no: Int, wire: Int): Unit =
+      varint(out, (no << 3) | wire)
+    def bytesField(out: java.io.ByteArrayOutputStream, no: Int, b: Array[Byte]): Unit = {
+      field(out, no, 2); varint(out, b.length); out.write(b)
+    }
+    def uintField(out: java.io.ByteArrayOutputStream, no: Int, v: Long): Unit = {
+      field(out, no, 0); varint(out, v)
+    }
+    // INODE section: header {lastInodeId=1, numInodes=2} + 3 inode stubs
+    val inodes = Seq((16385L, "", 2), (16386L, "data", 2), (16400L, "f0.parquet", 1))
+    val sec = new java.io.ByteArrayOutputStream()
+    val hdr = new java.io.ByteArrayOutputStream()
+    uintField(hdr, 1, 16400L); uintField(hdr, 2, inodes.size.toLong)
+    varint(sec, hdr.size.toLong); hdr.writeTo(sec)
+    inodes.foreach { case (id, name, tpe) =>
+      val m = new java.io.ByteArrayOutputStream()
+      uintField(m, 1, tpe.toLong); uintField(m, 2, id)
+      bytesField(m, 3, name.getBytes("UTF-8"))
+      varint(sec, m.size.toLong); m.writeTo(sec)
+    }
+    bos.write(graft.ingest.FsImageBinary.Magic)
+    val secOffset = bos.size.toLong
+    sec.writeTo(bos)
+    // FileSummary {ondisk=1, layout=-66 is negative; use readUInt32 range:
+    // write layout as its unsigned varint} + one Section entry
+    val sb = new java.io.ByteArrayOutputStream()
+    uintField(sb, 1, 1L); uintField(sb, 2, 0xffffffffL - 65) // -66 as uint32
+    val se = new java.io.ByteArrayOutputStream()
+    bytesField(se, 1, "INODE".getBytes("UTF-8"))
+    uintField(se, 2, sec.size.toLong); uintField(se, 3, secOffset)
+    bytesField(sb, 4, se.toByteArray)
+    val delimited = new java.io.ByteArrayOutputStream()
+    varint(delimited, sb.size.toLong); sb.writeTo(delimited)
+    delimited.writeTo(bos)
+    val lenBuf = java.nio.ByteBuffer.allocate(4).putInt(delimited.size)
+    bos.write(lenBuf.array())
+    val f = java.nio.file.Files.createTempFile("fsimage", ".bin")
+    java.nio.file.Files.write(f, bos.toByteArray)
+
+    val summary = graft.ingest.FsImageBinary.readSummary(f.toString)
+    assert(summary.ondiskVersion === 1)
+    assert(summary.sections === Seq(
+      graft.ingest.FsImageBinary.Section("INODE", secOffset, sec.size.toLong)))
+    val (n, stubs) = graft.ingest.FsImageBinary.readInodes(f.toString)
+    assert(n === 3)
+    assert(stubs.map(s => (s.id, s.name, s.isFile)) === Seq(
+      (16385L, "", false), (16386L, "data", false), (16400L, "f0.parquet", true)))
+  }
 }
