@@ -48,62 +48,101 @@ object PathStructure {
   // build side came from) and a caller-chosen key: repeated quota-family
   // queries against the same cached snapshot were re-running the bounded
   // count on every invocation (the round-2 `nna_under_ns_quota` regression).
-  // Weak keys: entries die with the snapshot DataFrame; [[invalidateGates]]
-  // drops them eagerly on explicit snapshot invalidation.
+  // The cached value is the SMALL SET ITSELF (sorted path array) when the
+  // gate passes — so the quota-ancestry check compiles to a zero-shuffle
+  // expression filter — or Boolean.FALSE past the gate. Weak keys: entries
+  // die with the snapshot DataFrame; [[invalidateGates]] drops them
+  // eagerly on explicit snapshot invalidation.
   private val gateCache = new java.util.WeakHashMap[
-    DataFrame, java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]()
+    DataFrame, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
 
-  private def gateDecision(owner: DataFrame, key: String, df: DataFrame,
-                           maxRows: Long): Boolean = {
+  /** Sorted path array when `df` (single string column) is provably small,
+    * None past the gate. The collect is BOUNDED (maxRows+1 rows, ≤ a few
+    * MB of paths) and happens once per (owner, key). */
+  private def gateSmallSet(owner: DataFrame, key: String, df: DataFrame,
+                           maxRows: Long): Option[Array[String]] = {
     val inner = gateCache.synchronized {
       var m = gateCache.get(owner)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
         gateCache.put(owner, m)
       }
       m
     }
     val cached = inner.get(key)
-    if (cached != null) cached.booleanValue()
-    else {
-      // count OUTSIDE the cache lock — it is a (bounded) Spark job; a
-      // racing duplicate count is benign and reaches the same decision
-      val small = df.limit(maxRows.toInt + 1).count() <= maxRows
-      inner.put(key, java.lang.Boolean.valueOf(small))
-      small
+    val v =
+      if (cached != null) cached
+      else {
+        // bounded collect OUTSIDE the cache lock — it is a Spark job; a
+        // racing duplicate collect is benign and reaches the same value
+        val rows = df.limit(maxRows.toInt + 1).collect()
+        val computed: AnyRef =
+          if (rows.length <= maxRows) {
+            val arr = rows.map(_.getString(0))
+            java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
+            arr
+          } else java.lang.Boolean.FALSE
+        inner.put(key, computed)
+        computed
+      }
+    v match {
+      case arr: Array[String] => Some(arr)
+      case _ => None
     }
   }
 
   /** [[gatedBroadcast]] with the decision memoized per (owner, key). */
   def gatedBroadcastFor(owner: DataFrame, key: String, df: DataFrame,
                         maxRows: Long = DefaultBroadcastRows): DataFrame =
-    if (gateDecision(owner, key, df, maxRows)) broadcast(df) else df
+    if (gateSmallSet(owner, key, df, maxRows).isDefined) broadcast(df) else df
 
   /** Drop memoized gate decisions for a snapshot (wired into
     * [[graft.inodes.InodeView.invalidate]]). */
   def invalidateGates(owner: DataFrame): Unit =
     gateCache.synchronized { gateCache.remove(owner); () }
 
+  /** Prime both quota-kind gate decisions (and their small-set arrays) for
+    * a snapshot. The sets are snapshot METADATA (two bounded collects over
+    * the cached relation); computing them during the load phase — next to
+    * the persist, like the reference precomputes its cached sets after the
+    * fsimage load — keeps them off the first quota query's critical path. */
+  def primeQuotaGates(inodes: DataFrame,
+                      maxRows: Long = DefaultBroadcastRows): Unit =
+    Seq("nsQuota", "dsQuota").foreach { q =>
+      val quotaDirs = inodes
+        .where(!col("isFile") && col(q) >= 0)
+        .select(col("path").as("ancestor"))
+      gateSmallSet(inodes, s"quota:$q:$maxRows", quotaDirs, maxRows)
+    }
+
   /** Inodes that sit under any directory with the given quota kind.
-    * `quotaField` ∈ {nsQuota, dsQuota}. Semi-join against the quota-dir
-    * set — broadcast when small (the common case), shuffle otherwise.
+    * `quotaField` ∈ {nsQuota, dsQuota}.
     *
-    * Shape: only (id, path) flows through the ancestor explode, and the
-    * hit-id set distincts on a single long before semi-joining the full
-    * relation back — the previous dropDuplicates-on-everything compiled to
-    * a SortAggregate carrying first() of all 26 columns through the
-    * explosion. */
+    * Two regimes behind the gate:
+    *   - quota dirs provably SMALL (the overwhelmingly common case —
+    *     admins set quotas on a bounded set of project roots): the sorted
+    *     path set rides into a codegen'd per-row prefix-membership
+    *     expression ([[graft.functions.PathUnderSet]]) — ONE projection
+    *     over the snapshot, zero shuffles, zero joins;
+    *   - past the gate: set-at-a-time ancestor explode + semi-join (only
+    *     (id, path) through the explode, hit ids distinct on a single
+    *     long, then one semi-join back) — linear at any dictionary size. */
   def underQuota(inodes: DataFrame, quotaField: String,
                  broadcastMaxRows: Long = DefaultBroadcastRows): DataFrame = {
     val quotaDirs = inodes
       .where(!col("isFile") && col(quotaField) >= 0)
       .select(col("path").as("ancestor"))
-    val hitIds = withAncestors(inodes.select(col("id"), col("path")))
-      .join(gatedBroadcastFor(inodes, s"quota:$quotaField:$broadcastMaxRows",
-          quotaDirs, broadcastMaxRows),
-        Seq("ancestor"), "left_semi")
-      .select(col("id")).distinct()
-    inodes.join(hitIds, Seq("id"), "left_semi")
+    gateSmallSet(inodes, s"quota:$quotaField:$broadcastMaxRows",
+        quotaDirs, broadcastMaxRows) match {
+      case Some(dirs) =>
+        inodes.where(graft.functions.PathUnderSet.path_under_set(
+          col("path"), dirs.toSeq))
+      case None =>
+        val hitIds = withAncestors(inodes.select(col("id"), col("path")))
+          .join(quotaDirs, Seq("ancestor"), "left_semi")
+          .select(col("id")).distinct()
+        inodes.join(hitIds, Seq("id"), "left_semi")
+    }
   }
 
   /** Subtree stats for EVERY directory in one shuffle: explode file ancestor
@@ -143,14 +182,20 @@ object PathStructure {
       val quotaDirs = inodes
         .where(!col("isFile") && col(quotaCol) >= 0)
         .select(col("path").as("ancestor"))
-      val hits = withAncestors(inodes.select(col("id"), col("path")))
-        .join(gatedBroadcastFor(inodes, s"quota:$quotaCol:$DefaultBroadcastRows",
-            quotaDirs),
-          Seq("ancestor"), "left_semi")
-        .select(col("id")).distinct()
-        .withColumn(field, lit(true))
-      df = df.join(hits, Seq("id"), "left")
-        .withColumn(field, coalesce(col(field), lit(false)))
+      gateSmallSet(inodes, s"quota:$quotaCol:$DefaultBroadcastRows",
+          quotaDirs, DefaultBroadcastRows) match {
+        case Some(dirs) =>
+          // zero-shuffle: the flag is a codegen'd prefix-set membership
+          df = df.withColumn(field,
+            graft.functions.PathUnderSet.path_under_set(col("path"), dirs.toSeq))
+        case None =>
+          val hits = withAncestors(inodes.select(col("id"), col("path")))
+            .join(quotaDirs, Seq("ancestor"), "left_semi")
+            .select(col("id")).distinct()
+            .withColumn(field, lit(true))
+          df = df.join(hits, Seq("id"), "left")
+            .withColumn(field, coalesce(col(field), lit(false)))
+      }
     }
     flag("isUnderNsQuota", "nsQuota")
     flag("isUnderDsQuota", "dsQuota")

@@ -77,23 +77,25 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("Join"))
   }
 
-  test("quota semi-join broadcasts when small, falls back past the gate") {
+  test("quota ancestry: zero-shuffle expression when small, join past the gate") {
     val inodes = graft.inodes.InodeView.snapshot(spark, dir)
-    // disable size-based auto-broadcast so the two cases are separable:
-    // a forced hint still broadcasts; the gated plan must not
-    val key = "spark.sql.autoBroadcastJoinThreshold"
-    val saved = spark.conf.get(key)
-    try {
-      spark.conf.set(key, "-1")
-      val small = graft.engine.PathStructure.underQuota(inodes, "nsQuota")
-        .queryExecution.executedPlan.toString
-      assert(small.contains("BroadcastHashJoin")) // hint overrides threshold
-      val big = graft.engine.PathStructure
-        .underQuota(inodes, "nsQuota", broadcastMaxRows = 1)
-        .queryExecution.executedPlan.toString
-      assert(!big.contains("BroadcastHashJoin")) // no hint: driver is safe
-      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"))
-    } finally spark.conf.set(key, saved)
+    // small quota-dir set → the whole check is a codegen'd filter over the
+    // snapshot: NO join, NO exchange anywhere in the plan
+    val smallFull = graft.engine.PathStructure.underQuota(inodes, "nsQuota")
+      .queryExecution.executedPlan.toString
+    // judge the plan ABOVE the snapshot cache scan: the InMemoryRelation
+    // string embeds the original derivation (which legitimately shuffles)
+    val small = smallFull.split("InMemoryRelation")(0)
+    assert(small.toLowerCase.contains("pathunderset"))
+    assert(!small.contains("Join") && !small.contains("Exchange"),
+      s"small case must be join- and shuffle-free:\n$small")
+    // past the gate: set-at-a-time explode + semi-join, no broadcast hint
+    // (the driver must never materialize an unbounded dir set)
+    val big = graft.engine.PathStructure
+      .underQuota(inodes, "nsQuota", broadcastMaxRows = 1)
+      .queryExecution.executedPlan.toString
+    assert(big.contains("Join"), s"big case must fall back to the join:\n$big")
+    assert(!big.toLowerCase.contains("pathunderset"))
   }
 
   test("bucketed namespace: key-matched aggregation runs with no exchange") {
