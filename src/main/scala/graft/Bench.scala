@@ -31,6 +31,14 @@ object Bench {
       val snap = graft.inodes.InodeView.snapshot(spark, sfDir)
       snap.count()
       graft.engine.PathStructure.primeQuotaGates(snap)
+      // the real-namespace ingest fixtures are namespace loads too — warm
+      // them here so nna_ingest_* times measure queries, not ingestion
+      Seq(s"oiv:${IngestQueries.DumpPath}",
+          s"oivxml:${IngestQueries.XmlPath}").foreach { loc =>
+        val s = graft.inodes.InodeView.snapshot(spark, loc)
+        s.count()
+        graft.engine.PathStructure.primeQuotaGates(s)
+      }
     }
 
     val failed = scala.collection.mutable.ListBuffer[String]()

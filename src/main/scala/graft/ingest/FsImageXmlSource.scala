@@ -101,7 +101,12 @@ object FsImageXmlSource {
     * loop would otherwise stack d joins of lineage onto level d. */
   def resolvePaths(spark: SparkSession, inodes: DataFrame,
                    links: DataFrame): DataFrame = {
-    val named = inodes.select(col("id"), coalesce(col("name"), lit("")).as("name"))
+    // (id, name) is referenced by EVERY level's join: materialize it once
+    // (narrow — two columns), or each level re-runs the upstream plan —
+    // for a raw XML input that is a full re-parse of the image per level
+    val named = inodes
+      .select(col("id"), coalesce(col("name"), lit("")).as("name"))
+      .localCheckpoint(true)
     val edges = links.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // root: an inode that is nobody's child
     var frontier = named
@@ -140,8 +145,12 @@ object FsImageXmlSource {
     * ancestor explode + groupBy for quota usage, and one broadcast-ranged
     * membership check for snapshot subtrees. */
   def inodes(spark: SparkSession, path: String): DataFrame = {
-    val raw = readInodes(spark, path)
-    val links = readDirLinks(spark, path)
+    // Parse the XML ONCE: the inode records feed the path loop, the field
+    // projection, the quota-usage explode and the snapshot join — without
+    // the checkpoint each of those re-parses the whole image text. The
+    // checkpointed relation is O(namespace) like the snapshot it feeds.
+    val raw = readInodes(spark, path).localCheckpoint(true)
+    val links = readDirLinks(spark, path).localCheckpoint(true)
     val paths = resolvePaths(spark, raw, links)
 
     val isFile = col("type") === "FILE"

@@ -23,8 +23,12 @@ Conventions mirrored by graft.ingest.FsImageXmlSource (documented there):
 
 The XML is checked in; this script documents its provenance.
 Regenerate with: python3 tools/gen_fsimage_xml.py
+Scale mode: `gen_fsimage_xml.py <n_files> <out_prefix>` writes
+<out_prefix>.xml / <out_prefix>_flat.csv with n_files files spread over
+dirs of ~1000 (3-level tree) — for `graft.XmlIngestBench`.
 """
 import os
+import sys
 
 QUOTA_UNLIMITED = 9223372036854775807
 
@@ -53,14 +57,26 @@ d(16398, "/snap/deep", mtime=1680086400000)
 
 leaf_dirs = ["/data/raw/2024", "/data/raw/2025", "/data/clean",
              "/user/alice", "/user/bob/proj", "/tmp", "/snap/deep"]
+
+N_FILES = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+if N_FILES > 30:
+    # scale mode: batch dirs under /data/raw/2024, ~1000 files each
+    nid = 17000
+    for b in range(N_FILES // 1000 + 1):
+        d(nid, f"/data/raw/2024/b{b:05d}",
+          nsq=(5000 if b % 10 == 0 else -1))
+        leaf_dirs.append(f"/data/raw/2024/b{b:05d}")
+        nid += 1
 users = [("alice", "eng"), ("bob", "eng"), ("carol", "data"), ("hdfs", "hdfs")]
 exts = [".parquet", ".csv", ".log", ".gz", ""]
 perms = ["0644", "0755", "0660", "0644"]
 spids = [0, 2, 5, 7, 10, 12]   # storage policies incl. COLD/WARM/HOT/SSD
 
-for i in range(30):
-    fid = 16400 + i
-    parent = leaf_dirs[i % len(leaf_dirs)]
+FILE_ID0 = 16400 if N_FILES <= 30 else 100000
+for i in range(N_FILES):
+    fid = FILE_ID0 + i
+    parent = leaf_dirs[7 + i % (len(leaf_dirs) - 7)] if N_FILES > 30 \
+        else leaf_dirs[i % len(leaf_dirs)]
     user, grp = users[i % 4]
     path = f"{parent}/f{i:03d}{exts[i % 5]}"
     mtime = 1672531200000 + i * 13 * 86400000
@@ -87,7 +103,7 @@ out = ['<?xml version="1.0"?>', "<fsimage>",
        "<genstampV1>1000</genstampV1><genstampV2>1010</genstampV2>"
        "<lastAllocatedBlockId>1073741900</lastAllocatedBlockId>"
        "<txid>4242</txid></NameSection>",
-       f"<INodeSection><lastInodeId>{16400 + len(files)}</lastInodeId>"
+       f"<INodeSection><lastInodeId>{FILE_ID0 + len(files)}</lastInodeId>"
        f"<numInodes>{len(dirs) + len(files)}</numInodes>"]
 
 for (id_, path, user, grp, perm, mtime, nsq, dsq, _snap) in dirs:
@@ -171,10 +187,15 @@ for (fid, path, user, grp, perm, mtime, atime, bs, blocks, spid, ec, uc,
                 f"{str(ec).lower()},{str(uc).lower()},{str(acl).lower()},"
                 f"-1,-1,false")
 
-base = os.path.join(os.path.dirname(__file__), "..", "fixtures")
-with open(os.path.join(base, "fsimage_mini.xml"), "w") as fh:
+if len(sys.argv) > 2:
+    xml_path, flat_path = sys.argv[2] + ".xml", sys.argv[2] + "_flat.csv"
+else:
+    base = os.path.join(os.path.dirname(__file__), "..", "fixtures")
+    xml_path = os.path.join(base, "fsimage_mini.xml")
+    flat_path = os.path.join(base, "fsimage_mini_flat.csv")
+with open(xml_path, "w") as fh:
     fh.write("\n".join(out) + "\n")
-with open(os.path.join(base, "fsimage_mini_flat.csv"), "w") as fh:
+with open(flat_path, "w") as fh:
     fh.write("\n".join(flat) + "\n")
 print(f"wrote {len(dirs)} dirs + {len(files)} files "
       f"({len(uc_files)} UC, {sum(1 for f in files if f[10])} EC, "
