@@ -151,6 +151,21 @@ object PipelineQueries {
         Tables.documents(s, d).select(col("doc_id"), col("text")), col("text"))
         .drop("text")),
 
+    // Gopher-style repetition signals (top word / top 2-gram share,
+    // duplicate 3-gram share) — the published boilerplate/spam gate of
+    // large-corpus curation, integer-ppm exact
+    "text_repetition" -> ((s, d) =>
+      pipeline.TextAnalysis.repetitionSignals(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
+    // the corresponding drop/keep census — fixture thresholds tightened
+    // below the synthetic corpus's signal range so every rule fires
+    // (at the published defaults a clean corpus keeps everything and the
+    // census would be a vacuous check)
+    "corpus_repetition_census" -> ((s, d) =>
+      pipeline.TextAnalysis.repetitionFilterCensus(Tables.documents(s, d),
+        topWordPpm = 100000L, topBigramPpm = 40000L, dupTrigramPpm = 10000L)),
+
     // ---- similarity search over `embeddings` ----
 
     // exact cosine top-5 for the first 5 vectors (baseline path)
@@ -526,6 +541,44 @@ object PipelineQueries {
          * sqrt(list_reduce(list_transform($b,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))))"""
 
+  /** CTE `rep(doc_id, n_words, top_word_ppm, top_bigram_ppm,
+    * dup_trigram_ppm)` mirroring `TextAnalysis.repetitionSignals`. */
+  private val repetitionCte: String =
+    """WITH w AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+         FROM documents),
+       g AS (
+         SELECT doc_id, w,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+         FROM w),
+       uni AS (
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top_w
+         FROM (SELECT doc_id, w, COUNT(*) AS c FROM g GROUP BY doc_id, w)
+         GROUP BY doc_id),
+       bi AS (
+         SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS top_bi
+         FROM (SELECT doc_id, w || ' ' || w2 AS gg, COUNT(*) AS c FROM g
+               WHERE w2 IS NOT NULL GROUP BY doc_id, gg)
+         GROUP BY doc_id),
+       tri AS (
+         SELECT doc_id, SUM(c) AS n_tri, COUNT(*) AS distinct_tri
+         FROM (SELECT doc_id, w || ' ' || w2 || ' ' || w3 AS gg, COUNT(*) AS c
+               FROM g WHERE w3 IS NOT NULL GROUP BY doc_id, gg)
+         GROUP BY doc_id),
+       rep AS (
+         SELECT u.doc_id, u.n_words,
+           CAST(FLOOR(u.top_w * 1000000.0 / u.n_words) AS BIGINT)
+             AS top_word_ppm,
+           CAST(COALESCE(FLOOR(b.top_bi * 1000000.0 / b.n_bi), 0) AS BIGINT)
+             AS top_bigram_ppm,
+           CAST(COALESCE(FLOOR((t.n_tri - t.distinct_tri) * 1000000.0
+             / t.n_tri), 0) AS BIGINT) AS dup_trigram_ppm
+         FROM uni u
+         LEFT JOIN bi b ON b.doc_id = u.doc_id
+         LEFT JOIN tri t ON t.doc_id = u.doc_id)"""
+
   /** CTE `bk(vec_id, bucket)` mirroring [[graft.functions.LshBuckets]]. */
   private def lshBkSql(planes: Int, bands: Int): String =
     s"""u AS (SELECT vec_id, unnest(embedding) AS v,
@@ -895,6 +948,22 @@ object PipelineQueries {
       (s"WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents) " +
        "SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct, " +
        "TRUE AS within_bounds FROM tok"),
+
+    "text_repetition" -> (repetitionCte +
+      " SELECT doc_id, n_words, top_word_ppm, top_bigram_ppm, " +
+      "dup_trigram_ppm FROM rep ORDER BY doc_id"),
+
+    "corpus_repetition_census" -> (repetitionCte +
+      """ SELECT COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN top_word_ppm > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS drop_top_word,
+        CAST(SUM(CASE WHEN top_bigram_ppm > 40000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS drop_top_bigram,
+        CAST(SUM(CASE WHEN dup_trigram_ppm > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS drop_dup_trigram,
+        CAST(SUM(CASE WHEN top_word_ppm <= 100000 AND top_bigram_ppm <= 40000
+          AND dup_trigram_ppm <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+      FROM rep"""),
 
     "text_top_terms" ->
       (s"WITH tok AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok " +

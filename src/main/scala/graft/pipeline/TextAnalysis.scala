@@ -73,6 +73,80 @@ object TextAnalysis {
     df.where(n >= minTokens && n <= maxTokens && distinctPpm >= minDistinctPpm)
   }
 
+  /** Repetition signals per document — the Gopher-style quality rules
+    * used to drop boilerplate/spam from training corpora (published in
+    * the Gopher paper's §A.1.1 filtering appendix and replicated by every
+    * open curation stack since):
+    *   - `top_word_ppm`: share of the single most frequent word,
+    *   - `top_bigram_ppm`: share of the most frequent word 2-gram,
+    *   - `dup_trigram_ppm`: share of 3-gram OCCURRENCES that are repeats
+    *     of an already-seen 3-gram.
+    * All integer ppm (floor) over word counts — engine-portable, so the
+    * whole computation carries a DuckDB oracle.
+    *
+    * Shape at scale: one posexplode (words), one window per doc for the
+    * n-gram shifts (partitioned by doc — distributes), then per-level
+    * hash aggregations keyed on (doc, gram). Everything is linear in
+    * total token count; no all-pairs, nothing on the driver. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w2", lead("w", 1).over(win))
+      .withColumn("w3", lead("w", 2).over(win))
+    val uni = grams.groupBy(col("doc_id"), col("w")).count()
+      .groupBy(col("doc_id"))
+      .agg(sum("count").as("n_words"), max("count").as("top_w"))
+    val bi = grams.where(col("w2").isNotNull)
+      .select(col("doc_id"), concat(col("w"), lit(" "), col("w2")).as("g"))
+      .groupBy(col("doc_id"), col("g")).count()
+      .groupBy(col("doc_id"))
+      .agg(sum("count").as("n_bi"), max("count").as("top_bi"))
+    val tri = grams.where(col("w3").isNotNull)
+      .select(col("doc_id"),
+        concat(col("w"), lit(" "), col("w2"), lit(" "), col("w3")).as("g"))
+      .groupBy(col("doc_id"), col("g")).count()
+      .groupBy(col("doc_id"))
+      .agg(sum("count").as("n_tri"), count(lit(1)).as("distinct_tri"))
+    uni.join(bi, Seq("doc_id"), "left").join(tri, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        floor(col("top_w") * 1000000L / col("n_words")).cast("long")
+          .as("top_word_ppm"),
+        coalesce(floor(col("top_bi") * 1000000L / col("n_bi")).cast("long"),
+          lit(0L)).as("top_bigram_ppm"),
+        coalesce(floor((col("n_tri") - col("distinct_tri")) * 1000000L /
+          col("n_tri")).cast("long"), lit(0L)).as("dup_trigram_ppm"))
+  }
+
+  /** Gopher-style repetition gate over [[repetitionSignals]]: census of
+    * documents dropped by each rule and kept overall. Defaults are the
+    * published thresholds (top word > 30 %, top 2-gram > 20 %, duplicate
+    * 3-grams > 30 %); they are parameters because every production corpus
+    * tunes them (and the test fixture uses tighter ones so each rule
+    * provably fires — a census that can only ever report "all kept" checks
+    * nothing). */
+  def repetitionFilterCensus(docs: DataFrame,
+                             topWordPpm: Long = 300000L,
+                             topBigramPpm: Long = 200000L,
+                             dupTrigramPpm: Long = 300000L): DataFrame = {
+    val s = repetitionSignals(docs)
+    s.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("top_word_ppm") > topWordPpm, 1L).otherwise(0L))
+        .as("drop_top_word"),
+      sum(when(col("top_bigram_ppm") > topBigramPpm, 1L).otherwise(0L))
+        .as("drop_top_bigram"),
+      sum(when(col("dup_trigram_ppm") > dupTrigramPpm, 1L).otherwise(0L))
+        .as("drop_dup_trigram"),
+      sum(when(col("top_word_ppm") <= topWordPpm &&
+          col("top_bigram_ppm") <= topBigramPpm &&
+          col("dup_trigram_ppm") <= dupTrigramPpm, 1L).otherwise(0L))
+        .as("kept"))
+  }
+
   /** Content fingerprint (md5 of normalized text) — portable across engines. */
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
 
