@@ -421,6 +421,45 @@ object PipelineQueries {
           sum(length(col("frame"))).cast("long").as("frame_bytes"))
     }),
 
+    // SEMANTIC corpus dedup: cluster the embedding near-dup graph and keep
+    // one representative per component — the embedding-space analog of
+    // dedup_corpus (fixture-tuned LSH: planes=6/bands=8, cosine ≥ 0.4 ppm
+    // threshold like emb_near_dup, so the graph is non-trivial)
+    "emb_dedup_corpus" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = pipeline.Similarity.cosineNearDupPairs(
+        emb, 400000L, planes = 6, bands = 8)
+      val labels = pipeline.Dedup.clusterLabels(pairs)
+      val losers = labels.where(col("label") < col("did"))
+        .agg(count(lit(1)).as("__losers"))
+      emb.agg(count(lit(1)).as("total_vecs")).crossJoin(losers)
+        .select(col("total_vecs"),
+          (col("total_vecs") - col("__losers")).as("kept_vecs"))
+    }),
+
+    // Stratified per-language sampling: deterministic hash-rank within
+    // each language stratum, k per stratum — the reproducible
+    // "balanced subset" primitive of corpus curation. The census pins the
+    // exact sampled SET (id sums), not just counts.
+    "corpus_stratified_sample" -> ((s, d) => {
+      val k = 20
+      val lang = Tables.documents(s, d).select(col("doc_id"),
+        pipeline.TextAnalysis.langId(col("text")).as("pred_lang"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("pred_lang")
+        .orderBy(pipeline.Dedup.portableHash(
+          concat(lit("smp:"), col("doc_id").cast("string"))).asc,
+          col("doc_id").asc)
+      lang.withColumn("rk", row_number().over(w))
+        .groupBy(col("pred_lang"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("rk") <= k, 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("rk") <= k, col("doc_id")).otherwise(0L))
+            .as("sample_id_sum"))
+        .orderBy("pred_lang")
+    }),
+
     // REAL image decode (javax.imageio, JDK codec): render deterministic
     // PNGs executor-side, decode them back, and emit integer-exact pixel
     // sums. The oracle recomputes the sums from the closed-form pixel
@@ -827,6 +866,34 @@ object PipelineQueries {
        "FROM qq GROUP BY vec_id, absmax ORDER BY vec_id"),
 
     "ann_lsh_recall" -> recallSql(lshTopkSql(4, 4, 5), "lsh_topk"),
+
+    "emb_dedup_corpus" ->
+      (s"WITH RECURSIVE ${lshBkSql(6, 8)}, " +
+       "cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb " +
+       "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+       s"scored AS (SELECT c.ida, c.idb, ${cosDSql("ea.embedding", "eb.embedding")} AS sim " +
+       "FROM cand c JOIN embeddings ea ON ea.vec_id = c.ida " +
+       "JOIN embeddings eb ON eb.vec_id = c.idb), " +
+       "nd0 AS (SELECT ida, idb FROM scored WHERE FLOOR(sim * 1000000) >= 400000), " +
+       "cedges AS (SELECT ida AS src, idb AS dst FROM nd0 " +
+       "UNION ALL SELECT idb, ida FROM nd0), " +
+       "reach AS (SELECT DISTINCT src AS did, src AS label FROM cedges " +
+       "UNION SELECT e.dst AS did, r.label FROM reach r " +
+       "JOIN cedges e ON e.src = r.did), " +
+       "comp AS (SELECT did, MIN(label) AS label FROM reach GROUP BY did), " +
+       "nlosers AS (SELECT COUNT(*) AS n FROM comp WHERE label < did) " +
+       "SELECT (SELECT COUNT(*) FROM embeddings) AS total_vecs, " +
+       "(SELECT COUNT(*) FROM embeddings) - (SELECT n FROM nlosers) AS kept_vecs"),
+
+    "corpus_stratified_sample" ->
+      (s"WITH lang AS ($langIdSql), rk AS (" +
+       "SELECT doc_id, pred_lang, ROW_NUMBER() OVER (PARTITION BY pred_lang " +
+       "ORDER BY ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, " +
+       "doc_id) AS rk FROM lang) " +
+       "SELECT pred_lang, COUNT(*) AS n_total, " +
+       "CAST(SUM(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled, " +
+       "CAST(SUM(CASE WHEN rk <= 20 THEN doc_id ELSE 0 END) AS BIGINT) " +
+       "AS sample_id_sum FROM rk GROUP BY pred_lang ORDER BY pred_lang"),
 
     "emb_near_dup" ->
       (s"WITH ${lshBkSql(6, 8)}, " +

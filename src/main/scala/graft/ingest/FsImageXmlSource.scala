@@ -108,8 +108,16 @@ object FsImageXmlSource {
       .select(col("id"), coalesce(col("name"), lit("")).as("name"))
       .localCheckpoint(true)
     val edges = links.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // root: an inode that is nobody's child
+    // root: the unparented DIRECTORY with the empty name (the NameNode
+    // root's rendering). "Nobody's child" alone is NOT enough — a corrupt
+    // or truncated image can contain orphan inodes with no parent link,
+    // and they must drop out, not masquerade as extra roots.
     var frontier = named
+      .join(inodes
+          .where(col("type") === "DIRECTORY" &&
+            (col("name").isNull || col("name") === ""))
+          .select(col("id")),
+        Seq("id"))
       .join(edges.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), lit("/").as("path"), lit(0L).as("depth"))
       .localCheckpoint(true)

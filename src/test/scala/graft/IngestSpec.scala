@@ -197,4 +197,25 @@ class IngestSpec extends AnyFunSuite {
     assert(stubs.map(s => (s.id, s.name, s.isFile)) === Seq(
       (16385L, "", false), (16386L, "data", false), (16400L, "f0.parquet", true)))
   }
+
+  test("XML path reconstruction: deep chains, orphans dropped, empty root name") {
+    import spark.implicits._
+    // a 12-deep directory chain plus an orphan inode nobody links to
+    val n = 12
+    val inodes = ((1L, "DIRECTORY", "") +:
+      (2 to n).map(i => (i.toLong, "DIRECTORY", s"d$i")) :+
+      (99L, "FILE", "orphan.bin")).toDF("id", "type", "name")
+    val links = (2 to n).map(i => ((i - 1).toLong, i.toLong))
+      .toDF("parentId", "id")
+    val got = graft.ingest.FsImageXmlSource
+      .resolvePaths(spark, inodes, links)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) === (("/", 0L)))
+    assert(got(2L) === (("/d2", 1L)))
+    assert(got(n.toLong) === (((2 to n).map(i => s"d$i").mkString("/", "/", ""),
+      (n - 1).toLong)))
+    // an orphan is also "nobody's child", but only the unparented
+    // DIRECTORY with the empty name is the root — orphans drop out
+    assert(!got.contains(99L), "orphans (unreachable from root) are excluded")
+  }
 }
