@@ -1,3 +1,4 @@
+package graft
 import org.apache.spark.sql.functions._
 object BucketProbe {
   def main(args: Array[String]): Unit = {

@@ -45,10 +45,14 @@ object Dedup {
     // the long tail (semantics unchanged — unique shingles yield no pairs)
     val shared = ex.groupBy("shingle_h").agg(count(lit(1)).as("__n"))
       .where(col("__n") > 1).select("shingle_h")
-    val exs = ex.join(shared, Seq("shingle_h"), "left_semi")
+    // SHUFFLE_HASH on every corpus-derived join side: upstream stats can
+    // lie small (checkpointed RDDs report no size), and a broadcast of a
+    // corpus-sized table is never the right plan here — the hint takes
+    // precedence over the size-estimate decision
+    val exs = ex.join(shared.hint("shuffle_hash"), Seq("shingle_h"), "left_semi")
     val a = exs.select(col("did").as("ida"), col("nsh").as("na"), col("shingle_h"))
     val b = exs.select(col("did").as("idb"), col("nsh").as("nb"), col("shingle_h"))
-    a.join(b, Seq("shingle_h"))
+    a.join(b.hint("shuffle_hash"), Seq("shingle_h"))
       .where(col("ida") < col("idb"))
       .groupBy(col("ida"), col("idb"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))
@@ -134,7 +138,10 @@ object Dedup {
           .cast("array<string>"), ",")).as("h"))): _*)).as("band"))
       .select(col("band.b").as("b"), col("band.h").as("h"), col("did"))
     val pairs = banded.select(col("b"), col("h"), col("did").as("ida"))
-      .join(banded.select(col("b"), col("h"), col("did").as("idb")), Seq("b", "h"))
+      // shuffle_hash: both sides are the corpus-sized band table (see
+      // jaccardPairs — broadcast under lying stats is the hazard)
+      .join(banded.select(col("b"), col("h"), col("did").as("idb"))
+        .hint("shuffle_hash"), Seq("b", "h"))
       .where(col("ida") < col("idb"))
       .select("ida", "idb")
       .dropDuplicates("ida", "idb")
@@ -142,8 +149,10 @@ object Dedup {
       zip_with(col("siga"), col("sigb"), (x, y) => (x === y).cast("int")),
       v => v === 1))
     pairs
-      .join(sig.select(col("did").as("ida"), col("sig").as("siga")), Seq("ida"))
-      .join(sig.select(col("did").as("idb"), col("sig").as("sigb")), Seq("idb"))
+      .join(sig.select(col("did").as("ida"), col("sig").as("siga"))
+        .hint("shuffle_hash"), Seq("ida"))
+      .join(sig.select(col("did").as("idb"), col("sig").as("sigb"))
+        .hint("shuffle_hash"), Seq("idb"))
       .withColumn("est_jaccard_ppm",
         floor(lit(1000000.0) * matches / size(col("siga"))).cast("long"))
       .select("ida", "idb", "est_jaccard_ppm")
@@ -286,7 +295,7 @@ object Dedup {
       col("did").as("ida"), col("sh").as("sha"))
     val r = banded.select(col("band.b").as("b"), col("band.v").as("v"),
       col("did").as("idb"), col("sh").as("shb"))
-    l.join(r, Seq("b", "v"))
+    l.join(r.hint("shuffle_hash"), Seq("b", "v")) // corpus x corpus: never broadcast
       .where(col("ida") < col("idb"))
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .where(col("hamming") <= maxHamming)
