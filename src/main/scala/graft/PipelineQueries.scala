@@ -473,6 +473,73 @@ object PipelineQueries {
           ((col("doc_id") * 3) % 25 + 8).as("h"))
       val assets = pipeline.Multimodal.renderPngAssets(s, specs)
       pipeline.Multimodal.decodeImageFeatures(s, assets).orderBy("asset_id")
+    }),
+
+    // exact repeated-n-gram census (word-level exact substring dedup, Lee
+    // et al. 2022): per doc, the share of its 5-grams that appear in any
+    // OTHER doc — no pair materialization, linear at any corpus size
+    "dedup_repeated_ngrams" -> ((s, d) =>
+      pipeline.Curation.repeatedNgramStats(
+          Tables.documents(s, d), "doc_id", col("text"), 5)
+        .select(col("did").as("doc_id"), col("n_grams"),
+          col("n_dup_grams"), col("dup_ppm"))
+        .orderBy("doc_id")),
+
+    // corpus-level census over the same stats: how much of the corpus is
+    // boilerplate (≥50% repeated grams) vs fully unique
+    "corpus_dup_ngram_census" -> ((s, d) =>
+      pipeline.Curation.repeatedNgramStats(
+          Tables.documents(s, d), "doc_id", col("text"), 5)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("total_grams"),
+          sum(col("n_dup_grams")).as("dup_grams"),
+          sum(when(col("dup_ppm") >= 500000L, 1L).otherwise(0L))
+            .as("n_dup_heavy"),
+          sum(when(col("dup_ppm") === 0L, 1L).otherwise(0L))
+            .as("n_unique_docs"))),
+
+    // CCNet-style head/middle/tail terciles per language: rank by
+    // vocabulary diversity inside each language, cut in thirds, census
+    "corpus_quality_buckets" -> ((s, d) =>
+      pipeline.Curation.qualityTerciles(Tables.documents(s, d),
+          col("doc_id"), col("lang"), col("text"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars_text")).as("chars"),
+          min(col("score_ppm")).as("min_score"),
+          max(col("score_ppm")).as("max_score"))
+        .orderBy("lang", "bucket")),
+
+    // C4-style per-source cap: at most 15 docs per source, chosen by
+    // deterministic hash rank; census pins the exact kept SET per source
+    "corpus_domain_cap" -> ((s, d) =>
+      pipeline.Curation.domainCapCensus(Tables.documents(s, d),
+          col("doc_id"), col("source"), 15)
+        .orderBy("source")),
+
+    // sequence packing: fixed 2048-token bins under a deterministic global
+    // order, computed as a DISTRIBUTED two-phase prefix sum (no global
+    // window); per-bin fill census
+    "corpus_pack_bins" -> ((s, d) =>
+      pipeline.Curation.packBins(Tables.documents(s, d),
+          col("doc_id"), col("text"), 2048L)
+        .orderBy("bin")),
+
+    // decontamination, 100 TB shape: a driver-built bloom over the bounded
+    // bench-gram set drops non-candidate grams AT THE SCAN (codegen'd bit
+    // test, no join), so only bloom survivors shuffle into the exact
+    // verify; result provably equals corpus_decontaminate's
+    "corpus_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.where(col("doc_id") < 50)
+      val train = docs.where(col("doc_id") >= 50)
+      val stats = pipeline.Curation.bloomDecontaminationStats(
+        train, bench, "doc_id", col("text"), 5).localCheckpoint(true)
+      train.agg(count(lit(1)).as("n_train"))
+        .crossJoin(stats.agg(
+          coalesce(sum(col("bloom_hit")), lit(0L)).as("n_bloom_candidates"),
+          coalesce(sum(col("contaminated")), lit(0L)).as("n_contaminated")))
+        .withColumn("n_clean", col("n_train") - col("n_contaminated"))
     })
   )
 
@@ -944,6 +1011,90 @@ object PipelineQueries {
        "(SELECT COUNT(*) FROM cont) AS n_contaminated, " +
        "(SELECT COUNT(*) FROM documents WHERE doc_id >= 50) - " +
        "(SELECT COUNT(*) FROM cont) AS n_clean"),
+
+    // bloom positions mirror Curation.bloomWords/bloomMightContain: the
+    // set bits are the union of {h mod 2^16, (h div 2^16) mod 2^16} over
+    // bench gram hashes; a gram is a candidate iff BOTH its positions are
+    // set. h is nonnegative, so DuckDB `//` (truncating) == the engine's
+    // shiftright (flooring).
+    "corpus_decontaminate_bloom" ->
+      (s"WITH ${shingleCtes(5)}, " +
+       "ex AS (SELECT doc_id, unnest(sh) AS g FROM shl), " +
+       "hx AS (SELECT doc_id, g, " +
+       "('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM ex), " +
+       "bg AS (SELECT DISTINCT g, h FROM hx WHERE doc_id < 50), " +
+       "pos AS (SELECT h % 65536 AS p FROM bg " +
+       "UNION SELECT (h // 65536) % 65536 FROM bg), " +
+       "cand AS (SELECT DISTINCT doc_id FROM hx WHERE doc_id >= 50 " +
+       "AND h % 65536 IN (SELECT p FROM pos) " +
+       "AND (h // 65536) % 65536 IN (SELECT p FROM pos)), " +
+       "cont AS (SELECT DISTINCT e.doc_id FROM hx e " +
+       "JOIN bg ON e.g = bg.g WHERE e.doc_id >= 50) " +
+       "SELECT (SELECT COUNT(*) FROM documents WHERE doc_id >= 50) AS n_train, " +
+       "(SELECT COUNT(*) FROM cand) AS n_bloom_candidates, " +
+       "(SELECT COUNT(*) FROM cont) AS n_contaminated, " +
+       "(SELECT COUNT(*) FROM documents WHERE doc_id >= 50) - " +
+       "(SELECT COUNT(*) FROM cont) AS n_clean"),
+
+    "dedup_repeated_ngrams" ->
+      (s"WITH ${shingleCtes(5)}, " +
+       "ex AS (SELECT doc_id, unnest(sh) AS g FROM shl), " +
+       "cnt AS (SELECT g, COUNT(*) AS nd FROM ex GROUP BY g), " +
+       "per AS (SELECT e.doc_id, COUNT(*) AS n_grams, " +
+       "SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS n_dup_grams " +
+       "FROM ex e JOIN cnt c USING (g) GROUP BY e.doc_id) " +
+       "SELECT doc_id, n_grams, CAST(n_dup_grams AS BIGINT) AS n_dup_grams, " +
+       "CAST(FLOOR(1000000.0 * n_dup_grams / n_grams) AS BIGINT) AS dup_ppm " +
+       "FROM per ORDER BY doc_id"),
+
+    "corpus_dup_ngram_census" ->
+      (s"WITH ${shingleCtes(5)}, " +
+       "ex AS (SELECT doc_id, unnest(sh) AS g FROM shl), " +
+       "cnt AS (SELECT g, COUNT(*) AS nd FROM ex GROUP BY g), " +
+       "per AS (SELECT e.doc_id, COUNT(*) AS n_grams, " +
+       "SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS n_dup_grams, " +
+       "FLOOR(1000000.0 * SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) " +
+       "/ COUNT(*)) AS ppm " +
+       "FROM ex e JOIN cnt c USING (g) GROUP BY e.doc_id) " +
+       "SELECT COUNT(*) AS n_docs, CAST(SUM(n_grams) AS BIGINT) AS total_grams, " +
+       "CAST(SUM(n_dup_grams) AS BIGINT) AS dup_grams, " +
+       "CAST(SUM(CASE WHEN ppm >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_heavy, " +
+       "CAST(SUM(CASE WHEN ppm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_docs " +
+       "FROM per"),
+
+    "corpus_quality_buckets" ->
+      (s"WITH t AS (SELECT doc_id, lang, " +
+       "CAST(length(text) AS BIGINT) AS n_chars_text, " +
+       s"CAST(FLOOR(1000000.0 * len(list_distinct($toksSql)) / len($toksSql)) AS BIGINT) AS score_ppm " +
+       "FROM documents), " +
+       "b AS (SELECT *, NTILE(3) OVER (PARTITION BY lang " +
+       "ORDER BY score_ppm DESC, doc_id ASC) AS nt FROM t) " +
+       "SELECT lang, CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' " +
+       "ELSE 'tail' END AS bucket, COUNT(*) AS n_docs, " +
+       "CAST(SUM(n_chars_text) AS BIGINT) AS chars, " +
+       "MIN(score_ppm) AS min_score, MAX(score_ppm) AS max_score " +
+       "FROM b GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "corpus_domain_cap" ->
+      ("WITH k AS (SELECT doc_id, source, " +
+       "('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h " +
+       "FROM documents), " +
+       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source " +
+       "ORDER BY h ASC, doc_id ASC) AS rk FROM k) " +
+       "SELECT source, COUNT(*) AS n_total, " +
+       "CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+       "CAST(SUM(CASE WHEN rk <= 15 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum " +
+       "FROM r GROUP BY source ORDER BY source"),
+
+    "corpus_pack_bins" ->
+      (s"WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens, " +
+       "('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h " +
+       "FROM documents), " +
+       "c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY h % 64 ASC, h ASC, " +
+       "doc_id ASC ROWS UNBOUNDED PRECEDING) - n_tokens AS cum FROM t) " +
+       "SELECT CAST(cum // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs, " +
+       "CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens " +
+       "FROM c GROUP BY 1 ORDER BY 1"),
 
     "text_lang_stats" ->
       (s"WITH lang AS ($langIdSql), " +

@@ -51,4 +51,180 @@ object Curation {
                     text: Column, n: Int): DataFrame =
     train.join(contaminatedIds(train, bench, idCol, text, n),
       Seq(idCol), "left_anti")
+
+  // ---- repeated-n-gram (exact substring) dedup census ----
+
+  /** Per-document repeated-n-gram stats — the word-level analog of exact
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): for each doc, how many of its distinct word
+    * `n`-grams also occur in at least one OTHER document.
+    *
+    * Shape at scale: explode distinct shingles (linear), one hash-agg for
+    * per-gram doc counts, one hash-join back — both keyed on the 8-byte
+    * gram hash, so only (id, hash) tuples shuffle. No pairs materialize:
+    * unlike [[Dedup.jaccardPairs]] this never forms (docA, docB), so it
+    * stays linear even when thousands of docs share a boilerplate gram. */
+  def repeatedNgramStats(df: DataFrame, idCol: String, text: Column,
+                         n: Int): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("did"), explode(Dedup.shingles(text, n)).as("g"))
+      .select(col("did"), xxhash64(col("g")).as("gh"))
+      .localCheckpoint(true) // feeds the count AND the join-back once
+    val cnt = ex.groupBy("gh").agg(count(lit(1)).as("__nd"))
+    ex.join(cnt.hint("shuffle_hash"), Seq("gh"))
+      .groupBy(col("did"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_ppm",
+        floor(lit(1000000.0) * col("n_dup_grams") / col("n_grams"))
+          .cast("long"))
+  }
+
+  // ---- CCNet-style quality buckets ----
+
+  /** Head/middle/tail quality terciles per language (the CCNet bucketing:
+    * rank docs by a quality score within each language, cut into thirds).
+    * Score here is vocabulary diversity (distinct/total tokens, ppm) —
+    * integer-exact; ordering ties break on the id so both engines agree.
+    * `ntile` distributes per language partition — one shuffle. */
+  def qualityTerciles(df: DataFrame, idCol: Column, lang: Column,
+                      text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(text)
+    val scored = df.select(idCol.as("did"), lang.as("lang"),
+      length(text).cast("long").as("n_chars_text"),
+      floor(lit(1000000.0) * size(array_distinct(toks)) / size(toks))
+        .cast("long").as("score_ppm"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score_ppm").desc, col("did").asc)
+    scored.withColumn("bucket",
+      element_at(lit(Array("head", "middle", "tail")), ntile(3).over(w)))
+  }
+
+  // ---- per-source (domain) caps ----
+
+  /** Deterministic per-source document cap — the C4/web-pipeline rule that
+    * no single domain may dominate the corpus. Keeps the `cap` docs with
+    * the smallest content-hash rank inside each source (reproducible
+    * across engines and cluster sizes), reports the census per source.
+    * One shuffle (window by source); the skewed-source case is exactly
+    * what the rank bounds: output per source is capped, never collected. */
+  def domainCapCensus(df: DataFrame, idCol: Column, sourceCol: Column,
+                      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(idCol.as("did"), sourceCol.as("source"))
+      .withColumn("__h",
+        Dedup.portableHash(concat(lit("cap:"), col("did").cast("string"))))
+    val w = Window.partitionBy("source").orderBy(col("__h").asc, col("did").asc)
+    keyed.withColumn("__rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("__rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__rk") <= cap, col("did")).otherwise(0L))
+          .as("kept_id_sum"))
+  }
+
+  // ---- sequence packing ----
+
+  /** Pack documents into fixed token-budget bins (pretraining sequence
+    * packing). Global order is (bucket, content-hash, id); each doc's bin
+    * is `floor(tokens_before_doc / budget)` under that order.
+    *
+    * The prefix sum is DISTRIBUTED two-phase, not a global window: cumsum
+    * runs inside each of `nBuckets` hash-bucket partitions in parallel,
+    * then the per-bucket totals (nBuckets rows — bounded, driver-safe)
+    * become additive offsets via a running total over the tiny bucket
+    * table. A single global `Window.orderBy` would serialize the corpus
+    * through one task; this shape holds at any scale. */
+  def packBins(df: DataFrame, idCol: Column, text: Column, budget: Long,
+               nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(idCol.as("did"),
+        TextAnalysis.tokenCount(text).as("n_tokens"))
+      .withColumn("__h",
+        Dedup.portableHash(concat(lit("pack:"), col("did").cast("string"))))
+      .withColumn("__b", pmod(col("__h"), lit(nBuckets.toLong)))
+    val inBucket = Window.partitionBy("__b")
+      .orderBy(col("__h").asc, col("did").asc)
+    val local = docs.withColumn("__cum",
+      sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
+    // nBuckets rows: running offset of every earlier bucket's token total
+    val offsets = docs.groupBy(col("__b"))
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .withColumn("__off",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy(col("__b").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    local.join(broadcast(offsets), Seq("__b"))
+      .withColumn("bin",
+        floor((col("__cum") + col("__off")) / lit(budget)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("fill_tokens"))
+  }
+
+  // ---- Bloom-prefiltered decontamination (the 100 TB shape) ----
+
+  /** Bloom bit array (m = 2^16 bits, k = 2) over the benchmark grams'
+    * portable hashes, built driver-side — the bench side of
+    * decontamination is an eval set, bounded by construction (guarded
+    * here). Positions are `h mod m` and `(h div m) mod m` of the 60-bit
+    * portable hash — integer arithmetic both engines reproduce. */
+  val BloomBits = 1 << 16
+  def bloomWords(benchGramHashes: Array[Long]): Array[Long] = {
+    val words = new Array[Long](BloomBits / 64)
+    benchGramHashes.foreach { h =>
+      Seq(h % BloomBits, (h / BloomBits) % BloomBits).foreach { p =>
+        words((p >> 6).toInt) |= 1L << (p & 63)
+      }
+    }
+    words
+  }
+
+  /** Bit-test of the bloom for a hash column — pure built-in expressions
+    * (`element_at` on the 1024-long literal + power-of-two mask), fully
+    * codegen'd, zero joins, ~8 KB of plan constants. */
+  def bloomMightContain(words: Array[Long], h: Column): Column = {
+    val wordsLit = lit(words)
+    val powers = lit(Array.tabulate(64)(i => 1L << i))
+    // shifts, not `/`: Divide casts longs to double, which drops low bits
+    // of a 60-bit hash past 2^53 — shiftright is exact (h is nonnegative)
+    def bitSet(p: Column): Column =
+      (element_at(wordsLit, shiftright(p, 6).cast("int") + 1)
+        .bitwiseAND(element_at(powers, pmod(p, lit(64L)).cast("int") + 1))) =!= 0
+    bitSet(pmod(h, lit(BloomBits.toLong))) &&
+      bitSet(pmod(shiftright(h, 16), lit(BloomBits.toLong)))
+  }
+
+  /** Decontamination with a Bloom prefilter: the exact semi-join of
+    * [[contaminatedIds]] shuffles EVERY training gram; here a driver-built
+    * bloom over the (bounded) bench grams drops non-candidate grams at the
+    * scan — only grams that might match shuffle into the exact verify.
+    * False positives are removed by the exact join; false negatives are
+    * impossible — the result set is identical to [[contaminatedIds]].
+    * Returns (docs with a bloom-candidate gram, exactly contaminated docs)
+    * as ("did", "bloom_hit", "contaminated"). */
+  def bloomDecontaminationStats(train: DataFrame, bench: DataFrame,
+                                idCol: String, text: Column, n: Int,
+                                maxBenchGrams: Int = 4000000): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("did"), explode(Dedup.shingles(text, n)).as("g"))
+      .select(col("did"), Dedup.portableHash(col("g")).as("gh"))
+    val benchHashes = bench
+      .select(explode(Dedup.shingles(text, n)).as("g"))
+      .select(Dedup.portableHash(col("g")).as("gh")).distinct()
+      .limit(maxBenchGrams + 1).collect().map(_.getLong(0))
+    require(benchHashes.length <= maxBenchGrams,
+      s"bench gram set exceeds $maxBenchGrams — not an eval-sized benchmark")
+    val words = bloomWords(benchHashes)
+    val cand = grams(train).where(bloomMightContain(words, col("gh")))
+      .localCheckpoint(true) // bloom-survivor grams: small, reused twice
+    val exact = cand
+      .join(grams(bench).select(col("gh")).distinct(), Seq("gh"), "left_semi")
+      .select(col("did")).distinct().withColumn("__c", lit(1L))
+    cand.select(col("did")).distinct()
+      .join(exact, Seq("did"), "left")
+      .select(col("did"), lit(1L).as("bloom_hit"),
+        coalesce(col("__c"), lit(0L)).as("contaminated"))
+  }
 }

@@ -413,4 +413,80 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(8L) === ((3, 3, 3, r8, g8, b8)))
     assert(got(99L) === ((-1, -1, -1, 0L, 0L, 0L)), "undecodable must be flagged, not dropped")
   }
+
+  test("repeated n-grams: exact dups fully duplicated, unique doc at zero") {
+    val st = Curation.repeatedNgramStats(docs, "doc_id", $"text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(st(1L)._3 === 1000000L && st(4L)._3 === 1000000L) // exact dups
+    assert(st(5L)._3 === 0L)                                 // nothing shared
+    assert(st(2L)._2 > 0 && st(2L)._3 < 1000000L)            // near-dup partial
+    assert(st.values.forall { case (n, d, _) => d <= n })
+  }
+
+  test("quality terciles: per-language thirds, head outscores tail") {
+    val docs5 = core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val t = Curation.qualityTerciles(docs5, $"doc_id", $"lang", $"text")
+    val byLang = t.groupBy("lang").pivot("bucket")
+      .agg(count(lit(1))).collect()
+    byLang.foreach { r =>
+      val (h, m, tl) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(math.abs(h - tl) <= 1 && math.abs(h - m) <= 1) // ntile thirds
+    }
+    val scores = t.groupBy("bucket")
+      .agg(min($"score_ppm").as("mn"), max($"score_ppm").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(scores("head")._1 >= scores("tail")._2 ||
+      scores("head")._2 >= scores("tail")._2) // head dominates within lang
+  }
+
+  test("domain cap keeps min(cap, total) per source, deterministically") {
+    val docs5 = core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val c1 = Curation.domainCapCensus(docs5, $"doc_id", $"source", 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    c1.foreach { case (_, (total, kept, _)) =>
+      assert(kept === math.min(3L, total))
+    }
+    val c2 = Curation.domainCapCensus(docs5, $"doc_id", $"source", 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(c1.toMap === c2.toMap) // same kept SET (id sums) every run
+  }
+
+  test("pack bins: conserve docs+tokens, bins consecutive, fills near budget") {
+    val docs5 = core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val budget = 512L
+    val bins = Curation.packBins(docs5, $"doc_id", $"text", budget)
+      .orderBy("bin").collect()
+    val nDocs = docs5.count()
+    val nTokens = docs5.select(sum(TextAnalysis.tokenCount($"text")))
+      .head().getLong(0)
+    assert(bins.map(_.getLong(1)).sum === nDocs)
+    assert(bins.map(_.getLong(2)).sum === nTokens)
+    assert(bins.map(_.getLong(0)).toSeq === (0L until bins.length).toSeq)
+    val maxDoc = docs5.select(max(TextAnalysis.tokenCount($"text")))
+      .head().getLong(0)
+    // a bin closes only when cum passes the boundary: fill < budget + maxDoc
+    bins.foreach(r => assert(r.getLong(2) < budget + maxDoc))
+  }
+
+  test("bloom prefilter: no false negatives, exact result matches semi-join") {
+    val docsAll = core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docsAll.where($"doc_id" < 50)
+    val train = docsAll.where($"doc_id" >= 50)
+    // every bench gram passes its own bloom — false negatives impossible
+    val benchHashes = bench
+      .select(explode(Dedup.shingles($"text", 5)).as("g"))
+      .select(Dedup.portableHash($"g").as("gh")).distinct()
+    val words = Curation.bloomWords(
+      benchHashes.collect().map(_.getLong(0)))
+    assert(benchHashes.where(!Curation.bloomMightContain(words, $"gh"))
+      .count() === 0L)
+    // the bloom path's contaminated set is EXACTLY the plain path's
+    val viaBloom = Curation.bloomDecontaminationStats(
+        train, bench, "doc_id", $"text", 5)
+      .where($"contaminated" === 1L).select("did")
+      .collect().map(_.getLong(0)).toSet
+    val plain = Curation.contaminatedIds(train, bench, "doc_id", $"text", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaBloom === plain)
+  }
 }
