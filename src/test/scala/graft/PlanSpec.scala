@@ -126,4 +126,41 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p2.startsWith("*(1)"))
   }
+
+  test("pack bins: offsets join broadcasts, corpus never sorts globally") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.pipeline.Curation.packBins(
+      graft.core.Tables.documents(spark, dir), col("doc_id"), col("text"), 512L)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("bloom prefilter runs at the scan: no exchange, no join below it") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = graft.core.Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), explode(
+        graft.pipeline.Dedup.shingles(col("text"), 5)).as("g"))
+      .select(col("doc_id"), graft.pipeline.Dedup.portableHash(col("g")).as("gh"))
+    val words = graft.pipeline.Curation.bloomWords(Array(12345L, 987654321L))
+    val cand = grams.where(
+      graft.pipeline.Curation.bloomMightContain(words, col("gh")))
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bloom bit test must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), "bloom bit test must be a filter, not a join")
+  }
+
+  test("repeated n-grams: corpus-sized join sides stay shuffled-hash") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.pipeline.Curation.repeatedNgramStats(
+      graft.core.Tables.documents(spark, dir), "doc_id", col("text"), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"gram-count join-back must honor the shuffle_hash hint:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }
