@@ -140,6 +140,41 @@ object ScaleBench {
       s"$found/${nVecs / 1000} planted pairs"
     }
     t("quantize_int8") { pipeline.Similarity.quantizeInt8(emb).count() }
+
+    // --- curation operators over the same planted corpus ---
+    tm("repeated_ngram_stats") {
+      pipeline.Curation.repeatedNgramStats(docs, "doc_id", col("text"), 5)
+        .where(col("dup_ppm") >= 500000).count()
+    }
+    t("repeated_ngram_plant_recall") {
+      // a planted near-dup shares all but ~5 of its ~36 distinct 5-grams
+      // with its source, so both ends of every planted pair must flag hot
+      val hot = pipeline.Curation.repeatedNgramStats(
+          docs, "doc_id", col("text"), 5)
+        .where(col("dup_ppm") >= 500000)
+        .where(col("did") % 100 === 99 || col("did") % 100 === 98).count()
+      s"$hot/${2 * nDocs / 100} planted-pair docs flagged"
+    }
+    t("pack_bins_2048") {
+      val bins = pipeline.Curation.packBins(
+        docs, col("doc_id"), col("text"), 2048L)
+      bins.count()
+    }
+    tm("bloom_decontaminate") {
+      // bench side: 1000 docs (an eval-set size) against the full corpus
+      val bench = docs.where(col("doc_id") < 1000)
+      val train = docs.where(col("doc_id") >= 1000)
+      pipeline.Curation.bloomDecontaminationStats(
+        train, bench, "doc_id", col("text"), 5).count()
+    }
+    t("domain_cap") {
+      // synthesize a skewed source: doc 0–n/2 in one domain, rest spread
+      val sourced = docs.withColumn("source",
+        when(col("doc_id") < nDocs / 2, lit("megadomain"))
+          .otherwise(concat(lit("d"), pmod(col("doc_id"), lit(1000L)))))
+      pipeline.Curation.domainCapCensus(
+        sourced, col("doc_id"), col("source"), 100).count()
+    }
     spark.stop()
   }
 

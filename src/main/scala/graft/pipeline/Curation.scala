@@ -165,16 +165,31 @@ object Curation {
 
   // ---- Bloom-prefiltered decontamination (the 100 TB shape) ----
 
-  /** Bloom bit array (m = 2^16 bits, k = 2) over the benchmark grams'
-    * portable hashes, built driver-side — the bench side of
-    * decontamination is an eval set, bounded by construction (guarded
-    * here). Positions are `h mod m` and `(h div m) mod m` of the 60-bit
-    * portable hash — integer arithmetic both engines reproduce. */
+  /** Bloom bit array (k = 2) over the benchmark grams' portable hashes,
+    * built driver-side — the bench side of decontamination is an eval
+    * set, bounded by construction (guarded below). Positions are
+    * `h mod m` and `(h div m) mod m` of the 60-bit portable hash —
+    * integer arithmetic both engines reproduce. */
   val BloomBits = 1 << 16
-  def bloomWords(benchGramHashes: Array[Long]): Array[Long] = {
-    val words = new Array[Long](BloomBits / 64)
+
+  /** Bits for a bench set of `nHashes` grams: smallest power of two ≥
+    * 16× the gram count (k=2 false-positive rate ~0.5% at that load),
+    * clamped to [2^16, 2^27] (16 MB of plan literal at the top — still a
+    * constant, never a join). A saturated bloom filters nothing; sizing
+    * off the actual bench set keeps the prefilter selective at any
+    * eval-set size the 4M-gram guard admits. */
+  def bloomSize(nHashes: Int): Int = {
+    var m = BloomBits
+    while (m.toLong < 16L * nHashes && m < (1 << 27)) m <<= 1
+    m
+  }
+
+  def bloomWords(benchGramHashes: Array[Long],
+                 mBits: Int = BloomBits): Array[Long] = {
+    require(Integer.bitCount(mBits) == 1, s"bloom bits must be a power of two: $mBits")
+    val words = new Array[Long](mBits / 64)
     benchGramHashes.foreach { h =>
-      Seq(h % BloomBits, (h / BloomBits) % BloomBits).foreach { p =>
+      Seq(h % mBits, (h / mBits) % mBits).foreach { p =>
         words((p >> 6).toInt) |= 1L << (p & 63)
       }
     }
@@ -182,9 +197,11 @@ object Curation {
   }
 
   /** Bit-test of the bloom for a hash column — pure built-in expressions
-    * (`element_at` on the 1024-long literal + power-of-two mask), fully
-    * codegen'd, zero joins, ~8 KB of plan constants. */
+    * (`element_at` on the word-array literal + power-of-two mask), fully
+    * codegen'd, zero joins; m is recovered from the literal's length. */
   def bloomMightContain(words: Array[Long], h: Column): Column = {
+    val mBits = words.length * 64
+    val mShift = java.lang.Integer.numberOfTrailingZeros(mBits)
     val wordsLit = lit(words)
     val powers = lit(Array.tabulate(64)(i => 1L << i))
     // shifts, not `/`: Divide casts longs to double, which drops low bits
@@ -192,8 +209,8 @@ object Curation {
     def bitSet(p: Column): Column =
       (element_at(wordsLit, shiftright(p, 6).cast("int") + 1)
         .bitwiseAND(element_at(powers, pmod(p, lit(64L)).cast("int") + 1))) =!= 0
-    bitSet(pmod(h, lit(BloomBits.toLong))) &&
-      bitSet(pmod(shiftright(h, 16), lit(BloomBits.toLong)))
+    bitSet(pmod(h, lit(mBits.toLong))) &&
+      bitSet(pmod(shiftright(h, mShift), lit(mBits.toLong)))
   }
 
   /** Decontamination with a Bloom prefilter: the exact semi-join of
@@ -216,7 +233,12 @@ object Curation {
       .limit(maxBenchGrams + 1).collect().map(_.getLong(0))
     require(benchHashes.length <= maxBenchGrams,
       s"bench gram set exceeds $maxBenchGrams — not an eval-sized benchmark")
-    val words = bloomWords(benchHashes)
+    // m scales with the ACTUAL bench gram count — a fixed m saturates on
+    // large eval sets (every bit set → prefilter admits everything).
+    // NOTE the oracle of corpus_decontaminate_bloom mirrors m = 2^16,
+    // which holds while its 50-doc bench stays ≤ 4096 distinct grams
+    // (~2.5k at every sf — id-based split, corpus-size independent).
+    val words = bloomWords(benchHashes, bloomSize(benchHashes.length))
     val cand = grams(train).where(bloomMightContain(words, col("gh")))
       .localCheckpoint(true) // bloom-survivor grams: small, reused twice
     val exact = cand
