@@ -525,6 +525,33 @@ object PipelineQueries {
           col("doc_id"), col("text"), 2048L)
         .orderBy("bin")),
 
+    // sliding token windows (context shaping for training/RAG): content
+    // pinned by the portable hash of each window, not just the arithmetic
+    "corpus_chunks" -> ((s, d) =>
+      pipeline.Curation.chunkTokens(Tables.documents(s, d),
+          "doc_id", col("text"), 16, 8)
+        .select(col("did").as("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("n_tok_chunk"), col("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // mixture planning: uniform 20% target share per language; S binds on
+    // the scarcest language, everything else downsamples to match
+    "corpus_mixture_plan" -> ((s, d) =>
+      pipeline.Curation.mixturePlan(Tables.documents(s, d),
+          col("lang"), col("text"),
+          Map("de" -> 200000L, "en" -> 200000L, "es" -> 200000L,
+            "fr" -> 200000L, "zh" -> 200000L))
+        .orderBy("lang")),
+
+    // corpus-trained unigram commonness (the integer-exact analog of a
+    // perplexity quality filter): per-doc expected token probability, ppm
+    "text_unigram_score" -> ((s, d) =>
+      pipeline.TextAnalysis.unigramCommonness(
+          Tables.documents(s, d), "doc_id", col("text"))
+        .select(col("did").as("doc_id"), col("n_tokens"),
+          col("commonness_ppm"))
+        .orderBy("doc_id")),
+
     // decontamination, 100 TB shape: a driver-built bloom over the bounded
     // bench-gram set drops non-candidate grams AT THE SCAN (codegen'd bit
     // test, no join), so only bloom survivors shuffle into the exact
@@ -1095,6 +1122,43 @@ object PipelineQueries {
        "SELECT CAST(cum // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs, " +
        "CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens " +
        "FROM c GROUP BY 1 ORDER BY 1"),
+
+    "corpus_chunks" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS t FROM documents), " +
+       "c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n, t, " +
+       "unnest(generate_series(0, (len(t) - 1) // 8)) AS i FROM d) " +
+       "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
+       "CAST(i * 8 AS BIGINT) AS start_tok, " +
+       "CAST(LEAST(16, n - i * 8) AS BIGINT) AS n_tok_chunk, " +
+       "('0x' || substr(md5(array_to_string(" +
+       "list_slice(t, i * 8 + 1, i * 8 + 16), ' ')), 1, 15))::BIGINT " +
+       "AS chunk_hash " +
+       "FROM c ORDER BY doc_id, chunk_idx"),
+
+    "corpus_mixture_plan" ->
+      (s"WITH t AS (SELECT lang, CAST(SUM(len($toksSql)) AS BIGINT) " +
+       "AS tokens FROM documents GROUP BY lang), " +
+       "g AS (SELECT * FROM (VALUES ('de', 200000), ('en', 200000), " +
+       "('es', 200000), ('fr', 200000), ('zh', 200000)) " +
+       "v(lang, target_ppm)), " +
+       "j AS (SELECT t.lang, t.tokens, " +
+       "CAST(g.target_ppm AS BIGINT) AS target_ppm FROM t JOIN g USING (lang)), " +
+       "s AS (SELECT MIN((1000000 * tokens) // target_ppm) AS S FROM j) " +
+       "SELECT lang, tokens, target_ppm, " +
+       "CAST((target_ppm * S) // 1000000 AS BIGINT) AS keep_tokens, " +
+       "CAST((1000000 * ((target_ppm * S) // 1000000)) // tokens AS BIGINT) " +
+       "AS rate_ppm FROM j, s ORDER BY lang"),
+
+    "text_unigram_score" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents), " +
+       "v AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok), " +
+       "n AS (SELECT CAST(SUM(c) AS BIGINT) AS N FROM v), " +
+       "p AS (SELECT doc_id, COUNT(*) AS n_tokens, " +
+       "CAST(SUM(c) AS BIGINT) AS sumc FROM tok JOIN v USING (tok) " +
+       "GROUP BY doc_id) " +
+       "SELECT doc_id, n_tokens, " +
+       "CAST((1000000 * sumc) // (n_tokens * N) AS BIGINT) AS commonness_ppm " +
+       "FROM p, n ORDER BY doc_id"),
 
     "text_lang_stats" ->
       (s"WITH lang AS ($langIdSql), " +

@@ -175,6 +175,14 @@ object ScaleBench {
       pipeline.Curation.domainCapCensus(
         sourced, col("doc_id"), col("source"), 100).count()
     }
+    t("chunk_tokens_w16s8") {
+      pipeline.Curation.chunkTokens(docs, "doc_id", col("text"), 16, 8)
+        .count()
+    }
+    tm("unigram_commonness") {
+      pipeline.TextAnalysis.unigramCommonness(docs, "doc_id", col("text"))
+        .where(col("commonness_ppm") > 900000).count()
+    }
     spark.stop()
   }
 

@@ -66,10 +66,9 @@ object Curation {
     * stays linear even when thousands of docs share a boilerplate gram. */
   def repeatedNgramStats(df: DataFrame, idCol: String, text: Column,
                          n: Int): DataFrame = {
-    val ex = df
+    val ex = Dedup.checkpointCorpus(df // feeds the count AND the join-back
       .select(col(idCol).as("did"), explode(Dedup.shingles(text, n)).as("g"))
-      .select(col("did"), xxhash64(col("g")).as("gh"))
-      .localCheckpoint(true) // feeds the count AND the join-back once
+      .select(col("did"), xxhash64(col("g")).as("gh")))
     val cnt = ex.groupBy("gh").agg(count(lit(1)).as("__nd"))
     ex.join(cnt.hint("shuffle_hash"), Seq("gh"))
       .groupBy(col("did"))
@@ -161,6 +160,64 @@ object Curation {
         floor((col("__cum") + col("__off")) / lit(budget)).cast("long"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("fill_tokens"))
+  }
+
+  // ---- token-window chunking ----
+
+  /** Sliding token windows per document (context-window shaping for
+    * training / RAG indexing): one output row per (doc, window start),
+    * starts at every `stride` tokens, window capped at `win` tokens and
+    * clamped at the document tail. `chunk_hash` is the portable content
+    * hash of the re-joined window, so the oracle checks window CONTENT,
+    * not just arithmetic.
+    *
+    * Shape at scale: `sequence` + `explode` inside the row — no shuffle at
+    * all until whatever consumes the chunks; output is ~n_tokens/stride
+    * rows per doc, linear in corpus size. */
+  def chunkTokens(df: DataFrame, idCol: String, text: Column,
+                  win: Int, stride: Int): DataFrame =
+    df.select(col(idCol).as("did"), TextAnalysis.tokens(text).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        floor((col("__n") - 1) / lit(stride.toLong)).cast("long"))))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .select(col("did"), col("chunk_idx"), col("start_tok"),
+        least(lit(win.toLong), col("__n") - col("start_tok"))
+          .as("n_tok_chunk"),
+        Dedup.portableHash(array_join(
+          slice(col("__t"), (col("start_tok") + 1).cast("int"), lit(win)),
+          " ")).as("chunk_hash"))
+
+  // ---- corpus mixture planning ----
+
+  /** Source-mixture plan: given target corpus shares per language (ppm),
+    * find the largest total token budget S the corpus supports WITHOUT
+    * upsampling any language — S = min over langs of tokens_l / share_l —
+    * then each language contributes keep_l = share_l · S tokens at
+    * sampling rate keep_l / tokens_l. The standard mixture-reweighting
+    * step (e.g. The Pile / ROOTS recipes) run as pure aggregation.
+    *
+    * Integer-exact end to end: DIV (truncated = floor on nonnegative)
+    * mirrors DuckDB `//`; at extreme token counts (>9e12) the 1e6
+    * multiplies need DECIMAL(38,0) — swap noted, shape unchanged.
+    * Languages absent from `targetsPpm` are excluded (inner join). */
+  def mixturePlan(df: DataFrame, langCol: Column, text: Column,
+                  targetsPpm: Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totals = df.groupBy(langCol.as("lang"))
+      .agg(sum(TextAnalysis.tokenCount(text)).as("tokens"))
+    val tgt = targetsPpm.toSeq.sortBy(_._1).toDF("lang", "target_ppm")
+    val joined = totals.join(broadcast(tgt), Seq("lang"))
+    val s = joined.agg(min(
+      expr("CAST((1000000 * tokens) DIV target_ppm AS BIGINT)")).as("__S"))
+    joined.crossJoin(s) // scalar combine
+      .withColumn("keep_tokens",
+        expr("CAST((target_ppm * __S) DIV 1000000 AS BIGINT)"))
+      .select(col("lang"), col("tokens"), col("target_ppm"),
+        col("keep_tokens"),
+        expr("CAST((1000000 * keep_tokens) DIV tokens AS BIGINT)")
+          .as("rate_ppm"))
   }
 
   // ---- Bloom-prefiltered decontamination (the 100 TB shape) ----

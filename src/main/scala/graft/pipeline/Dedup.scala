@@ -36,10 +36,9 @@ object Dedup {
     // cheaper compares (collision odds ~|shingles|²/2⁶⁴ — negligible)
     // checkpoint: the exploded table feeds the frequency filter AND both
     // sides of the self-join — one computation, not four
-    val ex = sh.select(col("did"), col("nsh"),
+    val ex = checkpointCorpus(sh.select(col("did"), col("nsh"),
       explode(col("sh")).as("shingle"))
-      .select(col("did"), col("nsh"), xxhash64(col("shingle")).as("shingle_h"))
-      .localCheckpoint(true)
+      .select(col("did"), col("nsh"), xxhash64(col("shingle")).as("shingle_h")))
     // a shingle held by one doc can't form a pair; on real corpora most
     // shingles are unique, so the filter shrinks the self-join input by
     // the long tail (semantics unchanged — unique shingles yield no pairs)
@@ -75,6 +74,22 @@ object Dedup {
     * re-hash they replace. */
   def portableHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Eager lineage-truncating checkpoint for CORPUS-SIZED intermediates
+    * (exploded shingles/grams, signature tables): MEMORY_AND_DISK_SER,
+    * not the default deserialized MEMORY_AND_DISK — deserialized row
+    * objects are ~5× the serialized bytes, and a corpus-sized cache at
+    * that inflation OOMs executors long before the operator itself would
+    * (observed: 1M-doc repeated-n-gram census with 36M exploded grams
+    * heap-OOMed under the default level; DISK_ONLY avoids the OOM too
+    * but pays a full disk round-trip even when the table fits — 2× on
+    * the 1M minhash probe). Serialized-in-memory keeps fixture-scale
+    * reuse at memory speed and degrades to spill, not failure, at scale.
+    * Bounded/small reuse tables (bloom survivors, fixpoint labels) keep
+    * the default level. */
+  def checkpointCorpus(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Permutation `k` of a base hash: `(A_k·h + B_k) mod p` — the classic
     * universal-hash family (integer-exact, SQL-mirrorable). */
@@ -128,8 +143,8 @@ object Dedup {
     // the signature table feeds three consumers (band keys + both sides of
     // the estimate join-back); checkpoint it so the expensive explode+
     // 64-min aggregation runs ONCE, not per consumer
-    val sig = minhashSignatures(df, idCol, text, shingleN, perms)
-      .localCheckpoint(true)
+    val sig = checkpointCorpus(
+      minhashSignatures(df, idCol, text, shingleN, perms))
     // band key = md5 of the comma-joined band slice: a portable string key
     // both engines derive identically
     val banded = sig.select(col("did"),

@@ -147,6 +147,33 @@ object TextAnalysis {
         .as("kept"))
   }
 
+  /** Corpus-trained unigram commonness per document — the integer-exact
+    * analog of an LM-perplexity quality filter (CCNet's KenLM step): score
+    * each doc by how common its tokens are in the WHOLE corpus.
+    * `commonness_ppm = 1e6 · Σ count(tok) / (n_tokens · N)` where N is the
+    * corpus token total — 1e6× the expected unigram probability of a
+    * random token from the doc. Rare-token-heavy docs (noise, mojibake)
+    * score low; boilerplate scores high; both tails are drop candidates.
+    *
+    * Shape at scale: one explode (linear), a vocab-sized aggregate, a
+    * join of tokens against the vocab (vocab ≪ corpus — AQE broadcasts
+    * when it fits, hash-join otherwise), one per-doc re-aggregate. The
+    * corpus total is a 1-row scalar combine. DIV keeps it engine-exact
+    * (all terms nonnegative); >9e12-token corpora need the DECIMAL(38,0)
+    * swap for the 1e6 multiply. */
+  def unigramCommonness(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val toks = df.select(col(idCol).as("did"), explode(tokens(text)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
+    val total = vocab.agg(sum(col("__c")).as("__N"))
+    toks.join(vocab, Seq("tok"))
+      .groupBy(col("did"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__c")).as("__sumc"))
+      .crossJoin(total) // scalar combine
+      .select(col("did"), col("n_tokens"),
+        expr("CAST((1000000 * __sumc) DIV (n_tokens * __N) AS BIGINT)")
+          .as("commonness_ppm"))
+  }
+
   /** Content fingerprint (md5 of normalized text) — portable across engines. */
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
 

@@ -489,4 +489,58 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(viaBloom === plain)
   }
+
+  test("chunking: strided windows tile each doc, tails clamped, content hashed") {
+    // 9 tokens, win=4 stride=3 -> starts 0,3,6; lengths 4,4,3
+    val one = docs.where($"doc_id" === 1)
+    val ch = Curation.chunkTokens(one, "doc_id", $"text", 4, 3)
+      .orderBy("chunk_idx").collect()
+    assert(ch.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 3L)))
+    // window content is pinned: chunk 2 is the last three tokens
+    val wantHash = one.select(
+      Dedup.portableHash(lit("the lazy dog"))).head().getLong(0)
+    assert(ch(2).getLong(4) === wantHash)
+    // stride == win tiles exactly: chunk token counts sum to doc tokens
+    val tiled = Curation.chunkTokens(docs, "doc_id", $"text", 4, 4)
+      .groupBy("did").agg(sum("n_tok_chunk").as("s"))
+    val toks = docs.select($"doc_id".as("did"),
+      TextAnalysis.tokenCount($"text").as("n"))
+    assert(tiled.join(toks, Seq("did")).where($"s" =!= $"n").count() === 0L)
+    // shuffle-free: chunking is explode-only, no Exchange in the plan
+    val plan = Curation.chunkTokens(docs, "doc_id", $"text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("mixture plan: budget binds on the scarcest language, never upsamples") {
+    // en: 12 tokens, es: 3 tokens; uniform 50% target -> S = 3/0.5 = 6,
+    // keep 3 tokens each: en rate 250000 ppm, es rate 1000000 ppm
+    val mix = Seq(
+      (1L, "en", "a b c d e f"), (2L, "en", "g h i j k l"),
+      (3L, "es", "x y z")
+    ).toDF("doc_id", "lang", "text")
+    val plan = Curation.mixturePlan(mix, $"lang", $"text",
+        Map("en" -> 500000L, "es" -> 500000L))
+      .orderBy("lang").collect()
+    assert(plan.map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+      r.getLong(4))).toSeq ===
+      Seq(("en", 12L, 3L, 250000L), ("es", 3L, 3L, 1000000L)))
+    // no language keeps more than it has
+    plan.foreach(r => assert(r.getLong(3) <= r.getLong(1)))
+  }
+
+  test("unigram commonness: repeated-token docs outscore rare-token docs") {
+    // corpus: 'a' appears 6x, 'b' 2x, each unique tail token 1x (N=12)
+    val df = Seq(
+      (1L, "a a a a a a"),   // sumc=36, n=6  -> 1e6*36/72  = 500000
+      (2L, "b b q r"),       // sumc=2+2+1+1=6, n=4 -> 1e6*6/48 = 125000
+      (3L, "s t")            // sumc=2, n=2 -> 1e6*2/24 = 83333
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramCommonness(df, "doc_id", $"text")
+      .orderBy("did").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 6L, 500000L), (2L, 4L, 125000L),
+      (3L, 2L, 83333L)))
+  }
 }
