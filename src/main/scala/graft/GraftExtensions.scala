@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions._
+
+/** Cluster-deployable registration of the engine's custom Catalyst
+  * expressions: set `spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`) and every
+  * session — including ones the application never touches, e.g. a Thrift
+  * server's — resolves them by name in plain SQL:
+  *
+  *   - `cosine_similarity(a, b)`              — codegen'd float cosine
+  *   - `lsh_buckets(emb, planes, bands)`      — banded hyperplane buckets
+  *   - `ngram_shingles(tokens, n)`            — distinct word n-grams
+  *   - `path_under_set(path, array('/a',…))`  — proper-ancestor membership
+  *
+  * [[graft.functions.GraftFunctions.registerAll]] remains the
+  * session-scoped alternative (temp functions on an existing session);
+  * this class is the injection point Spark itself owns, so registration
+  * survives `newSession()` clones and cluster-mode session factories.
+  *
+  * Plan-shaping parameters (planes/bands/n, the dir set) must be literals:
+  * they are baked into the generated code, exactly as with the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Accept both a folded string-array literal and the pre-folding
+    * `array('a','b')` form (function resolution runs before constant
+    * folding, so SQL callers hand us `CreateArray` of literals). */
+  private def stringSeqLit(e: Expression, what: String): Seq[String] = e match {
+    case Literal(data: ArrayData, ArrayType(StringType, _)) =>
+      data.toArray[UTF8String](StringType).map(_.toString).toSeq
+    case CreateArray(children, _) if children.forall {
+        case Literal(_: UTF8String, StringType) => true; case _ => false } =>
+      children.map(_.asInstanceOf[Literal].value.asInstanceOf[UTF8String].toString)
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string-array literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity",
+        "cosine_similarity(a, b) - cosine of two float arrays"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets",
+        "lsh_buckets(emb, planes, bands) - banded hyperplane LSH bucket ids"),
+      (exprs: Seq[Expression]) => LshBuckets(exprs(0),
+        intLit(exprs(1), "planes"), intLit(exprs(2), "bands"))))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_shingles"),
+      info("ngram_shingles",
+        "ngram_shingles(tokens, n) - distinct word n-gram shingles"),
+      (exprs: Seq[Expression]) => NGramShingles(exprs(0), intLit(exprs(1), "n"))))
+    ext.injectFunction((
+      FunctionIdentifier("path_under_set"),
+      info("path_under_set",
+        "path_under_set(path, dirs) - TRUE iff a proper ancestor of path is in dirs"),
+      (exprs: Seq[Expression]) => PathUnderSet(exprs(0),
+        stringSeqLit(exprs(1), "dirs"))))
+  }
+}

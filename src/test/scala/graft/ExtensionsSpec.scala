@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[GraftExtensions]] — the `spark.sql.extensions` injection point.
+  * Verifies the custom expressions resolve by name in a session the
+  * application code never touched (no `registerAll`), and that the
+  * registration survives `newSession()` clones — the property temp
+  * functions lack and the reason the extensions class exists.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("injected functions resolve in a fresh session and survive newSession()") {
+    val base = TestSpark.spark // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne base)
+
+      val c = s2.sql(
+        "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+        .head().getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+
+      val sh = s2.sql("SELECT ngram_shingles(split('a b c d', ' '), 3) AS sh")
+        .head().getSeq[String](0)
+      assert(sh === Seq("a b c", "b c d"))
+
+      val bk = s2.sql(
+        "SELECT lsh_buckets(array(cast(0.3 as float), cast(-0.7 as float)), 4, 2) AS bk")
+        .head().getSeq[Long](0)
+      assert(bk.length === 2 && bk(0) < 16 && bk(1) >= 16 && bk(1) < 32)
+
+      // path_under_set arrives as CreateArray of literals (resolution runs
+      // before constant folding) — the stringSeqLit bridge must accept it
+      val p = s2.sql(
+        """SELECT path_under_set('/a/b/c', array('/a/b')) AS under,
+                  path_under_set('/a/b',   array('/a/b')) AS self""").head()
+      assert(p.getBoolean(0), "proper ancestor must match")
+      assert(!p.getBoolean(1), "the path itself is not its own ancestor")
+
+      // non-literal plan-shaping parameter is a resolution-time error
+      intercept[Exception] {
+        s2.sql("SELECT ngram_shingles(split('a b', ' '), cast(rand() * 2 as int))")
+          .collect()
+      }
+
+      val s3 = s2.newSession()
+      val sh3 = s3.sql("SELECT ngram_shingles(split('x y', ' '), 2) AS sh")
+        .head().getSeq[String](0)
+      assert(sh3 === Seq("x y"))
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+}
