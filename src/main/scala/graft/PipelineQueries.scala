@@ -348,6 +348,54 @@ object PipelineQueries {
         .orderBy(col("df").desc, col("tok").asc)
         .limit(20)),
 
+    // PII scrub: the corpus text is PII-free word soup, so deterministic
+    // emails/phones/IPs are PLANTED per doc (mod cycles vary the counts
+    // 0–2 per class), then detected and redacted. Scan-parallel regex
+    // expressions, zero shuffles; the redacted text is pinned bit-exact
+    // via its portable hash, not just the counts.
+    "text_pii_scrub" -> ((s, d) => {
+      val did = col("doc_id")
+      val planted = Tables.documents(s, d).select(did, concat(
+        col("text"),
+        when(did % 3 === 0,
+          concat(lit(" mail u"), did.cast("string"), lit("@ex"),
+            (did % 7).cast("string"), lit(".org"))).otherwise(lit("")),
+        when(did % 6 === 0,
+          concat(lit(" cc backup-"), did.cast("string"),
+            lit("@archive.net"))).otherwise(lit("")),
+        when(did % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((did % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(did % 4 === 0,
+          concat(lit(" from 10."), (did % 256).cast("string"), lit("."),
+            (did % 100).cast("string"), lit(".7"))).otherwise(lit("")))
+        .as("t"))
+      pipeline.Pii.signals(planted, col("doc_id"), col("t"))
+    }),
+
+    // most distinctive term per doc — the tf-idf argmax with an
+    // integer-exact tf/df score (no floating ln, so the ranking is
+    // engine-portable): tf within the doc, df across docs, floor-ppm
+    // ratio, row_number over (score desc, term asc)
+    "text_tfidf_top" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_ppm").desc, col("tok").asc)
+      tf.join(dfreq.hint("shuffle_hash"), Seq("tok"))
+        .withColumn("score_ppm",
+          floor(col("tf") * lit(1000000.0) / col("df")).cast("long"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_term"),
+          col("tf"), col("df"), col("score_ppm"))
+    }),
+
     // deterministic train/val/test assignment from the portable id hash —
     // reproducible across runs/engines/cluster sizes, census oracled
     "corpus_splits" -> ((s, d) =>
@@ -1252,6 +1300,48 @@ object PipelineQueries {
        "FROM documents) " +
        "SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok " +
        "ORDER BY df DESC, tok ASC LIMIT 20"),
+
+    "text_pii_scrub" -> {
+      val e = pipeline.Pii.emailRe
+      val p = pipeline.Pii.phoneRe
+      val i = pipeline.Pii.ipv4Re
+      s"""WITH planted AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 3 = 0 THEN ' mail u' || CAST(doc_id AS VARCHAR)
+             || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END ||
+           CASE WHEN doc_id % 6 = 0 THEN ' cc backup-'
+             || CAST(doc_id AS VARCHAR) || '@archive.net' ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+           CASE WHEN doc_id % 4 = 0 THEN ' from 10.'
+             || CAST(doc_id % 256 AS VARCHAR) || '.'
+             || CAST(doc_id % 100 AS VARCHAR) || '.7' ELSE '' END AS t
+         FROM documents),
+         s AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '$i')) AS BIGINT) AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g'),
+             '$i', '<IP>', 'g') AS clean
+         FROM planted)
+         SELECT doc_id AS did, n_emails, n_phones, n_ipv4,
+           CAST(length(clean) AS BIGINT) AS n_chars_clean,
+           ('0x' || substr(md5(clean), 1, 15))::BIGINT AS clean_h
+         FROM s"""
+    },
+
+    "text_tfidf_top" ->
+      (s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+                GROUP BY doc_id, tok),
+         dfx AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         sc AS (SELECT doc_id, tok, tf, df,
+             CAST(FLOOR(tf * 1000000.0 / df) AS BIGINT) AS score_ppm
+           FROM tf JOIN dfx USING (tok)),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score_ppm DESC, tok ASC) AS rn FROM sc)
+         SELECT doc_id, tok AS top_term, tf, df, score_ppm
+         FROM rk WHERE rn = 1"""),
 
     "events_asof_join" ->
       ("SELECT a.event_id, a.user_id, " +

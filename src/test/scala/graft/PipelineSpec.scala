@@ -307,6 +307,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Long]("asof_rid") === 992L)
   }
 
+  test("pii scrub: counts per class, redaction order keeps classes disjoint") {
+    val d = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or 555-0142 thanks"),
+      (2L, "server 192.168.1.200 and 10.0.0.7 rebooted"),
+      (3L, "no pii here at all"),
+      (4L, "a@b.io b@c.net 555-9999 1.2.3.4")
+    ).toDF("doc_id", "text")
+    val r = Pii.signals(d, col("doc_id"), col("text"))
+      .orderBy("did").collect()
+    assert(r.map(_.getLong(1)).toSeq === Seq(1L, 0L, 0L, 2L)) // emails
+    assert(r.map(_.getLong(2)).toSeq === Seq(1L, 0L, 0L, 1L)) // phones
+    assert(r.map(_.getLong(3)).toSeq === Seq(0L, 2L, 0L, 1L)) // ipv4
+    val clean = d.select(col("doc_id"), Pii.scrub(col("text")).as("c"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(clean(0) === "reach me at <EMAIL> or <PHONE> thanks")
+    assert(clean(1) === "server <IP> and <IP> rebooted")
+    assert(clean(2) === "no pii here at all")
+    assert(clean(3) === "<EMAIL> <EMAIL> <PHONE> <IP>")
+  }
+
   test("quality signals are integer-exact") {
     val r = TextAnalysis.qualitySignals(
       Seq((1L, "the cat sat")).toDF("doc_id", "text"), $"text")

@@ -77,6 +77,21 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("Join"))
   }
 
+  test("pii scrub is scan-parallel: no exchange, no join, no window") {
+    // detection + redaction are regex column expressions — the whole
+    // operator must stay one projection over the scan; any Exchange here
+    // means a 100 TB scrub started moving the corpus
+    val plan = formatted("text_pii_scrub")
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Window"), s"pii scrub plan moved data:\n$plan")
+  }
+
+  test("tfidf argmax: corpus-sized tf/df join stays shuffled-hash") {
+    val plan = formatted("text_tfidf_top")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"tf/df join must not sort-merge or broadcast a corpus table:\n$plan")
+  }
+
   test("quota ancestry: zero-shuffle expression when small, join past the gate") {
     val inodes = graft.inodes.InodeView.snapshot(spark, dir)
     // small quota-dir set → the whole check is a codegen'd filter over the
