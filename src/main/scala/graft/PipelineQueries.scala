@@ -533,6 +533,16 @@ object PipelineQueries {
           col("n_dup_grams"), col("dup_ppm"))
         .orderBy("doc_id")),
 
+    // exact duplicated-SPAN localization (the position-aware substring
+    // dedup of Lee et al. 2022): maximal runs of consecutive positions
+    // whose 5-gram occurs >1× in the corpus → span lengths per doc
+    "dedup_dup_spans" -> ((s, d) =>
+      pipeline.Dedup.duplicatedSpans(
+          Tables.documents(s, d), "doc_id", col("text"), 5)
+        .select(col("did").as("doc_id"), col("n_grams"),
+          col("n_dup_grams"), col("longest_dup_span"), col("n_spans"))
+        .orderBy("doc_id")),
+
     // corpus-level census over the same stats: how much of the corpus is
     // boilerplate (≥50% repeated grams) vs fully unique
     "corpus_dup_ngram_census" -> ((s, d) =>
@@ -1121,6 +1131,37 @@ object PipelineQueries {
        "SELECT doc_id, n_grams, CAST(n_dup_grams AS BIGINT) AS n_dup_grams, " +
        "CAST(FLOOR(1000000.0 * n_dup_grams / n_grams) AS BIGINT) AS dup_ppm " +
        "FROM per ORDER BY doc_id"),
+
+    "dedup_dup_spans" ->
+      (s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         base AS (SELECT doc_id, len(toks) - 4 AS n_grams, toks
+                  FROM d WHERE len(toks) >= 5),
+         pos AS (SELECT doc_id, n_grams,
+                   unnest(range(1, CAST(len(toks) - 3 AS BIGINT))) AS p, toks
+                 FROM base),
+         g AS (SELECT doc_id, n_grams, p,
+                 ('0x' || substr(md5(array_to_string(toks[p:p+4], ' ')),
+                  1, 15))::BIGINT AS gh
+               FROM pos),
+         cnt AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+         dup AS (SELECT doc_id, p FROM g WHERE gh IN (SELECT gh FROM cnt)),
+         runs AS (SELECT doc_id, p,
+                    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                      AS rid
+                  FROM dup),
+         spans AS (SELECT doc_id, rid, COUNT(*) + 4 AS span_toks
+                   FROM runs GROUP BY doc_id, rid),
+         per AS (SELECT doc_id, MAX(span_toks) AS longest_dup_span,
+                   COUNT(*) AS n_spans, SUM(span_toks - 4) AS n_dup_grams
+                 FROM spans GROUP BY doc_id),
+         tot AS (SELECT DISTINCT doc_id, n_grams FROM base)
+         SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(p.longest_dup_span, 0) AS BIGINT)
+             AS longest_dup_span,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans
+         FROM tot t LEFT JOIN per p ON t.doc_id = p.doc_id
+         ORDER BY t.doc_id"""),
 
     "corpus_dup_ngram_census" ->
       (s"WITH ${shingleCtes(5)}, " +

@@ -155,6 +155,12 @@ object ScaleBench {
         .where(col("did") % 100 === 99 || col("did") % 100 === 98).count()
       s"$hot/${2 * nDocs / 100} planted-pair docs flagged"
     }
+    tm("dup_spans") {
+      // planted near-dups share a long token prefix with their source, so
+      // every planted pair contributes long duplicated spans
+      pipeline.Dedup.duplicatedSpans(docs, "doc_id", col("text"), 5)
+        .where(col("longest_dup_span") >= 20).count()
+    }
     t("pack_bins_2048") {
       val bins = pipeline.Curation.packBins(
         docs, col("doc_id"), col("text"), 2048L)

@@ -91,6 +91,65 @@ object Dedup {
     df.localCheckpoint(eager = true,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
+  /** Exact duplicated-SPAN stats per document — the position-aware form
+    * of substring dedup ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022, arXiv:2107.06499): where the
+    * repeated-n-gram census counts how MUCH of a doc is duplicated,
+    * this localizes WHERE, as maximal runs of consecutive token
+    * positions whose k-gram occurs more than once in the corpus. A run
+    * of r consecutive duplicated k-gram positions covers a span of
+    * r + k − 1 tokens (the k-gram-anchor approximation of the paper's
+    * suffix-array spans: every token of the span lies inside some
+    * corpus-duplicated k-gram).
+    *
+    * Returns per doc: `n_grams` (k-gram positions), `n_dup_grams`
+    * (duplicated positions), `longest_dup_span` (tokens),
+    * `n_spans` (maximal runs).
+    *
+    * 100 TB shape: gram hashes are computed IN-ROW (`transform` over a
+    * `sequence` of positions — no per-doc window, no shuffle), then the
+    * same two hash-keyed corpus shuffles as the census (count by gram
+    * hash, semi-join back), then ONE window partitioned by doc for the
+    * island detection (`p − row_number()`). Everything linear; the only
+    * per-doc state is its duplicated positions.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, text: Column,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // gram hash at 1-based position p, portable md5 form (oracle-mirrored)
+    val ghArr = s"""transform(sequence(1, size(__toks) - $k + 1),
+        p -> cast(conv(substring(md5(concat_ws(' ', slice(__toks, p, $k))),
+                       1, 15), 16, 10) as bigint))"""
+    val base = df
+      .select(col(idCol).as("did"), TextAnalysis.tokens(text).as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col("did"),
+        (size(col("__toks")) - (k - 1)).cast("long").as("n_grams"),
+        expr(ghArr).as("__gh"))
+    val ex = checkpointCorpus(base
+      .select(col("did"), col("n_grams"),
+        posexplode(col("__gh")).as(Seq("__p0", "gh")))
+      .select(col("did"), col("n_grams"), (col("__p0") + 1).as("p"), col("gh")))
+    val dupGrams = ex.groupBy(col("gh")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1)
+    val dup = ex.join(dupGrams.hint("shuffle_hash"), Seq("gh"), "left_semi")
+    val w = Window.partitionBy("did").orderBy("p")
+    val spans = dup
+      .withColumn("__rid", col("p") - row_number().over(w))
+      .groupBy(col("did"), col("__rid"))
+      .agg((count(lit(1)) + (k - 1)).as("span_toks"))
+    val perDoc = spans.groupBy(col("did"))
+      .agg(max("span_toks").as("longest_dup_span"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_toks") - (k - 1)).as("n_dup_grams"))
+    base.select(col("did"), col("n_grams"))
+      .join(perDoc.hint("shuffle_hash"), Seq("did"), "left")
+      .select(col("did"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("longest_dup_span"), lit(0L)).as("longest_dup_span"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
   /** Permutation `k` of a base hash: `(A_k·h + B_k) mod p` — the classic
     * universal-hash family (integer-exact, SQL-mirrorable). */
   def permute(h0p: Column, k: Int): Column =

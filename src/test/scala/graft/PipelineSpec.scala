@@ -307,6 +307,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Long]("asof_rid") === 992L)
   }
 
+  test("duplicated spans: runs of shared 5-grams localize the dup substring") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),      // shares "a b c d e f" with doc 2
+      (2L, "a b c d e f x y"),
+      (3L, "q r s t u v"),          // fully unique
+      (4L, "z z z z z z z z z z"),  // self-repeating: whole doc one span
+      (5L, "a b")                   // shorter than k → excluded
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(d, "doc_id", col("text"), 5)
+      .orderBy("did").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq === Seq(
+      (1L, 4L, 2L, 6L, 1L),  // 2 dup positions → one 6-token span
+      (2L, 4L, 2L, 6L, 1L),
+      (3L, 2L, 0L, 0L, 0L),
+      (4L, 6L, 6L, 10L, 1L)  // all positions dup (same gram 6×) → whole doc
+    ))
+  }
+
   test("pii scrub: counts per class, redaction order keeps classes disjoint") {
     val d = Seq(
       (1L, "reach me at jane.doe+spam@mail.example.org or 555-0142 thanks"),
