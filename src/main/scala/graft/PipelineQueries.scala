@@ -543,6 +543,23 @@ object PipelineQueries {
           col("n_dup_grams"), col("longest_dup_span"), col("n_spans"))
         .orderBy("doc_id")),
 
+    // winnowed fingerprint census (MOSS): per-doc selected-print count
+    // and an order-independent xor pin of the print set
+    "text_winnow" -> ((s, d) =>
+      pipeline.Dedup.winnowedFingerprints(
+          Tables.documents(s, d), "doc_id", col("text"), 5, 4)
+        .groupBy(col("did"))
+        .agg(count(lit(1)).as("n_prints"),
+          expr("bit_xor(f)").as("prints_xor"))
+        .select(col("did").as("doc_id"), col("n_prints"), col("prints_xor"))
+        .orderBy("doc_id")),
+
+    // candidate pairs from shared winnowed prints, boilerplate-guarded
+    "dedup_winnow_pairs" -> ((s, d) =>
+      pipeline.Dedup.winnowPairs(
+          Tables.documents(s, d), "doc_id", col("text"))
+        .orderBy("ida", "idb")),
+
     // corpus-level census over the same stats: how much of the corpus is
     // boilerplate (≥50% repeated grams) vs fully unique
     "corpus_dup_ngram_census" -> ((s, d) =>
@@ -1162,6 +1179,43 @@ object PipelineQueries {
            CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans
          FROM tot t LEFT JOIN per p ON t.doc_id = p.doc_id
          ORDER BY t.doc_id"""),
+
+    "text_winnow" ->
+      (s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         el AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 8),
+         gh AS (SELECT doc_id,
+           [('0x' || substr(md5(array_to_string(toks[p:p+4], ' ')),
+             1, 15))::BIGINT
+            for p in range(1, CAST(len(toks) - 3 AS BIGINT))] AS g
+           FROM el),
+         sel AS (SELECT doc_id,
+           unnest(list_distinct([list_min(g[j:j+3])
+            for j in range(1, CAST(len(g) - 2 AS BIGINT))])) AS f
+           FROM gh)
+         SELECT doc_id, COUNT(*) AS n_prints,
+           CAST(bit_xor(f) AS BIGINT) AS prints_xor
+         FROM sel GROUP BY doc_id ORDER BY doc_id"""),
+
+    "dedup_winnow_pairs" ->
+      (s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         el AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 8),
+         gh AS (SELECT doc_id,
+           [('0x' || substr(md5(array_to_string(toks[p:p+4], ' ')),
+             1, 15))::BIGINT
+            for p in range(1, CAST(len(toks) - 3 AS BIGINT))] AS g
+           FROM el),
+         sel AS (SELECT doc_id,
+           unnest(list_distinct([list_min(g[j:j+3])
+            for j in range(1, CAST(len(g) - 2 AS BIGINT))])) AS f
+           FROM gh),
+         keep AS (SELECT f FROM sel GROUP BY f
+                  HAVING COUNT(*) > 1 AND COUNT(*) <= 100),
+         sh AS (SELECT doc_id, f FROM sel
+                WHERE f IN (SELECT f FROM keep))
+         SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_shared
+         FROM sh a JOIN sh b ON a.f = b.f AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
+         ORDER BY ida, idb"""),
 
     "corpus_dup_ngram_census" ->
       (s"WITH ${shingleCtes(5)}, " +

@@ -150,6 +150,56 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
 
+  /** Winnowed fingerprints (Schleimer–Wilkerson–Aiken 2003, the MOSS
+    * algorithm): the minimum k-gram hash of every sliding window of `w`
+    * consecutive k-gram positions, distinct per doc. Selects ~2/(w+1) of
+    * all gram hashes yet GUARANTEES any shared token run of length
+    * ≥ w + k − 1 contributes at least one shared fingerprint — the
+    * deterministic-coverage alternative to MinHash when the match
+    * criterion is "shares a substring at least L tokens long" rather
+    * than whole-doc resemblance.
+    *
+    * Everything up to the distinct is IN-ROW (`transform` + `slice` +
+    * `array_min` over the gram-hash array — no window operator, no
+    * shuffle): the corpus never moves until the (did, f) pairs, already
+    * w-fold sparser than the grams, hit their first aggregation.
+    * Returns (did, f) — one row per distinct selected fingerprint. */
+  def winnowedFingerprints(df: DataFrame, idCol: String, text: Column,
+                           k: Int, w: Int): DataFrame = {
+    val ghArr = s"""transform(sequence(1, size(__toks) - $k + 1),
+        p -> cast(conv(substring(md5(concat_ws(' ', slice(__toks, p, $k))),
+                       1, 15), 16, 10) as bigint))"""
+    val minW = s"""array_distinct(transform(sequence(1, size(__gh) - $w + 1),
+        j -> array_min(slice(__gh, j, $w))))"""
+    df.select(col(idCol).as("did"), TextAnalysis.tokens(text).as("__toks"))
+      .where(size(col("__toks")) >= k + w - 1)
+      .select(col("did"), expr(ghArr).as("__gh"))
+      .select(col("did"), explode(expr(minW)).as("f"))
+  }
+
+  /** Candidate near-dup pairs from shared winnowed fingerprints: docs
+    * sharing ≥ `minShared` fingerprints, with the MOSS boilerplate
+    * guard — fingerprints present in more than `maxDf` docs are license
+    * headers / templates, not duplication evidence, and are dropped
+    * BEFORE the self-join (the guard is what keeps a corpus-wide
+    * boilerplate print from exploding into |docs|² candidate pairs).
+    * Only (f, did) pairs cross the join — id-sized shuffle rows. */
+  def winnowPairs(df: DataFrame, idCol: String, text: Column,
+                  k: Int = 5, w: Int = 4,
+                  minShared: Long = 2, maxDf: Long = 100): DataFrame = {
+    val fp = checkpointCorpus(winnowedFingerprints(df, idCol, text, k, w))
+    val keep = fp.groupBy(col("f")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > 1 && col("__df") <= maxDf)
+    val shared = fp.join(keep.hint("shuffle_hash"), Seq("f"), "left_semi")
+    shared.select(col("f"), col("did").as("ida"))
+      .join(shared.select(col("f"), col("did").as("idb")).hint("shuffle_hash"),
+        Seq("f"))
+      .where(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Permutation `k` of a base hash: `(A_k·h + B_k) mod p` — the classic
     * universal-hash family (integer-exact, SQL-mirrorable). */
   def permute(h0p: Column, k: Int): Column =

@@ -326,6 +326,36 @@ class PipelineSpec extends AnyFunSuite {
     ))
   }
 
+  test("winnowing: shared run of w+k-1 tokens guarantees a shared print") {
+    // k=5, w=4 → guarantee length 8; the docs share exactly the 8-token
+    // run "a b c d e f g h" inside otherwise-disjoint text
+    val d = Seq(
+      (1L, "p1 q1 r1 s1 a b c d e f g h t1 u1 v1 w1"),
+      (2L, "m2 n2 a b c d e f g h o2 z2 k2 l2 j2 i2")
+    ).toDF("doc_id", "text")
+    val shared = Dedup.winnowedFingerprints(d, "doc_id", col("text"), 5, 4)
+      .groupBy("f").agg(countDistinct("did").as("n"))
+      .where(col("n") === 2).count()
+    assert(shared >= 1, "winnowing guarantee violated")
+  }
+
+  test("winnow pairs: finds the near-dup, boilerplate guard kills hot prints") {
+    val nearDups = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o q"),  // near-dup of 1
+      (3L, "z9 y9 x9 w9 v9 u9 t9 s9 r9 q9 p9 o9")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(nearDups, "doc_id", col("text")).collect()
+    assert(pairs.length === 1 &&
+      pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 2L)
+
+    // four identical docs: every print has df=4 > maxDf=3 → all dropped
+    val boiler = Seq.tabulate(4)(i => (i.toLong, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowPairs(boiler, "doc_id", col("text"),
+      maxDf = 3).count() === 0)
+  }
+
   test("pii scrub: counts per class, redaction order keeps classes disjoint") {
     val d = Seq(
       (1L, "reach me at jane.doe+spam@mail.example.org or 555-0142 thanks"),
