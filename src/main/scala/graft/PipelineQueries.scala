@@ -560,6 +560,23 @@ object PipelineQueries {
           Tables.documents(s, d), "doc_id", col("text"))
         .orderBy("ida", "idb")),
 
+    // incremental dedup: docs < 250 are the already-kept corpus (its
+    // signature table is the persisted index), docs >= 250 arrive as a
+    // new batch — census of vs-index drops, within-batch drops, the kept
+    // set (xor-pinned) and the updated index size
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSigs = pipeline.Dedup.minhashSignatures(
+        docs.where(col("doc_id") < 250), "doc_id", col("text"), 3, 64)
+      val batch = docs.where(col("doc_id") >= 250)
+      val (kept, index) = pipeline.Dedup.incrementalDedup(
+        batch, "doc_id", col("text"), oldSigs, thresholdPpm = 500000L)
+      batch.agg(count(lit(1)).as("n_new"))
+        .crossJoin(kept.agg(count(lit(1)).as("n_kept"),
+          expr("bit_xor(doc_id)").as("kept_xor")))
+        .crossJoin(index.agg(count(lit(1)).as("index_size")))
+    }),
+
     // corpus-level census over the same stats: how much of the corpus is
     // boilerplate (≥50% repeated grams) vs fully unique
     "corpus_dup_ngram_census" -> ((s, d) =>
@@ -1216,6 +1233,31 @@ object PipelineQueries {
          FROM sh a JOIN sh b ON a.f = b.f AND a.doc_id < b.doc_id
          GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
          ORDER BY ida, idb"""),
+
+    "dedup_incremental" ->
+      (s"""WITH RECURSIVE $minhashCtes,
+         cross0 AS (SELECT DISTINCT idb AS did FROM mest
+           WHERE ida < 250 AND idb >= 250 AND est_jaccard_ppm >= 500000),
+         wpairs AS (SELECT ida, idb FROM mest
+           WHERE ida >= 250 AND est_jaccard_ppm >= 500000
+             AND ida NOT IN (SELECT did FROM cross0)
+             AND idb NOT IN (SELECT did FROM cross0)),
+         wedges AS (SELECT ida AS src, idb AS dst FROM wpairs
+           UNION ALL SELECT idb, ida FROM wpairs),
+         reach AS (SELECT DISTINCT src AS did, src AS label FROM wedges
+           UNION SELECT e.dst AS did, r.label FROM reach r
+           JOIN wedges e ON e.src = r.did),
+         losers AS (SELECT did FROM reach GROUP BY did
+           HAVING MIN(label) < did),
+         newdocs AS (SELECT doc_id FROM documents WHERE doc_id >= 250),
+         kept AS (SELECT doc_id FROM newdocs
+           WHERE doc_id NOT IN (SELECT did FROM cross0)
+             AND doc_id NOT IN (SELECT did FROM losers))
+         SELECT (SELECT COUNT(*) FROM newdocs) AS n_new,
+           (SELECT COUNT(*) FROM kept) AS n_kept,
+           (SELECT CAST(bit_xor(doc_id) AS BIGINT) FROM kept) AS kept_xor,
+           (SELECT COUNT(*) FROM documents WHERE doc_id < 250)
+             + (SELECT COUNT(*) FROM kept) AS index_size"""),
 
     "corpus_dup_ngram_census" ->
       (s"WITH ${shingleCtes(5)}, " +

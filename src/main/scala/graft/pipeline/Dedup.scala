@@ -244,23 +244,41 @@ object Dedup {
       .select(col("did"), array((0 until perms).map(k => col(s"m$k")): _*).as("sig"))
   }
 
-  def minhashCandidates(df: DataFrame, idCol: String, text: Column,
-                        shingleN: Int = 3, perms: Int = 64,
-                        bands: Int = 8): DataFrame = {
+  /** Banded LSH keys of a (did, sig) signature table: band key = md5 of
+    * the comma-joined band slice — a portable string key both engines
+    * derive identically. */
+  def bandTable(sig: DataFrame, perms: Int, bands: Int): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
-    // the signature table feeds three consumers (band keys + both sides of
-    // the estimate join-back); checkpoint it so the expensive explode+
-    // 64-min aggregation runs ONCE, not per consumer
-    val sig = checkpointCorpus(
-      minhashSignatures(df, idCol, text, shingleN, perms))
-    // band key = md5 of the comma-joined band slice: a portable string key
-    // both engines derive identically
-    val banded = sig.select(col("did"),
+    sig.select(col("did"),
       explode(array((0 until bands).map(b => struct(lit(b).as("b"),
         md5(array_join(slice(col("sig"), b * rows + 1, rows)
           .cast("array<string>"), ",")).as("h"))): _*)).as("band"))
       .select(col("band.b").as("b"), col("band.h").as("h"), col("did"))
+  }
+
+  /** Estimated Jaccard (ppm, fraction of equal signature positions) for
+    * a (ida, idb) pair frame, joining each side's signature back. */
+  private def estimatePairs(pairs: DataFrame, sigA: DataFrame,
+                            sigB: DataFrame): DataFrame = {
+    val matches = size(filter(
+      zip_with(col("siga"), col("sigb"), (x, y) => (x === y).cast("int")),
+      v => v === 1))
+    pairs
+      .join(sigA.select(col("did").as("ida"), col("sig").as("siga"))
+        .hint("shuffle_hash"), Seq("ida"))
+      .join(sigB.select(col("did").as("idb"), col("sig").as("sigb"))
+        .hint("shuffle_hash"), Seq("idb"))
+      .withColumn("est_jaccard_ppm",
+        floor(lit(1000000.0) * matches / size(col("siga"))).cast("long"))
+      .select("ida", "idb", "est_jaccard_ppm")
+  }
+
+  /** Candidate pairs (ida < idb, est ppm) from an already-computed
+    * signature table — the self-join half of [[minhashCandidates]]. */
+  def candidatesFromSigs(sig: DataFrame, perms: Int,
+                         bands: Int): DataFrame = {
+    val banded = bandTable(sig, perms, bands)
     val pairs = banded.select(col("b"), col("h"), col("did").as("ida"))
       // shuffle_hash: both sides are the corpus-sized band table (see
       // jaccardPairs — broadcast under lying stats is the hazard)
@@ -269,17 +287,68 @@ object Dedup {
       .where(col("ida") < col("idb"))
       .select("ida", "idb")
       .dropDuplicates("ida", "idb")
-    val matches = size(filter(
-      zip_with(col("siga"), col("sigb"), (x, y) => (x === y).cast("int")),
-      v => v === 1))
-    pairs
-      .join(sig.select(col("did").as("ida"), col("sig").as("siga"))
-        .hint("shuffle_hash"), Seq("ida"))
-      .join(sig.select(col("did").as("idb"), col("sig").as("sigb"))
-        .hint("shuffle_hash"), Seq("idb"))
-      .withColumn("est_jaccard_ppm",
-        floor(lit(1000000.0) * matches / size(col("siga"))).cast("long"))
-      .select("ida", "idb", "est_jaccard_ppm")
+    estimatePairs(pairs, sig, sig)
+  }
+
+  def minhashCandidates(df: DataFrame, idCol: String, text: Column,
+                        shingleN: Int = 3, perms: Int = 64,
+                        bands: Int = 8): DataFrame = {
+    // the signature table feeds three consumers (band keys + both sides of
+    // the estimate join-back); checkpoint it so the expensive explode+
+    // 64-min aggregation runs ONCE, not per consumer
+    val sig = checkpointCorpus(
+      minhashSignatures(df, idCol, text, shingleN, perms))
+    candidatesFromSigs(sig, perms, bands)
+  }
+
+  /** Incremental corpus dedup — the continuous-ingestion shape: dedupe a
+    * NEW batch against an already-kept corpus WITHOUT rescanning its
+    * documents. The kept corpus is represented only by its MinHash
+    * signature table (`keptSigs`: (did, sig) rows, persisted between
+    * batches — perms longs per doc, ~0.5 KB, regardless of doc size).
+    *
+    * Semantics (the standard batch-ingest rule):
+    *   1. a new doc LSH-colliding with a KEPT doc at ≥ `thresholdPpm`
+    *      estimated Jaccard is dropped (the old corpus always wins);
+    *   2. the survivors are deduped among themselves
+    *      (cluster → min-id keeper), exactly as [[dedupCorpus]];
+    *   3. the returned index is `keptSigs` ∪ signatures of the kept
+    *      new docs — feed it to the next batch.
+    *
+    * Returns (kept new docs, updated signature index).
+    *
+    * 100 TB shape: the old corpus never moves — only its band keys
+    * (derived from the stored signatures, 8 rows/doc) meet the new
+    * batch's band keys in one hash join keyed on (band, md5); per-batch
+    * cost is O(batch) + O(index band table), never O(corpus text). */
+  def incrementalDedup(newDocs: DataFrame, idCol: String, text: Column,
+                       keptSigs: DataFrame,
+                       shingleN: Int = 3, perms: Int = 64, bands: Int = 8,
+                       thresholdPpm: Long = 900000L)
+      : (DataFrame, DataFrame) = {
+    val sigNew = checkpointCorpus(
+      minhashSignatures(newDocs, idCol, text, shingleN, perms))
+    val crossPairs = bandTable(keptSigs, perms, bands)
+      .select(col("b"), col("h"), col("did").as("ida"))
+      .join(bandTable(sigNew, perms, bands)
+        .select(col("b"), col("h"), col("did").as("idb"))
+        .hint("shuffle_hash"), Seq("b", "h"))
+      .select("ida", "idb")
+      .dropDuplicates("ida", "idb")
+    val vsOld = estimatePairs(crossPairs, keptSigs, sigNew)
+      .where(col("est_jaccard_ppm") >= thresholdPpm)
+      .select(col("idb").as("did")).distinct()
+    val survSigs = checkpointCorpus(
+      sigNew.join(vsOld, Seq("did"), "left_anti"))
+    val withinPairs = candidatesFromSigs(survSigs, perms, bands)
+      .where(col("est_jaccard_ppm") >= thresholdPpm)
+    val losers = clusterLabels(withinPairs)
+      .where(col("did") =!= col("label")).select("did")
+    val dropped = vsOld.unionByName(losers).distinct()
+    val kept = newDocs.join(
+      dropped.withColumnRenamed("did", idCol), Seq(idCol), "left_anti")
+    val keptNewSigs = survSigs.join(losers, Seq("did"), "left_anti")
+    (kept, keptSigs.unionByName(keptNewSigs))
   }
 
   /** Resolve candidate pairs (ida < idb) into duplicate clusters: every

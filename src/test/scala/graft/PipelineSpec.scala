@@ -326,6 +326,31 @@ class PipelineSpec extends AnyFunSuite {
     ))
   }
 
+  test("incremental dedup: index wins, survivors dedupe among themselves") {
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some totally separate kept document body here")
+    ).toDF("doc_id", "text")
+    val oldSigs = Dedup.minhashSignatures(old, "doc_id", col("text"), 3, 64)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),  // dup of kept 1
+      (11L, "fresh unseen content that matches nothing else at all"),
+      (12L, "another brand new document body never indexed before with many more filler tokens to stabilize the minhash estimate today"),
+      (13L, "another brand new document body never indexed before with many more filler tokens to stabilize the minhash estimate today extra")
+    ).toDF("doc_id", "text")                                 // 12≈13 within
+    val (kept, index) = Dedup.incrementalDedup(
+      batch, "doc_id", col("text"), oldSigs, thresholdPpm = 500000L)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(11L, 12L))
+    assert(index.count() === 4) // 2 old + 11 + 12
+    // the updated index rejects a re-send of a kept-new doc next batch
+    val again = Seq((20L, "another brand new document body never indexed before with many more filler tokens to stabilize the minhash estimate today"))
+      .toDF("doc_id", "text")
+    val (kept2, _) = Dedup.incrementalDedup(
+      again, "doc_id", col("text"), index, thresholdPpm = 500000L)
+    assert(kept2.count() === 0)
+  }
+
   test("winnowing: shared run of w+k-1 tokens guarantees a shared print") {
     // k=5, w=4 → guarantee length 8; the docs share exactly the 8-token
     // run "a b c d e f g h" inside otherwise-disjoint text
