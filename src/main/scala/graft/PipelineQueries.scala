@@ -560,6 +560,14 @@ object PipelineQueries {
           Tables.documents(s, d), "doc_id", col("text"))
         .orderBy("ida", "idb")),
 
+    // semantic-diversity sampling: IVF cells as strata, deterministic
+    // hash-rank sample of 8 vectors per cell, census + xor-pinned picks
+    "corpus_diverse_sample" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      pipeline.Similarity.diverseSample(emb, cents, 8).orderBy("cell")
+    }),
+
     // incremental dedup: docs < 250 are the already-kept corpus (its
     // signature table is the persisted index), docs >= 250 arrive as a
     // new batch — census of vs-index drops, within-batch drops, the kept
@@ -1233,6 +1241,29 @@ object PipelineQueries {
          FROM sh a JOIN sh b ON a.f = b.f AND a.doc_id < b.doc_id
          GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
          ORDER BY ida, idb"""),
+
+    "corpus_diverse_sample" ->
+      (s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent
+           FROM embeddings ORDER BY vec_id LIMIT 16),
+         assigned AS (
+           SELECT cell, nid FROM (
+             SELECT ct.cent_id AS cell, e.vec_id AS nid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, ct.cent) DESC,
+                          ct.cent_id ASC) AS rk
+             FROM embeddings e CROSS JOIN cent ct) WHERE rk = 1),
+         keyed AS (SELECT cell, nid,
+             ('0x' || substr(md5('div:' || CAST(nid AS VARCHAR)),
+              1, 15))::BIGINT AS h
+           FROM assigned),
+         rk AS (SELECT cell, nid, ROW_NUMBER() OVER (PARTITION BY cell
+             ORDER BY h ASC, nid ASC) AS rk FROM keyed)
+         SELECT cell, COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN rk <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(bit_xor(CASE WHEN rk <= 8 THEN nid ELSE 0 END) AS BIGINT)
+             AS sample_xor
+         FROM rk GROUP BY cell ORDER BY cell"""),
 
     "dedup_incremental" ->
       (s"""WITH RECURSIVE $minhashCtes,

@@ -205,6 +205,29 @@ object Similarity {
     * quantized re-aggregation) — all codegen, no interpreted HOFs. Output:
     * (vec_id, qvec, scale_x1e9) with the scale fixed-point-encoded so the
     * whole result is integer-exact and oracle-checkable. */
+  /** Semantic-diversity sample: partition the corpus into IVF centroid
+    * cells (shuffle-free [[ivfAssign]] projection) and keep a
+    * deterministic hash-rank sample of `perCell` vectors per cell — the
+    * embedding-space analog of stratified sampling, used to balance
+    * corpus composition when no language/source label exists. One
+    * window-shuffle keyed on the cell id; per-cell census with the
+    * sampled set xor-pinned so the exact selection is reproducible
+    * across engines and cluster sizes. */
+  def diverseSample(corpus: DataFrame, cents: Seq[(Long, Array[Double])],
+                    perCell: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = ivfAssign(corpus, cents).select(col("cell"), col("nid"))
+      .withColumn("__h", Dedup.portableHash(
+        concat(lit("div:"), col("nid").cast("string"))))
+    val w = Window.partitionBy("cell").orderBy(col("__h").asc, col("nid").asc)
+    keyed.withColumn("__rk", row_number().over(w))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("__rk") <= perCell, 1L).otherwise(0L)).as("n_sampled"),
+        expr(s"bit_xor(CASE WHEN __rk <= $perCell THEN nid ELSE 0 END)")
+          .as("sample_xor"))
+  }
+
   def quantizeInt8(df: DataFrame): DataFrame = {
     val ex = df.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos"), col("col").cast("double").as("v"))
