@@ -155,6 +155,19 @@ object ScaleBench {
         .where(col("did") % 100 === 99 || col("did") % 100 === 98).count()
       s"$hot/${2 * nDocs / 100} planted-pair docs flagged"
     }
+    tm("winnow_pairs") {
+      pipeline.Dedup.winnowPairs(docs, "doc_id", col("text")).count()
+    }
+    t("incremental_dedup_half_index") {
+      // first half = persisted index, second half arrives as the batch
+      val oldSigs = pipeline.Dedup.checkpointCorpus(
+        pipeline.Dedup.minhashSignatures(
+          docs.where(col("doc_id") < nDocs / 2), "doc_id", col("text"), 3, 64))
+      val batch = docs.where(col("doc_id") >= nDocs / 2)
+      val (kept, _) = pipeline.Dedup.incrementalDedup(
+        batch, "doc_id", col("text"), oldSigs, thresholdPpm = 500000L)
+      s"${kept.count()} of ${nDocs / 2} kept"
+    }
     tm("dup_spans") {
       // planted near-dups share a long token prefix with their source, so
       // every planted pair contributes long duplicated spans
