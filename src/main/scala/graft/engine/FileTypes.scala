@@ -48,8 +48,11 @@ object FileTypes {
     ".giveup" -> "GIVEUP", ".GIVEUP" -> "GIVEUP",
     ".inprogress" -> "INPROGRESS", ".INPROGRESS" -> "INPROGRESS")
 
-  private def litMap(m: Map[String, String]): Column =
-    map(m.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+  // typedlit folds the whole map into ONE MapType literal constant; the
+  // map(lit, lit, ...) alternative emits ~2×|map| codegen children per
+  // lookup, which made this classifier's one-time compile dominate its
+  // runtime (cold 2.0 s vs 0.26 s warm at sf0.1).
+  private def litMap(m: Map[String, String]): Column = typedlit(m)
 
   def classify(name: Column): Column = {
     // try_element_at: null on miss even under ANSI mode (Spark 4 default)
