@@ -18,6 +18,7 @@ import graft.functions._
   *   - `cosine_similarity(a, b)`              — codegen'd float cosine
   *   - `lsh_buckets(emb, planes, bands)`      — banded hyperplane buckets
   *   - `ngram_shingles(tokens, n)`            — distinct word n-grams
+  *   - `ngram_hashes(tokens, n)`              — positional portable gram hashes
   *   - `path_under_set(path, array('/a',…))`  — proper-ancestor membership
   *
   * [[graft.functions.GraftFunctions.registerAll]] remains the
@@ -69,6 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("ngram_shingles",
         "ngram_shingles(tokens, n) - distinct word n-gram shingles"),
       (exprs: Seq[Expression]) => NGramShingles(exprs(0), intLit(exprs(1), "n"))))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hashes"),
+      info("ngram_hashes",
+        "ngram_hashes(tokens, n) - portable 60-bit hash of the n-gram at every position"),
+      (exprs: Seq[Expression]) => NGramHashes(exprs(0), intLit(exprs(1), "n"))))
     ext.injectFunction((
       FunctionIdentifier("path_under_set"),
       info("path_under_set",

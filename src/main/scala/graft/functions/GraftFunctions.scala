@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   *   - `cosine_similarity(a, b)`            — codegen'd cosine
   *   - `lsh_buckets(e, planes, bands)`      — banded hyperplane buckets
   *   - `ngram_shingles(tokens, n)`          — distinct word n-grams
+  *   - `ngram_hashes(tokens, n)`            — positional portable gram hashes
   *
   * Plan-time parameters (planes/bands/n) must be integer literals — they
   * shape the generated code, exactly like the Column API.
@@ -31,6 +32,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_shingles",
       exprs => NGramShingles(exprs(0), intLit(exprs(1), "n")),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_hashes",
+      exprs => NGramHashes(exprs(0), intLit(exprs(1), "n")),
       "scala_udf")
   }
 }

@@ -116,16 +116,15 @@ object Dedup {
   def duplicatedSpans(df: DataFrame, idCol: String, text: Column,
                       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // gram hash at 1-based position p, portable md5 form (oracle-mirrored)
-    val ghArr = s"""transform(sequence(1, size(__toks) - $k + 1),
-        p -> cast(conv(substring(md5(concat_ws(' ', slice(__toks, p, $k))),
-                       1, 15), 16, 10) as bigint))"""
+    // gram hash at 1-based position p, portable md5 form (oracle-mirrored);
+    // codegen'd — the composable HOF formulation it replaces bit-for-bit is
+    // documented on [[graft.functions.NGramHashes]]
     val base = df
       .select(col(idCol).as("did"), TextAnalysis.tokens(text).as("__toks"))
       .where(size(col("__toks")) >= k)
       .select(col("did"),
         (size(col("__toks")) - (k - 1)).cast("long").as("n_grams"),
-        expr(ghArr).as("__gh"))
+        graft.functions.NGramHashes.ngram_hashes(col("__toks"), k).as("__gh"))
     val ex = checkpointCorpus(base
       .select(col("did"), col("n_grams"),
         posexplode(col("__gh")).as(Seq("__p0", "gh")))
@@ -166,14 +165,14 @@ object Dedup {
     * Returns (did, f) — one row per distinct selected fingerprint. */
   def winnowedFingerprints(df: DataFrame, idCol: String, text: Column,
                            k: Int, w: Int): DataFrame = {
-    val ghArr = s"""transform(sequence(1, size(__toks) - $k + 1),
-        p -> cast(conv(substring(md5(concat_ws(' ', slice(__toks, p, $k))),
-                       1, 15), 16, 10) as bigint))"""
+    // gram hashes codegen'd ([[graft.functions.NGramHashes]]); the sliding
+    // window-min stays a HOF but now loops over LONGS, not md5 hex strings
     val minW = s"""array_distinct(transform(sequence(1, size(__gh) - $w + 1),
         j -> array_min(slice(__gh, j, $w))))"""
     df.select(col(idCol).as("did"), TextAnalysis.tokens(text).as("__toks"))
       .where(size(col("__toks")) >= k + w - 1)
-      .select(col("did"), expr(ghArr).as("__gh"))
+      .select(col("did"),
+        graft.functions.NGramHashes.ngram_hashes(col("__toks"), k).as("__gh"))
       .select(col("did"), explode(expr(minW)).as("f"))
   }
 

@@ -58,6 +58,46 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram_hashes matches the md5-HOF formulation bit-for-bit") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "héllo wörld ünïcode tökens ärë bytes",      // multi-byte UTF-8
+      "a b c d e",                                  // exactly k tokens (k=5)
+      "one two three four",                         // shorter than k → filtered
+      "x x x x x x x x x x"                         // repeated token
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val k = 5
+    val hof = s"""transform(sequence(1, size(toks) - $k + 1),
+        p -> cast(conv(substring(md5(concat_ws(' ', slice(toks, p, $k))),
+                       1, 15), 16, 10) as bigint))"""
+    val both = docs
+      .select($"id", split($"text", " ").as("toks"))
+      .where(size($"toks") >= k)
+      .select($"id", expr(hof).as("want"),
+        graft.functions.NGramHashes.ngram_hashes($"toks", k).as("got"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("ngram_hashes: short input empty, SQL-registered, literal-only n") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val e = spark.sql("SELECT ngram_hashes(split('a b', ' '), 5) AS h").head()
+    assert(e.getSeq[Long](0).isEmpty)
+    val one = spark.sql("SELECT ngram_hashes(split('a b c', ' '), 3) AS h").head()
+      .getSeq[Long](0)
+    val mirror = spark.sql(
+      "SELECT cast(conv(substring(md5('a b c'), 1, 15), 16, 10) as bigint) AS h")
+      .head().getLong(0)
+    assert(one === Seq(mirror))
+    intercept[Exception] {
+      spark.sql("SELECT ngram_hashes(split('a b', ' '), cast(rand()*3 as int))")
+        .collect()
+    }
+  }
+
   test("malformed input yields null, not a plausible number") {
     // length mismatch
     val mis = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
