@@ -242,6 +242,47 @@ object PipelineQueries {
         .orderBy("qid")
     }),
 
+    // product-quantization top-5: corpus compressed to m=8 codes/vector
+    // (codegen'd PqCodes projection), scored via per-query ADC lookup
+    // tables — every fold is index-ordered so the whole path mirrors in
+    // SQL → full oracle
+    "ann_pq_top5" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      pipeline.Similarity.pqTopK(
+        emb.where(col("vec_id") < 5), emb, 5, m = 8, ksub = 16)
+        .orderBy("qid", "rank")
+    }),
+
+    "ann_pq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 5)
+      val approx = pipeline.Similarity.pqTopK(q, emb, 5, m = 8, ksub = 16)
+      val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
+      q.select(col("vec_id").as("qid"))
+        .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
+            Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
+          Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("qid")
+    }),
+
+    // IVFPQ (FAISS IVFx,PQy): coarse cell + PQ codes in ONE shuffle-free
+    // projection; probes scan ~nprobe/nlist of the code table with ADC
+    // lookups — the billion-vector serving shape, full oracle
+    "ann_ivfpq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 5)
+      val approx = pipeline.Similarity.ivfPqTopK(q, emb, 5,
+        nlist = 16, nprobe = 8, m = 8, ksub = 16)
+      val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
+      q.select(col("vec_id").as("qid"))
+        .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
+            Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
+          Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("qid")
+    }),
+
     // symmetric int8 quantization: per-vector absmax scaling, summarized
     // with integer-exact stats (saturation count, q-sums) for the oracle
     "emb_quantize_int8" -> ((s, d) => {
@@ -935,6 +976,99 @@ object PipelineQueries {
              FROM a2 a JOIN probes2 p USING (cell)
              WHERE p.qid <> a.nid) s) WHERE rank <= $k)"""
 
+  /** Shared PQ CTEs mirroring [[graft.functions.PqCodes]] + the ADC LUTs of
+    * `Similarity.pqTopK`: `cbn(sub, code, entry, sq)` codebooks seeded from
+    * the first `ksub` vectors, `encd(nid, sub, code)` the per-subspace
+    * argmin-L2 codes (sequential folds, ties → lower code), `qn(qid, qe,
+    * qnorm)` and `lut(qid, sub, code, dot, sq)` the query-side tables. */
+  private def pqBaseSql(m: Int, ksub: Int, subDim: Int): String = {
+    def sub(v: String) = s"list_transform($v[(c.sub*$subDim+1):((c.sub+1)*$subDim)], x -> CAST(x AS DOUBLE))"
+    s"""cbv AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+         FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $ksub)),
+       cbn AS (
+         SELECT c.sub, r.code,
+           list_transform(r.embedding[(c.sub*$subDim+1):((c.sub+1)*$subDim)],
+             x -> CAST(x AS DOUBLE)) AS entry,
+           list_reduce(list_transform(
+             r.embedding[(c.sub*$subDim+1):((c.sub+1)*$subDim)],
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS sq
+         FROM (SELECT unnest(generate_series(0, ${m - 1})) AS sub) c
+         CROSS JOIN cbv r),
+       encd AS (SELECT nid, sub, code FROM (
+           SELECT e.vec_id AS nid, c.sub, c.code,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.sub
+               ORDER BY list_reduce(list_transform(
+                 list_zip(${sub("e.embedding")}, c.entry),
+                 z -> (struct_extract(z, 1) - struct_extract(z, 2)) *
+                      (struct_extract(z, 1) - struct_extract(z, 2))),
+                 (x, y) -> x + y) ASC, c.code ASC) AS rk
+           FROM embeddings e CROSS JOIN cbn c) WHERE rk = 1),
+       qn AS (SELECT vec_id AS qid, embedding AS qe,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+             AS qnorm
+         FROM embeddings WHERE vec_id < 5),
+       lut AS (SELECT q.qid, c.sub, c.code, c.sq,
+           list_reduce(list_transform(list_zip(${sub("q.qe")}, c.entry),
+             z -> struct_extract(z, 1) * struct_extract(z, 2)),
+             (x, y) -> x + y) AS dot
+         FROM qn q CROSS JOIN cbn c)"""
+  }
+
+  /** CTE `pq_topk(qid,nid,rank)` mirroring `Similarity.pqTopK`. */
+  private def pqSql(m: Int, ksub: Int, subDim: Int, k: Int): String =
+    s"""${pqBaseSql(m, ksub, subDim)},
+       pqscore AS (
+         SELECT l.qid, e.nid,
+           list_reduce(list(l.dot ORDER BY l.sub), (x, y) -> x + y) AS dotsum,
+           list_reduce(list(l.sq ORDER BY l.sub), (x, y) -> x + y) AS rsq
+         FROM encd e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+         WHERE l.qid <> e.nid
+         GROUP BY l.qid, e.nid),
+       pq_topk AS (SELECT qid, nid, rank FROM (
+           SELECT s.qid, s.nid, ROW_NUMBER() OVER (PARTITION BY s.qid
+             ORDER BY s.dotsum / (q.qnorm * sqrt(s.rsq)) DESC, s.nid ASC)
+             AS rank
+           FROM pqscore s JOIN qn q USING (qid)) WHERE rank <= $k)"""
+
+  /** CTE `ivfpq_topk(qid,nid,rank)` mirroring `Similarity.ivfPqTopK`:
+    * IVF cell assignment/probes (float-cosine, as `ivfSql`) restrict which
+    * PQ codes each query ADC-scores. */
+  private def ivfPqSql(nlist: Int, nprobe: Int, m: Int, ksub: Int,
+                       subDim: Int, k: Int): String =
+    s"""${pqBaseSql(m, ksub, subDim)},
+       cent AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+         ORDER BY vec_id LIMIT $nlist),
+       assigned AS (
+         SELECT cell, nid FROM (
+           SELECT ct.cent_id AS cell, e.vec_id AS nid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, ct.cent) DESC,
+                        ct.cent_id ASC) AS rk
+           FROM embeddings e CROSS JOIN cent ct) WHERE rk = 1),
+       probes AS (
+         SELECT cell, qid FROM (
+           SELECT ct.cent_id AS cell, q.vec_id AS qid,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, ct.cent) DESC,
+                        ct.cent_id ASC) AS rk
+           FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+           CROSS JOIN cent ct) WHERE rk <= $nprobe),
+       cand AS (SELECT p.qid, a.nid FROM assigned a JOIN probes p USING (cell)
+         WHERE p.qid <> a.nid),
+       pairsc AS (
+         SELECT c.qid, c.nid,
+           list_reduce(list(l.dot ORDER BY l.sub), (x, y) -> x + y) AS dotsum,
+           list_reduce(list(l.sq ORDER BY l.sub), (x, y) -> x + y) AS rsq
+         FROM cand c JOIN encd e ON e.nid = c.nid
+         JOIN lut l ON l.qid = c.qid AND l.sub = e.sub AND l.code = e.code
+         GROUP BY c.qid, c.nid),
+       ivfpq_topk AS (SELECT qid, nid, rank FROM (
+           SELECT s.qid, s.nid, ROW_NUMBER() OVER (PARTITION BY s.qid
+             ORDER BY s.dotsum / (q.qnorm * sqrt(s.rsq)) DESC, s.nid ASC)
+             AS rank
+           FROM pairsc s JOIN qn q USING (qid)) WHERE rank <= $k)"""
+
   private val bruteTopkSql: String =
     """brute_topk AS (
          SELECT qid, nid FROM (
@@ -1043,6 +1177,15 @@ object PipelineQueries {
        "ORDER BY qid, rank"),
 
     "ann_ivf_recall" -> recallSql(ivfSql(16, 4, 5), "ivf_topk"),
+
+    "ann_pq_top5" ->
+      (s"WITH ${pqSql(8, 16, 8, 5)} " +
+       "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM pq_topk " +
+       "ORDER BY qid, rank"),
+
+    "ann_pq_recall" -> recallSql(pqSql(8, 16, 8, 5), "pq_topk"),
+
+    "ann_ivfpq_recall" -> recallSql(ivfPqSql(16, 8, 8, 16, 8, 5), "ivfpq_topk"),
 
     "ann_ivf_kmeans_recall" -> recallSql(ivfKmeansSql(16, 4, 5), "km_topk"),
 

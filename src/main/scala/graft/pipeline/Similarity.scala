@@ -196,6 +196,130 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
   }
 
+  // ---- product quantization (PQ / IVFPQ) ----
+
+  /** Per-subspace PQ codebooks seeded from the first `ksub` corpus vectors
+    * by id — the same deterministic seeding as [[centroids]]; a per-subspace
+    * k-means refinement can replace the seeds later without changing the
+    * query plan. `codebooks(s)(c)` = seed `c`'s dims `[s·d/m, (s+1)·d/m)`. */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val seeds = corpus.orderBy(col("vec_id").asc).limit(ksub)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    val subDim = seeds(0).length / m
+    Array.tabulate(m) { s =>
+      seeds.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+    }
+  }
+
+  /** Corpus compressed to PQ codes — ONE shuffle-free projection (the
+    * codebooks ride inside the codegen'd [[graft.functions.PqCodes]]
+    * expression). (vec_id, m codes) is what a 100 TB serving index stores:
+    * 32× smaller than the float vectors at m=8. */
+  def pqEncode(corpus: DataFrame, cbs: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col("vec_id").as("nid"),
+      graft.functions.PqCodes.pq_codes(col("embedding"), cbs).as("codes"))
+
+  /** Per-query ADC lookup tables: for each (subspace, code), the dot of the
+    * query's subvector with that codebook entry, plus the query norm — all
+    * folds left-to-right in index order so the oracle mirrors them
+    * bit-for-bit. Queries ≪ corpus (the broadcast side). */
+  private def pqQueryLut(queries: DataFrame, cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cbs.length
+    val subDim = cbs(0)(0).length
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val rows = queries.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val qid = r.get(0) match { case l: Long => l; case i: Int => i.toLong }
+      val v = r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray
+      var nq = 0.0
+      var i = 0
+      while (i < v.length) { nq += v(i) * v(i); i += 1 }
+      val lut = Seq.tabulate(m) { s =>
+        cbs(s).toSeq.map { e =>
+          var d = 0.0
+          var j = 0
+          while (j < e.length) { d += v(s * subDim + j) * e(j); j += 1 }
+          d
+        }
+      }
+      (qid, lut, math.sqrt(nq))
+    }.toSeq
+    spark.createDataset(rows).toDF("qid", "lut", "qnorm")
+  }
+
+  /** ADC scoring + top-k: approx cosine = Σ_sub lut[sub][code] /
+    * (‖q‖ · √Σ_sub ‖entry[sub][code]‖²) — LUT lookups per corpus row
+    * instead of a full d-dim dot; the only shuffle is the per-query
+    * top-k window over (qid, nid, sim) rows. */
+  private def adcTopK(cand: DataFrame, cbs: Array[Array[Array[Double]]],
+                      k: Int): DataFrame = {
+    val m = cbs.length
+    val cbSq: Array[Array[Double]] = cbs.map(_.map { e =>
+      var s = 0.0
+      var i = 0
+      while (i < e.length) { s += e(i) * e(i); i += 1 }
+      s
+    })
+    val cbSqCol = array(cbSq.map(sub => array(sub.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val lutAt = (arr: Column, s: Column) =>
+      element_at(element_at(arr, (s + 1).cast("int")),
+        (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int"))
+    val scored = cand
+      .where(col("qid") =!= col("nid"))
+      .withColumn("__dot", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + lutAt(col("lut"), s)))
+      .withColumn("__rsq", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + lutAt(cbSqCol, s)))
+      .withColumn("sim", col("__dot") / (col("qnorm") * sqrt(col("__rsq"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+  }
+
+  /** PQ top-k (flat scan): encode the corpus once, score every vector via
+    * per-query ADC lookup tables. Same scan shape as [[bruteForceTopK]] but
+    * each row costs m table lookups instead of a d-dim dot, over an index
+    * 32× smaller — the memory-bound regime PQ exists for. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16): DataFrame = {
+    val cbs = pqCodebooks(corpus, m, ksub)
+    adcTopK(
+      pqEncode(corpus, cbs).crossJoin(broadcast(pqQueryLut(queries, cbs))),
+      cbs, k)
+  }
+
+  /** IVFPQ — the production billion-vector shape (FAISS `IVFx,PQy`): coarse
+    * IVF cell + PQ codes computed in ONE shuffle-free projection over the
+    * corpus scan (both code tables ride inside codegen'd expressions);
+    * queries probe `nprobe` cells and ADC-score only those cells' codes.
+    * Scanned fraction ≈ nprobe/nlist, per-row cost m lookups, index size
+    * corpus × (8 + m) bytes. This variant encodes raw vectors (not
+    * cell residuals) — the standard simplification; residual encoding
+    * needs per-cell LUTs and buys accuracy at 2× LUT-build cost. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nlist: Int, nprobe: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
+    val cents = centroids(corpus, nlist)
+    val cbs = pqCodebooks(corpus, m, ksub)
+    val indexed = corpus.select(
+      element_at(graft.functions.NearestCentroids.nearest_centroids(
+        col("embedding"), cents, 1), 1).as("cell"),
+      col("vec_id").as("nid"),
+      graft.functions.PqCodes.pq_codes(col("embedding"), cbs).as("codes"))
+    val probes = queries.select(col("vec_id").as("qid"),
+      explode(graft.functions.NearestCentroids.nearest_centroids(
+        col("embedding"), cents, nprobe)).as("cell"))
+      .join(pqQueryLut(queries, cbs), "qid")
+    adcTopK(indexed.join(broadcast(probes), Seq("cell")), cbs, k)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * storage/serving compression for ANN corpora (4× smaller than float32,
     * SIMD-friendly dot products). Per-vector absmax scaling:

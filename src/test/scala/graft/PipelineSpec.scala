@@ -150,6 +150,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(part.nonEmpty && part.forall(_.getLong(2) <= 3))
   }
 
+  test("PQ encode: codes index the nearest codebook entry; seeds self-encode") {
+    val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val m = 8
+    val cbs = Similarity.pqCodebooks(emb, m, ksub = 16)
+    assert(cbs.length === m && cbs.forall(_.length === 16))
+    val codes = Similarity.pqEncode(emb, cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.forall(_.length === m))
+    // a seed vector's distance to its own entry is 0 in every subspace, so
+    // each of the first 16 vectors (sorted by id) encodes to its own rank —
+    // unless an earlier seed ties exactly (impossible on random floats)
+    val seedIds = emb.orderBy($"vec_id").limit(16)
+      .select("vec_id").as[Long].collect()
+    seedIds.zipWithIndex.foreach { case (vid, rank) =>
+      assert(codes(vid).forall(_ === rank.toLong),
+        s"seed $vid should self-encode to code $rank, got ${codes(vid)}")
+    }
+  }
+
+  test("IVFPQ: full probe equals flat PQ; both rank by the ADC approximation") {
+    val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.where($"vec_id" < 3)
+    val flat = Similarity.pqTopK(q, emb, 3, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    // probing every cell scores every (query, vector) pair ⇒ same ranking
+    val full = Similarity.ivfPqTopK(q, emb, 3, nlist = 8, nprobe = 8,
+      m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    assert(full === flat)
+    // partial probe returns ranked, bounded results per query
+    val part = Similarity.ivfPqTopK(q, emb, 3, nlist = 8, nprobe = 2,
+      m = 8, ksub = 16).collect()
+    assert(part.nonEmpty && part.forall(_.getLong(2) <= 3))
+  }
+
   test("curation: splits are deterministic, exhaustive, roughly sized") {
     val docs5 = core.Tables.documents(spark, "/root/testdata/sf0.001")
     val s1 = Curation.withSplit(docs5, $"doc_id")

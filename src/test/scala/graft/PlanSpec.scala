@@ -77,6 +77,19 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("Join"))
   }
 
+  test("PQ encode is one projection: no Exchange above the scan") {
+    // the codebooks ride inside the codegen'd PqCodes expression; corpus
+    // compression must be scan → project, with no join against a codebook
+    // table and no per-subspace window
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val cbs = graft.pipeline.Similarity.pqCodebooks(emb, 8, 16)
+    val plan = graft.pipeline.Similarity.pqEncode(emb, cbs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pqcodes"))
+    assert(!plan.contains("Exchange") && !plan.contains("Window") &&
+      !plan.contains("Join"))
+  }
+
   test("pii scrub is scan-parallel: no exchange, no join, no window") {
     // detection + redaction are regex column expressions — the whole
     // operator must stay one projection over the scan; any Exchange here
