@@ -77,6 +77,18 @@ object PipelineQueries {
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))),
 
+    // BPE-style pre-tokenization (the GPT-2 regex family, lookahead-free
+    // subset so Java regex and RE2 agree): contraction suffixes, space-
+    // prefixed letter runs, digit runs, punctuation runs. n_bpe is what a
+    // byte-pair tokenizer's pre-split yields — the unit training budgets
+    // are planned in (whitespace counting under-counts punctuation-heavy
+    // text); reported next to the whitespace count for calibration.
+    "text_tokens_bpe" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
+        pipeline.TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))),
+
     // quality scoring: length / vocabulary-diversity signals
     "text_quality" -> ((s, d) => {
       val words = split(col("text"), " ")
@@ -1702,6 +1714,13 @@ object PipelineQueries {
 
     "text_tokens" ->
       "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents",
+
+    "text_tokens_bpe" ->
+      ("SELECT doc_id, " +
+       "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws, " +
+       "CAST(len(regexp_extract_all(text, " +
+       "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s'']+')) " +
+       "AS BIGINT) AS n_bpe FROM documents"),
 
     "text_quality" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text, " +

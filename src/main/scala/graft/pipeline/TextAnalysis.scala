@@ -16,6 +16,20 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** GPT-2-style byte-pair pre-tokenization regex, restricted to the
+    * lookahead-free subset (RE2 has no `(?!`) so Java regex (Spark) and
+    * RE2 (DuckDB oracle) match identically: contraction suffixes, then
+    * optionally-space-prefixed letter / digit / punctuation runs.
+    * Whitespace runs that precede a token attach to it (the ` ?` prefix);
+    * residual whitespace matches nothing and is not counted. */
+  val BpePreTokenRegex: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+
+  /** BPE pre-token count — the budgeting unit of byte-pair tokenizers
+    * (whitespace counting under-counts punctuation-heavy text). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePreTokenRegex), lit(0))).cast("long")
+
   /** Marker stopwords per language for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose — a broadcastable literal, not a model. */
   val stopwords: Map[String, Seq[String]] = Map(

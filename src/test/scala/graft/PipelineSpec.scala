@@ -150,6 +150,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(part.nonEmpty && part.forall(_.getLong(2) <= 3))
   }
 
+  test("BPE pre-tokenizer: contractions split, punctuation runs counted") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "it's a test"),          // it + 's + a + test = 4
+      (2L, "x1y, z...(ok) 42"),     // x 1 y , ␣z ...( ok ) ␣42 = 9
+      (3L, "   spaced   out  ")     // spaced + out = 2 (whitespace uncounted)
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.bpeTokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 4L, 2L -> 9L, 3L -> 2L))
+  }
+
   test("PQ encode: codes index the nearest codebook entry; seeds self-encode") {
     val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val m = 8
