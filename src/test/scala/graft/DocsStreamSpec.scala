@@ -63,6 +63,66 @@ class DocsStreamSpec extends AnyFunSuite {
     assert(byText === Map("alpha" -> 2L, "beta" -> 1L, "gamma" -> 1L))
   }
 
+  test("streaming near-dedup equals sequential batch incrementalDedup") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("docsnear").toString
+    // two microbatches with near-dups across the batch boundary: b2's doc
+    // 10 is a near-copy of b1's doc 1 (one token changed in 12) and must be
+    // dropped AGAINST THE INDEX, not just within its own batch; doc 12
+    // near-copies 11 within b2 (lower id wins); 2 and 13 are unique
+    // 24 tokens; one mid-token swap → true Jaccard 19/25 = 0.76, ~5 sd
+    // above the 0.50 threshold under the 64-perm MinHash estimator
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val b1 = Seq((1L, base), (2L, "one two three four five six seven"))
+    val b2 = Seq(
+      (10L, base.replace("zeta", "zetax")),
+      (11L, "red green blue cyan magenta yellow black white gray pink"),
+      (12L, "red green blue cyan magenta yellow black white gray rose"),
+      (13L, "solo unique document nothing like it"))
+    def write(name: String, rows: Seq[(Long, String)], mtime: Long): Unit = {
+      val staging = tmp + "/stage_" + name
+      rows.map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dest = java.nio.file.Paths.get(tmp, name + ".parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    write("b1", b1, 1000000L)
+    write("b2", b2, 2000000L)
+    val docs = spark.readStream.schema(DocsStream.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(tmp)
+    val q = DocsStream.nearDedupStream(docs,
+      tmp + "/index", tmp + "/kept", tmp + "/ckpt",
+      shingleN = 3, perms = 64, bands = 16, thresholdPpm = 500000L)
+    q.processAllAvailable(); q.stop()
+    val streamedKept = spark.read.parquet(tmp + "/kept")
+      .select("doc_id").as[Long].collect().toSet
+    // batch twin: incrementalDedup applied batch-by-batch from empty index
+    val empty = Seq.empty[(Long, Seq[Long])].toDF("did", "sig")
+    def docsDf(rows: Seq[(Long, String)]) =
+      rows.map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (k1, i1) = graft.pipeline.Dedup.incrementalDedup(
+      docsDf(b1), "doc_id", col("text"), empty, 3, 64, 16, 500000L)
+    val (k2, _) = graft.pipeline.Dedup.incrementalDedup(
+      docsDf(b2), "doc_id", col("text"), i1, 3, 64, 16, 500000L)
+    val batchKept = (k1.select("doc_id").as[Long].collect() ++
+      k2.select("doc_id").as[Long].collect()).toSet
+    assert(streamedKept === batchKept)
+    assert(streamedKept === Set(1L, 2L, 11L, 13L))
+    // the persisted index holds exactly the kept docs' signatures
+    val indexed = spark.read.parquet(tmp + "/index")
+      .select("did").as[Long].collect().toSet
+    assert(indexed === batchKept)
+  }
+
   test("in-horizon duplicates are dropped in-flight") {
     import spark.implicits._
     // 200 docs, 100 distinct texts, all within one hour: one survivor each
