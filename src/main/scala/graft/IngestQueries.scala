@@ -36,6 +36,13 @@ object IngestQueries {
   private def xmlOracle(select: String): String =
     graft.ingest.FsImageXmlSource.oracleCte(XmlFlatPath) + select
 
+  /** Checked-in BINARY fsimage twin of the XML fixture — same namespace,
+    * same flat ground truth (provenance: `tools/gen_fsimage_bin.py`). */
+  val BinPath = "/root/repo/fixtures/fsimage_mini.bin"
+  private val BinLocator = s"oivbin:$BinPath"
+  private def binInodes(s: SparkSession): DataFrame =
+    InodeView.snapshot(s, BinLocator)
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -136,7 +143,33 @@ object IngestQueries {
     "nna_ingest_xml_quota" -> ((s, _) =>
       xmlInodes(s).where(col("hasQuota"))
         .select(col("path"), col("nsQuota"), col("dsQuota"),
-          col("nsQuotaUsed"), col("dsQuotaUsed"), col("dirNumChildren"))))
+          col("nsQuotaUsed"), col("dsQuotaUsed"), col("dirNumChildren"))),
+
+    // the BINARY fsimage front door (`oivbin:` — no oiv preprocessing):
+    // protobuf container decode + string-table permission unpack + block
+    // aggregation + the same distributed path/quota/snapshot derivation,
+    // hash-checked against the same authored ground truth as the XML path
+    "nna_ingest_bin_census" -> ((s, _) =>
+      binInodes(s).groupBy(col("depth"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("isFile"), 1L).otherwise(0L)).as("n_files"),
+          sum(col("id")).as("id_sum"),
+          sum(col("fileSize")).as("bytes"),
+          sum(col("numBlocks")).as("blocks"),
+          sum(col("permission")).as("perm_sum"),
+          sum(graft.pipeline.Dedup.portableHash(col("path")) % graft.pipeline.Dedup.HashP).as("path_hash_sum"))),
+
+    // flag recovery through the binary decode: EC / UC / snapshot / ACL
+    // bits plus real-id integrity (the delimited dump loses all of these)
+    "nna_ingest_bin_flags" -> ((s, _) =>
+      binInodes(s).agg(
+        sum(when(col("hasEcPolicy"), 1L).otherwise(0L)).as("n_ec"),
+        sum(when(col("isUnderConstruction"), 1L).otherwise(0L)).as("n_uc"),
+        sum(when(col("isWithSnapshot"), 1L).otherwise(0L)).as("n_snap"),
+        sum(when(col("hasAcl"), 1L).otherwise(0L)).as("n_acl"),
+        max(col("id")).as("max_id"),
+        countDistinct(col("id")).as("distinct_ids"))))
 
   val oracleSql: Map[String, String] = Map(
     "nna_ingest_oiv" -> oracle("""
@@ -213,5 +246,28 @@ object IngestQueries {
 
     "nna_ingest_xml_quota" -> xmlOracle("""
       SELECT path, nsQuota, dsQuota, nsQuotaUsed, dsQuotaUsed, dirNumChildren
-      FROM oivxml WHERE hasQuota"""))
+      FROM oivxml WHERE hasQuota"""),
+
+    // binary front door: same ground truth, so the oracles are the same
+    // relations — a hash match proves XML-parse ≡ binary-decode
+    "nna_ingest_bin_census" -> xmlOracle("""
+      SELECT depth, COUNT(*) AS cnt,
+        CAST(SUM(CASE WHEN isFile THEN 1 ELSE 0 END) AS BIGINT) AS n_files,
+        CAST(SUM(id) AS BIGINT) AS id_sum,
+        CAST(SUM(fileSize) AS BIGINT) AS bytes,
+        CAST(SUM(numBlocks) AS BIGINT) AS blocks,
+        CAST(SUM(permission) AS BIGINT) AS perm_sum,
+        CAST(SUM(('0x' || substr(md5(path), 1, 15))::BIGINT % 2147483647) AS BIGINT)
+          AS path_hash_sum
+      FROM oivxml GROUP BY depth"""),
+
+    "nna_ingest_bin_flags" -> xmlOracle("""
+      SELECT
+        CAST(SUM(CASE WHEN hasEcPolicy THEN 1 ELSE 0 END) AS BIGINT) AS n_ec,
+        CAST(SUM(CASE WHEN isUnderConstruction THEN 1 ELSE 0 END) AS BIGINT) AS n_uc,
+        CAST(SUM(CASE WHEN isWithSnapshot THEN 1 ELSE 0 END) AS BIGINT) AS n_snap,
+        CAST(SUM(CASE WHEN hasAcl THEN 1 ELSE 0 END) AS BIGINT) AS n_acl,
+        MAX(id) AS max_id,
+        CAST(COUNT(DISTINCT id) AS BIGINT) AS distinct_ids
+      FROM oivxml"""))
 }

@@ -140,6 +140,15 @@ object ScaleBench {
       s"$found/${nVecs / 1000} planted pairs"
     }
     t("quantize_int8") { pipeline.Similarity.quantizeInt8(emb).count() }
+    t("pq_encode_m8") {
+      // corpus → m=8 codes/vector in one shuffle-free projection
+      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 256)
+      pipeline.Similarity.pqEncode(emb, cbs).count()
+    }
+    t("ivfpq_top10_nlist256_nprobe8") {
+      pipeline.Similarity.ivfPqTopK(queries, emb, 10,
+        nlist = 256, nprobe = 8, m = 8, ksub = 256).count()
+    }
 
     // --- curation operators over the same planted corpus ---
     tm("repeated_ngram_stats") {

@@ -147,6 +147,38 @@ object FsImageXmlSource {
   private def permOctal(perm: Column): Column =
     substring(substring_index(perm, ":", -1), -3, 3).cast("long")
 
+  /** NORMALIZED raw-inode shape both fsimage front doors (XML parse,
+    * binary decode) reduce to before the shared [[derive]]: blocks
+    * pre-aggregated to (fileSize, numBlocks), feature messages reduced to
+    * booleans, permission as the "user:group:0755" rendering. */
+  val normSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("type", StringType),
+    StructField("name", StringType), StructField("mtime", LongType),
+    StructField("atime", LongType, nullable = true),
+    StructField("preferredBlockSize", LongType, nullable = true),
+    StructField("replication", LongType, nullable = true),
+    StructField("permission", StringType),
+    StructField("nsquota", LongType, nullable = true),
+    StructField("dsquota", LongType, nullable = true),
+    StructField("storagePolicyId", LongType, nullable = true),
+    StructField("fileSize", LongType), StructField("numBlocks", LongType),
+    StructField("isUC", BooleanType), StructField("hasAcl", BooleanType),
+    StructField("hasEc", BooleanType)))
+
+  /** XML `<inode>` records → [[normSchema]]. */
+  private def normalize(raw: DataFrame): DataFrame =
+    raw.select(
+      col("id"), col("type"), col("name"), col("mtime"), col("atime"),
+      col("preferredBlockSize"), col("replication"), col("permission"),
+      col("nsquota"), col("dsquota"), col("storagePolicyId"),
+      coalesce(aggregate(col("blocks.block"), lit(0L),
+        (acc, b) => acc + b("numBytes")), lit(0L)).as("fileSize"),
+      greatest(coalesce(size(col("blocks.block")).cast("long"), lit(0L)),
+        lit(0L)).as("numBlocks"),
+      col("`file-under-construction`").isNotNull.as("isUC"),
+      col("acls").isNotNull.as("hasAcl"),
+      col("ecPolicyId").isNotNull.as("hasEc"))
+
   /** Ingest an XML dump into the full inodes schema. Plan shape: the
     * per-level path joins (≤ depth, linear each), then one projection for
     * scalar fields, one `groupBy(parentId)` for children counts, one
@@ -157,8 +189,17 @@ object FsImageXmlSource {
     // projection, the quota-usage explode and the snapshot join — without
     // the checkpoint each of those re-parses the whole image text. The
     // checkpointed relation is O(namespace) like the snapshot it feeds.
-    val raw = readInodes(spark, path).localCheckpoint(true)
+    val raw = normalize(readInodes(spark, path)).localCheckpoint(true)
     val links = readDirLinks(spark, path).localCheckpoint(true)
+    derive(spark, raw, links, readSnapshotRoots(spark, path))
+  }
+
+  /** Shared derivation from a (checkpointed) [[normSchema]] relation +
+    * parent→child links + snapshottable-root ids — both the XML parse and
+    * the binary decode ([[FsImageBinary.inodes]]) land here, so the two
+    * front doors are field-for-field identical by construction. */
+  def derive(spark: SparkSession, raw: DataFrame, links: DataFrame,
+             snapRootIds: DataFrame): DataFrame = {
     val paths = resolvePaths(spark, raw, links)
 
     val isFile = col("type") === "FILE"
@@ -168,9 +209,6 @@ object FsImageXmlSource {
     val dsQuota = when(isFile, -1L)
       .when(col("dsquota") === QuotaUnlimited, -1L)
       .otherwise(coalesce(col("dsquota"), lit(-1L)))
-    val fileSize = coalesce(
-      aggregate(col("blocks.block"), lit(0L), (acc, b) => acc + b("numBytes")),
-      lit(0L))
 
     val base = raw.join(paths, Seq("id"))
       .select(
@@ -190,21 +228,17 @@ object FsImageXmlSource {
         permOctal(col("permission")).as("permission"),
         coalesce(col("atime"), col("mtime")).as("accessTime"),
         col("mtime").as("modTime"),
-        fileSize.as("fileSize"),
+        col("fileSize"),
         coalesce(col("preferredBlockSize"), lit(0L)).as("blockSize"),
-        coalesce(size(col("blocks.block")).cast("long"), lit(0L))
-          .as("numBlocks_raw"),
+        col("numBlocks"),
         coalesce(col("replication"), lit(0L)).as("fileReplica"),
         coalesce(col("storagePolicyId"), lit(0L)).as("storagePolicyId"),
-        col("`file-under-construction`").isNotNull.as("isUnderConstruction"),
-        col("acls").isNotNull.as("hasAcl"),
-        col("ecPolicyId").isNotNull.as("hasEcPolicy"),
+        col("isUC").as("isUnderConstruction"),
+        col("hasAcl"),
+        col("hasEc").as("hasEcPolicy"),
         (!isFile && (nsQuota >= 0 || dsQuota >= 0)).as("hasQuota"),
         nsQuota.as("nsQuota"),
         dsQuota.as("dsQuota"))
-      .withColumn("numBlocks",
-        when(col("numBlocks_raw") < 0, 0L).otherwise(col("numBlocks_raw")))
-      .drop("numBlocks_raw")
 
     // children counts: one groupBy over the edge table
     val children = links.groupBy(col("parentId"))
@@ -224,7 +258,7 @@ object FsImageXmlSource {
 
     // snapshot membership: snapshottable roots are FEW (admin-enabled);
     // resolve their paths and broadcast the prefix set
-    val snapRoots = readSnapshotRoots(spark, path)
+    val snapRoots = snapRootIds
       .join(paths, Seq("id")).select(col("path").as("__snapRoot"))
     val withSnap = base
       .join(broadcast(snapRoots),

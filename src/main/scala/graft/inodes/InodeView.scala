@@ -54,6 +54,10 @@ object InodeView {
   /** The inodes DataFrame for a source locator:
     *   - `oiv:<path>` → a real namespace, ingested from an OIV delimited
     *     dump ([[graft.ingest.FsImageSource]]) — the production front door;
+    *   - `oivxml:<path>` → full fidelity from an `oiv -p XML` dump
+    *     ([[graft.ingest.FsImageXmlSource]]);
+    *   - `oivbin:<path>` → full fidelity from the BINARY fsimage itself
+    *     ([[graft.ingest.FsImageBinary]]), no oiv preprocessing;
     *   - `inodes:<path>` → a namespace already materialized in this schema
     *     (e.g. by [[graft.ingest.FsImageSource.exportParquet]]) — columnar
     *     re-load with pushdown/pruning, no re-derivation;
@@ -64,6 +68,9 @@ object InodeView {
   def inodes(spark: SparkSession, dir: String): DataFrame =
     if (dir.startsWith("oivxml:"))
       graft.ingest.FsImageXmlSource.inodes(spark, dir.stripPrefix("oivxml:"))
+        .select(columns.map(col): _*)
+    else if (dir.startsWith("oivbin:"))
+      graft.ingest.FsImageBinary.inodes(spark, dir.stripPrefix("oivbin:"))
         .select(columns.map(col): _*)
     else if (dir.startsWith("oiv:"))
       graft.ingest.FsImageSource.inodes(spark, dir.stripPrefix("oiv:"))

@@ -139,6 +139,24 @@ class IngestSpec extends AnyFunSuite {
     assert(under.count() > 0)
   }
 
+  test("binary fsimage full decode equals the XML ingest, row for row") {
+    // the two front doors describe the same namespace (same flat ground
+    // truth, tools/gen_fsimage_{xml,bin}.py) — every derived field must
+    // agree on every inode, including string-table permission unpack,
+    // block aggregation, quota usage and snapshot membership
+    val viaXml = graft.ingest.FsImageXmlSource
+      .inodes(spark, IngestQueries.XmlPath)
+      .collect().map(r => r.getLong(r.fieldIndex("id")) -> r.toSeq).toMap
+    val viaBin = graft.ingest.FsImageBinary
+      .inodes(spark, IngestQueries.BinPath)
+      .collect().map(r => r.getLong(r.fieldIndex("id")) -> r.toSeq).toMap
+    assert(viaBin.keySet === viaXml.keySet)
+    viaXml.foreach { case (id, xmlRow) =>
+      assert(viaBin(id) === xmlRow, s"inode $id differs")
+    }
+    assert(viaXml.size === 44)
+  }
+
   test("binary fsimage spike: summary + INODE section parse by field number") {
     // hand-rolled protobuf writer (varints only) building a minimal
     // uncompressed fsimage in the public container layout; the reader

@@ -1,0 +1,207 @@
+#!/usr/bin/env python3
+"""Deterministic generator for fixtures/fsimage_mini.bin — the SAME mini
+namespace as fixtures/fsimage_mini.xml, encoded in the BINARY fsimage
+container format (Hadoop `FSImageFormatProtobuf`): HDFSIMG1 magic,
+STRING_TABLE / INODE / INODE_DIR / SNAPSHOT sections, tail FileSummary with
+the section index, 4-byte big-endian summary length.
+
+Input is fixtures/fsimage_mini_flat.csv (the authored ground truth the XML
+generator writes), so the binary image and the XML dump describe the same
+namespace BY CONSTRUCTION and `graft.ingest.FsImageBinary.inodes` must
+produce a frame identical to `FsImageXmlSource.inodes` — and hash-match the
+same DuckDB oracle.
+
+Encoding notes (mirroring FSImageFormatPBINode):
+  - permission fixed64 = userSerial<<40 | groupSerial<<16 | mode; the
+    string table maps serials to names.
+  - file_size splits into num_blocks BlockProto messages (sizes arbitrary
+    but summing exactly — the engine only uses sum + count).
+  - EC files: no replication field, erasureCodingPolicyID=2.
+  - dir quotas: -1 encodes as the 64-bit two's-complement varint.
+
+Regenerate with: python3 tools/gen_fsimage_bin.py
+"""
+import csv
+import os
+import struct
+
+
+def varint(out: bytearray, v: int) -> None:
+    v &= (1 << 64) - 1  # two's complement for negatives (-1 quotas)
+    while v & ~0x7F:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+def tag(out: bytearray, field: int, wire: int) -> None:
+    varint(out, (field << 3) | wire)
+
+
+def uint_field(out: bytearray, field: int, v: int) -> None:
+    tag(out, field, 0)
+    varint(out, v)
+
+
+def bytes_field(out: bytearray, field: int, b: bytes) -> None:
+    tag(out, field, 2)
+    varint(out, len(b))
+    out.extend(b)
+
+
+def fixed64_field(out: bytearray, field: int, v: int) -> None:
+    tag(out, field, 1)
+    out.extend(struct.pack("<Q", v & (1 << 64) - 1))
+
+
+def delimited(out: bytearray, msg: bytearray) -> None:
+    varint(out, len(msg))
+    out.extend(msg)
+
+
+base = os.path.join(os.path.dirname(__file__), "..", "fixtures")
+rows = list(csv.DictReader(open(os.path.join(base, "fsimage_mini_flat.csv"))))
+for r in rows:
+    for k in ("id", "perm", "mtime_ms", "atime_ms", "block_size",
+              "num_blocks", "file_size", "replication", "storage_policy",
+              "ns_quota", "ds_quota"):
+        r[k] = int(r[k])
+    for k in ("is_file", "is_ec", "is_uc", "has_acl", "is_snap_root"):
+        r[k] = r[k] == "true"
+rows.sort(key=lambda r: r["id"])
+
+# ---- string table: user/group names -> serials (1-based like Hadoop) ----
+names = []
+for r in rows:
+    for n in (r["usr"], r["grp"]):
+        if n not in names:
+            names.append(n)
+serial = {n: i + 1 for i, n in enumerate(names)}
+
+string_table = bytearray()
+hdr = bytearray()
+uint_field(hdr, 1, len(names))
+delimited(string_table, hdr)
+for n in names:
+    e = bytearray()
+    uint_field(e, 1, serial[n])
+    bytes_field(e, 2, n.encode())
+    delimited(string_table, e)
+
+# ---- INODE section ----
+inode_sec = bytearray()
+hdr = bytearray()
+uint_field(hdr, 1, max(r["id"] for r in rows))
+uint_field(hdr, 2, len(rows))
+delimited(inode_sec, hdr)
+for r in rows:
+    mode = int(str(r["perm"]), 8)
+    perm64 = (serial[r["usr"]] << 40) | (serial[r["grp"]] << 16) | mode
+    m = bytearray()
+    uint_field(m, 1, 1 if r["is_file"] else 2)
+    uint_field(m, 2, r["id"])
+    name = "" if r["path"] == "/" else r["path"].rsplit("/", 1)[1]
+    bytes_field(m, 3, name.encode())
+    if r["is_file"]:
+        f = bytearray()
+        if not r["is_ec"]:
+            uint_field(f, 1, r["replication"])
+        uint_field(f, 2, r["mtime_ms"])
+        uint_field(f, 3, r["atime_ms"])
+        uint_field(f, 4, r["block_size"])
+        fixed64_field(f, 5, perm64)
+        n, total = r["num_blocks"], r["file_size"]
+        for j in range(n):
+            size = total // n + (total % n if j == n - 1 else 0)
+            b = bytearray()
+            uint_field(b, 1, 1073741825 + r["id"] * 8 + j)  # blockId
+            uint_field(b, 2, 1001 + j)                      # genStamp
+            uint_field(b, 3, size)
+            tag(f, 6, 2)
+            delimited(f, b)
+        if r["is_uc"]:
+            uc = bytearray()
+            bytes_field(uc, 1, b"DFSClient_fixture")
+            bytes_field(uc, 2, b"10.0.0.1")
+            tag(f, 7, 2)
+            delimited(f, uc)
+        if r["has_acl"]:
+            tag(f, 8, 2)
+            delimited(f, bytearray())  # empty AclFeatureProto: presence only
+        uint_field(f, 10, r["storage_policy"])
+        if r["is_ec"]:
+            uint_field(f, 12, 2)
+        tag(m, 4, 2)
+        delimited(m, f)
+    else:
+        d = bytearray()
+        uint_field(d, 1, r["mtime_ms"])
+        uint_field(d, 2, r["ns_quota"])
+        uint_field(d, 3, r["ds_quota"])
+        fixed64_field(d, 4, perm64)
+        if r["has_acl"]:
+            tag(d, 5, 2)
+            delimited(d, bytearray())
+        tag(m, 5, 2)
+        delimited(m, d)
+    delimited(inode_sec, m)
+
+# ---- INODE_DIR section: parent -> packed children ----
+by_path = {r["path"]: r for r in rows}
+children = {}
+for r in rows:
+    if r["path"] == "/":
+        continue
+    parent_path = r["path"].rsplit("/", 1)[0] or "/"
+    children.setdefault(by_path[parent_path]["id"], []).append(r["id"])
+dir_sec = bytearray()
+for pid in sorted(children):
+    e = bytearray()
+    uint_field(e, 1, pid)
+    packed = bytearray()
+    for c in sorted(children[pid]):
+        varint(packed, c)
+    bytes_field(e, 2, bytes(packed))
+    delimited(dir_sec, e)
+
+# ---- SNAPSHOT section ----
+snap_sec = bytearray()
+hdr = bytearray()
+uint_field(hdr, 1, 1)  # snapshotCounter
+packed = bytearray()
+for r in rows:
+    if r["is_snap_root"]:
+        varint(packed, r["id"])
+bytes_field(hdr, 2, bytes(packed))
+uint_field(hdr, 3, 0)  # numSnapshots
+delimited(snap_sec, hdr)
+
+# ---- container: magic, sections, FileSummary, 4-byte length ----
+out = bytearray(b"HDFSIMG1")
+sections = []
+for name, sec in (("STRING_TABLE", string_table), ("INODE", inode_sec),
+                  ("INODE_DIR", dir_sec), ("SNAPSHOT", snap_sec)):
+    sections.append((name, len(out), len(sec)))
+    out.extend(sec)
+summary = bytearray()
+uint_field(summary, 1, 1)                      # ondiskVersion
+uint_field(summary, 2, (1 << 32) - 66)         # layoutVersion -66 as uint32
+for name, off, length in sections:
+    s = bytearray()
+    bytes_field(s, 1, name.encode())
+    uint_field(s, 2, length)
+    uint_field(s, 3, off)
+    tag(summary, 4, 2)
+    delimited(summary, s)
+delim = bytearray()
+delimited(delim, summary)
+out.extend(delim)
+out.extend(struct.pack(">i", len(delim)))
+
+path = os.path.join(base, "fsimage_mini.bin")
+with open(path, "wb") as fh:
+    fh.write(bytes(out))
+print(f"wrote {path}: {len(rows)} inodes, "
+      f"{sum(len(v) for v in children.values())} dir links, "
+      f"{sum(1 for r in rows if r['is_snap_root'])} snapshottable roots, "
+      f"{len(out)} bytes")
