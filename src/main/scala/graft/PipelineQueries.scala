@@ -128,6 +128,29 @@ object PipelineQueries {
         col("text")).where(col("est_jaccard_ppm") >= 500000)
         .orderBy("ida", "idb")),
 
+    // hot-bucket guard: a hyper-duplicated doc (10 planted clones of doc 7
+    // + the original = an 11-member bucket in EVERY band) is capped to the
+    // 4 lowest ids per bucket, so the cluster emits C(4,2)=6 candidate
+    // pairs instead of C(11,2)=55 — the bound that keeps a 100k-copy
+    // boilerplate page from emitting 5e9 pairs at web-corpus scale
+    "dedup_minhash_capped" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val clones = docs.where(col("doc_id") === 7)
+        .crossJoin(s.range(10).select(col("id").as("__g")))
+        .select((lit(100000L) + col("__g")).as("doc_id"), col("text"))
+      val cand = pipeline.Dedup.minhashCandidates(
+        docs.unionByName(clones), "doc_id", col("text"), maxBucket = 4)
+        .where(col("est_jaccard_ppm") >= 500000)
+      val isClone = (c: org.apache.spark.sql.Column) => c === 7L || c >= 100000L
+      cand.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(isClone(col("ida")) && isClone(col("idb")), 1L)
+          .otherwise(0L)).as("n_clone_pairs"),
+        expr("bit_xor(CASE WHEN (ida = 7 OR ida >= 100000) " +
+          "AND (idb = 7 OR idb >= 100000) THEN ida * 1000000 + idb " +
+          "ELSE 0 END)").as("clone_pair_xor"))
+    }),
+
     // production two-stage dedup: LSH candidate generation + EXACT jaccard
     // verify computed only on candidate pairs (never all-pairs)
     "dedup_minhash_verified" -> ((s, d) => {
@@ -762,8 +785,24 @@ object PipelineQueries {
   /** CTE chain `tk → shl → mex → msig → mband → mcand → mest` mirroring
     * [[graft.pipeline.Dedup.minhashCandidates]] (shingleN=3, perms=64,
     * bands=8). */
-  private val minhashCtes: String =
-    s"""tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+  /** Minhash CTE chain over source relation `src(doc_id, text)`; `cap > 0`
+    * mirrors the engine's hot-bucket guard (`maxBucket`): keep only the
+    * `cap` lowest doc_ids per (band, hash) bucket before the self-join. */
+  private def minhashCtesOver(src: String, cap: Int): String = {
+    val bandCte =
+      if (cap <= 0)
+        s"""mband AS (SELECT doc_id, k // 8 AS b,
+             md5(string_agg(m::VARCHAR, ',' ORDER BY k)) AS h
+           FROM msig GROUP BY doc_id, k // 8)"""
+      else
+        s"""mband0 AS (SELECT doc_id, k // 8 AS b,
+             md5(string_agg(m::VARCHAR, ',' ORDER BY k)) AS h
+           FROM msig GROUP BY doc_id, k // 8),
+           mband AS (SELECT doc_id, b, h FROM (
+             SELECT doc_id, b, h,
+               ROW_NUMBER() OVER (PARTITION BY b, h ORDER BY doc_id) AS rk
+             FROM mband0) WHERE rk <= $cap)"""
+    s"""tk AS (SELECT doc_id, $toksSql AS tk FROM $src),
        shl AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
            list_distinct(list_transform(generate_series(1, len(tk) - 2),
              i -> array_to_string(tk[i:i+2], ' ')))
@@ -777,9 +816,7 @@ object PipelineQueries {
          FROM mex CROSS JOIN
            (SELECT unnest(generate_series(0, 63)) AS k) kk
          GROUP BY doc_id, kk.k),
-       mband AS (SELECT doc_id, k // 8 AS b,
-           md5(string_agg(m::VARCHAR, ',' ORDER BY k)) AS h
-         FROM msig GROUP BY doc_id, k // 8),
+       $bandCte,
        mcand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
          FROM mband a JOIN mband b ON a.b = b.b AND a.h = b.h
            AND a.doc_id < b.doc_id),
@@ -790,6 +827,9 @@ object PipelineQueries {
          FROM mcand c JOIN msig sa ON sa.doc_id = c.ida
          JOIN msig sb ON sb.doc_id = c.idb AND sb.k = sa.k
          GROUP BY c.ida, c.idb)"""
+  }
+
+  private val minhashCtes: String = minhashCtesOver("documents", 0)
 
   /** CTE chain mirroring [[graft.pipeline.Dedup.simhashPairs]] (60-bit
     * portable hash, 4 bands × 15 bits). */
@@ -1146,6 +1186,20 @@ object PipelineQueries {
       (s"WITH $minhashCtes " +
        "SELECT ida, idb, est_jaccard_ppm FROM mest " +
        "WHERE est_jaccard_ppm >= 500000 ORDER BY ida, idb"),
+
+    "dedup_minhash_capped" ->
+      ("WITH corp AS (SELECT doc_id, text FROM documents UNION ALL " +
+       "SELECT 100000 + g.s AS doc_id, text FROM documents CROSS JOIN " +
+       "(SELECT unnest(generate_series(0, 9)) AS s) g WHERE doc_id = 7), " +
+       s"${minhashCtesOver("corp", 4)}, " +
+       "capped AS (SELECT * FROM mest WHERE est_jaccard_ppm >= 500000) " +
+       "SELECT COUNT(*) AS n_pairs, " +
+       "CAST(SUM(CASE WHEN (ida = 7 OR ida >= 100000) " +
+       "AND (idb = 7 OR idb >= 100000) THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_clone_pairs, " +
+       "bit_xor(CASE WHEN (ida = 7 OR ida >= 100000) " +
+       "AND (idb = 7 OR idb >= 100000) THEN ida * 1000000 + idb " +
+       "ELSE 0 END) AS clone_pair_xor FROM capped"),
 
     "dedup_minhash_verified" ->
       (s"WITH $minhashCtes, " +

@@ -275,9 +275,29 @@ object Dedup {
 
   /** Candidate pairs (ida < idb, est ppm) from an already-computed
     * signature table — the self-join half of [[minhashCandidates]]. */
+  /** `maxBucket > 0` caps each (band, hash) bucket to its `maxBucket`
+    * lowest-id members before the self-join — the guard against the
+    * quadratic hot-bucket hazard: k exact copies of one boilerplate page
+    * put k members in EVERY band bucket and emit k²/2 · bands pairs
+    * (100k copies ⇒ 5·10⁹ pairs — a job-killer at web-corpus scale;
+    * hyper-duplication IS the common case there: empty pages, error
+    * pages, licence stubs). Capping keeps the candidate count per bucket
+    * ≤ maxBucket²/2 with a disclosed recall trade: members beyond the cap
+    * lose candidacy through that bucket (other bands can still link
+    * them), and EXACT duplicates — the only way buckets get hot without
+    * near-dup structure — are the linear hash-groupBy [[exactGroups]]
+    * path's job, not LSH's. Lowest-id members win so the kept set is
+    * deterministic and agrees with the min-label cluster keeper rule.
+    * The cap window shares the band table's (b, h) hash partitioning. */
   def candidatesFromSigs(sig: DataFrame, perms: Int,
-                         bands: Int): DataFrame = {
-    val banded = bandTable(sig, perms, bands)
+                         bands: Int, maxBucket: Int = 0): DataFrame = {
+    val banded0 = bandTable(sig, perms, bands)
+    val banded = if (maxBucket <= 0) banded0 else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("b"), col("h")).orderBy(col("did").asc)
+      banded0.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= maxBucket).drop("__rk")
+    }
     val pairs = banded.select(col("b"), col("h"), col("did").as("ida"))
       // shuffle_hash: both sides are the corpus-sized band table (see
       // jaccardPairs — broadcast under lying stats is the hazard)
@@ -291,13 +311,13 @@ object Dedup {
 
   def minhashCandidates(df: DataFrame, idCol: String, text: Column,
                         shingleN: Int = 3, perms: Int = 64,
-                        bands: Int = 8): DataFrame = {
+                        bands: Int = 8, maxBucket: Int = 0): DataFrame = {
     // the signature table feeds three consumers (band keys + both sides of
     // the estimate join-back); checkpoint it so the expensive explode+
     // 64-min aggregation runs ONCE, not per consumer
     val sig = checkpointCorpus(
       minhashSignatures(df, idCol, text, shingleN, perms))
-    candidatesFromSigs(sig, perms, bands)
+    candidatesFromSigs(sig, perms, bands, maxBucket)
   }
 
   /** Incremental corpus dedup — the continuous-ingestion shape: dedupe a

@@ -150,6 +150,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(part.nonEmpty && part.forall(_.getLong(2) <= 3))
   }
 
+  test("hot-bucket cap bounds clone-cluster pairs, leaves others intact") {
+    import spark.implicits._
+    val hot = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((0L until 6L).map(i => (i, hot)) ++ Seq(
+      (10L, "one two three four five six seven"),
+      (11L, "one two three four five six seven")  // dup pair in own bucket
+    )).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(docs, "doc_id", $"text",
+        maxBucket = 2)
+      .where($"est_jaccard_ppm" >= 500000)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    // 6 identical docs would emit C(6,2)=15 pairs; cap=2 keeps only the
+    // two lowest ids per bucket -> exactly (0,1); the unrelated near-dup
+    // pair (10,11) lives in its own buckets and survives untouched
+    assert(capped === Set((0L, 1L), (10L, 11L)))
+    val uncapped = Dedup.minhashCandidates(docs, "doc_id", $"text")
+      .where($"est_jaccard_ppm" >= 500000).count()
+    assert(uncapped === 16L) // 15 clone pairs + (10,11)
+  }
+
   test("BPE pre-tokenizer: contractions split, punctuation runs counted") {
     import spark.implicits._
     val df = Seq(
