@@ -728,6 +728,13 @@ object PipelineQueries {
           col("commonness_ppm"))
         .orderBy("doc_id")),
 
+    // training-shard manifest — the export contract of the last-mile
+    // writer (Curation.writeShards): per-shard doc/token/char totals with
+    // the exact membership xor-pinned, deterministic across engines
+    "corpus_shard_manifest" -> ((s, d) =>
+      pipeline.Curation.shardManifest(Tables.documents(s, d),
+        col("doc_id"), col("text"), 8).orderBy("shard")),
+
     // decontamination, 100 TB shape: a driver-built bloom over the bounded
     // bench-gram set drops non-candidate grams AT THE SCAN (codegen'd bit
     // test, no join), so only bloom survivors shuffle into the exact
@@ -1328,6 +1335,14 @@ object PipelineQueries {
        "ORDER BY ida, idb"),
 
     "text_langid" -> langIdSql,
+
+    "corpus_shard_manifest" ->
+      ("SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard, " +
+       "COUNT(*) AS n_docs, " +
+       s"CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens, " +
+       "CAST(SUM(length(text)) AS BIGINT) AS n_chars, " +
+       "bit_xor(doc_id) AS id_xor " +
+       "FROM documents GROUP BY shard ORDER BY shard"),
 
     "corpus_splits" ->
       ("WITH b AS (SELECT n_chars, " +

@@ -306,4 +306,46 @@ object Curation {
       .select(col("did"), lit(1L).as("bloom_hit"),
         coalesce(col("__c"), lit(0L)).as("contaminated"))
   }
+
+  // ---- training-shard export (the pipeline's last mile) ----
+
+  /** Deterministic shard id for a document: portable hash of the id,
+    * uniform over `nShards` — stable across engines, cluster sizes and
+    * reruns, so a re-export after an upstream fix moves only the docs
+    * that actually changed shards (none). */
+  def shardId(idCol: Column, nShards: Int): Column =
+    pmod(Dedup.portableHash(concat(lit("shard:"), idCol.cast("string"))),
+      lit(nShards.toLong))
+
+  /** Per-shard manifest of the would-be export: doc/token/char totals and
+    * an id-xor membership pin per shard — the artifact a training job
+    * checks before reading, and the oracle-checkable contract of
+    * [[writeShards]]. One aggregation, no write. */
+  def shardManifest(df: DataFrame, idCol: Column, text: Column,
+                    nShards: Int): DataFrame =
+    df.select(idCol.as("did"), shardId(idCol, nShards).as("shard"),
+        TextAnalysis.tokenCount(text).as("n_tokens"),
+        length(text).cast("long").as("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        expr("bit_xor(did)").as("id_xor"))
+
+  /** Materialize the corpus as `nShards` training shards: one directory
+    * per shard (`shard=K/`), documents in a deterministic hash-shuffled
+    * order WITHIN each shard (training wants decorrelated order, and a
+    * deterministic shuffle keeps re-exports byte-reproducible). One
+    * shuffle (repartition on shard) + a per-partition sort; no global
+    * sort. Returns the manifest of what was written. */
+  def writeShards(df: DataFrame, idCol: Column, text: Column,
+                  nShards: Int, outDir: String): DataFrame = {
+    df.withColumn("shard", shardId(idCol, nShards))
+      .withColumn("__ord",
+        Dedup.portableHash(concat(lit("order:"), idCol.cast("string"))))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"), idCol)
+      .drop("__ord")
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    shardManifest(df, idCol, text, nShards)
+  }
 }
