@@ -232,7 +232,10 @@ object NNAQueries {
 
     // §7.4.2 subtree aggregation for shallow dirs (one shuffle for all dirs)
     "nna_dir_subtree" -> ((s, d) => {
-      val stats = PathStructure.subtreeStats(inodes(s, d))
+      // depth-bounded report: prune the ancestor explode to depth ≤ 2
+      // BEFORE the shuffle (the join would drop deeper rows anyway —
+      // after paying to aggregate them)
+      val stats = PathStructure.subtreeStats(inodes(s, d), maxDepth = 2)
       dirsOf(s, d).where(col("depth") <= 2).select(col("path"))
         .join(stats, Seq("path"), "inner")
         .orderBy("path")

@@ -148,9 +148,26 @@ object PathStructure {
   /** Subtree stats for EVERY directory in one shuffle: explode file ancestor
     * prefixes → group by ancestor. Returns (path, dirSubTreeSize,
     * dirSubTreeNumFiles). */
-  def subtreeStats(inodes: DataFrame): DataFrame = {
+  def subtreeStats(inodes: DataFrame): DataFrame =
+    subtreeStats(inodes, Int.MaxValue)
+
+  /** `maxDepth` bounds the REPORTED ancestors: a depth-bounded report
+    * (top-level capacity views ask for depth ≤ 2–3) needs only the first
+    * `maxDepth` prefixes of each file's path, so the explode emits
+    * ≤ maxDepth rows/file instead of path-depth rows/file AND the
+    * aggregation's key space collapses from every directory to the
+    * shallow ones — pruning before the shuffle, where it pays. */
+  def subtreeStats(inodes: DataFrame, maxDepth: Int): DataFrame = {
     val files = inodes.where(col("isFile")).select(col("path"), col("fileSize"))
-    withAncestors(files)
+    val anc =
+      if (maxDepth == Int.MaxValue) withAncestors(files)
+      else files.withColumn("ancestor",
+        explode(expr(
+          "CASE WHEN size(split(path, '/')) > 2 THEN " +
+          s"transform(sequence(2, least(size(split(path, '/')) - 1, ${maxDepth + 1})), " +
+          "i -> array_join(slice(split(path, '/'), 1, i), '/')) " +
+          "ELSE array() END")))
+    anc
       .groupBy(col("ancestor").as("path"))
       .agg(
         sum("fileSize").as("dirSubTreeSize"),

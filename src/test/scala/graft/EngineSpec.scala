@@ -138,6 +138,16 @@ class EngineSpec extends AnyFunSuite {
       ("/a", 1049600L, 3L), ("/a/b", 1049600L, 2L), ("/a/c", 0L, 1L)))
   }
 
+  test("depth-bounded subtree stats equal the full stats at kept depths") {
+    val full = PathStructure.subtreeStats(tiny)
+      .where(expr("size(split(path, '/')) - 1") <= 1)
+      .orderBy("path").collect().toSeq
+    val pruned = PathStructure.subtreeStats(tiny, maxDepth = 1)
+      .orderBy("path").collect().toSeq
+    assert(pruned === full)
+    assert(pruned.map(_.getString(0)) === Seq("/a")) // depth-1 dirs only
+  }
+
   test("what-if transform rewrites replica-derived fields for matches only") {
     val tf = Transforms.transformedField("user:eq:u1", "files", 10L)
     val r = tiny.where($"isFile").agg(
