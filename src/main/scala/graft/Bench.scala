@@ -37,7 +37,8 @@ object Bench {
     // SEPARATELY so load_sec stays the main-snapshot number across rounds
     val ingestWarmSec = secs {
       Seq(s"oiv:${IngestQueries.DumpPath}",
-          s"oivxml:${IngestQueries.XmlPath}").foreach { loc =>
+          s"oivxml:${IngestQueries.XmlPath}",
+          s"oivbin:${IngestQueries.BinPath}").foreach { loc =>
         val s = graft.inodes.InodeView.snapshot(spark, loc)
         s.count()
         graft.engine.PathStructure.primeQuotaGates(s)
