@@ -599,6 +599,19 @@ object PipelineQueries {
       pipeline.Multimodal.decodeImageFeatures(s, assets).orderBy("asset_id")
     }),
 
+    // REAL audio decode twin of multimodal_decode: synthesized 16-bit PCM
+    // WAV clips decoded with the JDK codec (javax.sound.sampled) — the
+    // sample sums are integer-exact and closed-form, so encode→decode→
+    // aggregate is oracle-checked end to end
+    "multimodal_audio" -> ((s, d) => {
+      val specs = Tables.documents(s, d).where(col("doc_id") < 24)
+        .select(col("doc_id").as("asset_id"),
+          (lit(8000) + (col("doc_id") % 3) * 4000).as("rate"),
+          (col("doc_id") * 50 + 100).as("n"))
+      val assets = pipeline.Multimodal.renderWavAssets(s, specs)
+      pipeline.Multimodal.decodeAudioFeatures(s, assets).orderBy("asset_id")
+    }),
+
     // exact repeated-n-gram census (word-level exact substring dedup, Lee
     // et al. 2022): per doc, the share of its 5-grams that appear in any
     // OTHER doc — no pair materialization, linear at any corpus size
@@ -1188,6 +1201,20 @@ object PipelineQueries {
        "CAST(SUM((x * 31 + y * 17 + asset_id * 7 + 11) % 256) AS BIGINT) AS sum_g, " +
        "CAST(SUM((x * 31 + y * 17 + asset_id * 7 + 22) % 256) AS BIGINT) AS sum_b " +
        "FROM px GROUP BY asset_id ORDER BY asset_id"),
+
+    "multimodal_audio" ->
+      ("WITH a AS (SELECT doc_id AS asset_id, " +
+       "8000 + (doc_id % 3) * 4000 AS rate, doc_id * 50 + 100 AS n " +
+       "FROM documents WHERE doc_id < 24), " +
+       "sm AS (SELECT a.asset_id, a.rate, a.n, " +
+       "((g.i * 31 + a.asset_id * 7) % 4001) - 2000 AS s " +
+       "FROM a, generate_series(0, 1299) g(i) WHERE g.i < a.n) " +
+       "SELECT asset_id, CAST(MAX(rate) AS INTEGER) AS sample_rate, " +
+       "CAST(1 AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits, " +
+       "CAST(MAX(n) AS BIGINT) AS n_samples, " +
+       "CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs, " +
+       "CAST(MAX(ABS(s)) AS BIGINT) AS peak " +
+       "FROM sm GROUP BY asset_id ORDER BY asset_id"),
 
     "dedup_minhash_lsh" ->
       (s"WITH $minhashCtes " +

@@ -172,4 +172,96 @@ object Multimodal {
       }
       .toDF()
   }
+
+  // ---------------------------------------------------------------------------
+  // REAL audio decode (JDK-only: javax.sound.sampled ships a WAV/PCM codec
+  // in every JRE). Same contract as the PNG path: lossless format, so the
+  // decode must read back exactly the synthesized samples and the whole
+  // encode→decode→aggregate round trip is oracle-checkable in closed form.
+  // ---------------------------------------------------------------------------
+
+  /** Deterministic synthetic WAV (16-bit signed PCM, mono, little-endian):
+    * sample `i` is `((i·31 + seed·7) mod 4001) − 2000` — a full RIFF/fmt/
+    * data container a standards-compliant reader must decode bit-exactly. */
+  def syntheticWav(seed: Long, rate: Int, n: Int): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                    // PCM, mono
+      .putInt(rate).putInt(rate * 2)              // byte rate
+      .putShort(2).putShort(16)                   // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((i * 31L + seed * 7L) % 4001L) - 2000L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Decoded per-clip features. Sample sums are INTEGER-exact (|sample| ≤
+    * 32767), so the output reproduces bit-for-bit in any engine computing
+    * the same sums. sample_rate/channels/bits = −1 marks an undecodable
+    * payload (kept, not dropped — filter on it downstream). */
+  final case class AudioFeatures(asset_id: Long, sample_rate: Int,
+                                 channels: Int, bits: Int, n_samples: Long,
+                                 sum_abs: Long, peak: Long)
+
+  /** Render (asset_id, rate, n) specs into real WAV payloads,
+    * partition-parallel (the generator never touches the driver). */
+  def renderWavAssets(spark: org.apache.spark.sql.SparkSession,
+                      specs: DataFrame): DataFrame = {
+    import spark.implicits._
+    specs.select(col("asset_id"), col("rate").cast("int"), col("n").cast("int"))
+      .as[(Long, Int, Int)]
+      .map { case (id, rate, n) => (id, syntheticWav(id, rate, n)) }
+      .toDF("asset_id", "content")
+  }
+
+  /** REAL decode: `javax.sound.sampled` over the binary payload, one clip
+    * per row, partition-parallel — the audio twin of
+    * [[decodeImageFeatures]] (black-box codec ⇒ typed map; everything
+    * around it stays relational). Streams the frames; supports the PCM
+    * 16-bit case any WAV corpus normalizes to. */
+  def decodeAudioFeatures(spark: org.apache.spark.sql.SparkSession,
+                          assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val pcm = ais.readAllBytes()
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            AudioFeatures(id, -1, -1, -1, 0L, 0L, 0L)
+          else {
+            val n = pcm.length / 2
+            var (sumAbs, peak) = (0L, 0L)
+            var i = 0
+            while (i < n) {
+              val s =
+                if (fmt.isBigEndian)
+                  ((pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xff)).toShort
+                else
+                  ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort
+              val a = math.abs(s.toLong)
+              sumAbs += a
+              if (a > peak) peak = a
+              i += 1
+            }
+            AudioFeatures(id, fmt.getSampleRate.toInt, fmt.getChannels,
+              fmt.getSampleSizeInBits, n.toLong / fmt.getChannels, sumAbs, peak)
+          }
+        } catch {
+          case _: Exception => AudioFeatures(id, -1, -1, -1, 0L, 0L, 0L)
+        }
+      }
+      .toDF()
+  }
 }

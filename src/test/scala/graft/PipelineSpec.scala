@@ -603,6 +603,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(99L) === ((-1, -1, -1, 0L, 0L, 0L)), "undecodable must be flagged, not dropped")
   }
 
+  test("audio decode: WAV/PCM round trip is sample-exact; bad payloads flagged") {
+    import spark.implicits._
+    val specs = Seq((3L, 8000, 120), (4L, 16000, 7)).toDF("asset_id", "rate", "n")
+    val assets = graft.pipeline.Multimodal.renderWavAssets(spark, specs)
+      .unionByName(Seq((99L, "not a wav".getBytes("UTF-8")))
+        .toDF("asset_id", "content"))
+    val got = graft.pipeline.Multimodal.decodeAudioFeatures(spark, assets)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    def sums(seed: Long, n: Int) = {
+      val ss = (0 until n).map(i => ((i * 31L + seed * 7L) % 4001L) - 2000L)
+      (ss.map(math.abs).sum, ss.map(math.abs).max)
+    }
+    val (abs3, peak3) = sums(3L, 120)
+    assert(got(3L) === ((8000, 1, 16, 120L, abs3, peak3)))
+    val (abs4, peak4) = sums(4L, 7)
+    assert(got(4L) === ((16000, 1, 16, 7L, abs4, peak4)))
+    assert(got(99L) === ((-1, -1, -1, 0L, 0L, 0L)), "undecodable must be flagged, not dropped")
+  }
+
   test("repeated n-grams: exact dups fully duplicated, unique doc at zero") {
     val st = Curation.repeatedNgramStats(docs, "doc_id", $"text", 3)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
