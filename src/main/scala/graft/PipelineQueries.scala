@@ -741,6 +741,24 @@ object PipelineQueries {
           col("commonness_ppm"))
         .orderBy("doc_id")),
 
+    // SEMANTIC decontamination: drop training vectors within cosine 0.40
+    // of any eval vector (vec_id < 50 plays the eval set) — the
+    // embedding-space complement of the n-gram paths, catching
+    // paraphrases; census with the dropped set xor-pinned
+    "corpus_semantic_decontaminate" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val bench = emb.where(col("vec_id") < 50)
+      val train = emb.where(col("vec_id") >= 50)
+      val hits = pipeline.Similarity.crossNearDupPairs(
+          train, bench, 400000L, planes = 6, bands = 8)
+        .select(col("cid")).distinct()
+      train.agg(count(lit(1)).as("n_train"))
+        .crossJoin(hits.agg(
+          count(lit(1)).as("n_contaminated"),
+          coalesce(expr("bit_xor(cid)"), lit(0L)).as("contaminated_xor")))
+        .withColumn("n_clean", col("n_train") - col("n_contaminated"))
+    }),
+
     // training-shard manifest — the export contract of the last-mile
     // writer (Curation.writeShards): per-shard doc/token/char totals with
     // the exact membership xor-pinned, deterministic across engines
@@ -1362,6 +1380,21 @@ object PipelineQueries {
        "ORDER BY ida, idb"),
 
     "text_langid" -> langIdSql,
+
+    "corpus_semantic_decontaminate" ->
+      (s"WITH ${lshBkSql(6, 8)}, " +
+       "cand AS (SELECT DISTINCT t.vec_id AS cid, p.vec_id AS pid " +
+       "FROM bk t JOIN bk p ON t.bucket = p.bucket " +
+       "WHERE t.vec_id >= 50 AND p.vec_id < 50), " +
+       s"sc AS (SELECT c.cid, ${cosDSql("et.embedding", "ep.embedding")} AS sim " +
+       "FROM cand c JOIN embeddings et ON et.vec_id = c.cid " +
+       "JOIN embeddings ep ON ep.vec_id = c.pid), " +
+       "hits AS (SELECT DISTINCT cid FROM sc WHERE FLOOR(sim * 1000000) >= 400000) " +
+       "SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id >= 50) AS n_train, " +
+       "(SELECT COUNT(*) FROM hits) AS n_contaminated, " +
+       "(SELECT COALESCE(bit_xor(cid), 0) FROM hits) AS contaminated_xor, " +
+       "(SELECT COUNT(*) FROM embeddings WHERE vec_id >= 50) - " +
+       "(SELECT COUNT(*) FROM hits) AS n_clean"),
 
     "corpus_shard_manifest" ->
       ("SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard, " +

@@ -352,6 +352,35 @@ object Similarity {
           .as("sample_xor"))
   }
 
+  /** Bipartite near-dup: corpus vectors within `thresholdPpm` cosine of
+    * ANY probe vector — semantic decontamination (drop training docs an
+    * embedding model considers a copy of an eval item, catching the
+    * paraphrases n-gram overlap misses). The probe side is an eval set —
+    * bounded by definition — so its banded buckets broadcast; the corpus
+    * streams past in one scan + one distinct on (corpus id, probe id).
+    * Candidates verify with exact cosine like [[cosineNearDupPairs]]. */
+  def crossNearDupPairs(corpus: DataFrame, probes: DataFrame,
+                        thresholdPpm: Long, planes: Int = 6,
+                        bands: Int = 8): DataFrame = {
+    val bucketsOf = (df: DataFrame, idAs: String) =>
+      df.select(col("vec_id").as(idAs),
+        explode(graft.functions.LshBuckets.lsh_buckets(
+          col("embedding"), planes, bands)).as("bucket"))
+    val cand = bucketsOf(corpus, "cid")
+      .join(broadcast(bucketsOf(probes, "pid")), Seq("bucket"))
+      .select("cid", "pid")
+      .dropDuplicates("cid", "pid")
+    cand
+      .join(corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        .hint("shuffle_hash"), Seq("cid"))
+      .join(broadcast(probes.select(col("vec_id").as("pid"),
+        col("embedding").as("pe"))), Seq("pid"))
+      .withColumn("sim_ppm",
+        floor(cosine(col("ce"), col("pe")) * 1000000.0).cast("long"))
+      .where(col("sim_ppm") >= thresholdPpm)
+      .select("cid", "pid", "sim_ppm")
+  }
+
   def quantizeInt8(df: DataFrame): DataFrame = {
     val ex = df.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos"), col("col").cast("double").as("v"))

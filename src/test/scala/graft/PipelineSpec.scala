@@ -603,6 +603,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(99L) === ((-1, -1, -1, 0L, 0L, 0L)), "undecodable must be flagged, not dropped")
   }
 
+  test("bipartite near-dup: cross-side copies found, within-side pairs never emitted") {
+    import spark.implicits._
+    val mk = (seed: Int) => Array.tabulate(8)(j => ((seed * 7 + j * 13) % 19 - 9).toFloat)
+    val probes = Seq((0L, mk(1)), (1L, mk(2))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, mk(1)),   // exact copy of probe 0 -> must be flagged
+      (11L, mk(2)),   // exact copy of probe 1 -> must be flagged
+      (12L, mk(9)),   // unrelated
+      (13L, mk(9))    // within-corpus duplicate pair: NOT this op's job
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.crossNearDupPairs(corpus, probes, 999000L)
+      .select("cid", "pid").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 0L), (11L, 1L)))
+  }
+
   test("audio decode: WAV/PCM round trip is sample-exact; bad payloads flagged") {
     import spark.implicits._
     val specs = Seq((3L, 8000, 120), (4L, 16000, 7)).toDF("asset_id", "rate", "n")
