@@ -741,6 +741,22 @@ object PipelineQueries {
           col("commonness_ppm"))
         .orderBy("doc_id")),
 
+    // the WHOLE pipeline composed end-to-end — quality gate → near-dedup
+    // keepers → n-gram decontamination vs the eval slice → shard
+    // manifest of the export. One oracle pins every stage boundary: a
+    // drift in any stage's semantics moves the final manifest hash.
+    "corpus_curate_export" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = pipeline.TextAnalysis.qualityFilter(docs, col("text"),
+        minTokens = 10, maxTokens = 1000, minDistinctPpm = 200000)
+      val kept = pipeline.Dedup.dedupCorpus(quality, "doc_id", col("text"))
+      val clean = pipeline.Curation.decontaminate(
+        kept.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+        "doc_id", col("text"), 5)
+      pipeline.Curation.shardManifest(clean, col("doc_id"), col("text"), 4)
+        .orderBy("shard")
+    }),
+
     // SEMANTIC decontamination: drop training vectors within cosine 0.40
     // of any eval vector (vec_id < 50 plays the eval set) — the
     // embedding-space complement of the n-gram paths, catching
@@ -1380,6 +1396,40 @@ object PipelineQueries {
        "ORDER BY ida, idb"),
 
     "text_langid" -> langIdSql,
+
+    "corpus_curate_export" ->
+      ("WITH RECURSIVE q AS (SELECT doc_id, text FROM documents " +
+       s"WHERE len($toksSql) >= 10 AND len($toksSql) <= 1000 " +
+       s"AND FLOOR(1000000.0 * len(list_distinct($toksSql)) / len($toksSql)) >= 200000), " +
+       s"${minhashCtesOver("q", 0)}, " +
+       "cedges0 AS (SELECT ida, idb FROM mest WHERE est_jaccard_ppm >= 900000), " +
+       "cedges AS (SELECT ida AS src, idb AS dst FROM cedges0 " +
+       "UNION ALL SELECT idb, ida FROM cedges0), " +
+       "reach AS (SELECT DISTINCT src AS did, src AS label FROM cedges " +
+       "UNION SELECT e.dst AS did, r.label FROM reach r " +
+       "JOIN cedges e ON e.src = r.did), " +
+       "comp AS (SELECT did, MIN(label) AS label FROM reach GROUP BY did), " +
+       "keepers AS (SELECT doc_id FROM q WHERE doc_id NOT IN " +
+       "(SELECT did FROM comp WHERE label < did)), " +
+       s"tk5 AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+       "shl5 AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN " +
+       "list_distinct(list_transform(generate_series(1, len(tk) - 4), " +
+       "i -> array_to_string(tk[i:i+4], ' '))) " +
+       "ELSE [array_to_string(tk, ' ')] END AS sh FROM tk5), " +
+       "ex5 AS (SELECT doc_id, unnest(sh) AS g FROM shl5), " +
+       "bg AS (SELECT DISTINCT g FROM ex5 WHERE doc_id < 50), " +
+       "cont AS (SELECT DISTINCT e.doc_id FROM ex5 e JOIN bg USING (g) " +
+       "WHERE e.doc_id >= 50), " +
+       "clean AS (SELECT doc_id FROM keepers WHERE doc_id >= 50 " +
+       "AND doc_id NOT IN (SELECT doc_id FROM cont)), " +
+       "final AS (SELECT d.doc_id, d.text FROM documents d " +
+       "JOIN clean USING (doc_id)) " +
+       "SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS shard, " +
+       "COUNT(*) AS n_docs, " +
+       s"CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens, " +
+       "CAST(SUM(length(text)) AS BIGINT) AS n_chars, " +
+       "bit_xor(doc_id) AS id_xor " +
+       "FROM final GROUP BY shard ORDER BY shard"),
 
     "corpus_semantic_decontaminate" ->
       (s"WITH ${lshBkSql(6, 8)}, " +
