@@ -158,6 +158,9 @@ object PathStructure {
     * aggregation's key space collapses from every directory to the
     * shallow ones — pruning before the shuffle, where it pays. */
   def subtreeStats(inodes: DataFrame, maxDepth: Int): DataFrame = {
+    // maxDepth 0 would make the bounded sequence(2, least(size-1, 1))
+    // DESCEND — the exact trap withAncestors' CASE guards against
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     val files = inodes.where(col("isFile")).select(col("path"), col("fileSize"))
     val anc =
       if (maxDepth == Int.MaxValue) withAncestors(files)

@@ -168,15 +168,34 @@ object FsImageBinary {
       nsQuota: Long, dsQuota: Long, storagePolicyId: Long, fileSize: Long,
       numBlocks: Long, isUC: Boolean, hasAcl: Boolean, hasEc: Boolean)
 
+  /** InputStream window of exactly `limit` bytes — the section bound for
+    * streams longer than Int.MaxValue, where `CodedInputStream.pushLimit`
+    * (an Int API) would overflow or wrap. EOF of the window marks the
+    * section end (`CodedInputStream.isAtEnd`). */
+  private final class BoundedInputStream(in: java.io.InputStream,
+                                         private var remaining: Long)
+      extends java.io.InputStream {
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int =
+      if (remaining <= 0) -1
+      else {
+        val n = in.read(buf, off, math.min(len.toLong, remaining).toInt)
+        if (n > 0) remaining -= n
+        n
+      }
+  }
+
   private def sectionStream(raf: RandomAccessFile, sec: Section): CodedInputStream = {
     // stream the section instead of materializing it: multi-GB INODE
-    // sections must not become a driver byte array
+    // sections must not become a driver byte array, and the bound must be
+    // a LONG — pushLimit's Int would go negative at 2 GiB and silently
+    // wrap (truncating the section) past 4 GiB
     raf.seek(sec.offset)
-    val fis = new java.io.FileInputStream(raf.getFD)
-    val in = CodedInputStream.newInstance(
-      new java.io.BufferedInputStream(fis, 1 << 20))
-    in.pushLimit(sec.length.toInt)
-    in
+    CodedInputStream.newInstance(new java.io.BufferedInputStream(
+      new BoundedInputStream(new java.io.FileInputStream(raf.getFD),
+        sec.length), 1 << 20))
   }
 
   private def requireUncompressed(s: Summary, path: String): Unit =
@@ -188,8 +207,10 @@ object FsImageBinary {
     * delimited entries {1:id, 2:str}); expanded-id masking (maskBits > 0)
     * is ignored — the shift cancels out because the permission decode
     * below masks the same way the writer packed. */
-  def readStringTable(path: String): Map[Long, String] = {
-    val summary = readSummary(path)
+  def readStringTable(path: String): Map[Long, String] =
+    readStringTable(path, readSummary(path))
+
+  private def readStringTable(path: String, summary: Summary): Map[Long, String] = {
     requireUncompressed(summary, path)
     val sec = summary.sections.find(_.name == "STRING_TABLE")
       .getOrElse(return Map.empty)
@@ -250,8 +271,12 @@ object FsImageBinary {
     * symlink semantics (`Constants.java` has no symlink set). */
   def readInodesFull(path: String): Seq[InodeFull] = {
     val summary = readSummary(path)
+    readInodesFull(path, summary, readStringTable(path, summary))
+  }
+
+  private def readInodesFull(path: String, summary: Summary,
+                             strings: Map[Long, String]): Seq[InodeFull] = {
     requireUncompressed(summary, path)
-    val strings = readStringTable(path)
     val sec = summary.sections.find(_.name == "INODE")
       .getOrElse(throw new IllegalArgumentException(s"$path: no INODE section"))
     val raf = new RandomAccessFile(path, "r")
@@ -355,8 +380,10 @@ object FsImageBinary {
   /** INODE_DIR section → (parentId, childId) edges. DirEntry: 1=parent,
     * 2=children (repeated uint64, packed or not), 3=refChildren (snapshot
     * references — skipped, no snapshot-diff semantics in the surface). */
-  def readDirLinks(path: String): Seq[(Long, Long)] = {
-    val summary = readSummary(path)
+  def readDirLinks(path: String): Seq[(Long, Long)] =
+    readDirLinks(path, readSummary(path))
+
+  private def readDirLinks(path: String, summary: Summary): Seq[(Long, Long)] = {
     requireUncompressed(summary, path)
     val sec = summary.sections.find(_.name == "INODE_DIR")
       .getOrElse(return Seq.empty)
@@ -364,7 +391,9 @@ object FsImageBinary {
     try {
       val in = sectionStream(raf, sec)
       val out = Seq.newBuilder[(Long, Long)]
-      while (in.getBytesUntilLimit > 0) {
+      // section end = EOF of the bounded window (no section-level
+      // pushLimit — see sectionStream)
+      while (!in.isAtEnd) {
         val eLen = in.readRawVarint32()
         val eLim = in.pushLimit(eLen)
         var parent = 0L
@@ -392,8 +421,10 @@ object FsImageBinary {
 
   /** SNAPSHOT section header → snapshottable-root inode ids
     * (SnapshotSection: 2=snapshottableDir, repeated uint64 packed). */
-  def readSnapshotRoots(path: String): Seq[Long] = {
-    val summary = readSummary(path)
+  def readSnapshotRoots(path: String): Seq[Long] =
+    readSnapshotRoots(path, readSummary(path))
+
+  private def readSnapshotRoots(path: String, summary: Summary): Seq[Long] = {
     requireUncompressed(summary, path)
     val sec = summary.sections.find(_.name == "SNAPSHOT")
       .getOrElse(return Seq.empty)
@@ -429,7 +460,10 @@ object FsImageBinary {
     * [[FsImageXmlSource.derive]] runs unchanged. */
   def inodes(spark: SparkSession, path: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val rows = readInodesFull(path).map { r =>
+    // ONE summary/string-table parse feeds all four section readers
+    val summary = readSummary(path)
+    val strings = readStringTable(path, summary)
+    val rows = readInodesFull(path, summary, strings).map { r =>
       Row(r.id, if (r.isFile) "FILE" else "DIRECTORY", r.name, r.mtime,
         if (r.atime < 0) null else r.atime, r.preferredBlockSize,
         r.replication, r.permission, r.nsQuota, r.dsQuota,
@@ -440,11 +474,11 @@ object FsImageBinary {
       .localCheckpoint(true)
     val links = {
       import spark.implicits._
-      readDirLinks(path).toDF("parentId", "id").localCheckpoint(true)
+      readDirLinks(path, summary).toDF("parentId", "id").localCheckpoint(true)
     }
     val snapRoots = {
       import spark.implicits._
-      readSnapshotRoots(path).toDF("id")
+      readSnapshotRoots(path, summary).toDF("id")
     }
     FsImageXmlSource.derive(spark, raw, links, snapRoots)
   }

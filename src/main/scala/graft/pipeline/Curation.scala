@@ -336,7 +336,14 @@ object Curation {
     * order WITHIN each shard (training wants decorrelated order, and a
     * deterministic shuffle keeps re-exports byte-reproducible). One
     * shuffle (repartition on shard) + a per-partition sort; no global
-    * sort. Returns the manifest of what was written. */
+    * sort.
+    *
+    * Returns the manifest computed FROM THE WRITTEN FILES, not from the
+    * input plan: re-running the (possibly expensive) upstream DAG for the
+    * aggregation would double the export's cost, and a manifest derived
+    * from a second evaluation describes what a re-execution WOULD write,
+    * not what the files on disk contain. `idCol`/`text` must be plain
+    * column references of `df` so they resolve against the reload. */
   def writeShards(df: DataFrame, idCol: Column, text: Column,
                   nShards: Int, outDir: String): DataFrame = {
     df.withColumn("shard", shardId(idCol, nShards))
@@ -346,6 +353,11 @@ object Curation {
       .sortWithinPartitions(col("shard"), col("__ord"), idCol)
       .drop("__ord")
       .write.partitionBy("shard").mode("overwrite").parquet(outDir)
-    shardManifest(df, idCol, text, nShards)
+    df.sparkSession.read.parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(text)).as("n_tokens"),
+        sum(length(text).cast("long")).as("n_chars"),
+        expr(s"bit_xor(${idCol.toString})").as("id_xor"))
   }
 }

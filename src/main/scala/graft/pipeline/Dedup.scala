@@ -274,8 +274,9 @@ object Dedup {
   }
 
   /** Candidate pairs (ida < idb, est ppm) from an already-computed
-    * signature table — the self-join half of [[minhashCandidates]]. */
-  /** `maxBucket > 0` caps each (band, hash) bucket to its `maxBucket`
+    * signature table — the self-join half of [[minhashCandidates]].
+    *
+    * `maxBucket > 0` caps each (band, hash) bucket to its `maxBucket`
     * lowest-id members before the self-join — the guard against the
     * quadratic hot-bucket hazard: k exact copies of one boilerplate page
     * put k members in EVERY band bucket and emit k²/2 · bands pairs

@@ -42,20 +42,37 @@ object DocsStream {
       .withWatermark("arrival", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** The signature-index version `indexDir`'s CURRENT pointer names, if
+    * any — the index other jobs (backfills, audits) should join against. */
+  def currentIndex(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val current = new java.io.File(indexDir, "CURRENT")
+    if (!current.exists()) None
+    else Some(spark.read.parquet(new java.io.File(indexDir,
+      new String(java.nio.file.Files.readAllBytes(current.toPath),
+        "UTF-8").trim).toString))
+  }
+
   /** Streaming NEAR-dedup at the door: each microbatch runs
     * [[graft.pipeline.Dedup.incrementalDedup]] against the persisted
     * MinHash signature index — batch N+1 sees every document batch N kept,
     * exactly like the batch `dedup_incremental` path applied per arrival.
     *
-    * The index lives as parquet at `indexDir` (NOT in the state store):
+    * The index lives as parquet under `indexDir` (NOT in the state store):
     * signatures are corpus-sized — per-key streaming state would rebuild
     * the corpus in RocksDB; as a parquet side-input the per-batch cost is
     * one band-table scan of the index, and the index doubles as the
-    * batch-side artifact other jobs (e.g. backfills) join against.
-    * Survivors append to `keptDir`; both writes are driver-coordinated
-    * per microbatch (foreachBatch), so a crash replays at most one batch
-    * (idempotent per `batchId` guard left to the caller's sink contract).
-    */
+    * batch-side artifact other jobs (e.g. backfills) join against
+    * ([[currentIndex]]).
+    *
+    * Crash contract: the index is VERSIONED (`v<batchId>/` dirs) behind an
+    * atomically-replaced `CURRENT` pointer file, so a crash at ANY point
+    * leaves the pointer on a complete index (old or new) and at most one
+    * batch replays. Survivors land in per-batch dirs (`batch=<id>/`,
+    * overwrite mode) so a replay rewrites its own output instead of
+    * appending duplicates; a batch whose pointer swap already landed is
+    * detected and skipped entirely (rerunning it against the NEW index
+    * would flag the batch's own survivors as duplicates and overwrite the
+    * kept dir with an empty set). */
   def nearDedupStream(docs: DataFrame, indexDir: String, keptDir: String,
                       checkpointDir: String, shingleN: Int = 3,
                       perms: Int = 64, bands: Int = 8,
@@ -63,36 +80,46 @@ object DocsStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val existing = new java.io.File(indexDir).exists()
-        val keptSigs =
-          if (existing) spark.read.parquet(indexDir)
-          else spark.emptyDataFrame
-            .select(lit(0L).as("did"), array().cast("array<bigint>").as("sig"))
-            .limit(0)
-        val (kept, index) = graft.pipeline.Dedup.incrementalDedup(
-          batch.select("doc_id", "text", "lang", "source", "n_chars"),
-          "doc_id", col("text"), keptSigs, shingleN, perms, thresholdPpm = thresholdPpm,
-          bands = bands)
-        kept.write.mode("append").parquet(keptDir)
-        // rewrite via temp + move: the new index reads the old one lazily,
-        // so an in-place overwrite would clobber its own input mid-scan
-        val tmp = indexDir + ".next"
-        index.write.mode("overwrite").parquet(tmp)
-        val target = new java.io.File(indexDir)
-        if (existing) {
-          val old = new java.io.File(indexDir + ".old")
-          java.nio.file.Files.move(target.toPath, old.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          java.nio.file.Files.move(new java.io.File(tmp).toPath, target.toPath)
+        val root = new java.io.File(indexDir)
+        root.mkdirs()
+        val currentFile = new java.io.File(root, "CURRENT")
+        val currentVersion =
+          if (currentFile.exists())
+            Some(new String(java.nio.file.Files.readAllBytes(
+              currentFile.toPath), "UTF-8").trim)
+          else None
+        val vNew = s"v$batchId"
+        if (!currentVersion.contains(vNew)) {
+          val keptSigs = currentVersion match {
+            case Some(v) =>
+              spark.read.parquet(new java.io.File(root, v).toString)
+            case None => spark.emptyDataFrame
+              .select(lit(0L).as("did"),
+                array().cast("array<bigint>").as("sig"))
+          }
+          val (kept, index) = graft.pipeline.Dedup.incrementalDedup(
+            batch.select("doc_id", "text", "lang", "source", "n_chars"),
+            "doc_id", col("text"), keptSigs, shingleN, perms,
+            thresholdPpm = thresholdPpm, bands = bands)
+          kept.write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+          index.write.mode("overwrite")
+            .parquet(new java.io.File(root, vNew).toString)
+          val tmp = new java.io.File(root, "CURRENT.tmp")
+          java.nio.file.Files.write(tmp.toPath, vNew.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp.toPath, currentFile.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // stale versions cleaned only AFTER the swap — best-effort
+          // sweep of every non-current version, so a crash mid-cleanup
+          // strands nothing past the next successful batch
           def rm(f: java.io.File): Unit = {
             if (f.isDirectory) f.listFiles().foreach(rm)
             f.delete(); ()
           }
-          rm(old)
-        } else {
-          java.nio.file.Files.move(new java.io.File(tmp).toPath, target.toPath)
+          root.listFiles().filter(f => f.isDirectory &&
+            f.getName.startsWith("v") && f.getName != vNew).foreach(rm)
         }
         ()
       }

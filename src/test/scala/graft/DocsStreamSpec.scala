@@ -98,11 +98,15 @@ class DocsStreamSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "b*.parquet")
       .parquet(tmp)
+    // outputs live OUTSIDE the streamed directory: the file source scans
+    // tmp, and partition-style output dirs (batch=N) under it would trip
+    // partition discovery into CONFLICTING_DIRECTORY_STRUCTURES
+    val out = java.nio.file.Files.createTempDirectory("docsnear_out").toString
     val q = DocsStream.nearDedupStream(docs,
-      tmp + "/index", tmp + "/kept", tmp + "/ckpt",
+      out + "/index", out + "/kept", out + "/ckpt",
       shingleN = 3, perms = 64, bands = 16, thresholdPpm = 500000L)
     q.processAllAvailable(); q.stop()
-    val streamedKept = spark.read.parquet(tmp + "/kept")
+    val streamedKept = spark.read.parquet(out + "/kept")
       .select("doc_id").as[Long].collect().toSet
     // batch twin: incrementalDedup applied batch-by-batch from empty index
     val empty = Seq.empty[(Long, Seq[Long])].toDF("did", "sig")
@@ -117,10 +121,14 @@ class DocsStreamSpec extends AnyFunSuite {
       k2.select("doc_id").as[Long].collect()).toSet
     assert(streamedKept === batchKept)
     assert(streamedKept === Set(1L, 2L, 11L, 13L))
-    // the persisted index holds exactly the kept docs' signatures
-    val indexed = spark.read.parquet(tmp + "/index")
+    // the persisted index (resolved via the CURRENT pointer) holds
+    // exactly the kept docs' signatures, and stale versions are swept
+    val indexed = DocsStream.currentIndex(spark, out + "/index").get
       .select("did").as[Long].collect().toSet
     assert(indexed === batchKept)
+    val versions = new java.io.File(out + "/index").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(versions === Set("v1"), s"stale versions not swept: $versions")
   }
 
   test("in-horizon duplicates are dropped in-flight") {
