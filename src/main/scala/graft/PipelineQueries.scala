@@ -375,6 +375,15 @@ object PipelineQueries {
         minTokens = 10, maxTokens = 1000, minDistinctPpm = 200000)
         .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("kept_chars"))),
 
+    // windowed funnel (ClickHouse windowFunnel analog): deepest step of
+    // the signup → view → click → purchase chain within 7 days of the
+    // chain start, greedy-earliest semantics — per-step reach census
+    // with the reaching-user set xor-pinned
+    "events_funnel" -> ((s, d) =>
+      graft.operators.WindowFunnel.funnelCensus(Tables.events(s, d),
+        Seq("signup", "view", "click", "purchase"),
+        7L * 86400L * 1000000000L).orderBy("step")),
+
     // JSON props extraction + per-type aggregation
     "events_json_stats" -> ((s, d) =>
       Tables.events(s, d)
@@ -1753,6 +1762,28 @@ object PipelineQueries {
       (s"SELECT COUNT(*) AS kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars " +
        s"FROM documents WHERE len($toksSql) >= 10 AND len($toksSql) <= 1000 " +
        s"AND FLOOR(1000000.0 * len(list_distinct($toksSql)) / len($toksSql)) >= 200000"),
+
+    "events_funnel" -> {
+      val w = 7L * 86400L * 1000000000L
+      def stepCte(k: Int, tpe: String) = {
+        val carry = (1 until k).map(j => s"MIN(c.t$j) AS t$j").mkString(", ")
+        s"t$k AS (SELECT e.user_id, $carry, MIN(epoch_ns(e.ts)) AS t$k " +
+          s"FROM events e JOIN t${k - 1} c USING (user_id) " +
+          s"WHERE e.event_type = '$tpe' AND epoch_ns(e.ts) > c.t${k - 1} " +
+          s"AND epoch_ns(e.ts) < c.t1 + $w GROUP BY e.user_id)"
+      }
+      def levelRow(k: Int, tpe: String) =
+        s"SELECT CAST($k AS BIGINT) AS step, '$tpe' AS step_name, " +
+          s"COUNT(*) AS n_reached, " +
+          s"COALESCE(bit_xor(user_id), 0) AS user_xor FROM t$k"
+      "WITH t1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events " +
+        "WHERE event_type = 'signup' GROUP BY user_id), " +
+        stepCte(2, "view") + ", " + stepCte(3, "click") + ", " +
+        stepCte(4, "purchase") + " SELECT * FROM (" +
+        levelRow(1, "signup") + " UNION ALL " + levelRow(2, "view") +
+        " UNION ALL " + levelRow(3, "click") + " UNION ALL " +
+        levelRow(4, "purchase") + ") ORDER BY step"
+    },
 
     "events_json_stats" ->
       ("SELECT event_type, COUNT(*) AS n, " +

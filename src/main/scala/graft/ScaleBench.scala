@@ -87,6 +87,24 @@ object ScaleBench {
     t("dedup_corpus_end_to_end") {
       pipeline.Dedup.dedupCorpus(docs, "doc_id", col("text")).count()
     }
+    // hyper-duplication: 5000 exact clones of doc 0 — every band bucket
+    // gets a 5000-member cluster. Uncapped that is C(5000,2) ≈ 12.5M
+    // pairs from ONE document (at 100k real copies: 5e9 — job-killing);
+    // the cap bounds the cluster's contribution at C(cap,2) pairs.
+    val hotCorpus = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.where(col("doc_id") === 0).select(col("text"))
+        .crossJoin(spark.range(5000)
+          .select((col("id") + nDocs).as("doc_id")))
+        .select(col("doc_id"), col("text")))
+    tm("hot_cluster_uncapped") {
+      pipeline.Dedup.minhashCandidates(hotCorpus, "doc_id", col("text"))
+        .where(col("est_jaccard_ppm") >= 500000).count()
+    }
+    tm("hot_cluster_cap8") {
+      pipeline.Dedup.minhashCandidates(hotCorpus, "doc_id", col("text"),
+          maxBucket = 8)
+        .where(col("est_jaccard_ppm") >= 500000).count()
+    }
     t("simhash_pairs") {
       pipeline.Dedup.simhashPairs(docs, "doc_id", col("text")).count()
     }

@@ -603,6 +603,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(99L) === ((-1, -1, -1, 0L, 0L, 0L)), "undecodable must be flagged, not dropped")
   }
 
+  test("window funnel: ordering and window constraints, greedy-earliest chain") {
+    import spark.implicits._
+    // user 1: full in-order chain inside the window        -> level 3
+    // user 2: step B BEFORE step A -> chain stops at A     -> level 1
+    // user 3: step B beyond the window of t1               -> level 1
+    // user 4: greedy trap — B exists after A but the only C is before
+    //         that B; greedy picks earliest valid B, C fails -> level 2
+    // user 5: no step A at all                             -> level 0
+    val ev = Seq(
+      (1L, "A", 100L), (1L, "B", 200L), (1L, "C", 300L),
+      (2L, "B", 50L), (2L, "A", 100L),
+      (3L, "A", 100L), (3L, "B", 5000L),
+      (4L, "A", 100L), (4L, "C", 150L), (4L, "B", 200L),
+      (5L, "B", 100L), (5L, "C", 200L)
+    ).map { case (u, t, ts) => (u, t, ts, 0L) }
+      .toDF("user_id", "event_type", "ts", "pad")
+    val census = graft.operators.WindowFunnel.funnelCensus(
+        ev, Seq("A", "B", "C"), windowNs = 1000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(census(1L) === ((4L, 1L ^ 2L ^ 3L ^ 4L)))  // A reached by 1,2,3,4
+    assert(census(2L) === ((2L, 1L ^ 4L)))            // B: users 1 and 4
+    assert(census(3L) === ((1L, 1L)))                 // C: only user 1
+  }
+
   test("bipartite near-dup: cross-side copies found, within-side pairs never emitted") {
     import spark.implicits._
     val mk = (seed: Int) => Array.tabulate(8)(j => ((seed * 7 + j * 13) % 19 - 9).toFloat)
