@@ -301,6 +301,27 @@ object PipelineQueries {
         .orderBy("qid")
     }),
 
+    // PQ with Lloyd-TRAINED codebooks (the standard trained form):
+    // one k-means iteration per subspace, quantized integer updates →
+    // the whole trained index mirrors in SQL, full oracle. Like
+    // ann_ivf_kmeans_recall, training does not beat the seeds on this
+    // clusterless random fixture (7 vs 7 of 25) — Lloyd pulls entries
+    // toward subspace means when there is no cluster structure; the gain
+    // appears on real (clustered) embedding corpora.
+    "ann_pq_trained_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 5)
+      val approx = pipeline.Similarity.pqTrainedTopK(q, emb, 5,
+        m = 8, ksub = 16, iters = 1)
+      val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
+      q.select(col("vec_id").as("qid"))
+        .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
+            Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
+          Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("qid")
+    }),
+
     // IVFPQ (FAISS IVFx,PQy): coarse cell + PQ codes in ONE shuffle-free
     // projection; probes scan ~nprobe/nlist of the code table with ADC
     // lookups — the billion-vector serving shape, full oracle
@@ -1146,6 +1167,61 @@ object PipelineQueries {
              AS rank
            FROM pqscore s JOIN qn q USING (qid)) WHERE rank <= $k)"""
 
+  /** CTE `pqt_topk(qid,nid,rank)` mirroring `Similarity.pqTrainedTopK`
+    * (one Lloyd iteration): quantized per-(sub, code, dim) mean updates
+    * over the seeded encoding (floor division via the positive-modulus
+    * trick — DuckDB `//` truncates, the engine floors), re-encode against
+    * the refined entries, ADC-score, rank. */
+  private def pqTrainedSql(m: Int, ksub: Int, subDim: Int, k: Int): String = {
+    def subq(v: String) = s"list_transform($v[(c.sub*$subDim+1):((c.sub+1)*$subDim)], x -> CAST(x AS DOUBLE))"
+    s"""${pqBaseSql(m, ksub, subDim)},
+       pex AS (SELECT vec_id AS nid, (j - 1) // $subDim AS sub,
+           (j - 1) % $subDim AS jj,
+           CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS vq
+         FROM (SELECT vec_id, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS j FROM embeddings)),
+       upd AS (SELECT p.sub, e.code, p.jj, SUM(p.vq) AS s, COUNT(*) AS n
+         FROM pex p JOIN encd e ON e.nid = p.nid AND e.sub = p.sub
+         GROUP BY p.sub, e.code, p.jj),
+       cbn2 AS (SELECT c.sub, c.code,
+           list(COALESCE(((u.s - (((u.s % u.n) + u.n) % u.n)) // u.n) / 1048576.0,
+             list_extract(c.entry, gj.j + 1)) ORDER BY gj.j) AS entry
+         FROM cbn c CROSS JOIN
+           (SELECT unnest(generate_series(0, ${subDim - 1})) AS j) gj
+         LEFT JOIN upd u ON u.sub = c.sub AND u.code = c.code AND u.jj = gj.j
+         GROUP BY c.sub, c.code),
+       cbn2s AS (SELECT sub, code, entry,
+           list_reduce(list_transform(entry, x -> x * x), (x, y) -> x + y)
+             AS sq
+         FROM cbn2),
+       encd2 AS (SELECT nid, sub, code FROM (
+           SELECT e.vec_id AS nid, c.sub, c.code,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.sub
+               ORDER BY list_reduce(list_transform(
+                 list_zip(${subq("e.embedding")}, c.entry),
+                 z -> (struct_extract(z, 1) - struct_extract(z, 2)) *
+                      (struct_extract(z, 1) - struct_extract(z, 2))),
+                 (x, y) -> x + y) ASC, c.code ASC) AS rk
+           FROM embeddings e CROSS JOIN cbn2s c) WHERE rk = 1),
+       lut2 AS (SELECT q.qid, c.sub, c.code, c.sq,
+           list_reduce(list_transform(list_zip(${subq("q.qe")}, c.entry),
+             z -> struct_extract(z, 1) * struct_extract(z, 2)),
+             (x, y) -> x + y) AS dot
+         FROM qn q CROSS JOIN cbn2s c),
+       pqscore2 AS (
+         SELECT l.qid, e.nid,
+           list_reduce(list(l.dot ORDER BY l.sub), (x, y) -> x + y) AS dotsum,
+           list_reduce(list(l.sq ORDER BY l.sub), (x, y) -> x + y) AS rsq
+         FROM encd2 e JOIN lut2 l ON l.sub = e.sub AND l.code = e.code
+         WHERE l.qid <> e.nid
+         GROUP BY l.qid, e.nid),
+       pqt_topk AS (SELECT qid, nid, rank FROM (
+           SELECT s.qid, s.nid, ROW_NUMBER() OVER (PARTITION BY s.qid
+             ORDER BY s.dotsum / (q.qnorm * sqrt(s.rsq)) DESC, s.nid ASC)
+             AS rank
+           FROM pqscore2 s JOIN qn q USING (qid)) WHERE rank <= $k)"""
+  }
+
   /** CTE `ivfpq_topk(qid,nid,rank)` mirroring `Similarity.ivfPqTopK`:
     * IVF cell assignment/probes (float-cosine, as `ivfSql`) restrict which
     * PQ codes each query ADC-scores. */
@@ -1329,6 +1405,8 @@ object PipelineQueries {
     "ann_pq_recall" -> recallSql(pqSql(8, 16, 8, 5), "pq_topk"),
 
     "ann_ivfpq_recall" -> recallSql(ivfPqSql(16, 8, 8, 16, 8, 5), "ivfpq_topk"),
+
+    "ann_pq_trained_recall" -> recallSql(pqTrainedSql(8, 16, 8, 5), "pqt_topk"),
 
     "ann_ivf_kmeans_recall" -> recallSql(ivfKmeansSql(16, 4, 5), "km_topk"),
 

@@ -223,6 +223,63 @@ object Similarity {
     corpus.select(col("vec_id").as("nid"),
       graft.functions.PqCodes.pq_codes(col("embedding"), cbs).as("codes"))
 
+  /** Lloyd refinement of the PQ codebooks — the standard PQ TRAINING step
+    * (k-means per subspace over the corpus's subvectors): re-encode the
+    * corpus (one shuffle-free [[graft.functions.PqCodes]] projection),
+    * recompute every (subspace, code) entry as the mean of its assigned
+    * subvectors, repeat. Per iteration the update aggregation collapses
+    * map-side to m × ksub × subDim rows (codebook-sized, not
+    * corpus-sized — the IVF [[kmeansRefine]] argument, per subspace).
+    *
+    * Updates are QUANTIZED exactly like [[kmeansRefine]] (floor-division
+    * of ⌊v·2²⁰⌋ sums): deterministic, order-independent, reproducible in
+    * SQL — so the trained index is oracle-checkable end to end. Entries
+    * that lose all members keep their previous value. */
+  def pqRefineCodebooks(corpus: DataFrame, init: Array[Array[Array[Double]]],
+                        iters: Int): Array[Array[Array[Double]]] = {
+    val m = init.length
+    val subDim = init(0)(0).length
+    var cbs = init
+    for (_ <- 1 to iters) {
+      val upd = corpus
+        .select(graft.functions.PqCodes.pq_codes(col("embedding"), cbs).as("codes"),
+          posexplode(col("embedding")))
+        .select(
+          (col("pos") / subDim).cast("int").as("sub"),
+          element_at(col("codes"), (col("pos") / subDim).cast("int") + 1).as("code"),
+          pmod(col("pos"), lit(subDim)).cast("int").as("j"),
+          floor(col("col").cast("double") * 1048576.0).cast("long").as("vq"))
+        .groupBy("sub", "code", "j")
+        .agg(sum("vq").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+      cbs = Array.tabulate(m) { s =>
+        Array.tabulate(cbs(s).length) { c =>
+          upd.get((s, c.toLong)) match {
+            case Some(rows) =>
+              val e = cbs(s)(c).clone()
+              rows.foreach { r =>
+                e(r.getInt(2)) =
+                  Math.floorDiv(r.getLong(3), r.getLong(4)).toDouble / 1048576.0
+              }
+              e
+            case None => cbs(s)(c)
+          }
+        }
+      }
+    }
+    cbs
+  }
+
+  /** PQ top-k over Lloyd-trained codebooks. */
+  def pqTrainedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    m: Int = 8, ksub: Int = 16, iters: Int = 1): DataFrame = {
+    val cbs = pqRefineCodebooks(corpus, pqCodebooks(corpus, m, ksub), iters)
+    adcTopK(
+      pqEncode(corpus, cbs).crossJoin(broadcast(pqQueryLut(queries, cbs))),
+      cbs, k)
+  }
+
   /** Per-query ADC lookup tables: for each (subspace, code), the dot of the
     * query's subvector with that codebook entry, plus the query norm — all
     * folds left-to-right in index order so the oracle mirrors them

@@ -229,6 +229,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ training: refined entry is the quantized mean of its members") {
+    import spark.implicits._
+    // 8-dim vectors, m=2 subspaces of 4 dims; seeds = first 2 vectors.
+    // Vectors 0,2 share subvector values in subspace 0; 1,3 share others —
+    // after one iteration each entry must equal the quantized mean of the
+    // subvectors that encoded to it.
+    val v = (d: Double) => Array.fill(4)(d.toFloat)
+    val df = Seq(
+      (0L, v(1.0) ++ v(10.0)), (1L, v(5.0) ++ v(20.0)),
+      (2L, v(1.2) ++ v(10.4)), (3L, v(5.4) ++ v(19.8))
+    ).map { case (i, a) => (i, a.toSeq) }.toDF("vec_id", "embedding")
+    val init = Similarity.pqCodebooks(df, 2, 2)
+    val refined = Similarity.pqRefineCodebooks(df, init, 1)
+    def qmean(xs: Seq[Double]) = {
+      val s = xs.map(x => math.floor(x * 1048576.0).toLong).sum
+      Math.floorDiv(s, xs.length.toLong).toDouble / 1048576.0
+    }
+    // subspace 0, code 0 <- subvectors of vecs 0 and 2 (1.0, 1.2)
+    assert(refined(0)(0).toSeq === Seq.fill(4)(qmean(Seq(1.0f.toDouble, 1.2f.toDouble))))
+    // subspace 1, code 1 <- subvectors of vecs 1 and 3 (20.0, 19.8)
+    assert(refined(1)(1).toSeq === Seq.fill(4)(qmean(Seq(20.0f.toDouble, 19.8f.toDouble))))
+  }
+
   test("IVFPQ: full probe equals flat PQ; both rank by the ADC approximation") {
     val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.where($"vec_id" < 3)
