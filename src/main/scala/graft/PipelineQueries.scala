@@ -362,6 +362,25 @@ object PipelineQueries {
         Tables.embeddings(s, d), 400000L, planes = 6, bands = 8)
         .orderBy("ida", "idb")),
 
+    // CROSS-MODAL verify: semantic (embedding-LSH) candidate pairs
+    // joined back to the documents table (vec_id ≡ doc_id) and verified
+    // with exact TEXT 3-gram Jaccard — the two-view dedup pattern
+    // (embeddings recall paraphrase candidates, lexical overlap confirms)
+    "dedup_semantic_verified" -> ((s, d) => {
+      val pairs = pipeline.Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d), 400000L, planes = 6, bands = 8)
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        pipeline.Dedup.shingles(col("text"), 3).as("sh"))
+      pairs
+        .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), Seq("ida"))
+        .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), Seq("idb"))
+        .select(col("ida"), col("idb"), col("sim_ppm"),
+          floor(lit(1000000.0) * size(array_intersect(col("sha"), col("shb"))) /
+            size(array_union(col("sha"), col("shb")))).cast("long")
+            .as("jaccard_ppm"))
+        .orderBy("ida", "idb")
+    }),
+
     // ---- events (time-series) ----
 
     // hourly histogram per event type (ns-timestamp handling)
@@ -1467,6 +1486,26 @@ object PipelineQueries {
        "SELECT ida, idb, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_ppm " +
        "FROM scored WHERE FLOOR(sim * 1000000) >= 400000 " +
        "ORDER BY ida, idb"),
+
+    "dedup_semantic_verified" ->
+      (s"WITH ${lshBkSql(6, 8)}, " +
+       "cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb " +
+       "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+       s"scored AS (SELECT c.ida, c.idb, ${cosDSql("ea.embedding", "eb.embedding")} AS sim " +
+       "FROM cand c JOIN embeddings ea ON ea.vec_id = c.ida " +
+       "JOIN embeddings eb ON eb.vec_id = c.idb), " +
+       "nd AS (SELECT ida, idb, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_ppm " +
+       "FROM scored WHERE FLOOR(sim * 1000000) >= 400000), " +
+       s"tkx AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+       "shx AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN " +
+       "list_distinct(list_transform(generate_series(1, len(tk) - 2), " +
+       "i -> array_to_string(tk[i:i+2], ' '))) " +
+       "ELSE [array_to_string(tk, ' ')] END AS sh FROM tkx) " +
+       "SELECT n.ida, n.idb, n.sim_ppm, " +
+       "CAST(FLOOR(1000000.0 * len(list_intersect(sa.sh, sb.sh)) / " +
+       "len(list_distinct(sa.sh || sb.sh))) AS BIGINT) AS jaccard_ppm " +
+       "FROM nd n JOIN shx sa ON sa.doc_id = n.ida " +
+       "JOIN shx sb ON sb.doc_id = n.idb ORDER BY n.ida, n.idb"),
 
     "dedup_jaccard_pairs" ->
       (s"WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
