@@ -40,6 +40,17 @@ object XmlIngestBench {
         graft.inodes.InodeView.snapshot(spark, loc), "nsQuota")
         .where(col("isFile")).count()
     }
+    // optional 2nd arg: a BINARY image of the same namespace
+    // (tools/gen_fsimage_bin.py <flat_csv> <out.bin>) — times the direct
+    // front door: sequential container decode + the same derivation
+    args.drop(1).headOption.foreach { bin =>
+      t("bin_decode_only") {
+        graft.ingest.FsImageBinary.readInodesFull(bin).length
+      }
+      t("bin_ingest+persist+count") {
+        graft.inodes.InodeView.snapshot(spark, s"oivbin:$bin").count()
+      }
+    }
     spark.stop()
   }
 }

@@ -59,8 +59,14 @@ def delimited(out: bytearray, msg: bytearray) -> None:
     out.extend(msg)
 
 
+import sys
+
 base = os.path.join(os.path.dirname(__file__), "..", "fixtures")
-rows = list(csv.DictReader(open(os.path.join(base, "fsimage_mini_flat.csv"))))
+# scale mode: gen_fsimage_bin.py <flat_csv> <out.bin> encodes any flat CSV
+# (e.g. the one gen_fsimage_xml.py writes at scale) into a binary image
+flat_path = sys.argv[1] if len(sys.argv) > 1 \
+    else os.path.join(base, "fsimage_mini_flat.csv")
+rows = list(csv.DictReader(open(flat_path)))
 for r in rows:
     for k in ("id", "perm", "mtime_ms", "atime_ms", "block_size",
               "num_blocks", "file_size", "replication", "storage_policy",
@@ -198,7 +204,8 @@ delimited(delim, summary)
 out.extend(delim)
 out.extend(struct.pack(">i", len(delim)))
 
-path = os.path.join(base, "fsimage_mini.bin")
+path = sys.argv[2] if len(sys.argv) > 2 \
+    else os.path.join(base, "fsimage_mini.bin")
 with open(path, "wb") as fh:
     fh.write(bytes(out))
 print(f"wrote {path}: {len(rows)} inodes, "
