@@ -876,14 +876,36 @@ object PipelineQueries {
   // Dedup.portableHash is md5-hex-parse and the permutations are integer
   // affine maps, so signatures, band keys and simhashes reproduce exactly.
 
-  /** CTEs `tk → shl` mirroring [[graft.pipeline.Dedup.shingles]] for
-    * word `n`-grams (distinct, single-space-joined, short-text fallback). */
+  /** The shingle-list expression of [[graft.pipeline.Dedup.shingles]]
+    * (distinct word `n`-grams, single-space-joined, short-text fallback)
+    * over a token-list column — the ONE definition every oracle that
+    * shingles text builds on, so the fallback/edge semantics cannot
+    * drift between mirrors. */
+  private def shingleCaseSql(n: Int, tk: String): String =
+    s"""CASE WHEN len($tk) >= $n THEN
+          list_distinct(list_transform(generate_series(1, len($tk) - ${n - 1}),
+            i -> array_to_string($tk[i:i+${n - 1}], ' ')))
+        ELSE [array_to_string($tk, ' ')] END"""
+
+  /** CTEs `tk → shl` mirroring [[graft.pipeline.Dedup.shingles]]. */
   private def shingleCtes(n: Int): String =
     s"""tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
-       shl AS (SELECT doc_id, CASE WHEN len(tk) >= $n THEN
-           list_distinct(list_transform(generate_series(1, len(tk) - ${n - 1}),
-             i -> array_to_string(tk[i:i+${n - 1}], ' ')))
-         ELSE [array_to_string(tk, ' ')] END AS sh FROM tk)"""
+       shl AS (SELECT doc_id, ${shingleCaseSql(n, "tk")} AS sh FROM tk)"""
+
+  /** CTE chain `bk → cand → nd(ida, idb, sim_ppm)` mirroring
+    * `Similarity.cosineNearDupPairs`: banded-LSH candidates, exact-cosine
+    * verify, ppm threshold — shared by every oracle consuming embedding
+    * near-dup pairs. */
+  private def semanticNdSql(planes: Int, bands: Int, thresholdPpm: Long): String =
+    s"""${lshBkSql(planes, bands)},
+       cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       scored AS (SELECT c.ida, c.idb,
+           ${cosDSql("ea.embedding", "eb.embedding")} AS sim
+         FROM cand c JOIN embeddings ea ON ea.vec_id = c.ida
+         JOIN embeddings eb ON eb.vec_id = c.idb),
+       nd AS (SELECT ida, idb, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_ppm
+         FROM scored WHERE FLOOR(sim * 1000000) >= $thresholdPpm)"""
 
   /** CTE chain `tk → shl → mex → msig → mband → mcand → mest` mirroring
     * [[graft.pipeline.Dedup.minhashCandidates]] (shingleN=3, perms=64,
@@ -906,10 +928,7 @@ object PipelineQueries {
                ROW_NUMBER() OVER (PARTITION BY b, h ORDER BY doc_id) AS rk
              FROM mband0) WHERE rk <= $cap)"""
     s"""tk AS (SELECT doc_id, $toksSql AS tk FROM $src),
-       shl AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
-           list_distinct(list_transform(generate_series(1, len(tk) - 2),
-             i -> array_to_string(tk[i:i+2], ' ')))
-         ELSE [array_to_string(tk, ' ')] END AS sh FROM tk),
+       shl AS (SELECT doc_id, ${shingleCaseSql(3, "tk")} AS sh FROM tk),
        mex AS (SELECT doc_id,
            ('0x' || substr(md5(u.s), 1, 15))::BIGINT % 2147483647 AS h0p
          FROM shl, UNNEST(sh) AS u(s)),
@@ -1472,35 +1491,18 @@ object PipelineQueries {
        "CAST(SUM(CASE WHEN rk <= 20 THEN doc_id ELSE 0 END) AS BIGINT) " +
        "AS sample_id_sum FROM rk GROUP BY pred_lang ORDER BY pred_lang"),
 
+    // sim VALUES are emitted (not just ranks), so the oracle reproduces
+    // the engine's double-precision left-to-right fold (cosDSql inside
+    // semanticNdSql): list_cosine_similarity accumulates float lists in
+    // FLOAT, 1 ulp off at FLOOR boundaries — list_reduce is sequential.
     "emb_near_dup" ->
-      (s"WITH ${lshBkSql(6, 8)}, " +
-       "cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb " +
-       "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
-       // sim VALUES are emitted (not just ranks), so the oracle must
-       // reproduce the engine's double-precision left-to-right fold:
-       // list_cosine_similarity accumulates float lists in FLOAT, which is
-       // 1 ulp off at FLOOR boundaries — list_reduce is sequential, exact.
-       s"scored AS (SELECT c.ida, c.idb, ${cosDSql("ea.embedding", "eb.embedding")} AS sim " +
-       "FROM cand c JOIN embeddings ea ON ea.vec_id = c.ida " +
-       "JOIN embeddings eb ON eb.vec_id = c.idb) " +
-       "SELECT ida, idb, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_ppm " +
-       "FROM scored WHERE FLOOR(sim * 1000000) >= 400000 " +
-       "ORDER BY ida, idb"),
+      (s"WITH ${semanticNdSql(6, 8, 400000L)} " +
+       "SELECT ida, idb, sim_ppm FROM nd ORDER BY ida, idb"),
 
     "dedup_semantic_verified" ->
-      (s"WITH ${lshBkSql(6, 8)}, " +
-       "cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb " +
-       "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
-       s"scored AS (SELECT c.ida, c.idb, ${cosDSql("ea.embedding", "eb.embedding")} AS sim " +
-       "FROM cand c JOIN embeddings ea ON ea.vec_id = c.ida " +
-       "JOIN embeddings eb ON eb.vec_id = c.idb), " +
-       "nd AS (SELECT ida, idb, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_ppm " +
-       "FROM scored WHERE FLOOR(sim * 1000000) >= 400000), " +
+      (s"WITH ${semanticNdSql(6, 8, 400000L)}, " +
        s"tkx AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
-       "shx AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN " +
-       "list_distinct(list_transform(generate_series(1, len(tk) - 2), " +
-       "i -> array_to_string(tk[i:i+2], ' '))) " +
-       "ELSE [array_to_string(tk, ' ')] END AS sh FROM tkx) " +
+       s"shx AS (SELECT doc_id, ${shingleCaseSql(3, "tk")} AS sh FROM tkx) " +
        "SELECT n.ida, n.idb, n.sim_ppm, " +
        "CAST(FLOOR(1000000.0 * len(list_intersect(sa.sh, sb.sh)) / " +
        "len(list_distinct(sa.sh || sb.sh))) AS BIGINT) AS jaccard_ppm " +
@@ -1509,10 +1511,7 @@ object PipelineQueries {
 
     "dedup_jaccard_pairs" ->
       (s"WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
-       "sh AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN " +
-       "list_distinct(list_transform(generate_series(1, len(tk) - 2), " +
-       "i -> array_to_string(tk[i:i+2], ' '))) " +
-       "ELSE [array_to_string(tk, ' ')] END AS sh FROM tk), " +
+       s"sh AS (SELECT doc_id, ${shingleCaseSql(3, "tk")} AS sh FROM tk), " +
        "ex AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM sh), " +
        "j AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.nsh AS na, b.nsh AS nb, " +
        "COUNT(*) AS common FROM ex a JOIN ex b ON a.shingle = b.shingle " +
@@ -1538,10 +1537,7 @@ object PipelineQueries {
        "keepers AS (SELECT doc_id FROM q WHERE doc_id NOT IN " +
        "(SELECT did FROM comp WHERE label < did)), " +
        s"tk5 AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
-       "shl5 AS (SELECT doc_id, CASE WHEN len(tk) >= 5 THEN " +
-       "list_distinct(list_transform(generate_series(1, len(tk) - 4), " +
-       "i -> array_to_string(tk[i:i+4], ' '))) " +
-       "ELSE [array_to_string(tk, ' ')] END AS sh FROM tk5), " +
+       s"shl5 AS (SELECT doc_id, ${shingleCaseSql(5, "tk")} AS sh FROM tk5), " +
        "ex5 AS (SELECT doc_id, unnest(sh) AS g FROM shl5), " +
        "bg AS (SELECT DISTINCT g FROM ex5 WHERE doc_id < 50), " +
        "cont AS (SELECT DISTINCT e.doc_id FROM ex5 e JOIN bg USING (g) " +

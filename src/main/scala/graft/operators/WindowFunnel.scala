@@ -30,8 +30,15 @@ object WindowFunnel {
   def funnelTimes(events: DataFrame, steps: Seq[String],
                   windowNs: Long): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // fail fast on a non-long ts: cast("long") on a TimestampType yields
+    // epoch SECONDS, which against a nanos window silently disables the
+    // window constraint instead of erroring
+    require(events.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"ts must be a long in the same unit as windowNs, got " +
+        events.schema("ts").dataType.sql)
     val base = events.select(col("user_id"),
-      col("event_type"), col("ts").cast("long").as("__ts"))
+      col("event_type"), col("ts").as("__ts"))
     val first = base.where(col("event_type") === steps.head)
       .groupBy("user_id").agg(min(col("__ts")).as("t1"))
     steps.zipWithIndex.drop(1).scanLeft(first) { case (prev, (s, i)) =>

@@ -204,8 +204,15 @@ delimited(delim, summary)
 out.extend(delim)
 out.extend(struct.pack(">i", len(delim)))
 
-path = sys.argv[2] if len(sys.argv) > 2 \
-    else os.path.join(base, "fsimage_mini.bin")
+if len(sys.argv) > 2:
+    path = sys.argv[2]
+elif len(sys.argv) > 1:
+    # derive from the input, NEVER the tracked mini fixture — a forgotten
+    # second arg must not overwrite fixtures/fsimage_mini.bin
+    path = (flat_path[:-len("_flat.csv")] if flat_path.endswith("_flat.csv")
+            else os.path.splitext(flat_path)[0]) + ".bin"
+else:
+    path = os.path.join(base, "fsimage_mini.bin")
 with open(path, "wb") as fh:
     fh.write(bytes(out))
 print(f"wrote {path}: {len(rows)} inodes, "
