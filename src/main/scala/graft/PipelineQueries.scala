@@ -362,6 +362,19 @@ object PipelineQueries {
         Tables.embeddings(s, d), 400000L, planes = 6, bands = 8)
         .orderBy("ida", "idb")),
 
+    // MODEL-FREE text embeddings (feature hashing, Weinberger et al.
+    // 2009): every embedding operator applies to corpora with no
+    // embedding model — here the full near-dup sweep over hashed
+    // bag-of-words vectors; fixture near-dups land at cosine ≥ 0.997
+    // while random pairs stay ≤ 0.82 (0.99 threshold)
+    "text_hash_embedding_neardup" -> ((s, d) => {
+      val vecs = Tables.documents(s, d).select(
+        col("doc_id").as("vec_id"),
+        pipeline.TextAnalysis.hashedEmbedding(col("text"), 16).as("embedding"))
+      pipeline.Similarity.cosineNearDupPairs(vecs, 990000L,
+        planes = 8, bands = 4).orderBy("ida", "idb")
+    }),
+
     // CROSS-MODAL verify: semantic (embedding-LSH) candidate pairs
     // joined back to the documents table (vec_id ≡ doc_id) and verified
     // with exact TEXT 3-gram Jaccard — the two-view dedup pattern
@@ -1027,7 +1040,11 @@ object PipelineQueries {
          LEFT JOIN bi b ON b.doc_id = u.doc_id
          LEFT JOIN tri t ON t.doc_id = u.doc_id)"""
 
-  /** CTE `bk(vec_id, bucket)` mirroring [[graft.functions.LshBuckets]]. */
+  /** CTE `bk(vec_id, bucket)` mirroring [[graft.functions.LshBuckets]]
+    * over any `src(vec_id, embedding)` relation. */
+  private def lshBkSqlOver(src: String, planes: Int, bands: Int): String =
+    lshBkSql(planes, bands).replace("FROM embeddings", s"FROM $src")
+
   private def lshBkSql(planes: Int, bands: Int): String =
     s"""u AS (SELECT vec_id, unnest(embedding) AS v,
          generate_subscripts(embedding, 1) AS j FROM embeddings),
@@ -1490,6 +1507,28 @@ object PipelineQueries {
        "CAST(SUM(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled, " +
        "CAST(SUM(CASE WHEN rk <= 20 THEN doc_id ELSE 0 END) AS BIGINT) " +
        "AS sample_id_sum FROM rk GROUP BY pred_lang ORDER BY pred_lang"),
+
+    "text_hash_embedding_neardup" ->
+      (s"WITH tkh AS (SELECT doc_id, $toksSql AS tk FROM documents), " +
+       "hsx AS (SELECT doc_id, " +
+       "('0x' || substr(md5(u.t), 1, 15))::BIGINT % 2147483647 AS h " +
+       "FROM tkh, UNNEST(tk) AS u(t)), " +
+       "compx AS (SELECT doc_id, jj.j, " +
+       "SUM((h * (((jj.j + 1) * 2654435761) % 2147483647) " +
+       "+ ((jj.j + 1) * 40503) % 2147483647) % 2147483647 - 1073741823) AS c " +
+       "FROM hsx CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) jj " +
+       "GROUP BY doc_id, jj.j), " +
+       "hv AS (SELECT doc_id AS vec_id, " +
+       "list(CAST(c AS DOUBLE) / 2147483647.0 ORDER BY j) AS embedding " +
+       "FROM compx GROUP BY doc_id), " +
+       s"${lshBkSqlOver("hv", 8, 4)}, " +
+       "cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb " +
+       "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+       s"scored AS (SELECT c.ida, c.idb, ${cosDSql("ea.embedding", "eb.embedding")} AS sim " +
+       "FROM cand c JOIN hv ea ON ea.vec_id = c.ida " +
+       "JOIN hv eb ON eb.vec_id = c.idb) " +
+       "SELECT ida, idb, CAST(FLOOR(sim * 1000000) AS BIGINT) AS sim_ppm " +
+       "FROM scored WHERE FLOOR(sim * 1000000) >= 990000 ORDER BY ida, idb"),
 
     // sim VALUES are emitted (not just ranks), so the oracle reproduces
     // the engine's double-precision left-to-right fold (cosDSql inside

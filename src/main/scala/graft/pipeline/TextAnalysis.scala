@@ -189,6 +189,38 @@ object TextAnalysis {
   }
 
   /** Content fingerprint (md5 of normalized text) — portable across engines. */
+  /** Feature-hashed document embedding (the "hashing trick", Weinberger
+    * et al. 2009): component `j` is the sum over TOKEN OCCURRENCES of a
+    * pseudo-random ±signal derived from the token's portable hash under
+    * permutation `j` — a model-free text→vector featurizer whose cosine
+    * tracks bag-of-words overlap, so every embedding operator (near-dup,
+    * ANN, semantic decontamination) applies to corpora with no embedding
+    * model in reach. All integer arithmetic (portable md5 hash + the
+    * minhash affine-permutation family, centered on (P−1)/2), components
+    * exact in doubles (|Σ| ≪ 2⁵³) — the whole vector reproduces in SQL.
+    *
+    * Composable nested-HOF form (dims × tokens interpreted work per doc);
+    * a compiled expression is the optimization path if this ever sits in
+    * a hot loop — same swap [[graft.functions.NGramShingles]] made. */
+  def hashedEmbedding(text: Column, dims: Int): Column = {
+    val center = (Dedup.HashP - 1L) / 2L
+    val hs = transform(tokens(text),
+      t => Dedup.portableHash(t) % Dedup.HashP)
+    // components normalized by P: keeps downstream LSH quantization
+    // (⌊v·2²⁰⌋ × 31-bit coefficients) inside 64-bit integer range —
+    // raw Σ-of-permutation sums (~2³⁰ per token) would overflow it
+    transform(sequence(lit(0), lit(dims - 1)), j =>
+      aggregate(hs, lit(0L), (acc, h) =>
+        acc + (elementPermute(h, j) - center)).cast("double")
+        / lit(Dedup.HashP.toDouble))
+  }
+
+  /** `Dedup.permute` with a COLUMN permutation index (the minhash family
+    * takes a literal k; the embedding builds all dims in one expression). */
+  private def elementPermute(h: Column, j: Column): Column =
+    (h * (((j + 1).cast("long") * 2654435761L) % Dedup.HashP) +
+      ((j + 1).cast("long") * 40503L) % Dedup.HashP) % Dedup.HashP
+
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
 
   /** 64-bit rolling-style fingerprint: xxhash64 over normalized text plus a

@@ -650,6 +650,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(census(3L) === ((1L, 1L)))                 // C: only user 1
   }
 
+  test("hashed embeddings: near-dup texts score near 1, unrelated far below") {
+    import spark.implicits._
+    // longer docs: the ±hash signal concentrates with token count (the
+    // sf fixtures' ~40-token docs separate at 0.99; 8-token toys don't)
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, a),
+      (2L, a.replace("w7 ", "zz ")),                     // 29 of 30 shared
+      (3L, (1 to 30).map(i => s"q$i").mkString(" "))     // disjoint vocab
+    ).toDF("doc_id", "text")
+    val v = df.select($"doc_id",
+      TextAnalysis.hashedEmbedding($"text", 16).as("e"))
+    val sims = v.as("a").crossJoin(v.as("b"))
+      .where($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        Similarity.cosine($"a.e", $"b.e").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sims((1L, 2L)) > 0.85, s"near-dup pair too low: ${sims((1L, 2L))}")
+    assert(sims((1L, 3L)) < 0.6, s"unrelated pair too high: ${sims((1L, 3L))}")
+    // deterministic: same text -> bit-identical vector
+    val twice = df.union(df).select(
+      TextAnalysis.hashedEmbedding($"text", 16).as("e"))
+      .distinct().count()
+    assert(twice === 3L)
+  }
+
   test("bipartite near-dup: cross-side copies found, within-side pairs never emitted") {
     import spark.implicits._
     val mk = (seed: Int) => Array.tabulate(8)(j => ((seed * 7 + j * 13) % 19 - 9).toFloat)
