@@ -450,6 +450,25 @@ object PipelineQueries {
       streaming.EventsStream.sessionizeBatch(
         Tables.events(s, d), 30L * 60 * 1000 * 1000000)),
 
+    // cohort retention matrix: users bucketed by first-active week, then
+    // counted per (cohort_week, week_offset). ONE shuffle on user_id —
+    // the per-user active-week set rides a collect_set bounded by the
+    // calendar span (weeks, not events), so there is no cohort join and
+    // no second exchange; the explode fans back out to at most
+    // users × span rows. user_xor pins the exact membership of each cell.
+    "events_retention" -> ((s, d) => {
+      val wkNs = 7L * 86400L * 1000000000L
+      Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts div $wkNs").as("wk"))
+        .groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cwk"), collect_set(col("wk")).as("wks"))
+        .select(col("user_id"), col("cwk"), explode(col("wks")).as("wk"))
+        .groupBy(col("cwk").as("cohort_week"),
+          (col("wk") - col("cwk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("bit_xor(user_id)").as("user_xor"))
+    }),
+
     // vocabulary census: exact distinct tokens (production uses
     // approx_count_distinct at corpus scale — bounded-error HLL, no
     // value shuffle; the exact twin is the verifiable baseline)
@@ -1953,6 +1972,13 @@ object PipelineQueries {
        "GROUP BY user_id, sess) " +
        "SELECT user_id, CAST(MAX(sess) + 1 AS BIGINT) AS n_sessions, " +
        "MAX(n_events) AS max_session_events FROM h GROUP BY user_id"),
+
+    "events_retention" ->
+      ("WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events), " +
+       "c AS (SELECT user_id, MIN(wk) AS cwk FROM e GROUP BY user_id) " +
+       "SELECT c.cwk AS cohort_week, e.wk - c.cwk AS week_offset, " +
+       "COUNT(*) AS n_users, bit_xor(e.user_id) AS user_xor " +
+       "FROM e JOIN c USING (user_id) GROUP BY 1, 2"),
 
     "text_vocab" ->
       (s"WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents) " +
