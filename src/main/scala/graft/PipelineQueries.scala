@@ -368,9 +368,13 @@ object PipelineQueries {
     // bag-of-words vectors; fixture near-dups land at cosine ≥ 0.997
     // while random pairs stay ≤ 0.82 (0.99 threshold)
     "text_hash_embedding_neardup" -> ((s, d) => {
-      val vecs = Tables.documents(s, d).select(
-        col("doc_id").as("vec_id"),
-        pipeline.TextAnalysis.hashedEmbedding(col("text"), 16).as("embedding"))
+      // checkpoint the featurized vectors: cosineNearDupPairs evaluates
+      // its input THREE times (bucket explode + both pair join-backs) —
+      // 16 doubles/doc materialized once beats re-featurizing the corpus
+      val vecs = pipeline.Dedup.checkpointCorpus(
+        Tables.documents(s, d).select(
+          col("doc_id").as("vec_id"),
+          pipeline.TextAnalysis.hashedEmbedding(col("text"), 16).as("embedding")))
       pipeline.Similarity.cosineNearDupPairs(vecs, 990000L,
         planes = 8, bands = 4).orderBy("ida", "idb")
     }),

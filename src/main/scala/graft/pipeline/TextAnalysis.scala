@@ -202,7 +202,13 @@ object TextAnalysis {
     * Composable nested-HOF form (dims × tokens interpreted work per doc);
     * a compiled expression is the optimization path if this ever sits in
     * a hot loop — same swap [[graft.functions.NGramShingles]] made. */
-  def hashedEmbedding(text: Column, dims: Int): Column = {
+  def hashedEmbedding(text: Column, dims: Int): Column =
+    graft.functions.HashedEmbedding.hashed_embedding(tokens(text), dims)
+
+  /** The composable (interpreted nested-HOF) formulation the codegen'd
+    * [[graft.functions.HashedEmbedding]] mirrors byte-for-byte — kept as
+    * the equivalence-test reference and the SQL-only fallback. */
+  def hashedEmbeddingComposable(text: Column, dims: Int): Column = {
     val center = (Dedup.HashP - 1L) / 2L
     val hs = transform(tokens(text),
       t => Dedup.portableHash(t) % Dedup.HashP)

@@ -169,4 +169,17 @@ class FunctionsSpec extends AnyFunSuite {
     // the "*(n)" stage prefix marks WholeStageCodegen in plan toString
     assert(plan.startsWith("*(1) Project [cosinesimilarity"))
   }
+
+  test("hashed_embedding ≡ the composable HOF formulation, bit-exact") {
+    val docs = core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs.select(
+      graft.pipeline.TextAnalysis.hashedEmbedding($"text", 16).as("fast"),
+      graft.pipeline.TextAnalysis.hashedEmbeddingComposable($"text", 16).as("slow"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      // bit-exact: both are Σ-of-longs / P in the same order
+      assert(r.getSeq[Double](0) === r.getSeq[Double](1))
+    }
+  }
 }

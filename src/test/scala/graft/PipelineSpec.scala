@@ -840,4 +840,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 6L, 500000L), (2L, 4L, 125000L),
       (3L, 2L, 83333L)))
   }
+
+  test("retention matrix: offset-0 cell is the cohort's full size and max") {
+    val ret = PipelineQueries.queries("events_retention")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(ret.nonEmpty)
+    assert(ret.forall(_.getLong(1) >= 0L)) // week_offset never negative
+    // every user is active in their cohort week, so the offset-0 cell
+    // holds the whole cohort and no later offset can exceed it
+    val byCohort = ret.groupBy(_.getLong(0))
+    byCohort.foreach { case (_, cells) =>
+      val zero = cells.find(_.getLong(1) == 0L)
+      assert(zero.isDefined)
+      assert(cells.forall(_.getLong(2) <= zero.get.getLong(2)))
+    }
+    // total cohort membership equals the distinct-user census
+    val users = core.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id").distinct().count()
+    assert(ret.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum === users)
+  }
 }
