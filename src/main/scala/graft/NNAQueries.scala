@@ -213,6 +213,19 @@ object NNAQueries {
       Histograms.bottomK(
         Histograms.histogram(files(s, d), col("user"), count(lit(1))), 3)),
 
+    // grouped top-k: the per-key variant of P2 (reference top-K is global
+    // over the histogram) — largest files per user. One shuffle on the
+    // group key; rank + filter prune inside the sorted partition, so only
+    // k rows per key survive the exchange downstream.
+    "nna_topk_per_user" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user"))
+        .orderBy(col("fileSize").desc, col("path").asc)
+      files(s, d).select(col("user"), col("path"), col("fileSize"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+    }),
+
     // A10 /divide: tiny-file ratio in ppm
     "nna_divide" -> ((s, d) => {
       val f = files(s, d)
@@ -632,6 +645,12 @@ object NNAQueries {
     "nna_bottomk" -> oracle(
       "SELECT \"user\" AS key, COUNT(*) AS value FROM inodes WHERE isFile " +
       "GROUP BY \"user\" ORDER BY value ASC, key ASC LIMIT 3"),
+
+    "nna_topk_per_user" -> oracle(
+      "SELECT \"user\", path, fileSize, rk FROM (" +
+      "SELECT \"user\", path, fileSize, CAST(ROW_NUMBER() OVER (" +
+      "PARTITION BY \"user\" ORDER BY fileSize DESC, path ASC) AS INT) AS rk " +
+      "FROM inodes WHERE isFile) WHERE rk <= 3"),
 
     "nna_divide" -> oracle(
       "SELECT CAST(FLOOR(1000000.0 * " +

@@ -400,6 +400,26 @@ object PipelineQueries {
 
     // ---- events (time-series) ----
 
+    // range (point-in-interval) join: every event landing inside each
+    // type's first-3-days window. A raw non-equi join plans as
+    // BroadcastNestedLoop (quadratic); operators.RangeJoin buckets the
+    // timeline (1-day buckets) so it runs as ONE shuffled equi-join —
+    // the 100 TB-safe rewrite. The DuckDB oracle is the plain BETWEEN
+    // join, so the bucketization itself is what's being verified.
+    "events_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dayNs = 86400L * 1000000000L
+      val iv = ev.groupBy(col("event_type").as("itype"))
+        .agg(min(col("ts")).as("w_start"))
+        .withColumn("w_end", col("w_start") + lit(3L * dayNs))
+      graft.operators.RangeJoin.rangeJoin(
+          ev.select(col("ts"), col("event_id")), "ts",
+          iv, "w_start", "w_end", dayNs)
+        .groupBy(col("itype").as("event_type"))
+        .agg(count(lit(1)).as("n_in_window"),
+          expr("bit_xor(event_id)").as("event_xor"))
+    }),
+
     // hourly histogram per event type (ns-timestamp handling)
     "events_hourly" -> ((s, d) =>
       Tables.events(s, d)
@@ -1977,6 +1997,13 @@ object PipelineQueries {
        "GROUP BY user_id, sess) " +
        "SELECT user_id, CAST(MAX(sess) + 1 AS BIGINT) AS n_sessions, " +
        "MAX(n_events) AS max_session_events FROM h GROUP BY user_id"),
+
+    "events_range_join" ->
+      ("WITH iv AS (SELECT event_type AS itype, MIN(epoch_ns(ts)) AS w_start, " +
+       "MIN(epoch_ns(ts)) + 259200000000000 AS w_end FROM events GROUP BY event_type) " +
+       "SELECT iv.itype AS event_type, COUNT(*) AS n_in_window, " +
+       "bit_xor(e.event_id) AS event_xor FROM events e " +
+       "JOIN iv ON epoch_ns(e.ts) BETWEEN iv.w_start AND iv.w_end GROUP BY 1"),
 
     "events_retention" ->
       ("WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events), " +

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (point-in-interval) join: for every point row, find the interval
+  * rows with `start <= point <= end`.
+  *
+  * Spark has no native range-join operator — a raw non-equi join plans as
+  * BroadcastNestedLoopJoin (quadratic work, broadcast-sized right) which
+  * dies at any real scale. This is the standard bucketization rewrite
+  * (composition-first, rule (a) of the build plan — the same technique
+  * Databricks' range-join optimization applies under the hood):
+  *
+  *   1. each interval explodes to the bucket ids its span covers
+  *      (`sequence(floor(start/w), floor(end/w))` — `len/w + 1` rows);
+  *   2. each point maps to its ONE bucket id (`floor(point/w)`);
+  *   3. equi-join on the bucket id — a plain shuffled hash join Catalyst
+  *      and AQE optimize like any other;
+  *   4. the exact `start <= p <= end` predicate filters survivors. A
+  *      point meets a covering interval in exactly one bucket (the
+  *      point's own), so no pair dedup is needed.
+  *
+  * Cost: one shuffle keyed on bucket id, join input sizes
+  * `points + intervals · (span/w + 1)`. Pick `bucketWidth` ~ the median
+  * interval span: too small multiplies the interval fan-out, too large
+  * piles unrelated points into each bucket (the all-pairs hazard this
+  * rewrite exists to avoid). Intervals and points carry only the columns
+  * the caller selected — project before calling at 100 TB.
+  */
+object RangeJoin {
+
+  /** Inner point-in-interval join. `points`/`intervals` must already carry
+    * distinct column names; every column of both survives on the output.
+    * Bucket ids use integer `div` (NOT `floor(x / w)` — double division
+    * loses exactness past 2⁵³, which epoch-nanos exceed); values must be
+    * non-negative, where truncation and floor agree. */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(expr(s"`$startCol` div $bucketWidth"),
+        expr(s"`$endCol` div $bucketWidth"))))
+    val pt = points.withColumn("__bucket",
+      expr(s"`$pointCol` div $bucketWidth"))
+    pt.join(iv.hint("shuffle_hash"), Seq("__bucket"))
+      .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

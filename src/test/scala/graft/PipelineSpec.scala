@@ -841,6 +841,18 @@ class PipelineSpec extends AnyFunSuite {
       (3L, 2L, 83333L)))
   }
 
+  test("range join: inclusive bounds, multi-bucket intervals, no dup pairs") {
+    val pts = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 31L)).toDF("pid", "p")
+    val ivs = Seq((100L, 5L, 10L), (200L, 8L, 30L)).toDF("iid", "s", "e")
+    val got = graft.operators.RangeJoin.rangeJoin(pts, "p", ivs, "s", "e", 10L)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // each qualifying (point, interval) appears EXACTLY once even though
+    // interval 200 spans buckets 0..3; bounds are inclusive on both ends
+    assert(got.length === got.toSet.size)
+    assert(got.toSet === Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L)))
+  }
+
   test("retention matrix: offset-0 cell is the cohort's full size and max") {
     val ret = PipelineQueries.queries("events_retention")(
       spark, "/root/testdata/sf0.001").collect()

@@ -192,6 +192,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("range join runs as an equi-join, never BroadcastNestedLoop") {
+    val df = PipelineQueries.queries("events_range_join")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketized range join must not plan as a nested loop:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"bucket equi-join must honor the shuffle_hash hint:\n$plan")
+  }
+
   test("retention matrix: no cohort self-join, two exchanges total") {
     val df = PipelineQueries.queries("events_retention")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
