@@ -397,6 +397,16 @@ object NNAQueries {
         "floor(percentile(fileSize, 0.99)) AS p99",
         "max(fileSize) AS p100")),
 
+    // grouped percentiles: the per-key variant of the size census — same
+    // floored linear-interpolation values DuckDB's quantile_cont yields;
+    // one shuffle on the group key (sort-based agg within partitions)
+    "nna_percentiles_per_user" -> ((s, d) =>
+      files(s, d).groupBy(col("user")).agg(
+        count(lit(1)).as("n"),
+        expr("floor(percentile(fileSize, 0.5))").cast("long").as("p50"),
+        expr("floor(percentile(fileSize, 0.9))").cast("long").as("p90"),
+        max(col("fileSize")).as("p100"))),
+
     // The PRODUCTION percentile path: approx_percentile (GK sketch, bounded
     // memory, no value shuffle — the only shape that holds at billions of
     // inodes). Its guarantee is on RANK, not value: the returned value's
@@ -835,6 +845,13 @@ object NNAQueries {
       "CAST(FLOOR(quantile_cont(fileSize, 0.9)) AS BIGINT) AS p90, " +
       "CAST(FLOOR(quantile_cont(fileSize, 0.99)) AS BIGINT) AS p99, " +
       "CAST(MAX(fileSize) AS BIGINT) AS p100 FROM inodes WHERE isFile"),
+
+    "nna_percentiles_per_user" -> oracle(
+      "SELECT \"user\", COUNT(*) AS n, " +
+      "CAST(FLOOR(quantile_cont(fileSize, 0.5)) AS BIGINT) AS p50, " +
+      "CAST(FLOOR(quantile_cont(fileSize, 0.9)) AS BIGINT) AS p90, " +
+      "CAST(MAX(fileSize) AS BIGINT) AS p100 " +
+      "FROM inodes WHERE isFile GROUP BY \"user\""),
 
     // the sketch's rank guarantee, asserted by the oracle: the engine's
     // booleans must all come back TRUE or the hash mismatches

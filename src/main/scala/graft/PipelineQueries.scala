@@ -400,6 +400,26 @@ object PipelineQueries {
 
     // ---- events (time-series) ----
 
+    // hourly anomaly detection, integer-exact: flag hours whose count
+    // sits more than 3σ above the type's mean. z² > 9 rewrites to
+    // (n·H − S)² > 9·(Q·H − S²) on pure integers (H hours, S = Σn,
+    // Q = Σn²) — no floating point, so the flags hash bit-for-bit on any
+    // engine. Shape: one hourly aggregation (corpus shuffle), a
+    // per-type stats aggregate of ~|types| rows broadcast back, filter.
+    "events_anomaly_hours" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts div 3600000000000").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy("event_type").agg(
+        count(lit(1)).as("h"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("q"))
+      val dev = col("n") * col("h") - col("s")
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .where(dev > 0 && dev * dev > lit(9L) * (col("q") * col("h") - col("s") * col("s")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_anomalous"), expr("bit_xor(hr)").as("hour_xor"))
+    }),
+
     // range (point-in-interval) join: every event landing inside each
     // type's first-3-days window. A raw non-equi join plans as
     // BroadcastNestedLoop (quadratic); operators.RangeJoin buckets the
@@ -1997,6 +2017,15 @@ object PipelineQueries {
        "GROUP BY user_id, sess) " +
        "SELECT user_id, CAST(MAX(sess) + 1 AS BIGINT) AS n_sessions, " +
        "MAX(n_events) AS max_session_events FROM h GROUP BY user_id"),
+
+    "events_anomaly_hours" ->
+      ("WITH hourly AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, " +
+       "COUNT(*) AS n FROM events GROUP BY 1, 2), " +
+       "st AS (SELECT event_type, COUNT(*) AS h, CAST(SUM(n) AS BIGINT) AS s, " +
+       "CAST(SUM(n*n) AS BIGINT) AS q FROM hourly GROUP BY 1) " +
+       "SELECT event_type, COUNT(*) AS n_anomalous, bit_xor(hr) AS hour_xor " +
+       "FROM hourly JOIN st USING (event_type) " +
+       "WHERE (n*h - s) > 0 AND (n*h - s)*(n*h - s) > 9*(q*h - s*s) GROUP BY 1"),
 
     "events_range_join" ->
       ("WITH iv AS (SELECT event_type AS itype, MIN(epoch_ns(ts)) AS w_start, " +
