@@ -420,6 +420,26 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_anomalous"), expr("bit_xor(hr)").as("hour_xor"))
     }),
 
+    // interval-overlap join: each type's first-3-days window × each
+    // user's first-day window — same bucketization as the range join,
+    // but a pair shares every bucket its intersection spans, so the
+    // canonical-bucket tiebreak (keep only where bucket == the
+    // intersection's left edge) makes emission exactly-once with NO
+    // dropDuplicates shuffle after the join.
+    "events_overlap_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dayNs = 86400L * 1000000000L
+      val tw = ev.groupBy(col("event_type")).agg(min(col("ts")).as("t_start"))
+        .withColumn("t_end", col("t_start") + lit(3L * dayNs))
+      val uw = ev.groupBy(col("user_id")).agg(min(col("ts")).as("u_start"))
+        .withColumn("u_end", col("u_start") + lit(dayNs))
+      graft.operators.RangeJoin.intervalOverlapJoin(
+          tw, "t_start", "t_end", uw, "u_start", "u_end", dayNs)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_overlapping_users"),
+          expr("bit_xor(user_id)").as("user_xor"))
+    }),
+
     // range (point-in-interval) join: every event landing inside each
     // type's first-3-days window. A raw non-equi join plans as
     // BroadcastNestedLoop (quadratic); operators.RangeJoin buckets the
@@ -2026,6 +2046,15 @@ object PipelineQueries {
        "SELECT event_type, COUNT(*) AS n_anomalous, bit_xor(hr) AS hour_xor " +
        "FROM hourly JOIN st USING (event_type) " +
        "WHERE (n*h - s) > 0 AND (n*h - s)*(n*h - s) > 9*(q*h - s*s) GROUP BY 1"),
+
+    "events_overlap_join" ->
+      ("WITH tw AS (SELECT event_type, MIN(epoch_ns(ts)) AS t_start, " +
+       "MIN(epoch_ns(ts)) + 259200000000000 AS t_end FROM events GROUP BY 1), " +
+       "uw AS (SELECT user_id, MIN(epoch_ns(ts)) AS u_start, " +
+       "MIN(epoch_ns(ts)) + 86400000000000 AS u_end FROM events GROUP BY 1) " +
+       "SELECT event_type, COUNT(*) AS n_overlapping_users, " +
+       "bit_xor(user_id) AS user_xor FROM tw JOIN uw " +
+       "ON t_start <= u_end AND u_start <= t_end GROUP BY 1"),
 
     "events_range_join" ->
       ("WITH iv AS (SELECT event_type AS itype, MIN(epoch_ns(ts)) AS w_start, " +

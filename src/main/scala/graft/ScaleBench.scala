@@ -23,10 +23,30 @@ object ScaleBench {
     import spark.implicits._
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
 
+    // Operators checkpoint their corpus-sized intermediates internally
+    // (exploded shingles, signature tables, survivor indexes) and a query
+    // owns no teardown hook — in production each query's lifecycle ends
+    // with its session, but this bench runs EVERY family in one JVM, so
+    // stale checkpoints accumulate until late stages measure GC + spill
+    // instead of the operator (observed at 4M: minhash wall 14× the 1M
+    // value while its shuffle records stayed exactly 4×). `pin()` marks
+    // the generator fixtures that must survive (docs/emb — unpersisting a
+    // localCheckpoint destroys its data, lineage is truncated); `sweep()`
+    // drops everything else after each stage.
+    var pinned = Set.empty[Int]
+    def pin(): Unit =
+      pinned = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!pinned.contains(id)) rdd.unpersist(blocking = true)
+      }
+
     def t(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"SCALEBENCH $name ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
+      val sec = (System.nanoTime() - t0) / 1e9
+      sweep()
+      println(f"SCALEBENCH $name $sec%.2f s ($r)")
     }
 
     /** Like t(), plus total shuffle-write volume across the job's stages —
@@ -49,6 +69,7 @@ object ScaleBench {
       val t0 = System.nanoTime()
       val r = f
       val sec = (System.nanoTime() - t0) / 1e9
+      sweep()
       Thread.sleep(1000) // listener bus drain
       spark.sparkContext.removeSparkListener(l)
       val bpr = if (recs.get() > 0) bytes.get().toDouble / recs.get() else 0.0
@@ -69,6 +90,7 @@ object ScaleBench {
         concat(lag_text, lit(" plantedtoken")))
         .otherwise(col("text0")).as("text"))
       .localCheckpoint(true)
+    pin()
 
     t("corpus_count") { docs.count() }
     tm("minhash_candidates") {
@@ -126,6 +148,7 @@ object ScaleBench {
              end""")
         .cast("array<float>").as("embedding"))
       .localCheckpoint(true)
+    pin() // docs + emb both live from here on
     val queries = emb.where(col("vec_id") < 10)
 
     t("vec_count") { emb.count() }

@@ -48,4 +48,29 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join: pairs where `[ls, le]` and `[rs, re]`
+    * intersect (closed bounds). Both sides explode to their covered
+    * buckets and equi-join; an overlapping pair shares EVERY bucket the
+    * intersection spans, so emitting it once needs a tiebreak — the
+    * canonical-bucket trick: the pair is kept only in the bucket holding
+    * `max(ls, rs)`, the intersection's left edge. Exactly-once by
+    * construction — no `dropDuplicates` shuffle after the join. */
+  def intervalOverlapJoin(left: DataFrame, leftStart: String, leftEnd: String,
+                          right: DataFrame, rightStart: String, rightEnd: String,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__bucket",
+        explode(sequence(expr(s"`$s` div $bucketWidth"),
+          expr(s"`$e` div $bucketWidth"))))
+    buckets(left, leftStart, leftEnd)
+      .join(buckets(right, rightStart, rightEnd).hint("shuffle_hash"),
+        Seq("__bucket"))
+      .where(col(leftStart) <= col(rightEnd) &&
+        col(rightStart) <= col(leftEnd) &&
+        col("__bucket") === expr(
+          s"greatest(`$leftStart`, `$rightStart`) div $bucketWidth"))
+      .drop("__bucket")
+  }
 }

@@ -853,6 +853,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSet === Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L)))
   }
 
+  test("overlap join: exactly-once via canonical bucket, closed bounds") {
+    val l = Seq((1L, 0L, 35L), (2L, 40L, 45L)).toDF("lid", "ls", "le")
+    val r = Seq((10L, 15L, 60L), (11L, 36L, 39L), (12L, 0L, 100L))
+      .toDF("rid", "rs", "re")
+    val got = graft.operators.RangeJoin.intervalOverlapJoin(
+      l, "ls", "le", r, "rs", "re", 10L)
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    // (1,10) and the (·,12) pairs share MANY buckets — each must appear once
+    assert(got.length === got.toSet.size)
+    assert(got.toSet === Set((1L, 10L), (1L, 12L), (2L, 10L), (2L, 12L)))
+  }
+
   test("retention matrix: offset-0 cell is the cohort's full size and max") {
     val ret = PipelineQueries.queries("events_retention")(
       spark, "/root/testdata/sf0.001").collect()
