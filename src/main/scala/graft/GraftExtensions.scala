@@ -21,6 +21,7 @@ import graft.functions._
   *   - `ngram_hashes(tokens, n)`              — positional portable gram hashes
   *   - `path_under_set(path, array('/a',…))`  — proper-ancestor membership
   *   - `hashed_embedding(tokens, dims)`       — feature-hashed BoW vector
+  *   - `misra_gries(col, k)`                  — frequent-items sketch agg
   *
   * [[graft.functions.GraftFunctions.registerAll]] remains the
   * session-scoped alternative (temp functions on an existing session);
@@ -88,5 +89,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hashed_embedding(tokens, dims) - feature-hashed bag-of-words double vector"),
       (exprs: Seq[Expression]) => HashedEmbedding(exprs(0),
         intLit(exprs(1), "dims"))))
+    // an AggregateFunction registers like any expression — the analyzer
+    // wraps it in an AggregateExpression exactly as for built-in aggs
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "misra_gries(col, k) - frequent-items sketch, k bounded counters"),
+      (exprs: Seq[Expression]) => MisraGries(exprs(0), intLit(exprs(1), "k"))))
   }
 }

@@ -534,6 +534,38 @@ object PipelineQueries {
           expr("bit_xor(user_id)").as("user_xor"))
     }),
 
+    // heavy hitters via the Misra–Gries TypedImperativeAggregate: k=64
+    // counters per partial regardless of vocabulary size (the exact
+    // top-terms path shuffles every distinct token — corpus-sized at
+    // 100 TB; the sketch moves only k-entry maps). The sketch guarantee
+    // — ĉ ≤ c and (c − ĉ)·(k+1) ≤ N, so anything with c·(k+1) > N must
+    // be reported — is asserted in-engine against the exact twin on pure
+    // integers; the oracle pins the booleans TRUE.
+    "text_heavy_hitters" -> ((s, d) => {
+      val k = 64
+      val toks = Tables.documents(s, d)
+        .select(explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+      val nDf = toks.agg(count(lit(1)).as("n_tokens"))
+      val sk = toks
+        .agg(graft.functions.MisraGries.misra_gries(col("tok"), k).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e").getField("item").as("tok"),
+          col("e").getField("cnt").as("est"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val bounds = sk.join(exact, Seq("tok")).crossJoin(broadcast(nDf))
+        .agg(
+          expr(s"bool_and(est <= c AND (c - est) * ${k + 1} <= n_tokens)")
+            .as("within_bounds"),
+          (count(lit(1)) <= k).as("reported_le_k"))
+      val uncovered = exact.crossJoin(broadcast(nDf))
+        .where(col("c") * (k + 1) > col("n_tokens"))
+        .join(sk, Seq("tok"), "left_anti")
+        .agg(count(lit(1)).as("miss"))
+      nDf.crossJoin(bounds).crossJoin(uncovered)
+        .select(col("n_tokens"), col("within_bounds"),
+          (col("miss") === 0).as("heavy_covered"), col("reported_le_k"))
+    }),
+
     // vocabulary census: exact distinct tokens (production uses
     // approx_count_distinct at corpus scale — bounded-error HLL, no
     // value shuffle; the exact twin is the verifiable baseline)
@@ -2069,6 +2101,11 @@ object PipelineQueries {
        "SELECT c.cwk AS cohort_week, e.wk - c.cwk AS week_offset, " +
        "COUNT(*) AS n_users, bit_xor(e.user_id) AS user_xor " +
        "FROM e JOIN c USING (user_id) GROUP BY 1, 2"),
+
+    "text_heavy_hitters" ->
+      (s"WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents) " +
+       "SELECT COUNT(*) AS n_tokens, TRUE AS within_bounds, " +
+       "TRUE AS heavy_covered, TRUE AS reported_le_k FROM tok"),
 
     "text_vocab" ->
       (s"WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents) " +

@@ -42,5 +42,9 @@ object GraftFunctions {
       "hashed_embedding",
       exprs => HashedEmbedding(exprs(0), intLit(exprs(1), "dims")),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "misra_gries",
+      exprs => MisraGries(exprs(0), intLit(exprs(1), "k")),
+      "scala_udf")
   }
 }

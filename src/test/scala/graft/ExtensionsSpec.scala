@@ -52,6 +52,14 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(he.getSeq[Double](0).length === 8)
       assert(he.getSeq[Double](0) === he.getSeq[Double](1))
 
+      // misra_gries resolves as an aggregate in plain SQL; k ≥ cardinality
+      // means no decrement fires, so counts are exact
+      val mg = s2.sql(
+        "SELECT misra_gries(t, 4) AS sk FROM VALUES ('a'),('a'),('b') AS v(t)")
+        .selectExpr("explode(sk) AS e").selectExpr("e.item", "e.cnt")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(mg === Map("a" -> 2L, "b" -> 1L))
+
       // non-literal plan-shaping parameter is a resolution-time error
       intercept[Exception] {
         s2.sql("SELECT ngram_shingles(split('a b', ' '), cast(rand() * 2 as int))")

@@ -170,6 +170,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.startsWith("*(1) Project [cosinesimilarity"))
   }
 
+  test("misra-gries: exact when k ≥ cardinality, bounded undercount below") {
+    import graft.functions.MisraGries.misra_gries
+    val items = (Seq.fill(50)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(3)("c") ++ Seq("d")).zipWithIndex
+    val df = items.map { case (s, i) => (i.toLong, s) }.toDF("i", "tok")
+    // k ≥ distinct count → no decrement ever fires, counts are EXACT
+    val exact = df.agg(misra_gries($"tok", 10).as("sk"))
+      .selectExpr("explode(sk) AS e").selectExpr("e.item", "e.cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(exact === Map("a" -> 50L, "b" -> 6L, "c" -> 3L, "d" -> 1L))
+    // k = 2, N = 60: anything with c·3 > 60 (i.e. c > 20) must appear,
+    // and every estimate is an undercount by at most N/(k+1) = 20
+    val small = df.repartition(4).agg(misra_gries($"tok", 2).as("sk"))
+      .selectExpr("explode(sk) AS e").selectExpr("e.item", "e.cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(small.contains("a"))
+    assert(small("a") <= 50L && small("a") >= 30L)
+    assert(small.size <= 2)
+    small.foreach { case (item, est) =>
+      val c = Map("a" -> 50L, "b" -> 6L, "c" -> 3L, "d" -> 1L)(item)
+      assert(est <= c && c - est <= 20L)
+    }
+  }
+
   test("hashed_embedding ≡ the composable HOF formulation, bit-exact") {
     val docs = core.Tables.documents(spark, "/root/testdata/sf0.001")
     val both = docs.select(
