@@ -366,6 +366,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(saltedSum === plainSum)
   }
 
+  test("salted join matches plain join, row for row") {
+    val left = (1 to 40).map(i => (i.toLong, if (i <= 30) "hot" else s"k$i"))
+      .toDF("lid", "k")
+    val right = Seq(("hot", 100L), ("k31", 310L), ("k40", 400L), ("cold", 0L))
+      .toDF("k", "payload")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("lid", "k", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(rows(graft.engine.Skew.saltedJoin(left, right, "k", salts = 4))
+      === rows(left.join(right, Seq("k"))))
+  }
+
   test("multimodal: resize stub stamps target dims + content fingerprint") {
     val assets = Multimodal.syntheticAssets(
       core.Tables.documents(spark, "/root/testdata/sf0.001"))
