@@ -566,6 +566,35 @@ object PipelineQueries {
           (col("miss") === 0).as("heavy_covered"), col("reported_le_k"))
     }),
 
+    // grouped heavy hitters: the same sketch under groupBy — one
+    // ObjectHashAggregate with a k-counter map PER GROUP (languages
+    // here; sources/domains in production), bounds asserted per group
+    "corpus_heavy_per_lang" -> ((s, d) => {
+      val k = 16
+      val toks = Tables.documents(s, d).select(col("lang"),
+        explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+      val n = toks.groupBy("lang").agg(count(lit(1)).as("n_tokens"))
+      val sk = toks.groupBy("lang")
+        .agg(graft.functions.MisraGries.misra_gries(col("tok"), k).as("sk"))
+        .select(col("lang"), explode(col("sk")).as("e"))
+        .select(col("lang"), col("e").getField("item").as("tok"),
+          col("e").getField("cnt").as("est"))
+      val exact = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val bounds = sk.join(exact, Seq("lang", "tok"))
+        .join(broadcast(n), Seq("lang")).groupBy("lang")
+        .agg(expr(s"bool_and(est <= c AND (c - est) * ${k + 1} <= n_tokens)")
+            .as("within_bounds"),
+          (count(lit(1)) <= k).as("reported_le_k"))
+      val uncovered = exact.join(broadcast(n), Seq("lang"))
+        .where(col("c") * (k + 1) > col("n_tokens"))
+        .join(sk, Seq("lang", "tok"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("miss"))
+      n.join(bounds, Seq("lang")).join(uncovered, Seq("lang"), "left")
+        .select(col("lang"), col("n_tokens"), col("within_bounds"),
+          (coalesce(col("miss"), lit(0L)) === 0).as("heavy_covered"),
+          col("reported_le_k"))
+    }),
+
     // vocabulary census: exact distinct tokens (production uses
     // approx_count_distinct at corpus scale — bounded-error HLL, no
     // value shuffle; the exact twin is the verifiable baseline)
@@ -2106,6 +2135,11 @@ object PipelineQueries {
       (s"WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents) " +
        "SELECT COUNT(*) AS n_tokens, TRUE AS within_bounds, " +
        "TRUE AS heavy_covered, TRUE AS reported_le_k FROM tok"),
+
+    "corpus_heavy_per_lang" ->
+      (s"WITH tok AS (SELECT lang, unnest($toksSql) AS tok FROM documents) " +
+       "SELECT lang, COUNT(*) AS n_tokens, TRUE AS within_bounds, " +
+       "TRUE AS heavy_covered, TRUE AS reported_le_k FROM tok GROUP BY lang"),
 
     "text_vocab" ->
       (s"WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents) " +
