@@ -413,9 +413,15 @@ object PipelineQueries {
       val stats = hourly.groupBy("event_type").agg(
         count(lit(1)).as("h"), sum(col("n")).as("s"),
         sum(col("n") * col("n")).as("q"))
-      val dev = col("n") * col("h") - col("s")
+      // the squares run in decimal(38,0) (DuckDB mirror: HUGEINT) — long
+      // products like (n·H−S)² clear 2⁶³ once a type logs ~3×10⁹ events,
+      // decimal holds exact to 10³⁸
+      val dec = "decimal(38,0)"
+      val dev = (col("n") * col("h") - col("s")).cast(dec)
+      val varTerm = col("q").cast(dec) * col("h").cast(dec) -
+        col("s").cast(dec) * col("s").cast(dec)
       hourly.join(broadcast(stats), Seq("event_type"))
-        .where(dev > 0 && dev * dev > lit(9L) * (col("q") * col("h") - col("s") * col("s")))
+        .where(dev > 0 && dev * dev > lit(9) * varTerm)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_anomalous"), expr("bit_xor(hr)").as("hour_xor"))
     }),
@@ -2106,7 +2112,8 @@ object PipelineQueries {
        "CAST(SUM(n*n) AS BIGINT) AS q FROM hourly GROUP BY 1) " +
        "SELECT event_type, COUNT(*) AS n_anomalous, bit_xor(hr) AS hour_xor " +
        "FROM hourly JOIN st USING (event_type) " +
-       "WHERE (n*h - s) > 0 AND (n*h - s)*(n*h - s) > 9*(q*h - s*s) GROUP BY 1"),
+       "WHERE (n*h - s) > 0 AND CAST(n*h - s AS HUGEINT)*CAST(n*h - s AS HUGEINT) " +
+       "> 9*(CAST(q AS HUGEINT)*h - CAST(s AS HUGEINT)*s) GROUP BY 1"),
 
     "events_overlap_join" ->
       ("WITH tw AS (SELECT event_type, MIN(epoch_ns(ts)) AS t_start, " +
