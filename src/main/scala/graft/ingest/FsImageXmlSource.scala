@@ -189,9 +189,29 @@ object FsImageXmlSource {
     // projection, the quota-usage explode and the snapshot join — without
     // the checkpoint each of those re-parses the whole image text. The
     // checkpointed relation is O(namespace) like the snapshot it feeds.
-    val raw = normalize(readInodes(spark, path)).localCheckpoint(true)
-    val links = readDirLinks(spark, path).localCheckpoint(true)
-    derive(spark, raw, links, readSnapshotRoots(spark, path))
+    //
+    // Split size: a single-file multi-GB image at the default 128 MB
+    // `files.maxPartitionBytes` parses on a handful of cores (1 GB → 8
+    // partitions on 32 threads). Lower it for the parse only — safe to
+    // restore immediately because the checkpoints below are EAGER, so
+    // the scans execute while the conf is set; the snapshot-roots read
+    // is checkpointed too (tiny) or its lazy use in derive() would
+    // re-parse the image at the restored width.
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, (16L * 1024 * 1024).toString)
+    val (raw, links, snapRoots) =
+      try {
+        (normalize(readInodes(spark, path)).localCheckpoint(true),
+          readDirLinks(spark, path).localCheckpoint(true),
+          readSnapshotRoots(spark, path).localCheckpoint(true))
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    derive(spark, raw, links, snapRoots)
   }
 
   /** Shared derivation from a (checkpointed) [[normSchema]] relation +
