@@ -20,6 +20,23 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.functions.NGramShingles.ngram_shingles(TextAnalysis.tokens(text), n)
 
+  /** 60-bit portable hashes of the DISTINCT shingles, fully compiled —
+    * the value-identical twin of `portableHash(explode(shingles(…)))`:
+    * `array_distinct` over [[graft.functions.NGramHashes]]' positional
+    * hashes equals hashing the distinct shingle strings (identical
+    * strings hash identically — md5 over the same space-joined bytes),
+    * and the short-text branch hashes the whole token join exactly like
+    * `shingles()`' fallback. Kills the per-shingle md5→hex→substring→
+    * radix-parse chain that made signature computation the minhash
+    * pipeline's hot loop (the corpus-sized explode evaluates it once per
+    * shingle × document). */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      array_distinct(graft.functions.NGramHashes.ngram_hashes(toks, n)))
+      .otherwise(array(portableHash(array_join(toks, " "))))
+  }
+
   /** Exact duplicate groups by content hash: (fingerprint, n_copies, keeper). */
   def exactGroups(df: DataFrame, text: Column, idCol: Column): DataFrame =
     df.groupBy(md5(text).as("fingerprint"))
@@ -236,8 +253,9 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, text: Column,
                         shingleN: Int, perms: Int): DataFrame = {
     val base = df
-      .select(col(idCol).as("did"), explode(shingles(text, shingleN)).as("s"))
-      .select(col("did"), (portableHash(col("s")) % HashP).as("h0p"))
+      .select(col(idCol).as("did"),
+        explode(shingleHashes(text, shingleN)).as("h60"))
+      .select(col("did"), (col("h60") % HashP).as("h0p"))
     val mins = (0 until perms).map(k => min(permute(col("h0p"), k)).as(s"m$k"))
     base.groupBy("did").agg(mins.head, mins.tail: _*)
       .select(col("did"), array((0 until perms).map(k => col(s"m$k")): _*).as("sig"))

@@ -26,6 +26,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(short === Seq("just two"))
   }
 
+  test("shingleHashes ≡ portableHash over distinct shingles, incl. fallback") {
+    val sets = core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .unionByName(Seq((9001L, "just two", "en", "t", 8L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select(
+        Dedup.shingleHashes($"text", 3).as("fast"),
+        transform(Dedup.shingles($"text", 3),
+          s => Dedup.portableHash(s)).as("slow"))
+      .collect()
+    assert(sets.nonEmpty)
+    sets.foreach { r =>
+      assert(r.getSeq[Long](0).toSet === r.getSeq[Long](1).toSet)
+    }
+  }
+
   test("exact groups find the exact dup only") {
     val g = Dedup.exactGroups(docs, $"text", $"doc_id")
       .where($"n_copies" > 1).collect()
