@@ -261,15 +261,25 @@ object Dedup {
       .select(col("did"), array((0 until perms).map(k => col(s"m$k")): _*).as("sig"))
   }
 
-  /** Banded LSH keys of a (did, sig) signature table: band key = md5 of
-    * the comma-joined band slice — a portable string key both engines
-    * derive identically. */
+  /** Banded LSH keys of a (did, sig) signature table: band key = the
+    * 60-bit prefix of md5 over the comma-joined band slice (the
+    * portableHash construction), as a LONG.
+    *
+    * The band key never leaves the engine — only EQUALITY of keys
+    * matters (equal slices ⟹ equal key; unequal slices collide at
+    * ~2⁻⁶⁰, and a spurious collision merely adds a candidate pair that
+    * still has to pass the signature-estimate threshold). The long key
+    * shrinks the dedup family's dominant shuffle from a 32-char hex
+    * string to 8 bytes per row and turns the band self-join's compares
+    * into long equality. The oracle mirrors bucketing with the full hex
+    * key; the PARTITION of rows into buckets is identical, so every
+    * downstream result is unchanged. */
   def bandTable(sig: DataFrame, perms: Int, bands: Int): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
     sig.select(col("did"),
       explode(array((0 until bands).map(b => struct(lit(b).as("b"),
-        md5(array_join(slice(col("sig"), b * rows + 1, rows)
+        portableHash(array_join(slice(col("sig"), b * rows + 1, rows)
           .cast("array<string>"), ",")).as("h"))): _*)).as("band"))
       .select(col("band.b").as("b"), col("band.h").as("h"), col("did"))
   }
