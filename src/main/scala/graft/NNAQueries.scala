@@ -397,6 +397,20 @@ object NNAQueries {
         "floor(percentile(fileSize, 0.99)) AS p99",
         "max(fileSize) AS p100")),
 
+    // small-file compaction report: the 10 directories with the most
+    // sub-block files (< 64 MiB — the HDFS small-file hazard NNA's
+    // suggestions metrics track), with the bytes a compaction would
+    // coalesce. One shuffle on the parent dir; top-10 is TakeOrdered
+    // with a deterministic parent tiebreak, never a global sort.
+    "nna_compaction_candidates" -> ((s, d) =>
+      files(s, d).groupBy(col("parent"))
+        .agg(
+          sum(when(col("fileSize") < 67108864L, 1L).otherwise(0L)).as("n_small"),
+          sum(when(col("fileSize") < 67108864L, col("fileSize")).otherwise(0L))
+            .as("small_bytes"))
+        .orderBy(col("n_small").desc, col("parent").asc)
+        .limit(10)),
+
     // grouped percentiles: the per-key variant of the size census — same
     // floored linear-interpolation values DuckDB's quantile_cont yields;
     // one shuffle on the group key (sort-based agg within partitions)
@@ -845,6 +859,13 @@ object NNAQueries {
       "CAST(FLOOR(quantile_cont(fileSize, 0.9)) AS BIGINT) AS p90, " +
       "CAST(FLOOR(quantile_cont(fileSize, 0.99)) AS BIGINT) AS p99, " +
       "CAST(MAX(fileSize) AS BIGINT) AS p100 FROM inodes WHERE isFile"),
+
+    "nna_compaction_candidates" -> oracle(
+      "SELECT parent, " +
+      "CAST(SUM(CASE WHEN fileSize < 67108864 THEN 1 ELSE 0 END) AS BIGINT) AS n_small, " +
+      "CAST(SUM(CASE WHEN fileSize < 67108864 THEN fileSize ELSE 0 END) AS BIGINT) AS small_bytes " +
+      "FROM inodes WHERE isFile GROUP BY parent " +
+      "ORDER BY n_small DESC, parent ASC LIMIT 10"),
 
     "nna_percentiles_per_user" -> oracle(
       "SELECT \"user\", COUNT(*) AS n, " +
