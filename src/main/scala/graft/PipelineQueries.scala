@@ -508,6 +508,22 @@ object PipelineQueries {
         7L * 86400L * 1000000000L).orderBy("step")),
 
     // JSON props extraction + per-type aggregation
+    // near-dup cluster-size census: how duplication is DISTRIBUTED — a
+    // corpus with one 10k-doc cluster needs different handling than ten
+    // thousand pairs. Same candidate graph + min-label components as
+    // dedup_corpus, then two tiny aggregations (labels, then sizes);
+    // label_xor pins exact cluster membership per size class.
+    "dedup_cluster_sizes" -> ((s, d) => {
+      val pairs = pipeline.Dedup.minhashCandidates(
+          Tables.documents(s, d), "doc_id", col("text"))
+        .where(col("est_jaccard_ppm") >= 900000)
+      pipeline.Dedup.clusterLabels(pairs)
+        .groupBy("label").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          expr("bit_xor(label)").as("label_xor"))
+    }),
+
     "events_json_stats" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
@@ -1590,6 +1606,19 @@ object PipelineQueries {
        "nlosers AS (SELECT COUNT(*) AS n FROM comp WHERE label < did) " +
        "SELECT (SELECT COUNT(*) FROM documents) AS total_docs, " +
        "(SELECT COUNT(*) FROM documents) - (SELECT n FROM nlosers) AS kept_docs"),
+
+    "dedup_cluster_sizes" ->
+      (s"WITH RECURSIVE $minhashCtes, " +
+       "cedges0 AS (SELECT ida, idb FROM mest WHERE est_jaccard_ppm >= 900000), " +
+       "cedges AS (SELECT ida AS src, idb AS dst FROM cedges0 " +
+       "UNION ALL SELECT idb, ida FROM cedges0), " +
+       "reach AS (SELECT DISTINCT src AS did, src AS label FROM cedges " +
+       "UNION SELECT e.dst AS did, r.label FROM reach r " +
+       "JOIN cedges e ON e.src = r.did), " +
+       "comp AS (SELECT did, MIN(label) AS label FROM reach GROUP BY did), " +
+       "sizes AS (SELECT label, COUNT(*) AS sz FROM comp GROUP BY label) " +
+       "SELECT sz AS cluster_size, COUNT(*) AS n_clusters, " +
+       "bit_xor(label) AS label_xor FROM sizes GROUP BY sz"),
 
     "ann_ivf_top5" ->
       (s"WITH ${ivfSql(16, 4, 5)} " +
