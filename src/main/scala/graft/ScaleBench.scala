@@ -252,6 +252,17 @@ object ScaleBench {
       pipeline.TextAnalysis.unigramCommonness(docs, "doc_id", col("text"))
         .where(col("commonness_ppm") > 900000).count()
     }
+    tm("heavy_hitters_k64") {
+      // bounded-memory frequent items over every token: k counters per
+      // partial, only k-entry maps shuffle — vs the exact path's
+      // distinct-token-sized exchange
+      val sk = docs
+        .select(explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+        .agg(graft.functions.MisraGries.misra_gries(col("tok"), 64).as("sk"))
+        .selectExpr("explode(sk) AS e").selectExpr("e.item", "e.cnt")
+        .collect()
+      s"${sk.length} items, top=${sk.head.getString(0)}" // sorted desc
+    }
     spark.stop()
   }
 
