@@ -407,19 +407,20 @@ object PipelineQueries {
     // engine. Shape: one hourly aggregation (corpus shuffle), a
     // per-type stats aggregate of ~|types| rows broadcast back, filter.
     "events_anomaly_hours" -> ((s, d) => {
+      // every product runs in decimal(38,0) (DuckDB mirror: HUGEINT) —
+      // long products like n² and (n·H−S)² clear 2⁶³ once a type logs
+      // ~3×10⁹ events in an hour, and a LongType Σn² would silently wrap
+      // there while the decimal holds exact to 10³⁸
+      val dec = "decimal(38,0)"
       val hourly = Tables.events(s, d)
         .groupBy(col("event_type"), expr("ts div 3600000000000").as("hr"))
         .agg(count(lit(1)).as("n"))
       val stats = hourly.groupBy("event_type").agg(
         count(lit(1)).as("h"), sum(col("n")).as("s"),
-        sum(col("n") * col("n")).as("q"))
-      // the squares run in decimal(38,0) (DuckDB mirror: HUGEINT) — long
-      // products like (n·H−S)² clear 2⁶³ once a type logs ~3×10⁹ events,
-      // decimal holds exact to 10³⁸
-      val dec = "decimal(38,0)"
-      val dev = (col("n") * col("h") - col("s")).cast(dec)
-      val varTerm = col("q").cast(dec) * col("h").cast(dec) -
-        col("s").cast(dec) * col("s").cast(dec)
+        sum(col("n").cast(dec) * col("n")).as("q"))
+      val dev = col("n").cast(dec) * col("h") - col("s")
+      val varTerm = col("q") * col("h").cast(dec) -
+        col("s").cast(dec) * col("s")
       hourly.join(broadcast(stats), Seq("event_type"))
         .where(dev > 0 && dev * dev > lit(9) * varTerm)
         .groupBy(col("event_type"))
@@ -565,15 +566,19 @@ object PipelineQueries {
     // integers; the oracle pins the booleans TRUE.
     "text_heavy_hitters" -> ((s, d) => {
       val k = 64
-      val toks = Tables.documents(s, d)
-        .select(explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+      // the corpus-sized token explode feeds three aggregations (N, the
+      // sketch, the exact twin) and the exact counts feed two consumers —
+      // checkpoint both so the scan+explode and the vocab shuffle run once
+      val toks = pipeline.Dedup.checkpointCorpus(Tables.documents(s, d)
+        .select(explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok")))
       val nDf = toks.agg(count(lit(1)).as("n_tokens"))
       val sk = toks
         .agg(graft.functions.MisraGries.misra_gries(col("tok"), k).as("sk"))
         .select(explode(col("sk")).as("e"))
         .select(col("e").getField("item").as("tok"),
           col("e").getField("cnt").as("est"))
-      val exact = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val exact = pipeline.Dedup.checkpointCorpus(
+        toks.groupBy("tok").agg(count(lit(1)).as("c")))
       val bounds = sk.join(exact, Seq("tok")).crossJoin(broadcast(nDf))
         .agg(
           expr(s"bool_and(est <= c AND (c - est) * ${k + 1} <= n_tokens)")
@@ -593,15 +598,19 @@ object PipelineQueries {
     // here; sources/domains in production), bounds asserted per group
     "corpus_heavy_per_lang" -> ((s, d) => {
       val k = 16
-      val toks = Tables.documents(s, d).select(col("lang"),
-        explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+      // same reuse shape as text_heavy_hitters: one explode, one vocab
+      // shuffle, multiple consumers of each
+      val toks = pipeline.Dedup.checkpointCorpus(
+        Tables.documents(s, d).select(col("lang"),
+          explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok")))
       val n = toks.groupBy("lang").agg(count(lit(1)).as("n_tokens"))
       val sk = toks.groupBy("lang")
         .agg(graft.functions.MisraGries.misra_gries(col("tok"), k).as("sk"))
         .select(col("lang"), explode(col("sk")).as("e"))
         .select(col("lang"), col("e").getField("item").as("tok"),
           col("e").getField("cnt").as("est"))
-      val exact = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val exact = pipeline.Dedup.checkpointCorpus(
+        toks.groupBy("lang", "tok").agg(count(lit(1)).as("c")))
       val bounds = sk.join(exact, Seq("lang", "tok"))
         .join(broadcast(n), Seq("lang")).groupBy("lang")
         .agg(expr(s"bool_and(est <= c AND (c - est) * ${k + 1} <= n_tokens)")
@@ -1207,14 +1216,14 @@ object PipelineQueries {
          LEFT JOIN bi b ON b.doc_id = u.doc_id
          LEFT JOIN tri t ON t.doc_id = u.doc_id)"""
 
+  private def lshBkSql(planes: Int, bands: Int): String =
+    lshBkSqlOver("embeddings", planes, bands)
+
   /** CTE `bk(vec_id, bucket)` mirroring [[graft.functions.LshBuckets]]
     * over any `src(vec_id, embedding)` relation. */
   private def lshBkSqlOver(src: String, planes: Int, bands: Int): String =
-    lshBkSql(planes, bands).replace("FROM embeddings", s"FROM $src")
-
-  private def lshBkSql(planes: Int, bands: Int): String =
     s"""u AS (SELECT vec_id, unnest(embedding) AS v,
-         generate_subscripts(embedding, 1) AS j FROM embeddings),
+         generate_subscripts(embedding, 1) AS j FROM $src),
        proj AS (
          SELECT vec_id, p,
            SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1048576) AS BIGINT) *
@@ -2138,11 +2147,12 @@ object PipelineQueries {
       ("WITH hourly AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, " +
        "COUNT(*) AS n FROM events GROUP BY 1, 2), " +
        "st AS (SELECT event_type, COUNT(*) AS h, CAST(SUM(n) AS BIGINT) AS s, " +
-       "CAST(SUM(n*n) AS BIGINT) AS q FROM hourly GROUP BY 1) " +
+       "SUM(CAST(n AS HUGEINT)*n) AS q FROM hourly GROUP BY 1) " +
        "SELECT event_type, COUNT(*) AS n_anomalous, bit_xor(hr) AS hour_xor " +
        "FROM hourly JOIN st USING (event_type) " +
-       "WHERE (n*h - s) > 0 AND CAST(n*h - s AS HUGEINT)*CAST(n*h - s AS HUGEINT) " +
-       "> 9*(CAST(q AS HUGEINT)*h - CAST(s AS HUGEINT)*s) GROUP BY 1"),
+       "WHERE (CAST(n AS HUGEINT)*h - s) > 0 " +
+       "AND (CAST(n AS HUGEINT)*h - s)*(CAST(n AS HUGEINT)*h - s) " +
+       "> 9*(q*h - CAST(s AS HUGEINT)*s) GROUP BY 1"),
 
     "events_overlap_join" ->
       ("WITH tw AS (SELECT event_type, MIN(epoch_ns(ts)) AS t_start, " +

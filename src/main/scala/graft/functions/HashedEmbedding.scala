@@ -30,7 +30,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (first 8 digest bytes >>> 4, no hex string), then `dims` fused
   * multiply-adds on longs, inside whole-stage codegen.
   *
-  * Tokens must be non-null (guaranteed by `split`, the only producer).
+  * NULL array elements contribute nothing (skipped, like `concat_ws`) —
+  * `split` never produces them, but the function is registered in SQL
+  * where any `array<string>` can reach it.
   */
 case class HashedEmbedding(child: Expression, dims: Int)
     extends UnaryExpression {
@@ -60,17 +62,20 @@ case class HashedEmbedding(child: Expression, dims: Int)
     val md = HashedEmbedding.digest()
     var i = 0
     while (i < m) {
-      val d = md.digest(a.getUTF8String(i).getBytes)
-      val hi =
-        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-      val h = (hi >>> 4) % p
-      var j = 0
-      while (j < dims) {
-        acc(j) += (h * coefA(j) + coefB(j)) % p - center
-        j += 1
+      val s = a.getUTF8String(i)
+      if (s != null) {
+        val d = md.digest(s.getBytes)
+        val hi =
+          ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        val h = (hi >>> 4) % p
+        var j = 0
+        while (j < dims) {
+          acc(j) += (h * coefA(j) + coefB(j)) % p - center
+          j += 1
+        }
       }
       i += 1
     }

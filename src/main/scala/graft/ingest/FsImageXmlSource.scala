@@ -42,6 +42,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object FsImageXmlSource {
 
+  /** Serializes the maxPartitionBytes set/restore window in [[inodes]]. */
+  private val confLock = new Object
+
   val QuotaUnlimited: Long = Long.MaxValue
 
   private val blockType = StructType(Seq(
@@ -197,10 +200,16 @@ object FsImageXmlSource {
     // the scans execute while the conf is set; the snapshot-roots read
     // is checkpointed too (tiny) or its lazy use in derive() would
     // re-parse the image at the restored width.
+    // The override mutates SESSION state (no per-read knob exists for v1
+    // file sources), so the set/restore window is serialized under a
+    // process lock: two concurrent ingests would otherwise race the
+    // restore and leave the session at 16 MB permanently. An unrelated
+    // query planned DURING an ingest still sees 16 MB splits — benign
+    // (more, smaller partitions), and bounded to the eager parse below.
     val key = "spark.sql.files.maxPartitionBytes"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, (16L * 1024 * 1024).toString)
-    val (raw, links, snapRoots) =
+    val (raw, links, snapRoots) = FsImageXmlSource.confLock.synchronized {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, (16L * 1024 * 1024).toString)
       try {
         (normalize(readInodes(spark, path)).localCheckpoint(true),
           readDirLinks(spark, path).localCheckpoint(true),
@@ -211,6 +220,7 @@ object FsImageXmlSource {
           case None => spark.conf.unset(key)
         }
       }
+    }
     derive(spark, raw, links, snapRoots)
   }
 

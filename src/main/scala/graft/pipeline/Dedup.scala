@@ -32,9 +32,15 @@ object Dedup {
     * shingle × document). */
   def shingleHashes(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
+    // NULL text must yield NULL (doc dropped by the downstream explode),
+    // not [null]: a bare otherwise() would emit array(portableHash(null))
+    // = [null], putting every null-text doc into the signature table with
+    // an all-null signature — they'd pairwise collide in every LSH band
+    // (k nulls → k²/2 candidate pairs, the hot-bucket hazard) and diverge
+    // from the oracle, whose UNNEST drops them.
     when(size(toks) >= n,
       array_distinct(graft.functions.NGramHashes.ngram_hashes(toks, n)))
-      .otherwise(array(portableHash(array_join(toks, " "))))
+      .when(toks.isNotNull, array(portableHash(array_join(toks, " "))))
   }
 
   /** Exact duplicate groups by content hash: (fingerprint, n_copies, keeper). */
