@@ -206,4 +206,13 @@ class FunctionsSpec extends AnyFunSuite {
       assert(r.getSeq[Double](0) === r.getSeq[Double](1))
     }
   }
+
+  test("hashed_embedding skips null array elements (SQL surface)") {
+    // registered in SQL, so arrays with null elements can reach it —
+    // a null element must contribute nothing, not NPE the task
+    val r = spark.sql(
+      """SELECT hashed_embedding(array('a', CAST(NULL AS STRING), 'b'), 4) AS e,
+                hashed_embedding(array('a', 'b'), 4) AS f""").head()
+    assert(r.getSeq[Double](0) === r.getSeq[Double](1))
+  }
 }

@@ -41,6 +41,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("null-text docs never enter the signature table") {
+    // a bare otherwise() in shingleHashes would emit [null] for NULL text,
+    // giving every null-text doc an all-null signature that collides in
+    // every LSH band — they must be dropped at the explode instead
+    val withNull = docs.unionByName(
+      Seq((9100L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val sh = withNull.select($"doc_id", Dedup.shingleHashes($"text", 3).as("h"))
+    assert(sh.where($"doc_id" === 9100L).head().isNullAt(1))
+    val sigs = Dedup.minhashSignatures(withNull, "doc_id", $"text", 3, 16)
+    assert(sigs.where($"did" === 9100L).count() === 0)
+  }
+
   test("exact groups find the exact dup only") {
     val g = Dedup.exactGroups(docs, $"text", $"doc_id")
       .where($"n_copies" > 1).collect()
