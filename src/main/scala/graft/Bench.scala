@@ -46,7 +46,12 @@ object Bench {
     }
 
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: run only queries whose name starts with one of them
+    // (iteration aid; the driver passes none and gets the full suite)
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
+      .map { case (name, fn) =>
       name -> secs {
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>

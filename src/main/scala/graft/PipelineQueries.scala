@@ -566,11 +566,15 @@ object PipelineQueries {
     // integers; the oracle pins the booleans TRUE.
     "text_heavy_hitters" -> ((s, d) => {
       val k = 64
-      // the corpus-sized token explode feeds three aggregations (N, the
-      // sketch, the exact twin) and the exact counts feed two consumers —
-      // checkpoint both so the scan+explode and the vocab shuffle run once
-      val toks = pipeline.Dedup.checkpointCorpus(Tables.documents(s, d)
-        .select(explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok")))
+      // the token explode feeds three aggregations (N, the sketch, the
+      // exact twin) but is deliberately NOT checkpointed: each consumer
+      // is a streaming scan-parallel aggregate with a tiny shuffle, so
+      // re-running the explode costs two extra scans while materializing
+      // it would store a corpus-token-sized RDD (measured slower even at
+      // sf0.1). The vocab-sized `exact` below IS checkpointed — it feeds
+      // two consumers and costs a corpus shuffle to rebuild.
+      val toks = Tables.documents(s, d)
+        .select(explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
       val nDf = toks.agg(count(lit(1)).as("n_tokens"))
       val sk = toks
         .agg(graft.functions.MisraGries.misra_gries(col("tok"), k).as("sk"))
@@ -598,11 +602,10 @@ object PipelineQueries {
     // here; sources/domains in production), bounds asserted per group
     "corpus_heavy_per_lang" -> ((s, d) => {
       val k = 16
-      // same reuse shape as text_heavy_hitters: one explode, one vocab
-      // shuffle, multiple consumers of each
-      val toks = pipeline.Dedup.checkpointCorpus(
-        Tables.documents(s, d).select(col("lang"),
-          explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok")))
+      // same reuse shape (and the same deliberate non-checkpoint of the
+      // explode) as text_heavy_hitters
+      val toks = Tables.documents(s, d).select(col("lang"),
+        explode(pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
       val n = toks.groupBy("lang").agg(count(lit(1)).as("n_tokens"))
       val sk = toks.groupBy("lang")
         .agg(graft.functions.MisraGries.misra_gries(col("tok"), k).as("sk"))
