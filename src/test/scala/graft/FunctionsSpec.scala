@@ -207,6 +207,63 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("misra-gries: MG bound holds under arbitrary streams, splits, " +
+      "merge trees and serde round-trips (property)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+    // skewed alphabet: a few hot items + a tail, plus occasional nulls
+    val genItem: Gen[String] = Gen.frequency(
+      (6, Gen.oneOf("a", "b", "c")),
+      (3, Gen.choose(0, 40).map("w" + _)),
+      (1, Gen.const(null)))
+    val prop = Prop.forAll(
+      Gen.listOf(genItem), Gen.choose(1, 8), Gen.choose(1, 6)) {
+      (stream, k, nParts) =>
+        val mg = graft.functions.MisraGries(
+          BoundReference(0, StringType, nullable = true), k)
+        // split into nParts partials, serde-round-trip each (the shuffle
+        // path), then left-fold merge — an arbitrary-shape merge tree
+        val chunkSize = math.max(1, (stream.size + nParts - 1) / nParts)
+        val merged = stream.grouped(chunkSize).map { chunk =>
+          val b = mg.createAggregationBuffer()
+          chunk.foreach { s =>
+            mg.update(b, InternalRow(
+              if (s == null) null else UTF8String.fromString(s)))
+          }
+          mg.deserialize(mg.serialize(b))
+        }.foldLeft(mg.createAggregationBuffer())(mg.merge)
+        val reported = mg.eval(merged)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+          .array.map { e =>
+            val r = e.asInstanceOf[InternalRow]
+            r.getUTF8String(0).toString -> r.getLong(1)
+          }
+        val nonNull = stream.filter(_ != null)
+        val n = nonNull.size.toLong
+        val exact = nonNull.groupBy(identity).map { case (s, xs) =>
+          s -> xs.size.toLong }
+        // ≤ k counters; ĉ ≤ c; undercount ≤ N/(k+1); heavy items reported
+        val le_k = reported.length <= k
+        val bounds = reported.forall { case (item, est) =>
+          val c = exact.getOrElse(item, 0L)
+          est <= c && (c - est) * (k + 1) <= n
+        }
+        val covered = exact.forall { case (item, c) =>
+          c * (k + 1) <= n || reported.exists(_._1 == item)
+        }
+        val sorted = reported.sameElements(
+          reported.sortBy { case (item, c) => (-c, item) })
+        le_k && bounds && covered && sorted
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"scalacheck: ${res.status}")
+  }
+
   test("hashed_embedding skips null array elements (SQL surface)") {
     // registered in SQL, so arrays with null elements can reach it —
     // a null element must contribute nothing, not NPE the task
