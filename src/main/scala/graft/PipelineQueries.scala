@@ -339,6 +339,24 @@ object PipelineQueries {
         .orderBy("qid")
     }),
 
+    // IVFPQ + exact re-rank: ADC ranks 25 candidates/query off the code
+    // table, only those rows fetch full vectors for an exact cosine
+    // top-5 — the complete production retrieval chain (coarse cells →
+    // compressed scan → bounded refine), full oracle
+    "ann_ivfpq_rerank_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 5)
+      val approx = pipeline.Similarity.ivfPqRerankTopK(q, emb, 5,
+        rerankC = 25, nlist = 16, nprobe = 8, m = 8, ksub = 16)
+      val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
+      q.select(col("vec_id").as("qid"))
+        .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
+            Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
+          Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("qid")
+    }),
+
     // symmetric int8 quantization: per-vector absmax scaling, summarized
     // with integer-exact stats (saturation count, q-sums) for the oracle
     "emb_quantize_int8" -> ((s, d) => {
@@ -1652,6 +1670,19 @@ object PipelineQueries {
     "ann_pq_recall" -> recallSql(pqSql(8, 16, 8, 5), "pq_topk"),
 
     "ann_ivfpq_recall" -> recallSql(ivfPqSql(16, 8, 8, 16, 8, 5), "ivfpq_topk"),
+
+    // IVFPQ k widened to the rerank candidate count, then an exact-cosine
+    // window over just those candidates (mirrors ivfPqRerankTopK)
+    "ann_ivfpq_rerank_recall" -> recallSql(
+      s"""${ivfPqSql(16, 8, 8, 16, 8, 25)},
+         rerank_topk AS (SELECT qid, nid, rank FROM (
+           SELECT c.qid, c.nid, ROW_NUMBER() OVER (PARTITION BY c.qid
+             ORDER BY list_cosine_similarity(qe.embedding, ne.embedding)
+               DESC, c.nid ASC) AS rank
+           FROM ivfpq_topk c
+           JOIN embeddings qe ON qe.vec_id = c.qid
+           JOIN embeddings ne ON ne.vec_id = c.nid) WHERE rank <= 5)""",
+      "rerank_topk"),
 
     "ann_pq_trained_recall" -> recallSql(pqTrainedSql(8, 16, 8, 5), "pqt_topk"),
 

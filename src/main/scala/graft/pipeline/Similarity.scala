@@ -377,6 +377,34 @@ object Similarity {
     adcTopK(indexed.join(broadcast(probes), Seq("cell")), cbs, k)
   }
 
+  /** IVFPQ with an EXACT re-rank tail — the complete production retrieval
+    * chain (FAISS `index.search` with a refine/rerank stage): ADC ranks
+    * `rerankC` candidates per query from the compressed code table, then
+    * only those `queries × rerankC` rows fetch their full vectors for an
+    * exact cosine top-k. Fixes ADC quantization-ordering errors near the
+    * cut line at the cost of one bounded join.
+    *
+    * 100 TB shape: the candidate table is O(queries · rerankC) — tiny —
+    * and is BROADCAST against the corpus scan, so the full-vector fetch
+    * is a scan-side semi-join with no corpus shuffle; the final window
+    * shuffles only the candidate rows. */
+  def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                      rerankC: Int, nlist: Int, nprobe: Int,
+                      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val cand = ivfPqTopK(queries, corpus, rerankC, nlist, nprobe, m, ksub)
+      .select("qid", "nid")
+    val scored = corpus
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      .join(broadcast(cand), Seq("nid"))
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec"))), Seq("qid"))
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * storage/serving compression for ANN corpora (4× smaller than float32,
     * SIMD-friendly dot products). Per-vector absmax scaling:
