@@ -190,6 +190,12 @@ object ScaleBench {
       pipeline.Similarity.ivfPqTopK(queries, emb, 10,
         nlist = 256, nprobe = 8, m = 8, ksub = 256).count()
     }
+    t("ivfpq_rerank_top10_c100") {
+      // exact-refine tail: only queries×100 candidate rows fetch full
+      // vectors (broadcast semi-join against the corpus scan)
+      pipeline.Similarity.ivfPqRerankTopK(queries, emb, 10, rerankC = 100,
+        nlist = 256, nprobe = 8, m = 8, ksub = 256).count()
+    }
 
     // --- curation operators over the same planted corpus ---
     tm("repeated_ngram_stats") {
