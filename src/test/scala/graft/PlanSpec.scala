@@ -201,6 +201,21 @@ class PlanSpec extends AnyFunSuite {
       s"bucket equi-join must honor the shuffle_hash hint:\n$plan")
   }
 
+  test("ivfpq rerank: the exact-refine tail broadcasts, corpus never shuffles for it") {
+    val emb = core.Tables.embeddings(spark, dir)
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val df = graft.pipeline.Similarity.ivfPqRerankTopK(q, emb, 5,
+      rerankC = 25, nlist = 16, nprobe = 8, m = 8, ksub = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    // the candidate and query sides join the full-vector corpus scan via
+    // broadcast — a SortMerge/ShuffledHash join here means the refine
+    // stage started shuffling the corpus at 100 TB
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"refine joins must broadcast the bounded candidate/query sides:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"refine tail must not shuffle the corpus:\n$plan")
+  }
+
   test("retention matrix: no cohort self-join, two exchanges total") {
     val df = PipelineQueries.queries("events_retention")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
