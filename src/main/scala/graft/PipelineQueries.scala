@@ -17,6 +17,18 @@ object PipelineQueries {
   private def revenueCents = round(col("l_extendedprice") * 100).cast("long") *
     (lit(100L) - round(col("l_discount") * 100).cast("long"))
 
+  /** hits@k census shared by every ANN recall query: per query vector,
+    * |approx ∩ exact| with zero-fill for queries the approximate path
+    * missed entirely (mirrored by [[recallSql]] on the oracle side). */
+  private def hitsAtK(q: DataFrame, approx: DataFrame,
+                      exact: DataFrame): DataFrame =
+    q.select(col("vec_id").as("qid"))
+      .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
+          Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
+        Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy("qid")
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-style pricing summary: group + multi-agg, integer-exact
     "q1_pricing" -> ((s, d) =>
@@ -235,12 +247,7 @@ object PipelineQueries {
       val q = emb.where(col("vec_id") < 5)
       val approx = pipeline.Similarity.ivfTopK(q, emb, 5, nlist = 16, nprobe = 4)
       val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
-      q.select(col("vec_id").as("qid"))
-        .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
-            Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
-          Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
-        .orderBy("qid")
+      hitsAtK(q, approx, exact)
     }),
 
     "ann_lsh_recall" -> ((s, d) => {
@@ -248,12 +255,7 @@ object PipelineQueries {
       val q = emb.where(col("vec_id") < 5)
       val approx = pipeline.Similarity.lshTopK(q, emb, 5, planes = 4, bands = 4)
       val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
-      q.select(col("vec_id").as("qid"))
-        .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
-            Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
-          Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
-        .orderBy("qid")
+      hitsAtK(q, approx, exact)
     }),
 
     // IVF with a Lloyd-refined (k-means) coarse quantizer — the trained
@@ -269,12 +271,7 @@ object PipelineQueries {
       val approx = pipeline.Similarity.ivfKmeansTopK(q, emb, 5,
         nlist = 16, nprobe = 4, iters = 1)
       val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
-      q.select(col("vec_id").as("qid"))
-        .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
-            Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
-          Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
-        .orderBy("qid")
+      hitsAtK(q, approx, exact)
     }),
 
     // product-quantization top-5: corpus compressed to m=8 codes/vector
@@ -293,12 +290,7 @@ object PipelineQueries {
       val q = emb.where(col("vec_id") < 5)
       val approx = pipeline.Similarity.pqTopK(q, emb, 5, m = 8, ksub = 16)
       val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
-      q.select(col("vec_id").as("qid"))
-        .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
-            Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
-          Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
-        .orderBy("qid")
+      hitsAtK(q, approx, exact)
     }),
 
     // PQ with Lloyd-TRAINED codebooks (the standard trained form):
@@ -314,12 +306,7 @@ object PipelineQueries {
       val approx = pipeline.Similarity.pqTrainedTopK(q, emb, 5,
         m = 8, ksub = 16, iters = 1)
       val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
-      q.select(col("vec_id").as("qid"))
-        .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
-            Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
-          Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
-        .orderBy("qid")
+      hitsAtK(q, approx, exact)
     }),
 
     // IVFPQ (FAISS IVFx,PQy): coarse cell + PQ codes in ONE shuffle-free
@@ -331,12 +318,7 @@ object PipelineQueries {
       val approx = pipeline.Similarity.ivfPqTopK(q, emb, 5,
         nlist = 16, nprobe = 8, m = 8, ksub = 16)
       val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
-      q.select(col("vec_id").as("qid"))
-        .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
-            Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
-          Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
-        .orderBy("qid")
+      hitsAtK(q, approx, exact)
     }),
 
     // IVFPQ + exact re-rank: ADC ranks 25 candidates/query off the code
@@ -349,12 +331,7 @@ object PipelineQueries {
       val approx = pipeline.Similarity.ivfPqRerankTopK(q, emb, 5,
         rerankC = 25, nlist = 16, nprobe = 8, m = 8, ksub = 16)
       val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
-      q.select(col("vec_id").as("qid"))
-        .join(approx.select("qid", "nid").join(exact.select("qid", "nid"),
-            Seq("qid", "nid")).groupBy("qid").agg(count(lit(1)).as("hits")),
-          Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
-        .orderBy("qid")
+      hitsAtK(q, approx, exact)
     }),
 
     // symmetric int8 quantization: per-vector absmax scaling, summarized

@@ -267,6 +267,8 @@ class FunctionsSpec extends AnyFunSuite {
   test("hashed_embedding skips null array elements (SQL surface)") {
     // registered in SQL, so arrays with null elements can reach it —
     // a null element must contribute nothing, not NPE the task
+    graft.functions.GraftFunctions.registerAll(spark) // idempotent; keeps
+    // this test independent of suite ordering
     val r = spark.sql(
       """SELECT hashed_embedding(array('a', CAST(NULL AS STRING), 'b'), 4) AS e,
                 hashed_embedding(array('a', 'b'), 4) AS f""").head()

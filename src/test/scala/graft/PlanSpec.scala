@@ -204,16 +204,25 @@ class PlanSpec extends AnyFunSuite {
   test("ivfpq rerank: the exact-refine tail broadcasts, corpus never shuffles for it") {
     val emb = core.Tables.embeddings(spark, dir)
     val q = emb.where(org.apache.spark.sql.functions.col("vec_id") < 5)
-    val df = graft.pipeline.Similarity.ivfPqRerankTopK(q, emb, 5,
+    val plain = graft.pipeline.Similarity.ivfPqTopK(q, emb, 25,
+      nlist = 16, nprobe = 8, m = 8, ksub = 16)
+      .queryExecution.executedPlan.toString
+    val plan = graft.pipeline.Similarity.ivfPqRerankTopK(q, emb, 5,
       rerankC = 25, nlist = 16, nprobe = 8, m = 8, ksub = 16)
-    val plan = df.queryExecution.executedPlan.toString
+      .queryExecution.executedPlan.toString
     // the candidate and query sides join the full-vector corpus scan via
-    // broadcast — a SortMerge/ShuffledHash join here means the refine
-    // stage started shuffling the corpus at 100 TB
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
-      s"refine joins must broadcast the bounded candidate/query sides:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"refine tail must not shuffle the corpus:\n$plan")
+    // broadcast — any shuffled join (SortMerge OR ShuffledHash) in the
+    // refine tail means the corpus started moving at 100 TB. ivfPqTopK
+    // has broadcasts of its own, so require the rerank plan to add ≥ 2
+    // ON TOP of the plain plan's count rather than just "some broadcasts"
+    def bhj(p: String) = "BroadcastHashJoin".r.findAllIn(p).size
+    def shuffled(p: String) =
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+    assert(!shuffled(plain), s"plain ivfpq plan shuffled a join:\n$plain")
+    assert(!shuffled(plan), s"refine tail must not shuffle the corpus:\n$plan")
+    assert(bhj(plan) >= bhj(plain) + 2,
+      s"refine joins must broadcast the bounded candidate/query sides " +
+        s"(plain=${bhj(plain)}, rerank=${bhj(plan)}):\n$plan")
   }
 
   test("retention matrix: no cohort self-join, two exchanges total") {
