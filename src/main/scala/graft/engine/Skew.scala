@@ -23,7 +23,7 @@ object Skew {
     * skewed-key rows that motivate salting (distinct paths/ids under one
     * hot user) hash apart. */
   def rowSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(salts))
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salts))
 
   /** Two-phase salted aggregation for algebraic aggregates (sum/count):
     * phase 1 groups by (key, salt) — spreading a hot key over `salts`
