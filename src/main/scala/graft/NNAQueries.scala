@@ -467,7 +467,26 @@ object NNAQueries {
             lit("@EXAMPLE.COM"))).otherwise(lit("")).as("realUser"),
         expr("ts div 1000000").as("issueDate"))
       graft.api.TokenAnalysis.lastLogins(tokens)
-    })
+    }),
+
+    // Snapshot-delta analytics (the reference's history-DB trend capability,
+    // `HsqlDriver.java:105-200` / `logHistoryPerUser`): diff the fixture
+    // "previous" snapshot against the current one on stable inode ids —
+    // one full-outer shuffle join — then attribute growth.
+    "nna_snapshot_diff" -> ((s, d) =>
+      graft.operators.SnapshotDiff.diff(
+        graft.inodes.SnapshotFixture.previous(s, d), inodes(s, d))),
+
+    "nna_growth_by_user" -> ((s, d) =>
+      graft.operators.SnapshotDiff.growthByUser(
+        graft.operators.SnapshotDiff.diff(
+          graft.inodes.SnapshotFixture.previous(s, d), inodes(s, d)))),
+
+    "nna_growth_by_dir" -> ((s, d) =>
+      graft.operators.SnapshotDiff.growthByDir(
+        graft.operators.SnapshotDiff.diff(
+          graft.inodes.SnapshotFixture.previous(s, d), inodes(s, d)),
+        depth = 2))
   )
 
   // ---------------------------------------------------------------------
@@ -894,5 +913,35 @@ object NNAQueries {
        "SELECT regexp_extract(realUser, '^([^/@]+)', 1), issueDate FROM tok " +
        "WHERE realUser IS NOT NULL AND realUser <> '' AND realUser <> owner) " +
        "SELECT \"user\", MAX(issueDate) AS last_seen FROM u GROUP BY \"user\"")
+  ) ++ snapshotDiffOracles
+
+  /** Oracles for the snapshot-delta family: the inode CTE plus the
+    * snap_a / snap_diff CTEs ([[graft.inodes.SnapshotFixture]]). */
+  private def diffOracle(select: String): String =
+    InodeView.oracleCte + graft.inodes.SnapshotFixture.oracleSnapACte + select
+
+  // def, not val: referenced from the `oracleSql` val above (declared
+  // first), so a val here would still be null during object init
+  private def snapshotDiffOracles: Map[String, String] = Map(
+    "nna_snapshot_diff" -> diffOracle(
+      "SELECT id, change, path, \"user\", parent, isFile, " +
+      "bytesBefore, bytesAfter, bytesDelta FROM snap_diff"),
+
+    "nna_growth_by_user" -> diffOracle(
+      "SELECT \"user\", " +
+      "CAST(SUM(CASE WHEN change = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS filesAdded, " +
+      "CAST(SUM(CASE WHEN change = 'deleted' THEN 1 ELSE 0 END) AS BIGINT) AS filesDeleted, " +
+      "CAST(SUM(CASE WHEN change = 'modified' THEN 1 ELSE 0 END) AS BIGINT) AS filesModified, " +
+      "CAST(SUM(CASE WHEN change = 'added' THEN 1 WHEN change = 'deleted' THEN -1 ELSE 0 END) AS BIGINT) AS filesDelta, " +
+      "CAST(SUM(bytesDelta) AS BIGINT) AS bytesDelta " +
+      "FROM snap_diff WHERE isFile GROUP BY \"user\""),
+
+    "nna_growth_by_dir" -> diffOracle(
+      "SELECT array_to_string(string_split(path, '/')[1:3], '/') AS dirPath, " +
+      "CAST(SUM(CASE WHEN change = 'added' THEN 1 WHEN change = 'deleted' THEN -1 ELSE 0 END) AS BIGINT) AS filesDelta, " +
+      "CAST(SUM(bytesDelta) AS BIGINT) AS bytesDelta, " +
+      "CAST(SUM(CASE WHEN change = 'modified' THEN 1 ELSE 0 END) AS BIGINT) AS filesModified " +
+      "FROM snap_diff WHERE isFile AND len(string_split(path, '/')) - 1 > 2 " +
+      "GROUP BY 1")
   )
 }

@@ -258,6 +258,51 @@ object ScaleBench {
       pipeline.TextAnalysis.unigramCommonness(docs, "doc_id", col("text"))
         .where(col("commonness_ppm") > 900000).count()
     }
+    // --- snapshot-delta: diff two nDocs-inode namespaces. The evidence
+    // target: shuffleRecords ≈ |A| + |B| (each snapshot crosses the wire
+    // exactly once, narrow tracked columns only) + the small agg exchange —
+    // NOT a multiple of it, and bytesPerRecord stays O(100) regardless of
+    // namespace size.
+    tm("snapshot_diff_growth") {
+      val snapB = spark.range(nDocs).select(
+        col("id"),
+        concat(lit("/data/u"), pmod(col("id"), lit(100)), lit("/f"),
+          col("id")).as("path"),
+        concat(lit("u"), pmod(col("id"), lit(50))).as("user"),
+        concat(lit("/data/u"), pmod(col("id"), lit(100))).as("parent"),
+        lit(true).as("isFile"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("fileSize"),
+        lit(1700000000000L).as("modTime"),
+        lit(644L).as("permission"), lit(3L).as("fileReplica"))
+      val snapA = snapB.where(col("id") % 17 =!= 0)
+        .withColumn("fileSize", when(col("id") % 13 === 5,
+          col("fileSize") + 1024L).otherwise(col("fileSize")))
+        .unionByName(snapB.where(col("id") % 19 === 3)
+          .withColumn("id", col("id") + 2000000000L)
+          .withColumn("path", concat(col("path"), lit(".tmp"))))
+      val d = operators.SnapshotDiff.diff(snapA, snapB)
+      s"${d.count()} diff rows"
+    }
+    t("snapshot_growth_by_user") {
+      // same diff feeding the per-user attribution (adds one tiny exchange
+      // over the already-bounded diff output)
+      val snapB = spark.range(nDocs).select(
+        col("id"),
+        concat(lit("/data/u"), pmod(col("id"), lit(100)), lit("/f"),
+          col("id")).as("path"),
+        concat(lit("u"), pmod(col("id"), lit(50))).as("user"),
+        concat(lit("/data/u"), pmod(col("id"), lit(100))).as("parent"),
+        lit(true).as("isFile"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("fileSize"),
+        lit(1700000000000L).as("modTime"),
+        lit(644L).as("permission"), lit(3L).as("fileReplica"))
+      val snapA = snapB.where(col("id") % 17 =!= 0)
+        .withColumn("fileSize", when(col("id") % 13 === 5,
+          col("fileSize") + 1024L).otherwise(col("fileSize")))
+      val g = operators.SnapshotDiff.growthByUser(
+        operators.SnapshotDiff.diff(snapA, snapB))
+      s"${g.count()} users"
+    }
     tm("heavy_hitters_k64") {
       // bounded-memory frequent items over every token: k counters per
       // partial, only k-entry maps shuffle — vs the exact path's
