@@ -242,13 +242,28 @@ object ScaleBench {
       pipeline.Curation.bloomDecontaminationStats(
         train, bench, "doc_id", col("text"), 5).count()
     }
-    t("domain_cap") {
-      // synthesize a skewed source: doc 0–n/2 in one domain, rest spread
+    t("domain_cap_skew50pct") {
+      // one source owns 50% of the corpus — the hot-domain case. The
+      // two-phase salted rank spreads megadomain over 64 salt sorts; the
+      // straggler evidence is maxTask staying O(balanced-share), not
+      // O(n/2) — a single-window plan would put half the corpus in one
+      // task and maxTask would dominate the stage wall time.
+      val maxTask = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskInfo != null)
+            maxTask.getAndUpdate(m => math.max(m, te.taskInfo.duration))
+      }
+      spark.sparkContext.addSparkListener(l)
       val sourced = docs.withColumn("source",
         when(col("doc_id") < nDocs / 2, lit("megadomain"))
           .otherwise(concat(lit("d"), pmod(col("doc_id"), lit(1000L)))))
-      pipeline.Curation.domainCapCensus(
+      val n = pipeline.Curation.domainCapCensus(
         sourced, col("doc_id"), col("source"), 100).count()
+      Thread.sleep(500) // listener bus drain
+      spark.sparkContext.removeSparkListener(l)
+      s"$n sources, maxTask=${maxTask.get()}ms"
     }
     t("chunk_tokens_w16s8") {
       pipeline.Curation.chunkTokens(docs, "doc_id", col("text"), 16, 8)

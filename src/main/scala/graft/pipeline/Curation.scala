@@ -106,21 +106,43 @@ object Curation {
     * no single domain may dominate the corpus. Keeps the `cap` docs with
     * the smallest content-hash rank inside each source (reproducible
     * across engines and cluster sizes), reports the census per source.
-    * One shuffle (window by source); the skewed-source case is exactly
-    * what the rank bounds: output per source is capped, never collected. */
+    *
+    * SKEW-SAFE two-phase rank, never a single per-source sort: a hot
+    * domain at 30% of a web corpus is the exact case caps exist for, and
+    * a plain `Window.partitionBy(source)` would funnel all its rows
+    * through ONE reducer. Phase 1 ranks within (source, salt) — the salt
+    * is derived from the content hash, so every partition sort is bounded
+    * by n_source/salts; only rows ranked ≤ cap survive (any row in the
+    * global per-source top-cap ranks ≤ cap inside its salt too, so no
+    * qualifying row is lost — the partial top-k is exact). Phase 2
+    * re-ranks the ≤ cap·salts survivors per source — bounded rows per
+    * key regardless of corpus size. n_total comes from an ordinary
+    * partial-aggregating groupBy, which handles skew natively. */
   def domainCapCensus(df: DataFrame, idCol: Column, sourceCol: Column,
-                      cap: Int): DataFrame = {
+                      cap: Int, salts: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = df.select(idCol.as("did"), sourceCol.as("source"))
       .withColumn("__h",
         Dedup.portableHash(concat(lit("cap:"), col("did").cast("string"))))
-    val w = Window.partitionBy("source").orderBy(col("__h").asc, col("did").asc)
-    keyed.withColumn("__rk", row_number().over(w))
+    val totals = keyed.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    val wSalted = Window.partitionBy("source", "__s")
+      .orderBy(col("__h").asc, col("did").asc)
+    val survivors = keyed
+      .withColumn("__s", pmod(col("__h"), lit(salts.toLong)))
+      .withColumn("__rk1", row_number().over(wSalted))
+      .where(col("__rk1") <= cap)
+    val wFinal = Window.partitionBy("source")
+      .orderBy(col("__h").asc, col("did").asc)
+    val kept = survivors.withColumn("__rk", row_number().over(wFinal))
+      .where(col("__rk") <= cap)
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_total"),
-        sum(when(col("__rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("__rk") <= cap, col("did")).otherwise(0L))
-          .as("kept_id_sum"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("did")).as("kept_id_sum"))
+    // sources with fewer rows than ranks can't drop below the cap, so the
+    // left join only fills genuinely kept counts; a source never disappears
+    totals.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
   }
 
   // ---- sequence packing ----

@@ -225,6 +225,23 @@ class PlanSpec extends AnyFunSuite {
         s"(plain=${bhj(plain)}, rerank=${bhj(plan)}):\n$plan")
   }
 
+  test("domain cap: no full-corpus single-partition-per-source sort") {
+    val df = PipelineQueries.queries("corpus_domain_cap")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Phase-1 rank must partition by (source, salt) — a hot source spreads
+    // over `salts` sorts. The only Window allowed to partition by source
+    // alone is phase 2, which sees ≤ cap·salts rows per source (its input
+    // is the __rk1 <= cap filter, visible as a Filter above the salted
+    // Window in the same plan).
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows === 2, s"expected the two-phase ranks, got $windows:\n$plan")
+    val salted = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("windowspecdefinition"))
+      .toSeq
+    assert(salted.exists(l => l.contains("source") && l.contains("__s")),
+      s"phase-1 window must partition by (source, __s):\n$plan")
+  }
+
   test("retention matrix: no cohort self-join, two exchanges total") {
     val df = PipelineQueries.queries("events_retention")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
