@@ -107,17 +107,20 @@ object Suggestions {
   }
 
   /** Top-K directories at a depth by file count and bytes
-    * (`SuggestionsEngine.java:287-310`): ancestor explode → one shuffle. */
-  def topDirectories(inodes: DataFrame, depth: Int, k: Int): DataFrame = {
-    val files = inodes.where(col("isFile"))
-    graft.engine.PathStructure.withAncestors(files)
-      .where(size(split(col("ancestor"), "/")) - 1 === depth)
-      .groupBy(col("ancestor").as("path"))
+    * (`SuggestionsEngine.java:287-310`). A file's unique ancestor at
+    * `depth` is a PREFIX of its own path, so the key is one
+    * `substring_index` projection — no ancestor explode (which would
+    * multiply pre-shuffle rows by the average path depth), one shuffle on
+    * the dir key, top-k as TakeOrdered. Files at or above `depth` have no
+    * such ancestor and are excluded by the depth guard. */
+  def topDirectories(inodes: DataFrame, depth: Int, k: Int): DataFrame =
+    inodes.where(col("isFile"))
+      .where(size(split(col("path"), "/")) - 1 > depth)
+      .groupBy(substring_index(col("path"), "/", depth + 1).as("path"))
       .agg(count(lit(1)).as("numFiles"),
         sum(Fields.longField("diskspaceConsumed")).as("diskspaceConsumed"))
       .orderBy(col("numFiles").desc, col("path").asc)
       .limit(k)
-  }
 
   /** File ages histogram by monthly buckets (`SuggestionsEngine.java:162-189`). */
   def fileAges(spark: SparkSession, inodes: DataFrame,

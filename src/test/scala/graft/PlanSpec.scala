@@ -225,6 +225,16 @@ class PlanSpec extends AnyFunSuite {
         s"(plain=${bhj(plain)}, rerank=${bhj(plan)}):\n$plan")
   }
 
+  test("top directories: prefix projection — no ancestor explode, top-k " +
+    "is TakeOrdered") {
+    freshSnapshot()
+    val plan = formatted("nna_top_directories")
+    val head = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    assert(!head.contains("Generate"), // explode would multiply rows ~8-20×
+      s"top directories must not explode ancestors:\n$head")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("domain cap: no full-corpus single-partition-per-source sort") {
     val df = PipelineQueries.queries("corpus_domain_cap")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
