@@ -109,10 +109,30 @@ object Dedup {
     * the 1M minhash probe). Serialized-in-memory keeps fixture-scale
     * reuse at memory speed and degrades to spill, not failure, at scale.
     * Bounded/small reuse tables (bloom survivors, fixpoint labels) keep
-    * the default level. */
-  def checkpointCorpus(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    * the default level.
+    *
+    * FAULT-TOLERANCE regimes (localCheckpoint blocks lineage recompute —
+    * on a real cluster a lost executor kills a multi-hour job mid-pipeline):
+    *   - default: executor-local (fast, interactive; a lost executor is
+    *     fatal to the query, acceptable for interactive/short runs);
+    *   - `spark.graft.reliableCheckpoint=true` (requires
+    *     `SparkContext.setCheckpointDir` on durable storage): a reliable
+    *     `checkpoint()` — intermediates survive executor loss, at the cost
+    *     of one write+read round-trip through the checkpoint filesystem.
+    *     The right mode for multi-hour production dedup over 100 TB. */
+  def checkpointCorpus(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf
+      .getOption("spark.graft.reliableCheckpoint").exists(_.toBoolean)
+    if (reliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "spark.graft.reliableCheckpoint=true requires " +
+          "SparkContext.setCheckpointDir (durable storage)")
+      df.checkpoint(eager = true)
+    } else
+      df.localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  }
 
   /** Exact duplicated-SPAN stats per document — the position-aware form
     * of substring dedup ("Deduplicating Training Data Makes Language

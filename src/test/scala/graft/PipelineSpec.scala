@@ -130,6 +130,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept === Set(1L, 2L, 3L, 5L))
   }
 
+  test("reliable mode without a checkpoint dir fails fast") {
+    // declared BEFORE the identical-output test: that one sets the
+    // context's checkpoint dir, which can't be unset
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.conf.set("spark.graft.reliableCheckpoint", "true")
+      try {
+        val e = intercept[IllegalArgumentException] {
+          Dedup.checkpointCorpus(docs)
+        }
+        assert(e.getMessage.contains("setCheckpointDir"))
+      } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+    }
+  }
+
+  test("reliable-checkpoint mode produces identical dedup output") {
+    // default (localCheckpoint) vs spark.graft.reliableCheckpoint=true
+    // (reliable checkpoint() through a checkpoint dir): same survivors
+    val full = core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def run() = Dedup.dedupCorpus(full, "doc_id", $"text")
+      .select("doc_id").as[Long].collect().toSet
+    val viaLocal = run()
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      val viaReliable = run()
+      assert(viaReliable === viaLocal)
+      // the reliable mode actually wrote through the checkpoint dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable mode must write checkpoint files")
+    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+  }
+
   test("cluster labels propagate the minimum id through chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("ida", "idb")
     val labels = Dedup.clusterLabels(pairs)
