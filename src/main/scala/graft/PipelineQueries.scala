@@ -321,6 +321,19 @@ object PipelineQueries {
       hitsAtK(q, approx, exact)
     }),
 
+    // Residual IVFPQ (IVFADC proper, Jégou et al. 2011): codes encode
+    // v − centroid(cell); reconstruction terms (q·cent per probe,
+    // cell-keyed cross table) are bounded and broadcast, corpus side
+    // stays one shuffle-free projection — full oracle
+    "ann_ivfpq_residual_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 5)
+      val approx = pipeline.Similarity.ivfPqResidualTopK(q, emb, 5,
+        nlist = 16, nprobe = 8, m = 8, ksub = 16, trainIters = 2)
+      val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
+      hitsAtK(q, approx, exact)
+    }),
+
     // IVFPQ + exact re-rank: ADC ranks 25 candidates/query off the code
     // table, only those rows fetch full vectors for an exact cosine
     // top-5 — the complete production retrieval chain (coarse cells →
@@ -1489,6 +1502,144 @@ object PipelineQueries {
              AS rank
            FROM pairsc s JOIN qn q USING (qid)) WHERE rank <= $k)"""
 
+  /** CTE `ivfpqr_topk(qid,nid,rank)` mirroring
+    * `Similarity.ivfPqResidualTopK` (IVFADC): residual codebooks seeded
+    * from the `ksub` residuals AFTER the centroid range (the first
+    * `nlist` residuals are identically zero), refined by `iters`
+    * quantized Lloyd sweeps over the residual distribution, codes
+    * assigned on residual subvectors, ADC cosine rebuilt as
+    * `(q·cent + Σ lut) / (‖q‖·√(‖cent‖² + Σ cross))`. */
+  private def ivfPqResidualSql(nlist: Int, nprobe: Int, m: Int, ksub: Int,
+                               subDim: Int, k: Int, iters: Int): String = {
+    def dslice(v: String, sub: String) =
+      s"list_transform($v[($sub*$subDim+1):(($sub+1)*$subDim)], x -> CAST(x AS DOUBLE))"
+    // argmin encoding of every residual against codebook table cbnr$i
+    def encCte(name: String, cb: String) =
+      s"""$name AS (SELECT nid, sub, code FROM (
+           SELECT v.nid, c.sub, c.code,
+             ROW_NUMBER() OVER (PARTITION BY v.nid, c.sub
+               ORDER BY list_reduce(list_transform(
+                 list_zip(v.rese[(c.sub*$subDim+1):((c.sub+1)*$subDim)],
+                   c.entry),
+                 z -> (struct_extract(z, 1) - struct_extract(z, 2)) *
+                      (struct_extract(z, 1) - struct_extract(z, 2))),
+                 (x, y) -> x + y) ASC, c.code ASC) AS rk
+           FROM resv v CROSS JOIN $cb c) WHERE rk = 1)"""
+    // one Lloyd sweep: encode with cbnr${i-1}, recompute entries as
+    // quantized means (floor-division via positive modulus), entries
+    // that lose all members keep their previous value
+    def sweep(i: Int) =
+      s"""${encCte(s"encr${i - 1}", s"cbnr${i - 1}")},
+       updr$i AS (SELECT p.sub, e.code, p.jj, SUM(p.vq) AS s, COUNT(*) AS n
+         FROM pexr p JOIN encr${i - 1} e ON e.nid = p.nid AND e.sub = p.sub
+         GROUP BY p.sub, e.code, p.jj),
+       cbnr${i}e AS (SELECT c.sub, c.code,
+           list(COALESCE(((u.s - (((u.s % u.n) + u.n) % u.n)) // u.n) / 1048576.0,
+             list_extract(c.entry, gj.j + 1)) ORDER BY gj.j) AS entry
+         FROM cbnr${i - 1} c CROSS JOIN
+           (SELECT unnest(generate_series(0, ${subDim - 1})) AS j) gj
+         LEFT JOIN updr$i u ON u.sub = c.sub AND u.code = c.code
+           AND u.jj = gj.j
+         GROUP BY c.sub, c.code),
+       cbnr$i AS (SELECT sub, code, entry,
+           list_reduce(list_transform(entry, x -> x * x), (x, y) -> x + y)
+             AS sq
+         FROM cbnr${i}e)"""
+    val sweeps =
+      if (iters == 0) "" else (1 to iters).map(sweep).mkString(",\n", ",\n", "")
+    val cbFinal = s"cbnr$iters"
+    s"""cent AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+         ORDER BY vec_id LIMIT $nlist),
+       assigned AS (
+         SELECT cell, nid FROM (
+           SELECT ct.cent_id AS cell, e.vec_id AS nid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, ct.cent) DESC,
+                        ct.cent_id ASC) AS rk
+           FROM embeddings e CROSS JOIN cent ct) WHERE rk = 1),
+       resv AS (
+         SELECT a.nid, a.cell,
+           list_transform(list_zip(e.embedding, ct.cent),
+             z -> CAST(struct_extract(z, 1) AS DOUBLE) -
+                  CAST(struct_extract(z, 2) AS DOUBLE)) AS rese
+         FROM assigned a
+         JOIN embeddings e ON e.vec_id = a.nid
+         JOIN cent ct ON ct.cent_id = a.cell),
+       pexr AS (SELECT nid, (j - 1) // $subDim AS sub, (j - 1) % $subDim AS jj,
+           CAST(FLOOR(v * 1048576) AS BIGINT) AS vq
+         FROM (SELECT nid, unnest(rese) AS v,
+           generate_subscripts(rese, 1) AS j FROM resv)),
+       cbvr AS (SELECT rese, ROW_NUMBER() OVER (ORDER BY nid) - 1 AS code
+         FROM (SELECT * FROM resv ORDER BY nid LIMIT $ksub OFFSET $nlist)),
+       cbnr0 AS (
+         SELECT c.sub, r.code,
+           r.rese[(c.sub*$subDim+1):((c.sub+1)*$subDim)] AS entry,
+           list_reduce(list_transform(
+             r.rese[(c.sub*$subDim+1):((c.sub+1)*$subDim)],
+             x -> x * x), (x, y) -> x + y) AS sq
+         FROM (SELECT unnest(generate_series(0, ${m - 1})) AS sub) c
+         CROSS JOIN cbvr r)$sweeps,
+       ${encCte("encdr", cbFinal)},
+       qn AS (SELECT vec_id AS qid, embedding AS qe,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+             AS qnorm
+         FROM embeddings WHERE vec_id < 5),
+       lutr AS (SELECT q.qid, c.sub, c.code,
+           list_reduce(list_transform(list_zip(${dslice("q.qe", "c.sub")},
+             c.entry),
+             z -> struct_extract(z, 1) * struct_extract(z, 2)),
+             (x, y) -> x + y) AS dot
+         FROM qn q CROSS JOIN $cbFinal c),
+       probes AS (
+         SELECT cell, qid FROM (
+           SELECT ct.cent_id AS cell, q.vec_id AS qid,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, ct.cent) DESC,
+                        ct.cent_id ASC) AS rk
+           FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+           CROSS JOIN cent ct) WHERE rk <= $nprobe),
+       centdot AS (SELECT q.qid, p.cell,
+           list_reduce(list_transform(list_zip(q.qe, ct.cent),
+             z -> CAST(struct_extract(z, 1) AS DOUBLE) *
+                  CAST(struct_extract(z, 2) AS DOUBLE)), (x, y) -> x + y)
+             AS centdot
+         FROM probes p JOIN qn q USING (qid)
+         JOIN cent ct ON ct.cent_id = p.cell),
+       ccsq AS (SELECT cent_id AS cell,
+           list_reduce(list_transform(cent,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)
+             AS ccsq
+         FROM cent),
+       crosst AS (SELECT ct.cent_id AS cell, c.sub, c.code,
+           2 * list_reduce(list_transform(
+             list_zip(${dslice("ct.cent", "c.sub")}, c.entry),
+             z -> struct_extract(z, 1) * struct_extract(z, 2)),
+             (x, y) -> x + y) + c.sq AS crossv
+         FROM cent ct CROSS JOIN $cbFinal c),
+       candr AS (SELECT p.qid, a.nid, a.cell
+         FROM assigned a JOIN probes p USING (cell) WHERE p.qid <> a.nid),
+       pairscr AS (
+         SELECT c.qid, c.nid,
+           cd.centdot + list_reduce(list(l.dot ORDER BY l.sub),
+             (x, y) -> x + y) AS dotsum,
+           cq.ccsq + list_reduce(list(x.crossv ORDER BY x.sub),
+             (x, y) -> x + y) AS rsq
+         FROM candr c
+         JOIN encdr e ON e.nid = c.nid
+         JOIN lutr l ON l.qid = c.qid AND l.sub = e.sub AND l.code = e.code
+         JOIN crosst x ON x.cell = c.cell AND x.sub = e.sub
+           AND x.code = e.code
+         JOIN centdot cd ON cd.qid = c.qid AND cd.cell = c.cell
+         JOIN ccsq cq ON cq.cell = c.cell
+         GROUP BY c.qid, c.nid, cd.centdot, cq.ccsq),
+       ivfpqr_topk AS (SELECT qid, nid, rank FROM (
+           SELECT s.qid, s.nid, ROW_NUMBER() OVER (PARTITION BY s.qid
+             ORDER BY s.dotsum / (q.qnorm * sqrt(s.rsq)) DESC, s.nid ASC)
+             AS rank
+           FROM pairscr s JOIN qn q USING (qid)) WHERE rank <= $k)"""
+  }
+
   private val bruteTopkSql: String =
     """brute_topk AS (
          SELECT qid, nid FROM (
@@ -1647,6 +1798,9 @@ object PipelineQueries {
     "ann_pq_recall" -> recallSql(pqSql(8, 16, 8, 5), "pq_topk"),
 
     "ann_ivfpq_recall" -> recallSql(ivfPqSql(16, 8, 8, 16, 8, 5), "ivfpq_topk"),
+
+    "ann_ivfpq_residual_recall" ->
+      recallSql(ivfPqResidualSql(16, 8, 8, 16, 8, 5, 2), "ivfpqr_topk"),
 
     // IVFPQ k widened to the rerank candidate count, then an exact-cosine
     // window over just those candidates (mirrors ivfPqRerankTopK)

@@ -405,6 +405,148 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
   }
 
+  /** Residual PQ codebooks (the IVFADC construction, Jégou et al. 2011
+    * §IV-A): seeded from the residuals `v − centroid(cell(v))` of the first
+    * `ksub` corpus vectors, under the ENGINE's own cell assignment (the
+    * same codegen'd argmax the index build uses), so encoding and seeding
+    * agree bit-for-bit. Residuals concentrate near 0 regardless of where
+    * the cell sits in space, so the same code budget spends its ksub
+    * entries on a much smaller volume than raw-vector PQ — that is the
+    * accuracy win. */
+  def pqResidualCodebooks(corpus: DataFrame, cents: Seq[(Long, Array[Double])],
+                          m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val centById = cents.toMap
+    // seed AFTER the centroid range: the first nlist vectors ARE the
+    // centroids, so their residuals are exactly zero — seeding from them
+    // would degenerate the codebook to all-zeros entries
+    val seeds = corpus.orderBy(col("vec_id").asc)
+      .offset(cents.size).limit(ksub)
+      .select(col("embedding"),
+        element_at(graft.functions.NearestCentroids.nearest_centroids(
+          col("embedding"), cents, 1), 1).as("cell"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+        val c = centById(r.getLong(1))
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+    val subDim = seeds(0).length / m
+    Array.tabulate(m) { s =>
+      seeds.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+    }
+  }
+
+  /** Residual IVFPQ (IVFADC — FAISS `IVFx,PQy` proper): codes encode the
+    * residual vs the assigned cell centroid instead of the raw vector,
+    * recovering most of the coarse quantizer's error at the same code
+    * budget. Reconstruction is `cent(cell) + entry(codes)`, so the ADC
+    * cosine needs two extra bounded tables, both cell-keyed and
+    * BROADCAST (never corpus-shaped):
+    *   - per (query, probed cell): `centdot = q·cent` (nprobe rows/query);
+    *   - per (cell, sub, code): `cross = 2·cent_sub·entry + ‖entry‖²`
+    *     (nlist·m·ksub rows — index-build scale, e.g. 256·8·256 ≈ 0.5M
+    *     doubles at production sizes),
+    * giving `q·recon = centdot + Σ lut[sub][code]` and
+    * `‖recon‖² = ‖cent‖² + Σ cross[sub][code]`. The corpus side remains
+    * ONE shuffle-free projection (cell + residual codes, both codegen'd);
+    * scan shape and shuffle volume are identical to [[ivfPqTopK]]. */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nlist: Int, nprobe: Int,
+                        m: Int = 8, ksub: Int = 16,
+                        trainIters: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids(corpus, nlist)
+    val rcbs0 = pqResidualCodebooks(corpus, cents, m, ksub)
+    // IVFADC trains the PQ on the residual distribution (Jégou 2011
+    // §IV-A trains k-means on residuals): reuse the Lloyd refinement by
+    // presenting the residuals AS the embedding column — the quantized
+    // updates stay oracle-exact
+    val centIds0 = array(cents.map(c => lit(c._1)).toIndexedSeq: _*)
+    val centVecs0 = array(cents.map(c =>
+      array(c._2.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val cellCol0 = element_at(graft.functions.NearestCentroids
+      .nearest_centroids(col("embedding"), cents, 1), 1)
+    val residCorpus = corpus.select(col("vec_id"),
+      zip_with(col("embedding"),
+        element_at(centVecs0, array_position(centIds0, cellCol0).cast("int")),
+        (x, c) => x.cast("double") - c).as("embedding"))
+    val rcbs =
+      if (trainIters > 0) pqRefineCodebooks(residCorpus, rcbs0, trainIters)
+      else rcbs0
+    val subDim = rcbs(0)(0).length
+
+    // literal centroid lookup (nlist entries ride in the plan, like the
+    // codebooks inside PqCodes)
+    val centIds = array(cents.map(c => lit(c._1)).toIndexedSeq: _*)
+    val centVecs = array(cents.map(c =>
+      array(c._2.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    def centOf(cell: Column): Column =
+      element_at(centVecs, array_position(centIds, cell).cast("int"))
+
+    // corpus → (cell, nid, residual codes): one shuffle-free projection
+    val cellCol = element_at(graft.functions.NearestCentroids
+      .nearest_centroids(col("embedding"), cents, 1), 1)
+    val indexed = corpus.select(
+      cellCol.as("cell"), col("vec_id").as("nid"),
+      graft.functions.PqCodes.pq_codes(
+        zip_with(col("embedding"), centOf(cellCol),
+          (x, c) => x.cast("double") - c), rcbs).as("codes"))
+
+    // per-cell reconstruction terms (driver-built, broadcast):
+    // ccsq = ‖cent‖²; cross[s][c] = 2·cent_sub·entry + ‖entry‖², all
+    // left-to-right folds so the oracle mirrors them bit-for-bit
+    val aux = cents.map { case (id, c) =>
+      var ccsq = 0.0
+      var i = 0
+      while (i < c.length) { ccsq += c(i) * c(i); i += 1 }
+      val cross = Seq.tabulate(m) { s =>
+        rcbs(s).toSeq.map { e =>
+          var d = 0.0
+          var j = 0
+          while (j < subDim) { d += c(s * subDim + j) * e(j); j += 1 }
+          var sq = 0.0
+          j = 0
+          while (j < subDim) { sq += e(j) * e(j); j += 1 }
+          2.0 * d + sq
+        }
+      }
+      (id, ccsq, cross)
+    }
+    val auxDf = spark.createDataset(aux).toDF("cell", "ccsq", "cross")
+
+    // probes: (qid, cell, q·cent) + the raw-query×residual-entry LUT
+    val probes = queries.select(col("vec_id").as("qid"),
+        col("embedding"),
+        explode(graft.functions.NearestCentroids.nearest_centroids(
+          col("embedding"), cents, nprobe)).as("cell"))
+      .withColumn("centdot", dot(col("embedding"), centOf(col("cell"))))
+      .select("qid", "cell", "centdot")
+      .join(pqQueryLut(queries, rcbs), "qid")
+
+    val lutAt = (arr: Column, s: Column) =>
+      element_at(element_at(arr, (s + 1).cast("int")),
+        (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int"))
+    val scored = indexed
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(auxDf), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("__dot", col("centdot") +
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + lutAt(col("lut"), s)))
+      .withColumn("__rsq", col("ccsq") +
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + lutAt(col("cross"), s)))
+      .withColumn("sim", col("__dot") / (col("qnorm") * sqrt(col("__rsq"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * storage/serving compression for ANN corpora (4× smaller than float32,
     * SIMD-friendly dot products). Per-vector absmax scaling:
