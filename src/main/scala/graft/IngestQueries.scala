@@ -129,6 +129,15 @@ object IngestQueries {
         xmlInodes(s).where(col("isFile")),
         Histograms.replicaKey(ecAware = true), count(lit(1)))),
 
+    // replica histogram with EC files grouped by POLICY NAME (the
+    // reference's rendering, VersionContext.java:206-219) — possible on
+    // ingested namespaces because full-fidelity ingest recovers ecPolicyId
+    "nna_ingest_xml_replica_ec" -> ((s, _) =>
+      Histograms.histogram(
+        graft.ingest.FsImageXmlSource.inodes(s, XmlPath)
+          .where(col("isFile")),
+        Histograms.replicaEcNameKey(col("ecPolicyId")), count(lit(1)))),
+
     "nna_ingest_xml_flags" -> ((s, _) =>
       xmlInodes(s).agg(
         sum(when(col("hasEcPolicy"), 1L).otherwise(0L)).as("n_ec"),
@@ -231,6 +240,15 @@ object IngestQueries {
 
     "nna_ingest_xml_ec_uc" -> xmlOracle("""
       SELECT CASE WHEN hasEcPolicy THEN 'EC'
+        ELSE CAST(fileReplica AS VARCHAR) END AS key, COUNT(*) AS value
+      FROM oivxml WHERE isFile GROUP BY 1"""),
+
+    "nna_ingest_xml_replica_ec" -> xmlOracle("""
+      SELECT CASE WHEN hasEcPolicy THEN
+          CASE ec_policy WHEN 1 THEN 'RS-6-3-1024k'
+            WHEN 2 THEN 'RS-3-2-1024k' WHEN 3 THEN 'RS-LEGACY-6-3-1024k'
+            WHEN 4 THEN 'XOR-2-1-1024k' WHEN 5 THEN 'RS-10-4-1024k'
+            ELSE 'EC-' || CAST(ec_policy AS VARCHAR) END
         ELSE CAST(fileReplica AS VARCHAR) END AS key, COUNT(*) AS value
       FROM oivxml WHERE isFile GROUP BY 1"""),
 

@@ -128,6 +128,24 @@ object Histograms {
       when(col("hasEcPolicy"), lit("EC")).otherwise(col("fileReplica").cast("string"))
     else col("fileReplica").cast("string")
 
+  /** Hadoop's built-in erasure-coding policies, id → name (public
+    * `SystemErasureCodingPolicies`; the reference renders the policy NAME
+    * in its replica histogram, `VersionContext.java:206-219`). */
+  val EcPolicyNames: Seq[(Long, String)] = Seq(
+    1L -> "RS-6-3-1024k", 2L -> "RS-3-2-1024k", 3L -> "RS-LEGACY-6-3-1024k",
+    4L -> "XOR-2-1-1024k", 5L -> "RS-10-4-1024k")
+
+  /** EC-aware replica key grouping EC files by their policy NAME — usable
+    * on full-fidelity ingested namespaces (`oivxml:`/`oivbin:` recover
+    * `ecPolicyId`). Unknown ids render as `EC-<id>` rather than hiding. */
+  def replicaEcNameKey(policyId: Column): Column = {
+    val named = EcPolicyNames.foldLeft(
+      concat(lit("EC-"), policyId.cast("string"))) { case (acc, (id, nm)) =>
+      when(policyId === id, nm).otherwise(acc)
+    }
+    when(col("hasEcPolicy"), named).otherwise(col("fileReplica").cast("string"))
+  }
+
   /** Value expression for sum=X (grouped), `AbstractQueryEngine.java:956-963`. */
   def sumAgg(sumField: String): Column = sumField match {
     case "count" => count(lit(1))

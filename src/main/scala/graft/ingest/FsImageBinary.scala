@@ -166,7 +166,8 @@ object FsImageBinary {
       id: Long, isFile: Boolean, name: String, mtime: Long, atime: Long,
       preferredBlockSize: Long, replication: Long, permission: String,
       nsQuota: Long, dsQuota: Long, storagePolicyId: Long, fileSize: Long,
-      numBlocks: Long, isUC: Boolean, hasAcl: Boolean, hasEc: Boolean)
+      numBlocks: Long, isUC: Boolean, hasAcl: Boolean, hasEc: Boolean,
+      ecPolicyId: Long)
 
   /** InputStream window of exactly `limit` bytes — the section bound for
     * streams longer than Int.MaxValue, where `CodedInputStream.pushLimit`
@@ -304,6 +305,7 @@ object FsImageBinary {
         var (fileSize, numBlocks, spid) = (0L, 0L, 0L)
         var (nsq, dsq) = (-1L, -1L)
         var (isUC, hasAcl, hasEc) = (false, false, false)
+        var ecPid = 0L
         var tag = in.readTag()
         while (tag != 0) {
           tag >> 3 match {
@@ -337,7 +339,7 @@ object FsImageBinary {
                   case 7 => isUC = true; in.skipField(fTag)
                   case 8 => hasAcl = true; in.skipField(fTag)
                   case 10 => spid = in.readUInt32().toLong
-                  case 12 => hasEc = true; in.skipField(fTag)
+                  case 12 => hasEc = true; ecPid = in.readUInt32().toLong
                   case _ => in.skipField(fTag)
                 }
                 fTag = in.readTag()
@@ -370,7 +372,7 @@ object FsImageBinary {
             // element); surface 0 exactly like the XML path's null
             if (hasEc) 0L else repl,
             permString(perm, strings), nsq, dsq, spid, fileSize, numBlocks,
-            isUC, hasAcl, hasEc)
+            isUC, hasAcl, hasEc, ecPid)
         i += 1
       }
       out.result()
@@ -468,7 +470,7 @@ object FsImageBinary {
         if (r.atime < 0) null else r.atime, r.preferredBlockSize,
         r.replication, r.permission, r.nsQuota, r.dsQuota,
         r.storagePolicyId, r.fileSize, r.numBlocks, r.isUC, r.hasAcl,
-        r.hasEc)
+        r.hasEc, if (r.hasEc) r.ecPolicyId else null)
     }
     val raw = spark.createDataFrame(rows.asJava, FsImageXmlSource.normSchema)
       .localCheckpoint(true)

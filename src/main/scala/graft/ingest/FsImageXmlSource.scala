@@ -166,7 +166,8 @@ object FsImageXmlSource {
     StructField("storagePolicyId", LongType, nullable = true),
     StructField("fileSize", LongType), StructField("numBlocks", LongType),
     StructField("isUC", BooleanType), StructField("hasAcl", BooleanType),
-    StructField("hasEc", BooleanType)))
+    StructField("hasEc", BooleanType),
+    StructField("ecPolicyId", LongType, nullable = true)))
 
   /** XML `<inode>` records → [[normSchema]]. */
   private def normalize(raw: DataFrame): DataFrame =
@@ -180,7 +181,8 @@ object FsImageXmlSource {
         lit(0L)).as("numBlocks"),
       col("`file-under-construction`").isNotNull.as("isUC"),
       col("acls").isNotNull.as("hasAcl"),
-      col("ecPolicyId").isNotNull.as("hasEc"))
+      col("ecPolicyId").isNotNull.as("hasEc"),
+      col("ecPolicyId"))
 
   /** Ingest an XML dump into the full inodes schema. Plan shape: the
     * per-level path joins (≤ depth, linear each), then one projection for
@@ -268,7 +270,10 @@ object FsImageXmlSource {
         col("hasEc").as("hasEcPolicy"),
         (!isFile && (nsQuota >= 0 || dsQuota >= 0)).as("hasQuota"),
         nsQuota.as("nsQuota"),
-        dsQuota.as("dsQuota"))
+        dsQuota.as("dsQuota"),
+        // extra full-fidelity column beyond the canonical schema: the
+        // snapshot projection drops it, EC-name reports keep it
+        coalesce(col("ecPolicyId"), lit(0L)).as("ecPolicyId"))
 
     // children counts: one groupBy over the edge table
     val children = links.groupBy(col("parentId"))
@@ -314,7 +319,7 @@ object FsImageXmlSource {
             when(!col("isFile"), coalesce(col("__nchild"), lit(0L)))
               .otherwise(0L).as("dirNumChildren")
           case c => col(c)
-        }: _*)
+        } :+ col("ecPolicyId"): _*)
   }
 
   // ---------------------------------------------------------------------------
@@ -331,7 +336,7 @@ WITH flat AS (
     'block_size':'BIGINT','num_blocks':'BIGINT','file_size':'BIGINT',
     'replication':'BIGINT','storage_policy':'BIGINT','is_ec':'BOOLEAN',
     'is_uc':'BOOLEAN','has_acl':'BOOLEAN','ns_quota':'BIGINT',
-    'ds_quota':'BIGINT','is_snap_root':'BOOLEAN'})
+    'ds_quota':'BIGINT','is_snap_root':'BOOLEAN','ec_policy':'BIGINT'})
 ), children AS (
   SELECT CASE WHEN length(path) - length(replace(path, '/', '')) = 1 THEN '/'
               ELSE substr(path, 1, length(path) - length(regexp_extract(path, '[^/]*$$')) - 1)
@@ -357,7 +362,7 @@ WITH flat AS (
     f.storage_policy AS storagePolicyId, f.is_uc AS isUnderConstruction,
     EXISTS (SELECT 1 FROM flat s WHERE s.is_snap_root
       AND (f.path = s.path OR f.path LIKE s.path || '/%')) AS isWithSnapshot,
-    f.has_acl AS hasAcl, f.is_ec AS hasEcPolicy,
+    f.has_acl AS hasAcl, f.is_ec AS hasEcPolicy, f.ec_policy AS ec_policy,
     (NOT f.is_file AND (f.ns_quota >= 0 OR f.ds_quota >= 0)) AS hasQuota,
     f.ns_quota AS nsQuota, f.ds_quota AS dsQuota,
     CASE WHEN NOT f.is_file AND (f.ns_quota >= 0 OR f.ds_quota >= 0)

@@ -70,7 +70,7 @@ rows = list(csv.DictReader(open(flat_path)))
 for r in rows:
     for k in ("id", "perm", "mtime_ms", "atime_ms", "block_size",
               "num_blocks", "file_size", "replication", "storage_policy",
-              "ns_quota", "ds_quota"):
+              "ns_quota", "ds_quota", "ec_policy"):
         r[k] = int(r[k])
     for k in ("is_file", "is_ec", "is_uc", "has_acl", "is_snap_root"):
         r[k] = r[k] == "true"
@@ -136,7 +136,7 @@ for r in rows:
             delimited(f, bytearray())  # empty AclFeatureProto: presence only
         uint_field(f, 10, r["storage_policy"])
         if r["is_ec"]:
-            uint_field(f, 12, 2)
+            uint_field(f, 12, r["ec_policy"])
         tag(m, 4, 2)
         delimited(m, f)
     else:

@@ -91,8 +91,11 @@ for i in range(N_FILES):
     uc = i % 11 == 6
     acl = i % 7 == 3
     repl = 0 if ec else i % 5 + 1
+    # real Hadoop built-in policy ids (SystemErasureCodingPolicies):
+    # 2=RS-3-2-1024k, 1=RS-6-3-1024k, 5=RS-10-4-1024k
+    ecpid = [2, 1, 5][(i // 9) % 3] if ec else 0
     files.append((fid, path, user, grp, perms[i % 4], mtime, atime, bs,
-                  blocks, spids[i % 6], ec, uc, acl, repl))
+                  blocks, spids[i % 6], ec, uc, acl, repl, ecpid))
 
 # ---- XML ----
 out = ['<?xml version="1.0"?>', "<fsimage>",
@@ -114,7 +117,7 @@ for (id_, path, user, grp, perm, mtime, nsq, dsq, _snap) in dirs:
         f"<nsquota>{nsq}</nsquota><dsquota>{dsq}</dsquota></inode>")
 
 for (fid, path, user, grp, perm, mtime, atime, bs, blocks, spid, ec, uc,
-     acl, repl) in files:
+     acl, repl, ecpid) in files:
     name = path.rsplit("/", 1)[1]
     parts = [f"<inode><id>{fid}</id><type>FILE</type><name>{name}</name>"]
     if not ec:
@@ -136,7 +139,7 @@ for (fid, path, user, grp, perm, mtime, atime, bs, blocks, spid, ec, uc,
                      "</file-under-construction>")
     parts.append(f"<storagePolicyId>{spid}</storagePolicyId>")
     if ec:
-        parts.append("<ecPolicyId>2</ecPolicyId>")
+        parts.append(f"<ecPolicyId>{ecpid}</ecPolicyId>")
     parts.append("</inode>")
     out.append("".join(parts))
 out.append("</INodeSection>")
@@ -174,18 +177,18 @@ out.append("</fsimage>")
 # ---- flat ground truth ----
 flat = ["id,path,is_file,usr,grp,perm,mtime_ms,atime_ms,block_size,"
         "num_blocks,file_size,replication,storage_policy,is_ec,is_uc,"
-        "has_acl,ns_quota,ds_quota,is_snap_root"]
+        "has_acl,ns_quota,ds_quota,is_snap_root,ec_policy"]
 for (id_, path, user, grp, perm, mtime, nsq, dsq, snap) in dirs:
     nsq_truth = -1 if nsq == QUOTA_UNLIMITED else nsq
     flat.append(f"{id_},{path},false,{user},{grp},{int(perm[-3:])},{mtime},"
                 f"{mtime},0,0,0,0,0,false,false,false,{nsq_truth},{dsq},"
-                f"{str(snap).lower()}")
+                f"{str(snap).lower()},0")
 for (fid, path, user, grp, perm, mtime, atime, bs, blocks, spid, ec, uc,
-     acl, repl) in files:
+     acl, repl, ecpid) in files:
     flat.append(f"{fid},{path},true,{user},{grp},{int(perm[-3:])},{mtime},"
                 f"{atime},{bs},{len(blocks)},{sum(blocks)},{repl},{spid},"
                 f"{str(ec).lower()},{str(uc).lower()},{str(acl).lower()},"
-                f"-1,-1,false")
+                f"-1,-1,false,{ecpid}")
 
 if len(sys.argv) > 2:
     xml_path, flat_path = sys.argv[2] + ".xml", sys.argv[2] + "_flat.csv"
