@@ -110,10 +110,10 @@ object FsImageBinary {
       .getOrElse(throw new IllegalArgumentException(s"$path: no INODE section"))
     val raf = new RandomAccessFile(path, "r")
     try {
-      raf.seek(sec.offset)
-      val bytes = new Array[Byte](sec.length.toInt)
-      raf.readFully(bytes)
-      val in = CodedInputStream.newInstance(bytes)
+      // stream-bounded like every other section read: a >2 GiB INODE
+      // section (real 300M-inode images) must never materialize as one
+      // byte[] (Int-capped) on the driver
+      val in = sectionStream(raf, sec)
       // INodeSection header (delimited)
       val hLen = in.readRawVarint32()
       val hLim = in.pushLimit(hLen)

@@ -157,6 +157,29 @@ class IngestSpec extends AnyFunSuite {
     assert(viaXml.size === 44)
   }
 
+  test("real-Hadoop sections are tolerated, never ingested as inodes") {
+    // the fixtures carry the sections a Hadoop-produced image has beyond
+    // the four the engine models: SNAPSHOT_DIFF (whose XML created-lists
+    // contain name-only <inode> stubs), INODE_REFERENCE, SECRET_MANAGER,
+    // CACHE_MANAGER, ERASURE_CODING, real packed ACL entries, xattr
+    // features, and STRIPED blockType on EC files. None of it may leak
+    // into the inode set or shift a decoded field.
+    val names = graft.ingest.FsImageBinary
+      .readSummary(IngestQueries.BinPath).sections.map(_.name)
+    assert(Seq("SNAPSHOT_DIFF", "INODE_REFERENCE", "SECRET_MANAGER",
+      "CACHE_MANAGER", "ERASURE_CODING").forall(names.contains), names)
+    val viaXml = graft.ingest.FsImageXmlSource
+      .inodes(spark, IngestQueries.XmlPath)
+    assert(viaXml.count() === 44) // diff-section ghost stubs dropped
+    assert(viaXml.where(col("name").startsWith("ghost_")).count() === 0)
+    // ACL presence decoded from REAL packed entries; EC policy ids from
+    // files that also carry blockType
+    assert(viaXml.where(col("hasAcl")).count() > 0)
+    assert(graft.ingest.FsImageBinary.inodes(spark, IngestQueries.BinPath)
+      .where(col("hasEcPolicy") && col("ecPolicyId").isin(1L, 2L, 5L))
+      .count() === 3)
+  }
+
   test("binary fsimage spike: summary + INODE section parse by field number") {
     // hand-rolled protobuf writer (varints only) building a minimal
     // uncompressed fsimage in the public container layout; the reader

@@ -132,10 +132,32 @@ for r in rows:
             tag(f, 7, 2)
             delimited(f, uc)
         if r["has_acl"]:
+            # AclFeatureProto: repeated fixed32 entries = 2 [packed] -
+            # REAL bit-packed entries (scope|type|perm|name-serial), as a
+            # Hadoop-produced image carries
+            acl = bytearray()
+            tag(acl, 2, 2)
+            entries = [0x02000006 | (r["id"] & 0xFF) << 6, 0x0A000004]
+            packed_acl = b"".join(struct.pack("<I", e) for e in entries)
+            varint(acl, len(packed_acl))
+            acl.extend(packed_acl)
             tag(f, 8, 2)
-            delimited(f, bytearray())  # empty AclFeatureProto: presence only
+            delimited(f, acl)
+        if r["has_acl"]:
+            # XAttrFeatureProto (field 9): one compact xattr - engines
+            # must skip features they do not model
+            xa = bytearray()
+            e = bytearray()
+            tag(e, 1, 5)
+            e.extend(struct.pack("<I", 0x04000001))
+            bytes_field(e, 2, b"v1")
+            tag(xa, 1, 2)
+            delimited(xa, e)
+            tag(f, 9, 2)
+            delimited(f, xa)
         uint_field(f, 10, r["storage_policy"])
         if r["is_ec"]:
+            uint_field(f, 11, 1)  # BlockTypeProto.STRIPED
             uint_field(f, 12, r["ec_policy"])
         tag(m, 4, 2)
         delimited(m, f)
@@ -146,8 +168,13 @@ for r in rows:
         uint_field(d, 3, r["ds_quota"])
         fixed64_field(d, 4, perm64)
         if r["has_acl"]:
+            acl = bytearray()
+            tag(acl, 2, 2)
+            packed_acl = struct.pack("<I", 0x02000007)
+            varint(acl, len(packed_acl))
+            acl.extend(packed_acl)
             tag(d, 5, 2)
-            delimited(d, bytearray())
+            delimited(d, acl)
         tag(m, 5, 2)
         delimited(m, d)
     delimited(inode_sec, m)
@@ -182,11 +209,50 @@ bytes_field(hdr, 2, bytes(packed))
 uint_field(hdr, 3, 0)  # numSnapshots
 delimited(snap_sec, hdr)
 
+# ---- SNAPSHOT_DIFF section: entries the engine does not model but a
+# real image carries (DiffEntry{type,inodeId} messages) ----
+sdiff_sec = bytearray()
+for did, dtype in ((rows[0]["id"], 1), (rows[1]["id"], 2)):
+    e = bytearray()
+    uint_field(e, 1, dtype)
+    uint_field(e, 2, did)
+    delimited(sdiff_sec, e)
+
+# ---- INODE_REFERENCE section ----
+ref_sec = bytearray()
+e = bytearray()
+uint_field(e, 1, 16402)            # referredId
+bytes_field(e, 2, b"renamed_in_snap")
+uint_field(e, 3, 0)                # dstSnapshotId
+uint_field(e, 4, 0)                # lastSnapshotId
+delimited(ref_sec, e)
+
+# ---- SECRET_MANAGER / CACHE_MANAGER / ERASURE_CODING headers ----
+secret_sec = bytearray()
+h = bytearray()
+uint_field(h, 1, 5)
+uint_field(h, 2, 12)
+delimited(secret_sec, h)
+cache_sec = bytearray()
+h = bytearray()
+uint_field(h, 1, 1)
+delimited(cache_sec, h)
+ec_sec = bytearray()
+pol = bytearray()
+uint_field(pol, 1, 1)
+bytes_field(pol, 2, b"RS-6-3-1024k")
+delimited(ec_sec, pol)
+
 # ---- container: magic, sections, FileSummary, 4-byte length ----
 out = bytearray(b"HDFSIMG1")
 sections = []
 for name, sec in (("STRING_TABLE", string_table), ("INODE", inode_sec),
-                  ("INODE_DIR", dir_sec), ("SNAPSHOT", snap_sec)):
+                  ("INODE_DIR", dir_sec), ("SNAPSHOT", snap_sec),
+                  ("SNAPSHOT_DIFF", sdiff_sec),
+                  ("INODE_REFERENCE", ref_sec),
+                  ("SECRET_MANAGER", secret_sec),
+                  ("CACHE_MANAGER", cache_sec),
+                  ("ERASURE_CODING", ec_sec)):
     sections.append((name, len(out), len(sec)))
     out.extend(sec)
 summary = bytearray()

@@ -172,6 +172,44 @@ uc_files = [f for f in files if f[11]]
 out.append("<FileUnderConstructionSection>" + "".join(
     f"<inode><id>{f[0]}</id><path>{f[1]}</path></inode>"
     for f in uc_files) + "</FileUnderConstructionSection>")
+
+# ---- real-Hadoop sections the engine must TOLERATE (robustness): a
+# SnapshotDiffSection whose created-lists contain name-only <inode> stubs
+# (they must not leak into the inode set - no <type>), an
+# INodeReferenceSection, SecretManager/CacheManager sections, and an
+# ErasureCodingSection with a full policy schema ----
+snap_root_id = snap_ids[0]
+out.append(
+    "<SnapshotDiffSection>"
+    f"<dirDiffEntry><inodeId>{snap_root_id}</inodeId><count>2</count>"
+    "<dirDiff><snapshotId>0</snapshotId><childrenSize>3</childrenSize>"
+    "<isSnapshotRoot/><name></name>"
+    "<created><inode><name>ghost_created.txt</name></inode>"
+    "<inode><name>ghost_created2.log</name></inode></created>"
+    "<deleted><inode><name>ghost_deleted.dat</name></inode></deleted>"
+    "</dirDiff></dirDiffEntry>"
+    f"<fileDiffEntry><inodeId>{files[0][0]}</inodeId><count>1</count>"
+    "<fileDiff><snapshotId>0</snapshotId><size>1024</size><name></name>"
+    "</fileDiff></fileDiffEntry>"
+    "</SnapshotDiffSection>")
+out.append(
+    "<INodeReferenceSection>"
+    "<ref><referredId>16402</referredId><name>renamed_in_snap</name>"
+    "<dstSnapshotId>0</dstSnapshotId><lastSnapshotId>0</lastSnapshotId></ref>"
+    "</INodeReferenceSection>")
+out.append(
+    "<SecretManagerSection><currentId>5</currentId>"
+    "<tokenSequenceNumber>12</tokenSequenceNumber><numDelegationKeys>0</numDelegationKeys>"
+    "<numTokens>0</numTokens></SecretManagerSection>")
+out.append(
+    "<CacheManagerSection><nextDirectiveId>1</nextDirectiveId>"
+    "<numDirectives>0</numDirectives><numPools>0</numPools></CacheManagerSection>")
+out.append(
+    "<ErasureCodingSection><erasureCodingPolicy><policyId>1</policyId>"
+    "<policyName>RS-6-3-1024k</policyName><cellSize>1048576</cellSize>"
+    "<policyState>ENABLED</policyState><ecSchema><codecName>rs</codecName>"
+    "<dataUnits>6</dataUnits><parityUnits>3</parityUnits></ecSchema>"
+    "</erasureCodingPolicy></ErasureCodingSection>")
 out.append("</fsimage>")
 
 # ---- flat ground truth ----
