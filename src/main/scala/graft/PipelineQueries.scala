@@ -923,6 +923,29 @@ object PipelineQueries {
         .crossJoin(index.agg(count(lit(1)).as("index_size")))
     }),
 
+    // the STREAMING shape of incremental dedup (DocsStream.nearDedupStream
+    // applies exactly this per microbatch): two sequential batches, each
+    // deduped against the index the previous one left behind — batch 2
+    // must see batch 1's survivors, not just the initial index
+    "dedup_incremental_stream" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx0 = pipeline.Dedup.minhashSignatures(
+        docs.where(col("doc_id") < 250), "doc_id", col("text"), 3, 64)
+      val b1 = docs.where(col("doc_id") >= 250 && col("doc_id") < 400)
+      val b2 = docs.where(col("doc_id") >= 400)
+      val (k1, i1) = pipeline.Dedup.incrementalDedup(
+        b1, "doc_id", col("text"), idx0, thresholdPpm = 500000L)
+      val (k2, i2) = pipeline.Dedup.incrementalDedup(
+        b2, "doc_id", col("text"), i1, thresholdPpm = 500000L)
+      b1.agg(count(lit(1)).as("n_b1"))
+        .crossJoin(k1.agg(count(lit(1)).as("n_kept1"),
+          expr("bit_xor(doc_id)").as("kept1_xor")))
+        .crossJoin(b2.agg(count(lit(1)).as("n_b2")))
+        .crossJoin(k2.agg(count(lit(1)).as("n_kept2"),
+          expr("bit_xor(doc_id)").as("kept2_xor")))
+        .crossJoin(i2.agg(count(lit(1)).as("index_size")))
+    }),
+
     // corpus-level census over the same stats: how much of the corpus is
     // boilerplate (≥50% repeated grams) vs fully unique
     "corpus_dup_ngram_census" -> ((s, d) =>
@@ -2138,6 +2161,56 @@ object PipelineQueries {
            (SELECT CAST(bit_xor(doc_id) AS BIGINT) FROM kept) AS kept_xor,
            (SELECT COUNT(*) FROM documents WHERE doc_id < 250)
              + (SELECT COUNT(*) FROM kept) AS index_size"""),
+
+    "dedup_incremental_stream" ->
+      (s"""WITH RECURSIVE $minhashCtes,
+         cross1 AS (SELECT DISTINCT idb AS did FROM mest
+           WHERE ida < 250 AND idb >= 250 AND idb < 400
+             AND est_jaccard_ppm >= 500000),
+         w1pairs AS (SELECT ida, idb FROM mest
+           WHERE ida >= 250 AND idb < 400 AND est_jaccard_ppm >= 500000
+             AND ida NOT IN (SELECT did FROM cross1)
+             AND idb NOT IN (SELECT did FROM cross1)),
+         w1edges AS (SELECT ida AS src, idb AS dst FROM w1pairs
+           UNION ALL SELECT idb, ida FROM w1pairs),
+         reach1 AS (SELECT DISTINCT src AS did, src AS label FROM w1edges
+           UNION SELECT e.dst AS did, r.label FROM reach1 r
+           JOIN w1edges e ON e.src = r.did),
+         losers1 AS (SELECT did FROM reach1 GROUP BY did
+           HAVING MIN(label) < did),
+         b1docs AS (SELECT doc_id FROM documents
+           WHERE doc_id >= 250 AND doc_id < 400),
+         kept1 AS (SELECT doc_id FROM b1docs
+           WHERE doc_id NOT IN (SELECT did FROM cross1)
+             AND doc_id NOT IN (SELECT did FROM losers1)),
+         idx1 AS (SELECT doc_id FROM documents WHERE doc_id < 250
+           UNION ALL SELECT doc_id FROM kept1),
+         cross2 AS (SELECT DISTINCT idb AS did FROM mest
+           WHERE idb >= 400 AND est_jaccard_ppm >= 500000
+             AND ida IN (SELECT doc_id FROM idx1)),
+         w2pairs AS (SELECT ida, idb FROM mest
+           WHERE ida >= 400 AND est_jaccard_ppm >= 500000
+             AND ida NOT IN (SELECT did FROM cross2)
+             AND idb NOT IN (SELECT did FROM cross2)),
+         w2edges AS (SELECT ida AS src, idb AS dst FROM w2pairs
+           UNION ALL SELECT idb, ida FROM w2pairs),
+         reach2 AS (SELECT DISTINCT src AS did, src AS label FROM w2edges
+           UNION SELECT e.dst AS did, r.label FROM reach2 r
+           JOIN w2edges e ON e.src = r.did),
+         losers2 AS (SELECT did FROM reach2 GROUP BY did
+           HAVING MIN(label) < did),
+         b2docs AS (SELECT doc_id FROM documents WHERE doc_id >= 400),
+         kept2 AS (SELECT doc_id FROM b2docs
+           WHERE doc_id NOT IN (SELECT did FROM cross2)
+             AND doc_id NOT IN (SELECT did FROM losers2))
+         SELECT (SELECT COUNT(*) FROM b1docs) AS n_b1,
+           (SELECT COUNT(*) FROM kept1) AS n_kept1,
+           (SELECT CAST(bit_xor(doc_id) AS BIGINT) FROM kept1) AS kept1_xor,
+           (SELECT COUNT(*) FROM b2docs) AS n_b2,
+           (SELECT COUNT(*) FROM kept2) AS n_kept2,
+           (SELECT CAST(bit_xor(doc_id) AS BIGINT) FROM kept2) AS kept2_xor,
+           (SELECT COUNT(*) FROM idx1)
+             + (SELECT COUNT(*) FROM kept2) AS index_size"""),
 
     "corpus_dup_ngram_census" ->
       (s"WITH ${shingleCtes(5)}, " +

@@ -42,15 +42,62 @@ object DocsStream {
       .withWatermark("arrival", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  // ---- versioned-index plumbing, routed through the Hadoop FS layer so
+  // indexDir may live on HDFS/S3A exactly like the parquet data (a
+  // java.io.File CURRENT on a non-local URI would silently never be
+  // found and every batch would dedup against an empty index) ----
+
+  private def hadoopFs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Version name in the CURRENT pointer, if any. */
+  def readPointer(spark: SparkSession, indexDir: String): Option[String] = {
+    val (fs, root) = hadoopFs(spark, indexDir)
+    val cur = new org.apache.hadoop.fs.Path(root, "CURRENT")
+    if (!fs.exists(cur)) None
+    else {
+      val in = fs.open(cur)
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      finally in.close()
+      Some(new String(buf.toByteArray, "UTF-8").trim)
+    }
+  }
+
+  /** Atomically point CURRENT at `version`: write a temp file, rename with
+    * OVERWRITE via `FileContext` (atomic on HDFS and the local FS — a
+    * plain `FileSystem.rename` refuses an existing destination). */
+  def swapPointer(spark: SparkSession, indexDir: String,
+                  version: String): Unit = {
+    val (fs, root) = hadoopFs(spark, indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(root, "CURRENT.tmp")
+    val cur = new org.apache.hadoop.fs.Path(root, "CURRENT")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(root.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Best-effort sweep of non-current versioned dirs matching `prefix`. */
+  def sweepStale(spark: SparkSession, indexDir: String, keep: String,
+                 prefix: String = "v"): Unit = {
+    val (fs, root) = hadoopFs(spark, indexDir)
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(prefix) && n != keep)
+        fs.delete(st.getPath, true)
+    }
+    ()
+  }
+
   /** The signature-index version `indexDir`'s CURRENT pointer names, if
     * any — the index other jobs (backfills, audits) should join against. */
-  def currentIndex(spark: SparkSession, indexDir: String): Option[DataFrame] = {
-    val current = new java.io.File(indexDir, "CURRENT")
-    if (!current.exists()) None
-    else Some(spark.read.parquet(new java.io.File(indexDir,
-      new String(java.nio.file.Files.readAllBytes(current.toPath),
-        "UTF-8").trim).toString))
-  }
+  def currentIndex(spark: SparkSession, indexDir: String): Option[DataFrame] =
+    readPointer(spark, indexDir).map(v =>
+      spark.read.parquet(s"$indexDir/$v"))
 
   /** Streaming NEAR-dedup at the door: each microbatch runs
     * [[graft.pipeline.Dedup.incrementalDedup]] against the persisted
@@ -82,19 +129,11 @@ object DocsStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val root = new java.io.File(indexDir)
-        root.mkdirs()
-        val currentFile = new java.io.File(root, "CURRENT")
-        val currentVersion =
-          if (currentFile.exists())
-            Some(new String(java.nio.file.Files.readAllBytes(
-              currentFile.toPath), "UTF-8").trim)
-          else None
+        val currentVersion = readPointer(spark, indexDir)
         val vNew = s"v$batchId"
         if (!currentVersion.contains(vNew)) {
           val keptSigs = currentVersion match {
-            case Some(v) =>
-              spark.read.parquet(new java.io.File(root, v).toString)
+            case Some(v) => spark.read.parquet(s"$indexDir/$v")
             case None => spark.emptyDataFrame
               .select(lit(0L).as("did"),
                 array().cast("array<bigint>").as("sig"))
@@ -104,24 +143,78 @@ object DocsStream {
             "doc_id", col("text"), keptSigs, shingleN, perms,
             thresholdPpm = thresholdPpm, bands = bands)
           kept.write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
-          index.write.mode("overwrite")
-            .parquet(new java.io.File(root, vNew).toString)
-          val tmp = new java.io.File(root, "CURRENT.tmp")
-          java.nio.file.Files.write(tmp.toPath, vNew.getBytes("UTF-8"))
-          java.nio.file.Files.move(tmp.toPath, currentFile.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          index.write.mode("overwrite").parquet(s"$indexDir/$vNew")
+          swapPointer(spark, indexDir, vNew)
           // stale versions cleaned only AFTER the swap — best-effort
           // sweep of every non-current version, so a crash mid-cleanup
           // strands nothing past the next successful batch
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(); ()
-          }
-          root.listFiles().filter(f => f.isDirectory &&
-            f.getName.startsWith("v") && f.getName != vNew).foreach(rm)
+          sweepStale(spark, indexDir, keep = vNew)
         }
         ()
       }
       .start()
+
+  /** Streaming maintenance of the IVF cell-assignment index: each
+    * microbatch of embeddings is assigned to its coarse cell — the same
+    * shuffle-free codegen'd projection as the batch
+    * [[graft.pipeline.Similarity.ivfAssign]] — and APPENDED as a delta
+    * (`delta_b<id>/`, overwrite mode so a replayed batch rewrites itself);
+    * every `compactEvery` batches the base + deltas compact into one new
+    * versioned base behind the same atomically-swapped CURRENT pointer as
+    * [[nearDedupStream]]. Centroids are FIXED at stream start — the
+    * production pattern (the coarse quantizer trains offline; retraining
+    * is a new index, not an in-place mutation), which is also what keeps
+    * per-batch work a projection: no shuffle, no state store, state size
+    * zero. ANN queries serve from base ∪ deltas ([[currentIvfIndex]]) and
+    * are never blocked by compaction. */
+  def ivfAssignStream(emb: DataFrame, cents: Seq[(Long, Array[Double])],
+                      indexDir: String, checkpointDir: String,
+                      compactEvery: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val assigned = batch.select(
+          element_at(graft.functions.NearestCentroids.nearest_centroids(
+            col("embedding"), cents, 1), 1).as("cell"),
+          col("vec_id"))
+        assigned.write.mode("overwrite")
+          .parquet(s"$indexDir/delta_b$batchId")
+        if (batchId % compactEvery == (compactEvery - 1).toLong) {
+          val vNew = s"v$batchId"
+          if (!readPointer(spark, indexDir).contains(vNew)) {
+            currentIvfIndex(spark, indexDir).foreach { all =>
+              all.write.mode("overwrite").parquet(s"$indexDir/$vNew")
+              swapPointer(spark, indexDir, vNew)
+              sweepStale(spark, indexDir, keep = vNew)
+              // deltas folded into the new base are swept LAST: a crash
+              // before this point serves (new base ∪ old deltas) — vec_ids
+              // appear twice but with identical cells, and the next
+              // compaction re-dedups by (cell, vec_id)
+              sweepStale(spark, indexDir, keep = "", prefix = "delta_b")
+            }
+          }
+        }
+        ()
+      }
+      .start()
+
+  /** The queryable IVF assignment set: compacted base (CURRENT) ∪ live
+    * deltas, distinct on (cell, vec_id) — duplicates can exist only as
+    * identical rows in the crash window between base write and delta
+    * sweep. */
+  def currentIvfIndex(spark: SparkSession,
+                      indexDir: String): Option[DataFrame] = {
+    val (fs, root) = hadoopFs(spark, indexDir)
+    if (!fs.exists(root)) return None
+    val deltas = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_b"))
+      .map(_.getPath.toString)
+    val base = readPointer(spark, indexDir)
+      .map(v => spark.read.parquet(s"$indexDir/$v"))
+    val parts = base.toSeq ++ deltas.toSeq.sorted.map(spark.read.parquet(_))
+    if (parts.isEmpty) None
+    else Some(parts.reduce(_ unionByName _).distinct())
+  }
 }

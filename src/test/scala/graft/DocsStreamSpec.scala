@@ -131,6 +131,60 @@ class DocsStreamSpec extends AnyFunSuite {
     assert(versions === Set("v1"), s"stale versions not swept: $versions")
   }
 
+  test("streaming IVF assignment equals batch ivfAssign; deltas compact " +
+    "behind the CURRENT pointer") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    def vec(i: Long): Seq[Float] =
+      Seq.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat / 13f)
+    def write(name: String, ids: Seq[Long], mtime: Long): Unit = {
+      val staging = tmp + "/stage_" + name
+      ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dest = java.nio.file.Paths.get(tmp, name + ".parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // 4 files → 4 microbatches; compactEvery=2 → compactions at b1, b3
+    val tranches = (0 until 4).map(b =>
+      (b.toLong * 25 until (b + 1).toLong * 25).toSeq)
+    tranches.zipWithIndex.foreach { case (ids, b) =>
+      write(s"e$b", ids, 1000000L * (b + 1))
+    }
+    val full = tranches.flatten.map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.pipeline.Similarity.centroids(full, 4)
+    val emb = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "e*.parquet")
+      .parquet(tmp)
+    val out = java.nio.file.Files.createTempDirectory("ivfstream_out").toString
+    val q = DocsStream.ivfAssignStream(emb, cents,
+      out + "/index", out + "/ckpt", compactEvery = 2)
+    q.processAllAvailable(); q.stop()
+    val streamed = DocsStream.currentIvfIndex(spark, out + "/index").get
+      .select("cell", "vec_id").as[(Long, Long)].collect().toSet
+    val batch = graft.pipeline.Similarity.ivfAssign(full, cents)
+      .select(col("cell"), col("nid")).as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 100)
+    // compacted: one base version named by the pointer, no live deltas
+    val names = new java.io.File(out + "/index").listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith("delta_b")),
+      s"deltas not swept: ${names.toSeq}")
+    val v = DocsStream.readPointer(spark, out + "/index").get
+    assert(names.contains(v))
+  }
+
   test("in-horizon duplicates are dropped in-flight") {
     import spark.implicits._
     // 200 docs, 100 distinct texts, all within one hour: one survivor each
