@@ -54,6 +54,12 @@ case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
     val n = a.numElements()
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
+    // fail LOUDLY on short vectors: silently skipping missing components
+    // would hand a corrupt/truncated embedding plausible-looking codes —
+    // at 100 TB a dimension mismatch is a data bug worth surfacing
+    if (n < m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_codes: embedding has $n components, codebooks need ${m * subDim}")
     val codes = new Array[Long](m)
     var s = 0
     while (s < m) {
@@ -66,7 +72,7 @@ case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
         val e = cb(c)
         var dist = 0.0
         var i = 0
-        while (i < subDim && off + i < n) {
+        while (i < subDim) {
           val xv = if (f) a.getFloat(off + i).toDouble else a.getDouble(off + i)
           val d = xv - e(i)
           dist += d * d

@@ -30,20 +30,32 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Truncating bucket division with a per-row sign guard: `div`
+    * truncates toward zero, so on a NEGATIVE value it disagrees with
+    * floor and the point lands in a different bucket than the interval
+    * explode covers — qualifying pairs would be SILENTLY dropped. The
+    * guard turns that into a loud failure (one branch per row, stays in
+    * codegen). `floor(x / w)` is no alternative: double division loses
+    * exactness past 2^53, which epoch-nanos exceed. */
+  private def guardedBucket(c: String, w: Long): String =
+    s"CASE WHEN `$c` < 0 THEN raise_error(" +
+      s"'rangeJoin: negative $c — truncating div disagrees with floor') " +
+      s"ELSE `$c` div $w END"
+
   /** Inner point-in-interval join. `points`/`intervals` must already carry
     * distinct column names; every column of both survives on the output.
     * Bucket ids use integer `div` (NOT `floor(x / w)` — double division
-    * loses exactness past 2⁵³, which epoch-nanos exceed); values must be
-    * non-negative, where truncation and floor agree. */
+    * loses exactness past 2⁵³, which epoch-nanos exceed); negative
+    * values fail fast via [[guardedBucket]]. */
   def rangeJoin(points: DataFrame, pointCol: String,
                 intervals: DataFrame, startCol: String, endCol: String,
                 bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val iv = intervals.withColumn("__bucket",
-      explode(sequence(expr(s"`$startCol` div $bucketWidth"),
+      explode(sequence(expr(guardedBucket(startCol, bucketWidth)),
         expr(s"`$endCol` div $bucketWidth"))))
     val pt = points.withColumn("__bucket",
-      expr(s"`$pointCol` div $bucketWidth"))
+      expr(guardedBucket(pointCol, bucketWidth)))
     pt.join(iv.hint("shuffle_hash"), Seq("__bucket"))
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
@@ -62,7 +74,7 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def buckets(df: DataFrame, s: String, e: String): DataFrame =
       df.withColumn("__bucket",
-        explode(sequence(expr(s"`$s` div $bucketWidth"),
+        explode(sequence(expr(guardedBucket(s, bucketWidth)),
           expr(s"`$e` div $bucketWidth"))))
     buckets(left, leftStart, leftEnd)
       .join(buckets(right, rightStart, rightEnd).hint("shuffle_hash"),

@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   * Chain semantics: GREEDY EARLIEST — t₁ is the user's first step-1
   * event; t_k is the first step-k event strictly after t_{k−1} and
   * strictly inside (t₁, t₁ + window). Deterministic and order-defined,
-  * so the whole operator mirrors in SQL for the oracle. (A later t₁ can
-  * in principle reach deeper — the greedy chain is the standard
-  * implementations' behavior, documented here rather than hidden.)
+  * so the whole operator mirrors in SQL for the oracle. NOTE: these
+  * semantics deliberately DIFFER from ClickHouse's windowFunnel, which
+  * effectively considers later chain starts too (any-start maximal
+  * chain): a user whose first signup's window expires but whose second
+  * signup completes the funnel is under-reported by greedy-earliest.
+  * The oracle mirrors the same greedy rule, so the check is
+  * self-consistent; an any-start variant would add one more
+  * conditional-min pass per step anchored at each step-1 event.
   *
   * Shape at scale: one conditional-min hash aggregation per step, all
   * keyed on the user id — k linear passes over the event log with

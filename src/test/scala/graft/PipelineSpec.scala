@@ -927,6 +927,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSet === Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L)))
   }
 
+  test("range join: negative values fail loudly instead of dropping pairs") {
+    // div truncates toward zero: point -5 would land in bucket 0 while a
+    // floor-consistent explode covers bucket -1 — pairs silently lost.
+    // The guard raises instead.
+    val pts = Seq((1L, -5L)).toDF("pid", "p")
+    val ivs = Seq((100L, -8L, 2L)).toDF("iid", "s", "e")
+    val e = intercept[Exception] {
+      graft.operators.RangeJoin.rangeJoin(pts, "p", ivs, "s", "e", 10L)
+        .collect()
+    }
+    assert(e.getMessage.contains("negative"))
+  }
+
+  test("pq_codes fails loudly on a truncated embedding") {
+    val cbs = Array.fill(2)(Array(Array(0.0, 0.0))) // m=2, subDim=2 → needs 4
+    val short = Seq((1L, Seq(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      short.select(graft.functions.PqCodes.pq_codes($"embedding", cbs))
+        .collect()
+    }
+    assert(e.getMessage.contains("pq_codes") ||
+      e.getCause != null && e.getCause.getMessage.contains("pq_codes"))
+  }
+
   test("overlap join: exactly-once via canonical bucket, closed bounds") {
     val l = Seq((1L, 0L, 35L), (2L, 40L, 45L)).toDF("lid", "ls", "le")
     val r = Seq((10L, 15L, 60L), (11L, 36L, 39L), (12L, 0L, 100L))
