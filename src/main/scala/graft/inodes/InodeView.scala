@@ -237,10 +237,15 @@ object InodeView {
         lit(false).as("hasQuota"), lit(0L).as("subBytes"))
 
     val all = d3.unionAll(d2).unionAll(d1)
-    // Dir cardinality is bounded by the tree shape (~700), so a global
-    // window for id assignment is safe at any data scale.
+    // Dir cardinality is bounded by the tree shape (~700), so a
+    // single-partition window for id assignment is safe at any data
+    // scale. Partitioning by a constant-valued (but non-literal)
+    // expression declares that single partition explicitly — same plan
+    // shape, but no spurious `WindowExec: No Partition Defined` warning
+    // drowning out REAL global-window hazards on every snapshot load.
     all
-      .withColumn("id", lit(1000000000L) + row_number().over(Window.orderBy("path")).cast("long"))
+      .withColumn("id", lit(1000000000L) + row_number().over(
+        Window.partitionBy(col("path").isNull).orderBy("path")).cast("long"))
       .select(
         col("id"), col("path"), col("name"), col("parent"), col("depth"),
         lit(false).as("isFile"),
