@@ -486,7 +486,27 @@ object NNAQueries {
       graft.operators.SnapshotDiff.growthByDir(
         graft.operators.SnapshotDiff.diff(
           graft.inodes.SnapshotFixture.previous(s, d), inodes(s, d)),
-        depth = 2))
+        depth = 2)),
+
+    // Multi-cycle trend analytics over the derived history table
+    // (`HsqlDriver.java` keeps exactly this per-cycle per-user shape; its
+    // dashboards answer "who is growing and how fast"). First the history
+    // table itself — a fixture-parity pinpoint — then the per-user
+    // regression and the one-row census.
+    "nna_history_cycles" -> ((s, d) =>
+      graft.inodes.HistoryFixture.cycles(s, d)),
+
+    "nna_trend_per_user" -> ((s, d) =>
+      graft.operators.TrendAnalysis.trend(
+        graft.inodes.HistoryFixture.cycles(s, d),
+        keys = Seq("user"), x = "cycle", ys = Seq("bytes", "files"))),
+
+    "nna_trend_census" -> ((s, d) =>
+      graft.operators.TrendAnalysis.census(
+        graft.operators.TrendAnalysis.trend(
+          graft.inodes.HistoryFixture.cycles(s, d),
+          keys = Seq("user"), x = "cycle", ys = Seq("bytes", "files")),
+        y = "bytes"))
   )
 
   // ---------------------------------------------------------------------
@@ -913,7 +933,7 @@ object NNAQueries {
        "SELECT regexp_extract(realUser, '^([^/@]+)', 1), issueDate FROM tok " +
        "WHERE realUser IS NOT NULL AND realUser <> '' AND realUser <> owner) " +
        "SELECT \"user\", MAX(issueDate) AS last_seen FROM u GROUP BY \"user\"")
-  ) ++ snapshotDiffOracles
+  ) ++ snapshotDiffOracles ++ trendOracles
 
   /** Oracles for the snapshot-delta family: the inode CTE plus the
     * snap_a / snap_diff CTEs ([[graft.inodes.SnapshotFixture]]). */
@@ -943,5 +963,61 @@ object NNAQueries {
       "CAST(SUM(CASE WHEN change = 'modified' THEN 1 ELSE 0 END) AS BIGINT) AS filesModified " +
       "FROM snap_diff WHERE isFile AND len(string_split(path, '/')) - 1 > 2 " +
       "GROUP BY 1")
+  )
+
+  /** Oracles for the trend family: the inode CTE plus the `hist` CTE
+    * ([[graft.inodes.HistoryFixture]]). HUGEINT keeps `n·Σxy - Σx·Σy`
+    * exact; `//` only ever divides non-negative values (the CASE mirrors
+    * [[graft.operators.TrendAnalysis.slopeMilli]]'s truncation toward
+    * zero, where floor and truncation coincide). */
+  private def histOracle(select: String): String =
+    InodeView.oracleCte + graft.inodes.HistoryFixture.oracleHistCte() + select
+
+  private def trendSlope(num: String, den: String): String =
+    s"CAST(CASE WHEN $num >= 0 THEN (1000 * ($num)) // ($den) " +
+    s"ELSE -((1000 * (-($num))) // ($den)) END AS BIGINT)"
+
+  // def, not val: evaluated during `oracleSql`'s init (see above)
+  private def trendCte: String =
+    """
+, tagg AS (
+  SELECT "user",
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(cycle) AS BIGINT) AS sx,
+    CAST(SUM(cycle * cycle) AS BIGINT) AS sxx,
+    arg_min(bytes, cycle) AS bytesFirst, arg_max(bytes, cycle) AS bytesLast,
+    CAST(SUM(CAST(bytes AS HUGEINT)) AS HUGEINT) AS sy_bytes,
+    CAST(SUM(CAST(cycle AS HUGEINT) * bytes) AS HUGEINT) AS sxy_bytes,
+    arg_min(files, cycle) AS filesFirst, arg_max(files, cycle) AS filesLast,
+    CAST(SUM(CAST(files AS HUGEINT)) AS HUGEINT) AS sy_files,
+    CAST(SUM(CAST(cycle AS HUGEINT) * files) AS HUGEINT) AS sxy_files
+  FROM hist GROUP BY "user"
+), trend AS (
+  SELECT "user", n AS nCycles, bytesFirst, bytesLast,
+    bytesLast - bytesFirst AS bytesDelta,
+    """ + trendSlope("n * sxy_bytes - sx * sy_bytes", "n * sxx - sx * sx") +
+    """ AS bytesSlopeMilli,
+    filesFirst, filesLast, filesLast - filesFirst AS filesDelta,
+    """ + trendSlope("n * sxy_files - sx * sy_files", "n * sxx - sx * sx") +
+    """ AS filesSlopeMilli
+  FROM tagg
+)
+"""
+
+  private def trendOracles: Map[String, String] = Map(
+    "nna_history_cycles" -> histOracle(
+      "SELECT cycle, \"user\", files, bytes FROM hist"),
+
+    "nna_trend_per_user" -> histOracle(trendCte +
+      "SELECT \"user\", nCycles, bytesFirst, bytesLast, bytesDelta, " +
+      "bytesSlopeMilli, filesFirst, filesLast, filesDelta, filesSlopeMilli " +
+      "FROM trend"),
+
+    "nna_trend_census" -> histOracle(trendCte +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS nKeys, " +
+      "CAST(SUM(CASE WHEN bytesSlopeMilli > 0 THEN 1 ELSE 0 END) AS BIGINT) AS growing, " +
+      "CAST(SUM(CASE WHEN bytesSlopeMilli < 0 THEN 1 ELSE 0 END) AS BIGINT) AS shrinking, " +
+      "CAST(SUM(CASE WHEN bytesSlopeMilli = 0 THEN 1 ELSE 0 END) AS BIGINT) AS flat, " +
+      "CAST(SUM(bytesDelta) AS BIGINT) AS netDelta FROM trend")
   )
 }

@@ -370,6 +370,20 @@ object PipelineQueries {
         Tables.embeddings(s, d), 400000L, planes = 6, bands = 8)
         .orderBy("ida", "idb")),
 
+    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    // near-dup search only WITHIN an IVF cell, keep the least-central
+    // member of each duplicate pair. Same 0.40 exact-cosine threshold as
+    // emb_near_dup; nlist=16 over the 500-vector fixture (the paper's
+    // lever is nlist ∝ N). Census + the dropped rows themselves.
+    "emb_semdedup_census" -> ((s, d) =>
+      pipeline.Similarity.semDeDupCensus(
+        Tables.embeddings(s, d), nlist = 16, thresholdPpm = 400000L)),
+
+    "emb_semdedup_drops" -> ((s, d) =>
+      pipeline.Similarity.semDeDupDrops(
+        Tables.embeddings(s, d), nlist = 16, thresholdPpm = 400000L)
+        .orderBy("nid")),
+
     // MODEL-FREE text embeddings (feature hashing, Weinberger et al.
     // 2009): every embedding operator applies to corpora with no
     // embedding model — here the full near-dup sweep over hashed
@@ -1200,6 +1214,40 @@ object PipelineQueries {
          FROM sband a JOIN sband b ON a.b = b.b AND a.v = b.v
            AND a.doc_id < b.doc_id)"""
 
+  /** CTEs `sd_drops(nid, cell, cent_ppm)` mirroring
+    * [[graft.pipeline.Similarity.semDeDupDrops]]: seeded-centroid cell
+    * assignment ranked by the exact double cosine (tie → lower cell id,
+    * matching `NearestCentroids`), within-cell pairs at ≥ thresholdPpm,
+    * drop the pair member more similar to the centroid (tie → higher id). */
+  private def semDeDupSql(nlist: Int, thresholdPpm: Long): String =
+    s"""sd_cent AS (
+         SELECT vec_id AS cell,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         FROM embeddings ORDER BY vec_id LIMIT $nlist),
+       sd_asg AS (
+         SELECT cell, nid, ne,
+           CAST(FLOOR(csim * 1000000) AS BIGINT) AS cent_ppm FROM (
+           SELECT ct.cell, e.vec_id AS nid, e.embedding AS ne,
+             ${cosDSql("e.embedding", "ct.cent")} AS csim,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosDSql("e.embedding", "ct.cent")} DESC,
+                        ct.cell ASC) AS rk
+           FROM embeddings e CROSS JOIN sd_cent ct) WHERE rk = 1),
+       sd_pairs AS (
+         SELECT a.cell, a.nid AS ida, b.nid AS idb,
+           a.cent_ppm AS ca, b.cent_ppm AS cb
+         FROM sd_asg a JOIN sd_asg b ON a.cell = b.cell AND a.nid < b.nid
+         WHERE CAST(FLOOR(${cosDSql("a.ne", "b.ne")} * 1000000) AS BIGINT)
+           >= $thresholdPpm),
+       sd_drops AS (
+         SELECT DISTINCT
+           CASE WHEN ca < cb THEN idb WHEN cb < ca THEN ida
+                ELSE idb END AS nid,
+           cell,
+           CASE WHEN ca < cb THEN cb WHEN cb < ca THEN ca
+                ELSE cb END AS cent_ppm
+         FROM sd_pairs)"""
+
   /** Double-precision sequential cosine fold — bit-identical to
     * [[graft.functions.CosineSimilarity]] (list_reduce is left-to-right;
     * `0.0 + e1 == e1` so the missing init value changes nothing). */
@@ -1914,6 +1962,17 @@ object PipelineQueries {
     "emb_near_dup" ->
       (s"WITH ${semanticNdSql(6, 8, 400000L)} " +
        "SELECT ida, idb, sim_ppm FROM nd ORDER BY ida, idb"),
+
+    "emb_semdedup_census" ->
+      (s"WITH ${semDeDupSql(16, 400000L)} " +
+       "SELECT (SELECT COUNT(*) FROM embeddings) AS total_vecs, " +
+       "(SELECT COUNT(*) FROM embeddings) - (SELECT COUNT(*) FROM sd_drops) AS kept_vecs, " +
+       "(SELECT COUNT(*) FROM sd_drops) AS dropped_vecs, " +
+       "(SELECT COUNT(DISTINCT cell) FROM sd_drops) AS cells_with_dups"),
+
+    "emb_semdedup_drops" ->
+      (s"WITH ${semDeDupSql(16, 400000L)} " +
+       "SELECT nid, cell, cent_ppm FROM sd_drops ORDER BY nid"),
 
     "dedup_semantic_verified" ->
       (s"WITH ${semanticNdSql(6, 8, 400000L)}, " +

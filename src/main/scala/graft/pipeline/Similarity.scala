@@ -666,4 +666,84 @@ object Similarity {
       .where(col("sim_ppm") >= thresholdPpm)
       .select("ida", "idb", "sim_ppm")
   }
+
+  // ---- SemDeDup: cluster-scoped semantic dedup ----
+
+  /** Corpus with IVF cell id AND the floored-ppm cosine to the assigned
+    * cell's centroid: `(cell, nid, ne, cent_ppm)`. The assignment is the
+    * shuffle-free [[ivfAssign]] projection; the centroid similarity is one
+    * broadcast join against the nlist-row centroid table. */
+  private def assignWithCentSim(corpus: DataFrame,
+                                cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = cents.map { case (id, arr) => (id, arr.toSeq) }
+      .toDF("cell", "cent")
+    ivfAssign(corpus, cents)
+      .join(broadcast(centDf), Seq("cell"))
+      // float→double widening is exact, so this matches the oracle's
+      // CAST(x AS DOUBLE) bit-for-bit
+      .withColumn("cent_ppm",
+        floor(cosine(col("ne").cast("array<double>"), col("cent"))
+          * 1000000.0).cast("long"))
+      .select(col("cell"), col("nid"), col("ne"), col("cent_ppm"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embeddings are
+    * clustered; near-duplicate pairs are searched ONLY within a cluster;
+    * from each duplicate pair the member MORE similar to its cluster
+    * centroid is dropped — keeping the least-central (most diverse)
+    * example, the paper's keep rule. Deterministic tiebreak: equal
+    * centroid similarity drops the higher id.
+    *
+    * Output: the dropped rows, `(nid, cell, cent_ppm)`.
+    *
+    * 100 TB shape: the cluster assignment is a shuffle-free projection
+    * ([[graft.functions.NearestCentroids]]); the pair search is a
+    * cell-keyed self-join, so candidate work is Σ|cell|² — the paper's
+    * own scaling lever is nlist ∝ N (it runs k ≈ 50k clusters at 100M+
+    * docs), which keeps cells near-constant-sized and the join linear.
+    * Skewed cells can additionally reuse the hot-bucket cap
+    * ([[graft.pipeline.Dedup]]). Here nlist is a parameter; the fixture
+    * uses the deterministic seeded quantizer so the whole operator
+    * mirrors in SQL. */
+  def semDeDupDrops(corpus: DataFrame, nlist: Int,
+                    thresholdPpm: Long): DataFrame = {
+    val asg = assignWithCentSim(corpus, centroids(corpus, nlist))
+    val a = asg.select(col("cell"), col("nid").as("ida"),
+      col("ne").as("ea"), col("cent_ppm").as("ca"))
+    val b = asg.select(col("cell"), col("nid").as("idb"),
+      col("ne").as("eb"), col("cent_ppm").as("cb"))
+    // symmetric corpus-sized self-join: shuffled hash, never broadcast
+    // (same stats hazard as embNearDup above)
+    val pairs = a.join(b.hint("shuffle_hash"), Seq("cell"))
+      .where(col("ida") < col("idb"))
+      .where(floor(cosine(col("ea"), col("eb")) * 1000000.0)
+        .cast("long") >= thresholdPpm)
+    pairs
+      .select(col("cell"),
+        when(col("ca") < col("cb"), col("idb"))
+          .when(col("cb") < col("ca"), col("ida"))
+          .otherwise(col("idb")).as("nid"),
+        when(col("ca") < col("cb"), col("cb"))
+          .when(col("cb") < col("ca"), col("ca"))
+          .otherwise(col("cb")).as("cent_ppm"))
+      .dropDuplicates("nid")
+      .select(col("nid"), col("cell"), col("cent_ppm"))
+  }
+
+  /** One-row SemDeDup census: corpus size, kept/dropped counts, and how
+    * many cells contained duplicates. */
+  def semDeDupCensus(corpus: DataFrame, nlist: Int,
+                     thresholdPpm: Long): DataFrame = {
+    val drops = semDeDupDrops(corpus, nlist, thresholdPpm)
+    val d = drops.agg(
+      count(lit(1)).as("dropped_vecs"),
+      countDistinct(col("cell")).as("cells_with_dups"))
+    val t = corpus.agg(count(lit(1)).as("total_vecs"))
+    t.crossJoin(d).select(
+      col("total_vecs"),
+      (col("total_vecs") - col("dropped_vecs")).as("kept_vecs"),
+      col("dropped_vecs"), col("cells_with_dups"))
+  }
 }

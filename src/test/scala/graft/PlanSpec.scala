@@ -261,4 +261,41 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size <= 2,
       s"retention must shuffle the corpus exactly once:\n$plan")
   }
+
+  test("trend: history + regression is two partial+final aggregations, " +
+       "no join, no window") {
+    freshSnapshot()
+    val plan = formatted("nna_trend_per_user")
+    // judge only the plan above the cached snapshot scan
+    val afterScan = plan.substring(0, plan.indexOf("InMemoryTableScan"))
+    assert(!afterScan.contains("Join") && !afterScan.contains("Window"),
+      s"trend must be pure aggregation:\n$afterScan")
+    // namespace→history collapses map-side (cycles×users rows through the
+    // wire), history→trend is history-sized; anything beyond these two
+    // exchanges means a lost partial agg
+    assert("Exchange".r.findAllIn(afterScan).size === 2,
+      s"trend must shuffle exactly twice (history, then per-key):\n$afterScan")
+    assert("HashAggregate".r.findAllIn(afterScan).size === 4,
+      s"both aggregations must be partial+final:\n$afterScan")
+  }
+
+  test("semdedup: cell self-join stays shuffled-hash; corpus never " +
+       "broadcasts") {
+    val df = PipelineQueries.queries("emb_semdedup_drops")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only broadcasts allowed are the nlist-row centroid table (it
+    // appears once per self-join side): every BroadcastExchange must feed
+    // from a LocalTableScan, never from the parquet corpus
+    val lines = plan.linesIterator.toSeq
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+      case (_, i) =>
+        val below = lines.drop(i + 1).take(2).mkString("\n")
+        assert(below.contains("LocalTableScan"),
+          s"corpus-sized broadcast at line $i:\n$plan")
+    }
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the within-cell pair join must be shuffled-hash:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"no cross product anywhere in semdedup:\n$plan")
+  }
 }
