@@ -17,6 +17,17 @@ object PipelineQueries {
   private def revenueCents = round(col("l_extendedprice") * 100).cast("long") *
     (lit(100L) - round(col("l_discount") * 100).cast("long"))
 
+  /** 60 9×7-pixel image specs for the perceptual-dedup fixture; every 10th
+    * is its predecessor's image with the (0,0) red channel nudged +5 — the
+    * planted near-duplicate (≤ 1 dHash bit apart). */
+  private def imageDedupSpecs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).where(col("doc_id") < 60)
+      .select(col("doc_id").as("asset_id"),
+        when(col("doc_id") % 10 === 9, col("doc_id") - 1)
+          .otherwise(col("doc_id")).as("seed"),
+        lit(9).as("w"), lit(7).as("h"),
+        when(col("doc_id") % 10 === 9, 5).otherwise(0).as("rplus"))
+
   /** hits@k census shared by every ANN recall query: per query vector,
     * |approx ∩ exact| with zero-fill for queries the approximate path
     * missed entirely (mirrored by [[recallSql]] on the oracle side). */
@@ -875,6 +886,23 @@ object PipelineQueries {
       pipeline.Multimodal.decodeAudioFeatures(s, assets).orderBy("asset_id")
     }),
 
+    // Perceptual image dedup over REAL decoded pixels: every 10th asset is
+    // a one-pixel-perturbed copy of its predecessor; dHash + banded hamming
+    // join must surface exactly those pairs. The oracle recomputes the
+    // hashes from the closed-form pixel formula — the decode, the hash
+    // loop, the banding and the verify are all hash-checked end to end.
+    "multimodal_image_dhash" -> ((s, d) =>
+      pipeline.Multimodal.imageDHash(s,
+        pipeline.Multimodal.renderPngAssetsQuad(s, imageDedupSpecs(s, d)))
+        .orderBy("asset_id")),
+
+    "multimodal_image_neardup" -> ((s, d) =>
+      pipeline.Multimodal.imageNearDupPairs(
+        pipeline.Multimodal.imageDHash(s,
+          pipeline.Multimodal.renderPngAssetsQuad(s, imageDedupSpecs(s, d))),
+        bands = 7, maxHamming = 2)
+        .orderBy("ida", "idb")),
+
     // exact repeated-n-gram census (word-level exact substring dedup, Lee
     // et al. 2022): per doc, the share of its 5-grams that appear in any
     // OTHER doc — no pair materialization, linear at any corpus size
@@ -1213,6 +1241,36 @@ object PipelineQueries {
            bit_count(xor(a.sh, b.sh)) AS hamming
          FROM sband a JOIN sband b ON a.b = b.b AND a.v = b.v
            AND a.doc_id < b.doc_id)"""
+
+  /** CTEs `ihash(asset_id, dhash)` mirroring [[imageDedupSpecs]] →
+    * `Multimodal.renderPngAssetsQuad` → `Multimodal.imageDHash`: the
+    * closed-form pixel gray sums and the bit-per-comparison fold. Every
+    * bit index ≤ 55, so BIGINT `<<` agrees between engines. */
+  private def imageDHashSql: String =
+    """ia AS (
+         SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END AS seed,
+           CASE WHEN doc_id % 10 = 9 THEN 5 ELSE 0 END AS rplus
+         FROM documents WHERE doc_id < 60),
+       ipxb AS (
+         SELECT asset_id, gx.x, gy.y,
+           (gx.x * 31 + gy.y * 17 + seed * 7919) % 65536 AS b,
+           CASE WHEN gx.x = 0 AND gy.y = 0 THEN rplus ELSE 0 END AS rp
+         FROM ia, generate_series(0, 8) gx(x), generate_series(0, 6) gy(y)),
+       ig AS (
+         SELECT asset_id, x, y,
+           ((b * b + b) % 256 + rp) % 256
+           + (b * b + 3 * b + 11) % 256
+           + (b * b + 5 * b + 22) % 256 AS gs
+         FROM ipxb),
+       ihash AS (
+         SELECT g1.asset_id,
+           CAST(SUM(CASE WHEN g2.gs > g1.gs
+             THEN CAST(1 AS BIGINT) << (g1.y * 8 + g1.x) ELSE 0 END)
+             AS BIGINT) AS dhash
+         FROM ig g1 JOIN ig g2 ON g2.asset_id = g1.asset_id
+           AND g2.x = g1.x + 1 AND g2.y = g1.y
+         WHERE g1.x < 8 GROUP BY g1.asset_id)"""
 
   /** CTEs `sd_drops(nid, cell, cent_ppm)` mirroring
     * [[graft.pipeline.Similarity.semDeDupDrops]]: seeded-centroid cell
@@ -1785,6 +1843,24 @@ object PipelineQueries {
        "CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs, " +
        "CAST(MAX(ABS(s)) AS BIGINT) AS peak " +
        "FROM sm GROUP BY asset_id ORDER BY asset_id"),
+
+    "multimodal_image_dhash" ->
+      (s"WITH $imageDHashSql " +
+       "SELECT asset_id, dhash FROM ihash ORDER BY asset_id"),
+
+    "multimodal_image_neardup" ->
+      (s"WITH $imageDHashSql, " +
+       "ibands AS (SELECT asset_id, bb.b, (dhash >> (8 * bb.b)) & 255 AS v " +
+       "FROM ihash, generate_series(0, 6) bb(b)), " +
+       "icand AS (SELECT DISTINCT a.asset_id AS ida, c.asset_id AS idb " +
+       "FROM ibands a JOIN ibands c ON a.b = c.b AND a.v = c.v " +
+       "AND a.asset_id < c.asset_id), " +
+       "ipairs AS (SELECT icand.ida, icand.idb, " +
+       "CAST(bit_count(xor(ha.dhash, hb.dhash)) AS BIGINT) AS hamming " +
+       "FROM icand JOIN ihash ha ON ha.asset_id = icand.ida " +
+       "JOIN ihash hb ON hb.asset_id = icand.idb) " +
+       "SELECT ida, idb, hamming FROM ipairs WHERE hamming <= 2 " +
+       "ORDER BY ida, idb"),
 
     "dedup_minhash_lsh" ->
       (s"WITH $minhashCtes " +

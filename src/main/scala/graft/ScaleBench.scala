@@ -180,6 +180,22 @@ object ScaleBench {
         .count()
       s"$found/${nVecs / 1000} planted pairs"
     }
+    // SemDeDup: nlist = √n balances assignment (n·nlist·d) against the
+    // within-cell pair work (n²/nlist·d) — the paper's own lever (its
+    // cluster count grows with the corpus). Evidence target: shuffle
+    // records ≈ 2n + drops (the corpus crosses the wire once per
+    // self-join side, carrying its vector — inherently linear); the
+    // n²/nlist candidate pairs are evaluated INSIDE the join and never
+    // shuffle. Planted pairs (cos ≈ 0.9999) assign to the same cell, so
+    // drops ≥ plant count proves within-cell recall at scale.
+    val sdNlist = math.max(16, math.sqrt(nVecs.toDouble).toInt)
+    tm(s"semdedup_nlist$sdNlist") {
+      val drops = pipeline.Similarity.semDeDupDrops(emb, sdNlist, 990000L)
+      val n = drops.count()
+      val planted = drops.where(
+        col("nid") % 1000 === 999 || col("nid") % 1000 === 998).count()
+      s"$n drops, $planted planted-pair members among them"
+    }
     t("quantize_int8") { pipeline.Similarity.quantizeInt8(emb).count() }
     t("pq_encode_m8") {
       // corpus → m=8 codes/vector in one shuffle-free projection
@@ -317,6 +333,24 @@ object ScaleBench {
       val g = operators.SnapshotDiff.growthByUser(
         operators.SnapshotDiff.diff(snapA, snapB))
       s"${g.count()} users"
+    }
+    tm("trend_per_user_6cycles") {
+      // k-cycle history explode collapses map-side: the wire carries only
+      // partial (cycle, user) aggregates — shuffleRecords stays O(32
+      // partitions × cycles × users) at ANY namespace size, the whole
+      // point of aggregating before trending
+      val fs = spark.range(nDocs).select(col("id"),
+        concat(lit("u"), pmod(col("id"), lit(50))).as("user"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("fileSize"))
+      val hist = fs.select(col("id"), col("user"), col("fileSize"),
+          explode(sequence(lit(0), lit(5))).as("cycle"))
+        .withColumn("cycBytes", col("fileSize") +
+          col("cycle") * ((col("id") % 997) - 498) * 64L)
+        .groupBy(col("cycle").cast("long").as("cycle"), col("user"))
+        .agg(count(lit(1)).as("files"), sum("cycBytes").as("bytes"))
+      val tr = operators.TrendAnalysis.trend(
+        hist, Seq("user"), "cycle", Seq("bytes", "files"))
+      s"${tr.count()} users trended"
     }
     tm("heavy_hitters_k64") {
       // bounded-memory frequent items over every token: k counters per

@@ -264,4 +264,127 @@ object Multimodal {
       }
       .toDF()
   }
+
+  // ---------------------------------------------------------------------------
+  // Perceptual image dedup: dHash over REAL decoded pixels, banded hamming
+  // join — the image twin of the text near-dup family. The reference has no
+  // media analytics at all; this is training-data-pipeline surface.
+  // ---------------------------------------------------------------------------
+
+  /** High-entropy deterministic PNG for near-dup fixtures: channel values
+    * are quadratic in `b = (x·31 + y·17 + seed·7919) mod 65536` (bounded so
+    * b² never overflows a long at any seed), which makes images of
+    * different seeds perceptually UNRELATED — unlike the smooth
+    * [[syntheticPng]] gradients, which dHash correctly judges all-similar.
+    * `rPlus00` perturbs the red channel of pixel (0,0): a planted near-dup
+    * is `seed = predecessor, rPlus00 > 0` and differs in at most the one
+    * dHash bit that compares against pixel (0,0). */
+  def syntheticPngQuad(seed: Long, w: Int, h: Int, rPlus00: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = (x * 31L + y * 17L + seed * 7919L) % 65536L
+        val rp = if (x == 0 && y == 0) rPlus00 else 0
+        val r = (((b * b + b) % 256 + rp) % 256).toInt
+        val g = ((b * b + 3 * b + 11) % 256).toInt
+        val bb = ((b * b + 5 * b + 22) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | bb)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Render (asset_id, seed, w, h, rplus) specs into real PNG payloads,
+    * executor-side (the near-dup twin of [[renderPngAssets]]). */
+  def renderPngAssetsQuad(spark: org.apache.spark.sql.SparkSession,
+                          specs: DataFrame): DataFrame = {
+    import spark.implicits._
+    specs.select(col("asset_id"), col("seed").cast("long"),
+        col("w").cast("int"), col("h").cast("int"), col("rplus").cast("int"))
+      .as[(Long, Long, Int, Int, Int)]
+      .map { case (id, seed, w, h, rp) =>
+        (id, syntheticPngQuad(seed, w, h, rp)) }
+      .toDF("asset_id", "content")
+  }
+
+  /** Per-image difference hash over REAL decoded pixels (javax.imageio):
+    * bit `y·8 + x` is set when the gray sum (r+g+b — comparing sums ≡
+    * comparing means, no division) of pixel (x+1, y) exceeds that of
+    * (x, y). Requires (w−1)·h ≤ 56 bits (a 9×7 input → 56; production
+    * resizes first — [[stubResize]] marks that slot), keeping every bit
+    * below the sign bit so the SQL mirror's `<<` semantics are identical.
+    * `dhash = null` marks an undecodable payload (kept, not dropped, like
+    * [[decodeImageFeatures]]). Partition-parallel typed map; everything
+    * downstream is relational. */
+  def imageDHash(spark: org.apache.spark.sql.SparkSession,
+                 assets: DataFrame): DataFrame = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) (id, None: Option[Long])
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          require((w - 1) * h <= 56,
+            s"dHash input must be pre-resized to ≤ 56 comparison bits, got ${w}x$h")
+          def gs(x: Int, y: Int): Int = {
+            val rgb = img.getRGB(x, y)
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          }
+          var hash = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w - 1) {
+              if (gs(x + 1, y) > gs(x, y)) hash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          (id, Some(hash))
+        }
+      }
+      .toDF("asset_id", "dhash")
+  }
+
+  /** Near-duplicate image pairs from a `(asset_id, dhash)` frame: banded
+    * LSH over the hash (`bands` runs of 8 bits — any shared band makes a
+    * candidate; hamming ≤ maxHamming can miss a band only if every band
+    * catches a flipped bit, impossible while maxHamming < bands), then an
+    * exact `bit_count(xor)` verify. The corpus shuffles by (band, value)
+    * carrying only (id, hash) — 16 bytes/record at any image size; the
+    * full-pair hamming work never materializes. Undecodable rows (null
+    * dhash) are excluded here — surface them via [[imageDHash]] instead. */
+  def imageNearDupPairs(hashes: DataFrame, bands: Int,
+                        maxHamming: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"hamming radius $maxHamming needs > $maxHamming bands to guarantee recall")
+    val hs = hashes.where(col("dhash").isNotNull)
+    val banded = hs.select(col("asset_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"),
+        col("dhash"))
+      .select(col("asset_id"), col("b"),
+        expr("shiftright(dhash, 8 * b) & 255").as("v"))
+    val cand = banded.select(col("b"), col("v"), col("asset_id").as("ida"))
+      .join(banded.select(col("b"), col("v"), col("asset_id").as("idb"))
+        .hint("shuffle_hash"), Seq("b", "v"))
+      .where(col("ida") < col("idb"))
+      .select("ida", "idb").dropDuplicates("ida", "idb")
+    cand
+      .join(hs.select(col("asset_id").as("ida"), col("dhash").as("ha")), Seq("ida"))
+      .join(hs.select(col("asset_id").as("idb"), col("dhash").as("hb")), Seq("idb"))
+      .select(col("ida"), col("idb"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

