@@ -974,7 +974,8 @@ object NNAQueries {
     InodeView.oracleCte + graft.inodes.HistoryFixture.oracleHistCte() + select
 
   private def trendSlope(num: String, den: String): String =
-    s"CAST(CASE WHEN $num >= 0 THEN (1000 * ($num)) // ($den) " +
+    s"CAST(CASE WHEN ($den) = 0 THEN NULL " +
+    s"WHEN $num >= 0 THEN (1000 * ($num)) // ($den) " +
     s"ELSE -((1000 * (-($num))) // ($den)) END AS BIGINT)"
 
   // def, not val: evaluated during `oracleSql`'s init (see above)
@@ -1018,6 +1019,7 @@ object NNAQueries {
       "CAST(SUM(CASE WHEN bytesSlopeMilli > 0 THEN 1 ELSE 0 END) AS BIGINT) AS growing, " +
       "CAST(SUM(CASE WHEN bytesSlopeMilli < 0 THEN 1 ELSE 0 END) AS BIGINT) AS shrinking, " +
       "CAST(SUM(CASE WHEN bytesSlopeMilli = 0 THEN 1 ELSE 0 END) AS BIGINT) AS flat, " +
+      "CAST(SUM(CASE WHEN bytesSlopeMilli IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS undetermined, " +
       "CAST(SUM(bytesDelta) AS BIGINT) AS netDelta FROM trend")
   )
 }

@@ -1254,7 +1254,7 @@ object PipelineQueries {
          FROM documents WHERE doc_id < 60),
        ipxb AS (
          SELECT asset_id, gx.x, gy.y,
-           (gx.x * 31 + gy.y * 17 + seed * 7919) % 65536 AS b,
+           (gx.x * 31 + gy.y * 17 + seed * 7919) % 2147483647 AS b,
            CASE WHEN gx.x = 0 AND gy.y = 0 THEN rplus ELSE 0 END AS rp
          FROM ia, generate_series(0, 8) gx(x), generate_series(0, 6) gy(y)),
        ig AS (

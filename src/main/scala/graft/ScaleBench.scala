@@ -334,6 +334,26 @@ object ScaleBench {
         operators.SnapshotDiff.diff(snapA, snapB))
       s"${g.count()} users"
     }
+    tm("image_dhash_neardup") {
+      // perceptual image dedup at nDocs images: render real 9×7 PNGs
+      // executor-side (every 10th a one-pixel-perturbed copy), decode +
+      // dHash, banded hamming join. Evidence: the join shuffles only
+      // (band, value, id, hash) — bytes/record independent of image size —
+      // and recall of the planted copies stays total
+      val specs = spark.range(nDocs).select(col("id").as("asset_id"),
+        when(col("id") % 10 === 9, col("id") - 1).otherwise(col("id"))
+          .as("seed"),
+        lit(9).as("w"), lit(7).as("h"),
+        when(col("id") % 10 === 9, 5).otherwise(0).as("rplus"))
+      val hashes = pipeline.Dedup.checkpointCorpus(
+        pipeline.Multimodal.imageDHash(spark,
+          pipeline.Multimodal.renderPngAssetsQuad(spark, specs)))
+      // 4×14-bit bands: occupancy n/2^14 — see the operator's scaling note
+      val pairs = pipeline.Multimodal.imageNearDupPairs(hashes, 4, 2)
+      val planted = pairs.where(col("idb") === col("ida") + 1 &&
+        col("idb") % 10 === 9).count()
+      s"${pairs.count()} pairs, $planted/${nDocs / 10} planted copies found"
+    }
     tm("trend_per_user_6cycles") {
       // k-cycle history explode collapses map-side: the wire carries only
       // partial (cycle, user) aggregates — shuffleRecords stays O(32

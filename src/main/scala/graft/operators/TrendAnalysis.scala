@@ -27,13 +27,17 @@ object TrendAnalysis {
 
   private def dec(c: Column): Column = c.cast("decimal(28,0)")
 
-  /** Truncated-toward-zero `(1000 * num) / den` on decimal num, long den
-    * (den > 0): both engines divide non-negative integers, where floor and
-    * truncation coincide, so DuckDB `//` mirrors this exactly. */
+  /** Truncated-toward-zero `(1000 * num) / den` on decimal num, long den:
+    * both engines divide non-negative integers, where floor and truncation
+    * coincide, so DuckDB `//` mirrors this exactly. `den = n·Σx² - (Σx)²`
+    * is 0 exactly when a key has one row (or one distinct x) — the slope
+    * of an underdetermined series is NULL, not a crash (ANSI division) and
+    * not a fabricated 0 (which would silently count as "flat"). */
   private def slopeMilli(num: Column, den: Column): Column = {
     val n1000 = abs(num) * lit(1000).cast("decimal(4,0)")
     val q = ((n1000 - pmod(n1000, den)) / den).cast("long")
-    when(num < 0, -q).otherwise(q)
+    when(den === 0, lit(null).cast("long"))
+      .when(num < 0, -q).otherwise(q)
   }
 
   /** @param hist one row per (keys, x)
@@ -70,13 +74,17 @@ object TrendAnalysis {
   }
 
   /** One-row census over a [[trend]] result: how many keys grow / shrink /
-    * hold steady on `y`, and the net delta — the "what changed this
-    * quarter" headline the reference's trending UI leads with. */
+    * hold steady on `y` (plus how many were underdetermined — single-cycle
+    * keys whose slope is NULL; every key lands in exactly one bucket), and
+    * the net delta — the "what changed this quarter" headline the
+    * reference's trending UI leads with. */
   def census(trended: DataFrame, y: String): DataFrame =
     trended.agg(
       count(lit(1)).as("nKeys"),
       sum(when(col(s"${y}SlopeMilli") > 0, 1L).otherwise(0L)).as("growing"),
       sum(when(col(s"${y}SlopeMilli") < 0, 1L).otherwise(0L)).as("shrinking"),
       sum(when(col(s"${y}SlopeMilli") === 0, 1L).otherwise(0L)).as("flat"),
+      sum(when(col(s"${y}SlopeMilli").isNull, 1L).otherwise(0L))
+        .as("undetermined"),
       sum(col(s"${y}Delta")).as("netDelta"))
 }

@@ -272,13 +272,16 @@ object Multimodal {
   // ---------------------------------------------------------------------------
 
   /** High-entropy deterministic PNG for near-dup fixtures: channel values
-    * are quadratic in `b = (x·31 + y·17 + seed·7919) mod 65536` (bounded so
-    * b² never overflows a long at any seed), which makes images of
-    * different seeds perceptually UNRELATED — unlike the smooth
-    * [[syntheticPng]] gradients, which dHash correctly judges all-similar.
-    * `rPlus00` perturbs the red channel of pixel (0,0): a planted near-dup
-    * is `seed = predecessor, rPlus00 > 0` and differs in at most the one
-    * dHash bit that compares against pixel (0,0). */
+    * are quadratic in `b = (x·31 + y·17 + seed·7919) mod (2³¹−1)` — the
+    * prime modulus means distinct seeds give distinct images up to ~2.1e9
+    * of them (a 65536 modulus made every 65536th image an EXACT copy,
+    * which at 100k bench images meant 34k accidental exact dups and a
+    * hash-equal-cluster blowup in the banded join), and b² ≤ 4.6e18 still
+    * fits a long. Images of different seeds are perceptually UNRELATED —
+    * unlike the smooth [[syntheticPng]] gradients, which dHash correctly
+    * judges all-similar. `rPlus00` perturbs the red channel of pixel
+    * (0,0): a planted near-dup is `seed = predecessor, rPlus00 > 0` and
+    * differs in at most the one dHash bit that compares against (0,0). */
   def syntheticPngQuad(seed: Long, w: Int, h: Int, rPlus00: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -286,7 +289,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val b = (x * 31L + y * 17L + seed * 7919L) % 65536L
+        val b = (x * 31L + y * 17L + seed * 7919L) % 2147483647L
         val rp = if (x == 0 && y == 0) rPlus00 else 0
         val r = (((b * b + b) % 256 + rp) % 256).toInt
         val g = ((b * b + 3 * b + 11) % 256).toInt
@@ -358,23 +361,50 @@ object Multimodal {
   }
 
   /** Near-duplicate image pairs from a `(asset_id, dhash)` frame: banded
-    * LSH over the hash (`bands` runs of 8 bits — any shared band makes a
-    * candidate; hamming ≤ maxHamming can miss a band only if every band
-    * catches a flipped bit, impossible while maxHamming < bands), then an
-    * exact `bit_count(xor)` verify. The corpus shuffles by (band, value)
-    * carrying only (id, hash) — 16 bytes/record at any image size; the
-    * full-pair hamming work never materializes. Undecodable rows (null
-    * dhash) are excluded here — surface them via [[imageDHash]] instead. */
+    * LSH over the hash (`bands` equal runs of 56/bands bits — any shared
+    * band makes a candidate; hamming ≤ maxHamming can miss a band only if
+    * every band catches a flipped bit, impossible while maxHamming <
+    * bands), then an exact `bit_count(xor)` verify. The corpus shuffles by
+    * (band, value) carrying only (id, hash) — 16 bytes/record at any image
+    * size; the full-pair hamming work never materializes.
+    *
+    * BANDS MUST SHRINK (bands widen) AS THE CORPUS GROWS: expected bucket
+    * occupancy is n/2^(56/bands), and the verify stage costs
+    * Σ occupancy²/2 pairs per band — 7×8-bit bands mean 256 buckets/band,
+    * which at 100k images is ~390/bucket and a measured 610M-record
+    * candidate storm; 4×14-bit bands cut that 270× (same recall bound for
+    * hamming ≤ 2). Radius > 3 at web scale wants a longer perceptual hash
+    * (e.g. 128-bit pHash), not narrower bands. Undecodable rows (null
+    * dhash) are excluded here — surface them via [[imageDHash]] instead.
+    *
+    * `maxBucket > 0` caps each (band, value) bucket at its lowest
+    * `maxBucket` asset ids — the image twin of the minhash hot-bucket
+    * guard: k exact copies of one logo/error-page screenshot put k members
+    * in EVERY band bucket (k²/2 pairs from one image); run exact-dhash
+    * dedup first and cap the remainder. The cap's window shares the band
+    * join's (b, v) partitioning — no extra exchange. */
   def imageNearDupPairs(hashes: DataFrame, bands: Int,
-                        maxHamming: Int): DataFrame = {
+                        maxHamming: Int, maxBucket: Int = 0): DataFrame = {
     require(maxHamming < bands,
       s"hamming radius $maxHamming needs > $maxHamming bands to guarantee recall")
+    require(56 % bands == 0,
+      s"bands must divide the 56 dHash bits evenly, got $bands")
+    val width = 56 / bands
+    val mask = (1L << width) - 1
     val hs = hashes.where(col("dhash").isNotNull)
-    val banded = hs.select(col("asset_id"),
+    val banded0 = hs.select(col("asset_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("b"),
         col("dhash"))
       .select(col("asset_id"), col("b"),
-        expr("shiftright(dhash, 8 * b) & 255").as("v"))
+        expr(s"shiftright(dhash, $width * b) & $mask").as("v"))
+    val banded =
+      if (maxBucket <= 0) banded0
+      else banded0
+        .withColumn("_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("b"), col("v"))
+            .orderBy(col("asset_id").asc)))
+        .where(col("_rk") <= maxBucket).drop("_rk")
     val cand = banded.select(col("b"), col("v"), col("asset_id").as("ida"))
       .join(banded.select(col("b"), col("v"), col("asset_id").as("idb"))
         .hint("shuffle_hash"), Seq("b", "v"))

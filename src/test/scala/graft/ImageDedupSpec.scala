@@ -47,6 +47,19 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(Multimodal.imageNearDupPairs(h, 7, 2).count() === 0)
   }
 
+  test("hot-bucket cap bounds an exact-copy cluster's pair fan-out") {
+    // 10 exact copies collide in every band: uncapped C(10,2)=45 pairs,
+    // cap 3 keeps the 3 lowest ids per bucket → C(3,2)=3 pairs — and a
+    // genuine near-dup pair among low ids survives the cap
+    val rows = (0L until 10L).map(i => (i, 100L, 0)) :+ (20L, 200L, 0) :+
+      (21L, 200L, 5)
+    val h = hashes(rows: _*)
+    assert(Multimodal.imageNearDupPairs(h, 7, 2).count() === 46L)
+    val capped = Multimodal.imageNearDupPairs(h, 7, 2, maxBucket = 3)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(capped === Set((0L, 1L), (0L, 2L), (1L, 2L), (20L, 21L)))
+  }
+
   test("oversized inputs are rejected loudly, not silently truncated") {
     val big = Multimodal.renderPngAssetsQuad(spark,
       Seq((1L, 1L, 0)).toDF("asset_id", "seed", "rplus")

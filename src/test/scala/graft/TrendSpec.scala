@@ -50,12 +50,26 @@ class TrendSpec extends AnyFunSuite {
     val trended = TrendAnalysis.trend(hist(
       ("a", 0L, 0L, 1L), ("a", 1L, 10L, 1L),
       ("b", 0L, 10L, 1L), ("b", 1L, 0L, 1L),
-      ("c", 0L, 5L, 1L), ("c", 1L, 5L, 1L)),
+      ("c", 0L, 5L, 1L), ("c", 1L, 5L, 1L),
+      ("d", 3L, 7L, 1L)), // single cycle: slope undefined, delta 0
       Seq("user"), "cycle", Seq("bytes"))
     val c = TrendAnalysis.census(trended, "bytes")
-      .select("nKeys", "growing", "shrinking", "flat", "netDelta")
-      .as[(Long, Long, Long, Long, Long)].collect().head
-    assert(c === ((3L, 1L, 1L, 1L, 0L)))
+      .select("nKeys", "growing", "shrinking", "flat", "undetermined",
+        "netDelta")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(c === ((4L, 1L, 1L, 1L, 1L, 0L)))
+  }
+
+  test("a single-cycle key gets a NULL slope, not a crash or a fake 0") {
+    val t = TrendAnalysis.trend(hist(("solo", 2L, 42L, 3L)),
+      Seq("user"), "cycle", Seq("bytes"))
+      .select("nCycles", "bytesFirst", "bytesLast", "bytesDelta")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(t === ((1L, 42L, 42L, 0L)))
+    val s = TrendAnalysis.trend(hist(("solo", 2L, 42L, 3L)),
+      Seq("user"), "cycle", Seq("bytes"))
+      .select("bytesSlopeMilli").collect().head
+    assert(s.isNullAt(0))
   }
 
   test("decimal accumulation survives near-2^63 byte totals") {
