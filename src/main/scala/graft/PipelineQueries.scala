@@ -1259,9 +1259,12 @@ object PipelineQueries {
          FROM ia, generate_series(0, 8) gx(x), generate_series(0, 6) gy(y)),
        ig AS (
          SELECT asset_id, x, y,
-           ((b * b + b) % 256 + rp) % 256
-           + (b * b + 3 * b + 11) % 256
-           + (b * b + 5 * b + 22) % 256 AS gs
+           ((xor(b + 1, (b + 1) >> 13) * 2654435761) % 4294967296
+              // 16777216 + rp) % 256
+           + (xor(b + 11, (b + 11) >> 13) * 2246822519) % 4294967296
+              // 16777216
+           + (xor(b + 22, (b + 22) >> 13) * 3266489917) % 4294967296
+              // 16777216 AS gs
          FROM ipxb),
        ihash AS (
          SELECT g1.asset_id,

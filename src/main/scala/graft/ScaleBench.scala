@@ -15,6 +15,12 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(100000)
     val nVecs = args.drop(1).headOption.map(_.toInt).getOrElse(100000)
+    // optional 3rd arg: comma-separated stage-name substrings to run alone
+    // (probing one stage at scale without paying for the whole suite)
+    val only: String => Boolean = args.drop(2).headOption match {
+      case Some(pats) => { val ps = pats.split(','); n => ps.exists(n.contains) }
+      case None => _ => true
+    }
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -41,7 +47,7 @@ object ScaleBench {
         if (!pinned.contains(id)) rdd.unpersist(blocking = true)
       }
 
-    def t(name: String)(f: => Any): Unit = {
+    def t(name: String)(f: => Any): Unit = if (only(name)) {
       val t0 = System.nanoTime()
       val r = f
       val sec = (System.nanoTime() - t0) / 1e9
@@ -52,7 +58,7 @@ object ScaleBench {
     /** Like t(), plus total shuffle-write volume across the job's stages —
       * the evidence that candidate joins move (band, hash, id) tuples, not
       * documents: bytes/record stays O(tens), independent of doc size. */
-    def tm(name: String)(f: => Any): Unit = {
+    def tm(name: String)(f: => Any): Unit = if (only(name)) {
       val recs = new java.util.concurrent.atomic.AtomicLong
       val bytes = new java.util.concurrent.atomic.AtomicLong
       val l = new org.apache.spark.scheduler.SparkListener {
@@ -352,7 +358,15 @@ object ScaleBench {
       val pairs = pipeline.Multimodal.imageNearDupPairs(hashes, 4, 2)
       val planted = pairs.where(col("idb") === col("ida") + 1 &&
         col("idb") % 10 === 9).count()
-      s"${pairs.count()} pairs, $planted/${nDocs / 10} planted copies found"
+      // fixture-health check: a degenerate pixel formula collapses the
+      // corpus into few distinct hashes (three measured failure modes in
+      // syntheticPngQuad's scaladoc) and the pair count explodes
+      val distinctHashes = hashes.select("dhash").distinct().count()
+      val distinctSeeds = nDocs - nDocs / 10
+      require(distinctHashes >= distinctSeeds * 95L / 100L,
+        s"fixture collapse: $distinctHashes distinct hashes for $distinctSeeds seeds")
+      s"${pairs.count()} pairs, $planted/${nDocs / 10} planted copies found, " +
+        s"$distinctHashes distinct hashes/$distinctSeeds seeds"
     }
     tm("trend_per_user_6cycles") {
       // k-cycle history explode collapses map-side: the wire carries only

@@ -271,17 +271,32 @@ object Multimodal {
   // media analytics at all; this is training-data-pipeline surface.
   // ---------------------------------------------------------------------------
 
-  /** High-entropy deterministic PNG for near-dup fixtures: channel values
-    * are quadratic in `b = (x·31 + y·17 + seed·7919) mod (2³¹−1)` — the
-    * prime modulus means distinct seeds give distinct images up to ~2.1e9
-    * of them (a 65536 modulus made every 65536th image an EXACT copy,
-    * which at 100k bench images meant 34k accidental exact dups and a
-    * hash-equal-cluster blowup in the banded join), and b² ≤ 4.6e18 still
-    * fits a long. Images of different seeds are perceptually UNRELATED —
-    * unlike the smooth [[syntheticPng]] gradients, which dHash correctly
-    * judges all-similar. `rPlus00` perturbs the red channel of pixel
-    * (0,0): a planted near-dup is `seed = predecessor, rPlus00 > 0` and
-    * differs in at most the one dHash bit that compares against (0,0). */
+  /** High-entropy deterministic PNG for near-dup fixtures: channels are
+    * xorshift-multiply hashes of `b = (x·31 + y·17 + seed·7919) mod
+    * (2³¹−1)` — `m = b + k_c; ((m ⊕ (m >> 13))·C_c mod 2³²) >> 24` with
+    * per-channel odd constants. Every piece is load-bearing; three cheaper
+    * variants measurably fail at 100k bench images:
+    *  - polynomial `q(b) mod 256`: depends on b only through `b mod 256`,
+    *    which inside one image is a per-image cyclic shift
+    *    `(C + 31x + 17y) mod 256` — the corpus collapses to ≤256 distinct
+    *    images (measured: 20M hash-equal pairs);
+    *  - MIDDLE bits `(q(b)/256) mod 256`: still a function of `b mod 2¹⁶`
+    *    (truncated squaring never carries low bits upward — `b² mod 2¹⁶`
+    *    depends only on `b mod 2¹⁵`), so seeds 65536 apart give identical
+    *    images (measured: 57k distinct hashes, 172k phantom pairs);
+    *  - multiply-shift of b DIRECTLY (no xor): the hash input is affine
+    *    in b, so adjacent pixels differ by the CONSTANT `31·C_c` in the
+    *    multiplied space and each dHash bit degenerates into a biased
+    *    wrap detector (measured: 25k distinct hashes, 4.3M phantom
+    *    pairs). The xor-shift breaks the affine delta; the high product
+    *    bits then mix every input bit.
+    * All products stay < 2⁶³, so the DuckDB BIGINT mirror computes the
+    * same values with no overflow. Images of different seeds are
+    * perceptually UNRELATED — unlike the smooth [[syntheticPng]]
+    * gradients, which dHash correctly judges all-similar. `rPlus00`
+    * perturbs the red channel of pixel (0,0): a planted near-dup is
+    * `seed = predecessor, rPlus00 > 0` and differs in at most the one
+    * dHash bit that compares against (0,0). */
   def syntheticPngQuad(seed: Long, w: Int, h: Int, rPlus00: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -291,10 +306,15 @@ object Multimodal {
       while (x < w) {
         val b = (x * 31L + y * 17L + seed * 7919L) % 2147483647L
         val rp = if (x == 0 && y == 0) rPlus00 else 0
-        val r = (((b * b + b) % 256 + rp) % 256).toInt
-        val g = ((b * b + 3 * b + 11) % 256).toInt
-        val bb = ((b * b + 5 * b + 22) % 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | bb)
+        def ch(k: Long, c: Long): Long = {
+          val m = b + k
+          val t = m ^ (m >> 13)
+          ((t * c) & 0xFFFFFFFFL) >>> 24
+        }
+        val r = (ch(1L, 2654435761L) + rp) % 256
+        val g = ch(11L, 2246822519L)
+        val bb = ch(22L, 3266489917L)
+        img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | bb.toInt)
         x += 1
       }
       y += 1
