@@ -28,6 +28,16 @@ object PipelineQueries {
         lit(9).as("w"), lit(7).as("h"),
         when(col("doc_id") % 10 === 9, 5).otherwise(0).as("rplus"))
 
+  // 57 windows × 32 samples; every 10th asset re-renders its predecessor's
+  // seed with window 0's amplitude bumped — a planted audio near-dup
+  private def audioDedupSpecs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).where(col("doc_id") < 60)
+      .select(col("doc_id").as("asset_id"),
+        when(col("doc_id") % 10 === 9, col("doc_id") - 1)
+          .otherwise(col("doc_id")).as("seed"),
+        lit(8000).as("rate"), lit(57 * 32).as("n"), lit(57).as("windows"),
+        when(col("doc_id") % 10 === 9, 200).otherwise(0).as("aplus"))
+
   /** hits@k census shared by every ANN recall query: per query vector,
     * |approx ∩ exact| with zero-fill for queries the approximate path
     * missed entirely (mirrored by [[recallSql]] on the oracle side). */
@@ -903,6 +913,23 @@ object PipelineQueries {
         bands = 7, maxHamming = 2)
         .orderBy("ida", "idb")),
 
+    // Perceptual audio dedup over REAL decoded PCM: window-energy
+    // fingerprint (the energy-envelope analog of dHash), banded hamming
+    // join; the oracle recomputes the fingerprints from the closed-form
+    // gained-sawtooth sample formula — encode, javax.sound decode, window
+    // energies, banding and verify all hash-checked end to end.
+    "multimodal_audio_fingerprint" -> ((s, d) =>
+      pipeline.Multimodal.audioFingerprint(s,
+        pipeline.Multimodal.renderWavAssetsSeeded(s, audioDedupSpecs(s, d)))
+        .orderBy("asset_id")),
+
+    "multimodal_audio_neardup" -> ((s, d) =>
+      pipeline.Multimodal.hammingNearDupPairs(
+        pipeline.Multimodal.audioFingerprint(s,
+          pipeline.Multimodal.renderWavAssetsSeeded(s, audioDedupSpecs(s, d))),
+        "afp", 56, bands = 7, maxHamming = 2)
+        .orderBy("ida", "idb")),
+
     // exact repeated-n-gram census (word-level exact substring dedup, Lee
     // et al. 2022): per doc, the share of its 5-grams that appear in any
     // OTHER doc — no pair materialization, linear at any corpus size
@@ -1274,6 +1301,36 @@ object PipelineQueries {
          FROM ig g1 JOIN ig g2 ON g2.asset_id = g1.asset_id
            AND g2.x = g1.x + 1 AND g2.y = g1.y
          WHERE g1.x < 8 GROUP BY g1.asset_id)"""
+
+  /** CTEs `ahash(asset_id, afp)` mirroring [[audioDedupSpecs]] →
+    * `Multimodal.renderWavAssetsSeeded` → `Multimodal.audioFingerprint`:
+    * the closed-form per-sample-hashed amplitudes, per-window energy
+    * sums, and the bit-per-comparison fold. Every bit index ≤ 55, so
+    * BIGINT `<<` agrees between engines. */
+  private def audioFpSql: String =
+    """aa AS (
+         SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 10 = 9 THEN doc_id - 1 ELSE doc_id END AS seed,
+           CASE WHEN doc_id % 10 = 9 THEN 200 ELSE 0 END AS aplus
+         FROM documents WHERE doc_id < 60),
+       asamp AS (
+         SELECT asset_id, si.i // 32 AS w,
+           (xor((seed * 1000003 + si.i + 1) % 2147483647,
+                ((seed * 1000003 + si.i + 1) % 2147483647) >> 13)
+            * 2654435761) % 4294967296 // 1048576
+           + CASE WHEN si.i < 32 THEN aplus ELSE 0 END AS s
+         FROM aa, generate_series(0, 1823) si(i)),
+       aen AS (
+         SELECT asset_id, w, SUM(s) AS e
+         FROM asamp GROUP BY asset_id, w),
+       ahash AS (
+         SELECT e1.asset_id,
+           CAST(SUM(CASE WHEN e2.e > e1.e
+             THEN CAST(1 AS BIGINT) << e1.w ELSE 0 END)
+             AS BIGINT) AS afp
+         FROM aen e1 JOIN aen e2 ON e2.asset_id = e1.asset_id
+           AND e2.w = e1.w + 1
+         WHERE e1.w < 56 GROUP BY e1.asset_id)"""
 
   /** CTEs `sd_drops(nid, cell, cent_ppm)` mirroring
     * [[graft.pipeline.Similarity.semDeDupDrops]]: seeded-centroid cell
@@ -1863,6 +1920,24 @@ object PipelineQueries {
        "FROM icand JOIN ihash ha ON ha.asset_id = icand.ida " +
        "JOIN ihash hb ON hb.asset_id = icand.idb) " +
        "SELECT ida, idb, hamming FROM ipairs WHERE hamming <= 2 " +
+       "ORDER BY ida, idb"),
+
+    "multimodal_audio_fingerprint" ->
+      (s"WITH $audioFpSql " +
+       "SELECT asset_id, afp FROM ahash ORDER BY asset_id"),
+
+    "multimodal_audio_neardup" ->
+      (s"WITH $audioFpSql, " +
+       "abands AS (SELECT asset_id, bb.b, (afp >> (8 * bb.b)) & 255 AS v " +
+       "FROM ahash, generate_series(0, 6) bb(b)), " +
+       "acand AS (SELECT DISTINCT a.asset_id AS ida, c.asset_id AS idb " +
+       "FROM abands a JOIN abands c ON a.b = c.b AND a.v = c.v " +
+       "AND a.asset_id < c.asset_id), " +
+       "apairs AS (SELECT acand.ida, acand.idb, " +
+       "CAST(bit_count(xor(ha.afp, hb.afp)) AS BIGINT) AS hamming " +
+       "FROM acand JOIN ahash ha ON ha.asset_id = acand.ida " +
+       "JOIN ahash hb ON hb.asset_id = acand.idb) " +
+       "SELECT ida, idb, hamming FROM apairs WHERE hamming <= 2 " +
        "ORDER BY ida, idb"),
 
     "dedup_minhash_lsh" ->

@@ -368,6 +368,30 @@ object ScaleBench {
       s"${pairs.count()} pairs, $planted/${nDocs / 10} planted copies found, " +
         s"$distinctHashes distinct hashes/$distinctSeeds seeds"
     }
+    tm("audio_fp_neardup") {
+      // perceptual audio dedup at nDocs clips: render real 912-sample WAVs
+      // executor-side (every 10th a window-0-amp-bumped copy), javax.sound
+      // decode + 56-bit window-energy fingerprint, banded hamming join —
+      // same wire shape as the image stage: (band, value, id, hash) only
+      val specs = spark.range(nDocs).select(col("id").as("asset_id"),
+        when(col("id") % 10 === 9, col("id") - 1).otherwise(col("id"))
+          .as("seed"),
+        lit(8000).as("rate"), lit(57 * 16).as("n"), lit(57).as("windows"),
+        when(col("id") % 10 === 9, 200).otherwise(0).as("aplus"))
+      val fps = pipeline.Dedup.checkpointCorpus(
+        pipeline.Multimodal.audioFingerprint(spark,
+          pipeline.Multimodal.renderWavAssetsSeeded(spark, specs)))
+      val pairs = pipeline.Multimodal.hammingNearDupPairs(
+        fps, "afp", 56, bands = 4, maxHamming = 2)
+      val planted = pairs.where(col("idb") === col("ida") + 1 &&
+        col("idb") % 10 === 9).count()
+      val distinctFps = fps.select("afp").distinct().count()
+      val distinctSeeds = nDocs - nDocs / 10
+      require(distinctFps >= distinctSeeds * 90L / 100L,
+        s"fixture collapse: $distinctFps distinct fps for $distinctSeeds seeds")
+      s"${pairs.count()} pairs, $planted/${nDocs / 10} planted copies found, " +
+        s"$distinctFps distinct fps/$distinctSeeds seeds"
+    }
     tm("trend_per_user_6cycles") {
       // k-cycle history explode collapses map-side: the wire carries only
       // partial (cycle, user) aggregates — shuffleRecords stays O(32

@@ -404,19 +404,31 @@ object Multimodal {
     * dedup first and cap the remainder. The cap's window shares the band
     * join's (b, v) partitioning — no extra exchange. */
   def imageNearDupPairs(hashes: DataFrame, bands: Int,
-                        maxHamming: Int, maxBucket: Int = 0): DataFrame = {
+                        maxHamming: Int, maxBucket: Int = 0): DataFrame =
+    hammingNearDupPairs(hashes, "dhash", 56, bands, maxHamming, maxBucket)
+
+  /** The modality-agnostic core of [[imageNearDupPairs]] (see its scaladoc
+    * for the scaling rules — band width vs corpus size, the hot-bucket
+    * cap): near-dup pairs from any `(asset_id, <hashCol>)` frame holding a
+    * `bits`-wide perceptual hash with every bit below the long sign bit.
+    * Shared by image dHash (56-bit) and audio window-energy fingerprints
+    * (56-bit); a future 63-bit hash plugs in unchanged. */
+  def hammingNearDupPairs(hashes: DataFrame, hashCol: String, bits: Int,
+                          bands: Int, maxHamming: Int,
+                          maxBucket: Int = 0): DataFrame = {
     require(maxHamming < bands,
       s"hamming radius $maxHamming needs > $maxHamming bands to guarantee recall")
-    require(56 % bands == 0,
-      s"bands must divide the 56 dHash bits evenly, got $bands")
-    val width = 56 / bands
+    require(bits % bands == 0,
+      s"bands must divide the $bits hash bits evenly, got $bands")
+    require(bits > 0 && bits < 64, s"hash must keep bits below the sign bit, got $bits")
+    val width = bits / bands
     val mask = (1L << width) - 1
-    val hs = hashes.where(col("dhash").isNotNull)
+    val hs = hashes.where(col(hashCol).isNotNull)
     val banded0 = hs.select(col("asset_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("b"),
-        col("dhash"))
+        col(hashCol).as("_h"))
       .select(col("asset_id"), col("b"),
-        expr(s"shiftright(dhash, $width * b) & $mask").as("v"))
+        expr(s"shiftright(_h, $width * b) & $mask").as("v"))
     val banded =
       if (maxBucket <= 0) banded0
       else banded0
@@ -431,10 +443,130 @@ object Multimodal {
       .where(col("ida") < col("idb"))
       .select("ida", "idb").dropDuplicates("ida", "idb")
     cand
-      .join(hs.select(col("asset_id").as("ida"), col("dhash").as("ha")), Seq("ida"))
-      .join(hs.select(col("asset_id").as("idb"), col("dhash").as("hb")), Seq("idb"))
+      .join(hs.select(col("asset_id").as("ida"), col(hashCol).as("ha")), Seq("ida"))
+      .join(hs.select(col("asset_id").as("idb"), col(hashCol).as("hb")), Seq("idb"))
       .select(col("ida"), col("idb"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Perceptual audio dedup: window-energy fingerprint over REAL decoded
+  // PCM, banded hamming join — the audio twin of the image dHash family.
+  // ---------------------------------------------------------------------------
+
+  /** Deterministic synthetic WAV for near-dup fixtures: sample `i` is the
+    * 12-bit xorshift-multiply hash of `(seed·1000003 + i + 1) mod (2³¹−1)`
+    * — the same hash family as [[syntheticPngQuad]], for the same reason:
+    * every structured alternative measurably collides. In particular a
+    * gained sawtooth (`raw_i = (i·31 + seed·7) mod 4001` times a hashed
+    * per-window gain ∈ 1..7) still produced 13.7k phantom near-dup pairs
+    * at 100k clips: the sawtooth's per-window phase factor spans an 18×
+    * range — dominating the 7× gain — and every seed walks the SAME
+    * phase orbit just rotated by `7·seed mod 4001`, so near-phase seed
+    * pairs agree on most energy comparisons. Per-sample hashing makes
+    * window energies iid across (seed, window) and fingerprint bits fair
+    * coins. Samples are non-negative (≤ 4095 + perturbation, well inside
+    * a signed short), so no engine disagrees on abs/division. `ampPlus0`
+    * adds a constant to every window-0 sample: a planted near-dup is
+    * `seed = predecessor, ampPlus0 > 0` and differs only in window 0's
+    * energy — at most fingerprint bit 0. */
+  def syntheticWavSeeded(seed: Long, rate: Int, n: Int, windows: Int,
+                         ampPlus0: Int): Array[Byte] = {
+    require(n % windows == 0, s"fixture wants n divisible by $windows windows")
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val wlen = n / windows
+    var i = 0
+    while (i < n) {
+      val m = (seed * 1000003L + i + 1L) % 2147483647L
+      val t = m ^ (m >> 13)
+      val raw = ((t * 2654435761L) & 0xFFFFFFFFL) >>> 20
+      val s = raw + (if (i < wlen) ampPlus0 else 0)
+      bb.putShort(s.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Render (asset_id, seed, rate, n, windows, aplus) specs into real WAV
+    * payloads, partition-parallel (the near-dup twin of
+    * [[renderWavAssets]]). */
+  def renderWavAssetsSeeded(spark: org.apache.spark.sql.SparkSession,
+                            specs: DataFrame): DataFrame = {
+    import spark.implicits._
+    specs.select(col("asset_id"), col("seed").cast("long"),
+        col("rate").cast("int"), col("n").cast("int"),
+        col("windows").cast("int"), col("aplus").cast("int"))
+      .as[(Long, Long, Int, Int, Int, Int)]
+      .map { case (id, seed, rate, n, w, ap) =>
+        (id, syntheticWavSeeded(seed, rate, n, w, ap)) }
+      .toDF("asset_id", "content")
+  }
+
+  /** Per-clip audio fingerprint over REAL decoded PCM
+    * (`javax.sound.sampled`, like [[decodeAudioFeatures]]): split the
+    * first `windows+1` equal windows' samples (length `n/(windows+1)`
+    * each, truncating a ragged tail) and set fingerprint bit `w` when
+    * window `w+1`'s energy (sum of samples — the fixture is non-negative;
+    * real corpora would sum |s|, same shape) exceeds window `w`'s — the
+    * energy-envelope analog of dHash's gray comparisons, robust to
+    * uniform gain like dHash is to brightness. `windows = 56` keeps every
+    * bit below the sign bit so the SQL mirror's `<<` agrees. `afp = null`
+    * marks undecodable/too-short payloads (kept, not dropped).
+    * Partition-parallel typed map; everything downstream is relational —
+    * near-dup pairs via [[hammingNearDupPairs]] (hashCol "afp"). */
+  def audioFingerprint(spark: org.apache.spark.sql.SparkSession,
+                       assets: DataFrame, windows: Int = 56): DataFrame = {
+    require(windows > 0 && windows < 64,
+      s"fingerprint must keep bits below the sign bit, got $windows")
+    import spark.implicits._
+    assets.select(col("asset_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          val wlen = n / (windows + 1)
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              wlen == 0)
+            (id, None: Option[Long])
+          else {
+            val energy = new Array[Long](windows + 1)
+            var i = 0
+            while (i < wlen * (windows + 1)) {
+              val s =
+                if (fmt.isBigEndian)
+                  ((pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xff)).toShort
+                else
+                  ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort
+              energy(i / wlen) += s.toLong
+              i += 1
+            }
+            var hash = 0L
+            var w = 0
+            while (w < windows) {
+              if (energy(w + 1) > energy(w)) hash |= 1L << w
+              w += 1
+            }
+            (id, Some(hash))
+          }
+        } catch {
+          case _: Exception => (id, None: Option[Long])
+        }
+      }
+      .toDF("asset_id", "afp")
   }
 }
