@@ -918,6 +918,30 @@ object PipelineQueries {
     // join; the oracle recomputes the fingerprints from the closed-form
     // gained-sawtooth sample formula — encode, javax.sound decode, window
     // energies, banding and verify all hash-checked end to end.
+    // Video near-dup via frame-hash-set overlap: each "video" is 10 real
+    // PNG frames (no JDK video codec — the container decode slot is the
+    // disclosed sampleFrames stub; frames and their dHashes are real);
+    // every 10th video re-renders 8 of its predecessor's 10 frame seeds →
+    // Jaccard 8/12. The oracle recomputes every frame hash from the
+    // closed-form pixel formula and the set overlap in SQL.
+    "multimodal_video_neardup" -> ((s, d) => {
+      val frames = Tables.documents(s, d).where(col("doc_id") < 24)
+        .select(col("doc_id").as("vid"),
+          explode(sequence(lit(0), lit(9))).as("fidx"))
+        .select(col("vid"), col("fidx"),
+          when(col("vid") % 10 === 9 && col("fidx") < 8, col("vid") - 1)
+            .otherwise(col("vid")).as("evid"))
+      val specs = frames.select(
+        (col("vid") * 101 + col("fidx")).as("asset_id"),
+        (col("evid") * 101 + col("fidx")).as("seed"),
+        lit(9).as("w"), lit(7).as("h"), lit(0).as("rplus"))
+      val hashes = pipeline.Multimodal.imageDHash(s,
+        pipeline.Multimodal.renderPngAssetsQuad(s, specs))
+        .select(expr("asset_id DIV 101").as("video_id"), col("dhash"))
+      pipeline.Multimodal.frameSetNearDupPairs(hashes, 500000L)
+        .orderBy("vida", "vidb")
+    }),
+
     "multimodal_audio_fingerprint" -> ((s, d) =>
       pipeline.Multimodal.audioFingerprint(s,
         pipeline.Multimodal.renderWavAssetsSeeded(s, audioDedupSpecs(s, d)))
@@ -1921,6 +1945,47 @@ object PipelineQueries {
        "JOIN ihash hb ON hb.asset_id = icand.idb) " +
        "SELECT ida, idb, hamming FROM ipairs WHERE hamming <= 2 " +
        "ORDER BY ida, idb"),
+
+    "multimodal_video_neardup" ->
+      ("""WITH vf AS (
+           SELECT doc_id AS vid, f.fidx,
+             (CASE WHEN doc_id % 10 = 9 AND f.fidx < 8 THEN doc_id - 1
+                   ELSE doc_id END) * 101 + f.fidx AS seed
+           FROM documents, generate_series(0, 9) f(fidx) WHERE doc_id < 24),
+         vpx AS (
+           SELECT vid, fidx, gx.x, gy.y,
+             (gx.x * 31 + gy.y * 17 + seed * 7919) % 2147483647 AS b
+           FROM vf, generate_series(0, 8) gx(x), generate_series(0, 6) gy(y)),
+         vg AS (
+           SELECT vid, fidx, x, y,
+             (xor(b + 1, (b + 1) >> 13) * 2654435761) % 4294967296
+                // 16777216
+             + (xor(b + 11, (b + 11) >> 13) * 2246822519) % 4294967296
+                // 16777216
+             + (xor(b + 22, (b + 22) >> 13) * 3266489917) % 4294967296
+                // 16777216 AS gs
+           FROM vpx),
+         vhash AS (
+           SELECT g1.vid, g1.fidx,
+             CAST(SUM(CASE WHEN g2.gs > g1.gs
+               THEN CAST(1 AS BIGINT) << (g1.y * 8 + g1.x) ELSE 0 END)
+               AS BIGINT) AS dhash
+           FROM vg g1 JOIN vg g2 ON g2.vid = g1.vid AND g2.fidx = g1.fidx
+             AND g2.x = g1.x + 1 AND g2.y = g1.y
+           WHERE g1.x < 8 GROUP BY g1.vid, g1.fidx),
+         vsets AS (SELECT DISTINCT vid, dhash FROM vhash),
+         vsizes AS (SELECT vid, COUNT(*) AS nf FROM vsets GROUP BY vid),
+         vshared AS (
+           SELECT a.vid AS vida, c.vid AS vidb, COUNT(*) AS shared
+           FROM vsets a JOIN vsets c ON a.dhash = c.dhash AND a.vid < c.vid
+           GROUP BY a.vid, c.vid)
+         SELECT vida, vidb, CAST(shared AS BIGINT) AS shared,
+           CAST(shared * 1000000 // (sa.nf + sb.nf - shared) AS BIGINT)
+             AS jaccard_ppm
+         FROM vshared JOIN vsizes sa ON sa.vid = vida
+           JOIN vsizes sb ON sb.vid = vidb
+         WHERE shared * 1000000 // (sa.nf + sb.nf - shared) >= 500000
+         ORDER BY vida, vidb"""),
 
     "multimodal_audio_fingerprint" ->
       (s"WITH $audioFpSql " +

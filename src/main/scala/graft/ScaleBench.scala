@@ -368,6 +368,35 @@ object ScaleBench {
       s"${pairs.count()} pairs, $planted/${nDocs / 10} planted copies found, " +
         s"$distinctHashes distinct hashes/$distinctSeeds seeds"
     }
+    tm("video_frameset_neardup") {
+      // video dedup at nDocs/10 videos × 10 real PNG frames each: every
+      // 10th video shares 8 of its predecessor's frame seeds (J = 8/12).
+      // The overlap join shuffles (dhash, video_id) only; the intro-frame
+      // cap is exercised by giving ALL videos one common frame seed
+      val nVid = nDocs / 10
+      val frames = spark.range(nVid)
+        .select(col("id").as("vid"),
+          explode(sequence(lit(0), lit(9))).as("fidx"))
+        .select(col("vid"), col("fidx"),
+          when(col("vid") % 10 === 9 && col("fidx") < 8, col("vid") - 1)
+            .otherwise(col("vid")).as("evid"))
+      val specs = frames.select(
+        (col("vid") * 16 + col("fidx")).as("asset_id"),
+        // fidx 9 of every video maps to one shared "intro card" seed,
+        // far above any frame seed (16·nVid+15) so it never collides
+        when(col("fidx") === 9, lit(9999999999L))
+          .otherwise(col("evid") * 16 + col("fidx")).as("seed"),
+        lit(9).as("w"), lit(7).as("h"), lit(0).as("rplus"))
+      val hashes = pipeline.Dedup.checkpointCorpus(
+        pipeline.Multimodal.imageDHash(spark,
+          pipeline.Multimodal.renderPngAssetsQuad(spark, specs))
+          .select(expr("asset_id DIV 16").as("video_id"), col("dhash")))
+      val pairs = pipeline.Multimodal.frameSetNearDupPairs(
+        hashes, 500000L, maxPerHash = 8)
+      val planted = pairs.where(col("vidb") === col("vida") + 1 &&
+        col("vidb") % 10 === 9).count()
+      s"${pairs.count()} pairs, $planted/${nVid / 10} planted copies found"
+    }
     tm("audio_fp_neardup") {
       // perceptual audio dedup at nDocs clips: render real 912-sample WAVs
       // executor-side (every 10th a window-0-amp-bumped copy), javax.sound

@@ -512,6 +512,53 @@ object Multimodal {
       .toDF("asset_id", "content")
   }
 
+  // ---------------------------------------------------------------------------
+  // Video dedup: per-frame dHash (REAL PNG decode — no JDK video codec
+  // exists, so the container decode stays a disclosed stub and a "video"
+  // is its sampled-frame table) + frame-hash-set overlap join.
+  // ---------------------------------------------------------------------------
+
+  /** Near-duplicate video pairs from a `(video_id, dhash)` frame-hash
+    * table (one row per sampled frame — [[sampleFrames]] marks the
+    * container-decode slot; the per-frame hash is the REAL
+    * [[imageDHash]]): two videos are near-dups when the Jaccard overlap
+    * of their distinct frame-hash SETS reaches `minJaccardPpm` — re-
+    * ordered, trimmed or re-encoded copies keep most frame hashes while
+    * unrelated videos share none (a 56-bit hash collides at 2⁻⁵⁶ per
+    * frame pair). Shape: the join shuffles (dhash, video_id) pairs only —
+    * 16 B/record at any frame size, the video twin of the shingle-hash
+    * join in text Jaccard — then per-pair shared counts hash-aggregate.
+    * `maxPerHash > 0` caps how many videos one frame hash may connect
+    * (the intro/outro/black-frame hazard: a standard studio card shared
+    * by k videos contributes k²/2 candidate pairs; cap it and let the
+    * remaining frames carry the overlap). Jaccard is ppm-exact integer
+    * math, floor semantics in both engines. */
+  def frameSetNearDupPairs(frameHashes: DataFrame, minJaccardPpm: Long,
+                           maxPerHash: Int = 0): DataFrame = {
+    val sets = frameHashes.where(col("dhash").isNotNull)
+      .select(col("video_id"), col("dhash")).distinct()
+    val sizes = sets.groupBy("video_id").agg(count(lit(1)).as("nf"))
+    val byHash0 = sets
+    val byHash =
+      if (maxPerHash <= 0) byHash0
+      else byHash0
+        .withColumn("_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("dhash")).orderBy(col("video_id").asc)))
+        .where(col("_rk") <= maxPerHash).drop("_rk")
+    byHash.select(col("dhash"), col("video_id").as("vida"))
+      .join(byHash.select(col("dhash"), col("video_id").as("vidb"))
+        .hint("shuffle_hash"), Seq("dhash"))
+      .where(col("vida") < col("vidb"))
+      .groupBy("vida", "vidb").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("video_id").as("vida"), col("nf").as("na")), Seq("vida"))
+      .join(sizes.select(col("video_id").as("vidb"), col("nf").as("nb")), Seq("vidb"))
+      .select(col("vida"), col("vidb"), col("shared"),
+        expr("CAST((shared * 1000000) DIV (na + nb - shared) AS LONG)")
+          .as("jaccard_ppm"))
+      .where(col("jaccard_ppm") >= minJaccardPpm)
+  }
+
   /** Per-clip audio fingerprint over REAL decoded PCM
     * (`javax.sound.sampled`, like [[decodeAudioFeatures]]): split the
     * first `windows+1` equal windows' samples (length `n/(windows+1)`
