@@ -551,6 +551,14 @@ object PipelineQueries {
         Seq("signup", "view", "click", "purchase"),
         7L * 86400L * 1000000000L).orderBy("step")),
 
+    // ClickHouse-parity any-start funnel: every signup anchors a chain,
+    // per-user maximal depth — n_reached ≥ the greedy census per step
+    // (a short window makes the two visibly diverge on this fixture)
+    "events_funnel_anystart" -> ((s, d) =>
+      graft.operators.WindowFunnel.funnelCensusAnyStart(Tables.events(s, d),
+        Seq("signup", "view", "click", "purchase"),
+        12L * 3600L * 1000000000L).orderBy("step")),
+
     // JSON props extraction + per-type aggregation
     // near-dup cluster-size census: how duplication is DISTRIBUTED — a
     // corpus with one 10k-doc cluster needs different handling than ten
@@ -2635,6 +2643,30 @@ object PipelineQueries {
           s"COALESCE(bit_xor(user_id), 0) AS user_xor FROM t$k"
       "WITH t1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events " +
         "WHERE event_type = 'signup' GROUP BY user_id), " +
+        stepCte(2, "view") + ", " + stepCte(3, "click") + ", " +
+        stepCte(4, "purchase") + " SELECT * FROM (" +
+        levelRow(1, "signup") + " UNION ALL " + levelRow(2, "view") +
+        " UNION ALL " + levelRow(3, "click") + " UNION ALL " +
+        levelRow(4, "purchase") + ") ORDER BY step"
+    },
+
+    "events_funnel_anystart" -> {
+      val w = 12L * 3600L * 1000000000L
+      def stepCte(k: Int, tpe: String) = {
+        val carry = (2 until k).map(j => s"MIN(c.t$j) AS t$j")
+          .map(_ + ", ").mkString
+        s"a$k AS (SELECT e.user_id, c.t1, $carry" +
+          s"MIN(epoch_ns(e.ts)) AS t$k " +
+          s"FROM events e JOIN a${k - 1} c USING (user_id) " +
+          s"WHERE e.event_type = '$tpe' AND epoch_ns(e.ts) > c.t${k - 1} " +
+          s"AND epoch_ns(e.ts) < c.t1 + $w GROUP BY e.user_id, c.t1)"
+      }
+      def levelRow(k: Int, tpe: String) =
+        s"SELECT CAST($k AS BIGINT) AS step, '$tpe' AS step_name, " +
+          s"COUNT(*) AS n_reached, COALESCE(bit_xor(user_id), 0) AS user_xor " +
+          s"FROM (SELECT DISTINCT user_id FROM a$k)"
+      "WITH a1 AS (SELECT DISTINCT user_id, epoch_ns(ts) AS t1 FROM events " +
+        "WHERE event_type = 'signup'), " +
         stepCte(2, "view") + ", " + stepCte(3, "click") + ", " +
         stepCte(4, "purchase") + " SELECT * FROM (" +
         levelRow(1, "signup") + " UNION ALL " + levelRow(2, "view") +

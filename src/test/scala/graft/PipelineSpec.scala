@@ -724,6 +724,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(census(3L) === ((1L, 1L)))                 // C: only user 1
   }
 
+  test("any-start funnel recovers chains the greedy-earliest census drops") {
+    import spark.implicits._
+    // user 1: first A's window (1000) expires before its B, but a SECOND
+    //   A at 5000 completes A→B→C — greedy level 1, any-start level 3
+    // user 2: single anchor, C precedes B — level 2 in both semantics
+    // user 3: control — single full chain, both semantics level 3
+    val ev = Seq(
+      (1L, "A", 100L), (1L, "A", 5000L), (1L, "B", 5200L), (1L, "C", 5400L),
+      (2L, "A", 100L), (2L, "C", 150L), (2L, "B", 200L),
+      (3L, "A", 100L), (3L, "B", 200L), (3L, "C", 300L)
+    ).map { case (u, t, ts) => (u, t, ts, 0L) }
+      .toDF("user_id", "event_type", "ts", "pad")
+    def depths(census: Map[Long, Long]): (Long, Long, Long) =
+      (census.getOrElse(1L, 0L), census.getOrElse(2L, 0L),
+        census.getOrElse(3L, 0L))
+    val greedy = graft.operators.WindowFunnel.funnelCensus(
+        ev, Seq("A", "B", "C"), windowNs = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val any = graft.operators.WindowFunnel.funnelCensusAnyStart(
+        ev, Seq("A", "B", "C"), windowNs = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(depths(greedy) === ((3L, 2L, 1L))) // only user 3 completes
+    assert(depths(any) === ((3L, 3L, 2L)))    // user 1 recovered end-to-end
+    // anchor cap 1 = greedy-earliest again (the earliest anchor per user)
+    val capped = graft.operators.WindowFunnel.funnelCensusAnyStart(
+        ev, Seq("A", "B", "C"), windowNs = 1000L, maxAnchorsPerUser = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(depths(capped) === depths(greedy))
+  }
+
   test("hashed embeddings: near-dup texts score near 1, unrelated far below") {
     import spark.implicits._
     // longer docs: the ±hash signal concentrates with token count (the
