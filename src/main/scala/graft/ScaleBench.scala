@@ -349,13 +349,18 @@ object ScaleBench {
       val specs = spark.range(nDocs).select(col("id").as("asset_id"),
         when(col("id") % 10 === 9, col("id") - 1).otherwise(col("id"))
           .as("seed"),
-        lit(9).as("w"), lit(7).as("h"),
+        lit(10).as("w"), lit(7).as("h"),
         when(col("id") % 10 === 9, 5).otherwise(0).as("rplus"))
       val hashes = pipeline.Dedup.checkpointCorpus(
         pipeline.Multimodal.imageDHash(spark,
           pipeline.Multimodal.renderPngAssetsQuad(spark, specs)))
-      // 4×14-bit bands: occupancy n/2^14 — see the operator's scaling note
-      val pairs = pipeline.Multimodal.imageNearDupPairs(hashes, 4, 2)
+      // 63-bit hash (10×7 grid), 3×21-bit bands: occupancy n/2^21 stays
+      // sub-1 into the millions — the measured alternative (56-bit,
+      // 4×14-bit bands) pays a 1.05B-record verify storm at 1M images
+      // because radius-2 recall caps 56 bits at 4 bands. Longer hash,
+      // not narrower bands, is the scale axis (operator scaling note).
+      val pairs = pipeline.Multimodal.hammingNearDupPairs(
+        hashes, "dhash", 63, bands = 3, maxHamming = 2)
       val planted = pairs.where(col("idb") === col("ida") + 1 &&
         col("idb") % 10 === 9).count()
       // fixture-health check: a degenerate pixel formula collapses the
@@ -402,16 +407,18 @@ object ScaleBench {
       // executor-side (every 10th a window-0-amp-bumped copy), javax.sound
       // decode + 56-bit window-energy fingerprint, banded hamming join —
       // same wire shape as the image stage: (band, value, id, hash) only
+      // 63-bit fingerprint (64 physical windows), 3×21-bit bands — same
+      // longer-hash-not-narrower-bands scale rule as the image stage
       val specs = spark.range(nDocs).select(col("id").as("asset_id"),
         when(col("id") % 10 === 9, col("id") - 1).otherwise(col("id"))
           .as("seed"),
-        lit(8000).as("rate"), lit(57 * 16).as("n"), lit(57).as("windows"),
+        lit(8000).as("rate"), lit(64 * 16).as("n"), lit(64).as("windows"),
         when(col("id") % 10 === 9, 200).otherwise(0).as("aplus"))
       val fps = pipeline.Dedup.checkpointCorpus(
         pipeline.Multimodal.audioFingerprint(spark,
-          pipeline.Multimodal.renderWavAssetsSeeded(spark, specs)))
+          pipeline.Multimodal.renderWavAssetsSeeded(spark, specs), 63))
       val pairs = pipeline.Multimodal.hammingNearDupPairs(
-        fps, "afp", 56, bands = 4, maxHamming = 2)
+        fps, "afp", 63, bands = 3, maxHamming = 2)
       val planted = pairs.where(col("idb") === col("ida") + 1 &&
         col("idb") % 10 === 9).count()
       val distinctFps = fps.select("afp").distinct().count()

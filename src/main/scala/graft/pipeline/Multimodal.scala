@@ -338,14 +338,18 @@ object Multimodal {
   }
 
   /** Per-image difference hash over REAL decoded pixels (javax.imageio):
-    * bit `y·8 + x` is set when the gray sum (r+g+b — comparing sums ≡
+    * bit `y·(w−1) + x` is set when the gray sum (r+g+b — comparing sums ≡
     * comparing means, no division) of pixel (x+1, y) exceeds that of
-    * (x, y). Requires (w−1)·h ≤ 56 bits (a 9×7 input → 56; production
-    * resizes first — [[stubResize]] marks that slot), keeping every bit
-    * below the sign bit so the SQL mirror's `<<` semantics are identical.
-    * `dhash = null` marks an undecodable payload (kept, not dropped, like
-    * [[decodeImageFeatures]]). Partition-parallel typed map; everything
-    * downstream is relational. */
+    * (x, y). Requires (w−1)·h ≤ 63 bits, keeping every bit below the
+    * sign bit so the SQL mirror's `<<` semantics are identical; the
+    * oracle fixture uses 9×7 → 56 bits (where `y·8+x` coincides with
+    * this layout), while a 10×7 input yields the 63-bit hash whose
+    * 3×21-bit bands keep radius-2 LSH occupancy sub-1 at millions of
+    * images (see [[imageNearDupPairs]]'s band-width rule — production
+    * resizes to the grid that matches its corpus size; [[stubResize]]
+    * marks that slot). `dhash = null` marks an undecodable payload
+    * (kept, not dropped, like [[decodeImageFeatures]]).
+    * Partition-parallel typed map; everything downstream is relational. */
   def imageDHash(spark: org.apache.spark.sql.SparkSession,
                  assets: DataFrame): DataFrame = {
     import spark.implicits._
@@ -358,8 +362,8 @@ object Multimodal {
         if (img == null) (id, None: Option[Long])
         else {
           val (w, h) = (img.getWidth, img.getHeight)
-          require((w - 1) * h <= 56,
-            s"dHash input must be pre-resized to ≤ 56 comparison bits, got ${w}x$h")
+          require((w - 1) * h <= 63,
+            s"dHash input must be pre-resized to ≤ 63 comparison bits, got ${w}x$h")
           def gs(x: Int, y: Int): Int = {
             val rgb = img.getRGB(x, y)
             ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
@@ -369,7 +373,7 @@ object Multimodal {
           while (y < h) {
             var x = 0
             while (x < w - 1) {
-              if (gs(x + 1, y) > gs(x, y)) hash |= 1L << (y * 8 + x)
+              if (gs(x + 1, y) > gs(x, y)) hash |= 1L << (y * (w - 1) + x)
               x += 1
             }
             y += 1
