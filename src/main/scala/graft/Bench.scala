@@ -70,17 +70,35 @@ object Bench {
           i += 1
         }
         val sorted = times.sorted
-        (name, sorted(sorted.size / 2), sorted.head)
+        (name, sorted(sorted.size / 2), sorted.head, sorted.last)
       }
     // a failed query's time is negated so a run with failures is
-    // machine-distinguishable from a clean one in the emitted JSON
-    val qs = results.map { case (k, med, mn) =>
+    // machine-distinguishable from a clean one in the emitted JSON.
+    // Full per-query spread (median, min, max of the 3 runs) so a reader
+    // can separate plan regressions from box noise mechanically: identical
+    // binaries moved 16% median / 54% worst-case between rounds 4 and 5
+    // on this shared box — a wide (min, max) flags the noisy queries.
+    val qs = results.map { case (k, med, mn, mx) =>
       val sign = if (failed.contains(k)) -1 else 1
-      "\"" + k + "\":{\"median\":" + sign * med + ",\"min\":" + sign * mn + "}"
+      "\"" + k + "\":{\"median\":" + sign * med + ",\"min\":" + sign * mn +
+        ",\"max\":" + sign * mx + "}"
     }.mkString("{", ",", "}")
-    val total = results.collect { case (k, med, _) if !failed.contains(k) => med }.sum
+    val total = results.collect { case (k, med, _, _) if !failed.contains(k) => med }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"load_sec":$loadSec,"ingest_warm_sec":$ingestWarmSec,"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // whole-run noise sentinel: re-run the FIRST query once at the very
+    // end. Its drift vs its own earlier median measures how much the box
+    // degraded DURING the run (cache pressure, co-tenant load) — a drift
+    // ≫ 1 means late-alphabet queries ran on a slower box than early ones
+    // and round-over-round deltas below that factor are not signal.
+    val sentinelJson = results.headOption
+      .filter { case (k, _, _, _) => !failed.contains(k) }
+      .map { case (k, med, _, _) =>
+        val rerun = secs { try SparkEntry.queries(k)(spark, sfDir).count()
+                           catch { case _: Throwable => () } }
+        val drift = if (med > 0) rerun / med else 1.0
+        s"""{"query":"$k","earlier_median":$med,"rerun":$rerun,"drift":$drift}"""
+      }.getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"load_sec":$loadSec,"ingest_warm_sec":$ingestWarmSec,"n_queries":${results.size},"failed":$failedJson,"sentinel":$sentinelJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -483,8 +483,8 @@ object PipelineQueries {
         .withColumn("t_end", col("t_start") + lit(3L * dayNs))
       val uw = ev.groupBy(col("user_id")).agg(min(col("ts")).as("u_start"))
         .withColumn("u_end", col("u_start") + lit(dayNs))
-      graft.operators.RangeJoin.intervalOverlapJoin(
-          tw, "t_start", "t_end", uw, "u_start", "u_end", dayNs)
+      graft.operators.RangeJoin.intervalOverlapJoinAuto(
+          tw, "t_start", "t_end", uw, "u_start", "u_end")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_overlapping_users"),
           expr("bit_xor(user_id)").as("user_xor"))
@@ -502,9 +502,9 @@ object PipelineQueries {
       val iv = ev.groupBy(col("event_type").as("itype"))
         .agg(min(col("ts")).as("w_start"))
         .withColumn("w_end", col("w_start") + lit(3L * dayNs))
-      graft.operators.RangeJoin.rangeJoin(
+      graft.operators.RangeJoin.rangeJoinAuto(
           ev.select(col("ts"), col("event_id")), "ts",
-          iv, "w_start", "w_end", dayNs)
+          iv, "w_start", "w_end")
         .groupBy(col("itype").as("event_type"))
         .agg(count(lit(1)).as("n_in_window"),
           expr("bit_xor(event_id)").as("event_xor"))

@@ -457,6 +457,45 @@ object ScaleBench {
         .collect()
       s"${sk.length} items, top=${sk.head.getString(0)}" // sorted desc
     }
+
+    // any-start funnel with a PLANTED BOT: user 0 fires 2,000 step-1
+    // anchors and 2,000 step-2 events inside one window, so the per-user
+    // anchor×event join is 4M rows in ONE partition uncapped — the
+    // skewed-key straggler the default 64-anchor cap exists to bound
+    // (64·2,000 = 128k rows, a 31× cut visible in the shuffle records).
+    // 10k organic users (4-step chains) ride along in both runs.
+    val botM = 2000
+    def funnelEvents = {
+      val organic = spark.range(10000)
+        .select((col("id") + 1L).as("user_id"),
+          explode(expr("sequence(0, 3)")).as("s"))
+        .select(col("user_id"),
+          expr("array('signup','view','click','purchase')[s]").as("event_type"),
+          (col("user_id") * 1000000000000L + col("s") * 1000000000L).as("ts"))
+      val botAnchors = spark.range(botM).select(lit(0L).as("user_id"),
+        lit("signup").as("event_type"), (col("id") * 1000000L).as("ts"))
+      val botViews = spark.range(botM).select(lit(0L).as("user_id"),
+        lit("view").as("event_type"),
+        (col("id") * 1000000L + 500000L).as("ts"))
+      organic.unionAll(botAnchors).unionAll(botViews)
+        .localCheckpoint(true)
+    }
+    val funnelWin = 3600L * 1000000000L
+    val funnelSteps = Seq("signup", "view", "click", "purchase")
+    tm(s"funnel_anystart_bot${botM}_uncapped") {
+      val ev = funnelEvents
+      val r = graft.operators.WindowFunnel
+        .funnelCensusAnyStart(ev, funnelSteps, funnelWin,
+          maxAnchorsPerUser = 0).collect()
+      s"step1_reached=${r.head.getLong(2)}"
+    }
+    tm(s"funnel_anystart_bot${botM}_cap64_default") {
+      val ev = funnelEvents
+      val r = graft.operators.WindowFunnel
+        .funnelCensusAnyStart(ev, funnelSteps, funnelWin).collect()
+      // the cap is invisible in the census: reach counts DISTINCT users
+      s"step1_reached=${r.head.getLong(2)}"
+    }
     spark.stop()
   }
 

@@ -1,7 +1,8 @@
 package graft.api
 
 import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 /** The suggestions engine as a RUNNABLE SERVICE LOOP, not just callable
   * functions: the reference re-analyzes its namespace on a fixed cadence
@@ -29,9 +30,18 @@ object SuggestionsService {
   /** Run ONE suggestions cycle under a cancellable job group. Returns the
     * guard handle immediately; `result` completes when the cycle is done.
     * `historyPath = Some(p)` appends the per-user metrics as a timestamped
-    * generation to the history sink (S9). */
+    * generation to the history sink (S9). `prevSnapshot = Some(a)` adds
+    * the scheduled TREND step (the reference's `logHistoryPerUser`
+    * cadence, `HsqlDriver.java:105-200`): per-user growth attribution of
+    * this snapshot vs the previous cycle's, appended to
+    * `growthHistoryPath` in exactly the (key, cycle, measures…) shape
+    * [[graft.operators.TrendAnalysis.trend]] consumes. One full-outer
+    * diff join on the stable inode id; only changed rows leave it. */
   def cycle(spark: SparkSession, inodes: DataFrame,
-            historyPath: Option[String], nowMs: Long)
+            historyPath: Option[String], nowMs: Long,
+            prevSnapshot: Option[DataFrame] = None,
+            growthHistoryPath: Option[String] = None,
+            cycleIdx: Long = 0L)
       : QueryGuard.Guarded[CycleStats] =
     QueryGuard.run(spark, "suggestions-cycle") {
       // scalar census: one row, two scans
@@ -40,6 +50,11 @@ object SuggestionsService {
       val perUser = Suggestions.cachedUserMaps(inodes, nowMs)
       historyPath.foreach(p => Sinks.appendHistory(perUser, p, nowMs))
       val users = perUser.count()
+      for (prev <- prevSnapshot; gp <- growthHistoryPath)
+        graft.operators.SnapshotDiff.growthByUser(
+            graft.operators.SnapshotDiff.diff(prev, inodes))
+          .withColumn("cycle", lit(cycleIdx))
+          .write.mode(SaveMode.Append).parquet(gp)
       // user-registered queries ride the same cycle (reference
       // `performCustomQueries`); failures are per-query, not cycle-fatal
       val failures = CachedQueries.refresh(inodes, nowMs)
@@ -52,7 +67,11 @@ object SuggestionsService {
   final class Service(spark: SparkSession, inodes: DataFrame,
                       historyPath: Option[String],
                       intervalMs: Long,
-                      clock: () => Long = () => System.currentTimeMillis()) {
+                      clock: () => Long = () => System.currentTimeMillis(),
+                      // refreshed namespace per tick (CDC merge / re-ingest);
+                      // None = the fixed `inodes` frame every cycle
+                      snapshotProvider: Option[() => DataFrame] = None,
+                      growthHistoryPath: Option[String] = None) {
     private val exec: ScheduledExecutorService =
       Executors.newSingleThreadScheduledExecutor { r =>
         val t = new Thread(r, "graft-suggestions-service")
@@ -67,10 +86,20 @@ object SuggestionsService {
       exec.scheduleWithFixedDelay(() => tick(), 0L, intervalMs,
         TimeUnit.MILLISECONDS)
 
+    // previous tick's snapshot — the diff base for the scheduled trend
+    // step; single-threaded executor, so no synchronization needed
+    private var prevSnapshot: Option[DataFrame] = None
+    private var cycleIdx: Long = 0L
+
     private def tick(): Unit = {
       // previous cycle still running → skip this tick (no pile-up)
       if (current.exists(!_.result.isCompleted)) return
-      val g = cycle(spark, inodes, historyPath, clock())
+      val snap = snapshotProvider.map(_.apply()).getOrElse(inodes)
+      val g = cycle(spark, snap, historyPath, clock(),
+        prevSnapshot.filter(_ => growthHistoryPath.isDefined),
+        growthHistoryPath, cycleIdx)
+      prevSnapshot = Some(snap)
+      cycleIdx += 1
       current = Some(g)
       g.result.foreach(s => completed.add(s))(
         scala.concurrent.ExecutionContext.global)

@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -24,11 +26,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) — Spark 4 reads it only as a
-    * LONG of epoch-nanos (legacy conf). Set per-session at first use. */
+  /** Engine contract: `events.ts` is epoch-NANOS `LongType` downstream of
+    * this loader, regardless of how the fixture vintage encoded it.
+    * Fixtures have shipped both parquet TIMESTAMP(NANOS) (readable only as
+    * a LONG of epoch-nanos under the legacy conf, set here at first use)
+    * and TIMESTAMP(MICROS) (read as TIMESTAMP / TIMESTAMP_NTZ). Normalize
+    * once at the source so every operator sees one type. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    normalizeTsNanos(table(spark, dir, "events"))
+  }
+
+  /** Normalize a `ts` column to epoch-nanos `LongType`. The NTZ→instant
+    * cast is lossless because every runner pins the session TZ to UTC. */
+  def normalizeTsNanos(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df
+    case TimestampType | TimestampNTZType =>
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    case other => throw new IllegalArgumentException(
+      s"events.ts: unsupported parquet-read type $other " +
+        "(expected LONG epoch-nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -42,6 +42,46 @@ object RangeJoin {
       s"'rangeJoin: negative $c — truncating div disagrees with floor') " +
       s"ELSE `$c` div $w END"
 
+  /** Data-driven bucket width: ≈ the p95 interval span, collected as ONE
+    * scalar aggregation over the (already caller-projected) interval side.
+    * A caller-fixed width that mis-sizes at 100× scale (intervals ≫
+    * bucket) multiplies the explode fan-out by span/width per interval;
+    * anchoring to p95 bounds the fan-out of 95% of intervals at ≤ 2
+    * buckets each, so candidate rows stay O(points + intervals·spanFactor)
+    * no matter how the interval distribution drifts. Tail intervals above
+    * p95 still fan out span/p95 — by definition ≤ 5% of rows. The collect
+    * is two scalars (p95, a non-empty guard), not data-sized. */
+  def autoBucketWidth(intervals: DataFrame, startCol: String,
+                      endCol: String): Long = {
+    val r = intervals.agg(
+      expr(s"approx_percentile(`$endCol` - `$startCol`, 0.95)"),
+      count(lit(1))).head
+    if (r.isNullAt(0) || r.getLong(1) == 0L) 1L
+    else math.max(1L, r.getLong(0))
+  }
+
+  /** [[rangeJoin]] with the bucket width chosen from the interval data
+    * itself ([[autoBucketWidth]]). */
+  def rangeJoinAuto(points: DataFrame, pointCol: String,
+                    intervals: DataFrame, startCol: String,
+                    endCol: String): DataFrame =
+    rangeJoin(points, pointCol, intervals, startCol, endCol,
+      autoBucketWidth(intervals, startCol, endCol))
+
+  /** [[intervalOverlapJoin]] with the bucket width chosen from BOTH sides'
+    * spans pooled (the fan-out hazard is symmetric). */
+  def intervalOverlapJoinAuto(left: DataFrame, leftStart: String, leftEnd: String,
+                              right: DataFrame, rightStart: String,
+                              rightEnd: String): DataFrame = {
+    val spans = left.select((col(leftEnd) - col(leftStart)).as("s"))
+      .unionAll(right.select((col(rightEnd) - col(rightStart)).as("s")))
+    val r = spans.agg(expr("approx_percentile(s, 0.95)"), count(lit(1))).head
+    val w = if (r.isNullAt(0) || r.getLong(1) == 0L) 1L
+            else math.max(1L, r.getLong(0))
+    intervalOverlapJoin(left, leftStart, leftEnd,
+      right, rightStart, rightEnd, w)
+  }
+
   /** Inner point-in-interval join. `points`/`intervals` must already carry
     * distinct column names; every column of both survives on the output.
     * Bucket ids use integer `div` (NOT `floor(x / w)` — double division

@@ -87,10 +87,19 @@ object WindowFunnel {
     * user's partition. `maxAnchorsPerUser > 0` caps a user at their
     * earliest anchors (later anchors only help when earlier ones fail,
     * which the window makes increasingly unlikely); the cap's window
-    * shares the first pass's user_id partitioning. */
+    * shares the first pass's user_id partitioning.
+    *
+    * The DEFAULT cap is [[DefaultMaxAnchors]] (64): an organic user does
+    * not restart a funnel 64 times inside one window, so the cap is
+    * invisible on real traffic, while a single bot with 10⁶ step-1
+    * events would otherwise blow a 10⁶·n quadratic inside its partition
+    * — the classic skewed-key straggler. Pass 0 to opt into unlimited
+    * anchors explicitly. */
+  val DefaultMaxAnchors = 64
+
   def funnelTimesAnyStart(events: DataFrame, steps: Seq[String],
                           windowNs: Long,
-                          maxAnchorsPerUser: Int = 0): Seq[DataFrame] = {
+                          maxAnchorsPerUser: Int = DefaultMaxAnchors): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(events.schema("ts").dataType ==
       org.apache.spark.sql.types.LongType,
@@ -127,7 +136,7 @@ object WindowFunnel {
     * chain is their best. */
   def funnelCensusAnyStart(events: DataFrame, steps: Seq[String],
                            windowNs: Long,
-                           maxAnchorsPerUser: Int = 0): DataFrame =
+                           maxAnchorsPerUser: Int = DefaultMaxAnchors): DataFrame =
     funnelTimesAnyStart(events, steps, windowNs, maxAnchorsPerUser)
       .zipWithIndex.map { case (df, i) =>
         df.select("user_id").distinct()

@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus the decode/feature/frame-sample operator
   * surface a training-data pipeline needs.
   *
-  * The actual media decode is STUBBED (this container ships no image/audio
-  * codecs): [[stubDecodeFeatures]] is a clearly-marked deterministic fake.
-  * Everything around it — schema, batch shape, partition-parallel operation,
-  * frame slicing arithmetic — is real Spark and tested. Swapping the stub
-  * for a real decoder means replacing one expression with a Pandas-UDF /
-  * JNI call of the same signature; the plan shape does not change.
+  * Image and audio decode are REAL: `javax.imageio` (PNG) and
+  * `javax.sound.sampled` (WAV PCM) ship in the JDK and back the decode /
+  * feature / fingerprint operators below (see `decodeImages` /
+  * `decodePcm`). [[stubDecodeFeatures]] remains as the clearly-marked
+  * deterministic fallback for codecs the JDK lacks (JPEG2000, video
+  * containers, compressed audio): swapping it for a real decoder means
+  * replacing one expression with a Pandas-UDF / JNI call of the same
+  * signature; the plan shape does not change.
   */
 object Multimodal {
 

@@ -16,19 +16,22 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS); Spark reads it as LONG
-    * nanos under `nanosAsLong`. Normalize to a microsecond timestamp. */
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(schema)
+  /** Streaming sources need an explicit schema, and the fixture's `ts`
+    * encoding has drifted across vintages (TIMESTAMP(NANOS)-as-LONG vs
+    * TIMESTAMP(MICROS)). Peek the actual parquet schema with a cheap batch
+    * footer read, then normalize through the same
+    * [[graft.core.Tables.normalizeTsNanos]] contract as the batch loader,
+    * so downstream stateful operators always see epoch-nanos LongType. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema: StructType =
+      spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(fileSchema)
       // FileStreamSource needs a directory; select the single table file
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    graft.core.Tables.normalizeTsNanos(raw)
       .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
 
   /** Tumbling-window count+sum per event type with a watermark. */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",

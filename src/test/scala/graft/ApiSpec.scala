@@ -289,4 +289,56 @@ class ApiSpec extends AnyFunSuite {
     val err = intercept[Exception] { Await.result(c3.result, 60.seconds) }
     assert(err != null)
   }
+
+  test("suggestions service: scheduled trend cycle appends growth history " +
+    "the trend operator consumes") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val growthDir =
+      java.nio.file.Files.createTempDirectory("growth").toString + "/hist"
+    // two cycles over the two fixture snapshots: A (the derived previous
+    // namespace) then B (the current one) — cycle 2 diffs B vs A
+    val snapA = graft.inodes.SnapshotFixture.previous(spark, dir)
+    val snapB = InodeView.snapshot(spark, dir)
+    val c1 = SuggestionsService.cycle(spark, snapA, None, 1000L,
+      prevSnapshot = None, growthHistoryPath = Some(growthDir), cycleIdx = 0L)
+    Await.result(c1.result, 120.seconds)
+    // first cycle has no diff base → no growth rows may exist yet
+    assert(!new java.io.File(growthDir).exists())
+    val c2 = SuggestionsService.cycle(spark, snapB, None, 2000L,
+      prevSnapshot = Some(snapA), growthHistoryPath = Some(growthDir),
+      cycleIdx = 1L)
+    Await.result(c2.result, 120.seconds)
+    // the appended generation IS the oracle-checked growth attribution:
+    // row-for-row equal to the nna_growth_by_user query on the same pair
+    val hist = spark.read.parquet(growthDir)
+    assert(hist.select("cycle").distinct().collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("user", "filesAdded", "filesDeleted", "filesModified",
+          "filesDelta", "bytesDelta")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5))).toMap
+    val expected = keyed(NNAQueries.queries("nna_growth_by_user")(spark, dir))
+    assert(keyed(hist) === expected)
+    // and the trend operator consumes the table as-is: a third cycle
+    // repeating the same diff (A→B) appends an identical generation at
+    // cycle 2 — every user then has two flat cycles, so the regression
+    // yields Delta = 0 and SlopeMilli = 0, integer-exact
+    val c3 = SuggestionsService.cycle(spark, snapB, None, 3000L,
+      prevSnapshot = Some(snapA), growthHistoryPath = Some(growthDir),
+      cycleIdx = 2L)
+    Await.result(c3.result, 120.seconds)
+    val tr = graft.operators.TrendAnalysis.trend(
+      spark.read.parquet(growthDir), Seq("user"), "cycle",
+      Seq("bytesDelta"))
+    val rows = tr.collect()
+    assert(rows.map(_.getString(0)).toSet === expected.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 2L, s"nCycles for ${r.getString(0)}")
+      assert(r.getAs[Long]("bytesDeltaDelta") === 0L)
+      assert(r.getAs[Long]("bytesDeltaSlopeMilli") === 0L)
+    }
+  }
 }

@@ -754,6 +754,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(depths(capped) === depths(greedy))
   }
 
+  test("any-start funnel: default 64-anchor cap bounds a bot's fan-out; 0 opts out") {
+    import spark.implicits._
+    // bot user 1 fires 100 step-1 events — uncapped, each later-step event
+    // would join all 100 live anchors (the m·n skewed-key hazard); the
+    // default cap keeps the 64 EARLIEST anchors, and reach is unchanged
+    // because any anchor whose window covers the view completes the chain
+    val ev = spark.range(100).select(lit(1L).as("user_id"),
+        lit("signup").as("event_type"), (col("id") * 10L).as("ts"))
+      .unionAll(Seq((1L, "view", 5000L)).toDF("user_id", "event_type", "ts"))
+    val steps = Seq("signup", "view")
+    val capped = graft.operators.WindowFunnel
+      .funnelTimesAnyStart(ev, steps, 100000L)
+    assert(capped.head.count() === 64L)   // default cap bit
+    assert(capped.last.count() === 64L)   // every capped anchor reaches view
+    val uncapped = graft.operators.WindowFunnel
+      .funnelTimesAnyStart(ev, steps, 100000L, maxAnchorsPerUser = 0)
+    assert(uncapped.head.count() === 100L) // explicit opt-out keeps all
+    // the user-level census is identical either way
+    val reach = graft.operators.WindowFunnel
+      .funnelCensusAnyStart(ev, steps, 100000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(reach === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("auto bucket width bounds range-join candidate fan-out under span drift") {
+    // 1000 typical intervals (span 1000) + 10 whales (span 100k): p95
+    // anchors the width at the typical span, so the explode fan-out stays
+    // O(intervals) — a caller-fixed width sized for the whales (100k)
+    // would pile every typical interval's points into shared buckets,
+    // and one sized at, say, 10 would explode each typical interval 100×.
+    val ivs = spark.range(1000).select(col("id").as("iid"),
+        (col("id") * 200000L).as("s"), (col("id") * 200000L + 1000L).as("e"))
+      .unionAll(spark.range(10).select((col("id") + 5000L).as("iid"),
+        (col("id") * 200000L + 50000L).as("s"),
+        (col("id") * 200000L + 150000L).as("e")))
+    val w = graft.operators.RangeJoin.autoBucketWidth(ivs, "s", "e")
+    assert(w >= 1000L, s"width $w undershoots the typical span")
+    val fanOut = ivs.selectExpr(s"sum(e div $w - s div $w + 1) AS f")
+      .head.getLong(0)
+    assert(fanOut <= 4 * 1010L,
+      s"exploded candidate rows $fanOut exceed the O(intervals) bound")
+    // the width choice must never change RESULTS — auto ≡ any fixed width
+    val pts = spark.range(200).select(col("id").as("pid"),
+      (col("id") * 997L).as("p"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = pairs(graft.operators.RangeJoin
+      .rangeJoinAuto(pts, "p", ivs, "s", "e"))
+    val fixed = pairs(graft.operators.RangeJoin
+      .rangeJoin(pts, "p", ivs, "s", "e", 12345L))
+    assert(auto === fixed)
+  }
+
   test("hashed embeddings: near-dup texts score near 1, unrelated far below") {
     import spark.implicits._
     // longer docs: the ±hash signal concentrates with token count (the
