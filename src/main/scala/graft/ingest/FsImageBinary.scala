@@ -36,6 +36,21 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * A production binary path would stream THIS decode into parquet once,
   * then analyze columnar — the shape [[FsImageSource.exportParquet]]
   * already provides.
+  *
+  * FIDELITY STATUS: a literal namenode-produced image has not been run
+  * through this decoder — this environment ships no Hadoop server bits
+  * (`hadoop-client-api` only, no `hdfs` CLI, no MiniDFSCluster) and no
+  * network egress to fetch one. The fixture generator
+  * (`tools/gen_fsimage_bin.py`) instead reproduces the genuine saver's
+  * output shape from the public format: `FSImageFormatProtobuf.Saver`'s
+  * physical section order (NS_INFO first, ERASURE_CODING before INODE,
+  * FILES_UNDERCONSTRUCTION, the snapshot family, STRING_TABLE last),
+  * packed ACL/xattr features, STRIPED blockType, SNAPSHOT_DIFF /
+  * INODE_REFERENCE / SECRET_MANAGER / CACHE_MANAGER sections — and
+  * `IngestSpec` pins both the layout and decode ≡ XML equivalence.
+  * First action on a real cluster: `readSummary` + `inodes` over an
+  * actual image, diffed against `oiv -p XML` through
+  * [[FsImageXmlSource]].
   */
 object FsImageBinary {
 

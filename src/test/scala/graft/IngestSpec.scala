@@ -164,10 +164,23 @@ class IngestSpec extends AnyFunSuite {
     // CACHE_MANAGER, ERASURE_CODING, real packed ACL entries, xattr
     // features, and STRIPED blockType on EC files. None of it may leak
     // into the inode set or shift a decoded field.
-    val names = graft.ingest.FsImageBinary
-      .readSummary(IngestQueries.BinPath).sections.map(_.name)
-    assert(Seq("SNAPSHOT_DIFF", "INODE_REFERENCE", "SECRET_MANAGER",
+    val secs = graft.ingest.FsImageBinary
+      .readSummary(IngestQueries.BinPath).sections
+    val names = secs.map(_.name)
+    assert(Seq("NS_INFO", "FILES_UNDERCONSTRUCTION", "SNAPSHOT_DIFF",
+      "INODE_REFERENCE", "SECRET_MANAGER",
       "CACHE_MANAGER", "ERASURE_CODING").forall(names.contains), names)
+    // the fixture's PHYSICAL layout mirrors the genuine saver
+    // (FSImageFormatProtobuf.Saver.saveInternal): NS_INFO first,
+    // STRING_TABLE last — decoding must go through the FileSummary
+    // index, so a decoder that assumed the string table precedes the
+    // inodes in the byte stream fails here before it fails on a real
+    // image
+    val byOffset = secs.sortBy(_.offset).map(_.name)
+    assert(byOffset.head === "NS_INFO", byOffset)
+    assert(byOffset.last === "STRING_TABLE", byOffset)
+    assert(byOffset.indexOf("ERASURE_CODING") < byOffset.indexOf("INODE"),
+      byOffset)
     val viaXml = graft.ingest.FsImageXmlSource
       .inodes(spark, IngestQueries.XmlPath)
     assert(viaXml.count() === 44) // diff-section ghost stubs dropped

@@ -227,6 +227,30 @@ uint_field(e, 3, 0)                # dstSnapshotId
 uint_field(e, 4, 0)                # lastSnapshotId
 delimited(ref_sec, e)
 
+# ---- NS_INFO (NameSystemSection): always the FIRST section a genuine
+# namenode writes (FSImageFormatProtobuf.Saver.saveInternal calls
+# saveNameSystemSection first) ----
+ns_sec = bytearray()
+h = bytearray()
+uint_field(h, 1, 1394003719)                  # namespaceId
+uint_field(h, 2, 1000)                        # genstampV1
+uint_field(h, 3, 1005)                        # genstampV2
+uint_field(h, 4, 0)                           # genstampV1Limit
+uint_field(h, 5, 1073741825 + max(r["id"] for r in rows) * 8)  # lastAllocatedBlockId
+uint_field(h, 6, 4211)                        # transactionId
+delimited(ns_sec, h)
+
+# ---- FILES_UNDERCONSTRUCTION: FileUnderConstructionEntry{inodeId,
+# fullPath} per UC file (the saver emits this section between INODE_DIR
+# and the snapshot sections) ----
+uc_sec = bytearray()
+for r in rows:
+    if r["is_file"] and r["is_uc"]:
+        e = bytearray()
+        uint_field(e, 1, r["id"])
+        bytes_field(e, 2, r["path"].encode())
+        delimited(uc_sec, e)
+
 # ---- SECRET_MANAGER / CACHE_MANAGER / ERASURE_CODING headers ----
 secret_sec = bytearray()
 h = bytearray()
@@ -244,15 +268,24 @@ bytes_field(pol, 2, b"RS-6-3-1024k")
 delimited(ec_sec, pol)
 
 # ---- container: magic, sections, FileSummary, 4-byte length ----
+# Physical section order mirrors the GENUINE saver
+# (FSImageFormatProtobuf.Saver.saveInternal): NS_INFO first,
+# ERASURE_CODING before INODE, FILES_UNDERCONSTRUCTION after INODE_DIR,
+# snapshot family next, STRING_TABLE LAST. A decoder that assumes the
+# string table physically precedes the inodes (tempting, since inode
+# permissions need it) breaks on every real image — sections must be
+# resolved through the FileSummary index, never by stream position.
 out = bytearray(b"HDFSIMG1")
 sections = []
-for name, sec in (("STRING_TABLE", string_table), ("INODE", inode_sec),
-                  ("INODE_DIR", dir_sec), ("SNAPSHOT", snap_sec),
+for name, sec in (("NS_INFO", ns_sec), ("ERASURE_CODING", ec_sec),
+                  ("INODE", inode_sec), ("INODE_DIR", dir_sec),
+                  ("FILES_UNDERCONSTRUCTION", uc_sec),
+                  ("SNAPSHOT", snap_sec),
                   ("SNAPSHOT_DIFF", sdiff_sec),
                   ("INODE_REFERENCE", ref_sec),
                   ("SECRET_MANAGER", secret_sec),
                   ("CACHE_MANAGER", cache_sec),
-                  ("ERASURE_CODING", ec_sec)):
+                  ("STRING_TABLE", string_table)):
     sections.append((name, len(out), len(sec)))
     out.extend(sec)
 summary = bytearray()
