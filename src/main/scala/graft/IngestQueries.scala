@@ -178,9 +178,67 @@ object IngestQueries {
         sum(when(col("isWithSnapshot"), 1L).otherwise(0L)).as("n_snap"),
         sum(when(col("hasAcl"), 1L).otherwise(0L)).as("n_acl"),
         max(col("id")).as("max_id"),
-        countDistinct(col("id")).as("distinct_ids"))))
+        countDistinct(col("id")).as("distinct_ids"))),
+
+    // edit-log parse (`hdfs oev -p XML` rendering): per-opcode census of
+    // the typed ops frame — txid range + finalized bytes, oracle-checked
+    // against the authored ops table
+    "nna_editlog_ops" -> ((s, _) =>
+      graft.ingest.EditLogSource.ops(s, EditLogPath)
+        .groupBy(col("opcode"))
+        .agg(count(lit(1)).as("n"),
+          min(col("txid")).as("txid_min"),
+          max(col("txid")).as("txid_max"),
+          sum(coalesce(col("fileSize"), lit(0L))).as("bytes"))),
+
+    // edit-log REPLAY onto the XML-ingested namespace: the S4
+    // between-snapshot freshness analog. The engine applies the segment
+    // distributed (chunked latest-wins merges + prefix-projection
+    // renames/deletes); the oracle is the INDEPENDENT sequential replay
+    // (tools/gen_editlog.py) a namenode would perform, row-for-row —
+    // distributed-chunked ≡ sequential is exactly the claim being checked
+    "nna_editlog_apply" -> ((s, _) =>
+      graft.ingest.EditLogSource.applyEdits(
+          xmlInodes(s), graft.ingest.EditLogSource.ops(s, EditLogPath))
+        .select(col("id"), col("path"), col("name"),
+          col("depth").cast("long").as("depth"), col("isFile"),
+          col("user"), col("group"), col("permission"),
+          col("accessTime"), col("modTime"), col("fileSize"),
+          col("blockSize"), col("numBlocks"), col("fileReplica"),
+          col("isUnderConstruction"), col("nsQuota"), col("dsQuota"))))
+
+  /** Checked-in edit-log segment fixture + its authored op table and
+    * sequential-replay post-state (provenance: `tools/gen_editlog.py`). */
+  val EditLogPath = "/root/repo/fixtures/editlog_mini.xml"
+  val EditLogOpsCsv = "/root/repo/fixtures/editlog_mini_ops.csv"
+  val EditLogPostCsv = "/root/repo/fixtures/editlog_mini_post.csv"
+
+  private def editOpsOracle(select: String): String = s"""
+WITH eops AS (
+  SELECT * FROM read_csv('$EditLogOpsCsv', header=true, columns={
+    'txid':'BIGINT','opcode':'VARCHAR','path':'VARCHAR','inode_id':'BIGINT',
+    'dst':'VARCHAR','usr':'VARCHAR','grp':'VARCHAR','perm':'BIGINT',
+    'mtime_ms':'BIGINT','atime_ms':'BIGINT','replication':'BIGINT',
+    'block_size':'BIGINT','file_size':'BIGINT','num_blocks':'BIGINT',
+    'ns_quota':'BIGINT','ds_quota':'BIGINT','overwrite':'BOOLEAN'})
+)
+""" + select
 
   val oracleSql: Map[String, String] = Map(
+    "nna_editlog_ops" -> editOpsOracle("""
+      SELECT opcode, COUNT(*) AS n, MIN(txid) AS txid_min,
+        MAX(txid) AS txid_max,
+        CAST(SUM(CASE WHEN file_size >= 0 THEN file_size ELSE 0 END)
+          AS BIGINT) AS bytes
+      FROM eops GROUP BY opcode"""),
+
+    "nna_editlog_apply" ->
+      (graft.ingest.FsImageXmlSource.oracleCte(EditLogPostCsv) + """
+      SELECT id, path, name, CAST(depth AS BIGINT) AS depth, isFile,
+        "user", "group", permission, accessTime, modTime, fileSize,
+        blockSize, numBlocks, fileReplica, isUnderConstruction,
+        nsQuota, dsQuota
+      FROM oivxml"""),
     "nna_ingest_oiv" -> oracle("""
       SELECT "user", COUNT(*) AS cnt,
         CAST(SUM(fileSize) AS BIGINT) AS bytes,

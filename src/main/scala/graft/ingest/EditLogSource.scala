@@ -1,0 +1,247 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Edit-log ingestion — the S4 between-snapshot freshness surface.
+  *
+  * The reference keeps its namespace current by tailing the namenode's
+  * edit log between fsimage fetches (`NameNodeLoader.java:382-390`,
+  * `EditLogTailer`); an image is minutes-to-hours stale the moment it is
+  * written, and every "who just filled the cluster" question lives in
+  * that gap. The Spark-native analog ingests the PUBLIC text rendering of
+  * an edit segment (`hdfs oev -p XML`, Hadoop's `XmlEditsVisitor` /
+  * `FSEditLogOp`): [[ops]] parses the `<RECORD>` stream into a typed ops
+  * frame, and [[applyEdits]] replays it onto an inode snapshot.
+  *
+  * DISTRIBUTED APPLY, not row-at-a-time replay: a namenode applies edits
+  * sequentially against its heap tree; at 1e9 inodes the Spark version
+  * must not. The insight is that only STRUCTURAL ops (rename/delete) are
+  * order-sensitive against the bulk — they move or remove whole subtrees
+  * by path prefix, changing the identity later creations bind to — while
+  * everything between two structural ops commutes into one latest-wins
+  * merge. So:
+  *
+  *   1. collect ONLY the structural ops (control-plane-rare: a segment
+  *      between checkpoints carries a bounded handful; the collect is a
+  *      few (txid, src, dst) triples, never namespace-sized);
+  *   2. split the op stream into chunks at structural txids;
+  *   3. each chunk = ONE latest-wins merge of creations (MKDIR/ADD/CLOSE
+  *      rows built whole) + ONE attribute-patch join (SET_REPLICATION /
+  *      SET_PERMISSIONS / SET_OWNER / TIMES / SET_QUOTA coalesce onto
+  *      the current row, latest txid per attribute);
+  *   4. each structural op itself is a pure narrow projection / filter
+  *      (prefix rewrite for rename, prefix drop for delete) — no shuffle,
+  *      no explode, linear in the snapshot.
+  *
+  * k structural ops ⇒ k+1 chunk merges; the common segment (k = 0..2)
+  * costs 1-3 id-keyed shuffles total regardless of namespace size.
+  *
+  * Scope (both the engine and the sequential-replay oracle in
+  * `tools/gen_editlog.py` implement exactly this): OP_ADD is
+  * create/overwrite — a new inode at the path; append-reopen (OP_ADD on
+  * an existing path without overwrite, preserving blocks) is not
+  * modeled. OP_TIMES honors the −1 = unchanged sentinel. OP_SET_QUOTA
+  * applies both values as given (−1 clears). Parent-directory mtime
+  * side-effects of create/rename/delete are not propagated (neither
+  * tracks them per-inode).
+  */
+object EditLogSource {
+
+  val Structural: Seq[String] = Seq("OP_RENAME", "OP_RENAME_OLD", "OP_DELETE")
+  val Creations: Seq[String] = Seq("OP_MKDIR", "OP_ADD")
+  val Patches: Seq[String] = Seq("OP_CLOSE", "OP_SET_REPLICATION",
+    "OP_SET_PERMISSIONS", "OP_SET_OWNER", "OP_TIMES", "OP_SET_QUOTA")
+
+  private val blockType = StructType(Seq(
+    StructField("BLOCK_ID", LongType), StructField("NUM_BYTES", LongType),
+    StructField("GENSTAMP", LongType)))
+
+  private val permType = StructType(Seq(
+    StructField("USERNAME", StringType), StructField("GROUPNAME", StringType),
+    StructField("MODE", LongType)))
+
+  /** Explicit `<RECORD>` schema — the superset of the fields the modeled
+    * ops carry (unknown ops parse too; their extra fields are just null). */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("OPCODE", StringType),
+    StructField("DATA", StructType(Seq(
+      StructField("TXID", LongType),
+      StructField("INODEID", LongType),
+      StructField("PATH", StringType),
+      StructField("SRC", StringType),
+      StructField("DST", StringType),
+      StructField("REPLICATION", LongType),
+      StructField("MTIME", LongType),
+      StructField("ATIME", LongType),
+      StructField("TIMESTAMP", LongType),
+      StructField("BLOCKSIZE", LongType),
+      StructField("OVERWRITE", BooleanType),
+      StructField("MODE", LongType),
+      StructField("USERNAME", StringType),
+      StructField("GROUPNAME", StringType),
+      StructField("NSQUOTA", LongType),
+      StructField("DSQUOTA", LongType),
+      StructField("BLOCK", ArrayType(blockType)),
+      StructField("PERMISSION_STATUS", permType))))))
+
+  /** Decimal-of-octal mode (OEV `<MODE>493</MODE>` = 0755) → the engine's
+    * permission convention: last three octal digits kept as decimal
+    * digits (755). Pure arithmetic, stays in codegen. */
+  private def octalTriad(mode: org.apache.spark.sql.Column) =
+    (mode % 8) + (floor(mode / 8) % 8) * 10 + (floor(mode / 64) % 8) * 100
+
+  /** Parse an OEV XML segment into the typed ops frame: one row per
+    * RECORD — (txid, opcode, path, dst, inodeId, user, group, permission,
+    * replication, mtime, atime, blockSize, fileSize, numBlocks, nsQuota,
+    * dsQuota, overwrite). Partition-parallel via Spark's XML source with
+    * an explicit schema (no inference scan). */
+  def ops(spark: SparkSession, xmlPath: String): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", "RECORD")
+      .schema(recordSchema)
+      .load(xmlPath)
+      .select(
+        col("DATA.TXID").as("txid"),
+        col("OPCODE").as("opcode"),
+        coalesce(col("DATA.PATH"), col("DATA.SRC"), lit("")).as("path"),
+        coalesce(col("DATA.DST"), lit("")).as("dst"),
+        coalesce(col("DATA.INODEID"), lit(0L)).as("inodeId"),
+        col("DATA.PERMISSION_STATUS.USERNAME").as("opUser"),
+        col("DATA.PERMISSION_STATUS.GROUPNAME").as("opGroup"),
+        col("DATA.USERNAME").as("setUser"),
+        col("DATA.GROUPNAME").as("setGroup"),
+        when(col("DATA.PERMISSION_STATUS.MODE").isNotNull,
+          octalTriad(col("DATA.PERMISSION_STATUS.MODE")))
+          .when(col("DATA.MODE").isNotNull, octalTriad(col("DATA.MODE")))
+          .as("permission"),
+        col("DATA.REPLICATION").as("replication"),
+        coalesce(col("DATA.MTIME"), col("DATA.TIMESTAMP")).as("mtime"),
+        col("DATA.ATIME").as("atime"),
+        col("DATA.BLOCKSIZE").as("blockSize"),
+        when(col("DATA.BLOCK").isNotNull, aggregate(col("DATA.BLOCK"),
+          lit(0L), (acc, b) => acc + b.getField("NUM_BYTES")))
+          .as("fileSize"),
+        when(col("DATA.BLOCK").isNotNull, size(col("DATA.BLOCK")).cast(LongType))
+          .as("numBlocks"),
+        col("DATA.NSQUOTA").as("nsQuota"),
+        col("DATA.DSQUOTA").as("dsQuota"),
+        coalesce(col("DATA.OVERWRITE"), lit(false)).as("overwrite"))
+
+  /** The core inode columns the apply maintains; the derived ones (name,
+    * parent, depth) are recomputed from `path` at the end. */
+  private val core = Seq("id", "path", "isFile", "user", "group",
+    "permission", "accessTime", "modTime", "fileSize", "blockSize",
+    "numBlocks", "fileReplica", "isUnderConstruction", "nsQuota", "dsQuota")
+
+  /** Replay a parsed ops frame onto a snapshot (any frame carrying the
+    * [[core]] columns — [[graft.inodes.InodeView.columns]] qualifies).
+    * Returns the post-edit namespace with the core columns plus
+    * re-derived (name, parent, depth). See the class doc for the
+    * chunked-apply shape and scope. */
+  def applyEdits(snapshot: DataFrame, ops: DataFrame): DataFrame = {
+    // bounded collect: structural ops only — see class doc
+    val structural = ops
+      .where(col("opcode").isin(Structural: _*))
+      .select("txid", "opcode", "path", "dst")
+      .orderBy("txid").collect()
+
+    var cur = snapshot.select(core.map(col): _*)
+    var lo = Long.MinValue
+    for (s <- structural) {
+      val hi = s.getLong(0)
+      cur = applyBulk(cur, ops.where(col("txid") > lo && col("txid") < hi))
+      val src = s.getString(2)
+      cur = s.getString(1) match {
+        case "OP_DELETE" =>
+          cur.where(!(col("path") === src ||
+            col("path").startsWith(src + "/")))
+        case _ => // rename: prefix rewrite, narrow projection
+          val dst = s.getString(3)
+          cur.withColumn("path",
+            when(col("path") === src, lit(dst))
+              .when(col("path").startsWith(src + "/"),
+                concat(lit(dst), expr(s"substring(path, ${src.length + 1})")))
+              .otherwise(col("path")))
+      }
+      lo = hi
+    }
+    cur = applyBulk(cur, ops.where(col("txid") > lo))
+    cur
+      .withColumn("name", when(col("path") === "/", lit("/"))
+        .otherwise(element_at(split(col("path"), "/"), -1)))
+      .withColumn("depth", when(col("path") === "/", lit(0))
+        .otherwise(size(split(col("path"), "/")) - 1))
+      .withColumn("parent", when(col("path") === "/", lit(null).cast(StringType))
+        .when(col("depth") === 1, lit("/"))
+        .otherwise(expr("substring(path, 1, length(path) - length(name) - 1)")))
+  }
+
+  /** One chunk: latest-wins creation merge + latest-per-attribute patch
+    * join. Two id-agnostic path-keyed shuffles, both linear. */
+  private def applyBulk(cur: DataFrame, chunk: DataFrame): DataFrame = {
+    // --- creations: whole rows, latest txid per path wins ---
+    val creations = chunk.where(col("opcode").isin(Creations: _*))
+      .groupBy(col("path")).agg(max(struct(col("txid"),
+        (col("opcode") === "OP_ADD").as("isFile"), col("inodeId").as("id"),
+        col("opUser").as("user"), col("opGroup").as("group"),
+        col("permission"), col("mtime"), col("replication"),
+        col("blockSize"))).as("c"))
+      .select(col("path"), col("c.*"))
+    val newRows = creations.select(
+      col("id"), col("path"), col("isFile"), col("user"), col("group"),
+      col("permission"),
+      col("mtime").as("accessTime"), col("mtime").as("modTime"),
+      lit(0L).as("fileSize"),
+      when(col("isFile"), coalesce(col("blockSize"), lit(0L)))
+        .otherwise(lit(0L)).as("blockSize"),
+      lit(0L).as("numBlocks"),
+      when(col("isFile"), coalesce(col("replication"), lit(0L)))
+        .otherwise(lit(0L)).as("fileReplica"),
+      col("isFile").as("isUnderConstruction"),
+      lit(-1L).as("nsQuota"), lit(-1L).as("dsQuota"))
+    // creation replaces any existing inode at the path (create/overwrite)
+    val merged = cur.join(newRows.select(col("path")), Seq("path"), "left_anti")
+      .unionByName(newRows)
+
+    // --- patches: latest value per attribute per path ---
+    def latest(cond: org.apache.spark.sql.Column,
+               v: org.apache.spark.sql.Column) =
+      max(when(cond, struct(col("txid"), v.as("v")))).getField("v")
+    val p = chunk.where(col("opcode").isin(Patches: _*))
+      .groupBy(col("path")).agg(
+        latest(col("opcode") === "OP_CLOSE", col("fileSize")).as("p_size"),
+        latest(col("opcode") === "OP_CLOSE", col("numBlocks")).as("p_nblocks"),
+        latest(col("opcode") === "OP_CLOSE", col("mtime")).as("p_close_mtime"),
+        latest(col("opcode") === "OP_SET_REPLICATION", col("replication"))
+          .as("p_repl"),
+        latest(col("opcode") === "OP_SET_PERMISSIONS", col("permission"))
+          .as("p_perm"),
+        latest(col("opcode") === "OP_SET_OWNER", col("setUser")).as("p_user"),
+        latest(col("opcode") === "OP_SET_OWNER", col("setGroup")).as("p_group"),
+        latest(col("opcode") === "OP_TIMES" && col("mtime") >= 0, col("mtime"))
+          .as("p_mtime"),
+        latest(col("opcode") === "OP_TIMES" && col("atime") >= 0, col("atime"))
+          .as("p_atime"),
+        latest(col("opcode") === "OP_SET_QUOTA", col("nsQuota")).as("p_nsq"),
+        latest(col("opcode") === "OP_SET_QUOTA", col("dsQuota")).as("p_dsq"))
+    merged.join(p, Seq("path"), "left")
+      .select(
+        col("id"), col("path"), col("isFile"),
+        coalesce(col("p_user"), col("user")).as("user"),
+        coalesce(col("p_group"), col("group")).as("group"),
+        coalesce(col("p_perm"), col("permission")).as("permission"),
+        coalesce(col("p_atime"), col("accessTime")).as("accessTime"),
+        coalesce(col("p_mtime"), col("p_close_mtime"), col("modTime"))
+          .as("modTime"),
+        coalesce(col("p_size"), col("fileSize")).as("fileSize"),
+        col("blockSize"),
+        coalesce(col("p_nblocks"), col("numBlocks")).as("numBlocks"),
+        coalesce(col("p_repl"), col("fileReplica")).as("fileReplica"),
+        when(col("p_size").isNotNull, lit(false))
+          .otherwise(col("isUnderConstruction")).as("isUnderConstruction"),
+        coalesce(col("p_nsq"), col("nsQuota")).as("nsQuota"),
+        coalesce(col("p_dsq"), col("dsQuota")).as("dsQuota"))
+  }
+}

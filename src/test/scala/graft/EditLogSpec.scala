@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.EditLogSource
+
+/** Edit-log ingestion + distributed replay (S4 between-snapshot
+  * freshness). The oracle twin of these checks is `nna_editlog_{ops,
+  * apply}` against DuckDB; here the apply is additionally compared to
+  * the sequential-replay post-state CSV read back directly, plus the
+  * pointed cases that motivated the chunked design.
+  */
+class EditLogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ops = EditLogSource.ops(spark, IngestQueries.EditLogPath)
+  private def applied = EditLogSource.applyEdits(
+    graft.inodes.InodeView.snapshot(spark, s"oivxml:${IngestQueries.XmlPath}"),
+    ops)
+
+  test("ops parse: every record typed, opcodes and txids intact") {
+    val rows = ops.collect()
+    assert(rows.length === 21)
+    assert(rows.map(_.getAs[Long]("txid")).sorted.toSeq === (1L to 21L))
+    val byOp = rows.groupBy(_.getAs[String]("opcode")).view.mapValues(_.length)
+    assert(byOp("OP_ADD") === 4 && byOp("OP_CLOSE") === 4)
+    assert(byOp("OP_RENAME_OLD") === 2 && byOp("OP_DELETE") === 1)
+    // MODE decimal→octal-triad: 493 → 755
+    val mk = rows.find(r => r.getAs[String]("opcode") == "OP_MKDIR" &&
+      r.getAs[String]("path") == "/data/raw/2026").get
+    assert(mk.getAs[Long]("permission") === 755L)
+    assert(mk.getAs[Long]("inodeId") === 16500L)
+    // CLOSE block aggregation: two blocks sum
+    val close = rows.find(r => r.getAs[String]("opcode") == "OP_CLOSE" &&
+      r.getAs[String]("path") == "/data/raw/2026/feb.log").get
+    assert(close.getAs[Long]("fileSize") === 34500000L)
+    assert(close.getAs[Long]("numBlocks") === 2L)
+  }
+
+  test("distributed chunked apply equals the sequential replay, row for row") {
+    val got = applied.select("id", "path", "isFile", "user", "group",
+        "permission", "accessTime", "modTime", "fileSize", "blockSize",
+        "numBlocks", "fileReplica", "isUnderConstruction", "nsQuota",
+        "dsQuota")
+      .collect().map(r => r.getAs[Long]("id") -> r.toSeq.toList).toMap
+    val expected = spark.read.option("header", "true")
+      .csv(IngestQueries.EditLogPostCsv)
+      .select(col("id").cast("long"), col("path"),
+        col("is_file").cast("boolean").as("isFile"),
+        col("usr").as("user"), col("grp").as("group"),
+        col("perm").cast("long").as("permission"),
+        col("atime_ms").cast("long").as("accessTime"),
+        col("mtime_ms").cast("long").as("modTime"),
+        col("file_size").cast("long").as("fileSize"),
+        col("block_size").cast("long").as("blockSize"),
+        col("num_blocks").cast("long").as("numBlocks"),
+        col("replication").cast("long").as("fileReplica"),
+        col("is_uc").cast("boolean").as("isUnderConstruction"),
+        col("ns_quota").cast("long").as("nsQuota"),
+        col("ds_quota").cast("long").as("dsQuota"))
+      .collect().map(r => r.getAs[Long]("id") -> r.toSeq.toList).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, row) =>
+      assert(got(id) === row, s"inode $id")
+    }
+  }
+
+  test("interleaving: creations bind to the path identity at their txid") {
+    val byPath = applied.collect()
+      .map(r => r.getAs[String]("path") -> r).toMap
+    // subtree rename moved the OLD contents...
+    assert(byPath.contains("/data/archive2025/f001.csv"))
+    assert(!byPath.contains("/data/raw/2025/f001.csv"))
+    // ...but the RECREATED dir and the file added after the rename stayed
+    assert(byPath("/data/raw/2025").getAs[Long]("id") === 16503L)
+    assert(byPath("/data/raw/2025/late.log").getAs[Long]("fileSize") === 777216L)
+    // subtree delete removed dir + descendants; the parent survived
+    assert(!byPath.keys.exists(_.startsWith("/snap/deep")))
+    assert(byPath.contains("/snap"))
+    // file rename (no subtree)
+    assert(byPath.contains("/tmp/renamed_f012.log"))
+    assert(!byPath.contains("/tmp/f012.log"))
+    // overwrite allocated a NEW inode id at the same path
+    assert(byPath("/user/alice/f003.gz").getAs[Long]("id") === 16505L)
+    // attribute patches landed: replication, owner, perms, times, quota
+    assert(byPath("/data/raw/2026/jan.log").getAs[Long]("fileReplica") === 2L)
+    assert(byPath("/data/clean").getAs[String]("user") === "carol")
+    assert(byPath("/tmp").getAs[Long]("permission") === 750L)
+    assert(byPath("/user/alice").getAs[Long]("modTime") === 1735700500000L)
+    assert(byPath("/user/bob").getAs[Long]("nsQuota") === 500L)
+  }
+}
