@@ -458,6 +458,78 @@ object ScaleBench {
       s"${sk.length} items, top=${sk.head.getString(0)}" // sorted desc
     }
 
+    // edit-log replay at namespace scale: 1M-inode snapshot, 100k-op
+    // segment (creations + attribute patches) with 2 structural ops
+    // mid-stream — 3 chunks. The claim under test: apply cost is
+    // O(snapshot + ops) path-keyed shuffles with the structural ops as
+    // free narrow projections, NOT O(ops) sequential passes.
+    tm("editlog_apply_1m_100k") {
+      val n = 1000000L
+      val m = 100000L
+      val nullStr = lit(null).cast("string")
+      val nullLong = lit(null).cast("long")
+      val snap = spark.range(n).select(col("id"),
+        concat(lit("/data/d"), pmod(col("id"), lit(1000L)), lit("/f"),
+          col("id")).as("path"),
+        lit(true).as("isFile"),
+        concat(lit("u"), pmod(col("id"), lit(50L))).as("user"),
+        lit("g").as("group"), lit(644L).as("permission"),
+        lit(0L).as("accessTime"), lit(0L).as("modTime"),
+        (col("id") * 7L).as("fileSize"), lit(134217728L).as("blockSize"),
+        lit(1L).as("numBlocks"), lit(3L).as("fileReplica"),
+        lit(false).as("isUnderConstruction"),
+        lit(-1L).as("nsQuota"), lit(-1L).as("dsQuota"))
+        .localCheckpoint(true)
+      // ops: 50k creations, [rename d7->e7], 25k patches, [delete d8],
+      // 25k more creations — txids force the 3-chunk split
+      def blank(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("dst", lit("")).withColumn("setUser", nullStr)
+        .withColumn("setGroup", nullStr)
+        .withColumn("atime", nullLong).withColumn("fileSize", nullLong)
+        .withColumn("numBlocks", nullLong).withColumn("nsQuota", nullLong)
+        .withColumn("dsQuota", nullLong).withColumn("overwrite", lit(false))
+      val c1 = blank(spark.range(50000).select(col("id").as("txid"),
+        lit("OP_ADD").as("opcode"),
+        concat(lit("/new/f"), col("id")).as("path"),
+        (col("id") + 20000000L).as("inodeId"),
+        lit("u1").as("opUser"), lit("g").as("opGroup"),
+        lit(644L).as("permission"), lit(2L).as("replication"),
+        (col("id") + 1000L).as("mtime"), lit(134217728L).as("blockSize")))
+      val patches = blank(spark.range(25000).select(
+        (col("id") + 60000L).as("txid"),
+        lit("OP_SET_REPLICATION").as("opcode"),
+        concat(lit("/data/d"), pmod(col("id") * 7L, lit(1000L)), lit("/f"),
+          col("id") * 7L).as("path"),
+        lit(0L).as("inodeId"), nullStr.as("opUser"), nullStr.as("opGroup"),
+        nullLong.as("permission"), lit(1L).as("replication"),
+        nullLong.as("mtime"), nullLong.as("blockSize")))
+      val c2 = blank(spark.range(25000).select(
+        (col("id") + 100000L).as("txid"), lit("OP_ADD").as("opcode"),
+        concat(lit("/new2/f"), col("id")).as("path"),
+        (col("id") + 30000000L).as("inodeId"),
+        lit("u2").as("opUser"), lit("g").as("opGroup"),
+        lit(644L).as("permission"), lit(2L).as("replication"),
+        (col("id") + 5000L).as("mtime"), lit(134217728L).as("blockSize")))
+      val structural = blank(Seq(
+        (55000L, "OP_RENAME_OLD", "/data/d7", 0L),
+        (90000L, "OP_DELETE", "/data/d8", 0L))
+        .toDF("txid", "opcode", "path", "inodeId")
+        .withColumn("opUser", nullStr).withColumn("opGroup", nullStr)
+        .withColumn("permission", nullLong)
+        .withColumn("replication", nullLong)
+        .withColumn("mtime", nullLong).withColumn("blockSize", nullLong))
+        .withColumn("dst", when(col("opcode") === "OP_RENAME_OLD",
+          lit("/data/e7")).otherwise(lit("")))
+      val ops = c1.unionByName(patches).unionByName(c2)
+        .unionByName(structural)
+      val out = graft.ingest.EditLogSource.applyEdits(snap, ops)
+      val cnt = out.count()
+      val expected = n - n / 1000 + 75000 // d8 subtree gone, 75k created
+      require(cnt == expected, s"post-count $cnt != $expected")
+      val renamed = out.where(col("path").startsWith("/data/e7/")).count()
+      s"post=$cnt renamed=$renamed"
+    }
+
     // any-start funnel with a PLANTED BOT: user 0 fires 2,000 step-1
     // anchors and 2,000 step-2 events inside one window, so the per-user
     // anchor×event join is 4M rows in ONE partition uncapped — the

@@ -98,11 +98,15 @@ object EditLogSource {
     * dsQuota, overwrite). Partition-parallel via Spark's XML source with
     * an explicit schema (no inference scan). */
   def ops(spark: SparkSession, xmlPath: String): DataFrame =
-    spark.read.format("xml")
+    typedOps(spark.read.format("xml")
       .option("rowTag", "RECORD")
       .schema(recordSchema)
-      .load(xmlPath)
-      .select(
+      .load(xmlPath))
+
+  /** The RECORD→typed-ops projection, shared by the batch reader and the
+    * streaming tail. */
+  def typedOps(records: DataFrame): DataFrame =
+    records.select(
         col("DATA.TXID").as("txid"),
         col("OPCODE").as("opcode"),
         coalesce(col("DATA.PATH"), col("DATA.SRC"), lit("")).as("path"),
@@ -176,6 +180,33 @@ object EditLogSource {
       .withColumn("parent", when(col("path") === "/", lit(null).cast(StringType))
         .when(col("depth") === 1, lit("/"))
         .otherwise(expr("substring(path, 1, length(path) - length(name) - 1)")))
+  }
+
+  /** Tail a directory of OEV-XML edit segments with Structured Streaming,
+    * applying each micro-batch through [[applyEdits]] and republishing the
+    * merged snapshot — the full live-tailing loop
+    * (`NameNodeLoader.namenode.getEditLogTailer` cadence). Segments are
+    * whole files (a namenode rolls its log into finalized segments the
+    * same way), so FileStreamSource's one-batch-per-new-file matches the
+    * real arrival unit. The republished snapshot is locally checkpointed
+    * per batch: downstream queries never re-replay the op chain, and the
+    * k-chunk lineage cannot grow unboundedly across segments. */
+  def tail(spark: SparkSession, initial: DataFrame, segmentsDir: String,
+           publish: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var current = initial
+    spark.readStream.format("xml")
+      .option("rowTag", "RECORD").schema(recordSchema)
+      .load(segmentsDir + "/*.xml")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // ops arrive pre-parsed; project to the typed frame and apply
+        val typed = typedOps(batch)
+        current = applyEdits(current, typed).localCheckpoint(eager = true)
+        publish(current)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
   }
 
   /** One chunk: latest-wins creation merge + latest-per-attribute patch

@@ -65,6 +65,39 @@ class EditLogSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming tail: per-segment micro-batches converge on the replay state") {
+    // split the fixture segment in two at txid 11/12 (segment roll); the
+    // tail must apply each file as its own micro-batch and end at the
+    // same state as the one-shot batch apply
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(IngestQueries.EditLogPath)), "UTF-8")
+    val records = xml.split("(?=  <RECORD>)").toSeq
+    val head = records.head // prolog + <EDITS> + version, before any RECORD
+    val (body, tailRecs) = records.filter(_.contains("<RECORD>"))
+      .partition { r =>
+        val t = "<TXID>(\\d+)</TXID>".r.findFirstMatchIn(r).get.group(1).toLong
+        t <= 11
+      }
+    val dir = java.nio.file.Files.createTempDirectory("editseg")
+    def writeSeg(name: String, recs: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        (head + recs.mkString.stripSuffix("</EDITS>\n") + "</EDITS>\n")
+          .getBytes("UTF-8"))
+    writeSeg("seg_0000001.xml", body.map(_.replace("</EDITS>", "")))
+    writeSeg("seg_0000012.xml", tailRecs)
+    var published = List.empty[org.apache.spark.sql.DataFrame]
+    val q = EditLogSource.tail(spark,
+      graft.inodes.InodeView.snapshot(spark, s"oivxml:${IngestQueries.XmlPath}"),
+      dir.toString, snap => published = snap :: published)
+    q.awaitTermination()
+    assert(published.nonEmpty)
+    val got = published.head.select("id", "path").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = applied.select("id", "path").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === expected)
+  }
+
   test("interleaving: creations bind to the path identity at their txid") {
     val byPath = applied.collect()
       .map(r => r.getAs[String]("path") -> r).toMap
