@@ -205,7 +205,8 @@ object IngestQueries {
           col("user"), col("group"), col("permission"),
           col("accessTime"), col("modTime"), col("fileSize"),
           col("blockSize"), col("numBlocks"), col("fileReplica"),
-          col("isUnderConstruction"), col("nsQuota"), col("dsQuota"))))
+          col("storagePolicyId"), col("isUnderConstruction"),
+          col("nsQuota"), col("dsQuota"))))
 
   /** Checked-in edit-log segment fixture + its authored op table and
     * sequential-replay post-state (provenance: `tools/gen_editlog.py`). */
@@ -220,7 +221,8 @@ WITH eops AS (
     'dst':'VARCHAR','usr':'VARCHAR','grp':'VARCHAR','perm':'BIGINT',
     'mtime_ms':'BIGINT','atime_ms':'BIGINT','replication':'BIGINT',
     'block_size':'BIGINT','file_size':'BIGINT','num_blocks':'BIGINT',
-    'ns_quota':'BIGINT','ds_quota':'BIGINT','overwrite':'BOOLEAN'})
+    'ns_quota':'BIGINT','ds_quota':'BIGINT','policy_id':'BIGINT',
+    'new_length':'BIGINT','overwrite':'BOOLEAN'})
 )
 """ + select
 
@@ -236,8 +238,8 @@ WITH eops AS (
       (graft.ingest.FsImageXmlSource.oracleCte(EditLogPostCsv) + """
       SELECT id, path, name, CAST(depth AS BIGINT) AS depth, isFile,
         "user", "group", permission, accessTime, modTime, fileSize,
-        blockSize, numBlocks, fileReplica, isUnderConstruction,
-        nsQuota, dsQuota
+        blockSize, numBlocks, fileReplica, storagePolicyId,
+        isUnderConstruction, nsQuota, dsQuota
       FROM oivxml"""),
     "nna_ingest_oiv" -> oracle("""
       SELECT "user", COUNT(*) AS cnt,

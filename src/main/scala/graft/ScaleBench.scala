@@ -477,6 +477,7 @@ object ScaleBench {
         lit(0L).as("accessTime"), lit(0L).as("modTime"),
         (col("id") * 7L).as("fileSize"), lit(134217728L).as("blockSize"),
         lit(1L).as("numBlocks"), lit(3L).as("fileReplica"),
+        lit(0L).as("storagePolicyId"),
         lit(false).as("isUnderConstruction"),
         lit(-1L).as("nsQuota"), lit(-1L).as("dsQuota"))
         .localCheckpoint(true)
@@ -487,7 +488,9 @@ object ScaleBench {
         .withColumn("setGroup", nullStr)
         .withColumn("atime", nullLong).withColumn("fileSize", nullLong)
         .withColumn("numBlocks", nullLong).withColumn("nsQuota", nullLong)
-        .withColumn("dsQuota", nullLong).withColumn("overwrite", lit(false))
+        .withColumn("dsQuota", nullLong).withColumn("policyId", nullLong)
+        .withColumn("newLength", nullLong)
+        .withColumn("overwrite", lit(false))
       val c1 = blank(spark.range(50000).select(col("id").as("txid"),
         lit("OP_ADD").as("opcode"),
         concat(lit("/new/f"), col("id")).as("path"),

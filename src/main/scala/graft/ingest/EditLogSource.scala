@@ -40,19 +40,20 @@ import org.apache.spark.sql.types._
   *
   * Scope (both the engine and the sequential-replay oracle in
   * `tools/gen_editlog.py` implement exactly this): OP_ADD is
-  * create/overwrite — a new inode at the path; append-reopen (OP_ADD on
-  * an existing path without overwrite, preserving blocks) is not
-  * modeled. OP_TIMES honors the −1 = unchanged sentinel. OP_SET_QUOTA
-  * applies both values as given (−1 clears). Parent-directory mtime
-  * side-effects of create/rename/delete are not propagated (neither
-  * tracks them per-inode).
+  * create/overwrite — a new inode at the path (the dedicated OP_APPEND
+  * opcode models reopen: uc=true, blocks kept). OP_TRUNCATE sets the new
+  * length + mtime (block count untouched). OP_TIMES honors the −1 =
+  * unchanged sentinel. OP_SET_QUOTA applies both values as given (−1
+  * clears). Parent-directory mtime side-effects of create/rename/delete
+  * are not propagated (neither tracks them per-inode).
   */
 object EditLogSource {
 
   val Structural: Seq[String] = Seq("OP_RENAME", "OP_RENAME_OLD", "OP_DELETE")
   val Creations: Seq[String] = Seq("OP_MKDIR", "OP_ADD")
   val Patches: Seq[String] = Seq("OP_CLOSE", "OP_SET_REPLICATION",
-    "OP_SET_PERMISSIONS", "OP_SET_OWNER", "OP_TIMES", "OP_SET_QUOTA")
+    "OP_SET_PERMISSIONS", "OP_SET_OWNER", "OP_TIMES", "OP_SET_QUOTA",
+    "OP_SET_STORAGE_POLICY", "OP_TRUNCATE", "OP_APPEND")
 
   private val blockType = StructType(Seq(
     StructField("BLOCK_ID", LongType), StructField("NUM_BYTES", LongType),
@@ -83,6 +84,8 @@ object EditLogSource {
       StructField("GROUPNAME", StringType),
       StructField("NSQUOTA", LongType),
       StructField("DSQUOTA", LongType),
+      StructField("POLICYID", LongType),
+      StructField("NEWLENGTH", LongType),
       StructField("BLOCK", ArrayType(blockType)),
       StructField("PERMISSION_STATUS", permType))))))
 
@@ -131,13 +134,16 @@ object EditLogSource {
           .as("numBlocks"),
         col("DATA.NSQUOTA").as("nsQuota"),
         col("DATA.DSQUOTA").as("dsQuota"),
+        col("DATA.POLICYID").as("policyId"),
+        col("DATA.NEWLENGTH").as("newLength"),
         coalesce(col("DATA.OVERWRITE"), lit(false)).as("overwrite"))
 
   /** The core inode columns the apply maintains; the derived ones (name,
     * parent, depth) are recomputed from `path` at the end. */
   private val core = Seq("id", "path", "isFile", "user", "group",
     "permission", "accessTime", "modTime", "fileSize", "blockSize",
-    "numBlocks", "fileReplica", "isUnderConstruction", "nsQuota", "dsQuota")
+    "numBlocks", "fileReplica", "storagePolicyId", "isUnderConstruction",
+    "nsQuota", "dsQuota")
 
   /** Replay a parsed ops frame onto a snapshot (any frame carrying the
     * [[core]] columns — [[graft.inodes.InodeView.columns]] qualifies).
@@ -230,6 +236,7 @@ object EditLogSource {
       lit(0L).as("numBlocks"),
       when(col("isFile"), coalesce(col("replication"), lit(0L)))
         .otherwise(lit(0L)).as("fileReplica"),
+      lit(0L).as("storagePolicyId"),
       col("isFile").as("isUnderConstruction"),
       lit(-1L).as("nsQuota"), lit(-1L).as("dsQuota"))
     // creation replaces any existing inode at the path (create/overwrite)
@@ -242,9 +249,18 @@ object EditLogSource {
       max(when(cond, struct(col("txid"), v.as("v")))).getField("v")
     val p = chunk.where(col("opcode").isin(Patches: _*))
       .groupBy(col("path")).agg(
-        latest(col("opcode") === "OP_CLOSE", col("fileSize")).as("p_size"),
+        // CLOSE carries the finalized block sum, TRUNCATE the new length;
+        // one latest-txid slot so their relative order is honored
+        latest(col("opcode").isin("OP_CLOSE", "OP_TRUNCATE"),
+          coalesce(col("fileSize"), col("newLength"))).as("p_size"),
         latest(col("opcode") === "OP_CLOSE", col("numBlocks")).as("p_nblocks"),
-        latest(col("opcode") === "OP_CLOSE", col("mtime")).as("p_close_mtime"),
+        latest(col("opcode").isin("OP_CLOSE", "OP_TRUNCATE"), col("mtime"))
+          .as("p_close_mtime"),
+        // CLOSE finalizes (uc=false), APPEND reopens (uc=true): latest wins
+        latest(col("opcode").isin("OP_CLOSE", "OP_APPEND"),
+          col("opcode") === "OP_APPEND").as("p_uc"),
+        latest(col("opcode") === "OP_SET_STORAGE_POLICY", col("policyId"))
+          .as("p_policy"),
         latest(col("opcode") === "OP_SET_REPLICATION", col("replication"))
           .as("p_repl"),
         latest(col("opcode") === "OP_SET_PERMISSIONS", col("permission"))
@@ -270,8 +286,10 @@ object EditLogSource {
         col("blockSize"),
         coalesce(col("p_nblocks"), col("numBlocks")).as("numBlocks"),
         coalesce(col("p_repl"), col("fileReplica")).as("fileReplica"),
-        when(col("p_size").isNotNull, lit(false))
-          .otherwise(col("isUnderConstruction")).as("isUnderConstruction"),
+        coalesce(col("p_policy"), col("storagePolicyId"))
+          .as("storagePolicyId"),
+        coalesce(col("p_uc"), col("isUnderConstruction"))
+          .as("isUnderConstruction"),
         coalesce(col("p_nsq"), col("nsQuota")).as("nsQuota"),
         coalesce(col("p_dsq"), col("dsQuota")).as("dsQuota"))
   }

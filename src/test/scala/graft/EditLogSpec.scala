@@ -20,8 +20,8 @@ class EditLogSpec extends AnyFunSuite {
 
   test("ops parse: every record typed, opcodes and txids intact") {
     val rows = ops.collect()
-    assert(rows.length === 21)
-    assert(rows.map(_.getAs[Long]("txid")).sorted.toSeq === (1L to 21L))
+    assert(rows.length === 24)
+    assert(rows.map(_.getAs[Long]("txid")).sorted.toSeq === (1L to 24L))
     val byOp = rows.groupBy(_.getAs[String]("opcode")).view.mapValues(_.length)
     assert(byOp("OP_ADD") === 4 && byOp("OP_CLOSE") === 4)
     assert(byOp("OP_RENAME_OLD") === 2 && byOp("OP_DELETE") === 1)
@@ -40,8 +40,8 @@ class EditLogSpec extends AnyFunSuite {
   test("distributed chunked apply equals the sequential replay, row for row") {
     val got = applied.select("id", "path", "isFile", "user", "group",
         "permission", "accessTime", "modTime", "fileSize", "blockSize",
-        "numBlocks", "fileReplica", "isUnderConstruction", "nsQuota",
-        "dsQuota")
+        "numBlocks", "fileReplica", "storagePolicyId",
+        "isUnderConstruction", "nsQuota", "dsQuota")
       .collect().map(r => r.getAs[Long]("id") -> r.toSeq.toList).toMap
     val expected = spark.read.option("header", "true")
       .csv(IngestQueries.EditLogPostCsv)
@@ -55,6 +55,7 @@ class EditLogSpec extends AnyFunSuite {
         col("block_size").cast("long").as("blockSize"),
         col("num_blocks").cast("long").as("numBlocks"),
         col("replication").cast("long").as("fileReplica"),
+        col("storage_policy").cast("long").as("storagePolicyId"),
         col("is_uc").cast("boolean").as("isUnderConstruction"),
         col("ns_quota").cast("long").as("nsQuota"),
         col("ds_quota").cast("long").as("dsQuota"))
@@ -121,5 +122,12 @@ class EditLogSpec extends AnyFunSuite {
     assert(byPath("/tmp").getAs[Long]("permission") === 750L)
     assert(byPath("/user/alice").getAs[Long]("modTime") === 1735700500000L)
     assert(byPath("/user/bob").getAs[Long]("nsQuota") === 500L)
+    // storage policy, truncate (size + mtime, blocks kept), append reopen
+    assert(byPath("/data/clean/f002.log").getAs[Long]("storagePolicyId") === 7L)
+    val tr = byPath("/data/clean/f023.gz")
+    assert(tr.getAs[Long]("fileSize") === 1000000L)
+    assert(tr.getAs[Long]("modTime") === 1735701600000L)
+    assert(tr.getAs[Long]("numBlocks") === 3L)
+    assert(byPath("/tmp/f019").getAs[Boolean]("isUnderConstruction"))
   }
 }

@@ -22,7 +22,8 @@ Writes three files from one authored op list:
 Op coverage: START/END_LOG_SEGMENT, MKDIR, ADD (create + OVERWRITE),
 CLOSE (finalize with blocks), DELETE (subtree), RENAME_OLD (subtree + file),
 SET_REPLICATION, SET_PERMISSIONS, SET_OWNER, TIMES (-1 = unchanged),
-SET_QUOTA. The sequence deliberately RECREATES a renamed-away path and then
+SET_QUOTA, SET_STORAGE_POLICY, TRUNCATE (new length + mtime), APPEND
+(reopen, uc=true). The sequence deliberately RECREATES a renamed-away path and then
 adds into it — the interleaving that breaks any apply that reorders
 creations across structural ops.
 
@@ -91,7 +92,12 @@ OPS = [
     (20, "OP_RENAME_OLD", dict(path="/tmp/f012.log",
                                dst="/tmp/renamed_f012.log",
                                ts=1735701500000)),
-    (21, "OP_END_LOG_SEGMENT", {}),
+    (21, "OP_SET_STORAGE_POLICY", dict(path="/data/clean/f002.log",
+                                       policy=7)),
+    (22, "OP_TRUNCATE", dict(path="/data/clean/f023.gz",
+                             newlength=1000000, ts=1735701600000)),
+    (23, "OP_APPEND", dict(path="/tmp/f019")),
+    (24, "OP_END_LOG_SEGMENT", {}),
 ]
 
 
@@ -182,6 +188,20 @@ for txid, opcode, f in OPS:
         xml.append(f"      <SRC>{esc(f['path'])}</SRC>")
         xml.append(f"      <NSQUOTA>{f['nsq']}</NSQUOTA>")
         xml.append(f"      <DSQUOTA>{f['dsq']}</DSQUOTA>")
+    elif opcode == "OP_SET_STORAGE_POLICY":
+        xml.append(f"      <PATH>{esc(f['path'])}</PATH>")
+        xml.append(f"      <POLICYID>{f['policy']}</POLICYID>")
+    elif opcode == "OP_TRUNCATE":
+        xml.append(f"      <SRC>{esc(f['path'])}</SRC>")
+        xml.append("      <CLIENTNAME>DFSClient_fixture</CLIENTNAME>")
+        xml.append("      <CLIENTMACHINE>10.0.0.1</CLIENTMACHINE>")
+        xml.append(f"      <NEWLENGTH>{f['newlength']}</NEWLENGTH>")
+        xml.append(f"      <TIMESTAMP>{f['ts']}</TIMESTAMP>")
+    elif opcode == "OP_APPEND":
+        xml.append(f"      <PATH>{esc(f['path'])}</PATH>")
+        xml.append("      <CLIENT_NAME>DFSClient_fixture</CLIENT_NAME>")
+        xml.append("      <CLIENT_MACHINE>10.0.0.1</CLIENT_MACHINE>")
+        xml.append("      <NEWBLOCK>false</NEWBLOCK>")
     xml.append("    </DATA>")
     xml.append("  </RECORD>")
 xml.append("</EDITS>")
@@ -194,7 +214,7 @@ with open(os.path.join(base, "editlog_mini_ops.csv"), "w", newline="") as fh:
     w.writerow(["txid", "opcode", "path", "inode_id", "dst", "usr", "grp",
                 "perm", "mtime_ms", "atime_ms", "replication", "block_size",
                 "file_size", "num_blocks", "ns_quota", "ds_quota",
-                "overwrite"])
+                "policy_id", "new_length", "overwrite"])
     for txid, opcode, f in OPS:
         blocks = f.get("blocks", [])
         w.writerow([
@@ -206,6 +226,7 @@ with open(os.path.join(base, "editlog_mini_ops.csv"), "w", newline="") as fh:
             f.get("repl", -1), f.get("bs", -1),
             sum(blocks) if blocks else -1, len(blocks) if blocks else -1,
             f.get("nsq", -9), f.get("dsq", -9),
+            f.get("policy", -1), f.get("newlength", -1),
             str(f.get("overwrite", False)).lower()])
 
 # ---- sequential replay -> post-state CSV ----
@@ -257,6 +278,13 @@ for txid, opcode, f in OPS:
     elif opcode == "OP_SET_QUOTA":
         rows[p]["ns_quota"] = str(f["nsq"])
         rows[p]["ds_quota"] = str(f["dsq"])
+    elif opcode == "OP_SET_STORAGE_POLICY":
+        rows[p]["storage_policy"] = str(f["policy"])
+    elif opcode == "OP_TRUNCATE":
+        rows[p]["file_size"] = str(f["newlength"])
+        rows[p]["mtime_ms"] = str(f["ts"])
+    elif opcode == "OP_APPEND":
+        rows[p]["is_uc"] = "true"
     elif opcode == "OP_RENAME_OLD":
         src, dst = p, f["dst"]
         moved = [r for q, r in rows.items()
