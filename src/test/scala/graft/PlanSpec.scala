@@ -298,4 +298,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop"),
       s"no cross product anywhere in semdedup:\n$plan")
   }
+
+  test("edit-log apply: small segment broadcasts, namespace never " +
+       "shuffles; structural ops add no exchange") {
+    val df = IngestQueries.queries("nna_editlog_apply")(spark, dir)
+    val full = df.queryExecution.executedPlan.toString
+    // judge the APPLY layer only: everything above the cached snapshot
+    // leaves (the InMemoryRelation carries its own ingest build plan,
+    // whose quota join is a different operator's concern)
+    val plan = full.linesIterator
+      .takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+    // a bounded segment (the common tailing case) must join its creation
+    // and patch frames into the snapshot via broadcast — any shuffled
+    // join means the NAMESPACE re-partitioned per chunk, which at 1e9
+    // inodes × k chunks is the cost the chunked design exists to avoid
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"edit-log chunk joins must broadcast the ops side:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"no cross product in edit-log apply:\n$plan")
+    // rename/delete are pure projections/filters over the snapshot: the
+    // only hash exchanges above the scan are ops-sided (patch groupBy /
+    // creation groupBy per chunk). The fixture's 3 structural ops split
+    // 4 chunks ⇒ at most 8 small ops-sided exchanges; a single
+    // namespace-sided exchange per structural op would push past that
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 8,
+      s"structural ops must not repartition the namespace " +
+        s"($exchanges hash exchanges):\n$plan")
+  }
 }
