@@ -215,6 +215,16 @@ object EditLogSource {
       .start()
   }
 
+  /** Replay-drift audit: after tailing a segment from image A, the NEXT
+    * fetched image must equal the replayed state — any row here is an op
+    * the replay missed, misordered, or mis-modeled (the reference
+    * reconciles silently by full reload; surfacing the drift is strictly
+    * more information). Pure composition: the id-keyed
+    * [[graft.operators.SnapshotDiff.diff]] between the replayed and the
+    * fetched namespace — one full-outer join, empty output = no drift. */
+  def replayDrift(replayed: DataFrame, nextImage: DataFrame): DataFrame =
+    graft.operators.SnapshotDiff.diff(replayed, nextImage)
+
   /** One chunk: latest-wins creation merge + latest-per-attribute patch
     * join. Two id-agnostic path-keyed shuffles, both linear. */
   private def applyBulk(cur: DataFrame, chunk: DataFrame): DataFrame = {

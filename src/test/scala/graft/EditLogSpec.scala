@@ -99,6 +99,31 @@ class EditLogSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("replay-drift audit: replayed state vs next image is empty; a " +
+    "planted miss surfaces") {
+    // the sequential-replay post CSV plays the role of the next fetched
+    // image: zero drift rows means the distributed replay is exact
+    val next = spark.read.option("header", "true")
+      .csv(IngestQueries.EditLogPostCsv)
+      .select(col("id").cast("long"), col("path"),
+        col("usr").as("user"),
+        expr("CASE WHEN path = '/' THEN NULL WHEN length(path) - length(replace(path, '/', '')) = 1 THEN '/' ELSE substring(path, 1, length(path) - length(regexp_extract(path, '[^/]*$', 0)) - 1) END").as("parent"),
+        col("is_file").cast("boolean").as("isFile"),
+        col("file_size").cast("long").as("fileSize"),
+        col("mtime_ms").cast("long").as("modTime"),
+        col("perm").cast("long").as("permission"),
+        col("replication").cast("long").as("fileReplica"))
+    assert(EditLogSource.replayDrift(applied, next).count() === 0L)
+    // drop one op's effect from the "image": the drift audit names it
+    val tampered = next.withColumn("fileReplica",
+      when(col("path") === "/data/raw/2026/jan.log", lit(3L))
+        .otherwise(col("fileReplica")))
+    val drift = EditLogSource.replayDrift(applied, tampered).collect()
+    assert(drift.length === 1)
+    assert(drift.head.getAs[String]("path") === "/data/raw/2026/jan.log")
+    assert(drift.head.getAs[String]("change") === "modified")
+  }
+
   test("interleaving: creations bind to the path identity at their txid") {
     val byPath = applied.collect()
       .map(r => r.getAs[String]("path") -> r).toMap
