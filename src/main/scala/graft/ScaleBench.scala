@@ -571,6 +571,43 @@ object ScaleBench {
       // the cap is invisible in the census: reach counts DISTINCT users
       s"step1_reached=${r.head.getLong(2)}"
     }
+    // events operators at 10M rows, 100k users: sessionization is ONE
+    // user-keyed shuffle (the window never sees more than a user's rows),
+    // and the bucketized range join keeps candidates O(points +
+    // intervals·spanFactor) via the p95-driven width even with whale
+    // intervals planted 60× the typical span.
+    val nEvents = 10000000L
+    val nUsers = 100000L
+    def events10m = spark.range(nEvents).select(
+      col("id").as("event_id"),
+      pmod(col("id"), lit(nUsers)).as("user_id"),
+      // ~100 events/user, minute-spaced; a 2-hour gap mid-stream splits
+      // every user into exactly 2 sessions at a 30-min gap threshold
+      (expr(s"id div $nUsers") * 60000000000L +
+        when(expr(s"id div $nUsers") >= 50, 7200000000000L)
+          .otherwise(0L)).as("ts"))
+    tm("events_sessionize_10m") {
+      val s2 = graft.streaming.EventsStream
+        .sessionizeBatch(events10m, gapNs = 1800000000000L)
+      val rows = s2.agg(count(lit(1)), sum(col("n_sessions"))).head
+      require(rows.getLong(0) == nUsers && rows.getLong(1) == 2 * nUsers,
+        s"sessionization census off: $rows")
+      s"users=${rows.getLong(0)} sessions=${rows.getLong(1)}"
+    }
+    tm("events_range_join_10m_autowidth") {
+      // 1000 typical 10-min windows + 10 ten-hour whales
+      val typical = spark.range(1000).select(col("id").as("iid"),
+        (col("id") * 6000000000000L).as("s"))
+        .withColumn("e", col("s") + 600000000000L)
+      val whales = spark.range(10).select((col("id") + 5000L).as("iid"),
+        (col("id") * 600000000000000L).as("s"))
+        .withColumn("e", col("s") + 36000000000000L)
+      val ivs = typical.unionAll(whales)
+      val hits = graft.operators.RangeJoin.rangeJoinAuto(
+        events10m.select(col("ts"), col("event_id")), "ts", ivs, "s", "e")
+        .count()
+      s"hits=$hits"
+    }
     spark.stop()
   }
 

@@ -49,6 +49,33 @@ class TablesSpec extends AnyFunSuite {
       s"events.ts: min value $minTs is not epoch-NANOS in [2000, 2100)")
   }
 
+  test("normalizeTsNanos: every vintage branch lands on epoch-nanos") {
+    import spark.implicits._
+    val base = 1735700000123456L // micros, sub-second precision preserved
+    // TIMESTAMP_NTZ vintage (current fixtures)
+    val ntz = Seq(1L).toDF("event_id")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.lit(base))
+        .cast(TimestampNTZType))
+    val gotNtz = Tables.normalizeTsNanos(ntz)
+    assert(gotNtz.schema("ts").dataType == LongType)
+    assert(gotNtz.head.getAs[Long]("ts") === base * 1000L)
+    // TIMESTAMP (instant) vintage — session TZ is pinned UTC, same value
+    val tz = Seq(1L).toDF("event_id")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.lit(base)))
+    assert(Tables.normalizeTsNanos(tz).head.getAs[Long]("ts") === base * 1000L)
+    // LongType vintage passes through untouched
+    val raw = Seq((1L, base * 1000L)).toDF("event_id", "ts")
+    assert(Tables.normalizeTsNanos(raw).head.getAs[Long]("ts") === base * 1000L)
+    // anything else fails loudly, naming the type
+    val bad = Seq((1L, "oops")).toDF("event_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Tables.normalizeTsNanos(bad)
+    }
+    assert(e.getMessage.contains("StringType"))
+  }
+
   test("events stream: same ts contract as the batch loader") {
     val st = graft.streaming.EventsStream.readStream(spark, dir)
     assertType("events(stream)", st, "ts", LongType)
