@@ -222,7 +222,7 @@ WITH eops AS (
     'mtime_ms':'BIGINT','atime_ms':'BIGINT','replication':'BIGINT',
     'block_size':'BIGINT','file_size':'BIGINT','num_blocks':'BIGINT',
     'ns_quota':'BIGINT','ds_quota':'BIGINT','policy_id':'BIGINT',
-    'new_length':'BIGINT','overwrite':'BOOLEAN'})
+    'new_length':'BIGINT','srcs':'VARCHAR','overwrite':'BOOLEAN'})
 )
 """ + select
 

@@ -49,7 +49,8 @@ import org.apache.spark.sql.types._
   */
 object EditLogSource {
 
-  val Structural: Seq[String] = Seq("OP_RENAME", "OP_RENAME_OLD", "OP_DELETE")
+  val Structural: Seq[String] =
+    Seq("OP_RENAME", "OP_RENAME_OLD", "OP_DELETE", "OP_CONCAT_DELETE")
   val Creations: Seq[String] = Seq("OP_MKDIR", "OP_ADD")
   val Patches: Seq[String] = Seq("OP_CLOSE", "OP_SET_REPLICATION",
     "OP_SET_PERMISSIONS", "OP_SET_OWNER", "OP_TIMES", "OP_SET_QUOTA",
@@ -86,6 +87,12 @@ object EditLogSource {
       StructField("DSQUOTA", LongType),
       StructField("POLICYID", LongType),
       StructField("NEWLENGTH", LongType),
+      StructField("TRG", StringType),
+      // OP_CONCAT_DELETE writes numbered <SOURCE1>..<SOURCEn> children
+      // inside <SOURCES> (FSEditLogOp.ConcatDeleteOp.toXml); a fixed
+      // schema models the first 8 — [[typedOps]] fails loudly past that
+      StructField("SOURCES", StructType((1 to 8).map(i =>
+        StructField(s"SOURCE$i", StringType)))),
       StructField("BLOCK", ArrayType(blockType)),
       StructField("PERMISSION_STATUS", permType))))))
 
@@ -112,8 +119,13 @@ object EditLogSource {
     records.select(
         col("DATA.TXID").as("txid"),
         col("OPCODE").as("opcode"),
-        coalesce(col("DATA.PATH"), col("DATA.SRC"), lit("")).as("path"),
+        coalesce(col("DATA.PATH"), col("DATA.SRC"), col("DATA.TRG"),
+          lit("")).as("path"),
         coalesce(col("DATA.DST"), lit("")).as("dst"),
+        when(col("OPCODE") === "OP_CONCAT_DELETE",
+          array_compact(array((1 to 8).map(i =>
+            col(s"DATA.SOURCES.SOURCE$i")): _*)))
+          .otherwise(lit(null).cast(ArrayType(StringType))).as("srcs"),
         coalesce(col("DATA.INODEID"), lit(0L)).as("inodeId"),
         col("DATA.PERMISSION_STATUS.USERNAME").as("opUser"),
         col("DATA.PERMISSION_STATUS.GROUPNAME").as("opGroup"),
@@ -154,7 +166,7 @@ object EditLogSource {
     // bounded collect: structural ops only — see class doc
     val structural = ops
       .where(col("opcode").isin(Structural: _*))
-      .select("txid", "opcode", "path", "dst")
+      .select("txid", "opcode", "path", "dst", "srcs", "mtime")
       .orderBy("txid").collect()
 
     var cur = snapshot.select(core.map(col): _*)
@@ -167,6 +179,29 @@ object EditLogSource {
         case "OP_DELETE" =>
           cur.where(!(col("path") === src ||
             col("path").startsWith(src + "/")))
+        case "OP_CONCAT_DELETE" =>
+          // trg absorbs the sources' CURRENT sizes — state-dependent, so
+          // the sums fold in lazily via a 1-row broadcast (no eager
+          // action per concat); sources drop like a delete
+          val srcs = s.getSeq[String](4)
+          require(srcs != null && srcs.nonEmpty,
+            s"OP_CONCAT_DELETE at txid $hi carries no sources " +
+              "(more than 8? extend the SOURCES schema)")
+          // the sums resolve EAGERLY (two scalars over the |srcs| rows the
+          // scan prunes to) — same control-plane cost class as the
+          // structural collect itself, and the concat then stays a pure
+          // projection like rename/delete instead of a degenerate join
+          val r = cur.where(col("path").isin(srcs: _*)).agg(
+            coalesce(sum("fileSize"), lit(0L)),
+            coalesce(sum("numBlocks"), lit(0L))).head
+          val (catBytes, catBlocks) = (r.getLong(0), r.getLong(1))
+          cur.where(!col("path").isin(srcs: _*))
+            .withColumn("fileSize", when(col("path") === src,
+              col("fileSize") + catBytes).otherwise(col("fileSize")))
+            .withColumn("numBlocks", when(col("path") === src,
+              col("numBlocks") + catBlocks).otherwise(col("numBlocks")))
+            .withColumn("modTime", when(col("path") === src,
+              lit(s.getLong(5))).otherwise(col("modTime")))
         case _ => // rename: prefix rewrite, narrow projection
           val dst = s.getString(3)
           cur.withColumn("path",

@@ -20,8 +20,13 @@ class EditLogSpec extends AnyFunSuite {
 
   test("ops parse: every record typed, opcodes and txids intact") {
     val rows = ops.collect()
-    assert(rows.length === 24)
-    assert(rows.map(_.getAs[Long]("txid")).sorted.toSeq === (1L to 24L))
+    assert(rows.length === 25)
+    assert(rows.map(_.getAs[Long]("txid")).sorted.toSeq === (1L to 25L))
+    // concat: TRG lands in path, numbered SOURCES children in srcs
+    val cat = rows.find(_.getAs[String]("opcode") == "OP_CONCAT_DELETE").get
+    assert(cat.getAs[String]("path") === "/data/raw/2024/f007.log")
+    assert(cat.getAs[Seq[String]]("srcs") ===
+      Seq("/data/raw/2024/f000.parquet", "/data/raw/2024/f014"))
     val byOp = rows.groupBy(_.getAs[String]("opcode")).view.mapValues(_.length)
     assert(byOp("OP_ADD") === 4 && byOp("OP_CLOSE") === 4)
     assert(byOp("OP_RENAME_OLD") === 2 && byOp("OP_DELETE") === 1)
@@ -154,5 +159,12 @@ class EditLogSpec extends AnyFunSuite {
     assert(tr.getAs[Long]("modTime") === 1735701600000L)
     assert(tr.getAs[Long]("numBlocks") === 3L)
     assert(byPath("/tmp/f019").getAs[Boolean]("isUnderConstruction"))
+    // concat-delete: target absorbed both sources' bytes+blocks, srcs gone
+    val cat = byPath("/data/raw/2024/f007.log")
+    assert(cat.getAs[Long]("fileSize") === 17284725L + 5L + 51854160L)
+    assert(cat.getAs[Long]("numBlocks") === 2L + 1L + 3L)
+    assert(cat.getAs[Long]("modTime") === 1735701700000L)
+    assert(!byPath.contains("/data/raw/2024/f000.parquet"))
+    assert(!byPath.contains("/data/raw/2024/f014"))
   }
 }

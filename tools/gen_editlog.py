@@ -97,7 +97,11 @@ OPS = [
     (22, "OP_TRUNCATE", dict(path="/data/clean/f023.gz",
                              newlength=1000000, ts=1735701600000)),
     (23, "OP_APPEND", dict(path="/tmp/f019")),
-    (24, "OP_END_LOG_SEGMENT", {}),
+    (24, "OP_CONCAT_DELETE", dict(path="/data/raw/2024/f007.log",
+                                  srcs=["/data/raw/2024/f000.parquet",
+                                        "/data/raw/2024/f014"],
+                                  ts=1735701700000)),
+    (25, "OP_END_LOG_SEGMENT", {}),
 ]
 
 
@@ -202,6 +206,14 @@ for txid, opcode, f in OPS:
         xml.append("      <CLIENT_NAME>DFSClient_fixture</CLIENT_NAME>")
         xml.append("      <CLIENT_MACHINE>10.0.0.1</CLIENT_MACHINE>")
         xml.append("      <NEWBLOCK>false</NEWBLOCK>")
+    elif opcode == "OP_CONCAT_DELETE":
+        xml.append("      <LENGTH>0</LENGTH>")
+        xml.append(f"      <TRG>{esc(f['path'])}</TRG>")
+        xml.append(f"      <TIMESTAMP>{f['ts']}</TIMESTAMP>")
+        xml.append("      <SOURCES>")
+        for i, s in enumerate(f["srcs"]):
+            xml.append(f"        <SOURCE{i + 1}>{esc(s)}</SOURCE{i + 1}>")
+        xml.append("      </SOURCES>")
     xml.append("    </DATA>")
     xml.append("  </RECORD>")
 xml.append("</EDITS>")
@@ -214,7 +226,7 @@ with open(os.path.join(base, "editlog_mini_ops.csv"), "w", newline="") as fh:
     w.writerow(["txid", "opcode", "path", "inode_id", "dst", "usr", "grp",
                 "perm", "mtime_ms", "atime_ms", "replication", "block_size",
                 "file_size", "num_blocks", "ns_quota", "ds_quota",
-                "policy_id", "new_length", "overwrite"])
+                "policy_id", "new_length", "srcs", "overwrite"])
     for txid, opcode, f in OPS:
         blocks = f.get("blocks", [])
         w.writerow([
@@ -227,6 +239,7 @@ with open(os.path.join(base, "editlog_mini_ops.csv"), "w", newline="") as fh:
             sum(blocks) if blocks else -1, len(blocks) if blocks else -1,
             f.get("nsq", -9), f.get("dsq", -9),
             f.get("policy", -1), f.get("newlength", -1),
+            ";".join(f.get("srcs", [])),
             str(f.get("overwrite", False)).lower()])
 
 # ---- sequential replay -> post-state CSV ----
@@ -285,6 +298,17 @@ for txid, opcode, f in OPS:
         rows[p]["mtime_ms"] = str(f["ts"])
     elif opcode == "OP_APPEND":
         rows[p]["is_uc"] = "true"
+    elif opcode == "OP_CONCAT_DELETE":
+        trg = rows[p]
+        trg["file_size"] = str(int(trg["file_size"]) +
+                               sum(int(rows[s]["file_size"])
+                                   for s in f["srcs"]))
+        trg["num_blocks"] = str(int(trg["num_blocks"]) +
+                                sum(int(rows[s]["num_blocks"])
+                                    for s in f["srcs"]))
+        trg["mtime_ms"] = str(f["ts"])
+        for s in f["srcs"]:
+            del rows[s]
     elif opcode == "OP_RENAME_OLD":
         src, dst = p, f["dst"]
         moved = [r for q, r in rows.items()
