@@ -1,0 +1,333 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.api._
+import graft.inodes.InodeView
+
+/** End-to-end tests of the HTTP front door — the analog of the reference's
+  * embedded-server REST suite (`TestNNAnalyticsBase.java`): real HTTP GETs
+  * against an ephemeral-port server over the sf0.001 fixture, asserting
+  * status codes, response bodies vs direct engine calls, and the
+  * authentication/authorization tiers.
+  */
+class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+  lazy val ino = InodeView.inodes(spark, dir).cache()
+
+  lazy val tokens = graft.core.Tables.events(spark, dir).select(
+    concat(lit("u"), (col("user_id") % 50).cast("string")).as("owner"),
+    lit("").as("realUser"),
+    expr("ts div 1000000").as("issueDate"))
+
+  // open server: no users configured → auth disabled, everything allowed
+  lazy val open: WebServer =
+    new WebServer(spark, ino, dir, new Security.Context(Nil, "k".getBytes(UTF_8)),
+      tokens = Some(tokens))
+
+  // secured server: one user per tier
+  lazy val secret = "test-secret".getBytes(UTF_8)
+  lazy val secCtx = new Security.Context(Seq(
+    Security.User("admin", "adminpw", Security.AllTiers),
+    Security.User("reader", "readerpw", Set(Security.Reader, Security.Cache)),
+    Security.User("cacher", "cacherpw", Set(Security.Cache))), secret)
+  lazy val secured: WebServer = new WebServer(spark, ino, dir, secCtx)
+
+  override def beforeAll(): Unit = {
+    open.start()
+    secured.start()
+  }
+  override def afterAll(): Unit = {
+    open.stop()
+    secured.stop()
+  }
+
+  case class Resp(status: Int, body: String, headers: Map[String, String])
+
+  private def get(server: WebServer, pathAndQuery: String,
+                  cookie: Option[String] = None,
+                  method: String = "GET",
+                  form: Option[String] = None): Resp = {
+    val url = new URI(s"http://127.0.0.1:${server.boundPort}$pathAndQuery").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    cookie.foreach(c => conn.setRequestProperty("Cookie",
+      s"${Security.CookieName}=$c"))
+    form.foreach { f =>
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+      conn.getOutputStream.write(f.getBytes(UTF_8))
+    }
+    val status = conn.getResponseCode
+    val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val body = if (stream == null) "" else new String(stream.readAllBytes(), UTF_8)
+    val headers = Seq("Content-Type", "Set-Cookie")
+      .flatMap(h => Option(conn.getHeaderField(h)).map(h -> _)).toMap
+    conn.disconnect()
+    Resp(status, body, headers)
+  }
+
+  // ------------------------------------------------------------ open server
+
+  test("/filter with sum returns the bare number the engine computes") {
+    val direct = NNAQuery.execute(
+      NNAQuery(set = "files", filters = "user:eq:u1", sum = Seq("count")), ino)
+      .collect()(0).getLong(0)
+    val r = get(open, "/filter?set=files&filters=user:eq:u1&sum=count")
+    assert(r.status === 200 && r.body.trim === direct.toString)
+  }
+
+  test("/filter multi-sum returns one value per line") {
+    val r = get(open, "/filter?set=files&sum=count,fileSize")
+    val lines = r.body.trim.split('\n')
+    assert(r.status === 200 && lines.length === 2 && lines.forall(_.toLong > 0))
+  }
+
+  test("/filter without sum dumps paths bounded by limit") {
+    val r = get(open, "/filter?set=files&filters=user:eq:u1&limit=7")
+    val lines = r.body.trim.split('\n')
+    assert(r.status === 200 && lines.length === 7 &&
+      lines.sorted.toSeq === lines.toSeq)
+  }
+
+  test("/histogram default chart output matches the engine's renderer") {
+    val direct = Renderers.toChartJsJson(
+      NNAQuery.execute(NNAQuery(set = "files", histType = Some("user")), ino),
+      "user | count | files", "count")
+    val r = get(open, "/histogram?set=files&type=user")
+    assert(r.status === 200 && r.body === direct)
+    assert(r.headers("Content-Type").startsWith("application/json"))
+  }
+
+  test("/histogram histogramOutput=json and csv switch renderers") {
+    val df = NNAQuery.execute(NNAQuery(set = "files", histType = Some("user")), ino)
+    val j = get(open, "/histogram?set=files&type=user&histogramOutput=json")
+    assert(j.status === 200 && j.body === Renderers.toJson(df))
+    val c = get(open, "/histogram?set=files&type=user&histogramOutput=csv")
+    assert(c.status === 200 && c.body === Renderers.toCsv(df))
+  }
+
+  test("/histogram2 returns the nested two-level map") {
+    val direct = Renderers.twoLevelToJson(NNAQuery.execute(
+      NNAQuery(set = "files", histType = Some("user"),
+        histType2 = Some("fileType")), ino))
+    val r = get(open, "/histogram2?set=files&type=user&type2=fileType")
+    assert(r.status === 200 && r.body === direct)
+  }
+
+  test("/histogram3 multi-sum CSV has one column per sum") {
+    val r = get(open, "/histogram3?set=files&type=user&sum=count,fileSize,diskspaceConsumed")
+    val header = r.body.split('\n')(0)
+    assert(r.status === 200 &&
+      header === "key,count,fileSize,diskspaceConsumed")
+  }
+
+  test("/divide returns the ppm ratio of two filter sums") {
+    val r = get(open, "/divide?set1=files&filters1=user:eq:u1&sum1=count&set2=files&sum2=count")
+    val direct = NNAQuery.divide(
+      NNAQuery(set = "files", filters = "user:eq:u1", sum = Seq("count")),
+      NNAQuery(set = "files", sum = Seq("count")), ino).collect()(0).getLong(0)
+    assert(r.status === 200 && r.body.trim.toLong === direct)
+  }
+
+  // a real fixture directory (the parent of some file) to dump/summarize
+  lazy val someDir: String =
+    ino.where(col("isFile")).select(col("parent")).limit(1).collect()(0).getString(0)
+
+  test("/contentSummary returns recursive counts for a path") {
+    val r = get(open, s"/contentSummary?path=$someDir")
+    val direct = graft.engine.Aggregates.contentSummary(ino, someDir).collect()(0)
+    assert(r.status === 200 &&
+      r.body.contains(s""""fileCount": ${direct.getLong(0)}""") &&
+      direct.getLong(0) > 0)
+  }
+
+  test("/dump lists every path under a directory") {
+    val expected = ino
+      .where(col("path") === someDir || col("path").startsWith(someDir + "/"))
+      .count()
+    val r = get(open, s"/dump?path=$someDir")
+    val lines = r.body.trim.split('\n')
+    assert(r.status === 200 && lines.length === expected &&
+      lines.forall(_.startsWith(someDir)) && lines.sorted.toSeq === lines.toSeq)
+  }
+
+  test("/sql executes a statement over the registered views") {
+    val r = get(open, "/sql", method = "POST",
+      form = Some("sqlStatement=" + java.net.URLEncoder.encode(
+        "SELECT count(*) AS n FROM files", UTF_8)))
+    assert(r.status === 200 && r.body.split('\n')(0) === "n")
+  }
+
+  test("/suggestions returns the cached scalar census") {
+    val r = get(open, "/suggestions")
+    assert(r.status === 200 && r.body.contains("\"numFiles\"") &&
+      r.body.contains("\"emptyDirs\""))
+  }
+
+  test("/users?suggestion= returns a user->value map") {
+    val r = get(open, "/users?suggestion=numFiles")
+    assert(r.status === 200 && r.body.contains("\"u1\""))
+  }
+
+  test("/top slices the heaviest users per issue metric") {
+    val r = get(open, "/top?limit=3")
+    assert(r.status === 200 && r.body.contains("\"numFiles\""))
+  }
+
+  test("suggestions readers serve from the server cache: zero Spark jobs") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    get(open, "/suggestions") // warm the cache
+    get(open, "/quotas"); get(open, "/fileAge"); get(open, "/fileTypes")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      get(open, "/suggestions")
+      get(open, "/users?suggestion=numFiles")
+      get(open, "/top?limit=3")
+      get(open, "/quotas")
+      get(open, "/fileAge")
+      get(open, "/fileTypes")
+      // listener events are async; a job start would be enqueued within
+      // the request round-trips plus this slack
+      Thread.sleep(300)
+      assert(jobs.get() === 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("/fileTypes returns the per-user fileType breakdown") {
+    val r = get(open, "/fileTypes")
+    assert(r.status === 200 && r.body.startsWith("{") && r.body.contains("\"u1\""))
+  }
+
+  test("/token serves last-login per user from the tokens frame") {
+    val r = get(open, "/token")
+    assert(r.status === 200 && r.body.contains("\"u1\""))
+  }
+
+  test("cached query lifecycle over HTTP: set, get, remove") {
+    val set = get(open, "/setCachedQuery?name=webq&set=files&filters=user:eq:u1&sum=count")
+    assert(set.status === 200)
+    CachedQueries.refresh(ino, InodeView.NowMs) // one suggestions cycle
+    val got = get(open, "/getCachedQuery?name=webq")
+    assert(got.status === 200 && got.body.split('\n')(0) === "count")
+    val rm = get(open, "/removeCachedQuery?name=webq")
+    assert(rm.status === 200 &&
+      get(open, "/getCachedQuery?name=webq").status === 404)
+  }
+
+  test("/submitOperation runs a stubbed operation and returns its id") {
+    val r = get(open, "/submitOperation?set=files&filters=user:eq:u1&operation=delete&limit=3")
+    assert(r.status === 200 && r.body.trim.length === 36) // UUID
+    assert(get(open, "/listOperations").status === 200)
+  }
+
+  test("introspection enums list the engine's actual vocabulary") {
+    assert(get(open, "/sets").body.contains("\"dirs\""))
+    assert(get(open, "/sums").body.contains("\"diskspaceConsumed\""))
+    assert(get(open, "/filterOps").body.contains("\"olderThanYears\""))
+    assert(get(open, "/histograms").body.contains("\"fileType\""))
+    assert(get(open, "/endpoints").body.contains("\"histogram3\""))
+    assert(get(open, "/histogramOutputs").body.contains("\"chart\""))
+  }
+
+  test("admin info endpoints serve real runtime data") {
+    assert(get(open, "/info").body.contains("\"sparkVersion\""))
+    assert(get(open, "/system").body.contains("\"heapUsed\""))
+    assert(get(open, "/threads").body.contains("\"count\""))
+    assert(get(open, "/loadingStatus").body === """{"loaded": true}""")
+    assert(get(open, "/config").body.contains("spark.sql."))
+    val log = get(open, "/log")
+    assert(log.status === 200 && log.body.contains("GET /info"))
+  }
+
+  test("/saveNamespace + /fetchNamespace roundtrip the snapshot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ns-web").toString + "/ns"
+    assert(get(open, s"/saveNamespace?dir=$tmp").status === 200)
+    assert(get(open, s"/fetchNamespace?dir=$tmp").status === 200)
+    assert(open.currentInodes.count() === ino.count())
+  }
+
+  test("malformed queries get a 400, unknown endpoints a 404") {
+    assert(get(open, "/histogram?set=files&type=noSuchKey").status === 400)
+    assert(get(open, "/filter?set=files&filters=user:noSuchOp:u1&sum=count").status === 400)
+    assert(get(open, "/noSuchEndpoint").status === 404)
+  }
+
+  // --------------------------------------------------------- secured server
+
+  test("secured: unsecured endpoints pass without a token") {
+    assert(get(secured, "/sets").status === 200)
+    assert(get(secured, "/endpoints").status === 200)
+  }
+
+  test("secured: query endpoints require a token (401)") {
+    assert(get(secured, "/filter?set=files&sum=count").status === 401)
+    assert(get(secured, "/suggestions").status === 401)
+  }
+
+  test("secured: login issues a cookie; bad credentials get 401") {
+    assert(get(secured, "/login", method = "POST",
+      form = Some("username=reader&password=wrong")).status === 401)
+    val ok = get(secured, "/login", method = "POST",
+      form = Some("username=reader&password=readerpw"))
+    assert(ok.status === 200 &&
+      ok.headers("Set-Cookie").contains(Security.CookieName))
+  }
+
+  private def tokenFor(user: String, pw: String): String = {
+    val r = get(secured, "/login", method = "POST",
+      form = Some(s"username=$user&password=$pw"))
+    r.headers("Set-Cookie").split(';')(0).split('=')(1)
+  }
+
+  test("secured: reader tier can query but not administrate (403)") {
+    val t = tokenFor("reader", "readerpw")
+    assert(get(secured, "/filter?set=files&sum=count", Some(t)).status === 200)
+    assert(get(secured, "/suggestions", Some(t)).status === 200) // cache tier
+    assert(get(secured, "/metrics", Some(t)).status === 403)
+    assert(get(secured, "/saveNamespace", Some(t)).status === 403)
+    assert(get(secured, "/submitOperation?operation=delete", Some(t)).status === 403)
+  }
+
+  test("secured: cache-only tier reads caches but cannot run queries") {
+    val t = tokenFor("cacher", "cacherpw")
+    assert(get(secured, "/suggestions", Some(t)).status === 200)
+    assert(get(secured, "/filter?set=files&sum=count", Some(t)).status === 403)
+  }
+
+  test("secured: admin tier reaches admin endpoints; /credentials reports tiers") {
+    val t = tokenFor("admin", "adminpw")
+    assert(get(secured, "/metrics", Some(t)).status === 200)
+    assert(get(secured, "/queryGuard", Some(t)).status === 200)
+    val cred = get(secured, "/credentials", Some(t))
+    assert(cred.body.contains("\"admin\"") && cred.body.contains("\"ADMIN\""))
+  }
+
+  test("secured: a tampered token is rejected") {
+    val t = tokenFor("admin", "adminpw")
+    val tampered = t.dropRight(2) + "xx"
+    assert(get(secured, "/filter?set=files&sum=count", Some(tampered)).status === 401)
+  }
+
+  test("token expiry honored under an injected clock") {
+    var now = 1000L
+    val ctx = new Security.Context(
+      Seq(Security.User("u", "p", Security.AllTiers)), secret,
+      tokenTtlMs = 500L, clock = () => now)
+    val tok = ctx.login("u", "p").get
+    assert(ctx.validate(tok).contains("u"))
+    now = 2000L // past expiry
+    assert(ctx.validate(tok).isEmpty)
+  }
+}
