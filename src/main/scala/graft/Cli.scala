@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api._
+import graft.inodes.InodeView
+
+/** The thin CLI — SURVEY §2.11's v1 entry points: the Scala API, this CLI,
+  * and the HTTP front door ([[graft.api.WebServer]]). One-shot commands
+  * print to stdout; `serve` starts the HTTP server and blocks.
+  *
+  * {{{
+  * graft.Cli filter     <dataDir> "set=files&filters=user:eq:u1&sum=count"
+  * graft.Cli histogram  <dataDir> "set=files&type=user&histogramOutput=json"
+  * graft.Cli histogram2 <dataDir> "set=files&type=user&type2=fileType"
+  * graft.Cli dump       <dataDir> "path=/a/b&limit=100"
+  * graft.Cli sql        <dataDir> "SELECT count(*) AS n FROM files"
+  * graft.Cli suggestions <dataDir>
+  * graft.Cli serve      <dataDir> [port] [user:password:TIER+TIER,…]
+  * }}}
+  *
+  * `dataDir` takes the same forms as [[InodeView.inodes]]: a fixture dir,
+  * `oiv:`/`oivxml:`/`oivbin:` ingest doors, or `inodes:` for a saved
+  * namespace. Query strings are the reference's endpoint parameters
+  * verbatim — the same string works against `/filter` over HTTP.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { System.err.println(usage); sys.exit(2) }
+    val cmd = args(0)
+    val dataDir = args(1)
+    val spark = session()
+    try run(spark, cmd, dataDir, args.drop(2))
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"error: ${e.getMessage}"); sys.exit(1)
+    }
+  }
+
+  private[graft] def run(spark: SparkSession, cmd: String, dataDir: String,
+                         rest: Array[String]): Unit = {
+    def inodes = InodeView.snapshot(spark, dataDir)
+    def params = parseQuery(rest.headOption.getOrElse(""))
+    cmd match {
+      case "filter" =>
+        val nq = NNAQuery.fromParams(params)
+        val df = NNAQuery.execute(nq, inodes)
+        if (nq.sum.nonEmpty)
+          println(df.collect()(0).toSeq.map(String.valueOf).mkString("\n"))
+        else {
+          val it = df.toLocalIterator()
+          while (it.hasNext) println(it.next().mkString(","))
+        }
+      case "histogram" | "histogram2" | "histogram3" =>
+        val nq = NNAQuery.fromParams(params).copy(
+          histType = Some(params.getOrElse("type",
+            throw new IllegalArgumentException(s"$cmd requires type="))),
+          histType2 =
+            if (cmd == "histogram2") Some(params.getOrElse("type2",
+              throw new IllegalArgumentException("histogram2 requires type2=")))
+            else None)
+        val df = NNAQuery.execute(nq, inodes)
+        params.getOrElse("histogramOutput", "csv") match {
+          case "json" if cmd == "histogram2" => println(Renderers.twoLevelToJson(df))
+          case "json" => println(Renderers.toJson(df))
+          case "csv" => println(Renderers.toCsv(df))
+          case other => throw new IllegalArgumentException(
+            s"unknown histogramOutput: $other (csv|json)")
+        }
+      case "dump" =>
+        import org.apache.spark.sql.functions.col
+        val path = params.getOrElse("path",
+          throw new IllegalArgumentException("dump requires path="))
+        val limit = params.get("limit").map(_.toInt).getOrElse(Int.MaxValue)
+        val it = inodes
+          .where(col("path") === path || col("path").startsWith(path + "/"))
+          .select(col("path")).orderBy(col("path")).limit(limit)
+          .toLocalIterator()
+        while (it.hasNext) println(it.next().getString(0))
+      case "sql" =>
+        val stmt = rest.headOption.getOrElse(
+          throw new IllegalArgumentException("sql requires a statement argument"))
+        graft.engine.SqlShim.execute(spark, dataDir, stmt) match {
+          case Right(df) => println(Renderers.toCsv(df))
+          case Left(_) => println("OK")
+        }
+      case "suggestions" =>
+        val row = Suggestions.cachedValues(inodes).collect()(0)
+        row.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+          println(s"$f,${row.get(i)}")
+        }
+      case "serve" =>
+        val port = rest.headOption.map(_.toInt).getOrElse(8080)
+        val users = rest.drop(1).headOption.map(parseUsers).getOrElse(Nil)
+        val secret = sys.env.getOrElse("GRAFT_HTTP_SECRET",
+          java.util.UUID.randomUUID().toString).getBytes("UTF-8")
+        val server = new WebServer(spark, inodes, dataDir,
+          new Security.Context(users, secret), port = port)
+        server.start()
+        println(s"graft HTTP server on port ${server.boundPort} " +
+          s"(auth ${if (users.nonEmpty) "enabled" else "disabled"})")
+        Thread.currentThread().join() // serve until killed
+      case other =>
+        throw new IllegalArgumentException(s"unknown command: $other\n$usage")
+    }
+  }
+
+  /** `user:password:TIER+TIER,…` → users (tiers from
+    * [[Security.AllTiers]] names, e.g. `admin:pw:ADMIN+READER`). */
+  private[graft] def parseUsers(spec: String): Seq[Security.User] =
+    spec.split(',').toSeq.map { u =>
+      u.split(':') match {
+        case Array(name, pw, tiers) =>
+          Security.User(name, pw, tiers.split('+').map { t =>
+            Security.AllTiers.find(_.name == t).getOrElse(
+              throw new IllegalArgumentException(s"unknown tier: $t"))
+          }.toSet)
+        case _ => throw new IllegalArgumentException(
+          s"user spec must be name:password:TIER+TIER, got $u")
+      }
+    }
+
+  private[graft] def parseQuery(qs: String): Map[String, String] =
+    qs.split('&').filter(_.contains("=")).map { kv =>
+      val i = kv.indexOf('=')
+      kv.take(i) -> kv.drop(i + 1)
+    }.toMap
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val usage: String =
+    """usage: graft.Cli <command> <dataDir> [args]
+      |  filter <dir> "set=…&filters=…&sum=…"     sum → number; else path dump
+      |  histogram <dir> "set=…&type=…"           &histogramOutput=csv|json
+      |  histogram2 <dir> "set=…&type=…&type2=…"
+      |  dump <dir> "path=/a/b&limit=N"
+      |  sql <dir> "SELECT …"
+      |  suggestions <dir>
+      |  serve <dir> [port] [user:pw:TIER+TIER,…]  start the HTTP server
+      |""".stripMargin
+}

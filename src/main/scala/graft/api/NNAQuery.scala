@@ -36,6 +36,37 @@ case class NNAQuery(
 
 object NNAQuery {
 
+  /** Reference-endpoint query-string params → [[NNAQuery]]; param names
+    * are the reference's (`set filters sum find top bottom sortAscending
+    * sortDescending timeRange parentDirDepth histogramConditions
+    * transformConditions transformOutputs limit`,
+    * `NamenodeAnalyticsMethods.java:1540-1578`). Shared by the HTTP
+    * front door ([[WebServer]]) and the CLI. */
+  def fromParams(p: Map[String, String]): NNAQuery = NNAQuery(
+    set = p.getOrElse("set", "files"),
+    filters = p.getOrElse("filters", ""),
+    sum = p.get("sum").map(_.split(',').toSeq).getOrElse(Nil),
+    find = p.get("find").map { f =>
+      f.split(':') match {
+        case Array(op, field) => (op, field)
+        case _ => throw new IllegalArgumentException(
+          s"find must be op:field (min|max|avg:field), got $f")
+      }
+    },
+    timeRange = p.getOrElse("timeRange", "weekly"),
+    parentDirDepth = p.get("parentDirDepth").map(_.toInt).getOrElse(0),
+    histogramConditions = p.getOrElse("histogramConditions", ""),
+    top = p.get("top").map(_.toInt),
+    bottom = p.get("bottom").map(_.toInt),
+    sortAscending =
+      if (p.get("sortAscending").exists(_.toBoolean)) Some(true)
+      else if (p.get("sortDescending").exists(_.toBoolean)) Some(false)
+      else None,
+    transformConditions = p.getOrElse("transformConditions", ""),
+    transformReplica = p.get("transformOutputs")
+      .map(_.stripPrefix("fileReplica:").toLong),
+    limit = p.get("limit").map(_.toInt))
+
   /** Compile + run a query against an inodes snapshot. Result column
     * conventions: path dumps → `path`; sums → one column per sum field;
     * histograms → `key`[, `key2`], value columns named by sum/find field. */
