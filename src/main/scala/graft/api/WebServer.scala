@@ -40,7 +40,12 @@ final class WebServer(
     tokens: Option[DataFrame] = None,
     historyPath: Option[String] = None,
     suggestionsService: Option[SuggestionsService.Service] = None,
-    port: Int = 0) {
+    port: Int = 0,
+    // email sink transport (S8): (recipients, subject, body). SMTP is
+    // environment, not analytics (`MailOutput.java`) — default logs the
+    // delivery; production injects a real sender.
+    emailTransport: (Seq[String], String, String) => Unit =
+      (to, subject, _) => ()) {
 
   @volatile private var inodes: DataFrame = initialInodes
   @volatile private var loaded: Boolean = true
@@ -414,6 +419,12 @@ final class WebServer(
     val nq = queryFromParams(p)
     if (nq.sum.nonEmpty) {
       val row = NNAQuery.execute(nq, inodes).collect()(0)
+      // email sink (`NamenodeAnalyticsMethods.java:1460-1478`): fires only
+      // when all of emailTo/emailHost/emailFrom are set AND the
+      // emailConditions AND-chain holds on the result
+      maybeEmail(p, subject = s"${nq.sum.mkString(",")} | ${nq.set} | " +
+        s"Filters: ${nq.filters}", row = row,
+        body = row.toSeq.map(cell).mkString("\n"))
       respond(ex, 200, "text/plain",
         row.toSeq.map(cell).mkString("\n") + "\n")
     } else if (nq.find.isDefined) {
@@ -424,6 +435,27 @@ final class WebServer(
       respondPathStream(ex, NNAQuery.execute(nq, inodes))
     }
   }
+
+  /** Email gate + deliver (`MailOutput.check/write`): fires only when
+    * emailTo+emailHost+emailFrom are all present and the emailConditions
+    * AND-chain holds on `row` (skipped when `preChecked`). Send failures
+    * are logged, never surfaced to the HTTP caller — reference parity
+    * (`NamenodeAnalyticsMethods.java:1475-1477`). */
+  private def maybeEmail(p: Map[String, String], subject: String, row: Row,
+                         body: String, preChecked: Boolean = false): Unit =
+    for {
+      to <- p.get("emailTo"); _ <- p.get("emailHost"); _ <- p.get("emailFrom")
+    } {
+      try {
+        val conditionsOk = preChecked ||
+          Sinks.emailConditionsMet(p.getOrElse("emailConditions", ""), row)
+        if (conditionsOk)
+          // reference subject: `authority | sum | set | Filters: …`
+          emailTransport(to.split(',').toSeq, s"graft | $subject", body)
+      } catch {
+        case e: Exception => log(s"email send failed: ${e.getMessage}")
+      }
+    }
 
   /** Stream a one-string-column result as chunked plain text — the
     * reference's `dumpINodePaths` writes to the response writer row by row
@@ -448,6 +480,18 @@ final class WebServer(
     val nq = queryFromParams(p).copy(histType = Some(p.getOrElse("type",
       throw new IllegalArgumentException("histogram requires &type="))))
     val df = NNAQuery.execute(nq, inodes)
+    // email sink for histograms (`:1643-1667`): conditions evaluate against
+    // the value column of each row — any row matching fires the send
+    if (p.contains("emailTo")) {
+      val rows = df.collect()
+      val conds = p.getOrElse("emailConditions", "")
+      val fire = conds.isEmpty ||
+        rows.exists(r => Sinks.emailConditionsMet(conds,
+          Row(r.get(r.size - 1))))
+      if (fire) maybeEmail(p,
+        subject = s"X: ${nq.histType.get} | Y: ${nq.sum.headOption.getOrElse("count")} | ${nq.set} | Filters: ${nq.filters}",
+        row = null, body = Renderers.toCsv(df), preChecked = true)
+    }
     p.getOrElse("histogramOutput", "chart") match {
       case "chart" =>
         val sumName = nq.find.map(f => s"${f._1}:${f._2}")

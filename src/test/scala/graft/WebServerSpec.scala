@@ -258,6 +258,47 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(open.currentInodes.count() === ino.count())
   }
 
+  test("/history reports completed suggestions-service cycles") {
+    val svc = new SuggestionsService.Service(spark, ino, None, intervalMs = 50)
+    val hist: WebServer = new WebServer(spark, ino, dir,
+      new Security.Context(Nil, "k".getBytes(UTF_8)), suggestionsService = Some(svc))
+    hist.start()
+    try {
+      svc.start()
+      val deadline = System.currentTimeMillis() + 30000
+      while (svc.history.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val r = get(hist, "/history")
+      assert(r.status === 200 && r.body.contains("\"users\""))
+    } finally { svc.stop(); hist.stop() }
+  }
+
+  // email sink: recording transport instead of SMTP (environment, not
+  // analytics — the gate+subject+body plumbing is what's under test)
+  lazy val sentMail =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Seq[String], String, String)]()
+  lazy val mailing: WebServer =
+    new WebServer(spark, ino, dir, new Security.Context(Nil, "k".getBytes(UTF_8)),
+      emailTransport = (to, subj, body) => sentMail.add((to, subj, body)))
+
+  test("/filter email sink fires only when conditions hold") {
+    mailing.start()
+    try {
+      val base = "/filter?set=files&filters=user:eq:u1&sum=count" +
+        "&emailTo=a@x,b@x&emailHost=smtp&emailFrom=nna@x"
+      // count for u1 is > 0, so gt:0 passes and an impossible bound fails
+      get(mailing, base + "&emailConditions=gt:0")
+      get(mailing, base + "&emailConditions=gt:999999999")
+      assert(sentMail.size === 1)
+      val (to, subj, body) = sentMail.peek()
+      assert(to === Seq("a@x", "b@x") && subj.contains("count | files") &&
+        body.trim.toLong > 0)
+      // missing emailHost → no send even with passing conditions
+      get(mailing, "/filter?set=files&sum=count&emailTo=a@x&emailFrom=nna@x")
+      assert(sentMail.size === 1)
+    } finally mailing.stop()
+  }
+
   test("malformed queries get a 400, unknown endpoints a 404") {
     assert(get(open, "/histogram?set=files&type=noSuchKey").status === 400)
     assert(get(open, "/filter?set=files&filters=user:noSuchOp:u1&sum=count").status === 400)
