@@ -771,6 +771,13 @@ object PipelineQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))),
 
+    // single-pass filter-stage audit (Observation API): per-stage
+    // first-fail drop counts ride the SAME action as the filter — zero
+    // extra scans at any corpus size; invariant Σdropped + kept = total
+    "corpus_filter_audit" -> ((s, d) =>
+      pipeline.Observability.auditCensus(s, Tables.documents(s, d),
+        pipeline.Observability.standardStages())),
+
     // 5-gram benchmark decontamination: docs 0–49 play the eval set; any
     // training doc sharing a 5-gram with it is flagged and dropped
     "corpus_decontaminate" -> ((s, d) => {
@@ -2285,6 +2292,20 @@ object PipelineQueries {
        "SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' " +
        "ELSE 'test' END AS split, COUNT(*) AS n_docs, " +
        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM b GROUP BY 1"),
+
+    "corpus_filter_audit" ->
+      ("SELECT 0 AS stage_idx, 'too_short' AS stage, " +
+       "CAST(SUM(CASE WHEN NOT (n_chars >= 150) THEN 1 ELSE 0 END) AS BIGINT) AS n " +
+       "FROM documents UNION ALL " +
+       "SELECT 1, 'non_latin', CAST(SUM(CASE WHEN n_chars >= 150 " +
+       "AND NOT (lang <> 'zh') THEN 1 ELSE 0 END) AS BIGINT) FROM documents " +
+       "UNION ALL " +
+       "SELECT 2, 'low_alpha', CAST(SUM(CASE WHEN n_chars >= 150 AND lang <> 'zh' " +
+       "AND NOT (length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 10 >= n_chars * 5) " +
+       "THEN 1 ELSE 0 END) AS BIGINT) FROM documents UNION ALL " +
+       "SELECT 3, 'kept', CAST(SUM(CASE WHEN n_chars >= 150 AND lang <> 'zh' " +
+       "AND length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 10 >= n_chars * 5 " +
+       "THEN 1 ELSE 0 END) AS BIGINT) FROM documents"),
 
     "corpus_decontaminate" ->
       (s"WITH ${shingleCtes(5)}, " +

@@ -1066,4 +1066,47 @@ class PipelineSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(ret.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum === users)
   }
+
+  test("filter audit: first-fail counters match direct counts, sum to total") {
+    val d = core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val stages = Observability.standardStages()
+    val census = Observability.auditCensus(spark, d, stages)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // independently recompute each stage's first-fail count
+    val total = d.count()
+    val s1 = d.where(!(col("n_chars") >= 150)).count()
+    val s2 = d.where(col("n_chars") >= 150 && col("lang") === "zh").count()
+    val kept = d.where(stages.map(_._2).reduce(_ && _)).count()
+    assert(census("too_short") === s1)
+    assert(census("non_latin") === s2)
+    assert(census("kept") === kept)
+    assert(census.values.sum === total) // Σ dropped + kept = total
+    assert(census.values.count(_ > 0) >= 3) // fixture exercises the stages
+  }
+
+  test("filter audit is free: observation adds zero jobs over the plain count") {
+    val d = core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val stages = Observability.standardStages()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def jobsOf(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try { jobs.set(0); body; Thread.sleep(300); jobs.get() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // baseline: kept-count with no accounting (AQE may split it into
+    // more than one job; the claim is the audit adds NONE on top)
+    val baseline = jobsOf(d.where(stages.map(_._2).reduce(_ && _)).count())
+    var kept = 0L
+    val obs = new org.apache.spark.sql.Observation()
+    val audited = jobsOf {
+      kept = Observability.filterAudited(d, stages, obs).count()
+    }
+    assert(audited === baseline)
+    assert(obs.get("kept").asInstanceOf[Long] === kept)
+  }
 }
