@@ -258,6 +258,26 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(open.currentInodes.count() === ino.count())
   }
 
+  test("queries run concurrently: no global query lock") {
+    // the reference serializes every query behind NNA_QUERY_LOCK
+    // (NamenodeAnalyticsMethods.java:1421); snapshot immutability makes
+    // that unnecessary here — 8 parallel /filter calls must all succeed
+    // and agree with the direct engine results
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val users = (0 until 8).map(i => s"u${i % 10}")
+    val expected = users.map { u =>
+      NNAQuery.execute(NNAQuery(set = "files", filters = s"user:eq:$u",
+        sum = Seq("count")), ino).collect()(0).getLong(0)
+    }
+    val got = Await.result(Future.sequence(users.map { u =>
+      Future(get(open, s"/filter?set=files&filters=user:eq:$u&sum=count"))
+    }), 120.seconds)
+    assert(got.forall(_.status == 200))
+    assert(got.map(_.body.trim.toLong) === expected)
+  }
+
   test("/history reports completed suggestions-service cycles") {
     val svc = new SuggestionsService.Service(spark, ino, None, intervalMs = 50)
     val hist: WebServer = new WebServer(spark, ino, dir,
