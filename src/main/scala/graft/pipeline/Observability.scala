@@ -53,6 +53,25 @@ object Observability {
     rows.toDF("stage_idx", "stage", "n")
   }
 
+  /** Streaming twin of [[filterAudited]]: `observe(name, …)` is the
+    * streaming-legal form (the `Observation` helper is batch-only) — the
+    * counters surface on every micro-batch via
+    * `StreamingQueryProgress.observedMetrics(name)`, giving a continuous
+    * ingest pipeline per-batch drop accounting with zero extra passes.
+    * Summing the per-batch rows reproduces the batch census exactly
+    * (counters are associative sums). */
+  def filterAuditedStream(docs: DataFrame, stages: Seq[(String, Column)],
+                          metricName: String = "filter_audit"): DataFrame = {
+    require(stages.nonEmpty, "at least one filter stage")
+    val keepAll = stages.map(_._2).reduce(_ && _)
+    val metrics: Seq[Column] = stages.zipWithIndex.map { case ((name, pred), i) =>
+      val passedBefore = stages.take(i).map(_._2)
+        .foldLeft(lit(true))(_ && _)
+      sum(when(passedBefore && !pred, 1L).otherwise(0L)).as(s"dropped_$name")
+    } :+ sum(when(keepAll, 1L).otherwise(0L)).as("kept")
+    docs.observe(metricName, metrics.head, metrics.tail: _*).where(keepAll)
+  }
+
   /** The standard document-quality stage chain used by the oracle-checked
     * census — length floor, CJK language gate, latin-alpha density — each
     * expressible identically in ANSI SQL for the DuckDB oracle. */

@@ -201,4 +201,32 @@ class DocsStreamSpec extends AnyFunSuite {
     assert(out.count() === 100L)
     assert(out.select("text").distinct().count() === 100L)
   }
+
+  test("streaming filter audit: per-batch observed metrics sum to the batch census") {
+    import graft.pipeline.Observability
+    val stages = Observability.standardStages()
+    val audited = Observability.filterAuditedStream(
+      DocsStream.readDocs(spark, dir), stages, metricName = "doc_audit")
+    val q = audited.writeStream
+      .outputMode("append").format("memory").queryName("docs_audited")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // accumulate the observed counters across every micro-batch
+    val totals = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("doc_audit"))).foreach { row =>
+      row.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+        totals(f) += row.getLong(i)
+      }
+    }
+    // streaming counters ≡ the one-pass batch census, stage by stage
+    val batch = Observability.auditCensus(
+      spark, graft.core.Tables.documents(spark, dir), stages)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    stages.foreach { case (name, _) =>
+      assert(totals(s"dropped_$name") === batch(name), s"stage $name")
+    }
+    assert(totals("kept") === batch("kept"))
+    assert(spark.table("docs_audited").count() === batch("kept"))
+  }
 }
