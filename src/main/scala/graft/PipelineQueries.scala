@@ -588,6 +588,60 @@ object PipelineQueries {
       streaming.EventsStream.sessionizeBatch(
         Tables.events(s, d), 30L * 60 * 1000 * 1000000)),
 
+    // native session_window sessionization — same stats as
+    // events_sessions through Spark's session-merging aggregate
+    // (no per-user sort-window over full history; map-side partials;
+    // the same plan runs under streaming with watermark state eviction).
+    // Split is strict > gap like the lag twin, but on µs event_time;
+    // see EventsStream.sessionizeNative.
+    "events_sessions_native" -> ((s, d) =>
+      streaming.EventsStream.sessionizeNative(Tables.events(s, d), "30 minutes")),
+
+    // sliding-window census (2 h window, 1 h slide): each event lands in
+    // exactly width/slide = 2 windows — the fan-out is a constant factor
+    // in the partial aggregation, NOT a self-join; epoch-aligned starts
+    // make the oracle a 2-way shifted-bucket union
+    "events_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("event_time",
+          timestamp_micros((col("ts") / 1000L).cast("long")))
+        .groupBy(window(col("event_time"), "2 hours", "1 hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("event_type"), col("n"), col("value_cents"))),
+
+    // hourly distinct users, exact + HLL cross-check: the exact path
+    // shuffles (hour, user) pairs — corpus-sized at 100 TB; the HLL++
+    // sketch (approx_count_distinct, rsd 1%) moves one mergeable sketch
+    // per group. approx_ok pins the sketch within 5% of exact (±2 slack
+    // for tiny groups) so the scale path's accuracy is oracle-audited,
+    // not asserted.
+    "events_distinct_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(expr("ts div 3600000000000 * 3600").as("hour_epoch"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
+        .select(col("hour_epoch"), col("n_users"),
+          (abs(col("n_approx") - col("n_users")) <=
+            greatest(ceil(col("n_users") * 0.05), lit(2L))).as("approx_ok"))),
+
+    // first-touch attribution: each user's earliest event (ts, event_id
+    // tie-break) via min(struct(...)) — partial-aggregated (SortAggregate
+    // over the struct min: map side reduces to ONE row per user per
+    // partition before the exchange), where the naive window/row_number
+    // plan shuffles every event and sorts full user histories; census
+    // per acquiring event type with the user set xor-pinned
+    "events_first_touch" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("first"))
+        .groupBy(col("first.event_type").as("first_type"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("bit_xor(user_id)").as("user_xor"))),
+
     // cohort retention matrix: users bucketed by first-active week, then
     // counted per (cohort_week, week_offset). ONE corpus-sized shuffle
     // (user_id) — the per-user active-week set rides a collect_set
@@ -2711,6 +2765,41 @@ object PipelineQueries {
        "GROUP BY user_id, sess) " +
        "SELECT user_id, CAST(MAX(sess) + 1 AS BIGINT) AS n_sessions, " +
        "MAX(n_events) AS max_session_events FROM h GROUP BY user_id"),
+
+    // strict > gap split on µs times (adjacent session spans merge) —
+    // see EventsStream.sessionizeNative
+    "events_sessions_native" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id FROM events), " +
+       "f AS (SELECT user_id, tus, event_id, " +
+       "CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) " +
+       "> 1800000000 THEN 1 ELSE 0 END AS new_sess FROM e), " +
+       "g AS (SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id " +
+       "ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM f), " +
+       "h AS (SELECT user_id, sess, COUNT(*) AS n_events FROM g " +
+       "GROUP BY user_id, sess) " +
+       "SELECT user_id, COUNT(*) AS n_sessions, " +
+       "MAX(n_events) AS max_session_events FROM h GROUP BY user_id"),
+
+    "events_sliding" ->
+      ("WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus, event_type, value FROM events), " +
+       "x AS (SELECT (tus // 3600000000 - 1) * 3600000000 AS w_start_us, " +
+       "event_type, value FROM e " +
+       "UNION ALL SELECT (tus // 3600000000) * 3600000000, event_type, value FROM e) " +
+       "SELECT w_start_us, event_type, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
+       "FROM x GROUP BY 1, 2"),
+
+    "events_distinct_hourly" ->
+      ("SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch, " +
+       "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, TRUE AS approx_ok " +
+       "FROM events GROUP BY 1"),
+
+    "events_first_touch" ->
+      ("WITH r AS (SELECT user_id, event_type, " +
+       "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn " +
+       "FROM events) " +
+       "SELECT event_type AS first_type, COUNT(*) AS n_users, " +
+       "bit_xor(user_id) AS user_xor FROM r WHERE rn = 1 GROUP BY 1"),
 
     "events_anomaly_hours" ->
       ("WITH hourly AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, " +

@@ -16,7 +16,8 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val targets = Seq(
+    // args after the sf dir override the default target list (dev loop)
+    val defaultTargets = Seq(
       "q1_pricing",            // pushdown: shipdate filter must reach the scan
       "nna_filter_count",      // column pruning through the inode derivation
       "nna_histogram_user",    // partial agg + single shuffle expected
@@ -27,6 +28,7 @@ object PlanAudit {
       "dedup_minhash_lsh",     // banded join: only (band,hash,id) shuffles
       "nna_under_ns_quota",    // narrow ancestor walk: 16-byte shuffle rows
       "nna_histogram_user_salted") // two-phase salted group-by
+    val targets = if (args.length > 1) args.drop(1).toSeq else defaultTargets
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

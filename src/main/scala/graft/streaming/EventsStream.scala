@@ -96,6 +96,37 @@ object EventsStream {
         max(col("n_events")).as("max_session_events"))
   }
 
+  /** Native `session_window` sessionization — the scale path. Spark's
+    * session-window aggregation (UpdatingSessions / MergingSessions
+    * physical operators) is hash aggregation with per-key interval
+    * merging: partial aggregation runs map-side, there is no per-user
+    * sort-window over the whole corpus like [[sessionizeBatch]]'s lag
+    * chain, and the SAME logical plan runs under Structured Streaming
+    * where the state store evicts sessions as the watermark passes —
+    * which is what makes this the 100 TB/continuous variant.
+    *
+    * Gap semantics match the lag twin: adjacent session spans merge
+    * (an event landing EXACTLY `gap` after the previous one extends the
+    * session — test-pinned), so a new session starts only on a strict
+    * `> gap` silence. The one residual difference is resolution: merging
+    * happens on µs `event_time` (ns truncated), so a gap inside 1 µs of
+    * the boundary can round across it. Output shape matches
+    * [[sessionizeBatch]]: (user_id, n_sessions, max_session_events). */
+  def sessionizeNative(events: DataFrame, gap: String = "30 minutes",
+                       watermark: Option[String] = None): DataFrame = {
+    val timed = events.withColumn(
+      "event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val maybeMarked = watermark.fold(timed)(timed.withWatermark("event_time", _))
+    val perSession = maybeMarked
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"))
+    if (maybeMarked.isStreaming) perSession // per-session rows for the sink
+    else perSession
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"))
+  }
+
   /** Per-session frame twin of [[sessionize]] in BATCH: one row per
     * session (userId, sess, start, end, n), ms-quantized exactly like the
     * streaming fold (ts ns → ms BEFORE the gap compare). Dropping each

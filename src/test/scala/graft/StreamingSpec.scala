@@ -97,6 +97,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("native session_window: adjacent spans merge, strict > gap splits") {
+    import spark.implicits._
+    val m = 60L * 1000 * 1000000 // one minute in ns
+    val us = 1000L               // one µs in ns
+    // user 1: 0,10,40min — the 10→40 gap is EXACTLY the 30min gap:
+    // session_window merges ADJACENT spans, so this stays ONE session
+    // (matching sessionizeBatch's strict >). user 2: gap of 30min + 1µs
+    // -> splits on both paths. user 3: single event.
+    val ev = Seq((1L, 0L * m, 1L), (1L, 10L * m, 2L), (1L, 40L * m, 3L),
+                 (2L, 0L * m, 4L), (2L, 30L * m + us, 5L),
+                 (3L, 0L * m, 6L)).toDF("user_id", "ts", "event_id")
+    val native = EventsStream.sessionizeNative(ev, "30 minutes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(native(1L) === (1L, 3L)) // exact-boundary event merged
+    assert(native(2L) === (2L, 1L)) // 1µs past the gap splits
+    assert(native(3L) === (1L, 1L))
+    val lag = EventsStream.sessionizeBatch(ev, 30L * m).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(lag === native) // identical semantics at µs-exact inputs
+    // and on the real fixture the two paths agree wholesale
+    val nat = EventsStream.sessionizeNative(
+        graft.core.Tables.events(spark, dir), "30 minutes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lagFx = EventsStream.sessionizeBatch(
+        graft.core.Tables.events(spark, dir), 30L * m).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nat === lagFx)
+  }
+
+  test("streaming session_window sessions match the batch native sessions") {
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.sessionizeNative(EventsStream.readStream(spark, dir),
+        "30 minutes", watermark = Some("0 seconds")),
+      "native_sessions", org.apache.spark.sql.streaming.OutputMode.Append)
+    val batch = graft.core.Tables.events(spark, dir)
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_window.start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString) -> r.getLong(2)).toMap
+    val sm = toMap(streamed)
+    val bm = toMap(batch)
+    // append mode emits only sessions closed below the final watermark —
+    // every emitted session must match its batch twin exactly
+    assert(sm.nonEmpty)
+    sm.foreach { case (k, v) => assert(bm(k) === v, s"session $k") }
+  }
+
   test("approx_count_distinct tracks the exact vocabulary within 5%") {
     import org.apache.spark.sql.functions._
     val toks = graft.core.Tables.documents(spark, dir)
