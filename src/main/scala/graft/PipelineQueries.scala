@@ -603,8 +603,7 @@ object PipelineQueries {
     // make the oracle a 2-way shifted-bucket union
     "events_sliding" -> ((s, d) =>
       Tables.events(s, d)
-        .withColumn("event_time",
-          timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("event_time"), "2 hours", "1 hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -875,6 +874,58 @@ object PipelineQueries {
       operators.AsOfJoin.asofJoin(purchases, errors, "user_id", "ts", Seq("ts"))
         .select(col("event_id"), col("user_id"),
           coalesce(expr("(ts - asof_ts) div 1000000000"), lit(-1L)).as("gap_s"))
+    }),
+
+    // forward as-of with tolerance: each error matched to the user's NEXT
+    // purchase within 24 h (pandas merge_asof direction='forward';
+    // same one-shuffle union+window composition, descending)
+    "events_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      operators.AsOfJoin.asofJoinForward(errors, purchases, "user_id", "ts",
+          Seq("ts"), toleranceNs = Some(86400L * 1000000000L))
+        .select(col("event_id"), col("user_id"),
+          coalesce(expr("(asof_ts - ts) div 1000000000"), lit(-1L)).as("ttp_s"))
+    }),
+
+    // interval-union coverage: each event claims [ts, ts+5min); per user,
+    // total covered time + merged-interval count. Overlap merge IS
+    // session_window with gap = interval length (spans [first, last+L)),
+    // so the whole union runs in the session-merging aggregate — no
+    // self-join, no full-history sort-window
+    "events_active_time" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"),
+          session_window(col("event_time"), "5 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(unix_micros(col("session_window.end")) -
+            unix_micros(col("session_window.start"))).as("covered_us"))),
+
+    // single-pass column profiler: min/max/sum/null-count for three
+    // measure columns in ONE scan + one partial-agg row (the stack to
+    // tidy long format happens on the 1-row aggregate, not the data)
+    "profile_lineitem" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def cents(c: String) = round(col(c) * 100).cast("long")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        min(cents(c)).as(s"${c}_min"), max(cents(c)).as(s"${c}_max"),
+        sum(cents(c)).as(s"${c}_sum"))
+      }
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_min, ${c}_max, ${c}_sum").mkString(", ")
+      li.agg(count(lit(1)).as("n"), aggs: _*)
+        .selectExpr("n",
+          s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, min_c, max_c, sum_c)")
+        .select(col("col_name"), col("n"), col("n_null"),
+          col("min_c"), col("max_c"), col("sum_c"))
     }),
 
     // ---- multimodal plumbing (stubbed decode; rows-only checks) ----
@@ -2926,6 +2977,44 @@ object PipelineQueries {
        "ASOF LEFT JOIN (SELECT user_id AS u2, epoch_ns(ts) AS tns FROM events " +
        "WHERE event_type = 'error') b " +
        "ON a.user_id = b.u2 AND b.tns <= epoch_ns(a.ts)"),
+
+    // window-free oracle (grouped min over an inequality join) so the
+    // forward direction doesn't depend on DuckDB ASOF direction support
+    "events_asof_forward" ->
+      ("WITH err AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events " +
+       "WHERE event_type = 'error'), " +
+       "pur AS (SELECT user_id, epoch_ns(ts) AS t FROM events " +
+       "WHERE event_type = 'purchase'), " +
+       "m AS (SELECT e.event_id, e.user_id, e.t, MIN(p.t) AS pt FROM err e " +
+       "LEFT JOIN pur p ON e.user_id = p.user_id AND p.t >= e.t " +
+       "GROUP BY e.event_id, e.user_id, e.t) " +
+       "SELECT event_id, user_id, CASE WHEN pt IS NULL OR pt - t > 86400000000000 " +
+       "THEN -1 ELSE (pt - t) // 1000000000 END AS ttp_s FROM m"),
+
+    // strict > 5min-gap split on µs times, end = last + 5min — the
+    // session_window interval-union twin
+    "events_active_time" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t FROM events), " +
+       "f AS (SELECT user_id, t, CASE WHEN t - LAG(t) OVER " +
+       "(PARTITION BY user_id ORDER BY t) > 300000000 THEN 1 ELSE 0 END AS brk FROM e), " +
+       "g AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id " +
+       "ORDER BY t ROWS UNBOUNDED PRECEDING) AS grp FROM f), " +
+       "h AS (SELECT user_id, grp, MIN(t) AS s, MAX(t) + 300000000 AS en " +
+       "FROM g GROUP BY 1, 2) " +
+       "SELECT user_id, COUNT(*) AS n_intervals, " +
+       "CAST(SUM(en - s) AS BIGINT) AS covered_us FROM h GROUP BY 1"),
+
+    "profile_lineitem" -> {
+      def row(c: String) =
+        s"SELECT '$c' AS col_name, COUNT(*) AS n, " +
+        s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+        s"CAST(MIN(CAST(ROUND($c * 100) AS BIGINT)) AS BIGINT) AS min_c, " +
+        s"CAST(MAX(CAST(ROUND($c * 100) AS BIGINT)) AS BIGINT) AS max_c, " +
+        s"CAST(SUM(CAST(ROUND($c * 100) AS BIGINT)) AS BIGINT) AS sum_c " +
+        "FROM lineitem"
+      Seq("l_quantity", "l_extendedprice", "l_discount")
+        .map(row).mkString(" UNION ALL ")
+    },
 
     "q1_pricing" ->
       ("SELECT l_returnflag, l_linestatus, " +

@@ -52,4 +52,48 @@ object AsOfJoin {
       .select((left.columns.map(col) ++
         rightCols.map(c => col("__asof").getField(c).as(s"asof_$c"))).toSeq: _*)
   }
+
+  /** Forward as-of join with optional tolerance: for every left row,
+    * attach the EARLIEST right row with the same key and
+    * `right.ts >= left.ts` (pandas `merge_asof(direction='forward')`).
+    *
+    * Same one-shuffle union+window composition as [[asofJoin]], mirrored:
+    * the keyed window runs in DESCENDING ts order, so the running
+    * `last(ignoreNulls)` seen at a left row is the smallest right ts at or
+    * after it (right-before-left at equal ts keeps the match inclusive).
+    * `toleranceNs` nulls out a match further than the tolerance ahead —
+    * the filter runs on the carried right ts AFTER the window, so it
+    * costs no extra shuffle. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      ts: String, rightCols: Seq[String],
+                      toleranceNs: Option[Long] = None): DataFrame = {
+    // carry the right row's own ts alongside the payload for tolerance
+    val rStruct = struct((col(ts).as("__rts") +: rightCols.map(col)): _*)
+    val rNull = lit(null).cast(
+      right.select(rStruct).schema.fields.head.dataType)
+    val lTagged = left
+      .withColumn("__is_left", lit(true))
+      .withColumn("__r", rNull)
+    val rTagged = right
+      .withColumn("__is_left", lit(false))
+      .withColumn("__r", rStruct)
+    val unioned = lTagged.select(
+      (left.columns.map(col) :+ col("__is_left") :+ col("__r")).toSeq: _*)
+      .unionByName(rTagged.select(
+        (left.columns.map(c => if (right.columns.contains(c)) col(c)
+          else lit(null).as(c)) :+ col("__is_left") :+ col("__r")).toSeq: _*))
+    // right rows sort before left rows at equal ts → inclusive match
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__is_left"))
+    val gated = toleranceNs.fold(matched) { tol =>
+      matched.withColumn("__asof",
+        when(col("__asof").getField("__rts") - col(ts) <= tol, col("__asof")))
+    }
+    gated.select((left.columns.map(col) ++
+      rightCols.map(c => col("__asof").getField(c).as(s"asof_$c"))).toSeq: _*)
+  }
 }

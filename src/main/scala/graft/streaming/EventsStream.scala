@@ -114,8 +114,10 @@ object EventsStream {
     * [[sessionizeBatch]]: (user_id, n_sessions, max_session_events). */
   def sessionizeNative(events: DataFrame, gap: String = "30 minutes",
                        watermark: Option[String] = None): DataFrame = {
+    // integer ns→µs floor division: double division rounds-to-nearest and
+    // can land 1 µs off at epoch-ns magnitudes (~1.7e18)
     val timed = events.withColumn(
-      "event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+      "event_time", timestamp_micros(expr("ts div 1000")))
     val maybeMarked = watermark.fold(timed)(timed.withWatermark("event_time", _))
     val perSession = maybeMarked
       .groupBy(col("user_id"), session_window(col("event_time"), gap))

@@ -485,6 +485,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(eq === 992L)
   }
 
+  test("forward as-of join: earliest right at-or-after; tolerance nulls far matches") {
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 20L), (1L, 500L, 40L), (2L, 150L, 30L))
+      .toDF("key", "ts", "lid")
+    val right = Seq((1L, 90L, 991L), (1L, 150L, 992L), (1L, 200L, 993L))
+      .toDF("key", "ts", "rid")
+    val got = graft.operators.AsOfJoin.asofJoinForward(
+        left, right, "key", "ts", Seq("rid"))
+      .collect()
+      .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("asof_rid"))).toMap
+    assert(got(10L) === Some(992L))  // earliest right >= 100 is 150
+    assert(got(20L) === Some(993L))  // inclusive at equal ts
+    assert(got(40L) === None)        // nothing at/after 500
+    assert(got(30L) === None)        // key 2 has no right rows
+    // tolerance: match at +50 survives tol=50, dies at tol=49
+    def ttl(tol: Long) = graft.operators.AsOfJoin.asofJoinForward(
+        Seq((1L, 100L, 10L)).toDF("key", "ts", "lid"),
+        right, "key", "ts", Seq("rid"), toleranceNs = Some(tol))
+      .head()
+    assert(ttl(50L).getAs[Long]("asof_rid") === 992L)
+    assert(Option(ttl(49L).getAs[Any]("asof_rid")) === None)
+  }
+
   test("as-of join attaches whole right rows even with NULL payload values") {
     // right row at ts=150 has a NULL b: the match must carry (NULL, 992),
     // not resurrect b=881 from the earlier row (per-column last() would)

@@ -132,7 +132,7 @@ class StreamingSpec extends AnyFunSuite {
         "30 minutes", watermark = Some("0 seconds")),
       "native_sessions", org.apache.spark.sql.streaming.OutputMode.Append)
     val batch = graft.core.Tables.events(spark, dir)
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
     def toMap(df: org.apache.spark.sql.DataFrame) = df
