@@ -907,6 +907,63 @@ object PipelineQueries {
           sum(unix_micros(col("session_window.end")) -
             unix_micros(col("session_window.start"))).as("covered_us"))),
 
+    // rolling range-window census: per event, how many same-user events
+    // landed in the preceding hour (inclusive, value-range frame — no
+    // fixed row count); distribution census keeps the output small.
+    // Per-user range windows sort only each user's history, not the
+    // corpus; 100 TB shape is events-per-user-bounded, same as sessions
+    "events_rolling_count" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"))
+        .rangeBetween(-3599999999999L, 0) // strictly-within-1h lookback
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"))
+        .withColumn("rolling_n", count(lit(1)).over(w))
+        .groupBy(col("rolling_n"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
+    // one-pass multi-level census via ROLLUP: (type, day), per-type
+    // totals, and the grand total from a single Expand + aggregation —
+    // no re-scan per level
+    "events_rollup" -> ((s, d) =>
+      Tables.events(s, d)
+        .rollup(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day"), lit(-1L)).as("day"),
+          col("n"), col("value_cents"))),
+
+    // inter-arrival time distribution: per-user lag gaps bucketed by
+    // decimal digit count (integer-exact cross-engine bucket — no
+    // float log), censused per event type with the gap mass pinned
+    "events_interarrival" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("gap", col("ts") - lag("ts", 1).over(w))
+        .where(col("gap").isNotNull)
+        .groupBy(col("event_type"),
+          length(col("gap").cast("string")).as("gap_digits"))
+        .agg(count(lit(1)).as("n"), sum(col("gap")).as("gap_sum"))
+    }),
+
+    // set-difference audience: purchasers who never errored — distinct
+    // reduction BEFORE the anti join, so the join ships user ids once
+    // regardless of per-user event counts
+    "events_purchasers_no_error" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val e = ev.where(col("event_type") === "error")
+        .select(col("user_id")).distinct()
+      p.join(e, Seq("user_id"), "left_anti")
+        .agg(count(lit(1)).as("n_users"),
+          coalesce(expr("bit_xor(user_id)"), lit(0L)).as("user_xor"))
+    }),
+
     // single-pass column profiler: min/max/sum/null-count for three
     // measure columns in ONE scan + one partial-agg row (the stack to
     // tidy long format happens on the 1-row aggregate, not the data)
@@ -3003,6 +3060,31 @@ object PipelineQueries {
        "FROM g GROUP BY 1, 2) " +
        "SELECT user_id, COUNT(*) AS n_intervals, " +
        "CAST(SUM(en - s) AS BIGINT) AS covered_us FROM h GROUP BY 1"),
+
+    "events_rolling_count" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events), " +
+       "r AS (SELECT COUNT(*) OVER (PARTITION BY user_id ORDER BY t " +
+       "RANGE BETWEEN 3599999999999 PRECEDING AND CURRENT ROW) AS rolling_n FROM e) " +
+       "SELECT rolling_n, COUNT(*) AS n_events FROM r GROUP BY 1"),
+
+    "events_rollup" ->
+      ("SELECT COALESCE(event_type, 'ALL') AS event_type, " +
+       "COALESCE(epoch_ns(ts) // 86400000000000, -1) AS day, COUNT(*) AS n, " +
+       "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
+       "FROM events GROUP BY ROLLUP(event_type, epoch_ns(ts) // 86400000000000)"),
+
+    "events_interarrival" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS t FROM events), " +
+       "g AS (SELECT event_type, t - LAG(t) OVER (PARTITION BY user_id " +
+       "ORDER BY t, event_id) AS gap FROM e) " +
+       "SELECT event_type, CAST(LENGTH(CAST(gap AS VARCHAR)) AS INT) AS gap_digits, " +
+       "COUNT(*) AS n, CAST(SUM(gap) AS BIGINT) AS gap_sum " +
+       "FROM g WHERE gap IS NOT NULL GROUP BY 1, 2"),
+
+    "events_purchasers_no_error" ->
+      ("SELECT COUNT(*) AS n_users, COALESCE(bit_xor(user_id), 0) AS user_xor FROM " +
+       "(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' " +
+       "EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error')"),
 
     "profile_lineitem" -> {
       def row(c: String) =
