@@ -91,6 +91,47 @@ object PipelineQueries {
           count(lit(1)).as("n_lineitems"))
     }),
 
+    // TPC-H Q7-style: cross-nation trade volume — the fact table joins
+    // TWO broadcast dim chains (supplier→nation, orders→customer→nation);
+    // one lineitem scan, zero fact-side shuffles before the final agg
+    "q7_nation_trade" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val nat = Tables.nation(s, d)
+      val supNat = broadcast(sup.join(nat,
+        col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val custNat = broadcast(cust.join(nat,
+        col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(supNat, col("l_suppkey") === col("s_suppkey"))
+        .join(custNat, col("o_custkey") === col("c_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"))
+        .agg(sum(revenueCents).as("revenue_centpct"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
+    // TPC-H Q18-style: large-quantity orders — the HAVING aggregate
+    // produces a SMALL key set that semi-joins back (broadcast) before
+    // the detail join; the fact table is scanned twice but shuffled never
+    "q18_large_orders" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .where(col("total_qty") > 300L)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey").as("orderkey"),
+          col("total_qty"),
+          round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+    }),
+
     // TPC-H Q6-style: pure selective scan — every predicate pushes down
     "q6_selective_revenue" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -906,6 +947,19 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_intervals"),
           sum(unix_micros(col("session_window.end")) -
             unix_micros(col("session_window.start"))).as("covered_us"))),
+
+    // purchase↔preceding-hour-error pairs via the SAME logical plan that
+    // runs as a watermarked stream-stream interval join in streaming
+    // (EventsStream.purchaseErrorJoin; equality test-pinned) — batch
+    // plans it as an equi-join on user + range filter, one shuffle
+    "events_error_purchase_pairs" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      streaming.EventsStream.purchaseErrorJoin(ev)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(expr("bit_xor(p_id)"), lit(0L)).as("p_xor"),
+          coalesce(expr("bit_xor(e_id)"), lit(0L)).as("e_xor"))
+    }),
 
     // rolling range-window census: per event, how many same-user events
     // landed in the preceding hour (inclusive, value-range frame — no
@@ -3061,6 +3115,15 @@ object PipelineQueries {
        "SELECT user_id, COUNT(*) AS n_intervals, " +
        "CAST(SUM(en - s) AS BIGINT) AS covered_us FROM h GROUP BY 1"),
 
+    "events_error_purchase_pairs" ->
+      ("WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id FROM events " +
+       "WHERE event_type = 'purchase'), " +
+       "e AS (SELECT user_id AS u2, epoch_ns(ts) // 1000 AS t2, event_id AS eid " +
+       "FROM events WHERE event_type = 'error') " +
+       "SELECT COUNT(*) AS n_pairs, COALESCE(bit_xor(p.event_id), 0) AS p_xor, " +
+       "COALESCE(bit_xor(eid), 0) AS e_xor " +
+       "FROM p JOIN e ON user_id = u2 AND t2 BETWEEN t - 3600000000 AND t"),
+
     "events_rolling_count" ->
       ("WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events), " +
        "r AS (SELECT COUNT(*) OVER (PARTITION BY user_id ORDER BY t " +
@@ -3126,6 +3189,27 @@ object PipelineQueries {
        "JOIN customer ON o_custkey = c_custkey " +
        "JOIN nation ON c_nationkey = n_nationkey " +
        "GROUP BY n_name"),
+
+    "q7_nation_trade" ->
+      ("SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, " +
+       "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+       "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_centpct, " +
+       "COUNT(*) AS n_lineitems " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "JOIN nation ns ON s_nationkey = ns.n_nationkey " +
+       "JOIN nation nc ON c_nationkey = nc.n_nationkey " +
+       "WHERE ns.n_name <> nc.n_name " +
+       "GROUP BY 1, 2"),
+
+    "q18_large_orders" ->
+      ("WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) " +
+       "AS total_qty FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300) " +
+       "SELECT c_name, o_orderkey AS orderkey, total_qty, " +
+       "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents " +
+       "FROM orders JOIN big ON o_orderkey = l_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey"),
 
     "q6_selective_revenue" ->
       ("SELECT COUNT(*) AS n, " +

