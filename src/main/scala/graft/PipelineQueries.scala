@@ -1080,6 +1080,50 @@ object PipelineQueries {
     // each language stratum, k per stratum — the reproducible
     // "balanced subset" primitive of corpus curation. The census pins the
     // exact sampled SET (id sums), not just counts.
+    // weighted Bernoulli sample: inclusion probability ∝ document length
+    // (the training-mix move: longer docs carry more tokens). Fully
+    // deterministic and engine-portable — the md5-derived uniform makes
+    // the sampled SET reproducible in SQL, so the oracle hash-checks the
+    // exact membership (id xor + sampled char mass), not just the rate.
+    // Scan-parallel: one pass, no shuffle before the final 1-row census
+    "corpus_weighted_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("u", pipeline.Dedup.portableHash(
+          concat(lit("wsmp:"), col("doc_id").cast("string"))) % 20000000L)
+        .withColumn("take_id", // p = n_chars / 20,000
+          when(col("u") < col("n_chars") * 1000L, col("doc_id")))
+        .agg(count(lit(1)).as("n_total"),
+          count(col("take_id")).as("n_sampled"),
+          sum(when(col("take_id").isNotNull, col("n_chars")).otherwise(0L))
+            .as("sampled_chars"),
+          coalesce(expr("bit_xor(take_id)"), lit(0L)).as("id_xor"))),
+
+    // per-type time-weighted average value: each event's value holds
+    // until the next same-type event (gap-weighted mean). Integer-exact
+    // to the ppm floor: cent values × ns gaps overflow long at corpus
+    // scale, so the numerator rides decimal(38,0) (HUGEINT in the
+    // oracle); one user-free window per type is fine because types are
+    // few — the sort is per-type-partition, not corpus-global
+    "events_twa" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("v_cents"))
+        .withColumn("gap", lead("ts", 1).over(w) - col("ts"))
+        .where(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_weighted"),
+          sum((col("v_cents") * col("gap"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("num"),
+          sum(col("gap").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("den"))
+        // integral `div` on decimals is exact (no scale-6 rounding that a
+        // decimal `/` + floor would inject); both engines truncate
+        .select(col("event_type"), col("n_weighted"),
+          expr("CAST((num * 1000000) div den AS BIGINT)").as("twa_centppm"))
+    }),
+
     "corpus_stratified_sample" -> ((s, d) => {
       val k = 20
       val lang = Tables.documents(s, d).select(col("doc_id"),
@@ -2372,6 +2416,25 @@ object PipelineQueries {
        "nlosers AS (SELECT COUNT(*) AS n FROM comp WHERE label < did) " +
        "SELECT (SELECT COUNT(*) FROM embeddings) AS total_vecs, " +
        "(SELECT COUNT(*) FROM embeddings) - (SELECT n FROM nlosers) AS kept_vecs"),
+
+    "corpus_weighted_sample" ->
+      ("WITH t AS (SELECT doc_id, n_chars, " +
+       "('0x' || substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT " +
+       "% 20000000 < n_chars * 1000 AS take FROM documents) " +
+       "SELECT COUNT(*) AS n_total, " +
+       "CAST(SUM(CASE WHEN take THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled, " +
+       "CAST(SUM(CASE WHEN take THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars, " +
+       "COALESCE(bit_xor(CASE WHEN take THEN doc_id END), 0) AS id_xor FROM t"),
+
+    "events_twa" ->
+      ("WITH e AS (SELECT event_type, epoch_ns(ts) AS t, event_id, " +
+       "CAST(ROUND(value * 100) AS BIGINT) AS v_cents FROM events), " +
+       "g AS (SELECT event_type, v_cents, " +
+       "LEAD(t) OVER (PARTITION BY event_type ORDER BY t, event_id) - t AS gap FROM e) " +
+       "SELECT event_type, COUNT(*) AS n_weighted, " +
+       "CAST((SUM(CAST(v_cents AS HUGEINT) * gap) * 1000000) // " +
+       "SUM(CAST(gap AS HUGEINT)) AS BIGINT) AS twa_centppm " +
+       "FROM g WHERE gap IS NOT NULL GROUP BY 1"),
 
     "corpus_stratified_sample" ->
       (s"WITH lang AS ($langIdSql), rk AS (" +
