@@ -326,4 +326,51 @@ class PlanSpec extends AnyFunSuite {
       s"structural ops must not repartition the namespace " +
         s"($exchanges hash exchanges):\n$plan")
   }
+
+  test("native sessionization runs in the session-merging aggregate, not a window") {
+    val plan = formatted("events_sessions_native")
+    assert(plan.contains("MergingSessions"),
+      s"expected the MergingSessions operator:\n$plan")
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).isEmpty, // no lag window pass
+      s"session_window path must not fall back to WindowExec:\n$plan")
+    assert(plan.contains("partial_count"), // map-side partial aggregation
+      s"partial aggregation lost:\n$plan")
+  }
+
+  test("first-touch: partial min(struct) aggregation, no window, no row_number") {
+    val plan = formatted("events_first_touch")
+    assert(plan.contains("partial_min(struct"),
+      s"map-side partial min(struct) lost:\n$plan")
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).isEmpty,
+      s"first-touch must not sort full user histories in a window:\n$plan")
+  }
+
+  test("rollup census: ONE Expand feeds one partial+final aggregation") {
+    val plan = formatted("events_rollup")
+    assert("\\(\\d+\\) Expand".r.findAllIn(plan).size === 1,
+      s"rollup must expand once:\n$plan")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size === 1,
+      s"rollup is one exchange:\n$plan")
+  }
+
+  test("anti-join audience: distinct reduction below the LeftAnti join") {
+    val plan = formatted("events_purchasers_no_error")
+    assert(plan.contains("LeftAnti"), s"expected a left-anti join:\n$plan")
+    // the build side must be the DEDUPED user set (HashAggregate below
+    // the broadcast), not raw events
+    val buildSide = plan.linesIterator
+      .dropWhile(!_.contains("BroadcastExchange")).take(4).mkString("\n")
+    assert(buildSide.contains("HashAggregate"),
+      s"anti-join build side must be distinct-reduced:\n$plan")
+  }
+
+  test("profiler: one scan, aggregation before the generate") {
+    val plan = formatted("profile_lineitem")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size === 1,
+      s"profiler must scan once:\n$plan")
+    // stack() (Generate) must run on the 1-row aggregate, i.e. appear
+    // ABOVE the final HashAggregate in the operator listing
+    assert(plan.indexOf("Generate") < plan.indexOf("HashAggregate"),
+      s"stack must sit above the aggregate:\n$plan")
+  }
 }

@@ -146,6 +146,67 @@ class StreamingSpec extends AnyFunSuite {
     sm.foreach { case (k, v) => assert(bm(k) === v, s"session $k") }
   }
 
+  test("watermark drops beyond-horizon late data across micro-batches") {
+    import spark.implicits._
+    val H = 3600L * 1000000000L // one hour in ns
+    val root = java.nio.file.Files.createTempDirectory("late").toString
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    // one parquet file per micro-batch, mtime-ordered for FileStreamSource
+    def writeBatch(idx: Int, rows: Seq[(Long, Long)]): Unit = {
+      val stage = s"$root/stage$idx"
+      rows.toDF("event_id", "ts")
+        .select(col("event_id"), col("ts"), lit(7L).as("user_id"),
+          lit("view").as("event_type"), lit(1.0).as("value"))
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, f"b$idx%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + idx * 60000L)
+    }
+    // batch 1: 10.5 h and 12.5 h -> watermark after commit = 10.5 h
+    writeBatch(1, Seq((1L, 10L * H + H / 2), (2L, 12L * H + H / 2)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val raw = spark.readStream.schema(schema).parquet(in.toString)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    // drive micro-batch boundaries EXPLICITLY (processAllAvailable
+    // between file drops) — watermark semantics only bite across batches
+    val q = EventsStream.windowedCounts(raw).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("late_counts").start()
+    q.processAllAvailable()
+    // batch 2 (runs under watermark 10.5 h):
+    //   8.2 h  -> BEYOND the horizon, must be dropped
+    //   10.7 h -> late but inside, must count into [10,11)
+    //   14.5 h -> advances the post-commit watermark to 12.5 h
+    writeBatch(2, Seq((3L, 8L * H + H / 5), (4L, 10L * H + 7 * H / 10),
+      (5L, 14L * H + H / 2)))
+    q.processAllAvailable()
+    // batch 3 (runs under watermark 12.5 h): flushes [10,11)
+    writeBatch(3, Seq((6L, 15L * H)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_counts")
+      .select(col("window.start").cast("long"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // [10,11) flushed with BOTH its events (the inside-horizon late row
+    // counted); the beyond-horizon 8.2 h row left no [8,9) window
+    assert(rows.get(10L * 3600).contains(2L),
+      s"window [10,11) should hold 2 events, got $rows")
+    assert(!rows.contains(8L * 3600),
+      s"beyond-watermark late row must be dropped, got $rows")
+  }
+
   test("stream-stream interval join equals the batch join pair-for-pair") {
     val streamed = EventsStream.runToMemory(spark,
       EventsStream.purchaseErrorJoin(EventsStream.readStream(spark, dir)),
