@@ -97,5 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("misra_gries",
         "misra_gries(col, k) - frequent-items sketch, k bounded counters"),
       (exprs: Seq[Expression]) => MisraGries(exprs(0), intLit(exprs(1), "k"))))
+
+    // optimizer rule: naive BETWEEN range joins (BroadcastNestedLoop)
+    // rewrite to the bucketized equi-join — see plans.RangeJoinRewrite
+    ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRewrite)
   }
 }

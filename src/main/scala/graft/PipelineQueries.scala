@@ -551,6 +551,30 @@ object PipelineQueries {
           expr("bit_xor(event_id)").as("event_xor"))
     }),
 
+    // the SAME range join written NAIVELY (raw BETWEEN join, the plan
+    // Spark turns into BroadcastNestedLoop) — but the RangeJoinRewrite
+    // optimizer rule (plans/RangeJoinRewrite, normally injected via
+    // spark.sql.extensions; installed here through
+    // experimental.extraOptimizations for the driver's plain session)
+    // rewrites it to the bucketized equi-join automatically. Same oracle
+    // as events_range_join: the rewrite must be invisible in results
+    "events_range_join_rule" -> ((s, d) => {
+      if (!s.experimental.extraOptimizations.exists(
+          _.isInstanceOf[plans.RangeJoinRewrite]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new plans.RangeJoinRewrite
+      val ev = Tables.events(s, d)
+      val dayNs = 86400L * 1000000000L
+      val iv = ev.groupBy(col("event_type").as("itype"))
+        .agg(min(col("ts")).as("w_start"))
+        .withColumn("w_end", col("w_start") + lit(3L * dayNs))
+      ev.select(col("ts"), col("event_id"))
+        .join(iv, col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+        .groupBy(col("itype").as("event_type"))
+        .agg(count(lit(1)).as("n_in_window"),
+          expr("bit_xor(event_id)").as("event_xor"))
+    }),
+
     // hourly histogram per event type (ns-timestamp handling)
     "events_hourly" -> ((s, d) =>
       Tables.events(s, d)
@@ -3047,6 +3071,15 @@ object PipelineQueries {
        "ON t_start <= u_end AND u_start <= t_end GROUP BY 1"),
 
     "events_range_join" ->
+      ("WITH iv AS (SELECT event_type AS itype, MIN(epoch_ns(ts)) AS w_start, " +
+       "MIN(epoch_ns(ts)) + 259200000000000 AS w_end FROM events GROUP BY event_type) " +
+       "SELECT iv.itype AS event_type, COUNT(*) AS n_in_window, " +
+       "bit_xor(e.event_id) AS event_xor FROM events e " +
+       "JOIN iv ON epoch_ns(e.ts) BETWEEN iv.w_start AND iv.w_end GROUP BY 1"),
+
+    // identical semantics; the Spark side goes through the optimizer-rule
+    // rewrite instead of the explicit operator
+    "events_range_join_rule" ->
       ("WITH iv AS (SELECT event_type AS itype, MIN(epoch_ns(ts)) AS w_start, " +
        "MIN(epoch_ns(ts)) + 259200000000000 AS w_end FROM events GROUP BY event_type) " +
        "SELECT iv.itype AS event_type, COUNT(*) AS n_in_window, " +

@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.LongType
+
+object RangeJoinRewrite {
+  /** Kill switch (default on). */
+  val EnabledKey = "spark.graft.rangeJoin.rewrite"
+  /** Bucket width in the point/bound unit (default 1 h in epoch-nanos).
+    * Unlike [[graft.operators.RangeJoin.rangeJoinAuto]] the rule cannot
+    * run a data-collecting aggregation mid-optimization, so the width is
+    * a conf; set it ≈ the p95 interval span of the workload. */
+  val WidthKey = "spark.graft.rangeJoin.bucketNs"
+  val DefaultWidthNs: Long = 3600L * 1000 * 1000 * 1000
+}
+
+/** Optimizer rule: rewrite a naive range (point-in-interval) join into the
+  * bucketized equi-join of [[graft.operators.RangeJoin]] — automatically,
+  * for plain SQL/DataFrame code the engine never saw.
+  *
+  * Spark plans `points JOIN intervals ON p BETWEEN s AND e` as
+  * BroadcastNestedLoopJoin: every point row is checked against every
+  * interval row — quadratic work, and the whole interval side must fit in
+  * one broadcast. This rule (injected via [[graft.GraftExtensions]],
+  * preference order (c) of the build plan: a `Rule[LogicalPlan]` where
+  * composition can't reach — the user's query is already written) detects
+  * the shape and rewrites:
+  *
+  *   1. the interval side sprouts a `Generate(Explode(Sequence(⌊s/w⌋,
+  *      ⌊e/w⌋)))` — each interval covers `span/w + 1` bucket ids;
+  *   2. the join gains the equi-conjunct `⌊p/w⌋ = bucket`, turning
+  *      BroadcastNestedLoop into a plain shuffled-hash/sort-merge join
+  *      that Catalyst + AQE size like any other;
+  *   3. the ORIGINAL range predicate stays in the condition, filtering
+  *      survivors exactly; a point meets a covering interval in exactly
+  *      one bucket (its own), so no pair dedup is needed;
+  *   4. a Project restores the original output (drops the bucket id).
+  *
+  * Eligibility: inner join whose condition contains a lower and an upper
+  * bound on the SAME long column of one side by two long columns of the
+  * other side, and NO equi-conjunct (one equi key already gives Spark a
+  * hash join — the rewrite would only add fan-out). Strict and inclusive
+  * bounds both qualify (the preserved original predicate keeps exactness).
+  * Floor division is computed as `(x − pmod(x, w)) div w`, which agrees
+  * with mathematical floor for NEGATIVE values too — plain `div` truncates
+  * toward zero and would silently drop qualifying pairs (same hazard
+  * documented on `RangeJoin.guardedBucket`, solved here without the
+  * per-row error branch because the rule must never fail a query it
+  * rewrites on the user's behalf). Invalid (`s > e`) and null-bounded
+  * intervals are filtered before the explode — they can match nothing in
+  * the original join, and `Sequence` with a positive step would throw on
+  * a descending range.
+  */
+class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+  import RangeJoinRewrite._
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString(EnabledKey, "true").toBoolean
+  private def widthNs: Long =
+    SQLConf.get.getConfString(WidthKey, DefaultWidthNs.toString).toLong
+
+  /** Normalize a comparison conjunct to (big, small) ≡ big ≥ small. */
+  private def asGe(e: Expression): Option[(Attribute, Attribute)] = e match {
+    case GreaterThanOrEqual(a: Attribute, b: Attribute) => Some((a, b))
+    case GreaterThan(a: Attribute, b: Attribute)        => Some((a, b))
+    case LessThanOrEqual(a: Attribute, b: Attribute)    => Some((b, a))
+    case LessThan(a: Attribute, b: Attribute)           => Some((b, a))
+    case _ => None
+  }
+
+  /** Floor division exact for negatives: x − pmod(x,w) is the greatest
+    * multiple of w at or below x, so the truncating div is exact on it. */
+  private def floorDiv(x: Expression, w: Literal): Expression =
+    IntegralDivide(Subtract(x, Pmod(x, w)), w)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val hasEqui = conjuncts.exists {
+          case _: EqualTo | _: EqualNullSafe => true
+          case _ => false
+        }
+        if (hasEqui) j
+        else {
+          val bounds = conjuncts.flatMap(asGe)
+          // t bounded below by s (t ≥ s) and above by e (e ≥ t); all long
+          // attributes; t from one side, s AND e from the other
+          val hit = (for {
+            (t1, s) <- bounds
+            (e, t2) <- bounds
+            if t1.semanticEquals(t2) && !s.semanticEquals(e) &&
+              t1.dataType == LongType && s.dataType == LongType &&
+              e.dataType == LongType
+            pointIsLeft <-
+              if (left.outputSet.contains(t1) &&
+                  right.outputSet.contains(s) && right.outputSet.contains(e))
+                Some(true)
+              else if (right.outputSet.contains(t1) &&
+                  left.outputSet.contains(s) && left.outputSet.contains(e))
+                Some(false)
+              else None
+          } yield (t1, s, e, pointIsLeft)).headOption
+          hit match {
+            case None => j
+            case Some((t, s, e, pointIsLeft)) =>
+              val w = Literal(widthNs, LongType)
+              val bucket = AttributeReference("__graft_bucket", LongType,
+                nullable = false)()
+              val interval = if (pointIsLeft) right else left
+              val gen = Generate(
+                // Sequence is TimeZoneAware: it stays UNRESOLVED until the
+                // tz is filled, and ResolveTimeZone never re-runs in the
+                // optimizer — set it here (irrelevant for pure longs)
+                Explode(new Sequence(floorDiv(s, w), floorDiv(e, w),
+                  Some(Literal(1L, LongType)),
+                  Some(SQLConf.get.sessionLocalTimeZone))),
+                unrequiredChildIndex = Nil, outer = false, qualifier = None,
+                generatorOutput = Seq(bucket),
+                child = Filter(And(And(IsNotNull(s), IsNotNull(e)),
+                  LessThanOrEqual(s, e)), interval))
+              val newCond = And(EqualTo(floorDiv(t, w), bucket), cond)
+              val newJoin =
+                if (pointIsLeft) Join(left, gen, Inner, Some(newCond), hint)
+                else Join(gen, right, Inner, Some(newCond), hint)
+              Project(j.output, newJoin)
+          }
+        }
+    }
+}

@@ -75,4 +75,59 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("naive BETWEEN range join rewrites to a bucketized equi-join") {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val H = 3600L * 1000000000L
+      // 5k points over ~14 h; 6 intervals incl. an invalid (s > e) one and
+      // a negative-start one (floor-div correctness for negatives)
+      val points = (0 until 5000).map(i => (i.toLong, i * 10000000000L))
+        .toDF("pid", "ts")
+      val ivs = Seq(
+        (1L, 0L, H), (2L, H / 2, 2 * H), (3L, 10 * H, 11 * H),
+        (4L, 2 * H, H),            // invalid: start > end, matches nothing
+        (5L, -H, H / 4),           // negative start
+        (6L, 13 * H, 20 * H))
+        .toDF("iid", "s", "e")
+      points.createOrReplaceTempView("pts")
+      ivs.createOrReplaceTempView("ivs")
+      val q = s2.sql(
+        "SELECT pid, iid FROM pts JOIN ivs ON ts BETWEEN s AND e")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop"),
+        s"range join must not plan as BNLJ:\n$plan")
+      assert(plan.contains("Generate explode"),
+        s"expected the interval bucket explode:\n$plan")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // ground truth from the un-rewritten plan
+      s2.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
+      val naive = s2.sql(
+        "SELECT pid, iid FROM pts JOIN ivs ON ts BETWEEN s AND e")
+      assert(naive.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoop"), "kill switch must restore BNLJ")
+      val want = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      s2.conf.unset(graft.plans.RangeJoinRewrite.EnabledKey)
+      assert(got === want,
+        s"rewritten join changed results: ${got.size} vs ${want.size} pairs")
+      assert(want.nonEmpty && !want.exists(_._2 == 4L))
+
+      // a join that already has an equi key is left alone (the rewrite
+      // would only add fan-out to an already-hashable join)
+      val eq = s2.sql("SELECT pid, iid FROM pts JOIN ivs " +
+        "ON pid = iid AND ts BETWEEN s AND e")
+      assert(!eq.queryExecution.executedPlan.toString.contains("__graft_bucket"),
+        "equi-keyed joins must not be rewritten")
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
 }

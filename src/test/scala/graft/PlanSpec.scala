@@ -327,6 +327,14 @@ class PlanSpec extends AnyFunSuite {
         s"($exchanges hash exchanges):\n$plan")
   }
 
+  test("range-join optimizer rule: the naive BETWEEN query plans as an equi-join") {
+    val plan = formatted("events_range_join_rule")
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"the rewrite must remove the BNLJ:\n$plan")
+    assert(plan.contains("Generate"),
+      s"expected the interval bucket explode:\n$plan")
+  }
+
   test("native sessionization runs in the session-merging aggregate, not a window") {
     val plan = formatted("events_sessions_native")
     assert(plan.contains("MergingSessions"),
