@@ -956,6 +956,23 @@ object PipelineQueries {
           coalesce(expr("(asof_ts - ts) div 1000000000"), lit(-1L)).as("ttp_s"))
     }),
 
+    // nearest as-of (direction trio complete): each error to its CLOSEST
+    // purchase within 24 h either way, ties backward; both directions
+    // ride one union — single shuffle, two in-partition sorted frames
+    "events_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      operators.AsOfJoin.asofJoinNearest(errors, purchases, "user_id", "ts",
+          Seq("ts"), toleranceNs = 86400L * 1000000000L)
+        .select(col("event_id"), col("user_id"),
+          coalesce(expr("abs(asof_ts - ts) div 1000000000"), lit(-1L))
+            .as("abs_gap_s"),
+          col("asof_dir"))
+    }),
+
     // interval-union coverage: each event claims [ts, ts+5min); per user,
     // total covered time + merged-interval count. Overlap merge IS
     // session_window with gap = interval length (spans [first, last+L)),
@@ -3197,6 +3214,26 @@ object PipelineQueries {
        "GROUP BY e.event_id, e.user_id, e.t) " +
        "SELECT event_id, user_id, CASE WHEN pt IS NULL OR pt - t > 86400000000000 " +
        "THEN -1 ELSE (pt - t) // 1000000000 END AS ttp_s FROM m"),
+
+    // backward/forward max/min per error within tolerance; choose smaller
+    // abs distance, ties backward — mirrors AsOfJoin.asofJoinNearest
+    "events_asof_nearest" ->
+      ("WITH err AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events " +
+       "WHERE event_type = 'error'), " +
+       "pur AS (SELECT user_id, epoch_ns(ts) AS t FROM events " +
+       "WHERE event_type = 'purchase'), " +
+       "bf AS (SELECT e.event_id, e.user_id, e.t, " +
+       "MAX(CASE WHEN p.t <= e.t AND e.t - p.t <= 86400000000000 THEN p.t END) AS bt, " +
+       "MIN(CASE WHEN p.t >= e.t AND p.t - e.t <= 86400000000000 THEN p.t END) AS ft " +
+       "FROM err e LEFT JOIN pur p ON e.user_id = p.user_id " +
+       "GROUP BY e.event_id, e.user_id, e.t) " +
+       "SELECT event_id, user_id, " +
+       "CASE WHEN bt IS NULL AND ft IS NULL THEN -1 " +
+       "WHEN ft IS NULL OR (bt IS NOT NULL AND t - bt <= ft - t) " +
+       "THEN (t - bt) // 1000000000 ELSE (ft - t) // 1000000000 END AS abs_gap_s, " +
+       "CASE WHEN bt IS NULL AND ft IS NULL THEN 'n' " +
+       "WHEN ft IS NULL OR (bt IS NOT NULL AND t - bt <= ft - t) " +
+       "THEN 'b' ELSE 'f' END AS asof_dir FROM bf"),
 
     // strict > 5min-gap split on µs times, end = last + 5min — the
     // session_window interval-union twin

@@ -96,4 +96,62 @@ object AsOfJoin {
     gated.select((left.columns.map(col) ++
       rightCols.map(c => col("__asof").getField(c).as(s"asof_$c"))).toSeq: _*)
   }
+
+  /** Nearest as-of join (pandas `merge_asof(direction='nearest')`): for
+    * every left row, the right row with the same key minimizing
+    * `|right.ts - left.ts|`, within `toleranceNs`; equal distances
+    * resolve BACKWARD (the earlier right row) — deterministic and
+    * oracle-mirrored.
+    *
+    * Still ONE shuffle on the key: both directions ride the same union —
+    * a preceding frame (right-before-left at equal ts → backward
+    * inclusive) carries the latest prior right row, and a following
+    * frame over the mirrored tie order (left-before-right → forward
+    * inclusive) carries the earliest later one; the two Window specs
+    * share the partitioning, so Catalyst plans one exchange with two
+    * in-partition sorts. Output: left columns + `asof_<c>` payload (null
+    * when nothing is in tolerance) + `asof_dir` ('b'/'f'/'n'). */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      ts: String, rightCols: Seq[String],
+                      toleranceNs: Long): DataFrame = {
+    val rStruct = struct((col(ts).as("__rts") +: rightCols.map(col)): _*)
+    val rNull = lit(null).cast(
+      right.select(rStruct).schema.fields.head.dataType)
+    val lTagged = left
+      .withColumn("__is_left", lit(true))
+      .withColumn("__r", rNull)
+    val rTagged = right
+      .withColumn("__is_left", lit(false))
+      .withColumn("__r", rStruct)
+    val unioned = lTagged.select(
+      (left.columns.map(col) :+ col("__is_left") :+ col("__r")).toSeq: _*)
+      .unionByName(rTagged.select(
+        (left.columns.map(c => if (right.columns.contains(c)) col(c)
+          else lit(null).as(c)) :+ col("__is_left") :+ col("__r")).toSeq: _*))
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__is_left").asc) // right first at equal ts
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__is_left").desc) // left first at equal ts
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val backGap = col(ts) - col("__back").getField("__rts")
+    val fwdGap = col("__fwd").getField("__rts") - col(ts)
+    val chosen = unioned
+      .withColumn("__back", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__fwd", first(col("__r"), ignoreNulls = true).over(wf))
+      .where(col("__is_left"))
+      .withColumn("__back", when(backGap <= toleranceNs, col("__back")))
+      .withColumn("__fwd", when(fwdGap <= toleranceNs, col("__fwd")))
+      .withColumn("__asof",
+        when(col("__back").isNotNull &&
+          (col("__fwd").isNull || backGap <= fwdGap), col("__back"))
+          .otherwise(col("__fwd")))
+      .withColumn("__dir",
+        when(col("__back").isNotNull &&
+          (col("__fwd").isNull || backGap <= fwdGap), lit("b"))
+          .when(col("__fwd").isNotNull, lit("f")).otherwise(lit("n")))
+    chosen.select((left.columns.map(col) ++
+      rightCols.map(c => col("__asof").getField(c).as(s"asof_$c")) :+
+      col("__dir").as("asof_dir")).toSeq: _*)
+  }
 }

@@ -507,6 +507,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(Option(ttl(49L).getAs[Any]("asof_rid")) === None)
   }
 
+  test("nearest as-of join: min |gap| within tolerance, ties backward") {
+    val left = Seq((1L, 100L, 10L),  // back 90 (d10) vs fwd 150 (d50) -> b
+                   (1L, 120L, 20L),  // back 90 (d30) vs fwd 150 (d30) -> tie -> b
+                   (1L, 300L, 30L),  // only back 150 (d150) within tol 200 -> b
+                   (1L, 600L, 40L),  // nothing within tol -> n
+                   (2L, 100L, 50L))  // key 2: no right rows -> n
+      .toDF("key", "ts", "lid")
+    val right = Seq((1L, 90L, 991L), (1L, 150L, 992L)).toDF("key", "ts", "rid")
+    val got = graft.operators.AsOfJoin.asofJoinNearest(
+        left, right, "key", "ts", Seq("rid"), toleranceNs = 200L)
+      .collect()
+      .map(r => r.getAs[Long]("lid") ->
+        ((Option(r.getAs[Any]("asof_rid")), r.getAs[String]("asof_dir")))).toMap
+    assert(got(10L) === ((Some(991L), "b")))
+    assert(got(20L) === ((Some(991L), "b"))) // equidistant -> backward
+    assert(got(30L) === ((Some(992L), "b")))
+    assert(got(40L) === ((None, "n")))
+    assert(got(50L) === ((None, "n")))
+  }
+
   test("as-of join attaches whole right rows even with NULL payload values") {
     // right row at ts=150 has a NULL b: the match must carry (NULL, 992),
     // not resurrect b=881 from the earlier row (per-column last() would)
