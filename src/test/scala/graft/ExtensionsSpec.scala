@@ -125,6 +125,32 @@ class ExtensionsSpec extends AnyFunSuite {
         "ON pid = iid AND ts BETWEEN s AND e")
       assert(!eq.queryExecution.executedPlan.toString.contains("__graft_bucket"),
         "equi-keyed joins must not be rewritten")
+
+      // randomized equivalence sweep: seeded points/intervals with
+      // negatives and degenerate spans, across bucket widths that divide
+      // the data unevenly — the rewrite must be invisible at every width
+      val rnd = new scala.util.Random(7)
+      val rPts = (0 until 2000).map(i =>
+        (i.toLong, rnd.between(-500000L, 500000L))).toDF("pid", "ts")
+      val rIvs = (0 until 200).map { i =>
+        val a = rnd.between(-500000L, 500000L)
+        val b = a + rnd.between(-1000L, 50000L) // some invalid (b < a)
+        (i.toLong, a, b)
+      }.toDF("iid", "s", "e")
+      rPts.createOrReplaceTempView("rpts")
+      rIvs.createOrReplaceTempView("rivs")
+      def pairs() = s2.sql(
+        "SELECT pid, iid FROM rpts JOIN rivs ON ts BETWEEN s AND e")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      s2.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
+      val truth = pairs()
+      s2.conf.unset(graft.plans.RangeJoinRewrite.EnabledKey)
+      assert(truth.size > 1000, s"weak fixture: ${truth.size} pairs")
+      for (w <- Seq(1L, 7L, 1000L, 99991L)) {
+        s2.conf.set(graft.plans.RangeJoinRewrite.WidthKey, w.toString)
+        assert(pairs() === truth, s"width $w changed results")
+      }
+      s2.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

@@ -527,6 +527,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(50L) === ((None, "n")))
   }
 
+  test("nearest as-of join: randomized equivalence with a brute-force reference") {
+    val rnd = new scala.util.Random(11)
+    val tol = 5000L
+    val leftRows = (0 until 800).map(i =>
+      (rnd.nextInt(40).toLong, rnd.between(0L, 100000L), i.toLong))
+    val rightRows = (0 until 600).map(i =>
+      (rnd.nextInt(40).toLong, rnd.between(0L, 100000L), 1000L + i))
+    val left = leftRows.toDF("key", "ts", "lid")
+    val right = rightRows.toDF("key", "ts", "rid")
+    val got = graft.operators.AsOfJoin.asofJoinNearest(
+        left, right, "key", "ts", Seq("ts"), toleranceNs = tol)
+      .collect()
+      .map(r => r.getAs[Long]("lid") ->
+        ((Option(r.getAs[Any]("asof_ts")), r.getAs[String]("asof_dir")))).toMap
+    val byKey = rightRows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    leftRows.foreach { case (k, t, lid) =>
+      val cands = byKey.getOrElse(k, Seq.empty).filter(rt => math.abs(rt - t) <= tol)
+      val want =
+        if (cands.isEmpty) (None, "n")
+        else {
+          val back = cands.filter(_ <= t).sorted.lastOption
+          val fwd = cands.filter(_ >= t).sorted.headOption
+          (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (t - b <= f - t) (Some(b), "b") else (Some(f), "f")
+            case (Some(b), None) => (Some(b), "b")
+            case (None, Some(f)) => (Some(f), "f")
+            case _ => (None, "n")
+          }
+        }
+      assert(got(lid) === want, s"lid=$lid key=$k t=$t cands=$cands")
+    }
+  }
+
   test("as-of join attaches whole right rows even with NULL payload values") {
     // right row at ts=150 has a NULL b: the match must carry (NULL, 992),
     // not resurrect b=881 from the earlier row (per-column last() would)
