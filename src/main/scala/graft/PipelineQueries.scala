@@ -601,6 +601,21 @@ object PipelineQueries {
     }),
 
     // quality gate census (oracle-checked: thresholds mirror in SQL)
+    // corpus quality report: the documents-side analog of the NNA
+    // suggestions census — many metrics, ONE scan, one 1-row aggregate
+    // (the reference re-scans per metric; at 100 TB one-pass is the
+    // difference between a report and a day of cluster time)
+    "corpus_quality_report" -> ((s, d) => {
+      val toks = pipeline.TextAnalysis.tokens(col("text"))
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(toks).cast("long")).as("total_tokens"),
+        sum(when(size(toks) < 50, 1L).otherwise(0L)).as("n_short"),
+        countDistinct(col("lang")).as("n_langs"),
+        max(col("n_chars")).as("max_chars"))
+    }),
+
     "text_quality_filter" -> ((s, d) =>
       pipeline.TextAnalysis.qualityFilter(
         Tables.documents(s, d), col("text"),
@@ -2963,6 +2978,13 @@ object PipelineQueries {
        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, " +
        "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types " +
        "FROM events GROUP BY user_id"),
+
+    "corpus_quality_report" ->
+      (s"SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+       s"CAST(SUM(len($toksSql)) AS BIGINT) AS total_tokens, " +
+       s"CAST(SUM(CASE WHEN len($toksSql) < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short, " +
+       "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, " +
+       "CAST(MAX(n_chars) AS BIGINT) AS max_chars FROM documents"),
 
     "text_quality_filter" ->
       (s"SELECT COUNT(*) AS kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars " +
