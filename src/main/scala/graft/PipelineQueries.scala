@@ -631,6 +631,22 @@ object PipelineQueries {
         Seq("signup", "view", "click", "purchase"),
         7L * 86400L * 1000000000L).orderBy("step")),
 
+    // funnel time-to-convert: exact percentiles of (t_purchase − t_signup)
+    // over the converted-user chain times — the funnel output is
+    // users-sized (not events-sized), so the exact percentile sort is on
+    // the small frame; seconds-floored for integer-exact oracle parity
+    "events_funnel_ttc" -> ((s, d) => {
+      val times = graft.operators.WindowFunnel.funnelTimes(
+        Tables.events(s, d), Seq("signup", "view", "click", "purchase"),
+        7L * 86400L * 1000000000L).last
+      times.selectExpr("(t4 - t1) div 1000000000 AS ttc_s")
+        .selectExpr(
+          "count(*) AS n_converted",
+          "floor(percentile(ttc_s, 0.5)) AS ttc_p50_s",
+          "floor(percentile(ttc_s, 0.9)) AS ttc_p90_s",
+          "max(ttc_s) AS ttc_max_s")
+    }),
+
     // ClickHouse-parity any-start funnel: every signup anchors a chain,
     // per-user maximal depth — n_reached ≥ the greedy census per step
     // (a short window makes the two visibly diverge on this fixture)
@@ -3011,6 +3027,26 @@ object PipelineQueries {
         levelRow(1, "signup") + " UNION ALL " + levelRow(2, "view") +
         " UNION ALL " + levelRow(3, "click") + " UNION ALL " +
         levelRow(4, "purchase") + ") ORDER BY step"
+    },
+
+    "events_funnel_ttc" -> {
+      val w = 7L * 86400L * 1000000000L
+      def stepCte(k: Int, tpe: String) = {
+        val carry = (1 until k).map(j => s"MIN(c.t$j) AS t$j").mkString(", ")
+        s"t$k AS (SELECT e.user_id, $carry, MIN(epoch_ns(e.ts)) AS t$k " +
+          s"FROM events e JOIN t${k - 1} c USING (user_id) " +
+          s"WHERE e.event_type = '$tpe' AND epoch_ns(e.ts) > c.t${k - 1} " +
+          s"AND epoch_ns(e.ts) < c.t1 + $w GROUP BY e.user_id)"
+      }
+      "WITH t1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events " +
+        "WHERE event_type = 'signup' GROUP BY user_id), " +
+        stepCte(2, "view") + ", " + stepCte(3, "click") + ", " +
+        stepCte(4, "purchase") + ", ttc AS (SELECT (t4 - t1) // 1000000000 " +
+        "AS ttc_s FROM t4) " +
+        "SELECT COUNT(*) AS n_converted, " +
+        "CAST(FLOOR(quantile_cont(ttc_s, 0.5)) AS BIGINT) AS ttc_p50_s, " +
+        "CAST(FLOOR(quantile_cont(ttc_s, 0.9)) AS BIGINT) AS ttc_p90_s, " +
+        "CAST(MAX(ttc_s) AS BIGINT) AS ttc_max_s FROM ttc"
     },
 
     "events_funnel_anystart" -> {
