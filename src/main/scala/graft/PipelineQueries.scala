@@ -531,6 +531,28 @@ object PipelineQueries {
           expr("bit_xor(user_id)").as("user_xor"))
     }),
 
+    // the SAME overlap join written NAIVELY — RangeJoinRewrite's second
+    // shape (both-side bucket explode + canonical-bucket exactly-once)
+    // turns the would-be BroadcastNestedLoop into an equi-join; same
+    // oracle as events_overlap_join
+    "events_overlap_join_rule" -> ((s, d) => {
+      if (!s.experimental.extraOptimizations.exists(
+          _.isInstanceOf[plans.RangeJoinRewrite]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new plans.RangeJoinRewrite
+      val ev = Tables.events(s, d)
+      val dayNs = 86400L * 1000000000L
+      val tw = ev.groupBy(col("event_type")).agg(min(col("ts")).as("t_start"))
+        .withColumn("t_end", col("t_start") + lit(3L * dayNs))
+      val uw = ev.groupBy(col("user_id")).agg(min(col("ts")).as("u_start"))
+        .withColumn("u_end", col("u_start") + lit(dayNs))
+      tw.join(uw,
+          col("t_start") <= col("u_end") && col("u_start") <= col("t_end"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_overlapping_users"),
+          expr("bit_xor(user_id)").as("user_xor"))
+    }),
+
     // range (point-in-interval) join: every event landing inside each
     // type's first-3-days window. A raw non-equi join plans as
     // BroadcastNestedLoop (quadratic); operators.RangeJoin buckets the
@@ -3151,6 +3173,15 @@ object PipelineQueries {
        "SELECT iv.itype AS event_type, COUNT(*) AS n_in_window, " +
        "bit_xor(e.event_id) AS event_xor FROM events e " +
        "JOIN iv ON epoch_ns(e.ts) BETWEEN iv.w_start AND iv.w_end GROUP BY 1"),
+
+    "events_overlap_join_rule" ->
+      ("WITH tw AS (SELECT event_type, MIN(epoch_ns(ts)) AS t_start, " +
+       "MIN(epoch_ns(ts)) + 259200000000000 AS t_end FROM events GROUP BY 1), " +
+       "uw AS (SELECT user_id, MIN(epoch_ns(ts)) AS u_start, " +
+       "MIN(epoch_ns(ts)) + 86400000000000 AS u_end FROM events GROUP BY 1) " +
+       "SELECT event_type, COUNT(*) AS n_overlapping_users, " +
+       "bit_xor(user_id) AS user_xor FROM tw JOIN uw " +
+       "ON t_start <= u_end AND u_start <= t_end GROUP BY 1"),
 
     // identical semantics; the Spark side goes through the optimizer-rule
     // rewrite instead of the explicit operator

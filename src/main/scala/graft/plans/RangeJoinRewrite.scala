@@ -40,11 +40,19 @@ object RangeJoinRewrite {
   *      one bucket (its own), so no pair dedup is needed;
   *   4. a Project restores the original output (drops the bucket id).
   *
-  * Eligibility: inner join whose condition contains a lower and an upper
-  * bound on the SAME long column of one side by two long columns of the
-  * other side, and NO equi-conjunct (one equi key already gives Spark a
-  * hash join — the rewrite would only add fan-out). Strict and inclusive
-  * bounds both qualify (the preserved original predicate keeps exactness).
+  * Two shapes are recognized, both requiring NO equi-conjunct (one equi
+  * key already gives Spark a hash join — the rewrite would only add
+  * fan-out); strict and inclusive bounds both qualify (the preserved
+  * original predicate keeps exactness):
+  *
+  *   - POINT-IN-INTERVAL: a lower and an upper bound on the SAME long
+  *     column of one side by two long columns of the other
+  *     (`t BETWEEN s AND e`);
+  *   - INTERVAL OVERLAP: `ls ≤ re AND rs ≤ le` crosswise across the
+  *     sides — BOTH sides explode to their covered buckets, and the pair
+  *     is kept only in the canonical bucket of `max(ls, rs)` (the
+  *     intersection's left edge), making emission exactly-once with no
+  *     dedup shuffle.
   * Floor division is computed as `(x − pmod(x, w)) div w`, which agrees
   * with mathematical floor for NEGATIVE values too — plain `div` truncates
   * toward zero and would silently drop qualifying pairs (same hazard
@@ -77,6 +85,26 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def floorDiv(x: Expression, w: Literal): Expression =
     IntegralDivide(Subtract(x, Pmod(x, w)), w)
 
+  /** Bucket-exploding Generate over `side`, with the null/degenerate
+    * intervals filtered first (they match nothing in the original join,
+    * and Sequence throws on descending ranges). */
+  private def explodeBuckets(side: LogicalPlan, s: Attribute, e: Attribute,
+                             w: Literal, bucket: Attribute): Generate =
+    Generate(
+      // Sequence is TimeZoneAware: it stays UNRESOLVED until the tz is
+      // filled, and ResolveTimeZone never re-runs in the optimizer — set
+      // it here (irrelevant for pure longs)
+      Explode(new Sequence(floorDiv(s, w), floorDiv(e, w),
+        Some(Literal(1L, LongType)),
+        Some(SQLConf.get.sessionLocalTimeZone))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(bucket),
+      child = Filter(And(And(IsNotNull(s), IsNotNull(e)),
+        LessThanOrEqual(s, e)), side))
+
+  private def newBucketAttr(): AttributeReference =
+    AttributeReference("__graft_bucket", LongType, nullable = false)()
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
@@ -89,14 +117,14 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if (hasEqui) j
         else {
           val bounds = conjuncts.flatMap(asGe)
-          // t bounded below by s (t ≥ s) and above by e (e ≥ t); all long
-          // attributes; t from one side, s AND e from the other
-          val hit = (for {
+          val longAttr = (a: Attribute) => a.dataType == LongType
+          // CASE 1 — point in interval: t bounded below by s (t ≥ s) and
+          // above by e (e ≥ t); t from one side, s AND e from the other
+          val pointHit = (for {
             (t1, s) <- bounds
             (e, t2) <- bounds
             if t1.semanticEquals(t2) && !s.semanticEquals(e) &&
-              t1.dataType == LongType && s.dataType == LongType &&
-              e.dataType == LongType
+              Seq(t1, s, e).forall(longAttr)
             pointIsLeft <-
               if (left.outputSet.contains(t1) &&
                   right.outputSet.contains(s) && right.outputSet.contains(e))
@@ -106,29 +134,63 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 Some(false)
               else None
           } yield (t1, s, e, pointIsLeft)).headOption
-          hit match {
-            case None => j
-            case Some((t, s, e, pointIsLeft)) =>
-              val w = Literal(widthNs, LongType)
-              val bucket = AttributeReference("__graft_bucket", LongType,
-                nullable = false)()
+          // CASE 2 — interval overlap: ls ≤ re AND rs ≤ le, crosswise
+          // across the sides ([ls,le] on the left, [rs,re] on the right)
+          lazy val overlapHit = (for {
+            (re, ls) <- bounds // re ≥ ls
+            (le, rs) <- bounds // le ≥ rs
+            if !re.semanticEquals(le) && !ls.semanticEquals(rs) &&
+              Seq(re, ls, le, rs).forall(longAttr)
+            if left.outputSet.contains(ls) && left.outputSet.contains(le) &&
+              right.outputSet.contains(rs) && right.outputSet.contains(re)
+          } yield (ls, le, rs, re)).headOption
+          val w = Literal(widthNs, LongType)
+          (pointHit, overlapHit) match {
+            case (Some((t, s, e, pointIsLeft)), _) =>
+              val bucket = newBucketAttr()
               val interval = if (pointIsLeft) right else left
-              val gen = Generate(
-                // Sequence is TimeZoneAware: it stays UNRESOLVED until the
-                // tz is filled, and ResolveTimeZone never re-runs in the
-                // optimizer — set it here (irrelevant for pure longs)
-                Explode(new Sequence(floorDiv(s, w), floorDiv(e, w),
-                  Some(Literal(1L, LongType)),
-                  Some(SQLConf.get.sessionLocalTimeZone))),
-                unrequiredChildIndex = Nil, outer = false, qualifier = None,
-                generatorOutput = Seq(bucket),
-                child = Filter(And(And(IsNotNull(s), IsNotNull(e)),
-                  LessThanOrEqual(s, e)), interval))
+              val gen = explodeBuckets(interval, s, e, w, bucket)
               val newCond = And(EqualTo(floorDiv(t, w), bucket), cond)
               val newJoin =
                 if (pointIsLeft) Join(left, gen, Inner, Some(newCond), hint)
                 else Join(gen, right, Inner, Some(newCond), hint)
               Project(j.output, newJoin)
+            case (None, Some((ls, le, rs, re))) =>
+              // both sides explode; an overlapping pair shares EVERY
+              // bucket of the intersection, so it is kept only in the
+              // canonical one — the bucket of max(ls, rs), the
+              // intersection's left edge (exactly-once, no dedup shuffle;
+              // same trick as operators.RangeJoin.intervalOverlapJoin)
+              // explode over [min(s,e), max(s,e)], NOT [s, e]: the raw
+              // condition `ls ≤ re AND rs ≤ le` can hold even when an
+              // interval is degenerate (s > e) — a pre-filter on s ≤ e
+              // (sound for the point case) would silently drop those
+              // pairs here. For every condition-satisfying pair the
+              // canonical bucket ⌊max(ls,rs)/w⌋ lies inside BOTH widened
+              // ranges: if max = rs then ls ≤ rs (trivially ≥ min side)
+              // and rs ≤ le ≤ max(ls,le) by the condition; symmetrically
+              // for max = ls.
+              def explodeWidened(side: LogicalPlan, s: Attribute,
+                                 e: Attribute, bucket: Attribute): Generate =
+                Generate(
+                  Explode(new Sequence(
+                    floorDiv(Least(Seq(s, e)), w),
+                    floorDiv(Greatest(Seq(s, e)), w),
+                    Some(Literal(1L, LongType)),
+                    Some(SQLConf.get.sessionLocalTimeZone))),
+                  unrequiredChildIndex = Nil, outer = false,
+                  qualifier = None, generatorOutput = Seq(bucket),
+                  child = Filter(And(IsNotNull(s), IsNotNull(e)), side))
+              val lb = newBucketAttr()
+              val rb = newBucketAttr()
+              val lGen = explodeWidened(left, ls, le, lb)
+              val rGen = explodeWidened(right, rs, re, rb)
+              val canonical =
+                EqualTo(lb, floorDiv(Greatest(Seq(ls, rs)), w))
+              val newCond = And(And(EqualTo(lb, rb), canonical), cond)
+              Project(j.output,
+                Join(lGen, rGen, Inner, Some(newCond), hint))
+            case _ => j
           }
         }
     }

@@ -156,4 +156,51 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("naive interval-overlap join rewrites to the canonical-bucket equi-join") {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val rnd = new scala.util.Random(13)
+      def ivs(n: Int, idBase: Long) = (0 until n).map { i =>
+        val a = rnd.between(-100000L, 100000L)
+        (idBase + i, a, a + rnd.between(-500L, 20000L)) // some invalid
+      }
+      ivs(300, 0L).toDF("iid", "ls", "le").createOrReplaceTempView("liv")
+      ivs(300, 1000L).toDF("jid", "rs", "re").createOrReplaceTempView("riv")
+      val sql = "SELECT iid, jid FROM liv JOIN riv ON ls <= re AND rs <= le"
+      val q = s2.sql(sql)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop"),
+        s"overlap join must not plan as BNLJ:\n$plan")
+      assert(plan.contains("Generate explode"),
+        s"expected both-side bucket explodes:\n$plan")
+      def pairs() = s2.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = pairs()
+      s2.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
+      val truth = pairs()
+      s2.conf.unset(graft.plans.RangeJoinRewrite.EnabledKey)
+      assert(truth.size > 5000, s"weak fixture: ${truth.size} pairs")
+      assert(got === truth,
+        s"rewritten overlap changed results: ${got.size} vs ${truth.size}")
+      // exactly-once across widths (a duplicate would surface as a bag
+      // mismatch — compare with multiplicity via counts)
+      for (w <- Seq(13L, 5000L, 999983L)) {
+        s2.conf.set(graft.plans.RangeJoinRewrite.WidthKey, w.toString)
+        val cnt = s2.sql(sql).count()
+        assert(cnt === truth.size, s"width $w emitted $cnt of ${truth.size}")
+      }
+      s2.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
 }

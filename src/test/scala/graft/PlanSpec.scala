@@ -335,6 +335,14 @@ class PlanSpec extends AnyFunSuite {
       s"expected the interval bucket explode:\n$plan")
   }
 
+  test("overlap-join optimizer rule: the naive query plans as an equi-join") {
+    val plan = formatted("events_overlap_join_rule")
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"the rewrite must remove the BNLJ:\n$plan")
+    assert("\\(\\d+\\) Generate".r.findAllIn(plan).size === 2,
+      s"expected BOTH sides' bucket explodes:\n$plan")
+  }
+
   test("native sessionization runs in the session-merging aggregate, not a window") {
     val plan = formatted("events_sessions_native")
     assert(plan.contains("MergingSessions"),
