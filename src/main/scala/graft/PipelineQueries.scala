@@ -1195,25 +1195,54 @@ object PipelineQueries {
     // per-type time-weighted average value: each event's value holds
     // until the next same-type event (gap-weighted mean). Integer-exact
     // to the ppm floor: cent values × ns gaps overflow long at corpus
-    // scale, so the numerator rides decimal(38,0) (HUGEINT in the
-    // oracle); one user-free window per type is fine because types are
-    // few — the sort is per-type-partition, not corpus-global
+    // scale, so sums ride decimal(38,0) (HUGEINT in the oracle) and the
+    // final division is the exact integral `div` (a decimal `/` + floor
+    // would round at scale 6 first).
+    //
+    // TWO-PHASE — a naive Window.partitionBy(event_type) sorts each
+    // type's ENTIRE history in one partition (types are few ⇒ partitions
+    // are corpus-sized: the single-partition-sort scale killer). Instead:
+    // phase 1 windows within (type, day-bucket) — calendar-bounded
+    // partitions — summing within-bucket gap contributions and keeping
+    // each bucket's first ts + last (ts, value); phase 2 stitches bucket
+    // BOUNDARIES with a window over the per-(type,bucket) aggregate rows
+    // (days-sized, not events-sized). Same pattern as the distributed
+    // prefix sum in Curation. Equal-ts ties can't straddle buckets, so
+    // the stitched gap sequence is exactly the global (ts, event_id)
+    // chain.
     "events_twa" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val B = 86400L * 1000000000L // one day in ns
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "bkt").orderBy(col("ts"), col("event_id"))
+      val wAcross = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("bkt"))
+      val perBucket = Tables.events(s, d)
         .select(col("event_type"), col("ts"), col("event_id"),
           round(col("value") * 100).cast("long").as("v_cents"))
-        .withColumn("gap", lead("ts", 1).over(w) - col("ts"))
-        .where(col("gap").isNotNull)
+        .withColumn("bkt", expr(s"ts div $B"))
+        .withColumn("nts", lead("ts", 1).over(wIn))
+        .groupBy(col("event_type"), col("bkt"))
+        .agg(
+          sum(when(col("nts").isNotNull,
+            (col("v_cents") * (col("nts") - col("ts"))).cast(dec))).as("num_in"),
+          sum(when(col("nts").isNotNull,
+            (col("nts") - col("ts")).cast(dec))).as("den_in"),
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"),
+          max(struct(col("ts"), col("event_id"), col("v_cents"))).as("last"))
+      perBucket
+        .withColumn("next_first", lead("first_ts", 1).over(wAcross))
+        .withColumn("bnum", when(col("next_first").isNotNull,
+          (col("last.v_cents") * (col("next_first") - col("last.ts"))).cast(dec)))
+        .withColumn("bden", when(col("next_first").isNotNull,
+          (col("next_first") - col("last.ts")).cast(dec)))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_weighted"),
-          sum((col("v_cents") * col("gap"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("num"),
-          sum(col("gap").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .as("den"))
-        // integral `div` on decimals is exact (no scale-6 rounding that a
-        // decimal `/` + floor would inject); both engines truncate
+        .agg((sum(col("n_events")) - 1L).as("n_weighted"),
+          (coalesce(sum(col("num_in")), lit(0).cast(dec)) +
+            coalesce(sum(col("bnum")), lit(0).cast(dec))).as("num"),
+          (coalesce(sum(col("den_in")), lit(0).cast(dec)) +
+            coalesce(sum(col("bden")), lit(0).cast(dec))).as("den"))
         .select(col("event_type"), col("n_weighted"),
           expr("CAST((num * 1000000) div den AS BIGINT)").as("twa_centppm"))
     }),
