@@ -655,8 +655,11 @@ object PipelineQueries {
 
     // funnel time-to-convert: exact percentiles of (t_purchase − t_signup)
     // over the converted-user chain times — the funnel output is
-    // users-sized (not events-sized), so the exact percentile sort is on
-    // the small frame; seconds-floored for integer-exact oracle parity
+    // users-sized (not events-sized). As with nna_size_percentiles, the
+    // EXACT percentile here is the verifiable twin of approx_percentile
+    // (the mergeable-sketch path to use when converted users alone
+    // outgrow one aggregation buffer); seconds-floored for integer-exact
+    // oracle parity
     "events_funnel_ttc" -> ((s, d) => {
       val times = graft.operators.WindowFunnel.funnelTimes(
         Tables.events(s, d), Seq("signup", "view", "click", "purchase"),
