@@ -622,6 +622,38 @@ object ScaleBench {
         .count()
       s"hits=$hits"
     }
+    tm("events_range_rule_10m") {
+      // the OPTIMIZER-RULE path over the same 10M points × 1010
+      // intervals, written as the naive BETWEEN join a user would type —
+      // must match the manual operator's hit count and never BNLJ
+      if (!spark.experimental.extraOptimizations.exists(
+          _.isInstanceOf[graft.plans.RangeJoinRewrite]))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ new graft.plans.RangeJoinRewrite
+      val typical = spark.range(1000).select(col("id").as("iid"),
+        (col("id") * 6000000000000L).as("s"))
+        .withColumn("e", col("s") + 600000000000L)
+      val whales = spark.range(10).select((col("id") + 5000L).as("iid"),
+        (col("id") * 600000000000000L).as("s"))
+        .withColumn("e", col("s") + 36000000000000L)
+      val ivs = typical.unionAll(whales)
+      val prev = spark.conf.getOption(
+        graft.plans.RangeJoinRewrite.WidthKey)
+      // same width the auto operator picks (p95 span = 10 min)
+      spark.conf.set(graft.plans.RangeJoinRewrite.WidthKey,
+        600000000000L.toString)
+      try {
+        val q = events10m.select(col("ts"), col("event_id"))
+          .join(ivs, col("ts") >= col("s") && col("ts") <= col("e"))
+        require(!q.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoop"), "rule did not fire at 10M")
+        s"hits=${q.count()}"
+      } finally prev match {
+        case Some(v) => spark.conf.set(
+          graft.plans.RangeJoinRewrite.WidthKey, v)
+        case None => spark.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
+      }
+    }
     spark.stop()
   }
 
