@@ -177,6 +177,44 @@ object EventsStream {
       .select(col("user_id"), col("p_id"), col("e_id"))
   }
 
+  case class FunnelState(times: Array[Long])
+
+  /** Streaming window funnel: per-user greedy-earliest chain state
+    * (t₁…t_k, -1 = unreached) maintained incrementally with
+    * `flatMapGroupsWithState`, emitting the user's current depth each
+    * batch (Update mode). For EVENT-TIME-ORDERED streams (per user —
+    * the Kafka-partitioned-by-user case) the incremental greedy is
+    * EXACT: each step records the first qualifying event, which is the
+    * batch funnel's conditional min; within a batch the group iterator
+    * is sorted by ts first. A late event carrying an earlier t₁ could
+    * retroactively invalidate deeper steps — out-of-scope here, exactly
+    * as for the reference funnel engines this mirrors; state is one
+    * k-long array per user (RocksDB-spillable at 100 TB user counts). */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+                   steps: Seq[String],
+                   windowNs: Long): DataFrame = {
+    import spark.implicits._
+    val k = steps.length
+    events.select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (Long, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelState]) =>
+          val t = state.getOption.map(_.times)
+            .getOrElse(Array.fill(k)(-1L))
+          evs.toSeq.sortBy(_._3).foreach { case (_, tpe, ts) =>
+            val i = steps.indexOf(tpe)
+            if (i == 0) { if (t(0) < 0) t(0) = ts }
+            else if (i > 0 && t(i) < 0 && t(i - 1) >= 0 &&
+              ts > t(i - 1) && ts < t(0) + windowNs) t(i) = ts
+          }
+          state.update(FunnelState(t))
+          Iterator.single((uid, t.takeWhile(_ >= 0).length))
+      }.toDF("user_id", "depth")
+  }
+
   /** RocksDB state store: the production config for stateful streaming.
     * The default (HDFSBackedStateStoreProvider) keeps every user's session
     * state as JVM heap objects per executor — at 100 TB-scale cardinality

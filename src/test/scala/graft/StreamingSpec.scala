@@ -207,6 +207,34 @@ class StreamingSpec extends AnyFunSuite {
       s"beyond-watermark late row must be dropped, got $rows")
   }
 
+  test("streaming funnel depth equals the batch funnel per user") {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val winNs = 7L * 86400L * 1000000000L
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.funnelStream(spark,
+        EventsStream.readStream(spark, dir), steps, winNs),
+      "funnel_depths", org.apache.spark.sql.streaming.OutputMode.Update)
+    val got = streamed.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // batch truth: user reached depth i iff present in funnelTimes level i
+    val levels = graft.operators.WindowFunnel.funnelTimes(
+      graft.core.Tables.events(spark, dir), steps, winNs)
+    val want = scala.collection.mutable.Map[Long, Int]().withDefaultValue(0)
+    levels.zipWithIndex.foreach { case (df, i) =>
+      df.select("user_id").collect().foreach { r =>
+        val u = r.getLong(0)
+        want(u) = math.max(want(u), i + 1)
+      }
+    }
+    assert(got.nonEmpty)
+    // every user with funnel progress must match exactly; users with
+    // depth 0 appear in `got` (they had events) but not in `want`
+    got.foreach { case (u, d) =>
+      assert(d === want(u), s"user $u: streamed depth $d vs batch ${want(u)}")
+    }
+    assert(want.forall { case (u, d) => got.get(u).contains(d) })
+  }
+
   test("stream-stream interval join equals the batch join pair-for-pair") {
     val streamed = EventsStream.runToMemory(spark,
       EventsStream.purchaseErrorJoin(EventsStream.readStream(spark, dir)),
