@@ -71,14 +71,23 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def widthNs: Long =
     SQLConf.get.getConfString(WidthKey, DefaultWidthNs.toString).toLong
 
-  /** Normalize a comparison conjunct to (big, small) ≡ big ≥ small. */
-  private def asGe(e: Expression): Option[(Attribute, Attribute)] = e match {
-    case GreaterThanOrEqual(a: Attribute, b: Attribute) => Some((a, b))
-    case GreaterThan(a: Attribute, b: Attribute)        => Some((a, b))
-    case LessThanOrEqual(a: Attribute, b: Attribute)    => Some((b, a))
-    case LessThan(a: Attribute, b: Attribute)           => Some((b, a))
+  /** Normalize a comparison conjunct to (big, small) ≡ big ≥ small.
+    * Bounds are arbitrary side-local expressions, not just columns —
+    * `ts BETWEEN s AND s + 600` is the common inline-interval spelling. */
+  private def asGe(e: Expression): Option[(Expression, Expression)] = e match {
+    case GreaterThanOrEqual(a, b) => Some((a, b))
+    case GreaterThan(a, b)        => Some((a, b))
+    case LessThanOrEqual(a, b)    => Some((b, a))
+    case LessThan(a, b)           => Some((b, a))
     case _ => None
   }
+
+  /** The expression evaluates on `side` alone: references nonempty (a
+    * one-side-only or constant bound would have been pushed below the
+    * join already) and wholly from that side; deterministic, long. */
+  private def onSide(x: Expression, side: LogicalPlan): Boolean =
+    x.dataType == LongType && x.deterministic &&
+      x.references.nonEmpty && x.references.subsetOf(side.outputSet)
 
   /** Floor division exact for negatives: x − pmod(x,w) is the greatest
     * multiple of w at or below x, so the truncating div is exact on it. */
@@ -88,7 +97,7 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** Bucket-exploding Generate over `side`, with the null/degenerate
     * intervals filtered first (they match nothing in the original join,
     * and Sequence throws on descending ranges). */
-  private def explodeBuckets(side: LogicalPlan, s: Attribute, e: Attribute,
+  private def explodeBuckets(side: LogicalPlan, s: Expression, e: Expression,
                              w: Literal, bucket: Attribute): Generate =
     Generate(
       // Sequence is TimeZoneAware: it stays UNRESOLVED until the tz is
@@ -117,20 +126,16 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if (hasEqui) j
         else {
           val bounds = conjuncts.flatMap(asGe)
-          val longAttr = (a: Attribute) => a.dataType == LongType
           // CASE 1 — point in interval: t bounded below by s (t ≥ s) and
           // above by e (e ≥ t); t from one side, s AND e from the other
           val pointHit = (for {
             (t1, s) <- bounds
             (e, t2) <- bounds
-            if t1.semanticEquals(t2) && !s.semanticEquals(e) &&
-              Seq(t1, s, e).forall(longAttr)
+            if t1.semanticEquals(t2) && !s.semanticEquals(e)
             pointIsLeft <-
-              if (left.outputSet.contains(t1) &&
-                  right.outputSet.contains(s) && right.outputSet.contains(e))
+              if (onSide(t1, left) && onSide(s, right) && onSide(e, right))
                 Some(true)
-              else if (right.outputSet.contains(t1) &&
-                  left.outputSet.contains(s) && left.outputSet.contains(e))
+              else if (onSide(t1, right) && onSide(s, left) && onSide(e, left))
                 Some(false)
               else None
           } yield (t1, s, e, pointIsLeft)).headOption
@@ -139,10 +144,9 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           lazy val overlapHit = (for {
             (re, ls) <- bounds // re ≥ ls
             (le, rs) <- bounds // le ≥ rs
-            if !re.semanticEquals(le) && !ls.semanticEquals(rs) &&
-              Seq(re, ls, le, rs).forall(longAttr)
-            if left.outputSet.contains(ls) && left.outputSet.contains(le) &&
-              right.outputSet.contains(rs) && right.outputSet.contains(re)
+            if !re.semanticEquals(le) && !ls.semanticEquals(rs)
+            if onSide(ls, left) && onSide(le, left) &&
+              onSide(rs, right) && onSide(re, right)
           } yield (ls, le, rs, re)).headOption
           val w = Literal(widthNs, LongType)
           (pointHit, overlapHit) match {
@@ -170,8 +174,8 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               // ranges: if max = rs then ls ≤ rs (trivially ≥ min side)
               // and rs ≤ le ≤ max(ls,le) by the condition; symmetrically
               // for max = ls.
-              def explodeWidened(side: LogicalPlan, s: Attribute,
-                                 e: Attribute, bucket: Attribute): Generate =
+              def explodeWidened(side: LogicalPlan, s: Expression,
+                                 e: Expression, bucket: Attribute): Generate =
                 Generate(
                   Explode(new Sequence(
                     floorDiv(Least(Seq(s, e)), w),

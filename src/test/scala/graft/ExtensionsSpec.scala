@@ -126,6 +126,20 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(!eq.queryExecution.executedPlan.toString.contains("__graft_bucket"),
         "equi-keyed joins must not be rewritten")
 
+      // inline-interval spelling: the upper bound is an EXPRESSION over
+      // the interval side, not a column — must still rewrite
+      val inline = "SELECT pid, iid FROM pts JOIN ivs " +
+        "ON ts >= s AND ts <= s + 3600000000000"
+      val qi = s2.sql(inline)
+      assert(!qi.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"),
+        "expression bounds must rewrite too")
+      val gotI = qi.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      s2.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
+      val wantI = s2.sql(inline).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      s2.conf.unset(graft.plans.RangeJoinRewrite.EnabledKey)
+      assert(gotI === wantI && gotI.nonEmpty)
+
       // randomized equivalence sweep: seeded points/intervals with
       // negatives and degenerate spans, across bucket widths that divide
       // the data unevenly — the rewrite must be invisible at every width
