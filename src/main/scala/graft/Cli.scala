@@ -90,6 +90,22 @@ object Cli {
         row.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
           println(s"$f,${row.get(i)}")
         }
+      case "query" =>
+        // generic runner over the FULL operator registry (events /
+        // pipeline / ingest / nna) — dataDir here is the parquet table
+        // dir the registry queries expect
+        val name = rest.headOption.getOrElse(
+          throw new IllegalArgumentException(
+            "query requires an operator name (see the `list` command)"))
+        val fn = SparkEntry.queries.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"unknown query '$name' (see the `list` command)"))
+        val df = fn(spark, dataDir)
+        println(df.columns.mkString(","))
+        val it = df.toLocalIterator()
+        while (it.hasNext) println(it.next().mkString(","))
+      case "list" =>
+        SparkEntry.queries.keys.toSeq.sorted.foreach(println)
       case "serve" =>
         val port = rest.headOption.map(_.toInt).getOrElse(8080)
         val users = rest.drop(1).headOption.map(parseUsers).getOrElse(Nil)
@@ -150,6 +166,8 @@ object Cli {
       |  dump <dir> "path=/a/b&limit=N"
       |  sql <dir> "SELECT …"
       |  suggestions <dir>
+      |  query <dir> <operator-name>              any registry operator, csv
+      |  list <dir>                               operator names
       |  serve <dir> [port] [user:pw:TIER+TIER,…]  start the HTTP server
       |""".stripMargin
 }

@@ -59,6 +59,17 @@ class CliSpec extends AnyFunSuite {
     assert(out.contains("numFiles,") && out.contains("emptyDirs,"))
   }
 
+  test("query runs any registry operator; list enumerates them") {
+    val out = capture("query", "events_hourly")
+    val lines = out.trim.split('\n')
+    assert(lines.head === "event_type,hour_epoch,n,value_cents")
+    assert(lines.length > 1)
+    val names = capture("list").trim.split('\n')
+    assert(names.contains("events_hourly") && names.contains("nna_histogram_user"))
+    assert(names.length === SparkEntry.queries.size)
+    intercept[IllegalArgumentException] { capture("query", "no_such_operator") }
+  }
+
   test("user spec parsing: tiers split on +, bad tier rejected") {
     val users = Cli.parseUsers("a:pw:ADMIN+READER,b:pw2:CACHE")
     assert(users.map(_.name) === Seq("a", "b"))
