@@ -40,13 +40,17 @@ object Security {
   val UnsecuredEndpoints: Set[String] = Set(
     "login", "logout", "endpoints", "credentials", "sets", "filters",
     "filterOps", "histograms", "histogramOutputs", "sums", "transforms",
-    "operations", "finds")
+    "operations", "finds",
+    // beyond-reference: operator-registry name enumeration
+    "queries")
   val CacheReaderEndpoints: Set[String] = Set(
     "suggestions", "history", "token", "directories", "users", "quotas",
     "fileAge", "info", "config", "getCachedQuery", "cachedMaps", "fileTypes")
   val ReaderEndpoints: Set[String] = Set(
     "contentSummary", "filter", "histogram", "histogram2", "histogram3",
-    "divide", "top", "bottom", "dump", "sql")
+    "divide", "top", "bottom", "dump", "sql",
+    // beyond-reference: the generic operator-registry runner
+    "query")
   val WriterEndpoints: Set[String] = Set(
     "listOperations", "submitOperation", "abortOperation")
   val AdminEndpoints: Set[String] = Set(

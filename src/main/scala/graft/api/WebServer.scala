@@ -170,6 +170,17 @@ final class WebServer(
       jsonArr(Seq("chart", "csv", "json")))
 
     // ---- queries
+    case "query" =>
+      // beyond-reference: run ANY registry operator (events / pipeline /
+      // ingest / nna) as header+CSV — the HTTP twin of `Cli query`
+      val name = p.getOrElse("name",
+        throw new IllegalArgumentException("query requires &name="))
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"unknown query '$name' (GET /queries for names)"))
+      respond(ex, 200, "text/plain", Renderers.toCsv(fn(spark, dataDir)))
+    case "queries" => respond(ex, 200, "application/json",
+      jsonArr(graft.SparkEntry.queries.keys.toSeq.sorted))
     case "filter" => filterEndpoint(ex, p)
     case "histogram" => histogramEndpoint(ex, p)
     case "histogram2" => histogram2Endpoint(ex, p)

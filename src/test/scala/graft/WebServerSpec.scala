@@ -158,6 +158,19 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       lines.forall(_.startsWith(someDir)) && lines.sorted.toSeq === lines.toSeq)
   }
 
+  test("/query runs any registry operator; /queries enumerates names") {
+    val r = get(open, "/query?name=events_hourly")
+    assert(r.status === 200)
+    val lines = r.body.trim.split('\n')
+    assert(lines.head === "event_type,hour_epoch,n,value_cents")
+    assert(lines.length > 1)
+    val names = get(open, "/queries")
+    assert(names.status === 200)
+    assert(names.body.contains("\"events_hourly\"") &&
+      names.body.contains("\"nna_histogram_user\""))
+    assert(get(open, "/query?name=no_such").status === 400)
+  }
+
   test("/sql executes a statement over the registered views") {
     val r = get(open, "/sql", method = "POST",
       form = Some("sqlStatement=" + java.net.URLEncoder.encode(
