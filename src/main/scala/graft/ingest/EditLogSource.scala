@@ -162,7 +162,19 @@ object EditLogSource {
     * Returns the post-edit namespace with the core columns plus
     * re-derived (name, parent, depth). See the class doc for the
     * chunked-apply shape and scope. */
-  def applyEdits(snapshot: DataFrame, ops: DataFrame): DataFrame = {
+  def applyEdits(snapshot: DataFrame, rawOps: DataFrame): DataFrame = {
+    // normalize the structural-payload columns a caller-built ops frame
+    // may lack (parse() always emits them; a frame carrying only
+    // rename/delete payloads — or none — is legitimate input): missing
+    // `dst`/`srcs` become typed nulls instead of an UNRESOLVED_COLUMN
+    // error three selects later
+    val ops = Seq(
+      "dst" -> StringType.asInstanceOf[org.apache.spark.sql.types.DataType],
+      "srcs" -> ArrayType(StringType)).foldLeft(rawOps) {
+      case (df, (c, t)) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(t))
+    }
     // bounded collect: structural ops only — see class doc
     val structural = ops
       .where(col("opcode").isin(Structural: _*))
