@@ -623,6 +623,29 @@ object PipelineQueries {
     }),
 
     // quality gate census (oracle-checked: thresholds mirror in SQL)
+    // doc-length distribution (decimal-digit buckets — integer-exact
+    // cross-engine, same trick as events_interarrival): the shape of a
+    // corpus at a glance, one scan
+    "corpus_length_histogram" -> ((s, d) => {
+      val nToks = size(pipeline.TextAnalysis.tokens(col("text")))
+      Tables.documents(s, d)
+        .select(length(nToks.cast("string")).as("len_digits"),
+          nToks.cast("long").as("n_toks"))
+        .groupBy(col("len_digits"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("token_mass"))
+    }),
+
+    // embedding-norm census (ppt-floored): detects unnormalized /
+    // degenerate vectors before they poison cosine ANN — a scan-parallel
+    // data-quality gate over the embeddings table
+    "emb_norm_census" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          floor(pipeline.Similarity.norm(col("embedding")) * 1000)
+            .cast("long").as("norm_ppt"))
+        .groupBy(col("norm_ppt"))
+        .agg(count(lit(1)).as("n_vecs"), expr("bit_xor(vec_id)").as("vec_xor"))),
+
     // corpus quality report: the documents-side analog of the NNA
     // suggestions census — many metrics, ONE scan, one 1-row aggregate
     // (the reference re-scans per metric; at 100 TB one-pass is the
@@ -3048,6 +3071,18 @@ object PipelineQueries {
        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, " +
        "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types " +
        "FROM events GROUP BY user_id"),
+
+    "corpus_length_histogram" ->
+      (s"SELECT CAST(LENGTH(CAST(len($toksSql) AS VARCHAR)) AS INT) AS len_digits, " +
+       s"COUNT(*) AS n_docs, CAST(SUM(len($toksSql)) AS BIGINT) AS token_mass " +
+       "FROM documents GROUP BY 1"),
+
+    "emb_norm_census" ->
+      ("WITH n AS (SELECT vec_id, CAST(FLOOR(1000 * sqrt(list_reduce(" +
+       "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+       "(x, y) -> x + y))) AS BIGINT) AS norm_ppt FROM embeddings) " +
+       "SELECT norm_ppt, COUNT(*) AS n_vecs, bit_xor(vec_id) AS vec_xor " +
+       "FROM n GROUP BY 1"),
 
     "corpus_quality_report" ->
       (s"SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
