@@ -207,6 +207,28 @@ class StreamingSpec extends AnyFunSuite {
       s"beyond-watermark late row must be dropped, got $rows")
   }
 
+  test("stream-static join: events enriched with a static dimension") {
+    // the enrichment pattern: a streaming fact joined to a STATIC
+    // (broadcastable) dimension needs no watermark and no state — each
+    // micro-batch joins the dim like a batch query
+    val userDim = graft.core.Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(countDistinct(col("event_type")).as("n_types"))
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.readStream(spark, dir)
+        .join(broadcast(userDim), "user_id")
+        .groupBy(col("n_types"))
+        .agg(count(lit(1)).as("n_events")),
+      "enriched", org.apache.spark.sql.streaming.OutputMode.Complete)
+    val got = streamed.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.core.Tables.events(spark, dir)
+      .join(userDim, "user_id")
+      .groupBy(col("n_types")).agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want && got.nonEmpty)
+  }
+
   test("streaming funnel depth equals the batch funnel per user") {
     val steps = Seq("signup", "view", "click", "purchase")
     val winNs = 7L * 86400L * 1000000000L
