@@ -257,6 +257,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.forall { case (u, d) => got.get(u).contains(d) })
   }
 
+  test("streaming funnel carries chain state across micro-batches") {
+    import spark.implicits._
+    val m = 60L * 1000 * 1000000 // one minute in ns
+    val root = java.nio.file.Files.createTempDirectory("funnel2").toString
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    def writeBatch(idx: Int, rows: Seq[(Long, String, Long)]): Unit = {
+      val stage = s"$root/stage$idx"
+      rows.map { case (u, t, ts) => (ts, ts, u, t, 0.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, f"b$idx%02d.parquet").toPath)
+    }
+    // batch 1: user 1 reaches view; user 2 signs up; user 3 only views
+    writeBatch(1, Seq((1L, "signup", 1 * m), (1L, "view", 2 * m),
+      (2L, "signup", 3 * m), (3L, "view", 1 * m)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val q = EventsStream.funnelStream(spark,
+        spark.readStream.schema(schema).parquet(in.toString),
+        Seq("signup", "view", "click", "purchase"),
+        7L * 86400L * 1000000000L)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("funnel_batches").start()
+    q.processAllAvailable()
+    // batch 2 (later event times): user 1 clicks then purchases — the
+    // chain must continue from batch-1 state (t1, t2 remembered); user 3
+    // signs up AFTER its stray view — depth becomes 1, the old view must
+    // NOT count as step 2 (it precedes t1)
+    writeBatch(2, Seq((1L, "click", 10 * m), (1L, "purchase", 11 * m),
+      (3L, "signup", 12 * m)))
+    q.processAllAvailable()
+    q.stop()
+    // Update mode: take each user's LAST emitted depth
+    val rows = spark.table("funnel_batches").collect()
+    val last = rows.zipWithIndex
+      .groupBy(_._1.getLong(0))
+      .map { case (u, rs) => u -> rs.maxBy(_._2)._1.getInt(1) }
+    assert(last(1L) === 4, s"user 1 should complete the funnel: $last")
+    assert(last(2L) === 1)
+    assert(last(3L) === 1, "pre-signup view must not count as a step")
+  }
+
   test("stream-stream interval join equals the batch join pair-for-pair") {
     val streamed = EventsStream.runToMemory(spark,
       EventsStream.purchaseErrorJoin(EventsStream.readStream(spark, dir)),
