@@ -66,6 +66,13 @@ object SqlShim {
   def execute(spark: SparkSession, dir: String, statement: String,
               session: Session = Session()): Either[Session, DataFrame] = {
     import spark.implicits._
+    // the SQL door gets the range/overlap-join rewrite even on stock
+    // sessions (the extensions-injected path needs spark.sql.extensions
+    // set at session build); idempotent
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[graft.plans.RangeJoinRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new graft.plans.RangeJoinRewrite
     statement.trim match {
       case s if s.equalsIgnoreCase("SHOW TABLES") =>
         Right(Seq("files", "dirs").toDF("tableName"))
