@@ -69,7 +69,11 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def enabled: Boolean =
     SQLConf.get.getConfString(EnabledKey, "true").toBoolean
   private def widthNs: Long =
-    SQLConf.get.getConfString(WidthKey, DefaultWidthNs.toString).toLong
+    // clamp: width ≤ 0 would make floorDiv emit null buckets and the
+    // rewritten join silently match NOTHING — a misconfiguration must
+    // not become a correctness bug
+    math.max(1L,
+      SQLConf.get.getConfString(WidthKey, DefaultWidthNs.toString).toLong)
 
   /** Normalize a comparison conjunct to (big, small) ≡ big ≥ small.
     * Bounds are arbitrary side-local expressions, not just columns —

@@ -160,7 +160,9 @@ class ExtensionsSpec extends AnyFunSuite {
       val truth = pairs()
       s2.conf.unset(graft.plans.RangeJoinRewrite.EnabledKey)
       assert(truth.size > 1000, s"weak fixture: ${truth.size} pairs")
-      for (w <- Seq(1L, 7L, 1000L, 99991L)) {
+      // 0 and negative exercise the clamp: a misconfigured width must
+      // not become silently-empty results
+      for (w <- Seq(0L, -5L, 1L, 7L, 1000L, 99991L)) {
         s2.conf.set(graft.plans.RangeJoinRewrite.WidthKey, w.toString)
         assert(pairs() === truth, s"width $w changed results")
       }
