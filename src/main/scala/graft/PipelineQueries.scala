@@ -1124,6 +1124,40 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), sum(col("gap")).as("gap_sum"))
     }),
 
+    // behavior transition matrix: consecutive same-user event-type pairs
+    // censused into a Markov-style (prev → next) matrix — per-user lag
+    // only (bounded histories), transition membership xor-pinned
+    "events_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(event_id)").as("event_xor"))
+    }),
+
+    // cumulative daily revenue: per-day aggregate FIRST (corpus shuffle
+    // reduces to one row per day), then the running sum windows over the
+    // days-sized frame — the orders twin of the distributed prefix-sum
+    // pattern (the naive cumulative window over raw orders sorts the
+    // whole fact table in one partition)
+    "orders_cumulative_revenue" -> ((s, d) => {
+      val byDay = Tables.orders(s, d)
+        .groupBy(expr(
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      byDay
+        .withColumn("cum_orders", sum(col("n_orders")).over(w))
+        .withColumn("cum_cents", sum(col("day_cents")).over(w))
+        .select(col("day"), col("n_orders"), col("cum_orders"), col("cum_cents"))
+    }),
+
     // set-difference audience: purchasers who never errored — distinct
     // reduction BEFORE the anti join, so the join ships user ids once
     // regardless of per-user event counts
@@ -3432,6 +3466,24 @@ object PipelineQueries {
        "SELECT event_type, CAST(LENGTH(CAST(gap AS VARCHAR)) AS INT) AS gap_digits, " +
        "COUNT(*) AS n, CAST(SUM(gap) AS BIGINT) AS gap_sum " +
        "FROM g WHERE gap IS NOT NULL GROUP BY 1, 2"),
+
+    "events_transitions" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS t FROM events), " +
+       "g AS (SELECT event_id, event_type AS next_type, " +
+       "LAG(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_type " +
+       "FROM e) " +
+       "SELECT prev_type, next_type, COUNT(*) AS n, bit_xor(event_id) AS event_xor " +
+       "FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2"),
+
+    "orders_cumulative_revenue" ->
+      ("WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, " +
+       "COUNT(*) AS n_orders, " +
+       "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents " +
+       "FROM orders GROUP BY 1) " +
+       "SELECT day, n_orders, " +
+       "CAST(SUM(n_orders) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_orders, " +
+       "CAST(SUM(day_cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents " +
+       "FROM d"),
 
     "events_purchasers_no_error" ->
       ("SELECT COUNT(*) AS n_users, COALESCE(bit_xor(user_id), 0) AS user_xor FROM " +
