@@ -132,6 +132,23 @@ object PipelineQueries {
           round(col("o_totalprice") * 100).cast("long").as("total_cents"))
     }),
 
+    // TPC-H Q4-style: orders with at least one SLOW lineitem (shipped
+    // > 90 days after the order date), counted by priority — a LEFT SEMI
+    // join: the fact side reduces to order keys once, no duplicate
+    // explosion from multi-lineitem matches, no distinct shuffle after
+    "q4_slow_orders" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val slow = ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate").cast("timestamp").cast("long") >
+          (col("o_orderdate").cast("timestamp").cast("long") + 90L * 86400L),
+        "left_semi")
+      slow.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("bit_xor(o_orderkey)").as("order_xor"))
+    }),
+
     // TPC-H Q6-style: pure selective scan — every predicate pushes down
     "q6_selective_revenue" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1123,6 +1140,16 @@ object PipelineQueries {
           length(col("gap").cast("string")).as("gap_digits"))
         .agg(count(lit(1)).as("n"), sum(col("gap")).as("gap_sum"))
     }),
+
+    // activity heatmap: (day-of-week × hour-of-day) census in pure
+    // integer arithmetic (epoch day 0 = Thursday → dow = (d + 4) % 7,
+    // 0 = Sunday) — no date/tz functions to disagree across engines
+    "events_dow_hour_heatmap" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(expr("(ts div 86400000000000 + 4) % 7").as("dow"),
+          expr("(ts div 3600000000000) % 24").as("hour"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n"))),
 
     // behavior transition matrix: consecutive same-user event-type pairs
     // censused into a Markov-style (prev → next) matrix — per-user lag
@@ -3466,6 +3493,20 @@ object PipelineQueries {
        "SELECT event_type, CAST(LENGTH(CAST(gap AS VARCHAR)) AS INT) AS gap_digits, " +
        "COUNT(*) AS n, CAST(SUM(gap) AS BIGINT) AS gap_sum " +
        "FROM g WHERE gap IS NOT NULL GROUP BY 1, 2"),
+
+    "events_dow_hour_heatmap" ->
+      ("SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow, " +
+       "(epoch_ns(ts) // 3600000000000) % 24 AS hour, COUNT(*) AS n " +
+       "FROM events GROUP BY 1, 2"),
+
+    "q4_slow_orders" ->
+      ("SELECT o_orderpriority, COUNT(*) AS n_orders, " +
+       "bit_xor(o_orderkey) AS order_xor FROM orders o " +
+       "WHERE EXISTS (SELECT 1 FROM lineitem l " +
+       "WHERE l.l_orderkey = o.o_orderkey " +
+       "AND epoch_us(l.l_shipdate) // 1000000 > " +
+       "epoch_us(o.o_orderdate) // 1000000 + 7776000) " +
+       "GROUP BY 1"),
 
     "events_transitions" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS t FROM events), " +
