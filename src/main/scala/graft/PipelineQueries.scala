@@ -149,6 +149,21 @@ object PipelineQueries {
           expr("bit_xor(o_orderkey)").as("order_xor"))
     }),
 
+    // TPC-H Q10-style: revenue lost to returns, top-20 customers —
+    // selective returnflag filter at the scan, broadcast customer dim,
+    // deterministic TakeOrdered tiebreak
+    "q10_returned_customers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(revenueCents).as("revenue_centpct"))
+        .orderBy(col("revenue_centpct").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // TPC-H Q6-style: pure selective scan — every predicate pushes down
     "q6_selective_revenue" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -3498,6 +3513,15 @@ object PipelineQueries {
       ("SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow, " +
        "(epoch_ns(ts) // 3600000000000) % 24 AS hour, COUNT(*) AS n " +
        "FROM events GROUP BY 1, 2"),
+
+    "q10_returned_customers" ->
+      ("SELECT c_custkey, c_name, " +
+       "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+       "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_centpct " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "WHERE l_returnflag = 'R' GROUP BY 1, 2 " +
+       "ORDER BY revenue_centpct DESC, c_custkey ASC LIMIT 20"),
 
     "q4_slow_orders" ->
       ("SELECT o_orderpriority, COUNT(*) AS n_orders, " +
