@@ -343,6 +343,36 @@ class PlanSpec extends AnyFunSuite {
       s"expected BOTH sides' bucket explodes:\n$plan")
   }
 
+  test("q4: existence check is a LEFT SEMI join, no distinct after") {
+    val plan = formatted("q4_slow_orders")
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+    // semi join already emits each order once — a post-join distinct
+    // aggregation would mean the plan regressed to inner + dedup
+    assert(!plan.contains("Deduplicate"), s"no dedup after the semi:\n$plan")
+  }
+
+  test("q10: customer dim broadcasts; top-20 is TakeOrdered") {
+    val plan = formatted("q10_returned_customers")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must short-circuit, not globally sort:\n$plan")
+  }
+
+  test("twa: phase-1 window partitions by (type, day-bucket), never type alone") {
+    val plan = formatted("events_twa")
+    val windows = "\\(\\d+\\) Window".r.findAllIn(plan).size
+    assert(windows === 2, s"expected the two-phase window pair:\n$plan")
+    // the events-sized window must include the day bucket in its
+    // partition spec — partitioning by event_type alone is the
+    // corpus-sized-partition scale killer the two-phase shape exists
+    // to avoid
+    val firstWindowArgs = plan.linesIterator
+      .dropWhile(!_.contains("windowspecdefinition"))
+      .take(1).mkString
+    assert(firstWindowArgs.contains("bkt"),
+      s"phase-1 window lost the bucket key:\n$firstWindowArgs")
+  }
+
   test("native sessionization runs in the session-merging aggregate, not a window") {
     val plan = formatted("events_sessions_native")
     assert(plan.contains("MergingSessions"),
