@@ -1326,8 +1326,13 @@ object PipelineQueries {
         .withColumn("nts", lead("ts", 1).over(wIn))
         .groupBy(col("event_type"), col("bkt"))
         .agg(
+          // v_cents is cast to decimal BEFORE the multiply: a long*long
+          // product wraps silently past Long.Max in non-ANSI mode, while
+          // the oracle multiplies in HUGEINT — the product itself must be
+          // decimal, not just the sum.
           sum(when(col("nts").isNotNull,
-            (col("v_cents") * (col("nts") - col("ts"))).cast(dec))).as("num_in"),
+            col("v_cents").cast(dec) * (col("nts") - col("ts")).cast(dec)))
+            .cast(dec).as("num_in"),
           sum(when(col("nts").isNotNull,
             (col("nts") - col("ts")).cast(dec))).as("den_in"),
           count(lit(1)).as("n_events"),
@@ -1336,7 +1341,8 @@ object PipelineQueries {
       perBucket
         .withColumn("next_first", lead("first_ts", 1).over(wAcross))
         .withColumn("bnum", when(col("next_first").isNotNull,
-          (col("last.v_cents") * (col("next_first") - col("last.ts"))).cast(dec)))
+          (col("last.v_cents").cast(dec) *
+            (col("next_first") - col("last.ts")).cast(dec)).cast(dec)))
         .withColumn("bden", when(col("next_first").isNotNull,
           (col("next_first") - col("last.ts")).cast(dec)))
         .groupBy(col("event_type"))
