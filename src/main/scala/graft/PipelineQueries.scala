@@ -568,10 +568,7 @@ object PipelineQueries {
     // turns the would-be BroadcastNestedLoop into an equi-join; same
     // oracle as events_overlap_join
     "events_overlap_join_rule" -> ((s, d) => {
-      if (!s.experimental.extraOptimizations.exists(
-          _.isInstanceOf[plans.RangeJoinRewrite]))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ new plans.RangeJoinRewrite
+      plans.RangeJoinRewrite.install(s)
       val ev = Tables.events(s, d)
       val dayNs = 86400L * 1000000000L
       val tw = ev.groupBy(col("event_type")).agg(min(col("ts")).as("t_start"))
@@ -613,10 +610,7 @@ object PipelineQueries {
     // rewrites it to the bucketized equi-join automatically. Same oracle
     // as events_range_join: the rewrite must be invisible in results
     "events_range_join_rule" -> ((s, d) => {
-      if (!s.experimental.extraOptimizations.exists(
-          _.isInstanceOf[plans.RangeJoinRewrite]))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ new plans.RangeJoinRewrite
+      plans.RangeJoinRewrite.install(s)
       val ev = Tables.events(s, d)
       val dayNs = 86400L * 1000000000L
       val iv = ev.groupBy(col("event_type").as("itype"))

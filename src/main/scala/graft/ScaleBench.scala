@@ -626,10 +626,7 @@ object ScaleBench {
       // the OPTIMIZER-RULE path over the same 10M points × 1010
       // intervals, written as the naive BETWEEN join a user would type —
       // must match the manual operator's hit count and never BNLJ
-      if (!spark.experimental.extraOptimizations.exists(
-          _.isInstanceOf[graft.plans.RangeJoinRewrite]))
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ new graft.plans.RangeJoinRewrite
+      graft.plans.RangeJoinRewrite.install(spark)
       val typical = spark.range(1000).select(col("id").as("iid"),
         (col("id") * 6000000000000L).as("s"))
         .withColumn("e", col("s") + 600000000000L)

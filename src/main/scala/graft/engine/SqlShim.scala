@@ -68,11 +68,8 @@ object SqlShim {
     import spark.implicits._
     // the SQL door gets the range/overlap-join rewrite even on stock
     // sessions (the extensions-injected path needs spark.sql.extensions
-    // set at session build); idempotent
-    if (!spark.experimental.extraOptimizations.exists(
-        _.isInstanceOf[graft.plans.RangeJoinRewrite]))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ new graft.plans.RangeJoinRewrite
+    // set at session build); synchronized + idempotent
+    graft.plans.RangeJoinRewrite.install(spark)
     statement.trim match {
       case s if s.equalsIgnoreCase("SHOW TABLES") =>
         Right(Seq("files", "dirs").toDF("tableName"))
@@ -92,7 +89,62 @@ object SqlShim {
         Right(graft.api.NNAQuery.execute(q, InodeView.snapshot(spark, dir)))
       case sql =>
         register(spark, dir)
-        Right(spark.sql(sql))
+        Right(tuneRangeJoinWidth(spark, spark.sql(sql)))
     }
+  }
+
+  /** Data-driven bucket width through the SQL door: the optimizer rule
+    * ([[graft.plans.RangeJoinRewrite]]) cannot run an aggregation
+    * mid-optimization, so its width is a conf — and the static default
+    * silently multiplies candidate fan-out by span/width on intervals
+    * much longer than it. The door CAN aggregate: detect the naive
+    * range-join shape in the ANALYZED plan, size the width like
+    * `RangeJoin.autoBucketWidth` (p95 interval span, a 2-scalar
+    * aggregate over the caller's own interval subtree), then force
+    * optimization while the conf is set. `QueryExecution.optimizedPlan`
+    * is memoized, so the tuned width is baked into THIS query; the conf
+    * is restored right after, and the set+optimize runs under the
+    * session lock so concurrent door queries cannot clobber each other's
+    * width. An explicitly-configured width wins — the tuner only fills
+    * the default. */
+  private[engine] def tuneRangeJoinWidth(spark: SparkSession,
+                                         df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{ofRows, toColumn}
+    import org.apache.spark.sql.catalyst.expressions.Subtract
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import graft.plans.RangeJoinRewrite
+    import RangeJoinRewrite.{OverlapShape, PointShape, WidthKey}
+    if (spark.conf.getOption(WidthKey).isDefined) return df
+    val hits = df.queryExecution.analyzed.collect {
+      case j: Join => RangeJoinRewrite.detect(j).map(j -> _)
+    }.flatten
+    if (hits.nonEmpty) {
+      // pool every detected shape's interval spans (overlap pools both
+      // sides, mirroring RangeJoin.intervalOverlapJoinAuto); with several
+      // range joins in one statement the pooled p95 is a compromise —
+      // per-join widths would need per-join confs the rule doesn't have
+      val spans = hits.map { case (j, shape) =>
+        shape match {
+          case PointShape(_, s, e, pointIsLeft) =>
+            val side = if (pointIsLeft) j.right else j.left
+            ofRows(spark, side).select(toColumn(Subtract(e, s)).as("span"))
+          case OverlapShape(ls, le, rs, re) =>
+            ofRows(spark, j.left)
+              .select(toColumn(Subtract(le, ls)).as("span"))
+              .unionAll(ofRows(spark, j.right)
+                .select(toColumn(Subtract(re, rs)).as("span")))
+        }
+      }.reduce(_ unionAll _)
+      val r = spans.agg(expr("approx_percentile(span, 0.95)"),
+        count(lit(1))).head
+      val w = if (r.isNullAt(0) || r.getLong(1) == 0L) 1L
+              else math.max(1L, r.getLong(0))
+      spark.synchronized {
+        spark.conf.set(WidthKey, w.toString)
+        try { df.queryExecution.optimizedPlan; () }
+        finally spark.conf.unset(WidthKey)
+      }
+    }
+    df
   }
 }

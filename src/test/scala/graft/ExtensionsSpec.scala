@@ -102,8 +102,13 @@ class ExtensionsSpec extends AnyFunSuite {
       val q = s2.sql(
         "SELECT pid, iid FROM pts JOIN ivs ON ts BETWEEN s AND e")
       val plan = q.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoop"),
-        s"range join must not plan as BNLJ:\n$plan")
+      // the main branch is the bucketized equi-join; the whale branch
+      // (runtime-empty here, AQE removes it on execution) is the only
+      // place a nested-loop may remain
+      assert(plan.contains("__graft_bucket"),
+        s"expected the bucket equi-key:\n$plan")
+      assert("BroadcastNestedLoop".r.findAllIn(plan).size <= 1,
+        s"only the whale fallback branch may nest-loop:\n$plan")
       assert(plan.contains("Generate explode"),
         s"expected the interval bucket explode:\n$plan")
       val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -131,7 +136,7 @@ class ExtensionsSpec extends AnyFunSuite {
       val inline = "SELECT pid, iid FROM pts JOIN ivs " +
         "ON ts >= s AND ts <= s + 3600000000000"
       val qi = s2.sql(inline)
-      assert(!qi.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"),
+      assert(qi.queryExecution.executedPlan.toString.contains("__graft_bucket"),
         "expression bounds must rewrite too")
       val gotI = qi.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       s2.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
@@ -173,6 +178,66 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("whale intervals route through the capped fallback branch, not the explode") {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      // a WHALE: span 10^15 at width 1 → 10^15 buckets; the pre-cap
+      // rewrite would hand Sequence a 10^15-element range (hard failure
+      // past ~2^31, row explosion long before). With the cap the whale
+      // takes the original-join branch and the query completes exactly.
+      val points = (0 until 1000).map(i => (i.toLong, i * 1000000L))
+        .toDF("pid", "ts")
+      val ivs = Seq(
+        (1L, 0L, 1000000000000000L), // whale at any sane width
+        (2L, 5000000L, 6000000L),    // normal
+        (3L, -1000L, 2000000L))      // normal, negative start
+        .toDF("iid", "s", "e")
+      points.createOrReplaceTempView("wpts")
+      ivs.createOrReplaceTempView("wivs")
+      val sql = "SELECT pid, iid FROM wpts JOIN wivs ON ts BETWEEN s AND e"
+      def pairs() = s2.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      s2.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
+      val truth = pairs()
+      s2.conf.unset(graft.plans.RangeJoinRewrite.EnabledKey)
+      assert(truth.count(_._2 == 1L) === 1000, "whale covers every point")
+      // width 1 ns: every interval is a whale unless capped — the old
+      // rewrite dies here; the capped one must match truth
+      s2.conf.set(graft.plans.RangeJoinRewrite.WidthKey, "1")
+      assert(pairs() === truth, "width=1 with whales changed results")
+      s2.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
+      // tiny cap: EVERY interval becomes a whale → pure fallback path,
+      // still exact (graceful degradation to the pre-rewrite plan)
+      s2.conf.set(graft.plans.RangeJoinRewrite.MaxFanoutKey, "1")
+      assert(pairs() === truth, "cap=1 (all-whale) changed results")
+      s2.conf.unset(graft.plans.RangeJoinRewrite.MaxFanoutKey)
+      // overlap shape with a whale on one side
+      Seq((10L, 0L, 1000000000000000L), (11L, 100L, 200L))
+        .toDF("iid", "ls", "le").createOrReplaceTempView("wliv")
+      Seq((20L, 50L, 150L), (21L, 500000000000L, 500000000001L))
+        .toDF("jid", "rs", "re").createOrReplaceTempView("wriv")
+      val osql = "SELECT iid, jid FROM wliv JOIN wriv ON ls <= re AND rs <= le"
+      def opairs() = s2.sql(osql).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      s2.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
+      val otruth = opairs()
+      s2.conf.unset(graft.plans.RangeJoinRewrite.EnabledKey)
+      s2.conf.set(graft.plans.RangeJoinRewrite.WidthKey, "1")
+      assert(opairs() === otruth, "overlap whales changed results")
+      s2.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
   test("naive interval-overlap join rewrites to the canonical-bucket equi-join") {
     val base = TestSpark.spark
     SparkSession.clearActiveSession()
@@ -193,8 +258,10 @@ class ExtensionsSpec extends AnyFunSuite {
       val sql = "SELECT iid, jid FROM liv JOIN riv ON ls <= re AND rs <= le"
       val q = s2.sql(sql)
       val plan = q.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoop"),
-        s"overlap join must not plan as BNLJ:\n$plan")
+      assert(plan.contains("__graft_bucket"),
+        s"expected the bucket equi-key:\n$plan")
+      assert("BroadcastNestedLoop".r.findAllIn(plan).size <= 2,
+        s"only the two whale fallback branches may nest-loop:\n$plan")
       assert(plan.contains("Generate explode"),
         s"expected both-side bucket explodes:\n$plan")
       def pairs() = s2.sql(sql).collect()

@@ -329,16 +329,23 @@ class PlanSpec extends AnyFunSuite {
 
   test("range-join optimizer rule: the naive BETWEEN query plans as an equi-join") {
     val plan = formatted("events_range_join_rule")
-    assert(!plan.contains("BroadcastNestedLoop"),
-      s"the rewrite must remove the BNLJ:\n$plan")
+    // the main branch is the bucketized equi-join; the whale fallback
+    // branch (runtime-empty, AQE-eliminated) is the one place a
+    // nested-loop may remain
+    assert(plan.contains("__graft_bucket"),
+      s"expected the bucket equi-key:\n$plan")
+    assert("\\(\\d+\\) BroadcastNestedLoop".r.findAllIn(plan).size <= 1,
+      s"only the whale fallback branch may nest-loop:\n$plan")
     assert(plan.contains("Generate"),
       s"expected the interval bucket explode:\n$plan")
   }
 
   test("overlap-join optimizer rule: the naive query plans as an equi-join") {
     val plan = formatted("events_overlap_join_rule")
-    assert(!plan.contains("BroadcastNestedLoop"),
-      s"the rewrite must remove the BNLJ:\n$plan")
+    assert(plan.contains("__graft_bucket"),
+      s"expected the bucket equi-key:\n$plan")
+    assert("\\(\\d+\\) BroadcastNestedLoop".r.findAllIn(plan).size <= 2,
+      s"only the whale fallback branches may nest-loop:\n$plan")
     assert("\\(\\d+\\) Generate".r.findAllIn(plan).size === 2,
       s"expected BOTH sides' bucket explodes:\n$plan")
   }

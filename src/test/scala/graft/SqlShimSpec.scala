@@ -146,4 +146,46 @@ class SqlShimSpec extends AnyFunSuite {
       "CAST(FLOOR(AVG(fileSize)) AS BIGINT) AS av FROM files WHERE fileSize > 0").head()
     assert(r.getLong(0) <= r.getLong(2) && r.getLong(2) <= r.getLong(1))
   }
+
+  test("SQL door auto-tunes the range-join bucket width from the interval data") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    val monthNs = 30L * dayNs
+    // planted MONTH-long intervals: under the rule's static 1 h default
+    // each would fan out to ~720 bucket rows; the door must size the
+    // width from the data (p95 span = exactly monthNs here — all spans
+    // equal) so fan-out is ≤ 2 buckets per interval
+    (0 until 20).map(i => (i.toLong, i * 35L * dayNs))
+      .toDF("iid", "ws").withColumn("we", $"ws" + monthNs)
+      .createOrReplaceTempView("month_ivs")
+    (0 until 3000).map(i => (i.toLong, i * 6L * 3600L * 1000000000L))
+      .toDF("pid", "ts").createOrReplaceTempView("door_pts")
+    val sql = "SELECT pid, iid FROM door_pts JOIN month_ivs " +
+      "ON ts BETWEEN ws AND we"
+    val df = run(sql)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__graft_bucket"), s"door SQL must rewrite:\n$opt")
+    assert(opt.contains(monthNs.toString),
+      s"expected the data-driven width $monthNs in the plan:\n$opt")
+    assert(!opt.contains(
+      graft.plans.RangeJoinRewrite.DefaultWidthNs.toString),
+      "the static default width must not survive auto-tuning")
+    // conf restored: the tuned width is baked into the memoized plan only
+    assert(spark.conf.getOption(
+      graft.plans.RangeJoinRewrite.WidthKey).isEmpty)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(graft.plans.RangeJoinRewrite.EnabledKey, "false")
+    val truth = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.unset(graft.plans.RangeJoinRewrite.EnabledKey)
+    assert(got === truth && truth.size > 1000, s"auto-width changed results")
+    // an explicitly configured width wins over the tuner
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthKey, dayNs.toString)
+    try {
+      val pinned = run(sql).queryExecution.optimizedPlan.toString
+      assert(pinned.contains(dayNs.toString) &&
+        !pinned.contains(monthNs.toString),
+        "explicit width conf must not be overridden by the tuner")
+    } finally spark.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
+  }
 }
