@@ -180,6 +180,17 @@ object IngestQueries {
         max(col("id")).as("max_id"),
         countDistinct(col("id")).as("distinct_ids"))),
 
+    // special-bits permission parity (setuid/setgid/sticky): the
+    // reference renders toOctalString(permShort)
+    // (AbstractQueryEngine.java:193) so a sticky dir is 1777 — both the
+    // XML and binary doors must carry the 4-digit form; the fixture
+    // plants 1777 (/tmp), 2775 (/user/shared) and 4755 files
+    "nna_ingest_special_perms" -> ((s, _) =>
+      xmlInodes(s).where(col("permission") >= 1000)
+        .select(lit("xml").as("door"), col("path"), col("permission"))
+        .unionAll(binInodes(s).where(col("permission") >= 1000)
+          .select(lit("bin").as("door"), col("path"), col("permission")))),
+
     // edit-log parse (`hdfs oev -p XML` rendering): per-opcode census of
     // the typed ops frame — txid range + finalized bytes, oracle-checked
     // against the authored ops table
@@ -338,6 +349,13 @@ WITH eops AS (
         CAST(SUM(('0x' || substr(md5(path), 1, 15))::BIGINT % 2147483647) AS BIGINT)
           AS path_hash_sum
       FROM oivxml GROUP BY depth"""),
+
+    "nna_ingest_special_perms" -> xmlOracle("""
+      SELECT 'xml' AS door, path, permission FROM oivxml
+      WHERE permission >= 1000
+      UNION ALL
+      SELECT 'bin' AS door, path, permission FROM oivxml
+      WHERE permission >= 1000"""),
 
     "nna_ingest_bin_flags" -> xmlOracle("""
       SELECT

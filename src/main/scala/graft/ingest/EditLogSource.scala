@@ -97,10 +97,13 @@ object EditLogSource {
       StructField("PERMISSION_STATUS", permType))))))
 
   /** Decimal-of-octal mode (OEV `<MODE>493</MODE>` = 0755) → the engine's
-    * permission convention: last three octal digits kept as decimal
-    * digits (755). Pure arithmetic, stays in codegen. */
+    * permission convention: octal digits kept as decimal digits
+    * INCLUDING the special-bits digit (0o1777=1023 → 1777), matching the
+    * reference's `toOctalString(permShort)` rendering. Pure arithmetic,
+    * stays in codegen. */
   private def octalTriad(mode: org.apache.spark.sql.Column) =
-    (mode % 8) + (floor(mode / 8) % 8) * 10 + (floor(mode / 64) % 8) * 100
+    (mode % 8) + (floor(mode / 8) % 8) * 10 + (floor(mode / 64) % 8) * 100 +
+      (floor(mode / 512) % 8) * 1000
 
   /** Parse an OEV XML segment into the typed ops frame: one row per
     * RECORD — (txid, opcode, path, dst, inodeId, user, group, permission,

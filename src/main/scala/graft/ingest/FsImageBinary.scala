@@ -274,7 +274,9 @@ object FsImageBinary {
   private def permString(perm: Long, strings: Map[Long, String]): String = {
     val user = strings.getOrElse((perm >>> 40) & 0xffffffL, "unknown")
     val group = strings.getOrElse((perm >>> 16) & 0xffffffL, "unknown")
-    s"$user:$group:${java.lang.Long.toOctalString(perm & 0xffffL)}"
+    // 0xfff: the 12 mode bits incl. setuid/setgid/sticky — rendered like
+    // the reference's toOctalString(permShort), so a sticky dir is "1777"
+    s"$user:$group:${java.lang.Long.toOctalString(perm & 0xfffL)}"
   }
 
   /** Stream-decode the INODE section into [[InodeFull]] records.

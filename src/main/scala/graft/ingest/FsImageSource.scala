@@ -65,6 +65,16 @@ object FsImageSource {
       when(substring(perm, off + 1, 1) === "w", 2L).otherwise(0L) +
       when(substring(perm, off + 2, 1).isin("x", "s", "t"), 1L).otherwise(0L)
 
+  /** The special-bits octal digit from the symbolic rendering: `s`/`S`
+    * in the user-execute slot = setuid (4), in the group-execute slot =
+    * setgid (2), `t`/`T` in the other-execute slot = sticky (1). Kept as
+    * the thousands digit so a sticky dir reads `1777` — the reference's
+    * `toOctalString(permShort)` rendering (`AbstractQueryEngine.java:193`). */
+  private def specialDigit(perm: Column): Column =
+    when(substring(perm, 4, 1).isin("s", "S"), 4L).otherwise(0L) +
+      when(substring(perm, 7, 1).isin("s", "S"), 2L).otherwise(0L) +
+      when(substring(perm, 10, 1).isin("t", "T"), 1L).otherwise(0L)
+
   /** `yyyy-MM-dd HH:mm` (the dump's date rendering) → epoch millis (UTC). */
   private def epochMs(c: Column): Column =
     unix_millis(to_timestamp(c, "yyyy-MM-dd HH:mm"))
@@ -110,7 +120,8 @@ object FsImageSource {
       isFile.as("isFile"),
       col("UserName").as("user"),
       col("GroupName").as("group"),
-      (triad(perm, 2) * 100 + triad(perm, 5) * 10 + triad(perm, 8)).as("permission"),
+      (specialDigit(perm) * 1000 + triad(perm, 2) * 100 + triad(perm, 5) * 10
+        + triad(perm, 8)).as("permission"),
       epochMs(col("AccessTime")).as("accessTime"),
       epochMs(col("ModificationTime")).as("modTime"),
       col("FileSize").as("fileSize"),
@@ -188,7 +199,10 @@ WITH raw AS (
          ELSE length(Path) - length(replace(Path, '/', '')) END AS depth,
     NOT starts_with(Permission, 'd') AS isFile,
     UserName AS "user", GroupName AS "group",
-    (CASE WHEN substr(Permission, 2, 1) = 'r' THEN 4 ELSE 0 END
+    (CASE WHEN substr(Permission, 4, 1) IN ('s','S') THEN 4 ELSE 0 END
+     + CASE WHEN substr(Permission, 7, 1) IN ('s','S') THEN 2 ELSE 0 END
+     + CASE WHEN substr(Permission, 10, 1) IN ('t','T') THEN 1 ELSE 0 END) * 1000
+    + (CASE WHEN substr(Permission, 2, 1) = 'r' THEN 4 ELSE 0 END
      + CASE WHEN substr(Permission, 3, 1) = 'w' THEN 2 ELSE 0 END
      + CASE WHEN substr(Permission, 4, 1) IN ('x','s','t') THEN 1 ELSE 0 END) * 100
     + (CASE WHEN substr(Permission, 5, 1) = 'r' THEN 4 ELSE 0 END

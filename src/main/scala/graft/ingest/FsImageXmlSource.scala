@@ -32,9 +32,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * the inode read filters `type IS NOT NULL` to keep only real records.
   *
   * Format conventions (mirroring `PBImageXmlWriter` output):
-  *   - `<permission>user:group:0755</permission>`; we keep the last three
-  *     octal digits as decimal digits (sticky `1777` → `777`) — identical
-  *     to the Delimited triad parse.
+  *   - `<permission>user:group:0755</permission>`; we keep the octal
+  *     digits as decimal digits INCLUDING the special-bits digit
+  *     (sticky `1777` → `1777`, matching the reference's
+  *     `toOctalString(permShort)` rendering) — identical to the
+  *     Delimited symbolic parse.
   *   - nsquota `9223372036854775807` (the unlimited sentinel) → −1 (unset).
   *   - EC files carry `<ecPolicyId>` and no `<replication>`.
   *   - `isWithSnapshot` = inode lies in the subtree (inclusive) of a
@@ -146,9 +148,13 @@ object FsImageXmlSource {
     resolved
   }
 
-  /** Last three octal digits of "user:group:0755" as decimal digits. */
+  /** Octal digits of "user:group:0755" as decimal digits, KEEPING the
+    * special-bits digit — the reference renders
+    * `Integer.toOctalString(permShort)` (`AbstractQueryEngine.java:193`),
+    * so a sticky-bit dir is `1777`, a setuid file `4755`; the plain cast
+    * drops a leading zero exactly like toOctalString ("0755" → 755). */
   private def permOctal(perm: Column): Column =
-    substring(substring_index(perm, ":", -1), -3, 3).cast("long")
+    substring_index(perm, ":", -1).cast("long")
 
   /** NORMALIZED raw-inode shape both fsimage front doors (XML parse,
     * binary decode) reduce to before the shared [[derive]]: blocks

@@ -149,7 +149,7 @@ class EditLogSpec extends AnyFunSuite {
     // attribute patches landed: replication, owner, perms, times, quota
     assert(byPath("/data/raw/2026/jan.log").getAs[Long]("fileReplica") === 2L)
     assert(byPath("/data/clean").getAs[String]("user") === "carol")
-    assert(byPath("/tmp").getAs[Long]("permission") === 750L)
+    assert(byPath("/tmp").getAs[Long]("permission") === 1750L) // sticky kept
     assert(byPath("/user/alice").getAs[Long]("modTime") === 1735700500000L)
     assert(byPath("/user/bob").getAs[Long]("nsQuota") === 500L)
     // storage policy, truncate (size + mtime, blocks kept), append reopen

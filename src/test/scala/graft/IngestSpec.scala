@@ -32,7 +32,9 @@ class IngestSpec extends AnyFunSuite {
 
   test("permission parse: octal, sticky bit, ACL flag") {
     val tmp = inodes.where(col("path") === "/tmp").head()
-    assert(tmp.getAs[Long]("permission") === 777L) // drwxrwxrwt: t => x
+    // drwxrwxrwt: the sticky bit is the thousands digit (reference
+    // renders toOctalString(permShort) → 1777), t implies the x bit
+    assert(tmp.getAs[Long]("permission") === 1777L)
     assert(
       inodes.where(col("permission") === 644L && col("isFile")).count() > 0)
     // '+' suffix rows carry hasAcl and still parse their mode
@@ -154,7 +156,7 @@ class IngestSpec extends AnyFunSuite {
     viaXml.foreach { case (id, xmlRow) =>
       assert(viaBin(id) === xmlRow, s"inode $id differs")
     }
-    assert(viaXml.size === 44)
+    assert(viaXml.size === 45)
   }
 
   test("real-Hadoop sections are tolerated, never ingested as inodes") {
@@ -183,7 +185,7 @@ class IngestSpec extends AnyFunSuite {
       byOffset)
     val viaXml = graft.ingest.FsImageXmlSource
       .inodes(spark, IngestQueries.XmlPath)
-    assert(viaXml.count() === 44) // diff-section ghost stubs dropped
+    assert(viaXml.count() === 45) // diff-section ghost stubs dropped
     assert(viaXml.where(col("name").startsWith("ghost_")).count() === 0)
     // ACL presence decoded from REAL packed entries; EC policy ids from
     // files that also carry blockType

@@ -28,8 +28,8 @@ adds into it — the interleaving that breaks any apply that reorders
 creations across structural ops.
 
 MODE in OEV XML is the decimal of the full octal mode (0755 -> 493); the
-engine keeps the last three octal digits as decimal digits (755), exactly
-like its fsimage permission parse.
+engine keeps the octal digits as decimal digits INCLUDING the special-bits
+digit (0o1750=1000 -> 1750), exactly like its fsimage permission parse.
 
 Regenerate with: python3 tools/gen_editlog.py
 """
@@ -60,7 +60,7 @@ OPS = [
                          blocks=[20000000, 14500000])),
     (7, "OP_SET_REPLICATION", dict(path="/data/raw/2026/jan.log", repl=2)),
     (8, "OP_SET_OWNER", dict(path="/data/clean", usr="carol", grp="data")),
-    (9, "OP_SET_PERMISSIONS", dict(path="/tmp", mode="750")),
+    (9, "OP_SET_PERMISSIONS", dict(path="/tmp", mode="1750")),  # keeps sticky
     (10, "OP_TIMES", dict(path="/user/alice", mtime=1735700500000,
                           atime=-1)),
     (11, "OP_SET_QUOTA", dict(path="/user/bob", nsq=500, dsq=-1)),

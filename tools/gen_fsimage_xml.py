@@ -54,6 +54,9 @@ d(16395, "/tmp", perm="1777", mtime=1672531800000)
 d(16396, "/empty", mtime=1735689540000)
 d(16397, "/snap", mtime=1680000000000, snap_root=True)
 d(16398, "/snap/deep", mtime=1680086400000)
+# special-bits coverage: a setgid shared dir (2775) — with /tmp's sticky
+# 1777 and the setuid file below, all three special bits hit the doors
+d(16399, "/user/shared", "hdfs", "eng", perm="2775", mtime=1690000000000)
 
 leaf_dirs = ["/data/raw/2024", "/data/raw/2025", "/data/clean",
              "/user/alice", "/user/bob/proj", "/tmp", "/snap/deep"]
@@ -69,6 +72,8 @@ if N_FILES > 30:
         nid += 1
 users = [("alice", "eng"), ("bob", "eng"), ("carol", "data"), ("hdfs", "hdfs")]
 exts = [".parquet", ".csv", ".log", ".gz", ""]
+# every 17th file is setuid (4755) — special-bits digit through the
+# file path of all three ingest doors
 perms = ["0644", "0755", "0660", "0644"]
 spids = [0, 2, 5, 7, 10, 12]   # storage policies incl. COLD/WARM/HOT/SSD
 
@@ -94,7 +99,8 @@ for i in range(N_FILES):
     # real Hadoop built-in policy ids (SystemErasureCodingPolicies):
     # 2=RS-3-2-1024k, 1=RS-6-3-1024k, 5=RS-10-4-1024k
     ecpid = [2, 1, 5][(i // 9) % 3] if ec else 0
-    files.append((fid, path, user, grp, perms[i % 4], mtime, atime, bs,
+    fperm = "4755" if i % 17 == 13 else perms[i % 4]
+    files.append((fid, path, user, grp, fperm, mtime, atime, bs,
                   blocks, spids[i % 6], ec, uc, acl, repl, ecpid))
 
 # ---- XML ----
@@ -218,12 +224,12 @@ flat = ["id,path,is_file,usr,grp,perm,mtime_ms,atime_ms,block_size,"
         "has_acl,ns_quota,ds_quota,is_snap_root,ec_policy"]
 for (id_, path, user, grp, perm, mtime, nsq, dsq, snap) in dirs:
     nsq_truth = -1 if nsq == QUOTA_UNLIMITED else nsq
-    flat.append(f"{id_},{path},false,{user},{grp},{int(perm[-3:])},{mtime},"
+    flat.append(f"{id_},{path},false,{user},{grp},{int(perm)},{mtime},"
                 f"{mtime},0,0,0,0,0,false,false,false,{nsq_truth},{dsq},"
                 f"{str(snap).lower()},0")
 for (fid, path, user, grp, perm, mtime, atime, bs, blocks, spid, ec, uc,
      acl, repl, ecpid) in files:
-    flat.append(f"{fid},{path},true,{user},{grp},{int(perm[-3:])},{mtime},"
+    flat.append(f"{fid},{path},true,{user},{grp},{int(perm)},{mtime},"
                 f"{atime},{bs},{len(blocks)},{sum(blocks)},{repl},{spid},"
                 f"{str(ec).lower()},{str(uc).lower()},{str(acl).lower()},"
                 f"-1,-1,false,{ecpid}")
