@@ -265,6 +265,101 @@ object EditLogSource {
       .start()
   }
 
+  /** Durable variant of [[tail]]: survives a restart without re-replaying
+    * history. The plain tail keeps the replayed snapshot in a driver
+    * `var` — correct only because its temp checkpoint dies with the
+    * query; give it a durable `checkpointLocation` naively and a restart
+    * would SKIP the processed segments (file-source offsets persisted)
+    * while `current` reset to `initial`: a silently stale namespace.
+    *
+    * Here the snapshot is persisted WITH the offsets, batch-atomically:
+    *
+    *   - the stream's own checkpoint (offsets + seen-files log) lives at
+    *     `<checkpointDir>/stream`, so a restarted query never re-reads a
+    *     processed segment;
+    *   - each batch writes the post-apply snapshot to
+    *     `<checkpointDir>/snapshots/batch=<id>` and then creates the
+    *     `_COMMIT_<id>` marker (a single atomic file create). Restart
+    *     resumes from the highest committed marker.
+    *
+    * foreachBatch is at-least-once — Spark may re-run the LAST batch
+    * after a crash (offsets are WAL'd before the batch, committed after).
+    * The marker makes the apply idempotent: a re-delivered batch with
+    * `id ≤ lastCommitted` is NOT re-applied (its edits are already in
+    * the snapshot), just republished. Crash windows: before the marker →
+    * the re-run applies onto the PREVIOUS snapshot (overwriting the
+    * half-written parquet); after the marker but before Spark's commit →
+    * the re-run is skipped by the marker. Either way the restarted state
+    * equals the uninterrupted run's.
+    *
+    * Old snapshots are pruned after each commit (the previous one is
+    * kept until its successor's marker exists, so there is always a
+    * committed snapshot on disk). */
+  def tailDurable(spark: SparkSession, initial: DataFrame,
+                  segmentsDir: String, checkpointDir: String,
+                  publish: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val state = new DurableTailState(spark, checkpointDir, initial)
+    publish(state.current) // recovered (or initial) state is live at start
+    spark.readStream.format("xml")
+      .option("rowTag", "RECORD").schema(recordSchema)
+      .load(segmentsDir + "/*.xml")
+      .writeStream
+      .option("checkpointLocation", checkpointDir + "/stream")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publish(state.applyBatch(batchId, typedOps(batch)))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Snapshot persistence for [[tailDurable]] — exposed (private[graft])
+    * so the spec can drive the batch-replay idempotence directly. */
+  private[graft] class DurableTailState(spark: SparkSession,
+                                         checkpointDir: String,
+                                         initial: DataFrame) {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    private val snapRoot = new HPath(checkpointDir, "snapshots")
+    private val fs: FileSystem =
+      snapRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private val Marker = "_COMMIT_(\\d+)".r
+
+    /** Highest committed batch id, or -1 when starting fresh. */
+    private[graft] var lastCommitted: Long =
+      if (!fs.exists(snapRoot)) -1L
+      else fs.listStatus(snapRoot).toSeq.flatMap(_.getPath.getName match {
+        case Marker(id) => Some(id.toLong)
+        case _ => None
+      }).foldLeft(-1L)(math.max)
+
+    private def snapPath(id: Long) = new HPath(snapRoot, s"batch=$id")
+
+    private[graft] var current: DataFrame =
+      if (lastCommitted < 0) initial
+      else spark.read.parquet(snapPath(lastCommitted).toString)
+
+    /** Apply one micro-batch of ops idempotently: a re-delivered batch
+      * (id ≤ last committed) is already folded into the snapshot and is
+      * not applied again. Returns the post-batch snapshot. */
+    private[graft] def applyBatch(batchId: Long, typed: DataFrame)
+        : DataFrame = synchronized {
+      if (batchId > lastCommitted) {
+        val next = applyEdits(current, typed)
+        next.write.mode("overwrite").parquet(snapPath(batchId).toString)
+        val persisted = spark.read.parquet(snapPath(batchId).toString)
+        fs.create(new HPath(snapRoot, s"_COMMIT_$batchId"), true).close()
+        val prev = lastCommitted
+        lastCommitted = batchId
+        current = persisted
+        if (prev >= 0) { // prune the superseded snapshot + marker
+          fs.delete(snapPath(prev), true)
+          fs.delete(new HPath(snapRoot, s"_COMMIT_$prev"), false)
+        }
+      }
+      current
+    }
+  }
+
   /** Replay-drift audit: after tailing a segment from image A, the NEXT
     * fetched image must equal the replayed state — any row here is an op
     * the replay missed, misordered, or mis-modeled (the reference

@@ -167,4 +167,93 @@ class EditLogSpec extends AnyFunSuite {
     assert(!byPath.contains("/data/raw/2024/f000.parquet"))
     assert(!byPath.contains("/data/raw/2024/f014"))
   }
+
+  test("durable tail: killed mid-stream, restart resumes from the " +
+    "persisted snapshot without re-applying segments") {
+    // split the fixture log in two segments at txid 11/12; run the
+    // durable tail over segment 1 only, stop (the "kill"), then drop
+    // segment 2 and RESTART with the same checkpoint — the final state
+    // must equal the uninterrupted whole-log apply, and the restarted
+    // run must process exactly one new batch (segment 1 not re-read)
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(IngestQueries.EditLogPath)), "UTF-8")
+    val records = xml.split("(?=  <RECORD>)").toSeq
+    val head = records.head
+    val (body, tailRecs) = records.filter(_.contains("<RECORD>"))
+      .partition { r =>
+        val t = "<TXID>(\\d+)</TXID>".r.findFirstMatchIn(r).get.group(1).toLong
+        t <= 11
+      }
+    val dir = java.nio.file.Files.createTempDirectory("editseg-durable")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("editseg-ckpt").toString
+    def writeSeg(name: String, recs: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        (head + recs.mkString.stripSuffix("</EDITS>\n") + "</EDITS>\n")
+          .getBytes("UTF-8"))
+    val initial = graft.inodes.InodeView
+      .snapshot(spark, s"oivxml:${IngestQueries.XmlPath}")
+
+    writeSeg("seg_0000001.xml", body.map(_.replace("</EDITS>", "")))
+    var publishes1 = 0
+    val q1 = EditLogSource.tailDurable(spark, initial, dir.toString, ckpt,
+      _ => publishes1 += 1)
+    q1.awaitTermination() // AvailableNow drains seg 1, then the "kill"
+    assert(publishes1 >= 2) // initial publish + seg-1 batch
+
+    writeSeg("seg_0000012.xml", tailRecs)
+    var published = List.empty[org.apache.spark.sql.DataFrame]
+    var publishes2 = 0
+    val q2 = EditLogSource.tailDurable(spark, initial, dir.toString, ckpt,
+      { snap => publishes2 += 1; published = snap :: published })
+    q2.awaitTermination()
+    // restart publishes the RECOVERED state once, then exactly ONE new
+    // batch (segment 2); a third publish would mean seg 1 was re-read
+    assert(publishes2 === 2, s"expected recover+1 batch, got $publishes2")
+
+    val got = published.head.select("id", "path", "fileSize", "permission")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val expected = applied.select("id", "path", "fileSize", "permission")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected, "restarted tail diverged from the " +
+      "uninterrupted replay")
+
+    // idle restart: nothing new — recovered state only, still equal
+    var publishes3 = 0
+    var last: org.apache.spark.sql.DataFrame = null
+    val q3 = EditLogSource.tailDurable(spark, initial, dir.toString, ckpt,
+      { snap => publishes3 += 1; last = snap })
+    q3.awaitTermination()
+    assert(publishes3 === 1)
+    assert(last.select("id", "path", "fileSize", "permission").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap === expected)
+  }
+
+  test("durable tail: a re-delivered batch is not applied twice") {
+    // foreachBatch is at-least-once — after a crash between the commit
+    // marker and Spark's own batch commit, the SAME batch id is
+    // re-delivered; the state must recognize it and skip the re-apply
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("editseg-idem").toString
+    val initial = graft.inodes.InodeView
+      .snapshot(spark, s"oivxml:${IngestQueries.XmlPath}")
+    val state = new EditLogSource.DurableTailState(spark, ckpt, initial)
+    val once = state.applyBatch(0L, ops)
+      .select("id", "path", "fileSize").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(state.lastCommitted === 0L)
+    val twice = state.applyBatch(0L, ops)
+      .select("id", "path", "fileSize").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(twice === once, "re-delivered batch changed the snapshot")
+    assert(state.lastCommitted === 0L)
+    // a NEW state over the same checkpoint recovers the committed batch
+    val recovered = new EditLogSource.DurableTailState(spark, ckpt, initial)
+    assert(recovered.lastCommitted === 0L)
+    assert(recovered.current.select("id", "path", "fileSize").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet === once)
+  }
 }
