@@ -103,7 +103,9 @@ object Cli {
         val df = fn(spark, dataDir)
         println(df.columns.mkString(","))
         val it = df.toLocalIterator()
-        while (it.hasNext) println(it.next().mkString(","))
+        // cell-escaped like the HTTP twin — raw mkString corrupts cells
+        // containing commas/quotes/newlines (doc text, path columns)
+        while (it.hasNext) println(api.Renderers.csvRow(it.next()))
       case "list" =>
         SparkEntry.queries.keys.toSeq.sorted.foreach(println)
       case "serve" =>

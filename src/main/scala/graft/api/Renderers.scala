@@ -52,16 +52,24 @@ object Renderers {
       if (rawTimestamps) Set.empty
       else cols.zipWithIndex.collect { case (c, i) if dateColumns(c) => i }.toSet
     val header = cols.mkString(",")
-    val lines = h.collect().map(_.toSeq.zipWithIndex.map { case (v, i) =>
+    val lines = h.collect().map(csvRow(_, dateIdx))
+    (header +: lines).mkString("\n")
+  }
+
+  /** One CSV line with per-cell quoting/escaping — shared by the
+    * collected renderer, the CLI, and the streaming `/query` endpoint
+    * (a raw `Row.mkString(",")` corrupts any cell containing a comma,
+    * quote or newline — doc text and path columns do). */
+  def csvRow(row: org.apache.spark.sql.Row,
+             dateIdx: Set[Int] = Set.empty): String =
+    row.toSeq.zipWithIndex.map { case (v, i) =>
       val c = v match {
         case ms: Long if dateIdx(i) => new java.util.Date(ms).toString
         case other => cell(other)
       }
       if (c.contains(",") || c.contains("\"") || c.contains("\n"))
         "\"" + c.replace("\"", "\"\"") + "\"" else c
-    }.mkString(","))
-    (header +: lines).mkString("\n")
-  }
+    }.mkString(",")
 
   /** 2-level histogram (key1, key2, value) → nested JSON map. */
   def twoLevelToJson(h: DataFrame): String = {

@@ -80,6 +80,16 @@ object SuggestionsService {
     @volatile private var current: Option[QueryGuard.Guarded[CycleStats]] = None
     private val completed =
       new java.util.concurrent.ConcurrentLinkedQueue[CycleStats]()
+    private val cycleListeners =
+      new java.util.concurrent.CopyOnWriteArrayList[CycleStats => Unit]()
+
+    /** Register a completion hook (e.g. the HTTP cache re-warm). Runs on
+      * the cycle's completion thread; keep it cheap or hand off. */
+    def onCycleComplete(f: CycleStats => Unit): Unit = cycleListeners.add(f)
+
+    /** Run a cycle now (the `/refresh` path), off-schedule; skipped like
+      * any tick if one is already in flight. */
+    def runNow(): Unit = exec.execute(() => tick())
 
     /** Start ticking. First cycle fires immediately. */
     def start(): Unit =
@@ -101,8 +111,10 @@ object SuggestionsService {
       prevSnapshot = Some(snap)
       cycleIdx += 1
       current = Some(g)
-      g.result.foreach(s => completed.add(s))(
-        scala.concurrent.ExecutionContext.global)
+      g.result.foreach { s =>
+        completed.add(s)
+        cycleListeners.forEach(f => f(s))
+      }(scala.concurrent.ExecutionContext.global)
     }
 
     /** Admin kill switch for the in-flight cycle (leaves the loop running;

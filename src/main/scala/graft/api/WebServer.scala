@@ -52,9 +52,15 @@ final class WebServer(
 
   /** Suggestions served from a server-side cache, like the reference
     * (`SuggestionsEngine` caches its analysis between reload cycles —
-    * `/suggestions` never scans the namespace). First touch computes it
-    * (two scans for the scalar census + the grouped maps); `/refresh`,
-    * `/fetchNamespace` and `/reloadNamespace` invalidate. At 100 TB each
+    * `/suggestions` never scans the namespace). The cache is PRE-WARMED
+    * in the background (`SuggestionsEngine.java:136`: a dedicated reload
+    * thread, never the request path): a (re)load triggers an async warm
+    * of a NEW cache over the new snapshot, and readers keep serving the
+    * previous cycle's results until the warmed one swaps in — a
+    * `/suggestions` GET right after `/reloadNamespace` answers instantly
+    * instead of stalling for the census. When a scheduled
+    * [[SuggestionsService]] is attached, each completed cycle re-warms
+    * too, so the HTTP cache tracks the service cadence. At 100 TB each
     * GET staying off the namespace is the difference between a dashboard
     * and a DoS. */
   private final class SuggestionCache(snapshot: DataFrame) {
@@ -66,10 +72,31 @@ final class WebServer(
     lazy val ages: Array[Row] = Suggestions.fileAges(spark, snapshot).collect()
     lazy val fileTypes: Array[Row] = NNAQuery.execute(NNAQuery(set = "files",
       histType = Some("user"), histType2 = Some("fileType")), snapshot).collect()
+    /** Force every field (the warmer thread's whole job). */
+    def warm(): this.type = { values; userMaps; userQuotas; ages; fileTypes; this }
   }
   @volatile private var suggestionCache = new SuggestionCache(initialInodes)
-  private def invalidateCaches(): Unit =
-    suggestionCache = new SuggestionCache(inodes)
+  private val cacheWarmer =
+    java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-suggestion-warmer")
+      t.setDaemon(true); t
+    }
+  /** Async warm-and-swap: readers serve the OLD cache until the new one
+    * is fully computed (stale-but-instant, the reference's model). */
+  private def invalidateCaches(): Unit = {
+    val next = new SuggestionCache(inodes)
+    cacheWarmer.execute(() => { next.warm(); suggestionCache = next })
+  }
+  /** Test hook: block until queued warms have completed. */
+  private[graft] def awaitSuggestionWarm(): Unit =
+    cacheWarmer.submit(new Runnable { def run(): Unit = () }).get()
+  // a scheduled service's completed cycles re-warm the HTTP cache, so
+  // /suggestions always serves the last cycle (directive: the cache is
+  // never cold after a cycle, and never computed on a request thread)
+  suggestionsService.foreach(_.onCycleComplete(_ => invalidateCaches()))
+  // warm the initial cache off-thread too (the reference analyzes on
+  // namespace load, before the first dashboard hit)
+  invalidateCaches()
   private val startedAtMs = System.currentTimeMillis()
   private val requestCount = new AtomicLong()
   private val watchedDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -178,7 +205,10 @@ final class WebServer(
       val fn = graft.SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(
           s"unknown query '$name' (GET /queries for names)"))
-      respond(ex, 200, "text/plain", Renderers.toCsv(fn(spark, dataDir)))
+      // STREAMED, like the CLI twin and the dump endpoint — registry
+      // operators can be row-heavy (per-event as-of outputs) and a
+      // collected toCsv would materialize them all on the driver
+      respondCsvStream(ex, fn(spark, dataDir))
     case "queries" => respond(ex, 200, "application/json",
       jsonArr(graft.SparkEntry.queries.keys.toSeq.sorted))
     case "filter" => filterEndpoint(ex, p)
@@ -348,10 +378,11 @@ final class WebServer(
       invalidateCaches()
       respond(ex, 200, "text/plain", "Reloaded namespace.\n")
     case "refresh" =>
-      // re-run the suggestions DAG now (reference /refresh re-analyzes);
-      // materialize eagerly so the cost lands here, not on the next reader
+      // re-run the suggestions DAG now (reference /refresh re-analyzes) —
+      // on the warmer/service thread, never this request thread; readers
+      // serve the previous cycle until the fresh cache swaps in
+      suggestionsService.foreach(_.runNow())
       invalidateCaches()
-      suggestionCache.values
       respond(ex, 200, "text/plain", "Refreshed.\n")
     case "queryGuard" => p.get("cancel") match {
       case Some(id) =>
@@ -467,6 +498,23 @@ final class WebServer(
         case e: Exception => log(s"email send failed: ${e.getMessage}")
       }
     }
+
+  /** Stream an arbitrary result as chunked header+CSV via
+    * `toLocalIterator` (one partition on the driver at a time) — the
+    * `/query` endpoint's renderer; row-heavy registry operators must
+    * never collect whole on the driver. */
+  private def respondCsvStream(ex: HttpExchange, df: DataFrame): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "text/plain")
+    ex.sendResponseHeaders(200, 0) // length 0 → chunked transfer
+    val os = ex.getResponseBody
+    os.write((df.columns.mkString(",") + "\n").getBytes(UTF_8))
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      os.write(Renderers.csvRow(it.next()).getBytes(UTF_8))
+      os.write('\n')
+    }
+    os.close()
+  }
 
   /** Stream a one-string-column result as chunked plain text — the
     * reference's `dumpINodePaths` writes to the response writer row by row

@@ -218,6 +218,39 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("/suggestions after a reload serves pre-warmed, zero jobs on the request path") {
+    // directive: the first GET after /reloadNamespace must NOT compute
+    // the namespace census on the request thread — the reload triggers a
+    // background warm (reference: SuggestionsEngine's reload thread) and
+    // readers serve cached rows. Probe: count Spark jobs during the GETs.
+    assert(get(open, "/reloadNamespace").status === 200)
+    open.awaitSuggestionWarm() // background warm completes off-thread
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(get(open, "/suggestions").status === 200)
+      assert(get(open, "/quotas").status === 200)
+      assert(get(open, "/fileAge").status === 200)
+      assert(get(open, "/fileTypes").status === 200)
+      Thread.sleep(300) // listener events are async
+      assert(jobs.get() === 0,
+        "post-reload suggestions GETs ran namespace jobs on the request path")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("/refresh serves stale-but-instant while the re-warm runs, then swaps") {
+    assert(get(open, "/refresh").status === 200)
+    // the refresh response returns before the warm; readers still answer
+    assert(get(open, "/suggestions").status === 200)
+    open.awaitSuggestionWarm()
+    assert(get(open, "/suggestions").status === 200)
+  }
+
   test("/fileTypes returns the per-user fileType breakdown") {
     val r = get(open, "/fileTypes")
     assert(r.status === 200 && r.body.startsWith("{") && r.body.contains("\"u1\""))
