@@ -195,6 +195,47 @@ class IngestSpec extends AnyFunSuite {
       .count() === 3)
   }
 
+  test("binary decode equals the XML ingest across 50 randomized physical layouts") {
+    // the genuine-Hadoop-image run is sandbox-blocked (no MiniDFSCluster/
+    // hdfs CLI), so the same risk is attacked from the fixture side:
+    // tools/gen_fsimage_bin.py --seed randomizes every layout degree of
+    // freedom the real saver (or a future layout version) has — body
+    // section order, index entry order, string-table serial assignment
+    // (non-contiguous), inode record order, protobuf field order inside
+    // the INode messages, dir-entry order, and interleaved UNKNOWN
+    // sections. The decoder must produce the identical namespace on all
+    // of them; any layout it can't handle is a found bug.
+    import scala.sys.process._
+    assume("python3 --version".!(ProcessLogger(_ => ())) == 0,
+      "python3 unavailable — cannot drive the layout generator")
+    val expected = graft.ingest.FsImageXmlSource
+      .inodes(spark, IngestQueries.XmlPath)
+      .collect().map(r => r.getLong(r.fieldIndex("id")) -> r.toSeq).toMap
+    val dir = java.nio.file.Files.createTempDirectory("rand-fsimage")
+    val gen = "/root/repo/tools/gen_fsimage_bin.py"
+    val flat = IngestQueries.XmlFlatPath
+    val bad = (1 to 50).flatMap { seed =>
+      val out = dir.resolve(s"seed_$seed.bin").toString
+      val rc = Seq("python3", gen, flat, out, "--seed", seed.toString)
+        .!(ProcessLogger(_ => ()))
+      if (rc != 0) Some(s"seed $seed: generator failed rc=$rc")
+      else {
+        val got = graft.ingest.FsImageBinary.inodes(spark, out)
+          .collect().map(r => r.getLong(r.fieldIndex("id")) -> r.toSeq).toMap
+        if (got == expected) None
+        else {
+          val extra = got.keySet -- expected.keySet
+          val missing = expected.keySet -- got.keySet
+          val diff = expected.keys.filter(k =>
+            got.get(k).exists(_ != expected(k))).take(3)
+          Some(s"seed $seed: extra=$extra missing=$missing " +
+            s"firstDiffs=${diff.map(k => s"$k: ${got(k)} vs ${expected(k)}")}")
+        }
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("binary fsimage spike: summary + INODE section parse by field number") {
     // hand-rolled protobuf writer (varints only) building a minimal
     // uncompressed fsimage in the public container layout; the reader

@@ -19,10 +19,22 @@ Encoding notes (mirroring FSImageFormatPBINode):
   - EC files: no replication field, erasureCodingPolicyID=2.
   - dir quotas: -1 encodes as the 64-bit two's-complement varint.
 
+With `--seed N` the PHYSICAL LAYOUT is randomized over the degrees of
+freedom the genuine saver (or a future Hadoop version) legitimately has,
+while describing the SAME namespace: body section order (the FileSummary
+index is the only authority), summary index entry order, string-table
+serial assignment (shuffled, non-contiguous ids), inode record order
+within the INODE section, protobuf field order within INodeFile /
+INodeDirectory submessages (any tag order is legal), dir-entry order, and
+interleaved UNKNOWN sections a decoder must skip. `IngestSpec` sweeps
+seeds and asserts decode == XML door on every layout — a layout the
+decoder can't handle is a found bug, not a silent assumption.
+
 Regenerate with: python3 tools/gen_fsimage_bin.py
 """
 import csv
 import os
+import random
 import struct
 
 
@@ -61,10 +73,18 @@ def delimited(out: bytearray, msg: bytearray) -> None:
 
 import sys
 
+argv = sys.argv[1:]
+seed = None
+if "--seed" in argv:
+    i = argv.index("--seed")
+    seed = int(argv[i + 1])
+    del argv[i:i + 2]
+rng = random.Random(seed) if seed is not None else None
+
 base = os.path.join(os.path.dirname(__file__), "..", "fixtures")
 # scale mode: gen_fsimage_bin.py <flat_csv> <out.bin> encodes any flat CSV
 # (e.g. the one gen_fsimage_xml.py writes at scale) into a binary image
-flat_path = sys.argv[1] if len(sys.argv) > 1 \
+flat_path = argv[0] if len(argv) > 0 \
     else os.path.join(base, "fsimage_mini_flat.csv")
 rows = list(csv.DictReader(open(flat_path)))
 for r in rows:
@@ -76,13 +96,20 @@ for r in rows:
         r[k] = r[k] == "true"
 rows.sort(key=lambda r: r["id"])
 
-# ---- string table: user/group names -> serials (1-based like Hadoop) ----
+# ---- string table: user/group names -> serials (1-based like Hadoop;
+# under --seed: shuffled order, random NON-CONTIGUOUS ids — nothing in
+# the format promises density) ----
 names = []
 for r in rows:
     for n in (r["usr"], r["grp"]):
         if n not in names:
             names.append(n)
-serial = {n: i + 1 for i, n in enumerate(names)}
+if rng:
+    rng.shuffle(names)
+    ids = rng.sample(range(1, 10000), len(names))
+    serial = {n: ids[i] for i, n in enumerate(names)}
+else:
+    serial = {n: i + 1 for i, n in enumerate(names)}
 
 string_table = bytearray()
 hdr = bytearray()
@@ -95,42 +122,57 @@ for n in names:
     delimited(string_table, e)
 
 # ---- INODE section ----
+# Field chunks assemble each protobuf message; under --seed the chunk
+# order is shuffled — ANY tag order is legal protobuf and a tag-loop
+# decoder must not care. Repeated fields (blocks) stay one chunk: the
+# spec requires repeated-field relative order preserved, but they may
+# interleave anywhere among the other fields.
+def assemble(chunks):
+    if rng:
+        rng.shuffle(chunks)
+    out = bytearray()
+    for c in chunks:
+        out.extend(c)
+    return out
+
+
 inode_sec = bytearray()
 hdr = bytearray()
 uint_field(hdr, 1, max(r["id"] for r in rows))
 uint_field(hdr, 2, len(rows))
 delimited(inode_sec, hdr)
-for r in rows:
+inode_rows = rows[:]
+if rng:  # record order within the section is saver-internal
+    rng.shuffle(inode_rows)
+for r in inode_rows:
     mode = int(str(r["perm"]), 8)
     perm64 = (serial[r["usr"]] << 40) | (serial[r["grp"]] << 16) | mode
-    m = bytearray()
-    uint_field(m, 1, 1 if r["is_file"] else 2)
-    uint_field(m, 2, r["id"])
     name = "" if r["path"] == "/" else r["path"].rsplit("/", 1)[1]
-    bytes_field(m, 3, name.encode())
     if r["is_file"]:
-        f = bytearray()
+        chunks = []
         if not r["is_ec"]:
-            uint_field(f, 1, r["replication"])
-        uint_field(f, 2, r["mtime_ms"])
-        uint_field(f, 3, r["atime_ms"])
-        uint_field(f, 4, r["block_size"])
-        fixed64_field(f, 5, perm64)
+            c = bytearray(); uint_field(c, 1, r["replication"]); chunks.append(c)
+        c = bytearray(); uint_field(c, 2, r["mtime_ms"]); chunks.append(c)
+        c = bytearray(); uint_field(c, 3, r["atime_ms"]); chunks.append(c)
+        c = bytearray(); uint_field(c, 4, r["block_size"]); chunks.append(c)
+        c = bytearray(); fixed64_field(c, 5, perm64); chunks.append(c)
         n, total = r["num_blocks"], r["file_size"]
+        blocks = bytearray()
         for j in range(n):
             size = total // n + (total % n if j == n - 1 else 0)
             b = bytearray()
             uint_field(b, 1, 1073741825 + r["id"] * 8 + j)  # blockId
             uint_field(b, 2, 1001 + j)                      # genStamp
             uint_field(b, 3, size)
-            tag(f, 6, 2)
-            delimited(f, b)
+            tag(blocks, 6, 2)
+            delimited(blocks, b)
+        if n:
+            chunks.append(blocks)
         if r["is_uc"]:
             uc = bytearray()
             bytes_field(uc, 1, b"DFSClient_fixture")
             bytes_field(uc, 2, b"10.0.0.1")
-            tag(f, 7, 2)
-            delimited(f, uc)
+            c = bytearray(); tag(c, 7, 2); delimited(c, uc); chunks.append(c)
         if r["has_acl"]:
             # AclFeatureProto: repeated fixed32 entries = 2 [packed] -
             # REAL bit-packed entries (scope|type|perm|name-serial), as a
@@ -141,9 +183,7 @@ for r in rows:
             packed_acl = b"".join(struct.pack("<I", e) for e in entries)
             varint(acl, len(packed_acl))
             acl.extend(packed_acl)
-            tag(f, 8, 2)
-            delimited(f, acl)
-        if r["has_acl"]:
+            c = bytearray(); tag(c, 8, 2); delimited(c, acl); chunks.append(c)
             # XAttrFeatureProto (field 9): one compact xattr - engines
             # must skip features they do not model
             xa = bytearray()
@@ -153,30 +193,38 @@ for r in rows:
             bytes_field(e, 2, b"v1")
             tag(xa, 1, 2)
             delimited(xa, e)
-            tag(f, 9, 2)
-            delimited(f, xa)
-        uint_field(f, 10, r["storage_policy"])
+            c = bytearray(); tag(c, 9, 2); delimited(c, xa); chunks.append(c)
+        c = bytearray(); uint_field(c, 10, r["storage_policy"]); chunks.append(c)
         if r["is_ec"]:
-            uint_field(f, 11, 1)  # BlockTypeProto.STRIPED
-            uint_field(f, 12, r["ec_policy"])
-        tag(m, 4, 2)
-        delimited(m, f)
+            c = bytearray(); uint_field(c, 11, 1); chunks.append(c)  # STRIPED
+            c = bytearray(); uint_field(c, 12, r["ec_policy"]); chunks.append(c)
+        body = assemble(chunks)
+        mc = []
+        c = bytearray(); uint_field(c, 1, 1); mc.append(c)  # type FILE
+        c = bytearray(); uint_field(c, 2, r["id"]); mc.append(c)
+        c = bytearray(); bytes_field(c, 3, name.encode()); mc.append(c)
+        c = bytearray(); tag(c, 4, 2); delimited(c, body); mc.append(c)
+        m = assemble(mc)
     else:
-        d = bytearray()
-        uint_field(d, 1, r["mtime_ms"])
-        uint_field(d, 2, r["ns_quota"])
-        uint_field(d, 3, r["ds_quota"])
-        fixed64_field(d, 4, perm64)
+        chunks = []
+        c = bytearray(); uint_field(c, 1, r["mtime_ms"]); chunks.append(c)
+        c = bytearray(); uint_field(c, 2, r["ns_quota"]); chunks.append(c)
+        c = bytearray(); uint_field(c, 3, r["ds_quota"]); chunks.append(c)
+        c = bytearray(); fixed64_field(c, 4, perm64); chunks.append(c)
         if r["has_acl"]:
             acl = bytearray()
             tag(acl, 2, 2)
             packed_acl = struct.pack("<I", 0x02000007)
             varint(acl, len(packed_acl))
             acl.extend(packed_acl)
-            tag(d, 5, 2)
-            delimited(d, acl)
-        tag(m, 5, 2)
-        delimited(m, d)
+            c = bytearray(); tag(c, 5, 2); delimited(c, acl); chunks.append(c)
+        body = assemble(chunks)
+        mc = []
+        c = bytearray(); uint_field(c, 1, 2); mc.append(c)  # type DIRECTORY
+        c = bytearray(); uint_field(c, 2, r["id"]); mc.append(c)
+        c = bytearray(); bytes_field(c, 3, name.encode()); mc.append(c)
+        c = bytearray(); tag(c, 5, 2); delimited(c, body); mc.append(c)
+        m = assemble(mc)
     delimited(inode_sec, m)
 
 # ---- INODE_DIR section: parent -> packed children ----
@@ -188,11 +236,17 @@ for r in rows:
     parent_path = r["path"].rsplit("/", 1)[0] or "/"
     children.setdefault(by_path[parent_path]["id"], []).append(r["id"])
 dir_sec = bytearray()
-for pid in sorted(children):
+parent_ids = sorted(children)
+if rng:  # entry and child order are saver-internal too
+    rng.shuffle(parent_ids)
+for pid in parent_ids:
     e = bytearray()
     uint_field(e, 1, pid)
+    kids = sorted(children[pid])
+    if rng:
+        rng.shuffle(kids)
     packed = bytearray()
-    for c in sorted(children[pid]):
+    for c in kids:
         varint(packed, c)
     bytes_field(e, 2, bytes(packed))
     delimited(dir_sec, e)
@@ -276,18 +330,32 @@ delimited(ec_sec, pol)
 # permissions need it) breaks on every real image — sections must be
 # resolved through the FileSummary index, never by stream position.
 out = bytearray(b"HDFSIMG1")
+section_list = [("NS_INFO", ns_sec), ("ERASURE_CODING", ec_sec),
+                ("INODE", inode_sec), ("INODE_DIR", dir_sec),
+                ("FILES_UNDERCONSTRUCTION", uc_sec),
+                ("SNAPSHOT", snap_sec),
+                ("SNAPSHOT_DIFF", sdiff_sec),
+                ("INODE_REFERENCE", ref_sec),
+                ("SECRET_MANAGER", secret_sec),
+                ("CACHE_MANAGER", cache_sec),
+                ("STRING_TABLE", string_table)]
+if rng:
+    # UNKNOWN sections a future layout version could add — random name,
+    # random opaque bytes; a decoder must resolve what it knows through
+    # the index and skip the rest
+    for i in range(rng.randint(2, 4)):
+        junk = bytearray(rng.randbytes(rng.randint(8, 64)))
+        section_list.append((f"FUTURE_SECTION_{i}", junk))
+    # body placement is arbitrary — ONLY the FileSummary index is
+    # authoritative (a decoder assuming e.g. STRING_TABLE last or
+    # NS_INFO first breaks on this sweep, by design)
+    rng.shuffle(section_list)
 sections = []
-for name, sec in (("NS_INFO", ns_sec), ("ERASURE_CODING", ec_sec),
-                  ("INODE", inode_sec), ("INODE_DIR", dir_sec),
-                  ("FILES_UNDERCONSTRUCTION", uc_sec),
-                  ("SNAPSHOT", snap_sec),
-                  ("SNAPSHOT_DIFF", sdiff_sec),
-                  ("INODE_REFERENCE", ref_sec),
-                  ("SECRET_MANAGER", secret_sec),
-                  ("CACHE_MANAGER", cache_sec),
-                  ("STRING_TABLE", string_table)):
+for name, sec in section_list:
     sections.append((name, len(out), len(sec)))
     out.extend(sec)
+if rng:  # index entry order need not match body order either
+    rng.shuffle(sections)
 summary = bytearray()
 uint_field(summary, 1, 1)                      # ondiskVersion
 uint_field(summary, 2, (1 << 32) - 66)         # layoutVersion -66 as uint32
@@ -303,9 +371,9 @@ delimited(delim, summary)
 out.extend(delim)
 out.extend(struct.pack(">i", len(delim)))
 
-if len(sys.argv) > 2:
-    path = sys.argv[2]
-elif len(sys.argv) > 1:
+if len(argv) > 1:
+    path = argv[1]
+elif len(argv) > 0:
     # derive from the input, NEVER the tracked mini fixture — a forgotten
     # second arg must not overwrite fixtures/fsimage_mini.bin
     path = (flat_path[:-len("_flat.csv")] if flat_path.endswith("_flat.csv")
