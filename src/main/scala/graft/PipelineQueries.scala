@@ -164,6 +164,90 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // TPC-H Q2-style: cheapest supplier per part in a region. The
+    // CORRELATED MIN-SUBQUERY (cost = MIN(cost) over the same part's
+    // offers) is NOT executed per row: offers are pre-filtered to the
+    // selected parts (broadcast dim semi), the per-part min is ONE
+    // aggregate over that pruned set, and the equality joins back as a
+    // broadcast hash join — the subquery decorrelation done by hand, so
+    // it holds at any part cardinality. lineitem plays partsupp's role
+    // (the synthetic schema has no partsupp): cost = extendedprice cents.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val selParts = Tables.part(s, d).where(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_name"))
+      val supReg = Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).where(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          round(col("s_acctbal") * 100).cast("long").as("acctbal_cents"))
+      val offers = Tables.lineitem(s, d)
+        .join(broadcast(supReg), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(selParts), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          col("n_name"), col("acctbal_cents"),
+          round(col("l_extendedprice") * 100).cast("long").as("cost_cents"))
+      val minCost = offers.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("cost_cents")).as("min_cost_cents"))
+      offers.join(broadcast(minCost),
+          col("p_partkey") === col("mk") &&
+            col("cost_cents") === col("min_cost_cents"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          col("n_name"), col("acctbal_cents"), col("min_cost_cents"))
+        .distinct()
+    }),
+
+    // TPC-H Q13-style: order-count distribution with the customers who
+    // never ordered INCLUDED — the LEFT OUTER join (with the priority
+    // exclusion INSIDE the join condition, so non-matching customers
+    // still emit their null row) feeding two cascaded aggregations
+    "q13_order_distribution" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d)
+      val perCust = cust.join(ord,
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT", "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q21-style: suppliers who kept finished orders waiting —
+    // their lineitem shipped late (> 60 days after the order date) on a
+    // MULTI-supplier order where NO other supplier was late. The two
+    // correlated EXISTS / NOT EXISTS become one LEFT SEMI and one LEFT
+    // ANTI hash join (equi on orderkey + the suppkey<> residual), never
+    // a per-row subquery and never a distinct-rewrite
+    "q21_waiting_supplier" -> ((s, d) => {
+      val lateSecs = 60L * 86400L
+      val ord = Tables.orders(s, d).where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val withOrd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val late = withOrd.where(
+        col("l_shipdate").cast("timestamp").cast("long") >
+          col("o_orderdate").cast("timestamp").cast("long") + lateSecs)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l1 = late
+      // EXISTS: another supplier contributed to the same order
+      val multi = l1.join(
+        li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+        col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      // NOT EXISTS: no OTHER supplier was late on that order
+      val sole = multi.join(
+        late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
+        col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      sole.join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"),
+          expr("bit_xor(l_orderkey)").as("order_xor"))
+    }),
+
     // TPC-H Q6-style: pure selective scan — every predicate pushes down
     "q6_selective_revenue" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -3616,6 +3700,42 @@ object PipelineQueries {
        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents " +
        "FROM orders JOIN big ON o_orderkey = l_orderkey " +
        "JOIN customer ON o_custkey = c_custkey"),
+
+    "q2_min_cost_supplier" ->
+      ("WITH offers AS (SELECT l_partkey, s_name, n_name, " +
+       "CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_cents, " +
+       "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cost_cents " +
+       "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "WHERE r_name = 'EUROPE') " +
+       "SELECT DISTINCT p_partkey, p_name, s_name, n_name, acctbal_cents, " +
+       "cost_cents AS min_cost_cents " +
+       "FROM part JOIN offers o ON p_partkey = o.l_partkey " +
+       "WHERE p_size = 15 " +
+       "AND cost_cents = (SELECT MIN(o2.cost_cents) FROM offers o2 " +
+       "WHERE o2.l_partkey = o.l_partkey)"),
+
+    "q13_order_distribution" ->
+      ("SELECT c_count, COUNT(*) AS custdist FROM " +
+       "(SELECT c_custkey, COUNT(o_orderkey) AS c_count " +
+       "FROM customer LEFT OUTER JOIN orders " +
+       "ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' " +
+       "GROUP BY c_custkey) t GROUP BY c_count"),
+
+    "q21_waiting_supplier" ->
+      ("WITH late AS (SELECT l_orderkey, l_suppkey " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE o_orderstatus = 'F' " +
+       "AND epoch_us(l_shipdate) // 1000000 > " +
+       "epoch_us(o_orderdate) // 1000000 + 5184000) " +
+       "SELECT s_name, COUNT(*) AS numwait, bit_xor(l_orderkey) AS order_xor " +
+       "FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey " +
+       "WHERE EXISTS (SELECT 1 FROM lineitem l2 " +
+       "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+       "AND NOT EXISTS (SELECT 1 FROM late l3 " +
+       "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey) " +
+       "GROUP BY s_name"),
 
     "q6_selective_revenue" ->
       ("SELECT COUNT(*) AS n, " +

@@ -350,6 +350,35 @@ class PlanSpec extends AnyFunSuite {
       s"expected BOTH sides' bucket explodes:\n$plan")
   }
 
+  test("q2: correlated min decorrelates to one aggregate + broadcast joins") {
+    val plan = formatted("q2_min_cost_supplier")
+    // the per-part min is ONE aggregate joined back broadcast — a plan
+    // that re-correlated (per-row subquery, cartesian, or nested loop)
+    // dies at real part cardinality
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"no re-correlation:\n$plan")
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"dims and the min side must broadcast:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(p_size), EqualTo(p_size,15)"),
+      s"part filter must reach the scan:\n$plan")
+  }
+
+  test("q13: the outer join that keeps zero-order customers is preserved") {
+    val plan = formatted("q13_order_distribution")
+    assert(plan.contains("LeftOuter"),
+      s"customers without orders must survive (LEFT OUTER):\n$plan")
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(plan).size >= 4,
+      s"expected the two cascaded (partial+final) aggregations:\n$plan")
+  }
+
+  test("q21: exists/not-exists stay semi/anti hash joins") {
+    val plan = formatted("q21_waiting_supplier")
+    assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$plan")
+    assert(!plan.contains("Deduplicate") && !plan.contains("CartesianProduct"),
+      s"no distinct-rewrite, no cartesian:\n$plan")
+  }
+
   test("q4: existence check is a LEFT SEMI join, no distinct after") {
     val plan = formatted("q4_slow_orders")
     assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
