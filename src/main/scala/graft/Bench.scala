@@ -4,11 +4,74 @@ import org.apache.spark.sql.SparkSession
 /** Per-round throughput benchmark. Mirrors the reference's execution model:
   * one load phase (namespace snapshot into memory — NNA's fsimage load),
   * then interactive queries against the snapshot. Prints ONE JSON line.
+  *
+  * RUN ISOLATION: timings on a shared box are only meaningful if nothing
+  * else competes for the CPUs (round-6 audit: two scan queries showed
+  * 6-17x inflation purely from a compile running during the bench). The
+  * runner therefore (a) takes an exclusive OS file lock — a second bench
+  * refuses to start instead of silently corrupting both runs; (b) refuses
+  * when an sbt process OUTSIDE its own ancestry is alive (a compile/test
+  * server about to steal CPU) unless SPARK_GRAFT_BENCH_FORCE=1; and
+  * (c) records /proc/loadavg at start and end in the JSON so a reader can
+  * tell a contended run from a clean one mechanically.
   */
 object Bench {
+
+  /** Pids of this process and its ancestors (an sbt that LAUNCHED us is
+    * fine; a foreign sbt is the hazard). */
+  private def ancestry(): Set[Long] = {
+    var pid = ProcessHandle.current()
+    val out = scala.collection.mutable.Set[Long](pid.pid())
+    while (pid.parent().isPresent) {
+      pid = pid.parent().get(); out += pid.pid()
+    }
+    out.toSet
+  }
+
+  private def foreignSbtPids(): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val own = ancestry()
+    ProcessHandle.allProcesses().iterator().asScala.filter { p =>
+      !own.contains(p.pid()) &&
+        p.info().commandLine().map[Boolean](c =>
+          c.contains("sbt-launch") || c.contains("xsbt.boot.Boot"))
+          .orElse(false)
+    }.map(_.pid()).toSeq
+  }
+
+  private def loadavg(): String =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/loadavg").mkString
+        .trim.split("\\s+")
+      s"[${parts(0)}, ${parts(1)}, ${parts(2)}]"
+    } catch { case _: Exception => "null" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+    // ---- run isolation gate (see class doc) ----
+    val lockPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCK", "/tmp/graft-bench.lock"))
+    val lockChannel = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = lockChannel.tryLock()
+    if (lock == null) {
+      System.err.println(s"[bench] REFUSING to start: another bench holds " +
+        s"$lockPath — concurrent benches corrupt both runs")
+      sys.exit(2)
+    }
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    val sbtPids = foreignSbtPids()
+    if (sbtPids.nonEmpty && !force) {
+      System.err.println(s"[bench] REFUSING to start: sbt process(es) " +
+        s"${sbtPids.mkString(",")} outside this run's ancestry are alive " +
+        "(a compile during the bench skews medians 6-17x; round-6 " +
+        "evidence). Stop them or set SPARK_GRAFT_BENCH_FORCE=1.")
+      sys.exit(2)
+    }
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -98,7 +161,10 @@ object Bench {
         val drift = if (med > 0) rerun / med else 1.0
         s"""{"query":"$k","earlier_median":$med,"rerun":$rerun,"drift":$drift}"""
       }.getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"load_sec":$loadSec,"ingest_warm_sec":$ingestWarmSec,"n_queries":${results.size},"failed":$failedJson,"sentinel":$sentinelJson,"sf":"$sfDir"}""")
+    val loadEnd = loadavg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"load_sec":$loadSec,"ingest_warm_sec":$ingestWarmSec,"n_queries":${results.size},"failed":$failedJson,"sentinel":$sentinelJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
+    lock.release()
+    lockChannel.close()
   }
 }
