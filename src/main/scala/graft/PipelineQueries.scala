@@ -902,18 +902,9 @@ object PipelineQueries {
     // cohort self-join; the explode fans back out to ≤ users × span rows
     // and the final cell aggregation exchanges only that (partial-agg'd)
     // table. user_xor pins the exact membership of each cell.
-    "events_retention" -> ((s, d) => {
-      val wkNs = 7L * 86400L * 1000000000L
-      Tables.events(s, d)
-        .select(col("user_id"), expr(s"ts div $wkNs").as("wk"))
-        .groupBy(col("user_id"))
-        .agg(min(col("wk")).as("cwk"), collect_set(col("wk")).as("wks"))
-        .select(col("user_id"), col("cwk"), explode(col("wks")).as("wk"))
-        .groupBy(col("cwk").as("cohort_week"),
-          (col("wk") - col("cwk")).as("week_offset"))
-        .agg(count(lit(1)).as("n_users"),
-          expr("bit_xor(user_id)").as("user_xor"))
-    }),
+    "events_retention" -> ((s, d) =>
+      operators.Retention.cohorts(
+        Tables.events(s, d).select(col("user_id"), col("ts")))),
 
     // heavy hitters via the Misra–Gries TypedImperativeAggregate: k=64
     // counters per partial regardless of vocabulary size (the exact
@@ -1372,66 +1363,13 @@ object PipelineQueries {
             .as("sampled_chars"),
           coalesce(expr("bit_xor(take_id)"), lit(0L)).as("id_xor"))),
 
-    // per-type time-weighted average value: each event's value holds
-    // until the next same-type event (gap-weighted mean). Integer-exact
-    // to the ppm floor: cent values × ns gaps overflow long at corpus
-    // scale, so sums ride decimal(38,0) (HUGEINT in the oracle) and the
-    // final division is the exact integral `div` (a decimal `/` + floor
-    // would round at scale 6 first).
-    //
-    // TWO-PHASE — a naive Window.partitionBy(event_type) sorts each
-    // type's ENTIRE history in one partition (types are few ⇒ partitions
-    // are corpus-sized: the single-partition-sort scale killer). Instead:
-    // phase 1 windows within (type, day-bucket) — calendar-bounded
-    // partitions — summing within-bucket gap contributions and keeping
-    // each bucket's first ts + last (ts, value); phase 2 stitches bucket
-    // BOUNDARIES with a window over the per-(type,bucket) aggregate rows
-    // (days-sized, not events-sized). Same pattern as the distributed
-    // prefix sum in Curation. Equal-ts ties can't straddle buckets, so
-    // the stitched gap sequence is exactly the global (ts, event_id)
-    // chain.
-    "events_twa" -> ((s, d) => {
-      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val B = 86400L * 1000000000L // one day in ns
-      val wIn = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type", "bkt").orderBy(col("ts"), col("event_id"))
-      val wAcross = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy(col("bkt"))
-      val perBucket = Tables.events(s, d)
+    // per-type time-weighted average value — the two-phase (type,
+    // day-bucket) window chain lives in operators.TimeWeightedAvg
+    // (shared with the ScaleBench events stage)
+    "events_twa" -> ((s, d) =>
+      operators.TimeWeightedAvg.compute(Tables.events(s, d)
         .select(col("event_type"), col("ts"), col("event_id"),
-          round(col("value") * 100).cast("long").as("v_cents"))
-        .withColumn("bkt", expr(s"ts div $B"))
-        .withColumn("nts", lead("ts", 1).over(wIn))
-        .groupBy(col("event_type"), col("bkt"))
-        .agg(
-          // v_cents is cast to decimal BEFORE the multiply: a long*long
-          // product wraps silently past Long.Max in non-ANSI mode, while
-          // the oracle multiplies in HUGEINT — the product itself must be
-          // decimal, not just the sum.
-          sum(when(col("nts").isNotNull,
-            col("v_cents").cast(dec) * (col("nts") - col("ts")).cast(dec)))
-            .cast(dec).as("num_in"),
-          sum(when(col("nts").isNotNull,
-            (col("nts") - col("ts")).cast(dec))).as("den_in"),
-          count(lit(1)).as("n_events"),
-          min(col("ts")).as("first_ts"),
-          max(struct(col("ts"), col("event_id"), col("v_cents"))).as("last"))
-      perBucket
-        .withColumn("next_first", lead("first_ts", 1).over(wAcross))
-        .withColumn("bnum", when(col("next_first").isNotNull,
-          (col("last.v_cents").cast(dec) *
-            (col("next_first") - col("last.ts")).cast(dec)).cast(dec)))
-        .withColumn("bden", when(col("next_first").isNotNull,
-          (col("next_first") - col("last.ts")).cast(dec)))
-        .groupBy(col("event_type"))
-        .agg((sum(col("n_events")) - 1L).as("n_weighted"),
-          (coalesce(sum(col("num_in")), lit(0).cast(dec)) +
-            coalesce(sum(col("bnum")), lit(0).cast(dec))).as("num"),
-          (coalesce(sum(col("den_in")), lit(0).cast(dec)) +
-            coalesce(sum(col("bden")), lit(0).cast(dec))).as("den"))
-        .select(col("event_type"), col("n_weighted"),
-          expr("CAST((num * 1000000) div den AS BIGINT)").as("twa_centppm"))
-    }),
+          round(col("value") * 100).cast("long").as("v_cents")))),
 
     "corpus_stratified_sample" -> ((s, d) => {
       val k = 20

@@ -642,13 +642,96 @@ object ScaleBench {
       try {
         val q = events10m.select(col("ts"), col("event_id"))
           .join(ivs, col("ts") >= col("s") && col("ts") <= col("e"))
-        require(!q.queryExecution.executedPlan.toString
-          .contains("BroadcastNestedLoop"), "rule did not fire at 10M")
+        // the bucket equi-key must be present; the only nested loop
+        // allowed is the whale fallback branch (runtime-small)
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("__graft_bucket"), "rule did not fire at 10M")
+        require("BroadcastNestedLoop".r.findAllIn(plan).size <= 1,
+          "more than the whale fallback nested-loops at 10M")
         s"hits=${q.count()}"
       } finally prev match {
         case Some(v) => spark.conf.set(
           graft.plans.RangeJoinRewrite.WidthKey, v)
         case None => spark.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
+      }
+    }
+
+    // ---- events family cross-scale stage: funnel, native sessions,
+    // TWA, retention and the as-of trio at 1M vs 10M — the measured
+    // (not asserted) linearity evidence for the restored family. Read
+    // shuffleRecords across the two scales: ~10x records with flat
+    // bytes/record means the operator moves per-event tuples, never
+    // per-key history blobs; a superlinear jump is a plan regression.
+    for ((n, tag) <- Seq((1000000L, "1m"), (10000000L, "10m"))) {
+      val users = n / 100L
+      // per-user minute-spaced stream with a planted 2-hour gap (2
+      // sessions/user) and a repeating 3-step chain for the funnel
+      def evUser = spark.range(n).select(
+        col("id").as("event_id"),
+        pmod(col("id"), lit(users)).as("user_id"),
+        expr(s"array('view','click','purchase')[pmod(id div $users, 3)]")
+          .as("event_type"),
+        (expr(s"id div $users") * 60000000000L +
+          when(expr(s"id div $users") >= 50, 7200000000000L)
+            .otherwise(0L)).as("ts"))
+      // globally minute-spaced stream: years of day buckets for the TWA
+      // two-phase chain, weeks of cohorts for retention, and the as-of
+      // point side
+      def evTime = spark.range(n).select(
+        col("id").as("event_id"),
+        pmod(col("id"), lit(users)).as("user_id"),
+        expr("concat('t', pmod(xxhash64(id), 8))").as("event_type"),
+        (col("id") * 60000000000L).as("ts"),
+        pmod(xxhash64(col("id")), lit(10000L)).as("v_cents"))
+      def quotes = spark.range(n / 10).select(
+        pmod(col("id"), lit(users)).as("user_id"),
+        (col("id") * 600000000000L).as("ts"),
+        col("id").as("ref_id"))
+      tm(s"events_family_funnel_$tag") {
+        val r = graft.operators.WindowFunnel.funnelCensus(
+          evUser.select("user_id", "event_type", "ts"),
+          Seq("view", "click", "purchase"), 3600L * 1000000000L).collect()
+        s"reach=${r.map(_.getLong(2)).mkString("/")}"
+      }
+      tm(s"events_family_sessions_native_$tag") {
+        val r = graft.streaming.EventsStream
+          .sessionizeNative(evUser.select("event_id", "user_id", "ts"),
+            "30 minutes")
+          .agg(count(lit(1)), sum("n_sessions")).head
+        s"users=${r.getLong(0)} sessions=${r.getLong(1)}"
+      }
+      tm(s"events_family_twa_$tag") {
+        val r = graft.operators.TimeWeightedAvg.compute(
+          evTime.select(col("event_type"), col("ts"), col("event_id"),
+            col("v_cents"))).collect()
+        s"types=${r.length}"
+      }
+      tm(s"events_family_retention_$tag") {
+        s"cells=${graft.operators.Retention.cohorts(
+          evTime.select("user_id", "ts")).count()}"
+      }
+      // aggregate ON the attached payload — a bare count() lets the
+      // optimizer prune the (cardinality-preserving) window entirely and
+      // measures nothing
+      def asofForce(df: org.apache.spark.sql.DataFrame): String = {
+        val r = df.agg(count(col("asof_ref_id")), coalesce(
+          expr("bit_xor(asof_ref_id)"), lit(0L))).head
+        s"matched=${r.getLong(0)} xor=${r.getLong(1)}"
+      }
+      tm(s"events_family_asof_backward_$tag") {
+        asofForce(graft.operators.AsOfJoin.asofJoin(
+          evTime.select("user_id", "ts", "event_id"), quotes,
+          "user_id", "ts", Seq("ref_id")))
+      }
+      tm(s"events_family_asof_forward_$tag") {
+        asofForce(graft.operators.AsOfJoin.asofJoinForward(
+          evTime.select("user_id", "ts", "event_id"), quotes,
+          "user_id", "ts", Seq("ref_id"), Some(3600000000000L)))
+      }
+      tm(s"events_family_asof_nearest_$tag") {
+        asofForce(graft.operators.AsOfJoin.asofJoinNearest(
+          evTime.select("user_id", "ts", "event_id"), quotes,
+          "user_id", "ts", Seq("ref_id"), 3600000000000L))
       }
     }
     spark.stop()
