@@ -248,6 +248,238 @@ object PipelineQueries {
           expr("bit_xor(l_orderkey)").as("order_xor"))
     }),
 
+    // TPC-H Q8-style: market share of one supplier nation within a
+    // customer region, by order year — two nation dims joined twice
+    // (broadcast), the share as an integer-exact ppm on decimal sums
+    "q8_market_share" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val nat = Tables.nation(s, d)
+      val custAsia = Tables.customer(s, d)
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val supNat = Tables.supplier(s, d)
+        .join(nat.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_7", revenueCents)
+            .otherwise(0L)).cast(dec).as("target"),
+          sum(revenueCents).cast(dec).as("total"),
+          count(lit(1)).as("n_lineitems"))
+        .select(col("o_year"),
+          expr("CAST((target * 1000000) div total AS BIGINT)")
+            .as("mkt_share_ppm"),
+          col("total").cast("long").as("total_centpct"),
+          col("n_lineitems"))
+    }),
+
+    // TPC-H Q9-style: profit by (supplier nation, order year) over a
+    // part-name family — the synthetic schema has no partsupp, so
+    // profit = revenue net of discount AND tax (centpctpct units)
+    "q9_profit_by_nation" -> ((s, d) => {
+      val profit = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long")) *
+        (lit(100L) - round(col("l_tax") * 100).cast("long"))
+      val redParts = Tables.part(s, d)
+        .where(col("p_name").contains("red")).select(col("p_partkey"))
+      val supNat = Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("supp_nation").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(profit).as("profit_centpctpct"), count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q11-style: value concentration with the scalar-subquery
+    // HAVING (value > total/2000) as a 1-row broadcast, never a
+    // per-group subquery (lineitem value stands in for partsupp)
+    "q11_value_concentration" -> ((s, d) => {
+      val suppN3 = Tables.supplier(s, d)
+        .join(Tables.nation(s, d).where(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val perPart = Tables.lineitem(s, d)
+        .join(broadcast(suppN3), col("l_suppkey") === col("s_suppkey"),
+          "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("value_cents"))
+      val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+      perPart.crossJoin(broadcast(total))
+        .where(col("value_cents") * 2000L > col("total_cents"))
+        .select(col("l_partkey"), col("value_cents"))
+    }),
+
+    // TPC-H Q12-style: high- vs low-priority line counts by linestatus
+    // in a shipdate year (no shipmode column in the synthetic schema)
+    "q12_priority_class" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))),
+
+    // TPC-H Q14-style: promo revenue share in one month — integer-exact
+    // ppm on decimal sums (the long product would wrap at the x1e6)
+    "q14_promo_revenue" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp_ntz"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revenueCents).otherwise(0L))
+            .cast(dec).as("promo"),
+          sum(revenueCents).cast(dec).as("total"),
+          count(lit(1)).as("n"))
+        .select(
+          expr("CAST((promo * 1000000) div total AS BIGINT)")
+            .as("promo_ppm"),
+          col("total").cast("long").as("total_centpct"), col("n"))
+    }),
+
+    // TPC-H Q15-style: top supplier by quarter revenue — the scalar max
+    // is a 1-row broadcast joined back on equality, not a re-sort
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenueCents).as("total_rev"))
+      val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+    }),
+
+    // TPC-H Q16-style: distinct supplier count per (brand, size) with
+    // the complaint-supplier NOT IN as a broadcast ANTI join
+    "q16_supplier_count" -> ((s, d) => {
+      val complaints = Tables.supplier(s, d)
+        .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(complaints),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q17-style: small-quantity revenue — the correlated
+    // per-part AVG decorrelated into ONE aggregate, and the 0.2*avg
+    // comparison cross-multiplied (qty*5*cnt < sum) so it stays
+    // integer-exact on both engines
+    "q17_small_quantity" -> ((s, d) => {
+      val brandParts = Tables.part(s, d)
+        .where(col("p_brand") === "Brand#5").select(col("p_partkey"))
+      val liBrand = Tables.lineitem(s, d)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("ext_cents"))
+      val pq = liBrand.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cq"))
+      liBrand.join(broadcast(pq), col("l_partkey") === col("pk"))
+        .where(col("qty") * 5L * col("cq") < col("sq"))
+        .agg(
+          expr("CAST(COALESCE(SUM(ext_cents), 0) div 7 AS BIGINT)")
+            .as("avg_yearly_cents"),
+          count(lit(1)).as("n_small"))
+    }),
+
+    // TPC-H Q19-style: three disjunctive brand/size/quantity predicate
+    // groups — the OR stays a residual on ONE hash join (the equi key
+    // keeps it out of nested-loop land)
+    "q19_disjunctive" -> ((s, d) => {
+      val qty = col("l_quantity")
+      val hit =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          qty >= 1 && qty <= 11) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          qty >= 10 && qty <= 20) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          qty >= 20 && qty <= 30)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .where(hit)
+        .agg(count(lit(1)).as("n"), sum(revenueCents).as("revenue_centpct"))
+    }),
+
+    // TPC-H Q20-style: suppliers of a nation who shipped > 100 units of
+    // some red part in 1996 (threshold sized to the synthetic data) — the nested EXISTS chain as aggregate →
+    // semi-join → semi-join, no correlated re-execution
+    "q20_part_supplier_chain" -> ((s, d) => {
+      val redParts = Tables.part(s, d)
+        .where(col("p_name").startsWith("red ")).select(col("p_partkey"))
+      val shipped = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("shipped_qty"))
+        .where(col("shipped_qty") > 45L)
+        .select(col("l_suppkey"))
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .where(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // TPC-H Q22-style: well-funded customers gone DORMANT (no orders in
+    // the final data year; every synthetic customer has some order) — the
+    // positive-balance average as a 1-row broadcast with the comparison
+    // cross-multiplied (cents*cnt > sum: integer-exact, no double avg),
+    // the no-orders check a broadcast-able ANTI join
+    "q22_lost_customers" -> ((s, d) => {
+      val pool = Tables.customer(s, d)
+        .where(col("c_nationkey").isin(1, 3, 5, 7, 9))
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val pos = pool.where(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("sum_pos"),
+          count(lit(1)).as("cnt_pos"))
+      pool.crossJoin(broadcast(pos))
+        .where(col("bal_cents") * col("cnt_pos") > col("sum_pos"))
+        .join(Tables.orders(s, d)
+          .where(col("o_orderdate") >=
+            lit("2001-01-01").cast("timestamp_ntz"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal_cents")).as("totacctbal_cents"))
+    }),
+
     // TPC-H Q6-style: pure selective scan — every predicate pushes down
     "q6_selective_revenue" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -3674,6 +3906,141 @@ object PipelineQueries {
        "AND NOT EXISTS (SELECT 1 FROM late l3 " +
        "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey) " +
        "GROUP BY s_name"),
+
+    "q8_market_share" ->
+      ("WITH lines AS (SELECT EXTRACT(year FROM o_orderdate) AS o_year, " +
+       "ns.n_name AS supp_nation, " +
+       "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+       "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN nation ns ON s_nationkey = ns.n_nationkey " +
+       "WHERE o_custkey IN (SELECT c_custkey FROM customer " +
+       "JOIN nation nc ON c_nationkey = nc.n_nationkey " +
+       "JOIN region ON nc.n_regionkey = r_regionkey " +
+       "WHERE r_name = 'ASIA')) " +
+       "SELECT o_year, CAST((CAST(SUM(CASE WHEN supp_nation = 'NATION_7' " +
+       "THEN rev ELSE 0 END) AS HUGEINT) * 1000000) // " +
+       "CAST(SUM(rev) AS HUGEINT) AS BIGINT) AS mkt_share_ppm, " +
+       "CAST(SUM(rev) AS BIGINT) AS total_centpct, " +
+       "COUNT(*) AS n_lineitems FROM lines GROUP BY o_year"),
+
+    "q9_profit_by_nation" ->
+      ("SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year, " +
+       "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+       "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) * " +
+       "(100 - CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT) " +
+       "AS profit_centpctpct, COUNT(*) AS n " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "WHERE l_partkey IN (SELECT p_partkey FROM part " +
+       "WHERE p_name LIKE '%red%') " +
+       "GROUP BY 1, 2"),
+
+    "q11_value_concentration" ->
+      ("WITH perpart AS (SELECT l_partkey, " +
+       "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) " +
+       "AS value_cents FROM lineitem " +
+       "WHERE l_suppkey IN (SELECT s_suppkey FROM supplier " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "WHERE n_name = 'NATION_3') GROUP BY 1) " +
+       "SELECT l_partkey, value_cents FROM perpart " +
+       "WHERE value_cents * 2000 > (SELECT SUM(value_cents) FROM perpart)"),
+
+    "q12_priority_class" ->
+      ("SELECT l_linestatus, " +
+       "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
+       "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+       "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') " +
+       "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+       "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1"),
+
+    "q14_promo_revenue" ->
+      ("SELECT CAST((CAST(SUM(CASE WHEN p_type = 'PROMO' THEN " +
+       "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+       "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) ELSE 0 END) " +
+       "AS HUGEINT) * 1000000) // CAST(SUM(" +
+       "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+       "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS HUGEINT) " +
+       "AS BIGINT) AS promo_ppm, " +
+       "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+       "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) " +
+       "AS total_centpct, COUNT(*) AS n " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "WHERE l_shipdate >= TIMESTAMP '1996-09-01' " +
+       "AND l_shipdate < TIMESTAMP '1996-10-01'"),
+
+    "q15_top_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey, " +
+       "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+       "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) " +
+       "AS total_rev FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+       "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) " +
+       "SELECT s_suppkey, s_name, total_rev FROM rev " +
+       "JOIN supplier ON l_suppkey = s_suppkey " +
+       "WHERE total_rev = (SELECT MAX(total_rev) FROM rev)"),
+
+    "q16_supplier_count" ->
+      ("SELECT p_brand, p_size, " +
+       "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' " +
+       "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier " +
+       "WHERE s_acctbal < 0) GROUP BY 1, 2"),
+
+    "q17_small_quantity" ->
+      ("WITH libr AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, " +
+       "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ext_cents " +
+       "FROM lineitem WHERE l_partkey IN " +
+       "(SELECT p_partkey FROM part WHERE p_brand = 'Brand#5')), " +
+       "pq AS (SELECT l_partkey AS pk, CAST(SUM(qty) AS BIGINT) AS sq, " +
+       "COUNT(*) AS cq FROM libr GROUP BY 1) " +
+       "SELECT CAST(COALESCE(SUM(ext_cents), 0) // 7 AS BIGINT) " +
+       "AS avg_yearly_cents, COUNT(*) AS n_small " +
+       "FROM libr JOIN pq ON l_partkey = pk WHERE qty * 5 * cq < sq"),
+
+    "q19_disjunctive" ->
+      ("SELECT COUNT(*) AS n, " +
+       "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+       "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) " +
+       "AS revenue_centpct " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 " +
+       "AND l_quantity BETWEEN 1 AND 11) " +
+       "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 " +
+       "AND l_quantity BETWEEN 10 AND 20) " +
+       "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 " +
+       "AND l_quantity BETWEEN 20 AND 30)"),
+
+    "q20_part_supplier_chain" ->
+      ("SELECT s_suppkey, s_name FROM supplier " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "WHERE n_name = 'NATION_2' AND EXISTS (" +
+       "SELECT 1 FROM lineitem " +
+       "WHERE l_suppkey = s_suppkey " +
+       "AND l_partkey IN (SELECT p_partkey FROM part " +
+       "WHERE p_name LIKE 'red %') " +
+       "AND l_shipdate >= TIMESTAMP '1996-01-01' " +
+       "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+       "GROUP BY l_partkey " +
+       "HAVING SUM(CAST(l_quantity AS BIGINT)) > 45)"),
+
+    "q22_lost_customers" ->
+      ("WITH pool AS (SELECT c_custkey, c_nationkey, " +
+       "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents " +
+       "FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)), " +
+       "pos AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_pos, " +
+       "COUNT(*) AS cnt_pos FROM pool WHERE bal_cents > 0) " +
+       "SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust, " +
+       "CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents " +
+       "FROM pool, pos WHERE bal_cents * cnt_pos > sum_pos " +
+       "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+       "AND o_orderdate >= TIMESTAMP '2001-01-01') " +
+       "GROUP BY 1"),
 
     "q6_selective_revenue" ->
       ("SELECT COUNT(*) AS n, " +

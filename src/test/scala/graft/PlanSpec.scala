@@ -379,6 +379,38 @@ class PlanSpec extends AnyFunSuite {
       s"no distinct-rewrite, no cartesian:\n$plan")
   }
 
+  test("q15: the scalar max joins back broadcast, no re-sort of the agg") {
+    val plan = formatted("q15_top_supplier")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"max-rev must broadcast back:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("(\\d+) Sort"),
+      s"no global sort to find the max:\n$plan")
+  }
+
+  test("q17: correlated per-part avg is ONE aggregate, broadcast back") {
+    val plan = formatted("q17_small_quantity")
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"brand dim and the per-part stats must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"the avg subquery must not re-correlate:\n$plan")
+  }
+
+  test("q19: the disjunctive predicate rides ONE hash join as residual") {
+    val plan = formatted("q19_disjunctive")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the equi key must keep the OR out of nested-loop land:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), s"no nested loop:\n$plan")
+  }
+
+  test("q22: dormant check is an ANTI join; the avg a 1-row broadcast") {
+    val plan = formatted("q22_lost_customers")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS → anti join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"the recent-order filter must reach the orders scan:\n$plan")
+  }
+
   test("q4: existence check is a LEFT SEMI join, no distinct after") {
     val plan = formatted("q4_slow_orders")
     assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
