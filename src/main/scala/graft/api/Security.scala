@@ -42,7 +42,11 @@ object Security {
     "filterOps", "histograms", "histogramOutputs", "sums", "transforms",
     "operations", "finds",
     // beyond-reference: operator-registry name enumeration
-    "queries")
+    "queries",
+    // the static dashboard page itself ("" = GET /); its DATA calls
+    // still authenticate per tier — serving the shell unauthenticated
+    // mirrors the reference webapp's login flow
+    "", "ui")
   val CacheReaderEndpoints: Set[String] = Set(
     "suggestions", "history", "token", "directories", "users", "quotas",
     "fileAge", "info", "config", "getCachedQuery", "cachedMaps", "fileTypes")

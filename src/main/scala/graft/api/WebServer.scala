@@ -158,6 +158,18 @@ final class WebServer(
 
   private def dispatch(ex: HttpExchange, endpoint: String,
                        p: Map[String, String], user: String): Unit = endpoint match {
+    // ---- static dashboard (the reference's webapps/nna analog —
+    // ORIGINAL page, no vendored libs; charts are inline SVG consuming
+    // the same Chart.js JSON /histogram serves)
+    case "" | "ui" =>
+      val in = getClass.getResourceAsStream("/graft/webui/index.html")
+      if (in == null) respond(ex, 404, "text/plain", "UI not bundled\n")
+      else {
+        val html = new String(in.readAllBytes(), UTF_8)
+        in.close()
+        respond(ex, 200, "text/html; charset=utf-8", html)
+      }
+
     // ---- auth
     case "login" =>
       val (u, pw) = (p.getOrElse("username", ""), p.getOrElse("password", ""))

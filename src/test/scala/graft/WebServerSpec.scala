@@ -251,6 +251,18 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get(open, "/suggestions").status === 200)
   }
 
+  test("static dashboard serves at / and /ui; data endpoints stay tiered") {
+    val root = get(open, "/")
+    assert(root.status === 200 && root.body.contains("<title>Graft"))
+    assert(root.body.contains("/histogram?"),
+      "the page must drive the real histogram endpoint")
+    assert(get(open, "/ui").status === 200)
+    // the unauthenticated SHELL serves on a secured server too, while
+    // its data calls still 401 (the login-panel flow)
+    assert(get(secured, "/").status === 200)
+    assert(get(secured, "/suggestions").status === 401)
+  }
+
   test("/fileTypes returns the per-user fileType breakdown") {
     val r = get(open, "/fileTypes")
     assert(r.status === 200 && r.body.startsWith("{") && r.body.contains("\"u1\""))
