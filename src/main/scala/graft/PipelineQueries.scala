@@ -266,8 +266,9 @@ object PipelineQueries {
         .select(col("s_suppkey"), col("supp_nation"))
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"),
-          "left_semi")
+        // customer-scale semi side: NOT force-broadcast — at real SF the
+        // region's customers outgrow a broadcast; AQE picks the strategy
+        .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
         .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(
@@ -296,8 +297,8 @@ object PipelineQueries {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("supp_nation"))
       Tables.lineitem(s, d)
-        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
-          "left_semi")
+        // part-scale semi side: no forced broadcast (see q8)
+        .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("supp_nation").as("nation"),
@@ -346,8 +347,7 @@ object PipelineQueries {
       Tables.lineitem(s, d)
         .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp_ntz") &&
           col("l_shipdate") < lit("1996-10-01").cast("timestamp_ntz"))
-        .join(broadcast(Tables.part(s, d)
-          .select(col("p_partkey"), col("p_type"))),
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
         .agg(
           sum(when(col("p_type") === "PROMO", revenueCents).otherwise(0L))
@@ -381,9 +381,11 @@ object PipelineQueries {
       val complaints = Tables.supplier(s, d)
         .where(col("s_acctbal") < 0).select(col("s_suppkey"))
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)
+        // the brand/type exclusion keeps MOST of part — no forced
+        // broadcast of a table-scale side; AQE sizes the join
+        .join(Tables.part(s, d)
           .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
-          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          .select(col("p_partkey"), col("p_brand"), col("p_size")),
           col("l_partkey") === col("p_partkey"))
         .join(broadcast(complaints),
           col("l_suppkey") === col("s_suppkey"), "left_anti")
@@ -426,8 +428,7 @@ object PipelineQueries {
         (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
           qty >= 20 && qty <= 30)
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)),
-          col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .where(hit)
         .agg(count(lit(1)).as("n"), sum(revenueCents).as("revenue_centpct"))
     }),
@@ -441,8 +442,7 @@ object PipelineQueries {
       val shipped = Tables.lineitem(s, d)
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
-        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
-          "left_semi")
+        .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity").cast("long")).as("shipped_qty"))
         .where(col("shipped_qty") > 45L)
