@@ -1301,6 +1301,45 @@ object PipelineQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))),
 
+    // CLUSTER-AWARE splits + leakage audit: hashing doc_id into
+    // train/val/test puts near-duplicate documents on BOTH sides of the
+    // split — eval leakage, the quiet way a 100 TB corpus inflates its
+    // benchmark numbers. Splitting by the near-dup CLUSTER label instead
+    // (every member co-travels) makes cross-split near-dup pairs zero BY
+    // CONSTRUCTION — and this query measures both schemes' leakage
+    // rather than asserting it
+    "corpus_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = pipeline.Dedup.minhashCandidates(docs, "doc_id",
+          col("text")).where(col("est_jaccard_ppm") >= 500000)
+        .select(col("ida"), col("idb")).localCheckpoint(true)
+      val labels = pipeline.Dedup.clusterLabels(pairs)
+      def splitOf(c: org.apache.spark.sql.Column) =
+        when(pipeline.Curation.pctBucket(c) < 80, "train")
+          .when(pipeline.Curation.pctBucket(c) < 90, "val")
+          .otherwise("test")
+      val sp = docs.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("did"), "left_outer")
+        .select(col("doc_id"),
+          splitOf(col("doc_id")).as("naive_split"),
+          splitOf(coalesce(col("label"), col("doc_id"))).as("aware_split"))
+      val leak = pairs
+        .join(sp.select(col("doc_id").as("ida"),
+          col("naive_split").as("na"), col("aware_split").as("aa")), Seq("ida"))
+        .join(sp.select(col("doc_id").as("idb"),
+          col("naive_split").as("nb"), col("aware_split").as("ab")), Seq("idb"))
+        .agg(
+          coalesce(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)),
+            lit(0L)).as("naive_leak_pairs"),
+          coalesce(sum(when(col("aa") =!= col("ab"), 1L).otherwise(0L)),
+            lit(0L)).as("aware_leak_pairs"))
+      val sizes = sp.agg(
+        sum(when(col("aware_split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("aware_split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("aware_split") === "test", 1L).otherwise(0L)).as("n_test"))
+      leak.crossJoin(sizes)
+    }),
+
     // single-pass filter-stage audit (Observation API): per-stage
     // first-fail drop counts ride the SAME action as the filter — zero
     // extra scans at any corpus size; invariant Σdropped + kept = total
@@ -2808,6 +2847,33 @@ object PipelineQueries {
        "nlosers AS (SELECT COUNT(*) AS n FROM comp WHERE label < did) " +
        "SELECT (SELECT COUNT(*) FROM documents) AS total_docs, " +
        "(SELECT COUNT(*) FROM documents) - (SELECT n FROM nlosers) AS kept_docs"),
+
+    "corpus_split_leakage" ->
+      (s"WITH RECURSIVE $minhashCtes, " +
+       "cedges0 AS (SELECT ida, idb FROM mest WHERE est_jaccard_ppm >= 500000), " +
+       "cedges AS (SELECT ida AS src, idb AS dst FROM cedges0 " +
+       "UNION ALL SELECT idb, ida FROM cedges0), " +
+       "reach AS (SELECT DISTINCT src AS did, src AS label FROM cedges " +
+       "UNION SELECT e.dst AS did, r.label FROM reach r " +
+       "JOIN cedges e ON e.src = r.did), " +
+       "comp AS (SELECT did, MIN(label) AS label FROM reach GROUP BY did), " +
+       "sp AS (SELECT d.doc_id, " +
+       "CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train' " +
+       "WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val' " +
+       "ELSE 'test' END AS naive_split, " +
+       "CASE WHEN ('0x' || substr(md5(CAST(COALESCE(c.label, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train' " +
+       "WHEN ('0x' || substr(md5(CAST(COALESCE(c.label, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val' " +
+       "ELSE 'test' END AS aware_split " +
+       "FROM documents d LEFT JOIN comp c ON c.did = d.doc_id), " +
+       "leak AS (SELECT " +
+       "CAST(COALESCE(SUM(CASE WHEN a.naive_split <> b.naive_split THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_leak_pairs, " +
+       "CAST(COALESCE(SUM(CASE WHEN a.aware_split <> b.aware_split THEN 1 ELSE 0 END), 0) AS BIGINT) AS aware_leak_pairs " +
+       "FROM cedges0 JOIN sp a ON a.doc_id = ida JOIN sp b ON b.doc_id = idb), " +
+       "sizes AS (SELECT " +
+       "CAST(SUM(CASE WHEN aware_split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train, " +
+       "CAST(SUM(CASE WHEN aware_split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val, " +
+       "CAST(SUM(CASE WHEN aware_split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test FROM sp) " +
+       "SELECT * FROM leak, sizes"),
 
     "dedup_cluster_sizes" ->
       (s"WITH RECURSIVE $minhashCtes, " +
