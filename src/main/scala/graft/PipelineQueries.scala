@@ -1392,6 +1392,21 @@ object PipelineQueries {
           coalesce(expr("(ts - asof_ts) div 1000000000"), lit(-1L)).as("gap_s"))
     }),
 
+    // the whale-key-proof two-phase as-of (per-(key, day-bucket) windows
+    // + boundary stitch) — same oracle as events_asof_join: the
+    // bucketing must be invisible in results
+    "events_asof_bucketed" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"))
+      operators.AsOfJoin.asofJoinBucketed(purchases, errors,
+          "user_id", "ts", Seq("ts"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(expr("(ts - asof_ts) div 1000000000"), lit(-1L)).as("gap_s"))
+    }),
+
     // forward as-of with tolerance: each error matched to the user's NEXT
     // purchase within 24 h (pandas merge_asof direction='forward';
     // same one-shuffle union+window composition, descending)
@@ -3747,6 +3762,15 @@ object PipelineQueries {
          FROM rk WHERE rn = 1"""),
 
     "events_asof_join" ->
+      ("SELECT a.event_id, a.user_id, " +
+       "COALESCE((epoch_ns(a.ts) - b.tns) // 1000000000, -1) AS gap_s " +
+       "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') a " +
+       "ASOF LEFT JOIN (SELECT user_id AS u2, epoch_ns(ts) AS tns FROM events " +
+       "WHERE event_type = 'error') b " +
+       "ON a.user_id = b.u2 AND b.tns <= epoch_ns(a.ts)"),
+
+    // identical oracle to events_asof_join by design
+    "events_asof_bucketed" ->
       ("SELECT a.event_id, a.user_id, " +
        "COALESCE((epoch_ns(a.ts) - b.tns) // 1000000000, -1) AS gap_s " +
        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') a " +

@@ -733,6 +733,22 @@ object ScaleBench {
           evTime.select("user_id", "ts", "event_id"), quotes,
           "user_id", "ts", Seq("ref_id"), 3600000000000L))
       }
+      // WHALE KEY: half the events collapse onto user 0 — the plain
+      // as-of sorts them in ONE window partition (the skewed-key
+      // straggler); the bucketed two-phase bounds every sort partition
+      // by the day bucket, at the same answer
+      def evWhale = evTime.select(
+        when(col("event_id") % 2 === 0, 0L).otherwise(col("user_id"))
+          .as("user_id"), col("ts"), col("event_id"))
+      tm(s"events_family_asof_whale_plain_$tag") {
+        asofForce(graft.operators.AsOfJoin.asofJoin(
+          evWhale, quotes, "user_id", "ts", Seq("ref_id")))
+      }
+      tm(s"events_family_asof_whale_bucketed_$tag") {
+        asofForce(graft.operators.AsOfJoin.asofJoinBucketed(
+          evWhale, quotes, "user_id", "ts", Seq("ref_id"),
+          bucketNs = 86400L * 1000000000L))
+      }
     }
     spark.stop()
   }

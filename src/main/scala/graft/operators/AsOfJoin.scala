@@ -53,6 +53,70 @@ object AsOfJoin {
         rightCols.map(c => col("__asof").getField(c).as(s"asof_$c"))).toSeq: _*)
   }
 
+  /** Whale-key-proof [[asofJoin]]: identical semantics, but the keyed
+    * window runs within (key, time-bucket) partitions instead of whole
+    * keys — the same two-phase shape as the TWA operator. A skewed key
+    * (one user with 10⁸ events) makes the plain as-of sort ONE
+    * partition of 10⁸ rows; here phase 1 sorts calendar-bounded
+    * (key, bucket) slices, and phase 2 stitches bucket BOUNDARIES with a
+    * window over per-(key, bucket) rows (bucket-count-sized, never
+    * event-sized): each bucket's carry-in is the latest right row of any
+    * earlier bucket. A left row's match is then
+    * `coalesce(within-bucket last, carry-in)` — exactly the plain
+    * operator's answer, because every carried right ts precedes the
+    * bucket start and hence the left ts.
+    *
+    * Tie note: among right rows sharing (key, ts) the plain operator
+    * keeps whichever sorts last (union-order-unstable); this one keeps
+    * the max payload struct (deterministic). Identical whenever right
+    * (key, ts) pairs are unique — the as-of contract's usual shape. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+                       ts: String, rightCols: Seq[String],
+                       bucketNs: Long = 86400L * 1000000000L): DataFrame = {
+    require(bucketNs > 0, "bucketNs must be positive")
+    val rStruct = struct(rightCols.map(col): _*)
+    val rNull = lit(null).cast(
+      right.select(rStruct).schema.fields.head.dataType)
+    val lTagged = left
+      .withColumn("__is_left", lit(true))
+      .withColumn("__r", rNull)
+    val rTagged = right
+      .withColumn("__is_left", lit(false))
+      .withColumn("__r", rStruct)
+    val unioned = lTagged.select(
+      (left.columns.map(col) :+ col("__is_left") :+ col("__r")).toSeq: _*)
+      .unionByName(rTagged.select(
+        (left.columns.map(c => if (right.columns.contains(c)) col(c)
+          else lit(null).as(c)) :+ col("__is_left") :+ col("__r")).toSeq: _*))
+      // truncating div, not floor: bucket ids must only be CONSISTENT and
+      // monotone in ts (both hold for trunc), never compared to a
+      // separately-computed floor — unlike RangeJoin's bucket equi-keys
+      .withColumn("__bkt", expr(s"`$ts` div $bucketNs"))
+    val wIn = Window.partitionBy(col(key), col("__bkt"))
+      .orderBy(col(ts).asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = unioned.withColumn("__within",
+      last(col("__r"), ignoreNulls = true).over(wIn))
+    // phase 2 inputs: one row per (key, bucket) — including buckets with
+    // ONLY left rows, which still need a carry-in from earlier buckets
+    val bucketLast = unioned.where(!col("__is_left"))
+      .groupBy(col(key), col("__bkt"))
+      .agg(max(struct(col(ts).as("__t"), col("__r").as("__p"))).as("__m"))
+    val allBuckets = unioned.select(col(key), col("__bkt")).distinct()
+    val wCarry = Window.partitionBy(col(key)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = allBuckets
+      .join(bucketLast, Seq(key, "__bkt"), "left_outer")
+      .withColumn("__carry", last(col("__m"), ignoreNulls = true).over(wCarry))
+      .select(col(key), col("__bkt"), col("__carry"))
+    withIn.join(carried, Seq(key, "__bkt"), "left_outer")
+      .where(col("__is_left"))
+      .withColumn("__asof",
+        coalesce(col("__within"), col("__carry").getField("__p")))
+      .select((left.columns.map(col) ++
+        rightCols.map(c => col("__asof").getField(c).as(s"asof_$c"))).toSeq: _*)
+  }
+
   /** Forward as-of join with optional tolerance: for every left row,
     * attach the EARLIEST right row with the same key and
     * `right.ts >= left.ts` (pandas `merge_asof(direction='forward')`).

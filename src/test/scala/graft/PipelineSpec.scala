@@ -561,6 +561,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed as-of equals the plain as-of at every bucket width") {
+    // randomized sweep with the hostile shapes: negative ts, keys whose
+    // rights sit MANY empty buckets before their lefts (carry must hop
+    // buckets), a whale key carrying most rows, and a key with no rights
+    val rnd = new scala.util.Random(21)
+    val left = (0 until 3000).map { i =>
+      val k = if (i % 3 == 0) 7L else rnd.between(0L, 40L)
+      (k, rnd.between(-500000L, 500000L), i.toLong)
+    }.toDF("key", "ts", "lid")
+    val right = (0 until 800).map { i =>
+      val k = if (i % 3 == 0) 7L else rnd.between(1L, 40L) // key 0: no rights
+      // rights clustered early → later lefts reach them only via carry
+      (k, rnd.between(-500000L, -100000L + (i % 5) * 100000L), 9000L + i)
+    }.toDF("key", "ts", "rid")
+    val want = graft.operators.AsOfJoin
+      .asofJoin(left, right, "key", "ts", Seq("rid"))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[Any]("asof_rid"))).toMap
+    for (b <- Seq(1L, 97L, 10000L, 1000000L, 100000000L)) {
+      val got = graft.operators.AsOfJoin
+        .asofJoinBucketed(left, right, "key", "ts", Seq("rid"), b)
+        .collect().map(r => r.getAs[Long]("lid") ->
+          Option(r.getAs[Any]("asof_rid"))).toMap
+      assert(got === want, s"bucketNs=$b diverged from the plain as-of")
+    }
+  }
+
   test("as-of join attaches whole right rows even with NULL payload values") {
     // right row at ts=150 has a NULL b: the match must carry (NULL, 992),
     // not resurrect b=881 from the earlier row (per-column last() would)
