@@ -215,6 +215,50 @@ object EventsStream {
       }.toDF("user_id", "depth")
   }
 
+  /** Streaming as-of enrichment: every point event is annotated with the
+    * latest reference event of the same key at or before its ts —
+    * `merge_asof(direction='backward')` as a LIVE operator. Points and
+    * refs union into ONE keyed stream; per-key state is a single long
+    * (the latest ref ts seen), so state size is O(keys) regardless of
+    * history — RocksDB-spillable like the other keyed-state operators.
+    *
+    * Contract (same class as [[funnelStream]]): within a batch the group
+    * iterator is sorted by (ts, ref-before-point) — inclusive at equal
+    * ts, matching the batch operator — and across batches the state
+    * carries the running latest ref. EXACT for per-key event-time-ordered
+    * arrival (the Kafka-partitioned-by-key case); a ref arriving after a
+    * later-ts point was already emitted does not retro-correct it.
+    * Output: (event_id, user_id, ts, asof_ref_ts) with −1 = no ref yet. */
+  def asofStream(spark: SparkSession, points: DataFrame,
+                 refs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tagged = points
+      .select(col("user_id"), col("ts"), lit(true).as("isPoint"),
+        col("event_id"))
+      .unionByName(refs.select(col("user_id"), col("ts"),
+        lit(false).as("isPoint"), lit(-1L).as("event_id")))
+    tagged.as[(Long, Long, Boolean, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[(Long, Long, Boolean, Long)],
+         state: GroupState[Long]) =>
+          // Long.MinValue = no ref yet (a -1 sentinel would swallow
+          // legitimately negative ref timestamps)
+          var lastRef = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ListBuffer[(Long, Long, Long, Long)]()
+          // ts asc; refs (false) before points (true) at equal ts
+          evs.toSeq.sortBy(e => (e._2, e._3)).foreach {
+            case (_, ts, isPoint, eid) =>
+              if (!isPoint) lastRef = math.max(lastRef, ts)
+              else out += ((eid, uid, ts,
+                if (lastRef == Long.MinValue) -1L else lastRef))
+          }
+          state.update(lastRef)
+          out.iterator
+      }.toDF("event_id", "user_id", "ts", "asof_ref_ts")
+  }
+
   /** RocksDB state store: the production config for stateful streaming.
     * The default (HDFSBackedStateStoreProvider) keeps every user's session
     * state as JVM heap objects per executor — at 100 TB-scale cardinality

@@ -312,6 +312,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(3L) === 1, "pre-signup view must not count as a step")
   }
 
+  test("streaming as-of matches the batch as-of; state carries refs across batches") {
+    import spark.implicits._
+    val m = 60L * 1000 * 1000000 // one minute in ns
+    val root = java.nio.file.Files.createTempDirectory("asofstream").toString
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    def writeBatch(idx: Int, rows: Seq[(Long, Long, Boolean, Long)]): Unit = {
+      val stage = s"$root/stage$idx"
+      rows.toDF("user_id", "ts", "isPoint", "event_id")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, f"b$idx%02d.parquet").toPath)
+    }
+    // batch 1: refs at 1m/5m (u1), 2m (u2); points at 3m (u1: matches
+    // 1m... no — latest ≤ 3m is 1m? refs 1m and 5m: 1m), 2m (u2: equal
+    // ts is INCLUSIVE → 2m), 1m (u3: no refs → -1)
+    writeBatch(1, Seq(
+      (1L, 1 * m, false, -1L), (1L, 5 * m, false, -1L), (2L, 2 * m, false, -1L),
+      (1L, 3 * m, true, 10L), (2L, 2 * m, true, 20L), (3L, 1 * m, true, 30L)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("isPoint",
+        org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema).parquet(in.toString)
+    val q = EventsStream.asofStream(spark,
+        stream.where(col("isPoint")),
+        stream.where(!col("isPoint")).drop("event_id"))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("asof_stream").start()
+    q.processAllAvailable()
+    // batch 2: points ONLY — every match must come from batch-1 state
+    // (u1's latest ref was 5m; u2's 2m; u3 still none)
+    writeBatch(2, Seq(
+      (1L, 9 * m, true, 11L), (2L, 9 * m, true, 21L), (3L, 9 * m, true, 31L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_stream").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(10L -> 1 * m, 20L -> 2 * m, 30L -> -1L,
+      11L -> 5 * m, 21L -> 2 * m, 31L -> -1L), got.toString)
+
+    // randomized single-batch equivalence vs the batch operator
+    val rnd = new scala.util.Random(33)
+    val pts = (0 until 2000).map(i =>
+      (rnd.between(0L, 50L), rnd.between(0L, 500000L), i.toLong))
+      .toDF("user_id", "ts", "event_id")
+    val refs = (0 until 600).map(_ =>
+      (rnd.between(0L, 50L), rnd.between(0L, 500000L)))
+      .toDF("user_id", "ts")
+    val tmp2 = s"$root/rand"
+    pts.select(col("user_id"), col("ts"), lit(true).as("isPoint"),
+        col("event_id"))
+      .unionByName(refs.select(col("user_id"), col("ts"),
+        lit(false).as("isPoint"), lit(-1L).as("event_id")))
+      .coalesce(1).write.parquet(tmp2)
+    val s2 = spark.readStream.schema(schema).parquet(tmp2)
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.asofStream(spark, s2.where(col("isPoint")),
+        s2.where(!col("isPoint")).drop("event_id")), "asof_rand")
+    val gotR = streamed.collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val wantR = graft.operators.AsOfJoin
+      .asofJoin(pts, refs.withColumnRenamed("ts", "rts")
+        .withColumn("ts", col("rts")), "user_id", "ts", Seq("rts"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("asof_rts")).map(_.asInstanceOf[Long])
+          .getOrElse(-1L)).toMap
+    assert(gotR === wantR, "streaming as-of diverged from the batch join")
+  }
+
   test("stream-stream interval join equals the batch join pair-for-pair") {
     val streamed = EventsStream.runToMemory(spark,
       EventsStream.purchaseErrorJoin(EventsStream.readStream(spark, dir)),
