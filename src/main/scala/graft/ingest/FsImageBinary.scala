@@ -115,12 +115,10 @@ object FsImageBinary {
 
   /** Stream the INODE section: header (lastInodeId, numInodes), then
     * `numInodes` delimited INode stubs (id, name, FILE/DIRECTORY).
-    * Sequential by format design — see the design note above. Refuses
-    * compressed images (codec set) to stay an honest spike. */
+    * Sequential by format design — see the design note above. Compressed
+    * images decode through the per-section codec wrap (gzip/zlib). */
   def readInodes(path: String): (Long, Seq[InodeStub]) = {
     val summary = readSummary(path)
-    require(summary.codec.isEmpty,
-      s"$path: compressed fsimage (${summary.codec.get}) — spike reads uncompressed only")
     val sec = summary.sections.find(_.name == "INODE")
       .getOrElse(throw new IllegalArgumentException(s"$path: no INODE section"))
     val raf = new RandomAccessFile(path, "r")
@@ -128,7 +126,7 @@ object FsImageBinary {
       // stream-bounded like every other section read: a >2 GiB INODE
       // section (real 300M-inode images) must never materialize as one
       // byte[] (Int-capped) on the driver
-      val in = sectionStream(raf, sec)
+      val in = sectionStream(raf, sec, summary.codec)
       // INodeSection header (delimited)
       val hLen = in.readRawVarint32()
       val hLim = in.pushLimit(hLen)
@@ -203,20 +201,46 @@ object FsImageBinary {
       }
   }
 
-  private def sectionStream(raf: RandomAccessFile, sec: Section): CodedInputStream = {
+  private def sectionStream(raf: RandomAccessFile, sec: Section): CodedInputStream =
+    sectionStream(raf, sec, None)
+
+  private def sectionStream(raf: RandomAccessFile, sec: Section,
+                            codec: Option[String]): CodedInputStream = {
     // stream the section instead of materializing it: multi-GB INODE
     // sections must not become a driver byte array, and the bound must be
     // a LONG — pushLimit's Int would go negative at 2 GiB and silently
     // wrap (truncating the section) past 4 GiB
     raf.seek(sec.offset)
-    CodedInputStream.newInstance(new java.io.BufferedInputStream(
-      new BoundedInputStream(new java.io.FileInputStream(raf.getFD),
-        sec.length), 1 << 20))
+    val bounded: java.io.InputStream = new BoundedInputStream(
+      new java.io.FileInputStream(raf.getFD), sec.length)
+    // A COMPRESSED image (FileSummary.codec set) wraps each section's
+    // bytes in the codec stream — the summary itself is never compressed
+    // and its offset/length refer to the compressed bytes
+    // (FSImageUtil.wrapInputStreamForCompression). Supported codecs:
+    // GzipCodec (standard gzip framing) and DefaultCodec (zlib framing);
+    // anything else fails loudly instead of mis-decoding.
+    val wrapped = codec.map(codecName) match {
+      case None => bounded
+      case Some("gzip") => new java.util.zip.GZIPInputStream(bounded)
+      case Some("default") =>
+        new java.util.zip.InflaterInputStream(bounded)
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported fsimage codec '$other' (${codec.get}) — " +
+          "decompress or re-render with oiv")
+    }
+    CodedInputStream.newInstance(
+      new java.io.BufferedInputStream(wrapped, 1 << 20))
   }
 
-  private def requireUncompressed(s: Summary, path: String): Unit =
-    require(s.codec.isEmpty,
-      s"$path: compressed fsimage (${s.codec.get}) — decompress or re-render with oiv")
+  /** Normalize a FileSummary codec spelling (Hadoop writes the codec
+    * CLASS name; short names accepted too). */
+  private def codecName(c: String): String = c.trim match {
+    case s if s.endsWith("GzipCodec") || s.equalsIgnoreCase("gzip") => "gzip"
+    case s if s.endsWith("DefaultCodec") ||
+      s.equalsIgnoreCase("deflate") || s.equalsIgnoreCase("default") =>
+      "default"
+    case other => other
+  }
 
   /** STRING_TABLE section: serial id → user/group name. Mirrors Hadoop's
     * `SerialNumberManager` layout (header {1:numEntry, 2:maskBits}, then
@@ -227,12 +251,11 @@ object FsImageBinary {
     readStringTable(path, readSummary(path))
 
   private def readStringTable(path: String, summary: Summary): Map[Long, String] = {
-    requireUncompressed(summary, path)
     val sec = summary.sections.find(_.name == "STRING_TABLE")
       .getOrElse(return Map.empty)
     val raf = new RandomAccessFile(path, "r")
     try {
-      val in = sectionStream(raf, sec)
+      val in = sectionStream(raf, sec, summary.codec)
       val hLen = in.readRawVarint32()
       val hLim = in.pushLimit(hLen)
       var numEntry = 0L
@@ -294,12 +317,11 @@ object FsImageBinary {
 
   private def readInodesFull(path: String, summary: Summary,
                              strings: Map[Long, String]): Seq[InodeFull] = {
-    requireUncompressed(summary, path)
     val sec = summary.sections.find(_.name == "INODE")
       .getOrElse(throw new IllegalArgumentException(s"$path: no INODE section"))
     val raf = new RandomAccessFile(path, "r")
     try {
-      val in = sectionStream(raf, sec)
+      val in = sectionStream(raf, sec, summary.codec)
       val hLen = in.readRawVarint32()
       val hLim = in.pushLimit(hLen)
       var numInodes = 0L
@@ -403,12 +425,11 @@ object FsImageBinary {
     readDirLinks(path, readSummary(path))
 
   private def readDirLinks(path: String, summary: Summary): Seq[(Long, Long)] = {
-    requireUncompressed(summary, path)
     val sec = summary.sections.find(_.name == "INODE_DIR")
       .getOrElse(return Seq.empty)
     val raf = new RandomAccessFile(path, "r")
     try {
-      val in = sectionStream(raf, sec)
+      val in = sectionStream(raf, sec, summary.codec)
       val out = Seq.newBuilder[(Long, Long)]
       // section end = EOF of the bounded window (no section-level
       // pushLimit — see sectionStream)
@@ -444,12 +465,11 @@ object FsImageBinary {
     readSnapshotRoots(path, readSummary(path))
 
   private def readSnapshotRoots(path: String, summary: Summary): Seq[Long] = {
-    requireUncompressed(summary, path)
     val sec = summary.sections.find(_.name == "SNAPSHOT")
       .getOrElse(return Seq.empty)
     val raf = new RandomAccessFile(path, "r")
     try {
-      val in = sectionStream(raf, sec)
+      val in = sectionStream(raf, sec, summary.codec)
       val hLen = in.readRawVarint32()
       val hLim = in.pushLimit(hLen)
       val roots = Seq.newBuilder[Long]

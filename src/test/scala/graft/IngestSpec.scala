@@ -202,9 +202,12 @@ class IngestSpec extends AnyFunSuite {
     // freedom the real saver (or a future layout version) has — body
     // section order, index entry order, string-table serial assignment
     // (non-contiguous), inode record order, protobuf field order inside
-    // the INode messages, dir-entry order, and interleaved UNKNOWN
-    // sections. The decoder must produce the identical namespace on all
-    // of them; any layout it can't handle is a found bug.
+    // the INode messages, dir-entry order, interleaved UNKNOWN sections,
+    // and (about half the seeds) SECTION COMPRESSION with gzip or zlib —
+    // the FileSummary codec field, exactly FSImageFormatProtobuf's
+    // compressed layout. The decoder must produce the identical
+    // namespace on all of them; any layout it can't handle is a found
+    // bug.
     import scala.sys.process._
     assume("python3 --version".!(ProcessLogger(_ => ())) == 0,
       "python3 unavailable — cannot drive the layout generator")

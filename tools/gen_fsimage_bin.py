@@ -26,9 +26,11 @@ index is the only authority), summary index entry order, string-table
 serial assignment (shuffled, non-contiguous ids), inode record order
 within the INODE section, protobuf field order within INodeFile /
 INodeDirectory submessages (any tag order is legal), dir-entry order, and
-interleaved UNKNOWN sections a decoder must skip. `IngestSpec` sweeps
-seeds and asserts decode == XML door on every layout — a layout the
-decoder can't handle is a found bug, not a silent assumption.
+interleaved UNKNOWN sections a decoder must skip — and, on about half
+the seeds, per-section COMPRESSION (gzip/zlib via --codec, the
+FileSummary codec field). `IngestSpec` sweeps seeds and asserts
+decode == XML door on every layout — a layout the decoder can't handle
+is a found bug, not a silent assumption.
 
 Regenerate with: python3 tools/gen_fsimage_bin.py
 """
@@ -80,6 +82,31 @@ if "--seed" in argv:
     seed = int(argv[i + 1])
     del argv[i:i + 2]
 rng = random.Random(seed) if seed is not None else None
+# --codec gzip|deflate: compress each SECTION's bytes with the codec and
+# record the codec class name in the FileSummary (the summary itself is
+# never compressed) — exactly FSImageFormatProtobuf's compressed layout.
+# Under --seed with no explicit codec, the rng picks one (or none), so
+# the randomized-layout sweep also covers compressed images.
+codec = None
+if "--codec" in argv:
+    i = argv.index("--codec")
+    codec = argv[i + 1]
+    del argv[i:i + 2]
+elif rng:
+    codec = rng.choice([None, None, "gzip", "deflate"])
+
+def compress_section(b):
+    import gzip as _gzip
+    import zlib as _zlib
+    if codec == "gzip":
+        # fixed mtime: byte-determinism per seed
+        return _gzip.compress(bytes(b), mtime=0)
+    if codec == "deflate":
+        return _zlib.compress(bytes(b))
+    return bytes(b)
+
+CODEC_CLASS = {"gzip": "org.apache.hadoop.io.compress.GzipCodec",
+               "deflate": "org.apache.hadoop.io.compress.DefaultCodec"}
 
 base = os.path.join(os.path.dirname(__file__), "..", "fixtures")
 # scale mode: gen_fsimage_bin.py <flat_csv> <out.bin> encodes any flat CSV
@@ -352,13 +379,16 @@ if rng:
     rng.shuffle(section_list)
 sections = []
 for name, sec in section_list:
-    sections.append((name, len(out), len(sec)))
-    out.extend(sec)
+    payload = compress_section(sec)
+    sections.append((name, len(out), len(payload)))
+    out.extend(payload)
 if rng:  # index entry order need not match body order either
     rng.shuffle(sections)
 summary = bytearray()
 uint_field(summary, 1, 1)                      # ondiskVersion
 uint_field(summary, 2, (1 << 32) - 66)         # layoutVersion -66 as uint32
+if codec:
+    bytes_field(summary, 3, CODEC_CLASS[codec].encode())
 for name, off, length in sections:
     s = bytearray()
     bytes_field(s, 1, name.encode())
