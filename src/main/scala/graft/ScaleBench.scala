@@ -656,6 +656,68 @@ object ScaleBench {
       }
     }
 
+    // month-long intervals through the SQL DOOR: the door's tuner sizes
+    // the bucket width from the data (p95 span = exactly monthNs here),
+    // so every interval explodes to ≤ 2 bucket rows; the twin stage pins
+    // the width to the static 1 h default and each interval fans out to
+    // ~720 rows — watch shuffleRecords: ~(points + 2·intervals) vs
+    // ~(points + 720·intervals). 20k intervals make the fan-out dominate.
+    val doorPts = spark.range(10000000L).select(
+      (col("id") * 60000000000L).as("ts"), col("id").as("event_id"))
+    val monthNs = 30L * 86400L * 1000000000L
+    // 600 back-to-back month intervals: every point lands in exactly one
+    val doorIvs = spark.range(600).select(col("id").as("iid"),
+      (col("id") * monthNs).as("ws"))
+      .withColumn("we", col("ws") + monthNs - 1L)
+    val doorSql = "SELECT count(*) AS n FROM door_pts_10m " +
+      "JOIN door_month_ivs ON ts BETWEEN ws AND we"
+    // candidate fan-out = the bucket explode's output rows, read from the
+    // Generate node's metric (join strategy independent — a broadcast
+    // hides it from shuffle records)
+    def generateRows(df: org.apache.spark.sql.DataFrame): Long = {
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          unwrap(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          unwrap(q.plan)
+        case other => other +: other.children.flatMap(unwrap)
+      }
+      unwrap(df.queryExecution.executedPlan).collect {
+        case g: org.apache.spark.sql.execution.GenerateExec =>
+          g.metrics("numOutputRows").value
+      }.sum
+    }
+    tm("events_range_door_autowidth_10m") {
+      doorPts.createOrReplaceTempView("door_pts_10m")
+      doorIvs.createOrReplaceTempView("door_month_ivs")
+      val df = graft.engine.SqlShim
+        .execute(spark, "/root/testdata/sf0.001", doorSql).toOption.get
+      val opt = df.queryExecution.optimizedPlan.toString
+      require(opt.contains(monthNs.toString),
+        "door did not auto-tune the width from the interval data")
+      // collect(), not head(): head() runs a SEPARATE limited
+      // QueryExecution and the metrics would stay zero on this one
+      val hits = df.collect()(0).getLong(0)
+      val fan = generateRows(df)
+      require(fan <= 2L * 600, s"auto-width fan-out not bounded: $fan")
+      s"hits=$hits bucketRows=$fan"
+    }
+    tm("events_range_door_defaultwidth_10m") {
+      doorPts.createOrReplaceTempView("door_pts_10m")
+      doorIvs.createOrReplaceTempView("door_month_ivs")
+      // explicit conf wins over the tuner — this is the silent-fan-out
+      // world the data-driven width exists to prevent: every month-long
+      // interval explodes into ~720 one-hour buckets
+      spark.conf.set(graft.plans.RangeJoinRewrite.WidthKey,
+        graft.plans.RangeJoinRewrite.DefaultWidthNs.toString)
+      try {
+        val df = graft.engine.SqlShim
+          .execute(spark, "/root/testdata/sf0.001", doorSql).toOption.get
+        s"hits=${df.collect()(0).getLong(0)} bucketRows=${generateRows(df)}"
+      } finally spark.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
+    }
+
     // ---- events family cross-scale stage: funnel, native sessions,
     // TWA, retention and the as-of trio at 1M vs 10M — the measured
     // (not asserted) linearity evidence for the restored family. Read
