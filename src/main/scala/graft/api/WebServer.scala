@@ -191,7 +191,9 @@ final class WebServer(
         s"""{"user": ${q(user)}, "tiers": ${jsonArr(sec.tiersOf(user).map(_.name).toSeq.sorted)}}""")
 
     // ---- introspection enums (Constants.java via QueryChecker's matrices)
-    case "endpoints" => respond(ex, 200, "application/json", jsonArr(Security.AllEndpoints))
+    case "endpoints" => respond(ex, 200, "application/json",
+      // the "" root route is an alias of /ui, not a listable endpoint
+      jsonArr(Security.AllEndpoints.filter(_.nonEmpty)))
     case "sets" => respond(ex, 200, "application/json", jsonArr(Seq("files", "dirs", "all")))
     case "filters" => respond(ex, 200, "application/json",
       jsonArr(QueryChecker.filterSet("files").union(QueryChecker.filterSet("dirs")).toSeq.sorted))
