@@ -379,6 +379,36 @@ class PlanSpec extends AnyFunSuite {
       s"no distinct-rewrite, no cartesian:\n$plan")
   }
 
+  test("q8: region membership is a semi join; both nation dims broadcast") {
+    val plan = formatted("q8_market_share")
+    assert(plan.contains("LeftSemi"),
+      s"region customers must gate as a semi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the supplier-nation dim must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("q11/q20: scalar HAVING rides a 1-row broadcast; chain stays semi joins") {
+    val p11 = formatted("q11_value_concentration")
+    // the total is ONE row cross-joined broadcast — the quadratic shape
+    // would be a per-group subquery re-aggregation
+    assert(p11.contains("LeftSemi") && !p11.contains("CartesianProduct"),
+      s"supplier gate semi, no cartesian:\n$p11")
+    val p20 = formatted("q20_part_supplier_chain")
+    assert("LeftSemi".r.findAllIn(p20).size >= 2,
+      s"both EXISTS levels must stay semi joins:\n$p20")
+    assert(!p20.contains("CartesianProduct") &&
+      !p20.contains("Deduplicate"), s"no distinct-rewrite:\n$p20")
+  }
+
+  test("q12/q14: shipdate windows reach the parquet scan") {
+    for (q <- Seq("q12_priority_class", "q14_promo_revenue")) {
+      val plan = formatted(q)
+      assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+        s"$q: date window must push into the scan:\n$plan")
+    }
+  }
+
   test("q15: the scalar max joins back broadcast, no re-sort of the agg") {
     val plan = formatted("q15_top_supplier")
     assert(plan.contains("BroadcastHashJoin"),
