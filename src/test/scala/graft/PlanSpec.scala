@@ -379,6 +379,20 @@ class PlanSpec extends AnyFunSuite {
       s"no distinct-rewrite, no cartesian:\n$plan")
   }
 
+  test("as-of joins: no unbounded-FOLLOWING window frames anywhere") {
+    // Spark evaluates (currentRow, unboundedFollowing) frames by
+    // re-scanning current..end for EVERY row — O(partition^2) on a
+    // skewed key (the nearest as-of shipped with one: 10.4 s -> 2.0 s at
+    // 10M once mirrored to a desc-sorted PRECEDING frame). Pin the whole
+    // trio + the bucketed variant against regression.
+    for (q <- Seq("events_asof_join", "events_asof_forward",
+        "events_asof_nearest", "events_asof_bucketed")) {
+      val plan = formatted(q)
+      assert(!plan.toLowerCase.contains("unboundedfollowing"),
+        s"$q reintroduced an unbounded-following frame:\n$plan")
+    }
+  }
+
   test("q8: region membership is a semi join; both nation dims broadcast") {
     val plan = formatted("q8_market_share")
     assert(plan.contains("LeftSemi"),
