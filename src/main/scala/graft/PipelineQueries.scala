@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -16,6 +16,15 @@ object PipelineQueries {
   /** extendedprice×(100−disc%) in "cent-percent" integer units. */
   private def revenueCents = round(col("l_extendedprice") * 100).cast("long") *
     (lit(100L) - round(col("l_discount") * 100).cast("long"))
+
+  private val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Sum that cannot silently wrap: the OPERAND is cast to decimal(38,0)
+    * so the accumulation itself rides decimal (the oracle sums in
+    * HUGEINT), then the exact total is cast back to the BIGINT output
+    * type. A long-typed sum of ~1e9-per-row revenue values wraps at
+    * ~1e10 rows/group in non-ANSI mode — reachable at 100 TB TPC-H. */
+  private def sumExactLong(c: Column): Column = sum(c.cast(dec38)).cast("long")
 
   /** 60 9×7-pixel image specs for the perceptual-dedup fixture; every 10th
     * is its predecessor's image with the (0,0) red channel nudged +5 — the
@@ -58,8 +67,8 @@ object PipelineQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("long")).as("sum_qty"),
-          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
-          sum(revenueCents).as("sum_disc_centpct"),
+          sumExactLong(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
+          sumExactLong(revenueCents).as("sum_disc_centpct"),
           count(lit(1)).as("count_order"))),
 
     // TPC-H Q3-style: join + group + top-k (broadcast the small dims)
@@ -67,12 +76,13 @@ object PipelineQueries {
       val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, d)
       val li = Tables.lineitem(s, d)
-      // reduce orders by the selective customer filter FIRST (broadcast the
-      // small dim), then join the big fact table once
-      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // reduce orders by the selective customer filter FIRST, then join the
+      // big fact table once. No forced broadcast: the segment's customers
+      // are ~1/5 of the table — SF-linear — so AQE picks the strategy
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
         .join(li, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey").as("orderkey"))
-        .agg(sum(revenueCents).as("revenue_centpct"))
+        .agg(sumExactLong(revenueCents).as("revenue_centpct"))
         .orderBy(col("revenue_centpct").desc, col("orderkey").asc)
         .limit(10)
     }),
@@ -84,34 +94,38 @@ object PipelineQueries {
       val cust = Tables.customer(s, d)
       val nat = Tables.nation(s, d)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        // customer is SF-linear: no forced broadcast (AQE decides); the
+        // 25-row nation dim is the only pinned broadcast
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"))
-        .agg(sum(revenueCents).as("revenue_centpct"),
+        .agg(sumExactLong(revenueCents).as("revenue_centpct"),
           count(lit(1)).as("n_lineitems"))
     }),
 
     // TPC-H Q7-style: cross-nation trade volume — the fact table joins
-    // TWO broadcast dim chains (supplier→nation, orders→customer→nation);
-    // one lineitem scan, zero fact-side shuffles before the final agg
+    // two dim chains (supplier→nation, orders→customer→nation). Supplier
+    // and customer both scale with SF, so neither chain is force-broadcast:
+    // only the constant 25-row nation dim carries a hint, and AQE sizes
+    // the supplier/customer joins at runtime
     "q7_nation_trade" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val sup = Tables.supplier(s, d)
       val ord = Tables.orders(s, d)
       val cust = Tables.customer(s, d)
       val nat = Tables.nation(s, d)
-      val supNat = broadcast(sup.join(nat,
+      val supNat = sup.join(broadcast(nat),
         col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
-      val custNat = broadcast(cust.join(nat,
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custNat = cust.join(broadcast(nat),
         col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(supNat, col("l_suppkey") === col("s_suppkey"))
         .join(custNat, col("o_custkey") === col("c_custkey"))
         .where(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"))
-        .agg(sum(revenueCents).as("revenue_centpct"),
+        .agg(sumExactLong(revenueCents).as("revenue_centpct"),
           count(lit(1)).as("n_lineitems"))
     }),
 
@@ -126,7 +140,9 @@ object PipelineQueries {
       val ord = Tables.orders(s, d)
       val cust = Tables.customer(s, d)
       ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        // big is HAVING-bounded (qty>300 whales) — broadcast-safe; the
+        // full customer table is SF-linear — no hint, AQE decides
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("o_orderkey").as("orderkey"),
           col("total_qty"),
           round(col("o_totalprice") * 100).cast("long").as("total_cents"))
@@ -157,9 +173,10 @@ object PipelineQueries {
       val ord = Tables.orders(s, d)
       val cust = Tables.customer(s, d)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        // customer is SF-linear: no forced broadcast (AQE decides)
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(sum(revenueCents).as("revenue_centpct"))
+        .agg(sumExactLong(revenueCents).as("revenue_centpct"))
         .orderBy(col("revenue_centpct").desc, col("c_custkey").asc)
         .limit(20)
     }),
@@ -182,14 +199,18 @@ object PipelineQueries {
         .select(col("s_suppkey"), col("s_name"), col("n_name"),
           round(col("s_acctbal") * 100).cast("long").as("acctbal_cents"))
       val offers = Tables.lineitem(s, d)
-        .join(broadcast(supReg), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(selParts), col("l_partkey") === col("p_partkey"))
+        // supReg (~1/5 of suppliers) and selParts (~1/50 of parts) are both
+        // SF-linear: no forced broadcasts, AQE sizes these joins
+        .join(supReg, col("l_suppkey") === col("s_suppkey"))
+        .join(selParts, col("l_partkey") === col("p_partkey"))
         .select(col("p_partkey"), col("p_name"), col("s_name"),
           col("n_name"), col("acctbal_cents"),
           round(col("l_extendedprice") * 100).cast("long").as("cost_cents"))
       val minCost = offers.groupBy(col("p_partkey").as("mk"))
         .agg(min(col("cost_cents")).as("min_cost_cents"))
-      offers.join(broadcast(minCost),
+      // minCost is part-scale (one row per selected part) — also SF-linear,
+      // so the join-back is unhinted too
+      offers.join(minCost,
           col("p_partkey") === col("mk") &&
             col("cost_cents") === col("min_cost_cents"))
         .select(col("p_partkey"), col("p_name"), col("s_name"),
@@ -241,7 +262,8 @@ object PipelineQueries {
         late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
         col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
         "left_anti")
-      sole.join(broadcast(Tables.supplier(s, d)),
+      // supplier is SF-linear: no forced broadcast (AQE decides)
+      sole.join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"),
@@ -269,12 +291,16 @@ object PipelineQueries {
         // customer-scale semi side: NOT force-broadcast — at real SF the
         // region's customers outgrow a broadcast; AQE picks the strategy
         .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
-        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        // supplier scales with SF too: no forced broadcast on supNat
+        .join(supNat, col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(
+          // cast the OPERAND to decimal so the accumulation itself rides
+          // decimal — a long-typed sum wraps silently at ~1e8 rows/group
+          // in non-ANSI mode while the oracle sums in HUGEINT
           sum(when(col("supp_nation") === "NATION_7", revenueCents)
-            .otherwise(0L)).cast(dec).as("target"),
-          sum(revenueCents).cast(dec).as("total"),
+            .otherwise(0L).cast(dec)).as("target"),
+          sum(revenueCents.cast(dec)).as("total"),
           count(lit(1)).as("n_lineitems"))
         .select(col("o_year"),
           expr("CAST((target * 1000000) div total AS BIGINT)")
@@ -300,10 +326,15 @@ object PipelineQueries {
         // part-scale semi side: no forced broadcast (see q8)
         .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        // supplier scales with SF too: no forced broadcast on supNat
+        .join(supNat, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("supp_nation").as("nation"),
           year(col("o_orderdate")).as("o_year"))
-        .agg(sum(profit).as("profit_centpctpct"), count(lit(1)).as("n"))
+        // the per-row product is ~1e11: accumulate in decimal (a long sum
+        // wraps at ~1e8 rows/group; the oracle sums in HUGEINT), then cast
+        // the exact result back to the BIGINT output type
+        .agg(sum(profit.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("profit_centpctpct"), count(lit(1)).as("n"))
     }),
 
     // TPC-H Q11-style: value concentration with the scalar-subquery
@@ -315,14 +346,18 @@ object PipelineQueries {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
       val perPart = Tables.lineitem(s, d)
-        .join(broadcast(suppN3), col("l_suppkey") === col("s_suppkey"),
+        // suppN3 (~1/25 of suppliers) is SF-linear: semi gate, no hint
+        .join(suppN3, col("l_suppkey") === col("s_suppkey"),
           "left_semi")
         .groupBy(col("l_partkey"))
-        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .agg(sumExactLong(round(col("l_extendedprice") * 100).cast("long"))
           .as("value_cents"))
-      val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+      // the grand total and the ×2000 compare ride decimal — both wrap a
+      // long at 100 TB (total ≈ parts × per-part value)
+      val total = perPart.agg(sum(col("value_cents").cast(dec38))
+        .as("total_cents"))
       perPart.crossJoin(broadcast(total))
-        .where(col("value_cents") * 2000L > col("total_cents"))
+        .where(col("value_cents").cast(dec38) * 2000L > col("total_cents"))
         .select(col("l_partkey"), col("value_cents"))
     }),
 
@@ -350,9 +385,11 @@ object PipelineQueries {
         .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
           col("l_partkey") === col("p_partkey"))
         .agg(
-          sum(when(col("p_type") === "PROMO", revenueCents).otherwise(0L))
-            .cast(dec).as("promo"),
-          sum(revenueCents).cast(dec).as("total"),
+          // decimal-operand sums: the accumulation must not ride a long
+          // (silent wrap at scale; oracle sums in HUGEINT)
+          sum(when(col("p_type") === "PROMO", revenueCents).otherwise(0L)
+            .cast(dec)).as("promo"),
+          sum(revenueCents.cast(dec)).as("total"),
           count(lit(1)).as("n"))
         .select(
           expr("CAST((promo * 1000000) div total AS BIGINT)")
@@ -367,10 +404,12 @@ object PipelineQueries {
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
         .groupBy(col("l_suppkey"))
-        .agg(sum(revenueCents).as("total_rev"))
+        .agg(sumExactLong(revenueCents).as("total_rev"))
       val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
       rev.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
-        .join(broadcast(Tables.supplier(s, d)),
+        // maxRev is ONE row (global agg) — broadcast-safe; supplier is
+        // SF-linear — no hint, AQE decides
+        .join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))
     }),
@@ -387,7 +426,9 @@ object PipelineQueries {
           .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
           .select(col("p_partkey"), col("p_brand"), col("p_size")),
           col("l_partkey") === col("p_partkey"))
-        .join(broadcast(complaints),
+        // complaint suppliers are a fraction of an SF-linear table: no
+        // forced broadcast on the anti side either
+        .join(complaints,
           col("l_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy(col("p_brand"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -401,17 +442,20 @@ object PipelineQueries {
       val brandParts = Tables.part(s, d)
         .where(col("p_brand") === "Brand#5").select(col("p_partkey"))
       val liBrand = Tables.lineitem(s, d)
-        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        // brandParts (~1/25 of parts) is SF-linear: no forced broadcast
+        .join(brandParts, col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"),
           col("l_quantity").cast("long").as("qty"),
           round(col("l_extendedprice") * 100).cast("long").as("ext_cents"))
       val pq = liBrand.groupBy(col("l_partkey").as("pk"))
         .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cq"))
-      liBrand.join(broadcast(pq), col("l_partkey") === col("pk"))
+      // pq has one row per brand part — SF-linear like its domain: no hint
+      liBrand.join(pq, col("l_partkey") === col("pk"))
         .where(col("qty") * 5L * col("cq") < col("sq"))
         .agg(
-          expr("CAST(COALESCE(SUM(ext_cents), 0) div 7 AS BIGINT)")
-            .as("avg_yearly_cents"),
+          // decimal accumulation (long sum wraps at scale); div stays exact
+          expr("CAST(COALESCE(SUM(CAST(ext_cents AS DECIMAL(38,0))), 0)" +
+            " div 7 AS BIGINT)").as("avg_yearly_cents"),
           count(lit(1)).as("n_small"))
     }),
 
@@ -430,7 +474,7 @@ object PipelineQueries {
       Tables.lineitem(s, d)
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .where(hit)
-        .agg(count(lit(1)).as("n"), sum(revenueCents).as("revenue_centpct"))
+        .agg(count(lit(1)).as("n"), sumExactLong(revenueCents).as("revenue_centpct"))
     }),
 
     // TPC-H Q20-style: suppliers of a nation who shipped > 100 units of
@@ -488,7 +532,7 @@ object PipelineQueries {
           round(col("l_discount") * 100).cast("long").between(4, 8) &&
           col("l_quantity") < 24)
         .agg(count(lit(1)).as("n"),
-          sum(round(col("l_extendedprice") * 100).cast("long") *
+          sumExactLong(round(col("l_extendedprice") * 100).cast("long") *
             round(col("l_discount") * 100).cast("long")).as("revenue_centpct"))),
 
     // ---- text analysis over `documents` ----

@@ -531,4 +531,42 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.indexOf("Generate") < plan.indexOf("HashAggregate"),
       s"stack must sit above the aggregate:\n$plan")
   }
+
+  test("broadcast hygiene: no forced broadcast of an SF-linear frame " +
+       "anywhere in the TPC-H suite") {
+    // A broadcast() hint pins the build side into driver+executor memory
+    // regardless of runtime size. Frames derived from customer, orders,
+    // lineitem, part, or supplier scale linearly with SF — at 100 TB a
+    // pinned broadcast of one is a driver OOM. The ONLY hinted frames
+    // allowed are (a) constant dims (nation: 25 rows, region: 5), (b)
+    // 1-row global aggregates (scalar HAVING / max-back joins), or (c)
+    // a HAVING-bounded aggregate (q18's qty>300 whales). AQE sizes
+    // everything else at runtime — it broadcasts small sides anyway,
+    // but can fall back to a shuffled join when the side outgrows it.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, LogicalPlan, ResolvedHint}
+    val sfLinear = "(customer|orders|lineitem|part|supplier)\\.parquet".r
+    def bounded(p: LogicalPlan): Boolean = {
+      if (sfLinear.findFirstIn(p.toString).isEmpty) true // nation/region
+      else {
+        val globalAgg = p.collectFirst {
+          case a: Aggregate if a.groupingExpressions.isEmpty => a }.isDefined
+        val havingAgg = p.collectFirst {
+          case Filter(_, _: Aggregate) => () }.isDefined
+        globalAgg || havingAgg
+      }
+    }
+    val tpch = SparkEntry.queries.keys.filter(_.matches("q\\d+_.*")).toSeq
+    assert(tpch.size === 22, s"expected the 22-query suite, got $tpch")
+    for (q <- tpch.sorted) {
+      val analyzed =
+        SparkEntry.queries(q)(spark, dir).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint =>
+          assert(bounded(h.child),
+            s"$q force-broadcasts an SF-linear frame:\n${h.child}")
+        case _ =>
+      }
+    }
+  }
 }
