@@ -518,16 +518,25 @@ final class WebServer(
     * `/query` endpoint's renderer; row-heavy registry operators must
     * never collect whole on the driver. */
   private def respondCsvStream(ex: HttpExchange, df: DataFrame): Unit = {
+    // force analysis/planning and build the iterator BEFORE the 200 is
+    // committed: an invalid query must surface as the handler's normal
+    // 400/500, not a truncated chunked 200 (and handle()'s catch would
+    // then throw again trying to re-send headers)
+    val it = df.toLocalIterator()
     ex.getResponseHeaders.set("Content-Type", "text/plain")
     ex.sendResponseHeaders(200, 0) // length 0 → chunked transfer
     val os = ex.getResponseBody
-    os.write((df.columns.mkString(",") + "\n").getBytes(UTF_8))
-    val it = df.toLocalIterator()
-    while (it.hasNext) {
-      os.write(Renderers.csvRow(it.next()).getBytes(UTF_8))
-      os.write('\n')
-    }
-    os.close()
+    try {
+      os.write((df.columns.mkString(",") + "\n").getBytes(UTF_8))
+      while (it.hasNext) {
+        os.write(Renderers.csvRow(it.next()).getBytes(UTF_8))
+        os.write('\n')
+      }
+    } catch {
+      // headers are gone — a mid-stream executor/client failure can only
+      // be logged; re-throwing would make the error handler itself throw
+      case e: Exception => log(s"csv stream aborted: ${e.getMessage}")
+    } finally os.close()
   }
 
   /** Stream a one-string-column result as chunked plain text — the
@@ -535,15 +544,19 @@ final class WebServer(
     * for the same reason: a namespace-sized dump must never materialize on
     * the driver. `toLocalIterator` pulls one partition at a time. */
   private def respondPathStream(ex: HttpExchange, df: DataFrame): Unit = {
+    // same header-commit discipline as respondCsvStream
+    val it = df.toLocalIterator()
     ex.getResponseHeaders.set("Content-Type", "text/plain")
     ex.sendResponseHeaders(200, 0) // length 0 → chunked transfer
     val os = ex.getResponseBody
-    val it = df.toLocalIterator()
-    while (it.hasNext) {
-      os.write(it.next().getString(0).getBytes(UTF_8))
-      os.write('\n')
-    }
-    os.close()
+    try {
+      while (it.hasNext) {
+        os.write(it.next().getString(0).getBytes(UTF_8))
+        os.write('\n')
+      }
+    } catch {
+      case e: Exception => log(s"path stream aborted: ${e.getMessage}")
+    } finally os.close()
   }
 
   /** `/histogram` (`:1514-1712`): Chart.js JSON by default;

@@ -101,12 +101,14 @@ object SqlShim {
     * range-join shape in the ANALYZED plan, size the width like
     * `RangeJoin.autoBucketWidth` (p95 interval span, a 2-scalar
     * aggregate over the caller's own interval subtree), then force
-    * optimization while the conf is set. `QueryExecution.optimizedPlan`
-    * is memoized, so the tuned width is baked into THIS query; the conf
-    * is restored right after, and the set+optimize runs under the
-    * session lock so concurrent door queries cannot clobber each other's
-    * width. An explicitly-configured width wins — the tuner only fills
-    * the default. */
+    * optimization while a THREAD-LOCAL width override is set
+    * ([[RangeJoinRewrite.tunerWidth]]). `QueryExecution.optimizedPlan`
+    * is memoized, so the tuned width is baked into THIS query — and
+    * because the override is thread-confined rather than a temporarily
+    * mutated session conf, a concurrent door query can neither mistake a
+    * tuner-temporary value for a user-pinned one nor bake a foreign
+    * width into its own plan. An explicitly-configured width wins — the
+    * tuner only fills the default. */
   private[engine] def tuneRangeJoinWidth(spark: SparkSession,
                                          df: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{ofRows, toColumn}
@@ -139,11 +141,9 @@ object SqlShim {
         count(lit(1))).head
       val w = if (r.isNullAt(0) || r.getLong(1) == 0L) 1L
               else math.max(1L, r.getLong(0))
-      spark.synchronized {
-        spark.conf.set(WidthKey, w.toString)
-        try { df.queryExecution.optimizedPlan; () }
-        finally spark.conf.unset(WidthKey)
-      }
+      RangeJoinRewrite.tunerWidth.set(Some(w))
+      try { df.queryExecution.optimizedPlan; () }
+      finally RangeJoinRewrite.tunerWidth.set(None)
     }
     df
   }

@@ -105,11 +105,21 @@ object AsOfJoin {
     val allBuckets = unioned.select(col(key), col("__bkt")).distinct()
     val wCarry = Window.partitionBy(col(key)).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // carry joins are NULL-SAFE on the key: the plain operator's
+    // Window.partitionBy groups NULL keys together and matches them, so
+    // the boundary stitch must too — a null-unsafe equi join would
+    // silently drop cross-bucket carries for NULL-keyed left rows
     val carried = allBuckets
-      .join(bucketLast, Seq(key, "__bkt"), "left_outer")
+      .join(bucketLast
+          .withColumnRenamed(key, "__blk").withColumnRenamed("__bkt", "__blb"),
+        col(key) <=> col("__blk") && col("__bkt") <=> col("__blb"),
+        "left_outer")
       .withColumn("__carry", last(col("__m"), ignoreNulls = true).over(wCarry))
       .select(col(key), col("__bkt"), col("__carry"))
-    withIn.join(carried, Seq(key, "__bkt"), "left_outer")
+    withIn.join(carried
+        .withColumnRenamed(key, "__ck").withColumnRenamed("__bkt", "__cb"),
+      col(key) <=> col("__ck") && col("__bkt") <=> col("__cb"),
+      "left_outer")
       .where(col("__is_left"))
       .withColumn("__asof",
         coalesce(col("__within"), col("__carry").getField("__p")))

@@ -21,6 +21,13 @@ object RangeJoinRewrite extends PredicateHelper {
     * warning so the silent-fan-out hazard is at least loud. */
   val WidthKey = "spark.graft.rangeJoin.bucketNs"
   val DefaultWidthNs: Long = 3600L * 1000 * 1000 * 1000
+
+  /** Thread-confined width override for the SQL door's tuner. Takes
+    * precedence over [[WidthKey]] but is visible ONLY to optimizations
+    * forced on the setting thread — other sessions/threads optimizing
+    * concurrently keep their own (conf or default) width. */
+  private[graft] val tunerWidth: ThreadLocal[Option[Long]] =
+    ThreadLocal.withInitial(() => None)
   /** Per-row bucket fan-out cap. Intervals spanning more than this many
     * buckets ("whales") are NOT exploded — they are routed through the
     * original non-equi join against the full other side, unioned with the
@@ -189,7 +196,13 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def enabled: Boolean =
     SQLConf.get.getConfString(EnabledKey, "true").toBoolean
   private def configuredWidth: Option[Long] =
-    Option(SQLConf.get.getConfString(WidthKey, null)).map(_.toLong)
+    // the SQL door's tuner overrides via a THREAD-LOCAL, not the session
+    // conf: the override is visible only to the optimization the tuner
+    // itself forces, so a concurrent door query can neither observe a
+    // tuner-temporary value as "user-pinned" nor bake a foreign width
+    // into its own plan (SqlShim.tuneRangeJoinWidth)
+    RangeJoinRewrite.tunerWidth.get()
+      .orElse(Option(SQLConf.get.getConfString(WidthKey, null)).map(_.toLong))
   private def widthNs: Long =
     // clamp: width ≤ 0 would make floorDiv emit null buckets and the
     // rewritten join silently match NOTHING — a misconfiguration must

@@ -588,6 +588,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed as-of matches plain on NULL keys (null-safe carry join)") {
+    // the plain operator's Window.partitionBy groups NULL keys together
+    // and matches them; the bucketed stitch joins carries back by key, so
+    // a null-UNSAFE equality there would drop exactly the cross-bucket
+    // carries of NULL-keyed lefts. Rights sit far below the lefts (many
+    // empty buckets between) so every match MUST ride the carry path.
+    val left = Seq(
+      (Option.empty[Long], 500000L, 1L),
+      (Option.empty[Long], 600000L, 2L),
+      (Some(7L), 500000L, 3L)).toDF("key", "ts", "lid")
+    val right = Seq(
+      (Option.empty[Long], -400000L, 91L),
+      (Option.empty[Long], -300000L, 92L),
+      (Some(7L), -350000L, 93L)).toDF("key", "ts", "rid")
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("asof_rid")))
+      .toMap
+    val want = res(graft.operators.AsOfJoin
+      .asofJoin(left, right, "key", "ts", Seq("rid")))
+    assert(want === Map(1L -> Some(92L), 2L -> Some(92L), 3L -> Some(93L)))
+    for (b <- Seq(97L, 10000L)) {
+      val got = res(graft.operators.AsOfJoin
+        .asofJoinBucketed(left, right, "key", "ts", Seq("rid"), b))
+      assert(got === want, s"bucketNs=$b dropped NULL-key carries")
+    }
+  }
+
   test("as-of join attaches whole right rows even with NULL payload values") {
     // right row at ts=150 has a NULL b: the match must carry (NULL, 992),
     // not resurrect b=881 from the earlier row (per-column last() would)

@@ -257,6 +257,15 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(root.body.contains("/histogram?"),
       "the page must drive the real histogram endpoint")
     assert(get(open, "/ui").status === 200)
+    // stored-XSS guard: every namespace-derived string (paths, usernames,
+    // histogram labels) must pass through esc() before innerHTML — a raw
+    // ${u} / ${vals[0]} / ${labels[i]} interpolation is script execution
+    // for anyone who can create a file in the ingested namespace
+    assert(root.body.contains("function esc("),
+      "dashboard must define the HTML escaper")
+    for (raw <- Seq("${u}", "${vals[0]}", "${labels[i]}", "${k}", "${o}"))
+      assert(!root.body.contains(raw),
+        s"unescaped server-string interpolation $raw in the dashboard")
     // the unauthenticated SHELL serves on a secured server too, while
     // its data calls still 401 (the login-panel flow)
     assert(get(secured, "/").status === 200)
