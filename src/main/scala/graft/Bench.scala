@@ -162,7 +162,26 @@ object Bench {
         s"""{"query":"$k","earlier_median":$med,"rerun":$rerun,"drift":$drift}"""
       }.getOrElse("null")
     val loadEnd = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"load_sec":$loadSec,"ingest_warm_sec":$ingestWarmSec,"n_queries":${results.size},"failed":$failedJson,"sentinel":$sentinelJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"load_sec":$loadSec,"ingest_warm_sec":$ingestWarmSec,"n_queries":${results.size},"failed":$failedJson,"sentinel":$sentinelJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
+    // The FULL per-query JSON (spreads, sentinel, loadavg) is ~25 KB at
+    // 217 queries — far past the driver's 2000-char stdout tail capture,
+    // which was truncating the head (metric/value/most queries) every
+    // round. Write the complete record to a stable file (the committed
+    // per-round artifact) and print a SHORT summary line that fits the
+    // tail whole: driver contract fields plus the 22 TPC-H headline
+    // medians. A partial dev run (name-filter args) writes to /tmp so it
+    // never clobbers the committed artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "bench_out.json" else "/tmp/bench_out_partial.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val headline = results
+      .filter { case (k, _, _, _) => k.matches("q\\d+_.*") }
+      .map { case (k, med, _, _) =>
+        val sign = if (failed.contains(k)) -1 else 1
+        "\"" + k + "\":" + sign * med
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"load_sec":$loadSec,"n_queries":${results.size},"n_failed":${failed.size},"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
     lock.release()
     lockChannel.close()
