@@ -113,11 +113,30 @@ object Cli {
         val users = rest.drop(1).headOption.map(parseUsers).getOrElse(Nil)
         val secret = sys.env.getOrElse("GRAFT_HTTP_SECRET",
           java.util.UUID.randomUUID().toString).getBytes("UTF-8")
-        val server = new WebServer(spark, inodes, dataDir,
-          new Security.Context(users, secret), port = port)
+        // LDAP bind transport (reference ldap.url / ldap.base.dn.N /
+        // ldap.*.timeout properties → env here): GRAFT_LDAP_URL +
+        // GRAFT_LDAP_BASE_DN (';'-separated %u templates, tried in
+        // order) + GRAFT_LDAP_TIERS (user:TIER+TIER,… authorization for
+        // directory-authenticated users)
+        val ldap = sys.env.get("GRAFT_LDAP_URL").map { url =>
+          val dns = sys.env.getOrElse("GRAFT_LDAP_BASE_DN",
+            throw new IllegalArgumentException(
+              "GRAFT_LDAP_BASE_DN (';'-separated %u templates) is " +
+                "required with GRAFT_LDAP_URL"))
+            .split(';').toSeq.map(_.trim).filter(_.nonEmpty)
+          new api.LdapAuth(url, dns,
+            sys.env.getOrElse("GRAFT_LDAP_CONNECT_TIMEOUT_MS", "1000").toInt,
+            sys.env.getOrElse("GRAFT_LDAP_RESPONSE_TIMEOUT_MS", "1000").toInt)
+        }
+        val ldapTiers = sys.env.get("GRAFT_LDAP_TIERS")
+          .map(parseTiers).getOrElse(Map.empty[String, Set[Security.Tier]])
+        val ctx = new Security.Context(users, secret,
+          ldap = ldap, ldapTiers = ldapTiers)
+        val server = new WebServer(spark, inodes, dataDir, ctx, port = port)
         server.start()
         println(s"graft HTTP server on port ${server.boundPort} " +
-          s"(auth ${if (users.nonEmpty) "enabled" else "disabled"})")
+          s"(auth ${if (ctx.enabled) "enabled" else "disabled"}" +
+          s"${if (ldap.nonEmpty) ", ldap" else ""})")
         Thread.currentThread().join() // serve until killed
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")
@@ -138,6 +157,21 @@ object Cli {
           s"user spec must be name:password:TIER+TIER, got $u")
       }
     }
+
+  /** `user:TIER+TIER,…` → authorization tiers for LDAP-authenticated
+    * users (no password — the directory holds the credential). */
+  private[graft] def parseTiers(spec: String): Map[String, Set[Security.Tier]] =
+    spec.split(',').toSeq.map { u =>
+      u.split(':') match {
+        case Array(name, tiers) =>
+          name -> tiers.split('+').map { t =>
+            Security.AllTiers.find(_.name == t).getOrElse(
+              throw new IllegalArgumentException(s"unknown tier: $t"))
+          }.toSet
+        case _ => throw new IllegalArgumentException(
+          s"ldap tier spec must be name:TIER+TIER, got $u")
+      }
+    }.toMap
 
   private[graft] def parseQuery(qs: String): Map[String, String] =
     qs.split('&').filter(_.contains("=")).map { kv =>

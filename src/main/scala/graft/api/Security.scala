@@ -70,15 +70,26 @@ object Security {
 
   val CookieName = "nna-jwt-token"
 
+  /** @param ldap optional LDAP bind transport (reference
+    *   `SecurityContext.java:189-222`): tried only when the username is
+    *   NOT a local user — a known local name with a wrong password fails
+    *   hard with no LDAP fallthrough (`localLogin` at `:226-243` throws
+    *   before `ldapLogin` runs).
+    * @param ldapTiers authorization tiers granted to LDAP-authenticated
+    *   users (the reference resolves tiers from per-class user lists
+    *   independent of the auth transport; same walk here). A user in
+    *   neither map holds no tiers → every secured endpoint denies. */
   final class Context(users: Seq[User],
                       secret: Array[Byte],
                       tokenTtlMs: Long = 24L * 3600 * 1000,
-                      clock: () => Long = () => System.currentTimeMillis()) {
+                      clock: () => Long = () => System.currentTimeMillis(),
+                      ldap: Option[LdapAuth] = None,
+                      ldapTiers: Map[String, Set[Tier]] = Map.empty) {
 
     private val byName: Map[String, User] = users.map(u => u.name -> u).toMap
 
-    /** No users configured ≡ reference `authenticationEnabled=false`. */
-    def enabled: Boolean = byName.nonEmpty
+    /** No users AND no LDAP ≡ reference `authenticationEnabled=false`. */
+    def enabled: Boolean = byName.nonEmpty || ldap.nonEmpty
 
     private def hmac(payload: String): String = {
       val mac = Mac.getInstance("HmacSHA256")
@@ -107,13 +118,23 @@ object Security {
     private def constantTimeEq(a: String, b: String): Boolean =
       java.security.MessageDigest.isEqual(a.getBytes(UTF_8), b.getBytes(UTF_8))
 
+    /** Local first, LDAP second — and a KNOWN local username with a wrong
+      * password fails immediately (no LDAP fallthrough), per the
+      * reference's `localLogin`-throws-before-`ldapLogin` order. */
     def login(name: String, password: String): Option[String] =
-      byName.get(name)
-        .filter(u => constantTimeEq(u.password, password))
-        .map(u => issueToken(u.name))
+      byName.get(name) match {
+        case Some(u) =>
+          if (constantTimeEq(u.password, password)) Some(issueToken(u.name))
+          else None
+        case None =>
+          ldap.filter(_.bind(name, password)).map(_ => issueToken(name))
+      }
 
     def tiersOf(user: String): Set[Tier] =
-      if (!enabled) AllTiers else byName.get(user).map(_.tiers).getOrElse(Set.empty)
+      if (!enabled) AllTiers
+      else byName.get(user).map(_.tiers)
+        .orElse(ldapTiers.get(user))
+        .getOrElse(Set.empty)
 
     /** First-match walk in the reference's precedence order
       * (`SecurityContext.java:424-466`). Returns true = allowed. */
