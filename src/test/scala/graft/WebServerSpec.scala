@@ -263,9 +263,24 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // for anyone who can create a file in the ingested namespace
     assert(root.body.contains("function esc("),
       "dashboard must define the HTML escaper")
-    for (raw <- Seq("${u}", "${vals[0]}", "${labels[i]}", "${k}", "${o}"))
+    for (raw <- Seq("${u}", "${vals[0]}", "${labels[i]}", "${k}", "${o}",
+        "${kv[0]}", "${kv[1]}", "${k2}", "${sys[k2]}", "${sug[k2]}"))
       assert(!root.body.contains(raw),
         s"unescaped server-string interpolation $raw in the dashboard")
+    // multi-view parity with the reference webapp's page families
+    // (webapps/nna/{users,quotas,fileTypes,histogram2,history,sql,
+    // metrics,namespace}.html): one hash-routed view per family, each
+    // driving the matching data endpoint
+    for (view <- Seq("overview", "histogram", "users", "quotas",
+        "filetypes", "ages", "history", "sql", "token", "metrics",
+        "namespace"))
+      assert(root.body.contains(s"""data-view="$view""""),
+        s"dashboard must carry the $view view")
+    for (ep <- Seq("/quotas", "/fileTypes", "/fileAge", "/history",
+        "/sql", "/token", "/system", "/metrics", "/listOperations",
+        "/histogram2?", "/top?"))
+      assert(root.body.contains(ep),
+        s"dashboard must drive the real $ep endpoint")
     // the unauthenticated SHELL serves on a secured server too, while
     // its data calls still 401 (the login-panel flow)
     assert(get(secured, "/").status === 200)
