@@ -2014,6 +2014,22 @@ object PipelineQueries {
           coalesce(sum(col("bloom_hit")), lit(0L)).as("n_bloom_candidates"),
           coalesce(sum(col("contaminated")), lit(0L)).as("n_contaminated")))
         .withColumn("n_clean", col("n_train") - col("n_contaminated"))
+    }),
+
+    // Z-order layout key (operators.ZOrder / functions.MortonCode): the
+    // per-curve-cell census of lineitem's (partkey, suppkey) Morton
+    // interleave — oracling the native codegen'd expression bit-for-bit
+    // against the explicit shift/mask formula. The census (256 cells,
+    // min/max code per cell) is the exact shape a layout job's planner
+    // reads to size output files.
+    "layout_zorder_code" -> ((s, d) => {
+      val zc = graft.operators.ZOrder.code(col("l_partkey"), col("l_suppkey"))
+      Tables.lineitem(s, d)
+        .select(shiftright(zc, 24).as("zcell"), zc.as("zcode"))
+        .groupBy("zcell")
+        .agg(count(lit(1)).as("n"),
+          min(col("zcode")).as("zmin"), max(col("zcode")).as("zmax"))
+        .orderBy("zcell")
     })
   )
 
@@ -4211,6 +4227,25 @@ object PipelineQueries {
     "dedup_exact_groups" ->
       ("SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies, " +
        "MIN(doc_id) AS keeper FROM documents " +
-       "GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY fingerprint")
+       "GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY fingerprint"),
+
+    // the Morton interleave spelled out as the standard magic-number
+    // spread (5 shift/mask rounds per dimension) — any bit drift in the
+    // native expression's eval OR codegen path breaks the hash match
+    "layout_zorder_code" ->
+      ("WITH s0 AS (SELECT l_partkey & 65535 AS a, l_suppkey & 65535 AS b " +
+       "FROM lineitem), " +
+       "s1 AS (SELECT (a | (a << 8)) & 16711935 AS a, " +
+       "(b | (b << 8)) & 16711935 AS b FROM s0), " +
+       "s2 AS (SELECT (a | (a << 4)) & 252645135 AS a, " +
+       "(b | (b << 4)) & 252645135 AS b FROM s1), " +
+       "s3 AS (SELECT (a | (a << 2)) & 858993459 AS a, " +
+       "(b | (b << 2)) & 858993459 AS b FROM s2), " +
+       "s4 AS (SELECT (a | (a << 1)) & 1431655765 AS a, " +
+       "(b | (b << 1)) & 1431655765 AS b FROM s3), " +
+       "c AS (SELECT a | (b << 1) AS zcode FROM s4) " +
+       "SELECT zcode >> 24 AS zcell, CAST(count(*) AS BIGINT) AS n, " +
+       "min(zcode) AS zmin, max(zcode) AS zmax FROM c " +
+       "GROUP BY 1 ORDER BY 1")
   )
 }

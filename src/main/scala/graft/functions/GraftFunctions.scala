@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   *   - `ngram_shingles(tokens, n)`          — distinct word n-grams
   *   - `ngram_hashes(tokens, n)`            — positional portable gram hashes
   *   - `hashed_embedding(tokens, dims)`     — feature-hashed BoW vector
+  *   - `morton_code(a, b)`                  — 2-D Z-order layout key
   *
   * Plan-time parameters (planes/bands/n) must be integer literals — they
   * shape the generated code, exactly like the Column API.
@@ -45,6 +46,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "misra_gries",
       exprs => MisraGries(exprs(0), intLit(exprs(1), "k")),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "morton_code",
+      exprs => MortonCode(exprs(0), exprs(1)),
       "scala_udf")
   }
 }
