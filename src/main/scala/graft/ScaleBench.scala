@@ -811,6 +811,26 @@ object ScaleBench {
           evWhale, quotes, "user_id", "ts", Seq("ref_id"),
           bucketNs = 86400L * 1000000000L))
       }
+      // Z-ORDER LAYOUT: skewed x (quadratic → long tail) × uniform y.
+      // Linearity evidence: ONE range exchange of exactly n records at
+      // flat bytes/record; the quantile pass must keep the curve
+      // populated despite the skew (≥ 200 of 256 cells at 1M). The
+      // returned figure is distinct curve cells — a collapsed layout
+      // (unnormalized skew) would park most rows in a handful of cells.
+      tm(s"layout_zorder_cluster_$tag") {
+        val dims = spark.range(n).select(
+          (col("id") * col("id") % 999983L).as("x"),
+          pmod(xxhash64(col("id")), lit(1000000L)).as("y"))
+        val clustered = graft.operators.ZOrder.cluster(dims, "x", "y",
+          partitions = 32, keepCodeAs = Some("zc"))
+        // the force reads x AND y so column pruning cannot thin the
+        // exchange — the shuffle carries whole rows, like a real
+        // rewrite-the-files layout job
+        val r = clustered.agg(
+          countDistinct(shiftright(col("zc"), 8)).as("cells"),
+          sum(col("x") + col("y"))).head()
+        s"cells=${r.getLong(0)}"
+      }
     }
     spark.stop()
   }
