@@ -2016,6 +2016,26 @@ object PipelineQueries {
         .withColumn("n_clean", col("n_train") - col("n_contaminated"))
     }),
 
+    // key-skew profiler — the pre-flight diagnostic every big join/agg
+    // needs at 100 TB (a whale key is the straggler/OOM that AQE's skew
+    // join, salting, or the bucketed as-of exist to absorb). One partial-
+    // agg shuffle of (key, count) pairs; the global scalars ride a 1-row
+    // broadcast (bounded — broadcast-hygiene safe). skew_x1000 =
+    // max/avg · 1000, integer-exact via cross-multiplication.
+    "profile_key_skew" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_keys"), max(col("n")).as("max_n"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("user_id"), col("n"),
+          expr("n * 1000000 div total").cast("long").as("share_ppm"),
+          expr("max_n * n_keys * 1000 div total").cast("long")
+            .as("skew_x1000"))
+        .orderBy(col("n").desc, col("user_id").asc)
+        .limit(10)
+    }),
+
     // Z-order layout key (operators.ZOrder / functions.MortonCode): the
     // per-curve-cell census of lineitem's (partkey, suppkey) Morton
     // interleave — oracling the native codegen'd expression bit-for-bit
@@ -4228,6 +4248,17 @@ object PipelineQueries {
       ("SELECT md5(text) AS fingerprint, COUNT(*) AS n_copies, " +
        "MIN(doc_id) AS keeper FROM documents " +
        "GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY fingerprint"),
+
+    "profile_key_skew" ->
+      ("WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n " +
+       "FROM events GROUP BY 1), " +
+       "t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_keys, " +
+       "CAST(MAX(n) AS BIGINT) AS max_n FROM c) " +
+       "SELECT user_id, n, " +
+       "CAST((n * 1000000) // total AS BIGINT) AS share_ppm, " +
+       "CAST((max_n * n_keys * 1000) // total AS BIGINT) AS skew_x1000 " +
+       "FROM c, t ORDER BY n DESC, user_id LIMIT 10"),
 
     // the Morton interleave spelled out as the standard magic-number
     // spread (5 shift/mask rounds per dimension) — any bit drift in the
