@@ -97,6 +97,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("misra_gries",
         "misra_gries(col, k) - frequent-items sketch, k bounded counters"),
       (exprs: Seq[Expression]) => MisraGries(exprs(0), intLit(exprs(1), "k"))))
+    ext.injectFunction((
+      FunctionIdentifier("morton_code"),
+      info("morton_code",
+        "morton_code(a, b[, c[, d]]) - N-dim Z-order layout key"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => MortonCode(a, b)
+        case Seq(a, b, c) => MortonCode3(a, b, c)
+        case Seq(a, b, c, d) => MortonCode4(a, b, c, d)
+        case other => throw new IllegalArgumentException(
+          s"morton_code takes 2 to 4 dimensions, got ${other.size}")
+      }))
 
     // optimizer rule: naive BETWEEN range joins (BroadcastNestedLoop)
     // rewrite to the bucketized equi-join — see plans.RangeJoinRewrite

@@ -49,7 +49,13 @@ object GraftFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "morton_code",
-      exprs => MortonCode(exprs(0), exprs(1)),
+      exprs => exprs match {
+        case Seq(a, b) => MortonCode(a, b)
+        case Seq(a, b, c) => MortonCode3(a, b, c)
+        case Seq(a, b, c, d) => MortonCode4(a, b, c, d)
+        case other => throw new IllegalArgumentException(
+          s"morton_code takes 2 to 4 dimensions, got ${other.size}")
+      },
       "scala_udf")
   }
 }

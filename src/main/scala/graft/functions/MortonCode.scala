@@ -65,6 +65,89 @@ object MortonCode {
     v = (v | (v << 2)) & 0x33333333L
     (v | (v << 1)) & 0x55555555L
   }
+
+  /** 3-D interleave, 21 bits per dimension → 63-bit code. Static and
+    * allocation-free so generated code calls it directly. */
+  def interleave3(a: Long, b: Long, c: Long): Long =
+    spread3(a) | (spread3(b) << 1) | (spread3(c) << 2)
+
+  private def spread3(v0: Long): Long = {
+    // standard 21-bit→63-bit magic spread (each bit followed by 2 zeros)
+    var v = v0 & 0x1FFFFFL
+    v = (v | (v << 32)) & 0x001F00000000FFFFL
+    v = (v | (v << 16)) & 0x001F0000FF0000FFL
+    v = (v | (v << 8)) & 0x100F00F00F00F00FL
+    v = (v | (v << 4)) & 0x10C30C30C30C30C3L
+    (v | (v << 2)) & 0x1249249249249249L
+  }
+
+  /** 4-D interleave, 16 bits per dimension → 64-bit code. */
+  def interleave4(a: Long, b: Long, c: Long, d: Long): Long =
+    spread4(a) | (spread4(b) << 1) | (spread4(c) << 2) | (spread4(d) << 3)
+
+  private def spread4(v0: Long): Long = {
+    // 16-bit→61-bit spread (each bit followed by 3 zeros)
+    var v = v0 & 0xFFFFL
+    v = (v | (v << 24)) & 0x000000FF000000FFL
+    v = (v | (v << 12)) & 0x000F000F000F000FL
+    v = (v | (v << 6)) & 0x0303030303030303L
+    (v | (v << 3)) & 0x1111111111111111L
+  }
+}
+
+/** 3-D Morton code, 21 bits per dimension → 63-bit key — `OPTIMIZE
+  * ZORDER BY (a, b, c)`. Codegen is one static call to the
+  * allocation-free [[MortonCode.interleave3]]. */
+case class MortonCode3(first: Expression, second: Expression,
+                       third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"morton_code requires bigint dimensions, got " +
+        children.map(_.dataType.sql).mkString("(", ", ", ")"))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    MortonCode.interleave3(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.MortonCode.interleave3($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
+/** 4-D Morton code, 16 bits per dimension → 64-bit key. */
+case class MortonCode4(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"morton_code requires bigint dimensions, got " +
+        children.map(_.dataType.sql).mkString("(", ", ", ")"))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    MortonCode.interleave4(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long], d.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.MortonCode.interleave4($a, $b, $c, $d);")
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression,
+      d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
 }
 
 /** Bucket index (0 .. boundaries.size) of a double value in a sorted

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{MortonCode, QuantileBucket}
+import graft.functions.{MortonCode, MortonCode3, MortonCode4, QuantileBucket}
 
 /** Z-order data-layout clustering — the `OPTIMIZE ZORDER BY` operation of
   * Delta/Iceberg, as a plain DataFrame transform.
@@ -35,6 +35,18 @@ object ZOrder {
     toColumn(MortonCode(toExpression(a), toExpression(b)))
   }
 
+  /** N-dimensional Z-curve key (N = 2..4; 16/21/16 bits per dim). */
+  def codeN(dims: Seq[Column]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    dims.map(toExpression) match {
+      case Seq(a, b) => toColumn(MortonCode(a, b))
+      case Seq(a, b, c) => toColumn(MortonCode3(a, b, c))
+      case Seq(a, b, c, d) => toColumn(MortonCode4(a, b, c, d))
+      case other => throw new IllegalArgumentException(
+        s"z-order takes 2 to 4 dimensions, got ${other.size}")
+    }
+  }
+
   private def bucket(c: Column, bounds: Array[Double]): Column = {
     import org.apache.spark.sql.GraftColumnBridge._
     // NULL → NaN → bucket 0: the layout key must be total
@@ -52,15 +64,28 @@ object ZOrder {
     */
   def cluster(df: DataFrame, colA: String, colB: String,
               partitions: Int, bits: Int = 8, relErr: Double = 1e-3,
-              keepCodeAs: Option[String] = None): DataFrame = {
-    require(bits >= 1 && bits <= 16, s"bits must be 1..16, got $bits")
+              keepCodeAs: Option[String] = None): DataFrame =
+    clusterN(df, Seq(colA, colB), partitions, bits, relErr, keepCodeAs)
+
+  /** Cluster `df` along the Z-curve of 2 to 4 numeric columns — the
+    * general `OPTIMIZE ZORDER BY (c1, …, cN)`. Same cost shape at any
+    * N: ONE `approxQuantile` pass over all dimensions at once, one
+    * codegen'd projection, one range exchange. */
+  def clusterN(df: DataFrame, cols: Seq[String], partitions: Int,
+               bits: Int = 8, relErr: Double = 1e-3,
+               keepCodeAs: Option[String] = None): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"z-order takes 2 to 4 columns, got ${cols.size}")
+    val maxBits = if (cols.size == 3) 21 else 16
+    require(bits >= 1 && bits <= maxBits,
+      s"bits must be 1..$maxBits for ${cols.size}-D, got $bits")
     val n = 1 << bits
-    // one pass computes both dimensions' boundary sets (interior
+    // one pass computes every dimension's boundary set (interior
     // quantiles; 1/n .. (n-1)/n)
     val probs = Array.tabulate(n - 1)(i => (i + 1).toDouble / n)
-    val Array(boundsA, boundsB) =
-      df.stat.approxQuantile(Array(colA, colB), probs, relErr)
-    val zc = code(bucket(col(colA), boundsA), bucket(col(colB), boundsB))
+    val bounds = df.stat.approxQuantile(cols.toArray, probs, relErr)
+    val zc = codeN(cols.zip(bounds).map { case (c, bs) =>
+      bucket(col(c), bs) })
     val keyed = df.withColumn("__zcode", zc)
       .repartitionByRange(partitions, col("__zcode"))
       .sortWithinPartitions(col("__zcode"))

@@ -617,6 +617,77 @@ class PipelineSpec extends AnyFunSuite {
     assert(withNull.isNullAt(0))
   }
 
+  test("morton 3-D/4-D: bit positions, full-mask constants, codegen ≡ twin") {
+    import graft.functions.MortonCode._
+    // dimension i lands on bit positions ≡ i (mod N)
+    assert(interleave3(1L, 0L, 0L) === 1L)
+    assert(interleave3(0L, 1L, 0L) === 2L)
+    assert(interleave3(0L, 0L, 1L) === 4L)
+    assert(interleave4(1L, 0L, 0L, 0L) === 1L)
+    assert(interleave4(0L, 0L, 0L, 1L) === 8L)
+    // full-mask inputs spread to the exact stride constants
+    assert(interleave3(0x1FFFFFL, 0L, 0L) === 0x1249249249249249L)
+    assert(interleave3(0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL) ===
+      0x7FFFFFFFFFFFFFFFL)
+    assert(interleave4(0xFFFFL, 0L, 0L, 0L) === 0x1111111111111111L)
+    assert(interleave4(0xFFFFL, 0xFFFFL, 0xFFFFL, 0xFFFFL) === -1L)
+    // masking beyond the per-dimension width
+    assert(interleave3(0x200000L | 5L, 2L, 3L) === interleave3(5L, 2L, 3L))
+    // bit-by-bit reference on a value sweep
+    def slow(vs: Seq[Long], bits: Int): Long = {
+      var out = 0L
+      for (bit <- 0 until bits; d <- vs.indices)
+        if (((vs(d) >> bit) & 1L) == 1L) out |= 1L << (bit * vs.size + d)
+      out
+    }
+    for (seed <- 1 to 50) {
+      val a = seed * 2654435761L & 0x1FFFFFL
+      val b = seed * 40503L & 0x1FFFFFL
+      val c = seed * 2246822519L & 0x1FFFFFL
+      assert(interleave3(a, b, c) === slow(Seq(a, b, c), 21), s"3d seed=$seed")
+      assert(interleave4(a & 0xFFFF, b & 0xFFFF, c & 0xFFFF, seed.toLong) ===
+        slow(Seq(a & 0xFFFF, b & 0xFFFF, c & 0xFFFF, seed.toLong), 16),
+        s"4d seed=$seed")
+    }
+    // codegen path (SQL door, 3 and 4 args) ≡ the interpreter twin
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT morton_code(5L, 3L), morton_code(5L, 3L, 9L), " +
+        "morton_code(5L, 3L, 9L, 2L)").head()
+    assert(r.getLong(0) === interleave(5L, 3L))
+    assert(r.getLong(1) === interleave3(5L, 3L, 9L))
+    assert(r.getLong(2) === interleave4(5L, 3L, 9L, 2L))
+  }
+
+  test("zorder clusterN: 3-D layout keeps disjoint ranges and prunes " +
+      "the third dimension") {
+    val n = 4000
+    val rows = (0 until n).map { i =>
+      ((i * 2654435761L) % 100000, (i * 40503L) % 100000,
+        (i * 2246822519L) % 100000)
+    }
+    val df = rows.toDF("x", "y", "w")
+    val clustered = graft.operators.ZOrder.clusterN(df, Seq("x", "y", "w"),
+      partitions = 8, keepCodeAs = Some("zc"))
+    val ranges = clustered.select(col("zc"))
+      .mapPartitions(it => {
+        val s = it.map(_.getLong(0)).toSeq
+        if (s.isEmpty) Iterator.empty else Iterator((s.min, s.max))
+      }).collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, max1), (min2, _)) => assert(max1 <= min2)
+      case _ => ()
+    }
+    // the THIRD dimension prunes too: a 1/8-quantile slice on w touches
+    // fewer partitions than the full 8 a 2-D (x, y) layout would read
+    val wHi = rows.map(_._3).sorted.apply(n / 8)
+    val touched = clustered
+      .select(spark_partition_id().as("p"), col("w"))
+      .groupBy("p").agg(min("w").as("mn"), max("w").as("mx"))
+      .where(col("mx") >= 0L && col("mn") < wHi).count()
+    assert(touched <= 6L, s"3-D layout w-slice touched $touched of 8")
+  }
+
   test("zorder cluster: one range exchange, disjoint code ranges, " +
       "locality beats a single-column sort on the off dimension") {
     // skewed 2-D data: x exponential-ish, y uniform — quantile buckets
