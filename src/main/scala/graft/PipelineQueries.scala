@@ -2036,6 +2036,24 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // join-cardinality pre-flight: |A ⋈ B| on a key = Σ_k nA(k)·nB(k),
+    // computed from the two per-key count tables (each a partial-agg
+    // shuffle of (key, count) — fact rows never join). est_rows sizes
+    // the shuffle a planner is about to pay; max_key_rows is the whale
+    // key's contribution — the skew-join/salting trigger. Accumulation
+    // rides decimal (sumExactLong): per-key products summed over 1e10
+    // keys wrap a long.
+    "profile_join_cardinality" -> ((s, d) => {
+      val a = Tables.orders(s, d)
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("na"))
+      val b = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("nb"))
+      a.join(b, Seq("k"))
+        .agg(count(lit(1)).as("n_keys"),
+          sumExactLong(col("na") * col("nb")).as("est_rows"),
+          max(col("na") * col("nb")).as("max_key_rows"))
+    }),
+
     // Z-order layout key (operators.ZOrder / functions.MortonCode): the
     // per-curve-cell census of lineitem's (partkey, suppkey) Morton
     // interleave — oracling the native codegen'd expression bit-for-bit
@@ -4259,6 +4277,16 @@ object PipelineQueries {
        "CAST((n * 1000000) // total AS BIGINT) AS share_ppm, " +
        "CAST((max_n * n_keys * 1000) // total AS BIGINT) AS skew_x1000 " +
        "FROM c, t ORDER BY n DESC, user_id LIMIT 10"),
+
+    "profile_join_cardinality" ->
+      ("WITH a AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS na " +
+       "FROM orders GROUP BY 1), " +
+       "b AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS nb " +
+       "FROM lineitem GROUP BY 1) " +
+       "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, " +
+       "CAST(SUM(na * nb) AS BIGINT) AS est_rows, " +
+       "CAST(MAX(na * nb) AS BIGINT) AS max_key_rows " +
+       "FROM a JOIN b USING (k)"),
 
     // the Morton interleave spelled out as the standard magic-number
     // spread (5 shift/mask rounds per dimension) — any bit drift in the
