@@ -692,6 +692,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(zRead < xRead / 2, s"z-layout read $zRead vs x-sort $xRead")
   }
 
+  test("compaction planner: exhaustive assignment, bounded bin fills, " +
+      "real directory listing") {
+    import graft.operators.Compaction
+    // synthetic manifest: 200 files, skewed sizes 1..~12 MB
+    val files = (1 to 200).map(i =>
+      (f"part-$i%05d.parquet", ((i * 2654435761L) % 12000000L) + 1000000L))
+      .toDF("file", "bytes")
+    val target = 128L * 1000 * 1000
+    val assigned = Compaction.plan(files, target).cache()
+    // every file lands in exactly one bin
+    assert(assigned.count() === 200L)
+    assert(assigned.select("file").distinct().count() === 200L)
+    val total = files.agg(sum("bytes")).head().getLong(0)
+    val maxFile = files.agg(max("bytes")).head().getLong(0)
+    val bins = Compaction.planSummary(assigned).collect()
+    assert(bins.map(_.getLong(2)).sum === total)
+    // prefix-floor guarantee: every fill within (target-maxFile,
+    // target+maxFile); only the LAST bin may be smaller
+    assert(bins.map(_.getLong(0)).toSeq ===
+      (0L until bins.length.toLong).toSeq, "bins must be contiguous")
+    bins.dropRight(1).foreach { b =>
+      val fill = b.getLong(2)
+      assert(fill > target - maxFile && fill < target + maxFile,
+        s"bin ${b.getLong(0)} fill $fill out of bounds")
+    }
+    assert(bins.length === (total / target + 1).toInt)
+    assigned.unpersist()
+    // the directory door: list a real parquet dir and plan it
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    spark.range(10000).repartition(16).write.parquet(s"$dir/t")
+    val listed = Compaction.filesOf(spark, s"$dir/t")
+    assert(listed.count() === 16L)
+    assert(listed.agg(min("bytes")).head().getLong(0) > 0L)
+    val onePlan = Compaction.plan(listed, Long.MaxValue)
+    assert(onePlan.select("bin").distinct().count() === 1L,
+      "a huge target must produce a single bin")
+  }
+
   test("zorder clusterN: 3-D layout keeps disjoint ranges and prunes " +
       "the third dimension") {
     val n = 4000
