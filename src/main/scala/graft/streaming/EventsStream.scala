@@ -41,6 +41,26 @@ object EventsStream {
       .groupBy(window(col("event_time"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Live key-skew monitor — the streaming twin of the
+    * `profile_key_skew` pre-flight: per tumbling window, the
+    * Misra–Gries heavy-key sketch over `user_id` plus the window's
+    * event count, so an operator watches whale keys FORM instead of
+    * discovering them post-mortem in a straggler task. State per
+    * window is the k-counter sketch (k·(key, long) — bytes, not the
+    * key distribution), merged partial-then-final like any aggregate,
+    * bounded by the watermark horizon; any counter's undercount is
+    * ≤ n_events/(k+1), so `cnt·(k+1) > n_events` certifies a true
+    * heavy hitter. */
+  def keySkewMonitor(events: DataFrame, k: Int = 8,
+                     window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.MisraGries.misra_gries(
+          col("user_id").cast("string"), k).as("heavy_keys"))
+
   case class Sess(userId: Long, start: Long, end: Long, n: Long)
   case class Ev(user_id: Long, ts: Long)
 

