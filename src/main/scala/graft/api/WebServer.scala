@@ -677,9 +677,14 @@ final class WebServer(
       .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer ")))
   }
 
+  /** HttpOnly (scripts never need the token — fetches send it
+    * automatically) + SameSite=Strict: the admin surface mirrors the
+    * reference's GET endpoints (/drop, /truncate, /reloadNamespace), so
+    * without SameSite any third-party page could fire authenticated
+    * state-changing GETs with the operator's cookie (CSRF). */
   private def setCookie(ex: HttpExchange, token: String): Unit =
     ex.getResponseHeaders.set("Set-Cookie",
-      s"${Security.CookieName}=$token; Path=/; HttpOnly")
+      s"${Security.CookieName}=$token; Path=/; HttpOnly; SameSite=Strict")
 
   private def respond(ex: HttpExchange, status: Int, contentType: String,
                       body: String): Unit = {

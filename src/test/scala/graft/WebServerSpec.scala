@@ -426,6 +426,11 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       form = Some("username=reader&password=readerpw"))
     assert(ok.status === 200 &&
       ok.headers("Set-Cookie").contains(Security.CookieName))
+    // CSRF defense: the admin surface is GET-based (reference parity),
+    // so the session cookie must never ride a cross-site request, and
+    // scripts must not be able to read it
+    assert(ok.headers("Set-Cookie").contains("SameSite=Strict"))
+    assert(ok.headers("Set-Cookie").contains("HttpOnly"))
   }
 
   private def tokenFor(user: String, pw: String): String = {
