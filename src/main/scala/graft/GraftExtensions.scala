@@ -98,6 +98,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "misra_gries(col, k) - frequent-items sketch, k bounded counters"),
       (exprs: Seq[Expression]) => MisraGries(exprs(0), intLit(exprs(1), "k"))))
     ext.injectFunction((
+      FunctionIdentifier("hilbert_code"),
+      info("hilbert_code",
+        "hilbert_code(a, b) - 2-D Hilbert-curve layout key"),
+      (exprs: Seq[Expression]) => HilbertCode(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("morton_code"),
       info("morton_code",
         "morton_code(a, b[, c[, d]]) - N-dim Z-order layout key"),

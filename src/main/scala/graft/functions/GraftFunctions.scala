@@ -48,6 +48,10 @@ object GraftFunctions {
       exprs => MisraGries(exprs(0), intLit(exprs(1), "k")),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hilbert_code",
+      exprs => HilbertCode(exprs(0), exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "morton_code",
       exprs => exprs match {
         case Seq(a, b) => MortonCode(a, b)

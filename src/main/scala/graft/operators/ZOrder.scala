@@ -47,6 +47,15 @@ object ZOrder {
     }
   }
 
+  /** 2-D Hilbert-curve key — tighter locality than the Z-curve (every
+    * consecutive pair of curve positions is grid-adjacent; no diagonal
+    * jumps), at the cost of a 16-round loop per row. SQL:
+    * `hilbert_code(a, b)`. */
+  def hilbert(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    toColumn(graft.functions.HilbertCode(toExpression(a), toExpression(b)))
+  }
+
   private def bucket(c: Column, bounds: Array[Double]): Column = {
     import org.apache.spark.sql.GraftColumnBridge._
     // NULL → NaN → bucket 0: the layout key must be total
@@ -67,15 +76,21 @@ object ZOrder {
               keepCodeAs: Option[String] = None): DataFrame =
     clusterN(df, Seq(colA, colB), partitions, bits, relErr, keepCodeAs)
 
-  /** Cluster `df` along the Z-curve of 2 to 4 numeric columns — the
-    * general `OPTIMIZE ZORDER BY (c1, …, cN)`. Same cost shape at any
-    * N: ONE `approxQuantile` pass over all dimensions at once, one
-    * codegen'd projection, one range exchange. */
+  /** Cluster `df` along a space-filling curve of 2 to 4 numeric
+    * columns — the general `OPTIMIZE ZORDER BY (c1, …, cN)`. Same cost
+    * shape at any N: ONE `approxQuantile` pass over all dimensions at
+    * once, one codegen'd projection, one range exchange.
+    *
+    * @param curve `"morton"` (any N) or `"hilbert"` (2-D only —
+    *              tighter boxes, loop-per-row key) */
   def clusterN(df: DataFrame, cols: Seq[String], partitions: Int,
                bits: Int = 8, relErr: Double = 1e-3,
-               keepCodeAs: Option[String] = None): DataFrame = {
+               keepCodeAs: Option[String] = None,
+               curve: String = "morton"): DataFrame = {
     require(cols.size >= 2 && cols.size <= 4,
       s"z-order takes 2 to 4 columns, got ${cols.size}")
+    require(curve == "morton" || (curve == "hilbert" && cols.size == 2),
+      s"curve must be morton (any N) or hilbert (2-D), got $curve/${cols.size}-D")
     val maxBits = if (cols.size == 3) 21 else 16
     require(bits >= 1 && bits <= maxBits,
       s"bits must be 1..$maxBits for ${cols.size}-D, got $bits")
@@ -84,8 +99,9 @@ object ZOrder {
     // quantiles; 1/n .. (n-1)/n)
     val probs = Array.tabulate(n - 1)(i => (i + 1).toDouble / n)
     val bounds = df.stat.approxQuantile(cols.toArray, probs, relErr)
-    val zc = codeN(cols.zip(bounds).map { case (c, bs) =>
-      bucket(col(c), bs) })
+    val dims = cols.zip(bounds).map { case (c, bs) => bucket(col(c), bs) }
+    val zc =
+      if (curve == "hilbert") hilbert(dims(0), dims(1)) else codeN(dims)
     val keyed = df.withColumn("__zcode", zc)
       .repartitionByRange(partitions, col("__zcode"))
       .sortWithinPartitions(col("__zcode"))

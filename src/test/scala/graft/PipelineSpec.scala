@@ -692,6 +692,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(zRead < xRead / 2, s"z-layout read $zRead vs x-sort $xRead")
   }
 
+  test("hilbert curve: bijection, grid adjacency, codegen ≡ twin, " +
+      "tighter partition boxes than morton") {
+    import graft.functions.HilbertCode.index
+    // order-3 grid: a bijection 64 cells → 0..63 where CONSECUTIVE curve
+    // positions are grid-adjacent (|Δx|+|Δy| = 1) — the property the
+    // Z-curve lacks (diagonal jumps at power-of-two boundaries)
+    val cells = for (x <- 0 until 8; y <- 0 until 8)
+      yield (x.toLong, y.toLong, index(3, x, y))
+    assert(cells.map(_._3).sorted === (0L until 64L))
+    val byD = cells.map { case (x, y, d2) => d2 -> (x, y) }.toMap
+    (0L until 63L).foreach { d2 =>
+      val (x1, y1) = byD(d2)
+      val (x2, y2) = byD(d2 + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"positions $d2 and ${d2 + 1} not adjacent")
+    }
+    // endpoints of the classic order-1 curve
+    assert(index(1, 0, 0) === 0L && index(1, 0, 1) === 1L &&
+      index(1, 1, 1) === 2L && index(1, 1, 0) === 3L)
+    // SQL-door codegen ≡ the interpreter twin
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql("SELECT hilbert_code(12345L, 54321L)").head()
+    assert(r.getLong(0) ===
+      graft.functions.HilbertCode.index16(12345L, 54321L))
+    // locality: on uniform 2-D data, hilbert partitions' summed
+    // semi-perimeter is no worse than morton's (tighter or equal boxes)
+    val n = 4000
+    val rows = (0 until n).map { i =>
+      ((i * 2654435761L) % 100000, (i * 40503L) % 100000)
+    }
+    val df = rows.toDF("x", "y")
+    def semiPerimeter(curve: String): Long =
+      graft.operators.ZOrder.clusterN(df, Seq("x", "y"), partitions = 8,
+          curve = curve)
+        .select(spark_partition_id().as("p"), col("x"), col("y"))
+        .groupBy("p")
+        .agg(((max("x") - min("x")) + (max("y") - min("y"))).as("sp"))
+        .agg(sum("sp")).head().getLong(0)
+    val h = semiPerimeter("hilbert")
+    val m = semiPerimeter("morton")
+    assert(h <= m, s"hilbert boxes ($h) must not be looser than morton ($m)")
+  }
+
   test("compaction planner: exhaustive assignment, bounded bin fills, " +
       "real directory listing") {
     import graft.operators.Compaction
