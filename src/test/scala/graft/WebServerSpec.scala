@@ -272,13 +272,13 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // metrics,namespace}.html): one hash-routed view per family, each
     // driving the matching data endpoint
     for (view <- Seq("overview", "histogram", "users", "quotas",
-        "filetypes", "ages", "history", "sql", "token", "metrics",
-        "namespace"))
+        "filetypes", "ages", "history", "sql", "queries", "token",
+        "metrics", "namespace"))
       assert(root.body.contains(s"""data-view="$view""""),
         s"dashboard must carry the $view view")
     for (ep <- Seq("/quotas", "/fileTypes", "/fileAge", "/history",
         "/sql", "/token", "/system", "/metrics", "/listOperations",
-        "/histogram2?", "/top?"))
+        "/histogram2?", "/top?", "/queries", "/query?name="))
       assert(root.body.contains(ep),
         s"dashboard must drive the real $ep endpoint")
     // the unauthenticated SHELL serves on a secured server too, while
