@@ -60,6 +60,18 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       assert(mg === Map("a" -> 2L, "b" -> 1L))
 
+      // layout keys resolve at 2/3/4 arities (morton) and 2 (hilbert)
+      val lk = s2.sql(
+        "SELECT morton_code(5L, 3L), morton_code(5L, 3L, 9L), " +
+          "morton_code(5L, 3L, 9L, 2L), hilbert_code(12345L, 54321L)").head()
+      assert(lk.getLong(0) === graft.functions.MortonCode.interleave(5L, 3L))
+      assert(lk.getLong(1) ===
+        graft.functions.MortonCode.interleave3(5L, 3L, 9L))
+      assert(lk.getLong(2) ===
+        graft.functions.MortonCode.interleave4(5L, 3L, 9L, 2L))
+      assert(lk.getLong(3) ===
+        graft.functions.HilbertCode.index16(12345L, 54321L))
+
       // non-literal plan-shaping parameter is a resolution-time error
       intercept[Exception] {
         s2.sql("SELECT ngram_shingles(split('a b', ' '), cast(rand() * 2 as int))")
