@@ -817,12 +817,13 @@ object ScaleBench {
       // populated despite the skew (≥ 200 of 256 cells at 1M). The
       // returned figure is distinct curve cells — a collapsed layout
       // (unnormalized skew) would park most rows in a handful of cells.
-      tm(s"layout_zorder_cluster_$tag") {
-        val dims = spark.range(n).select(
-          (col("id") * col("id") % 999983L).as("x"),
-          pmod(xxhash64(col("id")), lit(1000000L)).as("y"))
-        val clustered = graft.operators.ZOrder.cluster(dims, "x", "y",
-          partitions = 32, keepCodeAs = Some("zc"))
+      def layoutDims = spark.range(n).select(
+        (col("id") * col("id") % 999983L).as("x"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("y"))
+      def layoutForce(curve: String): String = {
+        val clustered = graft.operators.ZOrder.clusterN(layoutDims,
+          Seq("x", "y"), partitions = 32, keepCodeAs = Some("zc"),
+          curve = curve)
         // the force reads x AND y so column pruning cannot thin the
         // exchange — the shuffle carries whole rows, like a real
         // rewrite-the-files layout job
@@ -831,6 +832,11 @@ object ScaleBench {
           sum(col("x") + col("y"))).head()
         s"cells=${r.getLong(0)}"
       }
+      tm(s"layout_zorder_cluster_$tag") { layoutForce("morton") }
+      // the adjacency-preserving curve: same shuffle shape, pays a
+      // 16-round loop per row in the key projection — this stage makes
+      // that CPU delta visible next to morton's straight-line masks
+      tm(s"layout_hilbert_cluster_$tag") { layoutForce("hilbert") }
     }
     spark.stop()
   }
