@@ -2054,6 +2054,21 @@ object PipelineQueries {
           max(col("na") * col("nb")).as("max_key_rows"))
     }),
 
+    // Hilbert layout key: same census as layout_zorder_code but along
+    // the adjacency-preserving curve — oracling the 16-round
+    // rotate/reflect LOOP (functions.HilbertCode, eval AND codegen)
+    // bit-for-bit against a fully unrolled SQL derivation
+    "layout_hilbert_code" -> ((s, d) => {
+      val hc = graft.operators.ZOrder.hilbert(
+        col("l_partkey"), col("l_suppkey"))
+      Tables.lineitem(s, d)
+        .select(shiftright(hc, 24).as("zcell"), hc.as("zcode"))
+        .groupBy("zcell")
+        .agg(count(lit(1)).as("n"),
+          min(col("zcode")).as("zmin"), max(col("zcode")).as("zmax"))
+        .orderBy("zcell")
+    }),
+
     // Z-order layout key (operators.ZOrder / functions.MortonCode): the
     // per-curve-cell census of lineitem's (partkey, suppkey) Morton
     // interleave — oracling the native codegen'd expression bit-for-bit
@@ -4287,6 +4302,34 @@ object PipelineQueries {
        "CAST(SUM(na * nb) AS BIGINT) AS est_rows, " +
        "CAST(MAX(na * nb) AS BIGINT) AS max_key_rows " +
        "FROM a JOIN b USING (k)"),
+
+    // the Hilbert rotate/reflect loop UNROLLED: one CTE per bit plane
+    // (s = 2^15 … 1), distinct column names per round so DuckDB's
+    // lateral column aliasing can never self-reference. Per round:
+    // quadrant digit q = (3·rx) XOR ry spelled as a CASE; ry=1 keeps
+    // (x, y), ry=0 swaps (reflecting first when rx=1) — exactly
+    // HilbertCode.index.
+    "layout_hilbert_code" -> {
+      val rounds = (0 until 16).map { i =>
+        val sv = 1L << (15 - i)
+        val (px, py, pd) = (s"x$i", s"y$i", s"d$i")
+        val (nx, ny, nd) = (s"x${i + 1}", s"y${i + 1}", s"d${i + 1}")
+        s", r${i + 1} AS (SELECT " +
+          s"CASE WHEN ($py & $sv) != 0 THEN $px " +
+          s"WHEN ($px & $sv) != 0 THEN ${sv - 1} - $py ELSE $py END AS $nx, " +
+          s"CASE WHEN ($py & $sv) != 0 THEN $py " +
+          s"WHEN ($px & $sv) != 0 THEN ${sv - 1} - $px ELSE $px END AS $ny, " +
+          s"$pd + CAST(${sv * sv} AS BIGINT) * " +
+          s"(CASE WHEN ($px & $sv) = 0 AND ($py & $sv) = 0 THEN 0 " +
+          s"WHEN ($px & $sv) = 0 THEN 1 " +
+          s"WHEN ($py & $sv) != 0 THEN 2 ELSE 3 END) AS $nd " +
+          s"FROM r$i)"
+      }.mkString(" ")
+      "WITH r0 AS (SELECT l_partkey & 65535 AS x0, l_suppkey & 65535 AS y0, " +
+        "CAST(0 AS BIGINT) AS d0 FROM lineitem)" + rounds +
+        " SELECT d16 >> 24 AS zcell, CAST(count(*) AS BIGINT) AS n, " +
+        "min(d16) AS zmin, max(d16) AS zmax FROM r16 GROUP BY 1 ORDER BY 1"
+    },
 
     // the Morton interleave spelled out as the standard magic-number
     // spread (5 shift/mask rounds per dimension) — any bit drift in the
