@@ -219,10 +219,29 @@ final class WebServer(
       val fn = graft.SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(
           s"unknown query '$name' (GET /queries for names)"))
-      // STREAMED, like the CLI twin and the dump endpoint — registry
-      // operators can be row-heavy (per-event as-of outputs) and a
-      // collected toCsv would materialize them all on the driver
-      respondCsvStream(ex, fn(spark, dataDir))
+      // &explain=formatted|extended|simple returns the PLAN instead of
+      // rows — the ops tool for checking pushdown/broadcast/shuffle
+      // shape over HTTP without paying for the execution
+      p.get("explain") match {
+        case Some(mode) =>
+          val qe = fn(spark, dataDir).queryExecution
+          val text = mode match {
+            case "formatted" | "true" => qe.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            case "extended" => qe.explainString(
+              org.apache.spark.sql.execution.ExtendedMode)
+            case "simple" => qe.explainString(
+              org.apache.spark.sql.execution.SimpleMode)
+            case other => throw new IllegalArgumentException(
+              s"explain must be formatted|extended|simple, got $other")
+          }
+          respond(ex, 200, "text/plain", text)
+        case None =>
+          // STREAMED, like the CLI twin and the dump endpoint — registry
+          // operators can be row-heavy (per-event as-of outputs) and a
+          // collected toCsv would materialize them all on the driver
+          respondCsvStream(ex, fn(spark, dataDir))
+      }
     case "queries" => respond(ex, 200, "application/json",
       jsonArr(graft.SparkEntry.queries.keys.toSeq.sorted))
     case "filter" => filterEndpoint(ex, p)

@@ -169,6 +169,12 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.body.contains("\"events_hourly\"") &&
       names.body.contains("\"nna_histogram_user\""))
     assert(get(open, "/query?name=no_such").status === 400)
+    // &explain returns the physical plan text without executing
+    val ex1 = get(open, "/query?name=events_hourly&explain=formatted")
+    assert(ex1.status === 200 && ex1.body.contains("== Physical Plan ==") &&
+      ex1.body.contains("Scan parquet"))
+    assert(get(open,
+      "/query?name=events_hourly&explain=bogus").status === 400)
   }
 
   test("/sql executes a statement over the registered views") {
