@@ -569,4 +569,50 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("profile_join_cardinality: fact rows never join — both join " +
+      "inputs are aggregates") {
+    // the whole point of the pre-flight: it must be CHEAPER than the
+    // join it sizes. Each side reduces to (key, count) before the join,
+    // so the join moves |keys| rows, not |facts|.
+    val plan = formatted("profile_join_cardinality")
+    val joinAt = plan.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+    val tree = plan.linesIterator.toSeq
+    if (joinAt >= 0) {
+      // in the tree section, every scan feeds a HashAggregate BELOW the
+      // join — equivalently, the join's two input subtrees each contain
+      // an aggregate. Cheap structural check: the tree shows 4+
+      // HashAggregates (partial+final per side) before any join output
+      val treeSection = tree.takeWhile(l => !l.startsWith("(1) Scan"))
+      val aggs = treeSection.count(_.contains("HashAggregate"))
+      assert(aggs >= 4, s"expected per-side partial+final aggs:\n$plan")
+    }
+    // and the final global scalar agg sums ~|keys| rows, no Generate
+    assert(!plan.contains("Generate"), "no explode in the estimator")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("profile_key_skew: one partial-agg shuffle; global scalars ride " +
+      "a broadcast, facts never join") {
+    val plan = formatted("profile_key_skew")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"1-row global aggregate must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-10 must short-circuit, not global-sort")
+    assert(!plan.contains("SortMergeJoin"),
+      "nothing in this profile justifies a shuffled join")
+  }
+
+  test("layout code queries: scans read exactly the two key columns") {
+    for (q <- Seq("layout_zorder_code", "layout_hilbert_code")) {
+      val plan = formatted(q)
+      val readSchema = plan.linesIterator
+        .find(_.trim.startsWith("ReadSchema:")).get
+      assert(readSchema.contains("l_partkey") &&
+        readSchema.contains("l_suppkey"), s"$q: $readSchema")
+      assert(!readSchema.contains("l_extendedprice") &&
+        !readSchema.contains("l_orderkey"), s"$q reads extra columns")
+    }
+  }
 }
