@@ -71,14 +71,25 @@ object Suggestions {
       Fields.longField("dsQuotaRatioUsed") >= 85, 1L).otherwise(0L))
       .as("dsQuotaHighDirs"))
 
-  /** System-wide scalar metrics: ONE pass over files + ONE over dirs. */
-  def cachedValues(inodes: DataFrame, now: Long = InodeView.NowMs): DataFrame = {
+  /** File-census half of [[cachedValues]] — exposed separately because
+    * every file metric is a LINEAR conditional aggregate, which is what
+    * makes [[IncrementalCensus]] possible. */
+  private[api] def fileValues(inodes: DataFrame, now: Long): DataFrame = {
     val fm = fileMetrics(now)
-    val dm = dirMetrics
-    val files = inodes.where(col("isFile")).agg(fm.head, fm.tail: _*)
-    val dirs = inodes.where(!col("isFile")).agg(dm.head, dm.tail: _*)
-    files.crossJoin(dirs)
+    inodes.where(col("isFile")).agg(fm.head, fm.tail: _*)
   }
+
+  /** Dir-census half — NOT row-linear (emptyDirs/quota ratios derive
+    * from children and subtree usage), so incremental cycles recompute
+    * it from the dirs-only scan. */
+  private[api] def dirValues(inodes: DataFrame): DataFrame = {
+    val dm = dirMetrics
+    inodes.where(!col("isFile")).agg(dm.head, dm.tail: _*)
+  }
+
+  /** System-wide scalar metrics: ONE pass over files + ONE over dirs. */
+  def cachedValues(inodes: DataFrame, now: Long = InodeView.NowMs): DataFrame =
+    fileValues(inodes, now).crossJoin(dirValues(inodes))
 
   /** Per-user metric map: same conditional aggregates, grouped by user. */
   def cachedUserMaps(inodes: DataFrame, now: Long = InodeView.NowMs): DataFrame = {

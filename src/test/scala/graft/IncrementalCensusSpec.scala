@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{IncrementalCensus, Suggestions}
+import graft.ingest.EditLogSource
+
+/** [[IncrementalCensus]] — census(S′) = census(S) + Δ, exactly. */
+class IncrementalCensusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def snap = graft.inodes.InodeView.inodes(spark, dir)
+
+  test("fold over adds, deletes, AND modifications equals the full " +
+      "census, bit for bit") {
+    val asOf = graft.inodes.InodeView.NowMs
+    val s0 = snap.cache()
+    // delta: delete every 17th file, modify every 23rd (size grows,
+    // access bumps — moves rows ACROSS size and age classes), create
+    // clones of every 31st under /incoming
+    val delId = col("isFile") && pmod(col("id"), lit(17L)) === 0
+    val modId = col("isFile") && pmod(col("id"), lit(23L)) === 0 &&
+      !(pmod(col("id"), lit(17L)) === 0)
+    val newRows = s0.where(col("isFile") && pmod(col("id"), lit(31L)) === 0)
+      .withColumn("id", col("id") + 10000000L)
+      .withColumn("path", concat(lit("/incoming"), col("path")))
+      .withColumn("fileSize", col("fileSize") + 999L)
+    val modNew = s0.where(modId)
+      .withColumn("fileSize", col("fileSize") * 2 + 1500000L)
+      .withColumn("accessTime", lit(asOf - 3L * 365 * 86400000L))
+    val removed = s0.where(delId || modId)
+    val added = modNew.unionByName(newRows)
+    val sPrime = s0.where(!(delId || modId))
+      .unionByName(modNew).unionByName(newRows)
+
+    val prev = Suggestions.cachedValues(s0, asOf)
+    val folded = IncrementalCensus
+      .fold(prev, removed, added, sPrime, asOf).head()
+    val full = Suggestions.cachedValues(sPrime, asOf).head()
+    assert(folded.schema.fieldNames.toSeq === full.schema.fieldNames.toSeq)
+    folded.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+      assert(folded.getLong(i) === full.getLong(i), s"metric $f drifted")
+    }
+    // sanity: the delta actually moved size and age classes
+    assert(folded.getAs[Long]("numFiles") !==
+      prev.head().getAs[Long]("numFiles"))
+    assert(folded.getAs[Long]("oldFiles2yr") >
+      prev.head().getAs[Long]("oldFiles2yr"))
+    s0.unpersist()
+  }
+
+  test("empty delta folds to the previous census unchanged") {
+    val asOf = graft.inodes.InodeView.NowMs
+    val prev = Suggestions.cachedValues(snap, asOf)
+    val empty = snap.where(lit(false))
+    val folded = IncrementalCensus.fold(prev, empty, empty, snap, asOf)
+    assert(folded.head().toSeq === prev.head().toSeq)
+  }
+
+  test("touchedPredicate covers every row an edit-log replay changes") {
+    val ops = EditLogSource.ops(spark, IngestQueries.EditLogPath)
+    val before = graft.inodes.InodeView
+      .snapshot(spark, s"oivxml:${IngestQueries.XmlPath}")
+    val after = EditLogSource.applyEdits(before, ops)
+    val pred = IncrementalCensus.touchedPredicate(ops)
+    // rows OUTSIDE the predicate must be identical before and after on
+    // the replay-maintained columns — i.e. the predicate is a complete
+    // cover of the change set (supersets are fine; misses are not)
+    val cols = Seq("id", "path", "isFile", "user", "permission",
+      "accessTime", "modTime", "fileSize", "numBlocks", "fileReplica")
+    def outside(df: org.apache.spark.sql.DataFrame) = df.where(!pred)
+      .select(cols.map(col): _*)
+      .collect().map(r => r.getAs[Long]("id") -> r.toSeq.toList).toMap
+    val ob = outside(before)
+    val oa = outside(after)
+    assert(ob === oa, "a changed row escaped the touched predicate")
+    // and the predicate selects a proper subset (ops-bounded by
+    // construction — the mini fixture's 25 ops deliberately touch much
+    // of its 44-inode namespace, so only strictness is asserted here)
+    val touched = before.where(pred).count()
+    assert(touched > 0L && touched < before.count())
+  }
+
+  test("incremental cycle over the edit-log fixture matches the full " +
+      "census of the replayed namespace (file metrics)") {
+    val asOf = graft.inodes.InodeView.NowMs
+    val ops = EditLogSource.ops(spark, IngestQueries.EditLogPath)
+    val before = graft.inodes.InodeView
+      .snapshot(spark, s"oivxml:${IngestQueries.XmlPath}")
+    val after = EditLogSource.applyEdits(before, ops)
+    val pred = IncrementalCensus.touchedPredicate(ops)
+    // the replay output carries the core columns (fileMetrics derives
+    // diskspace/memory from those) but not the dir-census columns —
+    // supply deterministic ones on BOTH sides so the schemas agree; the
+    // comparison below is over the FILE metrics, and the dir halves of
+    // fold and full run over the same widened frame anyway
+    def widen(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("hasQuota", col("nsQuota") > 0 || col("dsQuota") > 0)
+      .withColumn("dirNumChildren", lit(0L))
+      .withColumn("nsQuotaUsed", lit(0L))
+      .withColumn("dsQuotaUsed", lit(0L))
+    val b = widen(before)
+    val a = widen(after)
+    val prev = Suggestions.cachedValues(b, asOf)
+    val folded = IncrementalCensus
+      .fold(prev, b.where(pred), a.where(pred), a, asOf).head()
+    val full = Suggestions.cachedValues(a, asOf).head()
+    IncrementalCensus.fileMetricNames(prev).zipWithIndex.foreach {
+      case (f, i) =>
+        assert(folded.getLong(i) === full.getLong(i), s"metric $f drifted")
+    }
+  }
+}
