@@ -66,6 +66,29 @@ object IncrementalCensus {
       .crossJoin(Suggestions.dirValues(dirsAfter))
   }
 
+  /** Per-user twin of [[fold]]: the user maps are the SAME linear file
+    * metrics grouped by user, so they fold per key. The combine is a
+    * full-outer join over three user-bounded frames (previous map,
+    * added-census, removed-census) — |users| rows, not |files|. Users
+    * whose last file left the delta fold to zero and are dropped,
+    * matching what a full recompute would produce. */
+  def foldUserMaps(prevMaps: DataFrame, removed: DataFrame,
+                   added: DataFrame, asOfMs: Long): DataFrame = {
+    val metricCols = prevMaps.columns.toSeq.filterNot(_ == "user")
+    val p = Suggestions.cachedUserMaps(added, asOfMs)
+      .select(col("user") +: metricCols.map(c => col(c).as(s"p_$c")): _*)
+    val m = Suggestions.cachedUserMaps(removed, asOfMs)
+      .select(col("user") +: metricCols.map(c => col(c).as(s"m_$c")): _*)
+    prevMaps
+      .join(p, Seq("user"), "full_outer")
+      .join(m, Seq("user"), "full_outer")
+      .select(col("user") +: metricCols.map { c =>
+        (coalesce(col(c), lit(0L)) + coalesce(col(s"p_$c"), lit(0L)) -
+          coalesce(col(s"m_$c"), lit(0L))).as(c)
+      }: _*)
+      .where(col("numFiles") > 0)
+  }
+
   /** Scan predicate covering every row an edit-log ops frame can touch:
     * exact paths of creations/patches/closes (and concat sources), plus
     * whole subtrees of renames (BOTH roots) and deletes. Ops frames are

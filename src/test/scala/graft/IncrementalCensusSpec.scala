@@ -50,6 +50,31 @@ class IncrementalCensusSpec extends AnyFunSuite {
     s0.unpersist()
   }
 
+  test("per-user fold equals the full per-user recompute, including " +
+      "users created and emptied by the delta") {
+    val asOf = graft.inodes.InodeView.NowMs
+    val s0 = snap.cache()
+    // delete EVERY file of one user (they must vanish from the map),
+    // move another user's files to a brand-new user (who must appear)
+    val victim = s0.where(col("isFile")).select("user").head().getString(0)
+    val delCond = col("isFile") && col("user") === victim
+    val modCond = col("isFile") && pmod(col("id"), lit(13L)) === 0 &&
+      col("user") =!= victim
+    val modNew = s0.where(modCond).withColumn("user", lit("u_brand_new"))
+    val removed = s0.where(delCond || modCond)
+    val added = modNew
+    val sPrime = s0.where(!(delCond || modCond)).unionByName(modNew)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1).toList).toMap
+    val folded = asMap(IncrementalCensus.foldUserMaps(
+      Suggestions.cachedUserMaps(s0, asOf), removed, added, asOf))
+    val full = asMap(Suggestions.cachedUserMaps(sPrime, asOf))
+    assert(folded === full)
+    assert(!folded.contains(victim), "emptied user must drop from the map")
+    assert(folded.contains("u_brand_new"), "new user must appear")
+    s0.unpersist()
+  }
+
   test("empty delta folds to the previous census unchanged") {
     val asOf = graft.inodes.InodeView.NowMs
     val prev = Suggestions.cachedValues(snap, asOf)
