@@ -83,6 +83,28 @@ class IncrementalCensusSpec extends AnyFunSuite {
     assert(folded.head().toSeq === prev.head().toSeq)
   }
 
+  test("folds compose: two chained delta cycles equal the full census " +
+      "of the final namespace") {
+    val asOf = graft.inodes.InodeView.NowMs
+    val s0 = snap.cache()
+    // cycle 1: delete a slice
+    val del1 = col("isFile") && pmod(col("id"), lit(11L)) === 0
+    val s1 = s0.where(!del1)
+    val c1 = IncrementalCensus.fold(
+      Suggestions.cachedValues(s0, asOf), s0.where(del1),
+      s0.where(lit(false)), s1, asOf)
+    // cycle 2 FOLDS ON TOP OF c1 (a folded census is a valid prev):
+    // grow a different slice
+    val mod2 = col("isFile") && pmod(col("id"), lit(7L)) === 0 && !del1
+    val modNew = s1.where(mod2)
+      .withColumn("fileSize", col("fileSize") + 2000000L)
+    val s2 = s1.where(!mod2).unionByName(modNew)
+    val c2 = IncrementalCensus.fold(c1, s1.where(mod2), modNew, s2, asOf)
+    assert(c2.head().toSeq ===
+      Suggestions.cachedValues(s2, asOf).head().toSeq)
+    s0.unpersist()
+  }
+
   test("touchedPredicate covers every row an edit-log replay changes") {
     val ops = EditLogSource.ops(spark, IngestQueries.EditLogPath)
     val before = graft.inodes.InodeView
