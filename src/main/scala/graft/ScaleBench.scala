@@ -83,6 +83,34 @@ object ScaleBench {
         f"shuffleBytes=${bytes.get()} bytesPerRecord=$bpr%.1f")
     }
 
+    /** Like t(), plus INPUT volume across the job's stages (records and
+      * bytes read from the source) — the evidence for delta-folding
+      * claims: wall time on a page-cached local box hides exactly the
+      * scan cost a 100 TB metadata store charges. */
+    def ti(name: String)(f: => Any): Unit = if (only(name)) {
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            recs.addAndGet(m.inputMetrics.recordsRead)
+            bytes.addAndGet(m.inputMetrics.bytesRead)
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      sweep()
+      Thread.sleep(1000) // listener bus drain
+      spark.sparkContext.removeSparkListener(l)
+      println(f"SCALEBENCH $name $sec%.2f s ($r) inputRecords=${recs.get()} " +
+        f"inputBytes=${bytes.get()}")
+    }
+
     // --- corpus: ~40-token docs from a power-law-ish vocab; every 100th
     // doc is a near-duplicate of its predecessor (one token changed) ---
     val words = expr(
@@ -831,6 +859,71 @@ object ScaleBench {
           countDistinct(shiftright(col("zc"), 8)).as("cells"),
           sum(col("x") + col("y"))).head()
         s"cells=${r.getLong(0)}"
+      }
+      // INCREMENTAL CENSUS: the 15-minute suggestions cycle at namespace
+      // scale. full = the reference's model (re-aggregate everything);
+      // incremental = fold an n/1000-row delta + re-aggregate the
+      // dirs-only slice (production keeps dirs partition-separated, so
+      // it's passed as its own frame, exactly like a pruned scan). The
+      // delta frames are materialized delta-SIZED (that is how they
+      // arrive from the edit-log tail via touchedPredicate pushdown) —
+      // the fold's cost must not secretly rescan the namespace.
+      {
+        val censusFiles = spark.range(n).select(col("id"),
+          concat(lit("/d/f"), col("id")).as("path"), lit(true).as("isFile"),
+          concat(lit("u"), pmod(col("id"), lit(50L))).as("user"),
+          (col("id") * 7331L % 300000000L).as("fileSize"),
+          (col("id") % 1000000L).as("modTime"),
+          (col("id") % 2000000L).as("accessTime"),
+          lit(1L).as("numBlocks"), lit(3L).as("fileReplica"),
+          lit(-1L).as("nsQuota"), lit(-1L).as("dsQuota"),
+          lit(false).as("hasQuota"), lit(0L).as("dirNumChildren"),
+          lit(0L).as("nsQuotaUsed"), lit(0L).as("dsQuotaUsed"))
+        val censusDirs = spark.range(n / 100).select(
+          (col("id") + 900000000L).as("id"),
+          concat(lit("/d/dir"), col("id")).as("path"),
+          lit(false).as("isFile"),
+          concat(lit("u"), pmod(col("id"), lit(50L))).as("user"),
+          lit(0L).as("fileSize"), lit(0L).as("modTime"),
+          lit(0L).as("accessTime"), lit(0L).as("numBlocks"),
+          lit(0L).as("fileReplica"),
+          when(col("id") % 7 === 0, 1000L).otherwise(-1L).as("nsQuota"),
+          lit(-1L).as("dsQuota"), (col("id") % 7 === 0).as("hasQuota"),
+          pmod(col("id"), lit(30L)).as("dirNumChildren"),
+          pmod(col("id"), lit(990L)).as("nsQuotaUsed"),
+          lit(0L).as("dsQuotaUsed"))
+        // the cycle's inputs live on PARQUET like a real metadata store —
+        // an in-memory frame would hide exactly the scan cost the fold
+        // exists to avoid. Writes are setup, not timed.
+        val root = java.nio.file.Files
+          .createTempDirectory(s"census_$tag").toString
+        val delCond = pmod(col("id"), lit(1000L)) === 0 && col("isFile")
+        val snap0 = censusFiles.unionByName(censusDirs)
+        val addedRows = snap0.where(delCond)
+          .withColumn("fileSize", col("fileSize") + 12345678L)
+        snap0.where(!delCond).unionByName(addedRows)
+          .write.parquet(s"$root/snap1")          // the post-delta namespace
+        censusDirs.write.parquet(s"$root/dirs")   // dirs partition-separated
+        snap0.where(delCond).write.parquet(s"$root/removed")
+        addedRows.write.parquet(s"$root/added")
+        graft.api.Suggestions.cachedValues(snap0, 0L)
+          .write.parquet(s"$root/prev")
+        var fullRow: org.apache.spark.sql.Row = null
+        ti(s"census_full_$tag") {
+          fullRow = graft.api.Suggestions
+            .cachedValues(spark.read.parquet(s"$root/snap1"), 0L).head()
+          s"numFiles=${fullRow.getAs[Long]("numFiles")}"
+        }
+        ti(s"census_incremental_$tag") {
+          val folded = graft.api.IncrementalCensus.fold(
+            spark.read.parquet(s"$root/prev"),
+            spark.read.parquet(s"$root/removed"),
+            spark.read.parquet(s"$root/added"),
+            spark.read.parquet(s"$root/dirs"), 0L).head()
+          require(fullRow == null || folded.toSeq == fullRow.toSeq,
+            "incremental census drifted from the full recompute")
+          s"numFiles=${folded.getAs[Long]("numFiles")} (≡ full)"
+        }
       }
       tm(s"layout_zorder_cluster_$tag") { layoutForce("morton") }
       // the adjacency-preserving curve: same shuffle shape, pays a
