@@ -129,6 +129,36 @@ class IncrementalCensusSpec extends AnyFunSuite {
     assert(touched > 0L && touched < before.count())
   }
 
+  test("two chained edit-log segments: fold-per-cycle equals the full " +
+      "census after each replay (the production loop)") {
+    val asOf = graft.inodes.InodeView.NowMs
+    val allOps = EditLogSource.ops(spark, IngestQueries.EditLogPath)
+    val ops1 = allOps.where(col("txid") <= 11)
+    val ops2 = allOps.where(col("txid") >= 12)
+    def widen(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("hasQuota", col("nsQuota") > 0 || col("dsQuota") > 0)
+      .withColumn("dirNumChildren", lit(0L))
+      .withColumn("nsQuotaUsed", lit(0L))
+      .withColumn("dsQuotaUsed", lit(0L))
+    val s0 = widen(graft.inodes.InodeView
+      .snapshot(spark, s"oivxml:${IngestQueries.XmlPath}"))
+    var census = Suggestions.cachedValues(s0, asOf)
+    var cur = s0
+    for (ops <- Seq(ops1, ops2)) {
+      val next = widen(EditLogSource.applyEdits(cur, ops))
+      val pred = IncrementalCensus.touchedPredicate(ops)
+      census = IncrementalCensus.fold(
+        census, cur.where(pred), next.where(pred), next, asOf)
+      val full = Suggestions.cachedValues(next, asOf).head()
+      val folded = census.head()
+      IncrementalCensus.fileMetricNames(census).zipWithIndex.foreach {
+        case (f, i) => assert(folded.getLong(i) === full.getLong(i),
+          s"metric $f drifted after this cycle")
+      }
+      cur = next
+    }
+  }
+
   test("incremental cycle over the edit-log fixture matches the full " +
       "census of the replayed namespace (file metrics)") {
     val asOf = graft.inodes.InodeView.NowMs
