@@ -249,19 +249,38 @@ object EditLogSource {
     * k-chunk lineage cannot grow unboundedly across segments. */
   def tail(spark: SparkSession, initial: DataFrame, segmentsDir: String,
            publish: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    tailWithOps(spark, initial, segmentsDir, (snap, _) => publish(snap))
+
+  /** [[tail]] variant that also hands each batch's TYPED OPS frame to the
+    * callback alongside the post-apply snapshot — what an incremental
+    * consumer needs: `api.IncrementalCensus.touchedPredicate(ops)` turns
+    * the batch into a pushdown scan predicate and the census cycle folds
+    * the ops-bounded slices instead of rescanning the namespace. The ops
+    * frame is locally checkpointed (it is consumed at least twice:
+    * replay + predicate). */
+  /** @param availableNow true (default) drains what exists and stops —
+    *   the one-shot catch-up; false keeps the query live for a namenode
+    *   that keeps rolling segments (callers stop it). */
+  def tailWithOps(spark: SparkSession, initial: DataFrame,
+                  segmentsDir: String,
+                  publish: (DataFrame, DataFrame) => Unit,
+                  availableNow: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     var current = initial
-    spark.readStream.format("xml")
+    val sink = spark.readStream.format("xml")
       .option("rowTag", "RECORD").schema(recordSchema)
       .load(segmentsDir + "/*.xml")
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // ops arrive pre-parsed; project to the typed frame and apply
-        val typed = typedOps(batch)
+        val typed = typedOps(batch).localCheckpoint(eager = true)
         current = applyEdits(current, typed).localCheckpoint(eager = true)
-        publish(current)
+        publish(current, typed)
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    (if (availableNow)
+       sink.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else sink)
       .start()
   }
 

@@ -159,6 +159,66 @@ class IncrementalCensusSpec extends AnyFunSuite {
     }
   }
 
+  test("live tail: census folds per streamed micro-batch and lands on " +
+      "the full recompute of the final namespace") {
+    // segment roll at txid 11/12 like EditLogSpec's tail case, but the
+    // consumer is the INCREMENTAL census: each published batch folds its
+    // touchedPredicate slices — the namespace is never rescanned
+    val asOf = graft.inodes.InodeView.NowMs
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(IngestQueries.EditLogPath)), "UTF-8")
+    val records = xml.split("(?=  <RECORD>)").toSeq
+    val head = records.head
+    val (body, tailRecs) = records.filter(_.contains("<RECORD>"))
+      .partition { r =>
+        val t = "<TXID>(\\d+)</TXID>".r.findFirstMatchIn(r).get.group(1).toLong
+        t <= 11
+      }
+    val segDir = java.nio.file.Files.createTempDirectory("censeg")
+    def writeSeg(name: String, recs: Seq[String]): Unit =
+      java.nio.file.Files.write(segDir.resolve(name),
+        (head + recs.mkString.stripSuffix("</EDITS>\n") + "</EDITS>\n")
+          .getBytes("UTF-8"))
+    // segment 1 lands before the query starts; segment 2 only after the
+    // first micro-batch is fully processed (explicit batch boundary —
+    // AvailableNow would coalesce both files into one batch)
+    writeSeg("seg_0000001.xml", body.map(_.replace("</EDITS>", "")))
+    def widen(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("hasQuota", col("nsQuota") > 0 || col("dsQuota") > 0)
+      .withColumn("dirNumChildren", lit(0L))
+      .withColumn("nsQuotaUsed", lit(0L))
+      .withColumn("dsQuotaUsed", lit(0L))
+    val s0 = graft.inodes.InodeView
+      .snapshot(spark, s"oivxml:${IngestQueries.XmlPath}")
+    var prevW = widen(s0)
+    var census = Suggestions.cachedValues(prevW, asOf)
+      .localCheckpoint(true)
+    var batches = 0
+    var finalSnap: org.apache.spark.sql.DataFrame = null
+    val q = EditLogSource.tailWithOps(spark, s0, segDir.toString,
+      (snap, ops) => {
+        val pred = IncrementalCensus.touchedPredicate(ops)
+        val nextW = widen(snap)
+        census = IncrementalCensus.fold(census,
+          prevW.where(pred), nextW.where(pred), nextW, asOf)
+          .localCheckpoint(true)
+        prevW = nextW
+        finalSnap = snap
+        batches += 1
+      }, availableNow = false)
+    q.processAllAvailable()
+    writeSeg("seg_0000012.xml", tailRecs)
+    q.processAllAvailable()
+    q.stop()
+    assert(batches === 2, s"expected one fold per segment, got $batches")
+    val folded = census.head()
+    val full = Suggestions.cachedValues(widen(finalSnap), asOf).head()
+    IncrementalCensus.fileMetricNames(census).zipWithIndex.foreach {
+      case (f, i) =>
+        assert(folded.getLong(i) === full.getLong(i), s"metric $f drifted")
+    }
+  }
+
   test("incremental cycle over the edit-log fixture matches the full " +
       "census of the replayed namespace (file metrics)") {
     val asOf = graft.inodes.InodeView.NowMs
