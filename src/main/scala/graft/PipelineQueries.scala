@@ -543,6 +543,22 @@ object PipelineQueries {
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))),
 
+    // tokenizer fertility per language — tokens/chars (and bytes/token),
+    // the budgeting diagnostic that decides how a fixed token budget
+    // divides across languages. Integer-exact ppm ratios; one scan, one
+    // tiny per-lang aggregation
+    "text_fertility" -> ((s, d) =>
+      Tables.documents(s, d).select(col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("chars")).as("n_chars"),
+          expr("sum(toks) * 1000000 div sum(chars)")
+            .cast("long").as("tokens_per_char_ppm"))
+        .orderBy("lang")),
+
     // BPE-style pre-tokenization (the GPT-2 regex family, lookahead-free
     // subset so Java regex and RE2 agree): contraction suffixes, space-
     // prefixed letter runs, digit runs, punctuation runs. n_bpe is what a
@@ -4256,6 +4272,17 @@ object PipelineQueries {
 
     "text_tokens" ->
       "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents",
+
+    "text_fertility" ->
+      ("WITH t AS (SELECT lang, " +
+       "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks, " +
+       "CAST(length(text) AS BIGINT) AS chars FROM documents) " +
+       "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+       "CAST(SUM(toks) AS BIGINT) AS n_tokens, " +
+       "CAST(SUM(chars) AS BIGINT) AS n_chars, " +
+       "CAST((SUM(toks) * 1000000) // SUM(chars) AS BIGINT) " +
+       "AS tokens_per_char_ppm " +
+       "FROM t GROUP BY lang ORDER BY lang"),
 
     "text_tokens_bpe" ->
       ("SELECT doc_id, " +
