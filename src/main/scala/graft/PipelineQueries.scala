@@ -555,7 +555,11 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("toks")).as("n_tokens"),
           sum(col("chars")).as("n_chars"),
-          expr("sum(toks) * 1000000 div sum(chars)")
+          // accumulate in decimal(38,0) (sumExactLong discipline): a
+          // BIGINT sum wraps once total tokens approach ~9e12 while
+          // DuckDB's SUM(BIGINT)→HUGEINT stays exact
+          expr("sum(cast(toks as decimal(38,0))) * 1000000 " +
+              "div sum(cast(chars as decimal(38,0)))")
             .cast("long").as("tokens_per_char_ppm"))
         .orderBy("lang")),
 
@@ -2045,9 +2049,13 @@ object PipelineQueries {
         count(lit(1)).as("n_keys"), max(col("n")).as("max_n"))
       counts.crossJoin(broadcast(tot))
         .select(col("user_id"), col("n"),
-          expr("n * 1000000 div total").cast("long").as("share_ppm"),
-          expr("max_n * n_keys * 1000 div total").cast("long")
-            .as("skew_x1000"))
+          // operands ride decimal(38,0) before the cross-multiply: at the
+          // 100 TB target (n_keys ~1e9, max_n ~1e7) the BIGINT product
+          // wraps silently while the oracle's HUGEINT stays exact
+          expr("cast(n as decimal(38,0)) * 1000000 div total")
+            .cast("long").as("share_ppm"),
+          expr("cast(max_n as decimal(38,0)) * n_keys * 1000 div total")
+            .cast("long").as("skew_x1000"))
         .orderBy(col("n").desc, col("user_id").asc)
         .limit(10)
     }),
@@ -4316,8 +4324,10 @@ object PipelineQueries {
        "CAST(COUNT(*) AS BIGINT) AS n_keys, " +
        "CAST(MAX(n) AS BIGINT) AS max_n FROM c) " +
        "SELECT user_id, n, " +
-       "CAST((n * 1000000) // total AS BIGINT) AS share_ppm, " +
-       "CAST((max_n * n_keys * 1000) // total AS BIGINT) AS skew_x1000 " +
+       "CAST((CAST(n AS HUGEINT) * 1000000) // total AS BIGINT) " +
+       "AS share_ppm, " +
+       "CAST((CAST(max_n AS HUGEINT) * n_keys * 1000) // total " +
+       "AS BIGINT) AS skew_x1000 " +
        "FROM c, t ORDER BY n DESC, user_id LIMIT 10"),
 
     "profile_join_cardinality" ->

@@ -48,6 +48,10 @@ final class LdapAuth(
     if (username.exists(c => ",=+;\\<>\"".indexOf(c.toInt) >= 0 ||
         c.isWhitespace || c.isControl))
       return false
+    // RFC 4514: a leading '#' introduces a hex-encoded BER attribute
+    // value — a username like "#0403..." substituted into the template
+    // would bind as an attacker-chosen effective DN
+    if (username.startsWith("#")) return false
     dnsFor(username).exists(bindDn(_, password))
   }
 

@@ -26,16 +26,26 @@ import org.apache.spark.sql.expressions.Window
   */
 object Compaction {
 
-  /** (file, bytes) frame for a directory of data files. */
+  /** (file, bytes) frame for a directory of data files. Recurses so a
+    * partitioned table (data under `k=v/` subdirectories) yields its
+    * full manifest instead of a silently-empty plan; hidden files and
+    * anything under a hidden/metadata directory (`_`/`.` prefix, e.g.
+    * `_delta_log`, `.staging`) are excluded by path segment. */
   def filesOf(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .map(s => (s.getPath.toString, s.getLen))
-      .toDF("file", "bytes")
+    val root = fs.getFileStatus(p).getPath.toUri.getPath // normalized
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(root).stripPrefix("/")
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (s.isFile && !hidden) buf += ((s.getPath.toString, s.getLen))
+    }
+    buf.toSeq.toDF("file", "bytes")
   }
 
   /** Assign every file to a compaction bin of ~`targetBytes`. */

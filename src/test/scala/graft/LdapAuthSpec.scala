@@ -56,7 +56,11 @@ class LdapAuthSpec extends AnyFunSuite {
   test("DN metacharacters in the username are rejected before any bind") {
     withServer(Map.empty) { srv =>
       val auth = new LdapAuth(srv.url, Seq(PeopleDn))
-      for (u <- Seq("a,ou=admins", "a=b", "a+b", "a;b", "a\\b", "a b", "a\"b"))
+      // leading '#' is the RFC 4514 hex-form introducer: "#0403..." in
+      // the template position is a full attacker-chosen BER value —
+      // a bind as a different effective DN
+      for (u <- Seq("a,ou=admins", "a=b", "a+b", "a;b", "a\\b", "a b",
+          "a\"b", "#040361646d", "#61"))
         assert(!auth.bind(u, "pw"), s"'$u' must be refused client-side")
       assert(srv.bindAttempts.isEmpty)
     }

@@ -771,6 +771,21 @@ class PipelineSpec extends AnyFunSuite {
     val onePlan = Compaction.plan(listed, Long.MaxValue)
     assert(onePlan.select("bin").distinct().count() === 1L,
       "a huge target must produce a single bin")
+    // a PARTITIONED layout (data in k=v subdirectories) must yield the
+    // full recursive manifest, not a silently-empty plan; metadata
+    // dirs/files (_ and . prefixed) stay excluded at any depth
+    spark.range(10000).withColumn("k", pmod(col("id"), lit(4)))
+      .repartition(4).write.partitionBy("k").parquet(s"$dir/pt")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/pt/_delta_log"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/pt/_delta_log/0.json"),
+      "{}".getBytes("UTF-8"))
+    val part = Compaction.filesOf(spark, s"$dir/pt")
+    assert(part.count() >= 4L, "partitioned data files must be listed")
+    assert(part.filter(col("file").contains("k=")).count() === part.count(),
+      "every listed file sits under a partition directory")
+    assert(part.filter(col("file").contains("_delta_log")).count() === 0L)
   }
 
   test("zorder clusterN: 3-D layout keeps disjoint ranges and prunes " +
