@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -36,7 +36,18 @@ import org.apache.spark.sql.types._
   *      no explode, linear in the snapshot.
   *
   * k structural ops ⇒ k+1 chunk merges; the common segment (k = 0..2)
-  * costs 1-3 id-keyed shuffles total regardless of namespace size.
+  * costs 1-3 id-keyed shuffles total regardless of namespace size. A
+  * MEGA-segment (a bulk re-organization: thousands of renames, e.g. a
+  * Hive-partition migration) is bounded too: empty chunks are detected
+  * up front in one O(n log k) pass ([[chunkCounts]]) and skip their
+  * merge entirely, and consecutive renames COMPOSE driver-side
+  * ([[composeRename]]) into one first-match-wins rule list flushed as a
+  * single flat-CaseWhen projection — a 1000-rename chain is ONE pass
+  * over the namespace, one plan node. Segments that interleave renames
+  * with deletes/bulk chunks flush more often; their lineage is cut by
+  * `localCheckpoint` every `spark.graft.editlog.checkpointEveryOps`
+  * (default 64) flushes, so plan depth is bounded independent of
+  * segment hygiene.
   *
   * Scope (both the engine and the sequential-replay oracle in
   * `tools/gen_editlog.py` implement exactly this): OP_ADD is
@@ -184,50 +195,95 @@ object EditLogSource {
       .select("txid", "opcode", "path", "dst", "srcs", "mtime")
       .orderBy("txid").collect()
 
+    // chunk occupancy in ONE pass: which of the k+1 inter-structural
+    // chunks actually carry bulk ops. A mega-segment (a Hive-partition
+    // migration is thousands of renames back-to-back) has almost every
+    // chunk empty — skipping its applyBulk skips two namespace-wide
+    // joins per structural op, turning the replay from O(k·|namespace|)
+    // shuffles into O(k) narrow projections + the occupied chunks.
+    val occupied: Set[Int] =
+      if (structural.isEmpty) Set(0)
+      else chunkCounts(ops, structural.map(_.getLong(0)))
+
+    // the structural replay is inherently sequential, but consecutive
+    // RENAMES need not each become a plan node: prefix rewrites compose
+    // driver-side ([[composeRename]]) into one first-match-wins rule
+    // list, flushed as a SINGLE flat CaseWhen projection only when a
+    // later op must see current paths (an occupied bulk chunk, a
+    // delete/concat, or end-of-segment). A 1000-rename mega-segment is
+    // thus ONE projection, not a 1000-deep lineage — stacking per-op
+    // projections instead lets the optimizer inline each 3-reference
+    // rename expression into the next (exponential tree, driver OOM).
+    // Flush-heavy segments (renames interleaved with deletes/bulk ops)
+    // still cut lineage every `ckptEvery` flushes.
+    val ckptEvery = snapshot.sparkSession.conf
+      .getOption("spark.graft.editlog.checkpointEveryOps")
+      .map(_.toInt).getOrElse(64)
+    require(ckptEvery > 0, "spark.graft.editlog.checkpointEveryOps must be > 0")
+
     var cur = snapshot.select(core.map(col): _*)
     var lo = Long.MinValue
+    var chunk = 0
+    var sinceCkpt = 0
+    var pending = Vector.empty[(String, String)]
+    def bump(): Unit = {
+      sinceCkpt += 1
+      if (sinceCkpt >= ckptEvery) {
+        cur = cur.localCheckpoint(eager = true)
+        sinceCkpt = 0
+      }
+    }
+    def flushRenames(): Unit = if (pending.nonEmpty) {
+      cur = cur.withColumn("path", renameExpr(pending))
+      pending = Vector.empty
+      bump()
+    }
     for (s <- structural) {
       val hi = s.getLong(0)
-      cur = applyBulk(cur, ops.where(col("txid") > lo && col("txid") < hi))
+      if (occupied(chunk)) {
+        flushRenames()
+        cur = applyBulk(cur, ops.where(col("txid") > lo && col("txid") < hi))
+        bump()
+      }
+      chunk += 1
       val src = s.getString(2)
-      cur = s.getString(1) match {
+      s.getString(1) match {
         case "OP_DELETE" =>
-          cur.where(!(col("path") === src ||
+          flushRenames()
+          cur = cur.where(!(col("path") === src ||
             col("path").startsWith(src + "/")))
+          bump()
         case "OP_CONCAT_DELETE" =>
+          flushRenames()
           // trg absorbs the sources' CURRENT sizes — state-dependent, so
-          // the sums fold in lazily via a 1-row broadcast (no eager
-          // action per concat); sources drop like a delete
+          // the sums resolve EAGERLY (two scalars over the |srcs| rows
+          // the scan prunes to) — same control-plane cost class as the
+          // structural collect itself, and the concat then stays a pure
+          // projection like rename/delete instead of a degenerate join
           val srcs = s.getSeq[String](4)
           require(srcs != null && srcs.nonEmpty,
             s"OP_CONCAT_DELETE at txid $hi carries no sources " +
               "(more than 8? extend the SOURCES schema)")
-          // the sums resolve EAGERLY (two scalars over the |srcs| rows the
-          // scan prunes to) — same control-plane cost class as the
-          // structural collect itself, and the concat then stays a pure
-          // projection like rename/delete instead of a degenerate join
           val r = cur.where(col("path").isin(srcs: _*)).agg(
             coalesce(sum("fileSize"), lit(0L)),
             coalesce(sum("numBlocks"), lit(0L))).head
           val (catBytes, catBlocks) = (r.getLong(0), r.getLong(1))
-          cur.where(!col("path").isin(srcs: _*))
+          cur = cur.where(!col("path").isin(srcs: _*))
             .withColumn("fileSize", when(col("path") === src,
               col("fileSize") + catBytes).otherwise(col("fileSize")))
             .withColumn("numBlocks", when(col("path") === src,
               col("numBlocks") + catBlocks).otherwise(col("numBlocks")))
             .withColumn("modTime", when(col("path") === src,
               lit(s.getLong(5))).otherwise(col("modTime")))
-        case _ => // rename: prefix rewrite, narrow projection
-          val dst = s.getString(3)
-          cur.withColumn("path",
-            when(col("path") === src, lit(dst))
-              .when(col("path").startsWith(src + "/"),
-                concat(lit(dst), expr(s"substring(path, ${src.length + 1})")))
-              .otherwise(col("path")))
+          bump()
+        case _ => // rename: compose into the pending rule list, no plan node
+          pending = composeRename(pending, src, s.getString(3))
       }
       lo = hi
     }
-    cur = applyBulk(cur, ops.where(col("txid") > lo))
+    flushRenames()
+    if (occupied(chunk))
+      cur = applyBulk(cur, ops.where(col("txid") > lo))
     cur
       .withColumn("name", when(col("path") === "/", lit("/"))
         .otherwise(element_at(split(col("path"), "/"), -1)))
@@ -388,6 +444,97 @@ object EditLogSource {
     * fetched namespace — one full-outer join, empty output = no drift. */
   def replayDrift(replayed: DataFrame, nextImage: DataFrame): DataFrame =
     graft.operators.SnapshotDiff.diff(replayed, nextImage)
+
+  /** Leaf cap for the [[chunkCounts]] search tree: keeps the generated
+    * expression comfortably inside codegen method limits; a larger k is
+    * handled in txid-range-pruned waves (total work stays O(n log k)). */
+  private val ChunkTreeCap = 256
+
+  /** Which inter-structural chunks contain at least one bulk
+    * (creation/patch) op — ONE aggregation pass per wave, never a
+    * per-chunk action. Chunk i is the open txid interval between sorted
+    * structural txids i-1 and i (chunk 0 before the first, chunk k after
+    * the last). The per-row chunk index is a driver-built BALANCED
+    * BINARY-SEARCH tree of nested `when`s over the bounds: O(log k)
+    * comparisons per row, codegen-friendly, no UDF, no global window —
+    * the scalable alternative to either collecting bulk txids (segment-
+    * sized) or a per-chunk `isEmpty` action (k jobs). */
+  private def chunkCounts(ops: DataFrame, bounds: Array[Long]): Set[Int] = {
+    val bulk = ops.where(col("opcode").isin((Creations ++ Patches): _*))
+      .select(col("txid"))
+    def tree(b: Array[Long], base: Int, lo: Int, hi: Int)
+        : org.apache.spark.sql.Column =
+      if (lo == hi)
+        when(col("txid") > b(lo), lit(base + lo + 1)).otherwise(lit(base + lo))
+      else {
+        val mid = (lo + hi) / 2
+        when(col("txid") > b(mid), tree(b, base, mid + 1, hi))
+          .otherwise(tree(b, base, lo, mid))
+      }
+    bounds.zipWithIndex.grouped(ChunkTreeCap).toSeq.flatMap { wave =>
+      val b = wave.map(_._1)
+      val base = wave.head._2
+      val isLast = wave.last._2 == bounds.length - 1
+      val waveLo = if (base == 0) Long.MinValue else bounds(base - 1)
+      // op txids are unique, so exclusive bounds lose nothing; a
+      // non-last wave's upper rows belong to the next wave's tree
+      val slice =
+        if (isLast) bulk.where(col("txid") > waveLo)
+        else bulk.where(col("txid") > waveLo && col("txid") < b.last)
+      slice.groupBy(tree(b, base, 0, b.length - 1).as("c")).count()
+        .collect().map(_.getInt(0))
+    }.toSet
+  }
+
+  /** Fold one rename (src→dst, applied to CURRENT paths) into an ordered
+    * first-match-wins rule list over PRE-COMPOSITION paths, so a run of k
+    * consecutive renames becomes ONE projection at flush time instead of
+    * k stacked ones. Exact by case analysis on each prior rule
+    * (sᵢ→dᵢ): a row it matched now lives at dᵢ+suffix, so
+    *  - dᵢ inside src's subtree (or equal): the whole rule's row set is
+    *    renamed again — rewrite its destination prefix;
+    *  - src strictly inside dᵢ's subtree: only the rows whose suffix
+    *    descends into src move — SPLIT off (sᵢ+tail → dst) ahead of the
+    *    rule (first match wins, deeper-prefix rule shadows correctly);
+    *  - disjoint: untouched.
+    * Rows matched by no prior rule still sit at their original path, so
+    * the plain (src→dst) appends at the END — any earlier rule that
+    * claims a row has already accounted for this rename via the cases
+    * above. List length is O(renames + splits). */
+  private[graft] def composeRename(rules: Vector[(String, String)],
+      src: String, dst: String): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    for ((si, di) <- rules) {
+      if (di == src || di.startsWith(src + "/"))
+        out += ((si, dst + di.drop(src.length)))
+      else if (src.startsWith(di + "/")) {
+        out += ((si + src.drop(di.length), dst))
+        out += ((si, di))
+      } else out += ((si, di))
+    }
+    out += ((src, dst))
+    out.result()
+  }
+
+  /** The composed rule list as ONE flat CaseWhen over `path` (chained
+    * `.when` appends branches to a single CaseWhen — expression depth
+    * stays 1 for any k, so neither analysis recursion nor optimizer
+    * inlining can blow up on a mega-segment). Per-row cost is O(rules)
+    * prefix compares — one pass over the namespace regardless of k,
+    * versus k full passes for stacked per-op projections. */
+  private def renameExpr(rules: Seq[(String, String)]): Column = {
+    require(rules.nonEmpty, "renameExpr over an empty rule list")
+    def sub(s: String, d: String): Column =
+      concat(lit(d), expr(s"substring(path, ${s.length + 1})"))
+    val (s0, d0) = rules.head
+    rules.tail.foldLeft(
+        when(col("path") === s0, lit(d0))
+          .when(col("path").startsWith(s0 + "/"), sub(s0, d0))) {
+      case (c, (s, d)) =>
+        c.when(col("path") === s, lit(d))
+          .when(col("path").startsWith(s + "/"), sub(s, d))
+    }.otherwise(col("path"))
+  }
 
   /** One chunk: latest-wins creation merge + latest-per-attribute patch
     * join. Two id-agnostic path-keyed shuffles, both linear. */

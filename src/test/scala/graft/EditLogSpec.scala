@@ -256,4 +256,110 @@ class EditLogSpec extends AnyFunSuite {
     assert(recovered.current.select("id", "path", "fileSize").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet === once)
   }
+
+  test("composeRename algebra: composed first-match rules equal " +
+      "sequential rename application on randomized chains") {
+    def seqApply(p: String, renames: Seq[(String, String)]): String =
+      renames.foldLeft(p) { case (cur, (s, d)) =>
+        if (cur == s) d
+        else if (cur.startsWith(s + "/")) d + cur.drop(s.length)
+        else cur
+      }
+    def ruleApply(p: String, rules: Seq[(String, String)]): String =
+      rules.collectFirst {
+        case (s, d) if p == s => d
+        case (s, d) if p.startsWith(s + "/") => d + p.drop(s.length)
+      }.getOrElse(p)
+    val rnd = new scala.util.Random(20260814L)
+    val segs = Vector("a", "b", "c", "x", "y")
+    def randPath(): String =
+      "/" + Seq.fill(1 + rnd.nextInt(3))(segs(rnd.nextInt(segs.size)))
+        .mkString("/")
+    for (trial <- 1 to 200) {
+      val renames = Seq.fill(1 + rnd.nextInt(8)) {
+        var (s, d) = (randPath(), randPath())
+        while (d == s || d.startsWith(s + "/")) d = randPath() // no self-nest
+        (s, d)
+      }
+      val rules = renames.foldLeft(Vector.empty[(String, String)]) {
+        case (acc, (s, d)) => EditLogSource.composeRename(acc, s, d)
+      }
+      val paths = Vector.fill(60)(randPath()) ++
+        Vector("/a", "/a/b/c/x/y", "/x/x/x", "/c/y")
+      for (p <- paths)
+        assert(ruleApply(p, rules) === seqApply(p, renames),
+          s"trial $trial path $p renames $renames rules $rules")
+    }
+    // pointed cases: destination-subtree rewrite, split, swap-back
+    val chain = Seq("/data" -> "/d1", "/d1/x" -> "/out", "/d1" -> "/d2")
+    val r = chain.foldLeft(Vector.empty[(String, String)]) {
+      case (acc, (s, d)) => EditLogSource.composeRename(acc, s, d)
+    }
+    assert(ruleApply("/data/x/f", r) === "/out/f")   // split: rode 2 renames
+    assert(ruleApply("/data/y/f", r) === "/d2/y/f")  // remainder: rode 1st+3rd
+    assert(ruleApply("/d1/q", r) === "/d2/q")        // pre-existing sibling
+    val swap = Seq("/a" -> "/b", "/b" -> "/a")
+      .foldLeft(Vector.empty[(String, String)]) {
+        case (acc, (s, d)) => EditLogSource.composeRename(acc, s, d)
+      }
+    assert(ruleApply("/a/f", swap) === "/a/f" && ruleApply("/b/f", swap) === "/a/f")
+  }
+
+  test("mega-segment: a 1000-rename bulk re-organization replays with " +
+      "bounded lineage and without per-empty-chunk merges") {
+    import spark.implicits._
+    val snap = graft.inodes.InodeView
+      .snapshot(spark, s"oivxml:${IngestQueries.XmlPath}")
+    // a Hive-partition-migration-shaped segment: /data renamed down a
+    // 1000-step chain, with ONE mkdir landing mid-chain under the
+    // directory's CURRENT name (pins chunk ordering + occupancy skip)
+    val renames = (1 to 1000).map { i =>
+      val src = if (i == 1) "/data" else s"/d${i - 1}"
+      (2L * i, "OP_RENAME", src, s"/d$i", 1700000000000L + i)
+    }
+    val mkdir = Seq((1001L, "OP_MKDIR", "/d500/newdir", "", 1700000000500L))
+    val ops = (renames ++ mkdir)
+      .toDF("txid", "opcode", "path", "dst", "mtime")
+      .withColumn("inodeId", lit(99000L))
+      .withColumn("opUser", lit("u")).withColumn("opGroup", lit("g"))
+      .withColumn("setUser", lit(null).cast("string"))
+      .withColumn("setGroup", lit(null).cast("string"))
+      .withColumn("permission", lit(755L))
+      .withColumn("replication", lit(null).cast("long"))
+      .withColumn("atime", lit(null).cast("long"))
+      .withColumn("blockSize", lit(null).cast("long"))
+      .withColumn("fileSize", lit(null).cast("long"))
+      .withColumn("numBlocks", lit(null).cast("long"))
+      .withColumn("nsQuota", lit(null).cast("long"))
+      .withColumn("dsQuota", lit(null).cast("long"))
+      .withColumn("policyId", lit(null).cast("long"))
+      .withColumn("newLength", lit(null).cast("long"))
+      .withColumn("overwrite", lit(false))
+    val t0 = System.nanoTime()
+    val out = EditLogSource.applyEdits(snap, ops)
+    // bounded lineage: the plan after the last periodic localCheckpoint
+    // carries at most the checkpoint stride of narrow projections, not
+    // the full 1000-op chain (pre-fix this tree held >1000 Projects and
+    // two joins per empty chunk)
+    val planNodes = out.queryExecution.analyzed.collect { case p => p }.size
+    assert(planNodes < 300,
+      s"lineage not bounded: $planNodes analyzed nodes")
+    val byPath = out.collect().map(r => r.getAs[String]("path") -> r).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1000-rename replay: $secs%.1f s, $planNodes analyzed plan nodes")
+    assert(secs < 240, f"replay took $secs%.1f s — not bounded")
+    // the whole /data subtree ended under /d1000, nothing left behind
+    assert(!byPath.keys.exists(p => p == "/data" || p.startsWith("/data/")))
+    assert(byPath.contains("/d1000"))
+    assert(byPath.keys.exists(_.startsWith("/d1000/raw/")))
+    assert(!byPath.keys.exists(p => p.startsWith("/d500")))
+    // the mid-chain mkdir bound to the name at ITS txid and rode the
+    // remaining 500 renames
+    val nd = byPath("/d1000/newdir")
+    assert(nd.getAs[Long]("id") === 99000L)
+    assert(!nd.getAs[Boolean]("isFile"))
+    assert(nd.getAs[String]("parent") === "/d1000")
+    // untouched subtrees untouched
+    assert(byPath.contains("/tmp"))
+  }
 }
