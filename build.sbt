@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a 222-query bench generates thousands of codegen classes; the JDK
+  // default 240m code cache fills mid-run and C2 stops compiling — late
+  // queries then run interpreted (part of the round-8 3-7x in-run
+  // median inflation)
+  "-XX:ReservedCodeCacheSize=512m",
 )

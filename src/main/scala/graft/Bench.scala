@@ -14,6 +14,15 @@ import org.apache.spark.sql.SparkSession
   * server about to steal CPU) unless SPARK_GRAFT_BENCH_FORCE=1; and
   * (c) records /proc/loadavg at start and end in the JSON so a reader can
   * tell a contended run from a clean one mechanically.
+  *
+  * SELF-contention matters as much (round-8 finding): one JVM running
+  * 222 queries × 3 degrades itself — leaked caches/localCheckpoints and
+  * dead codegen classloaders inflated late-run medians 3-7× vs a fresh
+  * JVM. Countermeasures: a hygiene pass (unpersist non-pinned RDDs +
+  * System.gc()) at every query-family boundary, and a random-K re-run
+  * drift sweep at the end that must stay ≤ SPARK_GRAFT_BENCH_DRIFT_TOL
+  * (default 1.3) for the committed artifact to be written — a
+  * contaminated record is quarantined to `<out>.contaminated`.
   */
 object Bench {
 
@@ -108,6 +117,25 @@ object Bench {
       }
     }
 
+    // IN-RUN HYGIENE (round-8 finding): 222 queries × 3 runs in one JVM
+    // degrade the box as the run proceeds — leaked query-local caches and
+    // localCheckpoints squeeze execution memory, and dead codegen
+    // classloaders pile up until GC — so late-alphabet queries measured
+    // 3-7× slower than the same binaries in a fresh JVM (judge-isolated:
+    // q5 0.81 s vs 3.99 s committed). Between query FAMILIES (name
+    // prefix) every persisted RDD not pinned at warmup is dropped and a
+    // full GC runs (which also lets the ContextCleaner reclaim shuffle
+    // files + broadcasts). Family boundary, not per query, so a query's
+    // own 3 runs still share its internal caches.
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    var hygieneSec = 0.0
+    def hygiene(): Unit = hygieneSec += secs {
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!pinned.contains(id)) rdd.unpersist(blocking = true)
+      }
+      System.gc()
+    }
+
     val failed = scala.collection.mutable.ListBuffer[String]()
     // optional args: run only queries whose name starts with one of them
     // (iteration aid; the driver passes none and gets the full suite)
@@ -118,9 +146,12 @@ object Bench {
     // contended run AND to first-run cold-cache effects. A query that
     // throws stops repeating immediately.
     val Runs = 3
+    var family = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
       .map { case (name, fn) =>
+        val fam = name.takeWhile(_ != '_')
+        if (fam != family) { hygiene(); family = fam }
         val times = scala.collection.mutable.ListBuffer[Double]()
         var i = 0
         while (i < Runs && !failed.contains(name)) {
@@ -148,31 +179,55 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, med, _, _) if !failed.contains(k) => med }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // whole-run noise sentinel: re-run the FIRST query once at the very
-    // end. Its drift vs its own earlier median measures how much the box
-    // degraded DURING the run (cache pressure, co-tenant load) — a drift
-    // ≫ 1 means late-alphabet queries ran on a slower box than early ones
-    // and round-over-round deltas below that factor are not signal.
-    val sentinelJson = results.headOption
-      .filter { case (k, _, _, _) => !failed.contains(k) }
-      .map { case (k, med, _, _) =>
-        val rerun = secs { try SparkEntry.queries(k)(spark, sfDir).count()
-                           catch { case _: Throwable => () } }
-        val drift = if (med > 0) rerun / med else 1.0
-        s"""{"query":"$k","earlier_median":$med,"rerun":$rerun,"drift":$drift}"""
-      }.getOrElse("null")
+    // whole-run noise gate (replaces the round-7 single-query sentinel,
+    // which a 222-query run defeats: one alphabetically-early query
+    // cannot see degradation that builds up over the run — round-8's
+    // committed medians were 3-7× inflated and the sentinel read 0.92).
+    // After a final hygiene pass, re-run a random K-query sample once
+    // each; the MEDIAN rerun/median drift across the sample estimates
+    // how much the in-run box state inflated the recorded medians. If it
+    // exceeds the tolerance the full record goes to a quarantine file
+    // instead of the committed artifact path — a contaminated run must
+    // never become the round's numbers.
+    hygiene()
+    val SweepK = sys.env.get("SPARK_GRAFT_BENCH_SWEEP_K").map(_.toInt).getOrElse(10)
+    val driftTol = sys.env.get("SPARK_GRAFT_BENCH_DRIFT_TOL")
+      .map(_.toDouble).getOrElse(1.3)
+    val ok = results.filter { case (k, med, _, _) =>
+      !failed.contains(k) && med > 0.02 } // sub-20ms queries are all noise
+    val rnd = new scala.util.Random()
+    val sample = rnd.shuffle(ok).take(SweepK)
+    val sweep = sample.map { case (k, med, _, _) =>
+      val rerun = secs { try SparkEntry.queries(k)(spark, sfDir).count()
+                         catch { case _: Throwable => () } }
+      (k, med, rerun, rerun / med)
+    }
+    val drifts = sweep.map(_._4).sorted
+    val medianDrift =
+      if (drifts.isEmpty) 1.0 else drifts(drifts.size / 2)
+    val contaminated = medianDrift > driftTol
+    val sweepJson = sweep.map { case (k, med, rerun, d) =>
+      s"""{"query":"$k","earlier_median":$med,"rerun":$rerun,"drift":$d}"""
+    }.mkString("[", ",", "]")
     val loadEnd = loadavg()
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"load_sec":$loadSec,"ingest_warm_sec":$ingestWarmSec,"n_queries":${results.size},"failed":$failedJson,"sentinel":$sentinelJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
-    // The FULL per-query JSON (spreads, sentinel, loadavg) is ~25 KB at
-    // 217 queries — far past the driver's 2000-char stdout tail capture,
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"load_sec":$loadSec,"ingest_warm_sec":$ingestWarmSec,"hygiene_sec":$hygieneSec,"n_queries":${results.size},"failed":$failedJson,"drift_sweep":$sweepJson,"median_drift":$medianDrift,"drift_tolerance":$driftTol,"contaminated":$contaminated,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
+    // The FULL per-query JSON (spreads, sweep, loadavg) is ~25 KB at
+    // 222 queries — far past the driver's 2000-char stdout tail capture,
     // which was truncating the head (metric/value/most queries) every
     // round. Write the complete record to a stable file (the committed
     // per-round artifact) and print a SHORT summary line that fits the
     // tail whole: driver contract fields plus the 22 TPC-H headline
     // medians. A partial dev run (name-filter args) writes to /tmp so it
     // never clobbers the committed artifact.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+    val artifactPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isEmpty) "bench_out.json" else "/tmp/bench_out_partial.json")
+    val outPath =
+      if (contaminated) artifactPath + ".contaminated" else artifactPath
+    if (contaminated)
+      System.err.println(f"[bench] CONTAMINATED RUN: median re-run drift " +
+        f"$medianDrift%.2f exceeds $driftTol%.2f — medians recorded on a " +
+        s"degraded box; full record quarantined at $outPath, " +
+        s"$artifactPath NOT written")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val headline = results
@@ -181,7 +236,7 @@ object Bench {
         val sign = if (failed.contains(k)) -1 else 1
         "\"" + k + "\":" + sign * med
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"load_sec":$loadSec,"n_queries":${results.size},"n_failed":${failed.size},"full":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"load_sec":$loadSec,"n_queries":${results.size},"n_failed":${failed.size},"median_drift":$medianDrift,"contaminated":$contaminated,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
     lock.release()
     lockChannel.close()

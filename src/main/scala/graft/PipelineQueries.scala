@@ -955,11 +955,15 @@ object PipelineQueries {
         .withColumn("t_end", col("t_start") + lit(3L * dayNs))
       val uw = ev.groupBy(col("user_id")).agg(min(col("ts")).as("u_start"))
         .withColumn("u_end", col("u_start") + lit(dayNs))
-      tw.join(uw,
-          col("t_start") <= col("u_end") && col("u_start") <= col("t_end"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_overlapping_users"),
-          expr("bit_xor(user_id)").as("user_xor"))
+      // route through the SQL door's width tuner — the DataFrame door
+      // otherwise optimizes with the rule's static default width, and
+      // the bench then measures the fan-out-capped fallback shape
+      engine.SqlShim.tuneRangeJoinWidth(s,
+        tw.join(uw,
+            col("t_start") <= col("u_end") && col("u_start") <= col("t_end"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_overlapping_users"),
+            expr("bit_xor(user_id)").as("user_xor")))
     }),
 
     // range (point-in-interval) join: every event landing inside each
@@ -996,11 +1000,13 @@ object PipelineQueries {
       val iv = ev.groupBy(col("event_type").as("itype"))
         .agg(min(col("ts")).as("w_start"))
         .withColumn("w_end", col("w_start") + lit(3L * dayNs))
-      ev.select(col("ts"), col("event_id"))
-        .join(iv, col("ts") >= col("w_start") && col("ts") <= col("w_end"))
-        .groupBy(col("itype").as("event_type"))
-        .agg(count(lit(1)).as("n_in_window"),
-          expr("bit_xor(event_id)").as("event_xor"))
+      // tuned width via the SQL door's tuner (see events_overlap_join_rule)
+      engine.SqlShim.tuneRangeJoinWidth(s,
+        ev.select(col("ts"), col("event_id"))
+          .join(iv, col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+          .groupBy(col("itype").as("event_type"))
+          .agg(count(lit(1)).as("n_in_window"),
+            expr("bit_xor(event_id)").as("event_xor")))
     }),
 
     // hourly histogram per event type (ns-timestamp handling)

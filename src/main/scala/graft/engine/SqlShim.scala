@@ -109,7 +109,7 @@ object SqlShim {
     * tuner-temporary value for a user-pinned one nor bake a foreign
     * width into its own plan. An explicitly-configured width wins — the
     * tuner only fills the default. */
-  private[engine] def tuneRangeJoinWidth(spark: SparkSession,
+  private[graft] def tuneRangeJoinWidth(spark: SparkSession,
                                          df: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{ofRows, toColumn}
     import org.apache.spark.sql.catalyst.expressions.Subtract
@@ -141,10 +141,17 @@ object SqlShim {
         count(lit(1))).head
       val w = if (r.isNullAt(0) || r.getLong(1) == 0L) 1L
               else math.max(1L, r.getLong(0))
+      // memoized optimizedPlan is NOT enough: every later action
+      // (.count(), .write) builds a NEW QueryExecution over the LOGICAL
+      // plan and re-optimizes on whatever thread runs it — without the
+      // override, with the default width (round-8 bench measured exactly
+      // that shape). Baking the tuned rewrite in structurally — the
+      // returned frame is ROOTED at the tuned optimized plan — survives
+      // any downstream action; re-optimization of an already-rewritten
+      // plan is a no-op for the rule (rewritten joins carry its skip tag).
       RangeJoinRewrite.tunerWidth.set(Some(w))
-      try { df.queryExecution.optimizedPlan; () }
+      try ofRows(spark, df.queryExecution.optimizedPlan)
       finally RangeJoinRewrite.tunerWidth.set(None)
-    }
-    df
+    } else df
   }
 }
