@@ -87,6 +87,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the generated-class cache holds 100 entries by default — a
+      // 222-query registry cycles it several times over, so every
+      // query's THIRD run (and the drift sweep's re-runs) would pay
+      // janino recompilation again, reading as phantom drift
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -198,8 +203,14 @@ object Bench {
     val rnd = new scala.util.Random()
     val sample = rnd.shuffle(ok).take(SweepK)
     val sweep = sample.map { case (k, med, _, _) =>
-      val rerun = secs { try SparkEntry.queries(k)(spark, sfDir).count()
-                         catch { case _: Throwable => () } }
+      // two re-runs, keep the better: the recorded median was effectively
+      // a WARM number (median of 3), so a single re-run would compare a
+      // cold plan (codegen + AQE re-plan) against a warm median and read
+      // ~1.5x phantom drift on sub-second queries
+      def one(): Double =
+        secs { try SparkEntry.queries(k)(spark, sfDir).count()
+               catch { case _: Throwable => () } }
+      val rerun = math.min(one(), one())
       (k, med, rerun, rerun / med)
     }
     val drifts = sweep.map(_._4).sorted

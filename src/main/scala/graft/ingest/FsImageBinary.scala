@@ -66,50 +66,82 @@ object FsImageBinary {
   def readSummary(path: String): Summary = {
     val raf = new RandomAccessFile(path, "r")
     try {
+      val fileLen = raf.length()
+      // fail-loud floor: magic + at least a 1-byte summary + its 4-byte
+      // length trailer. A truncated copy (the common corruption: an
+      // interrupted transfer chops the TAIL, where the summary lives)
+      // must be a diagnosis, not an index-out-of-bounds five calls later.
+      require(fileLen >= Magic.length + 1 + 4,
+        s"$path: truncated fsimage — $fileLen bytes is too short to " +
+          "carry the HDFSIMG1 magic plus a FileSummary trailer")
       val magic = new Array[Byte](Magic.length)
       raf.readFully(magic)
       require(java.util.Arrays.equals(magic, Magic),
         s"$path: not an fsimage (bad magic)")
-      val fileLen = raf.length()
       raf.seek(fileLen - 4)
       val summaryLen = raf.readInt()
+      require(summaryLen > 0 && summaryLen <= fileLen - 4 - Magic.length,
+        s"$path: corrupt or truncated fsimage — FileSummary length " +
+          s"$summaryLen does not fit a $fileLen-byte file (tail " +
+          "overwritten or chopped?)")
       raf.seek(fileLen - 4 - summaryLen)
       val bytes = new Array[Byte](summaryLen)
       raf.readFully(bytes)
-      val in = CodedInputStream.newInstance(bytes)
-      val msgLen = in.readRawVarint32() // writeDelimitedTo prefix
-      val lim = in.pushLimit(msgLen)
-      var (ondisk, layout) = (0, 0)
-      var codec: Option[String] = None
-      val sections = Seq.newBuilder[Section]
-      var tag = in.readTag()
-      while (tag != 0) {
-        tag >> 3 match {
-          case 1 => ondisk = in.readUInt32()
-          case 2 => layout = in.readUInt32()
-          case 3 => codec = Some(in.readString())
-          case 4 =>
-            val sLen = in.readRawVarint32()
-            val sLim = in.pushLimit(sLen)
-            var (nm, off, len) = ("", 0L, 0L)
-            var sTag = in.readTag()
-            while (sTag != 0) {
-              sTag >> 3 match {
-                case 1 => nm = in.readString()
-                case 2 => len = in.readUInt64()
-                case 3 => off = in.readUInt64()
-                case _ => in.skipField(sTag)
+      val summary = try {
+        val in = CodedInputStream.newInstance(bytes)
+        val msgLen = in.readRawVarint32() // writeDelimitedTo prefix
+        val lim = in.pushLimit(msgLen)
+        var (ondisk, layout) = (0, 0)
+        var codec: Option[String] = None
+        val sections = Seq.newBuilder[Section]
+        var tag = in.readTag()
+        while (tag != 0) {
+          tag >> 3 match {
+            case 1 => ondisk = in.readUInt32()
+            case 2 => layout = in.readUInt32()
+            case 3 => codec = Some(in.readString())
+            case 4 =>
+              val sLen = in.readRawVarint32()
+              val sLim = in.pushLimit(sLen)
+              var (nm, off, len) = ("", 0L, 0L)
+              var sTag = in.readTag()
+              while (sTag != 0) {
+                sTag >> 3 match {
+                  case 1 => nm = in.readString()
+                  case 2 => len = in.readUInt64()
+                  case 3 => off = in.readUInt64()
+                  case _ => in.skipField(sTag)
+                }
+                sTag = in.readTag()
               }
-              sTag = in.readTag()
-            }
-            in.popLimit(sLim)
-            sections += Section(nm, off, len)
-          case _ => in.skipField(tag)
+              in.popLimit(sLim)
+              sections += Section(nm, off, len)
+            case _ => in.skipField(tag)
+          }
+          tag = in.readTag()
         }
-        tag = in.readTag()
+        in.popLimit(lim)
+        Summary(ondisk, layout, codec, sections.result())
+      } catch {
+        case e: java.io.IOException => // shaded InvalidProtocolBuffer too
+          throw new IllegalArgumentException(
+            s"$path: corrupt FileSummary — the trailer parses as garbage " +
+              s"(truncated or overwritten image?): ${e.getMessage}", e)
       }
-      in.popLimit(lim)
-      Summary(ondisk, layout, codec, sections.result())
+      // the section index must describe THIS file: every section fully
+      // inside [magic, summaryStart). An entry pointing past either edge
+      // means the summary and the data disagree — decoding would read
+      // the summary bytes (or EOF) as section content.
+      val summaryStart = fileLen - 4 - summaryLen
+      summary.sections.foreach { s =>
+        require(s.offset >= Magic.length && s.length >= 0 &&
+            s.offset + s.length <= summaryStart,
+          s"$path: section ${s.name} [offset=${s.offset}, " +
+            s"length=${s.length}] extends outside the data region " +
+            s"[${Magic.length}, $summaryStart) — summary/section " +
+            "disagreement (corrupt section length?)")
+      }
+      summary
     } finally raf.close()
   }
 
@@ -142,27 +174,50 @@ object FsImageBinary {
       in.popLimit(hLim)
       val stubs = Seq.newBuilder[InodeStub]
       var i = 0L
-      while (i < numInodes) {
-        val mLen = in.readRawVarint32()
-        val mLim = in.pushLimit(mLen)
-        var (tpe, id, nm) = (0, 0L, "")
-        var tag = in.readTag()
-        while (tag != 0) {
-          tag >> 3 match {
-            case 1 => tpe = in.readEnum()
-            case 2 => id = in.readUInt64()
-            case 3 => nm = new String(in.readBytes().toByteArray, "UTF-8")
-            case _ => in.skipField(tag)
+      try {
+        while (i < numInodes) {
+          val mLen = in.readRawVarint32()
+          val mLim = in.pushLimit(mLen)
+          var (tpe, id, nm) = (0, 0L, "")
+          var tag = in.readTag()
+          while (tag != 0) {
+            tag >> 3 match {
+              case 1 => tpe = in.readEnum()
+              case 2 => id = in.readUInt64()
+              case 3 => nm = new String(in.readBytes().toByteArray, "UTF-8")
+              case _ => in.skipField(tag)
+            }
+            tag = in.readTag()
           }
-          tag = in.readTag()
+          in.popLimit(mLim)
+          stubs += InodeStub(id, nm, isFile = tpe == 1)
+          i += 1
         }
-        in.popLimit(mLim)
-        stubs += InodeStub(id, nm, isFile = tpe == 1)
-        i += 1
+      } catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(decodeFailMsg(path, i, numInodes, e), e)
       }
+      requireSectionDrained(in, path, numInodes)
       (numInodes, stubs.result())
     } finally raf.close()
   }
+
+  /** Diagnosis for a decode that died mid-section: names the section, the
+    * progress, and the likely cause — never a bare protobuf EOF. */
+  private def decodeFailMsg(path: String, done: Long, total: Long,
+                            e: Throwable): String =
+    s"$path: INODE section decode failed after $done of $total declared " +
+      s"inodes — corrupt section length, truncated image, or a " +
+      s"summary/section disagreement: ${e.getMessage}"
+
+  /** The dual failure mode of a wrong `numInodes`: fewer declared than
+    * serialized would SILENTLY drop the tail of the namespace — the one
+    * outcome worse than an error. The section must be fully consumed. */
+  private def requireSectionDrained(in: CodedInputStream, path: String,
+                                    numInodes: Long): Unit =
+    require(in.isAtEnd,
+      s"$path: INODE section carries serialized inodes beyond the " +
+        s"declared numInodes=$numInodes — summary/section disagreement; " +
+        "refusing to return a silently-partial namespace")
 
   // ---------------------------------------------------------------------
   // FULL decode — the binary image as a real front door. Still sequential
@@ -336,6 +391,7 @@ object FsImageBinary {
       in.popLimit(hLim)
       val out = Seq.newBuilder[InodeFull]
       var i = 0L
+      try {
       while (i < numInodes) {
         val mLen = in.readRawVarint32()
         val mLim = in.pushLimit(mLen)
@@ -414,6 +470,10 @@ object FsImageBinary {
             isUC, hasAcl, hasEc, ecPid)
         i += 1
       }
+      } catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(decodeFailMsg(path, i, numInodes, e), e)
+      }
+      requireSectionDrained(in, path, numInodes)
       out.result()
     } finally raf.close()
   }

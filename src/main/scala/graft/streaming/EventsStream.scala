@@ -247,7 +247,11 @@ object EventsStream {
     * ts, matching the batch operator — and across batches the state
     * carries the running latest ref. EXACT for per-key event-time-ordered
     * arrival (the Kafka-partitioned-by-key case); a ref arriving after a
-    * later-ts point was already emitted does not retro-correct it.
+    * later-ts point was already emitted does not retro-correct it — and
+    * being a running MAX, a late ref older than the state's latest never
+    * regresses it either; a key whose only ref is the late one picks it
+    * up from the next point on. Both halves are spec-pinned
+    * (`StreamingSpec`, "streaming as-of late-ref contract").
     * Output: (event_id, user_id, ts, asof_ref_ts) with −1 = no ref yet. */
   def asofStream(spark: SparkSession, points: DataFrame,
                  refs: DataFrame): DataFrame = {

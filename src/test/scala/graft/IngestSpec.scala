@@ -318,4 +318,139 @@ class IngestSpec extends AnyFunSuite {
     // DIRECTORY with the empty name is the root — orphans drop out
     assert(!got.contains(99L), "orphans (unreachable from root) are excluded")
   }
+
+  // -------------------------------------------------------------------
+  // Negative binary-decode cases: the genuine loader
+  // (FSImageFormatProtobuf) fails loudly on a damaged image; each class
+  // of damage must be a diagnosable error here too, never a partial
+  // namespace. The images are hand-built varint-by-varint so each test
+  // controls exactly one defect.
+  // -------------------------------------------------------------------
+
+  /** Minimal fsimage builder: magic + one INODE section + FileSummary
+    * trailer. `declaredNumInodes` and `sectionLenAdjust` let a test
+    * plant a specific disagreement. */
+  private def buildBinImage(inodes: Seq[(Long, String, Boolean)],
+                            declaredNumInodes: Long,
+                            sectionLenAdjust: Int = 0,
+                            codec: Option[String] = None): Array[Byte] = {
+    import java.io.ByteArrayOutputStream
+    def vint(o: ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { o.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      o.write(v.toInt)
+    }
+    def key(o: ByteArrayOutputStream, field: Int, wire: Int): Unit =
+      vint(o, (field << 3) | wire)
+    def msg(build: ByteArrayOutputStream => Unit): Array[Byte] = {
+      val b = new ByteArrayOutputStream(); build(b); b.toByteArray
+    }
+    def delim(o: ByteArrayOutputStream, bytes: Array[Byte]): Unit = {
+      vint(o, bytes.length); o.write(bytes)
+    }
+    val header = msg { h => key(h, 2, 0); vint(h, declaredNumInodes) }
+    val section = msg { s =>
+      delim(s, header)
+      inodes.foreach { case (id, name, isFile) =>
+        delim(s, msg { m =>
+          key(m, 1, 0); vint(m, if (isFile) 1 else 2)
+          key(m, 2, 0); vint(m, id)
+          key(m, 3, 2); delim(m, name.getBytes("UTF-8"))
+        })
+      }
+    }
+    val magic = graft.ingest.FsImageBinary.Magic
+    val sectionEntry = msg { se =>
+      key(se, 1, 2); delim(se, "INODE".getBytes("UTF-8"))
+      key(se, 2, 0); vint(se, section.length + sectionLenAdjust)
+      key(se, 3, 0); vint(se, magic.length)
+    }
+    val summaryMsg = msg { sm =>
+      key(sm, 1, 0); vint(sm, 1)          // ondiskVersion
+      key(sm, 2, 0); vint(sm, 100)        // layoutVersion
+      codec.foreach { c => key(sm, 3, 2); delim(sm, c.getBytes("UTF-8")) }
+      key(sm, 4, 2); delim(sm, sectionEntry)
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(magic); out.write(section)
+    val delimited = msg { d => delim(d, summaryMsg) } // writeDelimitedTo
+    out.write(delimited)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(delimited.length).array())
+    out.toByteArray
+  }
+
+  private def writeTmp(bytes: Array[Byte]): String = {
+    val f = java.nio.file.Files.createTempFile("fsimage_neg", ".bin")
+    java.nio.file.Files.write(f, bytes)
+    f.toString
+  }
+
+  test("negative decode: a truncated image fails with a diagnosis, " +
+      "not a partial namespace") {
+    val whole = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(IngestQueries.BinPath))
+    // tail chopped (the summary lives there — the common torn-transfer shape)
+    val t60 = writeTmp(whole.take((whole.length * 6) / 10))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ingest.FsImageBinary.readSummary(t60)
+    }
+    assert(e1.getMessage.toLowerCase.matches(".*(truncat|corrupt).*"),
+      e1.getMessage)
+    // shorter than magic + trailer floor
+    val tTiny = writeTmp(whole.take(9))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ingest.FsImageBinary.readSummary(tTiny)
+    }
+    assert(e2.getMessage.contains("too short"), e2.getMessage)
+  }
+
+  test("negative decode: corrupt section lengths fail loudly both ways") {
+    val base = Seq((16385L, "a", true), (16386L, "bb", true),
+      (16387L, "ccc", false))
+    // declared length SHORT: decode EOFs mid-inode with progress context
+    val short = writeTmp(buildBinImage(base, 3, sectionLenAdjust = -4))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ingest.FsImageBinary.readInodes(short)
+    }
+    assert(e1.getMessage.contains("decode failed after"), e1.getMessage)
+    // declared length LONG: the section index no longer fits the file —
+    // readSummary itself refuses
+    val long = writeTmp(buildBinImage(base, 3, sectionLenAdjust = +64))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ingest.FsImageBinary.readSummary(long)
+    }
+    assert(e2.getMessage.contains("extends outside"), e2.getMessage)
+  }
+
+  test("negative decode: summary/section numInodes disagreement fails " +
+      "in both directions") {
+    val base = Seq((16385L, "a", true), (16386L, "bb", true),
+      (16387L, "ccc", false))
+    // fewer declared than serialized — the silent-partial hazard
+    val under = writeTmp(buildBinImage(base, declaredNumInodes = 2))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ingest.FsImageBinary.readInodes(under)
+    }
+    assert(e1.getMessage.contains("beyond the declared numInodes"),
+      e1.getMessage)
+    // more declared than serialized — EOF with progress context
+    val over = writeTmp(buildBinImage(base, declaredNumInodes = 5))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ingest.FsImageBinary.readInodes(over)
+    }
+    assert(e2.getMessage.contains("after 3 of 5"), e2.getMessage)
+  }
+
+  test("negative decode: an unknown codec refuses to mis-decode") {
+    val img = buildBinImage(Seq((16385L, "a", true)), 1,
+      codec = Some("com.hadoop.compression.lzo.LzoCodec"))
+    val p = writeTmp(img)
+    // the summary itself is never compressed — it must still parse
+    val s = graft.ingest.FsImageBinary.readSummary(p)
+    assert(s.codec.exists(_.contains("Lzo")))
+    val e = intercept[IllegalArgumentException] {
+      graft.ingest.FsImageBinary.readInodes(p)
+    }
+    assert(e.getMessage.contains("unsupported fsimage codec"), e.getMessage)
+  }
 }

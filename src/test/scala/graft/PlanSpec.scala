@@ -28,10 +28,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"))
   }
 
-  test("q3_top_orders: dims broadcast; top-k is TakeOrdered, not global sort") {
+  // Joins on unhinted SF-linear sides: the STRATEGY (broadcast vs
+  // shuffled hash vs sort-merge) is AQE's runtime size decision, not an
+  // engine property — pinning "BroadcastHashJoin" on one breaks at any
+  // fixture past the 10 MB threshold with zero engine change (round-8
+  // verdict). The engine invariants are: the join stays in the EQUI
+  // family (never nested-loop/cartesian), and no ResolvedHint pins an
+  // SF-linear frame (the broadcast-hygiene sweep below).
+  private def equiJoins(plan: String): Int =
+    "(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)".r
+      .findAllIn(plan).size
+
+  test("q3_top_orders: equi joins only; top-k is TakeOrdered, not global sort") {
     val plan = formatted("q3_top_orders")
-    assert(plan.contains("BroadcastHashJoin"))
-    assert(!plan.contains("SortMergeJoin"))
+    assert(equiJoins(plan) >= 2,
+      s"customer+lineitem must ride equi joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), s"no nested loop:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
@@ -350,15 +363,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected BOTH sides' bucket explodes:\n$plan")
   }
 
-  test("q2: correlated min decorrelates to one aggregate + broadcast joins") {
+  test("q2: correlated min decorrelates to one aggregate + equi joins") {
     val plan = formatted("q2_min_cost_supplier")
-    // the per-part min is ONE aggregate joined back broadcast — a plan
-    // that re-correlated (per-row subquery, cartesian, or nested loop)
-    // dies at real part cardinality
+    // the per-part min is ONE aggregate joined back on (part, cost) — a
+    // plan that re-correlated (per-row subquery, cartesian, or nested
+    // loop) dies at real part cardinality; every side is unhinted and
+    // SF-linear, so the STRATEGY per join is AQE's
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"), s"no re-correlation:\n$plan")
-    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size >= 3,
-      s"dims and the min side must broadcast:\n$plan")
+    assert(equiJoins(plan) >= 4,
+      s"dim chain + min join-back must all be equi joins:\n$plan")
     assert(plan.contains("PushedFilters: [IsNotNull(p_size), EqualTo(p_size,15)"),
       s"part filter must reach the scan:\n$plan")
   }
@@ -393,13 +407,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q8: region membership is a semi join; both nation dims broadcast") {
+  test("q8: region membership is a semi join; all joins stay equi") {
     val plan = formatted("q8_market_share")
     assert(plan.contains("LeftSemi"),
       s"region customers must gate as a semi join:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"the supplier-nation dim must broadcast:\n$plan")
-    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(equiJoins(plan) >= 2,
+      s"orders + supplier-nation must ride equi joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"no cartesian:\n$plan")
   }
 
   test("q11/q20: scalar HAVING rides a 1-row broadcast; chain stays semi joins") {
@@ -431,18 +446,18 @@ class PlanSpec extends AnyFunSuite {
       s"no global sort to find the max:\n$plan")
   }
 
-  test("q17: correlated per-part avg is ONE aggregate, broadcast back") {
+  test("q17: correlated per-part avg is ONE aggregate, joined back equi") {
     val plan = formatted("q17_small_quantity")
-    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size >= 2,
-      s"brand dim and the per-part stats must broadcast:\n$plan")
+    assert(equiJoins(plan) >= 2,
+      s"brand dim and the per-part stats must join equi:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"),
       s"the avg subquery must not re-correlate:\n$plan")
   }
 
-  test("q19: the disjunctive predicate rides ONE hash join as residual") {
+  test("q19: the disjunctive predicate rides ONE equi join as residual") {
     val plan = formatted("q19_disjunctive")
-    assert(plan.contains("BroadcastHashJoin"),
+    assert(equiJoins(plan) >= 1,
       s"the equi key must keep the OR out of nested-loop land:\n$plan")
     assert(!plan.contains("BroadcastNestedLoop") &&
       !plan.contains("CartesianProduct"), s"no nested loop:\n$plan")
@@ -463,9 +478,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Deduplicate"), s"no dedup after the semi:\n$plan")
   }
 
-  test("q10: customer dim broadcasts; top-20 is TakeOrdered") {
+  test("q10: equi joins only; top-20 is TakeOrdered") {
     val plan = formatted("q10_returned_customers")
-    assert(plan.contains("BroadcastHashJoin"))
+    assert(equiJoins(plan) >= 2,
+      s"orders+customer must ride equi joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), s"no nested loop:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-20 must short-circuit, not globally sort:\n$plan")
   }

@@ -425,6 +425,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotR === wantR, "streaming as-of diverged from the batch join")
   }
 
+  test("streaming as-of late-ref contract: an already-emitted point is " +
+      "not retro-corrected; the next point picks the late ref up") {
+    // pins the documented contract at EventsStream.asofStream ("a ref
+    // arriving after a later-ts point was already emitted does not
+    // retro-correct it"): batch 2 delivers refs with ts OLDER than
+    // points batch 1 already emitted.
+    import spark.implicits._
+    val m = 60L * 1000 * 1000000
+    val root = java.nio.file.Files.createTempDirectory("asoflate").toString
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    def writeBatch(idx: Int, rows: Seq[(Long, Long, Boolean, Long)]): Unit = {
+      val stage = s"$root/stage$idx"
+      rows.toDF("user_id", "ts", "isPoint", "event_id")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, f"b$idx%02d.parquet").toPath)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("isPoint",
+        org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType)))
+    // batch 1: u1 has a ref at 5m and a point at 6m (emitted with 5m);
+    // u3 has a point at 4m with no ref (emitted with -1)
+    writeBatch(1, Seq((1L, 5 * m, false, -1L), (1L, 6 * m, true, 10L),
+      (3L, 4 * m, true, 30L)))
+    val stream = spark.readStream.schema(schema).parquet(in.toString)
+    val q = EventsStream.asofStream(spark,
+        stream.where(col("isPoint")),
+        stream.where(!col("isPoint")).drop("event_id"))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("asof_late").start()
+    q.processAllAvailable()
+    val afterB1 = spark.table("asof_late").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(afterB1.toSet === Set((10L, 6 * m, 5 * m), (30L, 4 * m, -1L)))
+    // batch 2: LATE refs only — u1's at 3m (older than the emitted 6m
+    // point AND older than its current state 5m), u3's at 2m (older
+    // than its emitted 4m point, but its first ref ever)
+    writeBatch(2, Seq((1L, 3 * m, false, -1L), (3L, 2 * m, false, -1L)))
+    q.processAllAvailable()
+    // half 1 of the contract: nothing re-emitted, nothing rewritten —
+    // the sink still holds exactly the two batch-1 rows, unchanged
+    val afterB2 = spark.table("asof_late").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(afterB2.toSet === Set((10L, 6 * m, 5 * m), (30L, 4 * m, -1L)),
+      s"late refs must not retro-correct emitted points: ${afterB2.toSeq}")
+    // batch 3: new points — u1's must still see 5m (the late 3m ref
+    // never regresses the running max), u3's picks up the late 2m ref
+    writeBatch(3, Seq((1L, 9 * m, true, 11L), (3L, 9 * m, true, 31L)))
+    q.processAllAvailable()
+    q.stop()
+    val byId = spark.table("asof_late").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId(11L) === 5 * m,
+      "a late ref older than the state's latest must not regress it")
+    assert(byId(31L) === 2 * m,
+      "a key with no newer ref must pick the late ref up")
+    assert(byId.size === 4, s"exactly one row per point: $byId")
+  }
+
   test("stream-stream interval join equals the batch join pair-for-pair") {
     val streamed = EventsStream.runToMemory(spark,
       EventsStream.purchaseErrorJoin(EventsStream.readStream(spark, dir)),
