@@ -931,6 +931,121 @@ object ScaleBench {
       // that CPU delta visible next to morton's straight-line masks
       tm(s"layout_hilbert_cluster_$tag") { layoutForce("hilbert") }
     }
+
+    // ---- TPC-H cross-scale: the heavy five at 1× vs 10× --------------
+    // With the forced broadcasts gone (round-8 hygiene sweep), join
+    // strategy on the SF-linear sides is AQE's runtime decision — this
+    // stage pins that the decision stays SCALE-CORRECT: shuffle records
+    // grow ~10× (data-linear, no quadratic blowup), bytes/record stays
+    // flat (no build side starts shipping payloads), and no plan falls
+    // off a strategy cliff. The tables are synthesized with the driver
+    // fixtures' schemas and value domains (sf0.1 row counts at 1×) and
+    // run through the EXACT registry queries, so the measured plans are
+    // the production ones. Filter: `runMain graft.ScaleBench 0 0 tpch`.
+    val tpchHeavy = Seq("q5_nation_revenue", "q7_nation_trade",
+      "q9_profit_by_nation", "q17_small_quantity", "q21_waiting_supplier")
+    val tpchScales = Seq(1 -> "x1", 10 -> "x10")
+    if (tpchScales.exists { case (_, tag) =>
+        tpchHeavy.exists(q => only(s"tpch_${q}_$tag")) }) {
+      def h(c: org.apache.spark.sql.Column, salt: Int) =
+        xxhash64(c, lit(salt))
+      def pick(c: org.apache.spark.sql.Column, vals: Seq[String]) =
+        element_at(array(vals.map(lit): _*),
+          pmod(h(c, vals.length * 131), lit(vals.length.toLong)).cast("int") + 1)
+      // o_orderdate as a FUNCTION of the order key so lineitem can
+      // re-derive it without a join: ship = order + [0,120) days ⇒ ~half
+      // the lines are >60 days late, matching the driver fixture
+      def odateOf(k: org.apache.spark.sql.Column) =
+        lit("1995-01-01 00:00:00").cast("timestamp_ntz") +
+          make_dt_interval(pmod(h(k, 997), lit(2000L)).cast("int"))
+      def synth(scale: Int, tag: String): String = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"tpch_$tag").toString
+        val nCust = 15000L * scale; val nSupp = 1000L * scale
+        val nPart = 20000L * scale; val nOrd = 150000L * scale
+        spark.range(25).select(col("id").cast("int").as("n_nationkey"),
+            concat(lit("NATION_"), col("id")).as("n_name"),
+            pmod(col("id"), lit(5L)).cast("int").as("n_regionkey"))
+          .coalesce(1).write.parquet(s"$root/nation.parquet")
+        spark.range(5).select(col("id").cast("int").as("r_regionkey"),
+            element_at(array(Seq("AFRICA", "AMERICA", "ASIA", "EUROPE",
+              "MIDDLE EAST").map(lit): _*), col("id").cast("int") + 1)
+              .as("r_name"))
+          .coalesce(1).write.parquet(s"$root/region.parquet")
+        spark.range(nCust).select(col("id").as("c_custkey"),
+            concat(lit("Customer#"), col("id")).as("c_name"),
+            pmod(h(col("id"), 1), lit(25L)).cast("int").as("c_nationkey"),
+            (pmod(h(col("id"), 2), lit(1000000L)) / 100.0 - 1000.0)
+              .as("c_acctbal"),
+            pick(col("id"), Seq("AUTOMOBILE", "FURNITURE", "HOUSEHOLD",
+              "BUILDING", "MACHINERY")).as("c_mktsegment"))
+          .write.parquet(s"$root/customer.parquet")
+        spark.range(nSupp).select(col("id").as("s_suppkey"),
+            concat(lit("Supplier#"), col("id")).as("s_name"),
+            pmod(h(col("id"), 4), lit(25L)).cast("int").as("s_nationkey"),
+            (pmod(h(col("id"), 5), lit(1000000L)) / 100.0 - 1000.0)
+              .as("s_acctbal"))
+          .write.parquet(s"$root/supplier.parquet")
+        spark.range(nPart).select(col("id").as("p_partkey"),
+            concat(pick(col("id"), Seq("red", "large", "hot", "blue",
+              "old", "cold", "dim", "fresh")), lit(" "),
+              pick(h(col("id"), 6), Seq("bolt", "ring", "plate", "cap",
+                "tube"))).as("p_name"),
+            concat(lit("Brand#"), pmod(h(col("id"), 8), lit(25L)) + 1)
+              .as("p_brand"),
+            concat(lit("TYPE_"), pmod(h(col("id"), 9), lit(10L)))
+              .as("p_type"),
+            (pmod(h(col("id"), 10), lit(50L)).cast("int") + 1).as("p_size"),
+            (pmod(h(col("id"), 11), lit(100000L)) / 100.0)
+              .as("p_retailprice"))
+          .write.parquet(s"$root/part.parquet")
+        spark.range(nOrd).select(col("id").as("o_orderkey"),
+            pmod(h(col("id"), 12), lit(nCust)).as("o_custkey"),
+            pick(col("id"), Seq("F", "O", "P")).as("o_orderstatus"),
+            (pmod(h(col("id"), 14), lit(10000000L)) / 100.0)
+              .as("o_totalprice"),
+            odateOf(col("id")).as("o_orderdate"),
+            pick(h(col("id"), 15), Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+              "4-NOT SPECIFIED", "5-LOW")).as("o_orderpriority"))
+          .write.parquet(s"$root/orders.parquet")
+        spark.range(nOrd * 4).select(expr("id div 4").as("l_orderkey"),
+            pmod(h(col("id"), 16), lit(nPart)).as("l_partkey"),
+            pmod(h(col("id"), 17), lit(nSupp)).as("l_suppkey"),
+            (pmod(col("id"), lit(4L)).cast("int") + 1).as("l_linenumber"),
+            (pmod(h(col("id"), 18), lit(50L)) + 1).cast("double")
+              .as("l_quantity"),
+            (pmod(h(col("id"), 19), lit(10000000L)) / 100.0)
+              .as("l_extendedprice"),
+            (pmod(h(col("id"), 20), lit(11L)) / 100.0).as("l_discount"),
+            (pmod(h(col("id"), 21), lit(9L)) / 100.0).as("l_tax"),
+            pick(col("id"), Seq("R", "N", "A")).as("l_returnflag"),
+            pick(h(col("id"), 23), Seq("O", "F")).as("l_linestatus"),
+            (odateOf(expr("id div 4")) +
+              make_dt_interval(pmod(h(col("id"), 24), lit(120L))
+                .cast("int"))).as("l_shipdate"))
+          .write.parquet(s"$root/lineitem.parquet")
+        root
+      }
+      for ((scale, tag) <- tpchScales) {
+        val dir = synth(scale, tag)
+        tpchHeavy.foreach { q =>
+          tm(s"tpch_${q}_$tag") {
+            // collect (small result sets: ≤10k rows) so the df's OWN
+            // execution finalizes its adaptive plan, then count join
+            // strategies in the final plan — the broadcast→shuffle
+            // shift across scales is the evidence, printed inline
+            val df = SparkEntry.queries(q)(spark, dir)
+            val n = df.collect().length
+            val plan = df.queryExecution.executedPlan.toString
+            if (sys.env.contains("SPARK_GRAFT_TPCH_EXPLAIN"))
+              println(s"=== PLAN tpch_${q}_$tag ===\n$plan")
+            def cnt(s: String) = s.r.findAllMatchIn(plan).length
+            s"rows=$n bhj=${cnt("BroadcastHashJoin")} " +
+              s"smj=${cnt("SortMergeJoin")} shj=${cnt("ShuffledHashJoin")}"
+          }
+        }
+      }
+    }
     spark.stop()
   }
 

@@ -27,6 +27,46 @@ object SuggestionsService {
   final case class CycleStats(ts: Long, users: Long,
                               cachedFailures: Map[String, Throwable])
 
+  /** The census state an INCREMENTAL cycle folds onto: the 1-row scalar
+    * census and the |users|-row per-user maps (both localCheckpoint'ed —
+    * bounded, lineage-free), plus the age epoch PINNED at the last full
+    * rebase ([[IncrementalCensus]] class doc: untouched files crossing an
+    * age boundary would otherwise drift the fold) and the fold count
+    * driving the rebase cadence. */
+  final case class CensusState(census: DataFrame, userMaps: DataFrame,
+                               asOfMs: Long, folds: Int)
+
+  /** One INCREMENTAL cycle: O(delta + dirs) instead of O(namespace).
+    * `before`/`after` are the pre/post-delta namespaces, `ops` the typed
+    * edit-log slice between them ([[graft.ingest.EditLogSource]] shape).
+    * The touched rows are sliced straight off the metadata scans with a
+    * pushdown-friendly predicate — when the store keeps the namespace
+    * partitioned by `isFile` and path-ordered (the layout
+    * [[graft.operators.ZOrder]]/compaction maintain), both slices and
+    * the dirs-only recompute prune to a fraction of the files. The
+    * user-registered cached queries are NOT re-run here (they are
+    * arbitrary namespace scans — they refresh on the full-rebase
+    * cadence), which is what keeps the whole cycle delta-sized. */
+  def incrementalCycle(spark: SparkSession, before: DataFrame,
+                       after: DataFrame, ops: DataFrame, state: CensusState,
+                       nowMs: Long, historyPath: Option[String])
+      : QueryGuard.Guarded[(CensusState, CycleStats)] =
+    QueryGuard.run(spark, "suggestions-cycle-incremental") {
+      val pred = IncrementalCensus.touchedPredicate(ops)
+      val removed = before.where(pred)
+      val added = after.where(pred)
+      val census = IncrementalCensus
+        .fold(state.census, removed, added, after, state.asOfMs)
+        .localCheckpoint(eager = true)
+      val userMaps = IncrementalCensus
+        .foldUserMaps(state.userMaps, removed, added, state.asOfMs)
+        .localCheckpoint(eager = true)
+      historyPath.foreach(p => Sinks.appendHistory(userMaps, p, nowMs))
+      val users = userMaps.count()
+      (CensusState(census, userMaps, state.asOfMs, state.folds + 1),
+        CycleStats(nowMs, users, Map.empty))
+    }
+
   /** Run ONE suggestions cycle under a cancellable job group. Returns the
     * guard handle immediately; `result` completes when the cycle is done.
     * `historyPath = Some(p)` appends the per-user metrics as a timestamped
@@ -44,22 +84,48 @@ object SuggestionsService {
             cycleIdx: Long = 0L)
       : QueryGuard.Guarded[CycleStats] =
     QueryGuard.run(spark, "suggestions-cycle") {
-      // scalar census: one row, two scans
-      Suggestions.cachedValues(inodes, nowMs).collect()
-      // per-user maps: the history generation of this cycle
-      val perUser = Suggestions.cachedUserMaps(inodes, nowMs)
-      historyPath.foreach(p => Sinks.appendHistory(perUser, p, nowMs))
-      val users = perUser.count()
-      for (prev <- prevSnapshot; gp <- growthHistoryPath)
-        graft.operators.SnapshotDiff.growthByUser(
-            graft.operators.SnapshotDiff.diff(prev, inodes))
-          .withColumn("cycle", lit(cycleIdx))
-          .write.mode(SaveMode.Append).parquet(gp)
-      // user-registered queries ride the same cycle (reference
-      // `performCustomQueries`); failures are per-query, not cycle-fatal
-      val failures = CachedQueries.refresh(inodes, nowMs)
-      CycleStats(nowMs, users, failures)
+      cycleBody(spark, inodes, historyPath, nowMs, prevSnapshot,
+        growthHistoryPath, cycleIdx)._2
     }
+
+  /** [[cycle]] that also RETURNS the census as reusable [[CensusState]]
+    * so subsequent ticks can fold edit deltas instead of rescanning
+    * ([[incrementalCycle]]) — the Service's full-rebase path. */
+  def cycleWithState(spark: SparkSession, inodes: DataFrame,
+                     historyPath: Option[String], nowMs: Long,
+                     prevSnapshot: Option[DataFrame] = None,
+                     growthHistoryPath: Option[String] = None,
+                     cycleIdx: Long = 0L)
+      : QueryGuard.Guarded[(CensusState, CycleStats)] =
+    QueryGuard.run(spark, "suggestions-cycle") {
+      cycleBody(spark, inodes, historyPath, nowMs, prevSnapshot,
+        growthHistoryPath, cycleIdx)
+    }
+
+  private def cycleBody(spark: SparkSession, inodes: DataFrame,
+                        historyPath: Option[String], nowMs: Long,
+                        prevSnapshot: Option[DataFrame],
+                        growthHistoryPath: Option[String],
+                        cycleIdx: Long): (CensusState, CycleStats) = {
+    // scalar census: one row, two scans — kept (checkpointed) as the
+    // fold base for incremental ticks
+    val census = Suggestions.cachedValues(inodes, nowMs)
+      .localCheckpoint(eager = true)
+    // per-user maps: the history generation of this cycle
+    val perUser = Suggestions.cachedUserMaps(inodes, nowMs)
+      .localCheckpoint(eager = true)
+    historyPath.foreach(p => Sinks.appendHistory(perUser, p, nowMs))
+    val users = perUser.count()
+    for (prev <- prevSnapshot; gp <- growthHistoryPath)
+      graft.operators.SnapshotDiff.growthByUser(
+          graft.operators.SnapshotDiff.diff(prev, inodes))
+        .withColumn("cycle", lit(cycleIdx))
+        .write.mode(SaveMode.Append).parquet(gp)
+    // user-registered queries ride the same cycle (reference
+    // `performCustomQueries`); failures are per-query, not cycle-fatal
+    val failures = CachedQueries.refresh(inodes, nowMs)
+    (CensusState(census, perUser, nowMs, 0), CycleStats(nowMs, users, failures))
+  }
 
   /** The scheduled loop. One cycle at a time (the reference serializes its
     * reload the same way); a still-running cycle skips the next tick
@@ -71,13 +137,22 @@ object SuggestionsService {
                       // refreshed namespace per tick (CDC merge / re-ingest);
                       // None = the fixed `inodes` frame every cycle
                       snapshotProvider: Option[() => DataFrame] = None,
-                      growthHistoryPath: Option[String] = None) {
+                      growthHistoryPath: Option[String] = None,
+                      // typed edit-log ops since the LAST tick — when
+                      // provided, ticks fold the delta into the previous
+                      // census (O(delta + dirs)) instead of rescanning the
+                      // namespace; a full rebase still runs every
+                      // `rebaseEveryCycles` ticks (default: daily at the
+                      // reference's 15-min cadence) to re-pin the age epoch
+                      editTailProvider: Option[() => DataFrame] = None,
+                      rebaseEveryCycles: Int = 96) {
     private val exec: ScheduledExecutorService =
       Executors.newSingleThreadScheduledExecutor { r =>
         val t = new Thread(r, "graft-suggestions-service")
         t.setDaemon(true); t
       }
-    @volatile private var current: Option[QueryGuard.Guarded[CycleStats]] = None
+    @volatile private var current
+      : Option[QueryGuard.Guarded[(CensusState, CycleStats)]] = None
     private val completed =
       new java.util.concurrent.ConcurrentLinkedQueue[CycleStats]()
     private val cycleListeners =
@@ -97,21 +172,40 @@ object SuggestionsService {
         TimeUnit.MILLISECONDS)
 
     // previous tick's snapshot — the diff base for the scheduled trend
-    // step; single-threaded executor, so no synchronization needed
+    // step AND the incremental fold's `before` side; single-threaded
+    // executor, so no synchronization needed for the writes
     private var prevSnapshot: Option[DataFrame] = None
     private var cycleIdx: Long = 0L
+    // folded census carried between ticks; volatile because the
+    // WebServer's cache warmer reads it from its own thread
+    @volatile private var censusState: Option[CensusState] = None
+
+    /** The last completed cycle's census (1-row frame + per-user maps,
+      * both checkpointed). The WebServer cache serves these directly —
+      * with an edit tail attached, /suggestions tracks the namespace at
+      * O(delta) per tick, never a namespace scan. */
+    def latestCensus: Option[CensusState] = censusState
 
     private def tick(): Unit = {
       // previous cycle still running → skip this tick (no pile-up)
       if (current.exists(!_.result.isCompleted)) return
       val snap = snapshotProvider.map(_.apply()).getOrElse(inodes)
-      val g = cycle(spark, snap, historyPath, clock(),
-        prevSnapshot.filter(_ => growthHistoryPath.isDefined),
-        growthHistoryPath, cycleIdx)
+      val g: QueryGuard.Guarded[(CensusState, CycleStats)] =
+        (censusState, prevSnapshot, editTailProvider) match {
+          case (Some(st), Some(before), Some(tail))
+              if st.folds < rebaseEveryCycles =>
+            incrementalCycle(spark, before, snap, tail(), st, clock(),
+              historyPath)
+          case _ =>
+            cycleWithState(spark, snap, historyPath, clock(),
+              prevSnapshot.filter(_ => growthHistoryPath.isDefined),
+              growthHistoryPath, cycleIdx)
+        }
       prevSnapshot = Some(snap)
       cycleIdx += 1
       current = Some(g)
-      g.result.foreach { s =>
+      g.result.foreach { case (st, s) =>
+        censusState = Some(st) // BEFORE listeners: the cache re-warm reads it
         completed.add(s)
         cycleListeners.forEach(f => f(s))
       }(scala.concurrent.ExecutionContext.global)

@@ -64,9 +64,17 @@ final class WebServer(
     * GET staying off the namespace is the difference between a dashboard
     * and a DoS. */
   private final class SuggestionCache(snapshot: DataFrame) {
-    lazy val values: Row = Suggestions.cachedValues(snapshot).collect()(0)
+    // folded-state fast path: a service running incremental cycles hands
+    // the cache its already-folded census frames (1 row + |users| rows,
+    // checkpointed) — collecting those is O(users), so a cache re-warm
+    // after an incremental tick never rescans the namespace. Absent a
+    // service (or before its first cycle) the warm computes from scratch.
+    private def folded = suggestionsService.flatMap(_.latestCensus)
+    lazy val values: Row = folded.map(_.census.collect()(0))
+      .getOrElse(Suggestions.cachedValues(snapshot).collect()(0))
     lazy val userMaps: Array[Row] =
-      Suggestions.cachedUserMaps(snapshot).orderBy("user").collect()
+      folded.map(_.userMaps.orderBy("user").collect())
+        .getOrElse(Suggestions.cachedUserMaps(snapshot).orderBy("user").collect())
     lazy val userQuotas: Array[Row] =
       Suggestions.cachedUserQuotas(snapshot).orderBy("user").collect()
     lazy val ages: Array[Row] = Suggestions.fileAges(spark, snapshot).collect()

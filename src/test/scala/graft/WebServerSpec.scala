@@ -381,6 +381,163 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { svc.stop(); hist.stop() }
   }
 
+  test("incremental census service: folded refresh cycles serve values " +
+      "identical to a full recompute, no namespace-sized scan") {
+    import org.apache.spark.sql.functions._
+    val now = 1700000000000L
+    val root = java.nio.file.Files.createTempDirectory("incsvc").toString
+    // the namespace lives on parquet path-range-clustered and partitioned
+    // by isFile — the metadata-store layout the engine's own compaction/
+    // layout family maintains — so the fold's touched-slice and dirs-only
+    // scans PRUNE instead of rescanning (that pruning is what the input-
+    // records probe below asserts)
+    def writeNs(df: org.apache.spark.sql.DataFrame, name: String)
+        : org.apache.spark.sql.DataFrame = {
+      // partition dirs vs files via a derived STRING key (a boolean
+      // partition column reads back as string — no type inference for
+      // booleans), dropped on read; isFile itself stays a data column,
+      // so the dirs-only scan prunes via all-true/all-false row-group
+      // stats and the touched-slice scans via path min/max
+      df.withColumn("part", when(col("isFile"), "f").otherwise("d"))
+        .repartitionByRange(16, col("part"), col("path"))
+        .write.partitionBy("part").parquet(s"$root/$name")
+      spark.read.parquet(s"$root/$name").drop("part")
+    }
+    def fileRows(ids: org.apache.spark.sql.Dataset[_]) = ids.select(col("id"),
+      format_string("/data/d%04d/f%06d", pmod(col("id"), lit(1200L)),
+        col("id")).as("path"),
+      lit(true).as("isFile"),
+      concat(lit("u"), pmod(col("id"), lit(50L))).as("user"),
+      (col("id") * 7331L % 300000000L).as("fileSize"),
+      (col("id") % 1000000L).as("modTime"),
+      (col("id") % 2000000L).as("accessTime"),
+      lit(1L).as("numBlocks"), lit(3L).as("fileReplica"),
+      lit(-1L).as("nsQuota"), lit(-1L).as("dsQuota"),
+      lit(false).as("hasQuota"), lit(0L).as("dirNumChildren"),
+      lit(0L).as("nsQuotaUsed"), lit(0L).as("dsQuotaUsed"))
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+    val dirs0 = spark.range(1200).select((col("id") + 900000000L).as("id"),
+      format_string("/data/d%04d", col("id")).as("path"),
+      lit(false).as("isFile"),
+      concat(lit("u"), pmod(col("id"), lit(50L))).as("user"),
+      lit(0L).as("fileSize"), lit(0L).as("modTime"),
+      lit(0L).as("accessTime"), lit(0L).as("numBlocks"),
+      lit(0L).as("fileReplica"),
+      when(col("id") % 7 === 0, 1000L).otherwise(-1L).as("nsQuota"),
+      lit(-1L).as("dsQuota"), (col("id") % 7 === 0).as("hasQuota"),
+      pmod(col("id"), lit(30L)).as("dirNumChildren"),
+      pmod(col("id"), lit(990L)).as("nsQuotaUsed"),
+      lit(0L).as("dsQuotaUsed"))
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+    val before = writeNs(fileRows(spark.range(40000)).unionByName(dirs0),
+      "before")
+    // delta 1: every file of /data/d0007 grows 1000 bytes; 20 new files
+    val d7 = col("path").startsWith("/data/d0007/")
+    val added1 = fileRows(spark.range(20).select((col("id") + 500000L)
+        .as("id")))
+      .withColumn("path", format_string("/data/d0007/g%06d", col("id")))
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+    val after1 = writeNs(before.where(!d7)
+      .unionByName(before.where(d7)
+        .withColumn("fileSize", col("fileSize") + 1000L))
+      .unionByName(added1), "after1")
+    val ops1 = before.where(d7)
+      .select(lit("OP_CLOSE").as("opcode"), col("path"))
+      .unionByName(added1.select(lit("OP_ADD").as("opcode"), col("path")))
+      .withColumn("dst", lit(""))
+      .withColumn("srcs", lit(null).cast("array<string>"))
+    // delta 2: the /data/d0008 subtree (dir incl.) is deleted; /data/d0009
+    // files change
+    val d8 = col("path") === "/data/d0008" ||
+      col("path").startsWith("/data/d0008/")
+    val d9 = col("path").startsWith("/data/d0009/")
+    val after2 = writeNs(after1.where(!d8 && !d9)
+      .unionByName(after1.where(d9)
+        .withColumn("fileSize", col("fileSize") + 2000L)), "after2")
+    val ops2 = spark.range(1)
+      .select(lit("OP_DELETE").as("opcode"), lit("/data/d0008").as("path"))
+      .unionByName(after1.where(d9)
+        .select(lit("OP_TIMES").as("opcode"), col("path")))
+      .withColumn("dst", lit(""))
+      .withColumn("srcs", lit(null).cast("array<string>"))
+    val snaps = Iterator(before, after1, after2)
+    val opss = Iterator(ops1, ops2)
+    val svc = new SuggestionsService.Service(spark, before, None,
+      intervalMs = 3600000L, clock = () => now,
+      snapshotProvider = Some(() => snaps.next()),
+      editTailProvider = Some(() => opss.next()))
+    val ws: WebServer = new WebServer(spark, before, dir,
+      new Security.Context(Nil, "k".getBytes(UTF_8)),
+      suggestionsService = Some(svc))
+    ws.start()
+    // probe: input records per job-group family — "no namespace-sized
+    // scan" is asserted mechanically, not by wall time
+    val incRecs = new java.util.concurrent.atomic.AtomicLong
+    val fullRecs = new java.util.concurrent.atomic.AtomicLong
+    val stageOwner =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(j.properties)
+          .map(_.getProperty("spark.jobGroup.id", "")).getOrElse("")
+        val owner =
+          if (g.startsWith("graft-suggestions-cycle-incremental")) "inc"
+          else if (g.startsWith("graft-suggestions-cycle")) "full" else ""
+        if (owner.nonEmpty)
+          j.stageIds.foreach(sid => stageOwner.put(sid, owner))
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        Option(stageOwner.get(s.stageInfo.stageId)).foreach { o =>
+          val m = s.stageInfo.taskMetrics
+          if (m != null)
+            (if (o == "inc") incRecs else fullRecs)
+              .addAndGet(m.inputMetrics.recordsRead)
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def awaitCycles(k: Int): Unit = {
+        val dl = System.currentTimeMillis() + 60000
+        while (svc.history.size < k && System.currentTimeMillis() < dl)
+          Thread.sleep(50)
+        assert(svc.history.size >= k, s"cycle $k never completed")
+      }
+      svc.runNow(); awaitCycles(1) // full rebase: seeds the fold state
+      svc.runNow(); awaitCycles(2) // incremental fold of delta 1
+      svc.runNow(); awaitCycles(3) // incremental fold of delta 2
+      Thread.sleep(1500) // listener bus drain
+      // folded state ≡ a full recompute over the final namespace at the
+      // REBASE-PINNED epoch, scalar census and per-user maps both
+      val st = svc.latestCensus.get
+      assert(st.folds === 2 && st.asOfMs === now)
+      val expected = Suggestions.cachedValues(after2, now).head
+      assert(st.census.head.toSeq === expected.toSeq)
+      val expMaps = Suggestions.cachedUserMaps(after2, now)
+        .orderBy("user").collect().map(_.toSeq)
+      assert(st.userMaps.orderBy("user").collect().map(_.toSeq).toSeq
+        === expMaps.toSeq)
+      // ...and the HTTP door serves the folded values from the cache
+      ws.awaitSuggestionWarm()
+      val r = this.get(ws, "/suggestions")
+      assert(r.status === 200)
+      assert(r.body.contains(
+        s""""numFiles": ${expected.getAs[Long]("numFiles")}"""), r.body)
+      // the probe: both incremental cycles TOGETHER read a fraction of
+      // one full pass (touched slices + dirs partition), while the full
+      // rebase read the namespace multiple times
+      assert(fullRecs.get() > 40000L,
+        s"full rebase should scan the namespace: ${fullRecs.get()}")
+      assert(incRecs.get() < fullRecs.get() / 2,
+        s"incremental ticks must not rescan the namespace: " +
+          s"inc=${incRecs.get()} full=${fullRecs.get()}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      svc.stop(); ws.stop()
+    }
+  }
+
   // email sink: recording transport instead of SMTP (environment, not
   // analytics — the gate+subject+body plumbing is what's under test)
   lazy val sentMail =
