@@ -78,18 +78,26 @@ object Security {
     * @param ldapTiers authorization tiers granted to LDAP-authenticated
     *   users (the reference resolves tiers from per-class user lists
     *   independent of the auth transport; same walk here). A user in
-    *   neither map holds no tiers → every secured endpoint denies. */
+    *   neither map holds no tiers → every secured endpoint denies.
+    * @param spnegoTiers tiers for SPNEGO-authenticated principals (short
+    *   names, post-realm-strip). Kerberos only authenticates — the tier
+    *   walk still decides, like every other transport. Non-empty ⇒ auth
+    *   counts as enabled even with no local/LDAP users (a Kerberos-only
+    *   deployment, the reference's secured-cluster mode). */
   final class Context(users: Seq[User],
                       secret: Array[Byte],
                       tokenTtlMs: Long = 24L * 3600 * 1000,
                       clock: () => Long = () => System.currentTimeMillis(),
                       ldap: Option[LdapAuth] = None,
-                      ldapTiers: Map[String, Set[Tier]] = Map.empty) {
+                      ldapTiers: Map[String, Set[Tier]] = Map.empty,
+                      spnegoTiers: Map[String, Set[Tier]] = Map.empty) {
 
     private val byName: Map[String, User] = users.map(u => u.name -> u).toMap
 
-    /** No users AND no LDAP ≡ reference `authenticationEnabled=false`. */
-    def enabled: Boolean = byName.nonEmpty || ldap.nonEmpty
+    /** No users AND no LDAP AND no SPNEGO principals ≡ reference
+      * `authenticationEnabled=false`. */
+    def enabled: Boolean =
+      byName.nonEmpty || ldap.nonEmpty || spnegoTiers.nonEmpty
 
     private def hmac(payload: String): String = {
       val mac = Mac.getInstance("HmacSHA256")
@@ -134,6 +142,7 @@ object Security {
       if (!enabled) AllTiers
       else byName.get(user).map(_.tiers)
         .orElse(ldapTiers.get(user))
+        .orElse(spnegoTiers.get(user))
         .getOrElse(Set.empty)
 
     /** First-match walk in the reference's precedence order

@@ -40,6 +40,10 @@ final class WebServer(
     tokens: Option[DataFrame] = None,
     historyPath: Option[String] = None,
     suggestionsService: Option[SuggestionsService.Service] = None,
+    // SPNEGO transport (RFC 4559): when set, a request without a valid
+    // session cookie may authenticate via `Authorization: Negotiate`,
+    // and 401s carry the `WWW-Authenticate: Negotiate` challenge
+    spnego: Option[SpnegoAuth] = None,
     port: Int = 0,
     // email sink transport (S8): (recipients, subject, body). SMTP is
     // environment, not analytics (`MailOutput.java`) — default logs the
@@ -137,13 +141,19 @@ final class WebServer(
         // endpoints pass; everything else needs a valid token when enabled
         val user: Option[String] =
           if (!sec.enabled) Some("default")
-          else cookieToken(ex).flatMap(sec.validate) match {
+          else cookieToken(ex).flatMap(sec.validate)
+            .orElse(negotiateUser(ex)) match {
             case some @ Some(_) => some
             case None if Security.UnsecuredEndpoints(endpoint) => Some("anonymous")
             case None => None
           }
         user match {
-          case None => respond(ex, 401, "text/plain", "Authentication required\n")
+          case None =>
+            // RFC 4559: the 401 carries the Negotiate challenge so
+            // Kerberos-capable clients retry with a token
+            spnego.foreach(s => ex.getResponseHeaders
+              .add("WWW-Authenticate", s.challengeHeader))
+            respond(ex, 401, "text/plain", "Authentication required\n")
           case Some(u) if !sec.authorize(endpoint, u) =>
             respond(ex, 403, "text/plain",
               s"User: $u, is not authorized for URI: /$endpoint\n")
@@ -692,6 +702,28 @@ final class WebServer(
         URLDecoder.decode(kv.take(i), UTF_8) -> URLDecoder.decode(kv.drop(i + 1), UTF_8)
       }.toMap
   }
+
+  /** SPNEGO leg: an `Authorization: Negotiate <token>` request
+    * authenticates through the GSS acceptor; success emits the
+    * mutual-auth token back (`WWW-Authenticate: Negotiate <b64>`, RFC
+    * 4559 §4.2) and then rides the normal session-cookie issue — the
+    * Kerberos round-trip happens once per session, not per request
+    * (Hadoop's AuthenticationFilter does the same signed-cookie
+    * handoff). Rejected tokens fall through to the 401+challenge. */
+  private def negotiateUser(ex: HttpExchange): Option[String] =
+    spnego.flatMap { s =>
+      s.authenticate(
+          Option(ex.getRequestHeaders.getFirst("Authorization"))) match {
+        case SpnegoAuth.Authenticated(user, mutual) =>
+          mutual.foreach(m => ex.getResponseHeaders
+            .add("WWW-Authenticate", s"${s.challengeHeader} $m"))
+          UsageMetrics.userLoggedIn(user, remoteIp(ex))
+          Some(user)
+        case SpnegoAuth.Rejected(reason) =>
+          log(s"SPNEGO rejected: $reason"); None
+        case SpnegoAuth.NoAttempt => None
+      }
+    }
 
   private def cookieToken(ex: HttpExchange): Option[String] = {
     val headers = ex.getRequestHeaders

@@ -46,6 +46,7 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = {
     open.stop()
     secured.stop()
+    kerberizedStarted.foreach(_.stop())
   }
 
   case class Resp(status: Int, body: String, headers: Map[String, String])
@@ -53,12 +54,14 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def get(server: WebServer, pathAndQuery: String,
                   cookie: Option[String] = None,
                   method: String = "GET",
-                  form: Option[String] = None): Resp = {
+                  form: Option[String] = None,
+                  auth: Option[String] = None): Resp = {
     val url = new URI(s"http://127.0.0.1:${server.boundPort}$pathAndQuery").toURL
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
     cookie.foreach(c => conn.setRequestProperty("Cookie",
       s"${Security.CookieName}=$c"))
+    auth.foreach(a => conn.setRequestProperty("Authorization", a))
     form.foreach { f =>
       conn.setDoOutput(true)
       conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
@@ -67,7 +70,7 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val status = conn.getResponseCode
     val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
     val body = if (stream == null) "" else new String(stream.readAllBytes(), UTF_8)
-    val headers = Seq("Content-Type", "Set-Cookie")
+    val headers = Seq("Content-Type", "Set-Cookie", "WWW-Authenticate")
       .flatMap(h => Option(conn.getHeaderField(h)).map(h -> _)).toMap
     conn.disconnect()
     Resp(status, body, headers)
@@ -629,6 +632,72 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = tokenFor("admin", "adminpw")
     val tampered = t.dropRight(2) + "xx"
     assert(get(secured, "/filter?set=files&sum=count", Some(tampered)).status === 401)
+  }
+
+  // ---------------------------------------------------- SPNEGO transport
+  // Kerberos-only server (no local users): the GSS acceptor is stubbed
+  // (no KDC in the sandbox — the reference's own MiniKDC suite has the
+  // same boundary); everything HTTP is real: challenge on 401, token
+  // parse, mutual-auth response header, session-cookie handoff, tiers.
+  lazy val spnegoStub = new NegotiateValidator {
+    def accept(token: Array[Byte]) =
+      new String(token, UTF_8) match {
+        case "alice-ticket" =>
+          Right(("alice@EXAMPLE.COM", Some("mutual-proof".getBytes(UTF_8))))
+        case "mallory-ticket" => Left("checksum mismatch")
+        case other => Left(s"unknown token: $other")
+      }
+  }
+  private var kerberizedStarted: Option[WebServer] = None
+  lazy val kerberized: WebServer = {
+    val ws = new WebServer(spark, ino, dir,
+      new Security.Context(Nil, secret,
+        spnegoTiers = Map("alice" -> Set(Security.Reader, Security.Cache))),
+      spnego = Some(new SpnegoAuth(spnegoStub)))
+    ws.start(); kerberizedStarted = Some(ws); ws
+  }
+  def negotiate(payload: String): String =
+    "Negotiate " + java.util.Base64.getEncoder
+      .encodeToString(payload.getBytes(UTF_8))
+
+  test("spnego: unauthenticated request gets 401 with a Negotiate challenge") {
+    val r = get(kerberized, "/filter?set=files&sum=count")
+    assert(r.status === 401)
+    assert(r.headers.get("WWW-Authenticate").contains("Negotiate"), r.headers)
+  }
+
+  test("spnego: a valid Negotiate token authenticates, returns the mutual " +
+      "token, and hands off to a session cookie") {
+    val r = get(kerberized, "/filter?set=files&sum=count",
+      auth = Some(negotiate("alice-ticket")))
+    assert(r.status === 200)
+    // realm stripped: alice@EXAMPLE.COM acts (and is authorized) as alice
+    val mutual = java.util.Base64.getEncoder
+      .encodeToString("mutual-proof".getBytes(UTF_8))
+    assert(r.headers.get("WWW-Authenticate").contains(s"Negotiate $mutual"),
+      r.headers)
+    // one Kerberos round-trip per session: the issued cookie works alone
+    val cookie = r.headers("Set-Cookie")
+      .split(';').head.stripPrefix(s"${Security.CookieName}=")
+    val r2 = get(kerberized, "/suggestions", Some(cookie))
+    assert(r2.status === 200)
+    val cred = get(kerberized, "/credentials", Some(cookie))
+    assert(cred.body.contains("\"alice\"") && cred.body.contains("\"READER\""))
+  }
+
+  test("spnego: authentication is not authorization — alice holds no " +
+      "admin tier (403); rejected and malformed tokens re-challenge (401)") {
+    assert(get(kerberized, "/metrics",
+      auth = Some(negotiate("alice-ticket"))).status === 403)
+    val bad = get(kerberized, "/filter?set=files&sum=count",
+      auth = Some(negotiate("mallory-ticket")))
+    assert(bad.status === 401)
+    assert(bad.headers.get("WWW-Authenticate").contains("Negotiate"))
+    assert(get(kerberized, "/filter?set=files&sum=count",
+      auth = Some("Negotiate !!not-base64!!")).status === 401)
+    // a foreign scheme is no attempt at all → plain challenge
+    assert(get(kerberized, "/filter?set=files&sum=count",
+      auth = Some("Basic YWxpY2U6cHc=")).status === 401)
   }
 
   test("token expiry honored under an injected clock") {
