@@ -2084,6 +2084,101 @@ object PipelineQueries {
           max(col("na") * col("nb")).as("max_key_rows"))
     }),
 
+    // corpus drift census: distribution shift between two corpus
+    // snapshots (here: the doc_id-parity halves standing in for
+    // yesterday/today), per categorical feature. The metric is total
+    // variation distance in ppm — Σ|p_a − p_b| div 2 — chosen over
+    // PSI/KL deliberately: TVD is pure integer arithmetic, so the
+    // number is bit-identical across engines and across re-runs (a
+    // log-based metric inherits libm's last-ulp variance, which a
+    // drift THRESHOLD then amplifies into a flapping alert). Shape:
+    // one scan (both features ride one explode), one partial-agg
+    // shuffle of (feature, bucket) counts, per-feature totals as
+    // windows over that |buckets|-sized frame — aggregate-space end
+    // to end, like the other pre-flight profilers.
+    "profile_corpus_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fv = Tables.documents(s, d).select(
+          (col("doc_id") % 2 === 0).as("in_a"),
+          explode(array(
+            struct(lit("lang").as("feature"), col("lang").as("bucket")),
+            struct(lit("source").as("feature"), col("source").as("bucket"))))
+            .as("fv"))
+        .select(col("fv.feature").as("feature"),
+          col("fv.bucket").as("bucket"), col("in_a"))
+      val counts = fv.groupBy("feature", "bucket")
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+      // per-feature totals via a WINDOW over the |buckets|-sized counts
+      // frame, not a self-join: a join would re-derive counts from a
+      // second scan (column pruning makes the subtrees non-identical,
+      // so exchange reuse can't kick in) — the window keeps the corpus
+      // scanned exactly once, and everything after the first agg is
+      // aggregate-space
+      val byFeature = Window.partitionBy("feature")
+      counts
+        .withColumn("tot_a", sum("n_a").over(byFeature))
+        .withColumn("tot_b", sum("n_b").over(byFeature))
+        .select(col("feature"), col("bucket"), col("n_a"), col("n_b"),
+          // decimal operands: at 1e12 docs n*1e6 wraps a BIGINT
+          expr("cast(n_a as decimal(38,0)) * 1000000 div tot_a")
+            .cast("long").as("a_ppm"),
+          expr("cast(n_b as decimal(38,0)) * 1000000 div tot_b")
+            .cast("long").as("b_ppm"))
+        .withColumn("shift_ppm", abs(col("a_ppm") - col("b_ppm")))
+        .withColumn("sum_shift", sum(col("shift_ppm")).over(byFeature))
+        .withColumn("feature_tvd_ppm", expr("sum_shift div 2"))
+        .drop("sum_shift")
+        .orderBy("feature", "bucket")
+    }),
+
+    // BM25-style ranked retrieval: top-k documents for a query term
+    // set over the corpus. Scoring is the BM25 shape (k1=1.2, b=0.75)
+    // RATIONALIZED to integer arithmetic: the tf saturation term
+    // (k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl)) multiplied through by
+    // 10·total_len becomes 22·tf·total_len / (10·tf·total_len +
+    // 3·total_len + 9·dl·N) — exact in integers — and the idf is the
+    // probabilistic linearization (N−df)/N in ppm. Why integer-exact
+    // instead of ln-idf doubles: a distributed top-k over fp scores is
+    // not reproducible (partial-sum order changes ranks across runs
+    // and engines); this scoring returns the same 10 documents on
+    // every run of every engine, and the ln-idf is a one-expression
+    // swap where reproducibility matters less than calibration.
+    // Shape: explode → ONE (doc,term) partial-agg shuffle, CHECKPOINTED
+    // (the one corpus-sized intermediate feeds four derivations —
+    // doclens, document frequencies, corpus totals, the scoring join —
+    // and without materialization each would re-scan and re-explode the
+    // corpus: column pruning makes the subtrees non-identical, so
+    // exchange reuse can't deduplicate them); everything downstream is
+    // aggregate-space; the query-term filter cuts the scoring join to
+    // matching docs; N and total_len ride a 1-row broadcast.
+    "text_bm25_topk" -> ((s, d) => {
+      val qTerms = Seq("data", "stream", "shuffle")
+      val tc = pipeline.Dedup.checkpointCorpus(Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(pipeline.TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+      val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_len"))
+      val df = tc.where(col("term").isin(qTerms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tc.where(col("term").isin(qTerms: _*))
+        .join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          expr("cast(n - df as decimal(38,0)) * 1000000 div n")
+            .as("rarity_ppm"),
+          expr("cast(22 as decimal(38,0)) * tf * total_len * 1000000 div " +
+            "(cast(10 as decimal(38,0)) * tf * total_len + " +
+            "cast(3 as decimal(38,0)) * total_len + " +
+            "cast(9 as decimal(38,0)) * dl * n)").as("tfnorm_ppm"))
+        .groupBy("doc_id")
+        .agg(sum(col("rarity_ppm") * col("tfnorm_ppm")).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // Hilbert layout key: same census as layout_zorder_code but along
     // the adjacency-preserving curve — oracling the 16-round
     // rotate/reflect LOOP (functions.HilbertCode, eval AND codegen)
@@ -4345,6 +4440,52 @@ object PipelineQueries {
        "CAST(SUM(na * nb) AS BIGINT) AS est_rows, " +
        "CAST(MAX(na * nb) AS BIGINT) AS max_key_rows " +
        "FROM a JOIN b USING (k)"),
+
+    "profile_corpus_drift" ->
+      ("""WITH fv AS (
+           SELECT doc_id % 2 = 0 AS in_a, 'lang' AS feature,
+                  lang AS bucket FROM documents
+           UNION ALL
+           SELECT doc_id % 2 = 0, 'source', source FROM documents),
+         c AS (SELECT feature, bucket,
+           CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+           FROM fv GROUP BY 1, 2),
+         p AS (SELECT feature, bucket, n_a, n_b,
+           CAST(CAST(n_a AS HUGEINT) * 1000000 //
+             SUM(n_a) OVER (PARTITION BY feature) AS BIGINT) AS a_ppm,
+           CAST(CAST(n_b AS HUGEINT) * 1000000 //
+             SUM(n_b) OVER (PARTITION BY feature) AS BIGINT) AS b_ppm
+           FROM c)
+         SELECT feature, bucket, n_a, n_b, a_ppm, b_ppm,
+           abs(a_ppm - b_ppm) AS shift_ppm,
+           CAST(SUM(abs(a_ppm - b_ppm)) OVER (PARTITION BY feature) // 2
+             AS BIGINT) AS feature_tvd_ppm
+         FROM p ORDER BY feature, bucket"""),
+
+    "text_bm25_topk" ->
+      (s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term
+             FROM documents),
+         tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+           WHERE term IN ('data', 'stream', 'shuffle') GROUP BY 1),
+         sc AS (SELECT tc.doc_id,
+           CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS rarity_ppm,
+           CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+             (CAST(10 AS HUGEINT) * tf * total_len +
+              CAST(3 AS HUGEINT) * total_len +
+              CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+           FROM tc JOIN df USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT)
+           AS score
+         FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"""),
 
     // the Hilbert rotate/reflect loop UNROLLED: one CTE per bit plane
     // (s = 2^15 … 1), distinct column names per round so DuckDB's

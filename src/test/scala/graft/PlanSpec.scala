@@ -622,6 +622,37 @@ class PlanSpec extends AnyFunSuite {
       "nothing in this profile justifies a shuffled join")
   }
 
+  test("profile_corpus_drift: one scan feeds both features; per-feature " +
+      "totals broadcast; the TVD window partitions by feature") {
+    val plan = formatted("profile_corpus_drift")
+    // both features ride ONE explode over ONE documents scan
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size === 1,
+      s"expected a single documents scan:\n$plan")
+    assert(!plan.contains("Join"),
+      "totals derive from windows over the counts frame, never a " +
+        "self-join that would re-scan the corpus")
+    assert(plan.contains("Window"),
+      "per-feature totals + TVD ride windows")
+  }
+
+  test("text_bm25_topk: token rows shuffle once into (doc,term) counts; " +
+      "df and corpus totals broadcast; top-k short-circuits") {
+    val plan = formatted("text_bm25_topk")
+    // the corpus is tokenized and aggregated ONCE: the checkpointed
+    // (doc,term) table feeds dl/df/totals/scoring — the plan must show
+    // the checkpoint scan, not four parquet scans + explodes
+    assert(!plan.contains("Scan parquet"),
+      s"all derivations must read the checkpointed counts:\n$plan")
+    assert("""\(\d+\) Generate""".r.findAllIn(plan).isEmpty,
+      "no explode may survive the checkpoint")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-10 must short-circuit, not global-sort")
+    assert(plan.contains("BroadcastExchange"),
+      "df (|query| rows) and totals (1 row) must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "the 1-row totals cross join must be a broadcast nested loop")
+  }
+
   test("layout code queries: scans read exactly the two key columns") {
     for (q <- Seq("layout_zorder_code", "layout_hilbert_code")) {
       val plan = formatted(q)
