@@ -1957,6 +1957,25 @@ object PipelineQueries {
           col("doc_id"), col("text"), 2048L)
         .orderBy("bin")),
 
+    // token-budget selection: keep the highest-quality documents that
+    // fit a total token budget (top-N-tokens curation). The kept set is
+    // a deterministic prefix of the (score desc, id) order, computed as
+    // a bucketed two-phase prefix sum — the oracle's single global
+    // window IS the naive formulation, so the hash match doubles as the
+    // two-phase ≡ global proof. Census per (lang, kept); the decision
+    // frame is id-keyed and text-free, re-joined to the corpus for lang
+    "corpus_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val picks = pipeline.Curation.tokenBudgetSelect(
+        docs, col("doc_id"), col("text"), 14000L)
+      picks.join(docs.select(col("doc_id").as("did"), col("lang")), "did")
+        .groupBy(col("lang"), col("kept"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+          min(col("score_ppm")).as("min_score"),
+          max(col("score_ppm")).as("max_score"))
+        .orderBy("lang", "kept")
+    }),
+
     // sliding token windows (context shaping for training/RAG): content
     // pinned by the portable hash of each window, not just the arithmetic
     "corpus_chunks" -> ((s, d) =>
@@ -4440,6 +4459,22 @@ object PipelineQueries {
        "CAST(SUM(na * nb) AS BIGINT) AS est_rows, " +
        "CAST(MAX(na * nb) AS BIGINT) AS max_key_rows " +
        "FROM a JOIN b USING (k)"),
+
+    "corpus_token_budget" ->
+      ("""WITH s AS (SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(CAST(len(list_distinct(string_split(text, ' ')))
+               AS HUGEINT) * 1000000 //
+             len(string_split(text, ' ')) AS BIGINT) AS score_ppm
+           FROM documents),
+         c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (
+             ORDER BY score_ppm DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before FROM s)
+         SELECT lang, cum_before < 14000 AS kept,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           MIN(score_ppm) AS min_score, MAX(score_ppm) AS max_score
+         FROM c GROUP BY 1, 2 ORDER BY lang, kept"""),
 
     "profile_corpus_drift" ->
       ("""WITH fv AS (

@@ -184,6 +184,57 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("fill_tokens"))
   }
 
+  // ---- token-budget selection ----
+
+  /** Quality-ordered token-budget selection: keep the best documents
+    * that fit a total token budget (the "train on the top-N tokens"
+    * curation step). Quality here is the distinct-word ratio in ppm
+    * (integer-exact; swap any integer score in); the global order is
+    * (score desc, id asc) and a doc is kept iff the tokens BEFORE it in
+    * that order are under the budget — so exactly one doc may straddle
+    * the boundary, and the kept set is a deterministic prefix.
+    *
+    * The prefix sum is the [[packBins]] two-phase shape, but the
+    * buckets must RESPECT the order, not hash it away: bucket =
+    * score·nBuckets div (1e6+1) is a contiguous score range, so
+    * (bucket desc, in-bucket order) reconstructs the single global
+    * order with cumsum running inside every bucket in parallel and the
+    * nBuckets-row offset table broadcast. No quantile pass needed —
+    * a skewed score distribution only unbalances the in-bucket windows,
+    * never the arithmetic. Output: (did, score_ppm, n_tokens,
+    * cum_before, kept) — id-keyed and text-free, so the wide corpus
+    * columns never ride the window exchanges; join decisions back on
+    * id where needed. */
+  def tokenBudgetSelect(df: DataFrame, idCol: Column, text: Column,
+                        budget: Long, nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(text, " ")
+    val docs = df.select(idCol.as("did"),
+        size(words).cast("long").as("n_tokens"),
+        size(array_distinct(words)).cast("long").as("n_distinct"))
+      .withColumn("score_ppm",
+        expr("cast(n_distinct as decimal(38,0)) * 1000000 div n_tokens")
+          .cast("long"))
+      .withColumn("__b",
+        expr(s"score_ppm * $nBuckets div 1000001"))
+    val inBucket = Window.partitionBy("__b")
+      .orderBy(col("score_ppm").desc, col("did").asc)
+    val local = docs.withColumn("__cum",
+      sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
+    val offsets = docs.groupBy(col("__b"))
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .withColumn("__off",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy(col("__b").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    local.join(broadcast(offsets), Seq("__b"))
+      .withColumn("cum_before", col("__cum") + col("__off"))
+      .withColumn("kept", col("cum_before") < budget)
+      .select(col("did"), col("score_ppm"), col("n_tokens"),
+        col("cum_before"), col("kept"))
+  }
+
   // ---- token-window chunking ----
 
   /** Sliding token windows per document (context-window shaping for

@@ -179,6 +179,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("token budget: corpus cumsum partitions by score bucket, offsets " +
+      "broadcast — no global sort of the corpus") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.pipeline.Curation.tokenBudgetSelect(
+      graft.core.Tables.documents(spark, dir), col("doc_id"), col("text"),
+      14000L)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("hashpartitioning(__b"),
+      s"the corpus window must partition by score bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the nBuckets-row offset table must broadcast")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("bloom prefilter runs at the scan: no exchange, no join below it") {
     import org.apache.spark.sql.functions.{col, explode}
     val docs = graft.core.Tables.documents(spark, dir)
