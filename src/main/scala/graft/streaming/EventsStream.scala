@@ -61,6 +61,49 @@ object EventsStream {
         graft.functions.MisraGries.misra_gries(
           col("user_id").cast("string"), k).as("heavy_keys"))
 
+  /** Live distribution-drift monitor — the streaming twin of the
+    * `profile_corpus_drift` pre-flight: per tumbling window, the
+    * categorical share over `byCol` is compared against a REFERENCE
+    * ppm distribution (yesterday's profile / the training corpus mix),
+    * emitting total-variation distance in ppm — the pipeline watches
+    * its input mix drift live instead of discovering it in the next
+    * batch profile. The reference enumerates the expected categories,
+    * so the window aggregates one conditional count per category plus
+    * an `other` bucket in ONE windowed aggregation (chained streaming
+    * aggregations are not expressible) — state per window is
+    * |categories|+1 longs, watermark-bounded. Integer-exact end to
+    * end for the same reason as the batch twin: a log-based metric's
+    * last-ulp variance makes alert thresholds flap; TVD in ppm is
+    * bit-stable across runs and engines. Works unchanged on a batch
+    * frame (the spec's equivalence oracle). */
+  def driftMonitor(events: DataFrame, byCol: String,
+                   refPpm: Map[String, Long],
+                   window_ : String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    require(refPpm.nonEmpty && refPpm.values.forall(_ >= 0L) &&
+      refPpm.values.sum <= 1000000L, "reference shares must be ppm")
+    val cats = refPpm.keys.toSeq.sorted
+    val cnts = cats.zipWithIndex.map { case (c, i) =>
+      sum(when(col(byCol) === c, 1L).otherwise(0L)).as(s"__n$i") }
+    val agg = events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_))
+      .agg(count(lit(1)).as("n_events"), cnts: _*)
+    // decimal operands before the cross-multiply (a whale window's
+    // count * 1e6 wraps a BIGINT) and integer `div`, not decimal `/`
+    // (which rounds HALF_UP at the result scale — an off-by-one vs
+    // floor when the quotient grazes an integer)
+    def sharePpm(n: String) = expr(
+      s"cast($n as decimal(38,0)) * 1000000 div n_events")
+    val diffs = cats.zipWithIndex.map { case (c, i) =>
+      abs(sharePpm(s"__n$i") - lit(refPpm(c))) }
+    val otherObs = sharePpm(
+      s"n_events - (${cats.indices.map(i => s"__n$i").mkString(" + ")})")
+    val otherDiff = abs(otherObs - lit(1000000L - refPpm.values.sum))
+    agg.select(col("window"), col("n_events"),
+      shiftright((diffs :+ otherDiff).reduce(_ + _), 1).as("tvd_ppm"))
+  }
+
   case class Sess(userId: Long, start: Long, end: Long, n: Long)
   case class Ev(user_id: Long, ts: Long)
 

@@ -61,6 +61,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming drift monitor: streamed TVD ≡ batch twin; a " +
+      "hand-built window hits the exact hand-computed TVD") {
+    // reference: the corpus-wide mix rounded to ppm (clicks slightly
+    // overstated so every live window shows SOME drift)
+    val ref = Map("click" -> 300000L, "error" -> 200000L,
+      "purchase" -> 200000L, "signup" -> 200000L) // view → `other` 100000
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.driftMonitor(
+        EventsStream.readStream(spark, dir), "event_type", ref),
+      "drift_mon", org.apache.spark.sql.streaming.OutputMode.Append)
+    val batchEvents = graft.core.Tables.events(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val batch = EventsStream.driftMonitor(batchEvents, "event_type", ref)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start").cast("long").as("w"), col("n_events"),
+        col("tvd_ppm"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = asMap(streamed)
+    assert(got.nonEmpty)
+    val want = asMap(batch)
+    got.foreach { case (w, v) => assert(want(w) === v, s"window $w") }
+    got.values.foreach { case (_, tvd) => assert(tvd >= 0L && tvd <= 1000000L) }
+    // exact case: 10 events in one window — 5 click / 3 error / 1 view /
+    // 1 unseen type. shares: click 500000 (|Δ|=200000), error 300000
+    // (100000), purchase 0 (200000), signup 0 (200000), other 200000
+    // (100000) → TVD = 800000/2 = 400000
+    val rows = (Seq.fill(5)("click") ++ Seq.fill(3)("error") ++
+      Seq("view", "search")).zipWithIndex
+    val one = spark.createDataFrame(rows).toDF("event_type", "i")
+      .withColumn("event_time", timestamp_micros(lit(1000000L) + col("i")))
+    val r = EventsStream.driftMonitor(one, "event_type", ref)
+      .select("n_events", "tvd_ppm").head()
+    assert(r.getLong(0) === 10L)
+    assert(r.getLong(1) === 400000L)
+  }
+
   test("inode refresh: latest-wins merge with tombstones") {
     import org.apache.spark.sql.functions._
     val ino = graft.inodes.InodeView.inodes(spark, dir).limit(10)
