@@ -2151,52 +2151,12 @@ object PipelineQueries {
         .orderBy("feature", "bucket")
     }),
 
-    // BM25-style ranked retrieval: top-k documents for a query term
-    // set over the corpus. Scoring is the BM25 shape (k1=1.2, b=0.75)
-    // RATIONALIZED to integer arithmetic: the tf saturation term
-    // (k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl)) multiplied through by
-    // 10·total_len becomes 22·tf·total_len / (10·tf·total_len +
-    // 3·total_len + 9·dl·N) — exact in integers — and the idf is the
-    // probabilistic linearization (N−df)/N in ppm. Why integer-exact
-    // instead of ln-idf doubles: a distributed top-k over fp scores is
-    // not reproducible (partial-sum order changes ranks across runs
-    // and engines); this scoring returns the same 10 documents on
-    // every run of every engine, and the ln-idf is a one-expression
-    // swap where reproducibility matters less than calibration.
-    // Shape: explode → ONE (doc,term) partial-agg shuffle, CHECKPOINTED
-    // (the one corpus-sized intermediate feeds four derivations —
-    // doclens, document frequencies, corpus totals, the scoring join —
-    // and without materialization each would re-scan and re-explode the
-    // corpus: column pruning makes the subtrees non-identical, so
-    // exchange reuse can't deduplicate them); everything downstream is
-    // aggregate-space; the query-term filter cuts the scoring join to
-    // matching docs; N and total_len ride a 1-row broadcast.
-    "text_bm25_topk" -> ((s, d) => {
-      val qTerms = Seq("data", "stream", "shuffle")
-      val tc = pipeline.Dedup.checkpointCorpus(Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(pipeline.TextAnalysis.tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
-      val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_len"))
-      val df = tc.where(col("term").isin(qTerms: _*))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      tc.where(col("term").isin(qTerms: _*))
-        .join(broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"),
-          expr("cast(n - df as decimal(38,0)) * 1000000 div n")
-            .as("rarity_ppm"),
-          expr("cast(22 as decimal(38,0)) * tf * total_len * 1000000 div " +
-            "(cast(10 as decimal(38,0)) * tf * total_len + " +
-            "cast(3 as decimal(38,0)) * total_len + " +
-            "cast(9 as decimal(38,0)) * dl * n)").as("tfnorm_ppm"))
-        .groupBy("doc_id")
-        .agg(sum(col("rarity_ppm") * col("tfnorm_ppm")).as("score"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-        .limit(10)
-    }),
+    // BM25-style ranked retrieval over the corpus; the integer-exact
+    // scoring rationale and scale shape live on the operator
+    // ([[pipeline.TextAnalysis.bm25TopK]]).
+    "text_bm25_topk" -> ((s, d) =>
+      pipeline.TextAnalysis.bm25TopK(Tables.documents(s, d),
+        col("doc_id"), col("text"), Seq("data", "stream", "shuffle"), 10)),
 
     // Hilbert layout key: same census as layout_zorder_code but along
     // the adjacency-preserving curve — oracling the 16-round

@@ -1046,6 +1046,40 @@ object ScaleBench {
         }
       }
     }
+
+    // ---- retrieval/curation cross-scale: BM25 + token-budget at 1M vs
+    // 10M docs. BM25's shuffle should track TOKEN volume (the one
+    // (doc,term) agg exchange dominates; scoring stays aggregate-space);
+    // token-budget's should track DOC count (one id/score/len tuple per
+    // doc through the bucketed cumsum — text never rides the window
+    // exchange). Flat bytes/record at 10× records is the pass condition.
+    if (Seq("1m", "10m").exists(tag => only(s"retrieval_bm25_$tag") ||
+        only(s"retrieval_token_budget_$tag"))) {
+      for ((n, tag) <- Seq((1000000L, "1m"), (10000000L, "10m"))) {
+        // ~40-token docs, power-law-ish 3000-word vocab (the dedup
+        // fixture's generator shape, re-derived at this n)
+        def sdocs = spark.range(n).select(col("id").as("doc_id"),
+          array_join(expr(
+            """transform(sequence(0, 39), j ->
+                 concat('w', pmod(xxhash64(id * 40 + j) %
+                   (1 + pmod(xxhash64(id, j), 3000)), 3000)))"""), " ")
+            .as("text"))
+        tm(s"retrieval_bm25_$tag") {
+          val top = pipeline.TextAnalysis.bm25TopK(sdocs, col("doc_id"),
+            col("text"), Seq("w7", "w42", "w2999"), 10).collect()
+          s"top=${top.length} best=${top.headOption.map(_.getLong(0)).getOrElse(-1L)}"
+        }
+        tm(s"retrieval_token_budget_$tag") {
+          // budget = half the expected corpus tokens: both branches busy
+          val picks = pipeline.Curation.tokenBudgetSelect(sdocs,
+            col("doc_id"), col("text"), n * 20L)
+          val r = picks.groupBy(col("kept"))
+            .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("toks"))
+            .collect().map(x => s"${x.getBoolean(0)}:${x.getLong(1)}")
+          r.sorted.mkString(" ")
+        }
+      }
+    }
     spark.stop()
   }
 

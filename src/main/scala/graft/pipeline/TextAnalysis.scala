@@ -227,6 +227,50 @@ object TextAnalysis {
     (h * (((j + 1).cast("long") * 2654435761L) % Dedup.HashP) +
       ((j + 1).cast("long") * 40503L) % Dedup.HashP) % Dedup.HashP
 
+  /** BM25-style ranked retrieval: top-k documents for a query term set.
+    * Scoring is the BM25 shape (k1=1.2, b=0.75) RATIONALIZED to exact
+    * integer arithmetic — the tf saturation term multiplied through by
+    * 10·total_len becomes 22·tf·total_len / (10·tf·total_len +
+    * 3·total_len + 9·dl·N), and the idf is the probabilistic
+    * linearization (N−df)/N in ppm — so a distributed top-k is
+    * bit-reproducible across runs and engines (fp partial-sum order
+    * cannot flip ranks; the ln-idf is a one-expression swap where
+    * calibration outranks reproducibility).
+    *
+    * Shape at scale: explode → ONE (doc,term) partial-agg shuffle,
+    * CHECKPOINTED (that one corpus-sized intermediate feeds four
+    * derivations — doclens, document frequencies, corpus totals, the
+    * scoring join — and without materialization each would re-scan and
+    * re-explode the corpus: column pruning makes the subtrees
+    * non-identical, so exchange reuse can't deduplicate them);
+    * everything downstream is aggregate-space, df and totals ride
+    * broadcasts, the top-k is a TakeOrdered. */
+  def bm25TopK(df: DataFrame, idCol: Column, text: Column,
+               qTerms: Seq[String], k: Int): DataFrame = {
+    val tc = Dedup.checkpointCorpus(df
+      .select(idCol.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_len"))
+    val dfreq = tc.where(col("term").isin(qTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tc.where(col("term").isin(qTerms: _*))
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        expr("cast(n - df as decimal(38,0)) * 1000000 div n")
+          .as("rarity_ppm"),
+        expr("cast(22 as decimal(38,0)) * tf * total_len * 1000000 div " +
+          "(cast(10 as decimal(38,0)) * tf * total_len + " +
+          "cast(3 as decimal(38,0)) * total_len + " +
+          "cast(9 as decimal(38,0)) * dl * n)").as("tfnorm_ppm"))
+      .groupBy("doc_id")
+      .agg(sum(col("rarity_ppm") * col("tfnorm_ppm")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
 
   /** 64-bit rolling-style fingerprint: xxhash64 over normalized text plus a
