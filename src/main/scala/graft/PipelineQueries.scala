@@ -714,6 +714,25 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // incremental ANN index maintenance: the base corpus builds the IVF
+    // index, a 20% delta batch is ADDED against the frozen quantizer
+    // (O(delta) projection + per-cell append — existing postings never
+    // move), and the search runs over the grown index. The oracle
+    // computes the FULL-REBUILD formulation (whole corpus assigned
+    // against the same base-seeded centroids), so the hash match IS the
+    // incremental ≡ rebuild proof ([[pipeline.Similarity.ivfAddToIndex]]).
+    "ann_ivf_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.where(col("vec_id") % 5 =!= 4)
+      val delta = emb.where(col("vec_id") % 5 === 4)
+      val cents = pipeline.Similarity.centroids(base, 16)
+      val index = pipeline.Similarity.ivfAddToIndex(
+        pipeline.Similarity.ivfAssign(base, cents), delta, cents)
+      pipeline.Similarity.ivfTopKIndexed(
+        emb.where(col("vec_id") < 5), index, cents, 5, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     // recall report: hits@5 of each approximate path against the exact
     // brute-force top-5, per query — oracle-checked end to end
     "ann_ivf_recall" -> ((s, d) => {
@@ -2490,8 +2509,10 @@ object PipelineQueries {
 
   /** CTEs `assigned(cell,nid,ne)` + `probes(cell,qid,qe)` + `ivf_topk`
     * mirroring [[graft.pipeline.Similarity.ivfTopK]]. */
-  private def ivfSql(nlist: Int, nprobe: Int, k: Int): String =
-    s"""cent AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+  private def ivfSql(nlist: Int, nprobe: Int, k: Int,
+                     centWhere: String = ""): String =
+    s"""cent AS (SELECT vec_id AS cent_id, embedding AS cent
+         FROM embeddings $centWhere
          ORDER BY vec_id LIMIT $nlist),
        assigned AS (
          SELECT cell, nid, ne FROM (
@@ -3122,6 +3143,14 @@ object PipelineQueries {
 
     "ann_ivf_top5" ->
       (s"WITH ${ivfSql(16, 4, 5)} " +
+       "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivf_topk " +
+       "ORDER BY qid, rank"),
+
+    // full-rebuild formulation: whole corpus assigned against the
+    // base-seeded quantizer — matching the engine's incremental add
+    // proves incremental ≡ rebuild
+    "ann_ivf_incremental" ->
+      (s"WITH ${ivfSql(16, 4, 5, "WHERE vec_id % 5 <> 4")} " +
        "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivf_topk " +
        "ORDER BY qid, rank"),
 

@@ -181,20 +181,46 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = centroids(corpus, nlist)
-    val assigned = ivfAssign(corpus, cents)
+    ivfTopKIndexed(queries, ivfAssign(corpus, cents), cents, k, nprobe)
+  }
+
+  /** [[ivfTopK]] over a PREBUILT index (`(cell, nid, ne)` — what
+    * [[ivfAssign]] emits and [[ivfAddToIndex]] maintains): search is
+    * decoupled from index construction, so a 100 TB deployment builds
+    * the index once, persists it partitioned by cell, and every query
+    * batch probes it without re-assigning the corpus. */
+  def ivfTopKIndexed(queries: DataFrame, index: DataFrame,
+                     cents: Seq[(Long, Array[Double])], k: Int,
+                     nprobe: Int = 4): DataFrame = {
     val probes = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(graft.functions.NearestCentroids.nearest_centroids(
           col("embedding"), cents, nprobe)).as("cell"))
       .select(col("cell"), col("qid"), col("qe"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    assigned.join(broadcast(probes), Seq("cell"))
+    index.join(broadcast(probes), Seq("cell"))
       .where(col("qid") =!= col("nid"))
       .withColumn("sim", cosine(col("qe"), col("ne")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
   }
+
+  /** Incremental index maintenance: assign a NEW vector batch against
+    * the index's FROZEN coarse quantizer and append — the ANN twin of
+    * `Dedup.addToIndex`. Cost is O(delta): one shuffle-free projection
+    * over the new batch (the native nearest-centroid expression), and
+    * because the cell id is the index's partition key, the append lands
+    * as per-cell file adds — existing postings are never read, moved,
+    * or reshuffled. Search over the grown index is EXACTLY a full
+    * rebuild under the same quantizer (assignment is per-row and
+    * centroids are frozen), which is what the `ann_ivf_incremental`
+    * oracle pins; re-seeding the quantizer (after drift accumulates —
+    * watch it with `profile_corpus_drift` over cell occupancies) is the
+    * scheduled-rebuild path, like the census rebase cadence. */
+  def ivfAddToIndex(index: DataFrame, newVecs: DataFrame,
+                    cents: Seq[(Long, Array[Double])]): DataFrame =
+    index.unionByName(ivfAssign(newVecs, cents))
 
   // ---- product quantization (PQ / IVFPQ) ----
 
