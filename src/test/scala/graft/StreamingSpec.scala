@@ -97,6 +97,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getLong(1) === 400000L)
   }
 
+  test("streaming IVF maintenance: per-batch index adds land on the " +
+      "full-rebuild search, batch by batch") {
+    import graft.pipeline.Similarity
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val base = emb.where(col("vec_id") % 5 =!= 4).localCheckpoint(true)
+    val cents = Similarity.centroids(base, 16)
+    val queries = emb.where(col("vec_id") < 5).localCheckpoint(true)
+    @volatile var index = Similarity.ivfAssign(base, cents)
+      .localCheckpoint(true)
+    @volatile var seen = base.count()
+    val inDir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the O(delta) add: assign against the FROZEN quantizer, append,
+        // re-checkpoint so index lineage stays one hop deep
+        index = Similarity.ivfAddToIndex(index, batch, cents)
+          .localCheckpoint(true)
+        seen += batch.count()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .start()
+    try {
+      def searchRows() = Similarity
+        .ivfTopKIndexed(queries, index, cents, 5, nprobe = 4)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+      def rebuildRows(corpus: org.apache.spark.sql.DataFrame) = Similarity
+        .ivfTopKIndexed(corpus.where(col("vec_id") < 5),
+          Similarity.ivfAssign(corpus, cents), cents, 5, nprobe = 4)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+      // the file source lists the stream ROOT — land each batch's
+      // part-file there directly, not in a write-subdirectory
+      def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("ivfb")
+          .toString + "/out"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(inDir, s"$name.parquet"))
+        ()
+      }
+      // batch 1: half the held-out vectors arrive
+      val d1 = emb.where(col("vec_id") % 10 === 4)
+      drop(d1, "b1")
+      q.processAllAvailable()
+      assert(seen === base.count() + d1.count())
+      assert(searchRows() === rebuildRows(base.unionByName(d1)))
+      // batch 2: the rest — the grown index ≡ a full-corpus rebuild
+      drop(emb.where(col("vec_id") % 10 === 9), "b2")
+      q.processAllAvailable()
+      assert(seen === emb.count())
+      assert(searchRows() === rebuildRows(emb))
+    } finally q.stop()
+  }
+
   test("inode refresh: latest-wins merge with tombstones") {
     import org.apache.spark.sql.functions._
     val ino = graft.inodes.InodeView.inodes(spark, dir).limit(10)
