@@ -237,36 +237,46 @@ object TextAnalysis {
     * cannot flip ranks; the ln-idf is a one-expression swap where
     * calibration outranks reproducibility).
     *
-    * Shape at scale: explode → ONE (doc,term) partial-agg shuffle,
-    * CHECKPOINTED (that one corpus-sized intermediate feeds four
-    * derivations — doclens, document frequencies, corpus totals, the
-    * scoring join — and without materialization each would re-scan and
-    * re-explode the corpus: column pruning makes the subtrees
-    * non-identical, so exchange reuse can't deduplicate them);
-    * everything downstream is aggregate-space, df and totals ride
-    * broadcasts, the top-k is a TakeOrdered. */
+    * Shape at scale: NO inverted index and NO corpus-sized shuffle.
+    * Only the query terms' tf, the doc length, and per-term document
+    * frequencies feed the score, so one scan computes a narrow per-doc
+    * frame (doc_id, dl, tf per query term — higher-order `filter`/`size`
+    * on the token array, codegen'd, no explode). That frame is
+    * CHECKPOINTED (it feeds the stats aggregate and the scoring pass;
+    * without materialization each would re-tokenize the corpus), the
+    * corpus constants (N, total_len, per-term df) collapse to ONE 1-row
+    * aggregate that rides a broadcast, scoring is a pure projection —
+    * a tf=0 term contributes exactly 0 in the integer arithmetic, so no
+    * per-term filtering join is needed — and the top-k is a TakeOrdered.
+    * The only exchanges at any corpus size: the 1-row stats agg and the
+    * broadcast. */
   def bm25TopK(df: DataFrame, idCol: Column, text: Column,
                qTerms: Seq[String], k: Int): DataFrame = {
-    val tc = Dedup.checkpointCorpus(df
-      .select(idCol.as("doc_id"), explode(tokens(text)).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
-    val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_len"))
-    val dfreq = tc.where(col("term").isin(qTerms: _*))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tc.where(col("term").isin(qTerms: _*))
-      .join(broadcast(dfreq), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(tot))
-      .select(col("doc_id"),
-        expr("cast(n - df as decimal(38,0)) * 1000000 div n")
-          .as("rarity_ppm"),
-        expr("cast(22 as decimal(38,0)) * tf * total_len * 1000000 div " +
-          "(cast(10 as decimal(38,0)) * tf * total_len + " +
-          "cast(3 as decimal(38,0)) * total_len + " +
-          "cast(9 as decimal(38,0)) * dl * n)").as("tfnorm_ppm"))
-      .groupBy("doc_id")
-      .agg(sum(col("rarity_ppm") * col("tfnorm_ppm")).as("score"))
+    val terms = qTerms.distinct
+    val toks = tokens(text)
+    val perDoc = Dedup.checkpointCorpus(df
+      .where(text.isNotNull)
+      .select(idCol.as("doc_id"),
+        size(toks).cast("long").as("dl"),
+        array(terms.map(t =>
+          size(filter(toks, x => x === lit(t))).cast("long")): _*)
+          .as("tfs")))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("total_len"),
+      array(terms.indices.map(i =>
+        sum((col("tfs")(i) > lit(0L)).cast("long"))): _*).as("dfs"))
+    val score = terms.indices.map { i =>
+      expr(s"(cast(n - dfs[$i] as decimal(38,0)) * 1000000 div n) * " +
+        s"(cast(22 as decimal(38,0)) * tfs[$i] * total_len * 1000000 div " +
+        s"(cast(10 as decimal(38,0)) * tfs[$i] * total_len + " +
+        s"cast(3 as decimal(38,0)) * total_len + " +
+        s"cast(9 as decimal(38,0)) * dl * n))")
+    }.reduce(_ + _)
+    perDoc
+      .where(exists(col("tfs"), _ > lit(0L)))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }

@@ -650,22 +650,28 @@ class PlanSpec extends AnyFunSuite {
       "per-feature totals + TVD ride windows")
   }
 
-  test("text_bm25_topk: token rows shuffle once into (doc,term) counts; " +
-      "df and corpus totals broadcast; top-k short-circuits") {
+  test("text_bm25_topk: no inverted index — scoring is a projection " +
+      "over the checkpointed per-doc frame; stats broadcast; " +
+      "top-k short-circuits") {
     val plan = formatted("text_bm25_topk")
-    // the corpus is tokenized and aggregated ONCE: the checkpointed
-    // (doc,term) table feeds dl/df/totals/scoring — the plan must show
-    // the checkpoint scan, not four parquet scans + explodes
+    // the corpus is tokenized ONCE into a narrow per-doc frame
+    // (doc_id, dl, per-term tf) — both the stats aggregate and the
+    // scoring pass must read that checkpoint, never re-scan parquet
     assert(!plan.contains("Scan parquet"),
-      s"all derivations must read the checkpointed counts:\n$plan")
+      s"all derivations must read the checkpointed per-doc frame:\n$plan")
     assert("""\(\d+\) Generate""".r.findAllIn(plan).isEmpty,
-      "no explode may survive the checkpoint")
+      "per-term tf comes from higher-order array functions — no explode")
+    // the ONLY shuffle at any corpus size is the 1-row stats aggregate:
+    // no (doc,term) index build, no corpus-sized exchange
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).toSeq
+    assert(exchanges.size <= 1 && plan.contains("SinglePartition"),
+      s"expected only the 1-row stats agg exchange, got $exchanges:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       "top-10 must short-circuit, not global-sort")
     assert(plan.contains("BroadcastExchange"),
-      "df (|query| rows) and totals (1 row) must broadcast")
+      "the 1-row corpus stats (n, total_len, dfs) must broadcast")
     assert(!plan.contains("CartesianProduct"),
-      "the 1-row totals cross join must be a broadcast nested loop")
+      "the 1-row stats cross join must be a broadcast nested loop")
   }
 
   test("layout code queries: scans read exactly the two key columns") {
