@@ -2177,6 +2177,17 @@ object PipelineQueries {
       pipeline.TextAnalysis.bm25TopK(Tables.documents(s, d),
         col("doc_id"), col("text"), Seq("data", "stream", "shuffle"), 10)),
 
+    // The same ranked retrieval through the PERSISTENT posting-list
+    // index ([[pipeline.Bm25Index]]): build → search must equal the
+    // index-free scan bit-for-bit, which sharing the oracle SQL pins.
+    // The checkpoint stands in for the persisted partitioned parquet.
+    "retrieval_bm25_indexed" -> ((s, d) => {
+      val (postings, stats) = pipeline.Bm25Index.build(
+        Tables.documents(s, d), col("doc_id"), col("text"), 64)
+      pipeline.Bm25Index.search(pipeline.Dedup.checkpointCorpus(postings),
+        stats, Seq("data", "stream", "shuffle"), 10, 64)
+    }),
+
     // Hilbert layout key: same census as layout_zorder_code but along
     // the adjacency-preserving curve — oracling the 16-round
     // rotate/reflect LOOP (functions.HilbertCode, eval AND codegen)
@@ -4488,6 +4499,31 @@ object PipelineQueries {
          FROM p ORDER BY feature, bucket"""),
 
     "text_bm25_topk" ->
+      (s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term
+             FROM documents),
+         tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+           WHERE term IN ('data', 'stream', 'shuffle') GROUP BY 1),
+         sc AS (SELECT tc.doc_id,
+           CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS rarity_ppm,
+           CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+             (CAST(10 AS HUGEINT) * tf * total_len +
+              CAST(3 AS HUGEINT) * total_len +
+              CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+           FROM tc JOIN df USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT)
+           AS score
+         FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"""),
+
+    // identical semantics through the posting-list index — same oracle
+    "retrieval_bm25_indexed" ->
       (s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term
              FROM documents),
          tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf

@@ -1080,6 +1080,44 @@ object ScaleBench {
         }
       }
     }
+
+    // ---- persistent BM25 posting index (Bm25Index): the build pays the
+    // corpus-sized explode+agg ONCE; every probe is then a
+    // partition-pruned read of the query terms' postings only. The ti()
+    // input-records line is the evidence: probe input must be orders of
+    // magnitude under the build's token volume (and under the index-free
+    // scan's doc volume) — the amortization contract of a serving index.
+    if (Seq("1m", "10m").exists(tag =>
+        only(s"retrieval_bm25_index_build_$tag") ||
+        only(s"retrieval_bm25_probe_$tag"))) {
+      for ((n, tag) <- Seq((1000000L, "1m"), (10000000L, "10m"))) {
+        def sdocs = spark.range(n).select(col("id").as("doc_id"),
+          array_join(expr(
+            """transform(sequence(0, 39), j ->
+                 concat('w', pmod(xxhash64(id * 40 + j) %
+                   (1 + pmod(xxhash64(id, j), 3000)), 3000)))"""), " ")
+            .as("text"))
+        val dir = s"/tmp/graft_bm25_idx_$tag"
+        var nStats = 0L; var tlStats = 0L
+        tm(s"retrieval_bm25_index_build_$tag") {
+          val (postings, stats) = pipeline.Bm25Index.build(sdocs,
+            col("doc_id"), col("text"), nBuckets = 256)
+          pipeline.Bm25Index.write(postings, dir)
+          val s0 = stats.collect().head
+          nStats = s0.getLong(0); tlStats = s0.getLong(1)
+          s"n=$nStats total_len=$tlStats"
+        }
+        ti(s"retrieval_bm25_probe_$tag") {
+          val statsDf = spark.range(1).select(
+            lit(nStats).as("n"), lit(tlStats).as("total_len"))
+          val top = pipeline.Bm25Index.search(spark.read.parquet(dir),
+            statsDf, Seq("w7", "w42", "w2999"), 10, nBuckets = 256)
+            .collect()
+          s"top=${top.length} best=${top.headOption.map(_.getLong(0)).getOrElse(-1L)}"
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      }
+    }
     spark.stop()
   }
 

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Bm25Index, TextAnalysis}
+
+/** The persistent posting-list index ([[pipeline.Bm25Index]]) must be an
+  * exact, amortized re-expression of the index-free scorer: same scores,
+  * same ranks, incrementally maintainable, and physically partition-pruned
+  * when persisted.
+  */
+class Bm25IndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nBuckets = 64
+  private val qTerms = Seq("alpha", "gamma", "epsilon")
+
+  /** Deterministic corpus over a small vocabulary: term frequencies,
+    * doc lengths, and document frequencies all vary across docs. */
+  private def corpus(from: Int, until: Int) = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta")
+    (from until until).map { i =>
+      val words = (0 to (i % 9) + 2).map { j =>
+        vocab(((i * 2654435761L + j * 40503L) % vocab.size).toInt.abs)
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("index search equals the index-free scan, scores and ranks") {
+    val docs = corpus(0, 500)
+    val (postings, stats) =
+      Bm25Index.build(docs, col("doc_id"), col("text"), nBuckets)
+    val viaIndex = Bm25Index
+      .search(postings, stats, qTerms, 20, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaScan = TextAnalysis
+      .bm25TopK(docs, col("doc_id"), col("text"), qTerms, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaIndex.nonEmpty && viaIndex === viaScan)
+  }
+
+  test("incremental add over two batches equals a full rebuild") {
+    val all = corpus(0, 400)
+    val (p0, s0) = Bm25Index.build(corpus(0, 240), col("doc_id"),
+      col("text"), nBuckets)
+    val (p1, s1) = Bm25Index.add(p0, s0, corpus(240, 320),
+      col("doc_id"), col("text"), nBuckets)
+    val (p2, s2) = Bm25Index.add(p1, s1, corpus(320, 400),
+      col("doc_id"), col("text"), nBuckets)
+    val (pf, sf) = Bm25Index.build(all, col("doc_id"), col("text"), nBuckets)
+    // the maintained stats row is exactly the full-corpus one
+    assert(s2.collect().toSeq === sf.collect().toSeq)
+    val grown = Bm25Index.search(p2, s2, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rebuilt = Bm25Index.search(pf, sf, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(grown.nonEmpty && grown === rebuilt)
+  }
+
+  test("persisted index: search reads only the query terms' bucket " +
+      "partitions (constant-folded partition filter)") {
+    val docs = corpus(0, 600)
+    val (postings, stats) =
+      Bm25Index.build(docs, col("doc_id"), col("text"), nBuckets)
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Bm25Index.write(postings, dir)
+    val reloaded = spark.read.parquet(dir)
+
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE hides scans inside materialized query stages — descend
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans)
+    }
+    def scanStats(q: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      q.collect()
+      val scan = scans(q.queryExecution.executedPlan).head
+      (scan.metrics("numFiles").value, scan.metrics("numOutputRows").value)
+    }
+    val (allFiles, allRows) = scanStats(reloaded.select(col("term")))
+    val searched = Bm25Index.search(reloaded, stats, qTerms, 10, nBuckets)
+    searched.collect() // force execution for metrics
+    val scan = scans(searched.queryExecution.executedPlan).head
+    val pruned = scan.metrics("numFiles").value
+    val prunedRows = scan.metrics("numOutputRows").value
+    // 7-term vocab over 64 buckets (modulo hash collisions): a 3-term
+    // query touches at most 3 bucket directories, and the bucket
+    // predicate must fold to literals (a non-folded predicate reads
+    // every partition)
+    assert(allFiles >= 5, s"fixture too small: $allFiles files")
+    assert(pruned <= 3 && pruned < allFiles,
+      s"partition pruning failed: read $pruned of $allFiles files")
+    assert(prunedRows < allRows,
+      s"row pushdown failed: $prunedRows of $allRows rows")
+    // and the pruned search still returns the exact scan-path answer
+    val viaScan = TextAnalysis
+      .bm25TopK(docs, col("doc_id"), col("text"), qTerms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaIdx =
+      searched.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaIdx === viaScan)
+  }
+}
