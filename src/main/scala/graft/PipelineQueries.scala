@@ -1201,6 +1201,25 @@ object PipelineQueries {
           (abs(col("n_approx") - col("n_users")) <=
             greatest(ceil(col("n_users") * 0.05), lit(2L))).as("approx_ok"))),
 
+    // Mergeable distinct census (operators.HllCensus): build per-(day,
+    // type) DataSketches HLL sketches in ONE partial-aggregated pass,
+    // then answer the per-type distinct-users question by UNION-MERGING
+    // the persisted day sketches — the re-aggregation never touches raw
+    // events, which is the O(segments) serving primitive at 100 TB. At
+    // gate scale the merged sketches sit in the sparse-exact regime, so
+    // the estimate equals DuckDB's exact COUNT(DISTINCT) bit-for-bit,
+    // pinning the two-level union algebra (day build → type merge)
+    // rather than an approximation tolerance.
+    "events_distinct_sketch" -> ((s, d) => {
+      val daySketches = graft.operators.HllCensus.build(
+        Tables.events(s, d),
+        Seq(expr("ts div 86400000000000").as("day"), col("event_type")),
+        col("user_id"))
+      graft.operators.HllCensus
+        .estimate(daySketches, Seq(col("event_type")), "n_users")
+        .orderBy("event_type")
+    }),
+
     // first-touch attribution: each user's earliest event (ts, event_id
     // tie-break) via min(struct(...)) — partial-aggregated (SortAggregate
     // over the struct min: map side reduces to ONE row per user per
@@ -3874,6 +3893,11 @@ object PipelineQueries {
       ("SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch, " +
        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, TRUE AS approx_ok " +
        "FROM events GROUP BY 1"),
+
+    // sketch-merged distinct == exact in the sparse regime at gate scale
+    "events_distinct_sketch" ->
+      ("SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) " +
+       "AS n_users FROM events GROUP BY 1 ORDER BY 1"),
 
     "events_first_touch" ->
       ("WITH r AS (SELECT user_id, event_type, " +

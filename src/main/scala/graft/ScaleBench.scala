@@ -1118,6 +1118,43 @@ object ScaleBench {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       }
     }
+
+    // ---- mergeable HLL distinct census (HllCensus): the build pays one
+    // partial-aggregated pass over raw events; the persisted per-day
+    // sketch table then answers ANY window/grouping distinct question
+    // from sketch rows alone. 2M distinct users is far past the
+    // sparse-exact regime, so this measures the real approximation
+    // (reported as err ppm vs an exact recompute) AND the serving
+    // economics: probe inputRecords must be ~days×types sketch rows, not
+    // the 10M raw events the exact recompute reads.
+    if (Seq("hll_census_build_10m", "hll_census_probe_10m",
+        "hll_census_exact_10m").exists(only)) {
+      def sev = spark.range(10000000L).select(
+        (col("id") % 90).as("day"),
+        concat(lit("t"), col("id") % 4).as("event_type"),
+        pmod(xxhash64(col("id")), lit(2000000L)).as("user_id"))
+      val dir = "/tmp/graft_hll_census"
+      tm("hll_census_build_10m") {
+        val sk = operators.HllCensus.build(sev,
+          Seq(col("day"), col("event_type")), col("user_id"))
+        sk.write.mode("overwrite").parquet(dir)
+        s"segments=${spark.read.parquet(dir).count()}"
+      }
+      var exact = 0L
+      ti("hll_census_exact_10m") {
+        exact = sev.where(col("day").between(30, 59))
+          .agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+        s"exact=$exact"
+      }
+      ti("hll_census_probe_10m") {
+        val est = operators.HllCensus.estimateAll(
+          spark.read.parquet(dir).where(col("day").between(30, 59)), "n")
+          .collect().head.getLong(0)
+        val errPpm = math.abs(est - exact) * 1000000L / math.max(exact, 1L)
+        s"est=$est exact=$exact errPpm=$errPpm"
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
     spark.stop()
   }
 
