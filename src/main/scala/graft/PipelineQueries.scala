@@ -1246,6 +1246,19 @@ object PipelineQueries {
       operators.Retention.cohorts(
         Tables.events(s, d).select(col("user_id"), col("ts")))),
 
+    // week-over-week retention by SET ALGEBRA over persisted sketches
+    // (inclusion–exclusion with the scalar hll_union) — zero raw-row
+    // input at serving time, vs the exact path's (user, week) shuffle
+    // per question. Sparse-exact at gate scale, so the oracle is the
+    // exact self-join intersection, not a tolerance.
+    "events_retention_sketch" -> ((s, d) => {
+      val weekly = graft.operators.HllCensus.build(
+        Tables.events(s, d),
+        Seq(expr("ts div 604800000000000").as("week")), col("user_id"))
+      graft.operators.HllCensus.consecutiveOverlap(weekly, "week")
+        .orderBy("week_a")
+    }),
+
     // heavy hitters via the Misra–Gries TypedImperativeAggregate: k=64
     // counters per partial regardless of vocabulary size (the exact
     // top-terms path shuffles every distinct token — corpus-sized at
@@ -3957,6 +3970,20 @@ object PipelineQueries {
        "SELECT c.cwk AS cohort_week, e.wk - c.cwk AS week_offset, " +
        "COUNT(*) AS n_users, bit_xor(e.user_id) AS user_xor " +
        "FROM e JOIN c USING (user_id) GROUP BY 1, 2"),
+
+    // sketch inclusion–exclusion == exact intersection in the sparse regime
+    "events_retention_sketch" ->
+      ("WITH e AS (SELECT DISTINCT epoch_ns(ts) // 604800000000000 AS week, " +
+       "user_id FROM events), " +
+       "n AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1), " +
+       "ov AS (SELECT a.week AS wa, b.week AS wb, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_ret FROM e a " +
+       "JOIN e b ON a.user_id = b.user_id AND b.week = a.week + 1 " +
+       "GROUP BY 1, 2) " +
+       "SELECT na.week AS week_a, nb.week AS week_b, na.n AS n_a, " +
+       "nb.n AS n_b, CAST(COALESCE(ov.n_ret, 0) AS BIGINT) AS n_retained " +
+       "FROM n na JOIN n nb ON nb.week = na.week + 1 " +
+       "LEFT JOIN ov ON ov.wa = na.week AND ov.wb = nb.week ORDER BY 1"),
 
     "text_heavy_hitters" ->
       (s"WITH tok AS (SELECT unnest($toksSql) AS tok FROM documents) " +

@@ -82,4 +82,32 @@ object HllCensus {
   def compact(sketches: DataFrame, segCols: Seq[Column]): DataFrame =
     sketches.groupBy(segCols: _*)
       .agg(hll_union_agg(col("sketch")).as("sketch"))
+
+  /** Set ALGEBRA over the sketch table: the overlap between each pair
+    * of consecutive segments by inclusion–exclusion,
+    * `|A ∩ B| = |A| + |B| − |A ∪ B|`, where the union estimate comes
+    * from the scalar two-sketch `hll_union` — i.e. week-over-week
+    * retention computed from persisted sketches with ZERO raw-row
+    * input. The exact-path retention ([[Retention.cohorts]]) must
+    * re-shuffle every (user, week) row for every question; this joins
+    * a segments-sized table against itself (broadcastable at any
+    * corpus size — the sketch table has one ~KB row per segment).
+    * Exact in the sparse regime; ±~1% of the LARGER set beyond it, so
+    * small intersections of huge sets lose relative precision — the
+    * standard HLL inclusion–exclusion caveat, acceptable for retention
+    * (intersections are a large fraction of the cohort).
+    */
+  def consecutiveOverlap(sketches: DataFrame, key: String): DataFrame = {
+    val one = compact(sketches, Seq(col(key)))
+    val a = one.select(col(key).as(s"${key}_a"), col("sketch").as("sk_a"))
+    val b = one.select(col(key).as(s"${key}_b"), col("sketch").as("sk_b"))
+    a.join(b, col(s"${key}_b") === col(s"${key}_a") + 1)
+      .select(col(s"${key}_a"), col(s"${key}_b"),
+        hll_sketch_estimate(col("sk_a")).as("n_a"),
+        hll_sketch_estimate(col("sk_b")).as("n_b"),
+        (hll_sketch_estimate(col("sk_a")) +
+          hll_sketch_estimate(col("sk_b")) -
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .as("n_retained"))
+  }
 }

@@ -76,6 +76,26 @@ class HllCensusSpec extends AnyFunSuite {
     assert(afterCompact === rebuilt)
   }
 
+  test("consecutive-segment overlap by inclusion-exclusion equals the " +
+      "exact intersection (set algebra from sketches alone)") {
+    val ev = events(0, 10)
+    // day-keyed sketches with an uncompacted append-run on day 3
+    val sk = HllCensus.add(
+      HllCensus.build(ev, Seq(col("day")), col("user_id")),
+      events(3, 4), Seq(col("day")), col("user_id"))
+    val got = HllCensus.consecutiveOverlap(sk, "day")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    val byDay = ev.select("day", "user_id").distinct().collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val want = (0L until 9L).map { d =>
+      (d, byDay(d).size.toLong, byDay(d + 1).size.toLong,
+        (byDay(d) & byDay(d + 1)).size.toLong)
+    }
+    assert(got === want)
+  }
+
   test("persisted sketch table round-trips through parquet and serves " +
       "a date-range slice without the raw rows") {
     val ev = events(0, 30)
