@@ -337,6 +337,37 @@ object EventsStream {
   def useRocksDbStateStore(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
 
+  /** Streaming maintenance of the [[graft.operators.HllCensus]] distinct
+    * sketch table: each micro-batch is sketched per (day, event_type)
+    * segment — O(batch) work, the same partial-aggregated pass as the
+    * batch build — and APPENDED to the persisted table; serving merges
+    * the append-run via `hll_union_agg` ([[graft.operators.HllCensus.estimate]]).
+    *
+    * The sink is append-only parquet with NO exactly-once coordination,
+    * and that is deliberately sufficient: HLL union is idempotent per
+    * item, so a replayed batch (at-least-once delivery, a foreachBatch
+    * retry after a partial write) adds sketch rows that change NO
+    * estimate — the spec pins a full replay leaving every count
+    * unchanged. Distinct counting is the rare aggregate where the sketch
+    * is structurally immune to double-delivery; the additive twins
+    * (windowed counts) need the checkpoint/idempotent-sink contract
+    * instead. Periodic [[graft.operators.HllCensus.compact]] bounds the
+    * append-run length; estimates are invariant under it.
+    */
+  def sketchMaintain(events: DataFrame, tableDir: String,
+                     checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.HllCensus.build(batch,
+            Seq(expr("ts div 86400000000000").as("day"),
+              col("event_type")),
+            col("user_id"))
+          .write.mode("append").parquet(tableDir)
+        ()
+      }
+      .start()
+
   /** Run a streaming query to completion against the static fixture
     * (memory sink) and return the result table. */
   def runToMemory(spark: SparkSession, streamed: DataFrame,

@@ -155,6 +155,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sketch census: per-batch appends serve exact " +
+      "distincts, and a REPLAYED batch changes no estimate") {
+    import graft.operators.HllCensus
+    val ev = graft.core.Tables.events(spark, dir)
+      .select("event_id", "ts", "event_type", "user_id")
+      .localCheckpoint(true)
+    val inDir = java.nio.file.Files.createTempDirectory("hllin").toString
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("hlltab").toString + "/sketches"
+    val ckDir = java.nio.file.Files.createTempDirectory("hllck").toString
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("hllb")
+        .toString + "/out"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(inDir, s"$name.parquet"))
+      ()
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = EventsStream.sketchMaintain(stream, tableDir, ckDir)
+    try {
+      val b1 = ev.where(col("event_id") % 2 === 0)
+      val b2 = ev.where(col("event_id") % 2 === 1)
+      def served() = HllCensus.estimate(
+        spark.read.parquet(tableDir), Seq(col("event_type")), "n")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      drop(b1, "b1"); q.processAllAvailable()
+      val exact1 = b1.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(served() === exact1)
+      drop(b2, "b2"); q.processAllAvailable()
+      val exactAll = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(served() === exactAll)
+      // replay batch 1 wholesale (at-least-once delivery): more sketch
+      // rows land, every estimate is unchanged — union idempotence, no
+      // exactly-once sink machinery needed for distinct correctness
+      val rowsBefore = spark.read.parquet(tableDir).count()
+      drop(b1, "b1_replay"); q.processAllAvailable()
+      assert(spark.read.parquet(tableDir).count() > rowsBefore)
+      assert(served() === exactAll)
+      // and compaction folds the append-run without moving any answer
+      val compacted = HllCensus.compact(spark.read.parquet(tableDir),
+        Seq(col("day"), col("event_type")))
+      assert(HllCensus.estimate(compacted, Seq(col("event_type")), "n")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === exactAll)
+    } finally q.stop()
+  }
+
   test("inode refresh: latest-wins merge with tombstones") {
     import org.apache.spark.sql.functions._
     val ino = graft.inodes.InodeView.inodes(spark, dir).limit(10)
