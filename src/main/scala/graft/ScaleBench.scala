@@ -1155,6 +1155,56 @@ object ScaleBench {
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
+
+    // ---- runtime bloom-filter injection (plans.RuntimeFilters): a
+    // selective dim predicate should prune the FACT side before its
+    // shuffle. Spark's default 10 GB probe-side threshold means the rule
+    // never fires at test scale, so production plans differ silently
+    // from validated ones; the helper pins the regime and this stage
+    // measures the consequence on parquet-backed tables in the
+    // shuffle-bound (non-broadcastable-dim) regime: shuffle records must
+    // collapse from fact-sized to match-sized when the filter fires, and
+    // the answers must be identical.
+    if (Seq("join_bloom_off_10m", "join_bloom_on_10m").exists(only)) {
+      val factDir = "/tmp/graft_bloom_fact"
+      val dimDir = "/tmp/graft_bloom_dim"
+      spark.range(10000000L).select(
+          pmod(xxhash64(col("id")), lit(2000000L)).as("fk"),
+          (col("id") * 7).as("v"))
+        .write.mode("overwrite").parquet(factDir)
+      spark.range(2000000L).select(col("id").as("dk"),
+          pmod(col("id"), lit(100L)).as("cat"))
+        .write.mode("overwrite").parquet(dimDir)
+      def run() = {
+        val fact = spark.read.parquet(factDir)
+        val dim = spark.read.parquet(dimDir).where(col("cat") === 7)
+        val res = fact.join(dim, col("fk") === col("dk"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        val row = res.collect().head
+        val plan = res.queryExecution.executedPlan.toString
+        (row.getLong(0), row.getLong(1), plan.contains("might_contain"))
+      }
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      var off = (0L, 0L, false)
+      tm("join_bloom_off_10m") {
+        plans.RuntimeFilters.disable(spark)
+        off = run()
+        s"n=${off._1} bloomInPlan=${off._3}"
+      }
+      tm("join_bloom_on_10m") {
+        plans.RuntimeFilters.enable(spark)
+        val on = run()
+        require(on._1 == off._1 && on._2 == off._2,
+          s"bloom changed the answer: $on vs $off")
+        require(on._3, "runtime bloom filter did not fire")
+        s"n=${on._1} bloomInPlan=${on._3}"
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      plans.RuntimeFilters.disable(spark)
+      Seq(factDir, dimDir).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    }
     spark.stop()
   }
 
