@@ -98,7 +98,12 @@ object HllCensus {
     * (intersections are a large fraction of the cohort).
     */
   def consecutiveOverlap(sketches: DataFrame, key: String): DataFrame = {
-    val one = compact(sketches, Seq(col(key)))
+    // materialize the compacted table before self-joining: it is
+    // segments-sized (~KB/row) so the checkpoint is cheap, while an
+    // unmaterialized self-join would re-run the whole upstream build
+    // lineage — including any raw-row scan feeding `sketches` — once
+    // per side
+    val one = compact(sketches, Seq(col(key))).localCheckpoint(true)
     val a = one.select(col(key).as(s"${key}_a"), col("sketch").as("sk_a"))
     val b = one.select(col(key).as(s"${key}_b"), col("sketch").as("sk_b"))
     a.join(b, col(s"${key}_b") === col(s"${key}_a") + 1)

@@ -674,6 +674,45 @@ class PlanSpec extends AnyFunSuite {
       "the 1-row stats cross join must be a broadcast nested loop")
   }
 
+  test("events_distinct_sketch: two sketch aggregations, no join, " +
+      "no explode — partials ride ObjectHashAggregate") {
+    val plan = formatted("events_distinct_sketch")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"sketch aggs are TypedImperative — ObjectHashAggregate:\n$plan")
+    assert(equiJoins(plan) == 0 && !plan.contains("CartesianProduct"),
+      s"build + merge is pure aggregation, never a join:\n$plan")
+    assert("""\(\d+\) Generate""".r.findAllIn(plan).isEmpty,
+      "no explode anywhere — the sketch IS the aggregation state")
+    // (day,type) build + type merge + output sort = at most 3 exchanges;
+    // every one carries segment-sized sketch rows, never raw events
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("events_retention_sketch: serving self-joins the CHECKPOINTED " +
+      "segment table — raw rows never feed the join") {
+    val plan = formatted("events_retention_sketch")
+    // the compacted sketch table is materialized once; both join sides
+    // read it (ExistingRDD), so no parquet scan appears in the serving plan
+    assert(!plan.contains("Scan parquet"),
+      s"join sides must read the checkpointed sketch table:\n$plan")
+    val joins = """\(\d+\) (BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)"""
+      .r.findAllIn(plan).size
+    assert(joins == 1 && !plan.contains("CartesianProduct"),
+      s"exactly one segments-sized equi self-join, got $joins:\n$plan")
+  }
+
+  test("retrieval_bm25_indexed: probe never re-shuffles the postings — " +
+      "df and stats broadcast, top-k short-circuits") {
+    val plan = formatted("retrieval_bm25_indexed")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must short-circuit:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "1-row stats join must broadcast, never cartesian")
+    assert("""BroadcastExchange""".r.findAllIn(plan).size >= 2,
+      s"per-term df and 1-row stats must both broadcast:\n$plan")
+  }
+
   test("layout code queries: scans read exactly the two key columns") {
     for (q <- Seq("layout_zorder_code", "layout_hilbert_code")) {
       val plan = formatted(q)
