@@ -2143,6 +2143,25 @@ object PipelineQueries {
     // key's contribution — the skew-join/salting trigger. Accumulation
     // rides decimal (sumExactLong): per-key products summed over 1e10
     // keys wrap a long.
+    // pre-flight join-strategy ADVISOR: the per-key count profiles
+    // (aggregate-space, fact rows never join) feed a deterministic
+    // decision ladder — broadcast / cap-fanout / salt / plain shuffle —
+    // so the wrong-join failure classes (driver OOM, whale-key
+    // straggler, shuffle explosion) are caught before the join is paid.
+    // The three analyzed pairs exercise three ladder rungs on real data
+    // at gate scale; the threshold constants live in BOTH engines.
+    "profile_join_advice" -> ((s, d) => {
+      import graft.operators.JoinAdvisor.advise
+      val bc = 5000L
+      advise(Tables.orders(s, d), col("o_orderkey"),
+          Tables.lineitem(s, d), col("l_orderkey"), "orders_lineitem", bc)
+        .unionByName(advise(Tables.orders(s, d), col("o_custkey"),
+          Tables.customer(s, d), col("c_custkey"), "orders_customer", bc))
+        .unionByName(advise(Tables.events(s, d), col("user_id"),
+          Tables.events(s, d), col("user_id"), "events_self", bc))
+        .orderBy("pair")
+    }),
+
     "profile_join_cardinality" -> ((s, d) => {
       val a = Tables.orders(s, d)
         .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("na"))
@@ -4500,6 +4519,21 @@ object PipelineQueries {
        "CAST((CAST(max_n AS HUGEINT) * n_keys * 1000) // total " +
        "AS BIGINT) AS skew_x1000 " +
        "FROM c, t ORDER BY n DESC, user_id LIMIT 10"),
+
+    // mirrors JoinAdvisor.advise's ladder via the adjacent oracleSql
+    // builder, so the two CASE orders cannot drift apart silently
+    "profile_join_advice" -> {
+      val adv = graft.operators.JoinAdvisor
+      Seq(
+        adv.oracleSql("events", "user_id", "events", "user_id",
+          "events_self", 5000L),
+        adv.oracleSql("orders", "o_custkey", "customer", "c_custkey",
+          "orders_customer", 5000L),
+        adv.oracleSql("orders", "o_orderkey", "lineitem", "l_orderkey",
+          "orders_lineitem", 5000L))
+        .map(q => s"SELECT * FROM ($q)").mkString(" UNION ALL ") +
+        " ORDER BY pair"
+    },
 
     "profile_join_cardinality" ->
       ("WITH a AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS na " +
