@@ -1246,6 +1246,35 @@ object PipelineQueries {
       operators.Retention.cohorts(
         Tables.events(s, d).select(col("user_id"), col("ts")))),
 
+    // quantile census (operators.QuantileCensus / functions.QuantileDigest):
+    // per-(day,type) GK digests re-merged per type answer p50/p90/p99
+    // from digest rows alone. The quantile VALUE may move within the
+    // ε-rank bound under AQE's merge order, so the oracle pins the GK
+    // contract itself — exact ranks of the returned values, recomputed
+    // in-engine against the raw rows, must sit within 2ε·N — plus the
+    // digest's exact count (the heavy-hitters bounds-boolean pattern).
+    "events_quantiles_sketch" -> ((s, d) => {
+      val eps = 0.001
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+      val digests = graft.operators.QuantileCensus.build(ev,
+        Seq(expr("ts div 86400000000000").as("day"), col("event_type")),
+        col("value"), eps)
+      val merged = graft.operators.QuantileCensus.quantiles(digests,
+        Seq(col("event_type")), Seq(0.5, 0.9, 0.99))
+      def okCols(qppm: Long, p: String) = Seq(
+        (sum(when(col("value") <= col(p), 1L).otherwise(0L)) * 1000000L
+          >= (lit(qppm - 2000L) * first(col("n")) - 1000000L)) &&
+        (sum(when(col("value") < col(p), 1L).otherwise(0L)) * 1000000L
+          <= (lit(qppm + 2000L) * first(col("n")) + 1000000L)))
+      ev.join(broadcast(merged), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("n")).as("n"),
+          okCols(500000L, "p50").head.as("p50_ok"),
+          okCols(900000L, "p90").head.as("p90_ok"),
+          okCols(990000L, "p99").head.as("p99_ok"))
+        .orderBy("event_type")
+    }),
+
     // week-over-week retention by SET ALGEBRA over persisted sketches
     // (inclusion–exclusion with the scalar hll_union) — zero raw-row
     // input at serving time, vs the exact path's (user, week) shuffle
@@ -3989,6 +4018,13 @@ object PipelineQueries {
        "SELECT c.cwk AS cohort_week, e.wk - c.cwk AS week_offset, " +
        "COUNT(*) AS n_users, bit_xor(e.user_id) AS user_xor " +
        "FROM e JOIN c USING (user_id) GROUP BY 1, 2"),
+
+    // the GK rank-bound booleans are recomputed in-engine vs raw rows;
+    // the oracle pins them TRUE plus the digest's exact per-type count
+    "events_quantiles_sketch" ->
+      ("SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n, " +
+       "TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok " +
+       "FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1"),
 
     // sketch inclusion–exclusion == exact intersection in the sparse regime
     "events_retention_sketch" ->

@@ -1156,6 +1156,58 @@ object ScaleBench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
 
+    // ---- quantile census (QuantileCensus): same serving economics as
+    // the HLL census but for percentiles — the per-day GK digest table
+    // is built once; a 30-day-window p50/p99 probe reads digest rows
+    // only. Reported next to an exact recompute (full sort-based
+    // percentile over raw rows) for both cost and accuracy (ppm rank
+    // error of the digest's answers, computed against the raw window).
+    if (Seq("quantile_census_build_10m", "quantile_census_probe_10m",
+        "quantile_census_exact_10m").exists(only)) {
+      def qev = spark.range(10000000L).select(
+        (col("id") % 90).as("day"),
+        // heavy-tailed values so p99 actually stresses the digest
+        (pow(pmod(xxhash64(col("id")), lit(1000000L))
+          .cast("double") / 1000000.0, 4.0) * 1000000.0).as("v"))
+      val dir = "/tmp/graft_quantile_census"
+      tm("quantile_census_build_10m") {
+        val dg = operators.QuantileCensus.build(qev,
+          Seq(col("day")), col("v"), relativeError = 0.001)
+        dg.write.mode("overwrite").parquet(dir)
+        s"segments=${spark.read.parquet(dir).count()}"
+      }
+      var exact50 = 0.0; var exact99 = 0.0
+      ti("quantile_census_exact_10m") {
+        val r = qev.where(col("day").between(30, 59))
+          .agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.99)"))
+          .collect().head
+        exact50 = r.getDouble(0); exact99 = r.getDouble(1)
+        f"exact50=$exact50%.1f exact99=$exact99%.1f"
+      }
+      var probed: (Long, Double, Double) = (0L, 0.0, 0.0)
+      ti("quantile_census_probe_10m") {
+        val row = operators.QuantileCensus.quantiles(
+          spark.read.parquet(dir).where(col("day").between(30, 59)),
+          Nil, Seq(0.5, 0.99)).collect().head
+        probed = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+        f"n=${probed._1} p50=${probed._2}%.1f p99=${probed._3}%.1f"
+      }
+      if (only("quantile_census_probe_10m")) {
+        // accuracy audit OUTSIDE the measured probe (it rescans raw
+        // rows, which the probe never does): exact ranks of the
+        // digest answers, in ppm (GK contract: within ~2*eps = 2000)
+        val (n, p50, p99) = probed
+        val errs = qev.where(col("day").between(30, 59)).agg(
+          sum(when(col("v") <= p50, 1L).otherwise(0L)),
+          sum(when(col("v") <= p99, 1L).otherwise(0L))).collect().head
+        val e50 = math.abs(errs.getLong(0) * 1000000L / n - 500000L)
+        val e99 = math.abs(errs.getLong(1) * 1000000L / n - 990000L)
+        println(s"SCALEBENCH quantile_census_rank_audit " +
+          s"rankErrPpm50=$e50 rankErrPpm99=$e99 (bound ~2000)")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+
     // ---- runtime bloom-filter injection (plans.RuntimeFilters): a
     // selective dim predicate should prune the FACT side before its
     // shuffle. Spark's default 10 GB probe-side threshold means the rule

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.QuantileDigest._
+
+/** Per-segment quantile census — [[HllCensus]]'s shape with GK quantile
+  * digests ([[graft.functions.QuantileDigest]]) as the mergeable state:
+  * build a digest table per segment in one partial-aggregated pass,
+  * persist it (binary digest column in plain parquet), and serve
+  * "p50/p99 over any coarser grouping or window" from digest rows alone.
+  * Appends are pure segment-row adds folded by [[quantiles]]' re-merge;
+  * [[compact]] bounds an append-run. The digest's `count` is exact; the
+  * quantile values carry the GK ε-rank guarantee under any merge tree.
+  */
+object QuantileCensus {
+
+  def build(df: DataFrame, segCols: Seq[Column], value: Column,
+            relativeError: Double = 0.001): DataFrame =
+    df.groupBy(segCols: _*)
+      .agg(quantile_digest_agg(value, relativeError).as("digest"))
+
+  /** Re-merge to a coarser grouping and answer the given fractions;
+    * output columns: groupCols..., n (exact), p<frac*100> per fraction. */
+  def quantiles(digests: DataFrame, groupCols: Seq[Column],
+                fractions: Seq[Double]): DataFrame = {
+    val merged = digests.groupBy(groupCols: _*)
+      .agg(quantile_digest_merge_agg(col("digest")).as("digest"))
+    val qCols = fractions.map(q =>
+      quantile_digest_query(col("digest"), q)
+        .as(s"p${math.round(q * 100)}"))
+    merged.select((groupCols :+
+      quantile_digest_count(col("digest")).as("n")) ++ qCols: _*)
+  }
+
+  def add(digests: DataFrame, newData: DataFrame, segCols: Seq[Column],
+          value: Column, relativeError: Double = 0.001): DataFrame =
+    digests.unionByName(build(newData, segCols, value, relativeError))
+
+  def compact(digests: DataFrame, segCols: Seq[Column]): DataFrame =
+    digests.groupBy(segCols: _*)
+      .agg(quantile_digest_merge_agg(col("digest")).as("digest"))
+}
