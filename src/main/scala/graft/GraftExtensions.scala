@@ -114,6 +114,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"morton_code takes 2 to 4 dimensions, got ${other.size}")
       }))
 
+    // the mergeable quantile-digest family (SQL door parity with the
+    // Column API): build/merge aggregates plus the image query scalars.
+    // numeric inputs are cast to double here, matching the Column API.
+    def asDouble(e: Expression) = org.apache.spark.sql.catalyst
+      .expressions.Cast(e, org.apache.spark.sql.types.DoubleType)
+    def dblLit(e: Expression, what: String): Double = e match {
+      case Literal(v: Double, _) => v
+      case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a double literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("quantile_digest_agg"),
+      info("quantile_digest_agg",
+        "quantile_digest_agg(col[, eps]) - mergeable GK quantile digest image"),
+      (exprs: Seq[Expression]) => QuantileDigestAgg(asDouble(exprs(0)),
+        if (exprs.size > 1) dblLit(exprs(1), "eps") else 0.001)))
+    ext.injectFunction((
+      FunctionIdentifier("quantile_digest_merge_agg"),
+      info("quantile_digest_merge_agg",
+        "quantile_digest_merge_agg(digest) - re-merge persisted digest images"),
+      (exprs: Seq[Expression]) => QuantileDigestMerge(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("quantile_digest_query"),
+      info("quantile_digest_query",
+        "quantile_digest_query(digest, q) - quantile at fraction q from an image"),
+      (exprs: Seq[Expression]) => QuantileDigestQuery(exprs(0),
+        asDouble(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("quantile_digest_count"),
+      info("quantile_digest_count",
+        "quantile_digest_count(digest) - exact row count carried by an image"),
+      (exprs: Seq[Expression]) => QuantileDigestCount(exprs(0))))
+
     // optimizer rule: naive BETWEEN range joins (BroadcastNestedLoop)
     // rewrite to the bucketized equi-join — see plans.RangeJoinRewrite
     ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRewrite)

@@ -61,5 +61,30 @@ object GraftFunctions {
           s"morton_code takes 2 to 4 dimensions, got ${other.size}")
       },
       "scala_udf")
+    def asDouble(e: Expression) = org.apache.spark.sql.catalyst
+      .expressions.Cast(e, org.apache.spark.sql.types.DoubleType)
+    def dblLit(e: Expression, what: String): Double = e match {
+      case Literal(v: Double, _) => v
+      case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a double literal, got $other")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantile_digest_agg",
+      exprs => QuantileDigestAgg(asDouble(exprs(0)),
+        if (exprs.size > 1) dblLit(exprs(1), "eps") else 0.001),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantile_digest_merge_agg",
+      exprs => QuantileDigestMerge(exprs(0)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantile_digest_query",
+      exprs => QuantileDigestQuery(exprs(0), asDouble(exprs(1))),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantile_digest_count",
+      exprs => QuantileDigestCount(exprs(0)),
+      "scala_udf")
   }
 }

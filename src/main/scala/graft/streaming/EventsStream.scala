@@ -104,6 +104,36 @@ object EventsStream {
       shiftright((diffs :+ otherDiff).reduce(_ + _), 1).as("tvd_ppm"))
   }
 
+  /** Live percentile monitor — the streaming twin of the quantile
+    * census ([[graft.operators.QuantileCensus]]): per tumbling window,
+    * a GK digest over `valueCol` plus the window's p50/p95/p99 and
+    * exact count, so an operator watches a latency tail MOVE instead of
+    * reading it off tomorrow's batch profile. State per window is ONE
+    * digest (O(1/ε · log(εN)) samples — KBs, never the value
+    * distribution), merged partial-then-final like any aggregate and
+    * bounded by the watermark horizon. The emitted `digest` column is
+    * the same portable image the batch census persists, so downstream
+    * can re-merge windows into coarser serving segments
+    * ([[graft.operators.QuantileCensus.compact]]) without touching raw
+    * rows. Works unchanged on a batch frame (the spec's equivalence
+    * oracle). */
+  def quantileMonitor(events: DataFrame, valueCol: String = "value",
+                      relativeError: Double = 0.001,
+                      window_ : String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    import graft.functions.QuantileDigest._
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_))
+      .agg(quantile_digest_agg(col(valueCol), relativeError).as("digest"))
+      .select(col("window"),
+        quantile_digest_count(col("digest")).as("n_events"),
+        quantile_digest_query(col("digest"), 0.5).as("p50"),
+        quantile_digest_query(col("digest"), 0.95).as("p95"),
+        quantile_digest_query(col("digest"), 0.99).as("p99"),
+        col("digest"))
+  }
+
   case class Sess(userId: Long, start: Long, end: Long, n: Long)
   case class Ev(user_id: Long, ts: Long)
 

@@ -72,6 +72,21 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(lk.getLong(3) ===
         graft.functions.HilbertCode.index16(12345L, 54321L))
 
+      // quantile digest family in plain SQL: build a per-group digest,
+      // re-merge the two groups, query + count from the merged image.
+      // 1..8 fully sampled at this size → the median query is exact
+      val qd = s2.sql(
+        """WITH seg AS (SELECT g, quantile_digest_agg(v) AS digest
+             FROM VALUES (0, 1), (0, 2), (0, 3), (0, 4),
+                         (1, 5), (1, 6), (1, 7), (1, 8) AS t(g, v)
+             GROUP BY g)
+           SELECT quantile_digest_count(m) AS n,
+                  quantile_digest_query(m, 0.5d) AS p50
+           FROM (SELECT quantile_digest_merge_agg(digest) AS m FROM seg)""")
+        .head()
+      assert(qd.getLong(0) === 8L)
+      assert(qd.getDouble(1) === 4.0)
+
       // non-literal plan-shaping parameter is a resolution-time error
       intercept[Exception] {
         s2.sql("SELECT ngram_shingles(split('a b', ' '), cast(rand() * 2 as int))")

@@ -97,6 +97,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getLong(1) === 400000L)
   }
 
+  test("streaming quantile monitor: streamed windows ≡ batch twin; " +
+      "window digests re-merge into the serving census") {
+    import graft.operators.QuantileCensus
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.quantileMonitor(EventsStream.readStream(spark, dir)),
+      "quant_mon", org.apache.spark.sql.streaming.OutputMode.Append)
+    val batchEvents = graft.core.Tables.events(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val batch = EventsStream.quantileMonitor(batchEvents)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start").cast("long").as("w"), col("n_events"),
+        col("p50"), col("p99"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val got = asMap(streamed)
+    assert(got.nonEmpty)
+    val want = asMap(batch)
+    // counts are exact and must match; quantile values may sit anywhere
+    // inside the ε-rank band (merge trees differ between the streaming
+    // and batch runs), so pin them against exact ranks instead
+    got.foreach { case (w, (n, _, _)) => assert(want(w)._1 === n) }
+    val allVals = batchEvents.where(col("value").isNotNull)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    got.values.foreach { case (_, p50, p99) =>
+      // every window's p50/p99 is a real observed value
+      assert(allVals.contains(p50) && allVals.contains(p99))
+    }
+    // the emitted window digests ARE census segments: re-merging them
+    // answers p50 over the emitted horizon within the rank bound. The
+    // FINAL window is legitimately absent (append mode emits a window
+    // only once the watermark passes it; the stream ends first), so the
+    // census target is the events inside emitted windows, not all rows.
+    val emittedStarts = got.keySet
+    val emittedVals = batchEvents
+      .withColumn("w", window(col("event_time"), "1 hour"))
+      .where(col("w.start").cast("long").isInCollection(emittedStarts))
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    val n = emittedVals.size
+    assert(n === got.values.map(_._1).sum)
+    assert(n < allVals.size, "the open final window should be unemitted")
+    val windowDigests = spark.table("quant_mon").select("digest")
+    val merged = QuantileCensus.quantiles(windowDigests, Nil, Seq(0.5))
+      .collect().head
+    assert(merged.getLong(0) === n.toLong)
+    val p50 = merged.getDouble(1)
+    val le = emittedVals.count(_ <= p50)
+    val lt = emittedVals.count(_ < p50)
+    assert(le >= (0.5 - 0.002) * n - 1 && lt <= (0.5 + 0.002) * n + 1,
+      s"re-merged p50=$p50 outside the rank band")
+  }
+
   test("streaming IVF maintenance: per-batch index adds land on the " +
       "full-rebuild search, batch by batch") {
     import graft.pipeline.Similarity
