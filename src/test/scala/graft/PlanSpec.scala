@@ -625,6 +625,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("profile_join_advice: every analyzed pair stays aggregate-space " +
+      "— no raw-row join, no explode, 1-row stat frames cross-join " +
+      "broadcast") {
+    val plan = formatted("profile_join_advice")
+    // per pair: two per-key count tables join (|keys| rows), their
+    // 1-row side stats combine via broadcast nested loop; a SortMergeJoin
+    // would mean a fact-row table reached a join unaggregated
+    assert(!plan.contains("Generate"), "no explode in the advisor")
+    assert(!plan.contains("CartesianProduct"))
+    // the (key,count) ⋈ (key,count) joins are fed by aggregates: the
+    // tree shows at least 4 HashAggregates per pair × 3 pairs
+    val tree = plan.linesIterator.takeWhile(l => !l.startsWith("(1) Scan"))
+      .toSeq
+    assert(tree.count(_.contains("HashAggregate")) >= 12,
+      s"per-side partial+final aggs must feed every pair's key join:\n$plan")
+  }
+
   test("profile_key_skew: one partial-agg shuffle; global scalars ride " +
       "a broadcast, facts never join") {
     val plan = formatted("profile_key_skew")
