@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.QuantileDigest._
+
+/** Corrupt digest images must fail loudly — a truncated or foreign
+  * binary fed to the merge/query path must raise, never deserialize
+  * into a silently wrong summary (the negative-decode discipline the
+  * binary-fsimage door established in round 9). */
+class QuantileDigestNegativeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def goodDigest: Array[Byte] = {
+    val rows = (1 to 100).map(i => i.toDouble).toDF("v")
+    rows.agg(quantile_digest_agg(col("v"), 0.01).as("d"))
+      .collect().head.getAs[Array[Byte]](0)
+  }
+
+  test("a truncated digest image fails the query, not answers it") {
+    val bytes = goodDigest
+    assert(bytes.length > 24)
+    val truncated = bytes.take(bytes.length / 2)
+    intercept[Exception] {
+      Seq(truncated).toDF("d")
+        .select(quantile_digest_query(col("d"), 0.5)).collect()
+    }
+  }
+
+  test("a truncated digest image fails the re-merge") {
+    val bytes = goodDigest
+    intercept[Exception] {
+      Seq(bytes.take(8)).toDF("d")
+        .agg(quantile_digest_merge_agg(col("d"))).collect()
+    }
+  }
+
+  test("a sample-count field larger than the payload fails, never " +
+      "fabricates samples") {
+    val bytes = goodDigest.clone()
+    // the sampled-array length lives at offset 20 (int threshold,
+    // double eps, long count precede it) — inflate it past the payload
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putInt(20, Int.MaxValue / 2)
+    intercept[Exception] {
+      Seq(bytes).toDF("d")
+        .select(quantile_digest_count(col("d"))).collect()
+    }
+  }
+
+  test("an intact image still round-trips after the negative cases " +
+      "(no shared-state corruption)") {
+    val n = Seq(goodDigest).toDF("d")
+      .select(quantile_digest_count(col("d"))).collect().head.getLong(0)
+    assert(n === 100L)
+  }
+}
