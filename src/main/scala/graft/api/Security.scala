@@ -48,8 +48,9 @@ object Security {
     // mirrors the reference webapp's login flow
     "", "ui")
   val CacheReaderEndpoints: Set[String] = Set(
-    "suggestions", "history", "token", "directories", "users", "quotas",
-    "fileAge", "info", "config", "getCachedQuery", "cachedMaps", "fileTypes")
+    "suggestions", "history", "sketchHistory", "token", "directories",
+    "users", "quotas", "fileAge", "info", "config", "getCachedQuery",
+    "cachedMaps", "fileTypes")
   val ReaderEndpoints: Set[String] = Set(
     "contentSummary", "filter", "histogram", "histogram2", "histogram3",
     "divide", "top", "bottom", "dump", "sql",

@@ -115,6 +115,14 @@ object SuggestionsService {
     val perUser = Suggestions.cachedUserMaps(inodes, nowMs)
       .localCheckpoint(eager = true)
     historyPath.foreach(p => Sinks.appendHistory(perUser, p, nowMs))
+    // sketch row (HLL owners + GK size digest) rides the SAME full pass
+    // cadence: sketches union adds but cannot subtract removals, so only
+    // full-rebase cycles (this body) append — incremental folds don't.
+    // Served by /sketchHistory: window distincts and moving percentiles
+    // that remain answerable after this cycle's namespace is replaced.
+    historyPath.foreach(p => SketchHistory.append(
+      inodes.where(org.apache.spark.sql.functions.col("isFile")),
+      p + "_sketch", nowMs))
     val users = perUser.count()
     for (prev <- prevSnapshot; gp <- growthHistoryPath)
       graft.operators.SnapshotDiff.growthByUser(

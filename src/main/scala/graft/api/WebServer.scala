@@ -357,6 +357,32 @@ final class WebServer(
         "[" + cycles.map(c =>
           s"""{"ts": ${c.ts}, "users": ${c.users}, "failedQueries": ${c.cachedFailures.size}}""")
           .mkString(", ") + "]")
+    case "sketchHistory" =>
+      // window distincts + moving percentiles from the per-cycle sketch
+      // rows — answers that outlive the namespaces they were built from
+      // (additive history rows cannot fold distincts or percentiles).
+      // ?from=&to= bound the window in cycle_ts millis (default: all).
+      historyPath match {
+        case None => respond(ex, 200, "application/json", "{}")
+        case Some(hp) =>
+          val from = p.get("from").map(_.toLong).getOrElse(Long.MinValue)
+          val to = p.get("to").map(_.toLong).getOrElse(Long.MaxValue)
+          val body = scala.util.Try {
+            val hist = SketchHistory.read(spark, hp + "_sketch")
+              .where(col("cycle_ts").between(from, to))
+            val nUsers = SketchHistory.distinctUsersOver(hist, from, to)
+              .collect().head.getLong(0)
+            val rows = SketchHistory
+              .sizePercentiles(hist, Seq(0.5, 0.95, 0.99))
+              .collect().map { r =>
+                s"""{"ts": ${r.getLong(0)}, "n_files": ${r.getLong(1)}, """ +
+                s""""p50": ${r.getDouble(2)}, "p95": ${r.getDouble(3)}, """ +
+                s""""p99": ${r.getDouble(4)}}"""
+              }
+            s"""{"n_users": $nUsers, "cycles": [${rows.mkString(", ")}]}"""
+          }.getOrElse("{}") // no sketch rows yet → empty, not a 500
+          respond(ex, 200, "application/json", body)
+      }
 
     // ---- cached queries (§2.10 user-registered)
     case "setCachedQuery" =>

@@ -384,6 +384,35 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { svc.stop(); hist.stop() }
   }
 
+  test("/sketchHistory serves window distincts and moving percentiles " +
+      "from the per-cycle sketch rows") {
+    import org.apache.spark.sql.functions.col
+    val hp = java.nio.file.Files.createTempDirectory("skh").toString + "/h"
+    val svc = new SuggestionsService.Service(spark, ino, Some(hp),
+      intervalMs = 50)
+    val srv: WebServer = new WebServer(spark, ino, dir,
+      new Security.Context(Nil, "k".getBytes(UTF_8)),
+      historyPath = Some(hp), suggestionsService = Some(svc))
+    srv.start()
+    try {
+      svc.start()
+      val deadline = System.currentTimeMillis() + 30000
+      while (svc.history.size < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(svc.history.size >= 2, "cycles never completed")
+      val r = get(srv, "/sketchHistory")
+      assert(r.status === 200)
+      // distinct owners across all cycles == exact (sparse regime)
+      val exactUsers = ino.where(col("isFile")).select("user")
+        .distinct().count()
+      assert(r.body.contains(s""""n_users": $exactUsers"""), r.body)
+      assert(r.body.contains("\"p99\":") && r.body.contains("\"n_files\":"))
+      // a window bounded to exclude everything is empty but not an error
+      val empty = get(srv, "/sketchHistory?from=1&to=2")
+      assert(empty.status === 200 && empty.body.contains("\"cycles\": []"))
+    } finally { svc.stop(); srv.stop() }
+  }
+
   test("incremental census service: folded refresh cycles serve values " +
       "identical to a full recompute, no namespace-sized scan") {
     import org.apache.spark.sql.functions._
