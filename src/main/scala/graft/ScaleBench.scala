@@ -1127,26 +1127,31 @@ object ScaleBench {
     // (reported as err ppm vs an exact recompute) AND the serving
     // economics: probe inputRecords must be ~days×types sketch rows, not
     // the 10M raw events the exact recompute reads.
-    if (Seq("hll_census_build_10m", "hll_census_probe_10m",
-        "hll_census_exact_10m").exists(only)) {
-      def sev = spark.range(10000000L).select(
+    // the build's shuffle is CORPUS-SIZE-INDEPENDENT: what crosses the
+    // wire is one sketch partial per (segment × input partition), so 1M
+    // and 10M rows move the same ~segments×partitions records — the 1m
+    // twin stage pins that flatness.
+    for ((nRows, tag) <- Seq((1000000L, "1m"), (10000000L, "10m"))
+         if Seq(s"hll_census_build_$tag", s"hll_census_probe_$tag",
+           s"hll_census_exact_$tag").exists(only)) {
+      def sev = spark.range(nRows).select(
         (col("id") % 90).as("day"),
         concat(lit("t"), col("id") % 4).as("event_type"),
         pmod(xxhash64(col("id")), lit(2000000L)).as("user_id"))
-      val dir = "/tmp/graft_hll_census"
-      tm("hll_census_build_10m") {
+      val dir = s"/tmp/graft_hll_census_$tag"
+      tm(s"hll_census_build_$tag") {
         val sk = operators.HllCensus.build(sev,
           Seq(col("day"), col("event_type")), col("user_id"))
         sk.write.mode("overwrite").parquet(dir)
         s"segments=${spark.read.parquet(dir).count()}"
       }
       var exact = 0L
-      ti("hll_census_exact_10m") {
+      ti(s"hll_census_exact_$tag") {
         exact = sev.where(col("day").between(30, 59))
           .agg(countDistinct(col("user_id"))).collect().head.getLong(0)
         s"exact=$exact"
       }
-      ti("hll_census_probe_10m") {
+      ti(s"hll_census_probe_$tag") {
         val est = operators.HllCensus.estimateAll(
           spark.read.parquet(dir).where(col("day").between(30, 59)), "n")
           .collect().head.getLong(0)
@@ -1162,22 +1167,23 @@ object ScaleBench {
     // only. Reported next to an exact recompute (full sort-based
     // percentile over raw rows) for both cost and accuracy (ppm rank
     // error of the digest's answers, computed against the raw window).
-    if (Seq("quantile_census_build_10m", "quantile_census_probe_10m",
-        "quantile_census_exact_10m").exists(only)) {
-      def qev = spark.range(10000000L).select(
+    for ((nRows, tag) <- Seq((1000000L, "1m"), (10000000L, "10m"))
+         if Seq(s"quantile_census_build_$tag", s"quantile_census_probe_$tag",
+           s"quantile_census_exact_$tag").exists(only)) {
+      def qev = spark.range(nRows).select(
         (col("id") % 90).as("day"),
         // heavy-tailed values so p99 actually stresses the digest
         (pow(pmod(xxhash64(col("id")), lit(1000000L))
           .cast("double") / 1000000.0, 4.0) * 1000000.0).as("v"))
-      val dir = "/tmp/graft_quantile_census"
-      tm("quantile_census_build_10m") {
+      val dir = s"/tmp/graft_quantile_census_$tag"
+      tm(s"quantile_census_build_$tag") {
         val dg = operators.QuantileCensus.build(qev,
           Seq(col("day")), col("v"), relativeError = 0.001)
         dg.write.mode("overwrite").parquet(dir)
         s"segments=${spark.read.parquet(dir).count()}"
       }
       var exact50 = 0.0; var exact99 = 0.0
-      ti("quantile_census_exact_10m") {
+      ti(s"quantile_census_exact_$tag") {
         val r = qev.where(col("day").between(30, 59))
           .agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.99)"))
           .collect().head
@@ -1185,14 +1191,14 @@ object ScaleBench {
         f"exact50=$exact50%.1f exact99=$exact99%.1f"
       }
       var probed: (Long, Double, Double) = (0L, 0.0, 0.0)
-      ti("quantile_census_probe_10m") {
+      ti(s"quantile_census_probe_$tag") {
         val row = operators.QuantileCensus.quantiles(
           spark.read.parquet(dir).where(col("day").between(30, 59)),
           Nil, Seq(0.5, 0.99)).collect().head
         probed = (row.getLong(0), row.getDouble(1), row.getDouble(2))
         f"n=${probed._1} p50=${probed._2}%.1f p99=${probed._3}%.1f"
       }
-      if (only("quantile_census_probe_10m")) {
+      if (only(s"quantile_census_probe_$tag")) {
         // accuracy audit OUTSIDE the measured probe (it rescans raw
         // rows, which the probe never does): exact ranks of the
         // digest answers, in ppm (GK contract: within ~2*eps = 2000)
