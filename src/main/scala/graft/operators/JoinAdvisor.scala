@@ -82,6 +82,56 @@ object JoinAdvisor {
           .otherwise(lit("shuffle_hash_join")))
   }
 
+  /** ACT on the advice: run the join with the recommended strategy
+    * applied. The ladder's rungs map to concrete plan interventions —
+    * `broadcast()` hints for a row-budget-fitting side, the
+    * deterministic salted join ([[graft.engine.Skew.saltedJoin]]) for a
+    * whale-keyed left side, and the plain shuffled equi-join otherwise.
+    * The fan-out rung does NOT silently join: a product explosion is a
+    * query bug, not a strategy choice, so it throws with the measured
+    * numbers unless the caller opts in (`allowFanout = true`, which
+    * downgrades to the plain join).
+    *
+    * Every branch returns the SAME rows as `left.join(right, key)` —
+    * strategy changes the plan, never the answer — which the spec pins
+    * branch by branch. Returns (joined, advice) so callers can log the
+    * decision that was taken.
+    */
+  def applyAdvised(left: DataFrame, right: DataFrame, key: String,
+                   broadcastRowMax: Long = 1000000L,
+                   skewX1000Min: Long = 20000L,
+                   fanoutMax: Long = 4L,
+                   salts: Int = 16,
+                   allowFanout: Boolean = false)
+      : (DataFrame, String) = {
+    val row = advise(left, col(key), right, col(key), "apply",
+      broadcastRowMax, skewX1000Min, fanoutMax).collect().head
+    val advice = row.getAs[String]("advice")
+    val joined = advice match {
+      case "broadcast_right" => left.join(broadcast(right), key)
+      case "broadcast_left" => broadcast(left).join(right, key)
+      case "cap_fanout_or_preaggregate" if !allowFanout =>
+        throw new IllegalArgumentException(
+          s"join on '$key' explodes: est ${row.getAs[Long]("est_rows")} " +
+          s"rows from ${row.getAs[Long]("n_left")} x " +
+          s"${row.getAs[Long]("n_right")} inputs (max key " +
+          s"${row.getAs[Long]("max_key_rows")}); pre-aggregate a side " +
+          "or pass allowFanout = true")
+      case "salt_skewed_side"
+          if row.getAs[Long]("skew_left_x1000") >=
+             row.getAs[Long]("skew_right_x1000") =>
+        graft.engine.Skew.saltedJoin(left, right, key, salts)
+      case "salt_skewed_side" =>
+        // saltedJoin spreads the LEFT side — swap, then the result set
+        // is identical (inner equi-join is symmetric up to column order)
+        val swapped = graft.engine.Skew.saltedJoin(right, left, key, salts)
+        val orig = left.join(right, key).columns
+        swapped.select(orig.map(col): _*)
+      case _ => left.join(right, key)
+    }
+    (joined, advice)
+  }
+
   /** The DuckDB mirror of [[advise]] for one pair, same thresholds —
     * kept adjacent to the Spark ladder so the two CASE orders can never
     * drift apart silently. */

@@ -59,6 +59,59 @@ class JoinAdvisorSpec extends AnyFunSuite {
     assert(flat.getAs[Long]("est_rows") === 10000L)
   }
 
+  test("applyAdvised: every rung returns exactly the plain join's rows " +
+      "— strategy changes the plan, never the answer") {
+    import graft.operators.JoinAdvisor.applyAdvised
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+    def plain(l: org.apache.spark.sql.DataFrame,
+              r: org.apache.spark.sql.DataFrame) = rows(l.join(r, "k"))
+
+    // broadcast rung (and the result carries the hint in the plan)
+    val bigL = spark.range(50000).select((col("id") % 5000).as("k"),
+      col("id").as("lv"))
+    val dim = spark.range(500).select(col("id").as("k"), (col("id") * 2).as("dv"))
+    val (bj, badv) = applyAdvised(bigL, dim, "k", broadcastRowMax = 1000L)
+    assert(badv === "broadcast_right")
+    assert(rows(bj) === plain(bigL, dim))
+
+    // salt rung: left whale key spreads; no __salt column leaks
+    val whale = spark.range(20000).select(
+      when(col("id") < 18000, lit(0L)).otherwise(col("id")).as("k"),
+      col("id").as("lv"))
+    val one = spark.range(20000).select(col("id").as("k"), (col("id") + 7).as("rv"))
+    val (sj, sadv) = applyAdvised(whale, one, "k", broadcastRowMax = 100L)
+    assert(sadv === "salt_skewed_side")
+    assert(!sj.columns.contains("__salt"))
+    assert(rows(sj) === plain(whale, one))
+    // right-side whale: the swap path must preserve the plain column order
+    val (sj2, sadv2) = applyAdvised(one, whale, "k", broadcastRowMax = 100L)
+    assert(sadv2 === "salt_skewed_side")
+    assert(sj2.columns.toSeq === one.join(whale, "k").columns.toSeq)
+    assert(rows(sj2) === plain(one, whale))
+
+    // fan-out rung refuses by default, joins plainly when opted in
+    val m = spark.range(10000).select((col("id") % 100).as("k"),
+      col("id").as("v"))
+    val m2 = spark.range(10000).select((col("id") % 100).as("k"),
+      (col("id") * 3).as("w"))
+    val ex = intercept[IllegalArgumentException] {
+      applyAdvised(m, m2, "k", broadcastRowMax = 100L)
+    }
+    assert(ex.getMessage.contains("explodes"))
+    val (fj, fadv) = applyAdvised(m, m2, "k", broadcastRowMax = 100L,
+      allowFanout = true)
+    assert(fadv === "cap_fanout_or_preaggregate")
+    assert(fj.count() === 10000L * 100L)
+
+    // plain rung
+    val flat = spark.range(20000).select(col("id").as("k"), col("id").as("x"))
+    val flat2 = spark.range(20000).select(col("id").as("k"), (col("id") + 1).as("y"))
+    val (pj, padv) = applyAdvised(flat, flat2, "k", broadcastRowMax = 100L)
+    assert(padv === "shuffle_hash_join")
+    assert(pj.count() === 20000L)
+  }
+
   test("disjoint keys: est_rows is 0, not null, and the ladder still " +
       "resolves") {
     val a = spark.range(5000).select(col("id").as("k"))
