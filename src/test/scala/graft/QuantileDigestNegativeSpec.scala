@@ -49,6 +49,24 @@ class QuantileDigestNegativeSpec extends AnyFunSuite {
     }
   }
 
+  test("a corrupt HLL sketch image fails the union loudly (DataSketches " +
+      "validates its own wire format)") {
+    val good = Seq("a", "b", "c").toDF("v")
+      .agg(expr("hll_sketch_agg(v, 18)").as("sk"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(good.length > 8)
+    val corrupt = good.clone(); corrupt(0) = (corrupt(0) ^ 0x5A).toByte
+    intercept[Exception] {
+      Seq(corrupt).toDF("sk")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).collect()
+    }
+    // truncation fails too
+    intercept[Exception] {
+      Seq(good.take(4)).toDF("sk")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).collect()
+    }
+  }
+
   test("an intact image still round-trips after the negative cases " +
       "(no shared-state corruption)") {
     val n = Seq(goodDigest).toDF("d")
