@@ -94,11 +94,41 @@ object ZOrder {
     val maxBits = if (cols.size == 3) 21 else 16
     require(bits >= 1 && bits <= maxBits,
       s"bits must be 1..$maxBits for ${cols.size}-D, got $bits")
+    val bounds = layoutBounds(df, cols, bits, relErr)
+    clusterWith(df, cols, partitions, bounds, keepCodeAs, curve)
+  }
+
+  /** The layout CONTRACT: per-dimension bucket boundaries (interior
+    * quantiles, 1/n .. (n-1)/n), computed in one `approxQuantile` pass.
+    * Persist these alongside the table — they are what incremental
+    * [[clusterDelta]] batches key against. */
+  def layoutBounds(df: DataFrame, cols: Seq[String], bits: Int = 8,
+                   relErr: Double = 1e-3): Array[Array[Double]] = {
     val n = 1 << bits
-    // one pass computes every dimension's boundary set (interior
-    // quantiles; 1/n .. (n-1)/n)
     val probs = Array.tabulate(n - 1)(i => (i + 1).toDouble / n)
-    val bounds = df.stat.approxQuantile(cols.toArray, probs, relErr)
+    df.stat.approxQuantile(cols.toArray, probs, relErr)
+  }
+
+  /** Incremental layout maintenance: key a DELTA batch against FROZEN
+    * bounds — the frozen-quantizer pattern the IVF index uses
+    * ([[graft.pipeline.Similarity.ivfAddToIndex]]). The delta's files
+    * land in the SAME curve key space as the base table, so their
+    * parquet min/max stats stay as tight and skippable as the base's;
+    * appending O(delta) work per batch replaces re-clustering the whole
+    * table per arrival. Bounds drift as the distribution moves — the
+    * nightly full [[clusterN]] re-fit (the census rebase / IVF re-seed
+    * cadence) re-pins them; until then skipping degrades only as far as
+    * the drift, never to a layout mismatch (every key is still total).
+    */
+  def clusterDelta(delta: DataFrame, cols: Seq[String], partitions: Int,
+                   bounds: Array[Array[Double]],
+                   curve: String = "morton"): DataFrame =
+    clusterWith(delta, cols, partitions, bounds, None, curve)
+
+  private def clusterWith(df: DataFrame, cols: Seq[String],
+                          partitions: Int, bounds: Array[Array[Double]],
+                          keepCodeAs: Option[String],
+                          curve: String): DataFrame = {
     val dims = cols.zip(bounds).map { case (c, bs) => bucket(col(c), bs) }
     val zc =
       if (curve == "hilbert") hilbert(dims(0), dims(1)) else codeN(dims)

@@ -692,6 +692,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(zRead < xRead / 2, s"z-layout read $zRead vs x-sort $xRead")
   }
 
+  test("incremental zorder maintenance: deltas keyed against FROZEN " +
+      "bounds keep the combined table skippable; unsorted appends don't") {
+    val rows = (0 until 40000).map { i =>
+      ((i * 2654435761L) % 100000, (i * 40503L) % 100000)
+    }
+    val base = rows.take(32000).toDF("x", "y")
+    val delta = rows.drop(32000).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zinc").toString
+    val cols = Seq("x", "y")
+    // base layout + its frozen contract
+    val bounds = graft.operators.ZOrder.layoutBounds(base, cols)
+    graft.operators.ZOrder.cluster(base, "x", "y", partitions = 12)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    spark.read.parquet(s"$dir/z").count() // materialize before appends
+    // maintained append vs naive append of the SAME delta
+    graft.operators.ZOrder.clusterDelta(delta, cols, partitions = 8, bounds)
+      .write.mode("append").parquet(s"$dir/z")
+    graft.operators.ZOrder.cluster(base, "x", "y", partitions = 12)
+      .write.mode("overwrite").parquet(s"$dir/naive")
+    delta.coalesce(4).write.mode("append").parquet(s"$dir/naive")
+    def scanRows(path: String): (Long, Long) = {
+      val all = spark.read.parquet(path)
+      val q = all.where(col("y") < 12500L)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      (scan.metrics("numOutputRows").value, all.count())
+    }
+    val (zRead, zTotal) = scanRows(s"$dir/z")
+    val (nRead, nTotal) = scanRows(s"$dir/naive")
+    assert(zTotal === 40000L && nTotal === 40000L, "appends must not lose rows")
+    // the maintained table's delta files carry tight y ranges like the
+    // base; the naive append's delta files span the full y range, so its
+    // scan reads (base skipped) + (whole delta)
+    // delta is 8000 rows at 1/8 selectivity: the naive append reads the
+    // whole delta (~8000), the maintained one only its y-intersecting
+    // files — demand at least half the delta back
+    assert(nRead > zRead + 4000,
+      s"naive append read $nRead, maintained $zRead — no skipping benefit")
+    assert(zRead < 20000, s"maintained layout read $zRead of 40000")
+  }
+
   test("hilbert curve: bijection, grid adjacency, codegen ≡ twin, " +
       "tighter partition boxes than morton") {
     import graft.functions.HilbertCode.index
