@@ -930,6 +930,21 @@ object ScaleBench {
       // 16-round loop per row in the key projection — this stage makes
       // that CPU delta visible next to morton's straight-line masks
       tm(s"layout_hilbert_cluster_$tag") { layoutForce("hilbert") }
+      // INCREMENTAL layout maintenance: a delta 1/10 the base keyed
+      // against the base's FROZEN bounds shuffles only delta records —
+      // the per-arrival cost of keeping an appended table skippable,
+      // vs the full re-cluster above that moves all n.
+      tm(s"layout_zorder_delta_$tag") {
+        val bounds = graft.operators.ZOrder
+          .layoutBounds(layoutDims, Seq("x", "y"))
+        val delta = spark.range(n / 10).select(
+          ((col("id") + n) * (col("id") + n) % 999983L).as("x"),
+          pmod(xxhash64(col("id") + n), lit(1000000L)).as("y"))
+        val kept = graft.operators.ZOrder
+          .clusterDelta(delta, Seq("x", "y"), partitions = 8, bounds)
+        val r = kept.agg(count(lit(1)), sum(col("x") + col("y"))).head()
+        s"deltaRows=${r.getLong(0)}"
+      }
     }
 
     // ---- TPC-H cross-scale: the heavy five at 1× vs 10× --------------
