@@ -116,22 +116,24 @@ object EventsStream {
     * can re-merge windows into coarser serving segments
     * ([[graft.operators.QuantileCensus.compact]]) without touching raw
     * rows. Works unchanged on a batch frame (the spec's equivalence
-    * oracle). */
+    * oracle). `keys` adds grouping under the window — "p99 per
+    * event_type per hour" — with state one digest per (window × key). */
   def quantileMonitor(events: DataFrame, valueCol: String = "value",
                       relativeError: Double = 0.001,
                       window_ : String = "1 hour",
-                      watermark: String = "2 hours"): DataFrame = {
+                      watermark: String = "2 hours",
+                      keys: Seq[String] = Nil): DataFrame = {
     import graft.functions.QuantileDigest._
     events
       .withWatermark("event_time", watermark)
-      .groupBy(window(col("event_time"), window_))
+      .groupBy(window(col("event_time"), window_) +: keys.map(col): _*)
       .agg(quantile_digest_agg(col(valueCol), relativeError).as("digest"))
-      .select(col("window"),
+      .select((col("window") +: keys.map(col)) ++ Seq(
         quantile_digest_count(col("digest")).as("n_events"),
         quantile_digest_query(col("digest"), 0.5).as("p50"),
         quantile_digest_query(col("digest"), 0.95).as("p95"),
         quantile_digest_query(col("digest"), 0.99).as("p99"),
-        col("digest"))
+        col("digest")): _*)
   }
 
   case class Sess(userId: Long, start: Long, end: Long, n: Long)

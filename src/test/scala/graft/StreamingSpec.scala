@@ -146,6 +146,21 @@ class StreamingSpec extends AnyFunSuite {
     val lt = emittedVals.count(_ < p50)
     assert(le >= (0.5 - 0.002) * n - 1 && lt <= (0.5 + 0.002) * n + 1,
       s"re-merged p50=$p50 outside the rank band")
+    // keyed form: one digest per (window, type); counts exact per cell
+    val keyed = EventsStream
+      .quantileMonitor(batchEvents, keys = Seq("event_type"))
+      .select(col("window.start").cast("long"), col("event_type"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val wantKeyed = batchEvents
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .count()
+      .select(col("window.start").cast("long"), col("event_type"),
+        col("count"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(keyed === wantKeyed && keyed.nonEmpty)
   }
 
   test("streaming IVF maintenance: per-batch index adds land on the " +
