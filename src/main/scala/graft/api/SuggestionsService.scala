@@ -44,9 +44,14 @@ object SuggestionsService {
     * partitioned by `isFile` and path-ordered (the layout
     * [[graft.operators.ZOrder]]/compaction maintain), both slices and
     * the dirs-only recompute prune to a fraction of the files. The
-    * user-registered cached queries are NOT re-run here (they are
-    * arbitrary namespace scans — they refresh on the full-rebase
-    * cadence), which is what keeps the whole cycle delta-sized. */
+    * user-registered cached queries DO re-run here, every tick: the
+    * reference re-executes the registry on every 15-minute cycle
+    * (`SuggestionsEngine.performCustomQueries`, ~`:744-1010`), so a
+    * registered query answered from yesterday's namespace would be a
+    * freshness bug at the API contract level. Registered queries are
+    * explicit user asks (registry-sized, not namespace-sized), so the
+    * CENSUS fold staying O(delta + dirs) is unaffected — only the
+    * user's own queries scan what they ask for. */
   def incrementalCycle(spark: SparkSession, before: DataFrame,
                        after: DataFrame, ops: DataFrame, state: CensusState,
                        nowMs: Long, historyPath: Option[String])
@@ -63,8 +68,11 @@ object SuggestionsService {
         .localCheckpoint(eager = true)
       historyPath.foreach(p => Sinks.appendHistory(userMaps, p, nowMs))
       val users = userMaps.count()
+      // user-registered queries ride EVERY cycle, incremental included —
+      // same contract as the full-rebase body (performCustomQueries)
+      val failures = CachedQueries.refresh(after, nowMs)
       (CensusState(census, userMaps, state.asOfMs, state.folds + 1),
-        CycleStats(nowMs, users, Map.empty))
+        CycleStats(nowMs, users, failures))
     }
 
   /** Run ONE suggestions cycle under a cancellable job group. Returns the

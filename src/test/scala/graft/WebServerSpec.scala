@@ -570,6 +570,73 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("registered cached queries refresh on EVERY service tick, " +
+      "incremental folds included") {
+    // freshness contract: the reference re-runs the registered-query
+    // registry on every 15-minute cycle (SuggestionsEngine
+    // .performCustomQueries, ~:744-1010) — an incremental fold tick must
+    // not leave /getCachedQuery serving the pre-delta namespace until the
+    // next full rebase (up to 24 h at the default cadence)
+    val now = 1700000000000L
+    def files(ids: org.apache.spark.sql.Dataset[java.lang.Long]) = ids.select(
+      col("id"),
+      format_string("/fresh/f%06d", col("id")).as("path"),
+      lit(true).as("isFile"), lit("u1").as("user"),
+      lit(100L).as("fileSize"), lit(0L).as("modTime"),
+      lit(0L).as("accessTime"), lit(1L).as("numBlocks"),
+      lit(3L).as("fileReplica"), lit(-1L).as("nsQuota"),
+      lit(-1L).as("dsQuota"), lit(false).as("hasQuota"),
+      lit(0L).as("dirNumChildren"), lit(0L).as("nsQuotaUsed"),
+      lit(0L).as("dsQuotaUsed"))
+      .withColumn("name", element_at(split(col("path"), "/"), -1))
+    val before = files(spark.range(10)).localCheckpoint()
+    val add1 = files(spark.range(10, 14)).localCheckpoint()
+    val add2 = files(spark.range(14, 17)).localCheckpoint()
+    val after1 = before.unionByName(add1).localCheckpoint()
+    val after2 = after1.unionByName(add2).localCheckpoint()
+    def ops(added: org.apache.spark.sql.DataFrame) = added
+      .select(lit("OP_ADD").as("opcode"), col("path"))
+      .withColumn("dst", lit(""))
+      .withColumn("srcs", lit(null).cast("array<string>"))
+    val snaps = Iterator(before, after1, after2)
+    val opss = Iterator(ops(add1), ops(add2))
+    val svc = new SuggestionsService.Service(spark, before, None,
+      intervalMs = 3600000L, clock = () => now,
+      snapshotProvider = Some(() => snaps.next()),
+      editTailProvider = Some(() => opss.next()))
+    val ws: WebServer = new WebServer(spark, before, dir,
+      new Security.Context(Nil, "k".getBytes(UTF_8)),
+      suggestionsService = Some(svc))
+    ws.start()
+    try {
+      def awaitCycles(k: Int): Unit = {
+        val dl = System.currentTimeMillis() + 60000
+        while (svc.history.size < k && System.currentTimeMillis() < dl)
+          Thread.sleep(50)
+        assert(svc.history.size >= k, s"cycle $k never completed")
+      }
+      def served(): Long = {
+        val r = get(ws, "/getCachedQuery?name=freshq")
+        assert(r.status === 200, r.body)
+        r.body.trim.split('\n')(1).trim.toLong
+      }
+      assert(get(ws, "/setCachedQuery?name=freshq&set=files" +
+        "&filters=user:eq:u1&sum=count").status === 200)
+      svc.runNow(); awaitCycles(1) // full rebase seeds the fold state
+      assert(served() === 10L)
+      svc.runNow(); awaitCycles(2) // incremental tick over delta 1
+      assert(served() === 14L,
+        "incremental tick must re-run registered queries (freshness)")
+      svc.runNow(); awaitCycles(3) // incremental tick over delta 2
+      assert(served() === 17L,
+        "second incremental tick must also refresh the registry")
+      assert(svc.latestCensus.get.folds === 2,
+        "ticks 2 and 3 must have been incremental folds, not rebases")
+    } finally {
+      svc.stop(); ws.stop(); CachedQueries.remove("freshq")
+    }
+  }
+
   // email sink: recording transport instead of SMTP (environment, not
   // analytics — the gate+subject+body plumbing is what's under test)
   lazy val sentMail =
