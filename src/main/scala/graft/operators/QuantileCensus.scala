@@ -11,7 +11,20 @@ import graft.functions.QuantileDigest._
   * "p50/p99 over any coarser grouping or window" from digest rows alone.
   * Appends are pure segment-row adds folded by [[quantiles]]' re-merge;
   * [[compact]] bounds an append-run. The digest's `count` is exact; the
-  * quantile values carry the GK ε-rank guarantee under any merge tree.
+  * quantile values carry the GK ε-rank guarantee under any merge tree
+  * (spec-pinned to 2εN under ~1,000-digest trees of several shapes).
+  *
+  * Size under repeated compaction: GK summaries are not fully
+  * mergeable (Agarwal et al., "Mergeability of summaries", 2012) — a
+  * digest merged from m inputs grows ~linearly in m instead of
+  * re-compressing to O(1/ε), because merged entries carry accumulated
+  * rank-uncertainty deltas that saturate the compression threshold.
+  * Each [[compact]] still strictly bounds TABLE size (one row per
+  * segment, total bytes never expand), but a segment compacted every
+  * cycle for a long time accretes digest bytes with total appends —
+  * which is why a digest-bearing serving table rides the same periodic
+  * full-rebuild cadence as the suggestions census rebase: the rebuild
+  * resets every segment to a fresh O(1/ε·log εN) digest.
   */
 object QuantileCensus {
 

