@@ -410,4 +410,51 @@ object EventsStream {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Latest-update-per-key selection over a spool of Update-mode batch
+    * outputs tagged with a `__batch` column: for each key the row from
+    * the highest batch wins (a window updated across several
+    * micro-batches serves its final state). One shuffle of
+    * result-table-sized rows (windows × keys), never raw events. */
+  def latestPerKey(spool: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__batch").desc)
+    spool.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__batch", "__rn")
+  }
+
+  /** One-shot run of a windowed monitor that INCLUDES the final,
+    * still-open window. Append mode emits a window only once the
+    * watermark passes its end, so a bounded (AvailableNow) run withholds
+    * the last open window(s) — correct for an unbounded stream,
+    * data-losing for a one-shot backfill or a drained monitor. This
+    * runner executes the SAME plan in Update mode, spools every
+    * micro-batch's emitted updates to parquet tagged with the batch id,
+    * and serves the latest update per key ([[latestPerKey]]) — which
+    * once the bounded input is drained is exactly the batch answer,
+    * final window included (spec-pinned against the batch twin).
+    * Watermark state eviction still runs underneath exactly as in
+    * append mode, and the spool holds emitted RESULT rows only, so
+    * neither state nor spool is ever events-sized. `keyCols` are the
+    * aggregation's grouping columns (e.g. `window` or
+    * `window, event_type`). */
+  def runToFinal(spark: SparkSession, streamed: DataFrame,
+                 keyCols: Seq[String]): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-run-to-final").toString
+    val spool = s"$root/spool"
+    val q: StreamingQuery = streamed.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.withColumn("__batch", lit(id)).write.mode("append").parquet(spool)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    if (!new java.io.File(spool).exists()) // empty input: no batch wrote
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        streamed.schema)
+    else latestPerKey(spark.read.parquet(spool), keyCols)
+  }
 }

@@ -396,6 +396,110 @@ class StreamingSpec extends AnyFunSuite {
     sm.foreach { case (k, v) => assert(bm(k) === v, s"session $k") }
   }
 
+  test("runToFinal: one-shot update-mode run serves EVERY window " +
+      "including the final open one — full equality with the batch twin") {
+    val batchEvents = graft.core.Tables.events(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    // windowed counts: bidirectional equality (append mode provably
+    // withholds the final window on this input — pinned above — so
+    // equality here IS the flush)
+    val gotCounts = EventsStream.runToFinal(spark,
+      EventsStream.windowedCounts(EventsStream.readStream(spark, dir)),
+      Seq("window", "event_type"))
+      .select(col("window.start").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val wantCounts = batchEvents
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(gotCounts.nonEmpty && gotCounts === wantCounts)
+    // drift monitor: every window's TVD served, final included
+    val ref = Map("click" -> 300000L, "error" -> 200000L,
+      "purchase" -> 200000L, "signup" -> 200000L)
+    val gotDrift = EventsStream.runToFinal(spark,
+      EventsStream.driftMonitor(
+        EventsStream.readStream(spark, dir), "event_type", ref),
+      Seq("window"))
+      .select(col("window.start").cast("long"), col("n_events"),
+        col("tvd_ppm"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val wantDrift = EventsStream.driftMonitor(batchEvents, "event_type", ref)
+      .select(col("window.start").cast("long"), col("n_events"),
+        col("tvd_ppm"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotDrift === wantDrift)
+    // quantile monitor: exact per-window counts with nothing withheld
+    val gotQ = EventsStream.runToFinal(spark,
+      EventsStream.quantileMonitor(EventsStream.readStream(spark, dir)),
+      Seq("window"))
+      .select(col("window.start").cast("long"), col("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantQ = EventsStream.quantileMonitor(batchEvents)
+      .select(col("window.start").cast("long"), col("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotQ === wantQ)
+  }
+
+  test("runToFinal latest-wins across micro-batches: a window updated " +
+      "in two batches serves its final state, not its first emission") {
+    import spark.implicits._
+    val H = 3600L * 1000000000L
+    val root = java.nio.file.Files.createTempDirectory("r2f").toString
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    def writeBatch(idx: Int, rows: Seq[(Long, Long)]): Unit = {
+      val stage = s"$root/stage$idx"
+      rows.toDF("event_id", "ts")
+        .select(col("event_id"), col("ts"), lit(7L).as("user_id"),
+          lit("view").as("event_type"), lit(1.0).as("value"))
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, f"b$idx%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + idx * 60000L)
+    }
+    // batch 1: [10,11) gets one event; 12.5 h sets the watermark to 10.5 h
+    writeBatch(1, Seq((1L, 10L * H + H / 2), (2L, 12L * H + H / 2)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val raw = spark.readStream.schema(schema).parquet(in.toString)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val spool = s"$root/spool"
+    val q = EventsStream.windowedCounts(raw).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.withColumn("__batch", lit(id)).write.mode("append").parquet(spool)
+        ()
+      }.start()
+    q.processAllAvailable()
+    // batch 2: a LATE-but-inside-horizon event re-opens [10,11) → n=2
+    writeBatch(2, Seq((3L, 10L * H + 7 * H / 10)))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.read.parquet(spool)
+    // [10,11) really was emitted twice (once per batch)...
+    assert(all.where(col("window.start").cast("long") === 10L * 3600)
+      .count() === 2L)
+    // ...and latestPerKey serves the SECOND emission
+    val fin = EventsStream.latestPerKey(all, Seq("window", "event_type"))
+      .select(col("window.start").cast("long"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin === Map(10L * 3600 -> 2L, 12L * 3600 -> 1L))
+  }
+
   test("watermark drops beyond-horizon late data across micro-batches") {
     import spark.implicits._
     val H = 3600L * 1000000000L // one hour in ns
