@@ -119,11 +119,68 @@ object ZOrder {
     * nightly full [[clusterN]] re-fit (the census rebase / IVF re-seed
     * cadence) re-pins them; until then skipping degrades only as far as
     * the drift, never to a layout mismatch (every key is still total).
+    * [[refitNeeded]] rides each batch and pulls the re-fit FORWARD when
+    * the delta's distribution has visibly left the fitted one.
     */
   def clusterDelta(delta: DataFrame, cols: Seq[String], partitions: Int,
                    bounds: Array[Array[Double]],
                    curve: String = "morton"): DataFrame =
     clusterWith(delta, cols, partitions, bounds, None, curve)
+
+  /** Re-fit trigger input for the incremental layout: how far a DELTA
+    * batch has drifted from the frozen bounds, per dimension, as
+    * total-variation distance in ppm — the same integer-exact TVD
+    * convention as [[graft.streaming.EventsStream.driftMonitor]].
+    *
+    * The frozen bounds are interior quantiles of the FITTED
+    * distribution, so an undrifted delta fills every bucket with ~1/n
+    * of its rows; a shifted delta piles into few buckets and TVD rises
+    * toward 1e6. Cost: one codegen'd bucketing projection and one
+    * aggregate whose partial-agged shuffle is ≤ dims × n records —
+    * cheap enough to ride EVERY maintenance batch, so bounds drift is
+    * observed as it happens instead of decaying scan skippability
+    * silently until the nightly re-fit. Exactness: decimal operands
+    * before the cross-multiply (a whale delta's cnt·n·1e6 wraps a
+    * BIGINT) and integer `div`, so thresholds never flap on last-ulp
+    * variance. Sampling noise scales ~ n_buckets/√|delta|: with the
+    * default 256 buckets a ≥100k-row in-distribution delta sits well
+    * under 10% TVD, far from the default 25% trigger. */
+  def layoutDriftPpm(delta: DataFrame, cols: Seq[String],
+                     bounds: Array[Array[Double]]): Map[String, Long] = {
+    val total = delta.count()
+    if (total == 0L) return cols.map(_ -> 0L).toMap
+    val n = bounds.head.length + 1
+    val pairs = delta
+      .select(explode(array(cols.zip(bounds).zipWithIndex.map {
+        case ((c, bs), i) =>
+          struct(lit(i).as("dim"), bucket(col(c), bs).as("bkt"))
+      }: _*)).as("p"))
+      .select(col("p.dim").as("dim"), col("p.bkt").as("bkt"))
+    // Σ_b |cnt_b·n − total| over PRESENT buckets; each empty bucket
+    // contributes exactly `total`; TVD = Σ / (2·n·total)
+    val rows = pairs.groupBy("dim", "bkt").agg(count(lit(1)).as("cnt"))
+      .groupBy("dim").agg(
+        sum(abs(expr(s"cast(cnt as decimal(38,0)) * $n - $total")))
+          .as("present"),
+        count(lit(1)).as("occupied"))
+      .select(col("dim"), expr(
+        s"(present + cast($n - occupied as decimal(38,0)) * $total) " +
+          s"* 1000000 div (2 * $n * cast($total as decimal(38,0)))")
+        .as("tvd_ppm"))
+      .collect()
+    rows.map(r => cols(r.getInt(0)) -> r.getLong(1)).toMap
+  }
+
+  /** True when any dimension of the delta drifted past `thresholdPpm`
+    * (default 25% TVD): the maintenance job should schedule the full
+    * [[clusterN]] re-fit NOW instead of waiting out the nightly cadence
+    * while appended files decay toward unskippable. In-distribution
+    * deltas stay far below the threshold; a shifted delta trips it
+    * (spec-pinned both ways). */
+  def refitNeeded(delta: DataFrame, cols: Seq[String],
+                  bounds: Array[Array[Double]],
+                  thresholdPpm: Long = 250000L): Boolean =
+    layoutDriftPpm(delta, cols, bounds).values.exists(_ > thresholdPpm)
 
   private def clusterWith(df: DataFrame, cols: Seq[String],
                           partitions: Int, bounds: Array[Array[Double]],

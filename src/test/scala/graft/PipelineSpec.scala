@@ -738,6 +738,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(zRead < nRead, s"maintained layout read $zRead vs naive $nRead")
   }
 
+  test("zorder re-fit trigger: a shifted delta trips layout drift, an " +
+      "in-distribution delta doesn't") {
+    val rows = (0 until 40000).map { i =>
+      ((i * 2654435761L) % 100000, (i * 40503L) % 100000)
+    }
+    val base = rows.take(32000).toDF("x", "y")
+    val inDist = rows.drop(32000).toDF("x", "y")
+    val cols = Seq("x", "y")
+    val bounds = graft.operators.ZOrder.layoutBounds(base, cols)
+    // a fresh sample of the fitted distribution: occupancy stays ~uniform
+    val quiet = graft.operators.ZOrder.layoutDriftPpm(inDist, cols, bounds)
+    assert(quiet.keySet === Set("x", "y"))
+    assert(quiet.values.forall(_ < 100000L), s"in-dist drift: $quiet")
+    assert(!graft.operators.ZOrder.refitNeeded(inDist, cols, bounds))
+    // x collapses into the bottom fifth of its fitted range (the mix
+    // moved); y untouched — the trigger must name the drifted dimension
+    val shifted = inDist.withColumn("x", col("x") % 20000L)
+    val moved = graft.operators.ZOrder.layoutDriftPpm(shifted, cols, bounds)
+    assert(moved("x") > 250000L, s"shifted drift: $moved")
+    assert(moved("y") < 100000L, s"undrifted dim flagged: $moved")
+    assert(graft.operators.ZOrder.refitNeeded(shifted, cols, bounds))
+    // an empty delta is quiet, not a division by zero
+    assert(!graft.operators.ZOrder.refitNeeded(inDist.limit(0), cols, bounds))
+  }
+
   test("hilbert curve: bijection, grid adjacency, codegen ≡ twin, " +
       "tighter partition boxes than morton") {
     import graft.functions.HilbertCode.index
