@@ -733,6 +733,28 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // the index DELETE door: grow the index incrementally, tombstone
+    // every 7th vector (hits base AND delta rows), search through the
+    // tombstone filter. The oracle computes the FULL-REBUILD-ON-
+    // SURVIVORS formulation under the same frozen quantizer, so the
+    // hash match IS the delete ≡ rebuild proof
+    // ([[pipeline.Similarity.ivfApplyTombstones]]).
+    "ann_ivf_delete" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.where(col("vec_id") % 5 =!= 4)
+      val delta = emb.where(col("vec_id") % 5 === 4)
+      val cents = pipeline.Similarity.centroids(base, 16)
+      val grown = pipeline.Similarity.ivfAddToIndex(
+        pipeline.Similarity.ivfAssign(base, cents), delta, cents)
+      val tombs = emb.where(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("nid"))
+      pipeline.Similarity.ivfTopKIndexed(
+        emb.where(col("vec_id") < 5),
+        pipeline.Similarity.ivfApplyTombstones(grown, tombs),
+        cents, 5, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     // recall report: hits@5 of each approximate path against the exact
     // brute-force top-5, per query — oracle-checked end to end
     "ann_ivf_recall" -> ((s, d) => {
@@ -2268,6 +2290,28 @@ object PipelineQueries {
         stats, Seq("data", "stream", "shuffle"), 10, 64)
     }),
 
+    // the posting-index DELETE door: build base, add a delta batch,
+    // tombstone every 7th document (O(delta) — the stats correction
+    // comes from the deleted docs' own tokenization), search through
+    // the tombstone filter. The oracle runs the full scoring over ONLY
+    // the surviving documents, so the hash match proves add + delete +
+    // search ≡ rebuild on the survivors ([[pipeline.Bm25Index.delete]]).
+    "retrieval_bm25_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.where(col("doc_id") % 5 =!= 4)
+      val delta = docs.where(col("doc_id") % 5 === 4)
+      val (p0, s0) = pipeline.Bm25Index.build(
+        base, col("doc_id"), col("text"), 64)
+      val (p1, s1) = pipeline.Bm25Index.add(
+        p0, s0, delta, col("doc_id"), col("text"), 64)
+      val (tombs, s2) = pipeline.Bm25Index.delete(
+        s1, docs.where(col("doc_id") % 7 === 0), col("doc_id"), col("text"))
+      pipeline.Bm25Index.search(
+        pipeline.Dedup.checkpointCorpus(
+          pipeline.Bm25Index.applyTombstones(p1, tombs)),
+        s2, Seq("data", "stream", "shuffle"), 10, 64)
+    }),
+
     // Hilbert layout key: same census as layout_zorder_code but along
     // the adjacency-preserving curve — oracling the 16-round
     // rotate/reflect LOOP (functions.HilbertCode, eval AND codegen)
@@ -2601,7 +2645,8 @@ object PipelineQueries {
   /** CTEs `assigned(cell,nid,ne)` + `probes(cell,qid,qe)` + `ivf_topk`
     * mirroring [[graft.pipeline.Similarity.ivfTopK]]. */
   private def ivfSql(nlist: Int, nprobe: Int, k: Int,
-                     centWhere: String = ""): String =
+                     centWhere: String = "",
+                     corpusWhere: String = ""): String =
     s"""cent AS (SELECT vec_id AS cent_id, embedding AS cent
          FROM embeddings $centWhere
          ORDER BY vec_id LIMIT $nlist),
@@ -2611,7 +2656,8 @@ object PipelineQueries {
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
                ORDER BY list_cosine_similarity(e.embedding, ct.cent) DESC,
                         ct.cent_id ASC) AS rk
-           FROM embeddings e CROSS JOIN cent ct) WHERE rk = 1),
+           FROM (SELECT * FROM embeddings $corpusWhere) e
+           CROSS JOIN cent ct) WHERE rk = 1),
        probes AS (
          SELECT cell, qid, qe FROM (
            SELECT ct.cent_id AS cell, q.vec_id AS qid, q.embedding AS qe,
@@ -3242,6 +3288,15 @@ object PipelineQueries {
     // proves incremental ≡ rebuild
     "ann_ivf_incremental" ->
       (s"WITH ${ivfSql(16, 4, 5, "WHERE vec_id % 5 <> 4")} " +
+       "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivf_topk " +
+       "ORDER BY qid, rank"),
+
+    // rebuild-on-survivors formulation under the same base-seeded
+    // quantizer — matching the engine's tombstone-filtered search
+    // proves delete ≡ rebuild
+    "ann_ivf_delete" ->
+      (s"WITH ${ivfSql(16, 4, 5, "WHERE vec_id % 5 <> 4",
+          "WHERE vec_id % 7 <> 0")} " +
        "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivf_topk " +
        "ORDER BY qid, rank"),
 
@@ -4647,6 +4702,33 @@ object PipelineQueries {
     "retrieval_bm25_indexed" ->
       (s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term
              FROM documents),
+         tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+           WHERE term IN ('data', 'stream', 'shuffle') GROUP BY 1),
+         sc AS (SELECT tc.doc_id,
+           CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS rarity_ppm,
+           CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+             (CAST(10 AS HUGEINT) * tf * total_len +
+              CAST(3 AS HUGEINT) * total_len +
+              CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+           FROM tc JOIN df USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT)
+           AS score
+         FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"""),
+
+    // rebuild-on-survivors: the full scoring over only the surviving
+    // documents — matching the engine's tombstone-filtered indexed
+    // search proves add + delete + search ≡ rebuild
+    "retrieval_bm25_delete" ->
+      (s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term
+             FROM documents WHERE doc_id % 7 <> 0),
          tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
            FROM tok GROUP BY 1, 2),
          dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl

@@ -76,8 +76,7 @@ object Bm25Index {
     * is the partition key the append lands as per-bucket file adds;
     * existing postings are never read or reshuffled. The 1-row stats
     * merge is the only corpus-level state touched. Assumes batch doc
-    * ids are new (no in-place updates — deletes/updates go through a
-    * scheduled rebuild, like the IVF re-seed and the census rebase).
+    * ids are new; an in-place UPDATE is [[delete]] + [[add]].
     * Search over the grown index is EXACTLY a full rebuild on the
     * union (postings are per-doc-term rows; df/n/total_len are sums),
     * which `Bm25IndexSpec` pins bit-for-bit.
@@ -90,6 +89,42 @@ object Bm25Index {
       .agg(sum(col("n")).as("n"), sum(col("total_len")).as("total_len"))
     (postings.unionByName(p2), merged)
   }
+
+  /** The DELETE door: O(delta), like [[add]]. Takes the deleted
+    * DOCUMENTS themselves (the same shape `add` takes — they must be
+    * currently indexed, the dual of add's ids-are-new contract) so the
+    * 1-row stats correction (n, total_len decrease) comes from the
+    * delta's own tokenization, never a postings scan. Returns
+    * `(tombstones, stats')`: persist the tombstone ids next to the
+    * index and serve probes through [[applyTombstones]]; BM25 scoring
+    * then sees exactly the surviving corpus — df is derived from the
+    * filtered postings at query time and n/total_len are corrected
+    * here — so search ≡ a full rebuild on the survivors bit-for-bit
+    * (the `retrieval_bm25_delete` oracle pins it). */
+  def delete(stats: DataFrame, deletedDocs: DataFrame, idCol: Column,
+             text: Column): (DataFrame, DataFrame) = {
+    val del = deletedDocs.where(text.isNotNull)
+      .select(idCol.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+    val neg = del.agg(
+      (-count(lit(1))).as("n"),
+      (-coalesce(sum(size(col("toks")).cast("long")), lit(0L)))
+        .as("total_len"))
+    val merged = stats.unionByName(neg)
+      .agg(sum(col("n")).as("n"), sum(col("total_len")).as("total_len"))
+    (del.select(col("doc_id")), merged)
+  }
+
+  /** Tombstones filtered out of the postings. At PROBE time the
+    * tombstone set broadcasts and the anti-join sits above the
+    * bucket/term pruning (the filters push through the anti-join's
+    * left side), so a query pays |tombstones| × pruned rows, never a
+    * corpus scan. The same frame materialized through [[write]] IS the
+    * physical compaction — per-bucket rewrite, tombstone table dropped
+    * — scheduled once tombstones outgrow broadcast comfort. */
+  def applyTombstones(postings: DataFrame,
+                      tombstones: DataFrame): DataFrame =
+    postings.join(broadcast(tombstones.select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
 
   /** Top-k search over a (possibly reloaded) index. Touches only the
     * query terms' buckets (partition pruning via the constant-folded

@@ -222,6 +222,27 @@ object Similarity {
                     cents: Seq[(Long, Array[Double])]): DataFrame =
     index.unionByName(ivfAssign(newVecs, cents))
 
+  /** The DELETE door for the serving index: tombstones (a frame of
+    * `nid`s) filtered out of the postings. Two uses, one operator:
+    *
+    *  - PROBE time: pass the filtered frame to [[ivfTopKIndexed]] —
+    *    the tombstone set broadcasts and the anti-join runs above the
+    *    cell pruning (Catalyst pushes the probe's cell filter through
+    *    the anti-join's left side), so a query pays
+    *    |tombstones|-broadcast × pruned-cells, never a corpus scan;
+    *  - COMPACTION: materialize the filtered frame back to the
+    *    partitioned store (per-cell rewrite) and drop the tombstone
+    *    table — the scheduled physical cleanup once tombstones
+    *    accumulate past the broadcast-comfortable size.
+    *
+    * Deleting ids then searching is EXACTLY a rebuild on the surviving
+    * set under the same frozen quantizer (assignment is per-row), which
+    * the `ann_ivf_delete` oracle pins; an UPDATE is delete +
+    * [[ivfAddToIndex]] of the new vectors. */
+  def ivfApplyTombstones(index: DataFrame, tombstones: DataFrame): DataFrame =
+    index.join(broadcast(tombstones.select(col("nid"))), Seq("nid"),
+      "left_anti")
+
   // ---- product quantization (PQ / IVFPQ) ----
 
   /** Per-subspace PQ codebooks seeded from the first `ksub` corpus vectors

@@ -60,6 +60,40 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(grown.nonEmpty && grown === rebuilt)
   }
 
+  test("delete door: tombstoned search ≡ rebuild on the survivors; " +
+      "physical compaction drops the rows and preserves the answer") {
+    val all = corpus(0, 400)
+    val (p0, s0) = Bm25Index.build(corpus(0, 300), col("doc_id"),
+      col("text"), nBuckets)
+    val (p1, s1) = Bm25Index.add(p0, s0, corpus(300, 400),
+      col("doc_id"), col("text"), nBuckets)
+    // delete every 3rd doc — hits both the base and the added batch
+    val (tombs, s2) = Bm25Index.delete(s1,
+      all.where(col("doc_id") % 3 === 1), col("doc_id"), col("text"))
+    val survivors = all.where(col("doc_id") % 3 =!= 1)
+    val (pf, sf) = Bm25Index.build(survivors, col("doc_id"), col("text"),
+      nBuckets)
+    // the O(delta) stats correction lands exactly on the survivors' row
+    assert(s2.collect().toSeq === sf.collect().toSeq)
+    val live = Bm25Index.applyTombstones(p1, tombs)
+    val viaTombs = Bm25Index.search(live, s2, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaRebuild = Bm25Index.search(pf, sf, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaTombs.nonEmpty && viaTombs === viaRebuild)
+    assert(viaTombs.forall(_._1 % 3 != 1), "a deleted doc surfaced")
+    // physical compaction: materialize the filtered postings through the
+    // canonical layout, reload — tombstoned rows are GONE from disk and
+    // the compacted index serves the identical answer without tombstones
+    val dir = java.nio.file.Files.createTempDirectory("bm25del").toString
+    Bm25Index.write(live, dir)
+    val reloaded = spark.read.parquet(dir)
+    assert(reloaded.where(col("doc_id") % 3 === 1).count() === 0L)
+    val viaCompacted = Bm25Index.search(reloaded, s2, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaCompacted === viaRebuild)
+  }
+
   test("persisted index: search reads only the query terms' bucket " +
       "partitions (constant-folded partition filter)") {
     val docs = corpus(0, 600)
@@ -85,11 +119,38 @@ class Bm25IndexSpec extends AnyFunSuite {
       (scan.metrics("numFiles").value, scan.metrics("numOutputRows").value)
     }
     val (allFiles, allRows) = scanStats(reloaded.select(col("term")))
-    val searched = Bm25Index.search(reloaded, stats, qTerms, 10, nBuckets)
-    searched.collect() // force execution for metrics
-    val scan = scans(searched.queryExecution.executedPlan).head
-    val pruned = scan.metrics("numFiles").value
-    val prunedRows = scan.metrics("numOutputRows").value
+    // search() materializes the pruned postings through an eager
+    // checkpoint (one storage read shared by the df aggregate and the
+    // probe), so the index scan no longer sits in the FINAL plan —
+    // capture it from the checkpoint's own execution via the
+    // QueryExecutionListener (Dataset.checkpoint runs under withAction)
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[SparkPlan]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { captured.add(qe.executedPlan); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    val marker = new java.io.File(dir).getName
+    def indexScan(): Option[FileSourceScanExec] = {
+      import scala.jdk.CollectionConverters._
+      captured.asScala.flatMap(scans).find(
+        _.relation.location.rootPaths.exists(_.toString.contains(marker)))
+    }
+    spark.listenerManager.register(ql)
+    val (pruned, prunedRows, viaIdx) = try {
+      val searched = Bm25Index.search(reloaded, stats, qTerms, 10, nBuckets)
+      val got = searched.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val deadline = System.currentTimeMillis() + 20000
+      while (indexScan().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val scan = indexScan().getOrElse(
+        fail("the checkpoint's index scan never reached the listener"))
+      (scan.metrics("numFiles").value, scan.metrics("numOutputRows").value,
+        got)
+    } finally spark.listenerManager.unregister(ql)
     // 7-term vocab over 64 buckets (modulo hash collisions): a 3-term
     // query touches at most 3 bucket directories, and the bucket
     // predicate must fold to literals (a non-folded predicate reads
@@ -103,8 +164,6 @@ class Bm25IndexSpec extends AnyFunSuite {
     val viaScan = TextAnalysis
       .bm25TopK(docs, col("doc_id"), col("text"), qTerms, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val viaIdx =
-      searched.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(viaIdx === viaScan)
   }
 }

@@ -212,6 +212,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(part.nonEmpty && part.forall(_.getLong(2) <= 3))
   }
 
+  test("IVF delete door: tombstoned search ≡ rebuild on the survivors " +
+      "under the frozen quantizer; compaction drops the rows") {
+    val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.where($"vec_id" % 5 =!= 4)
+    val cents = Similarity.centroids(base, 16)
+    val grown = Similarity.ivfAddToIndex(
+      Similarity.ivfAssign(base, cents), emb.where($"vec_id" % 5 === 4),
+      cents)
+    val tombs = emb.where($"vec_id" % 7 === 0).select($"vec_id".as("nid"))
+    val q = emb.where($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = Similarity
+      .ivfTopKIndexed(q, df, cents, 5, nprobe = 4)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val live = Similarity.ivfApplyTombstones(grown, tombs)
+    val rebuilt = Similarity.ivfAssign(emb.where($"vec_id" % 7 =!= 0), cents)
+    val got = rows(live)
+    assert(got.nonEmpty && got === rows(rebuilt))
+    assert(got.forall(r => r(1).asInstanceOf[Long] % 7 != 0),
+      "a deleted vector surfaced")
+    // physical compaction: persist the filtered index partitioned by
+    // cell, reload — tombstoned rows gone, identical answer
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    live.write.partitionBy("cell").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+      .select($"cell", $"nid", $"ne") // partition col read-back order
+    assert(reloaded.where($"nid" % 7 === 0).count() === 0L)
+    assert(rows(reloaded) === got)
+  }
+
   test("shard export: one dir per shard, deterministic order, lossless reload") {
     import spark.implicits._
     val docs = core.Tables.documents(spark, "/root/testdata/sf0.001")
