@@ -233,7 +233,7 @@ class PipelineSpec extends AnyFunSuite {
       "a deleted vector surfaced")
     // physical compaction: persist the filtered index partitioned by
     // cell, reload — tombstoned rows gone, identical answer
-    val dir = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel").toString + "/idx"
     live.write.partitionBy("cell").parquet(dir)
     val reloaded = spark.read.parquet(dir)
       .select($"cell", $"nid", $"ne") // partition col read-back order
