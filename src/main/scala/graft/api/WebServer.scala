@@ -94,10 +94,18 @@ final class WebServer(
       t.setDaemon(true); t
     }
   /** Async warm-and-swap: readers serve the OLD cache until the new one
-    * is fully computed (stale-but-instant, the reference's model). */
+    * is fully computed (stale-but-instant, the reference's model). A warm
+    * that throws (a cycle's checkpointed frames torn down mid-collect by
+    * a service/server stop race, a cancelled snapshot) keeps serving the
+    * previous cache instead of killing the warmer thread — the next
+    * cycle's re-warm retries with fresh frames. */
   private def invalidateCaches(): Unit = {
     val next = new SuggestionCache(inodes)
-    cacheWarmer.execute(() => { next.warm(); suggestionCache = next })
+    cacheWarmer.execute(() =>
+      try { next.warm(); suggestionCache = next }
+      catch { case e: Exception =>
+        log(s"suggestion cache warm failed (serving previous): $e")
+      })
   }
   /** Test hook: block until queued warms have completed. */
   private[graft] def awaitSuggestionWarm(): Unit =
@@ -121,7 +129,7 @@ final class WebServer(
   server.createContext("/", handle _)
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { cacheWarmer.shutdownNow(); server.stop(0) }
   def boundPort: Int = server.getAddress.getPort
 
   def currentInodes: DataFrame = inodes
