@@ -1104,7 +1104,8 @@ object ScaleBench {
     // scan's doc volume) — the amortization contract of a serving index.
     if (Seq("1m", "10m").exists(tag =>
         only(s"retrieval_bm25_index_build_$tag") ||
-        only(s"retrieval_bm25_probe_$tag"))) {
+        only(s"retrieval_bm25_probe_$tag") ||
+        only(s"retrieval_bm25_probe_deleted_$tag"))) {
       for ((n, tag) <- Seq((1000000L, "1m"), (10000000L, "10m"))) {
         def sdocs = spark.range(n).select(col("id").as("doc_id"),
           array_join(expr(
@@ -1129,6 +1130,34 @@ object ScaleBench {
             statsDf, Seq("w7", "w42", "w2999"), 10, nBuckets = 256)
             .collect()
           s"top=${top.length} best=${top.headOption.map(_.getLong(0)).getOrElse(-1L)}"
+        }
+        // the DELETE door under probe load: ~1% of the corpus is
+        // tombstoned and the search runs through the broadcast
+        // anti-join. The delete bookkeeping (tombstone ids + the 1-row
+        // stats correction) happens OUTSIDE the measured block — it is
+        // the O(delta) write-path step, and its range-generated doc
+        // reads would otherwise drown the index-read evidence. The
+        // stage's claim: tombstoned probe input stays probe-sized —
+        // the anti-join rides ABOVE the bucket pruning, never forcing
+        // a corpus re-read.
+        if (only(s"retrieval_bm25_probe_deleted_$tag")) {
+          val statsDf = spark.range(1).select(
+            lit(nStats).as("n"), lit(tlStats).as("total_len"))
+          val (tombs0, s20) = pipeline.Bm25Index.delete(statsDf,
+            sdocs.where(col("doc_id") % 97 === 0), col("doc_id"),
+            col("text"))
+          val tombs = tombs0.localCheckpoint(true)
+          val s2 = s20.collect().head
+          ti(s"retrieval_bm25_probe_deleted_$tag") {
+            val s2Df = spark.range(1).select(
+              lit(s2.getLong(0)).as("n"), lit(s2.getLong(1)).as("total_len"))
+            val top = pipeline.Bm25Index.search(
+              pipeline.Bm25Index.applyTombstones(
+                spark.read.parquet(dir), tombs),
+              s2Df, Seq("w7", "w42", "w2999"), 10, nBuckets = 256)
+              .collect()
+            s"top=${top.length} best=${top.headOption.map(_.getLong(0)).getOrElse(-1L)}"
+          }
         }
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       }
