@@ -147,6 +147,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("quantile_digest_count",
         "quantile_digest_count(digest) - exact row count carried by an image"),
       (exprs: Seq[Expression]) => QuantileDigestCount(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("quantile_digest_trim"),
+      info("quantile_digest_trim",
+        "quantile_digest_trim(digest, eps) - re-compress an image at a " +
+          "coarser eps (bounded size; (eps_build + eps_trim) rank bound)"),
+      (exprs: Seq[Expression]) => QuantileDigestTrim(exprs(0),
+        asDouble(exprs(1)))))
 
     // optimizer rule: naive BETWEEN range joins (BroadcastNestedLoop)
     // rewrite to the bucketized equi-join — see plans.RangeJoinRewrite

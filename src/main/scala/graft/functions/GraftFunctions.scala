@@ -86,5 +86,9 @@ object GraftFunctions {
       "quantile_digest_count",
       exprs => QuantileDigestCount(exprs(0)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantile_digest_trim",
+      exprs => QuantileDigestTrim(exprs(0), asDouble(exprs(1))),
+      "scala_udf")
   }
 }

@@ -92,6 +92,22 @@ object QuantileDigest {
   /** Exact row count carried by a digest image. */
   def quantile_digest_count(c: Column): Column =
     toColumn(QuantileDigestCount(toExpression(c)))
+
+  /** Re-compress a digest image at a coarser target ε — the
+    * bounded-SIZE knob for long-compacted serving tables. GK summaries
+    * are not fully mergeable (Agarwal et al. 2012): entries merged from
+    * m inputs carry accumulated deltas that saturate the original-ε
+    * compression threshold, so image bytes grow ~linearly in m.
+    * Trimming re-runs the compression with threshold 2·ε_trim·N, which
+    * collapses the accreted entries to O(1/ε_trim); the cost is a
+    * looser rank guarantee — the trimmed digest answers within
+    * 2·(ε_build + ε_trim)·N (the build/merge error plus the
+    * compression's ≤ ε_trim·N, kept conservative), spec-pinned on
+    * ~1,000-input deep-merge roots. Count stays exact. The image's
+    * recorded ε becomes ε_trim so later merges budget correctly. */
+  def quantile_digest_trim(c: Column, targetEps: Double): Column =
+    toColumn(QuantileDigestTrim(toExpression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(targetEps)))
 }
 
 /** Build: doubles in, compressed GK image out. */
@@ -231,6 +247,43 @@ case class QuantileDigestQuery(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QuantileDigestQuery =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Scalar: re-compress a digest image at a coarser ε (see
+  * [[QuantileDigest.quantile_digest_trim]]). Eval-only — runs over
+  * segment-sized digest frames. */
+case class QuantileDigestTrim(left: Expression, right: Expression)
+    extends Expression with BinaryLike[Expression] with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"quantile_digest_trim requires (binary, double), got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = left.eval(input)
+    val e = right.eval(input)
+    if (bytes == null || e == null) null
+    else {
+      val eps = e.asInstanceOf[Double]
+      require(eps > 0 && eps < 1, "trim eps must be in (0, 1)")
+      val qs = QuantileDigest.deserialize(bytes.asInstanceOf[Array[Byte]])
+      // rebuilding with relativeError = eps makes compress() use the
+      // 2·eps·count merge threshold AND records eps in the image, so
+      // later merges take max(ε) over the loosest participant
+      val loose = new QuantileSummaries(qs.compressThreshold, eps,
+        qs.sampled, qs.count, true)
+      QuantileDigest.serialize(loose.compress())
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantileDigestTrim =
     copy(left = newLeft, right = newRight)
 }
 

@@ -24,7 +24,10 @@ import graft.functions.QuantileDigest._
   * cycle for a long time accretes digest bytes with total appends —
   * which is why a digest-bearing serving table rides the same periodic
   * full-rebuild cadence as the suggestions census rebase: the rebuild
-  * resets every segment to a fresh O(1/ε·log εN) digest.
+  * resets every segment to a fresh O(1/ε·log εN) digest. Between
+  * rebuilds, `compact(trimEps = Some(ε'))` bounds image size
+  * explicitly by re-compressing at a coarser ε' — the (ε + ε') rank
+  * bound is the price, spec-pinned.
   */
 object QuantileCensus {
 
@@ -50,7 +53,17 @@ object QuantileCensus {
           value: Column, relativeError: Double = 0.001): DataFrame =
     digests.unionByName(build(newData, segCols, value, relativeError))
 
-  def compact(digests: DataFrame, segCols: Seq[Column]): DataFrame =
-    digests.groupBy(segCols: _*)
+  /** One row per segment. `trimEps = Some(ε)` additionally re-compresses
+    * each merged digest at the coarser ε
+    * ([[graft.functions.QuantileDigest.quantile_digest_trim]]) — the
+    * bounded-size escape from GK's merge accretion for segments
+    * compacted every cycle, at the cost of the trimmed (ε_build +
+    * ε_trim) rank bound. Default keeps the original contract. */
+  def compact(digests: DataFrame, segCols: Seq[Column],
+              trimEps: Option[Double] = None): DataFrame = {
+    val merged = digests.groupBy(segCols: _*)
       .agg(quantile_digest_merge_agg(col("digest")).as("digest"))
+    trimEps.fold(merged)(e =>
+      merged.withColumn("digest", quantile_digest_trim(col("digest"), e)))
+  }
 }

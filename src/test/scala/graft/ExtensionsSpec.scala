@@ -87,6 +87,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(qd.getLong(0) === 8L)
       assert(qd.getDouble(1) === 4.0)
 
+      // trim rides the same SQL door: count is preserved, the trimmed
+      // image still answers (fully-sampled here, so the median is exact)
+      val qt = s2.sql(
+        """WITH seg AS (SELECT quantile_digest_agg(v) AS digest
+             FROM VALUES (1), (2), (3), (4) AS t(v))
+           SELECT quantile_digest_count(tr) AS n,
+                  quantile_digest_query(tr, 0.5d) AS p50
+           FROM (SELECT quantile_digest_trim(digest, 0.1d) AS tr FROM seg)""")
+        .head()
+      assert(qt.getLong(0) === 4L)
+      assert(qt.getDouble(1) >= 1.0 && qt.getDouble(1) <= 3.0)
+
       // non-literal plan-shaping parameter is a resolution-time error
       intercept[Exception] {
         s2.sql("SELECT ngram_shingles(split('a b', ' '), cast(rand() * 2 as int))")

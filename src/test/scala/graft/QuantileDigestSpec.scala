@@ -147,6 +147,26 @@ class QuantileDigestSpec extends AnyFunSuite {
     assert(b1 <= b0, s"level-1 compact expanded bytes: $b0 -> $b1")
     assert(b2 <= b1, s"level-2 compact expanded bytes: $b1 -> $b2")
     check(u2, "uniform-10x10")
+    // the bounded-size escape: trimming the accreted level-2 digests at
+    // a coarser ε collapses them to O(1/ε_trim) entries; the price is
+    // the looser (ε_build + ε_trim) rank bound, which must still hold
+    val trimEps = 0.02
+    val trimmed = QuantileCensus.compact(
+      u1.withColumn("seg", expr("seg div 10")), Seq(col("seg")),
+      trimEps = Some(trimEps))
+    val bt = totalBytes(trimmed)
+    assert(bt < b2 / 10, s"trim must collapse accreted bytes: $b2 -> $bt")
+    val trow = QuantileCensus.quantiles(trimmed, Nil, fr).collect().head
+    assert(trow.getLong(0) === all.size.toLong, "trim changed the count")
+    fr.zipWithIndex.foreach { case (q, i) =>
+      val v = trow.getDouble(i + 1)
+      val n = all.size
+      val le = all.count(_ <= v)
+      val lt = all.count(_ < v)
+      assert(le >= (q - 2 * (eps + trimEps)) * n - 1 &&
+        lt <= (q + 2 * (eps + trimEps)) * n + 1,
+        s"trimmed q=$q returned $v outside the (eps+trim) bound")
+    }
     // shapes 3-5: RANDOM skewed chains — hash-salted regroupings give
     // uneven fan-ins (some groups swallow dozens of digests, some one),
     // depth 4, different tree per salt; compact-of-compact throughout
