@@ -425,6 +425,19 @@ object Dedup {
     (kept, keptSigs.unionByName(keptNewSigs))
   }
 
+  /** DELETE door for the signature index (the dedup twin of
+    * `Bm25Index.applyTombstones` / `Similarity.ivfApplyTombstones`):
+    * drop tombstoned docs' signature rows so future batches stop
+    * deduping against them — a retracted document must not keep
+    * shadowing fresh near-duplicates. The index is one row per doc, so
+    * delete ≡ an index rebuilt on the surviving corpus by construction
+    * (spec-pinned); the broadcast anti-join costs |tombstones| ×
+    * index rows, never corpus text. */
+  def removeFromIndex(keptSigs: DataFrame,
+                      tombstones: DataFrame): DataFrame =
+    keptSigs.join(broadcast(tombstones.select(col("did"))), Seq("did"),
+      "left_anti")
+
   /** Resolve candidate pairs (ida < idb) into duplicate clusters: every
     * node gets the smallest id in its connected component. Returns
     * (did, label).

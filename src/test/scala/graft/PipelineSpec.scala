@@ -1056,6 +1056,23 @@ class PipelineSpec extends AnyFunSuite {
     val (kept2, _) = Dedup.incrementalDedup(
       again, "doc_id", col("text"), index, thresholdPpm = 500000L)
     assert(kept2.count() === 0)
+    // DELETE door: retract kept doc 1 from the index — a re-send of its
+    // text must now be KEPT (it no longer shadows fresh duplicates), and
+    // the pruned index equals one rebuilt on the surviving corpus
+    val tombs = Seq(1L).toDF("did")
+    val pruned = Dedup.removeFromIndex(index, tombs)
+    assert(pruned.count() === 3)
+    val resend = Seq((30L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val (keptAfterDelete, _) = Dedup.incrementalDedup(
+      resend, "doc_id", col("text"), pruned, thresholdPpm = 500000L)
+    assert(keptAfterDelete.select("doc_id").collect().map(_.getLong(0))
+      === Array(30L))
+    val rebuilt = Dedup.minhashSignatures(
+      old.where(col("doc_id") =!= 1L), "doc_id", col("text"), 3, 64)
+      .unionByName(index.where(col("did") > 2L))
+    assert(pruned.orderBy("did").collect().map(_.toSeq).toSeq
+      === rebuilt.orderBy("did").collect().map(_.toSeq).toSeq)
   }
 
   test("winnowing: shared run of w+k-1 tokens guarantees a shared print") {
