@@ -376,7 +376,7 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     hist.start()
     try {
       svc.start()
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 90000
       while (svc.history.isEmpty && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       val r = get(hist, "/history")
@@ -396,7 +396,7 @@ class WebServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     srv.start()
     try {
       svc.start()
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 90000
       while (svc.history.size < 2 && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       assert(svc.history.size >= 2, "cycles never completed")
