@@ -730,6 +730,45 @@ class PlanSpec extends AnyFunSuite {
       s"per-term df and 1-row stats must both broadcast:\n$plan")
   }
 
+  test("tombstone anti-joins execute as broadcast on all three index " +
+      "delete doors (an SMJ/SHJ anti would shuffle the whole index)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions._
+    def antiJoins(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => antiJoins(a.executedPlan)
+      case q: QueryStageExec => antiJoins(q.plan)
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.toString == "LeftAnti" =>
+        j.getClass.getSimpleName +: j.children.flatMap(antiJoins)
+      case o => o.children.flatMap(antiJoins)
+    }
+    def pinned(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      df.collect()
+      val kinds = antiJoins(df.queryExecution.executedPlan)
+      assert(kinds.nonEmpty, s"$what: no anti-join in the plan")
+      assert(kinds.forall(_ == "BroadcastHashJoinExec"),
+        s"$what: tombstone anti-join lost the broadcast: $kinds")
+    }
+    val docs = core.Tables.documents(spark, dir)
+    val (p, _) = graft.pipeline.Bm25Index.build(
+      docs, col("doc_id"), col("text"), 64)
+    pinned(graft.pipeline.Bm25Index.applyTombstones(
+      p, docs.where(col("doc_id") % 7 === 0).select(col("doc_id"))), "bm25")
+    val emb = core.Tables.embeddings(spark, dir)
+    val cents = graft.pipeline.Similarity.centroids(emb, 16)
+    pinned(graft.pipeline.Similarity.ivfApplyTombstones(
+      graft.pipeline.Similarity.ivfAssign(emb, cents),
+      emb.where(col("vec_id") % 7 === 0).select(col("vec_id").as("nid"))),
+      "ivf")
+    val sigs = graft.pipeline.Dedup.minhashSignatures(
+      docs.limit(200), "doc_id", col("text"), 3, 64)
+    pinned(graft.pipeline.Dedup.removeFromIndex(
+      sigs, docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("did"))), "dedup")
+  }
+
   test("layout code queries: scans read exactly the two key columns") {
     for (q <- Seq("layout_zorder_code", "layout_hilbert_code")) {
       val plan = formatted(q)
