@@ -100,7 +100,11 @@ object Bm25Index {
     * then sees exactly the surviving corpus — df is derived from the
     * filtered postings at query time and n/total_len are corrected
     * here — so search ≡ a full rebuild on the survivors bit-for-bit
-    * (the `retrieval_bm25_delete` oracle pins it). */
+    * (the `retrieval_bm25_delete` oracle pins it). An UPDATE is
+    * delete(old versions) then [[add]](new versions) — apply the
+    * tombstones BEFORE the add so a re-used doc id's fresh postings
+    * aren't swallowed by its own tombstone (update ≡ rebuild on the
+    * updated corpus, spec-pinned). */
   def delete(stats: DataFrame, deletedDocs: DataFrame, idCol: Column,
              text: Column): (DataFrame, DataFrame) = {
     val del = deletedDocs.where(text.isNotNull)

@@ -94,6 +94,31 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(viaCompacted === viaRebuild)
   }
 
+  test("update = delete + add: re-indexing changed documents equals a " +
+      "rebuild on the updated corpus") {
+    val before = corpus(0, 300)
+    val changed = corpus(300, 600) // new texts, reusing ids 0..99
+      .where(col("doc_id") < 400).withColumn("doc_id", col("doc_id") - 300L)
+    val (p0, s0) = Bm25Index.build(before, col("doc_id"), col("text"),
+      nBuckets)
+    // update docs 0..99: tombstone their OLD versions, add the new ones
+    val oldVersions = before.where(col("doc_id") < 100)
+    val (tombs, s1) = Bm25Index.delete(s0, oldVersions, col("doc_id"),
+      col("text"))
+    val (p2, s2) = Bm25Index.add(Bm25Index.applyTombstones(p0, tombs),
+      s1, changed, col("doc_id"), col("text"), nBuckets)
+    val updatedCorpus = before.where(col("doc_id") >= 100)
+      .unionByName(changed)
+    val (pf, sf) = Bm25Index.build(updatedCorpus, col("doc_id"),
+      col("text"), nBuckets)
+    assert(s2.collect().toSeq === sf.collect().toSeq)
+    val viaUpdate = Bm25Index.search(p2, s2, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaRebuild = Bm25Index.search(pf, sf, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaUpdate.nonEmpty && viaUpdate === viaRebuild)
+  }
+
   test("persisted index: search reads only the query terms' bucket " +
       "partitions (constant-folded partition filter)") {
     val docs = corpus(0, 600)

@@ -441,6 +441,28 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("window.start").cast("long"), col("n_events"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotQ === wantQ)
+    // key-skew monitor: the Misra–Gries sketch column (array of structs)
+    // survives the parquet spool; final window's sketch included
+    val gotS = EventsStream.runToFinal(spark,
+      EventsStream.keySkewMonitor(EventsStream.readStream(spark, dir), k = 8),
+      Seq("window"))
+      .select(col("window.start").cast("long"), col("n_events"),
+        col("heavy_keys"))
+      .collect().map { r =>
+        r.getLong(0) -> (r.getLong(1),
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(s => s.getString(0) -> s.getLong(1)).toMap)
+      }.toMap
+    val wantS = EventsStream.keySkewMonitor(batchEvents, k = 8)
+      .select(col("window.start").cast("long"), col("n_events"),
+        col("heavy_keys"))
+      .collect().map { r =>
+        r.getLong(0) -> (r.getLong(1),
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(s => s.getString(0) -> s.getLong(1)).toMap)
+      }.toMap
+    assert(gotS.keySet === wantS.keySet)
+    gotS.foreach { case (w, (n, _)) => assert(wantS(w)._1 === n) }
   }
 
   test("runToFinal latest-wins across micro-batches: a window updated " +
