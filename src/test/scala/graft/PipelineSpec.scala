@@ -239,6 +239,17 @@ class PipelineSpec extends AnyFunSuite {
       .select($"cell", $"nid", $"ne") // partition col read-back order
     assert(reloaded.where($"nid" % 7 === 0).count() === 0L)
     assert(rows(reloaded) === got)
+    // UPDATE = delete + re-add under the frozen quantizer: replace every
+    // 11th vector's embedding with its reverse, equal a rebuild on the
+    // updated corpus
+    val upd = emb.where($"vec_id" % 11 === 0)
+      .select($"vec_id", reverse($"embedding").as("embedding"))
+    val updated = Similarity.ivfAddToIndex(
+      Similarity.ivfApplyTombstones(grown,
+        upd.select($"vec_id".as("nid"))), upd, cents)
+    val updatedCorpus = emb.where($"vec_id" % 11 =!= 0)
+      .select($"vec_id", $"embedding").unionByName(upd)
+    assert(rows(updated) === rows(Similarity.ivfAssign(updatedCorpus, cents)))
   }
 
   test("shard export: one dir per shard, deterministic order, lossless reload") {
