@@ -1985,8 +1985,12 @@ object PipelineQueries {
     // set (xor-pinned) and the updated index size
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val oldSigs = pipeline.Dedup.minhashSignatures(
-        docs.where(col("doc_id") < 250), "doc_id", col("text"), 3, 64)
+      // the kept corpus's index is a PERSISTED table in production —
+      // checkpoint stands in, so its explode+agg lineage isn't recomputed
+      // by each of the call's two consumers (band keys + estimate join)
+      val oldSigs = pipeline.Dedup.checkpointCorpus(
+        pipeline.Dedup.minhashSignatures(
+          docs.where(col("doc_id") < 250), "doc_id", col("text"), 3, 64))
       val batch = docs.where(col("doc_id") >= 250)
       val (kept, index) = pipeline.Dedup.incrementalDedup(
         batch, "doc_id", col("text"), oldSigs, thresholdPpm = 500000L)
@@ -2002,8 +2006,12 @@ object PipelineQueries {
     // must see batch 1's survivors, not just the initial index
     "dedup_incremental_stream" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val idx0 = pipeline.Dedup.minhashSignatures(
-        docs.where(col("doc_id") < 250), "doc_id", col("text"), 3, 64)
+      // persisted-index stand-in (see dedup_incremental): without it the
+      // initial index's explode+agg lineage re-runs up to 4x across the
+      // two chained calls' band/estimate consumers
+      val idx0 = pipeline.Dedup.checkpointCorpus(
+        pipeline.Dedup.minhashSignatures(
+          docs.where(col("doc_id") < 250), "doc_id", col("text"), 3, 64))
       val b1 = docs.where(col("doc_id") >= 250 && col("doc_id") < 400)
       val b2 = docs.where(col("doc_id") >= 400)
       val (k1, i1) = pipeline.Dedup.incrementalDedup(
