@@ -394,7 +394,12 @@ object Dedup {
     * 100 TB shape: the old corpus never moves — only its band keys
     * (derived from the stored signatures, 8 rows/doc) meet the new
     * batch's band keys in one hash join keyed on (band, md5); per-batch
-    * cost is O(batch) + O(index band table), never O(corpus text). */
+    * cost is O(batch) + O(index band table), never O(corpus text).
+    * `keptSigs` is consumed TWICE per call (band keys + the estimate
+    * join-back) — hand it a parquet-backed or checkpointed frame, not
+    * a live compute lineage, or the signature derivation re-runs per
+    * consumer (the streaming maintainer reads it from the versioned
+    * index dir for exactly this reason). */
   def incrementalDedup(newDocs: DataFrame, idCol: String, text: Column,
                        keptSigs: DataFrame,
                        shingleN: Int = 3, perms: Int = 64, bands: Int = 8,

@@ -167,6 +167,22 @@ class QuantileDigestSpec extends AnyFunSuite {
         lt <= (q + 2 * (eps + trimEps)) * n + 1,
         s"trimmed q=$q returned $v outside the (eps+trim) bound")
     }
+    // MIXED merge: a serving table where some segments were trimmed and
+    // others weren't re-merges under the max-ε rule — count stays exact
+    // and ranks hold the combined bound
+    val mixed = QuantileCensus.compact(
+        u1.where(expr("seg % 2 = 0")), Seq(col("seg")),
+        trimEps = Some(trimEps))
+      .unionByName(u1.where(expr("seg % 2 = 1")))
+    val mrow = QuantileCensus.quantiles(mixed, Nil, fr).collect().head
+    assert(mrow.getLong(0) === all.size.toLong, "mixed merge lost rows")
+    fr.zipWithIndex.foreach { case (q, i) =>
+      val v = mrow.getDouble(i + 1)
+      val n = all.size
+      assert(all.count(_ <= v) >= (q - 2 * (eps + trimEps)) * n - 1 &&
+        all.count(_ < v) <= (q + 2 * (eps + trimEps)) * n + 1,
+        s"mixed-merge q=$q returned $v outside the combined bound")
+    }
     // shapes 3-5: RANDOM skewed chains — hash-salted regroupings give
     // uneven fan-ins (some groups swallow dozens of digests, some one),
     // depth 4, different tree per salt; compact-of-compact throughout
