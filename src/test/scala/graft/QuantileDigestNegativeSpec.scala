@@ -67,6 +67,21 @@ class QuantileDigestNegativeSpec extends AnyFunSuite {
     }
   }
 
+  test("trim: eps outside (0,1) fails loudly; a truncated image fails; " +
+      "a null digest trims to null") {
+    intercept[Exception] {
+      Seq(goodDigest).toDF("d")
+        .select(quantile_digest_trim(col("d"), 1.5)).collect()
+    }
+    intercept[Exception] {
+      Seq(goodDigest.take(8)).toDF("d")
+        .select(quantile_digest_trim(col("d"), 0.05)).collect()
+    }
+    val r = Seq(Option.empty[Array[Byte]]).toDF("d")
+      .select(quantile_digest_trim(col("d"), 0.05)).collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("an intact image still round-trips after the negative cases " +
       "(no shared-state corruption)") {
     val n = Seq(goodDigest).toDF("d")
