@@ -94,6 +94,35 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(viaCompacted === viaRebuild)
   }
 
+  test("randomized delete fuzz: tombstoned search ≡ rebuild across " +
+      "seeded corpus sizes, delete sets, and query terms") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 150 + rnd.nextInt(150)
+      val delMod = 2 + rnd.nextInt(5)
+      val terms = rnd.shuffle(vocab).take(1 + rnd.nextInt(3))
+      val docs = corpus(0, n)
+      val (p0, s0) = Bm25Index.build(docs, col("doc_id"), col("text"),
+        nBuckets)
+      val (tombs, s1) = Bm25Index.delete(s0,
+        docs.where(col("doc_id") % delMod === 0), col("doc_id"), col("text"))
+      val survivors = docs.where(col("doc_id") % delMod =!= 0)
+      val (pf, sf) = Bm25Index.build(survivors, col("doc_id"), col("text"),
+        nBuckets)
+      val got = Bm25Index.search(Bm25Index.applyTombstones(p0, tombs),
+          s1, terms, 10, nBuckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = Bm25Index.search(pf, sf, terms, 10, nBuckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === want,
+        s"seed=$seed n=$n delMod=$delMod terms=$terms")
+      assert(got.nonEmpty && got.forall(_._1 % delMod != 0),
+        s"seed=$seed: a deleted doc surfaced or empty result")
+    }
+  }
+
   test("update = delete + add: re-indexing changed documents equals a " +
       "rebuild on the updated corpus") {
     val before = corpus(0, 300)
