@@ -250,6 +250,22 @@ class PipelineSpec extends AnyFunSuite {
     val updatedCorpus = emb.where($"vec_id" % 11 =!= 0)
       .select($"vec_id", $"embedding").unionByName(upd)
     assert(rows(updated) === rows(Similarity.ivfAssign(updatedCorpus, cents)))
+    // seeded fuzz: random delete moduli and probe widths all hold
+    // tombstoned ≡ rebuild-on-survivors under the frozen quantizer
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val m = 3 + rnd.nextInt(6)
+      val np = 1 + rnd.nextInt(6)
+      def r2(df: org.apache.spark.sql.DataFrame) = Similarity
+        .ivfTopKIndexed(q, df, cents, 5, nprobe = np)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+      val t = emb.where($"vec_id" % m === 0).select($"vec_id".as("nid"))
+      val gotF = r2(Similarity.ivfApplyTombstones(grown, t))
+      assert(gotF === r2(Similarity.ivfAssign(
+        emb.where($"vec_id" % m =!= 0), cents)), s"seed=$seed m=$m np=$np")
+      assert(gotF.forall(r => r(1).asInstanceOf[Long] % m != 0),
+        s"seed=$seed: deleted vector surfaced")
+    }
   }
 
   test("shard export: one dir per shard, deterministic order, lossless reload") {
