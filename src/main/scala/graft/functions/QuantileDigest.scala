@@ -273,6 +273,13 @@ case class QuantileDigestTrim(left: Expression, right: Expression)
       val eps = e.asInstanceOf[Double]
       require(eps > 0 && eps < 1, "trim eps must be in (0, 1)")
       val qs = QuantileDigest.deserialize(bytes.asInstanceOf[Array[Byte]])
+      // a trim TIGHTER than the build ε would record an ε the digest
+      // cannot honor (the true rank error stays ≥ ε_build), silently
+      // understating the max(ε) budget of every later merge
+      require(eps >= qs.relativeError,
+        s"trim eps ($eps) must be coarser than the image's recorded " +
+          s"eps (${qs.relativeError}) — a digest cannot tighten its " +
+          "error after the fact")
       // rebuilding with relativeError = eps makes compress() use the
       // 2·eps·count merge threshold AND records eps in the image, so
       // later merges take max(ε) over the loosest participant

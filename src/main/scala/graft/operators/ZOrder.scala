@@ -147,6 +147,11 @@ object ZOrder {
     * under 10% TVD, far from the default 25% trigger. */
   def layoutDriftPpm(delta: DataFrame, cols: Seq[String],
                      bounds: Array[Array[Double]]): Map[String, Long] = {
+    // a silent zip-truncation here would DROP a dimension from the
+    // drift report and refitNeeded could miss the drifted one
+    require(cols.nonEmpty && cols.size == bounds.length,
+      s"layoutDriftPpm needs one bounds row per column: got " +
+        s"${cols.size} cols vs ${bounds.length} bounds")
     val total = delta.count()
     if (total == 0L) return cols.map(_ -> 0L).toMap
     val n = bounds.head.length + 1

@@ -104,10 +104,33 @@ object Bm25Index {
     * delete(old versions) then [[add]](new versions) — apply the
     * tombstones BEFORE the add so a re-used doc id's fresh postings
     * aren't swallowed by its own tombstone (update ≡ rebuild on the
-    * updated corpus, spec-pinned). */
+    * updated corpus, spec-pinned).
+    *
+    * IDEMPOTENCE ASYMMETRY, and how to not get burned by it: the
+    * tombstone anti-join is naturally idempotent (filtering an id twice
+    * filters it once) but the stats correction is NOT — re-deleting an
+    * already-deleted doc, or deleting a doc that was never indexed,
+    * silently decrements (n, total_len) past the surviving corpus and
+    * every subsequent score drifts from the rebuild answer with no
+    * error raised. Pass the CURRENT tombstone set as
+    * `priorTombstones` and re-deletes are dropped before the
+    * correction (the returned tombstones then contain only the NEW
+    * ids — union with the prior set, as the soak spec does). The
+    * never-indexed case cannot be caught without a postings probe the
+    * O(delta) contract forbids; feeding only currently-indexed docs
+    * remains the caller's contract, the exact dual of [[add]]'s
+    * ids-are-new. */
   def delete(stats: DataFrame, deletedDocs: DataFrame, idCol: Column,
-             text: Column): (DataFrame, DataFrame) = {
-    val del = deletedDocs.where(text.isNotNull)
+             text: Column,
+             priorTombstones: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    val fresh = priorTombstones match {
+      case Some(prior) => deletedDocs.join(
+        broadcast(prior.select(col("doc_id").as("__tomb_id"))),
+        idCol === col("__tomb_id"), "left_anti")
+      case None => deletedDocs
+    }
+    val del = fresh.where(text.isNotNull)
       .select(idCol.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
     val neg = del.agg(
       (-count(lit(1))).as("n"),
@@ -124,7 +147,9 @@ object Bm25Index {
     * left side), so a query pays |tombstones| × pruned rows, never a
     * corpus scan. The same frame materialized through [[write]] IS the
     * physical compaction — per-bucket rewrite, tombstone table dropped
-    * — scheduled once tombstones outgrow broadcast comfort. */
+    * — scheduled once tombstones outgrow broadcast comfort, which
+    * [[Dedup.compactNeeded]] watches on every delete tick (don't wait
+    * for the broadcast build to fail). */
   def applyTombstones(postings: DataFrame,
                       tombstones: DataFrame): DataFrame =
     postings.join(broadcast(tombstones.select(col("doc_id"))),
@@ -145,8 +170,8 @@ object Bm25Index {
         pmod(xxhash64(lit(t)), lit(nBuckets.toLong)).cast("int"))
       .reduce(_ || _)
     // the pruned postings feed BOTH the df aggregate and the join probe —
-    // without a checkpoint the two consumers each re-scan the touched
-    // buckets from storage (the pruned subtrees are not
+    // without a materialization the two consumers each re-scan the
+    // touched buckets from storage (the pruned subtrees are not
     // canonical-identical after column pruning, so exchange reuse never
     // kicks in). One materialization halves the parquet read;
     // query-terms-sized, never corpus-sized; `bucket` is projected away
@@ -155,9 +180,27 @@ object Bm25Index {
     // re-reads of the cached sub, so the visible counter drops ~30%,
     // not 50% — the storage-scan half is the bytes that moved.) Same
     // fix the index-free scorer's perDoc got.
-    val sub = Dedup.checkpointCorpus(
-      postings.where(bucketPred && col("term").isin(terms: _*))
-        .select(col("term"), col("doc_id"), col("tf"), col("dl")))
+    //
+    // Deliberately NOT Dedup.checkpointCorpus — that helper is for
+    // one-shot build/maintenance frames. A hot read path needs:
+    //   (1) laziness — `eager = false`, so building the search plan
+    //       never triggers a Spark job; the blocks persist during the
+    //       broadcast-df subtree's job (the first consumer to compute)
+    //       and the probe side reads them back;
+    //   (2) executor-local blocks ALWAYS — a probe under
+    //       `spark.graft.reliableCheckpoint=true` must not write a
+    //       durable checkpoint directory per query (Spark only deletes
+    //       those under cleanCheckpoints=true, so a high-QPS server
+    //       would accumulate unbounded files). A lost executor costs a
+    //       single query retry here, not a multi-hour build — the
+    //       reliability trade that flag buys is wrong for probes.
+    // The per-query persisted RDD is freed by ContextCleaner once the
+    // result plan is GC'd (referenceTracking is on by default).
+    val sub = postings
+      .where(bucketPred && col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .localCheckpoint(eager = false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val dfreq = sub.groupBy(col("term")).agg(count(lit(1)).as("df"))
     sub.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))

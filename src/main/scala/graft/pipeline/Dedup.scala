@@ -443,6 +443,37 @@ object Dedup {
     keptSigs.join(broadcast(tombstones.select(col("did"))), Seq("did"),
       "left_anti")
 
+  /** Compaction trigger for ALL the tombstone doors ([[removeFromIndex]],
+    * `Bm25Index.applyTombstones`, `Similarity.ivfApplyTombstones`) — the
+    * lifecycle twin of `ZOrder.refitNeeded`: a cheap check that RIDES
+    * EVERY delete instead of waiting for the failure.
+    *
+    * The doors' scale contract is "broadcast anti-join until tombstones
+    * outgrow broadcast comfort, then a physical compaction rewrite drops
+    * the tombstone table" — but an operator that keeps deleting without
+    * compacting eventually pushes the forced-broadcast build past driver
+    * comfort and, at Spark's 8 GB/512M-row hard caps, into outright
+    * query failure. Nothing used to WATCH that growth. This does:
+    * estimated broadcast footprint = |tombstones| × `bytesPerRow`
+    * (one 8-byte key in an UnsafeRow plus the LongHashedRelation entry
+    * overhead — 64 B/row is deliberately conservative), compared
+    * against the same 10 MB comfort line Spark's own
+    * `autoBroadcastJoinThreshold` defaults to. One delta-sized count()
+    * per delete tick — never index- or corpus-sized work.
+    *
+    * `true` means: schedule the compaction NOW — materialize the
+    * filtered index through its canonical writer (`Bm25Index.write` /
+    * the IVF store's per-cell rewrite / the signature table itself) and
+    * drop the tombstone table. Probes over the compacted store carry no
+    * anti-join at all (spec-pinned). */
+  def compactNeeded(tombstones: DataFrame,
+                    thresholdBytes: Long = 10L << 20,
+                    bytesPerRow: Long = 64L): Boolean = {
+    require(thresholdBytes > 0 && bytesPerRow > 0,
+      "compactNeeded thresholds must be positive")
+    tombstones.count() * bytesPerRow > thresholdBytes
+  }
+
   /** Resolve candidate pairs (ida < idb) into duplicate clusters: every
     * node gets the smallest id in its connected component. Returns
     * (did, label).

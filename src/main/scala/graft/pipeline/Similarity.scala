@@ -233,7 +233,8 @@ object Similarity {
     *  - COMPACTION: materialize the filtered frame back to the
     *    partitioned store (per-cell rewrite) and drop the tombstone
     *    table — the scheduled physical cleanup once tombstones
-    *    accumulate past the broadcast-comfortable size.
+    *    accumulate past the broadcast-comfortable size, which
+    *    [[Dedup.compactNeeded]] watches on every delete tick.
     *
     * Deleting ids then searching is EXACTLY a rebuild on the surviving
     * set under the same frozen quantizer (assignment is per-row), which

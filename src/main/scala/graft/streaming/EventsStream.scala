@@ -437,24 +437,55 @@ object EventsStream {
     * append mode, and the spool holds emitted RESULT rows only, so
     * neither state nor spool is ever events-sized. `keyCols` are the
     * aggregation's grouping columns (e.g. `window` or
-    * `window, event_type`). */
+    * `window, event_type`).
+    *
+    * Work-dir lifecycle: by default each run spools to a fresh temp
+    * directory, eagerly materializes the (result-table-sized) answer
+    * off it, and deletes the directory before returning — a
+    * periodically-invoked monitor accumulates NO on-disk state across
+    * runs. Pass `workDir` to own the location instead (e.g. to keep
+    * the streaming checkpoint for a resumable run); the caller then
+    * owns its cleanup and the result stays a lazy view over the
+    * spool. */
   def runToFinal(spark: SparkSession, streamed: DataFrame,
-                 keyCols: Seq[String]): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-run-to-final").toString
-    val spool = s"$root/spool"
-    val q: StreamingQuery = streamed.writeStream
-      .outputMode(OutputMode.Update)
-      .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.withColumn("__batch", lit(id)).write.mode("append").parquet(spool)
-        ()
+                 keyCols: Seq[String],
+                 workDir: Option[String] = None): DataFrame = {
+    val root = workDir.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft-run-to-final").toString)
+    try {
+      val spool = s"$root/spool"
+      val q: StreamingQuery = streamed.writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.withColumn("__batch", lit(id)).write.mode("append").parquet(spool)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      if (!new java.io.File(spool).exists()) // empty input: no batch wrote
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          streamed.schema)
+      else {
+        val served = latestPerKey(spark.read.parquet(spool), keyCols)
+        // before deleting the spool the result must stop depending on
+        // it: an eager executor-local materialization (result rows
+        // only — windows × keys, never events-sized)
+        if (workDir.isEmpty)
+          served.localCheckpoint(eager = true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        else served
       }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    if (!new java.io.File(spool).exists()) // empty input: no batch wrote
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        streamed.schema)
-    else latestPerKey(spark.read.parquet(spool), keyCols)
+    } finally {
+      if (workDir.isEmpty) deleteRecursively(new java.io.File(root))
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+    ()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Bm25Index, TextAnalysis}
+import graft.pipeline.{Bm25Index, Dedup, TextAnalysis}
 
 /** The persistent posting-list index ([[pipeline.Bm25Index]]) must be an
   * exact, amortized re-expression of the index-free scorer: same scores,
@@ -92,6 +92,74 @@ class Bm25IndexSpec extends AnyFunSuite {
     val viaCompacted = Bm25Index.search(reloaded, s2, qTerms, 15, nBuckets)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(viaCompacted === viaRebuild)
+  }
+
+  test("compaction trigger: accumulating deletes past the broadcast " +
+      "threshold fires compactNeeded; the post-compaction probe plan " +
+      "carries no anti-join and the answer is unchanged") {
+    val all = corpus(0, 300)
+    val (p0, s0) = Bm25Index.build(all, col("doc_id"), col("text"), nBuckets)
+    // comfort line scaled to fixture: 64 B/row × 100 rows
+    val threshold = 64L * 100
+    var tombs = Seq.empty[Long].toDF("doc_id")
+    var stats = s0
+    var fired = -1
+    // delete ticks of 30 docs each; the trigger must stay quiet while
+    // under the line and fire on the tick that crosses it (> 100 ids)
+    for (tick <- 0 until 5 if fired < 0) {
+      val dels = all.where(col("doc_id") % 5 === tick)
+      val (fresh, s1) = Bm25Index.delete(stats, dels, col("doc_id"),
+        col("text"), priorTombstones = Some(tombs))
+      tombs = tombs.unionByName(fresh)
+      stats = s1
+      val needed = Dedup.compactNeeded(tombs, thresholdBytes = threshold)
+      if ((tick + 1) * 60 <= 100) assert(!needed,
+        s"trigger fired early at tick $tick")
+      if (needed) fired = tick
+    }
+    assert(fired >= 0, "trigger never fired as tombstones accumulated")
+    // a deployment persists the 1-row stats next to the index; snapshot
+    // it here so the probe plan reflects the served table, not the
+    // delete ticks' lineage
+    val sRow = stats.collect().head
+    stats = Seq((sRow.getLong(0), sRow.getLong(1))).toDF("n", "total_len")
+    // answer through the tombstone door before compaction
+    val live = Bm25Index.applyTombstones(p0, tombs)
+    val before = Bm25Index.search(live, stats, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the compaction the trigger schedules: canonical rewrite, reload
+    val dir = java.nio.file.Files.createTempDirectory("bm25cmp").toString
+    Bm25Index.write(live, dir)
+    val reloaded = spark.read.parquet(dir)
+    val probe = Bm25Index.search(reloaded, stats, qTerms, 15, nBuckets)
+    // no anti-join anywhere in the compacted probe's plan
+    assert(!probe.queryExecution.optimizedPlan.toString.contains("LeftAnti"),
+      "compacted probe still pays the tombstone anti-join")
+    assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === before, "compaction changed the answer")
+  }
+
+  test("re-delete guard: passing priorTombstones makes a repeated " +
+      "delete a stats no-op instead of silently corrupting (n, total_len)") {
+    val all = corpus(0, 120)
+    val (_, s0) = Bm25Index.build(all, col("doc_id"), col("text"), nBuckets)
+    val dels = all.where(col("doc_id") % 4 === 0)
+    val (tombs, s1) = Bm25Index.delete(s0, dels, col("doc_id"), col("text"))
+    // an overlapping second batch: half re-deletes, half genuinely new
+    val batch2 = all.where(col("doc_id") % 4 === 0 || col("doc_id") % 4 === 1)
+    val (fresh2, s2) = Bm25Index.delete(s1, batch2, col("doc_id"),
+      col("text"), priorTombstones = Some(tombs))
+    // the returned tombstones carry ONLY the genuinely-new ids
+    assert(fresh2.collect().map(_.getLong(0)).forall(_ % 4 == 1))
+    // stats land exactly on the survivors — the unguarded path would
+    // have double-subtracted the %4==0 docs
+    val survivors = all.where(col("doc_id") % 4 >= 2)
+    val (_, sf) = Bm25Index.build(survivors, col("doc_id"), col("text"),
+      nBuckets)
+    assert(s2.collect().toSeq === sf.collect().toSeq)
+    // and WITHOUT the guard the same overlapping batch corrupts n
+    val (_, bad) = Bm25Index.delete(s1, batch2, col("doc_id"), col("text"))
+    assert(bad.collect().head.getLong(0) < sf.collect().head.getLong(0))
   }
 
   test("randomized delete fuzz: tombstoned search ≡ rebuild across " +

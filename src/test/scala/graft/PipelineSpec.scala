@@ -239,6 +239,15 @@ class PipelineSpec extends AnyFunSuite {
       .select($"cell", $"nid", $"ne") // partition col read-back order
     assert(reloaded.where($"nid" % 7 === 0).count() === 0L)
     assert(rows(reloaded) === got)
+    // the trigger that schedules this compaction: quiet while the
+    // tombstone set is broadcast-comfortable, fires once it outgrows
+    // the threshold; the compacted probe pays no anti-join at all
+    assert(!Dedup.compactNeeded(tombs, thresholdBytes = 1L << 20))
+    assert(Dedup.compactNeeded(tombs, thresholdBytes = 64L * 10))
+    val compactedProbe = Similarity.ivfTopKIndexed(q, reloaded, cents,
+      5, nprobe = 4)
+    assert(!compactedProbe.queryExecution.optimizedPlan.toString
+      .contains("LeftAnti"), "compacted IVF probe still anti-joins")
     // UPDATE = delete + re-add under the frozen quantizer: replace every
     // 11th vector's embedding with its reverse, equal a rebuild on the
     // updated corpus
@@ -817,6 +826,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.operators.ZOrder.refitNeeded(shifted, cols, bounds))
     // an empty delta is quiet, not a division by zero
     assert(!graft.operators.ZOrder.refitNeeded(inDist.limit(0), cols, bounds))
+    // mismatched cols/bounds must fail loudly, never zip-truncate a
+    // dimension out of the drift report
+    intercept[IllegalArgumentException] {
+      graft.operators.ZOrder.layoutDriftPpm(shifted, cols, bounds.take(1))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.ZOrder.layoutDriftPpm(shifted, Nil, Array.empty)
+    }
   }
 
   test("hilbert curve: bijection, grid adjacency, codegen ≡ twin, " +
@@ -1100,6 +1117,10 @@ class PipelineSpec extends AnyFunSuite {
       .unionByName(index.where(col("did") > 2L))
     assert(pruned.orderBy("did").collect().map(_.toSeq).toSeq
       === rebuilt.orderBy("did").collect().map(_.toSeq).toSeq)
+    // the same compaction trigger rides this door: one tombstone is
+    // far under any broadcast comfort line; a sub-row threshold fires
+    assert(!Dedup.compactNeeded(tombs))
+    assert(Dedup.compactNeeded(tombs, thresholdBytes = 32L))
   }
 
   test("winnowing: shared run of w+k-1 tokens guarantees a shared print") {

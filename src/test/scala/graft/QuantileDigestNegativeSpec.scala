@@ -82,6 +82,21 @@ class QuantileDigestNegativeSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("trim tighter than the build eps fails loudly — a digest cannot " +
+      "tighten its recorded error after the fact") {
+    val ex = intercept[Exception] {
+      Seq(goodDigest).toDF("d") // built at eps = 0.01
+        .select(quantile_digest_trim(col("d"), 0.005)).collect()
+    }
+    assert(ex.getMessage.contains("coarser"),
+      s"wrong failure: ${ex.getMessage}")
+    // equal eps is the boundary: allowed (a same-eps re-compress)
+    val same = Seq(goodDigest).toDF("d")
+      .select(quantile_digest_count(quantile_digest_trim(col("d"), 0.01)))
+      .collect().head.getLong(0)
+    assert(same === 100L)
+  }
+
   test("an intact image still round-trips after the negative cases " +
       "(no shared-state corruption)") {
     val n = Seq(goodDigest).toDF("d")

@@ -465,6 +465,21 @@ class StreamingSpec extends AnyFunSuite {
     gotS.foreach { case (w, (n, _)) => assert(wantS(w)._1 === n) }
   }
 
+  test("runToFinal leaves no temp-dir residue: a periodically-invoked " +
+      "monitor accumulates zero on-disk state across runs") {
+    def residue: Int = new java.io.File(
+      System.getProperty("java.io.tmpdir")).listFiles()
+      .count(_.getName.startsWith("graft-run-to-final"))
+    val before = residue
+    val got = EventsStream.runToFinal(spark,
+      EventsStream.windowedCounts(EventsStream.readStream(spark, dir)),
+      Seq("window", "event_type"))
+    // the served result must not depend on the deleted spool
+    assert(got.count() > 0)
+    assert(residue === before,
+      "runToFinal left its spool/checkpoint temp directory behind")
+  }
+
   test("runToFinal latest-wins across micro-batches: a window updated " +
       "in two batches serves its final state, not its first emission") {
     import spark.implicits._
