@@ -66,4 +66,56 @@ object QuantileCensus {
     trimEps.fold(merged)(e =>
       merged.withColumn("digest", quantile_digest_trim(col("digest"), e)))
   }
+
+  /** Per-image byte budget: `factor` × the size of a FRESH ε-digest
+    * over the same count — header (20 B) + length word + entries ×
+    * 24 B, with the GK entry bound (1/(2ε))·(log₂(2εN)+2) plus slack
+    * for small counts. An image under the budget is healthy; one above
+    * it has accreted merge entries past what a rebuild would hold. */
+  private def overBudget(relativeError: Double, factor: Double): Column = {
+    val entries = lit(1.0 / (2 * relativeError)) *
+      (log2(greatest(lit(2 * relativeError) *
+        quantile_digest_count(col("digest")).cast("double"), lit(2.0))) +
+        lit(2.0)) + lit(16.0)
+    length(col("digest")).cast("double") >
+      lit(factor) * (lit(24.0) + lit(24.0) * entries)
+  }
+
+  /** The auto-trim trigger — [[graft.pipeline.Dedup.compactNeeded]]'s
+    * twin for the one structure in the engine whose bytes grow with
+    * merge HISTORY rather than data: true when any segment's digest
+    * image has accreted past `factor` × the fresh-rebuild expectation
+    * for its own count. One segment-table-sized aggregate; rides every
+    * compaction cycle so the caller never has to know the trim cadence.
+    * `relativeError` is the table's build ε (recorded in every image,
+    * restated here because the expectation is a per-TABLE contract —
+    * mixed trimmed/untrimmed rows measure against the tight ε, which
+    * only errs toward trimming a coarse image again, a no-op in size). */
+  def trimNeeded(digests: DataFrame, relativeError: Double,
+                 factor: Double = 3.0): Boolean = {
+    require(relativeError > 0 && relativeError < 1 && factor >= 1.0,
+      "trimNeeded needs eps in (0,1) and factor >= 1")
+    digests.where(overBudget(relativeError, factor)).limit(1).count() > 0L
+  }
+
+  /** [[compact]] with the trim policy wired in: segments whose merged
+    * image stays within the byte budget keep their tight build-ε bound;
+    * only accreted segments re-compress at the coarser `trimEps`
+    * ((ε_build + ε_trim) rank bound, count still exact). The decision
+    * is a per-row `when` inside the same projection — no second pass,
+    * no driver round-trip — so a serving table compacted through THIS
+    * door self-maintains: image bytes stay bounded over unboundedly
+    * many append/compact cycles with no manual trim call and no
+    * full-rebuild dependency (spec-pinned over 40 cycles). */
+  def compactSelfTrimming(digests: DataFrame, segCols: Seq[Column],
+                          relativeError: Double, trimEps: Double,
+                          factor: Double = 3.0): DataFrame = {
+    require(trimEps >= relativeError,
+      s"trimEps ($trimEps) must be coarser than the build eps " +
+        s"($relativeError)")
+    compact(digests, segCols).withColumn("digest",
+      when(overBudget(relativeError, factor),
+        quantile_digest_trim(col("digest"), trimEps))
+        .otherwise(col("digest")))
+  }
 }

@@ -199,6 +199,81 @@ class QuantileDigestSpec extends AnyFunSuite {
     }
   }
 
+  test("self-trimming compaction keeps image bytes bounded over 40 " +
+      "append/compact cycles with no manual trim call; the untrimmed " +
+      "control accretes past the budget; ranks hold the trimmed bound") {
+    val trimEps = 0.02
+    val segs = Seq(col("seg"))
+    def maxBytes(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(max(length(col("digest")))).collect().head.getInt(0).toLong
+    // one shared stream of batches: 4 segments × 500 fresh values/cycle
+    def batch(c: Int) = (for {
+      seg <- 0 until 4; i <- 0 until 500
+    } yield (seg.toLong,
+      ((i * 2654435761L + (c * 4 + seg) * 40503L) % 10000).toDouble))
+      .toDF("seg", "v")
+    var auto = QuantileCensus.build(batch(0), segs, col("v"), eps)
+    var ctrl = auto
+    var all = Vector.empty[Double]
+    var autoPeak = Vector.empty[Long]
+    for (c <- 1 to 40) {
+      all = all ++ (for (seg <- 0 until 4; i <- 0 until 500)
+        yield ((i * 2654435761L + ((c - 1) * 4 + seg) * 40503L) % 10000)
+          .toDouble)
+      if (c < 40) {
+        val b = batch(c)
+        auto = QuantileCensus.compactSelfTrimming(
+          QuantileCensus.add(auto, b, segs, col("v"), eps),
+          segs, eps, trimEps)
+        ctrl = QuantileCensus.compact(
+          QuantileCensus.add(ctrl, b, segs, col("v"), eps), segs)
+        autoPeak :+= maxBytes(auto)
+      }
+    }
+    // bounded: every cycle's stored image stays under the policy's byte
+    // budget — factor × the fresh-digest expectation at that cycle's
+    // per-segment count (the table can approach the budget, the trim
+    // resets it the cycle it crosses; the budget itself grows only
+    // O(log n))
+    def budgetBytes(n: Long): Double = {
+      val entries = (1.0 / (2 * eps)) *
+        (math.log(math.max(2 * eps * n, 2.0)) / math.log(2.0) + 2.0) + 16.0
+      3.0 * (24.0 + 24.0 * entries)
+    }
+    autoPeak.zipWithIndex.foreach { case (b, i) =>
+      val n = (i + 2).toLong * 500 // per-segment rows after cycle i+1
+      assert(b <= budgetBytes(n),
+        s"cycle ${i + 1}: $b bytes over the ${budgetBytes(n)} budget " +
+          s"trace=$autoPeak")
+    }
+    // and the steady state after the first reset sits FAR under the
+    // budget, not riding it (the trim collapses to O(1/eps_trim))
+    assert(autoPeak.takeRight(20).max < budgetBytes(20000) / 5,
+      s"steady state not collapsed: $autoPeak")
+    // the control demonstrates the accretion is real: by cycle 40 it
+    // blows past the budget the policy enforces
+    assert(maxBytes(ctrl) > budgetBytes(20000),
+      s"control never accreted (ctrl=${maxBytes(ctrl)}) — the policy " +
+        "is pointless at this shape")
+    assert(QuantileCensus.trimNeeded(ctrl, eps),
+      "trigger blind to the accreted control")
+    assert(!QuantileCensus.trimNeeded(auto, eps),
+      "trigger still firing on the self-maintained table")
+    // correctness under the policy: count exact, ranks within the
+    // trimmed (2·(eps+trimEps)) bound at every decile
+    val fr = (1 to 9).map(_ / 10.0)
+    val row = QuantileCensus.quantiles(auto, Nil, fr).collect().head
+    assert(row.getLong(0) === all.size.toLong, "self-trim lost rows")
+    val sorted = all.sorted
+    fr.zipWithIndex.foreach { case (q, i) =>
+      val v = row.getDouble(i + 1)
+      val n = sorted.size
+      assert(sorted.count(_ <= v) >= (q - 2 * (eps + trimEps)) * n - 1 &&
+        sorted.count(_ < v) <= (q + 2 * (eps + trimEps)) * n + 1,
+        s"q=$q outside the trimmed bound after 40 cycles")
+    }
+  }
+
   test("nulls are skipped exactly; an empty digest queries to null") {
     val df = Seq[(Long, Option[Double])]((0L, Some(1.0)), (0L, None),
       (0L, Some(3.0)), (1L, None)).toDF("seg", "v")
