@@ -94,6 +94,16 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the bench artifact keeps only the LAST ~2000 chars of stdout/err —
+    // WindowExec's per-execution "No Partition Defined" WARN (fired by
+    // the deliberately bounded unpartitioned frames: Curation/Compaction
+    // nBuckets-row offsets, per-day cumsums — each justified at its use
+    // site) sprayed hundreds of lines across rounds 10-11 and crowded
+    // every real diagnostic out of the tail. Silence that ONE logger;
+    // every other WARN still reaches the artifact.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     def secs(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
