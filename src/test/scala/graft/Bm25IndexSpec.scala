@@ -94,6 +94,63 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(viaCompacted === viaRebuild)
   }
 
+  test("search is a lazy plan on a hot path: building it launches zero " +
+      "jobs, and reliable-checkpoint mode writes nothing durable per probe") {
+    val (p0, s0) = Bm25Index.build(corpus(0, 200), col("doc_id"),
+      col("text"), nBuckets)
+    val p = p0.localCheckpoint() // the index is already materialized
+    val sRow = s0.collect().head
+    val s = Seq((sRow.getLong(0), sRow.getLong(1))).toDF("n", "total_len")
+    // (1) plan construction must not trigger a Spark job — a serving
+    // layer builds many more plans than it executes (explain, caching,
+    // admission control) and the per-probe materialization is lazy
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def settle(): Unit = {
+      var last = -1; var stable = 0
+      val dl = System.currentTimeMillis() + 60000
+      while (stable < 5 && System.currentTimeMillis() < dl) {
+        Thread.sleep(100)
+        val c = jobs.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val probe = try {
+      settle(); jobs.set(0)
+      val built = Bm25Index.search(p, s, qTerms, 10, nBuckets)
+      settle()
+      assert(jobs.get() === 0,
+        "building a search plan must not launch jobs")
+      built
+    } finally spark.sparkContext.removeSparkListener(l)
+    // (2) under spark.graft.reliableCheckpoint=true a probe must stay
+    // executor-local: Spark never deletes per-query reliable checkpoint
+    // dirs (absent cleanCheckpoints=true), so a high-QPS server would
+    // accumulate unbounded durable files — the flag is for build/
+    // maintenance frames, not the hot read path
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("bm25-probe-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      // a probe BUILT and executed under the flag (the plan above was
+      // built before it was set)
+      val reliableProbe = Bm25Index.search(p, s, qTerms, 10, nBuckets)
+      assert(reliableProbe.collect().nonEmpty)
+      assert(probe.collect().nonEmpty)
+      val wrote = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(ckptDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote === 0L,
+        "a probe wrote durable checkpoint files under reliable mode")
+    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+  }
+
   test("compaction trigger: accumulating deletes past the broadcast " +
       "threshold fires compactNeeded; the post-compaction probe plan " +
       "carries no anti-join and the answer is unchanged") {
