@@ -755,6 +755,33 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // the IVF UPDATE door (generation-versioned, the persisted-store
+    // path, [[pipeline.Similarity.ivfApplyGenTombstones]]): every 6th
+    // vector is re-assigned with its REVERSED embedding under gen 1
+    // while a (nid, upto_gen=0) tombstone retires its gen-0 cell row —
+    // the fresh generation survives its own id's tombstone. The oracle
+    // assigns the UPDATED corpus from scratch under the same frozen
+    // quantizer, so the hash match proves stamp + append +
+    // gen-tombstone + probe ≡ rebuild.
+    "ann_ivf_update" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val base = pipeline.Similarity.ivfStampGen(
+        pipeline.Similarity.ivfAssign(emb, cents), 0L)
+      val upd = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val delta = pipeline.Similarity.ivfStampGen(
+        pipeline.Similarity.ivfAssign(upd, cents), 1L)
+      val tombs = pipeline.Similarity.ivfGenTombstones(
+        upd, col("vec_id"), 0L)
+      pipeline.Similarity.ivfTopKIndexed(
+        emb.where(col("vec_id") < 5),
+        pipeline.Similarity.ivfApplyGenTombstones(
+          base.unionByName(delta), tombs),
+        cents, 5, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     // recall report: hits@5 of each approximate path against the exact
     // brute-force top-5, per query — oracle-checked end to end
     "ann_ivf_recall" -> ((s, d) => {
@@ -2320,6 +2347,30 @@ object PipelineQueries {
         s2, Seq("data", "stream", "shuffle"), 10, 64)
     }),
 
+    // the posting-index UPDATE door (generation-versioned, the
+    // persisted-store path): every 6th document is re-indexed with
+    // version-1 text under gen 1 while a (doc_id, upto_gen=0) tombstone
+    // retires its gen-0 rows — the fresh generation survives its own
+    // id's tombstone ([[pipeline.Bm25Index.applyGenTombstones]]). The
+    // oracle scores the UPDATED corpus from scratch, so the hash match
+    // proves stamp + append + gen-tombstone + search ≡ rebuild.
+    "retrieval_bm25_update" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldU = docs.where(col("doc_id") % 6 === 3)
+      val newU = oldU.select(col("doc_id"),
+        concat(col("text"), lit(" shuffle data")).as("text"))
+      val (p0, s0) = pipeline.Bm25Index.build(
+        docs, col("doc_id"), col("text"), 64)
+      val (delta, tombs, s1) = pipeline.Bm25Index.update(
+        s0, oldU, newU, col("doc_id"), col("text"), 64, newGen = 1L)
+      pipeline.Bm25Index.search(
+        pipeline.Dedup.checkpointCorpus(
+          pipeline.Bm25Index.applyGenTombstones(
+            pipeline.Bm25Index.stampGen(p0, 0L).unionByName(delta),
+            tombs)),
+        s1, Seq("data", "stream", "shuffle"), 10, 64)
+    }),
+
     // Hilbert layout key: same census as layout_zorder_code but along
     // the adjacency-preserving curve — oracling the 16-round
     // rotate/reflect LOOP (functions.HilbertCode, eval AND codegen)
@@ -2654,7 +2705,8 @@ object PipelineQueries {
     * mirroring [[graft.pipeline.Similarity.ivfTopK]]. */
   private def ivfSql(nlist: Int, nprobe: Int, k: Int,
                      centWhere: String = "",
-                     corpusWhere: String = ""): String =
+                     corpusWhere: String = "",
+                     corpusFrom: String = "embeddings"): String =
     s"""cent AS (SELECT vec_id AS cent_id, embedding AS cent
          FROM embeddings $centWhere
          ORDER BY vec_id LIMIT $nlist),
@@ -2664,7 +2716,7 @@ object PipelineQueries {
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
                ORDER BY list_cosine_similarity(e.embedding, ct.cent) DESC,
                         ct.cent_id ASC) AS rk
-           FROM (SELECT * FROM embeddings $corpusWhere) e
+           FROM (SELECT * FROM $corpusFrom $corpusWhere) e
            CROSS JOIN cent ct) WHERE rk = 1),
        probes AS (
          SELECT cell, qid, qe FROM (
@@ -3305,6 +3357,16 @@ object PipelineQueries {
     "ann_ivf_delete" ->
       (s"WITH ${ivfSql(16, 4, 5, "WHERE vec_id % 5 <> 4",
           "WHERE vec_id % 7 <> 0")} " +
+       "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivf_topk " +
+       "ORDER BY qid, rank"),
+
+    // rebuild-on-the-updated-corpus under the same frozen quantizer:
+    // every 6th vector carries its reversed embedding
+    "ann_ivf_update" ->
+      (s"WITH ${ivfSql(16, 4, 5,
+          corpusFrom = "(SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+            "THEN list_reverse(embedding) ELSE embedding END " +
+            "AS embedding FROM embeddings)")} " +
        "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivf_topk " +
        "ORDER BY qid, rank"),
 
@@ -4737,6 +4799,37 @@ object PipelineQueries {
     "retrieval_bm25_delete" ->
       (s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term
              FROM documents WHERE doc_id % 7 <> 0),
+         tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+           WHERE term IN ('data', 'stream', 'shuffle') GROUP BY 1),
+         sc AS (SELECT tc.doc_id,
+           CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS rarity_ppm,
+           CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+             (CAST(10 AS HUGEINT) * tf * total_len +
+              CAST(3 AS HUGEINT) * total_len +
+              CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+           FROM tc JOIN df USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT)
+           AS score
+         FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"""),
+
+    // rebuild-on-the-updated-corpus: every 6th doc's text carries the
+    // version-1 suffix — matching the engine's generation-filtered
+    // search proves stamp + append + gen-tombstone ≡ rebuild
+    "retrieval_bm25_update" ->
+      (s"""WITH docs2 AS (SELECT doc_id,
+             CASE WHEN doc_id % 6 = 3 THEN text || ' shuffle data'
+                  ELSE text END AS text FROM documents),
+         tok AS (SELECT doc_id, unnest(
+             string_split_regex(lower(trim(text)), '\\s+')) AS term
+           FROM docs2),
          tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
            FROM tok GROUP BY 1, 2),
          dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl

@@ -155,6 +155,65 @@ object Bm25Index {
     postings.join(broadcast(tombstones.select(col("doc_id"))),
       Seq("doc_id"), "left_anti")
 
+  // ---- generation-versioned postings: UPDATE on a PERSISTED store ----
+  //
+  // A plain id tombstone cannot express an in-place update against a
+  // store on disk: the update's fresh postings share the doc id, so the
+  // anti-join swallows them — the fixture path folds the tombstones
+  // into the in-memory frame before the add, but a parquet store can
+  // only "fold" by rewriting. Generations fix this the way real search
+  // engines do: every appended batch is STAMPED with its generation,
+  // an update appends the new generation's rows and tombstones the id
+  // UP TO the superseded generation, and the probe filter keeps any
+  // row newer than its id's tombstone. Update cost stays O(delta)
+  // (stamp + append + 1-row stats math); the probe's anti-join is
+  // still a broadcast with an equi-key on doc_id (the gen bound rides
+  // as a join condition, not a new shuffle key); compaction through
+  // [[write]] drops retired generations exactly like plain tombstones.
+
+  /** Stamp a postings batch with its generation (build emits unstamped
+    * batches; a versioned store stamps every batch, base load = 0). */
+  def stampGen(postings: DataFrame, gen: Long): DataFrame =
+    postings.withColumn("gen", lit(gen))
+
+  /** Tombstone rows retiring `ids` up to and including `uptoGen`. */
+  def genTombstones(ids: DataFrame, idCol: Column,
+                    uptoGen: Long): DataFrame =
+    ids.select(idCol.as("doc_id"), lit(uptoGen).as("upto_gen"))
+
+  /** The versioned twin of [[applyTombstones]]: drops a posting row iff
+    * some tombstone retires its id at or above its generation — an
+    * updated id's FRESH rows survive their own id's tombstone. Same
+    * plan shape: broadcast anti-join keyed on doc_id (the gen bound is
+    * a join condition), riding above the bucket/term pruning. */
+  def applyGenTombstones(postings: DataFrame,
+                         tombstones: DataFrame): DataFrame = {
+    val t = broadcast(tombstones
+      .select(col("doc_id").as("__t_id"), col("upto_gen")))
+    postings.join(t,
+      postings("doc_id") === col("__t_id") &&
+        postings("gen") <= col("upto_gen"), "left_anti")
+  }
+
+  /** The UPDATE door, O(delta): takes the superseded versions (their
+    * text funds the stats correction, [[delete]]'s contract) and the
+    * replacement docs, returns `(postingsDelta, tombstones, stats')` —
+    * append the stamped delta to the store, union the tombstones into
+    * the serving set, serve through [[applyGenTombstones]]. Search
+    * then equals a fresh rebuild on the updated corpus bit-for-bit
+    * (the `retrieval_bm25_update` oracle pins it). `newGen` must
+    * exceed every generation the updated ids currently carry. */
+  def update(stats: DataFrame, oldDocs: DataFrame, newDocs: DataFrame,
+             idCol: Column, text: Column, nBuckets: Int,
+             newGen: Long): (DataFrame, DataFrame, DataFrame) = {
+    val (_, s1) = delete(stats, oldDocs, idCol, text)
+    val (dp, ds) = build(newDocs, idCol, text, nBuckets)
+    val merged = s1.unionByName(ds)
+      .agg(sum(col("n")).as("n"), sum(col("total_len")).as("total_len"))
+    (stampGen(dp, newGen),
+      genTombstones(oldDocs.select(idCol), idCol, newGen - 1), merged)
+  }
+
   /** Top-k search over a (possibly reloaded) index. Touches only the
     * query terms' buckets (partition pruning via the constant-folded
     * bucket predicate) and rows (`term IN` pushed to parquet); df is a

@@ -244,6 +244,33 @@ object Similarity {
     index.join(broadcast(tombstones.select(col("nid"))), Seq("nid"),
       "left_anti")
 
+  // ---- generation-versioned index rows: UPDATE on a PERSISTED store.
+  // Same design as `Bm25Index.stampGen`/`applyGenTombstones` and for
+  // the same reason: a plain nid tombstone would swallow a re-used id's
+  // freshly appended cell rows, forcing a per-update rewrite. Stamp
+  // each appended batch, tombstone the id up to the superseded
+  // generation, and the probe filter keeps rows newer than their id's
+  // tombstone — update = O(delta) assign + append under the frozen
+  // quantizer, search ≡ rebuild on the updated corpus (the
+  // `ann_ivf_update` oracle pins it). The anti-join stays a broadcast
+  // hash join on the nid equi-key (the gen bound is a join condition).
+
+  def ivfStampGen(index: DataFrame, gen: Long): DataFrame =
+    index.withColumn("gen", lit(gen))
+
+  def ivfGenTombstones(ids: DataFrame, idCol: Column,
+                       uptoGen: Long): DataFrame =
+    ids.select(idCol.as("nid"), lit(uptoGen).as("upto_gen"))
+
+  def ivfApplyGenTombstones(index: DataFrame,
+                            tombstones: DataFrame): DataFrame = {
+    val t = broadcast(tombstones
+      .select(col("nid").as("__t_nid"), col("upto_gen")))
+    index.join(t,
+      index("nid") === col("__t_nid") &&
+        index("gen") <= col("upto_gen"), "left_anti")
+  }
+
   // ---- product quantization (PQ / IVFPQ) ----
 
   /** Per-subspace PQ codebooks seeded from the first `ksub` corpus vectors

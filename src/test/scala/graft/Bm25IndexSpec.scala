@@ -196,6 +196,69 @@ class Bm25IndexSpec extends AnyFunSuite {
       === before, "compaction changed the answer")
   }
 
+  test("generation-versioned update on a PERSISTED store: the stamped " +
+      "append + gen tombstone equals a rebuild on the updated corpus; " +
+      "a plain id tombstone would swallow the update") {
+    val all = corpus(0, 300)
+    val dir = java.nio.file.Files.createTempDirectory("bm25gen").toString
+    val (p0, s0) = Bm25Index.build(all, col("doc_id"), col("text"), nBuckets)
+    Bm25Index.write(Bm25Index.stampGen(p0, 0), dir)
+    // update every 6th doc: same id, version-1 text
+    def v1(ids: org.apache.spark.sql.DataFrame) = ids
+      .select(col("doc_id"), concat(col("text"),
+        lit(" zzupdated zzupdated epsilon")).as("text"))
+    val oldU = all.where(col("doc_id") % 6 === 3)
+    val (delta, tombs, s1) = Bm25Index.update(s0, oldU, v1(oldU),
+      col("doc_id"), col("text"), nBuckets, newGen = 1L)
+    Bm25Index.write(delta, dir, mode = "append")
+    val store = spark.read.parquet(dir)
+    val live = Bm25Index.applyGenTombstones(store, tombs)
+    val got = Bm25Index.search(live, s1, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // rebuild on the updated corpus
+    val updatedCorpus = all.where(col("doc_id") % 6 =!= 3)
+      .unionByName(v1(oldU))
+    val (pf, sf) = Bm25Index.build(updatedCorpus, col("doc_id"),
+      col("text"), nBuckets)
+    assert(s1.collect().toSeq === sf.collect().toSeq,
+      "update stats drifted from the updated corpus")
+    val want = Bm25Index.search(pf, sf, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got === want)
+    // the fresh generation SURVIVES its own id's tombstone — the very
+    // thing a plain id tombstone gets wrong on a persisted store
+    assert(live.where(col("doc_id") % 6 === 3).count() > 0,
+      "gen tombstone swallowed the update's fresh postings")
+    assert(Bm25Index.applyTombstones(store, tombs.select(col("doc_id")))
+      .where(col("doc_id") % 6 === 3).count() === 0L,
+      "counter-example broke: the plain door should swallow the update")
+    // second-generation update of a subset of the same ids
+    val oldU2 = v1(all.where(col("doc_id") % 12 === 3))
+    def v2(ids: org.apache.spark.sql.DataFrame) = ids
+      .select(col("doc_id"), concat(col("text"), lit(" gamma")).as("text"))
+    val (delta2, tombs2, s2) = Bm25Index.update(s1, oldU2, v2(oldU2),
+      col("doc_id"), col("text"), nBuckets, newGen = 2L)
+    Bm25Index.write(delta2, dir, mode = "append")
+    val live2 = Bm25Index.applyGenTombstones(spark.read.parquet(dir),
+      tombs.unionByName(tombs2))
+    val got2 = Bm25Index.search(live2, s2, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val corpus2 = updatedCorpus.where(col("doc_id") % 12 =!= 3)
+      .unionByName(v2(oldU2))
+    val (pf2, sf2) = Bm25Index.build(corpus2, col("doc_id"), col("text"),
+      nBuckets)
+    assert(got2 === Bm25Index.search(pf2, sf2, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // compaction retires the dead generations physically
+    val cdir = java.nio.file.Files.createTempDirectory("bm25genc").toString
+    Bm25Index.write(live2, cdir)
+    val reloaded = spark.read.parquet(cdir)
+    assert(reloaded.where(col("doc_id") % 6 === 3 && col("gen") === 0)
+      .count() === 0L, "compaction kept a retired generation")
+    assert(Bm25Index.search(reloaded, s2, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === got2)
+  }
+
   test("re-delete guard: passing priorTombstones makes a repeated " +
       "delete a stats no-op instead of silently corrupting (n, total_len)") {
     val all = corpus(0, 120)

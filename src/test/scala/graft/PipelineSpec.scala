@@ -259,6 +259,31 @@ class PipelineSpec extends AnyFunSuite {
     val updatedCorpus = emb.where($"vec_id" % 11 =!= 0)
       .select($"vec_id", $"embedding").unionByName(upd)
     assert(rows(updated) === rows(Similarity.ivfAssign(updatedCorpus, cents)))
+    // the GENERATION door on a persisted store: an update appends the
+    // re-assigned vectors under gen 1 and retires gen 0 — the fresh
+    // rows survive their own id's tombstone (a plain nid tombstone
+    // swallows them, the exact failure this door exists to avoid)
+    val upd2 = emb.where($"vec_id" % 6 === 3)
+      .select($"vec_id", reverse($"embedding").as("embedding"))
+    val gdir = java.nio.file.Files.createTempDirectory("ivfgen")
+      .toString + "/idx"
+    Similarity.ivfStampGen(Similarity.ivfAssign(emb, cents), 0L)
+      .write.partitionBy("cell").parquet(gdir)
+    Similarity.ivfStampGen(Similarity.ivfAssign(upd2, cents), 1L)
+      .write.mode("append").partitionBy("cell").parquet(gdir)
+    val gstore = spark.read.parquet(gdir)
+      .select($"cell", $"nid", $"ne", $"gen")
+    val gtombs = Similarity.ivfGenTombstones(upd2, $"vec_id", 0L)
+    val gLive = Similarity.ivfApplyGenTombstones(gstore, gtombs)
+    val gCorpus = emb.where($"vec_id" % 6 =!= 3)
+      .select($"vec_id", $"embedding").unionByName(upd2)
+    assert(rows(gLive) === rows(Similarity.ivfAssign(gCorpus, cents)),
+      "gen-versioned update != rebuild on the updated corpus")
+    assert(gLive.where($"nid" % 6 === 3).count() > 0,
+      "gen tombstone swallowed the update's fresh rows")
+    assert(Similarity.ivfApplyTombstones(gstore,
+      gtombs.select($"nid")).where($"nid" % 6 === 3).count() === 0L,
+      "counter-example broke: the plain door should swallow the update")
     // seeded fuzz: random delete moduli and probe widths all hold
     // tombstoned ≡ rebuild-on-survivors under the frozen quantizer
     for (seed <- 1 to 3) {

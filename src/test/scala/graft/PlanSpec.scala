@@ -767,6 +767,20 @@ class PlanSpec extends AnyFunSuite {
     pinned(graft.pipeline.Dedup.removeFromIndex(
       sigs, docs.where(col("doc_id") % 7 === 0)
         .select(col("doc_id").as("did"))), "dedup")
+    // the generation-versioned door: the gen bound rides as a join
+    // CONDITION on the same doc_id equi-key — it must not demote the
+    // broadcast hash anti-join to a shuffle or a nested loop
+    pinned(graft.pipeline.Bm25Index.applyGenTombstones(
+      graft.pipeline.Bm25Index.stampGen(p, 0L),
+      graft.pipeline.Bm25Index.genTombstones(
+        docs.where(col("doc_id") % 7 === 0), col("doc_id"), 0L)),
+      "bm25-gen")
+    pinned(graft.pipeline.Similarity.ivfApplyGenTombstones(
+      graft.pipeline.Similarity.ivfStampGen(
+        graft.pipeline.Similarity.ivfAssign(emb, cents), 0L),
+      graft.pipeline.Similarity.ivfGenTombstones(
+        emb.where(col("vec_id") % 7 === 0), col("vec_id"), 0L)),
+      "ivf-gen")
   }
 
   test("layout code queries: scans read exactly the two key columns") {
