@@ -1166,21 +1166,20 @@ object ScaleBench {
     // ---- serving-index LIFECYCLE at scale: the fixture soak
     // (LifecycleSoakSpec) proves the doors compose; this stage proves
     // the composition's COST SHAPE at 1M docs against the PERSISTED
-    // index. Three maintenance ticks (1,000 deletes + 1,000 adds each)
-    // run as a deployment would: guarded stats-corrected delete into an
-    // accumulating tombstone table, delta postings appended per-bucket
-    // to the parquet store (existing postings never read or
-    // reshuffled), compactNeeded riding each tick. The measured tick's
-    // inputRecords must be DELTA-sized (thousands) while the store
-    // holds 40M postings — the O(delta) maintenance contract; the
-    // post-ticks probe must stay probe-sized through the tombstone
-    // anti-join; and the tombstoned answer must equal a fresh rebuild
-    // on the survivors (top-k equality asserted, at full scale). An
-    // UPDATE against a DISK index is delete + re-add under a fresh
-    // surrogate id (an id-keyed tombstone would swallow a re-used id's
-    // appended postings — the in-memory fold path the fixture soak
-    // exercises is for index frames a rewrite can fold; id generations
-    // are the classic alternative and deliberately out of scope).
+    // index. Three maintenance ticks (1,000 deletes + 1,000 updates +
+    // 1,000 adds each) run as a deployment would: guarded
+    // stats-corrected deletes, generation-versioned UPDATES
+    // (Bm25Index.update — the fresh generation's postings append and
+    // survive their own id's tombstone), adds appended per-bucket to
+    // the parquet store (existing postings never read or reshuffled),
+    // compactNeeded riding every tick. One tombstone table serves both
+    // doors: a delete retires the id up to Long.MaxValue, an update up
+    // to the superseded generation. The measured tick's inputRecords
+    // must be DELTA-sized (thousands) while the store holds 40M
+    // postings — the O(delta) maintenance contract; the post-ticks
+    // probe must stay probe-sized through the gen anti-join; and the
+    // tombstoned answer must equal a fresh rebuild on the updated
+    // surviving corpus (top-k equality asserted, at full scale).
     if (Seq("lifecycle_tick_1m", "lifecycle_probe_post_ticks_1m",
         "lifecycle_equiv_1m", "lifecycle_compaction_1m").exists(only)) {
       val n = 1000000L
@@ -1198,60 +1197,89 @@ object ScaleBench {
         val (postings, stats) = pipeline.Bm25Index.build(
           gdocs(spark.range(n).toDF()), col("doc_id"), col("text"),
           nBuckets = 256)
-        pipeline.Bm25Index.write(postings, dir)
+        pipeline.Bm25Index.write(
+          pipeline.Bm25Index.stampGen(postings, 0L), dir)
         val s0 = stats.collect().head
         nS = s0.getLong(0); tlS = s0.getLong(1)
         s"n=$nS total_len=$tlS"
       }
-      var tombIds = spark.range(0).select(col("id").as("doc_id"))
-        .localCheckpoint(true)
+      var tombIds = spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("upto_gen")).localCheckpoint(true)
       var compactSignals = 0
-      // tick i: delete base-doc class id%1000==i, add 1000 fresh docs;
-      // classes are disjoint across ticks and adds sit past the base
-      // range, so every delete batch's current version is v0. Delta
+      val updSuffix = " w42 zzupdated"
+      // tick i: delete base-doc class id%1000==i, UPDATE class
+      // id%1000==100+i (version-1 text under gen 1), add 1000 fresh
+      // docs; classes are disjoint across ticks and doors, adds sit
+      // past the base range, so every superseded version is v0. Delta
       // frames are materialized OUTSIDE the measured block: a real
       // deployment's delta ARRIVES delta-sized (a changed-docs batch),
       // it is not carved out of a corpus scan — counting the synthetic
       // range read would drown the evidence the stage exists for.
-      def deltas(i: Int) = (
-        gdocs(spark.range(n).toDF().where(col("id") % 1000 === i))
-          .localCheckpoint(true),
-        gdocs(spark.range(n + i * 1000L, n + (i + 1) * 1000L).toDF())
-          .localCheckpoint(true))
-      def tick(olds: org.apache.spark.sql.DataFrame,
+      def deltas(i: Int) = {
+        val oldsU = gdocs(spark.range(n).toDF()
+          .where(col("id") % 1000 === 100 + i)).localCheckpoint(true)
+        (gdocs(spark.range(n).toDF().where(col("id") % 1000 === i))
+           .localCheckpoint(true),
+         oldsU,
+         oldsU.select(col("doc_id"),
+           concat(col("text"), lit(updSuffix)).as("text"))
+           .localCheckpoint(true),
+         gdocs(spark.range(n + i * 1000L, n + (i + 1) * 1000L).toDF())
+           .localCheckpoint(true))
+      }
+      def tick(dels: org.apache.spark.sql.DataFrame,
+               oldsU: org.apache.spark.sql.DataFrame,
+               newsU: org.apache.spark.sql.DataFrame,
                adds: org.apache.spark.sql.DataFrame): String = {
-        val (fresh, s2) = pipeline.Bm25Index.delete(statsDf, olds,
-          col("doc_id"), col("text"), priorTombstones = Some(tombIds))
+        // deletes: retire the id across ALL generations
+        val (fresh, s2) = pipeline.Bm25Index.delete(statsDf, dels,
+          col("doc_id"), col("text"),
+          priorTombstones = Some(tombIds.select(col("doc_id"))))
         val s2r = s2.collect().head
         nS = s2r.getLong(0); tlS = s2r.getLong(1)
-        tombIds = tombIds.unionByName(fresh).localCheckpoint(true)
+        tombIds = tombIds.unionByName(pipeline.Bm25Index.genTombstones(
+          fresh, col("doc_id"), Long.MaxValue))
+        // updates: the gen door — append gen-1 postings, retire gen 0
+        val (dpU, tombsU, sU) = pipeline.Bm25Index.update(statsDf,
+          oldsU, newsU, col("doc_id"), col("text"), nBuckets = 256,
+          newGen = 1L)
+        pipeline.Bm25Index.write(dpU, dir, mode = "append")
+        val sUr = sU.collect().head
+        nS = sUr.getLong(0); tlS = sUr.getLong(1)
+        tombIds = tombIds.unionByName(tombsU).localCheckpoint(true)
+        // adds: per-bucket append, gen 0
         val (dp, ds) = pipeline.Bm25Index.build(adds, col("doc_id"),
           col("text"), nBuckets = 256)
-        pipeline.Bm25Index.write(dp, dir, mode = "append")
+        pipeline.Bm25Index.write(pipeline.Bm25Index.stampGen(dp, 0L),
+          dir, mode = "append")
         val dsr = ds.collect().head
         nS += dsr.getLong(0); tlS += dsr.getLong(1)
         if (pipeline.Dedup.compactNeeded(tombIds)) compactSignals += 1
         pin() // the tombstone checkpoint must survive the stage sweep
         s"tombstones=${tombIds.count()} n=$nS"
       }
-      val (o0, a0) = deltas(0); tick(o0, a0)
-      val (o1, a1) = deltas(1); tick(o1, a1)
-      val (o2, a2) = deltas(2)
-      ti("lifecycle_tick_1m") { tick(o2, a2) } // measured steady-state tick
+      val (d0, ou0, nu0, a0) = deltas(0); tick(d0, ou0, nu0, a0)
+      val (d1, ou1, nu1, a1) = deltas(1); tick(d1, ou1, nu1, a1)
+      val (d2, ou2, nu2, a2) = deltas(2)
+      ti("lifecycle_tick_1m") { tick(d2, ou2, nu2, a2) } // measured tick
       val qts = Seq("w7", "w42", "w2999")
       var viaTombs: Seq[(Long, Long)] = Nil
       ti("lifecycle_probe_post_ticks_1m") {
         viaTombs = pipeline.Bm25Index.search(
-          pipeline.Bm25Index.applyTombstones(
+          pipeline.Bm25Index.applyGenTombstones(
             spark.read.parquet(dir), tombIds),
           statsDf, qts, 10, nBuckets = 256)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         s"top=${viaTombs.length} best=${viaTombs.headOption.map(_._1).getOrElse(-1L)}"
       }
       t("lifecycle_equiv_1m") {
-        // fresh rebuild on the survivors, at full scale
+        // fresh rebuild on the updated surviving corpus, at full scale
         val survivors = gdocs(spark.range(n).toDF()
           .where(!(col("id") % 1000).isin(0, 1, 2)))
+          .select(col("doc_id"),
+            when((col("doc_id") % 1000).isin(100, 101, 102),
+              concat(col("text"), lit(updSuffix)))
+              .otherwise(col("text")).as("text"))
           .unionByName(gdocs(spark.range(n, n + 3000L).toDF()))
         val (pf, sf) = pipeline.Bm25Index.build(survivors, col("doc_id"),
           col("text"), nBuckets = 256)
@@ -1269,7 +1297,7 @@ object ScaleBench {
       t("lifecycle_compaction_1m") {
         // the one honest corpus-sized rewrite the trigger schedules
         val dir2 = dir + "_compacted"
-        pipeline.Bm25Index.write(pipeline.Bm25Index.applyTombstones(
+        pipeline.Bm25Index.write(pipeline.Bm25Index.applyGenTombstones(
           spark.read.parquet(dir), tombIds), dir2)
         val viaCompacted = pipeline.Bm25Index.search(
           spark.read.parquet(dir2), statsDf, qts, 10, nBuckets = 256)
