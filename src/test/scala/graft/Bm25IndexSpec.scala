@@ -311,6 +311,54 @@ class Bm25IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized generation-door fuzz: interleaved updates + deletes " +
+      "through one tombstone table ≡ rebuild on the updated survivors") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 150 + rnd.nextInt(150)
+      val updMod = 3 + rnd.nextInt(4)
+      val delMod = 3 + rnd.nextInt(4) // may overlap updMod: delete wins
+      val terms = rnd.shuffle(vocab).take(1 + rnd.nextInt(3))
+      val suffix = " " + rnd.shuffle(vocab).take(2).mkString(" ")
+      val docs = corpus(0, n)
+      def v1(ids: org.apache.spark.sql.DataFrame) = ids
+        .select(col("doc_id"), concat(col("text"), lit(suffix)).as("text"))
+      val (p0, s0) = Bm25Index.build(docs, col("doc_id"), col("text"),
+        nBuckets)
+      // update pass: every updMod-th doc gets version-1 text under gen 1
+      val oldU = docs.where(col("doc_id") % updMod === 1)
+      val (delta, tombsU, s1) = Bm25Index.update(s0, oldU, v1(oldU),
+        col("doc_id"), col("text"), nBuckets, newGen = 1L)
+      // delete pass AFTER the update: every delMod-th doc leaves — its
+      // CURRENT version (v1 if it was just updated) funds the stats
+      val cur = docs.where(col("doc_id") % updMod =!= 1)
+        .unionByName(v1(oldU))
+      val dels = cur.where(col("doc_id") % delMod === 2)
+      val (freshD, s2) = Bm25Index.delete(s1, dels, col("doc_id"),
+        col("text"))
+      val tombs = tombsU.unionByName(Bm25Index.genTombstones(
+        freshD, col("doc_id"), Long.MaxValue))
+      val store = Bm25Index.stampGen(p0, 0L).unionByName(delta)
+      val got = Bm25Index.search(
+        Bm25Index.applyGenTombstones(store, tombs), s2, terms, 10,
+        nBuckets).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // rebuild on the updated survivors
+      val fcorpus = cur.where(col("doc_id") % delMod =!= 2)
+      val (pf, sf) = Bm25Index.build(fcorpus, col("doc_id"), col("text"),
+        nBuckets)
+      assert(s2.collect().toSeq === sf.collect().toSeq,
+        s"seed=$seed: stats drifted (n=$n updMod=$updMod delMod=$delMod)")
+      val want = Bm25Index.search(pf, sf, terms, 10, nBuckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === want && got.nonEmpty,
+        s"seed=$seed n=$n updMod=$updMod delMod=$delMod terms=$terms")
+      assert(got.forall(_._1 % delMod != 2),
+        s"seed=$seed: a deleted doc surfaced")
+    }
+  }
+
   test("update = delete + add: re-indexing changed documents equals a " +
       "rebuild on the updated corpus") {
     val before = corpus(0, 300)
