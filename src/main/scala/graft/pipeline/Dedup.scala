@@ -443,6 +443,31 @@ object Dedup {
     keptSigs.join(broadcast(tombstones.select(col("did"))), Seq("did"),
       "left_anti")
 
+  // Generation-versioned signature rows — the dedup twin of
+  // `Bm25Index.stampGen`/`applyGenTombstones`, for the same reason: on
+  // an APPEND-ONLY persisted signature store, updating a document means
+  // retracting its old signature (it must stop shadowing fresh
+  // near-dups) while the re-indexed version's row — same did — must
+  // survive; a plain did tombstone swallows both. Stamp every appended
+  // batch, retire the did up to the superseded generation, serve
+  // through the gen filter; deletes unify as upto_gen = Long.MaxValue.
+
+  def sigStampGen(sigs: DataFrame, gen: Long): DataFrame =
+    sigs.withColumn("gen", lit(gen))
+
+  def sigGenTombstones(ids: DataFrame, idCol: Column,
+                       uptoGen: Long): DataFrame =
+    ids.select(idCol.as("did"), lit(uptoGen).as("upto_gen"))
+
+  def applySigGenTombstones(sigs: DataFrame,
+                            tombstones: DataFrame): DataFrame = {
+    val t = broadcast(tombstones
+      .select(col("did").as("__t_did"), col("upto_gen")))
+    sigs.join(t,
+      sigs("did") === col("__t_did") &&
+        sigs("gen") <= col("upto_gen"), "left_anti")
+  }
+
   /** Compaction trigger for ALL the tombstone doors ([[removeFromIndex]],
     * `Bm25Index.applyTombstones`, `Similarity.ivfApplyTombstones`) — the
     * lifecycle twin of `ZOrder.refitNeeded`: a cheap check that RIDES

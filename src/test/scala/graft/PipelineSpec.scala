@@ -1146,6 +1146,36 @@ class PipelineSpec extends AnyFunSuite {
     // far under any broadcast comfort line; a sub-row threshold fires
     assert(!Dedup.compactNeeded(tombs))
     assert(Dedup.compactNeeded(tombs, thresholdBytes = 32L))
+
+    // the GENERATION door on an append-only signature store: update
+    // doc 2's text — retract its gen-0 signature (it must stop
+    // shadowing its old text) while the re-indexed version's row, same
+    // did, survives its own tombstone
+    val v1Text = "an entirely rewritten second document body with many " +
+      "fresh tokens nothing like before"
+    val store = Dedup.sigStampGen(index, 0L).unionByName(
+      Dedup.sigStampGen(Dedup.minhashSignatures(
+        Seq((2L, v1Text)).toDF("doc_id", "text"),
+        "doc_id", col("text"), 3, 64), 1L))
+    val gtombs = Dedup.sigGenTombstones(Seq(2L).toDF("did"), col("did"), 0L)
+    val gLive = Dedup.applySigGenTombstones(store, gtombs)
+    assert(gLive.where(col("did") === 2L).count() === 1L,
+      "gen door must keep exactly the fresh signature for the updated id")
+    // the plain door swallows the fresh row — the failure gens avoid
+    assert(Dedup.removeFromIndex(store, gtombs.select(col("did")))
+      .where(col("did") === 2L).count() === 0L)
+    // a re-send of the OLD text is now kept (old sig retracted); a
+    // re-send of the NEW text is filtered (fresh sig shadows it)
+    val gIdx = gLive.select(col("did"), col("sig"))
+    val (keptOld, _) = Dedup.incrementalDedup(
+      Seq((40L, old.where(col("doc_id") === 2L)
+        .collect().head.getString(1))).toDF("doc_id", "text"),
+      "doc_id", col("text"), gIdx, thresholdPpm = 500000L)
+    assert(keptOld.count() === 1L, "retracted version still shadows")
+    val (keptNew, _) = Dedup.incrementalDedup(
+      Seq((41L, v1Text)).toDF("doc_id", "text"),
+      "doc_id", col("text"), gIdx, thresholdPpm = 500000L)
+    assert(keptNew.count() === 0L, "fresh version must shadow its dup")
   }
 
   test("winnowing: shared run of w+k-1 tokens guarantees a shared print") {
