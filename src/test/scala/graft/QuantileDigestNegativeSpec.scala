@@ -97,6 +97,23 @@ class QuantileDigestNegativeSpec extends AnyFunSuite {
     assert(same === 100L)
   }
 
+  test("trim-policy triggers validate their knobs: eps outside (0,1) " +
+      "and factor < 1 fail fast") {
+    val digests = Seq(goodDigest).toDF("digest")
+    intercept[IllegalArgumentException] {
+      graft.operators.QuantileCensus.trimNeeded(digests, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.QuantileCensus.trimNeeded(digests, 0.01, factor = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.QuantileCensus.compactSelfTrimming(
+        Seq((1L, goodDigest)).toDF("seg", "digest"),
+        Seq(org.apache.spark.sql.functions.col("seg")),
+        relativeError = 0.01, trimEps = 0.005) // tighter than build
+    }
+  }
+
   test("an intact image still round-trips after the negative cases " +
       "(no shared-state corruption)") {
     val n = Seq(goodDigest).toDF("d")
