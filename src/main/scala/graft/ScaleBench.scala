@@ -1166,7 +1166,8 @@ object ScaleBench {
     // ---- serving-index LIFECYCLE at scale: the fixture soak
     // (LifecycleSoakSpec) proves the doors compose; this stage proves
     // the composition's COST SHAPE at 1M docs against the PERSISTED
-    // index. Three maintenance ticks (1,000 deletes + 1,000 updates +
+    // index at 1M and (ticks+probe) 10M docs. Three maintenance ticks
+    // (1,000 deletes + 1,000 updates +
     // 1,000 adds each) run as a deployment would: guarded
     // stats-corrected deletes, generation-versioned UPDATES
     // (Bm25Index.update — the fresh generation's postings append and
@@ -1180,20 +1181,28 @@ object ScaleBench {
     // probe must stay probe-sized through the gen anti-join; and the
     // tombstoned answer must equal a fresh rebuild on the updated
     // surviving corpus (top-k equality asserted, at full scale).
-    if (Seq("lifecycle_tick_1m", "lifecycle_probe_post_ticks_1m",
-        "lifecycle_equiv_1m", "lifecycle_compaction_1m").exists(only)) {
-      val n = 1000000L
+    // the 10m twin runs the ticks + probe only (tick inputRecords must
+    // be FLAT across the 10x corpus — the O(delta) evidence; the 1m
+    // equiv/compaction stages plus the DuckDB oracles already pin the
+    // answer, re-proving it at 10m would pay a multi-minute rebuild for
+    // no new information)
+    for ((n, tag) <- Seq((1000000L, "1m"), (10000000L, "10m"))
+         if Seq(s"lifecycle_tick_$tag", s"lifecycle_probe_post_ticks_$tag",
+           s"lifecycle_equiv_$tag", s"lifecycle_compaction_$tag")
+           .exists(only)) {
+      val deep = tag == "1m"
+      val m = n / 1000 // delta classes stay 1,000 docs at EVERY scale
       val gtext = expr(
         """array_join(transform(sequence(0, 39), j ->
              concat('w', pmod(xxhash64(id * 40 + j) %
                (1 + pmod(xxhash64(id, j), 3000)), 3000))), ' ')""")
       def gdocs(ids: org.apache.spark.sql.DataFrame) =
         ids.select(col("id").as("doc_id"), gtext.as("text"))
-      val dir = "/tmp/graft_bm25_lifecycle_1m"
+      val dir = s"/tmp/graft_bm25_lifecycle_$tag"
       var nS = 0L; var tlS = 0L
       def statsDf = spark.range(1).select(
         lit(nS).as("n"), lit(tlS).as("total_len"))
-      t("lifecycle_index_build_1m") {
+      t(s"lifecycle_index_build_$tag") {
         val (postings, stats) = pipeline.Bm25Index.build(
           gdocs(spark.range(n).toDF()), col("doc_id"), col("text"),
           nBuckets = 256)
@@ -1207,8 +1216,8 @@ object ScaleBench {
         col("id").as("upto_gen")).localCheckpoint(true)
       var compactSignals = 0
       val updSuffix = " w42 zzupdated"
-      // tick i: delete base-doc class id%1000==i, UPDATE class
-      // id%1000==100+i (version-1 text under gen 1), add 1000 fresh
+      // tick i: delete base-doc class id%m==i, UPDATE class
+      // id%m==100+i (version-1 text under gen 1), add 1000 fresh
       // docs; classes are disjoint across ticks and doors, adds sit
       // past the base range, so every superseded version is v0. Delta
       // frames are materialized OUTSIDE the measured block: a real
@@ -1217,8 +1226,8 @@ object ScaleBench {
       // range read would drown the evidence the stage exists for.
       def deltas(i: Int) = {
         val oldsU = gdocs(spark.range(n).toDF()
-          .where(col("id") % 1000 === 100 + i)).localCheckpoint(true)
-        (gdocs(spark.range(n).toDF().where(col("id") % 1000 === i))
+          .where(col("id") % m === 100 + i)).localCheckpoint(true)
+        (gdocs(spark.range(n).toDF().where(col("id") % m === i))
            .localCheckpoint(true),
          oldsU,
          oldsU.select(col("doc_id"),
@@ -1261,10 +1270,10 @@ object ScaleBench {
       val (d0, ou0, nu0, a0) = deltas(0); tick(d0, ou0, nu0, a0)
       val (d1, ou1, nu1, a1) = deltas(1); tick(d1, ou1, nu1, a1)
       val (d2, ou2, nu2, a2) = deltas(2)
-      ti("lifecycle_tick_1m") { tick(d2, ou2, nu2, a2) } // measured tick
+      ti(s"lifecycle_tick_$tag") { tick(d2, ou2, nu2, a2) } // measured tick
       val qts = Seq("w7", "w42", "w2999")
       var viaTombs: Seq[(Long, Long)] = Nil
-      ti("lifecycle_probe_post_ticks_1m") {
+      ti(s"lifecycle_probe_post_ticks_$tag") {
         viaTombs = pipeline.Bm25Index.search(
           pipeline.Bm25Index.applyGenTombstones(
             spark.read.parquet(dir), tombIds),
@@ -1272,12 +1281,12 @@ object ScaleBench {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         s"top=${viaTombs.length} best=${viaTombs.headOption.map(_._1).getOrElse(-1L)}"
       }
-      t("lifecycle_equiv_1m") {
+      if (deep) t(s"lifecycle_equiv_$tag") {
         // fresh rebuild on the updated surviving corpus, at full scale
         val survivors = gdocs(spark.range(n).toDF()
-          .where(!(col("id") % 1000).isin(0, 1, 2)))
+          .where(!(col("id") % m).isin(0, 1, 2)))
           .select(col("doc_id"),
-            when((col("doc_id") % 1000).isin(100, 101, 102),
+            when((col("doc_id") % m).isin(100, 101, 102),
               concat(col("text"), lit(updSuffix)))
               .otherwise(col("text")).as("text"))
           .unionByName(gdocs(spark.range(n, n + 3000L).toDF()))
@@ -1294,7 +1303,7 @@ object ScaleBench {
           s"tombstoned top-k != rebuild top-k:\n$viaTombs\n$viaRebuild")
         s"match=true compactSignals=$compactSignals"
       }
-      t("lifecycle_compaction_1m") {
+      if (deep) t(s"lifecycle_compaction_$tag") {
         // the one honest corpus-sized rewrite the trigger schedules
         val dir2 = dir + "_compacted"
         pipeline.Bm25Index.write(pipeline.Bm25Index.applyGenTombstones(
