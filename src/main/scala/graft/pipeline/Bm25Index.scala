@@ -119,15 +119,28 @@ object Bm25Index {
     * never-indexed case cannot be caught without a postings probe the
     * O(delta) contract forbids; feeding only currently-indexed docs
     * remains the caller's contract, the exact dual of [[add]]'s
-    * ids-are-new. */
+    * ids-are-new.
+    *
+    * The guard is GENERATION-AWARE: on the unified tombstone table the
+    * gen doors share (updates carry `upto_gen` = superseded generation,
+    * full deletes `upto_gen` = Long.MaxValue), only a FULL-DELETE
+    * tombstone may suppress a re-sent delete. An id whose only prior
+    * tombstone came from an UPDATE still serves its fresh generation —
+    * deleting it now is a brand-new delete that must decrement stats
+    * and earn its own MaxValue tombstone, so id-presence alone must
+    * not drop it. A prior frame WITHOUT an `upto_gen` column is a
+    * plain pure-delete id set and suppresses as before. */
   def delete(stats: DataFrame, deletedDocs: DataFrame, idCol: Column,
              text: Column,
              priorTombstones: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
     val fresh = priorTombstones match {
-      case Some(prior) => deletedDocs.join(
-        broadcast(prior.select(col("doc_id").as("__tomb_id"))),
-        idCol === col("__tomb_id"), "left_anti")
+      case Some(prior) =>
+        val full = if (prior.columns.contains("upto_gen"))
+          prior.where(col("upto_gen") === Long.MaxValue) else prior
+        deletedDocs.join(
+          broadcast(full.select(col("doc_id").as("__tomb_id"))),
+          idCol === col("__tomb_id"), "left_anti")
       case None => deletedDocs
     }
     val del = fresh.where(text.isNotNull)
@@ -202,16 +215,41 @@ object Bm25Index {
     * the serving set, serve through [[applyGenTombstones]]. Search
     * then equals a fresh rebuild on the updated corpus bit-for-bit
     * (the `retrieval_bm25_update` oracle pins it). `newGen` must
-    * exceed every generation the updated ids currently carry. */
+    * exceed every generation the updated ids currently carry.
+    *
+    * Idempotence guard, the dual of [[delete]]'s: pass the CURRENT
+    * unified generation tombstone table (it must carry `upto_gen`) as
+    * `priorTombstones` and a RETRIED update batch is dropped whole. A
+    * retry is recognizable by this update's own tombstone: any prior
+    * tombstone at or above this call's `newGen - 1` bound (including a
+    * MaxValue full delete) means the id's pre-`newGen` rows are already
+    * retired — re-applying would double-decrement stats AND append a
+    * second copy of the gen-`newGen` postings (doubling df), so BOTH
+    * the old and the new version of a suppressed id drop out of the
+    * returned delta/tombstones/correction. */
   def update(stats: DataFrame, oldDocs: DataFrame, newDocs: DataFrame,
              idCol: Column, text: Column, nBuckets: Int,
-             newGen: Long): (DataFrame, DataFrame, DataFrame) = {
-    val (_, s1) = delete(stats, oldDocs, idCol, text)
-    val (dp, ds) = build(newDocs, idCol, text, nBuckets)
+             newGen: Long,
+             priorTombstones: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (freshOld, freshNew) = priorTombstones match {
+      case Some(prior) =>
+        val done = broadcast(
+          prior.where(col("upto_gen") >= lit(newGen - 1))
+            .select(col("doc_id").as("__tomb_id")))
+        (oldDocs.join(done, idCol === col("__tomb_id"), "left_anti"),
+          newDocs.join(done, idCol === col("__tomb_id"), "left_anti"))
+      case None => (oldDocs, newDocs)
+    }
+    val (_, s1) = delete(stats, freshOld, idCol, text)
+    val (dp, ds) = build(freshNew, idCol, text, nBuckets)
     val merged = s1.unionByName(ds)
       .agg(sum(col("n")).as("n"), sum(col("total_len")).as("total_len"))
+    // alias once, then tombstone the plain column — a COMPUTED idCol
+    // (e.g. a cast) would otherwise fail genTombstones' second select
     (stampGen(dp, newGen),
-      genTombstones(oldDocs.select(idCol), idCol, newGen - 1), merged)
+      genTombstones(freshOld.select(idCol.as("doc_id")), col("doc_id"),
+        newGen - 1), merged)
   }
 
   /** Top-k search over a (possibly reloaded) index. Touches only the

@@ -282,6 +282,119 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(bad.collect().head.getLong(0) < sf.collect().head.getLong(0))
   }
 
+  test("gen-aware guard: deleting a previously-UPDATED doc through the " +
+      "unified tombstone table corrects stats and retires all " +
+      "generations; only a MaxValue tombstone suppresses a re-send") {
+    val all = corpus(0, 200)
+    val (p0, s0) = Bm25Index.build(all, col("doc_id"), col("text"), nBuckets)
+    def v1(ids: org.apache.spark.sql.DataFrame) = ids
+      .select(col("doc_id"), concat(col("text"),
+        lit(" zzupdated zeta")).as("text"))
+    // tick 1: update every 5th doc (gen 1; unified table gains
+    // (id, upto_gen=0) rows) and fully delete every 7th (MaxValue)
+    val oldU = all.where(col("doc_id") % 5 === 2 && col("doc_id") % 7 =!= 3)
+    val (delta, tombsU, s1) = Bm25Index.update(s0, oldU, v1(oldU),
+      col("doc_id"), col("text"), nBuckets, newGen = 1L)
+    val dels1 = all.where(col("doc_id") % 7 === 3 && col("doc_id") % 5 =!= 2)
+    val (freshD1, s2) = Bm25Index.delete(s1, dels1, col("doc_id"),
+      col("text"))
+    var tombs = tombsU.unionByName(
+      Bm25Index.genTombstones(freshD1, col("doc_id"), Long.MaxValue))
+    val store = Bm25Index.stampGen(p0, 0L).unionByName(delta)
+    // tick 2 delete batch: ids already UPDATED in tick 1 (the guard
+    // must let them through — their gen-1 rows are live), one RE-SENT
+    // fully-deleted id (must be suppressed), and fresh ids. The
+    // round-12 guard filtered on doc_id alone and silently dropped the
+    // previously-updated class: no stats correction, gen-1 rows kept
+    // serving a deleted doc.
+    val delUpdated = v1(oldU.where(col("doc_id") % 10 === 2)) // current=v1
+    val resent = dels1.limit(1)
+    val freshDel = all.where(col("doc_id") % 11 === 4 &&
+      col("doc_id") % 5 =!= 2 && col("doc_id") % 7 =!= 3)
+    val batch2 = delUpdated.unionByName(resent).unionByName(freshDel)
+    val (freshD2, s3) = Bm25Index.delete(s2, batch2, col("doc_id"),
+      col("text"), priorTombstones = Some(tombs))
+    // the suppressed re-send is NOT in the fresh set; the updated ids ARE
+    val freshIds = freshD2.collect().map(_.getLong(0)).toSet
+    assert(!freshIds.contains(resent.collect().head.getLong(0)),
+      "re-sent full delete escaped the guard")
+    val updDelIds = delUpdated.collect().map(_.getLong(0)).toSet
+    assert(updDelIds.subsetOf(freshIds),
+      "guard swallowed the delete of a previously-updated doc")
+    tombs = tombs.unionByName(
+      Bm25Index.genTombstones(freshD2, col("doc_id"), Long.MaxValue))
+    // end state ≡ rebuild on the survivors (current versions)
+    val updatedP = col("doc_id") % 5 === 2 && col("doc_id") % 7 =!= 3
+    val deleted1P = col("doc_id") % 7 === 3 && col("doc_id") % 5 =!= 2
+    val deleted2P = (updatedP && col("doc_id") % 10 === 2) ||
+      (col("doc_id") % 11 === 4 && col("doc_id") % 5 =!= 2 &&
+        col("doc_id") % 7 =!= 3)
+    val survivors = all.where(!deleted1P && !deleted2P)
+      .select(col("doc_id"),
+        when(updatedP, concat(col("text"), lit(" zzupdated zeta")))
+          .otherwise(col("text")).as("text"))
+    val (pf, sf) = Bm25Index.build(survivors, col("doc_id"), col("text"),
+      nBuckets)
+    assert(s3.collect().toSeq === sf.collect().toSeq,
+      "stats drifted after delete-of-updated through the unified table")
+    val live = Bm25Index.applyGenTombstones(store, tombs)
+    // ALL generations of the deleted-after-update ids are retired
+    assert(live.where(col("doc_id").isin(updDelIds.toSeq: _*)).count()
+      === 0L, "a generation of a deleted doc kept serving")
+    val got = Bm25Index.search(live, s3, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Bm25Index.search(pf, sf, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("update retry guard: re-sending an applied update batch with the " +
+      "unified table drops it whole — no stats drift, no duplicate " +
+      "generation postings") {
+    val all = corpus(0, 150)
+    val (p0, s0) = Bm25Index.build(all, col("doc_id"), col("text"), nBuckets)
+    def v1(ids: org.apache.spark.sql.DataFrame) = ids
+      .select(col("doc_id"), concat(col("text"), lit(" gamma")).as("text"))
+    val oldU = all.where(col("doc_id") % 4 === 1)
+    val (delta, tombs, s1) = Bm25Index.update(s0, oldU, v1(oldU),
+      col("doc_id"), col("text"), nBuckets, newGen = 1L,
+      priorTombstones =
+        Some(Seq.empty[(Long, Long)].toDF("doc_id", "upto_gen")))
+    val store = Bm25Index.stampGen(p0, 0L).unionByName(delta)
+    // the RETRY: same batch, same newGen, now guarded by the table that
+    // already carries this update's (id, 0) tombstones
+    val (delta2, tombs2, s2) = Bm25Index.update(s1, oldU, v1(oldU),
+      col("doc_id"), col("text"), nBuckets, newGen = 1L,
+      priorTombstones = Some(tombs))
+    assert(delta2.count() === 0L, "retry appended duplicate postings")
+    assert(tombs2.count() === 0L, "retry emitted duplicate tombstones")
+    assert(s2.collect().toSeq === s1.collect().toSeq,
+      "retry drifted the stats")
+    // a retry AFTER a full delete of some of the ids is also suppressed
+    val deleted = v1(oldU.where(col("doc_id") % 8 === 1))
+    val (freshD, s3) = Bm25Index.delete(s2, deleted, col("doc_id"),
+      col("text"))
+    val allTombs = tombs.unionByName(
+      Bm25Index.genTombstones(freshD, col("doc_id"), Long.MaxValue))
+    val (delta3, tombs3, s4) = Bm25Index.update(s3, oldU, v1(oldU),
+      col("doc_id"), col("text"), nBuckets, newGen = 1L,
+      priorTombstones = Some(allTombs))
+    assert(delta3.count() === 0L && tombs3.count() === 0L)
+    assert(s4.collect().toSeq === s3.collect().toSeq)
+    // sanity: the end state still equals the rebuild
+    val survivors = all.where(col("doc_id") % 4 =!= 1)
+      .unionByName(v1(oldU)).where(col("doc_id") % 8 =!= 1 ||
+        col("doc_id") % 4 =!= 1)
+    val (pf, sf) = Bm25Index.build(survivors, col("doc_id"), col("text"),
+      nBuckets)
+    assert(s4.collect().toSeq === sf.collect().toSeq)
+    val got = Bm25Index.search(
+      Bm25Index.applyGenTombstones(store, allTombs), s4, qTerms, 15,
+      nBuckets).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got === Bm25Index.search(pf, sf, qTerms, 15,
+      nBuckets).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("randomized delete fuzz: tombstoned search ≡ rebuild across " +
       "seeded corpus sizes, delete sets, and query terms") {
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
