@@ -11,18 +11,28 @@ import org.apache.spark.sql.SparkSession
   * runner therefore (a) takes an exclusive OS file lock — a second bench
   * refuses to start instead of silently corrupting both runs; (b) refuses
   * when an sbt process OUTSIDE its own ancestry is alive (a compile/test
-  * server about to steal CPU) unless SPARK_GRAFT_BENCH_FORCE=1; and
-  * (c) records /proc/loadavg at start and end in the JSON so a reader can
-  * tell a contended run from a clean one mechanically.
+  * server about to steal CPU) unless SPARK_GRAFT_BENCH_FORCE=1;
+  * (c) refuses when the 1-minute loadavg already exceeds
+  * SPARK_GRAFT_BENCH_MAX_LOADAVG (default 1.0) — round 12's committed
+  * artifact was recorded at loadavg 6.94 and carried 51 phantom seconds;
+  * the load was visible BEFORE the first query ran and nothing acted on
+  * it; and (d) records /proc/loadavg at start and end in the JSON so a
+  * reader can tell a contended run from a clean one mechanically.
   *
   * SELF-contention matters as much (round-8 finding): one JVM running
   * 222 queries × 3 degrades itself — leaked caches/localCheckpoints and
   * dead codegen classloaders inflated late-run medians 3-7× vs a fresh
   * JVM. Countermeasures: a hygiene pass (unpersist non-pinned RDDs +
   * System.gc()) at every query-family boundary, and a random-K re-run
-  * drift sweep at the end that must stay ≤ SPARK_GRAFT_BENCH_DRIFT_TOL
+  * drift sweep at the end whose median must stay INSIDE
+  * [1/SPARK_GRAFT_BENCH_DRIFT_TOL, SPARK_GRAFT_BENCH_DRIFT_TOL]
   * (default 1.3) for the committed artifact to be written — a
-  * contaminated record is quarantined to `<out>.contaminated`.
+  * contaminated record is quarantined to `<out>.contaminated`. The gate
+  * is TWO-SIDED: drift ≫ 1 means the box degraded during the run
+  * (recorded medians honest, sweep slow), drift ≪ 1 means the recorded
+  * medians themselves were inflated by load that cleared before the
+  * sweep (the round-12 failure mode — its own sweep re-ran queries 2-5×
+  * faster and the one-sided gate passed it).
   */
 object Bench {
 
@@ -79,6 +89,36 @@ object Bench {
         "(a compile during the bench skews medians 6-17x; round-6 " +
         "evidence). Stop them or set SPARK_GRAFT_BENCH_FORCE=1.")
       sys.exit(2)
+    }
+    val maxLoad = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOADAVG")
+      .map(_.toDouble).getOrElse(1.0)
+    val loadWaitSec = sys.env.get("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC")
+      .map(_.toLong).getOrElse(600L)
+    def load1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .trim.split("\\s+")(0).toDouble catch { case _: Exception => 0.0 }
+    // The launcher's own compile burst legitimately inflates the
+    // 1-minute average right before we start (sbt runMain compiles
+    // in-process), so first WAIT for the box to settle — loadavg decays
+    // with a ~1-minute time constant, so even a fully saturated compile
+    // clears in 2-4 min of idle. Refuse only if it never does: that
+    // means something else still owns the box and the medians would be
+    // recorded inflated (round-12 artifact: loadavg 6.94, +51 phantom
+    // seconds that the one-sided drift gate then failed to catch).
+    if (!force && load1m() > maxLoad) {
+      val deadline = System.currentTimeMillis() + loadWaitSec * 1000
+      System.err.println(f"[bench] waiting for 1-minute loadavg " +
+        f"${load1m()}%.2f to drop below $maxLoad%.2f " +
+        s"(up to ${loadWaitSec}s)...")
+      while (load1m() > maxLoad && System.currentTimeMillis() < deadline)
+        Thread.sleep(5000)
+      if (load1m() > maxLoad) {
+        System.err.println(f"[bench] REFUSING to start: 1-minute loadavg " +
+          f"${load1m()}%.2f still exceeds $maxLoad%.2f after " +
+          s"${loadWaitSec}s — something else owns the box. Stop it or " +
+          "set SPARK_GRAFT_BENCH_FORCE=1.")
+        sys.exit(2)
+      }
     }
     val loadStart = loadavg()
     val spark = SparkSession.builder()
@@ -234,7 +274,11 @@ object Bench {
     val drifts = sweep.map(_._4).sorted
     val medianDrift =
       if (drifts.isEmpty) 1.0 else drifts(drifts.size / 2)
-    val contaminated = medianDrift > driftTol
+    // two-sided: > tol = box degraded during the run; < 1/tol = the
+    // recorded medians were inflated by load that cleared before the
+    // sweep (round 12's committed artifact — drift 0.21 sailed through
+    // the one-sided gate)
+    val contaminated = medianDrift > driftTol || medianDrift < 1.0 / driftTol
     val sweepJson = sweep.map { case (k, med, rerun, d) =>
       s"""{"query":"$k","earlier_median":$med,"rerun":$rerun,"drift":$d}"""
     }.mkString("[", ",", "]")
@@ -254,9 +298,12 @@ object Bench {
       if (contaminated) artifactPath + ".contaminated" else artifactPath
     if (contaminated)
       System.err.println(f"[bench] CONTAMINATED RUN: median re-run drift " +
-        f"$medianDrift%.2f exceeds $driftTol%.2f — medians recorded on a " +
-        s"degraded box; full record quarantined at $outPath, " +
-        s"$artifactPath NOT written")
+        f"$medianDrift%.2f outside [${1.0 / driftTol}%.2f, $driftTol%.2f]" +
+        " — " + (if (medianDrift > driftTol)
+          "the box degraded during the run"
+        else "the recorded medians were inflated by load that cleared " +
+          "before the sweep") +
+        s"; full record quarantined at $outPath, $artifactPath NOT written")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val headline = results
