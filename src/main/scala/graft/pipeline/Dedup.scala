@@ -468,6 +468,39 @@ object Dedup {
         sigs("gen") <= col("upto_gen"), "left_anti")
   }
 
+  /** The one-call UPDATE door for the persisted signature store,
+    * `Bm25Index.update`'s dedup twin: re-sign the replacement documents,
+    * stamp the rows with `newGen`, retire every older generation of
+    * their ids — returns `(sigDelta, tombstones)`; append the delta,
+    * union the tombstones, serve through [[applySigGenTombstones]].
+    * O(delta): one delta-sized shingle/minhash pass — the store is
+    * never read. The superseded documents are not needed, only their
+    * ids (the new batch's own ids). `newGen` must exceed every
+    * generation the updated ids currently carry.
+    *
+    * Retry guard, same contract as `Bm25Index.update`: pass the CURRENT
+    * unified tombstone table (`(did, upto_gen)`; full deletes carry
+    * `upto_gen = Long.MaxValue`) and a re-sent batch is dropped whole —
+    * a retried id would otherwise append a duplicate gen-`newGen`
+    * signature row and double-count itself as its own near-duplicate. */
+  def sigUpdate(newDocs: DataFrame, idCol: String, text: Column,
+                shingleN: Int, perms: Int, newGen: Long,
+                priorTombstones: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    val fresh = priorTombstones match {
+      case Some(prior) =>
+        val done = broadcast(
+          prior.where(col("upto_gen") >= lit(newGen - 1))
+            .select(col("did").as("__t_did")))
+        newDocs.join(done, col(idCol) === col("__t_did"), "left_anti")
+      case None => newDocs
+    }
+    (sigStampGen(minhashSignatures(fresh, idCol, text, shingleN, perms),
+      newGen),
+      sigGenTombstones(fresh.select(col(idCol).as("did")), col("did"),
+        newGen - 1))
+  }
+
   /** Compaction trigger for ALL the tombstone doors ([[removeFromIndex]],
     * `Bm25Index.applyTombstones`, `Similarity.ivfApplyTombstones`) — the
     * lifecycle twin of `ZOrder.refitNeeded`: a cheap check that RIDES

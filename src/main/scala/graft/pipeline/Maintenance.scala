@@ -1,0 +1,271 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-call orchestration of a generation-versioned serving store's
+  * maintenance tick — the lifecycle the soak spec and the ScaleBench
+  * lifecycle stages used to compose by hand (~10 lines of
+  * stamp/guard/tombstone/compact per index per tick, with the guard
+  * subtleties easy to get wrong: round 12 shipped a delete-after-update
+  * swallow exactly because every caller re-derived the guard).
+  *
+  * The model, shared by all three persisted index families
+  * (`Bm25Index` postings, `Similarity` IVF cells, `Dedup` signatures):
+  *
+  *  - every appended batch is STAMPED with the tick's generation;
+  *  - an UPDATE appends the new generation's rows and tombstones the id
+  *    up to the superseded generation (`upto_gen = gen - 1`);
+  *  - a DELETE tombstones the id across all generations
+  *    (`upto_gen = Long.MaxValue`);
+  *  - probes filter through the gen anti-join (broadcast, id-keyed);
+  *  - tombstone growth is WATCHED ([[Dedup.compactNeeded]]) and the
+  *    tick runs the physical compaction the moment the set outgrows
+  *    broadcast comfort: rewrite the store through the door's filter,
+  *    drop the tombstone table.
+  *
+  * Everything in a tick is O(delta + tombstones): the delta's
+  * index/stats math, tombstone-sized guard joins, one tombstone-sized
+  * count for the trigger. The store's rows are read ONLY by a fired
+  * compaction — the one honest corpus-sized rewrite, which this
+  * orchestration schedules instead of letting the anti-join broadcast
+  * grow until it fails.
+  *
+  * Contract on ids within one tick: the `adds`, `deletes`, and
+  * `updates` batches must be disjoint, `updates` ids must be currently
+  * live, `deletes` must be currently live (re-sent deletes of
+  * already-deleted ids are tolerated — the gen-aware guard drops them),
+  * and `adds` ids must be NEW or previously fully deleted — a re-added
+  * id's surviving MaxValue tombstone is DEMOTED to `upto_gen = gen - 1`
+  * so its fresh rows serve while every older generation stays retired.
+  */
+object Maintenance {
+
+  /** Physical home of a gen-versioned index: the tick appends stamped
+    * deltas and, when the compaction trigger fires, rewrites the live
+    * rows and drops the tombstones. */
+  trait Store {
+    def rows: DataFrame
+    def append(delta: DataFrame): Unit
+    def rewrite(live: DataFrame): Unit
+  }
+
+  /** In-memory store backed by executor-local checkpoints — the
+    * fixture/monitor shape (the soak). Each append truncates lineage so
+    * a long tick sequence never accumulates a union tower. */
+  final class FrameStore(initial: DataFrame) extends Store {
+    private var cur = initial.localCheckpoint()
+    def rows: DataFrame = cur
+    def append(delta: DataFrame): Unit =
+      cur = cur.unionByName(delta).localCheckpoint()
+    def rewrite(live: DataFrame): Unit = cur = live.localCheckpoint()
+  }
+
+  /** Parquet-directory store — the deployment shape. `write(df, dir,
+    * mode)` is the family's canonical writer (e.g. `Bm25Index.write`,
+    * which keeps the bucket partitioning and in-partition term order).
+    * Compaction rewrites to a side directory and swaps — on a real
+    * cluster the swap is the metastore/table-format transaction; here
+    * it is a filesystem move. */
+  final class ParquetStore(spark: SparkSession, val dir: String,
+                           write: (DataFrame, String, String) => Unit)
+      extends Store {
+    def rows: DataFrame = spark.read.parquet(dir)
+    def append(delta: DataFrame): Unit = write(delta, dir, "append")
+    def rewrite(live: DataFrame): Unit = {
+      val side = dir + ".compact"
+      write(live, side, "overwrite")
+      val d = new java.io.File(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(d)
+      org.apache.commons.io.FileUtils.moveDirectory(
+        new java.io.File(side), d)
+    }
+  }
+
+  /** What the tick needs to know about one index family. The three
+    * doors below adapt `Bm25Index`, `Similarity`, and `Dedup`. */
+  trait Door {
+    /** id column name in index rows AND the unified tombstone table. */
+    def idName: String
+    /** id column in INPUT batches (docs/vectors), possibly named
+      * differently (`vec_id` feeding `nid` rows). */
+    def batchId: Column
+    /** UNSTAMPED index rows for an input batch. */
+    def index(batch: DataFrame): DataFrame
+    def stamp(rows: DataFrame, gen: Long): DataFrame
+    /** `ids` carries exactly one column named [[idName]]. */
+    def tombstones(ids: DataFrame, uptoGen: Long): DataFrame
+    def applyTombstones(rows: DataFrame, tombs: DataFrame): DataFrame
+    /** 1-row all-numeric stats frame for a batch, if the family keeps
+      * corpus stats (BM25's `(n, total_len)`); the tick folds adds and
+      * update-new positive, deletes and update-old negative. */
+    def statsDelta(batch: DataFrame): Option[DataFrame] = None
+  }
+
+  final class Bm25Door(text: Column, nBuckets: Int) extends Door {
+    val idName = "doc_id"
+    val batchId: Column = col("doc_id")
+    def index(batch: DataFrame): DataFrame =
+      Bm25Index.build(batch, batchId, text, nBuckets)._1
+    def stamp(rows: DataFrame, gen: Long): DataFrame =
+      Bm25Index.stampGen(rows, gen)
+    def tombstones(ids: DataFrame, uptoGen: Long): DataFrame =
+      Bm25Index.genTombstones(ids, col(idName), uptoGen)
+    def applyTombstones(rows: DataFrame, tombs: DataFrame): DataFrame =
+      Bm25Index.applyGenTombstones(rows, tombs)
+    override def statsDelta(batch: DataFrame): Option[DataFrame] =
+      Some(Bm25Index.build(batch, batchId, text, nBuckets)._2)
+  }
+
+  final class IvfDoor(cents: Seq[(Long, Array[Double])]) extends Door {
+    val idName = "nid"
+    val batchId: Column = col("vec_id")
+    def index(batch: DataFrame): DataFrame =
+      Similarity.ivfAssign(batch, cents)
+    def stamp(rows: DataFrame, gen: Long): DataFrame =
+      Similarity.ivfStampGen(rows, gen)
+    def tombstones(ids: DataFrame, uptoGen: Long): DataFrame =
+      Similarity.ivfGenTombstones(ids, col(idName), uptoGen)
+    def applyTombstones(rows: DataFrame, tombs: DataFrame): DataFrame =
+      Similarity.ivfApplyGenTombstones(rows, tombs)
+  }
+
+  final class SigDoor(idCol: String, text: Column, shingleN: Int,
+                      perms: Int) extends Door {
+    val idName = "did"
+    val batchId: Column = col(idCol)
+    def index(batch: DataFrame): DataFrame =
+      Dedup.minhashSignatures(batch, idCol, text, shingleN, perms)
+    def stamp(rows: DataFrame, gen: Long): DataFrame =
+      Dedup.sigStampGen(rows, gen)
+    def tombstones(ids: DataFrame, uptoGen: Long): DataFrame =
+      Dedup.sigGenTombstones(ids, col(idName), uptoGen)
+    def applyTombstones(rows: DataFrame, tombs: DataFrame): DataFrame =
+      Dedup.applySigGenTombstones(rows, tombs)
+  }
+
+  /** Serving-side state the tick advances. `tombstones` is the unified
+    * generation table `(idName, upto_gen)`; `stats` is the family's
+    * 1-row corpus stats (BM25) or None; `nextGen` stamps the NEXT
+    * tick's appends and must only grow. */
+  final case class State(tombstones: DataFrame, stats: Option[DataFrame],
+                         nextGen: Long, compactions: Long = 0L) {
+    /** Probe-side view of a store through this state's tombstones. */
+    def live(door: Door, store: Store): DataFrame =
+      door.applyTombstones(store.rows, tombstones)
+  }
+
+  /** Fresh state for a store whose base load was stamped with
+    * generation 0 and whose stats (if any) are already corpus-level. */
+  def initialState(spark: SparkSession, door: Door,
+                   stats: Option[DataFrame] = None): State =
+    State(emptyTombstones(spark, door), stats.map(snap), 1L)
+
+  def emptyTombstones(spark: SparkSession, door: Door): DataFrame =
+    spark.range(0).select(col("id").as(door.idName),
+      col("id").as("upto_gen"))
+
+  /** Snapshot a 1-row stats frame to a literal plan — a deployment
+    * persists the stats row next to the index; keeping the fold lineage
+    * alive across ticks would grow the plan without bound. */
+  private def snap(stats: DataFrame): DataFrame = {
+    val row = stats.collect().head
+    val cols = stats.schema.fields.zipWithIndex.map { case (f, i) =>
+      lit(row.get(i)).cast(f.dataType).as(f.name)
+    }
+    stats.sparkSession.range(1).select(cols.toSeq: _*)
+  }
+
+  private def negate(stats: DataFrame): DataFrame =
+    stats.select(stats.schema.fieldNames.map(n =>
+      (-col(n)).as(n)).toSeq: _*)
+
+  /** One maintenance tick: guarded deletes + guarded generation updates
+    * + adds (with re-add demotion), stats fold, compaction trigger —
+    * returns the advanced state. `updatesOld` carries the superseded
+    * document versions and is REQUIRED when the door keeps stats (their
+    * text funds the negative correction, `Bm25Index.delete`'s
+    * contract); stats-free doors ignore it.
+    *
+    * Cost: O(delta) index/stats work + tombstone-sized guard joins +
+    * one tombstone-sized count; the store's existing rows are read only
+    * by a fired compaction. */
+  def tick(door: Door, store: Store, st: State,
+           adds: DataFrame, deletes: DataFrame, updates: DataFrame,
+           updatesOld: Option[DataFrame] = None,
+           compactThresholdBytes: Long = 10L << 20,
+           checkpoint: DataFrame => DataFrame = _.localCheckpoint())
+      : State = {
+    val spark = st.tombstones.sparkSession
+    val gen = st.nextGen
+    val keepsStats = st.stats.isDefined
+
+    // ---- deletes: only a MaxValue tombstone suppresses a re-send — an
+    // id whose only prior tombstone came from an update is still live
+    // and its delete must decrement stats and retire ALL generations
+    val fullDels = broadcast(st.tombstones
+      .where(col("upto_gen") === Long.MaxValue)
+      .select(col(door.idName).as("__prior_id")))
+    val freshDels = deletes.join(fullDels,
+      door.batchId === col("__prior_id"), "left_anti")
+    val delTombs = door.tombstones(
+      freshDels.select(door.batchId.as(door.idName)), Long.MaxValue)
+
+    // ---- updates: a retry is recognized by this tick's own bound — a
+    // prior tombstone at or above gen-1 means the id's pre-gen rows are
+    // already retired; re-applying would double-correct stats and
+    // append duplicate gen rows, so the id drops out whole
+    val updDone = broadcast(st.tombstones
+      .where(col("upto_gen") >= lit(gen - 1))
+      .select(col(door.idName).as("__upd_id")))
+    val freshNewU = updates.join(updDone,
+      door.batchId === col("__upd_id"), "left_anti")
+    val freshOldU = updatesOld.map(_.join(updDone,
+      door.batchId === col("__upd_id"), "left_anti"))
+    if (keepsStats)
+      require(updatesOld.isDefined,
+        "a stats-keeping door needs updatesOld: the superseded " +
+          "versions' text funds the stats correction")
+    val updTombs = door.tombstones(
+      freshNewU.select(door.batchId.as(door.idName)), gen - 1)
+
+    // ---- adds: demote a re-added id's full-delete tombstone to
+    // gen-1 — everything older stays retired, the fresh rows serve
+    val addIds = broadcast(
+      adds.select(door.batchId.as("__add_id")).distinct())
+    val demoted = st.tombstones
+      .join(addIds, col(door.idName) === col("__add_id"), "left")
+      .select(col(door.idName),
+        when(col("__add_id").isNotNull &&
+          col("upto_gen") === Long.MaxValue, lit(gen - 1))
+          .otherwise(col("upto_gen")).as("upto_gen"))
+
+    // ---- one appended delta, one generation stamp
+    store.append(door.stamp(
+      door.index(freshNewU).unionByName(door.index(adds)), gen))
+
+    // ---- stats fold: adds and update-new positive, deletes and
+    // update-old negative; snapped to a literal row (single collect)
+    val stats2 = st.stats.map { s =>
+      val parts = Seq(s) ++
+        door.statsDelta(adds) ++
+        door.statsDelta(freshNewU) ++
+        freshOldU.flatMap(o => door.statsDelta(o).map(negate)) ++
+        door.statsDelta(freshDels).map(negate)
+      val names = s.schema.fieldNames.toSeq
+      snap(parts.reduce(_ unionByName _)
+        .agg(sum(col(names.head)).as(names.head),
+          names.tail.map(n => sum(col(n)).as(n)): _*))
+    }
+
+    var tombs2 = checkpoint(
+      demoted.unionByName(delTombs).unionByName(updTombs))
+    var compactions = st.compactions
+    if (Dedup.compactNeeded(tombs2, compactThresholdBytes)) {
+      store.rewrite(door.applyTombstones(store.rows, tombs2))
+      tombs2 = emptyTombstones(spark, door)
+      compactions += 1
+    }
+    State(tombs2, stats2, gen + 1, compactions)
+  }
+}

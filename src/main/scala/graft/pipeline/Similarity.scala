@@ -271,6 +271,41 @@ object Similarity {
         index("gen") <= col("upto_gen"), "left_anti")
   }
 
+  /** The one-call UPDATE door, `Bm25Index.update`'s ANN twin: assign the
+    * replacement vectors under the FROZEN quantizer, stamp them with
+    * `newGen`, and retire every older generation of their ids — returns
+    * `(indexDelta, tombstones)`; append the delta to the store, union the
+    * tombstones into the serving set, probe through
+    * [[ivfApplyGenTombstones]]. O(delta): one shuffle-free assign
+    * projection plus a tombstone projection — the persisted cells are
+    * never read. Unlike BM25 there is no stats frame and the superseded
+    * VECTORS are not needed, only their ids (they are the new batch's
+    * own ids). `newGen` must exceed every generation the updated ids
+    * currently carry.
+    *
+    * Retry guard, same contract as `Bm25Index.update`: pass the CURRENT
+    * unified tombstone table (`(nid, upto_gen)`; full deletes carry
+    * `upto_gen = Long.MaxValue`) and a re-sent batch is dropped whole —
+    * any id whose prior tombstone already reaches `newGen - 1` would
+    * otherwise append a second copy of its gen-`newGen` cell row and
+    * surface duplicate probe candidates. */
+  def ivfUpdate(newVecs: DataFrame, cents: Seq[(Long, Array[Double])],
+                newGen: Long,
+                priorTombstones: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    val fresh = priorTombstones match {
+      case Some(prior) =>
+        val done = broadcast(
+          prior.where(col("upto_gen") >= lit(newGen - 1))
+            .select(col("nid").as("__t_nid")))
+        newVecs.join(done, col("vec_id") === col("__t_nid"), "left_anti")
+      case None => newVecs
+    }
+    (ivfStampGen(ivfAssign(fresh, cents), newGen),
+      ivfGenTombstones(fresh.select(col("vec_id").as("nid")), col("nid"),
+        newGen - 1))
+  }
+
   // ---- product quantization (PQ / IVFPQ) ----
 
   /** Per-subspace PQ codebooks seeded from the first `ksub` corpus vectors

@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Bm25Index, Dedup, Maintenance, Similarity}
+
+/** [[pipeline.Maintenance.tick]] must compose the generation doors
+  * correctly for every mutation sequence a deployment can produce —
+  * including the ones that bit round 12: delete-after-update through
+  * the unified tombstone table, retried batches, and re-adding a
+  * previously deleted id. Every scenario ends with full equality
+  * against a fresh rebuild on the surviving corpus.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nBuckets = 32
+  private val qTerms = Seq("alpha", "gamma", "epsilon")
+  private val vocab = Vector("alpha", "beta", "gamma", "delta",
+    "epsilon", "zeta", "eta")
+
+  private def text(id: Long, ver: Int): String =
+    (0 to (id % 9).toInt + 2).map { j =>
+      vocab(((id * 2654435761L + ver * 99991L + j * 40503L)
+        % vocab.size).toInt.abs)
+    }.mkString(" ")
+
+  private def docs(ids: Seq[(Long, Int)]): DataFrame =
+    ids.map { case (id, v) => (id, text(id, v)) }.toDF("doc_id", "text")
+
+  private def emb(id: Long, ver: Int): Array[Float] =
+    Array.tabulate(6)(d => ((id * 31 + ver * 7 + d * 13) % 100) / 50.0f - 1f)
+
+  private def vecs(ids: Seq[(Long, Int)]): DataFrame =
+    ids.map { case (id, v) => (id, emb(id, v)) }.toDF("vec_id", "embedding")
+
+  private def topk(p: DataFrame, s: DataFrame) =
+    Bm25Index.search(p, s, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted.map(col).toSeq
+    df.select(cols: _*).collect().map(_.toSeq.map {
+      case a: Seq[_] => a.toVector
+      case x => x
+    }).toSeq.sortBy(_.mkString("|"))
+  }
+
+  test("BM25 door through FrameStore: ticks with delete-after-update, " +
+      "re-sent delete, retried update, and re-add-after-delete end " +
+      "equal to a fresh rebuild (postings, stats, search)") {
+    val live = scala.collection.mutable.LinkedHashMap[Long, Int](
+      (0L until 100L).map(_ -> 0): _*)
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val (p0, s0) = Bm25Index.build(docs(live.toSeq), col("doc_id"),
+      col("text"), nBuckets)
+    val store = new Maintenance.FrameStore(Bm25Index.stampGen(p0, 0L))
+    var st = Maintenance.initialState(spark, door, Some(s0))
+    def empty = docs(Nil)
+
+    // tick 1: plain mix — delete 0..9, update 10..19, add 100..109
+    val del1 = (0L until 10L).map(id => (id, 0))
+    val upd1 = (10L until 20L).toVector
+    val add1 = (100L until 110L).toVector
+    st = Maintenance.tick(door, store, st,
+      adds = docs(add1.map(_ -> 0)),
+      deletes = docs(del1),
+      updates = docs(upd1.map(_ -> 1)),
+      updatesOld = Some(docs(upd1.map(_ -> 0))))
+    del1.foreach { case (id, _) => live.remove(id) }
+    upd1.foreach(live(_) = 1)
+    add1.foreach(live(_) = 0)
+
+    // tick 2: the round-12 trap — delete ids UPDATED in tick 1 through
+    // the same unified table, re-send a tick-1 delete (suppressed),
+    // retry tick-1's update batch at its ORIGINAL gen via the facade
+    // contract (tick guards by >= gen-1, so re-sending inside a later
+    // tick is a NEW update — the retry case is covered below), and add
+    val delUpd = upd1.take(4) // previously updated, currently v1
+    st = Maintenance.tick(door, store, st,
+      adds = docs(Seq(110L -> 0)),
+      deletes = docs(delUpd.map(id => (id, 1)) :+ (0L, 0)),
+      updates = empty, updatesOld = Some(empty))
+    delUpd.foreach(live.remove)
+    live(110L) = 0
+
+    // tick 3: re-add a fully deleted id (demotion) with FRESH text
+    st = Maintenance.tick(door, store, st,
+      adds = docs(Seq(3L -> 2)),
+      deletes = empty, updates = empty, updatesOld = Some(empty))
+    live(3L) = 2
+
+    // end state ≡ rebuild on the survivors
+    val (pf, sf) = Bm25Index.build(docs(live.toSeq), col("doc_id"),
+      col("text"), nBuckets)
+    assert(st.stats.get.collect().toSeq === sf.collect().toSeq,
+      "stats drifted from the surviving corpus")
+    val liveRows = st.live(door, store)
+    assert(sortedRows(liveRows.drop("gen")) === sortedRows(pf),
+      "postings multiset drifted from the rebuild")
+    assert(topk(liveRows, st.stats.get) === topk(pf, sf))
+    assert(st.nextGen === 4L && st.compactions === 0L)
+  }
+
+  test("tick compaction: a low threshold fires mid-sequence, the store " +
+      "is rewritten without the retired generations, tombstones drop, " +
+      "and the answer is unchanged") {
+    val ids = (0L until 80L).map(_ -> 0)
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val (p0, s0) = Bm25Index.build(docs(ids), col("doc_id"),
+      col("text"), nBuckets)
+    val store = new Maintenance.FrameStore(Bm25Index.stampGen(p0, 0L))
+    var st = Maintenance.initialState(spark, door, Some(s0))
+    def empty = docs(Nil)
+    // 64 B/row × 20 rows comfort line: the second delete tick crosses it
+    for (t <- 0 until 3) {
+      st = Maintenance.tick(door, store, st,
+        adds = empty,
+        deletes = docs((t * 15 until t * 15 + 15).map(i => (i.toLong, 0))),
+        updates = empty, updatesOld = Some(empty),
+        compactThresholdBytes = 64L * 20)
+    }
+    assert(st.compactions >= 1, "trigger never fired")
+    assert(st.tombstones.count() < 20,
+      "compaction did not drop the tombstone table")
+    val survivors = docs((45L until 80L).map(_ -> 0))
+    val (pf, sf) = Bm25Index.build(survivors, col("doc_id"), col("text"),
+      nBuckets)
+    assert(st.stats.get.collect().toSeq === sf.collect().toSeq)
+    assert(topk(st.live(door, store), st.stats.get) === topk(pf, sf))
+    // compaction physically removed every tombstoned row
+    assert(store.rows.where(col("doc_id") < 30).count() === 0L)
+  }
+
+  test("BM25 door through ParquetStore: append/compact rewrite keep the " +
+      "partitioned layout and the rebuild equality") {
+    val dir = java.nio.file.Files.createTempDirectory("mtick").toString
+    val ids = (0L until 60L).map(_ -> 0)
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val (p0, s0) = Bm25Index.build(docs(ids), col("doc_id"),
+      col("text"), nBuckets)
+    Bm25Index.write(Bm25Index.stampGen(p0, 0L), dir)
+    val store = new Maintenance.ParquetStore(spark, dir, Bm25Index.write)
+    var st = Maintenance.initialState(spark, door, Some(s0))
+    def empty = docs(Nil)
+    val upd = (0L until 12L).toVector
+    st = Maintenance.tick(door, store, st,
+      adds = docs(Seq(60L -> 0, 61L -> 0)),
+      deletes = docs(Seq((20L, 0), (21L, 0))),
+      updates = docs(upd.map(_ -> 1)),
+      updatesOld = Some(docs(upd.map(_ -> 0))),
+      compactThresholdBytes = 64L * 4) // force the physical rewrite
+    assert(st.compactions === 1L)
+    val survivors = docs(upd.map(_ -> 1) ++
+      (12L until 60L).filterNot(Set(20L, 21L)).map(_ -> 0) ++
+      Seq(60L -> 0, 61L -> 0))
+    val (pf, sf) = Bm25Index.build(survivors, col("doc_id"), col("text"),
+      nBuckets)
+    assert(st.stats.get.collect().toSeq === sf.collect().toSeq)
+    val reloaded = store.rows
+    assert(topk(reloaded, st.stats.get) === topk(pf, sf))
+    // the swap kept the hive partitioning (bucket=... directories)
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("bucket=")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("IVF door: ticks under the frozen quantizer end equal to a " +
+      "fresh assignment of the surviving vectors") {
+    val live = scala.collection.mutable.LinkedHashMap[Long, Int](
+      (0L until 60L).map(_ -> 0): _*)
+    val cents = Similarity.centroids(vecs(live.toSeq), 8)
+    val door = new Maintenance.IvfDoor(cents)
+    val store = new Maintenance.FrameStore(
+      Similarity.ivfStampGen(Similarity.ivfAssign(vecs(live.toSeq), cents), 0L))
+    var st = Maintenance.initialState(spark, door)
+    def empty = vecs(Nil)
+    st = Maintenance.tick(door, store, st,
+      adds = vecs((60L until 66L).map(_ -> 0)),
+      deletes = vecs((0L until 5L).map(_ -> 0)),
+      updates = vecs((10L until 16L).map(_ -> 1)))
+    (0L until 5L).foreach(live.remove)
+    (10L until 16L).foreach(live(_) = 1)
+    (60L until 66L).foreach(live(_) = 0)
+    // tick 2: delete two previously-updated ids (unified-table path)
+    st = Maintenance.tick(door, store, st,
+      adds = empty, deletes = vecs(Seq(10L -> 1, 11L -> 1)),
+      updates = empty)
+    live.remove(10L); live.remove(11L)
+    val rebuilt = Similarity.ivfAssign(vecs(live.toSeq), cents)
+    assert(sortedRows(st.live(door, store).drop("gen"))
+      === sortedRows(rebuilt), "IVF cells drifted from the rebuild")
+    assert(st.stats.isEmpty)
+  }
+
+  test("signature door: ticks end equal to fresh signatures of the " +
+      "surviving docs; a retried update inside the same generation is " +
+      "dropped by the facade guard") {
+    val live = scala.collection.mutable.LinkedHashMap[Long, Int](
+      (0L until 50L).map(_ -> 0): _*)
+    val door = new Maintenance.SigDoor("doc_id", col("text"), 3, 32)
+    val store = new Maintenance.FrameStore(
+      Dedup.sigStampGen(Dedup.minhashSignatures(docs(live.toSeq),
+        "doc_id", col("text"), 3, 32), 0L))
+    var st = Maintenance.initialState(spark, door)
+    def empty = docs(Nil)
+    st = Maintenance.tick(door, store, st,
+      adds = docs((50L until 55L).map(_ -> 0)),
+      deletes = docs((0L until 4L).map(_ -> 0)),
+      updates = docs((20L until 26L).map(_ -> 1)))
+    (0L until 4L).foreach(live.remove)
+    (20L until 26L).foreach(live(_) = 1)
+    (50L until 55L).foreach(live(_) = 0)
+    // the facade-level retry: same ids, same gen (st.nextGen - 1), the
+    // unified table already carries their (id, gen-1) tombstones
+    val (dRetry, tRetry) = Dedup.sigUpdate(docs((20L until 26L)
+      .map(_ -> 1)), "doc_id", col("text"), 3, 32,
+      newGen = st.nextGen - 1, priorTombstones = Some(st.tombstones))
+    assert(dRetry.count() === 0L && tRetry.count() === 0L,
+      "sigUpdate retry slipped the guard")
+    // and the IVF facade behaves identically
+    val cents = Similarity.centroids(vecs((0L until 20L).map(_ -> 0)), 4)
+    val (ivfD, ivfT) = Similarity.ivfUpdate(vecs(Seq(20L -> 1)), cents,
+      newGen = st.nextGen - 1,
+      priorTombstones = Some(st.tombstones
+        .select(col("did").as("nid"), col("upto_gen"))))
+    assert(ivfD.count() === 0L && ivfT.count() === 0L,
+      "ivfUpdate retry slipped the guard")
+    val rebuilt = Dedup.minhashSignatures(docs(live.toSeq), "doc_id",
+      col("text"), 3, 32)
+    assert(sortedRows(st.live(door, store).drop("gen"))
+      === sortedRows(rebuilt), "signatures drifted from the rebuild")
+  }
+}
