@@ -93,6 +93,12 @@ object QuantileDigest {
   def quantile_digest_count(c: Column): Column =
     toColumn(QuantileDigestCount(toExpression(c)))
 
+  /** The ε recorded in a digest image (the build ε, or the trim ε if
+    * the image has been through [[quantile_digest_trim]]). Lets a trim
+    * policy SKIP rows it cannot tighten instead of crashing on them. */
+  def quantile_digest_eps(c: Column): Column =
+    toColumn(QuantileDigestEps(toExpression(c)))
+
   /** Re-compress a digest image at a coarser target ε — the
     * bounded-SIZE knob for long-compacted serving tables. GK summaries
     * are not fully mergeable (Agarwal et al. 2012): entries merged from
@@ -314,4 +320,27 @@ case class QuantileDigestCount(child: Expression)
 
   override protected def withNewChildInternal(
       c: Expression): QuantileDigestCount = copy(child = c)
+}
+
+/** Scalar: the relative error recorded in a digest image. */
+case class QuantileDigestEps(child: Expression)
+    extends Expression with UnaryLike[Expression] with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantile_digest_eps requires binary, got ${other.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = child.eval(input)
+    if (bytes == null) null
+    else QuantileDigest.deserialize(bytes.asInstanceOf[Array[Byte]])
+      .relativeError
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): QuantileDigestEps = copy(child = c)
 }

@@ -68,7 +68,7 @@ object QuantileCensus {
   }
 
   /** Per-image byte budget: `factor` × the size of a FRESH ε-digest
-    * over the same count — header (20 B) + length word + entries ×
+    * over the same count — a flat 24 B header allowance + entries ×
     * 24 B, with the GK entry bound (1/(2ε))·(log₂(2εN)+2) plus slack
     * for small counts. An image under the budget is healthy; one above
     * it has accreted merge entries past what a rebuild would hold. */
@@ -106,7 +106,15 @@ object QuantileCensus {
     * no driver round-trip — so a serving table compacted through THIS
     * door self-maintains: image bytes stay bounded over unboundedly
     * many append/compact cycles with no manual trim call and no
-    * full-rebuild dependency (spec-pinned over 40 cycles). */
+    * full-rebuild dependency (spec-pinned over 40 cycles).
+    *
+    * The trim is additionally guarded on the image's RECORDED ε: a row
+    * previously trimmed at a coarser ε than this call's `trimEps`
+    * cannot be tightened after the fact (the accumulated rank error is
+    * already ≥ its recorded ε), so TIGHTENING the trim policy on an
+    * existing table leaves such rows untouched — a policy change is a
+    * no-op on history instead of a mid-query executor crash; only
+    * rows whose recorded ε fits under the new policy keep trimming. */
   def compactSelfTrimming(digests: DataFrame, segCols: Seq[Column],
                           relativeError: Double, trimEps: Double,
                           factor: Double = 3.0): DataFrame = {
@@ -114,7 +122,8 @@ object QuantileCensus {
       s"trimEps ($trimEps) must be coarser than the build eps " +
         s"($relativeError)")
     compact(digests, segCols).withColumn("digest",
-      when(overBudget(relativeError, factor),
+      when(overBudget(relativeError, factor) &&
+        quantile_digest_eps(col("digest")) <= lit(trimEps),
         quantile_digest_trim(col("digest"), trimEps))
         .otherwise(col("digest")))
   }

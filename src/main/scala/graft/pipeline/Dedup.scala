@@ -516,8 +516,10 @@ object Dedup {
     * (one 8-byte key in an UnsafeRow plus the LongHashedRelation entry
     * overhead — 64 B/row is deliberately conservative), compared
     * against the same 10 MB comfort line Spark's own
-    * `autoBroadcastJoinThreshold` defaults to. One delta-sized count()
-    * per delete tick — never index- or corpus-sized work.
+    * `autoBroadcastJoinThreshold` defaults to. One TOMBSTONE-SET-sized
+    * count() per delete tick — never index- or corpus-sized work, and
+    * the count re-walks the tombstone union lineage unless the caller
+    * checkpoints it each tick (the soak and `Maintenance.tick` do).
     *
     * `true` means: schedule the compaction NOW — materialize the
     * filtered index through its canonical writer (`Bm25Index.write` /

@@ -446,7 +446,18 @@ object EventsStream {
     * runs. Pass `workDir` to own the location instead (e.g. to keep
     * the streaming checkpoint for a resumable run); the caller then
     * owns its cleanup and the result stays a lazy view over the
-    * spool. */
+    * spool.
+    *
+    * Durability caveat on the default path: the returned frame's rows
+    * live in NON-replicated executor-local checkpoint blocks and its
+    * lineage roots on the already-deleted spool, so losing an executor
+    * after return makes the frame permanently unrecomputable — it
+    * FAILS rather than recomputes. That is the right trade for a
+    * single-JVM monitor consuming its answer promptly (the intended
+    * use); a caller that must survive executor loss, or hold the
+    * result long-term, should either collect the (result-table-sized)
+    * rows to the driver immediately or pass `workDir` and keep the
+    * spool alive as the recompute root. */
   def runToFinal(spark: SparkSession, streamed: DataFrame,
                  keyCols: Seq[String],
                  workDir: Option[String] = None): DataFrame = {

@@ -199,6 +199,59 @@ class QuantileDigestSpec extends AnyFunSuite {
     }
   }
 
+  test("tightening the trim policy on an existing table is a no-op on " +
+      "rows trimmed at a coarser eps — not a mid-query crash — while " +
+      "finer rows keep trimming") {
+    val segs = Seq(col("seg"))
+    def batch(c: Int) = (for {
+      seg <- 0 until 2; i <- 0 until 500
+    } yield (seg.toLong,
+      ((i * 2654435761L + (c * 2 + seg) * 40503L) % 10000).toDouble))
+      .toDF("seg", "v")
+    // accrete past the budget, then trim at a COARSE policy (0.05)
+    var t = QuantileCensus.build(batch(0), segs, col("v"), eps)
+    for (c <- 1 to 12)
+      t = QuantileCensus.compact(
+        QuantileCensus.add(t, batch(c), segs, col("v"), eps), segs)
+    assert(QuantileCensus.trimNeeded(t, eps), "fixture never accreted")
+    val coarse = QuantileCensus.compactSelfTrimming(t, segs, eps, 0.05)
+    val recEps = coarse.select(
+      graft.functions.QuantileDigest.quantile_digest_eps(col("digest")))
+      .collect().map(_.getDouble(0))
+    assert(recEps.forall(_ === 0.05), s"fixture rows not coarse: $recEps")
+    // accrete the coarse table again so overBudget fires once more...
+    var t2 = coarse
+    for (c <- 13 to 24)
+      t2 = QuantileCensus.compact(
+        QuantileCensus.add(t2, batch(c), segs, col("v"), eps), segs)
+    // ...and TIGHTEN the policy to 0.02: the raw trim on a 0.05-recorded
+    // image is the crash being guarded against
+    assertThrows[Exception] {
+      t2.select(graft.functions.QuantileDigest
+        .quantile_digest_trim(col("digest"), 0.02)).collect()
+    }
+    // the guarded door skips what it cannot tighten instead
+    val tightened = QuantileCensus.compactSelfTrimming(t2, segs, eps, 0.02)
+    val out = tightened.select(col("seg"),
+      graft.functions.QuantileDigest.quantile_digest_eps(col("digest")),
+      graft.functions.QuantileDigest.quantile_digest_count(col("digest")))
+      .collect()
+    assert(out.forall(_.getDouble(1) === 0.05),
+      "a coarse row was 'tightened' after the fact")
+    assert(out.forall(_.getLong(2) === 25L * 500),
+      "count drifted through the no-op policy change")
+    // a FRESH over-budget table (recorded eps = build eps) still trims
+    // under the same 0.02 policy — the guard skips, it doesn't disable
+    var fresh = QuantileCensus.build(batch(0), segs, col("v"), eps)
+    for (c <- 1 to 12)
+      fresh = QuantileCensus.compact(
+        QuantileCensus.add(fresh, batch(c), segs, col("v"), eps), segs)
+    val trimmed = QuantileCensus.compactSelfTrimming(fresh, segs, eps, 0.02)
+    assert(trimmed.select(graft.functions.QuantileDigest
+      .quantile_digest_eps(col("digest"))).collect()
+      .forall(_.getDouble(0) === 0.02), "the tighter policy never trims")
+  }
+
   test("self-trimming compaction keeps image bytes bounded over 40 " +
       "append/compact cycles with no manual trim call; the untrimmed " +
       "control accretes past the budget; ranks hold the trimmed bound") {
