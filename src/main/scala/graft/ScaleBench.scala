@@ -1167,63 +1167,63 @@ object ScaleBench {
     // (LifecycleSoakSpec) proves the doors compose; this stage proves
     // the composition's COST SHAPE at 1M docs against the PERSISTED
     // index at 1M and (ticks+probe) 10M docs. Three maintenance ticks
-    // (1,000 deletes + 1,000 updates +
-    // 1,000 adds each) run as a deployment would: guarded
-    // stats-corrected deletes, generation-versioned UPDATES
-    // (Bm25Index.update — the fresh generation's postings append and
-    // survive their own id's tombstone), adds appended per-bucket to
-    // the parquet store (existing postings never read or reshuffled),
-    // compactNeeded riding every tick. One tombstone table serves both
-    // doors: a delete retires the id up to Long.MaxValue, an update up
-    // to the superseded generation. The measured tick's inputRecords
-    // must be DELTA-sized (thousands) while the store holds 40M
-    // postings — the O(delta) maintenance contract; the post-ticks
-    // probe must stay probe-sized through the gen anti-join; and the
-    // tombstoned answer must equal a fresh rebuild on the updated
-    // surviving corpus (top-k equality asserted, at full scale).
-    // the 10m twin runs the ticks + probe only (tick inputRecords must
-    // be FLAT across the 10x corpus — the O(delta) evidence; the 1m
-    // equiv/compaction stages plus the DuckDB oracles already pin the
-    // answer, re-proving it at 10m would pay a multi-minute rebuild for
-    // no new information)
+    // (1,000 deletes + 1,000 updates + 1,000 adds each) run through
+    // Maintenance.tick — the SAME one-call orchestration the soak
+    // drives — over a ParquetStore: gen-aware guarded deletes (only a
+    // MaxValue tombstone suppresses a re-send), generation-versioned
+    // UPDATES (the fresh generation's postings append and survive
+    // their own id's tombstone), adds appended per-bucket (existing
+    // postings never read or reshuffled), re-add demotion, stats fold,
+    // compactNeeded riding every tick. One unified tombstone table
+    // serves all doors: a delete retires the id up to Long.MaxValue,
+    // an update up to the superseded generation. The measured tick's
+    // inputRecords must be DELTA-sized (thousands) while the store
+    // holds 40M postings — the O(delta) maintenance contract; the
+    // post-ticks probe must stay probe-sized through the gen
+    // anti-join; and the tombstoned answer must equal a fresh rebuild
+    // on the updated surviving corpus (top-k equality asserted, at
+    // full scale). the 10m twin runs the ticks + probe only (tick
+    // inputRecords must be FLAT across the 10x corpus — the O(delta)
+    // evidence; the 1m equiv/compaction stages plus the DuckDB oracles
+    // already pin the answer, re-proving it at 10m would pay a
+    // multi-minute rebuild for no new information)
+    val gtext = expr(
+      """array_join(transform(sequence(0, 39), j ->
+           concat('w', pmod(xxhash64(id * 40 + j) %
+             (1 + pmod(xxhash64(id, j), 3000)), 3000))), ' ')""")
+    def gdocs(ids: org.apache.spark.sql.DataFrame) =
+      ids.select(col("id").as("doc_id"), gtext.as("text"))
+    val updSuffix = " w42 zzupdated"
     for ((n, tag) <- Seq((1000000L, "1m"), (10000000L, "10m"))
          if Seq(s"lifecycle_tick_$tag", s"lifecycle_probe_post_ticks_$tag",
            s"lifecycle_equiv_$tag", s"lifecycle_compaction_$tag")
            .exists(only)) {
       val deep = tag == "1m"
       val m = n / 1000 // delta classes stay 1,000 docs at EVERY scale
-      val gtext = expr(
-        """array_join(transform(sequence(0, 39), j ->
-             concat('w', pmod(xxhash64(id * 40 + j) %
-               (1 + pmod(xxhash64(id, j), 3000)), 3000))), ' ')""")
-      def gdocs(ids: org.apache.spark.sql.DataFrame) =
-        ids.select(col("id").as("doc_id"), gtext.as("text"))
       val dir = s"/tmp/graft_bm25_lifecycle_$tag"
-      var nS = 0L; var tlS = 0L
-      def statsDf = spark.range(1).select(
-        lit(nS).as("n"), lit(tlS).as("total_len"))
+      val door = new pipeline.Maintenance.Bm25Door(col("text"), 256)
+      val store = new pipeline.Maintenance.ParquetStore(spark, dir,
+        pipeline.Bm25Index.write)
+      var st: pipeline.Maintenance.State = null
       t(s"lifecycle_index_build_$tag") {
         val (postings, stats) = pipeline.Bm25Index.build(
           gdocs(spark.range(n).toDF()), col("doc_id"), col("text"),
           nBuckets = 256)
         pipeline.Bm25Index.write(
           pipeline.Bm25Index.stampGen(postings, 0L), dir)
-        val s0 = stats.collect().head
-        nS = s0.getLong(0); tlS = s0.getLong(1)
-        s"n=$nS total_len=$tlS"
+        st = pipeline.Maintenance.initialState(spark, door, Some(stats))
+        val s0 = st.stats.get.collect().head
+        s"n=${s0.getLong(0)} total_len=${s0.getLong(1)}"
       }
-      var tombIds = spark.range(0).select(col("id").as("doc_id"),
-        col("id").as("upto_gen")).localCheckpoint(true)
       var compactSignals = 0
-      val updSuffix = " w42 zzupdated"
       // tick i: delete base-doc class id%m==i, UPDATE class
-      // id%m==100+i (version-1 text under gen 1), add 1000 fresh
-      // docs; classes are disjoint across ticks and doors, adds sit
-      // past the base range, so every superseded version is v0. Delta
-      // frames are materialized OUTSIDE the measured block: a real
-      // deployment's delta ARRIVES delta-sized (a changed-docs batch),
-      // it is not carved out of a corpus scan — counting the synthetic
-      // range read would drown the evidence the stage exists for.
+      // id%m==100+i (version-1 text under gen i+1); classes are
+      // disjoint across ticks and doors, adds sit past the base range,
+      // so every superseded version is v0. Delta frames are
+      // materialized OUTSIDE the measured block: a real deployment's
+      // delta ARRIVES delta-sized (a changed-docs batch), it is not
+      // carved out of a corpus scan — counting the synthetic range
+      // read would drown the evidence the stage exists for.
       def deltas(i: Int) = {
         val oldsU = gdocs(spark.range(n).toDF()
           .where(col("id") % m === 100 + i)).localCheckpoint(true)
@@ -1240,32 +1240,14 @@ object ScaleBench {
                oldsU: org.apache.spark.sql.DataFrame,
                newsU: org.apache.spark.sql.DataFrame,
                adds: org.apache.spark.sql.DataFrame): String = {
-        // deletes: retire the id across ALL generations
-        val (fresh, s2) = pipeline.Bm25Index.delete(statsDf, dels,
-          col("doc_id"), col("text"),
-          priorTombstones = Some(tombIds.select(col("doc_id"))))
-        val s2r = s2.collect().head
-        nS = s2r.getLong(0); tlS = s2r.getLong(1)
-        tombIds = tombIds.unionByName(pipeline.Bm25Index.genTombstones(
-          fresh, col("doc_id"), Long.MaxValue))
-        // updates: the gen door — append gen-1 postings, retire gen 0
-        val (dpU, tombsU, sU) = pipeline.Bm25Index.update(statsDf,
-          oldsU, newsU, col("doc_id"), col("text"), nBuckets = 256,
-          newGen = 1L)
-        pipeline.Bm25Index.write(dpU, dir, mode = "append")
-        val sUr = sU.collect().head
-        nS = sUr.getLong(0); tlS = sUr.getLong(1)
-        tombIds = tombIds.unionByName(tombsU).localCheckpoint(true)
-        // adds: per-bucket append, gen 0
-        val (dp, ds) = pipeline.Bm25Index.build(adds, col("doc_id"),
-          col("text"), nBuckets = 256)
-        pipeline.Bm25Index.write(pipeline.Bm25Index.stampGen(dp, 0L),
-          dir, mode = "append")
-        val dsr = ds.collect().head
-        nS += dsr.getLong(0); tlS += dsr.getLong(1)
-        if (pipeline.Dedup.compactNeeded(tombIds)) compactSignals += 1
+        st = pipeline.Maintenance.tick(door, store, st,
+          adds = adds, deletes = dels, updates = newsU,
+          updatesOld = Some(oldsU),
+          checkpoint = df => df.localCheckpoint(true))
+        if (pipeline.Dedup.compactNeeded(st.tombstones)) compactSignals += 1
         pin() // the tombstone checkpoint must survive the stage sweep
-        s"tombstones=${tombIds.count()} n=$nS"
+        val sr = st.stats.get.collect().head
+        s"tombstones=${st.tombstones.count()} n=${sr.getLong(0)}"
       }
       val (d0, ou0, nu0, a0) = deltas(0); tick(d0, ou0, nu0, a0)
       val (d1, ou1, nu1, a1) = deltas(1); tick(d1, ou1, nu1, a1)
@@ -1274,10 +1256,8 @@ object ScaleBench {
       val qts = Seq("w7", "w42", "w2999")
       var viaTombs: Seq[(Long, Long)] = Nil
       ti(s"lifecycle_probe_post_ticks_$tag") {
-        viaTombs = pipeline.Bm25Index.search(
-          pipeline.Bm25Index.applyGenTombstones(
-            spark.read.parquet(dir), tombIds),
-          statsDf, qts, 10, nBuckets = 256)
+        viaTombs = pipeline.Bm25Index.search(st.live(door, store),
+          st.stats.get, qts, 10, nBuckets = 256)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         s"top=${viaTombs.length} best=${viaTombs.headOption.map(_._1).getOrElse(-1L)}"
       }
@@ -1293,9 +1273,11 @@ object ScaleBench {
         val (pf, sf) = pipeline.Bm25Index.build(survivors, col("doc_id"),
           col("text"), nBuckets = 256)
         val sfr = sf.collect().head
-        require(sfr.getLong(0) == nS && sfr.getLong(1) == tlS,
-          s"stats drifted: ticks=($nS,$tlS) rebuild=" +
-            s"(${sfr.getLong(0)},${sfr.getLong(1)})")
+        val str = st.stats.get.collect().head
+        require(sfr.getLong(0) == str.getLong(0) &&
+          sfr.getLong(1) == str.getLong(1),
+          s"stats drifted: ticks=(${str.getLong(0)},${str.getLong(1)}) " +
+            s"rebuild=(${sfr.getLong(0)},${sfr.getLong(1)})")
         val viaRebuild = pipeline.Bm25Index.search(pf, sf, qts, 10,
           nBuckets = 256)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -1304,15 +1286,213 @@ object ScaleBench {
         s"match=true compactSignals=$compactSignals"
       }
       if (deep) t(s"lifecycle_compaction_$tag") {
-        // the one honest corpus-sized rewrite the trigger schedules
-        val dir2 = dir + "_compacted"
-        pipeline.Bm25Index.write(pipeline.Bm25Index.applyGenTombstones(
-          spark.read.parquet(dir), tombIds), dir2)
+        // the one honest corpus-sized rewrite the trigger schedules —
+        // through the store's own swap (what a fired trigger runs)
+        store.rewrite(st.live(door, store))
         val viaCompacted = pipeline.Bm25Index.search(
-          spark.read.parquet(dir2), statsDf, qts, 10, nBuckets = 256)
+          store.rows, st.stats.get, qts, 10, nBuckets = 256)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         require(viaCompacted == viaTombs, "compaction changed the answer")
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2))
+        "match=true"
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+
+    // ---- IVF lifecycle at scale: the same flat-tick contract on the
+    // second persisted gen store. Ticks (1,000 deletes + 1,000
+    // reversed-embedding updates + 1,000 adds) through the SAME
+    // Maintenance.tick over a cell-partitioned ParquetStore under a
+    // frozen 256-cell quantizer; the measured tick's inputRecords must
+    // be delta-sized and FLAT across 1M→10M vectors, the post-ticks
+    // probe must stay probe-sized through the gen anti-join (compare
+    // the plain-store probe twin), and at 1m the tombstoned cells must
+    // equal a fresh assignment of the updated survivors.
+    for ((n, tag) <- Seq((1000000L, "1m"), (10000000L, "10m"))
+         if Seq(s"lifecycle_ivf_tick_$tag", s"lifecycle_ivf_probe_$tag",
+           s"lifecycle_ivf_equiv_$tag").exists(only)) {
+      val deep = tag == "1m"
+      val m = n / 1000
+      val gemb = expr(
+        """transform(sequence(0, 15), d ->
+             cast(pmod(xxhash64(id, d), 1000) / 500.0 - 1.0 as float))""")
+      def gvecs(ids: org.apache.spark.sql.DataFrame) =
+        ids.select(col("id").as("vec_id"), gemb.as("embedding"))
+      def gvecsUpd(ids: org.apache.spark.sql.DataFrame) =
+        ids.select(col("id").as("vec_id"),
+          reverse(gemb).as("embedding"))
+      val dir = s"/tmp/graft_ivf_lifecycle_$tag"
+      def ivfWrite(df: org.apache.spark.sql.DataFrame, d: String,
+                   mode: String): Unit =
+        df.write.partitionBy("cell").mode(mode).parquet(d)
+      var cents: Seq[(Long, Array[Double])] = Nil
+      var door: pipeline.Maintenance.IvfDoor = null
+      val store = new pipeline.Maintenance.ParquetStore(spark, dir, ivfWrite)
+      var st: pipeline.Maintenance.State = null
+      t(s"lifecycle_ivf_build_$tag") {
+        cents = pipeline.Similarity.centroids(
+          gvecs(spark.range(n).toDF()), 256) // frozen quantizer
+        door = new pipeline.Maintenance.IvfDoor(cents)
+        ivfWrite(pipeline.Similarity.ivfStampGen(
+          pipeline.Similarity.ivfAssign(gvecs(spark.range(n).toDF()),
+            cents), 0L), dir, "overwrite")
+        st = pipeline.Maintenance.initialState(spark, door)
+        s"nlist=256 n=$n"
+      }
+      def vdeltas(i: Int) = (
+        gvecs(spark.range(n).toDF().where(col("id") % m === i))
+          .localCheckpoint(true),
+        gvecsUpd(spark.range(n).toDF().where(col("id") % m === 100 + i))
+          .localCheckpoint(true),
+        gvecs(spark.range(n + i * 1000L, n + (i + 1) * 1000L).toDF())
+          .localCheckpoint(true))
+      def vtick(dels: org.apache.spark.sql.DataFrame,
+                upds: org.apache.spark.sql.DataFrame,
+                adds: org.apache.spark.sql.DataFrame): String = {
+        st = pipeline.Maintenance.tick(door, store, st,
+          adds = adds, deletes = dels, updates = upds,
+          checkpoint = df => df.localCheckpoint(true))
+        pin()
+        s"tombstones=${st.tombstones.count()} gen=${st.nextGen}"
+      }
+      val (vd0, vu0, va0) = vdeltas(0); vtick(vd0, vu0, va0)
+      val (vd1, vu1, va1) = vdeltas(1); vtick(vd1, vu1, va1)
+      val (vd2, vu2, va2) = vdeltas(2)
+      ti(s"lifecycle_ivf_tick_$tag") { vtick(vd2, vu2, va2) }
+      // query ids ≡ 500 (mod m): never deleted or updated at any scale
+      val q = gvecs(spark.range(5).toDF()
+        .select((col("id") * m + 500L).as("id"))).localCheckpoint(true)
+      pin() // q must survive the tick stage's sweep
+      var viaTombs: Seq[Seq[Any]] = Nil
+      ti(s"lifecycle_ivf_probe_$tag") {
+        // the partition-pruned serving probe (literal probe cells →
+        // parquet partition filter) through the gen anti-join
+        viaTombs = pipeline.Similarity.ivfTopKIndexedPruned(q,
+          st.live(door, store), cents, 10, nprobe = 8)
+          .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+        s"rows=${viaTombs.size}"
+      }
+      ti(s"lifecycle_ivf_probe_plain_$tag") {
+        // the no-anti-join twin on the SAME store (dead generations
+        // included): the gen probe above must read only
+        // tombstone-broadcast more than this
+        val c = pipeline.Similarity.ivfTopKIndexedPruned(q, store.rows,
+          cents, 10, nprobe = 8).count()
+        s"rows=$c"
+      }
+      ti(s"lifecycle_ivf_probe_unpruned_$tag") {
+        // the in-memory-index probe shape on the parquet store: the
+        // cell join alone prunes NOTHING (reads the whole store) — the
+        // contrast that justifies the literal-cell serving path
+        val c = pipeline.Similarity.ivfTopKIndexed(q,
+          st.live(door, store), cents, 10, nprobe = 8).count()
+        s"rows=$c"
+      }
+      if (deep) t(s"lifecycle_ivf_equiv_$tag") {
+        val survivors = gvecs(spark.range(n).toDF()
+          .where(!(col("id") % m).isin(0, 1, 2, 100, 101, 102)))
+          .unionByName(gvecsUpd(spark.range(n).toDF()
+            .where((col("id") % m).isin(100, 101, 102))))
+          .unionByName(gvecs(spark.range(n, n + 3000L).toDF()))
+        val rebuilt = pipeline.Similarity.ivfAssign(survivors, cents)
+          .select(col("cell"), col("nid"))
+        val live = st.live(door, store).select(col("cell"), col("nid"))
+        val extra = live.exceptAll(rebuilt).count()
+        val missing = rebuilt.exceptAll(live).count()
+        require(extra == 0 && missing == 0,
+          s"IVF cells drifted: extra=$extra missing=$missing")
+        val viaRebuild = pipeline.Similarity.ivfTopKIndexed(q,
+          pipeline.Similarity.ivfAssign(survivors, cents), cents, 10,
+          nprobe = 8).orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+        require(viaTombs == viaRebuild && viaTombs.nonEmpty,
+          "tombstoned IVF top-k != rebuild top-k")
+        "match=true"
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+
+    // ---- signature-store lifecycle at scale: the third gen door.
+    // Ticks through Maintenance.tick over the persisted minhash
+    // signature table (one row per doc); the measured tick's
+    // inputRecords must be delta-sized and FLAT across 1M→10M docs.
+    // The serving composition — a 1,000-doc ingest batch deduped
+    // against the LIVE view — is index-sized by design (the band join
+    // reads the signature table); the probe twins pin that the gen
+    // anti-join adds only tombstone-broadcast input on top of the
+    // plain-store read. At 1m the live view must equal fresh
+    // signatures of the updated survivors (exceptAll both ways).
+    for ((n, tag) <- Seq((1000000L, "1m"), (10000000L, "10m"))
+         if Seq(s"lifecycle_sig_tick_$tag", s"lifecycle_sig_probe_$tag",
+           s"lifecycle_sig_equiv_$tag").exists(only)) {
+      val deep = tag == "1m"
+      val m = n / 1000
+      val dir = s"/tmp/graft_sig_lifecycle_$tag"
+      val door = new pipeline.Maintenance.SigDoor("doc_id", col("text"),
+        3, 32)
+      def sigWrite(df: org.apache.spark.sql.DataFrame, d: String,
+                   mode: String): Unit =
+        df.write.mode(mode).parquet(d)
+      val store = new pipeline.Maintenance.ParquetStore(spark, dir,
+        sigWrite)
+      var st: pipeline.Maintenance.State = null
+      t(s"lifecycle_sig_build_$tag") {
+        sigWrite(pipeline.Dedup.sigStampGen(
+          pipeline.Dedup.minhashSignatures(gdocs(spark.range(n).toDF()),
+            "doc_id", col("text"), 3, 32), 0L), dir, "overwrite")
+        st = pipeline.Maintenance.initialState(spark, door)
+        s"n=$n perms=32"
+      }
+      def sdeltas(i: Int) = (
+        gdocs(spark.range(n).toDF().where(col("id") % m === i))
+          .localCheckpoint(true),
+        gdocs(spark.range(n).toDF().where(col("id") % m === 100 + i))
+          .select(col("doc_id"),
+            concat(col("text"), lit(updSuffix)).as("text"))
+          .localCheckpoint(true),
+        gdocs(spark.range(n + i * 1000L, n + (i + 1) * 1000L).toDF())
+          .localCheckpoint(true))
+      def stick(dels: org.apache.spark.sql.DataFrame,
+                upds: org.apache.spark.sql.DataFrame,
+                adds: org.apache.spark.sql.DataFrame): String = {
+        st = pipeline.Maintenance.tick(door, store, st,
+          adds = adds, deletes = dels, updates = upds,
+          checkpoint = df => df.localCheckpoint(true))
+        pin()
+        s"tombstones=${st.tombstones.count()} gen=${st.nextGen}"
+      }
+      val (sd0, su0, sa0) = sdeltas(0); stick(sd0, su0, sa0)
+      val (sd1, su1, sa1) = sdeltas(1); stick(sd1, su1, sa1)
+      val (sd2, su2, sa2) = sdeltas(2)
+      ti(s"lifecycle_sig_tick_$tag") { stick(sd2, su2, sa2) }
+      val ingest = gdocs(spark.range(n + 500000L, n + 501000L).toDF())
+        .localCheckpoint(true)
+      pin() // ingest must survive the tick stage's sweep
+      ti(s"lifecycle_sig_probe_$tag") {
+        val (kept, _) = pipeline.Dedup.incrementalDedup(ingest,
+          "doc_id", col("text"), st.live(door, store).drop("gen"))
+        s"kept=${kept.count()}"
+      }
+      ti(s"lifecycle_sig_probe_plain_$tag") {
+        // no-anti-join twin (dead generations included — input-shape
+        // comparison only)
+        val (kept, _) = pipeline.Dedup.incrementalDedup(ingest,
+          "doc_id", col("text"), store.rows.drop("gen"))
+        s"kept=${kept.count()}"
+      }
+      if (deep) t(s"lifecycle_sig_equiv_$tag") {
+        val survivors = gdocs(spark.range(n).toDF()
+          .where(!(col("id") % m).isin(0, 1, 2)))
+          .select(col("doc_id"),
+            when((col("doc_id") % m).isin(100, 101, 102),
+              concat(col("text"), lit(updSuffix)))
+              .otherwise(col("text")).as("text"))
+          .unionByName(gdocs(spark.range(n, n + 3000L).toDF()))
+        val rebuilt = pipeline.Dedup.minhashSignatures(survivors,
+          "doc_id", col("text"), 3, 32)
+        val live = st.live(door, store).drop("gen")
+        val extra = live.exceptAll(rebuilt).count()
+        val missing = rebuilt.exceptAll(live).count()
+        require(extra == 0 && missing == 0,
+          s"signatures drifted: extra=$extra missing=$missing")
         "match=true"
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

@@ -514,9 +514,15 @@ object Dedup {
     * query failure. Nothing used to WATCH that growth. This does:
     * estimated broadcast footprint = |tombstones| × `bytesPerRow`
     * (one 8-byte key in an UnsafeRow plus the LongHashedRelation entry
-    * overhead — 64 B/row is deliberately conservative), compared
-    * against the same 10 MB comfort line Spark's own
-    * `autoBroadcastJoinThreshold` defaults to. One TOMBSTONE-SET-sized
+    * overhead), compared against the same 10 MB comfort line Spark's
+    * own `autoBroadcastJoinThreshold` defaults to. The 64 B/row
+    * default is CALIBRATED against the executed anti-join's measured
+    * broadcast dataSize (`PlanSpec` "compactNeeded calibration"):
+    * sparse long keys — the realistic tombstone layout — cost
+    * ~32.8 B/row marginal over a ~1 MB base allocation (dense key
+    * ranges drop to ~8 B/row), so 64 B/row brackets the worst marginal
+    * at <2× and the unmodeled base only fires the trigger EARLY, the
+    * safe side of a corpus-sized rewrite. One TOMBSTONE-SET-sized
     * count() per delete tick — never index- or corpus-sized work, and
     * the count re-walks the tombstone union lineage unless the caller
     * checkpoints it each tick (the soak and `Maintenance.tick` do).

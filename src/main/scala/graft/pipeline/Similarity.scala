@@ -271,6 +271,32 @@ object Similarity {
         index("gen") <= col("upto_gen"), "left_anti")
   }
 
+  /** Partition-pruned serving probe over a PERSISTED IVF store — the
+    * `Bm25Index.search` bucket-pruning twin. `ivfTopKIndexed` joins the
+    * store on `cell` against a broadcast probe frame, which is the
+    * right plan for in-memory indexes but reads EVERY cell partition of
+    * a parquet store (a runtime join key is not a partition filter, and
+    * DPP declines the shape: the probe side carries no selective
+    * predicate). Here the probe cells are first resolved to LITERALS —
+    * one query-sized job running the SAME `nearest_centroids`
+    * expression, so cell choice is bit-identical — and pushed as an
+    * `isin` predicate that Catalyst constant-folds into the file
+    * index's partition filter: the scan reads ≤ |queries|×nprobe of
+    * the nlist partitions, never the corpus. Results ≡
+    * [[ivfTopKIndexed]] (the literal set IS the join's key set;
+    * spec-pinned). Queries must be a bounded serving batch — the
+    * cell resolution collects |queries|×nprobe longs. */
+  def ivfTopKIndexedPruned(queries: DataFrame, index: DataFrame,
+                           cents: Seq[(Long, Array[Double])], k: Int,
+                           nprobe: Int): DataFrame = {
+    val cells = queries.select(explode(
+      graft.functions.NearestCentroids.nearest_centroids(
+        col("embedding"), cents, nprobe)).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    ivfTopKIndexed(queries, index.where(col("cell").isin(cells: _*)),
+      cents, k, nprobe)
+  }
+
   /** The one-call UPDATE door, `Bm25Index.update`'s ANN twin: assign the
     * replacement vectors under the FROZEN quantizer, stamp them with
     * `newGen`, and retire every older generation of their ids — returns

@@ -9,22 +9,28 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.api.{CachedQueries, Security, SuggestionsService, WebServer}
 import graft.operators.QuantileCensus
-import graft.pipeline.{Bm25Index, Dedup, Similarity}
+import graft.pipeline.{Bm25Index, Dedup, Maintenance, Similarity}
 
 /** The lifecycle soak: every maintenance door the engine has, driven
   * TOGETHER through ten ticks of mixed adds / deletes / updates /
-  * re-sent deletes — the run a production operator would trust, and the
-  * closest sandbox analogue of the reference's live-update MiniCluster
-  * suite (`TestWithMiniClusterBase.java`, which needs HDFS this
-  * environment lacks). Each door is already spec'd in isolation; this
-  * pins that they compose:
+  * re-sent deletes / deletes-of-updated / re-adds-of-deleted — the run
+  * a production operator would trust, and the closest sandbox analogue
+  * of the reference's live-update MiniCluster suite
+  * (`TestWithMiniClusterBase.java`, which needs HDFS this environment
+  * lacks). Each door is already spec'd in isolation; this pins that
+  * they compose — through [[pipeline.Maintenance.tick]], the SAME
+  * one-call orchestration the ScaleBench lifecycle stages measure:
   *
-  *  - BM25 postings + IVF cells + dedup signatures each end the run
-  *    EQUAL (full index-frame multiset equality, not just probe
-  *    agreement) to a fresh rebuild on the surviving corpus, after
-  *    interleaved deletes, updates (delete-then-add with the doc id
-  *    reused), re-sent deletes (the priorTombstones guard), and a
-  *    mid-run physical compaction fired by `Dedup.compactNeeded`;
+  *  - BM25 postings + IVF cells + dedup signatures are each maintained
+  *    as a generation-versioned store behind ONE unified tombstone
+  *    table (the persisted-store composition) and end the run EQUAL
+  *    (full index-frame multiset equality, not just probe agreement)
+  *    to a fresh rebuild on the surviving corpus, after interleaved
+  *    deletes, generation updates, deletes of PREVIOUSLY-UPDATED ids
+  *    (the round-12 silent-swallow path), re-sent deletes (suppressed
+  *    by the gen-aware guard), re-adds of previously-deleted ids
+  *    (tombstone demotion), and mid-run physical compactions fired by
+  *    `Dedup.compactNeeded` inside the tick;
   *  - the quantile-census serving table compacts through the
   *    self-trimming door every tick and its image bytes never leave the
   *    trim policy's budget;
@@ -87,37 +93,45 @@ class LifecycleSoakSpec extends AnyFunSuite {
     }
   }
 
-  test("ten ticks of mixed adds/deletes/updates through BM25 + IVF + " +
-      "dedup with census trim and per-tick cached-query freshness: " +
-      "every index ends equal to a fresh rebuild on the survivors") {
+  test("ten Maintenance.tick rounds of adds/deletes/updates/" +
+      "delete-after-update/re-sent deletes/re-adds through BM25 + IVF " +
+      "+ dedup gen stores with census trim and per-tick cached-query " +
+      "freshness: every index ends equal to a fresh rebuild") {
     // ---- ground truth the ticks mutate ----
     val live = scala.collection.mutable.LinkedHashMap[Long, Int](
       (0L until 120L).map(_ -> 0): _*)
-    // ids whose tombstone is still LIVE (uncompacted) — the only ids a
-    // re-sent delete can be guarded against; once the compaction drops
-    // the tombstone table the id's history is gone by design
+    // ids updated in SOME earlier tick and still live — the pool the
+    // delete-after-update picks from (the round-12 swallow path)
+    val updatedEver = scala.collection.mutable.Set.empty[Long]
+    // ids whose full-delete tombstone is still LIVE (uncompacted) — the
+    // only ids a re-sent delete can be guarded against; once compaction
+    // drops the tombstone table the id's history is gone by design
     val tombstonedText = scala.collection.mutable.Map.empty[Long, String]
+    // every deleted id with the version it died at (re-add pool)
+    val deletedEver = scala.collection.mutable.Map.empty[Long, Int]
     var nextId = 120L
 
-    // ---- initial serving state (tick 0) ----
+    // ---- initial serving state (tick 0): three gen-versioned stores
+    // behind Maintenance doors, base load stamped gen 0 ----
     val corpus0 = docsDf(live.toSeq)
-    var (post, statsDf) =
+    val bmDoor = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val (p0, s0) =
       Bm25Index.build(corpus0, col("doc_id"), col("text"), nBuckets)
-    post = post.localCheckpoint()
-    var tombs = Seq.empty[Long].toDF("doc_id").localCheckpoint()
-    def snapStats(): Unit = { // a deployment persists the 1-row stats
-      val r = statsDf.collect().head
-      statsDf = Seq((r.getLong(0), r.getLong(1))).toDF("n", "total_len")
-    }
-    snapStats()
+    val bmStore = new Maintenance.FrameStore(Bm25Index.stampGen(p0, 0L))
+    var bmSt = Maintenance.initialState(spark, bmDoor, Some(s0))
 
     val cents = Similarity.centroids(vecsDf(live.toSeq), 16) // frozen
-    var ivf = Similarity.ivfAssign(vecsDf(live.toSeq), cents)
-      .localCheckpoint()
-    var ivfTombs = Seq.empty[Long].toDF("nid").localCheckpoint()
+    val ivfDoor = new Maintenance.IvfDoor(cents)
+    val ivfStore = new Maintenance.FrameStore(
+      Similarity.ivfStampGen(
+        Similarity.ivfAssign(vecsDf(live.toSeq), cents), 0L))
+    var ivfSt = Maintenance.initialState(spark, ivfDoor)
 
-    var sigs = Dedup.minhashSignatures(corpus0, "doc_id", col("text"),
-      3, 64).localCheckpoint()
+    val sigDoor = new Maintenance.SigDoor("doc_id", col("text"), 3, 64)
+    val sigStore = new Maintenance.FrameStore(
+      Dedup.sigStampGen(Dedup.minhashSignatures(corpus0, "doc_id",
+        col("text"), 3, 64), 0L))
+    var sigSt = Maintenance.initialState(spark, sigDoor)
 
     def censusBatch(tick: Int): DataFrame =
       (for (seg <- 0 until 4; i <- 0 until 300) yield (seg.toLong,
@@ -183,7 +197,8 @@ class LifecycleSoakSpec extends AnyFunSuite {
       assert(svc.history.size >= k, s"cycle $k never completed")
     }
 
-    var compactions = 0
+    var delAfterUpd = 0 // ticks that deleted a previously-updated id
+    var reAdds = 0
     try {
       val url = new URI(s"http://127.0.0.1:${ws.boundPort}" +
         "/setCachedQuery?name=soakq&set=files&filters=user:eq:u1&sum=count")
@@ -195,80 +210,78 @@ class LifecycleSoakSpec extends AnyFunSuite {
 
       // ------------------------- the ticks -------------------------
       for (tick <- 1 to nTicks) {
-        // mutation plan: disjoint delete/update sets over current live
-        val delIds = live.keys.filter(_ % 9 == tick % 9).take(8).toVector
+        // mutation plan over current live ids: plain deletes, updates,
+        // one delete of a PREVIOUSLY-updated id (unified-table path),
+        // one RE-SENT delete of a still-tombstoned id (must be
+        // suppressed or stats drift), one re-add of a dead id, adds
+        val delIds = live.keys.filter(_ % 9 == tick % 9).take(7).toVector
         val updIds = live.keys
           .filter(id => id % 7 == tick % 7 && !delIds.contains(id))
           .take(6).toVector
+        val delUpdIds = (updatedEver -- delIds -- updIds)
+          .intersect(live.keySet).take(2).toVector
         val addIds = (nextId until nextId + 12).toVector
         nextId += 12
+        val reAddIds = if (tick % 3 == 0)
+          (deletedEver.keySet -- live.keySet).take(1).toVector
+        else Vector.empty
 
-        // old versions leaving the corpus (delete + update-old), plus
-        // one RE-SENT delete of an id retired in an earlier tick — the
-        // priorTombstones guard must drop it or stats drift
-        val leaving = (delIds ++ updIds).map(id => (id, live(id)))
-        val leavingDf = docsDf(leaving)
+        val deleting = (delIds ++ delUpdIds).map(id => (id, live(id)))
         val resent = tombstonedText.headOption.map { case (id, t) =>
           Seq((id, t)).toDF("doc_id", "text")
         }
-        val delBatch = resent.fold(leavingDf)(leavingDf.unionByName(_))
+        val delBatchDocs = resent
+          .fold(docsDf(deleting))(docsDf(deleting).unionByName(_))
+        val adding = addIds.map(_ -> 0) ++
+          reAddIds.map(id => id -> (deletedEver(id) + 1))
+        val updating = updIds.map(id => id -> (live(id) + 1))
 
-        // BM25: delete old versions (guarded), fold ONLY the update
-        // ids' tombstones into the postings (so the re-used ids' fresh
-        // postings aren't swallowed), append the new postings; pure
-        // deletes stay in the accumulating tombstone table
-        val (freshT, s2) = Bm25Index.delete(statsDf, delBatch,
-          col("doc_id"), col("text"), priorTombstones = Some(tombs))
-        statsDf = s2; snapStats()
-        val updTombs = updIds.toDF("doc_id")
-        val arriving = addIds.map(_ -> 0) ++ updIds.map(id => id -> (live(id) + 1))
-        val (p2, s3) = Bm25Index.add(
-          Bm25Index.applyTombstones(post, updTombs),
-          statsDf, docsDf(arriving), col("doc_id"), col("text"), nBuckets)
-        post = p2.localCheckpoint(); statsDf = s3; snapStats()
-        tombs = tombs.unionByName(
-          freshT.join(updTombs, Seq("doc_id"), "left_anti"))
-          .localCheckpoint()
-
-        // IVF: same lifecycle under the frozen quantizer
-        ivf = Similarity.ivfAddToIndex(
-          Similarity.ivfApplyTombstones(ivf,
-            updIds.toDF("nid")), vecsDf(arriving), cents).localCheckpoint()
-        ivfTombs = ivfTombs.unionByName(delIds.toDF("nid"))
-          .localCheckpoint()
-
-        // dedup signatures: retract leavers, index arrivers through the
-        // incremental door (unique soak texts -> everything kept)
-        val leavingTombs = (delIds ++ updIds).toDF("did")
-        val (kept, sig2) = Dedup.incrementalDedup(docsDf(arriving),
-          "doc_id", col("text"),
-          Dedup.removeFromIndex(sigs, leavingTombs))
-        assert(kept.count() === arriving.size.toLong,
+        // arrivals must clear the dedup gate against the LIVE signature
+        // view before they enter any store (the ingestion composition;
+        // unique soak texts -> everything kept)
+        val (kept, _) = Dedup.incrementalDedup(
+          docsDf(adding ++ updating), "doc_id", col("text"),
+          sigSt.live(sigDoor, sigStore).drop("gen"))
+        assert(kept.count() === (adding ++ updating).size.toLong,
           s"tick $tick: dedup filtered a unique soak doc")
-        sigs = sig2.localCheckpoint()
 
-        // ground truth catches up (before the compaction check, which
-        // retires this tick's tombstone history together with the rest)
-        delIds.foreach { id =>
-          tombstonedText(id) = text(id, live(id)); live.remove(id)
+        // ---- the three gen stores advance through the SAME call the
+        // ScaleBench lifecycle stages measure
+        val bmCompactionsBefore = bmSt.compactions
+        bmSt = Maintenance.tick(bmDoor, bmStore, bmSt,
+          adds = docsDf(adding),
+          deletes = delBatchDocs,
+          updates = docsDf(updating),
+          updatesOld = Some(docsDf(updIds.map(id => id -> live(id)))),
+          compactThresholdBytes = 64L * 40)
+        ivfSt = Maintenance.tick(ivfDoor, ivfStore, ivfSt,
+          adds = vecsDf(adding),
+          deletes = vecsDf(deleting), // resend not needed: no stats
+          updates = vecsDf(updating),
+          compactThresholdBytes = 64L * 40)
+        sigSt = Maintenance.tick(sigDoor, sigStore, sigSt,
+          adds = docsDf(adding),
+          deletes = docsDf(deleting),
+          updates = docsDf(updating),
+          compactThresholdBytes = 64L * 40)
+
+        // ground truth catches up
+        if (delUpdIds.nonEmpty) delAfterUpd += 1
+        reAdds += reAddIds.size
+        (delIds ++ delUpdIds).foreach { id =>
+          tombstonedText(id) = text(id, live(id))
+          deletedEver(id) = live(id); live.remove(id)
         }
-        updIds.foreach(id => live(id) = live(id) + 1)
+        updIds.foreach { id => live(id) = live(id) + 1; updatedEver += id }
         addIds.foreach(id => live(id) = 0)
-
-        // tombstone compaction trigger: once the pure-delete set
-        // outgrows the (fixture-scaled) comfort line, physically
-        // compact both stores and drop the tombstones
-        if (Dedup.compactNeeded(tombs, thresholdBytes = 64L * 40)) {
-          post = Bm25Index.applyTombstones(post, tombs).localCheckpoint()
-          tombs = Seq.empty[Long].toDF("doc_id").localCheckpoint()
-          tombstonedText.clear() // compaction retires the delete history
-          compactions += 1
+        reAddIds.foreach { id =>
+          live(id) = deletedEver(id) + 1
+          tombstonedText.remove(id); deletedEver.remove(id)
+          updatedEver -= id
         }
-        if (Dedup.compactNeeded(ivfTombs, thresholdBytes = 64L * 40)) {
-          ivf = Similarity.ivfApplyTombstones(ivf, ivfTombs)
-            .localCheckpoint()
-          ivfTombs = Seq.empty[Long].toDF("nid").localCheckpoint()
-        }
+        // a fired compaction retires the delete history: re-sent
+        // deletes of compacted ids can no longer be recognized
+        if (bmSt.compactions > bmCompactionsBefore) tombstonedText.clear()
 
         // census digests: append + self-trimming compaction every tick
         digests = QuantileCensus.compactSelfTrimming(
@@ -287,26 +300,30 @@ class LifecycleSoakSpec extends AnyFunSuite {
       }
       assert(svc.latestCensus.get.folds === nTicks,
         "ticks must fold incrementally, not rebase")
-      assert(compactions >= 1,
+      assert(bmSt.compactions >= 1,
         "the soak never crossed the compaction threshold — deepen it")
+      assert(delAfterUpd >= 5,
+        s"delete-after-update exercised only $delAfterUpd times")
+      assert(reAdds >= 2, s"re-add exercised only $reAdds times")
 
       // ---------------- end-state vs fresh rebuilds ----------------
       val liveDocs = docsDf(live.toSeq)
       // (1) BM25: stats, postings, and scores all equal the rebuild
       val (pf, sf) = Bm25Index.build(liveDocs, col("doc_id"), col("text"),
         nBuckets)
-      assert(statsDf.collect().toSeq === sf.collect().toSeq,
+      assert(bmSt.stats.get.collect().toSeq === sf.collect().toSeq,
         "BM25 stats drifted from the surviving corpus")
-      val livePost = Bm25Index.applyTombstones(post, tombs)
-      assertSameRows(livePost, pf, "BM25 postings vs fresh rebuild")
-      val gotSearch = Bm25Index.search(livePost, statsDf, qTerms, 20,
-        nBuckets).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val livePost = bmSt.live(bmDoor, bmStore)
+      assertSameRows(livePost.drop("gen"), pf,
+        "BM25 postings vs fresh rebuild")
+      val gotSearch = Bm25Index.search(livePost, bmSt.stats.get, qTerms,
+        20, nBuckets).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       val wantSearch = Bm25Index.search(pf, sf, qTerms, 20, nBuckets)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(gotSearch.nonEmpty && gotSearch === wantSearch)
       // (2) IVF: index rows and probe ranks equal the rebuild under the
       // frozen quantizer
-      val liveIvf = Similarity.ivfApplyTombstones(ivf, ivfTombs)
+      val liveIvf = ivfSt.live(ivfDoor, ivfStore)
       val rebuiltIvf = Similarity.ivfAssign(vecsDf(live.toSeq), cents)
       assertSameRows(liveIvf.select($"cell", $"nid"),
         rebuiltIvf.select($"cell", $"nid"), "IVF cells vs fresh rebuild")
@@ -317,7 +334,7 @@ class LifecycleSoakSpec extends AnyFunSuite {
       val gotRanks = ranks(liveIvf)
       assert(gotRanks.nonEmpty && gotRanks === ranks(rebuiltIvf))
       // (3) dedup signatures equal a rebuild on the survivors
-      assertSameRows(sigs,
+      assertSameRows(sigSt.live(sigDoor, sigStore).drop("gen"),
         Dedup.minhashSignatures(liveDocs, "doc_id", col("text"), 3, 64),
         "signature index vs fresh rebuild")
       // (4) digest bytes stayed inside the trim budget at EVERY tick,

@@ -284,6 +284,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.ivfApplyTombstones(gstore,
       gtombs.select($"nid")).where($"nid" % 6 === 3).count() === 0L,
       "counter-example broke: the plain door should swallow the update")
+    // SERVING probe over the persisted store: the literal-cell variant
+    // must equal the join-probe answer AND reach the file index as a
+    // partition filter (the join alone prunes nothing — a parquet
+    // store would be read whole on every query)
+    val pruned = Similarity.ivfTopKIndexedPruned(q, gLive, cents, 5,
+      nprobe = 4)
+    assert(pruned.orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+      === Similarity.ivfTopKIndexed(q, gLive, cents, 5, nprobe = 4)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq,
+      "pruned probe drifted from the join probe")
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters: [cell#") ||
+      prunedPlan.contains("PartitionFilters: [isnotnull(cell#") ||
+      """PartitionFilters: \[[^\]]*cell""".r
+        .findFirstIn(prunedPlan).isDefined,
+      s"probe cells never reached the partition filter:\n$prunedPlan")
     // seeded fuzz: random delete moduli and probe widths all hold
     // tombstoned ≡ rebuild-on-survivors under the frozen quantizer
     for (seed <- 1 to 3) {

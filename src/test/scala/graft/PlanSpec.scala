@@ -783,6 +783,64 @@ class PlanSpec extends AnyFunSuite {
       "ivf-gen")
   }
 
+  test("compactNeeded calibration: the 64 B/row broadcast estimate " +
+      "brackets the MEASURED anti-join build size within 2x across " +
+      "tombstone cardinalities") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeExec, ReusedExchangeExec}
+    import org.apache.spark.sql.functions._
+    def bexSizes(p: SparkPlan): Seq[Long] = p match {
+      case a: AdaptiveSparkPlanExec => bexSizes(a.executedPlan)
+      case q: QueryStageExec => bexSizes(q.plan)
+      case b: BroadcastExchangeExec =>
+        b.metrics.get("dataSize").map(_.value).toSeq ++
+          b.children.flatMap(bexSizes)
+      case r: ReusedExchangeExec => bexSizes(r.child)
+      case o => o.children.flatMap(bexSizes)
+    }
+    val docs = core.Tables.documents(spark, dir)
+    val (p, _) = graft.pipeline.Bm25Index.build(
+      docs, col("doc_id"), col("text"), 64)
+    val measured = for (k <- Seq(1000L, 4000L, 16000L)) yield {
+      // scattered ids beyond the fixture corpus: real tombstone sets
+      // are sparse in id space (LongHashedRelation's worst layout), and
+      // the anti-join keeps every posting (a fully-tombstoned corpus
+      // lets AQE replace the final plan with an EmptyRelation and drop
+      // the exchange whose metric this test reads)
+      val tombs = spark.range(k).select(
+        (pmod(col("id") * 2654435761L, lit(1000000000L)) + 10000000L)
+          .as("doc_id"))
+      val probe = graft.pipeline.Bm25Index.applyTombstones(p, tombs)
+      probe.collect()
+      val sizes = bexSizes(probe.queryExecution.executedPlan)
+      assert(sizes.nonEmpty, "no broadcast exchange in the probe plan:\n" +
+        probe.queryExecution.executedPlan.toString)
+      (k, sizes.max, sizes.max.toDouble / k)
+    }
+    // compactNeeded estimates |tombstones| x 64 B against the 10 MB
+    // comfort line. The MARGINAL bytes/row (the slope between
+    // cardinalities — the exchange's dataSize carries a ~1 MB base
+    // allocation that amortizes away at trigger-relevant sizes) must
+    // stay within 2x of the estimate either way: too low fires the
+    // compaction late (the broadcast outgrows comfort unseen), too
+    // high fires corpus-sized rewrites an order of magnitude early.
+    // Measured (sparse long keys): ~32.8 B/row marginal + ~1.05 MB
+    // base; dense keys drop to ~8 B/row. 64 B/row brackets the sparse
+    // marginal at 1.95x, and the unmodeled base only errs EARLY (the
+    // safe side). Recorded in SCALING.md's compaction-trigger note.
+    val slopes = measured.sliding(2).map { case Seq((k1, b1, _), (k2, b2, _)) =>
+      (b2 - b1).toDouble / (k2 - k1)
+    }.toSeq
+    slopes.foreach { s =>
+      assert(s <= 64.0 * 2 && 64.0 <= s * 2,
+        s"marginal $s B/row vs the 64 B/row estimate (off by more " +
+          s"than 2x); all=$measured slopes=$slopes")
+    }
+  }
+
   test("layout code queries: scans read exactly the two key columns") {
     for (q <- Seq("layout_zorder_code", "layout_hilbert_code")) {
       val plan = formatted(q)
