@@ -782,6 +782,43 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
+    // the IVF lifecycle through [[pipeline.Maintenance.tick]] and the
+    // PARTITION-PRUNED serving probe ([[pipeline.Similarity
+    // .ivfTopKIndexedPruned]]): tick 1 deletes every 9th vector,
+    // re-assigns every 6th with its REVERSED embedding under gen 1,
+    // and appends id-shifted copies of every 11th; tick 2 deletes
+    // previously-UPDATED vectors through the unified tombstone table
+    // and re-sends a tick-1 delete (guard-dropped). The oracle assigns
+    // the end-state corpus from scratch under the same frozen
+    // quantizer, so the hash match proves orchestration + literal-cell
+    // pruned probe ≡ rebuild.
+    "ann_ivf_lifecycle" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val door = new pipeline.Maintenance.IvfDoor(cents)
+      val store = new pipeline.Maintenance.FrameStore(
+        pipeline.Similarity.ivfStampGen(
+          pipeline.Similarity.ivfAssign(emb, cents), 0L))
+      var st = pipeline.Maintenance.initialState(s, door)
+      val empty = emb.limit(0)
+      val upd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val del1 = emb.where(col("vec_id") % 9 === 7 &&
+        col("vec_id") % 6 =!= 3)
+      val add1 = emb.where(col("vec_id") % 11 === 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      st = pipeline.Maintenance.tick(door, store, st, adds = add1,
+        deletes = del1, updates = upd1)
+      val del2 = upd1.where(col("vec_id") % 12 === 3)
+        .unionByName(del1.orderBy(col("vec_id")).limit(1)) // re-sent
+      st = pipeline.Maintenance.tick(door, store, st, adds = empty,
+        deletes = del2, updates = empty)
+      pipeline.Similarity.ivfTopKIndexedPruned(
+        emb.where(col("vec_id") < 5), st.live(door, store), cents, 5,
+        nprobe = 4).orderBy("qid", "rank")
+    }),
+
     // recall report: hits@5 of each approximate path against the exact
     // brute-force top-5, per query — oracle-checked end to end
     "ann_ivf_recall" -> ((s, d) => {
@@ -2371,6 +2408,43 @@ object PipelineQueries {
         s1, Seq("data", "stream", "shuffle"), 10, 64)
     }),
 
+    // the full maintenance LIFECYCLE through [[pipeline.Maintenance
+    // .tick]] — two ticks against the gen-versioned store, exercising
+    // every guard the one-call door owns: tick 1 updates every 6th doc
+    // (gen 1) + deletes every 7th + appends id-shifted copies of every
+    // 11th; tick 2 deletes PREVIOUSLY-UPDATED docs (the unified-table
+    // path an id-only guard silently swallowed — round 12's latent
+    // defect) and re-sends a tick-1 delete (the gen-aware guard must
+    // drop it or stats drift). The oracle scores the end-state corpus
+    // from scratch, so the hash match proves the orchestrated
+    // delete/update/add/guard/stats composition ≡ rebuild.
+    "retrieval_bm25_lifecycle" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val door = new pipeline.Maintenance.Bm25Door(col("text"), 64)
+      val (p0, s0) = pipeline.Bm25Index.build(
+        docs, col("doc_id"), col("text"), 64)
+      val store = new pipeline.Maintenance.FrameStore(
+        pipeline.Bm25Index.stampGen(p0, 0L))
+      var st = pipeline.Maintenance.initialState(s, door, Some(s0))
+      val empty = docs.limit(0)
+      val upd1old = docs.where(col("doc_id") % 6 === 3)
+      val upd1new = upd1old.select(col("doc_id"),
+        concat(col("text"), lit(" shuffle data")).as("text"))
+      val del1 = docs.where(col("doc_id") % 7 === 0 &&
+        col("doc_id") % 6 =!= 3)
+      val add1 = docs.where(col("doc_id") % 11 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      st = pipeline.Maintenance.tick(door, store, st, adds = add1,
+        deletes = del1, updates = upd1new, updatesOld = Some(upd1old))
+      val del2 = upd1new.where(col("doc_id") % 12 === 3)
+        .unionByName(del1.orderBy(col("doc_id")).limit(1)) // re-sent
+      st = pipeline.Maintenance.tick(door, store, st, adds = empty,
+        deletes = del2, updates = empty, updatesOld = Some(empty))
+      pipeline.Bm25Index.search(
+        pipeline.Dedup.checkpointCorpus(st.live(door, store)),
+        st.stats.get, Seq("data", "stream", "shuffle"), 10, 64)
+    }),
+
     // Hilbert layout key: same census as layout_zorder_code but along
     // the adjacency-preserving curve — oracling the 16-round
     // rotate/reflect LOOP (functions.HilbertCode, eval AND codegen)
@@ -3367,6 +3441,23 @@ object PipelineQueries {
           corpusFrom = "(SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
             "THEN list_reverse(embedding) ELSE embedding END " +
             "AS embedding FROM embeddings)")} " +
+       "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivf_topk " +
+       "ORDER BY qid, rank"),
+
+    // end-state corpus after the two Maintenance ticks: every 6th
+    // vector reversed (gen-1 update), every 9th deleted, every
+    // updated-12th deleted AFTER its update, id-shifted copies of
+    // every 11th appended; centroids stay seeded from the BASE table
+    // (frozen quantizer)
+    "ann_ivf_lifecycle" ->
+      (s"WITH ${ivfSql(16, 4, 5,
+          corpusFrom = "(SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+            "THEN list_reverse(embedding) ELSE embedding END " +
+            "AS embedding FROM embeddings " +
+            "WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+            "AND NOT (vec_id % 12 = 3) " +
+            "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+            "FROM embeddings WHERE vec_id % 11 = 5)")} " +
        "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivf_topk " +
        "ORDER BY qid, rank"),
 
@@ -4827,6 +4918,44 @@ object PipelineQueries {
       (s"""WITH docs2 AS (SELECT doc_id,
              CASE WHEN doc_id % 6 = 3 THEN text || ' shuffle data'
                   ELSE text END AS text FROM documents),
+         tok AS (SELECT doc_id, unnest(
+             string_split_regex(lower(trim(text)), '\\s+')) AS term
+           FROM docs2),
+         tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+           WHERE term IN ('data', 'stream', 'shuffle') GROUP BY 1),
+         sc AS (SELECT tc.doc_id,
+           CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS rarity_ppm,
+           CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+             (CAST(10 AS HUGEINT) * tf * total_len +
+              CAST(3 AS HUGEINT) * total_len +
+              CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+           FROM tc JOIN df USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT)
+           AS score
+         FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"""),
+
+    // end-state corpus after the two Maintenance ticks: every 6th doc
+    // updated (suffix), tick-1 deletes (7th, excluding the update
+    // class), tick-2 deletes of PREVIOUSLY-updated docs (12th), and
+    // the id-shifted adds of every 11th — scoring it from scratch
+    // matches the orchestrated store's tombstone-filtered search
+    "retrieval_bm25_lifecycle" ->
+      (s"""WITH docs2 AS (SELECT doc_id,
+             CASE WHEN doc_id % 6 = 3 THEN text || ' shuffle data'
+                  ELSE text END AS text FROM documents
+             WHERE NOT (doc_id % 7 = 0 AND doc_id % 6 <> 3)
+               AND NOT (doc_id % 12 = 3)
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             WHERE doc_id % 11 = 5),
          tok AS (SELECT doc_id, unnest(
              string_split_regex(lower(trim(text)), '\\s+')) AS term
            FROM docs2),
