@@ -161,6 +161,38 @@ object Maintenance {
                    stats: Option[DataFrame] = None): State =
     State(emptyTombstones(spark, door), stats.map(snap), 1L)
 
+  /** Persist the serving state next to its store: tombstones and the
+    * 1-row stats as parquet, the scalars as a one-line properties file.
+    * With the store itself already on disk ([[ParquetStore]]), a
+    * save/load pair survives a JVM restart — [[loadState]] resumes
+    * ticking at the same generation with the same guards. Writes are
+    * state-sized (tombstone table + 1 row), never store-sized. */
+  def saveState(st: State, dir: String): Unit = {
+    st.tombstones.write.mode("overwrite").parquet(s"$dir/tombstones")
+    st.stats.foreach(_.write.mode("overwrite").parquet(s"$dir/stats"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/state.meta"),
+      s"nextGen=${st.nextGen}\ncompactions=${st.compactions}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Reload a [[saveState]] snapshot. The tombstone frame comes back as
+    * a parquet scan (tombstone-sized, broadcast at probe time exactly
+    * like the in-memory frame); stats re-snap to a literal plan. */
+  def loadState(spark: SparkSession, dir: String): State = {
+    val meta = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(s"$dir/state.meta"))
+    try meta.load(in) finally in.close()
+    val stats =
+      if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/stats")))
+        Some(snap(spark.read.parquet(s"$dir/stats")))
+      else None
+    State(spark.read.parquet(s"$dir/tombstones"), stats,
+      meta.getProperty("nextGen").toLong,
+      meta.getProperty("compactions").toLong)
+  }
+
   def emptyTombstones(spark: SparkSession, door: Door): DataFrame =
     spark.range(0).select(col("id").as(door.idName),
       col("id").as("upto_gen"))

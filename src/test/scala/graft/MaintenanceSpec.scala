@@ -168,6 +168,47 @@ class MaintenanceSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("state save/load across a 'restart': reloaded tombstones still " +
+      "suppress re-sent deletes, the generation resumes, and the end " +
+      "state equals the rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("mstate").toString
+    val ids = (0L until 70L).map(_ -> 0)
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val (p0, s0) = Bm25Index.build(docs(ids), col("doc_id"),
+      col("text"), nBuckets)
+    Bm25Index.write(Bm25Index.stampGen(p0, 0L), s"$dir/store")
+    val store = new Maintenance.ParquetStore(spark, s"$dir/store",
+      Bm25Index.write)
+    var st = Maintenance.initialState(spark, door, Some(s0))
+    def empty = docs(Nil)
+    val upd = (10L until 16L).toVector
+    st = Maintenance.tick(door, store, st,
+      adds = docs(Seq(70L -> 0)),
+      deletes = docs((0L until 5L).map(i => (i, 0))),
+      updates = docs(upd.map(_ -> 1)),
+      updatesOld = Some(docs(upd.map(_ -> 0))))
+    Maintenance.saveState(st, s"$dir/state")
+    // ---- "restart": a fresh State object from disk ----
+    val st2 = Maintenance.loadState(spark, s"$dir/state")
+    assert(st2.nextGen === st.nextGen && st2.compactions === st.compactions)
+    assert(st2.stats.get.collect().toSeq === st.stats.get.collect().toSeq)
+    // a re-sent delete and a retried update batch are both still
+    // recognized by the RELOADED tombstones
+    val st3 = Maintenance.tick(door, store, st2,
+      adds = docs(Seq(71L -> 0)),
+      deletes = docs(Seq((0L, 0), (20L, 0))), // 0 re-sent, 20 fresh
+      updates = empty, updatesOld = Some(empty))
+    val survivors = docs(upd.map(_ -> 1) ++
+      (5L until 70L).filterNot(id => upd.contains(id) || id == 20L)
+        .map(_ -> 0) ++ Seq(70L -> 0, 71L -> 0))
+    val (pf, sf) = Bm25Index.build(survivors, col("doc_id"), col("text"),
+      nBuckets)
+    assert(st3.stats.get.collect().toSeq === sf.collect().toSeq,
+      "stats drifted across the save/load restart")
+    assert(topk(st3.live(door, store), st3.stats.get) === topk(pf, sf))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("IVF door: ticks under the frozen quantizer end equal to a " +
       "fresh assignment of the surviving vectors") {
     val live = scala.collection.mutable.LinkedHashMap[Long, Int](
