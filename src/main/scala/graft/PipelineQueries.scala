@@ -2445,6 +2445,51 @@ object PipelineQueries {
         st.stats.get, Seq("data", "stream", "shuffle"), 10, 64)
     }),
 
+    // the same two-tick mutation plan through the streaming TAILER's
+    // persistence ([[streaming.IndexMaintenanceStream]]): bootstrap the
+    // versioned parquet layout, apply each tick as a mutation
+    // micro-batch (op rows; update rows carry the superseded text),
+    // search the committed serving view. Shares
+    // `retrieval_bm25_lifecycle`'s oracle derivation — the hash match
+    // proves the tailer's versioned store/state plumbing changes
+    // NOTHING about the answer.
+    "retrieval_bm25_tailer" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val door = new pipeline.Maintenance.Bm25Door(col("text"), 64)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-tailer").toString
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, door, dir, pipeline.Bm25Index.write, docs)
+      val oldV: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+        u => u.select(col("doc_id"), col("old_text").as("text"))
+      val upd1old = docs.where(col("doc_id") % 6 === 3)
+      val b0 = docs.where(col("doc_id") % 11 === 5)
+        .select(lit("add").as("op"),
+          (col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit(null).cast("string").as("old_text"))
+        .unionByName(docs
+          .where(col("doc_id") % 7 === 0 && col("doc_id") % 6 =!= 3)
+          .select(lit("delete").as("op"), col("doc_id"), col("text"),
+            lit(null).cast("string").as("old_text")))
+        .unionByName(upd1old.select(lit("update").as("op"),
+          col("doc_id"),
+          concat(col("text"), lit(" shuffle data")).as("text"),
+          col("text").as("old_text")))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, door, dir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+      val b1 = upd1old.where(col("doc_id") % 12 === 3)
+        .select(lit("delete").as("op"), col("doc_id"),
+          concat(col("text"), lit(" shuffle data")).as("text"),
+          lit(null).cast("string").as("old_text"))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, door, dir, pipeline.Bm25Index.write, b1, 1L, Some(oldV))
+      val (live, stats) = graft.streaming.IndexMaintenanceStream
+        .currentView(s, door, dir)
+      pipeline.Bm25Index.search(pipeline.Dedup.checkpointCorpus(live),
+        stats.get, Seq("data", "stream", "shuffle"), 10, 64)
+    }),
+
     // Hilbert layout key: same census as layout_zorder_code but along
     // the adjacency-preserving curve — oracling the 16-round
     // rotate/reflect LOOP (functions.HilbertCode, eval AND codegen)
@@ -3194,6 +3239,46 @@ object PipelineQueries {
     * text-backed payload (utf8 string concat ≡ byte concat). */
   private def stubFeatSql(i: Int): String =
     s"((('0x' || substr(md5(text || ':$i'), 1, 15))::BIGINT % 1000000) / 1000000.0)"
+
+  /** End-state corpus after the two Maintenance lifecycle ticks (every
+    * 6th doc updated with the suffix, tick-1 deletes = every 7th
+    * outside the update class, tick-2 deletes = every updated 12th,
+    * id-shifted adds of every 11th) scored from scratch — shared by
+    * the orchestrated (`retrieval_bm25_lifecycle`) and streaming-tailer
+    * (`retrieval_bm25_tailer`) formulations, which must agree with it
+    * AND each other. */
+  private val bm25LifecycleOracleSql: String =
+    s"""WITH docs2 AS (SELECT doc_id,
+             CASE WHEN doc_id % 6 = 3 THEN text || ' shuffle data'
+                  ELSE text END AS text FROM documents
+             WHERE NOT (doc_id % 7 = 0 AND doc_id % 6 <> 3)
+               AND NOT (doc_id % 12 = 3)
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+             WHERE doc_id % 11 = 5),
+         tok AS (SELECT doc_id, unnest(
+             string_split_regex(lower(trim(text)), '\\s+')) AS term
+           FROM docs2),
+         tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+           WHERE term IN ('data', 'stream', 'shuffle') GROUP BY 1),
+         sc AS (SELECT tc.doc_id,
+           CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS rarity_ppm,
+           CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+             (CAST(10 AS HUGEINT) * tf * total_len +
+              CAST(3 AS HUGEINT) * total_len +
+              CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+           FROM tc JOIN df USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT)
+           AS score
+         FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"""
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_features" -> {
@@ -4947,38 +5032,12 @@ object PipelineQueries {
     // class), tick-2 deletes of PREVIOUSLY-updated docs (12th), and
     // the id-shifted adds of every 11th — scoring it from scratch
     // matches the orchestrated store's tombstone-filtered search
-    "retrieval_bm25_lifecycle" ->
-      (s"""WITH docs2 AS (SELECT doc_id,
-             CASE WHEN doc_id % 6 = 3 THEN text || ' shuffle data'
-                  ELSE text END AS text FROM documents
-             WHERE NOT (doc_id % 7 = 0 AND doc_id % 6 <> 3)
-               AND NOT (doc_id % 12 = 3)
-           UNION ALL
-           SELECT doc_id + 1000000 AS doc_id, text FROM documents
-             WHERE doc_id % 11 = 5),
-         tok AS (SELECT doc_id, unnest(
-             string_split_regex(lower(trim(text)), '\\s+')) AS term
-           FROM docs2),
-         tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-           FROM tok GROUP BY 1, 2),
-         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
-           FROM tc GROUP BY 1),
-         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
-         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
-           WHERE term IN ('data', 'stream', 'shuffle') GROUP BY 1),
-         sc AS (SELECT tc.doc_id,
-           CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
-             AS rarity_ppm,
-           CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
-             (CAST(10 AS HUGEINT) * tf * total_len +
-              CAST(3 AS HUGEINT) * total_len +
-              CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
-           FROM tc JOIN df USING (term) JOIN dl USING (doc_id)
-           CROSS JOIN tot)
-         SELECT doc_id, CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT)
-           AS score
-         FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"""),
+    "retrieval_bm25_lifecycle" -> bm25LifecycleOracleSql,
+
+    // the streaming tailer applies the SAME mutation plan through its
+    // versioned parquet store/state — identical end corpus, identical
+    // oracle
+    "retrieval_bm25_tailer" -> bm25LifecycleOracleSql,
 
     // the Hilbert rotate/reflect loop UNROLLED: one CTE per bit plane
     // (s = 2^15 … 1), distinct column names per round so DuckDB's

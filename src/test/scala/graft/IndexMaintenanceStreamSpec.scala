@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Bm25Index, Maintenance}
+import graft.streaming.IndexMaintenanceStream
+
+/** The streaming mutation tailer ([[streaming.IndexMaintenanceStream]])
+  * must apply exactly the batch lifecycle per micro-batch: end state ≡
+  * a fresh rebuild on the mutated corpus, replays are no-ops, an
+  * in-flight batch is invisible to the serving view, and a mid-stream
+  * compaction swaps the base without changing the answer.
+  */
+class IndexMaintenanceStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nBuckets = 32
+  private val qTerms = Seq("alpha", "gamma", "epsilon")
+  private val vocab = Vector("alpha", "beta", "gamma", "delta",
+    "epsilon", "zeta", "eta")
+
+  private def text(id: Long, ver: Int): String =
+    (0 to (id % 9).toInt + 2).map { j =>
+      vocab(((id * 2654435761L + ver * 99991L + j * 40503L)
+        % vocab.size).toInt.abs)
+    }.mkString(" ")
+
+  private def docs(ids: Seq[(Long, Int)]): DataFrame =
+    ids.map { case (id, v) => (id, text(id, v)) }.toDF("doc_id", "text")
+
+  /** mutation rows: (op, doc_id, text, old_text) */
+  private def muts(rows: Seq[(String, Long, Int, Option[Int])]): DataFrame =
+    rows.map { case (op, id, v, oldV) =>
+      (op, id, text(id, v), oldV.map(text(id, _)).orNull)
+    }.toDF("op", "doc_id", "text", "old_text")
+
+  private def topk(p: DataFrame, s: DataFrame) =
+    Bm25Index.search(p, s, qTerms, 15, nBuckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  private val oldVersion: DataFrame => DataFrame =
+    u => u.select(col("doc_id"), col("old_text").as("text"))
+
+  test("applyBatch per mutation batch ≡ rebuild; replay is a no-op; " +
+      "mid-stream compaction swaps the base and keeps the answer") {
+    val dir = java.nio.file.Files.createTempDirectory("imstream").toString
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val live = scala.collection.mutable.LinkedHashMap[Long, Int](
+      (0L until 90L).map(_ -> 0): _*)
+    IndexMaintenanceStream.bootstrap(spark, door, dir, Bm25Index.write,
+      docs(live.toSeq))
+
+    // batch 0: adds + deletes + updates; tiny threshold → compaction
+    // fires INSIDE the tick (base swaps to base_b0, deltas swept)
+    val b0 = muts(
+      (90L until 96L).map(id => ("add", id, 0, None)) ++
+        (0L until 6L).map(id => ("delete", id, 0, None)) ++
+        (10L until 16L).map(id => ("update", id, 1, Some(0))))
+    IndexMaintenanceStream.applyBatch(spark, door, dir, Bm25Index.write,
+      b0, 0L, Some(oldVersion), compactThresholdBytes = 64L * 4)
+    (0L until 6L).foreach(live.remove)
+    (10L until 16L).foreach(live(_) = 1)
+    (90L until 96L).foreach(live(_) = 0)
+    assert(graft.streaming.DocsStream.readPointer(spark, s"$dir/store")
+      .contains("base_b0"), "compaction never swapped the base")
+    assert(!new java.io.File(s"$dir/store/base_boot").exists(),
+      "compaction left the folded boot base behind")
+
+    // batch 1: delete a PREVIOUSLY-UPDATED doc through the unified
+    // table, re-send a batch-0 delete... but batch 0's compaction
+    // retired the tombstone history, so the re-send would corrupt —
+    // send only live mutations (the operator contract after a
+    // compaction); delete-after-update is the round-12 trap
+    val b1 = muts(
+      Seq(("delete", 10L, 1, None), ("delete", 11L, 1, None)) ++
+        Seq(("add", 96L, 0, None)))
+    IndexMaintenanceStream.applyBatch(spark, door, dir, Bm25Index.write,
+      b1, 1L, Some(oldVersion))
+    live.remove(10L); live.remove(11L); live(96L) = 0
+
+    // REPLAY batch 1 (foreachBatch's at-least-once): must skip whole
+    IndexMaintenanceStream.applyBatch(spark, door, dir, Bm25Index.write,
+      b1, 1L, Some(oldVersion))
+
+    // batch 2: re-sent delete of a batch-1 delete (tombstones LIVE now,
+    // guard must drop it) + an update
+    val b2 = muts(
+      Seq(("delete", 10L, 1, None)) ++ // re-send: id 10 already dead
+        Seq(("update", 20L, 1, Some(0))))
+    IndexMaintenanceStream.applyBatch(spark, door, dir, Bm25Index.write,
+      b2, 2L, Some(oldVersion))
+    live(20L) = 1
+
+    val (liveRows, stats) =
+      IndexMaintenanceStream.currentView(spark, door, dir)
+    val (pf, sf) = Bm25Index.build(docs(live.toSeq), col("doc_id"),
+      col("text"), nBuckets)
+    assert(stats.get.collect().toSeq === sf.collect().toSeq,
+      "streamed stats drifted from the rebuild (re-send corrupted?)")
+    assert(topk(liveRows, stats.get) === topk(pf, sf))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("an in-flight batch (delta written, state not swapped) is " +
+      "invisible to the serving view and a replay completes it") {
+    val dir = java.nio.file.Files.createTempDirectory("iminflight").toString
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    IndexMaintenanceStream.bootstrap(spark, door, dir, Bm25Index.write,
+      docs((0L until 40L).map(_ -> 0)))
+    // simulate the crash window: the batch's DELTA lands but the state
+    // swap never does — write a delta dir by hand
+    Bm25Index.write(Bm25Index.stampGen(Bm25Index.build(
+      docs(Seq(100L -> 0)), col("doc_id"), col("text"), nBuckets)._1, 1L),
+      s"$dir/store/delta_b0", "overwrite")
+    val (view0, stats0) =
+      IndexMaintenanceStream.currentView(spark, door, dir)
+    assert(view0.where(col("doc_id") === 100L).count() === 0L,
+      "uncommitted delta leaked into the serving view")
+    assert(stats0.get.collect().head.getLong(0) === 40L)
+    // the replay completes the batch; now it serves
+    IndexMaintenanceStream.applyBatch(spark, door, dir, Bm25Index.write,
+      muts(Seq(("add", 100L, 0, None))), 0L, Some(oldVersion))
+    val (view1, stats1) =
+      IndexMaintenanceStream.currentView(spark, door, dir)
+    assert(view1.where(col("doc_id") === 100L).count() > 0L)
+    assert(stats1.get.collect().head.getLong(0) === 41L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("file-source mutation stream end-to-end: three micro-batches " +
+      "tail into the store and the final view equals the rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("imfeed").toString
+    val out = java.nio.file.Files.createTempDirectory("imout").toString
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val live = scala.collection.mutable.LinkedHashMap[Long, Int](
+      (0L until 60L).map(_ -> 0): _*)
+    IndexMaintenanceStream.bootstrap(spark, door, out, Bm25Index.write,
+      docs(live.toSeq))
+    def writeFeed(name: String,
+                  rows: Seq[(String, Long, Int, Option[Int])]): Unit = {
+      val staging = tmp + "/stage_" + name
+      muts(rows).coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(tmp, name + ".parquet"))
+    }
+    writeFeed("m1", (60L until 66L).map(id => ("add", id, 0, None)) ++
+      (0L until 4L).map(id => ("delete", id, 0, None)))
+    writeFeed("m2", (10L until 14L).map(id => ("update", id, 1, Some(0))))
+    val feed = spark.readStream
+      .schema("op string, doc_id bigint, text string, old_text string")
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "m*.parquet")
+      .parquet(tmp)
+    val q = IndexMaintenanceStream.mutationStream(feed, door, out,
+      Bm25Index.write, s"$out/ckpt", Some(oldVersion))
+    q.processAllAvailable()
+    // third batch arrives while the query runs: delete-after-update
+    writeFeed("m3", Seq(("delete", 10L, 1, None), ("delete", 11L, 1, None)))
+    q.processAllAvailable(); q.stop()
+    (0L until 4L).foreach(live.remove)
+    (10L until 14L).foreach(live(_) = 1)
+    (60L until 66L).foreach(live(_) = 0)
+    live.remove(10L); live.remove(11L)
+    val (liveRows, stats) =
+      IndexMaintenanceStream.currentView(spark, door, out)
+    val (pf, sf) = Bm25Index.build(docs(live.toSeq), col("doc_id"),
+      col("text"), nBuckets)
+    assert(stats.get.collect().toSeq === sf.collect().toSeq)
+    assert(topk(liveRows, stats.get) === topk(pf, sf))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+}
