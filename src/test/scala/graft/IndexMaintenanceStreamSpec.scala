@@ -44,6 +44,12 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
   private val oldVersion: DataFrame => DataFrame =
     u => u.select(col("doc_id"), col("old_text").as("text"))
 
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case a: Seq[_] => a.toVector
+      case x => x
+    }).toSeq.sortBy(_.mkString("|"))
+
   test("applyBatch per mutation batch ≡ rebuild; replay is a no-op; " +
       "mid-stream compaction swaps the base and keeps the answer") {
     val dir = java.nio.file.Files.createTempDirectory("imstream").toString
@@ -127,6 +133,64 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
       IndexMaintenanceStream.currentView(spark, door, dir)
     assert(view1.where(col("doc_id") === 100L).count() > 0L)
     assert(stats1.get.collect().head.getLong(0) === 41L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("IVF door through the tailer: mutation batches against the " +
+      "cell-partitioned versioned store end equal to a fresh " +
+      "assignment; the pruned probe serves the committed view") {
+    import graft.pipeline.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("imivf").toString
+    def vecs(ids: Seq[(Long, Int)]): DataFrame =
+      ids.map { case (id, v) => (id,
+        Array.tabulate(6)(d => ((id * 31 + v * 7 + d * 13) % 100) / 50.0f - 1f))
+      }.toDF("vec_id", "embedding")
+    def vmuts(rows: Seq[(String, Long, Int)]): DataFrame =
+      rows.map { case (op, id, v) => (op, id,
+        Array.tabulate(6)(d => ((id * 31 + v * 7 + d * 13) % 100) / 50.0f - 1f))
+      }.toDF("op", "vec_id", "embedding")
+    val live = scala.collection.mutable.LinkedHashMap[Long, Int](
+      (0L until 50L).map(_ -> 0): _*)
+    val cents = Similarity.centroids(vecs(live.toSeq), 8)
+    val door = new Maintenance.IvfDoor(cents)
+    def ivfWrite(df: DataFrame, d: String, mode: String): Unit =
+      df.write.partitionBy("cell").mode(mode).parquet(d)
+    IndexMaintenanceStream.bootstrap(spark, door, dir, ivfWrite,
+      vecs(live.toSeq))
+    IndexMaintenanceStream.applyBatch(spark, door, dir, ivfWrite,
+      vmuts((50L until 55L).map(id => ("add", id, 0)) ++
+        (0L until 4L).map(id => ("delete", id, 0)) ++
+        (10L until 14L).map(id => ("update", id, 1))), 0L)
+    IndexMaintenanceStream.applyBatch(spark, door, dir, ivfWrite,
+      vmuts(Seq(("delete", 10L, 1), ("delete", 11L, 1))), 1L)
+    (0L until 4L).foreach(live.remove)
+    (10L until 14L).foreach(live(_) = 1)
+    (50L until 55L).foreach(live(_) = 0)
+    live.remove(10L); live.remove(11L)
+    val (view, stats) = IndexMaintenanceStream.currentView(spark, door, dir)
+    assert(stats.isEmpty)
+    val rebuilt = Similarity.ivfAssign(vecs(live.toSeq), cents)
+    assert(sortedRows(view.select(col("cell"), col("nid")))
+      === sortedRows(rebuilt.select(col("cell"), col("nid"))))
+    val q = vecs(live.toSeq.take(3))
+    assert(Similarity.ivfTopKIndexedPruned(q, view, cents, 5, nprobe = 3)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+      === Similarity.ivfTopKIndexed(q, rebuilt, cents, 5, nprobe = 3)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("a stats-keeping door refuses update batches without the " +
+      "superseded versions (the silent-drift alternative)") {
+    val dir = java.nio.file.Files.createTempDirectory("imneg").toString
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    IndexMaintenanceStream.bootstrap(spark, door, dir, Bm25Index.write,
+      docs((0L until 20L).map(_ -> 0)))
+    assertThrows[IllegalArgumentException] {
+      IndexMaintenanceStream.applyBatch(spark, door, dir,
+        Bm25Index.write, muts(Seq(("update", 3L, 1, Some(0)))), 0L,
+        oldVersion = None)
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
