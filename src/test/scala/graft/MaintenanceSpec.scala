@@ -168,6 +168,66 @@ class MaintenanceSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("seeded fuzz: random multi-tick sequences (deletes, updates, " +
+      "adds, deletes-of-updated, re-sent deletes, re-adds, mid-run " +
+      "compactions) all end equal to the rebuild") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val live = scala.collection.mutable.LinkedHashMap[Long, Int](
+        (0L until 80L).map(_ -> 0): _*)
+      // ids with a LIVE (uncompacted) MaxValue tombstone — the only
+      // legal re-send targets; compaction retires the history
+      val resendable = scala.collection.mutable.Map.empty[Long, Int]
+      val deadEver = scala.collection.mutable.Map.empty[Long, Int]
+      var nextId = 80L
+      val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+      val (p0, s0) = Bm25Index.build(docs(live.toSeq), col("doc_id"),
+        col("text"), nBuckets)
+      val store = new Maintenance.FrameStore(Bm25Index.stampGen(p0, 0L))
+      var st = Maintenance.initialState(spark, door, Some(s0))
+      for (_ <- 1 to 5) {
+        val pool = rnd.shuffle(live.keys.toVector)
+        val dels = pool.take(rnd.nextInt(6))
+        val upds = pool.drop(dels.size).take(rnd.nextInt(6))
+        val adds = (nextId until nextId + 1 + rnd.nextInt(5)).toVector
+        nextId += adds.size
+        val reAdd = if (rnd.nextBoolean())
+          rnd.shuffle(deadEver.keySet.toVector).headOption else None
+        val resend = if (rnd.nextBoolean())
+          rnd.shuffle(resendable.keys.toVector).headOption else None
+        val delDocs = docs(dels.map(id => (id, live(id))) ++
+          resend.map(id => (id, resendable(id))))
+        val addDocs = docs(adds.map(_ -> 0) ++
+          reAdd.map(id => id -> (deadEver(id) + 1)))
+        val before = st.compactions
+        st = Maintenance.tick(door, store, st,
+          adds = addDocs, deletes = delDocs,
+          updates = docs(upds.map(id => id -> (live(id) + 1))),
+          updatesOld = Some(docs(upds.map(id => id -> live(id)))),
+          compactThresholdBytes = 64L * 25)
+        dels.foreach { id =>
+          resendable(id) = live(id); deadEver(id) = live(id)
+          live.remove(id)
+        }
+        upds.foreach(id => live(id) = live(id) + 1)
+        adds.foreach(live(_) = 0)
+        reAdd.foreach { id =>
+          live(id) = deadEver(id) + 1
+          deadEver.remove(id); resendable.remove(id)
+        }
+        if (st.compactions > before) resendable.clear()
+      }
+      val (pf, sf) = Bm25Index.build(docs(live.toSeq), col("doc_id"),
+        col("text"), nBuckets)
+      assert(st.stats.get.collect().toSeq === sf.collect().toSeq,
+        s"seed=$seed: stats drifted")
+      assert(sortedRows(st.live(door, store).drop("gen"))
+        === sortedRows(pf), s"seed=$seed: postings drifted")
+      assert(topk(st.live(door, store), st.stats.get) === topk(pf, sf),
+        s"seed=$seed: search drifted")
+    }
+  }
+
   test("state save/load across a 'restart': reloaded tombstones still " +
       "suppress re-sent deletes, the generation resumes, and the end " +
       "state equals the rebuild") {
