@@ -2486,8 +2486,14 @@ object PipelineQueries {
         s, door, dir, pipeline.Bm25Index.write, b1, 1L, Some(oldV))
       val (live, stats) = graft.streaming.IndexMaintenanceStream
         .currentView(s, door, dir)
-      pipeline.Bm25Index.search(pipeline.Dedup.checkpointCorpus(live),
+      // checkpointCorpus is EAGER and stats came back literal-snapped,
+      // so nothing downstream reads the temp tree — drop it here
+      // instead of leaking a corpus-sized layout per bench repetition
+      val result = pipeline.Bm25Index.search(
+        pipeline.Dedup.checkpointCorpus(live),
         stats.get, Seq("data", "stream", "shuffle"), 10, 64)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      result
     }),
 
     // Hilbert layout key: same census as layout_zorder_code but along

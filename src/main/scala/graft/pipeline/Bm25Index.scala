@@ -44,9 +44,32 @@ object Bm25Index {
     * `postings.write.partitionBy("bucket")`.
     */
   def build(docs: DataFrame, idCol: Column, text: Column,
-            nBuckets: Int): (DataFrame, DataFrame) = {
-    val base = docs.where(text.isNotNull)
+            nBuckets: Int): (DataFrame, DataFrame) =
+    buildFrom(tokenize(docs, idCol, text), nBuckets)
+
+  /** [[build]] with the tokenization pass SHARED between the two
+    * returned frames: the `(doc_id, toks)` base is lazily
+    * checkpointed (executor-local blocks, materialized under the
+    * first consumer's job — the probe-path discipline at [[search]]),
+    * so computing the postings AND the stats tokenizes the batch
+    * once, not twice. This is the maintenance-tick door
+    * ([[Maintenance.Bm25Door.indexWithStats]]): every delta batch is
+    * delta-sized, so the blocks are small and freed by the
+    * ContextCleaner once the tick's plans are dropped. */
+  def buildShared(docs: DataFrame, idCol: Column, text: Column,
+                  nBuckets: Int): (DataFrame, DataFrame) =
+    buildFrom(
+      tokenize(docs, idCol, text).localCheckpoint(eager = false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER),
+      nBuckets)
+
+  private def tokenize(docs: DataFrame, idCol: Column,
+                       text: Column): DataFrame =
+    docs.where(text.isNotNull)
       .select(idCol.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+
+  private def buildFrom(base: DataFrame,
+                        nBuckets: Int): (DataFrame, DataFrame) = {
     val postings = base
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))

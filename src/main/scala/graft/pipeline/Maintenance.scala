@@ -38,6 +38,18 @@ import org.apache.spark.sql.functions._
   * and `adds` ids must be NEW or previously fully deleted — a re-added
   * id's surviving MaxValue tombstone is DEMOTED to `upto_gen = gen - 1`
   * so its fresh rows serve while every older generation stays retired.
+  *
+  * THE RE-SEND TOLERANCE ENDS AT A COMPACTION: a fired compaction
+  * folds the tombstones into the store and empties the table, so the
+  * guard keeps no history of pre-compaction deletes — a delete of an
+  * id retired BEFORE the last compaction is indistinguishable from a
+  * fresh delete and silently double-decrements a stats-keeping door's
+  * `(n, total_len)` (`MaintenanceSpec` pins exactly this drift).
+  * Exactly-once across compactions is the feed's contract: the
+  * streaming tailer's batch-id replay skip provides it for REPLAYS
+  * (the at-least-once case that actually occurs); a feed that can
+  * re-send the same logical delete in two different batches must
+  * dedup upstream.
   */
 object Maintenance {
 
@@ -48,6 +60,16 @@ object Maintenance {
     def rows: DataFrame
     def append(delta: DataFrame): Unit
     def rewrite(live: DataFrame): Unit
+    /** Physical-fragmentation signal, consulted by [[tick]] right after
+      * the batch's append: `true` asks for a compaction even when the
+      * tombstone set is still broadcast-comfortable. Stores whose
+      * layout accretes one unit per appended delta (the streaming
+      * tailer's per-batch version dirs) override this with a
+      * size-tiered bound — otherwise an add-heavy feed, which never
+      * grows tombstones, fragments the store without limit and the
+      * serving plan becomes a union of N scans. Must be O(layout
+      * metadata) — a listing, never a data read. */
+    def fragmented: Boolean = false
   }
 
   /** In-memory store backed by executor-local checkpoints — the
@@ -61,24 +83,57 @@ object Maintenance {
     def rewrite(live: DataFrame): Unit = cur = live.localCheckpoint()
   }
 
-  /** Parquet-directory store — the deployment shape. `write(df, dir,
+  /** Parquet-directory store — the single-writer shape (fixtures, the
+    * bench, batch jobs that own their directory). `write(df, dir,
     * mode)` is the family's canonical writer (e.g. `Bm25Index.write`,
     * which keeps the bucket partitioning and in-partition term order).
-    * Compaction rewrites to a side directory and swaps — on a real
-    * cluster the swap is the metastore/table-format transaction; here
-    * it is a filesystem move. */
+    *
+    * Compaction is crash-safe and FS-agnostic: the survivors are FULLY
+    * materialized into a `.compact` side directory through the Hadoop
+    * FS layer (so `dir` may live on HDFS/S3A), then the old data moves
+    * aside to `.old`, the side dir renames in, and the retired copy is
+    * dropped — a crash at any point leaves a complete copy recoverable
+    * by [[rows]]/[[append]] (the primary path can only be missing
+    * AFTER the side write completed, so recovery always has a whole
+    * store to promote). What this store does NOT give is a concurrent
+    * reader's view across the rename gap — serving deployments that
+    * read while a compaction lands belong on the pointer-committed
+    * [[graft.streaming.IndexMaintenanceStream.VersionedStore]]. */
   final class ParquetStore(spark: SparkSession, val dir: String,
                            write: (DataFrame, String, String) => Unit)
       extends Store {
-    def rows: DataFrame = spark.read.parquet(dir)
-    def append(delta: DataFrame): Unit = write(delta, dir, "append")
+    private def fs = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
+    private def side = new org.apache.hadoop.fs.Path(dir + ".compact")
+    private def retired = new org.apache.hadoop.fs.Path(dir + ".old")
+    /** Heal after a crash inside [[rewrite]]: the primary path goes
+      * missing only between the two renames, and at that point the
+      * side dir holds the complete new store (preferred); the retired
+      * copy is the defensive fallback. */
+    private def recover(): Unit = {
+      val (hfs, root) = fs
+      if (!hfs.exists(root)) {
+        if (hfs.exists(side)) { hfs.rename(side, root); () }
+        else if (hfs.exists(retired)) { hfs.rename(retired, root); () }
+      }
+    }
+    def rows: DataFrame = { recover(); spark.read.parquet(dir) }
+    def append(delta: DataFrame): Unit = {
+      recover(); write(delta, dir, "append")
+    }
     def rewrite(live: DataFrame): Unit = {
-      val side = dir + ".compact"
-      write(live, side, "overwrite")
-      val d = new java.io.File(dir)
-      org.apache.commons.io.FileUtils.deleteDirectory(d)
-      org.apache.commons.io.FileUtils.moveDirectory(
-        new java.io.File(side), d)
+      recover()
+      val (hfs, root) = fs
+      // leftovers from a prior crash lost to the surviving primary
+      if (hfs.exists(side)) hfs.delete(side, true)
+      if (hfs.exists(retired)) hfs.delete(retired, true)
+      write(live, dir + ".compact", "overwrite") // complete BEFORE any move
+      hfs.rename(root, retired)
+      hfs.rename(side, root)
+      hfs.delete(retired, true)
+      ()
     }
   }
 
@@ -100,6 +155,13 @@ object Maintenance {
       * corpus stats (BM25's `(n, total_len)`); the tick folds adds and
       * update-new positive, deletes and update-old negative. */
     def statsDelta(batch: DataFrame): Option[DataFrame] = None
+    /** One-pass `(rows, statsDelta)` for a batch. The default composes
+      * [[index]] and [[statsDelta]]; a stats-keeping door should
+      * override it to SHARE the per-batch parse (BM25's tokenization)
+      * between the appended rows and the stats fold — the tick feeds
+      * every adds/updates delta through this door exactly once. */
+    def indexWithStats(batch: DataFrame): (DataFrame, Option[DataFrame]) =
+      (index(batch), statsDelta(batch))
   }
 
   final class Bm25Door(text: Column, nBuckets: Int) extends Door {
@@ -115,6 +177,16 @@ object Maintenance {
       Bm25Index.applyGenTombstones(rows, tombs)
     override def statsDelta(batch: DataFrame): Option[DataFrame] =
       Some(Bm25Index.build(batch, batchId, text, nBuckets)._2)
+    /** One tokenization pass per delta: the shared build lazily
+      * checkpoints the `(doc_id, toks)` frame so the append's postings
+      * job materializes it and the stats fold reads the blocks back
+      * instead of re-tokenizing (halves the tick's per-delta work). */
+    override def indexWithStats(batch: DataFrame)
+        : (DataFrame, Option[DataFrame]) = {
+      val (rows, stats) = Bm25Index.buildShared(batch, batchId, text,
+        nBuckets)
+      (rows, Some(stats))
+    }
   }
 
   final class IvfDoor(cents: Seq[(Long, Array[Double])]) extends Door {
@@ -272,16 +344,20 @@ object Maintenance {
           col("upto_gen") === Long.MaxValue, lit(gen - 1))
           .otherwise(col("upto_gen")).as("upto_gen"))
 
-    // ---- one appended delta, one generation stamp
-    store.append(door.stamp(
-      door.index(freshNewU).unionByName(door.index(adds)), gen))
+    // ---- one appended delta, one generation stamp; adds and fresh
+    // updates each pass the door ONCE (indexWithStats) — their rows
+    // feed the append and their stats feed the fold from the same
+    // parse, instead of tokenizing every delta a second time
+    val (addRows, addStats) = door.indexWithStats(adds)
+    val (updRows, updStats) = door.indexWithStats(freshNewU)
+    store.append(door.stamp(updRows.unionByName(addRows), gen))
 
     // ---- stats fold: adds and update-new positive, deletes and
     // update-old negative; snapped to a literal row (single collect)
     val stats2 = st.stats.map { s =>
       val parts = Seq(s) ++
-        door.statsDelta(adds) ++
-        door.statsDelta(freshNewU) ++
+        addStats ++
+        updStats ++
         freshOldU.flatMap(o => door.statsDelta(o).map(negate)) ++
         door.statsDelta(freshDels).map(negate)
       val names = s.schema.fieldNames.toSeq
@@ -290,10 +366,16 @@ object Maintenance {
           names.tail.map(n => sum(col(n)).as(n)): _*))
     }
 
+    // ---- two-sided compaction trigger: tombstone bytes approaching
+    // the broadcast comfort line (delete/update-heavy feeds) OR the
+    // store reporting physical fragmentation (add-heavy feeds, which
+    // never grow tombstones but accrete one delta per batch — the
+    // size-tiered bound that keeps the serving plan's width flat)
     var tombs2 = checkpoint(
       demoted.unionByName(delTombs).unionByName(updTombs))
     var compactions = st.compactions
-    if (Dedup.compactNeeded(tombs2, compactThresholdBytes)) {
+    if (Dedup.compactNeeded(tombs2, compactThresholdBytes) ||
+        store.fragmented) {
       store.rewrite(door.applyTombstones(store.rows, tombs2))
       tombs2 = emptyTombstones(spark, door)
       compactions += 1

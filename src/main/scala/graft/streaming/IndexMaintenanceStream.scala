@@ -26,25 +26,44 @@ import graft.pipeline.Maintenance
   *
   * Crash contract (the [[DocsStream.nearDedupStream]] discipline,
   * extended to mutable state): every per-batch write is OVERWRITE into
-  * a batch-named location, and both pointers swap atomically only
-  * after their payload is complete — so a crash at any point leaves
-  * the committed view (state pointer + bases/deltas it admits) on a
-  * complete snapshot, and a replayed batch either (a) detects its own
-  * state version in CURRENT and skips whole, or (b) re-runs the tick
-  * from the pre-batch state, rewriting its own delta/base instead of
+  * a batch-named location, and the STATE pointer swap is the single
+  * commit point — it lands only after every payload (delta, staged
+  * base, state snapshot) is complete. A crash at any point leaves the
+  * committed view on a complete snapshot, and a replayed batch either
+  * (a) detects its own state version in CURRENT, finishes any deferred
+  * store housekeeping, and skips whole, or (b) re-runs the tick from
+  * the pre-batch state, rewriting its own delta/base instead of
   * appending duplicates. The serving view ([[currentView]]) admits
   * only deltas the state pointer has committed — an in-flight batch's
-  * delta is invisible until its state swap lands. Mid-tick compaction
-  * is replay-safe for the same reason: a base named for the batch
-  * excludes the batch's own delta from the replayed read (its rows are
-  * already folded in), and the tombstone anti-join it re-applies is
-  * idempotent.
+  * delta is invisible until its state swap lands.
+  *
+  * Mid-tick compaction follows the same commit point: the rewrite only
+  * STAGES the new base under the batch's name — the store pointer swap
+  * and the sweep of folded dirs are DEFERRED to [[applyBatch]], after
+  * the state pointer lands ([[VersionedStore.finalizeCommit]]). Version
+  * resolution is therefore by LISTING, not by the store pointer: a
+  * reader at committed batch k serves the newest base named ≤ k, so a
+  * staged base from an uncommitted batch (named > k) is invisible, and
+  * a committed compaction whose deferred pointer swap was lost to a
+  * crash still serves — the pointer is a convenience for external
+  * tools, never the correctness carrier. The staged base excludes the
+  * batch's own delta from a replayed read (its rows are already folded
+  * in), and the tombstone anti-join it re-applies is idempotent.
   *
   * Cost shape per batch: O(delta + tombstones) — the tick's contract —
-  * plus the one corpus-sized rewrite whenever the compaction trigger
-  * fires (which this runner schedules instead of letting the tombstone
-  * broadcast grow unbounded; ScaleBench pins the flat-tick evidence at
-  * 1M and 10M docs).
+  * plus the one corpus-sized rewrite whenever a compaction trigger
+  * fires. The trigger is TWO-SIDED ([[Maintenance.tick]]): tombstone
+  * bytes nearing the broadcast line (delete/update-heavy feeds) or the
+  * store's size-tiered fragmentation bound (add-heavy feeds — the
+  * normal shape for a growing corpus, which never grows tombstones but
+  * accretes one delta dir per batch; without the bound the serving
+  * plan becomes a union of N parquet scans and the store a small-files
+  * spiral). `maxDeltas` caps the plan's width outright;
+  * `maxDeltaBytesRatio` is the amortization knob — firing when the
+  * deltas' cumulative bytes reach that fraction of the base keeps
+  * total rewrite work O(corpus · (1 + 1/ratio)) per doubling instead
+  * of rewriting a huge base every `maxDeltas` tiny batches. ScaleBench
+  * pins flat per-batch cost and the bounded store at 1M docs.
   */
 object IndexMaintenanceStream {
 
@@ -54,37 +73,74 @@ object IndexMaintenanceStream {
     if (version.endsWith("boot")) -1L
     else version.substring(version.lastIndexOf('b') + 1).toLong
 
-  /** A [[Maintenance.Store]] over the versioned layout: rows = current
-    * base ∪ committed deltas (strictly newer than the base, at most
-    * `upToBatch`); append lands in this batch's delta dir (overwrite —
-    * a replay rewrites itself); a fired compaction writes a base named
-    * for this batch, swaps the store pointer, and sweeps everything it
-    * folded in. */
+  /** A [[Maintenance.Store]] over the versioned layout: rows = the
+    * EFFECTIVE base (newest `base_*` named ≤ `upToBatch` — resolved by
+    * listing, see the crash contract above) ∪ committed deltas
+    * (strictly newer than that base, at most `upToBatch`); append
+    * lands in this batch's delta dir (overwrite — a replay rewrites
+    * itself); a fired compaction STAGES a base named for this batch
+    * and leaves the pointer commit + sweep to [[finalizeCommit]].
+    *
+    * `maxDeltas` / `maxDeltaBytesRatio` parameterize the size-tiered
+    * [[fragmented]] bound (see the object doc). */
   final class VersionedStore(spark: SparkSession, storeDir: String,
                              writer: (DataFrame, String, String) => Unit,
-                             upToBatch: Long) extends Maintenance.Store {
+                             upToBatch: Long,
+                             maxDeltas: Int = 16,
+                             maxDeltaBytesRatio: Double = 1.0)
+      extends Maintenance.Store {
     private def fs = {
       val p = new org.apache.hadoop.fs.Path(storeDir)
       (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
     }
-    private def baseName: String =
-      DocsStream.readPointer(spark, storeDir).getOrElse(
-        sys.error(s"no CURRENT base under $storeDir — bootstrap first"))
 
-    def rows: DataFrame = {
-      val base = baseName
-      val baseBatch = parseBatch(base)
+    /** Committed layout at `upToBatch`: (effective base, its batch,
+      * live delta names). One listing; `.tmp` stagings (a rewrite that
+      * crashed mid-write) are never layout members. */
+    private def layout: (String, Long, Seq[String]) = {
       val (hfs, root) = fs
-      val deltas = hfs.listStatus(root).toSeq
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith("delta_b"))
+      val dirs = hfs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filterNot(_.endsWith(".tmp"))
+      val bases = dirs.filter(_.startsWith("base_"))
+        .map(n => n -> parseBatch(n)).filter(_._2 <= upToBatch)
+      require(bases.nonEmpty,
+        s"no base under $storeDir at batch $upToBatch — bootstrap first")
+      val (base, baseBatch) = bases.maxBy(_._2)
+      val deltas = dirs.filter(_.startsWith("delta_b"))
         .map(n => n -> parseBatch(n))
         .collect { case (n, b) if b > baseBatch && b <= upToBatch => n }
+      (base, baseBatch, deltas)
+    }
+
+    def rows: DataFrame = {
+      val (base, _, deltas) = layout
       // one read per version dir: each is a self-contained
       // hive-partitioned table (a multi-path read would cross-wire
       // their partition discovery)
       (base +: deltas).map(n => spark.read.parquet(s"$storeDir/$n"))
         .reduce(_ unionByName _)
+    }
+
+    /** Size-tiered compaction signal, consulted by the tick right
+      * after this batch's append: fire when the live delta COUNT hits
+      * `maxDeltas` (the hard cap on serving-plan width and file-listing
+      * cost) or when the deltas' cumulative bytes reach
+      * `maxDeltaBytesRatio` of the base (the amortization tier — on a
+      * growing corpus the ratio fires while rewrites are still cheap
+      * relative to what they fold in). Metadata-only: one listing plus
+      * at most `maxDeltas` content summaries, never a data read. */
+    override def fragmented: Boolean = {
+      val (base, _, deltas) = layout
+      if (deltas.size >= maxDeltas) true
+      else if (deltas.isEmpty) false
+      else {
+        val (hfs, root) = fs
+        def bytes(n: String): Long =
+          hfs.getContentSummary(
+            new org.apache.hadoop.fs.Path(root, n)).getLength
+        deltas.map(bytes).sum.toDouble >=
+          maxDeltaBytesRatio * math.max(bytes(base), 1L).toDouble
+      }
     }
 
     def append(delta: DataFrame): Unit = {
@@ -102,22 +158,50 @@ object IndexMaintenanceStream {
       if (hfs.exists(dp) && !hasData(dp)) { hfs.delete(dp, true); () }
     }
 
+    /** STAGE a compacted base for this batch: side-write, rename into
+      * `base_b<id>`, and stop — no pointer swap, no sweep. Until the
+      * batch's state pointer commits, the staged base is named > every
+      * committed reader's `upToBatch` and therefore invisible (the
+      * crash window the old swap-inside-rewrite opened: a new base
+      * paired with the pre-batch state's stats/tombstones). A replay
+      * of a crashed batch overwrites the staging wholesale. */
     def rewrite(live: DataFrame): Unit = {
+      val (hfs, root) = fs
+      // stale .tmp stagings from a crashed side-write lost their race
+      hfs.listStatus(root).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.endsWith(".tmp"))
+          hfs.delete(st.getPath, true)
+      }
       val target = s"base_b$upToBatch"
       val side = s"$storeDir/$target.tmp"
-      writer(live, side, "overwrite") // materializes BEFORE any delete
-      val (hfs, root) = fs
+      writer(live, side, "overwrite") // materializes BEFORE any move
       val dst = new org.apache.hadoop.fs.Path(root, target)
       if (hfs.exists(dst)) hfs.delete(dst, true)
       hfs.rename(new org.apache.hadoop.fs.Path(side), dst)
-      val folded = parseBatch(baseName) // still the OLD base
-      DocsStream.swapPointer(spark, storeDir, target)
-      // sweep only after the swap: everything the new base folded in
+      ()
+    }
+
+    /** Deferred store housekeeping, called by [[applyBatch]] AFTER the
+      * state pointer swap (and again on a replay skip, so a crash
+      * between the two commits self-heals): advance the advisory store
+      * pointer to the effective base and sweep everything it folded in
+      * — older bases, deltas at or below its batch, `.tmp` stagings.
+      * Idempotent; skipped entirely if a LATER batch's pointer already
+      * committed (never regress). */
+    def finalizeCommit(): Unit = {
+      val (hfs, root) = fs
+      val (base, baseBatch, _) = layout
+      val ptrBatch = DocsStream.readPointer(spark, storeDir)
+        .map(parseBatch).getOrElse(Long.MinValue)
+      if (ptrBatch > baseBatch) return // a later commit owns the sweep
+      if (ptrBatch < baseBatch)
+        DocsStream.swapPointer(spark, storeDir, base)
       hfs.listStatus(root).foreach { st =>
         val n = st.getPath.getName
-        val stale = st.isDirectory && n != target &&
-          ((n.startsWith("base_") && parseBatch(n) <= folded) ||
-            (n.startsWith("delta_b") && parseBatch(n) <= upToBatch))
+        val stale = st.isDirectory && n != base &&
+          (n.endsWith(".tmp") ||
+            (n.startsWith("base_") && parseBatch(n) < baseBatch) ||
+            (n.startsWith("delta_b") && parseBatch(n) <= baseBatch))
         if (stale) hfs.delete(st.getPath, true)
       }
       ()
@@ -146,9 +230,19 @@ object IndexMaintenanceStream {
                  writer: (DataFrame, String, String) => Unit,
                  batch: DataFrame, batchId: Long,
                  oldVersion: Option[DataFrame => DataFrame] = None,
-                 compactThresholdBytes: Long = 10L << 20): Unit = {
+                 compactThresholdBytes: Long = 10L << 20,
+                 maxDeltas: Int = 16,
+                 maxDeltaBytesRatio: Double = 1.0): Unit = {
     val applied = DocsStream.readPointer(spark, s"$dir/state")
-    if (applied.contains(s"v_b$batchId")) return // replay of a done batch
+    val store = new VersionedStore(spark, s"$dir/store", writer, batchId,
+      maxDeltas, maxDeltaBytesRatio)
+    if (applied.contains(s"v_b$batchId")) {
+      // replay of a done batch: the tick is skipped whole, but a crash
+      // between the state commit and the deferred store housekeeping
+      // leaves a committed compaction unswept — finish it here
+      store.finalizeCommit()
+      return
+    }
     val st = Maintenance.loadState(spark,
       s"$dir/state/${applied.getOrElse(sys.error(
         s"no CURRENT state under $dir/state — bootstrap first"))}")
@@ -156,14 +250,16 @@ object IndexMaintenanceStream {
     def part(op: String) =
       batch.where(col("op") === op).select(payload: _*)
     val updates = part("update")
-    val store = new VersionedStore(spark, s"$dir/store", writer, batchId)
     val st2 = Maintenance.tick(door, store, st,
       adds = part("add"), deletes = part("delete"), updates = updates,
       updatesOld = oldVersion.map(f => f(updates)),
       compactThresholdBytes = compactThresholdBytes)
     Maintenance.saveState(st2, s"$dir/state/v_b$batchId")
     DocsStream.swapPointer(spark, s"$dir/state", s"v_b$batchId")
+    // ---- committed. Everything below is housekeeping a crash may
+    // skip and a replay (or the next batch) re-runs.
     DocsStream.sweepStale(spark, s"$dir/state", keep = s"v_b$batchId")
+    store.finalizeCommit()
   }
 
   /** The tailer: one [[applyBatch]] per micro-batch. */
@@ -172,13 +268,15 @@ object IndexMaintenanceStream {
                      writer: (DataFrame, String, String) => Unit,
                      checkpointDir: String,
                      oldVersion: Option[DataFrame => DataFrame] = None,
-                     compactThresholdBytes: Long = 10L << 20)
+                     compactThresholdBytes: Long = 10L << 20,
+                     maxDeltas: Int = 16,
+                     maxDeltaBytesRatio: Double = 1.0)
       : StreamingQuery =
     mutations.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
         applyBatch(b.sparkSession, door, dir, writer, b, id, oldVersion,
-          compactThresholdBytes)
+          compactThresholdBytes, maxDeltas, maxDeltaBytesRatio)
         ()
       }
       .start()

@@ -239,4 +239,165 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
+
+  test("a STAGED mid-tick compaction is invisible until the state " +
+      "pointer commits: the crash window serves the pre-batch view, " +
+      "and the replay completes the batch") {
+    val dir = java.nio.file.Files.createTempDirectory("imstage").toString
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    IndexMaintenanceStream.bootstrap(spark, door, dir, Bm25Index.write,
+      docs((0L until 50L).map(_ -> 0)))
+    // run the tick exactly as applyBatch would — the tiny threshold
+    // fires a compaction, which STAGES base_b0 — then 'crash' before
+    // the state commit (never save/swap the state)
+    val st = Maintenance.loadState(spark, s"$dir/state/v_boot")
+    val store = new IndexMaintenanceStream.VersionedStore(spark,
+      s"$dir/store", Bm25Index.write, 0L)
+    val empty = docs(Nil)
+    Maintenance.tick(door, store, st, adds = empty,
+      deletes = docs((0L until 5L).map(_ -> 0)), updates = empty,
+      updatesOld = Some(empty), compactThresholdBytes = 1L)
+    assert(new java.io.File(s"$dir/store/base_b0").exists(),
+      "compaction never staged the batch base")
+    assert(graft.streaming.DocsStream.readPointer(spark, s"$dir/store")
+      .contains("base_boot"),
+      "store pointer swapped before the state commit — the round-13 " +
+        "crash window")
+    // committed view = pre-batch: the staged base (named > the
+    // committed batch) must not pair with the pre-batch stats
+    val (view0, stats0) =
+      IndexMaintenanceStream.currentView(spark, door, dir)
+    assert(stats0.get.collect().head.getLong(0) === 50L)
+    assert(view0.where(col("doc_id") === 0L).count() > 0L,
+      "the uncommitted compaction leaked into the serving view")
+    // the replay re-runs the whole batch and commits both pointers
+    IndexMaintenanceStream.applyBatch(spark, door, dir, Bm25Index.write,
+      muts((0L until 5L).map(id => ("delete", id, 0, None))), 0L,
+      Some(oldVersion), compactThresholdBytes = 1L)
+    assert(graft.streaming.DocsStream.readPointer(spark, s"$dir/store")
+      .contains("base_b0"))
+    assert(!new java.io.File(s"$dir/store/base_boot").exists(),
+      "finalize did not sweep the folded boot base")
+    val (view1, stats1) =
+      IndexMaintenanceStream.currentView(spark, door, dir)
+    assert(stats1.get.collect().head.getLong(0) === 45L)
+    assert(view1.where(col("doc_id") < 5L).count() === 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("a crash BETWEEN the state commit and the deferred store " +
+      "housekeeping still serves the committed compaction (listing " +
+      "resolution beats the stale pointer) and the replay skip heals") {
+    val dir = java.nio.file.Files.createTempDirectory("imdefer").toString
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    IndexMaintenanceStream.bootstrap(spark, door, dir, Bm25Index.write,
+      docs((0L until 50L).map(_ -> 0)))
+    // tick + state commit by hand; 'crash' before finalizeCommit —
+    // also leave a stale .tmp staging behind, the NumberFormat trap
+    val st = Maintenance.loadState(spark, s"$dir/state/v_boot")
+    val store = new IndexMaintenanceStream.VersionedStore(spark,
+      s"$dir/store", Bm25Index.write, 0L)
+    val empty = docs(Nil)
+    val st2 = Maintenance.tick(door, store, st, adds = empty,
+      deletes = docs((0L until 5L).map(_ -> 0)), updates = empty,
+      updatesOld = Some(empty), compactThresholdBytes = 1L)
+    Maintenance.saveState(st2, s"$dir/state/v_b0")
+    graft.streaming.DocsStream.swapPointer(spark, s"$dir/state", "v_b0")
+    val staleTmp = new java.io.File(s"$dir/store/base_b9.tmp")
+    assert(staleTmp.mkdirs())
+    // the commit landed: the view must serve base_b0 + empty
+    // tombstones even though the store pointer still says base_boot
+    assert(graft.streaming.DocsStream.readPointer(spark, s"$dir/store")
+      .contains("base_boot"))
+    val (view0, stats0) =
+      IndexMaintenanceStream.currentView(spark, door, dir)
+    assert(stats0.get.collect().head.getLong(0) === 45L)
+    assert(view0.where(col("doc_id") < 5L).count() === 0L,
+      "committed compaction not served through listing resolution")
+    // the replay detects the committed state, SKIPS the tick, and
+    // finishes the housekeeping: pointer advance + sweep (.tmp too)
+    IndexMaintenanceStream.applyBatch(spark, door, dir, Bm25Index.write,
+      muts((0L until 5L).map(id => ("delete", id, 0, None))), 0L,
+      Some(oldVersion), compactThresholdBytes = 1L)
+    assert(graft.streaming.DocsStream.readPointer(spark, s"$dir/store")
+      .contains("base_b0"))
+    assert(!new java.io.File(s"$dir/store/base_boot").exists())
+    assert(!staleTmp.exists(), "stale .tmp staging survived the sweep")
+    val (view1, stats1) =
+      IndexMaintenanceStream.currentView(spark, door, dir)
+    assert(stats1.get.collect().head.getLong(0) === 45L)
+    assert(view1.where(col("doc_id") < 5L).count() === 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("add-only feed: the size-tiered trigger keeps the store BOUNDED " +
+      "across 50 micro-batches — version dirs capped, serving plan " +
+      "width flat, zero tombstones, answer equal to the rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("imfeed50").toString
+    val out = java.nio.file.Files.createTempDirectory("imstore50").toString
+    val buckets = 8 // small writes x 50 batches: keep the layout tight
+    val door = new Maintenance.Bm25Door(col("text"), buckets)
+    val live = scala.collection.mutable.LinkedHashMap[Long, Int](
+      (0L until 40L).map(_ -> 0): _*)
+    IndexMaintenanceStream.bootstrap(spark, door, out, Bm25Index.write,
+      docs(live.toSeq))
+    def writeFeed(name: String,
+                  rows: Seq[(String, Long, Int, Option[Int])]): Unit = {
+      val staging = tmp + "/stage_" + name
+      muts(rows).coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(tmp, name + ".parquet"))
+    }
+    val perBatch = 2
+    for (i <- 0 until 50) {
+      val ids = (0 until perBatch).map(j => 1000L + i * perBatch + j)
+      writeFeed(f"a$i%03d", ids.map(id => ("add", id, 0, None)))
+      ids.foreach(live(_) = 0)
+    }
+    val maxDeltas = 6
+    val feed = spark.readStream
+      .schema("op string, doc_id bigint, text string, old_text string")
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "a*.parquet")
+      .parquet(tmp)
+    val q = IndexMaintenanceStream.mutationStream(feed, door, out,
+      Bm25Index.write, s"$out/ckpt", Some(oldVersion),
+      maxDeltas = maxDeltas)
+    q.processAllAvailable(); q.stop()
+    // every batch committed
+    val stateV = graft.streaming.DocsStream.readPointer(spark, s"$out/state")
+    assert(stateV.contains("v_b49"), s"stream stopped at $stateV")
+    val st = Maintenance.loadState(spark, s"$out/state/v_b49")
+    // the trigger fired REPEATEDLY with zero tombstones to fund it —
+    // pure fragmentation policy (50 batches / <=6 live deltas forces
+    // at least ceil(50/(maxDeltas+1)) rewrites even if only the count
+    // tier ever fires)
+    assert(st.tombstones.count() === 0L)
+    assert(st.compactions >= 50L / (maxDeltas + 1),
+      s"only ${st.compactions} compactions across 50 add-only batches")
+    // BOUNDED store: one effective base + at most maxDeltas live deltas
+    val names = new java.io.File(s"$out/store").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(names.count(_.startsWith("base_")) === 1,
+      s"stale bases linger: $names")
+    assert(names.count(_.startsWith("delta_b")) <= maxDeltas,
+      s"fragmentation unbounded: $names")
+    // FLAT serving plan: leaves = version scans + the tombstone scan
+    val (view, stats) = IndexMaintenanceStream.currentView(spark, door, out)
+    val leaves = view.queryExecution.optimizedPlan.collectLeaves().length
+    assert(leaves <= maxDeltas + 2,
+      s"serving plan width grew with the feed: $leaves leaves")
+    // and the answer is still exactly the rebuild
+    val (pf, sf) = Bm25Index.build(docs(live.toSeq), col("doc_id"),
+      col("text"), buckets)
+    assert(stats.get.collect().toSeq === sf.collect().toSeq)
+    assert(Bm25Index.search(view, stats.get, qTerms, 15, buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Bm25Index.search(pf, sf, qTerms, 15, buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
 }
