@@ -777,10 +777,20 @@ class PipelineSpec extends AnyFunSuite {
     }
     val df = rows.toDF("x", "y")
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
-    graft.operators.ZOrder.cluster(df, "x", "y", partitions = 16)
-      .write.mode("overwrite").parquet(s"$dir/z")
-    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
-      .write.mode("overwrite").parquet(s"$dir/xsort")
+    // pin the physical layout: with the default 128 MB block size the
+    // writer's flush points depend on the parquet MemoryManager's
+    // scaled allocation — under full-suite pressure row groups cut at
+    // different rows and the skip margins wobble (three rounds of
+    // flakes). A small explicit block size + a fixed size-check
+    // cadence make the flush points a pure function of the data.
+    def pinnedWrite(d: org.apache.spark.sql.DataFrame) =
+      d.write.option("parquet.block.size", 32 * 1024)
+        .option("parquet.page.size.row.check.min", "64")
+        .option("parquet.page.size.row.check.max", "64")
+    pinnedWrite(graft.operators.ZOrder.cluster(df, "x", "y",
+      partitions = 16)).mode("overwrite").parquet(s"$dir/z")
+    pinnedWrite(df.repartitionByRange(16, col("x"))
+      .sortWithinPartitions("x")).mode("overwrite").parquet(s"$dir/xsort")
     def scanRows(path: String): Long = {
       val q = spark.read.parquet(path).where(col("y") < 12500L)
       q.collect()
@@ -807,17 +817,25 @@ class PipelineSpec extends AnyFunSuite {
     val delta = rows.drop(32000).toDF("x", "y")
     val dir = java.nio.file.Files.createTempDirectory("zinc").toString
     val cols = Seq("x", "y")
+    // pinned physical layout — see the end-to-end zorder test: flush
+    // points must be a function of the data, not of the parquet
+    // MemoryManager's pressure-scaled allocation, or the skip margins
+    // below wobble under a loaded full-suite run
+    def pinnedWrite(d: org.apache.spark.sql.DataFrame) =
+      d.write.option("parquet.block.size", 32 * 1024)
+        .option("parquet.page.size.row.check.min", "64")
+        .option("parquet.page.size.row.check.max", "64")
     // base layout + its frozen contract
     val bounds = graft.operators.ZOrder.layoutBounds(base, cols)
-    graft.operators.ZOrder.cluster(base, "x", "y", partitions = 12)
-      .write.mode("overwrite").parquet(s"$dir/z")
+    pinnedWrite(graft.operators.ZOrder.cluster(base, "x", "y",
+      partitions = 12)).mode("overwrite").parquet(s"$dir/z")
     spark.read.parquet(s"$dir/z").count() // materialize before appends
     // maintained append vs naive append of the SAME delta
-    graft.operators.ZOrder.clusterDelta(delta, cols, partitions = 8, bounds)
-      .write.mode("append").parquet(s"$dir/z")
-    graft.operators.ZOrder.cluster(base, "x", "y", partitions = 12)
-      .write.mode("overwrite").parquet(s"$dir/naive")
-    delta.coalesce(4).write.mode("append").parquet(s"$dir/naive")
+    pinnedWrite(graft.operators.ZOrder.clusterDelta(delta, cols,
+      partitions = 8, bounds)).mode("append").parquet(s"$dir/z")
+    pinnedWrite(graft.operators.ZOrder.cluster(base, "x", "y",
+      partitions = 12)).mode("overwrite").parquet(s"$dir/naive")
+    pinnedWrite(delta.coalesce(4)).mode("append").parquet(s"$dir/naive")
     def scanRows(path: String): (Long, Long) = {
       val all = spark.read.parquet(path)
       val q = all.where(col("y") < 12500L)
