@@ -1498,6 +1498,139 @@ object ScaleBench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
 
+    // ---- streaming tailer at scale: the REAL mutationStream (a
+    // Structured Streaming query over a file feed, one applyBatch per
+    // micro-batch — not a hand-rolled loop) against the 1M-doc BM25
+    // versioned store, 20 micro-batches of MIXED mutations (1,000
+    // deletes + 1,000 updates + 500 adds each). Evidence sought:
+    //  (a) per-batch trigger durations are FLAT across the feed except
+    //      the batches where the size-tiered trigger fires its staged
+    //      compaction (the one honest corpus-sized rewrite);
+    //  (b) the store stays BOUNDED — one effective base + ≤ maxDeltas
+    //      live delta dirs after 20 batches;
+    //  (c) the committed serving probe stays probe-sized, contrasted
+    //      with an UNBOUNDED twin (same bootstrap bytes, copied — not
+    //      rebuilt; maxDeltas high enough to never fire) whose serving
+    //      plan is a union of 21 scans over dead generations.
+    if (Seq("tailer_bootstrap_1m", "tailer_feed_1m", "tailer_stream_1m",
+        "tailer_probe_1m").exists(only)) {
+      val n = 1000000L
+      val m = n / 1000
+      val nBatches = 20
+      val root = "/tmp/graft_tailer_1m"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val feedDir = s"$root/feed"
+      val dirB = s"$root/bounded"
+      val dirU = s"$root/unbounded"
+      val door = new pipeline.Maintenance.Bm25Door(col("text"), 256)
+      val oldV: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame =
+        u => u.select(col("doc_id"), col("old_text").as("text"))
+      t("tailer_bootstrap_1m") {
+        streaming.IndexMaintenanceStream.bootstrap(spark, door, dirB,
+          pipeline.Bm25Index.write(_, _, _), gdocs(spark.range(n).toDF()))
+        // the unbounded twin starts from the SAME bytes — a directory
+        // copy, not a second 1M-doc build
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(dirB), new java.io.File(dirU))
+        s"n=$n buckets=256"
+      }
+      t("tailer_feed_1m") {
+        // batch i: delete class id%m==i, update class id%m==100+i
+        // (old_text = the v0 text the store holds), add 500 fresh ids.
+        // One parquet file per batch (staged+moved) so
+        // maxFilesPerTrigger=1 replays the feed as 20 micro-batches in
+        // write order.
+        new java.io.File(feedDir).mkdirs()
+        for (i <- 0 until nBatches) {
+          val dels = gdocs(spark.range(n).toDF()
+            .where(col("id") % m === i))
+            .select(lit("delete").as("op"), col("doc_id"), col("text"),
+              lit(null).cast("string").as("old_text"))
+          val upds = gdocs(spark.range(n).toDF()
+            .where(col("id") % m === 100 + i))
+            .select(lit("update").as("op"), col("doc_id"),
+              concat(col("text"), lit(updSuffix)).as("text"),
+              col("text").as("old_text"))
+          val adds = gdocs(spark.range(n + i * 500L, n + (i + 1) * 500L)
+            .toDF())
+            .select(lit("add").as("op"), col("doc_id"), col("text"),
+              lit(null).cast("string").as("old_text"))
+          val staging = s"$feedDir/stage_$i"
+          dels.unionByName(upds).unionByName(adds)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get.toPath
+          java.nio.file.Files.move(part, java.nio.file.Paths.get(
+            feedDir, f"b$i%03d.parquet"))
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(staging))
+        }
+        s"batches=$nBatches rowsPerBatch=2500"
+      }
+      def runStream(dir: String, maxDeltas: Int): String = {
+        val feed = spark.readStream
+          .schema("op string, doc_id bigint, text string, old_text string")
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "b*.parquet")
+          .parquet(feedDir)
+        val q = streaming.IndexMaintenanceStream.mutationStream(feed,
+          door, dir, pipeline.Bm25Index.write(_, _, _), s"$dir/ckpt",
+          Some(oldV), maxDeltas = maxDeltas)
+        q.processAllAvailable()
+        val durs = q.recentProgress.toSeq
+          .map(p => p.batchId -> p.durationMs.get("triggerExecution"))
+          .sortBy(_._1)
+        q.stop()
+        val st = pipeline.Maintenance.loadState(spark,
+          s"$dir/state/${streaming.DocsStream.readPointer(spark,
+            s"$dir/state").get}")
+        val names = new java.io.File(s"$dir/store").listFiles()
+          .filter(_.isDirectory).map(_.getName).sorted.toSeq
+        val durStr = durs.map { case (b, ms) => s"$b:${ms}ms" }
+          .mkString(" ")
+        s"compactions=${st.compactions} " +
+          s"bases=${names.count(_.startsWith("base_"))} " +
+          s"deltas=${names.count(_.startsWith("delta_b"))} " +
+          s"tombstones=${st.tombstones.count()} durations=[$durStr]"
+      }
+      t("tailer_stream_1m") { runStream(dirB, 8) }
+      t("tailer_stream_unbounded_1m") { runStream(dirU, 10000) }
+      val qts = Seq("w7", "w42", "w2999")
+      def probe(dir: String): String = {
+        val (view, stats) = streaming.IndexMaintenanceStream
+          .currentView(spark, door, dir)
+        val leaves = view.queryExecution.optimizedPlan
+          .collectLeaves().length
+        val top = pipeline.Bm25Index.search(view, stats.get, qts, 10,
+          nBuckets = 256).collect()
+        s"planLeaves=$leaves top=${top.length} " +
+          s"best=${top.headOption.map(_.getLong(0)).getOrElse(-1L)}"
+      }
+      var topB: Seq[(Long, Long)] = Nil
+      ti("tailer_probe_1m") {
+        val r = probe(dirB)
+        val (view, stats) = streaming.IndexMaintenanceStream
+          .currentView(spark, door, dirB)
+        topB = pipeline.Bm25Index.search(view, stats.get, qts, 10, 256)
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+        r
+      }
+      ti("tailer_probe_unbounded_1m") {
+        val r = probe(dirU)
+        // and the two stores answer IDENTICALLY — the bound changes
+        // the layout, never the result
+        val (view, stats) = streaming.IndexMaintenanceStream
+          .currentView(spark, door, dirU)
+        val topU = pipeline.Bm25Index.search(view, stats.get, qts, 10,
+          256).collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+        require(topU == topB && topB.nonEmpty,
+          s"bounded/unbounded stores disagree:\n$topB\n$topU")
+        r
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+
     // ---- mergeable HLL distinct census (HllCensus): the build pays one
     // partial-aggregated pass over raw events; the persisted per-day
     // sketch table then answers ANY window/grouping distinct question
