@@ -2496,6 +2496,97 @@ object PipelineQueries {
       result
     }),
 
+    // HYBRID retrieval: reciprocal-rank fusion of the BM25 lexical leg
+    // and the cosine vector leg ([[pipeline.Retrieval.hybridTopK]]) —
+    // integer-exact fusion (1000000 div (60 + rank)) over both legs'
+    // deterministic ranks, so the whole two-leg ranker mirrors in SQL.
+    "retrieval_hybrid_rrf" -> ((s, d) =>
+      pipeline.Retrieval.hybridTopK(
+        Tables.documents(s, d), Tables.embeddings(s, d),
+        col("doc_id"), col("text"), Seq("data", "stream", "shuffle"),
+        qid = 0L, k = 10, legK = 20)),
+
+    // the same fusion through the SERVING indexes — the BM25 posting
+    // index (bucket-pruned probe) and the IVF cell index under the
+    // frozen corpus-seeded quantizer
+    // ([[pipeline.Retrieval.hybridTopKIndexed]]). The oracle's vector
+    // leg mirrors the IVF probe (nlist 16, nprobe 4), so the hash match
+    // pins the whole indexed hybrid path, approximation and all.
+    "retrieval_hybrid_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val index = pipeline.Similarity.ivfAssign(emb, cents)
+      val (postings, stats) = pipeline.Bm25Index.build(
+        Tables.documents(s, d), col("doc_id"), col("text"), 64)
+      pipeline.Retrieval.hybridTopKIndexed(
+        pipeline.Dedup.checkpointCorpus(postings), stats, 64,
+        index, cents, emb.where(col("vec_id") === 0L),
+        Seq("data", "stream", "shuffle"), k = 10, legK = 20, nprobe = 4)
+    }),
+
+    // hybrid fusion from BOTH maintained gen stores after their
+    // lifecycle mutation plans: the BM25 store runs the two
+    // `retrieval_bm25_lifecycle` ticks over documents, the IVF store
+    // the two `ann_ivf_lifecycle` ticks over embeddings, and the
+    // serving answer fuses the tombstone-filtered BM25 probe with the
+    // partition-pruned IVF probe. The oracle rebuilds BOTH mutated
+    // corpora from scratch and fuses — the hash match proves the whole
+    // hybrid serving stack stays correct under live mutation.
+    "retrieval_hybrid_lifecycle" -> ((s, d) => {
+      // ---- BM25 store: the retrieval_bm25_lifecycle mutation plan
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bmDoor = new pipeline.Maintenance.Bm25Door(col("text"), 64)
+      val (p0, s0) = pipeline.Bm25Index.build(
+        docs, col("doc_id"), col("text"), 64)
+      val bmStore = new pipeline.Maintenance.FrameStore(
+        pipeline.Bm25Index.stampGen(p0, 0L))
+      var bmSt = pipeline.Maintenance.initialState(s, bmDoor, Some(s0))
+      val dEmpty = docs.limit(0)
+      val upd1old = docs.where(col("doc_id") % 6 === 3)
+      val upd1new = upd1old.select(col("doc_id"),
+        concat(col("text"), lit(" shuffle data")).as("text"))
+      val del1 = docs.where(col("doc_id") % 7 === 0 &&
+        col("doc_id") % 6 =!= 3)
+      val add1 = docs.where(col("doc_id") % 11 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      bmSt = pipeline.Maintenance.tick(bmDoor, bmStore, bmSt,
+        adds = add1, deletes = del1, updates = upd1new,
+        updatesOld = Some(upd1old))
+      bmSt = pipeline.Maintenance.tick(bmDoor, bmStore, bmSt,
+        adds = dEmpty, deletes = upd1new.where(col("doc_id") % 12 === 3),
+        updates = dEmpty, updatesOld = Some(dEmpty))
+      // ---- IVF store: the ann_ivf_lifecycle mutation plan
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val ivfDoor = new pipeline.Maintenance.IvfDoor(cents)
+      val ivfStore = new pipeline.Maintenance.FrameStore(
+        pipeline.Similarity.ivfStampGen(
+          pipeline.Similarity.ivfAssign(emb, cents), 0L))
+      var ivfSt = pipeline.Maintenance.initialState(s, ivfDoor)
+      val vEmpty = emb.limit(0)
+      val vUpd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val vDel1 = emb.where(col("vec_id") % 9 === 7 &&
+        col("vec_id") % 6 =!= 3)
+      val vAdd1 = emb.where(col("vec_id") % 11 === 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      ivfSt = pipeline.Maintenance.tick(ivfDoor, ivfStore, ivfSt,
+        adds = vAdd1, deletes = vDel1, updates = vUpd1)
+      ivfSt = pipeline.Maintenance.tick(ivfDoor, ivfStore, ivfSt,
+        adds = vEmpty, deletes = vUpd1.where(col("vec_id") % 12 === 3),
+        updates = vEmpty)
+      // ---- fuse the two serving probes
+      val lex = pipeline.Retrieval.rankLex(pipeline.Bm25Index.search(
+        pipeline.Dedup.checkpointCorpus(bmSt.live(bmDoor, bmStore)),
+        bmSt.stats.get, Seq("data", "stream", "shuffle"), 20, 64))
+      val vec = pipeline.Similarity.ivfTopKIndexedPruned(
+        emb.where(col("vec_id") === 0L),
+        ivfSt.live(ivfDoor, ivfStore), cents, 20, nprobe = 4)
+        .select(col("nid").as("doc_id"), col("rank"))
+      pipeline.Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+    }),
+
     // Hilbert layout key: same census as layout_zorder_code but along
     // the adjacency-preserving curve — oracling the 16-round
     // rotate/reflect LOOP (functions.HilbertCode, eval AND codegen)
@@ -2826,12 +2917,47 @@ object PipelineQueries {
              AS BIGINT) AS bucket
          FROM proj GROUP BY vec_id, p // $planes)"""
 
+  /** CTE chain ending in `lex(doc_id, rank)` — the BM25 scoring of
+    * `documents` for the standard query terms, ranked 1..`legK` with
+    * the engine's tie-break (score desc, doc_id asc). Mirrors
+    * [[graft.pipeline.TextAnalysis.bm25TopK]] +
+    * [[graft.pipeline.Retrieval.rankLex]]. */
+  private def bm25LexLegSql(legK: Int,
+                            docsFrom: String = "documents"): String =
+    s"""tok AS (SELECT doc_id, unnest($toksSql) AS term
+         FROM $docsFrom),
+       tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM tok GROUP BY 1, 2),
+       dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+         FROM tc GROUP BY 1),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+       df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+         WHERE term IN ('data', 'stream', 'shuffle') GROUP BY 1),
+       sc AS (SELECT tc.doc_id,
+         CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+           AS rarity_ppm,
+         CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+           (CAST(10 AS HUGEINT) * tf * total_len +
+            CAST(3 AS HUGEINT) * total_len +
+            CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+         FROM tc JOIN df USING (term) JOIN dl USING (doc_id)
+         CROSS JOIN tot),
+       bm AS (SELECT doc_id,
+         CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT) AS score
+         FROM sc GROUP BY 1),
+       lex AS (SELECT doc_id, rank FROM (
+         SELECT doc_id, ROW_NUMBER() OVER (
+           ORDER BY score DESC, doc_id ASC) AS rank FROM bm)
+         WHERE rank <= $legK)"""
+
   /** CTEs `assigned(cell,nid,ne)` + `probes(cell,qid,qe)` + `ivf_topk`
     * mirroring [[graft.pipeline.Similarity.ivfTopK]]. */
   private def ivfSql(nlist: Int, nprobe: Int, k: Int,
                      centWhere: String = "",
                      corpusWhere: String = "",
-                     corpusFrom: String = "embeddings"): String =
+                     corpusFrom: String = "embeddings",
+                     queryWhere: String = "WHERE vec_id < 5"): String =
     s"""cent AS (SELECT vec_id AS cent_id, embedding AS cent
          FROM embeddings $centWhere
          ORDER BY vec_id LIMIT $nlist),
@@ -2849,7 +2975,7 @@ object PipelineQueries {
              ROW_NUMBER() OVER (PARTITION BY q.vec_id
                ORDER BY list_cosine_similarity(q.embedding, ct.cent) DESC,
                         ct.cent_id ASC) AS rk
-           FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+           FROM (SELECT * FROM embeddings $queryWhere) q
            CROSS JOIN cent ct) WHERE rk <= $nprobe),
        ivf_topk AS (
          SELECT qid, nid, rank FROM (
@@ -5044,6 +5170,70 @@ object PipelineQueries {
     // versioned parquet store/state — identical end corpus, identical
     // oracle
     "retrieval_bm25_tailer" -> bm25LifecycleOracleSql,
+
+    // hybrid RRF: the BM25 lexical leg ranked 1..20 + the brute-force
+    // cosine vector leg for query vec 0 ranked 1..20, fused by the
+    // integer-exact reciprocal-rank sum
+    "retrieval_hybrid_rrf" ->
+      (s"""WITH ${bm25LexLegSql(20)},
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         vec AS (SELECT doc_id, rank FROM (
+           SELECT e.vec_id AS doc_id, ROW_NUMBER() OVER (
+             ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                      e.vec_id ASC) AS rank
+           FROM q, embeddings e WHERE e.vec_id <> 0) WHERE rank <= 20),
+         legs AS (SELECT doc_id, rank FROM lex
+           UNION ALL SELECT doc_id, rank FROM vec)
+         SELECT doc_id,
+           CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+           COUNT(*) AS n_legs
+         FROM legs GROUP BY 1
+         ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""),
+
+    // hybrid RRF through the serving indexes: identical lexical leg
+    // (posting-index search ≡ index-free scan, pinned by
+    // retrieval_bm25_indexed) + the IVF probe as the vector leg
+    // (nlist 16, nprobe 4 — the approximation mirrored exactly)
+    "retrieval_hybrid_indexed" ->
+      (s"""WITH ${bm25LexLegSql(20)},
+         ${ivfSql(16, 4, 20, queryWhere = "WHERE vec_id = 0")},
+         legs AS (SELECT doc_id, rank FROM lex
+           UNION ALL SELECT nid AS doc_id, rank FROM ivf_topk)
+         SELECT doc_id,
+           CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+           COUNT(*) AS n_legs
+         FROM legs GROUP BY 1
+         ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""),
+
+    // hybrid fusion AFTER the two lifecycle mutation plans: both legs
+    // rebuilt from scratch on their mutated corpora (documents per the
+    // BM25 lifecycle, embeddings per the IVF lifecycle, frozen
+    // base-seeded quantizer), then fused — must hash-match the engine
+    // serving from its two maintained gen stores
+    "retrieval_hybrid_lifecycle" -> {
+      val docs2 = "(SELECT doc_id, CASE WHEN doc_id % 6 = 3 " +
+        "THEN text || ' shuffle data' ELSE text END AS text " +
+        "FROM documents WHERE NOT (doc_id % 7 = 0 AND doc_id % 6 <> 3) " +
+        "AND NOT (doc_id % 12 = 3) " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text " +
+        "FROM documents WHERE doc_id % 11 = 5)"
+      val emb2 = "(SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+        "THEN list_reverse(embedding) ELSE embedding END AS embedding " +
+        "FROM embeddings WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+        "AND NOT (vec_id % 12 = 3) " +
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+        "FROM embeddings WHERE vec_id % 11 = 5)"
+      s"""WITH ${bm25LexLegSql(20, docsFrom = docs2)},
+         ${ivfSql(16, 4, 20, corpusFrom = emb2,
+        queryWhere = "WHERE vec_id = 0")},
+         legs AS (SELECT doc_id, rank FROM lex
+           UNION ALL SELECT nid AS doc_id, rank FROM ivf_topk)
+         SELECT doc_id,
+           CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+           COUNT(*) AS n_legs
+         FROM legs GROUP BY 1
+         ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""
+    },
 
     // the Hilbert rotate/reflect loop UNROLLED: one CTE per bit plane
     // (s = 2^15 … 1), distinct column names per round so DuckDB's

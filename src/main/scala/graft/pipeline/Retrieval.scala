@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: reciprocal-rank fusion (RRF) of a lexical (BM25)
+  * leg and a vector (cosine) leg — the standard first-stage ranker of a
+  * RAG / training-data-curation stack (Cormack et al., SIGIR 2009: RRF
+  * outperforms either leg alone and needs no score calibration between
+  * legs, only ranks).
+  *
+  * Scale shape: each leg is one of the engine's existing top-k
+  * operators — the BM25 posting-index probe (bucket-pruned parquet
+  * scan) and the IVF partition-pruned cosine probe — so the corpus-
+  * sized work is exactly what those legs already pay; the fusion
+  * itself runs over 2·legK rows (tiny by construction: a groupBy on a
+  * frame whose size is the sum of the leg ks, independent of corpus
+  * size). Nothing here adds a corpus-sized shuffle on top of the legs.
+  *
+  * Determinism: fusion is integer-exact — `rrf_ppm = Σ_legs 1000000
+  * div (k0 + rank)` over bigint ranks, so the fused ordering mirrors
+  * in ANSI SQL for the DuckDB oracle; ranks inside each leg carry the
+  * engine's deterministic tie-break (score desc, id asc).
+  */
+object Retrieval {
+
+  /** Rank a BM25 `(doc_id, score)` top-k result 1..k. The input is
+    * already k-sized (both [[TextAnalysis.bm25TopK]] and
+    * [[Bm25Index.search]] end in `.limit(k)`), so the unpartitioned
+    * window runs over k rows on one task — never corpus-sized. */
+  def rankLex(topk: DataFrame): DataFrame =
+    topk.select(col("doc_id"),
+      row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("long").as("rank"))
+
+  /** Fuse ranked legs — each `(doc_id, rank)` with rank 1-based — into
+    * the RRF top-k: `rrf_ppm = Σ 1000000 div (k0 + rank)` summed over
+    * the legs a doc appears in, ties broken by doc_id. `n_legs` counts
+    * the contributing legs (2 = found by both lexical and vector
+    * search). k0 = 60 is the constant from the RRF paper. */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    val all = legs.map(_.select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("long").as("rank"))).reduce(_ unionByName _)
+    all.groupBy("doc_id")
+      .agg(sum(expr(s"1000000 div ($k0 + rank)")).as("rrf_ppm"),
+        count(lit(1)).as("n_legs"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Index-free hybrid top-k: BM25-score `docs` for `qTerms` and
+    * cosine-rank `emb` against the embedding of `qid`, fuse with RRF.
+    * The correctness baseline — the indexed variant below must agree
+    * when its index is exact. */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, idCol: Column,
+                 text: Column, qTerms: Seq[String], qid: Long, k: Int,
+                 legK: Int = 20, k0: Int = 60): DataFrame = {
+    val lex = rankLex(TextAnalysis.bm25TopK(docs, idCol, text, qTerms,
+      legK))
+    val vec = Similarity.bruteForceTopK(
+      emb.where(col("vec_id") === qid), emb, legK)
+      .select(col("nid").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, vec), k, k0)
+  }
+
+  /** Serving-path hybrid top-k over PREBUILT indexes: the BM25
+    * posting index (bucket-pruned probe, [[Bm25Index.search]]) and an
+    * IVF cell index under its frozen quantizer
+    * ([[Similarity.ivfTopKIndexed]]) — what a deployment runs, with
+    * both corpus-sized structures built once and probed per query. */
+  def hybridTopKIndexed(postings: DataFrame, stats: DataFrame,
+                        nBuckets: Int, ivfIndex: DataFrame,
+                        cents: Seq[(Long, Array[Double])],
+                        queryVec: DataFrame, qTerms: Seq[String],
+                        k: Int, legK: Int = 20, nprobe: Int = 4,
+                        k0: Int = 60): DataFrame = {
+    val lex = rankLex(Bm25Index.search(postings, stats, qTerms, legK,
+      nBuckets))
+    val vec = Similarity.ivfTopKIndexed(queryVec, ivfIndex, cents, legK,
+      nprobe)
+      .select(col("nid").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, vec), k, k0)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Bm25Index, Retrieval, Similarity, TextAnalysis}
+
+/** Hybrid retrieval ([[pipeline.Retrieval]]): the RRF fusion must be
+  * integer-exact and order-deterministic, and the indexed serving path
+  * must equal the index-free baseline whenever its indexes are exact
+  * (full-probe IVF, lossless posting index). */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val qTerms = Seq("alpha", "gamma", "epsilon")
+
+  private def corpus(n: Int) = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta")
+    (0 until n).map { i =>
+      val words = (0 to (i % 9) + 2).map { j =>
+        vocab(((i * 2654435761L + j * 40503L) % vocab.size).toInt.abs)
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  private def embeddings(n: Int) =
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (((i * 31 + d * 13) % 100) / 50.0f) - 1f))
+    }.toDF("vec_id", "embedding")
+
+  test("rrfFuse: integer-exact reciprocal-rank sums, both-leg docs " +
+      "dominate, ties broken by doc_id") {
+    val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val vec = Seq((2L, 1L), (4L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 2: 1000000/62 + 1000000/61 = 16129 + 16393 = 32522 (2 legs)
+    // doc 3: 1000000/63 + 1000000/63 = 15873 * 2     = 31746 (2 legs)
+    // doc 1: 1000000/61                              = 16393 (1 leg)
+    // doc 4: 1000000/62                              = 16129 (1 leg)
+    assert(out.toSeq === Seq((2L, 32522L, 2L), (3L, 31746L, 2L),
+      (1L, 16393L, 1L), (4L, 16129L, 1L)))
+  }
+
+  test("rrfFuse: equal-score ties order by doc_id ascending and k caps " +
+      "the fused list") {
+    val a = Seq((7L, 1L), (5L, 2L)).toDF("doc_id", "rank")
+    val b = Seq((9L, 1L), (6L, 2L)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ranks 1 and 1 tie at 16393 → doc_id order 7, 9; k=3 drops doc 6
+    assert(out.toSeq === Seq((7L, 16393L), (9L, 16393L), (5L, 16129L)))
+  }
+
+  test("hybridTopK: fusion contains docs from either leg; a doc " +
+      "surfaced by both legs carries n_legs=2") {
+    val docs = corpus(60)
+    val emb = embeddings(60)
+    val out = Retrieval.hybridTopK(docs, emb, col("doc_id"), col("text"),
+      qTerms, qid = 0L, k = 10, legK = 15).collect()
+    assert(out.length === 10)
+    val lexIds = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+      qTerms, 15).collect().map(_.getLong(0)).toSet
+    val vecIds = Similarity.bruteForceTopK(
+      emb.where(col("vec_id") === 0L), emb, 15)
+      .collect().map(_.getLong(1)).toSet
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val expectedLegs =
+        (if (lexIds(id)) 1 else 0) + (if (vecIds(id)) 1 else 0)
+      assert(r.getLong(2) === expectedLegs.toLong,
+        s"doc $id n_legs=${r.getLong(2)} but legs=$expectedLegs")
+      assert(expectedLegs > 0, s"doc $id in neither leg")
+    }
+    // fused order is rrf desc then doc_id
+    val scores = out.map(r => (r.getLong(1), r.getLong(0)))
+    assert(scores.sortBy(s => (-s._1, s._2)).toSeq === scores.toSeq)
+  }
+
+  test("hybridTopKIndexed with exact indexes (full-probe IVF) equals " +
+      "the index-free hybrid") {
+    val docs = corpus(80)
+    val emb = embeddings(80)
+    val baseline = Retrieval.hybridTopK(docs, emb, col("doc_id"),
+      col("text"), qTerms, qid = 0L, k = 10, legK = 12)
+      .collect().map(_.toSeq).toSeq
+    val cents = Similarity.centroids(emb, 8)
+    val index = Similarity.ivfAssign(emb, cents)
+    val (postings, stats) = Bm25Index.build(docs, col("doc_id"),
+      col("text"), 16)
+    val served = Retrieval.hybridTopKIndexed(postings, stats, 16,
+      index, cents, emb.where(col("vec_id") === 0L), qTerms,
+      k = 10, legK = 12, nprobe = 8) // nprobe = nlist → exact
+      .collect().map(_.toSeq).toSeq
+    assert(served === baseline)
+  }
+}
