@@ -40,7 +40,13 @@ import graft.pipeline.Maintenance
   * Mid-tick compaction follows the same commit point: the rewrite only
   * STAGES the new base under the batch's name — the store pointer swap
   * and the sweep of folded dirs are DEFERRED to [[applyBatch]], after
-  * the state pointer lands ([[VersionedStore.finalizeCommit]]). Version
+  * the state pointer lands ([[VersionedStore.finalizeCommit]]). The
+  * sweep itself is LAGGED one compaction (READER GRACE): a serving
+  * query that resolved the committed view keeps its files — the
+  * superseded base, the deltas it folded, and the matching state
+  * snapshots — until the NEXT compaction commits, so maintenance never
+  * breaks an in-flight reader; [[VersionedStore.vacuum]] reclaims the
+  * tier eagerly when no reader can hold one. Version
   * resolution is therefore by LISTING, not by the store pointer: a
   * reader at committed batch k serves the newest base named ≤ k, so a
   * staged base from an uncommitted batch (named > k) is invisible, and
@@ -184,10 +190,21 @@ object IndexMaintenanceStream {
     /** Deferred store housekeeping, called by [[applyBatch]] AFTER the
       * state pointer swap (and again on a replay skip, so a crash
       * between the two commits self-heals): advance the advisory store
-      * pointer to the effective base and sweep everything it folded in
-      * — older bases, deltas at or below its batch, `.tmp` stagings.
-      * Idempotent; skipped entirely if a LATER batch's pointer already
-      * committed (never regress). */
+      * pointer to the effective base and sweep stale dirs — LAGGED one
+      * compaction for concurrent readers (READER GRACE): a reader that
+      * resolved [[rows]] against the PREVIOUS base holds parquet scans
+      * over that base and the deltas the new base folded in, so this
+      * sweep retains them and deletes only what the previous base's own
+      * finalize would have folded (bases older than the previous base,
+      * deltas at or below it, `.tmp` stagings). A reader therefore
+      * survives any single compaction that lands mid-query and only
+      * loses its files after a SECOND compaction commits — a window of
+      * at least `maxDeltas` further batches, far longer than a probe.
+      * The cost is bounded: at most one superseded corpus copy plus
+      * one tier of folded deltas on disk, reclaimed at the next
+      * compaction (or eagerly by [[vacuum]]). Idempotent; skipped
+      * entirely if a LATER batch's pointer already committed (never
+      * regress). */
     def finalizeCommit(): Unit = {
       val (hfs, root) = fs
       val (base, baseBatch, _) = layout
@@ -196,6 +213,43 @@ object IndexMaintenanceStream {
       if (ptrBatch > baseBatch) return // a later commit owns the sweep
       if (ptrBatch < baseBatch)
         DocsStream.swapPointer(spark, storeDir, base)
+      // the newest RETIRED base bounds the grace tier; with no retired
+      // base yet (first compaction pending) nothing but .tmp is stale
+      val prevBatch = graceFloor
+      hfs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        val stale = st.isDirectory && n != base &&
+          (n.endsWith(".tmp") ||
+            (n.startsWith("base_") && parseBatch(n) < prevBatch) ||
+            (n.startsWith("delta_b") && parseBatch(n) <= prevBatch))
+        if (stale) hfs.delete(st.getPath, true)
+      }
+      ()
+    }
+
+    /** The reader-grace boundary: batch of the newest RETIRED base —
+      * the tier [[finalizeCommit]] retains — or `Long.MinValue` while
+      * no compaction has superseded a base yet. State snapshots at or
+      * above this batch must be retained too (a reader pairs a store
+      * resolution with the state snapshot of the same committed batch;
+      * sweeping either half breaks it). */
+    def graceFloor: Long = {
+      val (hfs, root) = fs
+      val (_, baseBatch, _) = layout
+      hfs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("base_") && !n.endsWith(".tmp"))
+        .map(parseBatch).filter(_ < baseBatch)
+        .sorted.lastOption.getOrElse(Long.MinValue)
+    }
+
+    /** Eagerly reclaim the reader-grace tier: delete every dir the
+      * current effective base supersedes (what [[finalizeCommit]]
+      * retains for in-flight readers). For decommission or
+      * disk-pressure moments when the caller KNOWS no reader holds a
+      * pre-compaction view. */
+    def vacuum(): Unit = {
+      val (hfs, root) = fs
+      val (base, baseBatch, _) = layout
       hfs.listStatus(root).foreach { st =>
         val n = st.getPath.getName
         val stale = st.isDirectory && n != base &&
@@ -258,7 +312,20 @@ object IndexMaintenanceStream {
     DocsStream.swapPointer(spark, s"$dir/state", s"v_b$batchId")
     // ---- committed. Everything below is housekeeping a crash may
     // skip and a replay (or the next batch) re-runs.
-    DocsStream.sweepStale(spark, s"$dir/state", keep = s"v_b$batchId")
+    // State retention follows the store's READER GRACE: a reader pairs
+    // the state snapshot of some committed batch with that batch's
+    // store dirs, so snapshots at or above the grace floor (the newest
+    // retired base's batch) stay until the next compaction advances
+    // the floor — bounded by the same size-tiered trigger that bounds
+    // the delta dirs, and state-sized (tombstones + 1 stats row) each.
+    val floor = store.graceFloor
+    val stRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+    val hfs = stRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.listStatus(stRoot).foreach { s0 =>
+      val n = s0.getPath.getName
+      if (s0.isDirectory && n.startsWith("v") && n != s"v_b$batchId" &&
+          parseBatch(n) < floor) hfs.delete(s0.getPath, true)
+    }
     store.finalizeCommit()
   }
 
@@ -290,9 +357,37 @@ object IndexMaintenanceStream {
                   dir: String): (DataFrame, Option[DataFrame]) = {
     val v = DocsStream.readPointer(spark, s"$dir/state").getOrElse(
       sys.error(s"no CURRENT state under $dir/state"))
+    viewAt(spark, door, dir, parseBatch(v))
+  }
+
+  /** TIME TRAVEL: the committed serving view AS OF `batchId` (-1 = the
+    * bootstrap). Reconstructable for exactly the batches whose state
+    * snapshot the reader-grace retention still holds — every batch
+    * since the grace floor (the newest retired base), i.e. at least
+    * one full compaction cycle back from the head. Outside the window
+    * the state snapshot is swept and this fails fast with the
+    * retention boundary in the message, never a partial answer. The
+    * store side needs no checks of its own: version resolution by
+    * listing serves the newest base ≤ `batchId` plus its committed
+    * deltas, and those dirs outlive their state snapshot by
+    * construction (the same sweep retires both, state first). */
+  def viewAt(spark: SparkSession, door: Maintenance.Door, dir: String,
+             batchId: Long): (DataFrame, Option[DataFrame]) = {
+    val v = if (batchId < 0L) "v_boot" else s"v_b$batchId"
+    val statePath = new org.apache.hadoop.fs.Path(s"$dir/state/$v")
+    val hfs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!hfs.exists(statePath)) {
+      val retained = hfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/state")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("v"))
+        .sortBy(parseBatch)
+      sys.error(s"batch $batchId is outside the retention window " +
+        s"under $dir/state (retained: ${retained.mkString(", ")}) — " +
+        "either never committed or swept past the reader-grace floor")
+    }
     val st = Maintenance.loadState(spark, s"$dir/state/$v")
     val store = new VersionedStore(spark, s"$dir/store",
-      (_, _, _) => sys.error("serving view never writes"), parseBatch(v))
+      (_, _, _) => sys.error("serving view never writes"), batchId)
     (st.live(door, store), st.stats)
   }
 }

@@ -72,8 +72,9 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
     (90L until 96L).foreach(live(_) = 0)
     assert(graft.streaming.DocsStream.readPointer(spark, s"$dir/store")
       .contains("base_b0"), "compaction never swapped the base")
-    assert(!new java.io.File(s"$dir/store/base_boot").exists(),
-      "compaction left the folded boot base behind")
+    assert(new java.io.File(s"$dir/store/base_boot").exists(),
+      "reader grace violated: the folded boot base must survive ONE " +
+        "compaction for in-flight readers")
 
     // batch 1: delete a PREVIOUSLY-UPDATED doc through the unified
     // table, re-send a batch-0 delete... but batch 0's compaction
@@ -276,8 +277,9 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
       Some(oldVersion), compactThresholdBytes = 1L)
     assert(graft.streaming.DocsStream.readPointer(spark, s"$dir/store")
       .contains("base_b0"))
-    assert(!new java.io.File(s"$dir/store/base_boot").exists(),
-      "finalize did not sweep the folded boot base")
+    assert(new java.io.File(s"$dir/store/base_boot").exists(),
+      "reader grace violated: finalize must retain the folded boot " +
+        "base one compaction for in-flight readers")
     val (view1, stats1) =
       IndexMaintenanceStream.currentView(spark, door, dir)
     assert(stats1.get.collect().head.getLong(0) === 45L)
@@ -321,7 +323,9 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
       Some(oldVersion), compactThresholdBytes = 1L)
     assert(graft.streaming.DocsStream.readPointer(spark, s"$dir/store")
       .contains("base_b0"))
-    assert(!new java.io.File(s"$dir/store/base_boot").exists())
+    assert(new java.io.File(s"$dir/store/base_boot").exists(),
+      "reader grace violated: the folded boot base must survive the " +
+        "deferred sweep")
     assert(!staleTmp.exists(), "stale .tmp staging survived the sweep")
     val (view1, stats1) =
       IndexMaintenanceStream.currentView(spark, door, dir)
@@ -377,12 +381,13 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
     assert(st.tombstones.count() === 0L)
     assert(st.compactions >= 50L / (maxDeltas + 1),
       s"only ${st.compactions} compactions across 50 add-only batches")
-    // BOUNDED store: one effective base + at most maxDeltas live deltas
+    // BOUNDED store: the effective base + its reader-grace predecessor
+    // + live deltas + one grace tier of folded deltas — never more
     val names = new java.io.File(s"$out/store").listFiles()
       .filter(_.isDirectory).map(_.getName).toSeq
-    assert(names.count(_.startsWith("base_")) === 1,
-      s"stale bases linger: $names")
-    assert(names.count(_.startsWith("delta_b")) <= maxDeltas,
+    assert(names.count(_.startsWith("base_")) <= 2,
+      s"stale bases linger past the grace tier: $names")
+    assert(names.count(_.startsWith("delta_b")) <= 2 * maxDeltas + 1,
       s"fragmentation unbounded: $names")
     // FLAT serving plan: leaves = version scans + the tombstone scan
     val (view, stats) = IndexMaintenanceStream.currentView(spark, door, out)
@@ -399,5 +404,105 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("READER GRACE: a serving view resolved before a compaction " +
+      "still collects its snapshot after the sweep lands; the grace " +
+      "tier is reclaimed by the SECOND compaction (or vacuum)") {
+    val dir = java.nio.file.Files.createTempDirectory("imgrace").toString
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    IndexMaintenanceStream.bootstrap(spark, door, dir, Bm25Index.write,
+      docs((0L until 50L).map(_ -> 0)))
+    // a long-running reader resolves the committed view NOW (parquet
+    // scans over base_boot) — its query is still in flight when the
+    // next batch's compaction folds that base
+    val (reader0, stats0) =
+      IndexMaintenanceStream.currentView(spark, door, dir)
+    // batch 0 compacts (tiny threshold): stages base_b0, commits,
+    // finalize sweeps — but the grace tier retains base_boot
+    IndexMaintenanceStream.applyBatch(spark, door, dir, Bm25Index.write,
+      muts((0L until 5L).map(id => ("delete", id, 0, None))), 0L,
+      Some(oldVersion), compactThresholdBytes = 1L)
+    assert(new java.io.File(s"$dir/store/base_boot").exists())
+    // the in-flight reader completes on its pre-compaction snapshot:
+    // the deleted docs are still visible to IT (snapshot isolation)
+    assert(reader0.where(col("doc_id") < 5L)
+      .select("doc_id").distinct().count() === 5L,
+      "pre-compaction reader lost its snapshot")
+    assert(stats0.get.collect().head.getLong(0) === 50L)
+    // and a FRESH resolution serves the post-batch truth
+    val (reader1, stats1) =
+      IndexMaintenanceStream.currentView(spark, door, dir)
+    assert(reader1.where(col("doc_id") < 5L).count() === 0L)
+    assert(stats1.get.collect().head.getLong(0) === 45L)
+    // batch 1 compacts again: NOW the boot base is past its grace
+    // window and the lagged sweep reclaims it; base_b0 takes its slot
+    IndexMaintenanceStream.applyBatch(spark, door, dir, Bm25Index.write,
+      muts(Seq(("delete", 5L, 0, None))), 1L,
+      Some(oldVersion), compactThresholdBytes = 1L)
+    val names = new java.io.File(s"$dir/store").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(!names.contains("base_boot"),
+      s"grace tier never reclaimed: $names")
+    assert(names.contains("base_b0") && names.contains("base_b1"))
+    // reader1 (resolved before batch 1) still collects ITS snapshot
+    assert(reader1.where(col("doc_id") === 5L)
+      .select("doc_id").distinct().count() === 1L,
+      "reader resolved one compaction ago lost its snapshot")
+    // vacuum eagerly reclaims the remaining grace tier
+    new IndexMaintenanceStream.VersionedStore(spark, s"$dir/store",
+      Bm25Index.write, 1L).vacuum()
+    val after = new java.io.File(s"$dir/store").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(after.count(_.startsWith("base_")) === 1 &&
+      after.contains("base_b1"), s"vacuum left $after")
+    // the committed view is untouched by vacuum
+    val (reader2, stats2) =
+      IndexMaintenanceStream.currentView(spark, door, dir)
+    assert(reader2.where(col("doc_id") < 6L).count() === 0L)
+    assert(stats2.get.collect().head.getLong(0) === 44L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("TIME TRAVEL: viewAt reconstructs any committed batch inside " +
+      "the retention window and refuses past the grace floor") {
+    val dir = java.nio.file.Files.createTempDirectory("imtravel").toString
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    IndexMaintenanceStream.bootstrap(spark, door, dir, Bm25Index.write,
+      docs((0L until 50L).map(_ -> 0)))
+    def del(ids: Seq[Long], batch: Long, thresh: Long = 10L << 20): Unit =
+      IndexMaintenanceStream.applyBatch(spark, door, dir, Bm25Index.write,
+        muts(ids.map(id => ("delete", id, 0, None))), batch,
+        Some(oldVersion), compactThresholdBytes = thresh)
+    del(0L until 5L, 0L)
+    del(Seq(5L), 1L)
+    def docsAt(b: Long): (Long, Long) = {
+      val (view, stats) = IndexMaintenanceStream.viewAt(spark, door, dir, b)
+      (view.select("doc_id").distinct().count(),
+        stats.get.collect().head.getLong(0))
+    }
+    // every committed batch reconstructs, including the bootstrap
+    assert(docsAt(-1L) === ((50L, 50L)))
+    assert(docsAt(0L) === ((45L, 45L)))
+    assert(docsAt(1L) === ((44L, 44L)))
+    // the as-of-batch-0 view still contains doc 5 (deleted later)
+    val (v0, _) = IndexMaintenanceStream.viewAt(spark, door, dir, 0L)
+    assert(v0.where(col("doc_id") === 5L).count() > 0L)
+    // a batch that never committed refuses with the window in the error
+    val e1 = intercept[RuntimeException](docsAt(7L))
+    assert(e1.getMessage.contains("retention window"))
+    // two compactions advance the grace floor past the early snapshots
+    del(Seq(6L), 2L, thresh = 1L)
+    del(Seq(7L), 3L, thresh = 1L)
+    val e2 = intercept[RuntimeException](docsAt(-1L))
+    assert(e2.getMessage.contains("retention window"))
+    val e3 = intercept[RuntimeException](docsAt(0L))
+    assert(e3.getMessage.contains("retention window"))
+    // batches at or above the floor still reconstruct exactly
+    assert(docsAt(2L) === ((43L, 43L)))
+    val (v2, _) = IndexMaintenanceStream.viewAt(spark, door, dir, 2L)
+    assert(v2.where(col("doc_id") === 7L).count() > 0L)
+    assert(docsAt(3L) === ((42L, 42L)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 }
