@@ -2524,6 +2524,25 @@ object PipelineQueries {
         Seq("data", "stream", "shuffle"), k = 10, legK = 20, nprobe = 4)
     }),
 
+    // BATCHED hybrid serving: five queries, each with its own term
+    // list and query vector, answered in ONE pass over each index —
+    // [[pipeline.Bm25Index.searchBatch]] unions all queries' bucket
+    // predicates so every touched posting bucket is read once for the
+    // whole batch, the IVF probe batches natively, and the RRF fusion
+    // is per-qid ([[pipeline.Retrieval.hybridTopKBatch]]).
+    "retrieval_hybrid_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val index = pipeline.Similarity.ivfAssign(emb, cents)
+      val (postings, stats) = pipeline.Bm25Index.build(
+        Tables.documents(s, d), col("doc_id"), col("text"), 64)
+      pipeline.Retrieval.hybridTopKBatch(
+        pipeline.Dedup.checkpointCorpus(postings), stats, 64,
+        index, cents, emb.where(col("vec_id") < 5), hybridBatchTerms,
+        k = 10, legK = 20, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     // hybrid fusion from BOTH maintained gen stores after their
     // lifecycle mutation plans: the BM25 store runs the two
     // `retrieval_bm25_lifecycle` ticks over documents, the IVF store
@@ -2916,6 +2935,15 @@ object PipelineQueries {
            CAST(SUM(CASE WHEN proj > 0 THEN 1 << (p % $planes) ELSE 0 END)
              AS BIGINT) AS bucket
          FROM proj GROUP BY vec_id, p // $planes)"""
+
+  /** The batched-hybrid query set: per-qid term lists (vocabulary
+    * words of the synthetic `documents` fixture), paired with query
+    * vectors `vec_id = qid`. Shared by the Spark plan and the oracle's
+    * `qt(qid, term)` VALUES table. */
+  private val hybridBatchTerms: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("data", "stream"), 1L -> Seq("shuffle", "join"),
+    2L -> Seq("spark", "table"), 3L -> Seq("query", "scan"),
+    4L -> Seq("hash", "agg"))
 
   /** CTE chain ending in `lex(doc_id, rank)` — the BM25 scoring of
     * `documents` for the standard query terms, ranked 1..`legK` with
@@ -5204,6 +5232,54 @@ object PipelineQueries {
            COUNT(*) AS n_legs
          FROM legs GROUP BY 1
          ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""),
+
+    // batched hybrid: per-qid BM25 scoring through the query-term
+    // table + the batched IVF probe, fused per qid
+    "retrieval_hybrid_batch" -> {
+      val qtVals = hybridBatchTerms.flatMap { case (q, ts) =>
+        ts.map(t => s"($q, '$t')")
+      }.mkString(", ")
+      s"""WITH qt(qid, term) AS (SELECT * FROM (VALUES $qtVals)
+           AS v(qid, term)),
+         tok AS (SELECT doc_id, unnest($toksSql) AS term
+           FROM documents),
+         tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         sc AS (SELECT qt.qid, tc.doc_id,
+           CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS rarity_ppm,
+           CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+             (CAST(10 AS HUGEINT) * tf * total_len +
+              CAST(3 AS HUGEINT) * total_len +
+              CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+           FROM tc JOIN qt USING (term) JOIN df USING (term)
+           JOIN dl USING (doc_id) CROSS JOIN tot),
+         bm AS (SELECT qid, doc_id,
+           CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT) AS score
+           FROM sc GROUP BY 1, 2),
+         lex AS (SELECT qid, doc_id, rank FROM (
+           SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY score DESC, doc_id ASC) AS rank FROM bm)
+           WHERE rank <= 20),
+         ${ivfSql(16, 4, 20)},
+         legs AS (SELECT qid, doc_id, rank FROM lex
+           UNION ALL SELECT qid, nid AS doc_id, rank FROM ivf_topk),
+         fused AS (SELECT qid, doc_id,
+           CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+           COUNT(*) AS n_legs
+           FROM legs GROUP BY 1, 2)
+         SELECT CAST(qid AS BIGINT) AS qid, doc_id, rrf_ppm, n_legs,
+           CAST(rank AS BIGINT) AS rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY rrf_ppm DESC, doc_id ASC) AS rank FROM fused)
+         WHERE rank <= 10 ORDER BY qid, rank"""
+    },
 
     // hybrid fusion AFTER the two lifecycle mutation plans: both legs
     // rebuilt from scratch on their mutated corpora (documents per the

@@ -282,6 +282,56 @@ object Bm25Index {
     * per-doc sum groups only the pruned postings; top-k is a
     * TakeOrdered. Nothing in the plan is corpus-sized.
     */
+  /** Top-k search for a BATCH of queries in ONE index pass — the
+    * serving amortization: the bucket predicate and `term IN` filter
+    * are built from the UNION of every query's terms, so B queries
+    * read each touched bucket once instead of B times, and the
+    * (probe-sized) pruned postings fan out to per-query scores through
+    * a broadcast join against the tiny `(qid, term)` table. Per-term
+    * df stays GLOBAL (a term's posting count — identical to
+    * [[search]], so a batched query scores exactly like the same query
+    * alone, which the spec pins). Ranks carry the engine tie-break
+    * (score desc, doc_id asc) per qid; the per-qid window runs over
+    * matched-posting rows only — probe-sized, never corpus-sized.
+    * Output: `(qid, doc_id, score, rank)`, rank ≤ k. */
+  def searchBatch(postings: DataFrame, stats: DataFrame,
+                  queries: Seq[(Long, Seq[String])], k: Int,
+                  nBuckets: Int): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val bucketPred = allTerms.map(t =>
+      col("bucket") ===
+        pmod(xxhash64(lit(t)), lit(nBuckets.toLong)).cast("int"))
+      .reduce(_ || _)
+    val sub = postings
+      .where(bucketPred && col("term").isin(allTerms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .localCheckpoint(eager = false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val dfreq = sub.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = queries.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => (qid, t))
+    }.toDF("qid", "term")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    sub.join(broadcast(qt), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        expr("cast(n - df as decimal(38,0)) * 1000000 div n")
+          .as("rarity_ppm"),
+        expr("cast(22 as decimal(38,0)) * tf * total_len * 1000000 div " +
+          "(cast(10 as decimal(38,0)) * tf * total_len + " +
+          "cast(3 as decimal(38,0)) * total_len + " +
+          "cast(9 as decimal(38,0)) * dl * n)").as("tfnorm_ppm"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("rarity_ppm") * col("tfnorm_ppm")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   def search(postings: DataFrame, stats: DataFrame,
              qTerms: Seq[String], k: Int, nBuckets: Int): DataFrame = {
     val terms = qTerms.distinct

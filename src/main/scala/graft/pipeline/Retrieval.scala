@@ -67,6 +67,52 @@ object Retrieval {
     rrfFuse(Seq(lex, vec), k, k0)
   }
 
+  /** Per-query RRF fusion for a BATCH of queries: each leg carries
+    * `(qid, doc_id, rank)` with rank 1-based within its qid; the fused
+    * top-k is computed independently per qid (same integer-exact sum
+    * as [[rrfFuse]], same doc_id tie-break). Output `(qid, doc_id,
+    * rrf_ppm, n_legs, rank)`. The per-qid window runs over the fused
+    * candidates only — at most legs·legK rows per query. */
+  def rrfFuseByQuery(legs: Seq[DataFrame], k: Int,
+                     k0: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuseByQuery needs at least one leg")
+    val all = legs.map(_.select(
+      col("qid").cast("long").as("qid"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("long").as("rank"))).reduce(_ unionByName _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+    all.groupBy("qid", "doc_id")
+      .agg(sum(expr(s"1000000 div ($k0 + rank)")).as("rrf_ppm"),
+        count(lit(1)).as("n_legs"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Batched serving-path hybrid: B queries answered in ONE pass over
+    * each index — [[Bm25Index.searchBatch]] reads every touched
+    * posting bucket once for all queries' terms, the IVF probe batches
+    * natively ([[Similarity.ivfTopKIndexed]] broadcasts all probe
+    * cells), and the fusion is per-qid. `queries` pairs each qid with
+    * its term list; `queryVecs` carries the same qids as `vec_id`
+    * rows. This is the deployment shape: amortizing the index scans
+    * over the query batch is what makes a high-QPS serving tier pay
+    * O(touched buckets), not O(B · touched buckets). */
+  def hybridTopKBatch(postings: DataFrame, stats: DataFrame,
+                      nBuckets: Int, ivfIndex: DataFrame,
+                      cents: Seq[(Long, Array[Double])],
+                      queryVecs: DataFrame,
+                      queries: Seq[(Long, Seq[String])], k: Int,
+                      legK: Int = 20, nprobe: Int = 4,
+                      k0: Int = 60): DataFrame = {
+    val lex = Bm25Index.searchBatch(postings, stats, queries, legK,
+      nBuckets).select(col("qid"), col("doc_id"), col("rank"))
+    val vec = Similarity.ivfTopKIndexed(queryVecs, ivfIndex, cents,
+      legK, nprobe)
+      .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+    rrfFuseByQuery(Seq(lex, vec), k, k0)
+  }
+
   /** Serving-path hybrid top-k over PREBUILT indexes: the BM25
     * posting index (bucket-pruned probe, [[Bm25Index.search]]) and an
     * IVF cell index under its frozen quantizer

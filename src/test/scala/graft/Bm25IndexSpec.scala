@@ -569,4 +569,64 @@ class Bm25IndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(viaIdx === viaScan)
   }
+
+  test("persisted index: a BATCH of queries reads each touched bucket " +
+      "once — the union bucket predicate still partition-prunes") {
+    val docs = corpus(0, 600)
+    val (postings, stats) =
+      Bm25Index.build(docs, col("doc_id"), col("text"), nBuckets)
+    val dir = java.nio.file.Files.createTempDirectory("bm25batch").toString
+    Bm25Index.write(postings, dir)
+    val reloaded = spark.read.parquet(dir)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans)
+    }
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[SparkPlan]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { captured.add(qe.executedPlan); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    val marker = new java.io.File(dir).getName
+    def indexScan(): Option[FileSourceScanExec] = {
+      import scala.jdk.CollectionConverters._
+      captured.asScala.flatMap(scans).find(
+        _.relation.location.rootPaths.exists(_.toString.contains(marker)))
+    }
+    // 2 queries × 2 terms = 4 distinct terms → ≤ 4 bucket dirs for the
+    // WHOLE batch (the amortization claim: not 4 per query)
+    val batch = Seq(1L -> Seq("alpha", "gamma"), 2L -> Seq("zeta", "eta"))
+    spark.listenerManager.register(ql)
+    val (pruned, batchedRows) = try {
+      val out = Bm25Index.searchBatch(reloaded, stats, batch, 10,
+        nBuckets)
+      val got = out.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val deadline = System.currentTimeMillis() + 20000
+      while (indexScan().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val scan = indexScan().getOrElse(
+        fail("the batch probe's index scan never reached the listener"))
+      (scan.metrics("numFiles").value, got)
+    } finally spark.listenerManager.unregister(ql)
+    assert(pruned <= 4,
+      s"batched partition pruning failed: read $pruned files")
+    // per-query answers are exactly the single-query searches
+    for ((qid, terms) <- batch) {
+      val alone = Bm25Index.search(reloaded, stats, terms, 10, nBuckets)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (qid, r.getLong(0), r.getLong(1), i + 1L) }.toSeq
+      assert(batchedRows.filter(_._1 == qid).sortBy(_._4) === alone)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -80,6 +80,62 @@ class RetrievalSpec extends AnyFunSuite {
     assert(scores.sortBy(s => (-s._1, s._2)).toSeq === scores.toSeq)
   }
 
+  test("searchBatch: a query scored inside a batch equals the same " +
+      "query scored alone (global df; one index pass)") {
+    val docs = corpus(70)
+    val (postings, stats) = Bm25Index.build(docs, col("doc_id"),
+      col("text"), 16)
+    val batch = Seq(7L -> Seq("alpha", "gamma"),
+      9L -> Seq("epsilon", "zeta"), 11L -> Seq("beta"))
+    val batched = Bm25Index.searchBatch(postings, stats, batch, 10, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    for ((qid, terms) <- batch) {
+      val alone = Bm25Index.search(postings, stats, terms, 10, 16)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (qid, r.getLong(0), r.getLong(1), i + 1L) }
+      assert(batched(qid).sortBy(_._4).toSeq === alone.toSeq,
+        s"qid $qid scored differently in the batch")
+    }
+  }
+
+  test("rrfFuseByQuery: fusion is independent per qid with the same " +
+      "integer-exact arithmetic as the single-query fuse") {
+    val lex = Seq((0L, 1L, 1L), (0L, 2L, 2L), (1L, 9L, 1L))
+      .toDF("qid", "doc_id", "rank")
+    val vec = Seq((0L, 2L, 1L), (1L, 8L, 1L), (1L, 9L, 2L))
+      .toDF("qid", "doc_id", "rank")
+    val out = Retrieval.rrfFuseByQuery(Seq(lex, vec), k = 10)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // qid 0: doc 2 = 16129+16393 = 32522 (2 legs), doc 1 = 16393
+    // qid 1: doc 9 = 16393+16129 = 32522 (2 legs), doc 8 = 16393
+    assert(out.toSeq === Seq(
+      (0L, 2L, 32522L, 2L), (0L, 1L, 16393L, 1L),
+      (1L, 9L, 32522L, 2L), (1L, 8L, 16393L, 1L)))
+  }
+
+  test("hybridTopKBatch with a single query equals hybridTopKIndexed " +
+      "on the same indexes") {
+    val docs = corpus(80)
+    val emb = embeddings(80)
+    val cents = Similarity.centroids(emb, 8)
+    val index = Similarity.ivfAssign(emb, cents)
+    val (postings, stats) = Bm25Index.build(docs, col("doc_id"),
+      col("text"), 16)
+    val single = Retrieval.hybridTopKIndexed(postings, stats, 16,
+      index, cents, emb.where(col("vec_id") === 2L), qTerms,
+      k = 10, legK = 12, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batched = Retrieval.hybridTopKBatch(postings, stats, 16,
+      index, cents, emb.where(col("vec_id") === 2L),
+      Seq(2L -> qTerms), k = 10, legK = 12, nprobe = 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batched.toSeq === single.toSeq)
+  }
+
   test("hybridTopKIndexed with exact indexes (full-probe IVF) equals " +
       "the index-free hybrid") {
     val docs = corpus(80)
