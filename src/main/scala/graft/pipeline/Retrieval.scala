@@ -52,6 +52,42 @@ object Retrieval {
       .limit(k)
   }
 
+  /** CONSISTENT hybrid over two tailer-maintained stores
+    * ([[graft.streaming.IndexMaintenanceStream]] layouts under
+    * `bmDir` and `ivfDir`, fed by the same logical mutation stream):
+    * both stores resolve AT THE SAME COMMITTED BATCH — the newest
+    * batch BOTH state pointers have committed — so a mutation that
+    * landed in one store but not yet the other is invisible to the
+    * fused answer instead of serving a lexical leg and a vector leg
+    * from different corpus versions. Rides [[graft.streaming
+    * .IndexMaintenanceStream.viewAt]], so the older store's view costs
+    * nothing extra and the newer store's view is reconstructable for
+    * at least the reader-grace window (the two pointers can only drift
+    * by the stream's in-flight batches — far inside it). */
+  def hybridFromStores(spark: org.apache.spark.sql.SparkSession,
+                       bmDoor: Maintenance.Door, bmDir: String,
+                       nBuckets: Int,
+                       ivfDoor: Maintenance.Door, ivfDir: String,
+                       cents: Seq[(Long, Array[Double])],
+                       queryVecs: DataFrame, qTerms: Seq[String],
+                       k: Int, legK: Int = 20, nprobe: Int = 4,
+                       k0: Int = 60): DataFrame = {
+    import graft.streaming.IndexMaintenanceStream
+    val asOf = math.min(
+      IndexMaintenanceStream.committedBatch(spark, bmDir),
+      IndexMaintenanceStream.committedBatch(spark, ivfDir))
+    val (bmView, bmStats) =
+      IndexMaintenanceStream.viewAt(spark, bmDoor, bmDir, asOf)
+    val (ivfView, _) =
+      IndexMaintenanceStream.viewAt(spark, ivfDoor, ivfDir, asOf)
+    val lex = rankLex(Bm25Index.search(Dedup.checkpointCorpus(bmView),
+      bmStats.get, qTerms, legK, nBuckets))
+    val vec = Similarity.ivfTopKIndexedPruned(queryVecs, ivfView, cents,
+      legK, nprobe)
+      .select(col("nid").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, vec), k, k0)
+  }
+
   /** Index-free hybrid top-k: BM25-score `docs` for `qTerms` and
     * cosine-rank `emb` against the embedding of `qid`, fuse with RRF.
     * The correctness baseline — the indexed variant below must agree

@@ -360,6 +360,16 @@ object IndexMaintenanceStream {
     viewAt(spark, door, dir, parseBatch(v))
   }
 
+  /** The newest batch this store's state pointer has committed (-1 =
+    * bootstrap only). The cross-store consistency primitive: two
+    * stores fed by the same mutation stream serve a CONSISTENT pair
+    * through [[viewAt]] at `min(committedBatch(a), committedBatch(b))`
+    * — a batch that landed in one store but not yet the other is
+    * invisible to both sides of a fused answer. */
+  def committedBatch(spark: SparkSession, dir: String): Long =
+    parseBatch(DocsStream.readPointer(spark, s"$dir/state").getOrElse(
+      sys.error(s"no CURRENT state under $dir/state")))
+
   /** TIME TRAVEL: the committed serving view AS OF `batchId` (-1 = the
     * bootstrap). Reconstructable for exactly the batches whose state
     * snapshot the reader-grace retention still holds — every batch

@@ -464,6 +464,80 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("CONSISTENT cross-store hybrid: both legs resolve at the MIN " +
+      "committed batch — a batch landed in one store only is invisible " +
+      "to the fused answer") {
+    import graft.pipeline.{Retrieval, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("imdual").toString
+    val bmDir = s"$root/bm"; val ivfDir = s"$root/ivf"
+    def vecs(ids: Seq[Long]): DataFrame =
+      ids.map { id => (id,
+        Array.tabulate(6)(d => ((id * 31 + d * 13) % 100) / 50.0f - 1f))
+      }.toDF("vec_id", "embedding")
+    def vmuts(op: String, ids: Seq[Long]): DataFrame =
+      ids.map { id => (op, id,
+        Array.tabulate(6)(d => ((id * 31 + d * 13) % 100) / 50.0f - 1f))
+      }.toDF("op", "vec_id", "embedding")
+    val ids = 0L until 50L
+    val bmDoor = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val cents = Similarity.centroids(vecs(ids), 8)
+    val ivfDoor = new Maintenance.IvfDoor(cents)
+    def ivfWrite(df: DataFrame, d: String, mode: String): Unit =
+      df.write.partitionBy("cell").mode(mode).parquet(d)
+    IndexMaintenanceStream.bootstrap(spark, bmDoor, bmDir,
+      Bm25Index.write, docs(ids.map(_ -> 0)))
+    IndexMaintenanceStream.bootstrap(spark, ivfDoor, ivfDir, ivfWrite,
+      vecs(ids))
+    // batch 0 lands in BOTH stores; batch 1 lands in the BM25 store
+    // only (the in-flight window of a dual-store feed)
+    IndexMaintenanceStream.applyBatch(spark, bmDoor, bmDir,
+      Bm25Index.write, muts((0L until 5L).map(id =>
+        ("delete", id, 0, None))), 0L, Some(oldVersion))
+    IndexMaintenanceStream.applyBatch(spark, ivfDoor, ivfDir, ivfWrite,
+      vmuts("delete", 0L until 5L), 0L)
+    IndexMaintenanceStream.applyBatch(spark, bmDoor, bmDir,
+      Bm25Index.write, muts(Seq(("delete", 5L, 0, None))), 1L,
+      Some(oldVersion))
+    assert(IndexMaintenanceStream.committedBatch(spark, bmDir) === 1L)
+    assert(IndexMaintenanceStream.committedBatch(spark, ivfDir) === 0L)
+    val q = vecs(Seq(7L))
+    def hybrid(): Seq[(Long, Long, Long)] =
+      Retrieval.hybridFromStores(spark, bmDoor, bmDir, nBuckets,
+        ivfDoor, ivfDir, cents, q, qTerms, k = 10, legK = 12,
+        nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    def fuseAt(b: Long): Seq[(Long, Long, Long)] = {
+      val (bmV, bmS) = IndexMaintenanceStream.viewAt(spark, bmDoor,
+        bmDir, b)
+      val (ivfV, _) = IndexMaintenanceStream.viewAt(spark, ivfDoor,
+        ivfDir, b)
+      Retrieval.rrfFuse(Seq(
+        Retrieval.rankLex(Bm25Index.search(bmV, bmS.get, qTerms, 12,
+          nBuckets)),
+        Similarity.ivfTopKIndexedPruned(q, ivfV, cents, 12, nprobe = 8)
+          .select(col("nid").as("doc_id"), col("rank"))), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    }
+    // the fused answer is the CONSISTENT batch-0 pair: doc 5's BM25
+    // delete (committed in one store only) is invisible to both legs
+    assert(hybrid() === fuseAt(0L))
+    val (bmLatest, _) = IndexMaintenanceStream.currentView(spark,
+      bmDoor, bmDir)
+    assert(bmLatest.where(col("doc_id") === 5L).count() === 0L,
+      "fixture broken: doc 5 should be gone from the BM25 head")
+    val (bmAt0, _) = IndexMaintenanceStream.viewAt(spark, bmDoor,
+      bmDir, 0L)
+    assert(bmAt0.where(col("doc_id") === 5L).count() > 0L,
+      "fixture broken: doc 5 should be live at batch 0")
+    // the IVF store catches up: the pair advances to batch 1 whole
+    IndexMaintenanceStream.applyBatch(spark, ivfDoor, ivfDir, ivfWrite,
+      vmuts("delete", Seq(5L)), 1L)
+    assert(hybrid() === fuseAt(1L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("TIME TRAVEL: viewAt reconstructs any committed batch inside " +
       "the retention window and refuses past the grace floor") {
     val dir = java.nio.file.Files.createTempDirectory("imtravel").toString
