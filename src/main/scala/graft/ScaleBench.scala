@@ -1631,6 +1631,104 @@ object ScaleBench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
 
+    // ---- the IVF door through the SAME real mutationStream at 1M
+    // vectors: the tailer is door-generic, so the second gen-store
+    // family must show the same flat-tick / bounded-store shape. 20
+    // mixed batches (1,000 deletes + 1,000 reversed-embedding updates
+    // + 500 adds); the committed partition-pruned probe closes it.
+    if (Seq("tailer_ivf_stream_1m", "tailer_ivf_probe_1m")
+        .exists(only)) {
+      val n = 1000000L
+      val m = n / 1000
+      val nBatches = 20
+      val root = "/tmp/graft_tailer_ivf_1m"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val feedDir = s"$root/feed"
+      val dir = s"$root/store_root"
+      val gemb = expr(
+        """transform(sequence(0, 15), d ->
+             cast(pmod(xxhash64(id, d), 1000) / 500.0 - 1.0 as float))""")
+      def gvecs(ids: org.apache.spark.sql.DataFrame) =
+        ids.select(col("id").as("vec_id"), gemb.as("embedding"))
+      def ivfWrite(df: org.apache.spark.sql.DataFrame, d: String,
+                   mode: String): Unit =
+        df.write.partitionBy("cell").mode(mode).parquet(d)
+      var cents: Seq[(Long, Array[Double])] = Nil
+      var door: pipeline.Maintenance.IvfDoor = null
+      t("tailer_ivf_bootstrap_1m") {
+        cents = pipeline.Similarity.centroids(
+          gvecs(spark.range(n).toDF()), 256)
+        door = new pipeline.Maintenance.IvfDoor(cents)
+        streaming.IndexMaintenanceStream.bootstrap(spark, door, dir,
+          ivfWrite, gvecs(spark.range(n).toDF()))
+        s"n=$n nlist=256"
+      }
+      t("tailer_ivf_feed_1m") {
+        new java.io.File(feedDir).mkdirs()
+        for (i <- 0 until nBatches) {
+          val dels = gvecs(spark.range(n).toDF()
+            .where(col("id") % m === i))
+            .select(lit("delete").as("op"), col("vec_id"),
+              col("embedding"))
+          val upds = gvecs(spark.range(n).toDF()
+            .where(col("id") % m === 100 + i))
+            .select(lit("update").as("op"), col("vec_id"),
+              reverse(col("embedding")).as("embedding"))
+          val adds = gvecs(spark.range(n + i * 500L, n + (i + 1) * 500L)
+            .toDF())
+            .select(lit("add").as("op"), col("vec_id"), col("embedding"))
+          val staging = s"$feedDir/stage_$i"
+          dels.unionByName(upds).unionByName(adds)
+            .coalesce(1).write.parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get.toPath
+          java.nio.file.Files.move(part, java.nio.file.Paths.get(
+            feedDir, f"b$i%03d.parquet"))
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(staging))
+        }
+        s"batches=$nBatches rowsPerBatch=2500"
+      }
+      t("tailer_ivf_stream_1m") {
+        val feed = spark.readStream
+          .schema("op string, vec_id bigint, embedding array<float>")
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "b*.parquet")
+          .parquet(feedDir)
+        val q = streaming.IndexMaintenanceStream.mutationStream(feed,
+          door, dir, ivfWrite, s"$dir/ckpt", maxDeltas = 8)
+        q.processAllAvailable()
+        val durs = q.recentProgress.toSeq
+          .map(p => p.batchId -> p.durationMs.get("triggerExecution"))
+          .sortBy(_._1)
+        q.stop()
+        val st = pipeline.Maintenance.loadState(spark,
+          s"$dir/state/${streaming.DocsStream.readPointer(spark,
+            s"$dir/state").get}")
+        val names = new java.io.File(s"$dir/store").listFiles()
+          .filter(_.isDirectory).map(_.getName).sorted.toSeq
+        s"compactions=${st.compactions} " +
+          s"bases=${names.count(_.startsWith("base_"))} " +
+          s"deltas=${names.count(_.startsWith("delta_b"))} " +
+          s"tombstones=${st.tombstones.count()} durations=[" +
+          durs.map { case (b, ms) => s"$b:${ms}ms" }.mkString(" ") + "]"
+      }
+      // query ids ≡ 500 (mod m): never deleted or updated
+      val q5 = gvecs(spark.range(5).toDF()
+        .select((col("id") * m + 500L).as("id"))).localCheckpoint(true)
+      pin()
+      ti("tailer_ivf_probe_1m") {
+        val (view, _) = streaming.IndexMaintenanceStream
+          .currentView(spark, door, dir)
+        val leaves = view.queryExecution.optimizedPlan
+          .collectLeaves().length
+        val rows = pipeline.Similarity.ivfTopKIndexedPruned(q5, view,
+          cents, 10, nprobe = 8).count()
+        s"planLeaves=$leaves rows=$rows"
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+
     // ---- batched hybrid serving at scale: the amortization claim.
     // 16 three-term queries probe the 1M-doc posting index BATCHED
     // (one union-bucket pass, per-query fan-out) vs SEQUENTIALLY (16
