@@ -161,7 +161,10 @@ object Bench {
     // evidence: two in-band full runs totalled 95.8 s and 102.3 s on
     // identical binaries. A reader comparing rounds divides the totals
     // by the calibration ratio to separate box speed from plan
-    // changes. (Advisory only — never gates.)
+    // changes. (Advisory only — never gates.) For cross-round
+    // normalization prefer calib_END: by run end the JVM is fully
+    // warm, so it isolates box speed; the start value still carries
+    // JIT warmup (observed 0.29 start vs 0.17 end on a quiet box).
     def calibOnce(): Double = secs {
       // bit_xor: overflow-free under ANSI, still hashes every row
       spark.range(200000000L).selectExpr("bit_xor(xxhash64(id))").collect()
