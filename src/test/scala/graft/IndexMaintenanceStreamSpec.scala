@@ -464,6 +464,120 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("seeded tailer fuzz: random mutation batches with REPLAY and " +
+      "CRASH injection (before the state commit / between commit and " +
+      "housekeeping) all end equal to the rebuild") {
+    import graft.streaming.DocsStream
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"imfuzz$seed").toString
+      val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+      val live = scala.collection.mutable.LinkedHashMap[Long, Int](
+        (0L until 60L).map(_ -> 0): _*)
+      val resendable = scala.collection.mutable.Map.empty[Long, Int]
+      val deadEver = scala.collection.mutable.Map.empty[Long, Int]
+      var nextId = 60L
+      var compactionsSeen = 0L
+      IndexMaintenanceStream.bootstrap(spark, door, dir, Bm25Index.write,
+        docs(live.toSeq))
+      val maxDeltas = 4 // force fragmentation compactions mid-fuzz
+      def compactions(): Long = Maintenance.loadState(spark,
+        s"$dir/state/${DocsStream.readPointer(spark, s"$dir/state").get}")
+        .compactions
+      for (batch <- 0L until 6L) {
+        val pool = rnd.shuffle(live.keys.toVector)
+        val dels = pool.take(rnd.nextInt(5))
+        val upds = pool.drop(dels.size).take(rnd.nextInt(5))
+        val adds = (nextId until nextId + 1 + rnd.nextInt(4)).toVector
+        nextId += adds.size
+        val reAdd = if (rnd.nextBoolean())
+          rnd.shuffle(deadEver.keySet.toVector).headOption else None
+        val resend = if (rnd.nextBoolean())
+          rnd.shuffle(resendable.keys.toVector).headOption else None
+        val delPairs = dels.map(id => (id, live(id))) ++
+          resend.map(id => (id, resendable(id)))
+        val addPairs = adds.map(_ -> 0) ++
+          reAdd.map(id => id -> (deadEver(id) + 1))
+        val updPairsOld = upds.map(id => id -> live(id))
+        val mutBatch = muts(
+          delPairs.map { case (id, v) => ("delete", id, v, None) } ++
+          addPairs.map { case (id, v) => ("add", id, v, None) } ++
+          upds.map(id => ("update", id, live(id) + 1,
+            Some(live(id)))))
+        val thresh = if (rnd.nextInt(4) == 0) 64L * 25 else 10L << 20
+        def applyIt(): Unit =
+          IndexMaintenanceStream.applyBatch(spark, door, dir,
+            Bm25Index.write, mutBatch, batch, Some(oldVersion),
+            compactThresholdBytes = thresh, maxDeltas = maxDeltas)
+        rnd.nextInt(4) match {
+          case 0 => applyIt() // clean
+          case 1 => applyIt(); applyIt() // at-least-once replay
+          case 2 =>
+            // crash BEFORE the state commit: the tick's delta (and a
+            // possibly staged base) land, the pointer never moves; the
+            // replay must rewrite the batch wholesale from the
+            // pre-batch state
+            val applied = DocsStream.readPointer(spark, s"$dir/state")
+            val st0 = Maintenance.loadState(spark,
+              s"$dir/state/${applied.get}")
+            val store = new IndexMaintenanceStream.VersionedStore(spark,
+              s"$dir/store", Bm25Index.write, batch, maxDeltas)
+            Maintenance.tick(door, store, st0,
+              adds = docs(addPairs), deletes = docs(delPairs),
+              updates = docs(upds.map(id => id -> (live(id) + 1))),
+              updatesOld = Some(docs(updPairsOld)),
+              compactThresholdBytes = thresh)
+            applyIt()
+          case 3 =>
+            // crash BETWEEN the state commit and the deferred
+            // housekeeping: state pointer lands, sweep/finalize skipped;
+            // the replay must detect the committed batch, skip the
+            // tick whole, and heal the housekeeping
+            val applied = DocsStream.readPointer(spark, s"$dir/state")
+            val st0 = Maintenance.loadState(spark,
+              s"$dir/state/${applied.get}")
+            val store = new IndexMaintenanceStream.VersionedStore(spark,
+              s"$dir/store", Bm25Index.write, batch, maxDeltas)
+            val st1 = Maintenance.tick(door, store, st0,
+              adds = docs(addPairs), deletes = docs(delPairs),
+              updates = docs(upds.map(id => id -> (live(id) + 1))),
+              updatesOld = Some(docs(updPairsOld)),
+              compactThresholdBytes = thresh)
+            Maintenance.saveState(st1, s"$dir/state/v_b$batch")
+            DocsStream.swapPointer(spark, s"$dir/state", s"v_b$batch")
+            applyIt()
+        }
+        dels.foreach { id =>
+          resendable(id) = live(id); deadEver(id) = live(id)
+          live.remove(id)
+        }
+        upds.foreach(id => live(id) = live(id) + 1)
+        adds.foreach(live(_) = 0)
+        reAdd.foreach { id =>
+          live(id) = deadEver(id) + 1
+          deadEver.remove(id); resendable.remove(id)
+        }
+        // a fired compaction retires the re-send history (the tick's
+        // documented contract boundary)
+        if (compactions() > compactionsSeen) {
+          resendable.clear()
+          compactionsSeen = compactions()
+        }
+      }
+      val (view, stats) =
+        IndexMaintenanceStream.currentView(spark, door, dir)
+      val (pf, sf) = Bm25Index.build(docs(live.toSeq), col("doc_id"),
+        col("text"), nBuckets)
+      assert(stats.get.collect().toSeq === sf.collect().toSeq,
+        s"seed=$seed: stats drifted")
+      assert(sortedRows(view.drop("gen")) === sortedRows(pf),
+        s"seed=$seed: postings drifted")
+      assert(topk(view, stats.get) === topk(pf, sf),
+        s"seed=$seed: search drifted")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
   test("CONSISTENT cross-store hybrid: both legs resolve at the MIN " +
       "committed batch — a batch landed in one store only is invisible " +
       "to the fused answer") {
