@@ -2524,6 +2524,17 @@ object PipelineQueries {
         Seq("data", "stream", "shuffle"), k = 10, legK = 20, nprobe = 4)
     }),
 
+    // WEIGHTED hybrid: the lexical leg at 3× the vector leg's weight
+    // (the standard knob when the text signal is trusted more than the
+    // embedding) — integer ppm weights keep the fused ordering
+    // SQL-mirrorable bit-for-bit.
+    "retrieval_hybrid_weighted" -> ((s, d) =>
+      pipeline.Retrieval.hybridTopK(
+        Tables.documents(s, d), Tables.embeddings(s, d),
+        col("doc_id"), col("text"), Seq("data", "stream", "shuffle"),
+        qid = 0L, k = 10, legK = 20,
+        weights = Seq(1500000L, 500000L))),
+
     // BATCHED hybrid serving: five queries, each with its own term
     // list and query vector, answered in ONE pass over each index —
     // [[pipeline.Bm25Index.searchBatch]] unions all queries' bucket
@@ -5229,6 +5240,23 @@ object PipelineQueries {
            UNION ALL SELECT nid AS doc_id, rank FROM ivf_topk)
          SELECT doc_id,
            CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+           COUNT(*) AS n_legs
+         FROM legs GROUP BY 1
+         ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""),
+
+    // weighted hybrid: per-leg ppm weights in the fusion sum
+    "retrieval_hybrid_weighted" ->
+      (s"""WITH ${bm25LexLegSql(20)},
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         vec AS (SELECT doc_id, rank FROM (
+           SELECT e.vec_id AS doc_id, ROW_NUMBER() OVER (
+             ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                      e.vec_id ASC) AS rank
+           FROM q, embeddings e WHERE e.vec_id <> 0) WHERE rank <= 20),
+         legs AS (SELECT doc_id, rank, 1500000 AS w FROM lex
+           UNION ALL SELECT doc_id, rank, 500000 AS w FROM vec)
+         SELECT doc_id,
+           CAST(SUM(w // (60 + rank)) AS BIGINT) AS rrf_ppm,
            COUNT(*) AS n_legs
          FROM legs GROUP BY 1
          ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""),

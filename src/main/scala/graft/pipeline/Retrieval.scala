@@ -36,17 +36,26 @@ object Retrieval {
         .cast("long").as("rank"))
 
   /** Fuse ranked legs — each `(doc_id, rank)` with rank 1-based — into
-    * the RRF top-k: `rrf_ppm = Σ 1000000 div (k0 + rank)` summed over
+    * the RRF top-k: `rrf_ppm = Σ w_leg div (k0 + rank)` summed over
     * the legs a doc appears in, ties broken by doc_id. `n_legs` counts
     * the contributing legs (2 = found by both lexical and vector
-    * search). k0 = 60 is the constant from the RRF paper. */
-  def rrfFuse(legs: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    * search). k0 = 60 is the constant from the RRF paper; `weights`
+    * (ppm per leg, default 1,000,000 each) is the standard
+    * lexical-vs-semantic tuning knob — integer weights keep the fused
+    * ordering exactly SQL-mirrorable. */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, k0: Int = 60,
+              weights: Seq[Long] = Nil): DataFrame = {
     require(legs.nonEmpty, "rrfFuse needs at least one leg")
-    val all = legs.map(_.select(
+    require(weights.isEmpty || weights.size == legs.size,
+      s"${weights.size} weights for ${legs.size} legs")
+    val ws =
+      if (weights.isEmpty) Seq.fill(legs.size)(1000000L) else weights
+    val all = legs.zip(ws).map { case (l, w) => l.select(
       col("doc_id").cast("long").as("doc_id"),
-      col("rank").cast("long").as("rank"))).reduce(_ unionByName _)
+      col("rank").cast("long").as("rank"),
+      lit(w).as("__w")) }.reduce(_ unionByName _)
     all.groupBy("doc_id")
-      .agg(sum(expr(s"1000000 div ($k0 + rank)")).as("rrf_ppm"),
+      .agg(sum(expr(s"__w div ($k0 + rank)")).as("rrf_ppm"),
         count(lit(1)).as("n_legs"))
       .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
       .limit(k)
@@ -89,18 +98,20 @@ object Retrieval {
   }
 
   /** Index-free hybrid top-k: BM25-score `docs` for `qTerms` and
-    * cosine-rank `emb` against the embedding of `qid`, fuse with RRF.
-    * The correctness baseline — the indexed variant below must agree
-    * when its index is exact. */
+    * cosine-rank `emb` against the embedding of `qid`, fuse with RRF
+    * (optionally weighted — `weights` = (lexical, vector) ppm). The
+    * correctness baseline — the indexed variant below must agree when
+    * its index is exact. */
   def hybridTopK(docs: DataFrame, emb: DataFrame, idCol: Column,
                  text: Column, qTerms: Seq[String], qid: Long, k: Int,
-                 legK: Int = 20, k0: Int = 60): DataFrame = {
+                 legK: Int = 20, k0: Int = 60,
+                 weights: Seq[Long] = Nil): DataFrame = {
     val lex = rankLex(TextAnalysis.bm25TopK(docs, idCol, text, qTerms,
       legK))
     val vec = Similarity.bruteForceTopK(
       emb.where(col("vec_id") === qid), emb, legK)
       .select(col("nid").as("doc_id"), col("rank"))
-    rrfFuse(Seq(lex, vec), k, k0)
+    rrfFuse(Seq(lex, vec), k, k0, weights)
   }
 
   /** Per-query RRF fusion for a BATCH of queries: each leg carries

@@ -45,6 +45,23 @@ class RetrievalSpec extends AnyFunSuite {
       (1L, 16393L, 1L), (4L, 16129L, 1L)))
   }
 
+  test("rrfFuse: per-leg ppm weights scale each leg's contribution " +
+      "exactly; default weights reproduce the unweighted fuse") {
+    val lex = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val vec = Seq((2L, 1L), (3L, 1L)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, vec), k = 10,
+      weights = Seq(1500000L, 500000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc 1: 1500000/61 = 24590; doc 2: 1500000/62 + 500000/61
+    //       = 24193 + 8196 = 32389; doc 3: 500000/61 = 8196
+    assert(out === Seq((2L, 32389L), (1L, 24590L), (3L, 8196L)))
+    val unweighted = Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+      .collect().map(_.toSeq).toSeq
+    val defaulted = Retrieval.rrfFuse(Seq(lex, vec), k = 10,
+      weights = Seq(1000000L, 1000000L)).collect().map(_.toSeq).toSeq
+    assert(defaulted === unweighted)
+  }
+
   test("rrfFuse: equal-score ties order by doc_id ascending and k caps " +
       "the fused list") {
     val a = Seq((7L, 1L), (5L, 2L)).toDF("doc_id", "rank")
