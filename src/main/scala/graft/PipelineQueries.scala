@@ -2617,6 +2617,156 @@ object PipelineQueries {
       pipeline.Retrieval.rrfFuse(Seq(lex, vec), k = 10)
     }),
 
+    // WEIGHTED fusion through the BATCH tier: the same per-leg ppm
+    // knob `retrieval_hybrid_weighted` pins for a single query, now in
+    // [[pipeline.Retrieval.rrfFuseByQuery]] — five queries, one pass
+    // over each index, lexical leg at 3× the vector leg's weight
+    "retrieval_hybrid_batch_weighted" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val index = pipeline.Similarity.ivfAssign(emb, cents)
+      val (postings, stats) = pipeline.Bm25Index.build(
+        Tables.documents(s, d), col("doc_id"), col("text"), 64)
+      pipeline.Retrieval.hybridTopKBatch(
+        pipeline.Dedup.checkpointCorpus(postings), stats, 64,
+        index, cents, emb.where(col("vec_id") < 5), hybridBatchTerms,
+        k = 10, legK = 20, nprobe = 4,
+        weights = Seq(1500000L, 500000L))
+        .orderBy("qid", "rank")
+    }),
+
+    // METADATA-FILTERED BM25 ([[pipeline.Bm25Index.searchFiltered]]):
+    // the allowed slice (every 3rd doc) masks candidates BEFORE the
+    // top-k limit while scoring stays global (Lucene filter-query
+    // semantics) — the oracle scores the FULL corpus and ranks only
+    // the slice, so the hash match pins both halves of the contract
+    "retrieval_bm25_filtered" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (postings, stats) = pipeline.Bm25Index.build(
+        docs, col("doc_id"), col("text"), 64)
+      pipeline.Bm25Index.searchFiltered(
+        pipeline.Dedup.checkpointCorpus(postings), stats,
+        Seq("data", "stream", "shuffle"), 10, 64,
+        docs.where(col("doc_id") % 3 === 0).select("doc_id"))
+    }),
+
+    // METADATA-FILTERED IVF probe ([[pipeline.Similarity
+    // .ivfTopKIndexedPrunedFiltered]], FAISS-IDSelector semantics):
+    // the mask applies before the per-query rank window under the
+    // frozen quantizer — the oracle assigns and probes only the
+    // allowed slice, so filtered probe ≡ index-of-the-slice
+    "ann_ivf_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val index = pipeline.Similarity.ivfAssign(emb, cents)
+      pipeline.Similarity.ivfTopKIndexedPrunedFiltered(
+        emb.where(col("vec_id") < 5), index, cents, 5, 4,
+        emb.where(col("vec_id") % 3 === 0).select("vec_id"))
+        .orderBy("qid", "rank")
+    }),
+
+    // FILTERED HYBRID ([[pipeline.Retrieval.hybridTopKIndexedFiltered]]):
+    // "search within a slice" — both legs masked before their top-k,
+    // fused by RRF; the oracle rebuilds both filtered legs from scratch
+    "retrieval_hybrid_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val index = pipeline.Similarity.ivfAssign(emb, cents)
+      val (postings, stats) = pipeline.Bm25Index.build(
+        docs, col("doc_id"), col("text"), 64)
+      pipeline.Retrieval.hybridTopKIndexedFiltered(
+        pipeline.Dedup.checkpointCorpus(postings), stats, 64,
+        index, cents, emb.where(col("vec_id") === 0L),
+        Seq("data", "stream", "shuffle"),
+        docs.where(col("doc_id") % 3 === 0).select("doc_id"),
+        k = 10, legK = 20, nprobe = 4)
+    }),
+
+    // BATCHED STORE-BACKED hybrid ([[pipeline.Retrieval
+    // .hybridFromStoresBatch]]): both tailer-maintained stores run
+    // their two lifecycle mutation batches through the versioned
+    // parquet layout, then five queries are answered in ONE pass over
+    // each store at one consistent asOf (min committed batch) — the
+    // oracle rebuilds BOTH mutated corpora from scratch and fuses
+    // per-qid, pinning batch amortization + store consistency together
+    "retrieval_hybrid_store_batch" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      // ---- BM25 store: the retrieval_bm25_tailer mutation batches
+      val bmDoor = new pipeline.Maintenance.Bm25Door(col("text"), 64)
+      val bmDir = java.nio.file.Files
+        .createTempDirectory("graft-hsb-bm").toString
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
+      val oldV: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+        u => u.select(col("doc_id"), col("old_text").as("text"))
+      val upd1old = docs.where(col("doc_id") % 6 === 3)
+      val b0 = docs.where(col("doc_id") % 11 === 5)
+        .select(lit("add").as("op"),
+          (col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit(null).cast("string").as("old_text"))
+        .unionByName(docs
+          .where(col("doc_id") % 7 === 0 && col("doc_id") % 6 =!= 3)
+          .select(lit("delete").as("op"), col("doc_id"), col("text"),
+            lit(null).cast("string").as("old_text")))
+        .unionByName(upd1old.select(lit("update").as("op"),
+          col("doc_id"),
+          concat(col("text"), lit(" shuffle data")).as("text"),
+          col("text").as("old_text")))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+      val b1 = upd1old.where(col("doc_id") % 12 === 3)
+        .select(lit("delete").as("op"), col("doc_id"),
+          concat(col("text"), lit(" shuffle data")).as("text"),
+          lit(null).cast("string").as("old_text"))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, bmDoor, bmDir, pipeline.Bm25Index.write, b1, 1L, Some(oldV))
+      // ---- IVF store: the ann_ivf_lifecycle mutation batches
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val ivfDoor = new pipeline.Maintenance.IvfDoor(cents)
+      val ivfDir = java.nio.file.Files
+        .createTempDirectory("graft-hsb-ivf").toString
+      def ivfWrite(df: org.apache.spark.sql.DataFrame, dst: String,
+                   mode: String): Unit =
+        df.write.partitionBy("cell").mode(mode).parquet(dst)
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, ivfDoor, ivfDir, ivfWrite, emb)
+      val vUpd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val v0 = emb.where(col("vec_id") % 11 === 5)
+        .select(lit("add").as("op"),
+          (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .unionByName(emb
+          .where(col("vec_id") % 9 === 7 && col("vec_id") % 6 =!= 3)
+          .select(lit("delete").as("op"), col("vec_id"),
+            col("embedding")))
+        .unionByName(vUpd1.select(lit("update").as("op"), col("vec_id"),
+          col("embedding")))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, ivfDoor, ivfDir, ivfWrite, v0, 0L)
+      val v1 = vUpd1.where(col("vec_id") % 12 === 3)
+        .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, ivfDoor, ivfDir, ivfWrite, v1, 1L)
+      // ---- one consistent batched fusion; eager-checkpoint the tiny
+      // result so both temp stores can be dropped before the caller's
+      // action runs (the tailer-fixture discipline)
+      val result = pipeline.Dedup.checkpointCorpus(
+        pipeline.Retrieval.hybridFromStoresBatch(
+          s, bmDoor, bmDir, 64, ivfDoor, ivfDir, cents,
+          emb.where(col("vec_id") < 5), hybridBatchTerms,
+          k = 10, legK = 20, nprobe = 4)
+          .orderBy("qid", "rank"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(bmDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(ivfDir))
+      result
+    }),
+
     // Hilbert layout key: same census as layout_zorder_code but along
     // the adjacency-preserving curve — oracling the 16-round
     // rotate/reflect LOOP (functions.HilbertCode, eval AND codegen)
@@ -2961,8 +3111,13 @@ object PipelineQueries {
     * the engine's tie-break (score desc, doc_id asc). Mirrors
     * [[graft.pipeline.TextAnalysis.bm25TopK]] +
     * [[graft.pipeline.Retrieval.rankLex]]. */
+  /** `lexWhere` filters the RANKING POOL only (e.g. `WHERE doc_id % 3
+    * = 0`) — scoring stays global, mirroring
+    * [[graft.pipeline.Bm25Index.searchFiltered]]'s candidate-mask
+    * semantics. */
   private def bm25LexLegSql(legK: Int,
-                            docsFrom: String = "documents"): String =
+                            docsFrom: String = "documents",
+                            lexWhere: String = ""): String =
     s"""tok AS (SELECT doc_id, unnest($toksSql) AS term
          FROM $docsFrom),
        tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -2987,7 +3142,7 @@ object PipelineQueries {
          FROM sc GROUP BY 1),
        lex AS (SELECT doc_id, rank FROM (
          SELECT doc_id, ROW_NUMBER() OVER (
-           ORDER BY score DESC, doc_id ASC) AS rank FROM bm)
+           ORDER BY score DESC, doc_id ASC) AS rank FROM bm $lexWhere)
          WHERE rank <= $legK)"""
 
   /** CTEs `assigned(cell,nid,ne)` + `probes(cell,qid,qe)` + `ivf_topk`
@@ -5337,6 +5492,170 @@ object PipelineQueries {
            COUNT(*) AS n_legs
          FROM legs GROUP BY 1
          ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""
+    },
+
+    // weighted fusion through the BATCH tier: per-leg ppm weights in
+    // the per-qid reciprocal-rank sum (lex 1.5M, vec 0.5M)
+    "retrieval_hybrid_batch_weighted" -> {
+      val qtVals = hybridBatchTerms.flatMap { case (q, ts) =>
+        ts.map(t => s"($q, '$t')")
+      }.mkString(", ")
+      s"""WITH qt(qid, term) AS (SELECT * FROM (VALUES $qtVals)
+           AS v(qid, term)),
+         tok AS (SELECT doc_id, unnest($toksSql) AS term
+           FROM documents),
+         tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         sc AS (SELECT qt.qid, tc.doc_id,
+           CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS rarity_ppm,
+           CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+             (CAST(10 AS HUGEINT) * tf * total_len +
+              CAST(3 AS HUGEINT) * total_len +
+              CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+           FROM tc JOIN qt USING (term) JOIN df USING (term)
+           JOIN dl USING (doc_id) CROSS JOIN tot),
+         bm AS (SELECT qid, doc_id,
+           CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT) AS score
+           FROM sc GROUP BY 1, 2),
+         lex AS (SELECT qid, doc_id, rank FROM (
+           SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY score DESC, doc_id ASC) AS rank FROM bm)
+           WHERE rank <= 20),
+         ${ivfSql(16, 4, 20)},
+         legs AS (SELECT qid, doc_id, rank, 1500000 AS w FROM lex
+           UNION ALL SELECT qid, nid AS doc_id, rank, 500000 AS w
+           FROM ivf_topk),
+         fused AS (SELECT qid, doc_id,
+           CAST(SUM(w // (60 + rank)) AS BIGINT) AS rrf_ppm,
+           COUNT(*) AS n_legs
+           FROM legs GROUP BY 1, 2)
+         SELECT CAST(qid AS BIGINT) AS qid, doc_id, rrf_ppm, n_legs,
+           CAST(rank AS BIGINT) AS rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY rrf_ppm DESC, doc_id ASC) AS rank FROM fused)
+         WHERE rank <= 10 ORDER BY qid, rank"""
+    },
+
+    // filtered BM25: the FULL-corpus scoring chain, ranked over only
+    // the allowed slice — global df/n/total_len (the mask must not
+    // change a doc's score), mask before the top-k limit
+    "retrieval_bm25_filtered" ->
+      (s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term
+             FROM documents),
+         tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+           WHERE term IN ('data', 'stream', 'shuffle') GROUP BY 1),
+         sc AS (SELECT tc.doc_id,
+           CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS rarity_ppm,
+           CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+             (CAST(10 AS HUGEINT) * tf * total_len +
+              CAST(3 AS HUGEINT) * total_len +
+              CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+           FROM tc JOIN df USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT)
+           AS score
+         FROM sc WHERE doc_id % 3 = 0
+         GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10"""),
+
+    // filtered IVF probe: assignment under the full-corpus quantizer,
+    // candidates restricted to the allowed slice before ranking —
+    // filtered probe ≡ probe of an index holding only the slice
+    "ann_ivf_filtered" ->
+      (s"""WITH ${ivfSql(16, 4, 5,
+        corpusWhere = "WHERE vec_id % 3 = 0")}
+         SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivf_topk
+         ORDER BY qid, rank"""),
+
+    // filtered hybrid: both legs masked to the slice before their
+    // top-k (lexical: global scoring + filtered ranking pool; vector:
+    // slice-filtered probe), fused by the integer-exact RRF sum
+    "retrieval_hybrid_filtered" ->
+      (s"""WITH ${bm25LexLegSql(20, lexWhere = "WHERE doc_id % 3 = 0")},
+         ${ivfSql(16, 4, 20, corpusWhere = "WHERE vec_id % 3 = 0",
+        queryWhere = "WHERE vec_id = 0")},
+         legs AS (SELECT doc_id, rank FROM lex
+           UNION ALL SELECT nid AS doc_id, rank FROM ivf_topk)
+         SELECT doc_id,
+           CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+           COUNT(*) AS n_legs
+         FROM legs GROUP BY 1
+         ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""),
+
+    // batched hybrid from BOTH maintained stores after their lifecycle
+    // mutation plans: per-qid BM25 over the mutated documents + the
+    // batched IVF probe over the mutated embeddings, fused per qid —
+    // the from-scratch rebuild of what the engine serves from its two
+    // versioned parquet stores at one consistent committed batch
+    "retrieval_hybrid_store_batch" -> {
+      val qtVals = hybridBatchTerms.flatMap { case (q, ts) =>
+        ts.map(t => s"($q, '$t')")
+      }.mkString(", ")
+      val docs2 = "(SELECT doc_id, CASE WHEN doc_id % 6 = 3 " +
+        "THEN text || ' shuffle data' ELSE text END AS text " +
+        "FROM documents WHERE NOT (doc_id % 7 = 0 AND doc_id % 6 <> 3) " +
+        "AND NOT (doc_id % 12 = 3) " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text " +
+        "FROM documents WHERE doc_id % 11 = 5)"
+      val emb2 = "(SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+        "THEN list_reverse(embedding) ELSE embedding END AS embedding " +
+        "FROM embeddings WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+        "AND NOT (vec_id % 12 = 3) " +
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+        "FROM embeddings WHERE vec_id % 11 = 5)"
+      s"""WITH qt(qid, term) AS (SELECT * FROM (VALUES $qtVals)
+           AS v(qid, term)),
+         tok AS (SELECT doc_id, unnest($toksSql) AS term
+           FROM $docs2),
+         tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         sc AS (SELECT qt.qid, tc.doc_id,
+           CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS rarity_ppm,
+           CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+             (CAST(10 AS HUGEINT) * tf * total_len +
+              CAST(3 AS HUGEINT) * total_len +
+              CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+           FROM tc JOIN qt USING (term) JOIN df USING (term)
+           JOIN dl USING (doc_id) CROSS JOIN tot),
+         bm AS (SELECT qid, doc_id,
+           CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT) AS score
+           FROM sc GROUP BY 1, 2),
+         lex AS (SELECT qid, doc_id, rank FROM (
+           SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY score DESC, doc_id ASC) AS rank FROM bm)
+           WHERE rank <= 20),
+         ${ivfSql(16, 4, 20, corpusFrom = emb2)},
+         legs AS (SELECT qid, doc_id, rank FROM lex
+           UNION ALL SELECT qid, nid AS doc_id, rank FROM ivf_topk),
+         fused AS (SELECT qid, doc_id,
+           CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+           COUNT(*) AS n_legs
+           FROM legs GROUP BY 1, 2)
+         SELECT CAST(qid AS BIGINT) AS qid, doc_id, rrf_ppm, n_legs,
+           CAST(rank AS BIGINT) AS rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY rrf_ppm DESC, doc_id ASC) AS rank FROM fused)
+         WHERE rank <= 10 ORDER BY qid, rank"""
     },
 
     // the Hilbert rotate/reflect loop UNROLLED: one CTE per bit plane

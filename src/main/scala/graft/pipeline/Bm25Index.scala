@@ -299,7 +299,11 @@ object Bm25Index {
                   nBuckets: Int): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
+    require(queries.nonEmpty, "searchBatch needs at least one query — " +
+      "a dynamically-built empty batch must be caught by the caller")
     val allTerms = queries.flatMap(_._2).distinct
+    require(allTerms.nonEmpty, "searchBatch needs at least one non-empty " +
+      "term list — every query in the batch had zero terms")
     val bucketPred = allTerms.map(t =>
       col("bucket") ===
         pmod(xxhash64(lit(t)), lit(nBuckets.toLong)).cast("int"))
@@ -333,8 +337,34 @@ object Bm25Index {
   }
 
   def search(postings: DataFrame, stats: DataFrame,
-             qTerms: Seq[String], k: Int, nBuckets: Int): DataFrame = {
+             qTerms: Seq[String], k: Int, nBuckets: Int): DataFrame =
+    searchImpl(postings, stats, qTerms, k, nBuckets, None)
+
+  /** METADATA-FILTERED top-k search — the candidate-mask semantics of
+    * every production search engine (Lucene filter queries, FAISS
+    * IDSelector): `allowed` (a frame whose FIRST column is the allowed
+    * doc ids — e.g. `docs.where(pred).select("doc_id")`) masks
+    * candidates, while the SCORING stays global (df from the full
+    * pruned postings, corpus-level n/total_len) — a doc's score is the
+    * same number filtered or not; only the ranking pool shrinks. That
+    * keeps the filter O(pruned postings ⋈ allowed): no per-filter stats
+    * recompute, no corpus rescan. The mask applies BEFORE the top-k
+    * limit (a post-limit filter would under-fill k — the classic
+    * filtered-search bug). Plan shape: the semi-join's left side is the
+    * probe-sized pruned postings, so even a shuffle join against a
+    * large allowed set moves probe-sized + pushdown-pruned data; pass a
+    * pre-projected id frame so the scan of the metadata table prunes to
+    * one column. */
+  def searchFiltered(postings: DataFrame, stats: DataFrame,
+                     qTerms: Seq[String], k: Int, nBuckets: Int,
+                     allowed: DataFrame): DataFrame =
+    searchImpl(postings, stats, qTerms, k, nBuckets, Some(allowed))
+
+  private def searchImpl(postings: DataFrame, stats: DataFrame,
+                         qTerms: Seq[String], k: Int, nBuckets: Int,
+                         allowed: Option[DataFrame]): DataFrame = {
     val terms = qTerms.distinct
+    require(terms.nonEmpty, "search needs at least one query term")
     val bucketPred = terms.map(t =>
       col("bucket") ===
         pmod(xxhash64(lit(t)), lit(nBuckets.toLong)).cast("int"))
@@ -371,8 +401,13 @@ object Bm25Index {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .localCheckpoint(eager = false,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // df is computed from the UNMASKED pruned postings (global scoring,
+    // see searchFiltered); the mask lands after, on the probe-sized sub
     val dfreq = sub.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    sub.join(broadcast(dfreq), "term")
+    val cand = allowed.fold(sub)(a => sub.join(
+      a.select(col(a.columns.head).as("doc_id")), Seq("doc_id"),
+      "left_semi"))
+    cand.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         expr("cast(n - df as decimal(38,0)) * 1000000 div n")

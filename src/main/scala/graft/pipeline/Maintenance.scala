@@ -242,9 +242,17 @@ object Maintenance {
   def saveState(st: State, dir: String): Unit = {
     st.tombstones.write.mode("overwrite").parquet(s"$dir/tombstones")
     st.stats.foreach(_.write.mode("overwrite").parquet(s"$dir/stats"))
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/state.meta"),
+    // through the Hadoop FS layer like the parquet halves, so the
+    // whole snapshot may live on HDFS/S3A (java.nio would silently
+    // treat a scheme-qualified dir as a relative local path)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/state.meta")
+    val hfs = metaPath.getFileSystem(
+      st.tombstones.sparkSession.sessionState.newHadoopConf())
+    val out = hfs.create(metaPath, true)
+    try out.write(
       s"nextGen=${st.nextGen}\ncompactions=${st.compactions}\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Reload a [[saveState]] snapshot. The tombstone frame comes back as
@@ -252,12 +260,12 @@ object Maintenance {
     * like the in-memory frame); stats re-snap to a literal plan. */
   def loadState(spark: SparkSession, dir: String): State = {
     val meta = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(
-      java.nio.file.Paths.get(s"$dir/state.meta"))
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/state.meta")
+    val hfs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = hfs.open(metaPath)
     try meta.load(in) finally in.close()
     val stats =
-      if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$dir/stats")))
+      if (hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")))
         Some(snap(spark.read.parquet(s"$dir/stats")))
       else None
     State(spark.read.parquet(s"$dir/tombstones"), stats,
@@ -298,7 +306,8 @@ object Maintenance {
            adds: DataFrame, deletes: DataFrame, updates: DataFrame,
            updatesOld: Option[DataFrame] = None,
            compactThresholdBytes: Long = 10L << 20,
-           checkpoint: DataFrame => DataFrame = _.localCheckpoint())
+           checkpoint: DataFrame => DataFrame = _.localCheckpoint(),
+           deltaEmpty: Boolean = false)
       : State = {
     val spark = st.tombstones.sparkSession
     val gen = st.nextGen
@@ -347,10 +356,19 @@ object Maintenance {
     // ---- one appended delta, one generation stamp; adds and fresh
     // updates each pass the door ONCE (indexWithStats) — their rows
     // feed the append and their stats feed the fold from the same
-    // parse, instead of tokenizing every delta a second time
-    val (addRows, addStats) = door.indexWithStats(adds)
-    val (updRows, updStats) = door.indexWithStats(freshNewU)
-    store.append(door.stamp(updRows.unionByName(addRows), gen))
+    // parse, instead of tokenizing every delta a second time. A caller
+    // that KNOWS adds and updates are row-free (`deltaEmpty` — the
+    // streaming tailer's delete-only op census) skips the append job
+    // and the zero-contribution stats legs whole: a retention-
+    // enforcement feed pays no per-batch write at all.
+    val (addStats, updStats) =
+      if (deltaEmpty) (None, None)
+      else {
+        val (addRows, aS) = door.indexWithStats(adds)
+        val (updRows, uS) = door.indexWithStats(freshNewU)
+        store.append(door.stamp(updRows.unionByName(addRows), gen))
+        (aS, uS)
+      }
 
     // ---- stats fold: adds and update-new positive, deletes and
     // update-old negative; snapped to a literal row (single collect)

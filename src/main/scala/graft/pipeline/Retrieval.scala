@@ -25,6 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** The single-query entry points fuse with [[rrfFuse]], which merges
+    * ALL rows of each leg into ONE ranked list — a multi-query frame
+    * would silently interleave per-qid ranks into a meaningless fused
+    * result. Guard: at most one distinct query id, checked with a
+    * short-circuiting 2-row collect (query frames are serving-batch
+    * sized by contract — the IVF probe's cell resolution already
+    * collects from the same frame). */
+  private def requireSingleQuery(queryVecs: DataFrame): Unit = {
+    val ids = queryVecs.select(col("vec_id")).distinct().limit(2)
+      .collect()
+    require(ids.length <= 1, "this entry point fuses a SINGLE query; " +
+      s"got ${ids.length}+ distinct vec_id in queryVecs — use the " +
+      "batched variant (hybridTopKBatch / hybridFromStoresBatch) for " +
+      "multi-query frames")
+  }
+
   /** Rank a BM25 `(doc_id, score)` top-k result 1..k. The input is
     * already k-sized (both [[TextAnalysis.bm25TopK]] and
     * [[Bm25Index.search]] end in `.limit(k)`), so the unpartitioned
@@ -82,6 +98,7 @@ object Retrieval {
                        k: Int, legK: Int = 20, nprobe: Int = 4,
                        k0: Int = 60): DataFrame = {
     import graft.streaming.IndexMaintenanceStream
+    requireSingleQuery(queryVecs)
     val asOf = math.min(
       IndexMaintenanceStream.committedBatch(spark, bmDir),
       IndexMaintenanceStream.committedBatch(spark, ivfDir))
@@ -89,12 +106,55 @@ object Retrieval {
       IndexMaintenanceStream.viewAt(spark, bmDoor, bmDir, asOf)
     val (ivfView, _) =
       IndexMaintenanceStream.viewAt(spark, ivfDoor, ivfDir, asOf)
-    val lex = rankLex(Bm25Index.search(Dedup.checkpointCorpus(bmView),
+    // bmView goes to search UNMATERIALIZED: search's own lazy
+    // localCheckpoint holds only the bucket-pruned probe-sized posting
+    // subset — an eager corpus-sized checkpoint here would defeat the
+    // pruning on every serving query (and, under reliableCheckpoint,
+    // leak one durable checkpoint dir per query)
+    val lex = rankLex(Bm25Index.search(bmView,
       bmStats.get, qTerms, legK, nBuckets))
     val vec = Similarity.ivfTopKIndexedPruned(queryVecs, ivfView, cents,
       legK, nprobe)
       .select(col("nid").as("doc_id"), col("rank"))
     rrfFuse(Seq(lex, vec), k, k0)
+  }
+
+  /** The BATCHED store-backed hybrid — the deployment tier's shape:
+    * B queries answered from the two tailer-maintained stores at ONE
+    * consistent `asOf` (the min-committed-batch rule of
+    * [[hybridFromStores]]), with both index scans amortized across the
+    * batch — [[Bm25Index.searchBatch]] reads the UNION of all queries'
+    * posting buckets once, and the IVF probe resolves the union of all
+    * queries' cells into one partition-pruned scan
+    * ([[Similarity.ivfTopKIndexedPruned]] batches natively). Work is
+    * O(touched buckets + probed cells), not O(B × either) — the batch
+    * amortization [[Bm25Index.searchBatch]]'s spec pins, now riding the
+    * tombstone-filtered serving views. `weights` = per-leg ppm
+    * (lexical, vector), the same knob as [[rrfFuse]]. */
+  def hybridFromStoresBatch(spark: org.apache.spark.sql.SparkSession,
+                            bmDoor: Maintenance.Door, bmDir: String,
+                            nBuckets: Int,
+                            ivfDoor: Maintenance.Door, ivfDir: String,
+                            cents: Seq[(Long, Array[Double])],
+                            queryVecs: DataFrame,
+                            queries: Seq[(Long, Seq[String])], k: Int,
+                            legK: Int = 20, nprobe: Int = 4,
+                            k0: Int = 60,
+                            weights: Seq[Long] = Nil): DataFrame = {
+    import graft.streaming.IndexMaintenanceStream
+    val asOf = math.min(
+      IndexMaintenanceStream.committedBatch(spark, bmDir),
+      IndexMaintenanceStream.committedBatch(spark, ivfDir))
+    val (bmView, bmStats) =
+      IndexMaintenanceStream.viewAt(spark, bmDoor, bmDir, asOf)
+    val (ivfView, _) =
+      IndexMaintenanceStream.viewAt(spark, ivfDoor, ivfDir, asOf)
+    val lex = Bm25Index.searchBatch(bmView, bmStats.get, queries, legK,
+      nBuckets).select(col("qid"), col("doc_id"), col("rank"))
+    val vec = Similarity.ivfTopKIndexedPruned(queryVecs, ivfView, cents,
+      legK, nprobe)
+      .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+    rrfFuseByQuery(Seq(lex, vec), k, k0, weights)
   }
 
   /** Index-free hybrid top-k: BM25-score `docs` for `qTerms` and
@@ -121,16 +181,22 @@ object Retrieval {
     * rrf_ppm, n_legs, rank)`. The per-qid window runs over the fused
     * candidates only — at most legs·legK rows per query. */
   def rrfFuseByQuery(legs: Seq[DataFrame], k: Int,
-                     k0: Int = 60): DataFrame = {
+                     k0: Int = 60,
+                     weights: Seq[Long] = Nil): DataFrame = {
     require(legs.nonEmpty, "rrfFuseByQuery needs at least one leg")
-    val all = legs.map(_.select(
+    require(weights.isEmpty || weights.size == legs.size,
+      s"${weights.size} weights for ${legs.size} legs")
+    val ws =
+      if (weights.isEmpty) Seq.fill(legs.size)(1000000L) else weights
+    val all = legs.zip(ws).map { case (l, lw) => l.select(
       col("qid").cast("long").as("qid"),
       col("doc_id").cast("long").as("doc_id"),
-      col("rank").cast("long").as("rank"))).reduce(_ unionByName _)
+      col("rank").cast("long").as("rank"),
+      lit(lw).as("__w")) }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
     all.groupBy("qid", "doc_id")
-      .agg(sum(expr(s"1000000 div ($k0 + rank)")).as("rrf_ppm"),
+      .agg(sum(expr(s"__w div ($k0 + rank)")).as("rrf_ppm"),
         count(lit(1)).as("n_legs"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -144,20 +210,25 @@ object Retrieval {
     * its term list; `queryVecs` carries the same qids as `vec_id`
     * rows. This is the deployment shape: amortizing the index scans
     * over the query batch is what makes a high-QPS serving tier pay
-    * O(touched buckets), not O(B · touched buckets). */
+    * O(touched buckets), not O(B · touched buckets). `weights` =
+    * per-leg ppm (lexical, vector) — the same tuning knob as
+    * [[rrfFuse]]'s, so the batched tier serves the weighted ranker
+    * too (spec-pinned: batch-with-weights ≡ per-query weighted
+    * fusion). */
   def hybridTopKBatch(postings: DataFrame, stats: DataFrame,
                       nBuckets: Int, ivfIndex: DataFrame,
                       cents: Seq[(Long, Array[Double])],
                       queryVecs: DataFrame,
                       queries: Seq[(Long, Seq[String])], k: Int,
                       legK: Int = 20, nprobe: Int = 4,
-                      k0: Int = 60): DataFrame = {
+                      k0: Int = 60,
+                      weights: Seq[Long] = Nil): DataFrame = {
     val lex = Bm25Index.searchBatch(postings, stats, queries, legK,
       nBuckets).select(col("qid"), col("doc_id"), col("rank"))
     val vec = Similarity.ivfTopKIndexed(queryVecs, ivfIndex, cents,
       legK, nprobe)
       .select(col("qid"), col("nid").as("doc_id"), col("rank"))
-    rrfFuseByQuery(Seq(lex, vec), k, k0)
+    rrfFuseByQuery(Seq(lex, vec), k, k0, weights)
   }
 
   /** Serving-path hybrid top-k over PREBUILT indexes: the BM25
@@ -171,11 +242,43 @@ object Retrieval {
                         queryVec: DataFrame, qTerms: Seq[String],
                         k: Int, legK: Int = 20, nprobe: Int = 4,
                         k0: Int = 60): DataFrame = {
+    requireSingleQuery(queryVec)
     val lex = rankLex(Bm25Index.search(postings, stats, qTerms, legK,
       nBuckets))
     val vec = Similarity.ivfTopKIndexed(queryVec, ivfIndex, cents, legK,
       nprobe)
       .select(col("nid").as("doc_id"), col("rank"))
     rrfFuse(Seq(lex, vec), k, k0)
+  }
+
+  /** METADATA-FILTERED hybrid — the "search within a slice" query every
+    * retrieval deployment serves (language = en, date range, source
+    * domain): `allowed` (first column = allowed doc ids, e.g.
+    * `docs.where(pred).select("doc_id")`) masks BOTH legs' candidate
+    * pools before their top-k limits, so the fused answer is the true
+    * hybrid top-k over the slice. Scoring semantics follow each leg's
+    * production convention ([[Bm25Index.searchFiltered]] keeps global
+    * df/corpus stats — Lucene filter-query semantics;
+    * [[Similarity.ivfTopKIndexedPrunedFiltered]] masks candidates under
+    * the frozen quantizer — FAISS IDSelector semantics), so per-doc
+    * scores are unchanged by the mask and the filter costs
+    * probe-sized ⋈ allowed on each leg, never a corpus rescan. */
+  def hybridTopKIndexedFiltered(postings: DataFrame, stats: DataFrame,
+                                nBuckets: Int, ivfIndex: DataFrame,
+                                cents: Seq[(Long, Array[Double])],
+                                queryVec: DataFrame,
+                                qTerms: Seq[String],
+                                allowed: DataFrame,
+                                k: Int, legK: Int = 20, nprobe: Int = 4,
+                                k0: Int = 60,
+                                weights: Seq[Long] = Nil): DataFrame = {
+    requireSingleQuery(queryVec)
+    val ids = allowed.select(col(allowed.columns.head).as("doc_id"))
+    val lex = rankLex(Bm25Index.searchFiltered(postings, stats, qTerms,
+      legK, nBuckets, ids))
+    val vec = Similarity.ivfTopKIndexedPrunedFiltered(queryVec, ivfIndex,
+      cents, legK, nprobe, ids)
+      .select(col("nid").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, vec), k, k0, weights)
   }
 }

@@ -297,6 +297,25 @@ object Similarity {
       cents, k, nprobe)
   }
 
+  /** METADATA-FILTERED serving probe — FAISS-IDSelector semantics on
+    * the IVF store: `allowed` (first column = allowed vector ids)
+    * masks candidates BEFORE the per-query rank window, so the top-k
+    * is the true filtered top-k (a post-k filter would under-fill k).
+    * Cell assignment and similarity are untouched — filtering a vector
+    * out never changes another vector's cell or score — so the result
+    * ≡ a probe over an index built from only the allowed vectors under
+    * the same frozen quantizer. Plan shape: the semi-join's left side
+    * is the cell-pruned probe scan (the literal `isin` partition filter
+    * pushes through the join), so the mask costs pruned-cells ⋈
+    * allowed, never a corpus scan. */
+  def ivfTopKIndexedPrunedFiltered(queries: DataFrame, index: DataFrame,
+                                   cents: Seq[(Long, Array[Double])],
+                                   k: Int, nprobe: Int,
+                                   allowed: DataFrame): DataFrame =
+    ivfTopKIndexedPruned(queries,
+      index.join(allowed.select(col(allowed.columns.head).as("nid")),
+        Seq("nid"), "left_semi"), cents, k, nprobe)
+
   /** The one-call UPDATE door, `Bm25Index.update`'s ANN twin: assign the
     * replacement vectors under the FROZEN quantizer, stamp them with
     * `newGen`, and retire every older generation of their ids — returns

@@ -100,13 +100,30 @@ object IndexMaintenanceStream {
       (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
     }
 
-    /** Committed layout at `upToBatch`: (effective base, its batch,
-      * live delta names). One listing; `.tmp` stagings (a rewrite that
-      * crashed mid-write) are never layout members. */
-    private def layout: (String, Long, Seq[String]) = {
+    /** ONE root listing per mutation epoch: every layout consumer
+      * (rows / fragmented / graceFloor / finalizeCommit / vacuum /
+      * rewrite's `.tmp` cleanup) reads this snapshot of the store
+      * root's directory names (`.tmp` included — [[layout]] filters);
+      * the mutating calls (append, rewrite, the sweeps) invalidate it.
+      * r14 re-listed the root once per consumer — ~6 listings per
+      * micro-batch, pure overhead on HDFS/S3A where the listing is the
+      * expensive primitive; the counting-FS spec pins the budget at
+      * ≤ 2 listStatus calls on the root per applied batch. */
+    private var dirsCache: Option[Seq[String]] = None
+    private def dirNames: Seq[String] = dirsCache.getOrElse {
       val (hfs, root) = fs
-      val dirs = hfs.listStatus(root).toSeq.filter(_.isDirectory)
-        .map(_.getPath.getName).filterNot(_.endsWith(".tmp"))
+      val ds = hfs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+      dirsCache = Some(ds)
+      ds
+    }
+    private def invalidate(): Unit = dirsCache = None
+
+    /** Committed layout at `upToBatch`: (effective base, its batch,
+      * live delta names). From the cached listing; `.tmp` stagings (a
+      * rewrite that crashed mid-write) are never layout members. */
+    private def layout: (String, Long, Seq[String]) = {
+      val dirs = dirNames.filterNot(_.endsWith(".tmp"))
       val bases = dirs.filter(_.startsWith("base_"))
         .map(n => n -> parseBatch(n)).filter(_._2 <= upToBatch)
       require(bases.nonEmpty,
@@ -151,17 +168,21 @@ object IndexMaintenanceStream {
 
     def append(delta: DataFrame): Unit = {
       val dst = s"$storeDir/delta_b$upToBatch"
-      writer(delta, dst, "overwrite")
-      // a delete/update-only batch appends an EMPTY frame: a
-      // partitioned empty write leaves a dir with no data files that
-      // every later read chokes on — drop it (no extra Spark job)
+      // the delta's row count is OBSERVED inside the write job itself
+      // (no second pass): a rare all-suppressed batch (a crash replay
+      // whose rows the guards dropped) leaves an empty partitioned dir
+      // with no data files that every later read chokes on — drop it
+      // by the observed count, without r14's recursive post-write
+      // listing walk. (A batch KNOWN delete-only skips this call
+      // entirely — the tick's deltaEmpty door.)
+      val obs = org.apache.spark.sql.Observation()
+      writer(delta.observe(obs, count(lit(1)).as("rows")), dst,
+        "overwrite")
+      val n = obs.get("rows").asInstanceOf[Long]
       val (hfs, _) = fs
-      def hasData(p: org.apache.hadoop.fs.Path): Boolean =
-        hfs.listStatus(p).exists(st =>
-          if (st.isDirectory) hasData(st.getPath)
-          else st.getLen > 0 && !st.getPath.getName.startsWith("_"))
-      val dp = new org.apache.hadoop.fs.Path(dst)
-      if (hfs.exists(dp) && !hasData(dp)) { hfs.delete(dp, true); () }
+      if (n == 0L)
+        hfs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      invalidate()
     }
 
     /** STAGE a compacted base for this batch: side-write, rename into
@@ -174,9 +195,8 @@ object IndexMaintenanceStream {
     def rewrite(live: DataFrame): Unit = {
       val (hfs, root) = fs
       // stale .tmp stagings from a crashed side-write lost their race
-      hfs.listStatus(root).foreach { st =>
-        if (st.isDirectory && st.getPath.getName.endsWith(".tmp"))
-          hfs.delete(st.getPath, true)
+      dirNames.filter(_.endsWith(".tmp")).foreach { n =>
+        hfs.delete(new org.apache.hadoop.fs.Path(root, n), true)
       }
       val target = s"base_b$upToBatch"
       val side = s"$storeDir/$target.tmp"
@@ -184,7 +204,7 @@ object IndexMaintenanceStream {
       val dst = new org.apache.hadoop.fs.Path(root, target)
       if (hfs.exists(dst)) hfs.delete(dst, true)
       hfs.rename(new org.apache.hadoop.fs.Path(side), dst)
-      ()
+      invalidate()
     }
 
     /** Deferred store housekeeping, called by [[applyBatch]] AFTER the
@@ -216,15 +236,18 @@ object IndexMaintenanceStream {
       // the newest RETIRED base bounds the grace tier; with no retired
       // base yet (first compaction pending) nothing but .tmp is stale
       val prevBatch = graceFloor
-      hfs.listStatus(root).foreach { st =>
-        val n = st.getPath.getName
-        val stale = st.isDirectory && n != base &&
+      var swept = false
+      dirNames.foreach { n =>
+        val stale = n != base &&
           (n.endsWith(".tmp") ||
             (n.startsWith("base_") && parseBatch(n) < prevBatch) ||
             (n.startsWith("delta_b") && parseBatch(n) <= prevBatch))
-        if (stale) hfs.delete(st.getPath, true)
+        if (stale) {
+          hfs.delete(new org.apache.hadoop.fs.Path(root, n), true)
+          swept = true
+        }
       }
-      ()
+      if (swept) invalidate()
     }
 
     /** The reader-grace boundary: batch of the newest RETIRED base —
@@ -234,9 +257,8 @@ object IndexMaintenanceStream {
       * resolution with the state snapshot of the same committed batch;
       * sweeping either half breaks it). */
     def graceFloor: Long = {
-      val (hfs, root) = fs
       val (_, baseBatch, _) = layout
-      hfs.listStatus(root).toSeq.map(_.getPath.getName)
+      dirNames
         .filter(n => n.startsWith("base_") && !n.endsWith(".tmp"))
         .map(parseBatch).filter(_ < baseBatch)
         .sorted.lastOption.getOrElse(Long.MinValue)
@@ -246,19 +268,29 @@ object IndexMaintenanceStream {
       * current effective base supersedes (what [[finalizeCommit]]
       * retains for in-flight readers). For decommission or
       * disk-pressure moments when the caller KNOWS no reader holds a
-      * pre-compaction view. */
-    def vacuum(): Unit = {
+      * pre-compaction view — that contract covers TIME-TRAVEL readers
+      * too: [[viewAt]] below the returned boundary (the effective
+      * base's batch) is unservable afterwards. Prefer the object-level
+      * [[IndexMaintenanceStream.vacuum]], which also sweeps the
+      * matching state snapshots so a later `viewAt` below the boundary
+      * fails fast with the retention-window message instead of a
+      * misleading missing-base error from the store side. */
+    def vacuum(): Long = {
       val (hfs, root) = fs
       val (base, baseBatch, _) = layout
-      hfs.listStatus(root).foreach { st =>
-        val n = st.getPath.getName
-        val stale = st.isDirectory && n != base &&
+      var swept = false
+      dirNames.foreach { n =>
+        val stale = n != base &&
           (n.endsWith(".tmp") ||
             (n.startsWith("base_") && parseBatch(n) < baseBatch) ||
             (n.startsWith("delta_b") && parseBatch(n) <= baseBatch))
-        if (stale) hfs.delete(st.getPath, true)
+        if (stale) {
+          hfs.delete(new org.apache.hadoop.fs.Path(root, n), true)
+          swept = true
+        }
       }
-      ()
+      if (swept) invalidate()
+      baseBatch
     }
   }
 
@@ -304,10 +336,19 @@ object IndexMaintenanceStream {
     def part(op: String) =
       batch.where(col("op") === op).select(payload: _*)
     val updates = part("update")
+    // a delete-only batch (the normal shape of a retention-enforcement
+    // feed) appends nothing — detect it with one short-circuiting
+    // delta-sized probe (limit 1 stops at the first add/update row) and
+    // the tick skips the delta write job whole: no empty parquet write,
+    // no delta dir to drop (r14 paid a full write-then-probe per such
+    // batch)
+    val deltaEmpty = batch.where(col("op").isin("add", "update"))
+      .limit(1).count() == 0L
     val st2 = Maintenance.tick(door, store, st,
       adds = part("add"), deletes = part("delete"), updates = updates,
       updatesOld = oldVersion.map(f => f(updates)),
-      compactThresholdBytes = compactThresholdBytes)
+      compactThresholdBytes = compactThresholdBytes,
+      deltaEmpty = deltaEmpty)
     Maintenance.saveState(st2, s"$dir/state/v_b$batchId")
     DocsStream.swapPointer(spark, s"$dir/state", s"v_b$batchId")
     // ---- committed. Everything below is housekeeping a crash may
@@ -358,6 +399,34 @@ object IndexMaintenanceStream {
     val v = DocsStream.readPointer(spark, s"$dir/state").getOrElse(
       sys.error(s"no CURRENT state under $dir/state"))
     viewAt(spark, door, dir, parseBatch(v))
+  }
+
+  /** EAGER reclaim of BOTH halves of the reader-grace tier — the store
+    * dirs the effective base supersedes AND the state snapshots below
+    * the new retention boundary. The two halves must be swept together
+    * ([[applyBatch]]'s retention invariant): a surviving state snapshot
+    * whose store dirs are gone would pass [[viewAt]]'s retention check
+    * and then die inside the store layout with a misleading
+    * missing-base error; after this sweep `viewAt` below the returned
+    * boundary fails fast with the retention-window message it
+    * promises (spec-pinned). CONTRACT: caller asserts no reader — not
+    * an in-flight serving query holding a pre-compaction view, nor a
+    * time-travel reader at a batch below the boundary — is alive; the
+    * sweep cannot verify that and does not try. Returns the boundary
+    * (the effective base's batch — the oldest batch still servable). */
+  def vacuum(spark: SparkSession, dir: String): Long = {
+    val committed = committedBatch(spark, dir)
+    val store = new VersionedStore(spark, s"$dir/store",
+      (_, _, _) => sys.error("vacuum never writes"), committed)
+    val boundary = store.vacuum()
+    val stRoot = new org.apache.hadoop.fs.Path(s"$dir/state")
+    val hfs = stRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.listStatus(stRoot).foreach { s0 =>
+      val n = s0.getPath.getName
+      if (s0.isDirectory && n.startsWith("v") && parseBatch(n) < boundary)
+        hfs.delete(s0.getPath, true)
+    }
+    boundary
   }
 
   /** The newest batch this store's state pointer has committed (-1 =

@@ -693,4 +693,94 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
     assert(docsAt(3L) === ((42L, 42L)))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("FS-op budget (counting FileSystem): an applied batch lists the " +
+      "store root ≤2 times, and a delete-only batch starts NO delta " +
+      "write at all — while answers stay ≡ rebuild") {
+    CountingFs.install(spark)
+    val local = java.nio.file.Files.createTempDirectory("imfsops")
+      .toString
+    val dir = s"cfs:$local"
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val live = scala.collection.mutable.LinkedHashMap[Long, Int](
+      (0L until 40L).map(_ -> 0): _*)
+    IndexMaintenanceStream.bootstrap(spark, door, dir, Bm25Index.write,
+      docs(live.toSeq))
+    val storeRoot = s"$local/store"
+    def rootListings: Int = CountingFs.snapshot.count { case (op, p) =>
+      op == "listStatus" && p == storeRoot
+    }
+    // ---- mixed batch: the normal feed shape
+    CountingFs.reset()
+    IndexMaintenanceStream.applyBatch(spark, door, dir, Bm25Index.write,
+      muts(Seq(("add", 100L, 0, None), ("delete", 3L, 0, None),
+        ("update", 5L, 1, Some(0)))), 0L, Some(oldVersion))
+    live += (100L -> 0); live -= 3L; live += (5L -> 1)
+    assert(rootListings <= 2,
+      s"mixed batch listed the store root $rootListings times " +
+        s"(budget 2) — the r14 shape re-listed once per layout consumer")
+    // ---- delete-only batch (retention-enforcement feed): the tick
+    // must skip the delta write job whole — no create() ever targets
+    // the batch's delta dir, and the dir never exists
+    CountingFs.reset()
+    IndexMaintenanceStream.applyBatch(spark, door, dir, Bm25Index.write,
+      muts(Seq(("delete", 7L, 0, None), ("delete", 11L, 0, None))), 1L,
+      Some(oldVersion))
+    live -= 7L; live -= 11L
+    assert(rootListings <= 2,
+      s"delete-only batch listed the store root $rootListings times")
+    assert(!CountingFs.snapshot.exists(_._2.contains("delta_b1")),
+      "a delete-only batch touched its delta dir — the empty write " +
+        "was supposed to be skipped outright")
+    assert(!new java.io.File(s"$local/store/delta_b1").exists(),
+      "delete-only batch left a delta dir")
+    // ---- and the committed view is still exactly the rebuild
+    val (view, stats) =
+      IndexMaintenanceStream.currentView(spark, door, dir)
+    val (pf, sf) = Bm25Index.build(docs(live.toSeq), col("doc_id"),
+      col("text"), nBuckets)
+    assert(stats.get.collect().toSeq === sf.collect().toSeq)
+    assert(topk(view, stats.get) === topk(pf, sf))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(local))
+  }
+
+  test("object-level vacuum sweeps BOTH halves of the grace tier: " +
+      "viewAt below the boundary fails fast with the retention-window " +
+      "message, never the store's missing-base error") {
+    val dir = java.nio.file.Files.createTempDirectory("imvac").toString
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    IndexMaintenanceStream.bootstrap(spark, door, dir, Bm25Index.write,
+      docs((0L until 30L).map(_ -> 0)))
+    def del(id: Long, batch: Long): Unit =
+      IndexMaintenanceStream.applyBatch(spark, door, dir, Bm25Index.write,
+        muts(Seq(("delete", id, 0, None))), batch, Some(oldVersion),
+        compactThresholdBytes = 1L) // compact every batch
+    del(0L, 0L); del(1L, 1L)
+    // grace tier present on both halves: retired base_b0 + its state
+    assert(new java.io.File(s"$dir/store/base_b0").exists())
+    assert(new java.io.File(s"$dir/state/v_b0").exists())
+    val boundary = IndexMaintenanceStream.vacuum(spark, dir)
+    assert(boundary === 1L)
+    val stores = new java.io.File(s"$dir/store").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(stores.count(_.startsWith("base_")) === 1 &&
+      stores.contains("base_b1"), s"store half not reclaimed: $stores")
+    val states = new java.io.File(s"$dir/state").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(!states.contains("v_b0") && !states.contains("v_boot"),
+      s"state snapshots below the boundary survived vacuum: $states " +
+        "— a viewAt there would die in the store layout with a " +
+        "misleading missing-base error")
+    // below the boundary: the promised fail-fast, with the window named
+    val e = intercept[RuntimeException](
+      IndexMaintenanceStream.viewAt(spark, door, dir, 0L))
+    assert(e.getMessage.contains("retention window"),
+      s"wrong failure mode after vacuum: ${e.getMessage}")
+    // at and above the boundary: still serving, still exact
+    val (view, stats) =
+      IndexMaintenanceStream.currentView(spark, door, dir)
+    assert(view.select("doc_id").distinct().count() === 28L)
+    assert(stats.get.collect().head.getLong(0) === 28L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -170,4 +170,128 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(served === baseline)
   }
+
+  test("weighted batched fusion: hybridTopKBatch with per-leg weights " +
+      "equals the per-query weighted fuse for every qid in the batch") {
+    val docs = corpus(80)
+    val emb = embeddings(80)
+    val cents = Similarity.centroids(emb, 8)
+    val index = Similarity.ivfAssign(emb, cents)
+    val (postings, stats) = Bm25Index.build(docs, col("doc_id"),
+      col("text"), 16)
+    val w = Seq(1500000L, 500000L)
+    val batch = Seq(1L -> Seq("alpha", "gamma"),
+      2L -> Seq("epsilon", "zeta"), 4L -> qTerms)
+    val batched = Retrieval.hybridTopKBatch(postings, stats, 16,
+      index, cents, emb.where(col("vec_id").isin(1L, 2L, 4L)),
+      batch, k = 10, legK = 12, nprobe = 4, weights = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).groupBy(_._1)
+    for ((qid, terms) <- batch) {
+      // the per-query weighted path: each leg ranked alone, rrfFuse
+      // with the same weights
+      val lex = Retrieval.rankLex(
+        Bm25Index.search(postings, stats, terms, 12, 16))
+      val vec = Similarity.ivfTopKIndexed(
+        emb.where(col("vec_id") === qid), index, cents, 12, 4)
+        .select(col("nid").as("doc_id"), col("rank"))
+      val alone = Retrieval.rrfFuse(Seq(lex, vec), k = 10, weights = w)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (qid, r.getLong(0), r.getLong(1), r.getLong(2), i + 1L) }
+      assert(batched(qid).sortBy(_._5).toSeq === alone.toSeq,
+        s"qid $qid fused differently in the weighted batch")
+    }
+  }
+
+  test("single-query entry points refuse a multi-query frame instead " +
+      "of silently interleaving ranks") {
+    val docs = corpus(40)
+    val emb = embeddings(40)
+    val cents = Similarity.centroids(emb, 8)
+    val index = Similarity.ivfAssign(emb, cents)
+    val (postings, stats) = Bm25Index.build(docs, col("doc_id"),
+      col("text"), 16)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.hybridTopKIndexed(postings, stats, 16, index, cents,
+        emb.where(col("vec_id") < 3), qTerms, k = 10)
+    }
+    assert(e.getMessage.contains("hybridTopKBatch"),
+      s"guard message should point at the batched variant: " +
+        e.getMessage)
+  }
+
+  test("searchBatch refuses an empty batch and all-empty term lists " +
+      "with a descriptive error, not reduceLeft's") {
+    val docs = corpus(30)
+    val (postings, stats) = Bm25Index.build(docs, col("doc_id"),
+      col("text"), 16)
+    val e1 = intercept[IllegalArgumentException](
+      Bm25Index.searchBatch(postings, stats, Nil, 5, 16))
+    assert(e1.getMessage.contains("at least one query"))
+    val e2 = intercept[IllegalArgumentException](
+      Bm25Index.searchBatch(postings, stats,
+        Seq(1L -> Nil, 2L -> Nil), 5, 16))
+    assert(e2.getMessage.contains("term"))
+  }
+
+  test("searchFiltered: global scoring (allowed=all ≡ search), results " +
+      "confined to the slice, and the mask lands BEFORE the top-k " +
+      "limit (filtered k-th result can rank past unfiltered k)") {
+    val docs = corpus(90)
+    val (postings, stats) = Bm25Index.build(docs, col("doc_id"),
+      col("text"), 16)
+    val all = docs.select("doc_id")
+    val full = Bm25Index.search(postings, stats, qTerms, 10, 16)
+      .collect().map(_.toSeq).toSeq
+    val maskedAll = Bm25Index.searchFiltered(postings, stats, qTerms,
+      10, 16, all).collect().map(_.toSeq).toSeq
+    assert(maskedAll === full, "allowed=everything changed the answer")
+    val allowed = docs.where(col("doc_id") % 3 === 0).select("doc_id")
+    val sliced = Bm25Index.searchFiltered(postings, stats, qTerms, 10,
+      16, allowed).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sliced.forall(_._1 % 3 == 0), "mask leaked a disallowed doc")
+    // mask-before-limit: the slice's top-10 equals the UNFILTERED
+    // ranking restricted to the slice — docs past the unfiltered k
+    // must surface (the post-limit-filter bug would under-fill)
+    val bigK = Bm25Index.search(postings, stats, qTerms, 90, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 3 == 0).take(10)
+    assert(sliced.toSeq === bigK.toSeq,
+      "filtered top-k diverged from rank-then-slice semantics")
+    // a doc's score is identical masked or not (global df/stats)
+    val fullMap = Bm25Index.search(postings, stats, qTerms, 90, 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sliced.forall { case (id, s) => fullMap(id) == s },
+      "the mask changed a doc's score — df/stats must stay global")
+  }
+
+  test("hybridTopKIndexedFiltered: fused results confined to the " +
+      "slice; exact-probe filtered hybrid ≡ fusing legs built from " +
+      "only the allowed corpus under global lexical scoring") {
+    val docs = corpus(80)
+    val emb = embeddings(80)
+    val cents = Similarity.centroids(emb, 8)
+    val index = Similarity.ivfAssign(emb, cents)
+    val (postings, stats) = Bm25Index.build(docs, col("doc_id"),
+      col("text"), 16)
+    val allowed = docs.where(col("doc_id") % 3 === 0).select("doc_id")
+    val out = Retrieval.hybridTopKIndexedFiltered(postings, stats, 16,
+      index, cents, emb.where(col("vec_id") === 0L), qTerms, allowed,
+      k = 10, legK = 12, nprobe = 8) // full probe → vector leg exact
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.forall(_._1 % 3 == 0),
+      s"filtered hybrid leaked disallowed docs: ${out.toSeq}")
+    // reference: lexical leg = global scores ranked over the slice;
+    // vector leg = brute-force cosine over only the allowed vectors
+    val lexRef = Retrieval.rankLex(Bm25Index.searchFiltered(
+      postings, stats, qTerms, 12, 16, allowed))
+    val vecRef = Similarity.bruteForceTopK(
+      emb.where(col("vec_id") === 0L),
+      emb.join(allowed.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi"), 12)
+      .select(col("nid").as("doc_id"), col("rank"))
+    val ref = Retrieval.rrfFuse(Seq(lexRef, vecRef), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === ref.toSeq)
+  }
 }
