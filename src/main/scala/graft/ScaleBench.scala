@@ -1785,6 +1785,114 @@ object ScaleBench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
 
+    // ---- BATCHED STORE-BACKED hybrid at 1M (Retrieval
+    // .hybridFromStoresBatch): the round-14 batch amortization and the
+    // round-14 min-committed-batch store consistency COMPOSED — both
+    // gen stores carry a mixed mutation batch (1,000 tombstoned
+    // deletes + 1,000 gen updates + 1,000 adds each), so the probes
+    // run through tombstone anti-joins over base+delta layouts, and 16
+    // hybrid queries are answered in ONE pass per index at one
+    // consistent asOf. The claim: batched records ≈ union-of-buckets +
+    // probed-cells (+ tombstone-sized anti-join sides), NOT 16× either
+    // — the sequential twin measures the counterfactual, and every
+    // query's top-1 must match its single-query fused answer.
+    if (Seq("hybrid_store_bootstrap_1m", "hybrid_store_batch")
+        .exists(only)) {
+      val n = 1000000L
+      val m = n / 1000
+      val root = "/tmp/graft_hybrid_store_1m"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val bmDir = s"$root/bm"
+      val ivfDir = s"$root/ivf"
+      val gemb = expr(
+        """transform(sequence(0, 15), d ->
+             cast(pmod(xxhash64(id, d), 1000) / 500.0 - 1.0 as float))""")
+      def gvecs(ids: org.apache.spark.sql.DataFrame) =
+        ids.select(col("id").as("vec_id"), gemb.as("embedding"))
+      def ivfWrite(df: org.apache.spark.sql.DataFrame, d: String,
+                   mode: String): Unit =
+        df.write.partitionBy("cell").mode(mode).parquet(d)
+      var cents: Seq[(Long, Array[Double])] = Nil
+      var bmDoor: pipeline.Maintenance.Bm25Door = null
+      var ivfDoor: pipeline.Maintenance.IvfDoor = null
+      t("hybrid_store_bootstrap_1m") {
+        bmDoor = new pipeline.Maintenance.Bm25Door(col("text"), 256)
+        streaming.IndexMaintenanceStream.bootstrap(spark, bmDoor, bmDir,
+          pipeline.Bm25Index.write, gdocs(spark.range(n).toDF()))
+        cents = pipeline.Similarity.centroids(
+          gvecs(spark.range(n).toDF()), 256)
+        ivfDoor = new pipeline.Maintenance.IvfDoor(cents)
+        streaming.IndexMaintenanceStream.bootstrap(spark, ivfDoor,
+          ivfDir, ivfWrite, gvecs(spark.range(n).toDF()))
+        // one mixed batch per store: the serving views must be
+        // tombstone-filtered base+delta layouts, not pristine bases
+        val oldV: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame =
+          u => u.select(col("doc_id"), col("old_text").as("text"))
+        val bmB0 = gdocs(spark.range(n).toDF()
+          .where(col("id") % m === 0))
+          .select(lit("delete").as("op"), col("doc_id"), col("text"),
+            lit(null).cast("string").as("old_text"))
+          .unionByName(gdocs(spark.range(n).toDF()
+            .where(col("id") % m === 100))
+            .select(lit("update").as("op"), col("doc_id"),
+              concat(col("text"), lit(updSuffix)).as("text"),
+              col("text").as("old_text")))
+          .unionByName(gdocs(spark.range(n, n + 1000L).toDF())
+            .select(lit("add").as("op"), col("doc_id"), col("text"),
+              lit(null).cast("string").as("old_text")))
+        streaming.IndexMaintenanceStream.applyBatch(spark, bmDoor,
+          bmDir, pipeline.Bm25Index.write, bmB0, 0L, Some(oldV))
+        val ivfB0 = gvecs(spark.range(n).toDF()
+          .where(col("id") % m === 0))
+          .select(lit("delete").as("op"), col("vec_id"),
+            col("embedding"))
+          .unionByName(gvecs(spark.range(n).toDF()
+            .where(col("id") % m === 100))
+            .select(lit("update").as("op"), col("vec_id"),
+              reverse(col("embedding")).as("embedding")))
+          .unionByName(gvecs(spark.range(n, n + 1000L).toDF())
+            .select(lit("add").as("op"), col("vec_id"),
+              col("embedding")))
+        streaming.IndexMaintenanceStream.applyBatch(spark, ivfDoor,
+          ivfDir, ivfWrite, ivfB0, 0L)
+        s"n=$n mutated=3000+3000"
+      }
+      // query ids ≡ 500 (mod m): never deleted or updated; the same
+      // zipf-head term batch as hybrid_batch_probe (two hot terms
+      // shared, one unique tail term per query)
+      val qbatch = (0 until 16).map(i =>
+        (i * m + 500L, Seq("w7", "w42", s"w${2900 + i}")))
+      val qvecs = gvecs(spark.range(16).toDF()
+        .select((col("id") * m + 500L).as("id"))).localCheckpoint(true)
+      pin()
+      var batched: Map[(Long, Long), Long] = Map.empty
+      ti("hybrid_store_batch_batched_1m") {
+        val rows = pipeline.Retrieval.hybridFromStoresBatch(spark,
+          bmDoor, bmDir, 256, ivfDoor, ivfDir, cents, qvecs, qbatch,
+          k = 10, legK = 20, nprobe = 8).collect()
+        batched = rows.map(r =>
+          (r.getLong(0), r.getLong(4)) -> r.getLong(1)).toMap
+        s"rows=${rows.length} queries=${qbatch.size}"
+      }
+      ti("hybrid_store_batch_sequential_1m") {
+        var total = 0
+        for ((qid, ts) <- qbatch) {
+          val alone = pipeline.Retrieval.hybridFromStores(spark,
+            bmDoor, bmDir, 256, ivfDoor, ivfDir, cents,
+            qvecs.where(col("vec_id") === qid), ts,
+            k = 10, legK = 20, nprobe = 8).collect()
+          total += alone.length
+          // batched ≡ alone, spot-checked on every query's top row
+          require(alone.isEmpty ||
+            batched((qid, 1L)) == alone.head.getLong(0),
+            s"store-batched top-1 diverged for qid $qid")
+        }
+        s"rows=$total queries=${qbatch.size}"
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+
     // ---- mergeable HLL distinct census (HllCensus): the build pays one
     // partial-aggregated pass over raw events; the persisted per-day
     // sketch table then answers ANY window/grouping distinct question
