@@ -2767,6 +2767,43 @@ object PipelineQueries {
       result
     }),
 
+    // RETRIEVAL EVALUATION harness ([[pipeline.Retrieval.evalMetrics]]):
+    // per-query recall@20 / MRR / AP of the batched BM25 ranking
+    // against a deterministic qrels rule — every metric integer-exact
+    // (ppm div), so the whole eval mirrors in SQL; queries with zero
+    // hits still appear (the silent-drop eval bug, oracled away)
+    "retrieval_eval_metrics" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val (postings, stats) = pipeline.Bm25Index.build(
+        docs, col("doc_id"), col("text"), 64)
+      val res = pipeline.Bm25Index.searchBatch(
+        pipeline.Dedup.checkpointCorpus(postings), stats,
+        hybridBatchTerms, 20, 64)
+      val qids = hybridBatchTerms.map(_._1).toDF("qid")
+      val qrels = qids.crossJoin(docs.select(col("doc_id")))
+        .where((col("doc_id") + col("qid") * 3) % 23 === 0)
+      pipeline.Retrieval.evalMetrics(
+        res.select(col("qid"), col("doc_id"), col("rank")), qrels, 20)
+        .orderBy("qid")
+    }),
+
+    // the macro averages over the same eval — one integer-exact row
+    "retrieval_eval_macro" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val (postings, stats) = pipeline.Bm25Index.build(
+        docs, col("doc_id"), col("text"), 64)
+      val res = pipeline.Bm25Index.searchBatch(
+        pipeline.Dedup.checkpointCorpus(postings), stats,
+        hybridBatchTerms, 20, 64)
+      val qids = hybridBatchTerms.map(_._1).toDF("qid")
+      val qrels = qids.crossJoin(docs.select(col("doc_id")))
+        .where((col("doc_id") + col("qid") * 3) % 23 === 0)
+      pipeline.Retrieval.evalMacro(pipeline.Retrieval.evalMetrics(
+        res.select(col("qid"), col("doc_id"), col("rank")), qrels, 20))
+    }),
+
     // Hilbert layout key: same census as layout_zorder_code but along
     // the adjacency-preserving curve — oracling the 16-round
     // rotate/reflect LOOP (functions.HilbertCode, eval AND codegen)
@@ -3111,6 +3148,62 @@ object PipelineQueries {
     * the engine's tie-break (score desc, doc_id asc). Mirrors
     * [[graft.pipeline.TextAnalysis.bm25TopK]] +
     * [[graft.pipeline.Retrieval.rankLex]]. */
+  /** CTE chain for the retrieval-eval oracles: the batched BM25
+    * top-20 (`lex(qid, doc_id, rank)` — the same scoring as the
+    * hybrid-batch oracle), the deterministic qrels rule
+    * `(doc_id + qid·3) % 23 = 0`, and the per-query hit/precision
+    * aggregates (`nrel`, `ag`) the metric selects read. */
+  private lazy val evalCtesSql: String = {
+    val qtVals = hybridBatchTerms.flatMap { case (q, ts) =>
+      ts.map(t => s"($q, '$t')")
+    }.mkString(", ")
+    val qidVals = hybridBatchTerms.map(q => s"(${q._1})").mkString(", ")
+    s"""qt(qid, term) AS (SELECT * FROM (VALUES $qtVals)
+         AS v(qid, term)),
+       tok AS (SELECT doc_id, unnest($toksSql) AS term
+         FROM documents),
+       tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM tok GROUP BY 1, 2),
+       dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+         FROM tc GROUP BY 1),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+       df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+         WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+       sc AS (SELECT qt.qid, tc.doc_id,
+         CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+           AS rarity_ppm,
+         CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+           (CAST(10 AS HUGEINT) * tf * total_len +
+            CAST(3 AS HUGEINT) * total_len +
+            CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+         FROM tc JOIN qt USING (term) JOIN df USING (term)
+         JOIN dl USING (doc_id) CROSS JOIN tot),
+       bm AS (SELECT qid, doc_id,
+         CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT) AS score
+         FROM sc GROUP BY 1, 2),
+       lex AS (SELECT qid, doc_id, rank FROM (
+         SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+           ORDER BY score DESC, doc_id ASC) AS rank FROM bm)
+         WHERE rank <= 20),
+       qrels AS (SELECT v.qid, d.doc_id
+         FROM (VALUES $qidVals) AS v(qid), documents d
+         WHERE (d.doc_id + v.qid * 3) % 23 = 0),
+       nrel AS (SELECT qid, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+           AS n_rel FROM qrels GROUP BY 1),
+       hits AS (SELECT l.qid, l.rank FROM lex l
+         JOIN (SELECT DISTINCT qid, doc_id FROM qrels) r
+         ON l.qid = r.qid AND l.doc_id = r.doc_id),
+       ph AS (SELECT qid, rank, CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY rank) AS BIGINT) AS hit_idx
+         FROM hits),
+       pp AS (SELECT qid, rank,
+         CAST(hit_idx * 1000000 // rank AS BIGINT) AS prec_ppm FROM ph),
+       ag AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS hits,
+           MIN(rank) AS fhr, CAST(SUM(prec_ppm) AS BIGINT) AS spp
+         FROM pp GROUP BY 1)"""
+  }
+
   /** `lexWhere` filters the RANKING POOL only (e.g. `WHERE doc_id % 3
     * = 0`) — scoring stays global, mirroring
     * [[graft.pipeline.Bm25Index.searchFiltered]]'s candidate-mask
@@ -5657,6 +5750,36 @@ object PipelineQueries {
              ORDER BY rrf_ppm DESC, doc_id ASC) AS rank FROM fused)
          WHERE rank <= 10 ORDER BY qid, rank"""
     },
+
+    // integer-exact IR metrics of the batched BM25 top-20 against the
+    // deterministic qrels rule — recall/MRR/AP in ppm, zero-hit
+    // queries retained through the left join
+    "retrieval_eval_metrics" ->
+      (s"""WITH $evalCtesSql
+         SELECT CAST(n.qid AS BIGINT) AS qid, n.n_rel,
+           CAST(COALESCE(a.hits, 0) AS BIGINT) AS hits,
+           CAST(COALESCE(a.hits, 0) * 1000000 // n.n_rel AS BIGINT)
+             AS recall_ppm,
+           CAST(COALESCE(1000000 // a.fhr, 0) AS BIGINT) AS mrr_ppm,
+           CAST(COALESCE(a.spp, 0) // n.n_rel AS BIGINT) AS ap_ppm
+         FROM nrel n LEFT JOIN ag a USING (qid) ORDER BY qid"""),
+
+    // the macro (mean-over-queries) row of the same eval
+    "retrieval_eval_macro" ->
+      (s"""WITH $evalCtesSql,
+         pq AS (
+           SELECT n.qid, n.n_rel,
+             CAST(COALESCE(a.hits, 0) * 1000000 // n.n_rel AS BIGINT)
+               AS recall_ppm,
+             CAST(COALESCE(1000000 // a.fhr, 0) AS BIGINT) AS mrr_ppm,
+             CAST(COALESCE(a.spp, 0) // n.n_rel AS BIGINT) AS ap_ppm
+           FROM nrel n LEFT JOIN ag a USING (qid))
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT)
+             AS macro_recall_ppm,
+           CAST(SUM(mrr_ppm) // COUNT(*) AS BIGINT) AS macro_mrr_ppm,
+           CAST(SUM(ap_ppm) // COUNT(*) AS BIGINT) AS macro_map_ppm
+         FROM pq"""),
 
     // the Hilbert rotate/reflect loop UNROLLED: one CTE per bit plane
     // (s = 2^15 … 1), distinct column names per round so DuckDB's

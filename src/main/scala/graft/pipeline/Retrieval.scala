@@ -28,15 +28,17 @@ object Retrieval {
   /** The single-query entry points fuse with [[rrfFuse]], which merges
     * ALL rows of each leg into ONE ranked list — a multi-query frame
     * would silently interleave per-qid ranks into a meaningless fused
-    * result. Guard: at most one distinct query id, checked with a
-    * short-circuiting 2-row collect (query frames are serving-batch
-    * sized by contract — the IVF probe's cell resolution already
-    * collects from the same frame). */
+    * result. Guard: at most one query ROW, checked with a
+    * short-circuiting limit-2 scan (no distinct — a duplicate-row
+    * frame is equally invalid input for the probes' cross joins, and
+    * skipping the distinct keeps the guard a shuffle-free sub-second
+    * probe on the serving path; query frames are serving-batch sized
+    * by contract — the IVF probe's cell resolution already collects
+    * from the same frame). */
   private def requireSingleQuery(queryVecs: DataFrame): Unit = {
-    val ids = queryVecs.select(col("vec_id")).distinct().limit(2)
-      .collect()
+    val ids = queryVecs.select(col("vec_id")).limit(2).collect()
     require(ids.length <= 1, "this entry point fuses a SINGLE query; " +
-      s"got ${ids.length}+ distinct vec_id in queryVecs — use the " +
+      s"got ${ids.length}+ rows in queryVecs — use the " +
       "batched variant (hybridTopKBatch / hybridFromStoresBatch) for " +
       "multi-query frames")
   }
@@ -250,6 +252,63 @@ object Retrieval {
       .select(col("nid").as("doc_id"), col("rank"))
     rrfFuse(Seq(lex, vec), k, k0)
   }
+
+  /** RETRIEVAL EVALUATION — the harness that closes the loop on every
+    * ranker above: per-query IR metrics of a ranked result set against
+    * a relevance table (qrels). Metrics are INTEGER-EXACT (ppm via
+    * bigint `div`), so the whole evaluation mirrors in ANSI SQL for
+    * the DuckDB oracle — no float log/division to drift on:
+    *
+    *  - `hits`        relevant results at rank ≤ k
+    *  - `recall_ppm`  hits · 1e6 div n_rel
+    *  - `mrr_ppm`     1e6 div (rank of the first hit)   (0 if none)
+    *  - `ap_ppm`      Σ_{i-th hit at rank r} (i·1e6 div r) div n_rel
+    *                  — average precision, the AP@k with the
+    *                  n_rel denominator
+    *
+    * Every query in `qrels` appears in the output (zero rows for
+    * no-hit queries) — silent query drop is the classic eval bug.
+    * Scale shape: one semi-join of the k-bounded results against the
+    * qrels (both ranked-result-sized, never corpus-sized), per-qid
+    * windows over ≤ k rows; qrels may be corpus-derived but arrives
+    * pre-projected to (qid, doc_id). */
+  def evalMetrics(results: DataFrame, qrels: DataFrame,
+                  k: Int): DataFrame = {
+    val rel = qrels.select(col("qid").cast("long").as("qid"),
+      col("doc_id").cast("long").as("doc_id")).distinct()
+    val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val hits = results
+      .select(col("qid").cast("long").as("qid"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("rank"))
+      .where(col("rank") <= k)
+      .join(rel, Seq("qid", "doc_id"), "left_semi")
+    val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc)
+    val perHit = hits
+      .withColumn("hit_idx", row_number().over(w).cast("long"))
+      .select(col("qid"), col("rank"),
+        expr("hit_idx * 1000000 div rank").as("prec_ppm"))
+    val agg = perHit.groupBy("qid").agg(
+      count(lit(1)).as("hits"),
+      min(col("rank")).as("first_hit_rank"),
+      sum(col("prec_ppm")).as("sum_prec_ppm"))
+    nRel.join(agg, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr("coalesce(hits, 0) * 1000000 div n_rel").as("recall_ppm"),
+        coalesce(expr("1000000 div first_hit_rank"), lit(0L))
+          .as("mrr_ppm"),
+        expr("coalesce(sum_prec_ppm, 0) div n_rel").as("ap_ppm"))
+  }
+
+  /** Macro average of [[evalMetrics]] over all queries — one row
+    * `(n_queries, macro_recall_ppm, macro_mrr_ppm, macro_map_ppm)`,
+    * each the integer mean (ppm div) of the per-query values. */
+  def evalMacro(perQuery: DataFrame): DataFrame =
+    perQuery.agg(count(lit(1)).as("n_queries"),
+      expr("sum(recall_ppm) div count(1)").as("macro_recall_ppm"),
+      expr("sum(mrr_ppm) div count(1)").as("macro_mrr_ppm"),
+      expr("sum(ap_ppm) div count(1)").as("macro_map_ppm"))
 
   /** METADATA-FILTERED hybrid — the "search within a slice" query every
     * retrieval deployment serves (language = en, date range, source

@@ -265,6 +265,33 @@ class RetrievalSpec extends AnyFunSuite {
       "the mask changed a doc's score — df/stats must stay global")
   }
 
+  test("evalMetrics: integer-exact recall/MRR/AP per query; zero-hit " +
+      "queries retained with zeros; macro averages exact") {
+    val results = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (1L, 40L, 4L), (1L, 50L, 5L)).toDF("qid", "doc_id", "rank")
+    val qrels = Seq((1L, 20L), (1L, 40L), (1L, 99L), (2L, 7L))
+      .toDF("qid", "doc_id")
+    val out = Retrieval.evalMetrics(results, qrels, 5).orderBy("qid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // qid 1: n_rel 3, hits at ranks 2 and 4 → recall 2e6 div 3 =
+    // 666666, mrr 1e6 div 2 = 500000, ap = (1·1e6 div 2 +
+    // 2·1e6 div 4) div 3 = 1000000 div 3 = 333333
+    // qid 2: relevant doc never retrieved — retained, all zeros
+    assert(out.toSeq === Seq(
+      (1L, 3L, 2L, 666666L, 500000L, 333333L),
+      (2L, 1L, 0L, 0L, 0L, 0L)))
+    val m = Retrieval.evalMacro(
+      Retrieval.evalMetrics(results, qrels, 5)).collect().head
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+      === ((2L, 333333L, 250000L, 166666L)))
+    // the k bound is respected: at k=3 the rank-4 hit drops out
+    val k3 = Retrieval.evalMetrics(results, qrels, 3)
+      .where(col("qid") === 1L).collect().head
+    assert(k3.getLong(2) === 1L &&
+      k3.getLong(5) === 166666L) // (1e6 div 2) div 3
+  }
+
   test("hybridTopKIndexedFiltered: fused results confined to the " +
       "slice; exact-probe filtered hybrid ≡ fusing legs built from " +
       "only the allowed corpus under global lexical scoring") {
