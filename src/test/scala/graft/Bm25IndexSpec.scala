@@ -629,4 +629,64 @@ class Bm25IndexSpec extends AnyFunSuite {
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("persisted index: FILTERED search still reads only the query " +
+      "terms' bucket partitions — the candidate mask sits above the " +
+      "pruned scan and never widens it") {
+    val docs = corpus(0, 600)
+    val (postings, stats) =
+      Bm25Index.build(docs, col("doc_id"), col("text"), nBuckets)
+    val dir = java.nio.file.Files.createTempDirectory("bm25filt").toString
+    Bm25Index.write(postings, dir)
+    val reloaded = spark.read.parquet(dir)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans)
+    }
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[SparkPlan]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { captured.add(qe.executedPlan); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    val marker = new java.io.File(dir).getName
+    def indexScan(): Option[FileSourceScanExec] = {
+      import scala.jdk.CollectionConverters._
+      captured.asScala.flatMap(scans).find(
+        _.relation.location.rootPaths.exists(_.toString.contains(marker)))
+    }
+    val allowed = docs.where(col("doc_id") % 3 === 0).select("doc_id")
+    spark.listenerManager.register(ql)
+    val (pruned, got) = try {
+      val out = Bm25Index.searchFiltered(reloaded, stats, qTerms, 10,
+        nBuckets, allowed)
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+      val deadline = System.currentTimeMillis() + 20000
+      while (indexScan().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val scan = indexScan().getOrElse(
+        fail("the filtered probe's index scan never reached the listener"))
+      (scan.metrics("numFiles").value, rows)
+    } finally spark.listenerManager.unregister(ql)
+    assert(pruned <= 3,
+      s"filtered partition pruning failed: read $pruned files — the " +
+        "semi-join defeated the constant-folded bucket predicate")
+    // rank-then-slice reference on the scan path: global scores,
+    // allowed pool, top-10
+    val ref = TextAnalysis
+      .bm25TopK(docs, col("doc_id"), col("text"), qTerms, 600)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 3 == 0).take(10).toSeq
+    assert(got === ref)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
