@@ -1893,6 +1893,53 @@ object ScaleBench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
 
+    // ---- retrieval EVALUATION at 1M: the metric computation after
+    // ranking must be ranked-result + qrels-sized — never re-touching
+    // the 40M-posting index. The eval stage's inputRecords ≈ the
+    // checkpointed 320 result rows + ~700k qrels rows (1M/23 per
+    // query × 16), orders of magnitude under the index.
+    if (Seq("retrieval_eval").exists(only)) {
+      val n = 1000000L
+      val dir = "/tmp/graft_eval_1m"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      var bstats: org.apache.spark.sql.DataFrame = null
+      t("retrieval_eval_index_build_1m") {
+        val (postings, st) = pipeline.Bm25Index.build(
+          gdocs(spark.range(n).toDF()), col("doc_id"), col("text"),
+          nBuckets = 256)
+        pipeline.Bm25Index.write(postings, dir)
+        val r = st.collect().head
+        bstats = spark.range(1).select(lit(r.getLong(0)).as("n"),
+          lit(r.getLong(1)).as("total_len"))
+        s"n=${r.getLong(0)}"
+      }
+      val reloaded = spark.read.parquet(dir)
+      val qbatch = (0 until 16).map(i =>
+        (i.toLong, Seq("w7", "w42", s"w${2900 + i}")))
+      var ranked: org.apache.spark.sql.DataFrame = null
+      t("retrieval_eval_rank_1m") {
+        ranked = pipeline.Bm25Index.searchBatch(reloaded, bstats,
+          qbatch, 20, 256).localCheckpoint(true)
+        pin()
+        s"rows=${ranked.count()}"
+      }
+      val qrels = qbatch.map(_._1).toDF("qid")
+        .crossJoin(spark.range(n).select(col("id").as("doc_id")))
+        .where((col("doc_id") + col("qid") * 3) % 23 === 0)
+        .localCheckpoint(true)
+      pin()
+      ti("retrieval_eval_metrics_1m") {
+        val pq = pipeline.Retrieval.evalMetrics(
+          ranked.select(col("qid"), col("doc_id"), col("rank")),
+          qrels, 20)
+        val m = pipeline.Retrieval.evalMacro(pq).collect().head
+        s"queries=${m.getLong(0)} qrels=${qrels.count()} " +
+          s"macroRecall=${m.getLong(1)}ppm macroMrr=${m.getLong(2)}ppm " +
+          s"macroMap=${m.getLong(3)}ppm"
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+
     // ---- mergeable HLL distinct census (HllCensus): the build pays one
     // partial-aggregated pass over raw events; the persisted per-day
     // sketch table then answers ANY window/grouping distinct question
