@@ -79,6 +79,39 @@ object Bench {
       s"[${parts(0)}, ${parts(1)}, ${parts(2)}]"
     } catch { case _: Exception => "null" }
 
+  /** Per-core CPU clock sample as `[min, median, max]` MHz — recorded
+    * next to each calibration probe so a ±10-15% probe spread across
+    * otherwise-quiet runs can be attributed (or not) to boost/thermal
+    * clock state mechanically instead of by conjecture (the r15
+    * residual: non-adjacent quiet probes varied ±12%). Prefers cpufreq
+    * (`scaling_cur_freq`, kHz); falls back to /proc/cpuinfo MHz; null
+    * when neither is exposed (containers often hide cpufreq). */
+  private def cpuMhz(): String =
+    try {
+      val byFreq = new java.io.File("/sys/devices/system/cpu")
+        .listFiles((_, n) => n.matches("cpu\\d+")) match {
+        case null => Seq.empty[Double]
+        case cs => cs.toSeq.flatMap { c =>
+          val f = new java.io.File(c, "cpufreq/scaling_cur_freq")
+          if (f.exists)
+            try Some(scala.io.Source.fromFile(f).mkString.trim.toDouble
+              / 1000.0)
+            catch { case _: Exception => None }
+          else None
+        }
+      }
+      val mhz =
+        if (byFreq.nonEmpty) byFreq
+        else scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+          .filter(_.startsWith("cpu MHz")).map(
+            _.split(":")(1).trim.toDouble).toSeq
+      if (mhz.isEmpty) "null"
+      else {
+        val s = mhz.sorted
+        f"[${s.head}%.0f, ${s(s.size / 2)}%.0f, ${s.last}%.0f]"
+      }
+    } catch { case _: Exception => "null" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -206,6 +239,7 @@ object Bench {
     }
     val calibRef = sys.env.get("SPARK_GRAFT_BENCH_CALIB_REF")
       .map(_.toDouble).getOrElse(CalibRefSec)
+    val cpuMhzStart = cpuMhz()
     val calibStart = Seq(calibOnce(), calibOnce(), calibOnce()).sorted.apply(1)
     // load phase: materialize the inode snapshot (reference: fsimage load)
     // and prime its quota-gate decisions (snapshot metadata — the
@@ -339,6 +373,7 @@ object Bench {
       s"""{"query":"$k","earlier_median":$med,"rerun":$rerun,"drift":$d}"""
     }.mkString("[", ",", "]")
     val loadEnd = loadavg()
+    val cpuMhzEnd = cpuMhz()
     val calibEnd = Seq(calibOnce(), calibOnce(), calibOnce()).sorted.apply(1)
     // normalize by the MEAN of the start and end probes: the queries
     // executed between them, and the two probes bracket the box's
@@ -349,7 +384,7 @@ object Bench {
     // boost clocks (1.81 s) and ended warm (2.02 s), which end-only
     // normalization misattributes to the whole run
     val totalNorm = total * calibRef / ((calibStart + calibEnd) / 2)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"load_sec":$loadSec,"ingest_warm_sec":$ingestWarmSec,"hygiene_sec":$hygieneSec,"n_queries":${results.size},"failed":$failedJson,"drift_sweep":$sweepJson,"median_drift":$medianDrift,"drift_tolerance":$driftTol,"contaminated":$contaminated,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_ref_sec":$calibRef,"total_calib_norm":$totalNorm,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"load_sec":$loadSec,"ingest_warm_sec":$ingestWarmSec,"hygiene_sec":$hygieneSec,"n_queries":${results.size},"failed":$failedJson,"drift_sweep":$sweepJson,"median_drift":$medianDrift,"drift_tolerance":$driftTol,"contaminated":$contaminated,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_ref_sec":$calibRef,"total_calib_norm":$totalNorm,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_mhz_start":$cpuMhzStart,"cpu_mhz_end":$cpuMhzEnd,"sf":"$sfDir"}"""
     // The FULL per-query JSON (spreads, sweep, loadavg) is ~25 KB at
     // 222 queries — far past the driver's 2000-char stdout tail capture,
     // which was truncating the head (metric/value/most queries) every

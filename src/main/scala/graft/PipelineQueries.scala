@@ -2767,6 +2767,29 @@ object PipelineQueries {
       result
     }),
 
+    // FILTERED retrieval on the BATCH tier ([[pipeline.Retrieval
+    // .hybridTopKBatch]] with `allowed`): five queries, one pass over
+    // each index, BOTH legs masked to the slice (every 3rd id) before
+    // their per-qid top-k with global scoring preserved — the r15
+    // filtered semantics and the batch amortization composing in one
+    // call. The oracle ranks the slice under full-corpus scoring per
+    // qid and fuses, so the hash match pins mask + batch together.
+    "retrieval_hybrid_batch_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val index = pipeline.Similarity.ivfAssign(emb, cents)
+      val (postings, stats) = pipeline.Bm25Index.build(
+        docs, col("doc_id"), col("text"), 64)
+      pipeline.Retrieval.hybridTopKBatch(
+        pipeline.Dedup.checkpointCorpus(postings), stats, 64,
+        index, cents, emb.where(col("vec_id") < 5), hybridBatchTerms,
+        k = 10, legK = 20, nprobe = 4,
+        allowed = Some(
+          docs.where(col("doc_id") % 3 === 0).select("doc_id")))
+        .orderBy("qid", "rank")
+    }),
+
     // RETRIEVAL EVALUATION harness ([[pipeline.Retrieval.evalMetrics]]):
     // per-query recall@20 / MRR / AP of the batched BM25 ranking
     // against a deterministic qrels rule — every metric integer-exact
@@ -5738,6 +5761,56 @@ object PipelineQueries {
              ORDER BY score DESC, doc_id ASC) AS rank FROM bm)
            WHERE rank <= 20),
          ${ivfSql(16, 4, 20, corpusFrom = emb2)},
+         legs AS (SELECT qid, doc_id, rank FROM lex
+           UNION ALL SELECT qid, nid AS doc_id, rank FROM ivf_topk),
+         fused AS (SELECT qid, doc_id,
+           CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+           COUNT(*) AS n_legs
+           FROM legs GROUP BY 1, 2)
+         SELECT CAST(qid AS BIGINT) AS qid, doc_id, rrf_ppm, n_legs,
+           CAST(rank AS BIGINT) AS rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY rrf_ppm DESC, doc_id ASC) AS rank FROM fused)
+         WHERE rank <= 10 ORDER BY qid, rank"""
+    },
+
+    // filtered hybrid on the BATCH tier: per-qid full-corpus scoring
+    // ranked over only the slice on the lexical leg, slice-restricted
+    // IVF probe on the vector leg, per-qid RRF fusion
+    "retrieval_hybrid_batch_filtered" -> {
+      val qtVals = hybridBatchTerms.flatMap { case (q, ts) =>
+        ts.map(t => s"($q, '$t')")
+      }.mkString(", ")
+      s"""WITH qt(qid, term) AS (SELECT * FROM (VALUES $qtVals)
+           AS v(qid, term)),
+         tok AS (SELECT doc_id, unnest($toksSql) AS term
+           FROM documents),
+         tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         sc AS (SELECT qt.qid, tc.doc_id,
+           CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS rarity_ppm,
+           CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+             (CAST(10 AS HUGEINT) * tf * total_len +
+              CAST(3 AS HUGEINT) * total_len +
+              CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+           FROM tc JOIN qt USING (term) JOIN df USING (term)
+           JOIN dl USING (doc_id) CROSS JOIN tot),
+         bm AS (SELECT qid, doc_id,
+           CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT) AS score
+           FROM sc GROUP BY 1, 2),
+         lex AS (SELECT qid, doc_id, rank FROM (
+           SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY score DESC, doc_id ASC) AS rank FROM bm
+           WHERE doc_id % 3 = 0)
+           WHERE rank <= 20),
+         ${ivfSql(16, 4, 20, corpusWhere = "WHERE vec_id % 3 = 0")},
          legs AS (SELECT qid, doc_id, rank FROM lex
            UNION ALL SELECT qid, nid AS doc_id, rank FROM ivf_topk),
          fused AS (SELECT qid, doc_id,

@@ -1883,10 +1883,13 @@ object ScaleBench {
             qvecs.where(col("vec_id") === qid), ts,
             k = 10, legK = 20, nprobe = 8).collect()
           total += alone.length
-          // batched ≡ alone, spot-checked on every query's top row
+          // batched ≡ alone, spot-checked on every query's top row; a
+          // MISSING batched rank-1 row is itself the divergence being
+          // hunted, so it must fail the require, not throw NoSuchElement
           require(alone.isEmpty ||
-            batched((qid, 1L)) == alone.head.getLong(0),
-            s"store-batched top-1 diverged for qid $qid")
+            batched.get((qid, 1L)).contains(alone.head.getLong(0)),
+            s"store-batched top-1 diverged for qid $qid: batched=" +
+              s"${batched.get((qid, 1L))} alone=${alone.head.getLong(0)}")
         }
         s"rows=$total queries=${qbatch.size}"
       }

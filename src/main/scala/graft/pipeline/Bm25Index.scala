@@ -296,7 +296,26 @@ object Bm25Index {
     * Output: `(qid, doc_id, score, rank)`, rank ≤ k. */
   def searchBatch(postings: DataFrame, stats: DataFrame,
                   queries: Seq[(Long, Seq[String])], k: Int,
-                  nBuckets: Int): DataFrame = {
+                  nBuckets: Int): DataFrame =
+    searchBatchImpl(postings, stats, queries, k, nBuckets, None)
+
+  /** [[searchBatch]] under a candidate mask — [[searchFiltered]]'s
+    * semantics on the batch tier (the deployment shape: almost every
+    * served query carries a metadata slice AND arrives in a batch).
+    * The mask lands once on the UNION-pruned postings, BEFORE each
+    * qid's rank window (a post-window filter would under-fill k);
+    * per-term df stays global from the unmasked pruned sub, so a
+    * batched-filtered query scores exactly like the same query
+    * filtered alone — which the spec pins per qid. */
+  def searchBatchFiltered(postings: DataFrame, stats: DataFrame,
+                          queries: Seq[(Long, Seq[String])], k: Int,
+                          nBuckets: Int, allowed: DataFrame): DataFrame =
+    searchBatchImpl(postings, stats, queries, k, nBuckets, Some(allowed))
+
+  private def searchBatchImpl(postings: DataFrame, stats: DataFrame,
+                              queries: Seq[(Long, Seq[String])], k: Int,
+                              nBuckets: Int,
+                              allowed: Option[DataFrame]): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
     require(queries.nonEmpty, "searchBatch needs at least one query — " +
@@ -313,14 +332,20 @@ object Bm25Index {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
       .localCheckpoint(eager = false,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // df from the UNMASKED pruned postings (global scoring — the
+    // searchFiltered contract); the mask applies once, on the
+    // probe-sized sub, before the per-qid windows
     val dfreq = sub.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val cand = allowed.fold(sub)(a => sub.join(
+      a.select(col(a.columns.head).as("doc_id")), Seq("doc_id"),
+      "left_semi"))
     val qt = queries.flatMap { case (qid, ts) =>
       ts.distinct.map(t => (qid, t))
     }.toDF("qid", "term")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    sub.join(broadcast(qt), "term")
+    cand.join(broadcast(qt), "term")
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"),

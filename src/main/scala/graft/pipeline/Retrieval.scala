@@ -132,7 +132,13 @@ object Retrieval {
     * O(touched buckets + probed cells), not O(B × either) — the batch
     * amortization [[Bm25Index.searchBatch]]'s spec pins, now riding the
     * tombstone-filtered serving views. `weights` = per-leg ppm
-    * (lexical, vector), the same knob as [[rrfFuse]]. */
+    * (lexical, vector), the same knob as [[rrfFuse]]. `allowed`
+    * (optional — first column = allowed doc/vector ids) is the
+    * metadata slice of [[hybridTopKIndexedFiltered]] on the batch
+    * tier: the mask semi-joins each leg's probe-sized candidates
+    * BEFORE its per-qid top-k (scoring stays global on both legs —
+    * Lucene-filter / FAISS-IDSelector semantics), so filtering and
+    * batch amortization compose instead of excluding each other. */
   def hybridFromStoresBatch(spark: org.apache.spark.sql.SparkSession,
                             bmDoor: Maintenance.Door, bmDir: String,
                             nBuckets: Int,
@@ -142,7 +148,9 @@ object Retrieval {
                             queries: Seq[(Long, Seq[String])], k: Int,
                             legK: Int = 20, nprobe: Int = 4,
                             k0: Int = 60,
-                            weights: Seq[Long] = Nil): DataFrame = {
+                            weights: Seq[Long] = Nil,
+                            allowed: Option[DataFrame] = None)
+      : DataFrame = {
     import graft.streaming.IndexMaintenanceStream
     val asOf = math.min(
       IndexMaintenanceStream.committedBatch(spark, bmDir),
@@ -151,10 +159,17 @@ object Retrieval {
       IndexMaintenanceStream.viewAt(spark, bmDoor, bmDir, asOf)
     val (ivfView, _) =
       IndexMaintenanceStream.viewAt(spark, ivfDoor, ivfDir, asOf)
-    val lex = Bm25Index.searchBatch(bmView, bmStats.get, queries, legK,
-      nBuckets).select(col("qid"), col("doc_id"), col("rank"))
-    val vec = Similarity.ivfTopKIndexedPruned(queryVecs, ivfView, cents,
-      legK, nprobe)
+    val lex = allowed.fold(
+      Bm25Index.searchBatch(bmView, bmStats.get, queries, legK,
+        nBuckets))(a =>
+      Bm25Index.searchBatchFiltered(bmView, bmStats.get, queries, legK,
+        nBuckets, a))
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val vec = allowed.fold(
+      Similarity.ivfTopKIndexedPruned(queryVecs, ivfView, cents,
+        legK, nprobe))(a =>
+      Similarity.ivfTopKIndexedPrunedFiltered(queryVecs, ivfView, cents,
+        legK, nprobe, a))
       .select(col("qid"), col("nid").as("doc_id"), col("rank"))
     rrfFuseByQuery(Seq(lex, vec), k, k0, weights)
   }
@@ -216,7 +231,12 @@ object Retrieval {
     * per-leg ppm (lexical, vector) — the same tuning knob as
     * [[rrfFuse]]'s, so the batched tier serves the weighted ranker
     * too (spec-pinned: batch-with-weights ≡ per-query weighted
-    * fusion). */
+    * fusion). `allowed` (optional — first column = allowed ids) is
+    * the metadata slice on the batch tier: both legs' candidates are
+    * masked BEFORE their per-qid top-k with global scoring preserved
+    * ([[Bm25Index.searchBatchFiltered]] semantics on the lexical leg,
+    * a pre-probe semi-join under the frozen quantizer on the vector
+    * leg), spec-pinned batched-filtered ≡ per-query filtered. */
   def hybridTopKBatch(postings: DataFrame, stats: DataFrame,
                       nBuckets: Int, ivfIndex: DataFrame,
                       cents: Seq[(Long, Array[Double])],
@@ -224,10 +244,20 @@ object Retrieval {
                       queries: Seq[(Long, Seq[String])], k: Int,
                       legK: Int = 20, nprobe: Int = 4,
                       k0: Int = 60,
-                      weights: Seq[Long] = Nil): DataFrame = {
-    val lex = Bm25Index.searchBatch(postings, stats, queries, legK,
-      nBuckets).select(col("qid"), col("doc_id"), col("rank"))
-    val vec = Similarity.ivfTopKIndexed(queryVecs, ivfIndex, cents,
+                      weights: Seq[Long] = Nil,
+                      allowed: Option[DataFrame] = None): DataFrame = {
+    val lex = allowed.fold(
+      Bm25Index.searchBatch(postings, stats, queries, legK, nBuckets))(
+      a => Bm25Index.searchBatchFiltered(postings, stats, queries, legK,
+        nBuckets, a))
+      .select(col("qid"), col("doc_id"), col("rank"))
+    // the mask on the vector leg sits under the probe exactly like
+    // ivfTopKIndexedPrunedFiltered's: filtering a vector out never
+    // changes another's cell or score, so masked-probe ≡ probe of an
+    // index built from only the allowed vectors
+    val maskedIvf = allowed.fold(ivfIndex)(a => ivfIndex.join(
+      a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
+    val vec = Similarity.ivfTopKIndexed(queryVecs, maskedIvf, cents,
       legK, nprobe)
       .select(col("qid"), col("nid").as("doc_id"), col("rank"))
     rrfFuseByQuery(Seq(lex, vec), k, k0, weights)

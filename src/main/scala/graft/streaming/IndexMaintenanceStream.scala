@@ -175,10 +175,31 @@ object IndexMaintenanceStream {
       // by the observed count, without r14's recursive post-write
       // listing walk. (A batch KNOWN delete-only skips this call
       // entirely — the tick's deltaEmpty door.)
+      //
+      // WRITER CONTRACT (the `writer` parameter of mutationStream /
+      // applyBatch): it must execute exactly ONE Spark action over the
+      // frame it is handed — the canonical family writers
+      // (Bm25Index.write, a partitionBy parquet write) do. The
+      // observation is DEFENSIVE against a misbehaving writer: the
+      // metric is polled with a bound instead of a blocking get, so a
+      // writer that ran no action degrades to the pre-observation
+      // behavior (keep the dir) rather than hanging the stream; a
+      // writer that runs several actions reports the first action's
+      // count — at worst an empty dir survives, which the empty-layout
+      // guard was an optimization against, never a correctness carrier.
       val obs = org.apache.spark.sql.Observation()
       writer(delta.observe(obs, count(lit(1)).as("rows")), dst,
         "overwrite")
-      val n = obs.get("rows").asInstanceOf[Long]
+      // the metric lands via an async listener right after the action;
+      // a bounded wait on the observation's future instead of the
+      // blocking get — a zero-action writer times out into n = -1
+      val n = try {
+        scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(30, "s"))
+          .getAs[Long]("rows")
+      } catch {
+        case _: java.util.concurrent.TimeoutException => -1L
+      }
       val (hfs, _) = fs
       if (n == 0L)
         hfs.delete(new org.apache.hadoop.fs.Path(dst), true)
@@ -264,18 +285,17 @@ object IndexMaintenanceStream {
         .sorted.lastOption.getOrElse(Long.MinValue)
     }
 
-    /** Eagerly reclaim the reader-grace tier: delete every dir the
-      * current effective base supersedes (what [[finalizeCommit]]
-      * retains for in-flight readers). For decommission or
-      * disk-pressure moments when the caller KNOWS no reader holds a
-      * pre-compaction view — that contract covers TIME-TRAVEL readers
-      * too: [[viewAt]] below the returned boundary (the effective
-      * base's batch) is unservable afterwards. Prefer the object-level
-      * [[IndexMaintenanceStream.vacuum]], which also sweeps the
-      * matching state snapshots so a later `viewAt` below the boundary
-      * fails fast with the retention-window message instead of a
-      * misleading missing-base error from the store side. */
-    def vacuum(): Long = {
+    /** Eagerly reclaim the STORE half of the reader-grace tier: delete
+      * every dir the current effective base supersedes (what
+      * [[finalizeCommit]] retains for in-flight readers). Deliberately
+      * NOT public: sweeping only this half strands state snapshots
+      * whose store dirs are gone — they would pass [[viewAt]]'s
+      * retention check and then die inside the store layout with a
+      * misleading missing-base error. The only public reclaim door is
+      * the object-level [[IndexMaintenanceStream.vacuum]], which sweeps
+      * BOTH halves so a later `viewAt` below the boundary fails fast
+      * with the retention-window message it promises. */
+    private[streaming] def vacuum(): Long = {
       val (hfs, root) = fs
       val (base, baseBatch, _) = layout
       var swept = false
@@ -311,7 +331,11 @@ object IndexMaintenanceStream {
     * carries an `op` column plus the door's payload columns; update
     * rows of a stats-keeping door must also carry the superseded
     * version (extracted by `oldVersion`, e.g.
-    * `u => u.select(col("doc_id"), col("old_text").as("text"))`). */
+    * `u => u.select(col("doc_id"), col("old_text").as("text"))`).
+    * `writer` must execute exactly ONE Spark action over the frame it
+    * is handed (every canonical family writer does — see the contract
+    * note at [[VersionedStore.append]]; a zero-action writer degrades
+    * to keep-the-dir, never a hang). */
   def applyBatch(spark: SparkSession, door: Maintenance.Door, dir: String,
                  writer: (DataFrame, String, String) => Unit,
                  batch: DataFrame, batchId: Long,

@@ -627,6 +627,26 @@ class Bm25IndexSpec extends AnyFunSuite {
           (qid, r.getLong(0), r.getLong(1), i + 1L) }.toSeq
       assert(batchedRows.filter(_._1 == qid).sortBy(_._4) === alone)
     }
+    // the FILTERED batch probe keeps the same union-bucket pruning:
+    // the mask semi-join must not widen the scan past the batch's ≤ 4
+    // term buckets (the r15 single-query claim, now on the batch tier)
+    captured.clear()
+    spark.listenerManager.register(ql)
+    val prunedFiltered = try {
+      val allowed = docs.where(col("doc_id") % 3 === 0).select("doc_id")
+      Bm25Index.searchBatchFiltered(reloaded, stats, batch, 10,
+        nBuckets, allowed).collect()
+      val deadline = System.currentTimeMillis() + 20000
+      while (indexScan().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      indexScan().getOrElse(fail(
+        "the filtered batch probe's index scan never reached the " +
+          "listener")).metrics("numFiles").value
+    } finally spark.listenerManager.unregister(ql)
+    assert(prunedFiltered <= 4,
+      s"filtered batched partition pruning failed: read " +
+        s"$prunedFiltered files — the mask defeated the bucket " +
+        "predicate")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 

@@ -449,9 +449,10 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
     assert(reader1.where(col("doc_id") === 5L)
       .select("doc_id").distinct().count() === 1L,
       "reader resolved one compaction ago lost its snapshot")
-    // vacuum eagerly reclaims the remaining grace tier
-    new IndexMaintenanceStream.VersionedStore(spark, s"$dir/store",
-      Bm25Index.write, 1L).vacuum()
+    // vacuum eagerly reclaims the remaining grace tier (the object-level
+    // door — the store-level sweep is private so a caller can never
+    // strand state snapshots whose store dirs are gone)
+    IndexMaintenanceStream.vacuum(spark, dir)
     val after = new java.io.File(s"$dir/store").listFiles()
       .filter(_.isDirectory).map(_.getName).toSeq
     assert(after.count(_.startsWith("base_")) === 1 &&

@@ -292,6 +292,63 @@ class RetrievalSpec extends AnyFunSuite {
       k3.getLong(5) === 166666L) // (1e6 div 2) div 3
   }
 
+  test("FILTERED BATCH tier: hybridTopKBatch with an allowed mask " +
+      "equals hybridTopKIndexedFiltered per qid, and " +
+      "searchBatchFiltered equals searchFiltered per qid") {
+    val docs = corpus(90)
+    val emb = embeddings(90)
+    val cents = Similarity.centroids(emb, 8)
+    val index = Similarity.ivfAssign(emb, cents)
+    val (postings, stats) = Bm25Index.build(docs, col("doc_id"),
+      col("text"), 16)
+    val allowed = docs.where(col("doc_id") % 3 === 0).select("doc_id")
+    val batch = Seq(1L -> Seq("alpha", "gamma"),
+      2L -> Seq("epsilon", "zeta"), 4L -> qTerms)
+    // lexical leg: batched-filtered ≡ filtered alone, per qid
+    val lexBatched = Bm25Index.searchBatchFiltered(postings, stats,
+      batch, 10, 16, allowed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).groupBy(_._1)
+    for ((qid, terms) <- batch) {
+      val alone = Bm25Index.searchFiltered(postings, stats, terms, 10,
+        16, allowed).collect().zipWithIndex.map { case (r, i) =>
+          (qid, r.getLong(0), r.getLong(1), i + 1L) }
+      assert(lexBatched(qid).sortBy(_._4).toSeq === alone.toSeq,
+        s"qid $qid scored differently batched-filtered vs alone")
+    }
+    // full hybrid facade: batched-filtered ≡ the single-query filtered
+    // entry point, per qid
+    val fusedBatched = Retrieval.hybridTopKBatch(postings, stats, 16,
+      index, cents, emb.where(col("vec_id").isin(1L, 2L, 4L)), batch,
+      k = 10, legK = 12, nprobe = 4, allowed = Some(allowed))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).groupBy(_._1)
+    for ((qid, terms) <- batch) {
+      val alone = Retrieval.hybridTopKIndexedFiltered(postings, stats,
+        16, index, cents, emb.where(col("vec_id") === qid), terms,
+        allowed, k = 10, legK = 12, nprobe = 4)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (qid, r.getLong(0), r.getLong(1), r.getLong(2), i + 1L) }
+      assert(fusedBatched(qid).sortBy(_._5).toSeq === alone.toSeq,
+        s"qid $qid fused differently batched-filtered vs alone")
+      assert(alone.forall(_._2 % 3 == 0),
+        s"qid $qid leaked a disallowed doc")
+    }
+    // and an allowed=everything mask is a no-op against the unfiltered
+    // batch facade (global scoring preserved end to end)
+    val unmasked = Retrieval.hybridTopKBatch(postings, stats, 16,
+      index, cents, emb.where(col("vec_id").isin(1L, 2L, 4L)), batch,
+      k = 10, legK = 12, nprobe = 4)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val maskedAll = Retrieval.hybridTopKBatch(postings, stats, 16,
+      index, cents, emb.where(col("vec_id").isin(1L, 2L, 4L)), batch,
+      k = 10, legK = 12, nprobe = 4,
+      allowed = Some(docs.select("doc_id")))
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(maskedAll === unmasked,
+      "allowed=everything changed the batched answer")
+  }
+
   test("hybridTopKIndexedFiltered: fused results confined to the " +
       "slice; exact-probe filtered hybrid ≡ fusing legs built from " +
       "only the allowed corpus under global lexical scoring") {
