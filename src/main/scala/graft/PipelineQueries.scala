@@ -2486,12 +2486,14 @@ object PipelineQueries {
         s, door, dir, pipeline.Bm25Index.write, b1, 1L, Some(oldV))
       val (live, stats) = graft.streaming.IndexMaintenanceStream
         .currentView(s, door, dir)
-      // checkpointCorpus is EAGER and stats came back literal-snapped,
-      // so nothing downstream reads the temp tree — drop it here
-      // instead of leaking a corpus-sized layout per bench repetition
-      val result = pipeline.Bm25Index.search(
-        pipeline.Dedup.checkpointCorpus(live),
-        stats.get, Seq("data", "stream", "shuffle"), 10, 64)
+      // eager-checkpoint the tiny RESULT so nothing downstream reads
+      // the temp tree (stats now come back as a LAZY 1-row scan over
+      // the state dir — the r16 load-time job cut), then drop the
+      // store instead of leaking a corpus-sized layout per repetition
+      val result = pipeline.Dedup.checkpointCorpus(
+        pipeline.Bm25Index.search(
+          pipeline.Dedup.checkpointCorpus(live),
+          stats.get, Seq("data", "stream", "shuffle"), 10, 64))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       result
     }),

@@ -249,26 +249,46 @@ object Maintenance {
     val hfs = metaPath.getFileSystem(
       st.tombstones.sparkSession.sessionState.newHadoopConf())
     val out = hfs.create(metaPath, true)
-    try out.write(
-      s"nextGen=${st.nextGen}\ncompactions=${st.compactions}\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // the parquet schemas ride in the meta line (properties-escaped
+    // DDL) so loadState can supply them to the reader: an inferred
+    // read pays a footer-reading Spark job PER read.parquet call —
+    // two pure-overhead jobs on every applyBatch and serving viewAt
+    val props = new java.util.Properties()
+    props.setProperty("nextGen", st.nextGen.toString)
+    props.setProperty("compactions", st.compactions.toString)
+    props.setProperty("tombSchema", st.tombstones.schema.toDDL)
+    st.stats.foreach(s => props.setProperty("statsSchema", s.schema.toDDL))
+    try props.store(out, null) finally out.close()
   }
 
   /** Reload a [[saveState]] snapshot. The tombstone frame comes back as
     * a parquet scan (tombstone-sized, broadcast at probe time exactly
-    * like the in-memory frame); stats re-snap to a literal plan. */
+    * like the in-memory frame); stats come back as a LAZY 1-row parquet
+    * scan — loading must not run a Spark job (the r15 load-time snap
+    * collect cost one job per applyBatch AND per serving viewAt). The
+    * scan is bounded by construction, every consumer already runs a
+    * job of its own (the tick's fold collect, a probe's broadcast), and
+    * [[tick]] re-snaps its fold output, so plan lineage still never
+    * accumulates across ticks. */
   def loadState(spark: SparkSession, dir: String): State = {
     val meta = new java.util.Properties()
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/state.meta")
     val hfs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
     val in = hfs.open(metaPath)
     try meta.load(in) finally in.close()
+    // schema-supplied reads skip the footer-inference job; a snapshot
+    // from before the schemas rode in the meta falls back to inference
+    def rd(sub: String, key: String) = {
+      val r = Option(meta.getProperty(key)).fold(spark.read)(ddl =>
+        spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+      r.parquet(s"$dir/$sub")
+    }
     val stats =
       if (hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")))
-        Some(snap(spark.read.parquet(s"$dir/stats")))
+        Some(rd("stats", "statsSchema"))
       else None
-    State(spark.read.parquet(s"$dir/tombstones"), stats,
+    State(rd("tombstones", "tombSchema"), stats,
       meta.getProperty("nextGen").toLong,
       meta.getProperty("compactions").toLong)
   }

@@ -283,6 +283,73 @@ object Retrieval {
     rrfFuse(Seq(lex, vec), k, k0)
   }
 
+  /** The SCALAR single-query serving door — `(qid, vector)` instead of
+    * a one-row DataFrame, so single-query semantics hold at COMPILE
+    * time and the serving hot path pays neither the multi-query guard
+    * job (the limit-2 collect of [[requireSingleQuery]]) nor the IVF
+    * cell-resolution job (cells resolve driver-side through the same
+    * compiled argmax — [[Similarity.probeCellsScalar]]). `allowed`
+    * composes the [[hybridTopKIndexedFiltered]] mask; `weights` the
+    * per-leg ppm knob. Results ≡ the DataFrame door on the same query
+    * (spec-pinned, along with the job-count cut). The DataFrame door
+    * stays for callers whose queries already live in a frame. */
+  def hybridTopKIndexedScalar(postings: DataFrame, stats: DataFrame,
+                              nBuckets: Int, ivfIndex: DataFrame,
+                              cents: Seq[(Long, Array[Double])],
+                              query: (Long, Seq[Double]),
+                              qTerms: Seq[String],
+                              k: Int, legK: Int = 20, nprobe: Int = 4,
+                              k0: Int = 60,
+                              weights: Seq[Long] = Nil,
+                              allowed: Option[DataFrame] = None)
+      : DataFrame = {
+    val ids = allowed.map(a =>
+      a.select(col(a.columns.head).as("doc_id")))
+    val lex = rankLex(ids.fold(
+      Bm25Index.search(postings, stats, qTerms, legK, nBuckets))(a =>
+      Bm25Index.searchFiltered(postings, stats, qTerms, legK, nBuckets,
+        a)))
+    val vec = Similarity.ivfTopKIndexedScalar(query._1, query._2,
+      ivfIndex, cents, legK, nprobe, ids)
+      .select(col("nid").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, vec), k, k0, weights)
+  }
+
+  /** [[hybridFromStores]]' scalar twin: the consistent two-store
+    * serving read with the scalar door's job cuts (no guard job, no
+    * cell-resolution job — see [[hybridTopKIndexedScalar]]). */
+  def hybridFromStoresScalar(spark: org.apache.spark.sql.SparkSession,
+                             bmDoor: Maintenance.Door, bmDir: String,
+                             nBuckets: Int,
+                             ivfDoor: Maintenance.Door, ivfDir: String,
+                             cents: Seq[(Long, Array[Double])],
+                             query: (Long, Seq[Double]),
+                             qTerms: Seq[String],
+                             k: Int, legK: Int = 20, nprobe: Int = 4,
+                             k0: Int = 60,
+                             weights: Seq[Long] = Nil,
+                             allowed: Option[DataFrame] = None)
+      : DataFrame = {
+    import graft.streaming.IndexMaintenanceStream
+    val asOf = math.min(
+      IndexMaintenanceStream.committedBatch(spark, bmDir),
+      IndexMaintenanceStream.committedBatch(spark, ivfDir))
+    val (bmView, bmStats) =
+      IndexMaintenanceStream.viewAt(spark, bmDoor, bmDir, asOf)
+    val (ivfView, _) =
+      IndexMaintenanceStream.viewAt(spark, ivfDoor, ivfDir, asOf)
+    val ids = allowed.map(a =>
+      a.select(col(a.columns.head).as("doc_id")))
+    val lex = rankLex(ids.fold(
+      Bm25Index.search(bmView, bmStats.get, qTerms, legK, nBuckets))(a =>
+      Bm25Index.searchFiltered(bmView, bmStats.get, qTerms, legK,
+        nBuckets, a)))
+    val vec = Similarity.ivfTopKIndexedScalar(query._1, query._2,
+      ivfView, cents, legK, nprobe, ids)
+      .select(col("nid").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, vec), k, k0, weights)
+  }
+
   /** RETRIEVAL EVALUATION — the harness that closes the loop on every
     * ranker above: per-query IR metrics of a ranked result set against
     * a relevance table (qrels). Metrics are INTEGER-EXACT (ppm via

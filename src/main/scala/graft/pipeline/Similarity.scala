@@ -297,6 +297,59 @@ object Similarity {
       cents, k, nprobe)
   }
 
+  /** Probe-cell resolution for a SCALAR query vector, DRIVER-SIDE:
+    * runs the SAME compiled `nearest` loop the
+    * [[graft.functions.NearestCentroids]] expression executes (so cell
+    * choice is bit-identical to every indexed probe), with zero Spark
+    * jobs — the scalar twin of [[ivfTopKIndexedPruned]]'s query-sized
+    * cell-resolution job. */
+  def probeCellsScalar(vec: Seq[Double],
+                       cents: Seq[(Long, Array[Double])],
+                       nprobe: Int): Seq[Long] = {
+    val sorted = cents.sortBy(_._1)
+    val expr = graft.functions.NearestCentroids(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        vec, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray, nprobe)
+    expr.nearest(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      vec.toArray)).toLongArray().toSeq
+  }
+
+  /** The SCALAR single-query serving probe: one `(qid, vector)` instead
+    * of a one-row DataFrame, so the serving hot path pays NO
+    * multi-query guard job and NO cell-resolution job — the probe
+    * cells come from [[probeCellsScalar]] (driver-side, bit-identical)
+    * and land as the same literal `isin` partition filter as
+    * [[ivfTopKIndexedPruned]]. Single-query semantics are enforced at
+    * COMPILE time by the signature. `allowed` composes the
+    * [[ivfTopKIndexedPrunedFiltered]] mask. Results ≡ the DataFrame
+    * doors on the same query (spec-pinned). */
+  def ivfTopKIndexedScalar(qid: Long, vec: Seq[Double], index: DataFrame,
+                           cents: Seq[(Long, Array[Double])], k: Int,
+                           nprobe: Int,
+                           allowed: Option[DataFrame] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val queries = Seq((qid, vec)).toDF("vec_id", "embedding")
+    val cells = probeCellsScalar(vec, cents, nprobe)
+    // the scalar query is array<double>; a float-stored index widens
+    // exactly (the semDeDup discipline) so the cosine sees two double
+    // arrays — bit-identical to the float/float DataFrame-door scores.
+    // The cast is a projection above the cell partition filter, paid
+    // only on the pruned probe rows.
+    val widened = index.schema("ne").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+        index.withColumn("ne", col("ne").cast("array<double>"))
+      case _ => index
+    }
+    val masked = allowed.fold(widened)(a => widened.join(
+      a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
+    ivfTopKIndexed(queries, masked.where(col("cell").isin(cells: _*)),
+      cents, k, nprobe)
+  }
+
   /** METADATA-FILTERED serving probe — FAISS-IDSelector semantics on
     * the IVF store: `allowed` (first column = allowed vector ids)
     * masks candidates BEFORE the per-query rank window, so the top-k

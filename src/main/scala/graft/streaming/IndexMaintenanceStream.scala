@@ -368,10 +368,19 @@ object IndexMaintenanceStream {
     // batch)
     val deltaEmpty = batch.where(col("op").isin("add", "update"))
       .limit(1).count() == 0L
+    // checkpoint = identity: the tick's default eager localCheckpoint
+    // of the tombstone union costs one job per batch to truncate a
+    // lineage that HERE never accumulates — this batch's tombstones are
+    // persisted by saveState and the next batch reloads them as a
+    // parquet scan, so the union tower the checkpoint guards against
+    // (the in-memory FrameStore soak shape) cannot form. The
+    // compactNeeded count and the saveState write each walk the
+    // one-batch lineage once — both delta/tombstone-sized.
     val st2 = Maintenance.tick(door, store, st,
       adds = part("add"), deletes = part("delete"), updates = updates,
       updatesOld = oldVersion.map(f => f(updates)),
       compactThresholdBytes = compactThresholdBytes,
+      checkpoint = identity,
       deltaEmpty = deltaEmpty)
     Maintenance.saveState(st2, s"$dir/state/v_b$batchId")
     DocsStream.swapPointer(spark, s"$dir/state", s"v_b$batchId")
