@@ -819,6 +819,43 @@ object PipelineQueries {
         nprobe = 4).orderBy("qid", "rank")
     }),
 
+    // the PQ-CODE store lifecycle ([[pipeline.Maintenance.IvfPqDoor]]):
+    // the ann_ivf_lifecycle mutation plan run against the (cell, nid,
+    // codes) serving index — both quantizers frozen (base-seeded
+    // centroids AND codebooks), updates re-encode the reversed
+    // embedding under gen 1, deletes/re-sends ride the same unified
+    // tombstone table — then the pruned ADC probe. The oracle encodes
+    // the end-state corpus from scratch under the same frozen tables,
+    // so the hash match pins assign+encode+gen-door+ADC ≡ rebuild: the
+    // memory-bounded billion-vector serving regime, live-mutated.
+    "ann_ivfpq_lifecycle" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
+      val door = new pipeline.Maintenance.IvfPqDoor(cents, cbs)
+      val store = new pipeline.Maintenance.FrameStore(
+        pipeline.Similarity.ivfStampGen(
+          pipeline.Similarity.ivfPqAssign(emb, cents, cbs), 0L))
+      var st = pipeline.Maintenance.initialState(s, door)
+      val empty = emb.limit(0)
+      val upd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val del1 = emb.where(col("vec_id") % 9 === 7 &&
+        col("vec_id") % 6 =!= 3)
+      val add1 = emb.where(col("vec_id") % 11 === 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      st = pipeline.Maintenance.tick(door, store, st, adds = add1,
+        deletes = del1, updates = upd1)
+      val del2 = upd1.where(col("vec_id") % 12 === 3)
+        .unionByName(del1.orderBy(col("vec_id")).limit(1)) // re-sent
+      st = pipeline.Maintenance.tick(door, store, st, adds = empty,
+        deletes = del2, updates = empty)
+      pipeline.Similarity.ivfPqTopKIndexedPruned(
+        emb.where(col("vec_id") < 5), st.live(door, store), cents, cbs,
+        5, nprobe = 4).orderBy("qid", "rank")
+    }),
+
     // recall report: hits@5 of each approximate path against the exact
     // brute-force top-5, per query — oracle-checked end to end
     "ann_ivf_recall" -> ((s, d) => {
@@ -2813,6 +2850,35 @@ object PipelineQueries {
         .orderBy("qid")
     }),
 
+    // TUNING SWEEP ([[pipeline.Retrieval.evalSweep]]): four fusion
+    // variants (balanced / lexical-heavy / vector-heavy weights, plus
+    // a low-k0 variant) of the SAME two ranked legs, each scored
+    // against the deterministic qrels, ranked by macro MAP — the legs
+    // are probed once for the whole sweep (ScaleBench pins the cost
+    // shape at 1M); the oracle recomputes every variant's fusion and
+    // metrics from scratch, so the hash match pins the entire
+    // sweep-and-rank loop
+    "retrieval_eval_sweep" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val index = pipeline.Similarity.ivfAssign(emb, cents)
+      val (postings, stats) = pipeline.Bm25Index.build(
+        docs, col("doc_id"), col("text"), 64)
+      val lex = pipeline.Bm25Index.searchBatch(
+        pipeline.Dedup.checkpointCorpus(postings), stats,
+        hybridBatchTerms, 20, 64)
+      val vec = pipeline.Similarity.ivfTopKIndexed(
+        emb.where(col("vec_id") < 5), index, cents, 20, nprobe = 4)
+        .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+      val qids = hybridBatchTerms.map(_._1).toDF("qid")
+      val qrels = qids.crossJoin(docs.select(col("doc_id")))
+        .where((col("doc_id") + col("qid") * 3) % 23 === 0)
+      pipeline.Retrieval.evalSweep(lex, vec, sweepVariants,
+        k = 10, qrels, evalK = 10)
+    }),
+
     // the macro averages over the same eval — one integer-exact row
     "retrieval_eval_macro" -> ((s, d) => {
       import s.implicits._
@@ -3168,6 +3234,14 @@ object PipelineQueries {
     2L -> Seq("spark", "table"), 3L -> Seq("query", "scan"),
     4L -> Seq("hash", "agg"))
 
+  /** The sweep grid shared by the `retrieval_eval_sweep` query and its
+    * oracle: (variant_id, (lexWeightPpm, vecWeightPpm), k0). */
+  private val sweepVariants: Seq[(Long, (Long, Long), Int)] = Seq(
+    (1L, (1000000L, 1000000L), 60),
+    (2L, (1500000L, 500000L), 60),
+    (3L, (500000L, 1500000L), 60),
+    (4L, (1000000L, 1000000L), 10))
+
   /** CTE chain ending in `lex(doc_id, rank)` — the BM25 scoring of
     * `documents` for the standard query terms, ranked 1..`legK` with
     * the engine's tie-break (score desc, doc_id asc). Mirrors
@@ -3378,7 +3452,8 @@ object PipelineQueries {
     * the first `ksub` vectors, `encd(nid, sub, code)` the per-subspace
     * argmin-L2 codes (sequential folds, ties → lower code), `qn(qid, qe,
     * qnorm)` and `lut(qid, sub, code, dot, sq)` the query-side tables. */
-  private def pqBaseSql(m: Int, ksub: Int, subDim: Int): String = {
+  private def pqBaseSql(m: Int, ksub: Int, subDim: Int,
+                        corpusFrom: String = "embeddings"): String = {
     def sub(v: String) = s"list_transform($v[(c.sub*$subDim+1):((c.sub+1)*$subDim)], x -> CAST(x AS DOUBLE))"
     s"""cbv AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $ksub)),
@@ -3399,7 +3474,7 @@ object PipelineQueries {
                  z -> (struct_extract(z, 1) - struct_extract(z, 2)) *
                       (struct_extract(z, 1) - struct_extract(z, 2))),
                  (x, y) -> x + y) ASC, c.code ASC) AS rk
-           FROM embeddings e CROSS JOIN cbn c) WHERE rk = 1),
+           FROM $corpusFrom e CROSS JOIN cbn c) WHERE rk = 1),
        qn AS (SELECT vec_id AS qid, embedding AS qe,
            sqrt(list_reduce(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
@@ -3487,8 +3562,9 @@ object PipelineQueries {
     * IVF cell assignment/probes (float-cosine, as `ivfSql`) restrict which
     * PQ codes each query ADC-scores. */
   private def ivfPqSql(nlist: Int, nprobe: Int, m: Int, ksub: Int,
-                       subDim: Int, k: Int): String =
-    s"""${pqBaseSql(m, ksub, subDim)},
+                       subDim: Int, k: Int,
+                       corpusFrom: String = "embeddings"): String =
+    s"""${pqBaseSql(m, ksub, subDim, corpusFrom)},
        cent AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
          ORDER BY vec_id LIMIT $nlist),
        assigned AS (
@@ -3497,7 +3573,7 @@ object PipelineQueries {
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
                ORDER BY list_cosine_similarity(e.embedding, ct.cent) DESC,
                         ct.cent_id ASC) AS rk
-           FROM embeddings e CROSS JOIN cent ct) WHERE rk = 1),
+           FROM $corpusFrom e CROSS JOIN cent ct) WHERE rk = 1),
        probes AS (
          SELECT cell, qid FROM (
            SELECT ct.cent_id AS cell, q.vec_id AS qid,
@@ -3988,6 +4064,22 @@ object PipelineQueries {
             "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
             "FROM embeddings WHERE vec_id % 11 = 5)")} " +
        "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivf_topk " +
+       "ORDER BY qid, rank"),
+
+    // the PQ-code store lifecycle: the end-state corpus encoded from
+    // scratch under the FROZEN base-seeded centroids AND codebooks
+    // (cent/cbv read the base table; only assignment/encoding read the
+    // mutated corpus), ADC-scored per probe cell
+    "ann_ivfpq_lifecycle" ->
+      (s"WITH ${ivfPqSql(16, 4, 8, 16, 8, 5,
+          corpusFrom = "(SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+            "THEN list_reverse(embedding) ELSE embedding END " +
+            "AS embedding FROM embeddings " +
+            "WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+            "AND NOT (vec_id % 12 = 3) " +
+            "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+            "FROM embeddings WHERE vec_id % 11 = 5)")} " +
+       "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivfpq_topk " +
        "ORDER BY qid, rank"),
 
     "ann_lsh_top5" ->
@@ -5838,6 +5930,91 @@ object PipelineQueries {
            CAST(COALESCE(1000000 // a.fhr, 0) AS BIGINT) AS mrr_ppm,
            CAST(COALESCE(a.spp, 0) // n.n_rel AS BIGINT) AS ap_ppm
          FROM nrel n LEFT JOIN ag a USING (qid) ORDER BY qid"""),
+
+    // the sweep: every variant's fusion + metrics recomputed from
+    // scratch over the same ranked legs, ranked by macro MAP
+    "retrieval_eval_sweep" -> {
+      val qtVals = hybridBatchTerms.flatMap { case (q, ts) =>
+        ts.map(t => s"($q, '$t')")
+      }.mkString(", ")
+      val qidVals = hybridBatchTerms.map(q => s"(${q._1})").mkString(", ")
+      val variantCtes = sweepVariants.map { case (vid, (wl, wv), k0) =>
+        s"""legs$vid AS (SELECT qid, doc_id, rank, $wl AS w FROM lex
+             UNION ALL SELECT qid, nid AS doc_id, rank, $wv AS w
+             FROM ivf_topk),
+           fused$vid AS (SELECT qid, doc_id,
+             CAST(SUM(w // ($k0 + rank)) AS BIGINT) AS rrf_ppm
+             FROM legs$vid GROUP BY 1, 2),
+           rk$vid AS (SELECT qid, doc_id, rank FROM (
+               SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY rrf_ppm DESC, doc_id ASC) AS rank
+               FROM fused$vid) WHERE rank <= 10),
+           ph$vid AS (SELECT qid, rank, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY rank) AS BIGINT) AS hit_idx
+             FROM (SELECT r.qid, r.rank FROM rk$vid r
+               JOIN (SELECT DISTINCT qid, doc_id FROM qrels) q
+               ON r.qid = q.qid AND r.doc_id = q.doc_id)),
+           ag$vid AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS hits,
+               MIN(rank) AS fhr,
+               CAST(SUM(CAST(hit_idx * 1000000 // rank AS BIGINT))
+                 AS BIGINT) AS spp
+             FROM ph$vid GROUP BY 1),
+           pq$vid AS (SELECT n.qid,
+               CAST(COALESCE(a.hits, 0) * 1000000 // n.n_rel AS BIGINT)
+                 AS recall_ppm,
+               CAST(COALESCE(1000000 // a.fhr, 0) AS BIGINT) AS mrr_ppm,
+               CAST(COALESCE(a.spp, 0) // n.n_rel AS BIGINT) AS ap_ppm
+             FROM nrel n LEFT JOIN ag$vid a USING (qid)),
+           mac$vid AS (SELECT CAST($vid AS BIGINT) AS variant_id,
+               CAST($wl AS BIGINT) AS lex_w, CAST($wv AS BIGINT) AS vec_w,
+               CAST($k0 AS BIGINT) AS k0,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT)
+                 AS macro_recall_ppm,
+               CAST(SUM(mrr_ppm) // COUNT(*) AS BIGINT) AS macro_mrr_ppm,
+               CAST(SUM(ap_ppm) // COUNT(*) AS BIGINT) AS macro_map_ppm
+             FROM pq$vid)"""
+      }.mkString(",\n")
+      val macUnion = sweepVariants.map(v => s"SELECT * FROM mac${v._1}")
+        .mkString(" UNION ALL ")
+      s"""WITH qt(qid, term) AS (SELECT * FROM (VALUES $qtVals)
+           AS v(qid, term)),
+         tok AS (SELECT doc_id, unnest($toksSql) AS term
+           FROM documents),
+         tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         sc AS (SELECT qt.qid, tc.doc_id,
+           CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS rarity_ppm,
+           CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+             (CAST(10 AS HUGEINT) * tf * total_len +
+              CAST(3 AS HUGEINT) * total_len +
+              CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+           FROM tc JOIN qt USING (term) JOIN df USING (term)
+           JOIN dl USING (doc_id) CROSS JOIN tot),
+         bm AS (SELECT qid, doc_id,
+           CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT) AS score
+           FROM sc GROUP BY 1, 2),
+         lex AS (SELECT qid, doc_id, rank FROM (
+           SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY score DESC, doc_id ASC) AS rank FROM bm)
+           WHERE rank <= 20),
+         ${ivfSql(16, 4, 20)},
+         qrels AS (SELECT v.qid, d.doc_id
+           FROM (VALUES $qidVals) AS v(qid), documents d
+           WHERE (d.doc_id + v.qid * 3) % 23 = 0),
+         nrel AS (SELECT qid, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+             AS n_rel FROM qrels GROUP BY 1),
+         $variantCtes
+         SELECT * FROM ($macUnion)
+         ORDER BY macro_map_ppm DESC, variant_id ASC"""
+    },
 
     // the macro (mean-over-queries) row of the same eval
     "retrieval_eval_macro" ->

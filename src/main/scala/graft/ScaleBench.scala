@@ -1940,7 +1940,200 @@ object ScaleBench {
           s"macroRecall=${m.getLong(1)}ppm macroMrr=${m.getLong(2)}ppm " +
           s"macroMap=${m.getLong(3)}ppm"
       }
+      // ---- the SWEEP's cost shape at 1M: V fusion variants of the
+      // same two ranked legs. evalSweep materializes the legs once, so
+      // the per-variant marginal cost must be fusion (leg-k-sized) +
+      // the qrels-sized metric pass — never an index re-probe, never
+      // per (variant × query). Twin runs at V=2 and V=6 make the
+      // marginal mechanically visible: (records6 − records2) / 4 ≈
+      // |qrels| + fused rows, orders of magnitude under the 40M-row
+      // index either sweep ranks against.
+      if (only("retrieval_eval_sweep_1m")) {
+        val gembS = expr(
+          """transform(sequence(0, 15), d ->
+               cast(pmod(xxhash64(id, d), 1000) / 500.0 - 1.0 as float))""")
+        val corpusV = spark.range(n)
+          .select(col("id").as("vec_id"), gembS.as("embedding"))
+        val centsS = pipeline.Similarity.centroids(corpusV, 256)
+        val ivfIdx = pipeline.Similarity.ivfAssign(corpusV, centsS)
+        val qvecs = qbatch.map(_._1).toDF("id")
+          .select(col("id").as("vec_id"), gembS.as("embedding"))
+        def vecLeg = pipeline.Similarity.ivfTopKIndexed(qvecs, ivfIdx,
+          centsS, 20, nprobe = 8)
+          .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+        def grid(v: Int): Seq[(Long, (Long, Long), Int)] =
+          (1 to v).map(i => (i.toLong,
+            (500000L + i * 250000L, 2000000L - i * 250000L), 60))
+        var rec2 = 0L
+        val recs = new java.util.concurrent.atomic.AtomicLong
+        def measured(name: String)(f: => Any): Unit = {
+          val l = new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+                : Unit = {
+              val tm = sc.stageInfo.taskMetrics
+              if (tm != null) recs.addAndGet(tm.inputMetrics.recordsRead)
+              ()
+            }
+          }
+          recs.set(0L)
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          val r = f
+          val sec = (System.nanoTime() - t0) / 1e9
+          sweep()
+          Thread.sleep(1000)
+          spark.sparkContext.removeSparkListener(l)
+          println(f"SCALEBENCH $name $sec%.2f s ($r) " +
+            s"inputRecords=${recs.get()}")
+        }
+        measured("retrieval_eval_sweep_1m_v2") {
+          val out = pipeline.Retrieval.evalSweep(ranked, vecLeg,
+            grid(2), k = 10, qrels, evalK = 10).collect()
+          rec2 = recs.get()
+          s"variants=${out.length} bestMap=${out.head.getLong(7)}ppm"
+        }
+        measured("retrieval_eval_sweep_1m_v6") {
+          val out = pipeline.Retrieval.evalSweep(ranked, vecLeg,
+            grid(6), k = 10, qrels, evalK = 10).collect()
+          val marginal = (recs.get() - rec2) / 4
+          s"variants=${out.length} bestMap=${out.head.getLong(7)}ppm " +
+            s"marginalRecordsPerVariant=$marginal " +
+            s"(qrels=${qrels.count()})"
+        }
+      }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+
+    // ---- the PQ-CODE serving store at 1M (Maintenance.IvfPqDoor):
+    // the memory-bounded billion-vector regime — the maintained store
+    // holds (cell, nid, codes) rows instead of float vectors. Claims
+    // measured: (1) the code store's on-disk bytes are a small
+    // fraction of the full-vector store's under identical layout
+    // (same partitioning, same writer); (2) after a mixed mutation
+    // batch through the versioned layout, the pruned ADC probe over
+    // the maintained store EQUALS a from-scratch re-encode of the
+    // mutated corpus under the same frozen quantizers (per-query,
+    // asserted); (3) ADC recall@10 vs exact brute force sits next to
+    // the full-vector IVF probe's recall at EQUAL nprobe — what the
+    // compression costs at scale, measured not conjectured.
+    if (Seq("ivfpq_store_bootstrap_1m", "ivfpq_store_mutate_1m",
+        "ivfpq_store_probe_1m").exists(only)) {
+      val n = 1000000L
+      val m = n / 1000
+      val root = "/tmp/graft_ivfpq_store_1m"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val dir = s"$root/store_root"
+      val fvDir = s"$root/fullvec"
+      val gemb = expr(
+        """transform(sequence(0, 63), d ->
+             cast(pmod(xxhash64(id, d), 2000) / 1000.0 - 1.0 as float))""")
+      def gvecs(ids: org.apache.spark.sql.DataFrame) =
+        ids.select(col("id").as("vec_id"), gemb.as("embedding"))
+      def pqWrite(df: org.apache.spark.sql.DataFrame, d: String,
+                  mode: String): Unit =
+        df.write.partitionBy("cell").mode(mode).parquet(d)
+      def dirBytes(d: String): Long =
+        org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(d))
+      var cents: Seq[(Long, Array[Double])] = Nil
+      var cbs: Array[Array[Array[Double]]] = null
+      var door: pipeline.Maintenance.IvfPqDoor = null
+      t("ivfpq_store_bootstrap_1m") {
+        val corpus = gvecs(spark.range(n).toDF())
+        cents = pipeline.Similarity.centroids(corpus, 256)
+        cbs = pipeline.Similarity.pqCodebooks(corpus, 8, 256)
+        door = new pipeline.Maintenance.IvfPqDoor(cents, cbs)
+        streaming.IndexMaintenanceStream.bootstrap(spark, door, dir,
+          pqWrite, corpus)
+        // the counterfactual: the SAME corpus as a full-vector cell
+        // store under the same writer/layout — the bytes baseline
+        pqWrite(pipeline.Similarity.ivfStampGen(
+          pipeline.Similarity.ivfAssign(corpus, cents), 0L), fvDir,
+          "overwrite")
+        val (code, full) = (dirBytes(s"$dir/store"), dirBytes(fvDir))
+        require(full > 4L * code,
+          s"code store not meaningfully smaller: $code vs $full")
+        f"codeBytes=$code fullVecBytes=$full ratio=${
+          full.toDouble / code}%.1f (m=8 ksub=256 d=64 nlist=256)"
+      }
+      t("ivfpq_store_mutate_1m") {
+        val b0 = gvecs(spark.range(n).toDF().where(col("id") % m === 0))
+          .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+          .unionByName(gvecs(spark.range(n).toDF()
+            .where(col("id") % m === 100))
+            .select(lit("update").as("op"), col("vec_id"),
+              reverse(col("embedding")).as("embedding")))
+          .unionByName(gvecs(spark.range(n, n + 500L).toDF())
+            .select(lit("add").as("op"), col("vec_id"), col("embedding")))
+        streaming.IndexMaintenanceStream.applyBatch(spark, door, dir,
+          pqWrite, b0, 0L)
+        s"n=$n mutated=2000+500"
+      }
+      // query ids ≡ 500 (mod m): never deleted or updated
+      val qpq = gvecs(spark.range(10).toDF()
+        .select((col("id") * m + 500L).as("id"))).localCheckpoint(true)
+      pin()
+      ti("ivfpq_store_probe_1m") {
+        val (view, _) = streaming.IndexMaintenanceStream
+          .currentView(spark, door, dir)
+        val served = pipeline.Similarity.ivfPqTopKIndexedPruned(qpq,
+          view, cents, cbs, 10, nprobe = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1))
+          .toMap
+        // counterfactual rebuild: the mutated corpus re-encoded from
+        // scratch under the SAME frozen tables — must agree per query
+        val mutated = gvecs(spark.range(n).toDF()
+            .where(col("id") % m =!= 0 && col("id") % m =!= 100))
+          .unionByName(gvecs(spark.range(n).toDF()
+            .where(col("id") % m === 100))
+            .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+          .unionByName(gvecs(spark.range(n, n + 500L).toDF()))
+        val rebuilt = pipeline.Similarity.ivfPqTopKIndexed(qpq,
+          pipeline.Similarity.ivfPqAssign(mutated, cents, cbs), cents,
+          cbs, 10, nprobe = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1))
+          .toMap
+        require(served == rebuilt,
+          "maintained PQ store diverged from the frozen-table rebuild")
+        // recall vs exact brute force, next to the full-vector IVF
+        // probe at EQUAL nprobe — the compression's measured cost —
+        // and the production answer to it: an exact RERANK tail that
+        // ADC-ranks 100 candidates from the code store, then fetches
+        // only those queries×100 full vectors from the primary store
+        // (here: the corpus frame) for an exact top-10. Uniform random
+        // vectors are PQ's worst case (no cluster structure for the
+        // codebooks to spend entries on), so the raw ADC number is the
+        // honest floor, not the served quality.
+        val exact = pipeline.Similarity.bruteForceTopK(qpq, mutated, 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val adcHits = served.toSeq.map { case ((q, _), nid) => (q, nid) }
+          .count(exact.contains)
+        val fvHits = pipeline.Similarity.ivfTopKIndexed(qpq,
+          pipeline.Similarity.ivfAssign(mutated, cents), cents, 10,
+          nprobe = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .count(exact.contains)
+        val cand100 = pipeline.Similarity.ivfPqTopKIndexedPruned(qpq,
+          view, cents, cbs, 100, nprobe = 8).select("qid", "nid")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid").asc)
+        val rerankHits = mutated
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+          .join(broadcast(cand100), Seq("nid"))
+          .join(broadcast(qpq.select(col("vec_id").as("qid"),
+            col("embedding").as("qvec"))), Seq("qid"))
+          .withColumn("sim", pipeline.Similarity.cosine(
+            col("qvec"), col("nvec")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .count(exact.contains)
+        s"servedRows=${served.size} adcRecall=$adcHits/100 " +
+          s"fullVecRecall=$fvHits/100 rerankRecall=$rerankHits/100 " +
+          "(nprobe=8 all)"
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
 
     // ---- mergeable HLL distinct census (HllCensus): the build pays one

@@ -202,6 +202,30 @@ object Maintenance {
       Similarity.ivfApplyGenTombstones(rows, tombs)
   }
 
+  /** The PQ-CODE serving door — the memory-bounded billion-vector
+    * regime ([[Similarity.ivfPqAssign]]'s `(cell, nid, codes)` rows,
+    * corpus × (8 + m) bytes instead of full float vectors). Both
+    * quantizers are FROZEN (coarse centroids + PQ codebooks), so a
+    * delta batch is one shuffle-free assign+encode projection and the
+    * gen-tombstone machinery is identical to the full-vector
+    * [[IvfDoor]]'s (same `nid`/`gen` keys — the code column changes
+    * nothing about retirement). Re-seeding either quantizer after
+    * drift is the scheduled-rebuild path, exactly like the IVF door.
+    * Serve through [[Similarity.ivfPqTopKIndexedPruned]]. */
+  final class IvfPqDoor(cents: Seq[(Long, Array[Double])],
+                        cbs: Array[Array[Array[Double]]]) extends Door {
+    val idName = "nid"
+    val batchId: Column = col("vec_id")
+    def index(batch: DataFrame): DataFrame =
+      Similarity.ivfPqAssign(batch, cents, cbs)
+    def stamp(rows: DataFrame, gen: Long): DataFrame =
+      Similarity.ivfStampGen(rows, gen)
+    def tombstones(ids: DataFrame, uptoGen: Long): DataFrame =
+      Similarity.ivfGenTombstones(ids, col(idName), uptoGen)
+    def applyTombstones(rows: DataFrame, tombs: DataFrame): DataFrame =
+      Similarity.ivfApplyGenTombstones(rows, tombs)
+  }
+
   final class SigDoor(idCol: String, text: Column, shingleN: Int,
                       perms: Int) extends Door {
     val idName = "did"

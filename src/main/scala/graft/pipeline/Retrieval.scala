@@ -407,6 +407,46 @@ object Retrieval {
       expr("sum(mrr_ppm) div count(1)").as("macro_mrr_ppm"),
       expr("sum(ap_ppm) div count(1)").as("macro_map_ppm"))
 
+  /** PARAMETER-SWEEP harness — the tuning loop [[evalMetrics]] opens,
+    * closed: score every fusion variant (per-leg weights × k0) of the
+    * SAME ranked legs against one qrels table and rank the variants by
+    * macro MAP. The legs are eagerly materialized ONCE (they are
+    * leg-k-sized — |queries| × legK rows), so the sweep probes each
+    * index exactly once no matter how many variants run; per variant
+    * the work is one leg-k-sized fusion plus the qrels-sized metric
+    * pass — never an index touch, never per (variant × query)
+    * (ScaleBench pins this at 1M). Output: one row per variant
+    * `(variant_id, lex_w, vec_w, k0, n_queries, macro_recall_ppm,
+    * macro_mrr_ppm, macro_map_ppm)`, best MAP first (ties: lower
+    * variant_id), integer-exact end to end so the whole sweep mirrors
+    * in ANSI SQL.
+    *
+    * `variants` = (variant_id, (lexWeightPpm, vecWeightPpm), k0);
+    * `legs` = (lexical, vector) ranked `(qid, doc_id, rank)` frames,
+    * the exact shapes [[Bm25Index.searchBatch]] /
+    * [[Similarity.ivfTopKIndexed]] emit. */
+  def evalSweep(lexLeg: DataFrame, vecLeg: DataFrame,
+                variants: Seq[(Long, (Long, Long), Int)],
+                k: Int, qrels: DataFrame, evalK: Int): DataFrame = {
+    require(variants.nonEmpty, "evalSweep needs at least one variant")
+    val lex = Dedup.checkpointCorpus(
+      lexLeg.select(col("qid"), col("doc_id"), col("rank")))
+    val vec = Dedup.checkpointCorpus(
+      vecLeg.select(col("qid"), col("doc_id"), col("rank")))
+    val rows = variants.map { case (vid, (wl, wv), k0) =>
+      val fused = rrfFuseByQuery(Seq(lex, vec), k, k0, Seq(wl, wv))
+      evalMacro(evalMetrics(
+        fused.select(col("qid"), col("doc_id"), col("rank")),
+        qrels, evalK))
+        .select(lit(vid).as("variant_id"), lit(wl).as("lex_w"),
+          lit(wv).as("vec_w"), lit(k0.toLong).as("k0"),
+          col("n_queries"), col("macro_recall_ppm"),
+          col("macro_mrr_ppm"), col("macro_map_ppm"))
+    }
+    rows.reduce(_ unionByName _)
+      .orderBy(col("macro_map_ppm").desc, col("variant_id").asc)
+  }
+
   /** METADATA-FILTERED hybrid — the "search within a slice" query every
     * retrieval deployment serves (language = en, date range, source
     * domain): `allowed` (first column = allowed doc ids, e.g.

@@ -561,6 +561,66 @@ object Similarity {
       cbs, k)
   }
 
+  /** Corpus → `(cell, nid, codes)` in ONE shuffle-free projection —
+    * the PQ-CODE serving index a billion-vector deployment persists
+    * partitioned by cell: corpus × (8 + m) bytes instead of the full
+    * float vectors (~32× smaller at m=8/d=64·f32), the memory-bounded
+    * regime PQ exists for. Both quantizers are FROZEN arguments (the
+    * coarse centroids and the PQ codebooks ride inside the codegen'd
+    * expressions), so incremental maintenance is per-row: a new batch
+    * assigns and encodes under the same tables and appends —
+    * [[Maintenance.IvfPqDoor]]'s contract, the code-index twin of
+    * [[ivfAssign]]/[[ivfAddToIndex]]. */
+  def ivfPqAssign(corpus: DataFrame, cents: Seq[(Long, Array[Double])],
+                  cbs: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(
+      element_at(graft.functions.NearestCentroids.nearest_centroids(
+        col("embedding"), cents, 1), 1).as("cell"),
+      col("vec_id").as("nid"),
+      graft.functions.PqCodes.pq_codes(col("embedding"), cbs).as("codes"))
+
+  /** ADC top-k over a PREBUILT code index (`(cell, nid, codes)` — what
+    * [[ivfPqAssign]] emits): queries probe `nprobe` cells, the
+    * broadcast probe frame carries each query's per-(sub, code) LUT,
+    * and every candidate row costs m table lookups — never a d-dim
+    * dot, never the float vectors. Search ≡ [[ivfPqTopK]] under the
+    * same frozen tables (it delegates here). */
+  def ivfPqTopKIndexed(queries: DataFrame, index: DataFrame,
+                       cents: Seq[(Long, Array[Double])],
+                       cbs: Array[Array[Array[Double]]],
+                       k: Int, nprobe: Int): DataFrame = {
+    val probes = queries.select(col("vec_id").as("qid"),
+      explode(graft.functions.NearestCentroids.nearest_centroids(
+        col("embedding"), cents, nprobe)).as("cell"))
+      .join(pqQueryLut(queries, cbs), "qid")
+    adcTopK(index.join(broadcast(probes), Seq("cell")), cbs, k)
+  }
+
+  /** The PARTITION-PRUNED (and optionally metadata-FILTERED) serving
+    * probe over a persisted PQ-code store — [[ivfTopKIndexedPruned]]'s
+    * shape on the code index: probe cells resolve to LITERALS first
+    * (one query-sized job running the same argmax expression) and push
+    * as the file index's partition filter, so the scan reads ≤
+    * |queries|×nprobe of the nlist partitions; `allowed` (first column
+    * = allowed ids) semi-joins the pruned candidates BEFORE the ADC
+    * rank window (FAISS IDSelector semantics — codes and cells are
+    * per-row, so the mask changes no score). */
+  def ivfPqTopKIndexedPruned(queries: DataFrame, index: DataFrame,
+                             cents: Seq[(Long, Array[Double])],
+                             cbs: Array[Array[Array[Double]]],
+                             k: Int, nprobe: Int,
+                             allowed: Option[DataFrame] = None)
+      : DataFrame = {
+    val cells = queries.select(explode(
+      graft.functions.NearestCentroids.nearest_centroids(
+        col("embedding"), cents, nprobe)).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val masked = allowed.fold(index)(a => index.join(
+      a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
+    ivfPqTopKIndexed(queries, masked.where(col("cell").isin(cells: _*)),
+      cents, cbs, k, nprobe)
+  }
+
   /** IVFPQ — the production billion-vector shape (FAISS `IVFx,PQy`): coarse
     * IVF cell + PQ codes computed in ONE shuffle-free projection over the
     * corpus scan (both code tables ride inside codegen'd expressions);
@@ -573,16 +633,8 @@ object Similarity {
                 nlist: Int, nprobe: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
     val cents = centroids(corpus, nlist)
     val cbs = pqCodebooks(corpus, m, ksub)
-    val indexed = corpus.select(
-      element_at(graft.functions.NearestCentroids.nearest_centroids(
-        col("embedding"), cents, 1), 1).as("cell"),
-      col("vec_id").as("nid"),
-      graft.functions.PqCodes.pq_codes(col("embedding"), cbs).as("codes"))
-    val probes = queries.select(col("vec_id").as("qid"),
-      explode(graft.functions.NearestCentroids.nearest_centroids(
-        col("embedding"), cents, nprobe)).as("cell"))
-      .join(pqQueryLut(queries, cbs), "qid")
-    adcTopK(indexed.join(broadcast(probes), Seq("cell")), cbs, k)
+    ivfPqTopKIndexed(queries, ivfPqAssign(corpus, cents, cbs), cents,
+      cbs, k, nprobe)
   }
 
   /** IVFPQ with an EXACT re-rank tail — the complete production retrieval

@@ -297,6 +297,54 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(st.stats.isEmpty)
   }
 
+  test("IvfPq door: ticks under BOTH frozen quantizers end equal to a " +
+      "fresh assign+encode of the surviving vectors, and the pruned + " +
+      "filtered ADC probe equals the rebuilt index's") {
+    val live = scala.collection.mutable.LinkedHashMap[Long, Int](
+      (0L until 60L).map(_ -> 0): _*)
+    val base = vecs(live.toSeq)
+    val cents = Similarity.centroids(base, 8)
+    val cbs = Similarity.pqCodebooks(base, 3, 8) // 6 dims → subDim 2
+    val door = new Maintenance.IvfPqDoor(cents, cbs)
+    val store = new Maintenance.FrameStore(
+      Similarity.ivfStampGen(Similarity.ivfPqAssign(base, cents, cbs),
+        0L))
+    var st = Maintenance.initialState(spark, door)
+    def empty = vecs(Nil)
+    st = Maintenance.tick(door, store, st,
+      adds = vecs((60L until 66L).map(_ -> 0)),
+      deletes = vecs((0L until 5L).map(_ -> 0)),
+      updates = vecs((10L until 16L).map(_ -> 1)))
+    (0L until 5L).foreach(live.remove)
+    (10L until 16L).foreach(live(_) = 1)
+    (60L until 66L).foreach(live(_) = 0)
+    st = Maintenance.tick(door, store, st,
+      adds = empty, deletes = vecs(Seq(10L -> 1, 11L -> 1)),
+      updates = empty)
+    live.remove(10L); live.remove(11L)
+    val rebuilt = Similarity.ivfPqAssign(vecs(live.toSeq), cents, cbs)
+    assert(sortedRows(st.live(door, store).drop("gen"))
+      === sortedRows(rebuilt), "PQ code rows drifted from the rebuild")
+    assert(st.stats.isEmpty)
+    // the serving probe over the maintained store ≡ the same probe
+    // over the rebuilt index, pruned and filtered alike
+    val queries = vecs(Seq(20L -> 0, 21L -> 0))
+    def probe(idx: DataFrame, allowed: Option[DataFrame]) =
+      Similarity.ivfPqTopKIndexedPruned(queries, idx, cents, cbs, 5,
+        nprobe = 3, allowed)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(probe(st.live(door, store), None) === probe(rebuilt, None),
+      "maintained-store ADC probe diverged from the rebuild's")
+    val allowed = Some(vecs(live.toSeq)
+      .where(col("vec_id") % 2 === 0).select("vec_id"))
+    val filtered = probe(st.live(door, store), allowed)
+    assert(filtered === probe(rebuilt, allowed),
+      "filtered ADC probe diverged from the rebuild's")
+    assert(filtered.nonEmpty &&
+      filtered.forall(_(1).asInstanceOf[Long] % 2 == 0),
+      "the mask leaked a disallowed id through the code index")
+  }
+
   test("signature door: ticks end equal to fresh signatures of the " +
       "surviving docs; a retried update inside the same generation is " +
       "dropped by the facade guard") {

@@ -292,6 +292,49 @@ class RetrievalSpec extends AnyFunSuite {
       k3.getLong(5) === 166666L) // (1e6 div 2) div 3
   }
 
+  test("evalSweep: one row per variant, each equal to the hand-composed " +
+      "fuse+eval of the same legs, ranked by macro MAP with variant_id " +
+      "tiebreak") {
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 40L, 1L), (2L, 50L, 2L)).toDF("qid", "doc_id", "rank")
+    val vec = Seq((1L, 20L, 1L), (1L, 60L, 2L),
+      (2L, 50L, 1L), (2L, 70L, 2L)).toDF("qid", "doc_id", "rank")
+    val qrels = Seq((1L, 20L), (1L, 60L), (2L, 40L), (2L, 99L))
+      .toDF("qid", "doc_id")
+    val variants = Seq(
+      (1L, (1000000L, 1000000L), 60),
+      (2L, (2000000L, 100000L), 60),
+      (3L, (1000000L, 1000000L), 5))
+    val out = Retrieval.evalSweep(lex, vec, variants, k = 4, qrels,
+      evalK = 4).collect()
+    assert(out.length === 3)
+    // every variant row equals the hand-composed pipeline
+    val byVid = out.map(r => r.getLong(0) -> r).toMap
+    for ((vid, (wl, wv), k0) <- variants) {
+      val fused = Retrieval.rrfFuseByQuery(Seq(lex, vec), 4, k0,
+        Seq(wl, wv))
+      val mac = Retrieval.evalMacro(Retrieval.evalMetrics(
+        fused.select(col("qid"), col("doc_id"), col("rank")),
+        qrels, 4)).collect().head
+      val row = byVid(vid)
+      assert((row.getLong(4), row.getLong(5), row.getLong(6),
+        row.getLong(7)) ===
+        ((mac.getLong(0), mac.getLong(1), mac.getLong(2),
+          mac.getLong(3))), s"variant $vid drifted from the " +
+        "hand-composed fuse+eval")
+      assert((row.getLong(1), row.getLong(2), row.getLong(3)) ===
+        ((wl, wv, k0.toLong)))
+    }
+    // ordering: macro_map desc, then variant_id asc on ties
+    val maps = out.map(r => (r.getLong(7), r.getLong(0)))
+    assert(maps.sortBy { case (m, v) => (-m, v) }.toSeq === maps.toSeq,
+      s"sweep output not ranked best-first: ${maps.toSeq}")
+    // the weight knob must actually move the metric somewhere in the
+    // grid (a constant sweep would pass the equality vacuously)
+    assert(out.map(_.getLong(7)).distinct.length > 1,
+      "all variants scored identically — fixture too degenerate")
+  }
+
   test("FILTERED BATCH tier: hybridTopKBatch with an allowed mask " +
       "equals hybridTopKIndexedFiltered per qid, and " +
       "searchBatchFiltered equals searchFiltered per qid") {
