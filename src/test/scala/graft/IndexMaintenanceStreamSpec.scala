@@ -650,6 +650,34 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
     IndexMaintenanceStream.applyBatch(spark, ivfDoor, ivfDir, ivfWrite,
       vmuts("delete", Seq(5L)), 1L)
     assert(hybrid() === fuseAt(1L))
+    // FILTERED + BATCHED through the store facade: the allowed mask
+    // rides hybridFromStoresBatch and must equal the per-query
+    // filtered fusion over the same consistent views, per qid
+    val allowed = spark.range(50).select((col("id") * 2).as("doc_id"))
+    val qb = Seq(7L -> qTerms, 9L -> Seq("alpha", "beta"))
+    val batched = Retrieval.hybridFromStoresBatch(spark, bmDoor, bmDir,
+      nBuckets, ivfDoor, ivfDir, cents, vecs(Seq(7L, 9L)), qb,
+      k = 10, legK = 12, nprobe = 8, allowed = Some(allowed))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))).groupBy(_._1)
+    val (bmV, bmS) = IndexMaintenanceStream.viewAt(spark, bmDoor,
+      bmDir, 1L)
+    val (ivfV, _) = IndexMaintenanceStream.viewAt(spark, ivfDoor,
+      ivfDir, 1L)
+    for ((qid, terms) <- qb) {
+      val alone = Retrieval.rrfFuse(Seq(
+        Retrieval.rankLex(Bm25Index.searchFiltered(bmV, bmS.get, terms,
+          12, nBuckets, allowed)),
+        Similarity.ivfTopKIndexedPrunedFiltered(vecs(Seq(qid)), ivfV,
+          cents, 12, 8, allowed)
+          .select(col("nid").as("doc_id"), col("rank"))), k = 10)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (qid, r.getLong(0), r.getLong(1), i + 1L) }
+      assert(batched(qid).sortBy(_._4).toSeq === alone.toSeq,
+        s"store-batched filtered fusion diverged for qid $qid")
+      assert(alone.forall(_._2 % 2 == 0),
+        s"qid $qid leaked a disallowed doc through the store tier")
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
