@@ -856,6 +856,44 @@ object PipelineQueries {
         5, nprobe = 4).orderBy("qid", "rank")
     }),
 
+    // the RESIDUAL PQ-code store lifecycle ([[pipeline.Maintenance
+    // .IvfPqResidualDoor]], IVFADC): same mutation plan as
+    // ann_ivfpq_lifecycle but with residual-encoded codes under BOTH
+    // frozen tables — centroids and the Lloyd-trained residual
+    // codebooks (trained ONCE on the base corpus at door construction;
+    // every delta, including the reversed-embedding updates, encodes
+    // under them). The oracle trains on the base table and re-encodes
+    // the end-state corpus from scratch, so the hash match pins the
+    // accuracy-per-byte serving shape live-mutated.
+    "ann_ivfpqr_lifecycle" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val rcbs = pipeline.Similarity.ivfPqResidualTrain(
+        emb, cents, 8, 16, trainIters = 1)
+      val door = new pipeline.Maintenance.IvfPqResidualDoor(cents, rcbs)
+      val store = new pipeline.Maintenance.FrameStore(
+        pipeline.Similarity.ivfStampGen(
+          pipeline.Similarity.ivfPqResidualAssign(emb, cents, rcbs), 0L))
+      var st = pipeline.Maintenance.initialState(s, door)
+      val empty = emb.limit(0)
+      val upd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val del1 = emb.where(col("vec_id") % 9 === 7 &&
+        col("vec_id") % 6 =!= 3)
+      val add1 = emb.where(col("vec_id") % 11 === 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      st = pipeline.Maintenance.tick(door, store, st, adds = add1,
+        deletes = del1, updates = upd1)
+      val del2 = upd1.where(col("vec_id") % 12 === 3)
+        .unionByName(del1.orderBy(col("vec_id")).limit(1)) // re-sent
+      st = pipeline.Maintenance.tick(door, store, st, adds = empty,
+        deletes = del2, updates = empty)
+      pipeline.Similarity.ivfPqResidualTopKIndexedPruned(
+        emb.where(col("vec_id") < 5), st.live(door, store), cents, rcbs,
+        5, nprobe = 4).orderBy("qid", "rank")
+    }),
+
     // recall report: hits@5 of each approximate path against the exact
     // brute-force top-5, per query — oracle-checked end to end
     "ann_ivf_recall" -> ((s, d) => {
@@ -3604,12 +3642,20 @@ object PipelineQueries {
     * quantized Lloyd sweeps over the residual distribution, codes
     * assigned on residual subvectors, ADC cosine rebuilt as
     * `(q·cent + Σ lut) / (‖q‖·√(‖cent‖² + Σ cross))`. */
+  /** `corpusFrom` swaps the SERVED corpus (final assignment + final
+    * encoding + candidates) while TRAINING — seeds, Lloyd sweeps —
+    * stays on the base `embeddings` table, mirroring a frozen-door
+    * lifecycle (the engine trains the codebooks once at door
+    * construction and encodes every later delta under them). */
   private def ivfPqResidualSql(nlist: Int, nprobe: Int, m: Int, ksub: Int,
-                               subDim: Int, k: Int, iters: Int): String = {
+                               subDim: Int, k: Int, iters: Int,
+                               corpusFrom: String = "embeddings")
+      : String = {
     def dslice(v: String, sub: String) =
       s"list_transform($v[($sub*$subDim+1):(($sub+1)*$subDim)], x -> CAST(x AS DOUBLE))"
-    // argmin encoding of every residual against codebook table cbnr$i
-    def encCte(name: String, cb: String) =
+    // argmin encoding of every residual in `from` against codebook
+    // table cbnr$i
+    def encCte(name: String, cb: String, from: String = "resv") =
       s"""$name AS (SELECT nid, sub, code FROM (
            SELECT v.nid, c.sub, c.code,
              ROW_NUMBER() OVER (PARTITION BY v.nid, c.sub
@@ -3619,7 +3665,7 @@ object PipelineQueries {
                  z -> (struct_extract(z, 1) - struct_extract(z, 2)) *
                       (struct_extract(z, 1) - struct_extract(z, 2))),
                  (x, y) -> x + y) ASC, c.code ASC) AS rk
-           FROM resv v CROSS JOIN $cb c) WHERE rk = 1)"""
+           FROM $from v CROSS JOIN $cb c) WHERE rk = 1)"""
     // one Lloyd sweep: encode with cbnr${i-1}, recompute entries as
     // quantized means (floor-division via positive modulus), entries
     // that lose all members keep their previous value
@@ -3643,6 +3689,29 @@ object PipelineQueries {
     val sweeps =
       if (iters == 0) "" else (1 to iters).map(sweep).mkString(",\n", ",\n", "")
     val cbFinal = s"cbnr$iters"
+    // served-corpus legs: identical to the training legs when
+    // corpusFrom is the base table (no duplicate CTEs emitted), split
+    // into assignedq/resvq when a lifecycle oracle serves a MUTATED
+    // corpus under the base-trained frozen tables
+    val sameCorpus = corpusFrom == "embeddings"
+    val servedCtes = if (sameCorpus) "" else s""",
+       assignedq AS (
+         SELECT cell, nid FROM (
+           SELECT ct.cent_id AS cell, e.vec_id AS nid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, ct.cent) DESC,
+                        ct.cent_id ASC) AS rk
+           FROM $corpusFrom e CROSS JOIN cent ct) WHERE rk = 1),
+       resvq AS (
+         SELECT a.nid, a.cell,
+           list_transform(list_zip(e.embedding, ct.cent),
+             z -> CAST(struct_extract(z, 1) AS DOUBLE) -
+                  CAST(struct_extract(z, 2) AS DOUBLE)) AS rese
+         FROM assignedq a
+         JOIN $corpusFrom e ON e.vec_id = a.nid
+         JOIN cent ct ON ct.cent_id = a.cell)"""
+    val servedAssign = if (sameCorpus) "assigned" else "assignedq"
+    val servedResv = if (sameCorpus) "resv" else "resvq"
     s"""cent AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
          ORDER BY vec_id LIMIT $nlist),
        assigned AS (
@@ -3659,7 +3728,7 @@ object PipelineQueries {
                   CAST(struct_extract(z, 2) AS DOUBLE)) AS rese
          FROM assigned a
          JOIN embeddings e ON e.vec_id = a.nid
-         JOIN cent ct ON ct.cent_id = a.cell),
+         JOIN cent ct ON ct.cent_id = a.cell)$servedCtes,
        pexr AS (SELECT nid, (j - 1) // $subDim AS sub, (j - 1) % $subDim AS jj,
            CAST(FLOOR(v * 1048576) AS BIGINT) AS vq
          FROM (SELECT nid, unnest(rese) AS v,
@@ -3674,7 +3743,7 @@ object PipelineQueries {
              x -> x * x), (x, y) -> x + y) AS sq
          FROM (SELECT unnest(generate_series(0, ${m - 1})) AS sub) c
          CROSS JOIN cbvr r)$sweeps,
-       ${encCte("encdr", cbFinal)},
+       ${encCte("encdr", cbFinal, servedResv)},
        qn AS (SELECT vec_id AS qid, embedding AS qe,
            sqrt(list_reduce(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
@@ -3713,7 +3782,8 @@ object PipelineQueries {
              (x, y) -> x + y) + c.sq AS crossv
          FROM cent ct CROSS JOIN $cbFinal c),
        candr AS (SELECT p.qid, a.nid, a.cell
-         FROM assigned a JOIN probes p USING (cell) WHERE p.qid <> a.nid),
+         FROM $servedAssign a JOIN probes p USING (cell)
+         WHERE p.qid <> a.nid),
        pairscr AS (
          SELECT c.qid, c.nid,
            cd.centdot + list_reduce(list(l.dot ORDER BY l.sub),
@@ -4080,6 +4150,21 @@ object PipelineQueries {
             "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
             "FROM embeddings WHERE vec_id % 11 = 5)")} " +
        "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivfpq_topk " +
+       "ORDER BY qid, rank"),
+
+    // residual PQ-code store lifecycle: training legs on the base
+    // table (the frozen door's codebooks), served legs re-encoded from
+    // the mutated corpus
+    "ann_ivfpqr_lifecycle" ->
+      (s"WITH ${ivfPqResidualSql(16, 4, 8, 16, 8, 5, 1,
+          corpusFrom = "(SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+            "THEN list_reverse(embedding) ELSE embedding END " +
+            "AS embedding FROM embeddings " +
+            "WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+            "AND NOT (vec_id % 12 = 3) " +
+            "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+            "FROM embeddings WHERE vec_id % 11 = 5)")} " +
+       "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivfpqr_topk " +
        "ORDER BY qid, rank"),
 
     "ann_lsh_top5" ->

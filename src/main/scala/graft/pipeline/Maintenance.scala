@@ -226,6 +226,28 @@ object Maintenance {
       Similarity.ivfApplyGenTombstones(rows, tombs)
   }
 
+  /** The RESIDUAL-encoded PQ-code door (IVFADC — the accuracy-per-byte
+    * shape the raw-code [[IvfPqDoor]]'s measured recall gap pays for):
+    * rows are `(cell, nid, residual codes)` under frozen centroids AND
+    * frozen residual codebooks ([[Similarity.ivfPqResidualTrain]], run
+    * once at door construction). Delta cost, gen machinery, and
+    * retirement are identical to [[IvfPqDoor]]; serve through
+    * [[Similarity.ivfPqResidualTopKIndexedPruned]]. */
+  final class IvfPqResidualDoor(cents: Seq[(Long, Array[Double])],
+                                rcbs: Array[Array[Array[Double]]])
+      extends Door {
+    val idName = "nid"
+    val batchId: Column = col("vec_id")
+    def index(batch: DataFrame): DataFrame =
+      Similarity.ivfPqResidualAssign(batch, cents, rcbs)
+    def stamp(rows: DataFrame, gen: Long): DataFrame =
+      Similarity.ivfStampGen(rows, gen)
+    def tombstones(ids: DataFrame, uptoGen: Long): DataFrame =
+      Similarity.ivfGenTombstones(ids, col(idName), uptoGen)
+    def applyTombstones(rows: DataFrame, tombs: DataFrame): DataFrame =
+      Similarity.ivfApplyGenTombstones(rows, tombs)
+  }
+
   final class SigDoor(idCol: String, text: Column, shingleN: Int,
                       perms: Int) extends Door {
     val idName = "did"

@@ -699,63 +699,73 @@ object Similarity {
     }
   }
 
-  /** Residual IVFPQ (IVFADC — FAISS `IVFx,PQy` proper): codes encode the
-    * residual vs the assigned cell centroid instead of the raw vector,
-    * recovering most of the coarse quantizer's error at the same code
-    * budget. Reconstruction is `cent(cell) + entry(codes)`, so the ADC
-    * cosine needs two extra bounded tables, both cell-keyed and
-    * BROADCAST (never corpus-shaped):
-    *   - per (query, probed cell): `centdot = q·cent` (nprobe rows/query);
-    *   - per (cell, sub, code): `cross = 2·cent_sub·entry + ‖entry‖²`
-    *     (nlist·m·ksub rows — index-build scale, e.g. 256·8·256 ≈ 0.5M
-    *     doubles at production sizes),
-    * giving `q·recon = centdot + Σ lut[sub][code]` and
-    * `‖recon‖² = ‖cent‖² + Σ cross[sub][code]`. The corpus side remains
-    * ONE shuffle-free projection (cell + residual codes, both codegen'd);
-    * scan shape and shuffle volume are identical to [[ivfPqTopK]]. */
-  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                        nlist: Int, nprobe: Int,
-                        m: Int = 8, ksub: Int = 16,
-                        trainIters: Int = 1): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cents = centroids(corpus, nlist)
-    val rcbs0 = pqResidualCodebooks(corpus, cents, m, ksub)
-    // IVFADC trains the PQ on the residual distribution (Jégou 2011
-    // §IV-A trains k-means on residuals): reuse the Lloyd refinement by
-    // presenting the residuals AS the embedding column — the quantized
-    // updates stay oracle-exact
-    val centIds0 = array(cents.map(c => lit(c._1)).toIndexedSeq: _*)
-    val centVecs0 = array(cents.map(c =>
-      array(c._2.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    val cellCol0 = element_at(graft.functions.NearestCentroids
-      .nearest_centroids(col("embedding"), cents, 1), 1)
-    val residCorpus = corpus.select(col("vec_id"),
-      zip_with(col("embedding"),
-        element_at(centVecs0, array_position(centIds0, cellCol0).cast("int")),
-        (x, c) => x.cast("double") - c).as("embedding"))
-    val rcbs =
-      if (trainIters > 0) pqRefineCodebooks(residCorpus, rcbs0, trainIters)
-      else rcbs0
-    val subDim = rcbs(0)(0).length
-
-    // literal centroid lookup (nlist entries ride in the plan, like the
-    // codebooks inside PqCodes)
+  /** Literal centroid lookup column (nlist entries ride in the plan,
+    * like the codebooks inside PqCodes). */
+  private def centOfCol(cents: Seq[(Long, Array[Double])])
+      (cell: Column): Column = {
     val centIds = array(cents.map(c => lit(c._1)).toIndexedSeq: _*)
     val centVecs = array(cents.map(c =>
       array(c._2.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    def centOf(cell: Column): Column =
-      element_at(centVecs, array_position(centIds, cell).cast("int"))
+    element_at(centVecs, array_position(centIds, cell).cast("int"))
+  }
 
-    // corpus → (cell, nid, residual codes): one shuffle-free projection
+  /** Train the residual PQ codebooks (IVFADC training, Jégou 2011
+    * §IV-A: k-means on the residual distribution) — seeds from
+    * [[pqResidualCodebooks]], refined by `trainIters` quantized Lloyd
+    * sweeps with the residuals presented AS the embedding column, so
+    * the updates stay oracle-exact. The returned table is the FROZEN
+    * quantizer half a serving door carries. */
+  def ivfPqResidualTrain(corpus: DataFrame,
+                         cents: Seq[(Long, Array[Double])],
+                         m: Int = 8, ksub: Int = 16,
+                         trainIters: Int = 1)
+      : Array[Array[Array[Double]]] = {
+    val rcbs0 = pqResidualCodebooks(corpus, cents, m, ksub)
+    if (trainIters <= 0) rcbs0
+    else {
+      val cellCol = element_at(graft.functions.NearestCentroids
+        .nearest_centroids(col("embedding"), cents, 1), 1)
+      val residCorpus = corpus.select(col("vec_id"),
+        zip_with(col("embedding"), centOfCol(cents)(cellCol),
+          (x, c) => x.cast("double") - c).as("embedding"))
+      pqRefineCodebooks(residCorpus, rcbs0, trainIters)
+    }
+  }
+
+  /** Corpus → `(cell, nid, residual codes)` in ONE shuffle-free
+    * projection under FROZEN centroids + residual codebooks — the
+    * IVFADC twin of [[ivfPqAssign]] and the
+    * [[Maintenance.IvfPqResidualDoor]] delta shape. */
+  def ivfPqResidualAssign(corpus: DataFrame,
+                          cents: Seq[(Long, Array[Double])],
+                          rcbs: Array[Array[Array[Double]]]): DataFrame = {
     val cellCol = element_at(graft.functions.NearestCentroids
       .nearest_centroids(col("embedding"), cents, 1), 1)
-    val indexed = corpus.select(
+    corpus.select(
       cellCol.as("cell"), col("vec_id").as("nid"),
       graft.functions.PqCodes.pq_codes(
-        zip_with(col("embedding"), centOf(cellCol),
+        zip_with(col("embedding"), centOfCol(cents)(cellCol),
           (x, c) => x.cast("double") - c), rcbs).as("codes"))
+  }
 
+  /** Residual-ADC top-k over a PREBUILT residual code index.
+    * Reconstruction is `cent(cell) + entry(codes)`, so the ADC cosine
+    * needs two extra bounded tables, both cell-keyed and BROADCAST
+    * (never corpus-shaped):
+    *   - per (query, probed cell): `centdot = q·cent` (nprobe
+    *     rows/query);
+    *   - per (cell, sub, code): `cross = 2·cent_sub·entry + ‖entry‖²`
+    *     (nlist·m·ksub rows — index-build scale),
+    * giving `q·recon = centdot + Σ lut[sub][code]` and
+    * `‖recon‖² = ‖cent‖² + Σ cross[sub][code]`. */
+  def ivfPqResidualTopKIndexed(queries: DataFrame, index: DataFrame,
+                               cents: Seq[(Long, Array[Double])],
+                               rcbs: Array[Array[Array[Double]]],
+                               k: Int, nprobe: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val m = rcbs.length
+    val subDim = rcbs(0)(0).length
     // per-cell reconstruction terms (driver-built, broadcast):
     // ccsq = ‖cent‖²; cross[s][c] = 2·cent_sub·entry + ‖entry‖², all
     // left-to-right folds so the oracle mirrors them bit-for-bit
@@ -777,20 +787,19 @@ object Similarity {
       (id, ccsq, cross)
     }
     val auxDf = spark.createDataset(aux).toDF("cell", "ccsq", "cross")
-
     // probes: (qid, cell, q·cent) + the raw-query×residual-entry LUT
     val probes = queries.select(col("vec_id").as("qid"),
         col("embedding"),
         explode(graft.functions.NearestCentroids.nearest_centroids(
           col("embedding"), cents, nprobe)).as("cell"))
-      .withColumn("centdot", dot(col("embedding"), centOf(col("cell"))))
+      .withColumn("centdot", dot(col("embedding"),
+        centOfCol(cents)(col("cell"))))
       .select("qid", "cell", "centdot")
       .join(pqQueryLut(queries, rcbs), "qid")
-
     val lutAt = (arr: Column, s: Column) =>
       element_at(element_at(arr, (s + 1).cast("int")),
         (element_at(col("codes"), (s + 1).cast("int")) + 1).cast("int"))
-    val scored = indexed
+    val scored = index
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(auxDf), Seq("cell"))
       .where(col("qid") =!= col("nid"))
@@ -805,6 +814,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+  }
+
+  /** The pruned (+ optionally filtered) serving probe over a persisted
+    * residual code store — [[ivfPqTopKIndexedPruned]]'s shape with
+    * IVFADC scoring: literal probe cells push as the partition filter,
+    * the `allowed` mask semi-joins candidates before the rank window. */
+  def ivfPqResidualTopKIndexedPruned(queries: DataFrame,
+                                     index: DataFrame,
+                                     cents: Seq[(Long, Array[Double])],
+                                     rcbs: Array[Array[Array[Double]]],
+                                     k: Int, nprobe: Int,
+                                     allowed: Option[DataFrame] = None)
+      : DataFrame = {
+    val cells = queries.select(explode(
+      graft.functions.NearestCentroids.nearest_centroids(
+        col("embedding"), cents, nprobe)).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val masked = allowed.fold(index)(a => index.join(
+      a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
+    ivfPqResidualTopKIndexed(queries,
+      masked.where(col("cell").isin(cells: _*)), cents, rcbs, k, nprobe)
+  }
+
+  /** Residual IVFPQ (IVFADC — FAISS `IVFx,PQy` proper): codes encode the
+    * residual vs the assigned cell centroid instead of the raw vector,
+    * recovering most of the coarse quantizer's error at the same code
+    * budget. Train + assign + probe under the decoupled pieces above;
+    * the corpus side remains ONE shuffle-free projection, scan shape
+    * and shuffle volume identical to [[ivfPqTopK]]. */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nlist: Int, nprobe: Int,
+                        m: Int = 8, ksub: Int = 16,
+                        trainIters: Int = 1): DataFrame = {
+    val cents = centroids(corpus, nlist)
+    val rcbs = ivfPqResidualTrain(corpus, cents, m, ksub, trainIters)
+    ivfPqResidualTopKIndexed(queries,
+      ivfPqResidualAssign(corpus, cents, rcbs), cents, rcbs, k, nprobe)
   }
 
   /** Symmetric int8 quantization of an embedding column — the standard

@@ -345,6 +345,63 @@ class MaintenanceSpec extends AnyFunSuite {
       "the mask leaked a disallowed id through the code index")
   }
 
+  test("IvfPqResidual door (IVFADC): ticks under frozen centroids + " +
+      "base-trained residual codebooks end equal to a fresh residual " +
+      "re-encode of the survivors; pruned + filtered probe equals the " +
+      "rebuild's") {
+    val live = scala.collection.mutable.LinkedHashMap[Long, Int](
+      (0L until 60L).map(_ -> 0): _*)
+    val base = vecs(live.toSeq)
+    val cents = Similarity.centroids(base, 8)
+    val rcbs = Similarity.ivfPqResidualTrain(base, cents, 3, 8,
+      trainIters = 1) // 6 dims → subDim 2
+    val door = new Maintenance.IvfPqResidualDoor(cents, rcbs)
+    val store = new Maintenance.FrameStore(
+      Similarity.ivfStampGen(
+        Similarity.ivfPqResidualAssign(base, cents, rcbs), 0L))
+    var st = Maintenance.initialState(spark, door)
+    def empty = vecs(Nil)
+    st = Maintenance.tick(door, store, st,
+      adds = vecs((60L until 66L).map(_ -> 0)),
+      deletes = vecs((0L until 5L).map(_ -> 0)),
+      updates = vecs((10L until 16L).map(_ -> 1)))
+    (0L until 5L).foreach(live.remove)
+    (10L until 16L).foreach(live(_) = 1)
+    (60L until 66L).foreach(live(_) = 0)
+    st = Maintenance.tick(door, store, st,
+      adds = empty, deletes = vecs(Seq(10L -> 1, 11L -> 1)),
+      updates = empty)
+    live.remove(10L); live.remove(11L)
+    val rebuilt = Similarity.ivfPqResidualAssign(vecs(live.toSeq),
+      cents, rcbs)
+    assert(sortedRows(st.live(door, store).drop("gen"))
+      === sortedRows(rebuilt),
+      "residual code rows drifted from the rebuild")
+    val queries = vecs(Seq(20L -> 0, 21L -> 0))
+    def probe(idx: DataFrame, allowed: Option[DataFrame]) =
+      Similarity.ivfPqResidualTopKIndexedPruned(queries, idx, cents,
+        rcbs, 5, nprobe = 3, allowed)
+        .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(probe(st.live(door, store), None) === probe(rebuilt, None),
+      "maintained residual-store probe diverged from the rebuild's")
+    val allowed = Some(vecs(live.toSeq)
+      .where(col("vec_id") % 2 === 0).select("vec_id"))
+    val filtered = probe(st.live(door, store), allowed)
+    assert(filtered === probe(rebuilt, allowed) && filtered.nonEmpty &&
+      filtered.forall(_(1).asInstanceOf[Long] % 2 == 0),
+      "filtered residual probe diverged or leaked")
+    // and the decoupled pieces compose back to the one-call operator
+    val oneCall = Similarity.ivfPqResidualTopK(queries, base, 5,
+      nlist = 8, nprobe = 3, m = 3, ksub = 8, trainIters = 1)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val composed = Similarity.ivfPqResidualTopKIndexed(queries,
+      Similarity.ivfPqResidualAssign(base, cents, rcbs), cents, rcbs,
+      5, nprobe = 3)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(oneCall === composed,
+      "ivfPqResidualTopK drifted from its decoupled pieces")
+  }
+
   test("signature door: ticks end equal to fresh signatures of the " +
       "surviving docs; a retried update inside the same generation is " +
       "dropped by the facade guard") {
