@@ -2129,9 +2129,21 @@ object ScaleBench {
           .where(col("rank") <= 10)
           .collect().map(r => (r.getLong(0), r.getLong(1)))
           .count(exact.contains)
+        // the RESIDUAL door's accuracy-per-byte claim at the same
+        // scale: train residual codebooks on the base corpus (the
+        // frozen-door shape), re-encode the mutated corpus, probe at
+        // the same nprobe — same code bytes per vector as the raw
+        // store, recall measured side by side
+        val rcbs = pipeline.Similarity.ivfPqResidualTrain(
+          gvecs(spark.range(n).toDF()), cents, 8, 256, trainIters = 1)
+        val residHits = pipeline.Similarity.ivfPqResidualTopKIndexed(
+          qpq, pipeline.Similarity.ivfPqResidualAssign(mutated, cents,
+            rcbs), cents, rcbs, 10, nprobe = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .count(exact.contains)
         s"servedRows=${served.size} adcRecall=$adcHits/100 " +
-          s"fullVecRecall=$fvHits/100 rerankRecall=$rerankHits/100 " +
-          "(nprobe=8 all)"
+          s"residualAdcRecall=$residHits/100 fullVecRecall=$fvHits/100 " +
+          s"rerankRecall=$rerankHits/100 (nprobe=8 all)"
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
