@@ -894,6 +894,22 @@ object PipelineQueries {
         5, nprobe = 4).orderBy("qid", "rank")
     }),
 
+    // the ANN TUNING SWEEP ([[pipeline.Retrieval.annRecallSweep]]):
+    // recall/MRR/MAP of the pruned IVF probe at nprobe ∈ {1,2,4,8}
+    // against the exact brute-force top-5 — the measured
+    // recall-vs-cost curve the PQ/IVF ledgers call for, one
+    // integer-exact macro row per operating point
+    "ann_recall_sweep" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 5)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val index = pipeline.Similarity.ivfAssign(emb, cents)
+      pipeline.Retrieval.annRecallSweep(q, index, cents,
+        Seq(1, 2, 4, 8), 5,
+        pipeline.Similarity.bruteForceTopK(q, emb, 5)
+          .select(col("qid"), col("nid")))
+    }),
+
     // recall report: hits@5 of each approximate path against the exact
     // brute-force top-5, per query — oracle-checked end to end
     "ann_ivf_recall" -> ((s, d) => {
@@ -4151,6 +4167,72 @@ object PipelineQueries {
             "FROM embeddings WHERE vec_id % 11 = 5)")} " +
        "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivfpq_topk " +
        "ORDER BY qid, rank"),
+
+    // the ANN tuning sweep: the probe rank rides ONE shared
+    // probes-with-rank CTE (rk ≤ max nprobe); each variant slices
+    // rk ≤ its own nprobe, ranks, and is scored against the exact
+    // brute-force top-5 through the same integer-exact metric chain
+    "ann_recall_sweep" -> {
+      val nprobes = Seq(1, 2, 4, 8)
+      val variantCtes = nprobes.map { np =>
+        s"""tk$np AS (SELECT qid, nid, rank FROM (
+             SELECT s.qid, s.nid, ROW_NUMBER() OVER (PARTITION BY s.qid
+               ORDER BY s.sim DESC, s.nid ASC) AS rank FROM (
+               SELECT p.qid, a.nid,
+                 list_cosine_similarity(p.qe, a.ne) AS sim
+               FROM assigned a JOIN probesall p USING (cell)
+               WHERE p.qid <> a.nid AND p.rk <= $np) s)
+             WHERE rank <= 5),
+           ph$np AS (SELECT qid, rank, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY rank) AS BIGINT) AS hit_idx
+             FROM (SELECT t.qid, t.rank FROM tk$np t
+               JOIN brute_topk b ON t.qid = b.qid AND t.nid = b.nid)),
+           ag$np AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS hits,
+               MIN(rank) AS fhr,
+               CAST(SUM(CAST(hit_idx * 1000000 // rank AS BIGINT))
+                 AS BIGINT) AS spp
+             FROM ph$np GROUP BY 1),
+           pq$np AS (SELECT n.qid,
+               CAST(COALESCE(a.hits, 0) * 1000000 // n.n_rel AS BIGINT)
+                 AS recall_ppm,
+               CAST(COALESCE(1000000 // a.fhr, 0) AS BIGINT) AS mrr_ppm,
+               CAST(COALESCE(a.spp, 0) // n.n_rel AS BIGINT) AS ap_ppm
+             FROM nrel n LEFT JOIN ag$np a USING (qid)),
+           mac$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT)
+                 AS macro_recall_ppm,
+               CAST(SUM(mrr_ppm) // COUNT(*) AS BIGINT) AS macro_mrr_ppm,
+               CAST(SUM(ap_ppm) // COUNT(*) AS BIGINT) AS macro_map_ppm
+             FROM pq$np)"""
+      }.mkString(",\n")
+      val macUnion = nprobes.map(np => s"SELECT * FROM mac$np")
+        .mkString(" UNION ALL ")
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent
+           FROM embeddings ORDER BY vec_id LIMIT 16),
+         assigned AS (
+           SELECT cell, nid, ne FROM (
+             SELECT ct.cent_id AS cell, e.vec_id AS nid,
+               e.embedding AS ne,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, ct.cent)
+                   DESC, ct.cent_id ASC) AS rk
+             FROM embeddings e CROSS JOIN cent ct) WHERE rk = 1),
+         probesall AS (
+           SELECT cell, qid, qe, rk FROM (
+             SELECT ct.cent_id AS cell, q.vec_id AS qid,
+               q.embedding AS qe,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, ct.cent)
+                   DESC, ct.cent_id ASC) AS rk
+             FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+             CROSS JOIN cent ct) WHERE rk <= 8),
+         $bruteTopkSql,
+         nrel AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+           FROM brute_topk GROUP BY 1),
+         $variantCtes
+         SELECT * FROM ($macUnion) ORDER BY nprobe"""
+    },
 
     // residual PQ-code store lifecycle: training legs on the base
     // table (the frozen door's codebooks), served legs re-encoded from

@@ -2148,6 +2148,56 @@ object ScaleBench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
 
+    // ---- the ANN tuning sweep at 1M (Retrieval.annRecallSweep): the
+    // recall-vs-cost curve read off a PERSISTED cell-partitioned IVF
+    // store. The claim: per-variant cost ∝ nprobe — each variant's
+    // probe reads ~nprobe/nlist of the store's partitions (the literal
+    // cell pruning), so the np=64 twin reads ~16× the records of the
+    // np=4 twin while the exact reference (materialized once) and the
+    // metric pass stay query-sample-sized.
+    if (Seq("ann_sweep").exists(only)) {
+      val n = 1000000L
+      val dir = "/tmp/graft_ann_sweep_1m"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val gemb = expr(
+        """transform(sequence(0, 15), d ->
+             cast(pmod(xxhash64(id, d), 1000) / 500.0 - 1.0 as float))""")
+      val corpus = spark.range(n)
+        .select(col("id").as("vec_id"), gemb.as("embedding"))
+      var cents: Seq[(Long, Array[Double])] = Nil
+      t("ann_sweep_index_build_1m") {
+        cents = pipeline.Similarity.centroids(corpus, 256)
+        pipeline.Similarity.ivfAssign(corpus, cents)
+          .write.partitionBy("cell").parquet(dir)
+        s"n=$n nlist=256"
+      }
+      val reloaded = spark.read.parquet(dir)
+      val q8 = spark.range(8)
+        .select((col("id") * 1000L + 500L).as("id"))
+        .select(col("id").as("vec_id"), gemb.as("embedding"))
+        .localCheckpoint(true)
+      val exact = pipeline.Similarity.bruteForceTopK(q8, corpus, 10)
+        .select(col("qid"), col("nid")).localCheckpoint(true)
+      pin()
+      ti("ann_sweep_np4_1m") {
+        val r = pipeline.Retrieval.annRecallSweep(q8, reloaded, cents,
+          Seq(4), 10, exact).collect().head
+        s"nprobe=4 recall=${r.getLong(2)}ppm"
+      }
+      ti("ann_sweep_np64_1m") {
+        val r = pipeline.Retrieval.annRecallSweep(q8, reloaded, cents,
+          Seq(64), 10, exact).collect().head
+        s"nprobe=64 recall=${r.getLong(2)}ppm"
+      }
+      ti("ann_sweep_curve_1m") {
+        val rows = pipeline.Retrieval.annRecallSweep(q8, reloaded,
+          cents, Seq(1, 4, 16, 64), 10, exact).collect()
+        rows.map(r => s"np${r.getLong(0)}=${r.getLong(2)}ppm")
+          .mkString(" ")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+
     // ---- mergeable HLL distinct census (HllCensus): the build pays one
     // partial-aggregated pass over raw events; the persisted per-day
     // sketch table then answers ANY window/grouping distinct question

@@ -447,6 +447,38 @@ object Retrieval {
       .orderBy(col("macro_map_ppm").desc, col("variant_id").asc)
   }
 
+  /** The ANN-side tuning loop — [[evalSweep]]'s twin for the knob the
+    * PQ/IVF recall ledgers expose: score the partition-pruned IVF
+    * probe at each `nprobe` variant against an EXACT reference top-k
+    * (`exact` = `(qid, nid)` rows, e.g. [[Similarity.bruteForceTopK]]
+    * output on a held-out query sample) and rank the accuracy curve.
+    * One row per variant `(nprobe, n_queries, macro_recall_ppm,
+    * macro_mrr_ppm, macro_map_ppm)` ordered by nprobe — the measured
+    * recall-vs-cost curve a deployment reads the operating point off.
+    * Cost shape: the reference is materialized ONCE (query-sample ×
+    * k rows); each variant pays exactly one pruned probe (≤
+    * |queries|·nprobe of the nlist cell partitions — nprobe IS the
+    * cost being swept, so per-variant index work is the measurement,
+    * not overhead) plus a qrels-sized metric pass. Integer-exact end
+    * to end, so the whole sweep mirrors in ANSI SQL. */
+  def annRecallSweep(queries: DataFrame, index: DataFrame,
+                     cents: Seq[(Long, Array[Double])],
+                     nprobes: Seq[Int], k: Int,
+                     exact: DataFrame): DataFrame = {
+    require(nprobes.nonEmpty, "annRecallSweep needs at least one variant")
+    val qrels = Dedup.checkpointCorpus(
+      exact.select(col("qid"), col("nid").as("doc_id")))
+    nprobes.map { np =>
+      val res = Similarity.ivfTopKIndexedPruned(queries, index, cents,
+        k, np)
+        .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+      evalMacro(evalMetrics(res, qrels, k))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("macro_recall_ppm"), col("macro_mrr_ppm"),
+          col("macro_map_ppm"))
+    }.reduce(_ unionByName _).orderBy(col("nprobe").asc)
+  }
+
   /** METADATA-FILTERED hybrid — the "search within a slice" query every
     * retrieval deployment serves (language = en, date range, source
     * domain): `allowed` (first column = allowed doc ids, e.g.

@@ -335,6 +335,44 @@ class RetrievalSpec extends AnyFunSuite {
       "all variants scored identically — fixture too degenerate")
   }
 
+  test("annRecallSweep: one row per nprobe, recall non-decreasing in " +
+      "nprobe, and the full-probe row is exactly (1e6, 1e6, 1e6) — " +
+      "the pruned probe at nprobe = nlist IS the exact ranking") {
+    val emb = embeddings(90)
+    val q = emb.where(col("vec_id") < 4)
+    val cents = Similarity.centroids(emb, 8)
+    val index = Similarity.ivfAssign(emb, cents)
+    val exact = Similarity.bruteForceTopK(q, emb, 5)
+      .select(col("qid"), col("nid"))
+    val out = Retrieval.annRecallSweep(q, index, cents, Seq(1, 2, 4, 8),
+      5, exact).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    assert(out.forall(_._2 === 4L), "a variant dropped a query")
+    // recall is monotone in nprobe (more probed cells can only add
+    // candidates, never remove them)
+    val recalls = out.map(_._3)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nprobe: ${recalls.toSeq}")
+    // nprobe = nlist probes every cell → the IVF ranking equals brute
+    // force exactly (same tie-break), so every macro metric is 1e6
+    assert(out.last === ((8L, 4L, 1000000L, 1000000L, 1000000L)),
+      s"full-probe row not exact: ${out.last}")
+    // and each variant row equals the hand-composed probe + eval
+    for (np <- Seq(1, 2, 4)) {
+      val res = Similarity.ivfTopKIndexedPruned(q, index, cents, 5, np)
+        .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+      val mac = Retrieval.evalMacro(Retrieval.evalMetrics(res,
+        exact.select(col("qid"), col("nid").as("doc_id")), 5))
+        .collect().head
+      val row = out.find(_._1 == np).get
+      assert((row._2, row._3, row._4, row._5) ===
+        ((mac.getLong(0), mac.getLong(1), mac.getLong(2),
+          mac.getLong(3))), s"nprobe $np drifted from hand-composed")
+    }
+  }
+
   test("FILTERED BATCH tier: hybridTopKBatch with an allowed mask " +
       "equals hybridTopKIndexedFiltered per qid, and " +
       "searchBatchFiltered equals searchFiltered per qid") {
