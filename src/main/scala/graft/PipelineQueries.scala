@@ -2617,6 +2617,29 @@ object PipelineQueries {
         Seq("data", "stream", "shuffle"), k = 10, legK = 20, nprobe = 4)
     }),
 
+    // the SCALAR single-query door ([[pipeline.Retrieval
+    // .hybridTopKIndexedScalar]]): the same fused answer as
+    // retrieval_hybrid_indexed served through the (qid, vector) entry
+    // point — no guard action, probe cells resolved driver-side
+    // through the same compiled argmax; the oracle is the SAME SQL as
+    // the DataFrame door's, so the hash match pins the scalar door's
+    // bit-equality through the driver gate (the spec pins the
+    // action-count cut)
+    "retrieval_hybrid_scalar" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val index = pipeline.Similarity.ivfAssign(emb, cents)
+      val (postings, stats) = pipeline.Bm25Index.build(
+        Tables.documents(s, d), col("doc_id"), col("text"), 64)
+      val qVec = emb.where(col("vec_id") === 0L)
+        .select("embedding").collect().head
+        .getSeq[Float](0).map(_.toDouble)
+      pipeline.Retrieval.hybridTopKIndexedScalar(
+        pipeline.Dedup.checkpointCorpus(postings), stats, 64,
+        index, cents, 0L -> qVec,
+        Seq("data", "stream", "shuffle"), k = 10, legK = 20, nprobe = 4)
+    }),
+
     // WEIGHTED hybrid: the lexical leg at 3× the vector leg's weight
     // (the standard knob when the text signal is trusted more than the
     // embedding) — integer ppm weights keep the fused ordering
@@ -5766,6 +5789,19 @@ object PipelineQueries {
     // retrieval_bm25_indexed) + the IVF probe as the vector leg
     // (nlist 16, nprobe 4 — the approximation mirrored exactly)
     "retrieval_hybrid_indexed" ->
+      (s"""WITH ${bm25LexLegSql(20)},
+         ${ivfSql(16, 4, 20, queryWhere = "WHERE vec_id = 0")},
+         legs AS (SELECT doc_id, rank FROM lex
+           UNION ALL SELECT nid AS doc_id, rank FROM ivf_topk)
+         SELECT doc_id,
+           CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+           COUNT(*) AS n_legs
+         FROM legs GROUP BY 1
+         ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""),
+
+    // the scalar door serves the SAME answer as the DataFrame door —
+    // the oracle is deliberately identical to retrieval_hybrid_indexed
+    "retrieval_hybrid_scalar" ->
       (s"""WITH ${bm25LexLegSql(20)},
          ${ivfSql(16, 4, 20, queryWhere = "WHERE vec_id = 0")},
          legs AS (SELECT doc_id, rank FROM lex
