@@ -228,6 +228,80 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded PQ-door fuzz: random multi-tick sequences through BOTH " +
+      "code doors (raw and residual) end equal to a fresh " +
+      "assign+encode of the survivors, probes included") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val live = scala.collection.mutable.LinkedHashMap[Long, Int](
+        (0L until 70L).map(_ -> 0): _*)
+      val deadEver = scala.collection.mutable.Map.empty[Long, Int]
+      var nextId = 70L
+      val base = vecs(live.toSeq)
+      val cents = Similarity.centroids(base, 8)
+      val cbs = Similarity.pqCodebooks(base, 3, 8)
+      val rcbs = Similarity.ivfPqResidualTrain(base, cents, 3, 8, 1)
+      val rawDoor = new Maintenance.IvfPqDoor(cents, cbs)
+      val resDoor = new Maintenance.IvfPqResidualDoor(cents, rcbs)
+      val rawStore = new Maintenance.FrameStore(Similarity.ivfStampGen(
+        Similarity.ivfPqAssign(base, cents, cbs), 0L))
+      val resStore = new Maintenance.FrameStore(Similarity.ivfStampGen(
+        Similarity.ivfPqResidualAssign(base, cents, rcbs), 0L))
+      var rawSt = Maintenance.initialState(spark, rawDoor)
+      var resSt = Maintenance.initialState(spark, resDoor)
+      for (_ <- 1 to 4) {
+        val pool = rnd.shuffle(live.keys.toVector)
+        val dels = pool.take(rnd.nextInt(5))
+        val upds = pool.drop(dels.size).take(rnd.nextInt(5))
+        val adds = (nextId until nextId + 1 + rnd.nextInt(4)).toVector
+        nextId += adds.size
+        val reAdd = if (rnd.nextBoolean())
+          rnd.shuffle(deadEver.keySet.toVector).headOption else None
+        val delVecs = vecs(dels.map(id => (id, live(id))))
+        val addVecs = vecs(adds.map(_ -> 0) ++
+          reAdd.map(id => id -> (deadEver(id) + 1)))
+        val updVecs = vecs(upds.map(id => id -> (live(id) + 1)))
+        rawSt = Maintenance.tick(rawDoor, rawStore, rawSt,
+          adds = addVecs, deletes = delVecs, updates = updVecs,
+          compactThresholdBytes = 64L * 20)
+        resSt = Maintenance.tick(resDoor, resStore, resSt,
+          adds = addVecs, deletes = delVecs, updates = updVecs,
+          compactThresholdBytes = 64L * 20)
+        dels.foreach { id => deadEver(id) = live(id); live.remove(id) }
+        upds.foreach(id => live(id) = live(id) + 1)
+        adds.foreach(live(_) = 0)
+        reAdd.foreach { id =>
+          live(id) = deadEver(id) + 1; deadEver.remove(id)
+        }
+      }
+      val survivors = vecs(live.toSeq)
+      assert(sortedRows(rawSt.live(rawDoor, rawStore).drop("gen"))
+        === sortedRows(Similarity.ivfPqAssign(survivors, cents, cbs)),
+        s"seed=$seed: raw code rows drifted")
+      assert(sortedRows(resSt.live(resDoor, resStore).drop("gen"))
+        === sortedRows(
+          Similarity.ivfPqResidualAssign(survivors, cents, rcbs)),
+        s"seed=$seed: residual code rows drifted")
+      // probe vectors need not be corpus members — only valid inputs
+      val q = vecs(Seq(20L -> 0, 21L -> 0))
+      assert(Similarity.ivfPqTopKIndexedPruned(q,
+          rawSt.live(rawDoor, rawStore), cents, cbs, 5, 3)
+          .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+        === Similarity.ivfPqTopKIndexedPruned(q,
+          Similarity.ivfPqAssign(survivors, cents, cbs), cents, cbs,
+          5, 3).orderBy("qid", "rank").collect().map(_.toSeq).toSeq,
+        s"seed=$seed: raw probe drifted")
+      assert(Similarity.ivfPqResidualTopKIndexedPruned(q,
+          resSt.live(resDoor, resStore), cents, rcbs, 5, 3)
+          .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+        === Similarity.ivfPqResidualTopKIndexedPruned(q,
+          Similarity.ivfPqResidualAssign(survivors, cents, rcbs),
+          cents, rcbs, 5, 3)
+          .orderBy("qid", "rank").collect().map(_.toSeq).toSeq,
+        s"seed=$seed: residual probe drifted")
+    }
+  }
+
   test("state save/load across a 'restart': reloaded tombstones still " +
       "suppress re-sent deletes, the generation resumes, and the end " +
       "state equals the rebuild") {
