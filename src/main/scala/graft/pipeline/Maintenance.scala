@@ -137,6 +137,121 @@ object Maintenance {
     }
   }
 
+  /** The FROZEN quantizer tables a vector door serves under — the
+    * coarse centroids and (for the PQ doors) the codebooks. These ARE
+    * the store's identity: every persisted `(cell, …)` / `(cell, nid,
+    * codes)` row was keyed by them, so a door reconstructed with
+    * RE-TRAINED tables — even from the same seed data — would silently
+    * re-key every code row it appends while the old rows keep their old
+    * keys. [[save]]/[[load]] persist them next to the store's state
+    * (bit-exact: doubles travel as raw `doubleToLongBits` hex), and
+    * [[contentHash]] is the identity check the streaming layer's
+    * `applyBatch`/`viewAt` fail fast on (the hash rides as the file's
+    * first line so the per-batch check reads one line, not the
+    * tables). */
+  final case class Quantizer(cents: Seq[(Long, Array[Double])],
+                             codebooks: Option[Array[Array[Array[Double]]]]) {
+    lazy val contentHash: String = Quantizer.hashOf(this)
+  }
+
+  object Quantizer {
+    private def hex(d: Double): String =
+      java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d))
+    private def unhex(s: String): Double =
+      java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(s, 16))
+
+    /** Deterministic, bit-exact text form (the hash input). */
+    def serialize(q: Quantizer): String = {
+      val sb = new StringBuilder("graft-quantizer-v1\n")
+      sb.append(s"cents ${q.cents.size}\n")
+      q.cents.foreach { case (id, v) =>
+        sb.append(id).append(' ')
+          .append(v.map(hex).mkString(" ")).append('\n')
+      }
+      q.codebooks match {
+        case Some(cbs) =>
+          sb.append(s"codebooks ${cbs.length} ${cbs(0).length}\n")
+          cbs.foreach { sub =>
+            sub.foreach { e =>
+              sb.append(e.map(hex).mkString(" ")).append('\n')
+            }
+          }
+        case None => sb.append("codebooks 0 0\n")
+      }
+      sb.toString
+    }
+
+    def hashOf(q: Quantizer): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(serialize(q).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
+
+    /** Persist under `path` (one file, Hadoop FS layer — HDFS/S3A-able
+      * like the store): first line the content hash, then the
+      * serialized tables. Overwrites — a bootstrap replay rewrites the
+      * identical bytes. */
+    def save(spark: SparkSession, path: String, q: Quantizer): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = hfs.create(p, true)
+      try out.write((q.contentHash + "\n" + serialize(q)).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    /** Reload the frozen tables — what a restarted JVM constructs its
+      * door from instead of re-training. Verifies the stored hash. */
+    def load(spark: SparkSession, path: String): Quantizer = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = hfs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.linesIterator.toArray
+      require(lines.length >= 3 && lines(1) == "graft-quantizer-v1",
+        s"$path is not a graft quantizer file")
+      val nCents = lines(2).split(' ')(1).toInt
+      val cents = (0 until nCents).map { i =>
+        val parts = lines(3 + i).split(' ')
+        parts(0).toLong -> parts.drop(1).map(unhex)
+      }
+      val cbHdr = lines(3 + nCents).split(' ')
+      val (m, ksub) = (cbHdr(1).toInt, cbHdr(2).toInt)
+      val cbs =
+        if (m == 0) None
+        else Some(Array.tabulate(m) { s =>
+          Array.tabulate(ksub) { c =>
+            lines(4 + nCents + s * ksub + c).split(' ').map(unhex)
+          }
+        })
+      val q = Quantizer(cents, cbs)
+      require(q.contentHash == lines(0),
+        s"$path is corrupt: content hash mismatch")
+      q
+    }
+
+    /** The persisted identity alone — the first line — so the
+      * per-batch/per-view check costs one short read, never a table
+      * parse. None when no quantizer was persisted (a pre-r17 layout or
+      * a quantizer-free door). */
+    def persistedHash(spark: SparkSession, path: String): Option[String] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!hfs.exists(p)) None
+      else {
+        val in = hfs.open(p)
+        try {
+          val rd = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in,
+              java.nio.charset.StandardCharsets.UTF_8))
+          Option(rd.readLine())
+        } finally in.close()
+      }
+    }
+  }
+
   /** What the tick needs to know about one index family. The three
     * doors below adapt `Bm25Index`, `Similarity`, and `Dedup`. */
   trait Door {
@@ -162,6 +277,11 @@ object Maintenance {
       * every adds/updates delta through this door exactly once. */
     def indexWithStats(batch: DataFrame): (DataFrame, Option[DataFrame]) =
       (index(batch), statsDelta(batch))
+    /** The frozen quantizer tables this door encodes under, if any —
+      * the store-identity the streaming layer persists at bootstrap and
+      * checks on every apply/view ([[Quantizer]]'s re-keying hazard).
+      * Text doors (BM25, signatures) have none. */
+    def quantizer: Option[Quantizer] = None
   }
 
   final class Bm25Door(text: Column, nBuckets: Int) extends Door {
@@ -200,6 +320,8 @@ object Maintenance {
       Similarity.ivfGenTombstones(ids, col(idName), uptoGen)
     def applyTombstones(rows: DataFrame, tombs: DataFrame): DataFrame =
       Similarity.ivfApplyGenTombstones(rows, tombs)
+    override val quantizer: Option[Quantizer] =
+      Some(Quantizer(cents, None))
   }
 
   /** The PQ-CODE serving door — the memory-bounded billion-vector
@@ -224,6 +346,8 @@ object Maintenance {
       Similarity.ivfGenTombstones(ids, col(idName), uptoGen)
     def applyTombstones(rows: DataFrame, tombs: DataFrame): DataFrame =
       Similarity.ivfApplyGenTombstones(rows, tombs)
+    override val quantizer: Option[Quantizer] =
+      Some(Quantizer(cents, Some(cbs)))
   }
 
   /** The RESIDUAL-encoded PQ-code door (IVFADC — the accuracy-per-byte
@@ -246,6 +370,8 @@ object Maintenance {
       Similarity.ivfGenTombstones(ids, col(idName), uptoGen)
     def applyTombstones(rows: DataFrame, tombs: DataFrame): DataFrame =
       Similarity.ivfApplyGenTombstones(rows, tombs)
+    override val quantizer: Option[Quantizer] =
+      Some(Quantizer(cents, Some(rcbs)))
   }
 
   final class SigDoor(idCol: String, text: Column, shingleN: Int,
@@ -279,43 +405,54 @@ object Maintenance {
                    stats: Option[DataFrame] = None): State =
     State(emptyTombstones(spark, door), stats.map(snap), 1L)
 
-  /** Persist the serving state next to its store: tombstones and the
-    * 1-row stats as parquet, the scalars as a one-line properties file.
-    * With the store itself already on disk ([[ParquetStore]]), a
-    * save/load pair survives a JVM restart — [[loadState]] resumes
-    * ticking at the same generation with the same guards. Writes are
-    * state-sized (tombstone table + 1 row), never store-sized. */
+  /** Persist the serving state next to its store: tombstones as
+    * parquet, the scalars AND the 1-row stats inside the properties
+    * file — ONE write action per snapshot. With the store itself
+    * already on disk ([[ParquetStore]]), a save/load pair survives a
+    * JVM restart — [[loadState]] resumes ticking at the same generation
+    * with the same guards. Writes are state-sized (tombstone table +
+    * a small text file), never store-sized. */
   def saveState(st: State, dir: String): Unit = {
     st.tombstones.write.mode("overwrite").parquet(s"$dir/tombstones")
-    st.stats.foreach(_.write.mode("overwrite").parquet(s"$dir/stats"))
-    // through the Hadoop FS layer like the parquet halves, so the
+    // through the Hadoop FS layer like the parquet half, so the
     // whole snapshot may live on HDFS/S3A (java.nio would silently
     // treat a scheme-qualified dir as a relative local path)
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/state.meta")
     val hfs = metaPath.getFileSystem(
       st.tombstones.sparkSession.sessionState.newHadoopConf())
     val out = hfs.create(metaPath, true)
-    // the parquet schemas ride in the meta line (properties-escaped
-    // DDL) so loadState can supply them to the reader: an inferred
-    // read pays a footer-reading Spark job PER read.parquet call —
-    // two pure-overhead jobs on every applyBatch and serving viewAt
+    // the parquet schema rides in the meta line (properties-escaped
+    // DDL) so loadState can supply it to the reader: an inferred
+    // read pays a footer-reading Spark job PER read.parquet call
     val props = new java.util.Properties()
     props.setProperty("nextGen", st.nextGen.toString)
     props.setProperty("compactions", st.compactions.toString)
     props.setProperty("tombSchema", st.tombstones.schema.toDDL)
-    st.stats.foreach(s => props.setProperty("statsSchema", s.schema.toDDL))
+    // the stats row rides in the meta too (schema DDL + one value per
+    // field, numeric strings — exact round-trips under cast): it is ONE
+    // all-numeric row, and writing it as its own parquet dir cost a
+    // second Spark write action on EVERY applied batch (the r16 budget
+    // itemized it). The frame is a literal LocalRelation by
+    // construction (tick/initialState snap it), so this collect is a
+    // driver fold, not a job; a non-literal caller pays one tiny job —
+    // once, since every loaded snapshot is literal again.
+    st.stats.foreach { s =>
+      props.setProperty("statsSchema", s.schema.toDDL)
+      val row = s.collect().head
+      s.schema.fields.indices.foreach { i =>
+        props.setProperty(s"statsVal.$i", String.valueOf(row.get(i)))
+      }
+    }
     try props.store(out, null) finally out.close()
   }
 
   /** Reload a [[saveState]] snapshot. The tombstone frame comes back as
     * a parquet scan (tombstone-sized, broadcast at probe time exactly
-    * like the in-memory frame); stats come back as a LAZY 1-row parquet
-    * scan — loading must not run a Spark job (the r15 load-time snap
-    * collect cost one job per applyBatch AND per serving viewAt). The
-    * scan is bounded by construction, every consumer already runs a
-    * job of its own (the tick's fold collect, a probe's broadcast), and
-    * [[tick]] re-snaps its fold output, so plan lineage still never
-    * accumulates across ticks. */
+    * like the in-memory frame); stats come back as the literal 1-row
+    * frame rebuilt from the meta values — loading runs no Spark job and
+    * reads no stats parquet (snapshots from before the row rode in the
+    * meta fall back to the lazy parquet scan). [[tick]] re-snaps its
+    * fold output, so plan lineage never accumulates across ticks. */
   def loadState(spark: SparkSession, dir: String): State = {
     val meta = new java.util.Properties()
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/state.meta")
@@ -330,10 +467,19 @@ object Maintenance {
           org.apache.spark.sql.types.StructType.fromDDL(ddl)))
       r.parquet(s"$dir/$sub")
     }
-    val stats =
+    val inlineStats = Option(meta.getProperty("statsSchema")).flatMap { ddl =>
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      val vals = schema.fields.indices
+        .map(i => Option(meta.getProperty(s"statsVal.$i")))
+      if (vals.nonEmpty && vals.forall(_.isDefined))
+        Some(litRow(spark, schema, vals.map(v => lit(v.get))))
+      else None
+    }
+    val stats = inlineStats.orElse {
       if (hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats")))
         Some(rd("stats", "statsSchema"))
       else None
+    }
     State(rd("tombstones", "tombSchema"), stats,
       meta.getProperty("nextGen").toLong,
       meta.getProperty("compactions").toLong)
@@ -343,15 +489,33 @@ object Maintenance {
     spark.range(0).select(col("id").as(door.idName),
       col("id").as("upto_gen"))
 
+  /** One-row frame of literal columns over a LocalRelation — the shape
+    * [[snap]] and [[loadState]] build stats from. A LocalRelation (not
+    * `range(1)`: Range is a real leaf) lets Catalyst constant-fold the
+    * projection back INTO the relation, so a later `collect` — the one
+    * [[saveState]] runs to ride the row into the meta — is a driver
+    * fold, zero Spark jobs. */
+  private def litRow(spark: SparkSession,
+                     schema: org.apache.spark.sql.types.StructType,
+                     vals: Seq[Column]): DataFrame = {
+    val one = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__one",
+          org.apache.spark.sql.types.IntegerType))))
+    one.select(schema.fields.zip(vals).map { case (f, v) =>
+      v.cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+  }
+
   /** Snapshot a 1-row stats frame to a literal plan — a deployment
     * persists the stats row next to the index; keeping the fold lineage
     * alive across ticks would grow the plan without bound. */
   private def snap(stats: DataFrame): DataFrame = {
     val row = stats.collect().head
-    val cols = stats.schema.fields.zipWithIndex.map { case (f, i) =>
-      lit(row.get(i)).cast(f.dataType).as(f.name)
-    }
-    stats.sparkSession.range(1).select(cols.toSeq: _*)
+    litRow(stats.sparkSession, stats.schema,
+      stats.schema.fields.indices.map(i => lit(row.get(i))))
   }
 
   private def negate(stats: DataFrame): DataFrame =

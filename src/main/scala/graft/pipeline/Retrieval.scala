@@ -350,6 +350,137 @@ object Retrieval {
     rrfFuse(Seq(lex, vec), k, k0, weights)
   }
 
+  /** Hybrid serving from the MEMORY-BOUNDED code-store tier — the
+    * [[hybridFromStores]] contract with the vector leg served from a
+    * tailer-maintained PQ-CODE store ([[Maintenance.IvfPqDoor]] rows:
+    * 8 + m bytes/vector in the ADC working set) plus the exact-rerank
+    * tail funded by the full-vector store
+    * ([[Similarity.ivfPqTopKIndexedPrunedRerank]]): ADC ranks `rerankC`
+    * candidates from the code store, only those queries × rerankC ids
+    * refetch full vectors from `vecDir`'s live view. ALL THREE stores
+    * (BM25, PQ codes, full vectors) resolve at ONE committed batch —
+    * the min-committed rule — so the fused answer never mixes corpus
+    * versions across legs or between the ADC stage and its rerank
+    * refetch. When `rerankC` covers the probed candidate pool this
+    * serves EXACTLY what the full-vector [[hybridFromStores]] serves
+    * (spec-pinned) — the knob trades full-vector bytes touched for
+    * recall, measured on the 1M ledger. */
+  def hybridFromStoresPq(spark: org.apache.spark.sql.SparkSession,
+                         bmDoor: Maintenance.Door, bmDir: String,
+                         nBuckets: Int,
+                         pqDoor: Maintenance.Door, pqDir: String,
+                         cents: Seq[(Long, Array[Double])],
+                         cbs: Array[Array[Array[Double]]],
+                         vecDoor: Maintenance.Door, vecDir: String,
+                         queryVecs: DataFrame, qTerms: Seq[String],
+                         k: Int, legK: Int = 20, rerankC: Int = 100,
+                         nprobe: Int = 4, k0: Int = 60,
+                         weights: Seq[Long] = Nil,
+                         allowed: Option[DataFrame] = None): DataFrame = {
+    requireSingleQuery(queryVecs)
+    val (bmView, bmStats, pqView, vectors) =
+      pqStoreViews(spark, bmDoor, bmDir, pqDoor, pqDir, vecDoor, vecDir)
+    val ids = allowed.map(a =>
+      a.select(col(a.columns.head).as("doc_id")))
+    val lex = rankLex(ids.fold(
+      Bm25Index.search(bmView, bmStats.get, qTerms, legK, nBuckets))(a =>
+      Bm25Index.searchFiltered(bmView, bmStats.get, qTerms, legK,
+        nBuckets, a)))
+    val vec = Similarity.ivfPqTopKIndexedPrunedRerank(queryVecs, pqView,
+      cents, cbs, legK, nprobe, rerankC, vectors, ids)
+      .select(col("nid").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, vec), k, k0, weights)
+  }
+
+  /** The BATCHED code-store hybrid — [[hybridFromStoresBatch]]'s shape
+    * on the PQ tier: B queries, one union-of-buckets lexical pass, one
+    * union-of-probed-cells ADC pass over the code store, ONE
+    * queries × rerankC full-vector refetch for the whole batch, all
+    * three stores at the min-committed batch. */
+  def hybridFromStoresPqBatch(spark: org.apache.spark.sql.SparkSession,
+                              bmDoor: Maintenance.Door, bmDir: String,
+                              nBuckets: Int,
+                              pqDoor: Maintenance.Door, pqDir: String,
+                              cents: Seq[(Long, Array[Double])],
+                              cbs: Array[Array[Array[Double]]],
+                              vecDoor: Maintenance.Door, vecDir: String,
+                              queryVecs: DataFrame,
+                              queries: Seq[(Long, Seq[String])], k: Int,
+                              legK: Int = 20, rerankC: Int = 100,
+                              nprobe: Int = 4, k0: Int = 60,
+                              weights: Seq[Long] = Nil,
+                              allowed: Option[DataFrame] = None)
+      : DataFrame = {
+    val (bmView, bmStats, pqView, vectors) =
+      pqStoreViews(spark, bmDoor, bmDir, pqDoor, pqDir, vecDoor, vecDir)
+    val lex = allowed.fold(
+      Bm25Index.searchBatch(bmView, bmStats.get, queries, legK,
+        nBuckets))(a =>
+      Bm25Index.searchBatchFiltered(bmView, bmStats.get, queries, legK,
+        nBuckets, a))
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val vec = Similarity.ivfPqTopKIndexedPrunedRerank(queryVecs, pqView,
+      cents, cbs, legK, nprobe, rerankC, vectors, allowed)
+      .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+    rrfFuseByQuery(Seq(lex, vec), k, k0, weights)
+  }
+
+  /** [[hybridFromStoresPq]]'s scalar twin: the code-store serving read
+    * with the scalar door's job cuts — no guard job, no cell-resolution
+    * job ([[Similarity.ivfPqTopKIndexedScalar]] resolves probe cells
+    * driver-side and builds the ADC LUT from the LocalRelation query
+    * frame). */
+  def hybridFromStoresPqScalar(spark: org.apache.spark.sql.SparkSession,
+                               bmDoor: Maintenance.Door, bmDir: String,
+                               nBuckets: Int,
+                               pqDoor: Maintenance.Door, pqDir: String,
+                               cents: Seq[(Long, Array[Double])],
+                               cbs: Array[Array[Array[Double]]],
+                               vecDoor: Maintenance.Door, vecDir: String,
+                               query: (Long, Seq[Double]),
+                               qTerms: Seq[String],
+                               k: Int, legK: Int = 20, rerankC: Int = 100,
+                               nprobe: Int = 4, k0: Int = 60,
+                               weights: Seq[Long] = Nil,
+                               allowed: Option[DataFrame] = None)
+      : DataFrame = {
+    val (bmView, bmStats, pqView, vectors) =
+      pqStoreViews(spark, bmDoor, bmDir, pqDoor, pqDir, vecDoor, vecDir)
+    val ids = allowed.map(a =>
+      a.select(col(a.columns.head).as("doc_id")))
+    val lex = rankLex(ids.fold(
+      Bm25Index.search(bmView, bmStats.get, qTerms, legK, nBuckets))(a =>
+      Bm25Index.searchFiltered(bmView, bmStats.get, qTerms, legK,
+        nBuckets, a)))
+    val vec = Similarity.ivfPqTopKIndexedScalar(query._1, query._2,
+      pqView, cents, cbs, legK, nprobe,
+      rerank = Some((rerankC, vectors)), allowed = ids)
+      .select(col("nid").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, vec), k, k0, weights)
+  }
+
+  /** Resolve the three code-tier stores (BM25 postings, PQ codes, full
+    * vectors) at ONE committed batch — min over the three pointers, the
+    * [[hybridFromStores]] consistency rule extended to the rerank
+    * refetch — and shape the full-vector view as the `(nid, ne)` side
+    * table the rerank tail takes. */
+  private def pqStoreViews(spark: org.apache.spark.sql.SparkSession,
+                           bmDoor: Maintenance.Door, bmDir: String,
+                           pqDoor: Maintenance.Door, pqDir: String,
+                           vecDoor: Maintenance.Door, vecDir: String)
+      : (DataFrame, Option[DataFrame], DataFrame, DataFrame) = {
+    import graft.streaming.IndexMaintenanceStream
+    val asOf = Seq(bmDir, pqDir, vecDir)
+      .map(IndexMaintenanceStream.committedBatch(spark, _)).min
+    val (bmView, bmStats) =
+      IndexMaintenanceStream.viewAt(spark, bmDoor, bmDir, asOf)
+    val (pqView, _) =
+      IndexMaintenanceStream.viewAt(spark, pqDoor, pqDir, asOf)
+    val (vecView, _) =
+      IndexMaintenanceStream.viewAt(spark, vecDoor, vecDir, asOf)
+    (bmView, bmStats, pqView, vecView.select(col("nid"), col("ne")))
+  }
+
   /** RETRIEVAL EVALUATION — the harness that closes the loop on every
     * ranker above: per-query IR metrics of a ranked result set against
     * a relevance table (qrels). Metrics are INTEGER-EXACT (ppm via
@@ -477,6 +608,39 @@ object Retrieval {
           col("macro_recall_ppm"), col("macro_mrr_ppm"),
           col("macro_map_ppm"))
     }.reduce(_ unionByName _).orderBy(col("nprobe").asc)
+  }
+
+  /** [[annRecallSweep]] extended to the CODE-store serving probe — the
+    * operating surface of the memory-bounded tier is TWO-dimensional
+    * (`nprobe` = cells scanned, `rerankC` = full-vector bytes touched
+    * by the exact tail), so the grid sweeps both: each point runs
+    * [[Similarity.ivfPqTopKIndexedPrunedRerank]] over the persisted PQ
+    * code index at that (nprobe, rerankC) and scores it against the
+    * exact reference. Per-point cost IS the operating point being
+    * measured: ≤ |queries|·nprobe cell partitions ADC-scanned +
+    * queries × rerankC full-vector refetches; the reference
+    * materializes once. Output `(nprobe, rerank_c, n_queries,
+    * macro_recall_ppm, macro_mrr_ppm, macro_map_ppm)` ordered by
+    * (nprobe, rerank_c) — the measured recall-vs-bytes-vs-cost curve a
+    * deployment reads its knobs off. Integer-exact end to end. */
+  def annPqRecallSweep(queries: DataFrame, index: DataFrame,
+                       cents: Seq[(Long, Array[Double])],
+                       cbs: Array[Array[Array[Double]]],
+                       grid: Seq[(Int, Int)], k: Int,
+                       exact: DataFrame, vectors: DataFrame): DataFrame = {
+    require(grid.nonEmpty, "annPqRecallSweep needs at least one point")
+    val qrels = Dedup.checkpointCorpus(
+      exact.select(col("qid"), col("nid").as("doc_id")))
+    grid.map { case (np, rc) =>
+      val res = Similarity.ivfPqTopKIndexedPrunedRerank(queries, index,
+        cents, cbs, k, np, rc, vectors)
+        .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+      evalMacro(evalMetrics(res, qrels, k))
+        .select(lit(np.toLong).as("nprobe"), lit(rc.toLong).as("rerank_c"),
+          col("n_queries"), col("macro_recall_ppm"),
+          col("macro_mrr_ppm"), col("macro_map_ppm"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("nprobe").asc, col("rerank_c").asc)
   }
 
   /** METADATA-FILTERED hybrid — the "search within a slice" query every

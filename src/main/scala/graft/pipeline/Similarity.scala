@@ -650,19 +650,120 @@ object Similarity {
     * shuffles only the candidate rows. */
   def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                       rerankC: Int, nlist: Int, nprobe: Int,
-                      m: Int = 8, ksub: Int = 16): DataFrame = {
-    val cand = ivfPqTopK(queries, corpus, rerankC, nlist, nprobe, m, ksub)
-      .select("qid", "nid")
-    val scored = corpus
-      .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
-      .join(broadcast(cand), Seq("nid"))
+                      m: Int = 8, ksub: Int = 16): DataFrame =
+    rerankExact(
+      ivfPqTopK(queries, corpus, rerankC, nlist, nprobe, m, ksub),
+      queries, corpus.select(col("vec_id"), col("embedding")), k)
+
+  /** The exact-cosine re-rank TAIL shared by every PQ rerank door: the
+    * ADC stage's `(qid, nid)` candidates — queries × rerankC rows, tiny
+    * by construction — BROADCAST against the full-vector side `vectors`
+    * (first column = id, second = embedding: the kept corpus parquet or
+    * a maintained full-vector store's live view), refetch exactly those
+    * vectors, score the true cosine, keep the top-k. Both sides widen
+    * float→double (exact), so reranked scores are bit-identical to the
+    * full-vector probes' — when rerankC covers the whole probed
+    * candidate pool the tail IS the full-vector probe (spec-pinned).
+    * No corpus shuffle: the refetch is a scan-side broadcast semi-join;
+    * the final window shuffles only the candidate rows. */
+  private def rerankExact(cand: DataFrame, queries: DataFrame,
+                          vectors: DataFrame, k: Int): DataFrame = {
+    val vecs = vectors.select(
+      col(vectors.columns(0)).as("nid"),
+      col(vectors.columns(1)).cast("array<double>").as("nvec"))
+    val scored = vecs
+      .join(broadcast(cand.select(col("qid"), col("nid"))), Seq("nid"))
       .join(broadcast(queries.select(col("vec_id").as("qid"),
-        col("embedding").as("qvec"))), Seq("qid"))
+        col("embedding").cast("array<double>").as("qvec"))), Seq("qid"))
       .withColumn("sim", cosine(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+  }
+
+  /** [[ivfPqTopKIndexedPruned]] with the EXACT-RERANK tail the measured
+    * recall ledger says a code-store deployment practically always
+    * wants (1M, uniform vectors: ADC 14 vs rerank-100 28 per 100): ADC
+    * ranks `rerankC` candidates per query from the pruned code store,
+    * then ONLY those queries × rerankC ids refetch full vectors from
+    * the side table `vectors` (first column = id, second = embedding —
+    * the kept corpus parquet or the full-vector IVF store's live view,
+    * maintained by the same feed) for exact-cosine top-k. The code
+    * store stays the ADC working set (8 + m bytes/vector); the
+    * full-vector bytes are touched only candidate-wise. `allowed`
+    * masks the ADC candidates (FAISS-IDSelector semantics), so the
+    * rerank pool — and therefore the tail — is already sliced. */
+  def ivfPqTopKIndexedPrunedRerank(queries: DataFrame, index: DataFrame,
+                                   cents: Seq[(Long, Array[Double])],
+                                   cbs: Array[Array[Array[Double]]],
+                                   k: Int, nprobe: Int, rerankC: Int,
+                                   vectors: DataFrame,
+                                   allowed: Option[DataFrame] = None)
+      : DataFrame = {
+    require(rerankC >= k,
+      s"rerankC ($rerankC) must cover k ($k): the tail re-ranks only " +
+        "the ADC candidates")
+    rerankExact(
+      ivfPqTopKIndexedPruned(queries, index, cents, cbs, rerankC, nprobe,
+        allowed),
+      queries, vectors, k)
+  }
+
+  /** [[ivfPqResidualTopKIndexedPruned]] with the same exact-rerank tail
+    * ([[ivfPqTopKIndexedPrunedRerank]]) over the residual (IVFADC)
+    * code store. */
+  def ivfPqResidualTopKIndexedPrunedRerank(queries: DataFrame,
+                                           index: DataFrame,
+                                           cents: Seq[(Long, Array[Double])],
+                                           rcbs: Array[Array[Array[Double]]],
+                                           k: Int, nprobe: Int,
+                                           rerankC: Int,
+                                           vectors: DataFrame,
+                                           allowed: Option[DataFrame] = None)
+      : DataFrame = {
+    require(rerankC >= k,
+      s"rerankC ($rerankC) must cover k ($k): the tail re-ranks only " +
+        "the ADC candidates")
+    rerankExact(
+      ivfPqResidualTopKIndexedPruned(queries, index, cents, rcbs, rerankC,
+        nprobe, allowed),
+      queries, vectors, k)
+  }
+
+  /** The SCALAR single-query door over a persisted PQ-code store — the
+    * [[ivfTopKIndexedScalar]] shape on ADC serving: probe cells resolve
+    * DRIVER-side ([[probeCellsScalar]], the same compiled argmax, zero
+    * Spark jobs) and land as the literal `isin` partition filter; the
+    * one-row query frame is a LocalRelation, so the ADC LUT build's
+    * collect is a driver fold, not a job. `rerank` = (rerankC, full-
+    * vector side table) adds the exact tail; `allowed` masks candidates
+    * before the rank window. Results ≡ the DataFrame doors on the same
+    * query. */
+  def ivfPqTopKIndexedScalar(qid: Long, vec: Seq[Double], index: DataFrame,
+                             cents: Seq[(Long, Array[Double])],
+                             cbs: Array[Array[Array[Double]]],
+                             k: Int, nprobe: Int,
+                             rerank: Option[(Int, DataFrame)] = None,
+                             allowed: Option[DataFrame] = None)
+      : DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val queries = Seq((qid, vec)).toDF("vec_id", "embedding")
+    val cells = probeCellsScalar(vec, cents, nprobe)
+    val masked = allowed.fold(index)(a => index.join(
+      a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
+    val pruned = masked.where(col("cell").isin(cells: _*))
+    rerank match {
+      case Some((rerankC, vectors)) =>
+        require(rerankC >= k,
+          s"rerankC ($rerankC) must cover k ($k)")
+        rerankExact(
+          ivfPqTopKIndexed(queries, pruned, cents, cbs, rerankC, nprobe),
+          queries, vectors, k)
+      case None =>
+        ivfPqTopKIndexed(queries, pruned, cents, cbs, k, nprobe)
+    }
   }
 
   /** Residual PQ codebooks (the IVFADC construction, Jégou et al. 2011

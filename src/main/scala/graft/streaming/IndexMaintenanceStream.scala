@@ -73,11 +73,55 @@ import graft.pipeline.Maintenance
   */
 object IndexMaintenanceStream {
 
+  private val log =
+    org.slf4j.LoggerFactory.getLogger(IndexMaintenanceStream.getClass)
+
+  /** Count of [[VersionedStore.append]] observation timeouts — the
+    * logged keep-the-dir degradation arm, exposed so the spec (and a
+    * deployment's metrics scrape) can see a feed whose delta writes
+    * outrun `spark.graft.appendObserveTimeoutSec` instead of inferring
+    * it from surviving empty dirs. */
+  val appendObserveTimeouts = new java.util.concurrent.atomic.AtomicLong()
+
   /** Batch id encoded in a version/dir name: `v_b7`/`base_b7`/
     * `delta_b7` → 7; the boot names → -1. */
   private def parseBatch(version: String): Long =
     if (version.endsWith("boot")) -1L
     else version.substring(version.lastIndexOf('b') + 1).toLong
+
+  /** Where a door's frozen quantizer tables persist, next to the state
+    * pointer ([[Maintenance.Quantizer]]). */
+  private def quantizerPath(dir: String): String = s"$dir/state/quantizer"
+
+  /** Reload the frozen quantizer a [[bootstrap]] persisted — what a
+    * restarted JVM constructs its door from (`new IvfPqDoor(q.cents,
+    * q.codebooks.get)`) instead of re-training: re-trained tables, even
+    * from the same seed data, would silently re-key every code row the
+    * door appends against the rows already in the store. */
+  def loadQuantizer(spark: SparkSession, dir: String)
+      : Maintenance.Quantizer =
+    Maintenance.Quantizer.load(spark, quantizerPath(dir))
+
+  /** Fail fast when the door's frozen tables are not the ones this
+    * store's rows were keyed by — the silent-re-keying hazard
+    * [[Maintenance.Quantizer]] documents. One short read (the hash
+    * line); a layout from before quantizers persisted (or a
+    * quantizer-free door) checks nothing. */
+  private def checkQuantizer(spark: SparkSession, door: Maintenance.Door,
+                             dir: String): Unit =
+    door.quantizer.foreach { q =>
+      Maintenance.Quantizer.persistedHash(spark, quantizerPath(dir))
+        .foreach { persisted =>
+          require(persisted == q.contentHash,
+            s"the door's frozen quantizer tables (hash ${q.contentHash}) " +
+              s"do not match the ones persisted under " +
+              s"${quantizerPath(dir)} (hash $persisted) — a re-trained " +
+              "door would silently re-key every row it appends while " +
+              "the stored rows keep their old cells/codes. Reconstruct " +
+              "the door from loadQuantizer(dir), or bootstrap a fresh " +
+              "store for the new tables.")
+        }
+    }
 
   /** A [[Maintenance.Store]] over the versioned layout: rows = the
     * EFFECTIVE base (newest `base_*` named ≤ `upToBatch` — resolved by
@@ -192,13 +236,31 @@ object IndexMaintenanceStream {
         "overwrite")
       // the metric lands via an async listener right after the action;
       // a bounded wait on the observation's future instead of the
-      // blocking get — a zero-action writer times out into n = -1
+      // blocking get — a zero-action writer times out into n = -1.
+      // The bound is CONFIG-pinned (`spark.graft.appendObserveTimeoutSec`,
+      // default 30): obs.future completes only after the action's
+      // listener event, so a slow-but-legitimate delta write on a
+      // loaded cluster needs the timeout sized with the batch budget —
+      // the default treats >30 s writes like zero-action writers, and
+      // the degradation (keep-the-dir: the empty-layout optimization
+      // silently off exactly when the cluster is busiest) is LOGGED and
+      // counted ([[appendObserveTimeouts]], spec-pinned) instead of
+      // silent.
+      val timeoutSec = spark.conf.get(
+        "spark.graft.appendObserveTimeoutSec", "30").toLong
       val n = try {
         scala.concurrent.Await.result(obs.future,
-          scala.concurrent.duration.Duration(30, "s"))
+          scala.concurrent.duration.Duration(timeoutSec, "s"))
           .getAs[Long]("rows")
       } catch {
-        case _: java.util.concurrent.TimeoutException => -1L
+        case _: java.util.concurrent.TimeoutException =>
+          appendObserveTimeouts.incrementAndGet()
+          log.warn(s"append observation for $dst timed out after " +
+            s"${timeoutSec}s (spark.graft.appendObserveTimeoutSec): " +
+            "either the writer ran no Spark action or the delta write " +
+            "outran the budget — keeping the delta dir (the " +
+            "empty-layout optimization is OFF for this batch)")
+          -1L
       }
       val (hfs, _) = fs
       if (n == 0L)
@@ -315,7 +377,11 @@ object IndexMaintenanceStream {
   }
 
   /** Seed the layout: the base corpus indexed and stamped generation 0,
-    * plus the initial state (stats for a stats-keeping door). */
+    * plus the initial state (stats for a stats-keeping door) — and, for
+    * a quantizer-carrying door, the frozen tables themselves
+    * (`state/quantizer`), so a restarted JVM reconstructs the door from
+    * [[loadQuantizer]] and every later [[applyBatch]]/[[viewAt]] can
+    * fail fast on a mismatched door instead of silently re-keying. */
   def bootstrap(spark: SparkSession, door: Maintenance.Door, dir: String,
                 writer: (DataFrame, String, String) => Unit,
                 docs: DataFrame): Unit = {
@@ -324,6 +390,8 @@ object IndexMaintenanceStream {
     DocsStream.swapPointer(spark, s"$dir/store", "base_boot")
     val st = Maintenance.initialState(spark, door, door.statsDelta(docs))
     Maintenance.saveState(st, s"$dir/state/v_boot")
+    door.quantizer.foreach(q =>
+      Maintenance.Quantizer.save(spark, quantizerPath(dir), q))
     DocsStream.swapPointer(spark, s"$dir/state", "v_boot")
   }
 
@@ -343,6 +411,7 @@ object IndexMaintenanceStream {
                  compactThresholdBytes: Long = 10L << 20,
                  maxDeltas: Int = 16,
                  maxDeltaBytesRatio: Double = 1.0): Unit = {
+    checkQuantizer(spark, door, dir)
     val applied = DocsStream.readPointer(spark, s"$dir/state")
     val store = new VersionedStore(spark, s"$dir/store", writer, batchId,
       maxDeltas, maxDeltaBytesRatio)
@@ -485,6 +554,7 @@ object IndexMaintenanceStream {
     * construction (the same sweep retires both, state first). */
   def viewAt(spark: SparkSession, door: Maintenance.Door, dir: String,
              batchId: Long): (DataFrame, Option[DataFrame]) = {
+    checkQuantizer(spark, door, dir)
     val v = if (batchId < 0L) "v_boot" else s"v_b$batchId"
     val statePath = new org.apache.hadoop.fs.Path(s"$dir/state/$v")
     val hfs = statePath.getFileSystem(spark.sessionState.newHadoopConf())

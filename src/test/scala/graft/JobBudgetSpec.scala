@@ -78,7 +78,7 @@ class JobBudgetSpec extends AnyFunSuite {
   }
 
   test("applyBatch action budget: a mixed (non-compacting) mutation " +
-      "batch runs at most 7 Spark actions; delete-only at most 5") {
+      "batch runs at most 6 Spark actions; delete-only at most 4") {
     val dir = java.nio.file.Files.createTempDirectory("jobbudget").toString
     val door = new Maintenance.Bm25Door(col("text"), nBuckets)
     IndexMaintenanceStream.bootstrap(spark, door, dir, Bm25Index.write,
@@ -91,31 +91,33 @@ class JobBudgetSpec extends AnyFunSuite {
       IndexMaintenanceStream.applyBatch(spark, door, dir,
         Bm25Index.write, b0, 0L, Some(oldVersion))
     }
-    // the r16 floor, itemized: delta-empty probe (1) + the shared
+    // the r17 floor, itemized: delta-empty probe (1) + the shared
     // tokenization's lazy checkpoint materializing under its own
     // execution id (1) + delta append write (1) + stats fold collect
-    // (1) + compactNeeded count (1) + saveState tombstone write (1) +
-    // saveState stats write (1) = 7. r15 paid 4 more: a load-time
-    // stats snap collect (now a lazy scan), an eager tombstone
-    // localCheckpoint (now identity — saveState persists the
-    // one-batch lineage anyway), and two schema-inference footer jobs
-    // in loadState (the schemas now ride in state.meta). A regression
-    // that adds a per-batch action must raise this number consciously.
-    assert(acts <= 7, s"applyBatch ran $acts actions — the fixed " +
-      "per-batch machinery budget is 7 (delta probe, checkpoint, " +
-      "append, stats fold, compact trigger, two state writes)")
+    // (1) + compactNeeded count (1) + saveState tombstone write (1)
+    // = 6. r16 paid one more — a separate saveState stats parquet
+    // write; the 1-row stats now ride in state.meta (values + DDL,
+    // collected from the literal snap frame — a driver fold, no job).
+    // r15 paid 4 more on top: a load-time stats snap collect, an eager
+    // tombstone localCheckpoint, and two schema-inference footer jobs.
+    // A regression that adds a per-batch action must raise this number
+    // consciously.
+    assert(acts <= 6, s"applyBatch ran $acts actions — the fixed " +
+      "per-batch machinery budget is 6 (delta probe, checkpoint, " +
+      "append, stats fold, compact trigger, one state write)")
     // raw job count is AQE-stage-inflated (one job per materialized
     // stage) — bounded loosely so a runaway (per-row or per-tombstone
     // job) still fails while plan-shape drift doesn't flake
     assert(jobs <= 4 * acts + 6,
       s"applyBatch ran $jobs raw jobs for $acts actions")
-    // a DELETE-ONLY batch skips the append write job whole: budget 5
+    // a DELETE-ONLY batch skips the append write job AND the shared
+    // tokenization checkpoint whole: budget 4
     val b1 = muts((20L until 23L).map(id => ("delete", id, 0, None)))
     val (delActs, _) = countActions {
       IndexMaintenanceStream.applyBatch(spark, door, dir,
         Bm25Index.write, b1, 1L, Some(oldVersion))
     }
-    assert(delActs <= 5, s"delete-only applyBatch ran $delActs " +
+    assert(delActs <= 4, s"delete-only applyBatch ran $delActs " +
       "actions — the deltaEmpty door must skip the append write job")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }

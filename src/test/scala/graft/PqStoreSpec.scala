@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Bm25Index, Maintenance, Retrieval, Similarity}
+import graft.streaming.IndexMaintenanceStream
+
+/** The memory-bounded PQ serving tier, round 17: the exact-rerank TAIL
+  * on the persisted code-store probes, the PQ-backed hybrid store
+  * facades, and the frozen-quantizer persistence that makes a restart
+  * safe. Pinned invariants:
+  *
+  *  - rerank tail with rerankC covering the probed candidate pool ≡
+  *    the full-vector probe at the same nprobe (the tail's scores are
+  *    the full-vector scores — float→double widening is exact);
+  *  - PQ-leg-served hybrid ≡ full-vector-served hybrid when rerankC
+  *    covers legK's candidate pool (the r16 verdict's done-criterion);
+  *  - scalar PQ door ≡ the DataFrame door, with strictly fewer Spark
+  *    actions (no cell-resolution job);
+  *  - a door reconstructed from the PERSISTED quantizer serves the
+  *    pre-restart answer; a re-trained (different-table) door fails
+  *    fast in applyBatch AND viewAt instead of silently re-keying;
+  *  - the code-store recall sweep is monotone in rerankC and reaches
+  *    exact recall at full probe + full rerank;
+  *  - a zero-action writer degrades the append observation to
+  *    keep-the-dir, LOGGED and counted, under the config-pinned
+  *    timeout.
+  */
+class PqStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nBuckets = 16
+  private val qTerms = Seq("alpha", "gamma", "epsilon")
+  private val vocab = Vector("alpha", "beta", "gamma", "delta",
+    "epsilon", "zeta", "eta")
+
+  private def text(id: Long, ver: Int): String =
+    (0 to (id % 9).toInt + 2).map { j =>
+      vocab(((id * 2654435761L + ver * 99991L + j * 40503L)
+        % vocab.size).toInt.abs)
+    }.mkString(" ")
+
+  private def docs(n: Int): DataFrame =
+    (0L until n.toLong).map(id => (id, text(id, 0))).toDF("doc_id", "text")
+
+  private def embeddings(n: Int): DataFrame =
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (((i * 31 + d * 13) % 100) / 50.0f) - 1f))
+    }.toDF("vec_id", "embedding")
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.orderBy(df.columns.map(col): _*).collect().map(_.toSeq).toSeq
+
+  test("rerank tail covering the candidate pool ≡ the full-vector " +
+      "probe at the same nprobe (scores bit-identical)") {
+    val emb = embeddings(120)
+    val q = emb.where(col("vec_id") < 4)
+    val cents = Similarity.centroids(emb, 8)
+    val cbs = Similarity.pqCodebooks(emb, 4, 8)
+    val pqIndex = Similarity.ivfPqAssign(emb, cents, cbs)
+    val fullIndex = Similarity.ivfAssign(emb, cents)
+    val reranked = Similarity.ivfPqTopKIndexedPrunedRerank(
+      q, pqIndex, cents, cbs, k = 5, nprobe = 3, rerankC = 1000,
+      vectors = emb.select(col("vec_id"), col("embedding")))
+    val exact = Similarity.ivfTopKIndexedPruned(
+      q, fullIndex, cents, k = 5, nprobe = 3)
+    assert(rows(reranked) === rows(exact),
+      "a pool-covering rerank tail must serve the full-vector probe")
+    // the residual store's tail obeys the same contract
+    val rcbs = Similarity.ivfPqResidualTrain(emb, cents, 4, 8, 1)
+    val rIndex = Similarity.ivfPqResidualAssign(emb, cents, rcbs)
+    val rReranked = Similarity.ivfPqResidualTopKIndexedPrunedRerank(
+      q, rIndex, cents, rcbs, k = 5, nprobe = 3, rerankC = 1000,
+      vectors = emb.select(col("vec_id"), col("embedding")))
+    assert(rows(rReranked) === rows(exact),
+      "the residual store's pool-covering tail must agree too")
+  }
+
+  test("filtered rerank tail: the mask slices the ADC pool, so the " +
+      "tail equals the filtered full-vector probe when it covers") {
+    val emb = embeddings(120)
+    val q = emb.where(col("vec_id") < 4)
+    val cents = Similarity.centroids(emb, 8)
+    val cbs = Similarity.pqCodebooks(emb, 4, 8)
+    val allowed = emb.where(col("vec_id") % 3 === 0).select("vec_id")
+    val reranked = Similarity.ivfPqTopKIndexedPrunedRerank(
+      q, Similarity.ivfPqAssign(emb, cents, cbs), cents, cbs,
+      k = 5, nprobe = 3, rerankC = 1000,
+      vectors = emb.select(col("vec_id"), col("embedding")),
+      allowed = Some(allowed))
+    val exact = Similarity.ivfTopKIndexedPrunedFiltered(
+      q, Similarity.ivfAssign(emb, cents), cents, 5, 3, allowed)
+    assert(rows(reranked) === rows(exact))
+  }
+
+  /** Bootstrap the three stores (BM25 postings, PQ codes, full
+    * vectors) and run one mixed mutation batch through each — the
+    * deployment triple the PQ hybrid facades serve from. Returns
+    * (bmDoor, bmDir, pqDoor, pqDir, vecDoor, vecDir, cents, cbs). */
+  private def storeTriple(d: DataFrame, emb: DataFrame)
+      : (Maintenance.Bm25Door, String, Maintenance.IvfPqDoor, String,
+         Maintenance.IvfDoor, String, Seq[(Long, Array[Double])],
+         Array[Array[Array[Double]]]) = {
+    val bmDoor = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val bmDir = java.nio.file.Files
+      .createTempDirectory("pqspec-bm").toString
+    IndexMaintenanceStream.bootstrap(spark, bmDoor, bmDir,
+      Bm25Index.write, d)
+    val oldV: DataFrame => DataFrame =
+      u => u.select(col("doc_id"), col("old_text").as("text"))
+    val bmBatch = d.where(col("doc_id") % 7 === 2)
+      .select(lit("delete").as("op"), col("doc_id"), col("text"),
+        lit(null).cast("string").as("old_text"))
+      .unionByName(d.where(col("doc_id") % 11 === 5)
+        .select(lit("add").as("op"), (col("doc_id") + 1000L).as("doc_id"),
+          col("text"), lit(null).cast("string").as("old_text")))
+    IndexMaintenanceStream.applyBatch(spark, bmDoor, bmDir,
+      Bm25Index.write, bmBatch, 0L, Some(oldV))
+
+    val cents = Similarity.centroids(emb, 8)
+    val cbs = Similarity.pqCodebooks(emb, 4, 8)
+    def cellWrite(df: DataFrame, dst: String, mode: String): Unit =
+      df.write.partitionBy("cell").mode(mode).parquet(dst)
+    val vBatch = emb.where(col("vec_id") % 7 === 2)
+      .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+      .unionByName(emb.where(col("vec_id") % 11 === 5)
+        .select(lit("add").as("op"), (col("vec_id") + 1000L).as("vec_id"),
+          col("embedding")))
+      .unionByName(emb.where(col("vec_id") % 6 === 3)
+        .select(lit("update").as("op"), col("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    val pqDoor = new Maintenance.IvfPqDoor(cents, cbs)
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("pqspec-pq").toString
+    IndexMaintenanceStream.bootstrap(spark, pqDoor, pqDir, cellWrite, emb)
+    IndexMaintenanceStream.applyBatch(spark, pqDoor, pqDir, cellWrite,
+      vBatch, 0L)
+    val vecDoor = new Maintenance.IvfDoor(cents)
+    val vecDir = java.nio.file.Files
+      .createTempDirectory("pqspec-vec").toString
+    IndexMaintenanceStream.bootstrap(spark, vecDoor, vecDir, cellWrite,
+      emb)
+    IndexMaintenanceStream.applyBatch(spark, vecDoor, vecDir, cellWrite,
+      vBatch, 0L)
+    (bmDoor, bmDir, pqDoor, pqDir, vecDoor, vecDir, cents, cbs)
+  }
+
+  private def dropDirs(dirs: String*): Unit = dirs.foreach(d =>
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+
+  test("PQ-leg-served hybrid ≡ full-vector-served hybrid when rerankC " +
+      "covers the candidate pool; the scalar door agrees") {
+    val d = docs(90)
+    val emb = embeddings(90)
+    val (bmDoor, bmDir, pqDoor, pqDir, vecDoor, vecDir, cents, cbs) =
+      storeTriple(d, emb)
+    val q = emb.where(col("vec_id") === 2L)
+    val pqServed = Retrieval.hybridFromStoresPq(spark, bmDoor, bmDir,
+      nBuckets, pqDoor, pqDir, cents, cbs, vecDoor, vecDir, q, qTerms,
+      k = 10, legK = 12, rerankC = 1000, nprobe = 3)
+    val fullServed = Retrieval.hybridFromStores(spark, bmDoor, bmDir,
+      nBuckets, vecDoor, vecDir, cents, q, qTerms,
+      k = 10, legK = 12, nprobe = 3)
+    assert(rows(pqServed) === rows(fullServed),
+      "a pool-covering PQ leg must serve the full-vector hybrid answer")
+    // the scalar door serves the same answer through the same stores
+    val qVec = q.select("embedding").collect().head
+      .getSeq[Float](0).map(_.toDouble)
+    val scalar = Retrieval.hybridFromStoresPqScalar(spark, bmDoor, bmDir,
+      nBuckets, pqDoor, pqDir, cents, cbs, vecDoor, vecDir, 2L -> qVec,
+      qTerms, k = 10, legK = 12, rerankC = 1000, nprobe = 3)
+    assert(rows(scalar) === rows(pqServed),
+      "the scalar PQ door changed the single-query answer")
+    // the batched facade agrees with the single-query door per qid
+    val batch = Retrieval.hybridFromStoresPqBatch(spark, bmDoor, bmDir,
+      nBuckets, pqDoor, pqDir, cents, cbs, vecDoor, vecDir,
+      q, Seq(2L -> qTerms), k = 10, legK = 12, rerankC = 1000, nprobe = 3)
+    assert(rows(batch.where(col("qid") === 2L)
+        .select("doc_id", "rrf_ppm", "n_legs")) ===
+      rows(pqServed.select("doc_id", "rrf_ppm", "n_legs")),
+      "the batched PQ facade diverged from the single-query door")
+    dropDirs(bmDir, pqDir, vecDir)
+  }
+
+  test("restart from disk: a door reconstructed from the persisted " +
+      "quantizer serves the pre-restart answer; a re-trained door " +
+      "fails fast in viewAt AND applyBatch") {
+    val d = docs(60)
+    val emb = embeddings(60)
+    val (_, bmDir, pqDoor, pqDir, vecDoor, vecDir, cents, cbs) =
+      storeTriple(d, emb)
+    val q = emb.where(col("vec_id") < 3)
+    def probe(door: Maintenance.Door): Seq[Seq[Any]] = {
+      val (view, _) = IndexMaintenanceStream.viewAt(spark, door, pqDir,
+        IndexMaintenanceStream.committedBatch(spark, pqDir))
+      rows(Similarity.ivfPqTopKIndexedPruned(q, view, cents, cbs, 5, 3))
+    }
+    val before = probe(pqDoor)
+    // "restart": a NEW door built from nothing but the persisted tables
+    val loaded = IndexMaintenanceStream.loadQuantizer(spark, pqDir)
+    assert(loaded.contentHash === pqDoor.quantizer.get.contentHash,
+      "the persisted quantizer round-tripped to a different identity")
+    assert(loaded.cents.map(_._1) === cents.map(_._1))
+    assert(loaded.cents.zip(cents).forall { case ((_, a), (_, b)) =>
+      java.util.Arrays.equals(a, b) }, "centroid bits drifted")
+    val restarted = new Maintenance.IvfPqDoor(loaded.cents,
+      loaded.codebooks.get)
+    assert(probe(restarted) === before,
+      "the restarted door serves a different answer — re-keying")
+    // a RE-TRAINED door (different tables — here: perturbed centroids)
+    // must fail fast instead of silently re-keying appended rows
+    val drifted = new Maintenance.IvfPqDoor(
+      cents.map { case (id, v) => (id, v.map(_ * 1.000001)) }, cbs)
+    val exV = intercept[IllegalArgumentException] {
+      IndexMaintenanceStream.viewAt(spark, drifted, pqDir,
+        IndexMaintenanceStream.committedBatch(spark, pqDir))
+    }
+    assert(exV.getMessage.contains("re-key"))
+    val batch = emb.limit(1)
+      .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+    val exA = intercept[IllegalArgumentException] {
+      IndexMaintenanceStream.applyBatch(spark, drifted, pqDir,
+        (df, dst, m) => df.write.partitionBy("cell").mode(m).parquet(dst),
+        batch, 1L)
+    }
+    assert(exA.getMessage.contains("re-key"))
+    dropDirs(bmDir, pqDir, vecDir)
+  }
+
+  test("annPqRecallSweep: recall monotone in rerankC at fixed nprobe; " +
+      "full probe + covering rerank reaches exact recall") {
+    val emb = embeddings(120)
+    val q = emb.where(col("vec_id") < 5)
+    val cents = Similarity.centroids(emb, 8)
+    val cbs = Similarity.pqCodebooks(emb, 4, 8)
+    val index = Similarity.ivfPqAssign(emb, cents, cbs)
+    val exact = Similarity.bruteForceTopK(q, emb, 5)
+      .select(col("qid"), col("nid"))
+    val sweep = Retrieval.annPqRecallSweep(q, index, cents, cbs,
+      Seq((2, 5), (2, 20), (8, 5), (8, 1000)), 5, exact,
+      emb.select(col("vec_id"), col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byPoint = sweep.map { case (np, rc, rec) => (np, rc) -> rec }.toMap
+    assert(byPoint((2L, 5L)) <= byPoint((2L, 20L)),
+      "recall must not decrease as the rerank pool widens")
+    assert(byPoint((8L, 1000L)) === 1000000L,
+      "full probe + covering rerank must reproduce brute force exactly")
+  }
+
+  test("a zero-action writer degrades the append observation to " +
+      "keep-the-dir under the config-pinned timeout, counted and " +
+      "logged — never a hang") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqspec-obs").toString
+    spark.conf.set("spark.graft.appendObserveTimeoutSec", "1")
+    try {
+      val store = new IndexMaintenanceStream.VersionedStore(spark, dir,
+        (_, _, _) => (), // runs NO Spark action — the degradation arm
+        upToBatch = 0L)
+      val before = IndexMaintenanceStream.appendObserveTimeouts.get()
+      val delta = Seq((1L, "x")).toDF("doc_id", "text")
+      store.append(delta) // must return (bounded wait), not hang
+      assert(IndexMaintenanceStream.appendObserveTimeouts.get() ===
+        before + 1,
+        "the timeout arm must be counted — silent degradation")
+    } finally {
+      spark.conf.unset("spark.graft.appendObserveTimeoutSec")
+      dropDirs(dir)
+    }
+  }
+}
