@@ -72,6 +72,48 @@ object Bench {
     * its medians recorded on a box running at half speed. */
   private val CalibRefSec = 2.13
 
+  /** Per-query CROSS-ARTIFACT drift flags (the r16 adjudication hole:
+    * the driver's bench session carried two samples contended 10-17×
+    * inside their own 3-run windows — `nna_dir_subtree` 10.5 s vs the
+    * committed 0.61 s on the identical binary — and BOTH gates passed:
+    * admission sees pre-run load, the drift sweep sees run-wide state,
+    * neither sees one query's contended window). Each query's median
+    * is compared to the committed baseline artifact's; a ratio ≥
+    * `factor` either way flags the query in the emitted JSON, so a
+    * contended window is marked mechanically instead of silently
+    * distorting cross-round totals. Pure — unit-tested with synthetic
+    * slowdowns. Sub-`minSec` pairs are skipped: a 10 ms query at any
+    * ratio is scheduling noise, not contention evidence. */
+  def perQueryOutliers(current: Map[String, Double],
+                       baseline: Map[String, Double],
+                       factor: Double = 3.0,
+                       minSec: Double = 0.05)
+      : Seq[(String, Double, Double, Double)] =
+    current.toSeq.sorted.flatMap { case (name, cur) =>
+      baseline.get(name).flatMap { base =>
+        if (math.max(cur, base) < minSec || cur <= 0 || base <= 0) None
+        else {
+          val ratio = cur / base
+          if (ratio >= factor || ratio <= 1.0 / factor)
+            Some((name, cur, base, ratio))
+          else None
+        }
+      }
+    }
+
+  /** Per-query medians from a committed bench artifact (the bench's
+    * own JSON, regex-parsed — no JSON dependency). Empty when the file
+    * is absent or unreadable: the first round on a box has no
+    * baseline, and flagging must never block the run. Negated
+    * (failed-query) medians are dropped. */
+  def baselineMedians(path: String): Map[String, Double] =
+    try {
+      val txt = scala.io.Source.fromFile(path).mkString
+      val re = """"([A-Za-z0-9_]+)":\{"median":(-?[0-9.eE+\-]+)""".r
+      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 > 0).toMap
+    } catch { case _: Exception => Map.empty }
+
   private def loadavg(): String =
     try {
       val parts = scala.io.Source.fromFile("/proc/loadavg").mkString
@@ -384,7 +426,6 @@ object Bench {
     // boost clocks (1.81 s) and ended warm (2.02 s), which end-only
     // normalization misattributes to the whole run
     val totalNorm = total * calibRef / ((calibStart + calibEnd) / 2)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"load_sec":$loadSec,"ingest_warm_sec":$ingestWarmSec,"hygiene_sec":$hygieneSec,"n_queries":${results.size},"failed":$failedJson,"drift_sweep":$sweepJson,"median_drift":$medianDrift,"drift_tolerance":$driftTol,"contaminated":$contaminated,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_ref_sec":$calibRef,"total_calib_norm":$totalNorm,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_mhz_start":$cpuMhzStart,"cpu_mhz_end":$cpuMhzEnd,"sf":"$sfDir"}"""
     // The FULL per-query JSON (spreads, sweep, loadavg) is ~25 KB at
     // 222 queries — far past the driver's 2000-char stdout tail capture,
     // which was truncating the head (metric/value/most queries) every
@@ -395,6 +436,27 @@ object Bench {
     // never clobbers the committed artifact.
     val artifactPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isEmpty) "bench_out.json" else "/tmp/bench_out_partial.json")
+    // per-query cross-artifact flags against the COMMITTED artifact
+    // (the file this run is about to replace, or an explicit baseline)
+    // — read before the overwrite below; see perQueryOutliers
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      artifactPath)
+    val outlierFactor = sys.env.get("SPARK_GRAFT_BENCH_OUTLIER_FACTOR")
+      .map(_.toDouble).getOrElse(3.0)
+    val outliers = perQueryOutliers(
+      results.collect { case (k, med, _, _) if !failed.contains(k) =>
+        k -> med }.toMap,
+      baselineMedians(baselinePath), outlierFactor)
+    val outliersJson = outliers.map { case (k, cur, base, r) =>
+      s"""{"query":"$k","median":$cur,"baseline_median":$base,"ratio":$r}"""
+    }.mkString("[", ",", "]")
+    if (outliers.nonEmpty)
+      System.err.println(s"[bench] ${outliers.size} per-query " +
+        s"outlier(s) vs $baselinePath (>${outlierFactor}x either way): " +
+        outliers.map { case (k, cur, base, r) =>
+          f"$k $cur%.2fs vs $base%.2fs (${r}%.1fx)" }.mkString("; ") +
+        " — read the totals query-wise, not wholesale")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"load_sec":$loadSec,"ingest_warm_sec":$ingestWarmSec,"hygiene_sec":$hygieneSec,"n_queries":${results.size},"failed":$failedJson,"drift_sweep":$sweepJson,"median_drift":$medianDrift,"drift_tolerance":$driftTol,"contaminated":$contaminated,"per_query_outliers":$outliersJson,"outlier_factor":$outlierFactor,"baseline_artifact":"$baselinePath","calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_ref_sec":$calibRef,"total_calib_norm":$totalNorm,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_mhz_start":$cpuMhzStart,"cpu_mhz_end":$cpuMhzEnd,"sf":"$sfDir"}"""
     val outPath =
       if (contaminated) artifactPath + ".contaminated" else artifactPath
     if (contaminated)
@@ -413,7 +475,7 @@ object Bench {
         val sign = if (failed.contains(k)) -1 else 1
         "\"" + k + "\":" + sign * med
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"load_sec":$loadSec,"n_queries":${results.size},"n_failed":${failed.size},"median_drift":$medianDrift,"contaminated":$contaminated,"total_calib_norm":$totalNorm,"calib_end_sec":$calibEnd,"full":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$headline,"load_sec":$loadSec,"n_queries":${results.size},"n_failed":${failed.size},"median_drift":$medianDrift,"contaminated":$contaminated,"n_outliers":${outliers.size},"total_calib_norm":$totalNorm,"calib_end_sec":$calibEnd,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
     lock.release()
     lockChannel.close()

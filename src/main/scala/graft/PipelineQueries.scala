@@ -894,6 +894,121 @@ object PipelineQueries {
         5, nprobe = 4).orderBy("qid", "rank")
     }),
 
+    // the EXACT-RERANK TAIL on the maintained PQ-code store
+    // ([[pipeline.Similarity.ivfPqTopKIndexedPrunedRerank]]): the
+    // ann_ivfpq_lifecycle mutation plan runs against BOTH maintained
+    // stores — the (cell, nid, codes) code store AND its full-vector
+    // IVF twin, fed the same ticks — then the serving probe ADC-ranks
+    // 15 candidates from the code store and refetches ONLY those
+    // queries × 15 full vectors from the vector store's live view for
+    // exact top-5 cosine. The oracle re-encodes the end-state corpus
+    // from scratch under the frozen tables, ADC-ranks 15, and reranks
+    // against the end-state vectors — the hash match pins the
+    // production serving chain (memory-bounded ADC working set +
+    // candidate-wise full-vector tail) live-mutated.
+    "ann_ivfpq_store_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
+      val pqDoor = new pipeline.Maintenance.IvfPqDoor(cents, cbs)
+      val pqStore = new pipeline.Maintenance.FrameStore(
+        pipeline.Similarity.ivfStampGen(
+          pipeline.Similarity.ivfPqAssign(emb, cents, cbs), 0L))
+      val vecDoor = new pipeline.Maintenance.IvfDoor(cents)
+      val vecStore = new pipeline.Maintenance.FrameStore(
+        pipeline.Similarity.ivfStampGen(
+          pipeline.Similarity.ivfAssign(emb, cents), 0L))
+      var pqSt = pipeline.Maintenance.initialState(s, pqDoor)
+      var vecSt = pipeline.Maintenance.initialState(s, vecDoor)
+      val empty = emb.limit(0)
+      val upd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val del1 = emb.where(col("vec_id") % 9 === 7 &&
+        col("vec_id") % 6 =!= 3)
+      val add1 = emb.where(col("vec_id") % 11 === 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val del2 = upd1.where(col("vec_id") % 12 === 3)
+        .unionByName(del1.orderBy(col("vec_id")).limit(1)) // re-sent
+      pqSt = pipeline.Maintenance.tick(pqDoor, pqStore, pqSt,
+        adds = add1, deletes = del1, updates = upd1)
+      pqSt = pipeline.Maintenance.tick(pqDoor, pqStore, pqSt,
+        adds = empty, deletes = del2, updates = empty)
+      vecSt = pipeline.Maintenance.tick(vecDoor, vecStore, vecSt,
+        adds = add1, deletes = del1, updates = upd1)
+      vecSt = pipeline.Maintenance.tick(vecDoor, vecStore, vecSt,
+        adds = empty, deletes = del2, updates = empty)
+      pipeline.Similarity.ivfPqTopKIndexedPrunedRerank(
+        emb.where(col("vec_id") < 5), pqSt.live(pqDoor, pqStore),
+        cents, cbs, k = 5, nprobe = 4, rerankC = 15,
+        vectors = vecSt.live(vecDoor, vecStore).select(
+          col("nid"), col("ne")))
+        .orderBy("qid", "rank")
+    }),
+
+    // the residual (IVFADC) store's rerank tail, refetching from the
+    // KEPT full-vector table instead of a second maintained store —
+    // the other side-table option the tail takes (a deployment that
+    // keeps the corpus parquet current pays no second index)
+    "ann_ivfpqr_store_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val rcbs = pipeline.Similarity.ivfPqResidualTrain(
+        emb, cents, 8, 16, trainIters = 1)
+      val door = new pipeline.Maintenance.IvfPqResidualDoor(cents, rcbs)
+      val store = new pipeline.Maintenance.FrameStore(
+        pipeline.Similarity.ivfStampGen(
+          pipeline.Similarity.ivfPqResidualAssign(emb, cents, rcbs), 0L))
+      var st = pipeline.Maintenance.initialState(s, door)
+      val empty = emb.limit(0)
+      val upd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val del1 = emb.where(col("vec_id") % 9 === 7 &&
+        col("vec_id") % 6 =!= 3)
+      val add1 = emb.where(col("vec_id") % 11 === 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      st = pipeline.Maintenance.tick(door, store, st, adds = add1,
+        deletes = del1, updates = upd1)
+      val del2 = upd1.where(col("vec_id") % 12 === 3)
+        .unionByName(del1.orderBy(col("vec_id")).limit(1)) // re-sent
+      st = pipeline.Maintenance.tick(door, store, st, adds = empty,
+        deletes = del2, updates = empty)
+      // the kept full-vector table: the end-state corpus
+      val kept = emb
+        .where(!(col("vec_id") % 9 === 7 && col("vec_id") % 6 =!= 3) &&
+          !(col("vec_id") % 12 === 3))
+        .select(col("vec_id"),
+          when(col("vec_id") % 6 === 3, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+        .unionByName(emb.where(col("vec_id") % 11 === 5)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding")))
+      pipeline.Similarity.ivfPqResidualTopKIndexedPrunedRerank(
+        emb.where(col("vec_id") < 5), st.live(door, store), cents, rcbs,
+        k = 5, nprobe = 4, rerankC = 15, vectors = kept)
+        .orderBy("qid", "rank")
+    }),
+
+    // the CODE-STORE tuning sweep ([[pipeline.Retrieval
+    // .annPqRecallSweep]]): recall/MRR/MAP of the pruned ADC probe +
+    // exact-rerank tail at (nprobe, rerankC) ∈ {2,8}×{10,25} against
+    // the brute-force top-5 — the 2-D operating surface (cells scanned
+    // × full-vector bytes touched) a code-store deployment reads its
+    // knobs off, one integer-exact macro row per point
+    "ann_pq_recall_sweep" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 5)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
+      val index = pipeline.Similarity.ivfPqAssign(emb, cents, cbs)
+      pipeline.Retrieval.annPqRecallSweep(q, index, cents, cbs,
+        Seq((2, 10), (2, 25), (8, 10), (8, 25)), 5,
+        pipeline.Similarity.bruteForceTopK(q, emb, 5)
+          .select(col("qid"), col("nid")),
+        emb.select(col("vec_id"), col("embedding")))
+    }),
+
     // the ANN TUNING SWEEP ([[pipeline.Retrieval.annRecallSweep]]):
     // recall/MRR/MAP of the pruned IVF probe at nprobe ∈ {1,2,4,8}
     // against the exact brute-force top-5 — the measured
@@ -2883,6 +2998,90 @@ object PipelineQueries {
       result
     }),
 
+    // HYBRID SERVING FROM THE CODE-STORE TIER ([[pipeline.Retrieval
+    // .hybridFromStoresPq]]): the memory-bounded deployment triple —
+    // BM25 postings, the PQ-code store (8+m bytes/vector ADC working
+    // set), and the full-vector store that funds the exact-rerank tail
+    // — all bootstrapped through the versioned layout, mutated by one
+    // mixed batch each, and served at ONE min-committed batch: the
+    // vector leg ADC-ranks 40 candidates from the code store and
+    // refetches only those 40 full vectors for exact top-20 scoring
+    // before the fusion. The oracle rebuilds both mutated corpora from
+    // scratch (frozen tables), replays ADC-40 → exact-20 → RRF — the
+    // hash match pins the whole code-tier serving chain, consistency
+    // rule included.
+    "retrieval_hybrid_pq_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      // ---- BM25 store: one mixed mutation batch
+      val bmDoor = new pipeline.Maintenance.Bm25Door(col("text"), 64)
+      val bmDir = java.nio.file.Files
+        .createTempDirectory("graft-hpq-bm").toString
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
+      val oldV: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+        u => u.select(col("doc_id"), col("old_text").as("text"))
+      val upd1old = docs.where(col("doc_id") % 6 === 3)
+      val b0 = docs.where(col("doc_id") % 11 === 5)
+        .select(lit("add").as("op"),
+          (col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit(null).cast("string").as("old_text"))
+        .unionByName(docs
+          .where(col("doc_id") % 7 === 0 && col("doc_id") % 6 =!= 3)
+          .select(lit("delete").as("op"), col("doc_id"), col("text"),
+            lit(null).cast("string").as("old_text")))
+        .unionByName(upd1old.select(lit("update").as("op"),
+          col("doc_id"),
+          concat(col("text"), lit(" shuffle data")).as("text"),
+          col("text").as("old_text")))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+      // ---- PQ-code store + full-vector store: the same vector batch
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
+      val pqDoor = new pipeline.Maintenance.IvfPqDoor(cents, cbs)
+      val vecDoor = new pipeline.Maintenance.IvfDoor(cents)
+      val pqDir = java.nio.file.Files
+        .createTempDirectory("graft-hpq-pq").toString
+      val vecDir = java.nio.file.Files
+        .createTempDirectory("graft-hpq-vec").toString
+      def cellWrite(df: org.apache.spark.sql.DataFrame, dst: String,
+                    mode: String): Unit =
+        df.write.partitionBy("cell").mode(mode).parquet(dst)
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, pqDoor, pqDir, cellWrite, emb)
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, vecDoor, vecDir, cellWrite, emb)
+      val vUpd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val v0 = emb.where(col("vec_id") % 11 === 5)
+        .select(lit("add").as("op"),
+          (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .unionByName(emb
+          .where(col("vec_id") % 9 === 7 && col("vec_id") % 6 =!= 3)
+          .select(lit("delete").as("op"), col("vec_id"),
+            col("embedding")))
+        .unionByName(vUpd1.select(lit("update").as("op"), col("vec_id"),
+          col("embedding")))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, pqDoor, pqDir, cellWrite, v0, 0L)
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, vecDoor, vecDir, cellWrite, v0, 0L)
+      // ---- one consistent code-tier serving read
+      val result = pipeline.Dedup.checkpointCorpus(
+        pipeline.Retrieval.hybridFromStoresPq(
+          s, bmDoor, bmDir, 64, pqDoor, pqDir, cents, cbs,
+          vecDoor, vecDir, emb.where(col("vec_id") === 0L),
+          Seq("data", "stream", "shuffle"),
+          k = 10, legK = 20, rerankC = 40, nprobe = 4))
+      Seq(bmDir, pqDir, vecDir).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(p)))
+      result
+    }),
+
     // FILTERED retrieval on the BATCH tier ([[pipeline.Retrieval
     // .hybridTopKBatch]] with `allowed`): five queries, one pass over
     // each index, BOTH legs masked to the slice (every 3rd id) before
@@ -4271,6 +4470,142 @@ object PipelineQueries {
             "FROM embeddings WHERE vec_id % 11 = 5)")} " +
        "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivfpqr_topk " +
        "ORDER BY qid, rank"),
+
+    // the code store's serving rerank tail: the end-state corpus
+    // re-encoded from scratch under the frozen tables, ADC-ranked to
+    // 15 candidates, then ONLY those rows exact-cosine-reranked
+    // against the end-state full vectors — mirrors ADC probe + the
+    // queries×rerankC refetch from the maintained vector store
+    "ann_ivfpq_store_rerank" -> {
+      val corp2 = "SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+        "THEN list_reverse(embedding) ELSE embedding END " +
+        "AS embedding FROM embeddings " +
+        "WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+        "AND NOT (vec_id % 12 = 3) " +
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+        "FROM embeddings WHERE vec_id % 11 = 5"
+      s"""WITH corp2 AS ($corp2),
+         ${ivfPqSql(16, 4, 8, 16, 8, 15, corpusFrom = "corp2")},
+         store_rerank AS (SELECT qid, nid, rank FROM (
+           SELECT c.qid, c.nid, ROW_NUMBER() OVER (PARTITION BY c.qid
+             ORDER BY list_cosine_similarity(qe.embedding, ne.embedding)
+               DESC, c.nid ASC) AS rank
+           FROM ivfpq_topk c
+           JOIN embeddings qe ON qe.vec_id = c.qid
+           JOIN corp2 ne ON ne.vec_id = c.nid) WHERE rank <= 5)
+         SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM store_rerank
+         ORDER BY qid, rank"""
+    },
+
+    // the residual store's tail, same construction over the IVFADC
+    // ranking (training on the base table — the frozen-door contract)
+    "ann_ivfpqr_store_rerank" -> {
+      val corp2 = "SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+        "THEN list_reverse(embedding) ELSE embedding END " +
+        "AS embedding FROM embeddings " +
+        "WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+        "AND NOT (vec_id % 12 = 3) " +
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+        "FROM embeddings WHERE vec_id % 11 = 5"
+      s"""WITH corp2 AS ($corp2),
+         ${ivfPqResidualSql(16, 4, 8, 16, 8, 15, 1,
+          corpusFrom = "corp2")},
+         store_rerank AS (SELECT qid, nid, rank FROM (
+           SELECT c.qid, c.nid, ROW_NUMBER() OVER (PARTITION BY c.qid
+             ORDER BY list_cosine_similarity(qe.embedding, ne.embedding)
+               DESC, c.nid ASC) AS rank
+           FROM ivfpqr_topk c
+           JOIN embeddings qe ON qe.vec_id = c.qid
+           JOIN corp2 ne ON ne.vec_id = c.nid) WHERE rank <= 5)
+         SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM store_rerank
+         ORDER BY qid, rank"""
+    },
+
+    // the code-store tuning sweep: ONE shared ADC scoring pass
+    // (candidates over the rk ≤ max-nprobe probe union — a vector's
+    // ADC score doesn't depend on nprobe, only its cell's probe rank
+    // gates membership); each (nprobe, rerankC) variant slices
+    // rk ≤ nprobe, ADC-ranks to rerankC, exact-reranks those rows, and
+    // scores against the brute-force top-5 through the integer-exact
+    // metric chain
+    "ann_pq_recall_sweep" -> {
+      val grid = Seq((2, 10), (2, 25), (8, 10), (8, 25))
+      val variantCtes = grid.map { case (np, rc) =>
+        s"""adc_${np}_$rc AS (SELECT qid, nid FROM (
+             SELECT s.qid, s.nid, ROW_NUMBER() OVER (PARTITION BY s.qid
+               ORDER BY s.dotsum / (q.qnorm * sqrt(s.rsq)) DESC,
+                        s.nid ASC) AS rank
+             FROM scall s JOIN qn q USING (qid) WHERE s.rk <= $np)
+             WHERE rank <= $rc),
+           rrk_${np}_$rc AS (SELECT qid, nid, rank FROM (
+             SELECT c.qid, c.nid, ROW_NUMBER() OVER (PARTITION BY c.qid
+               ORDER BY list_cosine_similarity(qe.embedding, ne.embedding)
+                 DESC, c.nid ASC) AS rank
+             FROM adc_${np}_$rc c
+             JOIN embeddings qe ON qe.vec_id = c.qid
+             JOIN embeddings ne ON ne.vec_id = c.nid) WHERE rank <= 5),
+           ph_${np}_$rc AS (SELECT qid, rank, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY rank) AS BIGINT) AS hit_idx
+             FROM (SELECT t.qid, t.rank FROM rrk_${np}_$rc t
+               JOIN brute_topk b ON t.qid = b.qid AND t.nid = b.nid)),
+           ag_${np}_$rc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS hits,
+               MIN(rank) AS fhr,
+               CAST(SUM(CAST(hit_idx * 1000000 // rank AS BIGINT))
+                 AS BIGINT) AS spp
+             FROM ph_${np}_$rc GROUP BY 1),
+           pqv_${np}_$rc AS (SELECT n.qid,
+               CAST(COALESCE(a.hits, 0) * 1000000 // n.n_rel AS BIGINT)
+                 AS recall_ppm,
+               CAST(COALESCE(1000000 // a.fhr, 0) AS BIGINT) AS mrr_ppm,
+               CAST(COALESCE(a.spp, 0) // n.n_rel AS BIGINT) AS ap_ppm
+             FROM nrel n LEFT JOIN ag_${np}_$rc a USING (qid)),
+           mac_${np}_$rc AS (SELECT CAST($np AS BIGINT) AS nprobe,
+               CAST($rc AS BIGINT) AS rerank_c,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT)
+                 AS macro_recall_ppm,
+               CAST(SUM(mrr_ppm) // COUNT(*) AS BIGINT) AS macro_mrr_ppm,
+               CAST(SUM(ap_ppm) // COUNT(*) AS BIGINT) AS macro_map_ppm
+             FROM pqv_${np}_$rc)"""
+      }.mkString(",\n")
+      val macUnion = grid.map { case (np, rc) =>
+        s"SELECT * FROM mac_${np}_$rc" }.mkString(" UNION ALL ")
+      s"""WITH ${pqBaseSql(8, 16, 8)},
+         cent AS (SELECT vec_id AS cent_id, embedding AS cent
+           FROM embeddings ORDER BY vec_id LIMIT 16),
+         assigned AS (
+           SELECT cell, nid FROM (
+             SELECT ct.cent_id AS cell, e.vec_id AS nid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, ct.cent)
+                   DESC, ct.cent_id ASC) AS rk
+             FROM embeddings e CROSS JOIN cent ct) WHERE rk = 1),
+         probesall AS (
+           SELECT cell, qid, rk FROM (
+             SELECT ct.cent_id AS cell, q.vec_id AS qid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, ct.cent)
+                   DESC, ct.cent_id ASC) AS rk
+             FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+             CROSS JOIN cent ct) WHERE rk <= 8),
+         candall AS (SELECT p.qid, p.rk, a.nid
+           FROM assigned a JOIN probesall p USING (cell)
+           WHERE p.qid <> a.nid),
+         scall AS (SELECT c.qid, c.nid, c.rk,
+             list_reduce(list(l.dot ORDER BY l.sub), (x, y) -> x + y)
+               AS dotsum,
+             list_reduce(list(l.sq ORDER BY l.sub), (x, y) -> x + y)
+               AS rsq
+           FROM candall c JOIN encd e ON e.nid = c.nid
+           JOIN lut l ON l.qid = c.qid AND l.sub = e.sub
+             AND l.code = e.code
+           GROUP BY c.qid, c.nid, c.rk),
+         $bruteTopkSql,
+         nrel AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+           FROM brute_topk GROUP BY 1),
+         $variantCtes
+         SELECT * FROM ($macUnion) ORDER BY nprobe, rerank_c"""
+    },
 
     "ann_lsh_top5" ->
       (s"WITH ${lshTopkSql(4, 4, 5)} " +
@@ -6069,6 +6404,44 @@ object PipelineQueries {
            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
              ORDER BY rrf_ppm DESC, doc_id ASC) AS rank FROM fused)
          WHERE rank <= 10 ORDER BY qid, rank"""
+    },
+
+    // the code-tier hybrid: lexical leg over the one-batch-mutated
+    // documents, vector leg = ADC top-40 over the one-batch-mutated
+    // embeddings re-encoded from scratch under the frozen tables, then
+    // the exact-cosine rerank of ONLY those 40 rows against the
+    // end-state vectors, top-20 into the RRF sum — the from-scratch
+    // rebuild of what the engine serves from its three versioned
+    // stores (postings + codes + full vectors) at one committed batch
+    "retrieval_hybrid_pq_store" -> {
+      val docs2 = "(SELECT doc_id, CASE WHEN doc_id % 6 = 3 " +
+        "THEN text || ' shuffle data' ELSE text END AS text " +
+        "FROM documents WHERE NOT (doc_id % 7 = 0 AND doc_id % 6 <> 3) " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text " +
+        "FROM documents WHERE doc_id % 11 = 5)"
+      val emb2 = "SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+        "THEN list_reverse(embedding) ELSE embedding END AS embedding " +
+        "FROM embeddings WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+        "FROM embeddings WHERE vec_id % 11 = 5"
+      s"""WITH corpm AS ($emb2),
+         ${bm25LexLegSql(20, docsFrom = docs2)},
+         ${ivfPqSql(16, 4, 8, 16, 8, 40, corpusFrom = "corpm")},
+         vecleg AS (SELECT nid AS doc_id, rank FROM (
+           SELECT c.qid, c.nid, ROW_NUMBER() OVER (PARTITION BY c.qid
+             ORDER BY list_cosine_similarity(qe.embedding, ne.embedding)
+               DESC, c.nid ASC) AS rank
+           FROM ivfpq_topk c
+           JOIN embeddings qe ON qe.vec_id = c.qid
+           JOIN corpm ne ON ne.vec_id = c.nid
+           WHERE c.qid = 0) WHERE rank <= 20),
+         legs AS (SELECT doc_id, rank FROM lex
+           UNION ALL SELECT doc_id, rank FROM vecleg)
+         SELECT doc_id,
+           CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+           COUNT(*) AS n_legs
+         FROM legs GROUP BY 1
+         ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""
     },
 
     // filtered hybrid on the BATCH tier: per-qid full-corpus scoring

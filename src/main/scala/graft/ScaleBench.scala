@@ -2113,12 +2113,22 @@ object ScaleBench {
           nprobe = 8)
           .collect().map(r => (r.getLong(0), r.getLong(1)))
           .count(exact.contains)
+        // r17: the rerank row is now STORE-SERVED — the door's own
+        // ivfPqTopKIndexedPrunedRerank (ADC-100 from the code store,
+        // queries×100 full-vector refetch from the side table) — and
+        // pinned bit-identical to r16's hand-composed formulation, so
+        // the ledger's 28/100 is what the serving door actually ships
+        val rerankServed = pipeline.Similarity
+          .ivfPqTopKIndexedPrunedRerank(qpq, view, cents, cbs, 10,
+            nprobe = 8, rerankC = 100,
+            vectors = mutated.select(col("vec_id"), col("embedding")))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val cand100 = pipeline.Similarity.ivfPqTopKIndexedPruned(qpq,
           view, cents, cbs, 100, nprobe = 8).select("qid", "nid")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid"))
           .orderBy(col("sim").desc, col("nid").asc)
-        val rerankHits = mutated
+        val rerankHand = mutated
           .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
           .join(broadcast(cand100), Seq("nid"))
           .join(broadcast(qpq.select(col("vec_id").as("qid"),
@@ -2127,8 +2137,10 @@ object ScaleBench {
             col("qvec"), col("nvec")))
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= 10)
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
-          .count(exact.contains)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        require(rerankServed == rerankHand,
+          "store-served rerank diverged from the hand-composed tail")
+        val rerankHits = rerankServed.count(exact.contains)
         // the RESIDUAL door's accuracy-per-byte claim at the same
         // scale: train residual codebooks on the base corpus (the
         // frozen-door shape), re-encode the mutated corpus, probe at
@@ -2194,6 +2206,63 @@ object ScaleBench {
           cents, Seq(1, 4, 16, 64), 10, exact).collect()
         rows.map(r => s"np${r.getLong(0)}=${r.getLong(2)}ppm")
           .mkString(" ")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+
+    // ---- the CODE-STORE tuning sweep at 1M (Retrieval
+    // .annPqRecallSweep): the 2-D operating surface of the
+    // memory-bounded tier — nprobe scales the ADC records scanned off
+    // the persisted code store (the partition pruning), rerankC scales
+    // the full-vector rows the exact tail refetches (queries×rerankC —
+    // tiny against the scan at every point). Claims: per-point records
+    // ∝ nprobe (the tail's refetch is noise), recall climbs with BOTH
+    // knobs, and the rerank tail recovers most of the ADC gap at
+    // rerankC ≪ corpus.
+    if (Seq("pq_sweep").exists(only)) {
+      val n = 1000000L
+      val dir = "/tmp/graft_pq_sweep_1m"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val gemb = expr(
+        """transform(sequence(0, 63), d ->
+             cast(pmod(xxhash64(id, d), 2000) / 1000.0 - 1.0 as float))""")
+      val corpus = spark.range(n)
+        .select(col("id").as("vec_id"), gemb.as("embedding"))
+      var cents: Seq[(Long, Array[Double])] = Nil
+      var cbs: Array[Array[Array[Double]]] = null
+      t("pq_sweep_index_build_1m") {
+        cents = pipeline.Similarity.centroids(corpus, 256)
+        cbs = pipeline.Similarity.pqCodebooks(corpus, 8, 256)
+        pipeline.Similarity.ivfPqAssign(corpus, cents, cbs)
+          .write.partitionBy("cell").parquet(dir)
+        s"n=$n nlist=256 m=8 ksub=256"
+      }
+      val reloaded = spark.read.parquet(dir)
+      val q8 = spark.range(8)
+        .select((col("id") * 1000L + 500L).as("id"))
+        .select(col("id").as("vec_id"), gemb.as("embedding"))
+        .localCheckpoint(true)
+      val exact = pipeline.Similarity.bruteForceTopK(q8, corpus, 10)
+        .select(col("qid"), col("nid")).localCheckpoint(true)
+      val vectors = corpus.select(col("vec_id"), col("embedding"))
+      pin()
+      ti("pq_sweep_np4_rc100_1m") {
+        val r = pipeline.Retrieval.annPqRecallSweep(q8, reloaded, cents,
+          cbs, Seq((4, 100)), 10, exact, vectors).collect().head
+        s"np=4 rc=100 recall=${r.getLong(3)}ppm"
+      }
+      ti("pq_sweep_np32_rc100_1m") {
+        val r = pipeline.Retrieval.annPqRecallSweep(q8, reloaded, cents,
+          cbs, Seq((32, 100)), 10, exact, vectors).collect().head
+        s"np=32 rc=100 recall=${r.getLong(3)}ppm"
+      }
+      ti("pq_sweep_surface_1m") {
+        val rows = pipeline.Retrieval.annPqRecallSweep(q8, reloaded,
+          cents, cbs,
+          Seq((4, 10), (4, 100), (32, 10), (32, 100), (32, 400)), 10,
+          exact, vectors).collect()
+        rows.map(r => s"np${r.getLong(0)}rc${r.getLong(1)}=" +
+          s"${r.getLong(3)}ppm").mkString(" ")
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
