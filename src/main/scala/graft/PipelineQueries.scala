@@ -1009,6 +1009,66 @@ object PipelineQueries {
         emb.select(col("vec_id"), col("embedding")))
     }),
 
+    // SQ8 (int8 scalar-quantized) top-5 ([[pipeline.Similarity
+    // .sq8TopKIndexed]]): the middle tier of the bytes-vs-recall
+    // spectrum — d bytes/vector (4× smaller than float32), cosine over
+    // the integer arrays directly (scale-invariant, no dequantize) —
+    // integer-exact and SQL-mirrorable end to end
+    "ann_sq8_top5" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      pipeline.Similarity.sq8TopKIndexed(
+        emb.where(col("vec_id") < 5),
+        pipeline.Similarity.sq8Assign(emb, cents), cents, 5, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
+    // SQ8 recall vs exact brute force — where this tier sits on the
+    // spectrum, measured: near the full-vector probe (the int8
+    // rounding rarely reorders a top-5) at a quarter of the bytes
+    "ann_sq8_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 5)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val approx = pipeline.Similarity.sq8TopKIndexed(
+        q, pipeline.Similarity.sq8Assign(emb, cents), cents, 5,
+        nprobe = 4)
+      val exact = pipeline.Similarity.bruteForceTopK(q, emb, 5)
+      hitsAtK(q, approx, exact)
+    }),
+
+    // the SQ8 store lifecycle ([[pipeline.Maintenance.IvfSq8Door]]):
+    // the ann_ivf_lifecycle mutation plan against the quantized store,
+    // then the pruned int8-cosine probe — the oracle re-quantizes the
+    // end-state corpus from scratch under the frozen coarse quantizer,
+    // so the hash match pins quantize+assign+gen-door+probe ≡ rebuild
+    "ann_sq8_lifecycle" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val door = new pipeline.Maintenance.IvfSq8Door(cents)
+      val store = new pipeline.Maintenance.FrameStore(
+        pipeline.Similarity.ivfStampGen(
+          pipeline.Similarity.sq8Assign(emb, cents), 0L))
+      var st = pipeline.Maintenance.initialState(s, door)
+      val empty = emb.limit(0)
+      val upd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val del1 = emb.where(col("vec_id") % 9 === 7 &&
+        col("vec_id") % 6 =!= 3)
+      val add1 = emb.where(col("vec_id") % 11 === 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      st = pipeline.Maintenance.tick(door, store, st, adds = add1,
+        deletes = del1, updates = upd1)
+      val del2 = upd1.where(col("vec_id") % 12 === 3)
+        .unionByName(del1.orderBy(col("vec_id")).limit(1)) // re-sent
+      st = pipeline.Maintenance.tick(door, store, st, adds = empty,
+        deletes = del2, updates = empty)
+      pipeline.Similarity.sq8TopKIndexedPruned(
+        emb.where(col("vec_id") < 5), st.live(door, store), cents, 5,
+        nprobe = 4).orderBy("qid", "rank")
+    }),
+
     // the ANN TUNING SWEEP ([[pipeline.Retrieval.annRecallSweep]]):
     // recall/MRR/MAP of the pruned IVF probe at nprobe ∈ {1,2,4,8}
     // against the exact brute-force top-5 — the measured
@@ -4043,6 +4103,50 @@ object PipelineQueries {
            FROM pairscr s JOIN qn q USING (qid)) WHERE rank <= $k)"""
   }
 
+  /** CTE `sq8_topk(qid,nid,rank)` mirroring `Similarity.sq8TopKIndexed`:
+    * cells from the RAW vectors (the shared IVF argmax), similarity =
+    * cosine over the per-vector-absmax int8 quantizations of both sides
+    * (`round(x·127/max|x|)` — the [[quantizeInt8]] arithmetic; cosine is
+    * scale-invariant so no dequantization appears on either engine). */
+  private def sq8Sql(nlist: Int, nprobe: Int, k: Int,
+                     corpusFrom: String = "embeddings"): String = {
+    def qz(src: String) =
+      s"""SELECT vec_id, list_transform(embedding,
+           x -> ROUND(CAST(x AS DOUBLE) * 127.0 / GREATEST(
+             list_aggregate(list_transform(embedding,
+               y -> abs(CAST(y AS DOUBLE))), 'max'), 1e-300))) AS qv
+         FROM $src"""
+    s"""cent AS (SELECT vec_id AS cent_id, embedding AS cent
+         FROM embeddings ORDER BY vec_id LIMIT $nlist),
+       assigned8 AS (
+         SELECT cell, nid FROM (
+           SELECT ct.cent_id AS cell, e.vec_id AS nid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, ct.cent) DESC,
+                        ct.cent_id ASC) AS rk
+           FROM $corpusFrom e CROSS JOIN cent ct) WHERE rk = 1),
+       qz8 AS (${qz(corpusFrom)}),
+       qq8 AS (${qz("(SELECT * FROM embeddings WHERE vec_id < 5)")}),
+       probes8 AS (
+         SELECT cell, qid FROM (
+           SELECT ct.cent_id AS cell, q.vec_id AS qid,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, ct.cent) DESC,
+                        ct.cent_id ASC) AS rk
+           FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+           CROSS JOIN cent ct) WHERE rk <= $nprobe),
+       sq8_topk AS (
+         SELECT qid, nid, rank FROM (
+           SELECT s.qid, s.nid, ROW_NUMBER() OVER (PARTITION BY s.qid
+             ORDER BY s.sim DESC, s.nid ASC) AS rank FROM (
+             SELECT p.qid, a.nid,
+               list_cosine_similarity(qq.qv, qv.qv) AS sim
+             FROM assigned8 a JOIN probes8 p USING (cell)
+             JOIN qz8 qv ON qv.vec_id = a.nid
+             JOIN qq8 qq ON qq.vec_id = p.qid
+             WHERE p.qid <> a.nid) s) WHERE rank <= $k)"""
+  }
+
   private val bruteTopkSql: String =
     """brute_topk AS (
          SELECT qid, nid FROM (
@@ -4610,6 +4714,27 @@ object PipelineQueries {
     "ann_lsh_top5" ->
       (s"WITH ${lshTopkSql(4, 4, 5)} " +
        "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM lsh_topk " +
+       "ORDER BY qid, rank"),
+
+    "ann_sq8_top5" ->
+      (s"WITH ${sq8Sql(16, 4, 5)} " +
+       "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM sq8_topk " +
+       "ORDER BY qid, rank"),
+
+    "ann_sq8_recall" -> recallSql(sq8Sql(16, 4, 5), "sq8_topk"),
+
+    // the quantized store lifecycle: the end-state corpus re-quantized
+    // and re-assigned from scratch under the frozen coarse quantizer
+    "ann_sq8_lifecycle" ->
+      (s"WITH ${sq8Sql(16, 4, 5,
+          corpusFrom = "(SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+            "THEN list_reverse(embedding) ELSE embedding END " +
+            "AS embedding FROM embeddings " +
+            "WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+            "AND NOT (vec_id % 12 = 3) " +
+            "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+            "FROM embeddings WHERE vec_id % 11 = 5)")} " +
+       "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM sq8_topk " +
        "ORDER BY qid, rank"),
 
     "ann_ivf_recall" -> recallSql(ivfSql(16, 4, 5), "ivf_topk"),

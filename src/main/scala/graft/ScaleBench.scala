@@ -2045,16 +2045,22 @@ object ScaleBench {
         door = new pipeline.Maintenance.IvfPqDoor(cents, cbs)
         streaming.IndexMaintenanceStream.bootstrap(spark, door, dir,
           pqWrite, corpus)
-        // the counterfactual: the SAME corpus as a full-vector cell
-        // store under the same writer/layout — the bytes baseline
+        // the counterfactuals: the SAME corpus as a full-vector cell
+        // store and as an SQ8 int8 store under the same writer/layout —
+        // the bytes axis of the three-tier spectrum
         pqWrite(pipeline.Similarity.ivfStampGen(
           pipeline.Similarity.ivfAssign(corpus, cents), 0L), fvDir,
           "overwrite")
-        val (code, full) = (dirBytes(s"$dir/store"), dirBytes(fvDir))
+        pqWrite(pipeline.Similarity.ivfStampGen(
+          pipeline.Similarity.sq8Assign(corpus, cents), 0L),
+          s"$root/sq8", "overwrite")
+        val (code, sq8, full) = (dirBytes(s"$dir/store"),
+          dirBytes(s"$root/sq8"), dirBytes(fvDir))
         require(full > 4L * code,
           s"code store not meaningfully smaller: $code vs $full")
-        f"codeBytes=$code fullVecBytes=$full ratio=${
-          full.toDouble / code}%.1f (m=8 ksub=256 d=64 nlist=256)"
+        f"codeBytes=$code sq8Bytes=$sq8 fullVecBytes=$full ratio=${
+          full.toDouble / code}%.1f sq8Ratio=${
+          full.toDouble / sq8}%.1f (m=8 ksub=256 d=64 nlist=256)"
       }
       t("ivfpq_store_mutate_1m") {
         val b0 = gvecs(spark.range(n).toDF().where(col("id") % m === 0))
@@ -2153,8 +2159,16 @@ object ScaleBench {
             rcbs), cents, rcbs, 10, nprobe = 8)
           .collect().map(r => (r.getLong(0), r.getLong(1)))
           .count(exact.contains)
+        // the SQ8 middle tier at the same nprobe: d bytes/vector,
+        // no rerank tail — where 4× compression sits on the spectrum
+        val sq8Hits = pipeline.Similarity.sq8TopKIndexed(qpq,
+          pipeline.Similarity.sq8Assign(mutated, cents), cents, 10,
+          nprobe = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .count(exact.contains)
         s"servedRows=${served.size} adcRecall=$adcHits/100 " +
-          s"residualAdcRecall=$residHits/100 fullVecRecall=$fvHits/100 " +
+          s"residualAdcRecall=$residHits/100 sq8Recall=$sq8Hits/100 " +
+          s"fullVecRecall=$fvHits/100 " +
           s"rerankRecall=$rerankHits/100 (nprobe=8 all)"
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))

@@ -350,6 +350,28 @@ object Maintenance {
       Some(Quantizer(cents, Some(cbs)))
   }
 
+  /** The SQ8 (int8 scalar-quantized) serving door — the middle tier of
+    * the bytes-vs-recall spectrum ([[Similarity.sq8Assign]]'s
+    * `(cell, nid, qv, scale_x1e9)` rows: d bytes/vector, near-full
+    * recall, no rerank tail needed). Coarse quantizer FROZEN like
+    * every vector door; a delta batch is one shuffle-free
+    * quantize+assign projection; gen machinery identical. Serve
+    * through [[Similarity.sq8TopKIndexedPruned]]. */
+  final class IvfSq8Door(cents: Seq[(Long, Array[Double])]) extends Door {
+    val idName = "nid"
+    val batchId: Column = col("vec_id")
+    def index(batch: DataFrame): DataFrame =
+      Similarity.sq8Assign(batch, cents)
+    def stamp(rows: DataFrame, gen: Long): DataFrame =
+      Similarity.ivfStampGen(rows, gen)
+    def tombstones(ids: DataFrame, uptoGen: Long): DataFrame =
+      Similarity.ivfGenTombstones(ids, col(idName), uptoGen)
+    def applyTombstones(rows: DataFrame, tombs: DataFrame): DataFrame =
+      Similarity.ivfApplyGenTombstones(rows, tombs)
+    override val quantizer: Option[Quantizer] =
+      Some(Quantizer(cents, None))
+  }
+
   /** The RESIDUAL-encoded PQ-code door (IVFADC — the accuracy-per-byte
     * shape the raw-code [[IvfPqDoor]]'s measured recall gap pays for):
     * rows are `(cell, nid, residual codes)` under frozen centroids AND

@@ -954,6 +954,87 @@ object Similarity {
       ivfPqResidualAssign(corpus, cents, rcbs), cents, rcbs, k, nprobe)
   }
 
+  // ---- SQ8: the int8 scalar-quantized serving store ----
+
+  /** Corpus → `(cell, nid, qv, scale_x1e9)` in ONE shuffle-free
+    * projection under the frozen coarse quantizer — the SQ8 middle
+    * tier of the bytes-vs-recall spectrum the PQ ledger measures:
+    * d bytes/vector (4× smaller than float32) at NEAR-FULL recall,
+    * between the PQ code store's 8+m bytes (lossy, rerank-needing) and
+    * the full-vector store's 4d. Per-vector symmetric absmax
+    * quantization (`q_j = round(v_j · 127 / max|v|)` ∈ [−127,127],
+    * the [[quantizeInt8]] arithmetic as a per-row projection); the
+    * cell comes from the RAW vector (same argmax as every IVF door).
+    * Cosine is SCALE-INVARIANT (`cos(s·q) = cos(q)`), so the serving
+    * probe scores the integer arrays directly — no dequantization, no
+    * per-query tables, integer-exact SQL mirror; `scale_x1e9` rides
+    * along for consumers that need magnitudes (reconstruction, dot
+    * products) — the cosine probe never reads it. Maintenance:
+    * [[Maintenance.IvfSq8Door]] — same gen machinery as every vector
+    * door, delta = this one projection. */
+  def sq8Assign(corpus: DataFrame,
+                cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val e = col("embedding")
+    // the 1e-300 floor only guards the all-zero vector (q is all
+    // zeros either way); real components are far above it
+    val absmax = greatest(aggregate(e, lit(0.0),
+      (acc, v) => greatest(acc, abs(v.cast("double")))), lit(1e-300))
+    corpus.select(
+      element_at(graft.functions.NearestCentroids.nearest_centroids(
+        e, cents, 1), 1).as("cell"),
+      col("vec_id").as("nid"),
+      transform(e, v =>
+        round(v.cast("double") * 127.0 / absmax).cast("int")).as("qv"),
+      floor(absmax / 127.0 * 1000000000.0).cast("long").as("scale_x1e9"))
+  }
+
+  /** Cosine top-k over a PREBUILT SQ8 index (`(cell, nid, qv, …)` —
+    * what [[sq8Assign]] emits): queries quantize under the SAME
+    * arithmetic (symmetric search — both sides int8, the standard SQ8
+    * regime) and probe `nprobe` cells; the scoring cosine runs over
+    * the integer arrays widened to double (exact), so the result
+    * mirrors bit-for-bit in SQL. */
+  def sq8TopKIndexed(queries: DataFrame, index: DataFrame,
+                     cents: Seq[(Long, Array[Double])],
+                     k: Int, nprobe: Int): DataFrame = {
+    val e = col("embedding")
+    val absmax = greatest(aggregate(e, lit(0.0),
+      (acc, v) => greatest(acc, abs(v.cast("double")))), lit(1e-300))
+    val q = queries.select(
+      col("vec_id").as("qid"),
+      transform(e, v =>
+        round(v.cast("double") * 127.0 / absmax).cast("int")).as("qqv"),
+      explode(graft.functions.NearestCentroids.nearest_centroids(
+        e, cents, nprobe)).as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    index.join(broadcast(q), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qqv").cast("array<double>"),
+        col("qv").cast("array<double>")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+  }
+
+  /** The partition-pruned (+ optionally filtered) serving probe over a
+    * persisted SQ8 store — [[ivfTopKIndexedPruned]]'s shape: literal
+    * probe cells push as the file index's partition filter, `allowed`
+    * semi-joins candidates before the rank window. */
+  def sq8TopKIndexedPruned(queries: DataFrame, index: DataFrame,
+                           cents: Seq[(Long, Array[Double])],
+                           k: Int, nprobe: Int,
+                           allowed: Option[DataFrame] = None): DataFrame = {
+    val cells = queries.select(explode(
+      graft.functions.NearestCentroids.nearest_centroids(
+        col("embedding"), cents, nprobe)).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val masked = allowed.fold(index)(a => index.join(
+      a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
+    sq8TopKIndexed(queries, masked.where(col("cell").isin(cells: _*)),
+      cents, k, nprobe)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * storage/serving compression for ANN corpora (4× smaller than float32,
     * SIMD-friendly dot products). Per-vector absmax scaling:

@@ -251,6 +251,30 @@ class PqStoreSpec extends AnyFunSuite {
       "full probe + covering rerank must reproduce brute force exactly")
   }
 
+  test("SQ8 quantization is per-vector scale-invariant (the cosine " +
+      "probe's contract): a uniformly rescaled corpus quantizes to " +
+      "identical int8 rows and identical top-k") {
+    val emb = embeddings(100)
+    val cents = Similarity.centroids(emb, 8)
+    val scaled = emb.select(col("vec_id"),
+      transform(col("embedding"), v => v * lit(3.0f)).as("embedding"))
+    // qv identical under rescale (absmax scales with the components)
+    val a = rows(Similarity.sq8Assign(emb, cents)
+      .select(col("nid"), col("qv")))
+    val b = rows(Similarity.sq8Assign(scaled,
+      Similarity.centroids(scaled, 8)).select(col("nid"), col("qv")))
+    assert(a === b, "rescaling the corpus changed the int8 codes")
+    val q = emb.where(col("vec_id") < 3)
+    val topA = rows(Similarity.sq8TopKIndexed(q,
+      Similarity.sq8Assign(emb, cents), cents, 5, 3))
+    val topB = rows(Similarity.sq8TopKIndexed(
+      q.select(col("vec_id"),
+        transform(col("embedding"), v => v * lit(3.0f)).as("embedding")),
+      Similarity.sq8Assign(scaled, Similarity.centroids(scaled, 8)),
+      Similarity.centroids(scaled, 8), 5, 3))
+    assert(topA === topB, "rescaling changed the SQ8 ranking")
+  }
+
   test("a zero-action writer degrades the append observation to " +
       "keep-the-dir under the config-pinned timeout, counted and " +
       "logged — never a hang") {
