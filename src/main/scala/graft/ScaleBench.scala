@@ -2249,6 +2249,11 @@ object ScaleBench {
         cbs = pipeline.Similarity.pqCodebooks(corpus, 8, 256)
         pipeline.Similarity.ivfPqAssign(corpus, cents, cbs)
           .write.partitionBy("cell").parquet(dir)
+        // the full-vector refetch side as a deployment keeps it:
+        // cell-partitioned under the SAME frozen quantizer, so the
+        // rerank tail's literal cell filter prunes the refetch scan
+        pipeline.Similarity.ivfAssign(corpus, cents)
+          .write.partitionBy("cell").parquet(s"$dir.fullvec")
         s"n=$n nlist=256 m=8 ksub=256"
       }
       val reloaded = spark.read.parquet(dir)
@@ -2258,7 +2263,7 @@ object ScaleBench {
         .localCheckpoint(true)
       val exact = pipeline.Similarity.bruteForceTopK(q8, corpus, 10)
         .select(col("qid"), col("nid")).localCheckpoint(true)
-      val vectors = corpus.select(col("vec_id"), col("embedding"))
+      val vectors = spark.read.parquet(s"$dir.fullvec")
       pin()
       ti("pq_sweep_np4_rc100_1m") {
         val r = pipeline.Retrieval.annPqRecallSweep(q8, reloaded, cents,
@@ -2279,6 +2284,8 @@ object ScaleBench {
           s"${r.getLong(3)}ppm").mkString(" ")
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$dir.fullvec"))
     }
 
     // ---- mergeable HLL distinct census (HllCensus): the build pays one

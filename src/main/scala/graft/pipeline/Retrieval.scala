@@ -478,7 +478,12 @@ object Retrieval {
       IndexMaintenanceStream.viewAt(spark, pqDoor, pqDir, asOf)
     val (vecView, _) =
       IndexMaintenanceStream.viewAt(spark, vecDoor, vecDir, asOf)
-    (bmView, bmStats, pqView, vecView.select(col("nid"), col("ne")))
+    // the cell column rides along: the rerank tail pushes its literal
+    // probe-cell filter into the refetch scan too (both stores assign
+    // under the same frozen quantizer, so every candidate's current
+    // vector lives in a probed cell — Similarity.pruneVectors)
+    (bmView, bmStats, pqView,
+      vecView.select(col("cell"), col("nid"), col("ne")))
   }
 
   /** RETRIEVAL EVALUATION — the harness that closes the loop on every

@@ -289,10 +289,7 @@ object Similarity {
   def ivfTopKIndexedPruned(queries: DataFrame, index: DataFrame,
                            cents: Seq[(Long, Array[Double])], k: Int,
                            nprobe: Int): DataFrame = {
-    val cells = queries.select(explode(
-      graft.functions.NearestCentroids.nearest_centroids(
-        col("embedding"), cents, nprobe)).as("cell"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val cells = probeCells(queries, cents, nprobe)
     ivfTopKIndexed(queries, index.where(col("cell").isin(cells: _*)),
       cents, k, nprobe)
   }
@@ -611,10 +608,7 @@ object Similarity {
                              k: Int, nprobe: Int,
                              allowed: Option[DataFrame] = None)
       : DataFrame = {
-    val cells = queries.select(explode(
-      graft.functions.NearestCentroids.nearest_centroids(
-        col("embedding"), cents, nprobe)).as("cell"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val cells = probeCells(queries, cents, nprobe)
     val masked = allowed.fold(index)(a => index.join(
       a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
     ivfPqTopKIndexed(queries, masked.where(col("cell").isin(cells: _*)),
@@ -682,18 +676,49 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
   }
 
+  /** Resolve a query batch's probe cells to literals — the one
+    * query-sized job every pruned store probe pays, shared so a rerank
+    * door resolves them ONCE for both the code-store scan and the
+    * refetch scan. */
+  private def probeCells(queries: DataFrame,
+                         cents: Seq[(Long, Array[Double])],
+                         nprobe: Int): Seq[Long] =
+    queries.select(explode(
+      graft.functions.NearestCentroids.nearest_centroids(
+        col("embedding"), cents, nprobe)).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+
+  /** The rerank tail's full-vector side, cell-pruned when possible: a
+    * side table carrying a `cell` column (the cell-partitioned
+    * full-vector store's live view, with `nid`/`ne` — assigned under
+    * the SAME frozen quantizer) takes the probe's literal cell filter,
+    * because every ADC candidate's current vector lives in a probed
+    * cell by construction — the refetch then reads ≤ the same
+    * nprobe/nlist fraction of the full-vector store the code scan
+    * reads of the code store, instead of a full pass (measured at 1M:
+    * the unpruned refetch WAS the sweep's record floor). A plain
+    * `(id, embedding)` table (the kept corpus parquet) passes through
+    * unpruned. */
+  private def pruneVectors(vectors: DataFrame,
+                           cells: Seq[Long]): DataFrame =
+    if (vectors.columns.contains("cell"))
+      vectors.where(col("cell").isin(cells: _*))
+        .select(col("nid"), col("ne"))
+    else vectors
+
   /** [[ivfPqTopKIndexedPruned]] with the EXACT-RERANK tail the measured
     * recall ledger says a code-store deployment practically always
     * wants (1M, uniform vectors: ADC 14 vs rerank-100 28 per 100): ADC
     * ranks `rerankC` candidates per query from the pruned code store,
     * then ONLY those queries × rerankC ids refetch full vectors from
-    * the side table `vectors` (first column = id, second = embedding —
-    * the kept corpus parquet or the full-vector IVF store's live view,
-    * maintained by the same feed) for exact-cosine top-k. The code
-    * store stays the ADC working set (8 + m bytes/vector); the
-    * full-vector bytes are touched only candidate-wise. `allowed`
-    * masks the ADC candidates (FAISS-IDSelector semantics), so the
-    * rerank pool — and therefore the tail — is already sliced. */
+    * the side table `vectors` — `(id, embedding)`, or the cell-carrying
+    * full-vector store view which the probe's literal cell filter
+    * prunes too (see [[pruneVectors]]) — for exact-cosine top-k. The
+    * code store stays the ADC working set (8 + m bytes/vector); the
+    * full-vector bytes are touched only probed-cell- and
+    * candidate-wise. `allowed` masks the ADC candidates
+    * (FAISS-IDSelector semantics), so the rerank pool — and therefore
+    * the tail — is already sliced. */
   def ivfPqTopKIndexedPrunedRerank(queries: DataFrame, index: DataFrame,
                                    cents: Seq[(Long, Array[Double])],
                                    cbs: Array[Array[Array[Double]]],
@@ -704,15 +729,18 @@ object Similarity {
     require(rerankC >= k,
       s"rerankC ($rerankC) must cover k ($k): the tail re-ranks only " +
         "the ADC candidates")
+    val cells = probeCells(queries, cents, nprobe)
+    val masked = allowed.fold(index)(a => index.join(
+      a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
     rerankExact(
-      ivfPqTopKIndexedPruned(queries, index, cents, cbs, rerankC, nprobe,
-        allowed),
-      queries, vectors, k)
+      ivfPqTopKIndexed(queries, masked.where(col("cell").isin(cells: _*)),
+        cents, cbs, rerankC, nprobe),
+      queries, pruneVectors(vectors, cells), k)
   }
 
   /** [[ivfPqResidualTopKIndexedPruned]] with the same exact-rerank tail
-    * ([[ivfPqTopKIndexedPrunedRerank]]) over the residual (IVFADC)
-    * code store. */
+    * ([[ivfPqTopKIndexedPrunedRerank]], cell-pruned refetch included)
+    * over the residual (IVFADC) code store. */
   def ivfPqResidualTopKIndexedPrunedRerank(queries: DataFrame,
                                            index: DataFrame,
                                            cents: Seq[(Long, Array[Double])],
@@ -725,10 +753,14 @@ object Similarity {
     require(rerankC >= k,
       s"rerankC ($rerankC) must cover k ($k): the tail re-ranks only " +
         "the ADC candidates")
+    val cells = probeCells(queries, cents, nprobe)
+    val masked = allowed.fold(index)(a => index.join(
+      a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
     rerankExact(
-      ivfPqResidualTopKIndexedPruned(queries, index, cents, rcbs, rerankC,
-        nprobe, allowed),
-      queries, vectors, k)
+      ivfPqResidualTopKIndexed(queries,
+        masked.where(col("cell").isin(cells: _*)), cents, rcbs, rerankC,
+        nprobe),
+      queries, pruneVectors(vectors, cells), k)
   }
 
   /** The SCALAR single-query door over a persisted PQ-code store — the
@@ -760,7 +792,7 @@ object Similarity {
           s"rerankC ($rerankC) must cover k ($k)")
         rerankExact(
           ivfPqTopKIndexed(queries, pruned, cents, cbs, rerankC, nprobe),
-          queries, vectors, k)
+          queries, pruneVectors(vectors, cells), k)
       case None =>
         ivfPqTopKIndexed(queries, pruned, cents, cbs, k, nprobe)
     }
@@ -928,10 +960,7 @@ object Similarity {
                                      k: Int, nprobe: Int,
                                      allowed: Option[DataFrame] = None)
       : DataFrame = {
-    val cells = queries.select(explode(
-      graft.functions.NearestCentroids.nearest_centroids(
-        col("embedding"), cents, nprobe)).as("cell"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val cells = probeCells(queries, cents, nprobe)
     val masked = allowed.fold(index)(a => index.join(
       a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
     ivfPqResidualTopKIndexed(queries,
@@ -1025,10 +1054,7 @@ object Similarity {
                            cents: Seq[(Long, Array[Double])],
                            k: Int, nprobe: Int,
                            allowed: Option[DataFrame] = None): DataFrame = {
-    val cells = queries.select(explode(
-      graft.functions.NearestCentroids.nearest_centroids(
-        col("embedding"), cents, nprobe)).as("cell"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val cells = probeCells(queries, cents, nprobe)
     val masked = allowed.fold(index)(a => index.join(
       a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
     sq8TopKIndexed(queries, masked.where(col("cell").isin(cells: _*)),
