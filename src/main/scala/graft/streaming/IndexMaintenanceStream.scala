@@ -102,25 +102,40 @@ object IndexMaintenanceStream {
       : Maintenance.Quantizer =
     Maintenance.Quantizer.load(spark, quantizerPath(dir))
 
+  /** (quantizer path, door hash) pairs already validated this JVM —
+    * the serving path (`viewAt` inside every hybrid facade) must not
+    * pay an FS read per query for a check whose inputs are immutable
+    * between bootstraps. [[bootstrap]] invalidates the path's entries
+    * when it (re)writes the quantizer, so a same-JVM re-bootstrap with
+    * new tables re-checks; a new JVM starts empty and checks on first
+    * touch. */
+  private val quantizerChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
   /** Fail fast when the door's frozen tables are not the ones this
     * store's rows were keyed by — the silent-re-keying hazard
     * [[Maintenance.Quantizer]] documents. One short read (the hash
-    * line); a layout from before quantizers persisted (or a
-    * quantizer-free door) checks nothing. */
+    * line) per (store, door) pair per JVM; a layout from before
+    * quantizers persisted (or a quantizer-free door) checks nothing. */
   private def checkQuantizer(spark: SparkSession, door: Maintenance.Door,
                              dir: String): Unit =
     door.quantizer.foreach { q =>
-      Maintenance.Quantizer.persistedHash(spark, quantizerPath(dir))
-        .foreach { persisted =>
-          require(persisted == q.contentHash,
-            s"the door's frozen quantizer tables (hash ${q.contentHash}) " +
-              s"do not match the ones persisted under " +
-              s"${quantizerPath(dir)} (hash $persisted) — a re-trained " +
-              "door would silently re-key every row it appends while " +
-              "the stored rows keep their old cells/codes. Reconstruct " +
-              "the door from loadQuantizer(dir), or bootstrap a fresh " +
-              "store for the new tables.")
-        }
+      val key = (quantizerPath(dir), q.contentHash)
+      if (!quantizerChecked.contains(key)) {
+        Maintenance.Quantizer.persistedHash(spark, quantizerPath(dir))
+          .foreach { persisted =>
+            require(persisted == q.contentHash,
+              s"the door's frozen quantizer tables (hash ${q.contentHash}) " +
+                s"do not match the ones persisted under " +
+                s"${quantizerPath(dir)} (hash $persisted) — a re-trained " +
+                "door would silently re-key every row it appends while " +
+                "the stored rows keep their old cells/codes. Reconstruct " +
+                "the door from loadQuantizer(dir), or bootstrap a fresh " +
+                "store for the new tables.")
+          }
+        quantizerChecked.add(key)
+        ()
+      }
     }
 
   /** A [[Maintenance.Store]] over the versioned layout: rows = the
@@ -390,8 +405,13 @@ object IndexMaintenanceStream {
     DocsStream.swapPointer(spark, s"$dir/store", "base_boot")
     val st = Maintenance.initialState(spark, door, door.statsDelta(docs))
     Maintenance.saveState(st, s"$dir/state/v_boot")
-    door.quantizer.foreach(q =>
-      Maintenance.Quantizer.save(spark, quantizerPath(dir), q))
+    door.quantizer.foreach { q =>
+      Maintenance.Quantizer.save(spark, quantizerPath(dir), q)
+      // a same-JVM re-bootstrap may have changed the tables: drop the
+      // path's validated pairs so the next check re-reads the file
+      quantizerChecked.removeIf(_._1 == quantizerPath(dir))
+      ()
+    }
     DocsStream.swapPointer(spark, s"$dir/state", "v_boot")
   }
 

@@ -251,6 +251,65 @@ class PqStoreSpec extends AnyFunSuite {
       "full probe + covering rerank must reproduce brute force exactly")
   }
 
+  /** Distinct Spark actions while `f` runs (the JobBudgetSpec counter,
+    * local copy): SQL execution ids + bare jobs. */
+  private def countActions(f: => Unit): Int = {
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val bare = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        Option(j.properties.getProperty("spark.sql.execution.id")) match {
+          case Some(id) => execs.add(id); ()
+          case None => bare.incrementAndGet(); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      f
+      org.apache.spark.GraftListenerBridge.waitUntilEmpty(
+        spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(l)
+    execs.size() + bare.get()
+  }
+
+  test("scalar PQ rerank door: same answer as the DataFrame probe " +
+      "with strictly fewer Spark actions (no cell-resolution job, " +
+      "LUT built from the LocalRelation)") {
+    val qdir = java.nio.file.Files
+      .createTempDirectory("pqspec-scalarq").toString
+    embeddings(120).write.mode("overwrite").parquet(qdir)
+    val emb = spark.read.parquet(qdir)
+    val cents = Similarity.centroids(emb, 8)
+    val cbs = Similarity.pqCodebooks(emb, 4, 8)
+    val index = Similarity.ivfPqAssign(emb, cents, cbs).localCheckpoint()
+    val vectors = emb.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val qVec = emb.where(col("vec_id") === 2L)
+      .select("embedding").collect().head
+      .getSeq[Float](0).map(_.toDouble)
+    var dfAnswer: Seq[Seq[Any]] = Nil
+    val dfActs = countActions {
+      dfAnswer = Similarity.ivfPqTopKIndexedPrunedRerank(
+        emb.where(col("vec_id") === 2L), index, cents, cbs,
+        k = 5, nprobe = 3, rerankC = 20, vectors = vectors)
+        .collect().map(_.toSeq).toSeq
+    }
+    var scAnswer: Seq[Seq[Any]] = Nil
+    val scActs = countActions {
+      scAnswer = Similarity.ivfPqTopKIndexedScalar(2L, qVec, index,
+        cents, cbs, k = 5, nprobe = 3, rerank = Some((20, vectors)))
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(scAnswer === dfAnswer,
+      "the scalar PQ door changed the single-query answer")
+    assert(scAnswer.nonEmpty)
+    assert(scActs < dfActs,
+      s"scalar PQ door ran $scActs actions vs the DataFrame probe's " +
+        s"$dfActs — the cell-resolution/LUT cuts disappeared")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(qdir))
+  }
+
   test("SQ8 quantization is per-vector scale-invariant (the cosine " +
       "probe's contract): a uniformly rescaled corpus quantizes to " +
       "identical int8 rows and identical top-k") {
