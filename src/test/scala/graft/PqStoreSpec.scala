@@ -310,6 +310,58 @@ class PqStoreSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(qdir))
   }
 
+  test("the rerank refetch is PARTITION-PRUNED when the side table " +
+      "carries the store's cell column — and the answer equals the " +
+      "plain-table refetch") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans)
+    }
+    val emb = embeddings(200)
+    val cents = Similarity.centroids(emb, 8)
+    val cbs = Similarity.pqCodebooks(emb, 4, 8)
+    val codeDir = java.nio.file.Files
+      .createTempDirectory("pqspec-code").toString
+    val vecDir = java.nio.file.Files
+      .createTempDirectory("pqspec-vecs").toString
+    Similarity.ivfPqAssign(emb, cents, cbs)
+      .write.partitionBy("cell").mode("overwrite").parquet(codeDir)
+    Similarity.ivfAssign(emb, cents)
+      .write.partitionBy("cell").mode("overwrite").parquet(vecDir)
+    val code = spark.read.parquet(codeDir)
+    val vectors = spark.read.parquet(vecDir)
+    val all = vectors.select("nid")
+    all.collect()
+    val allFiles = scans(all.queryExecution.executedPlan)
+      .head.metrics("numFiles").value
+    assert(allFiles >= 8, s"fixture too small: $allFiles files")
+    val q = emb.where(col("vec_id") === 2L)
+    val res = Similarity.ivfPqTopKIndexedPrunedRerank(q, code, cents,
+      cbs, k = 5, nprobe = 2, rerankC = 20, vectors = vectors)
+    val got = res.collect().map(_.toSeq).toSeq
+    val marker = new java.io.File(vecDir).getName
+    val vscan = scans(res.queryExecution.executedPlan).find(
+      _.relation.location.rootPaths.exists(_.toString.contains(marker)))
+      .getOrElse(fail("no full-vector scan in the rerank plan"))
+    // one query × nprobe 2 → the refetch reads ≤ 2 of the 8 cell dirs
+    val refetchFiles = vscan.metrics("numFiles").value
+    assert(refetchFiles < allFiles && refetchFiles <= allFiles / 4 * 2,
+      s"refetch pruning failed: read $refetchFiles of $allFiles files")
+    // pruning is answer-invariant: the plain (id, embedding) side
+    // table — never pruned — serves the identical top-k
+    val plain = Similarity.ivfPqTopKIndexedPrunedRerank(q, code, cents,
+      cbs, k = 5, nprobe = 2, rerankC = 20,
+      vectors = emb.select(col("vec_id"), col("embedding")))
+      .collect().map(_.toSeq).toSeq
+    assert(got === plain)
+    dropDirs(codeDir, vecDir)
+  }
+
   test("SQ8 quantization is per-vector scale-invariant (the cosine " +
       "probe's contract): a uniformly rescaled corpus quantizes to " +
       "identical int8 rows and identical top-k") {
