@@ -1009,6 +1009,61 @@ object PipelineQueries {
         emb.select(col("vec_id"), col("embedding")))
     }),
 
+    // the SCHEDULED-REBUILD door ([[graft.streaming
+    // .IndexMaintenanceStream.reseed]]): the full-vector store takes a
+    // mixed mutation batch through the versioned layout, then its
+    // committed view funds a TIER MIGRATION — a new PQ-code store
+    // bootstrapped under NEW frozen tables (re-seeded nlist-8 coarse
+    // quantizer + codebooks), quantizer file persisted from batch 0 —
+    // and the new store's pruned ADC probe is hash-matched against a
+    // from-scratch encode of the mutated corpus under the new tables:
+    // the drift remedy every frozen-quantizer door documents, as an
+    // operator
+    "ann_reseed_migrate" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val cents16 = pipeline.Similarity.centroids(emb, 16)
+      val vecDoor = new pipeline.Maintenance.IvfDoor(cents16)
+      val vecDir = java.nio.file.Files
+        .createTempDirectory("graft-reseed-vec").toString
+      val newDir = java.nio.file.Files
+        .createTempDirectory("graft-reseed-pq").toString
+      def cellWrite(df: org.apache.spark.sql.DataFrame, dst: String,
+                    mode: String): Unit =
+        df.write.partitionBy("cell").mode(mode).parquet(dst)
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, vecDoor, vecDir, cellWrite, emb)
+      val vUpd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val v0 = emb.where(col("vec_id") % 11 === 5)
+        .select(lit("add").as("op"),
+          (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .unionByName(emb
+          .where(col("vec_id") % 9 === 7 && col("vec_id") % 6 =!= 3)
+          .select(lit("delete").as("op"), col("vec_id"),
+            col("embedding")))
+        .unionByName(vUpd1.select(lit("update").as("op"), col("vec_id"),
+          col("embedding")))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, vecDoor, vecDir, cellWrite, v0, 0L)
+      // drift remedy: migrate into a PQ store under re-seeded tables
+      val cents8 = pipeline.Similarity.centroids(emb, 8)
+      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
+      val pqDoor = new pipeline.Maintenance.IvfPqDoor(cents8, cbs)
+      graft.streaming.IndexMaintenanceStream.reseed(
+        s, vecDoor, vecDir, pqDoor, newDir, cellWrite)
+      val (view, _) = graft.streaming.IndexMaintenanceStream
+        .currentView(s, pqDoor, newDir)
+      val result = pipeline.Dedup.checkpointCorpus(
+        pipeline.Similarity.ivfPqTopKIndexedPruned(
+          emb.where(col("vec_id") < 5), view, cents8, cbs, 5, nprobe = 4)
+          .orderBy("qid", "rank"))
+      Seq(vecDir, newDir).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(p)))
+      result
+    }),
+
     // SQ8 (int8 scalar-quantized) top-5 ([[pipeline.Similarity
     // .sq8TopKIndexed]]): the middle tier of the bytes-vs-recall
     // spectrum — d bytes/vector (4× smaller than float32), cosine over
@@ -4714,6 +4769,21 @@ object PipelineQueries {
     "ann_lsh_top5" ->
       (s"WITH ${lshTopkSql(4, 4, 5)} " +
        "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM lsh_topk " +
+       "ORDER BY qid, rank"),
+
+    // the migrated store ≡ a from-scratch encode of the one-batch
+    // mutated corpus under the NEW tables (nlist-8 cents + base-seeded
+    // codebooks — both read the base table; only assignment/encoding
+    // read the mutated corpus)
+    "ann_reseed_migrate" ->
+      (s"WITH ${ivfPqSql(8, 4, 8, 16, 8, 5,
+          corpusFrom = "(SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+            "THEN list_reverse(embedding) ELSE embedding END " +
+            "AS embedding FROM embeddings " +
+            "WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+            "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+            "FROM embeddings WHERE vec_id % 11 = 5)")} " +
+       "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivfpq_topk " +
        "ORDER BY qid, rank"),
 
     "ann_sq8_top5" ->

@@ -551,6 +551,36 @@ object IndexMaintenanceStream {
     boundary
   }
 
+  /** The SCHEDULED-REBUILD door — what every frozen-quantizer doc
+    * points at when drift accumulates (watch it with
+    * `profile_corpus_drift` over cell occupancies): rebuild a NEW
+    * store under NEW frozen tables from the FULL-VECTOR store's
+    * committed view. The vector store is the only tier that can fund
+    * this (codes cannot re-encode themselves), which is exactly why
+    * the deployment triple keeps it; the new door may be any tier —
+    * re-seeded IVF, a PQ/residual code store (tier migration), or SQ8.
+    * One honest corpus-sized read + index + write — the cost every
+    * per-batch O(delta) claim amortizes against; the OLD store keeps
+    * serving throughout (this writes only under `newDir`, quantizer
+    * file included, so the new door's identity is persisted and
+    * hash-checked from batch 0).
+    *
+    * Returns the committed batch the rebuild captured. CUTOVER
+    * contract: the caller replays mutation batches `asOf+1..head`
+    * into the new store ([[applyBatch]] — the doors make replay
+    * idempotent), then points serving at `newDir`; a feed that keeps
+    * writing to both dirs during the window needs no other
+    * coordination. */
+  def reseed(spark: SparkSession, vecDoor: Maintenance.Door,
+             vecDir: String, newDoor: Maintenance.Door, newDir: String,
+             writer: (DataFrame, String, String) => Unit): Long = {
+    val asOf = committedBatch(spark, vecDir)
+    val (view, _) = viewAt(spark, vecDoor, vecDir, asOf)
+    bootstrap(spark, newDoor, newDir, writer,
+      view.select(col("nid").as("vec_id"), col("ne").as("embedding")))
+    asOf
+  }
+
   /** The newest batch this store's state pointer has committed (-1 =
     * bootstrap only). The cross-store consistency primitive: two
     * stores fed by the same mutation stream serve a CONSISTENT pair

@@ -362,6 +362,68 @@ class PqStoreSpec extends AnyFunSuite {
     dropDirs(codeDir, vecDir)
   }
 
+  test("reseed: the scheduled-rebuild door migrates the full-vector " +
+      "store's committed view into a new tier under NEW persisted " +
+      "tables, the feed resumes on the new store, and the old door " +
+      "cannot serve it") {
+    val emb = embeddings(90)
+    def cellWrite(df: DataFrame, dst: String, mode: String): Unit =
+      df.write.partitionBy("cell").mode(mode).parquet(dst)
+    val cents = Similarity.centroids(emb, 8)
+    val vecDoor = new Maintenance.IvfDoor(cents)
+    val vecDir = java.nio.file.Files
+      .createTempDirectory("pqspec-reseed-vec").toString
+    IndexMaintenanceStream.bootstrap(spark, vecDoor, vecDir, cellWrite,
+      emb)
+    val b0 = emb.where(col("vec_id") % 7 === 2)
+      .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+      .unionByName(emb.where(col("vec_id") % 11 === 5)
+        .select(lit("add").as("op"), (col("vec_id") + 1000L).as("vec_id"),
+          col("embedding")))
+    IndexMaintenanceStream.applyBatch(spark, vecDoor, vecDir, cellWrite,
+      b0, 0L)
+    // drift remedy: migrate into a PQ-code store under re-seeded tables
+    val cents4 = Similarity.centroids(emb, 4)
+    val cbs = Similarity.pqCodebooks(emb, 4, 8)
+    val pqDoor = new Maintenance.IvfPqDoor(cents4, cbs)
+    val newDir = java.nio.file.Files
+      .createTempDirectory("pqspec-reseed-pq").toString
+    val asOf = IndexMaintenanceStream.reseed(spark, vecDoor, vecDir,
+      pqDoor, newDir, cellWrite)
+    assert(asOf === 0L, "reseed must capture the committed batch")
+    // the NEW tables persisted with the new store from batch 0
+    assert(IndexMaintenanceStream.loadQuantizer(spark, newDir)
+      .contentHash === pqDoor.quantizer.get.contentHash)
+    val q = emb.where(col("vec_id") < 3)
+    val mutated = emb.where(col("vec_id") % 7 =!= 2)
+      .unionByName(emb.where(col("vec_id") % 11 === 5)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")))
+    def served(): Seq[Seq[Any]] = {
+      val (view, _) = IndexMaintenanceStream.currentView(spark, pqDoor,
+        newDir)
+      rows(Similarity.ivfPqTopKIndexedPruned(q, view, cents4, cbs, 5, 2))
+    }
+    assert(served() === rows(Similarity.ivfPqTopKIndexedPruned(q,
+      Similarity.ivfPqAssign(mutated, cents4, cbs), cents4, cbs, 5, 2)),
+      "the migrated store diverged from the new-table rebuild")
+    // the feed resumes: the next mutation batch applies to the NEW
+    // store through the same gen machinery
+    val b1 = mutated.where(col("vec_id") % 5 === 1)
+      .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+    IndexMaintenanceStream.applyBatch(spark, pqDoor, newDir, cellWrite,
+      b1, 1L)
+    assert(served() === rows(Similarity.ivfPqTopKIndexedPruned(q,
+      Similarity.ivfPqAssign(mutated.where(col("vec_id") % 5 =!= 1),
+        cents4, cbs), cents4, cbs, 5, 2)),
+      "post-reseed mutations diverged from the rebuild-on-survivors")
+    // the OLD door's tables are not the new store's identity
+    val ex = intercept[IllegalArgumentException] {
+      IndexMaintenanceStream.viewAt(spark, vecDoor, newDir, 1L)
+    }
+    assert(ex.getMessage.contains("re-key"))
+    dropDirs(vecDir, newDir)
+  }
+
   test("SQ8 quantization is per-vector scale-invariant (the cosine " +
       "probe's contract): a uniformly rescaled corpus quantizes to " +
       "identical int8 rows and identical top-k") {
