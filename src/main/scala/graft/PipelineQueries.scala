@@ -3197,6 +3197,75 @@ object PipelineQueries {
       result
     }),
 
+    // HYBRID SERVING FROM THE SQ8 TIER ([[pipeline.Retrieval
+    // .hybridFromStoresSq8]]): the quantized middle tier serving the
+    // fused ranker — BM25 postings + the int8 store (both mutated by
+    // one mixed batch through the versioned layout) at one
+    // min-committed batch; the vector leg is the int8-cosine pruned
+    // probe, no rerank tail. The oracle rebuilds both mutated corpora
+    // from scratch (re-quantizing under the frozen coarse tables) and
+    // fuses — the hash match pins the whole quantized serving chain.
+    "retrieval_hybrid_sq8_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val bmDoor = new pipeline.Maintenance.Bm25Door(col("text"), 64)
+      val bmDir = java.nio.file.Files
+        .createTempDirectory("graft-hsq-bm").toString
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
+      val oldV: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+        u => u.select(col("doc_id"), col("old_text").as("text"))
+      val upd1old = docs.where(col("doc_id") % 6 === 3)
+      val b0 = docs.where(col("doc_id") % 11 === 5)
+        .select(lit("add").as("op"),
+          (col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit(null).cast("string").as("old_text"))
+        .unionByName(docs
+          .where(col("doc_id") % 7 === 0 && col("doc_id") % 6 =!= 3)
+          .select(lit("delete").as("op"), col("doc_id"), col("text"),
+            lit(null).cast("string").as("old_text")))
+        .unionByName(upd1old.select(lit("update").as("op"),
+          col("doc_id"),
+          concat(col("text"), lit(" shuffle data")).as("text"),
+          col("text").as("old_text")))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val sq8Door = new pipeline.Maintenance.IvfSq8Door(cents)
+      val sq8Dir = java.nio.file.Files
+        .createTempDirectory("graft-hsq-sq8").toString
+      def cellWrite(df: org.apache.spark.sql.DataFrame, dst: String,
+                    mode: String): Unit =
+        df.write.partitionBy("cell").mode(mode).parquet(dst)
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, sq8Door, sq8Dir, cellWrite, emb)
+      val vUpd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val v0 = emb.where(col("vec_id") % 11 === 5)
+        .select(lit("add").as("op"),
+          (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .unionByName(emb
+          .where(col("vec_id") % 9 === 7 && col("vec_id") % 6 =!= 3)
+          .select(lit("delete").as("op"), col("vec_id"),
+            col("embedding")))
+        .unionByName(vUpd1.select(lit("update").as("op"), col("vec_id"),
+          col("embedding")))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, sq8Door, sq8Dir, cellWrite, v0, 0L)
+      val result = pipeline.Dedup.checkpointCorpus(
+        pipeline.Retrieval.hybridFromStoresSq8(
+          s, bmDoor, bmDir, 64, sq8Door, sq8Dir, cents,
+          emb.where(col("vec_id") === 0L),
+          Seq("data", "stream", "shuffle"),
+          k = 10, legK = 20, nprobe = 4))
+      Seq(bmDir, sq8Dir).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(p)))
+      result
+    }),
+
     // FILTERED retrieval on the BATCH tier ([[pipeline.Retrieval
     // .hybridTopKBatch]] with `allowed`): five queries, one pass over
     // each index, BOTH legs masked to the slice (every 3rd id) before
@@ -6632,6 +6701,33 @@ object PipelineQueries {
            WHERE c.qid = 0) WHERE rank <= 20),
          legs AS (SELECT doc_id, rank FROM lex
            UNION ALL SELECT doc_id, rank FROM vecleg)
+         SELECT doc_id,
+           CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+           COUNT(*) AS n_legs
+         FROM legs GROUP BY 1
+         ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""
+    },
+
+    // the SQ8-tier hybrid: lexical leg over the one-batch-mutated
+    // documents + the int8-cosine probe over the one-batch-mutated
+    // embeddings re-quantized from scratch under the frozen coarse
+    // tables, fused by the integer-exact RRF sum
+    "retrieval_hybrid_sq8_store" -> {
+      val docs2 = "(SELECT doc_id, CASE WHEN doc_id % 6 = 3 " +
+        "THEN text || ' shuffle data' ELSE text END AS text " +
+        "FROM documents WHERE NOT (doc_id % 7 = 0 AND doc_id % 6 <> 3) " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text " +
+        "FROM documents WHERE doc_id % 11 = 5)"
+      val emb2 = "(SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+        "THEN list_reverse(embedding) ELSE embedding END AS embedding " +
+        "FROM embeddings WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+        "FROM embeddings WHERE vec_id % 11 = 5)"
+      s"""WITH ${bm25LexLegSql(20, docsFrom = docs2)},
+         ${sq8Sql(16, 4, 20, corpusFrom = emb2)},
+         legs AS (SELECT doc_id, rank FROM lex
+           UNION ALL SELECT nid AS doc_id, rank FROM sq8_topk
+           WHERE qid = 0)
          SELECT doc_id,
            CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
            COUNT(*) AS n_legs

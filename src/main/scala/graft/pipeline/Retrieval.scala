@@ -459,6 +459,111 @@ object Retrieval {
     rrfFuse(Seq(lex, vec), k, k0, weights)
   }
 
+  /** Hybrid serving from the SQ8 tier — the middle of the
+    * bytes-vs-recall spectrum serving the fused ranker: the vector leg
+    * probes a tailer-maintained [[Maintenance.IvfSq8Door]] store
+    * ([[Similarity.sq8TopKIndexedPruned]] — int8 cosine, no rerank
+    * tail needed at this tier), both stores at the min-committed
+    * batch. `allowed` masks both legs; `weights` the per-leg ppm
+    * knob. */
+  def hybridFromStoresSq8(spark: org.apache.spark.sql.SparkSession,
+                          bmDoor: Maintenance.Door, bmDir: String,
+                          nBuckets: Int,
+                          sq8Door: Maintenance.Door, sq8Dir: String,
+                          cents: Seq[(Long, Array[Double])],
+                          queryVecs: DataFrame, qTerms: Seq[String],
+                          k: Int, legK: Int = 20, nprobe: Int = 4,
+                          k0: Int = 60,
+                          weights: Seq[Long] = Nil,
+                          allowed: Option[DataFrame] = None): DataFrame = {
+    requireSingleQuery(queryVecs)
+    val (bmView, bmStats, sq8View) =
+      sq8StoreViews(spark, bmDoor, bmDir, sq8Door, sq8Dir)
+    val ids = allowed.map(a =>
+      a.select(col(a.columns.head).as("doc_id")))
+    val lex = rankLex(ids.fold(
+      Bm25Index.search(bmView, bmStats.get, qTerms, legK, nBuckets))(a =>
+      Bm25Index.searchFiltered(bmView, bmStats.get, qTerms, legK,
+        nBuckets, a)))
+    val vec = Similarity.sq8TopKIndexedPruned(queryVecs, sq8View, cents,
+      legK, nprobe, ids)
+      .select(col("nid").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, vec), k, k0, weights)
+  }
+
+  /** The BATCHED SQ8-tier hybrid: B queries, one union-of-buckets
+    * lexical pass, one union-of-probed-cells int8-cosine pass, fusion
+    * per qid — [[hybridFromStoresBatch]]'s shape on the quantized
+    * store. */
+  def hybridFromStoresSq8Batch(spark: org.apache.spark.sql.SparkSession,
+                               bmDoor: Maintenance.Door, bmDir: String,
+                               nBuckets: Int,
+                               sq8Door: Maintenance.Door, sq8Dir: String,
+                               cents: Seq[(Long, Array[Double])],
+                               queryVecs: DataFrame,
+                               queries: Seq[(Long, Seq[String])], k: Int,
+                               legK: Int = 20, nprobe: Int = 4,
+                               k0: Int = 60,
+                               weights: Seq[Long] = Nil,
+                               allowed: Option[DataFrame] = None)
+      : DataFrame = {
+    val (bmView, bmStats, sq8View) =
+      sq8StoreViews(spark, bmDoor, bmDir, sq8Door, sq8Dir)
+    val lex = allowed.fold(
+      Bm25Index.searchBatch(bmView, bmStats.get, queries, legK,
+        nBuckets))(a =>
+      Bm25Index.searchBatchFiltered(bmView, bmStats.get, queries, legK,
+        nBuckets, a))
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val vec = Similarity.sq8TopKIndexedPruned(queryVecs, sq8View, cents,
+      legK, nprobe, allowed)
+      .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+    rrfFuseByQuery(Seq(lex, vec), k, k0, weights)
+  }
+
+  /** [[hybridFromStoresSq8]]'s scalar twin — no guard job, no
+    * cell-resolution job ([[Similarity.sq8TopKIndexedScalar]]). */
+  def hybridFromStoresSq8Scalar(spark: org.apache.spark.sql.SparkSession,
+                                bmDoor: Maintenance.Door, bmDir: String,
+                                nBuckets: Int,
+                                sq8Door: Maintenance.Door, sq8Dir: String,
+                                cents: Seq[(Long, Array[Double])],
+                                query: (Long, Seq[Double]),
+                                qTerms: Seq[String],
+                                k: Int, legK: Int = 20, nprobe: Int = 4,
+                                k0: Int = 60,
+                                weights: Seq[Long] = Nil,
+                                allowed: Option[DataFrame] = None)
+      : DataFrame = {
+    val (bmView, bmStats, sq8View) =
+      sq8StoreViews(spark, bmDoor, bmDir, sq8Door, sq8Dir)
+    val ids = allowed.map(a =>
+      a.select(col(a.columns.head).as("doc_id")))
+    val lex = rankLex(ids.fold(
+      Bm25Index.search(bmView, bmStats.get, qTerms, legK, nBuckets))(a =>
+      Bm25Index.searchFiltered(bmView, bmStats.get, qTerms, legK,
+        nBuckets, a)))
+    val vec = Similarity.sq8TopKIndexedScalar(query._1, query._2,
+      sq8View, cents, legK, nprobe, ids)
+      .select(col("nid").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, vec), k, k0, weights)
+  }
+
+  private def sq8StoreViews(spark: org.apache.spark.sql.SparkSession,
+                            bmDoor: Maintenance.Door, bmDir: String,
+                            sq8Door: Maintenance.Door, sq8Dir: String)
+      : (DataFrame, Option[DataFrame], DataFrame) = {
+    import graft.streaming.IndexMaintenanceStream
+    val asOf = math.min(
+      IndexMaintenanceStream.committedBatch(spark, bmDir),
+      IndexMaintenanceStream.committedBatch(spark, sq8Dir))
+    val (bmView, bmStats) =
+      IndexMaintenanceStream.viewAt(spark, bmDoor, bmDir, asOf)
+    val (sq8View, _) =
+      IndexMaintenanceStream.viewAt(spark, sq8Door, sq8Dir, asOf)
+    (bmView, bmStats, sq8View)
+  }
+
   /** Resolve the three code-tier stores (BM25 postings, PQ codes, full
     * vectors) at ONE committed batch — min over the three pointers, the
     * [[hybridFromStores]] consistency rule extended to the rerank

@@ -1061,6 +1061,26 @@ object Similarity {
       cents, k, nprobe)
   }
 
+  /** The SCALAR single-query door over a persisted SQ8 store — probe
+    * cells resolve driver-side ([[probeCellsScalar]], zero jobs), the
+    * one-row query frame is a LocalRelation, and the query-side
+    * quantization is part of the probe plan. `allowed` masks
+    * candidates before the rank window. Results ≡ the DataFrame door
+    * on the same query (spec-pinned). */
+  def sq8TopKIndexedScalar(qid: Long, vec: Seq[Double], index: DataFrame,
+                           cents: Seq[(Long, Array[Double])],
+                           k: Int, nprobe: Int,
+                           allowed: Option[DataFrame] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val queries = Seq((qid, vec)).toDF("vec_id", "embedding")
+    val cells = probeCellsScalar(vec, cents, nprobe)
+    val masked = allowed.fold(index)(a => index.join(
+      a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
+    sq8TopKIndexed(queries, masked.where(col("cell").isin(cells: _*)),
+      cents, k, nprobe)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * storage/serving compression for ANN corpora (4× smaller than float32,
     * SIMD-friendly dot products). Per-vector absmax scaling:

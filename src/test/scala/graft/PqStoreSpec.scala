@@ -362,6 +362,67 @@ class PqStoreSpec extends AnyFunSuite {
     dropDirs(codeDir, vecDir)
   }
 
+  test("SQ8-tier hybrid: the scalar and batched facades serve the " +
+      "DataFrame door's answer from the same two maintained stores, " +
+      "and the vector leg equals the hand-composed int8 probe") {
+    val d = docs(90)
+    val emb = embeddings(90)
+    def cellWrite(df: DataFrame, dst: String, mode: String): Unit =
+      df.write.partitionBy("cell").mode(mode).parquet(dst)
+    val bmDoor = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val bmDir = java.nio.file.Files
+      .createTempDirectory("pqspec-sq8bm").toString
+    IndexMaintenanceStream.bootstrap(spark, bmDoor, bmDir,
+      Bm25Index.write, d)
+    val oldV: DataFrame => DataFrame =
+      u => u.select(col("doc_id"), col("old_text").as("text"))
+    val bmBatch = d.where(col("doc_id") % 7 === 2)
+      .select(lit("delete").as("op"), col("doc_id"), col("text"),
+        lit(null).cast("string").as("old_text"))
+    IndexMaintenanceStream.applyBatch(spark, bmDoor, bmDir,
+      Bm25Index.write, bmBatch, 0L, Some(oldV))
+    val cents = Similarity.centroids(emb, 8)
+    val sq8Door = new Maintenance.IvfSq8Door(cents)
+    val sq8Dir = java.nio.file.Files
+      .createTempDirectory("pqspec-sq8st").toString
+    IndexMaintenanceStream.bootstrap(spark, sq8Door, sq8Dir, cellWrite,
+      emb)
+    val vBatch = emb.where(col("vec_id") % 7 === 2)
+      .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+    IndexMaintenanceStream.applyBatch(spark, sq8Door, sq8Dir, cellWrite,
+      vBatch, 0L)
+    val q = emb.where(col("vec_id") === 2L)
+    val df = Retrieval.hybridFromStoresSq8(spark, bmDoor, bmDir,
+      nBuckets, sq8Door, sq8Dir, cents, q, qTerms,
+      k = 10, legK = 12, nprobe = 3)
+    // the vector leg IS the hand-composed int8 probe over the store
+    val (view, _) = IndexMaintenanceStream.viewAt(spark, sq8Door,
+      sq8Dir, 0L)
+    val (bmView, bmStats) = IndexMaintenanceStream.viewAt(spark, bmDoor,
+      bmDir, 0L)
+    val hand = Retrieval.rrfFuse(Seq(
+      Retrieval.rankLex(Bm25Index.search(bmView, bmStats.get, qTerms,
+        12, nBuckets)),
+      Similarity.sq8TopKIndexedPruned(q, view, cents, 12, 3)
+        .select(col("nid").as("doc_id"), col("rank"))), 10)
+    assert(rows(df) === rows(hand))
+    val qVec = q.select("embedding").collect().head
+      .getSeq[Float](0).map(_.toDouble)
+    val scalar = Retrieval.hybridFromStoresSq8Scalar(spark, bmDoor,
+      bmDir, nBuckets, sq8Door, sq8Dir, cents, 2L -> qVec, qTerms,
+      k = 10, legK = 12, nprobe = 3)
+    assert(rows(scalar) === rows(df),
+      "the scalar SQ8 door changed the single-query answer")
+    val batch = Retrieval.hybridFromStoresSq8Batch(spark, bmDoor, bmDir,
+      nBuckets, sq8Door, sq8Dir, cents, q, Seq(2L -> qTerms),
+      k = 10, legK = 12, nprobe = 3)
+    assert(rows(batch.where(col("qid") === 2L)
+        .select("doc_id", "rrf_ppm", "n_legs")) ===
+      rows(df.select("doc_id", "rrf_ppm", "n_legs")),
+      "the batched SQ8 facade diverged from the single-query door")
+    dropDirs(bmDir, sq8Dir)
+  }
+
   test("reseed: the scheduled-rebuild door migrates the full-vector " +
       "store's committed view into a new tier under NEW persisted " +
       "tables, the feed resumes on the new store, and the old door " +
