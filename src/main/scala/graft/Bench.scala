@@ -87,13 +87,22 @@ object Bench {
   def perQueryOutliers(current: Map[String, Double],
                        baseline: Map[String, Double],
                        factor: Double = 3.0,
-                       minSec: Double = 0.05)
+                       minSec: Double = 0.05,
+                       calibAdjust: Double = 1.0)
       : Seq[(String, Double, Double, Double)] =
     current.toSeq.sorted.flatMap { case (name, cur) =>
       baseline.get(name).flatMap { base =>
         if (math.max(cur, base) < minSec || cur <= 0 || base <= 0) None
         else {
-          val ratio = cur / base
+          // `calibAdjust` = baseline calib factor / current calib
+          // factor (each = mean-of-probes / calib_ref): the box's own
+          // speed varies ~2x run-to-run (the CalibRefSec residual), so
+          // raw ratios let a uniform slowdown eat the 3x headroom —
+          // masking genuine 1.5-2x per-query contention — or flag
+          // EVERY query after a box-speed change. Scaling the ratio by
+          // the two runs' calib factors compares box-normalized
+          // medians; reported medians stay raw.
+          val ratio = (cur / base) * calibAdjust
           if (ratio >= factor || ratio <= 1.0 / factor)
             Some((name, cur, base, ratio))
           else None
@@ -113,6 +122,24 @@ object Bench {
       re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
         .filter(_._2 > 0).toMap
     } catch { case _: Exception => Map.empty }
+
+  /** A committed artifact's calibration factor — mean of its start/end
+    * probes over its calib_ref — i.e. how much slower than the
+    * reference box that run's medians were recorded. None when the
+    * artifact is absent or predates the calib fields; the caller then
+    * skips calib adjustment (factor 1). */
+  def baselineCalibFactor(path: String): Option[Double] =
+    try {
+      val txt = scala.io.Source.fromFile(path).mkString
+      def field(name: String): Option[Double] =
+        (s""""$name":(-?[0-9.eE+\\-]+)""").r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+      for {
+        s <- field("calib_start_sec")
+        e <- field("calib_end_sec")
+        r <- field("calib_ref_sec") if r > 0
+      } yield ((s + e) / 2) / r
+    } catch { case _: Exception => None }
 
   private def loadavg(): String =
     try {
@@ -438,25 +465,39 @@ object Bench {
       if (only.isEmpty) "bench_out.json" else "/tmp/bench_out_partial.json")
     // per-query cross-artifact flags against the COMMITTED artifact
     // (the file this run is about to replace, or an explicit baseline)
-    // — read before the overwrite below; see perQueryOutliers
+    // — read before the overwrite below; see perQueryOutliers. A
+    // partial run (name-filter args) also compares against the
+    // committed artifact, NOT the previous partial run's /tmp file —
+    // that one may cover a different query subset or an older binary
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-      artifactPath)
+      if (only.isEmpty) artifactPath else "bench_out.json")
     val outlierFactor = sys.env.get("SPARK_GRAFT_BENCH_OUTLIER_FACTOR")
       .map(_.toDouble).getOrElse(3.0)
+    val baseMeds = baselineMedians(baselinePath)
+    // one visible line per run: a regex break against a reordered
+    // artifact would otherwise SILENTLY disable flagging (the
+    // never-block-the-run catch-all hides it) — here it reads as "0
+    // queries" in the artifact tail instead
+    System.err.println(s"[bench] baseline parsed ${baseMeds.size} " +
+      s"queries from $baselinePath")
+    val curCalibFactor = ((calibStart + calibEnd) / 2) / calibRef
+    val calibAdjust = baselineCalibFactor(baselinePath)
+      .map(_ / curCalibFactor).getOrElse(1.0)
     val outliers = perQueryOutliers(
       results.collect { case (k, med, _, _) if !failed.contains(k) =>
         k -> med }.toMap,
-      baselineMedians(baselinePath), outlierFactor)
+      baseMeds, outlierFactor, calibAdjust = calibAdjust)
     val outliersJson = outliers.map { case (k, cur, base, r) =>
       s"""{"query":"$k","median":$cur,"baseline_median":$base,"ratio":$r}"""
     }.mkString("[", ",", "]")
     if (outliers.nonEmpty)
       System.err.println(s"[bench] ${outliers.size} per-query " +
-        s"outlier(s) vs $baselinePath (>${outlierFactor}x either way): " +
+        s"outlier(s) vs $baselinePath (>${outlierFactor}x either way, " +
+        f"calib-adjusted x$calibAdjust%.3f): " +
         outliers.map { case (k, cur, base, r) =>
           f"$k $cur%.2fs vs $base%.2fs (${r}%.1fx)" }.mkString("; ") +
         " — read the totals query-wise, not wholesale")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"load_sec":$loadSec,"ingest_warm_sec":$ingestWarmSec,"hygiene_sec":$hygieneSec,"n_queries":${results.size},"failed":$failedJson,"drift_sweep":$sweepJson,"median_drift":$medianDrift,"drift_tolerance":$driftTol,"contaminated":$contaminated,"per_query_outliers":$outliersJson,"outlier_factor":$outlierFactor,"baseline_artifact":"$baselinePath","calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_ref_sec":$calibRef,"total_calib_norm":$totalNorm,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_mhz_start":$cpuMhzStart,"cpu_mhz_end":$cpuMhzEnd,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"load_sec":$loadSec,"ingest_warm_sec":$ingestWarmSec,"hygiene_sec":$hygieneSec,"n_queries":${results.size},"failed":$failedJson,"drift_sweep":$sweepJson,"median_drift":$medianDrift,"drift_tolerance":$driftTol,"contaminated":$contaminated,"per_query_outliers":$outliersJson,"outlier_factor":$outlierFactor,"outlier_calib_adjust":$calibAdjust,"baseline_n_queries":${baseMeds.size},"baseline_artifact":"$baselinePath","calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_ref_sec":$calibRef,"total_calib_norm":$totalNorm,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpu_mhz_start":$cpuMhzStart,"cpu_mhz_end":$cpuMhzEnd,"sf":"$sfDir"}"""
     val outPath =
       if (contaminated) artifactPath + ".contaminated" else artifactPath
     if (contaminated)

@@ -151,6 +151,12 @@ object Maintenance {
     * tables). */
   final case class Quantizer(cents: Seq[(Long, Array[Double])],
                              codebooks: Option[Array[Array[Array[Double]]]]) {
+    // an empty codebook table is a malformed door, never a PQ-free one
+    // (that is None): fail at construction with a message instead of an
+    // ArrayIndexOutOfBounds inside serialize's cbs(0) header read
+    require(codebooks.forall(_.nonEmpty),
+      "a Quantizer's codebooks must be None (no PQ tables) or non-empty" +
+        " — Some(empty) is a malformed table, not a PQ-free door")
     lazy val contentHash: String = Quantizer.hashOf(this)
   }
 
@@ -191,14 +197,25 @@ object Maintenance {
     /** Persist under `path` (one file, Hadoop FS layer — HDFS/S3A-able
       * like the store): first line the content hash, then the
       * serialized tables. Overwrites — a bootstrap replay rewrites the
-      * identical bytes. */
+      * identical bytes. The write is side-file + atomic rename (the
+      * `DocsStream.swapPointer` pattern): this file is the store's ONLY
+      * durable identity copy, so an in-place overwrite that crashed
+      * mid-write would leave a truncated file that fails [[load]]'s
+      * hash check with no way back short of re-training — exactly the
+      * hazard the persistence exists to prevent. With the rename, the
+      * path always holds either the old or the new COMPLETE version. */
     def save(spark: SparkSession, path: String, q: Quantizer): Unit = {
       val p = new org.apache.hadoop.fs.Path(path)
-      val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val out = hfs.create(p, true)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+      val conf = spark.sessionState.newHadoopConf()
+      val hfs = p.getFileSystem(conf)
+      val out = hfs.create(tmp, true)
       try out.write((q.contentHash + "\n" + serialize(q)).getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(p.toUri, conf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
 
     /** Reload the frozen tables — what a restarted JVM constructs its
@@ -232,10 +249,13 @@ object Maintenance {
       q
     }
 
-    /** The persisted identity alone — the first line — so the
-      * per-batch/per-view check costs one short read, never a table
-      * parse. None when no quantizer was persisted (a pre-r17 layout or
-      * a quantizer-free door). */
+    /** The persisted identity alone — the first line — one short read,
+      * never a table parse. The serving layer's per-batch/per-view
+      * check now rides the state snapshot's meta instead (see
+      * `IndexMaintenanceStream`); this stays the door for external
+      * tooling (a metrics scrape, a pre-flight audit) that wants the
+      * file's identity without loading tables. None when no quantizer
+      * was persisted (a pre-r17 layout or a quantizer-free door). */
     def persistedHash(spark: SparkSession, path: String): Option[String] = {
       val p = new org.apache.hadoop.fs.Path(path)
       val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -434,7 +454,8 @@ object Maintenance {
     * JVM restart — [[loadState]] resumes ticking at the same generation
     * with the same guards. Writes are state-sized (tombstone table +
     * a small text file), never store-sized. */
-  def saveState(st: State, dir: String): Unit = {
+  def saveState(st: State, dir: String,
+                extraProps: Map[String, String] = Map.empty): Unit = {
     st.tombstones.write.mode("overwrite").parquet(s"$dir/tombstones")
     // through the Hadoop FS layer like the parquet half, so the
     // whole snapshot may live on HDFS/S3A (java.nio would silently
@@ -450,6 +471,10 @@ object Maintenance {
     props.setProperty("nextGen", st.nextGen.toString)
     props.setProperty("compactions", st.compactions.toString)
     props.setProperty("tombSchema", st.tombstones.schema.toDDL)
+    // caller-supplied identity lines (the streaming layer rides the
+    // door's quantizer hash here, so the per-batch pointer read IS the
+    // identity check); names must not collide with the fixed keys
+    extraProps.foreach { case (k, v) => props.setProperty(k, v) }
     // the stats row rides in the meta too (schema DDL + one value per
     // field, numeric strings — exact round-trips under cast): it is ONE
     // all-numeric row, and writing it as its own parquet dir cost a
@@ -459,10 +484,24 @@ object Maintenance {
     // driver fold, not a job; a non-literal caller pays one tiny job —
     // once, since every loaded snapshot is literal again.
     st.stats.foreach { s =>
+      // the value ride is text: only types whose string form casts
+      // back EXACTLY may ride (a null used to ride as the string
+      // "null", surviving only because numeric casts of "null" yield
+      // null again — a string-typed field would round-trip to the
+      // LITERAL "null")
+      s.schema.fields.foreach { f =>
+        require(f.dataType.isInstanceOf[
+            org.apache.spark.sql.types.NumericType] ||
+            f.dataType == org.apache.spark.sql.types.BooleanType,
+          s"stats field ${f.name}: ${f.dataType.simpleString} cannot " +
+            "ride the state meta — only numeric/boolean string forms " +
+            "round-trip exactly")
+      }
       props.setProperty("statsSchema", s.schema.toDDL)
       val row = s.collect().head
       s.schema.fields.indices.foreach { i =>
-        props.setProperty(s"statsVal.$i", String.valueOf(row.get(i)))
+        if (row.isNullAt(i)) props.setProperty(s"statsNull.$i", "1")
+        else props.setProperty(s"statsVal.$i", String.valueOf(row.get(i)))
       }
     }
     try props.store(out, null) finally out.close()
@@ -475,7 +514,15 @@ object Maintenance {
     * reads no stats parquet (snapshots from before the row rode in the
     * meta fall back to the lazy parquet scan). [[tick]] re-snaps its
     * fold output, so plan lineage never accumulates across ticks. */
-  def loadState(spark: SparkSession, dir: String): State = {
+  def loadState(spark: SparkSession, dir: String): State =
+    loadStateWithProps(spark, dir)._1
+
+  /** [[loadState]] plus the snapshot's raw meta properties — the door
+    * for consumers that ride identity lines in the meta (the streaming
+    * layer's quantizer hash) to get them from the SAME read the state
+    * load already pays, instead of a second file open. */
+  def loadStateWithProps(spark: SparkSession, dir: String)
+      : (State, java.util.Properties) = {
     val meta = new java.util.Properties()
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/state.meta")
     val hfs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -491,10 +538,14 @@ object Maintenance {
     }
     val inlineStats = Option(meta.getProperty("statsSchema")).flatMap { ddl =>
       val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-      val vals = schema.fields.indices
-        .map(i => Option(meta.getProperty(s"statsVal.$i")))
+      // a field rides as its exact value string OR the explicit null
+      // sentinel (statsNull.i) — never the string "null"
+      val vals = schema.fields.indices.map { i =>
+        if (meta.getProperty(s"statsNull.$i") != null) Some(lit(null))
+        else Option(meta.getProperty(s"statsVal.$i")).map(lit(_))
+      }
       if (vals.nonEmpty && vals.forall(_.isDefined))
-        Some(litRow(spark, schema, vals.map(v => lit(v.get))))
+        Some(litRow(spark, schema, vals.map(_.get)))
       else None
     }
     val stats = inlineStats.orElse {
@@ -502,9 +553,9 @@ object Maintenance {
         Some(rd("stats", "statsSchema"))
       else None
     }
-    State(rd("tombstones", "tombSchema"), stats,
+    (State(rd("tombstones", "tombSchema"), stats,
       meta.getProperty("nextGen").toLong,
-      meta.getProperty("compactions").toLong)
+      meta.getProperty("compactions").toLong), meta)
   }
 
   def emptyTombstones(spark: SparkSession, door: Door): DataFrame =

@@ -102,41 +102,51 @@ object IndexMaintenanceStream {
       : Maintenance.Quantizer =
     Maintenance.Quantizer.load(spark, quantizerPath(dir))
 
-  /** (quantizer path, door hash) pairs already validated this JVM —
-    * the serving path (`viewAt` inside every hybrid facade) must not
-    * pay an FS read per query for a check whose inputs are immutable
-    * between bootstraps. [[bootstrap]] invalidates the path's entries
-    * when it (re)writes the quantizer, so a same-JVM re-bootstrap with
-    * new tables re-checks; a new JVM starts empty and checks on first
-    * touch. */
-  private val quantizerChecked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  /** The identity lines a quantizer-carrying door rides into every
+    * state snapshot's meta, so the per-batch/per-view pointer+meta read
+    * the layer already pays IS the identity check — no separate file
+    * read, and (unlike the r17 per-JVM validated-pair cache) nothing
+    * for a FOREIGN JVM's re-bootstrap/re-seed of the same dir to go
+    * stale against: the rewritten snapshots carry the new hash, and the
+    * very next load in ANY serving JVM compares against it. */
+  private def quantizerProps(door: Maintenance.Door): Map[String, String] =
+    door.quantizer.map(q => Map("quantizerHash" -> q.contentHash))
+      .getOrElse(Map.empty)
 
   /** Fail fast when the door's frozen tables are not the ones this
     * store's rows were keyed by — the silent-re-keying hazard
-    * [[Maintenance.Quantizer]] documents. One short read (the hash
-    * line) per (store, door) pair per JVM; a layout from before
-    * quantizers persisted (or a quantizer-free door) checks nothing. */
-  private def checkQuantizer(spark: SparkSession, door: Maintenance.Door,
-                             dir: String): Unit =
+    * [[Maintenance.Quantizer]] documents. `persisted` is the hash the
+    * loaded state snapshot's meta carries; a snapshot from before the
+    * hash rode in the meta (or a quantizer-free door) checks
+    * nothing. */
+  private def requireQuantizerMatch(door: Maintenance.Door,
+                                    persisted: Option[String],
+                                    dir: String): Unit =
     door.quantizer.foreach { q =>
-      val key = (quantizerPath(dir), q.contentHash)
-      if (!quantizerChecked.contains(key)) {
-        Maintenance.Quantizer.persistedHash(spark, quantizerPath(dir))
-          .foreach { persisted =>
-            require(persisted == q.contentHash,
-              s"the door's frozen quantizer tables (hash ${q.contentHash}) " +
-                s"do not match the ones persisted under " +
-                s"${quantizerPath(dir)} (hash $persisted) — a re-trained " +
-                "door would silently re-key every row it appends while " +
-                "the stored rows keep their old cells/codes. Reconstruct " +
-                "the door from loadQuantizer(dir), or bootstrap a fresh " +
-                "store for the new tables.")
-          }
-        quantizerChecked.add(key)
-        ()
+      persisted.foreach { h =>
+        require(h == q.contentHash,
+          s"the door's frozen quantizer tables (hash ${q.contentHash}) " +
+            s"do not match the ones this store's committed state under " +
+            s"$dir was keyed by (hash $h) — a re-trained door would " +
+            "silently re-key every row it appends while the stored rows " +
+            "keep their old cells/codes. Reconstruct the door from " +
+            "loadQuantizer(dir), or bootstrap a fresh store for the " +
+            "new tables.")
       }
     }
+
+  /** One state snapshot's raw meta properties — the replay-skip path's
+    * identity read (the normal path gets them from
+    * [[Maintenance.loadStateWithProps]] for free). */
+  private def readStateProps(spark: SparkSession, snapDir: String)
+      : java.util.Properties = {
+    val p = new org.apache.hadoop.fs.Path(s"$snapDir/state.meta")
+    val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val props = new java.util.Properties()
+    val in = hfs.open(p)
+    try props.load(in) finally in.close()
+    props
+  }
 
   /** A [[Maintenance.Store]] over the versioned layout: rows = the
     * EFFECTIVE base (newest `base_*` named ≤ `upToBatch` — resolved by
@@ -404,13 +414,13 @@ object IndexMaintenanceStream {
       "overwrite")
     DocsStream.swapPointer(spark, s"$dir/store", "base_boot")
     val st = Maintenance.initialState(spark, door, door.statsDelta(docs))
-    Maintenance.saveState(st, s"$dir/state/v_boot")
+    // the door's quantizer hash rides in the snapshot's meta (and in
+    // every later batch's — applyBatch re-stamps it), so the identity
+    // check rides the state read every apply/view already pays; the
+    // full tables also persist as their own file for loadQuantizer
+    Maintenance.saveState(st, s"$dir/state/v_boot", quantizerProps(door))
     door.quantizer.foreach { q =>
       Maintenance.Quantizer.save(spark, quantizerPath(dir), q)
-      // a same-JVM re-bootstrap may have changed the tables: drop the
-      // path's validated pairs so the next check re-reads the file
-      quantizerChecked.removeIf(_._1 == quantizerPath(dir))
-      ()
     }
     DocsStream.swapPointer(spark, s"$dir/state", "v_boot")
   }
@@ -431,20 +441,24 @@ object IndexMaintenanceStream {
                  compactThresholdBytes: Long = 10L << 20,
                  maxDeltas: Int = 16,
                  maxDeltaBytesRatio: Double = 1.0): Unit = {
-    checkQuantizer(spark, door, dir)
     val applied = DocsStream.readPointer(spark, s"$dir/state")
     val store = new VersionedStore(spark, s"$dir/store", writer, batchId,
       maxDeltas, maxDeltaBytesRatio)
     if (applied.contains(s"v_b$batchId")) {
       // replay of a done batch: the tick is skipped whole, but a crash
       // between the state commit and the deferred store housekeeping
-      // leaves a committed compaction unswept — finish it here
+      // leaves a committed compaction unswept — finish it here (the
+      // identity check rides the committed snapshot's meta)
+      requireQuantizerMatch(door, Option(readStateProps(spark,
+        s"$dir/state/v_b$batchId").getProperty("quantizerHash")), dir)
       store.finalizeCommit()
       return
     }
-    val st = Maintenance.loadState(spark,
+    val (st, stProps) = Maintenance.loadStateWithProps(spark,
       s"$dir/state/${applied.getOrElse(sys.error(
         s"no CURRENT state under $dir/state — bootstrap first"))}")
+    requireQuantizerMatch(door,
+      Option(stProps.getProperty("quantizerHash")), dir)
     val payload = batch.columns.filter(_ != "op").map(col).toSeq
     def part(op: String) =
       batch.where(col("op") === op).select(payload: _*)
@@ -471,7 +485,8 @@ object IndexMaintenanceStream {
       compactThresholdBytes = compactThresholdBytes,
       checkpoint = identity,
       deltaEmpty = deltaEmpty)
-    Maintenance.saveState(st2, s"$dir/state/v_b$batchId")
+    Maintenance.saveState(st2, s"$dir/state/v_b$batchId",
+      quantizerProps(door))
     DocsStream.swapPointer(spark, s"$dir/state", s"v_b$batchId")
     // ---- committed. Everything below is housekeeping a crash may
     // skip and a replay (or the next batch) re-runs.
@@ -604,7 +619,6 @@ object IndexMaintenanceStream {
     * construction (the same sweep retires both, state first). */
   def viewAt(spark: SparkSession, door: Maintenance.Door, dir: String,
              batchId: Long): (DataFrame, Option[DataFrame]) = {
-    checkQuantizer(spark, door, dir)
     val v = if (batchId < 0L) "v_boot" else s"v_b$batchId"
     val statePath = new org.apache.hadoop.fs.Path(s"$dir/state/$v")
     val hfs = statePath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -617,7 +631,14 @@ object IndexMaintenanceStream {
         s"under $dir/state (retained: ${retained.mkString(", ")}) — " +
         "either never committed or swept past the reader-grace floor")
     }
-    val st = Maintenance.loadState(spark, s"$dir/state/$v")
+    val (st, stProps) =
+      Maintenance.loadStateWithProps(spark, s"$dir/state/$v")
+    // identity check on the SAME meta read the state load pays: a
+    // foreign JVM's re-bootstrap/re-seed rewrote the snapshots with the
+    // new tables' hash, so a stale door fails here on its next view —
+    // no per-JVM cache to go stale (the r17 shape's hazard)
+    requireQuantizerMatch(door,
+      Option(stProps.getProperty("quantizerHash")), dir)
     val store = new VersionedStore(spark, s"$dir/store",
       (_, _, _) => sys.error("serving view never writes"), batchId)
     (st.live(door, store), st.stats)

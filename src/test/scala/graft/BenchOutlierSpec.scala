@@ -52,4 +52,50 @@ class BenchOutlierSpec extends AnyFunSuite {
     assert(Bench.baselineMedians("/nonexistent/path.json").isEmpty)
     java.nio.file.Files.deleteIfExists(f)
   }
+
+  test("an unparseable baseline reads as ZERO queries (the visible " +
+      "N=0 arm), never an exception that blocks the run") {
+    val f = java.nio.file.Files.createTempFile("benchgarbage", ".json")
+    java.nio.file.Files.write(f,
+      "not json at all {{{ median broken".getBytes("UTF-8"))
+    assert(Bench.baselineMedians(f.toString).isEmpty)
+    assert(Bench.baselineCalibFactor(f.toString).isEmpty)
+    java.nio.file.Files.deleteIfExists(f)
+  }
+
+  test("baselineCalibFactor reads mean-of-probes over calib_ref from " +
+      "an artifact; absent fields read None") {
+    val f = java.nio.file.Files.createTempFile("benchcalib", ".json")
+    java.nio.file.Files.write(f,
+      ("""{"metric":"total","value":1.0,"queries":{},""" +
+        """"calib_start_sec":2.0,"calib_end_sec":3.0,""" +
+        """"calib_ref_sec":2.0,"sf":"/tmp/x"}""").getBytes("UTF-8"))
+    assert(Bench.baselineCalibFactor(f.toString).contains(1.25))
+    java.nio.file.Files.write(f,
+      """{"metric":"total","value":1.0,"queries":{}}""".getBytes("UTF-8"))
+    assert(Bench.baselineCalibFactor(f.toString).isEmpty)
+    java.nio.file.Files.deleteIfExists(f)
+  }
+
+  test("calibAdjust rescales ratios by the two runs' box speed: a " +
+      "uniform box-speed change masks (or phantom-flags) raw ratios; " +
+      "the adjusted ratios see through it") {
+    val baseline = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    // whole box 2x FASTER this run: a,b read 0.5; c is genuinely 5x
+    // contended on top, reading 2.5 raw — INSIDE the raw 3x band (the
+    // masking the advisor named: the uniform speedup ate the headroom)
+    val current = Map("a" -> 0.5, "b" -> 0.5, "c" -> 2.5)
+    assert(Bench.perQueryOutliers(current, baseline).isEmpty)
+    // calib factors: baseline run 1.0, current run 0.5 → adjust 2.0
+    val flags = Bench.perQueryOutliers(current, baseline,
+      calibAdjust = 2.0)
+    assert(flags.map(_._1) === Seq("c"))
+    assert(math.abs(flags.head._4 - 5.0) < 1e-9)
+    // and the converse: a box-speed change alone (everything 3.5x)
+    // would flag EVERY query raw, none adjusted
+    val uniform = Map("a" -> 3.5, "b" -> 3.5, "c" -> 3.5)
+    assert(Bench.perQueryOutliers(uniform, baseline).size === 3)
+    assert(Bench.perQueryOutliers(uniform, baseline,
+      calibAdjust = 1.0 / 3.5).isEmpty)
+  }
 }

@@ -623,4 +623,52 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(st.stats.get.collect().toSeq === sf.collect().toSeq)
     assert(topk(st.live(door, store), st.stats.get) === topk(pf, sf))
   }
+
+  test("state meta rides a NULL stats field through the explicit " +
+      "sentinel (never the string \"null\"), and refuses a stats " +
+      "schema whose string form cannot round-trip exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("mnull").toString
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val stats = Seq((7L, Option.empty[Long]))
+      .toDF("n", "total_len")
+    val st = Maintenance.State(
+      Maintenance.emptyTombstones(spark, door), Some(stats), 3L)
+    Maintenance.saveState(st, s"$dir/state")
+    val st2 = Maintenance.loadState(spark, s"$dir/state")
+    val row = st2.stats.get.collect().head
+    assert(row.getLong(0) === 7L)
+    assert(row.isNullAt(1), "the null field must come back NULL")
+    // a string-typed stats field would round-trip a null to the
+    // LITERAL "null" — the save refuses the schema outright
+    val bad = Seq(("x", 1L)).toDF("name", "n")
+    val ex = intercept[IllegalArgumentException] {
+      Maintenance.saveState(Maintenance.State(
+        Maintenance.emptyTombstones(spark, door), Some(bad), 1L),
+        s"$dir/state2")
+    }
+    assert(ex.getMessage.contains("round-trip"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("Quantizer: Some(empty) codebooks fail at construction with a " +
+      "clear message, not ArrayIndexOutOfBounds inside serialize; " +
+      "save lands via side-file + rename (no .tmp survivor, old file " +
+      "replaced whole)") {
+    val ex = intercept[IllegalArgumentException] {
+      Maintenance.Quantizer(Seq(0L -> Array(1.0, 2.0)),
+        Some(Array.empty[Array[Array[Double]]]))
+    }
+    assert(ex.getMessage.contains("non-empty"))
+    val dir = java.nio.file.Files.createTempDirectory("mqsave").toString
+    val path = s"$dir/quantizer"
+    val q1 = Maintenance.Quantizer(Seq(0L -> Array(1.0, 2.0)), None)
+    val q2 = Maintenance.Quantizer(Seq(0L -> Array(3.0, 4.0)), None)
+    Maintenance.Quantizer.save(spark, path, q1)
+    Maintenance.Quantizer.save(spark, path, q2) // overwrite via rename
+    assert(Maintenance.Quantizer.load(spark, path).contentHash
+      === q2.contentHash)
+    assert(!new java.io.File(path + ".tmp").exists(),
+      "the side file must not survive a completed save")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

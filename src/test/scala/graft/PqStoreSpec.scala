@@ -231,6 +231,38 @@ class PqStoreSpec extends AnyFunSuite {
     dropDirs(bmDir, pqDir, vecDir)
   }
 
+  test("a FOREIGN re-bootstrap of the same dir with new tables stales " +
+      "an already-validated door: its very next view fails fast — the " +
+      "identity rides every state snapshot's meta, so there is no " +
+      "per-JVM validated-pair cache to go stale against") {
+    val emb = embeddings(60)
+    val cents = Similarity.centroids(emb, 8)
+    val cbs = Similarity.pqCodebooks(emb, 4, 8)
+    val doorA = new Maintenance.IvfPqDoor(cents, cbs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqspec-foreign").toString
+    def cellWrite(df: DataFrame, dst: String, mode: String): Unit =
+      df.write.partitionBy("cell").mode(mode).parquet(dst)
+    IndexMaintenanceStream.bootstrap(spark, doorA, dir, cellWrite, emb)
+    // doorA validates — the shape the r17 cache would have memoized
+    IndexMaintenanceStream.viewAt(spark, doorA, dir,
+      IndexMaintenanceStream.committedBatch(spark, dir))._1.count()
+    // "another JVM" re-seeds the SAME dir under re-trained tables
+    val centsB = cents.map { case (id, v) => (id, v.map(_ * 1.000001)) }
+    val doorB = new Maintenance.IvfPqDoor(centsB, cbs)
+    IndexMaintenanceStream.bootstrap(spark, doorB, dir, cellWrite, emb)
+    // the stale doorA must fail on its NEXT view, same JVM, no restart
+    val ex = intercept[IllegalArgumentException] {
+      IndexMaintenanceStream.viewAt(spark, doorA, dir,
+        IndexMaintenanceStream.committedBatch(spark, dir))
+    }
+    assert(ex.getMessage.contains("re-key"))
+    // and the new door serves
+    assert(IndexMaintenanceStream.viewAt(spark, doorB, dir,
+      IndexMaintenanceStream.committedBatch(spark, dir))._1.count() > 0)
+    dropDirs(dir)
+  }
+
   test("annPqRecallSweep: recall monotone in rerankC at fixed nprobe; " +
       "full probe + covering rerank reaches exact recall") {
     val emb = embeddings(120)
