@@ -1124,6 +1124,89 @@ object PipelineQueries {
         nprobe = 4).orderBy("qid", "rank")
     }),
 
+    // the SQ8 store's OPTIONAL exact-rerank tail ([[pipeline
+    // .Similarity.sq8TopKIndexedPruned]] with `rerank`): the
+    // ann_sq8_lifecycle mutation plan against the quantized store,
+    // int8-ranked to 15 candidates, then ONLY those rows refetch full
+    // vectors from the KEPT end-state table for exact top-5 — the
+    // remedy knob for the clustered-fixture regime where int8
+    // rounding reorders the cut line (uniform fixtures measured at
+    // full-vector recall without it). Oracle re-quantizes the
+    // end-state corpus from scratch and reranks against it.
+    "ann_sq8_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val door = new pipeline.Maintenance.IvfSq8Door(cents)
+      val store = new pipeline.Maintenance.FrameStore(
+        pipeline.Similarity.ivfStampGen(
+          pipeline.Similarity.sq8Assign(emb, cents), 0L))
+      var st = pipeline.Maintenance.initialState(s, door)
+      val empty = emb.limit(0)
+      val upd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val del1 = emb.where(col("vec_id") % 9 === 7 &&
+        col("vec_id") % 6 =!= 3)
+      val add1 = emb.where(col("vec_id") % 11 === 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      st = pipeline.Maintenance.tick(door, store, st, adds = add1,
+        deletes = del1, updates = upd1)
+      val del2 = upd1.where(col("vec_id") % 12 === 3)
+        .unionByName(del1.orderBy(col("vec_id")).limit(1)) // re-sent
+      st = pipeline.Maintenance.tick(door, store, st, adds = empty,
+        deletes = del2, updates = empty)
+      // the kept full-vector table: the end-state corpus
+      val kept = emb
+        .where(!(col("vec_id") % 9 === 7 && col("vec_id") % 6 =!= 3) &&
+          !(col("vec_id") % 12 === 3))
+        .select(col("vec_id"),
+          when(col("vec_id") % 6 === 3, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+        .unionByName(emb.where(col("vec_id") % 11 === 5)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding")))
+      pipeline.Similarity.sq8TopKIndexedPruned(
+        emb.where(col("vec_id") < 5), st.live(door, store), cents, 5,
+        nprobe = 4, rerank = Some((15, kept)))
+        .orderBy("qid", "rank")
+    }),
+
+    // the SQ8 tier's own recall-vs-cost curve ([[pipeline.Retrieval
+    // .annSq8RecallSweep]]) — completes the per-tier sweep set (IVF
+    // 1-D, PQ 2-D, SQ8 here): the pruned int8 probe at nprobe ∈
+    // {1,2,4,8} scored against the exact brute-force top-5 through
+    // the integer-exact metric chain
+    "ann_sq8_recall_sweep" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 5)
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      pipeline.Retrieval.annSq8RecallSweep(q,
+        pipeline.Similarity.sq8Assign(emb, cents), cents,
+        Seq(1, 2, 4, 8), 5,
+        pipeline.Similarity.bruteForceTopK(q, emb, 5)
+          .select(col("qid"), col("nid")))
+    }),
+
+    // MARGIN-ROUTED adaptive rerank ([[pipeline.Similarity
+    // .sq8TopKIndexedAdaptiveRerank]]): one int8 probe ranks 15
+    // candidates; queries whose rank-5/rank-6 margin is under the
+    // ppm threshold route those candidates through the exact
+    // full-vector tail, confident queries serve int8 directly — the
+    // serving shape that spends full-vector bytes only where int8
+    // rounding can actually reorder the cut. The oracle recomputes
+    // the margin rule and both routes from scratch in SQL.
+    "ann_sq8_adaptive" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      pipeline.Similarity.sq8TopKIndexedAdaptiveRerank(
+        emb.where(col("vec_id") < 5),
+        pipeline.Similarity.sq8Assign(emb, cents), cents,
+        k = 5, nprobe = 4, rerankC = 15, marginPpm = 3000L,
+        vectors = emb.select(col("vec_id"), col("embedding")))
+        .orderBy("qid", "rank")
+    }),
+
     // the ANN TUNING SWEEP ([[pipeline.Retrieval.annRecallSweep]]):
     // recall/MRR/MAP of the pruned IVF probe at nprobe ∈ {1,2,4,8}
     // against the exact brute-force top-5 — the measured
@@ -4875,6 +4958,162 @@ object PipelineQueries {
             "FROM embeddings WHERE vec_id % 11 = 5)")} " +
        "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM sq8_topk " +
        "ORDER BY qid, rank"),
+
+    // the SQ8 tail: the end-state corpus re-quantized from scratch
+    // under the frozen coarse quantizer, int8-ranked to 15, then ONLY
+    // those rows exact-cosine-reranked against the end-state vectors
+    "ann_sq8_rerank" -> {
+      val corp2 = "SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+        "THEN list_reverse(embedding) ELSE embedding END " +
+        "AS embedding FROM embeddings " +
+        "WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+        "AND NOT (vec_id % 12 = 3) " +
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+        "FROM embeddings WHERE vec_id % 11 = 5"
+      s"""WITH corp2 AS ($corp2),
+         ${sq8Sql(16, 4, 15, corpusFrom = "corp2")},
+         store_rerank AS (SELECT qid, nid, rank FROM (
+           SELECT c.qid, c.nid, ROW_NUMBER() OVER (PARTITION BY c.qid
+             ORDER BY list_cosine_similarity(qe.embedding, ne.embedding)
+               DESC, c.nid ASC) AS rank
+           FROM sq8_topk c
+           JOIN embeddings qe ON qe.vec_id = c.qid
+           JOIN corp2 ne ON ne.vec_id = c.nid) WHERE rank <= 5)
+         SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM store_rerank
+         ORDER BY qid, rank"""
+    },
+
+    // the SQ8 tier's sweep: one shared quantized-scoring pass over the
+    // rk ≤ max-nprobe probe union (an int8 sim doesn't depend on
+    // nprobe); each variant slices rk ≤ its nprobe, ranks, and scores
+    // against the brute-force top-5 through the integer-exact chain
+    "ann_sq8_recall_sweep" -> {
+      val nprobes = Seq(1, 2, 4, 8)
+      val variantCtes = nprobes.map { np =>
+        s"""tk$np AS (SELECT qid, nid, rank FROM (
+             SELECT s.qid, s.nid, ROW_NUMBER() OVER (PARTITION BY s.qid
+               ORDER BY s.sim DESC, s.nid ASC) AS rank FROM (
+               SELECT p.qid, a.nid,
+                 list_cosine_similarity(qq.qv, qv.qv) AS sim
+               FROM assigned8 a JOIN probesall p USING (cell)
+               JOIN qz8 qv ON qv.vec_id = a.nid
+               JOIN qq8 qq ON qq.vec_id = p.qid
+               WHERE p.qid <> a.nid AND p.rk <= $np) s)
+             WHERE rank <= 5),
+           ph$np AS (SELECT qid, rank, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY rank) AS BIGINT) AS hit_idx
+             FROM (SELECT t.qid, t.rank FROM tk$np t
+               JOIN brute_topk b ON t.qid = b.qid AND t.nid = b.nid)),
+           ag$np AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS hits,
+               MIN(rank) AS fhr,
+               CAST(SUM(CAST(hit_idx * 1000000 // rank AS BIGINT))
+                 AS BIGINT) AS spp
+             FROM ph$np GROUP BY 1),
+           pq$np AS (SELECT n.qid,
+               CAST(COALESCE(a.hits, 0) * 1000000 // n.n_rel AS BIGINT)
+                 AS recall_ppm,
+               CAST(COALESCE(1000000 // a.fhr, 0) AS BIGINT) AS mrr_ppm,
+               CAST(COALESCE(a.spp, 0) // n.n_rel AS BIGINT) AS ap_ppm
+             FROM nrel n LEFT JOIN ag$np a USING (qid)),
+           mac$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT)
+                 AS macro_recall_ppm,
+               CAST(SUM(mrr_ppm) // COUNT(*) AS BIGINT) AS macro_mrr_ppm,
+               CAST(SUM(ap_ppm) // COUNT(*) AS BIGINT) AS macro_map_ppm
+             FROM pq$np)"""
+      }.mkString(",\n")
+      val macUnion = nprobes.map(np => s"SELECT * FROM mac$np")
+        .mkString(" UNION ALL ")
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent
+           FROM embeddings ORDER BY vec_id LIMIT 16),
+         assigned8 AS (
+           SELECT cell, nid FROM (
+             SELECT ct.cent_id AS cell, e.vec_id AS nid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, ct.cent)
+                   DESC, ct.cent_id ASC) AS rk
+             FROM embeddings e CROSS JOIN cent ct) WHERE rk = 1),
+         qz8 AS (SELECT vec_id, list_transform(embedding,
+             x -> ROUND(CAST(x AS DOUBLE) * 127.0 / GREATEST(
+               list_aggregate(list_transform(embedding,
+                 y -> abs(CAST(y AS DOUBLE))), 'max'), 1e-300))) AS qv
+           FROM embeddings),
+         qq8 AS (SELECT vec_id, qv FROM qz8 WHERE vec_id < 5),
+         probesall AS (
+           SELECT cell, qid, rk FROM (
+             SELECT ct.cent_id AS cell, q.vec_id AS qid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, ct.cent)
+                   DESC, ct.cent_id ASC) AS rk
+             FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+             CROSS JOIN cent ct) WHERE rk <= 8),
+         $bruteTopkSql,
+         nrel AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+           FROM brute_topk GROUP BY 1),
+         $variantCtes
+         SELECT * FROM ($macUnion) ORDER BY nprobe"""
+    },
+
+    // the margin router: int8-rank 15 candidates with sims kept, per
+    // query the rank-5/rank-6 margin in floored ppm; under-threshold
+    // queries' candidates exact-rerank against full vectors, the rest
+    // serve the int8 top-5 — both routes recomputed from scratch
+    "ann_sq8_adaptive" -> {
+      val marginPpm = 3000L
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent
+           FROM embeddings ORDER BY vec_id LIMIT 16),
+         assigned8 AS (
+           SELECT cell, nid FROM (
+             SELECT ct.cent_id AS cell, e.vec_id AS nid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, ct.cent)
+                   DESC, ct.cent_id ASC) AS rk
+             FROM embeddings e CROSS JOIN cent ct) WHERE rk = 1),
+         qz8 AS (SELECT vec_id, list_transform(embedding,
+             x -> ROUND(CAST(x AS DOUBLE) * 127.0 / GREATEST(
+               list_aggregate(list_transform(embedding,
+                 y -> abs(CAST(y AS DOUBLE))), 'max'), 1e-300))) AS qv
+           FROM embeddings),
+         qq8 AS (SELECT vec_id, qv FROM qz8 WHERE vec_id < 5),
+         probes8 AS (
+           SELECT cell, qid FROM (
+             SELECT ct.cent_id AS cell, q.vec_id AS qid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, ct.cent)
+                   DESC, ct.cent_id ASC) AS rk
+             FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+             CROSS JOIN cent ct) WHERE rk <= 4),
+         cand AS (SELECT qid, nid, sim, rank FROM (
+             SELECT s.qid, s.nid, s.sim, ROW_NUMBER() OVER (
+               PARTITION BY s.qid ORDER BY s.sim DESC, s.nid ASC)
+               AS rank FROM (
+               SELECT p.qid, a.nid,
+                 list_cosine_similarity(qq.qv, qv.qv) AS sim
+               FROM assigned8 a JOIN probes8 p USING (cell)
+               JOIN qz8 qv ON qv.vec_id = a.nid
+               JOIN qq8 qq ON qq.vec_id = p.qid
+               WHERE p.qid <> a.nid) s) WHERE rank <= 15),
+         margins AS (SELECT qid,
+             CAST(FLOOR((MAX(CASE WHEN rank = 5 THEN sim END) -
+               MAX(CASE WHEN rank = 6 THEN sim END)) * 1000000)
+               AS BIGINT) AS margin_ppm
+           FROM cand WHERE rank IN (5, 6) GROUP BY 1),
+         unc AS (SELECT qid FROM margins WHERE margin_ppm < $marginPpm),
+         conf AS (SELECT qid, nid, rank FROM cand
+           WHERE rank <= 5 AND qid NOT IN (SELECT qid FROM unc)),
+         rr AS (SELECT qid, nid, rank FROM (
+           SELECT c.qid, c.nid, ROW_NUMBER() OVER (PARTITION BY c.qid
+             ORDER BY list_cosine_similarity(qe.embedding, ne.embedding)
+               DESC, c.nid ASC) AS rank
+           FROM cand c
+           JOIN unc u ON u.qid = c.qid
+           JOIN embeddings qe ON qe.vec_id = c.qid
+           JOIN embeddings ne ON ne.vec_id = c.nid) WHERE rank <= 5)
+         SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM
+           (SELECT * FROM conf UNION ALL SELECT * FROM rr)
+         ORDER BY qid, rank"""
+    },
 
     "ann_ivf_recall" -> recallSql(ivfSql(16, 4, 5), "ivf_topk"),
 

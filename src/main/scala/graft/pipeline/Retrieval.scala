@@ -753,6 +753,37 @@ object Retrieval {
       .orderBy(col("nprobe").asc, col("rerank_c").asc)
   }
 
+  /** [[annRecallSweep]] on the SQ8 tier — the middle tier's own
+    * recall-vs-cost curve, completing the per-tier set (IVF 1-D grid,
+    * PQ 2-D grid, SQ8 here): each nprobe variant runs the pruned int8
+    * probe ([[Similarity.sq8TopKIndexedPruned]]) over the persisted
+    * quantized index and scores against the exact reference; `rerank`
+    * threads the optional exact tail through every variant, so the
+    * same sweep measures the tail's recall payback where the
+    * clustered-fixture ledger says int8 rounding reorders the cut
+    * line. One row per nprobe, integer-exact end to end; per-variant
+    * index work IS the operating point being measured. */
+  def annSq8RecallSweep(queries: DataFrame, index: DataFrame,
+                        cents: Seq[(Long, Array[Double])],
+                        nprobes: Seq[Int], k: Int,
+                        exact: DataFrame,
+                        rerank: Option[(Int, DataFrame)] = None)
+      : DataFrame = {
+    require(nprobes.nonEmpty,
+      "annSq8RecallSweep needs at least one variant")
+    val qrels = Dedup.checkpointCorpus(
+      exact.select(col("qid"), col("nid").as("doc_id")))
+    nprobes.map { np =>
+      val res = Similarity.sq8TopKIndexedPruned(queries, index, cents,
+        k, np, rerank = rerank)
+        .select(col("qid"), col("nid").as("doc_id"), col("rank"))
+      evalMacro(evalMetrics(res, qrels, k))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("macro_recall_ppm"), col("macro_mrr_ppm"),
+          col("macro_map_ppm"))
+    }.reduce(_ unionByName _).orderBy(col("nprobe").asc)
+  }
+
   /** METADATA-FILTERED hybrid — the "search within a slice" query every
     * retrieval deployment serves (language = en, date range, source
     * domain): `allowed` (first column = allowed doc ids, e.g.

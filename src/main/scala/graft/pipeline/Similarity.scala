@@ -1049,37 +1049,188 @@ object Similarity {
   /** The partition-pruned (+ optionally filtered) serving probe over a
     * persisted SQ8 store — [[ivfTopKIndexedPruned]]'s shape: literal
     * probe cells push as the file index's partition filter, `allowed`
-    * semi-joins candidates before the rank window. */
+    * semi-joins candidates before the rank window.
+    *
+    * `rerank` = (rerankC, full-vector side table) adds the OPTIONAL
+    * exact tail ([[rerankExact]], the PQ doors' shape): the int8
+    * cosine ranks `rerankC` candidates, then only queries × rerankC
+    * ids refetch full vectors (cell-pruned when the side table carries
+    * the store's `cell` column) for exact top-k. The 1M uniform-vector
+    * ledger measured SQ8 AT full-vector recall with no tail — but
+    * uniform vectors are close to SQ8's BEST case (components share
+    * magnitude, so absmax quantization wastes no range); on
+    * clustered/heavy-tailed embeddings the int8 rounding CAN reorder a
+    * top-k near the cut line, and this knob is the measured remedy
+    * (see the clustered-fixture ledger row in SCALING.md). */
   def sq8TopKIndexedPruned(queries: DataFrame, index: DataFrame,
                            cents: Seq[(Long, Array[Double])],
                            k: Int, nprobe: Int,
-                           allowed: Option[DataFrame] = None): DataFrame = {
+                           allowed: Option[DataFrame] = None,
+                           rerank: Option[(Int, DataFrame)] = None)
+      : DataFrame = {
     val cells = probeCells(queries, cents, nprobe)
     val masked = allowed.fold(index)(a => index.join(
       a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
-    sq8TopKIndexed(queries, masked.where(col("cell").isin(cells: _*)),
-      cents, k, nprobe)
+    val pruned = masked.where(col("cell").isin(cells: _*))
+    rerank match {
+      case Some((rerankC, vectors)) =>
+        require(rerankC >= k,
+          s"rerankC ($rerankC) must cover k ($k): the tail re-ranks " +
+            "only the int8-ranked candidates")
+        rerankExact(sq8TopKIndexed(queries, pruned, cents, rerankC,
+          nprobe), queries, pruneVectors(vectors, cells), k)
+      case None =>
+        sq8TopKIndexed(queries, pruned, cents, k, nprobe)
+    }
   }
 
   /** The SCALAR single-query door over a persisted SQ8 store — probe
     * cells resolve driver-side ([[probeCellsScalar]], zero jobs), the
     * one-row query frame is a LocalRelation, and the query-side
     * quantization is part of the probe plan. `allowed` masks
-    * candidates before the rank window. Results ≡ the DataFrame door
-    * on the same query (spec-pinned). */
+    * candidates before the rank window; `rerank` adds the optional
+    * exact tail exactly as on the DataFrame door. Results ≡ the
+    * DataFrame door on the same query (spec-pinned). */
   def sq8TopKIndexedScalar(qid: Long, vec: Seq[Double], index: DataFrame,
                            cents: Seq[(Long, Array[Double])],
                            k: Int, nprobe: Int,
-                           allowed: Option[DataFrame] = None): DataFrame = {
+                           allowed: Option[DataFrame] = None,
+                           rerank: Option[(Int, DataFrame)] = None)
+      : DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val queries = Seq((qid, vec)).toDF("vec_id", "embedding")
     val cells = probeCellsScalar(vec, cents, nprobe)
     val masked = allowed.fold(index)(a => index.join(
       a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
-    sq8TopKIndexed(queries, masked.where(col("cell").isin(cells: _*)),
-      cents, k, nprobe)
+    val pruned = masked.where(col("cell").isin(cells: _*))
+    rerank match {
+      case Some((rerankC, vectors)) =>
+        require(rerankC >= k,
+          s"rerankC ($rerankC) must cover k ($k): the tail re-ranks " +
+            "only the int8-ranked candidates")
+        rerankExact(sq8TopKIndexed(queries, pruned, cents, rerankC,
+          nprobe), queries, pruneVectors(vectors, cells), k)
+      case None =>
+        sq8TopKIndexed(queries, pruned, cents, k, nprobe)
+    }
   }
+
+  /** MARGIN-ROUTED adaptive rerank over a persisted SQ8 store — the
+    * serving shape that spends full-vector bytes ONLY where the int8
+    * ranking is uncertain, instead of the all-or-nothing `rerank` knob:
+    *
+    *  1. ONE pruned int8 probe ranks `rerankC` candidates per query
+    *     (the same pass funds the margin decision and the tail's
+    *     candidate pool — no second probe);
+    *  2. per query, the margin `floor((sim@k − sim@(k+1)) · 1e6)`
+    *     measures how close the cut line is: int8 rounding error is
+    *     bounded, so a WIDE margin cannot be reordered by
+    *     quantization, while a narrow one can — exactly the failure
+    *     mode the clustered-fixture ledger measures;
+    *  3. queries with margin < `marginPpm` (or a k-th candidate tied
+    *     in the int8 ranking) route their `rerankC` candidates through
+    *     the exact tail ([[rerankExact]], cell-pruned refetch);
+    *     confident queries serve the int8 top-k directly, touching no
+    *     full-vector bytes.
+    *
+    * A query with fewer than k+1 candidates has nothing below the cut
+    * to confuse and serves directly. Cost: the probe is the plain
+    * pruned probe; the margin pass is candidate-sized (≤ queries ×
+    * rerankC rows); the refetch is (uncertain queries) × rerankC
+    * broadcast rows against the cell-pruned vector scan — at
+    * marginPpm = 0 this IS [[sq8TopKIndexedPruned]] with no tail, at
+    * marginPpm = ∞ it is the full rerank door; in between the
+    * full-vector bytes scale with the fixture's actual uncertainty
+    * (measured on the clustered 1M fixture in SCALING.md). Output
+    * `(qid, nid, rank)` — integer-exact, SQL-mirrorable routing rule,
+    * oracled end to end. */
+  def sq8TopKIndexedAdaptiveRerank(queries: DataFrame, index: DataFrame,
+                                   cents: Seq[(Long, Array[Double])],
+                                   k: Int, nprobe: Int, rerankC: Int,
+                                   marginPpm: Long, vectors: DataFrame,
+                                   allowed: Option[DataFrame] = None)
+      : DataFrame = {
+    require(rerankC >= k,
+      s"rerankC ($rerankC) must cover k ($k): the tail re-ranks only " +
+        "the int8-ranked candidates")
+    val cells = probeCells(queries, cents, nprobe)
+    val cand = sq8Candidates(queries, index, cents, nprobe, rerankC,
+      cells, allowed)
+    // margin per query from ranks k and k+1; NULL margin (no k+1
+    // candidate) compares false against the threshold → confident
+    val uncertain = cutMargins(cand, k)
+      .where(col("margin_ppm") < lit(marginPpm)).select("qid")
+    val confident = cand.where(col("rank") <= k)
+      .join(broadcast(uncertain), Seq("qid"), "left_anti")
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"))
+    val rerankedQs = queries.join(
+      broadcast(uncertain.withColumnRenamed("qid", "vec_id")),
+      Seq("vec_id"), "left_semi")
+    val rerankedCand = cand
+      .join(broadcast(uncertain), Seq("qid"), "left_semi")
+    confident.unionByName(rerankExact(rerankedCand, rerankedQs,
+      pruneVectors(vectors, cells), k))
+  }
+
+  /** The MARGIN CENSUS behind the adaptive router — `(qid,
+    * margin_ppm)` per query, where margin_ppm = `floor((sim@k −
+    * sim@(k+1)) · 1e6)` of the pruned int8 ranking (NULL when the
+    * query has no k+1-th candidate). This is the distribution a
+    * deployment reads its `marginPpm` threshold off (the knob is
+    * meaningless without it — margins are fixture-dependent, tiny on
+    * clustered corpora, wide on uniform ones), and the observability
+    * twin of [[sq8TopKIndexedAdaptiveRerank]]: the fraction under the
+    * chosen threshold IS the full-vector refetch fraction the router
+    * will pay. Candidate-sized work beyond the plain pruned probe. */
+  def sq8CutMargins(queries: DataFrame, index: DataFrame,
+                    cents: Seq[(Long, Array[Double])],
+                    k: Int, nprobe: Int, rerankC: Int,
+                    allowed: Option[DataFrame] = None): DataFrame = {
+    require(rerankC >= k, s"rerankC ($rerankC) must cover k ($k)")
+    val cells = probeCells(queries, cents, nprobe)
+    cutMargins(sq8Candidates(queries, index, cents, nprobe, rerankC,
+      cells, allowed), k)
+  }
+
+  /** The int8 scoring pass shared by the adaptive router and the
+    * margin census: the pruned probe's plan with sims KEPT, ranked to
+    * `rerankC` — `(qid, nid, sim, rank)`. */
+  private def sq8Candidates(queries: DataFrame, index: DataFrame,
+                            cents: Seq[(Long, Array[Double])],
+                            nprobe: Int, rerankC: Int,
+                            cells: Seq[Long],
+                            allowed: Option[DataFrame]): DataFrame = {
+    val masked = allowed.fold(index)(a => index.join(
+      a.select(col(a.columns.head).as("nid")), Seq("nid"), "left_semi"))
+    val pruned = masked.where(col("cell").isin(cells: _*))
+    val e = col("embedding")
+    val absmax = greatest(aggregate(e, lit(0.0),
+      (acc, v) => greatest(acc, abs(v.cast("double")))), lit(1e-300))
+    val q = queries.select(
+      col("vec_id").as("qid"),
+      transform(e, v =>
+        round(v.cast("double") * 127.0 / absmax).cast("int")).as("qqv"),
+      explode(graft.functions.NearestCentroids.nearest_centroids(
+        e, cents, nprobe)).as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    pruned.join(broadcast(q), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim", cosine(col("qqv").cast("array<double>"),
+        col("qv").cast("array<double>")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= rerankC)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
+  /** `(qid, margin_ppm)` of a ranked-with-sims candidate frame. */
+  private def cutMargins(cand: DataFrame, k: Int): DataFrame =
+    cand.where(col("rank").isin(k, k + 1))
+      .groupBy("qid")
+      .agg(floor((max(when(col("rank") === k, col("sim"))) -
+        max(when(col("rank") === k + 1, col("sim")))) * 1e6)
+        .cast("long").as("margin_ppm"))
 
   /** Symmetric int8 quantization of an embedding column — the standard
     * storage/serving compression for ANN corpora (4× smaller than float32,

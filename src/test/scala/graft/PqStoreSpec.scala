@@ -263,6 +263,126 @@ class PqStoreSpec extends AnyFunSuite {
     dropDirs(dir)
   }
 
+  /** Clustered + heavy-tailed embeddings — SQ8's HARD case: each
+    * cluster has one dominant component, so absmax quantization
+    * crushes the discriminating small components onto few int8 levels
+    * and the rounding CAN reorder a top-k near the cut line (uniform
+    * vectors, where components share magnitude, are close to SQ8's
+    * best case — the r17 ledger's fixture). */
+  private def clusteredEmbeddings(n: Int): DataFrame =
+    (0 until n).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(8) { d =>
+        val dom = if (d == c * 2) 60.0f else 0.0f
+        dom + (((i * 31 + d * 13) % 100) / 50.0f - 1f)
+      })
+    }.toDF("vec_id", "embedding")
+
+  test("SQ8 rerank tail covering the candidate pool ≡ the full-vector " +
+      "probe at the same nprobe; the scalar door with the same tail " +
+      "agrees; rerankC < k refuses") {
+    val emb = clusteredEmbeddings(120)
+    val q = emb.where(col("vec_id") < 4)
+    val cents = Similarity.centroids(emb, 8)
+    val sq8Index = Similarity.sq8Assign(emb, cents)
+    val fullIndex = Similarity.ivfAssign(emb, cents)
+    val vectors = emb.select(col("vec_id"), col("embedding"))
+    val reranked = Similarity.sq8TopKIndexedPruned(
+      q, sq8Index, cents, k = 5, nprobe = 3,
+      rerank = Some((1000, vectors)))
+    val exact = Similarity.ivfTopKIndexedPruned(
+      q, fullIndex, cents, k = 5, nprobe = 3)
+    assert(rows(reranked) === rows(exact),
+      "a pool-covering SQ8 tail must serve the full-vector probe")
+    // the bare int8 probe DIFFERS on this fixture — the tail is doing
+    // real work here, not vacuously agreeing
+    val bare = Similarity.sq8TopKIndexedPruned(
+      q, sq8Index, cents, k = 5, nprobe = 3)
+    assert(rows(bare) !== rows(exact),
+      "fixture too easy: int8 rounding reordered nothing, the tail " +
+        "is untested")
+    // scalar door, same tail, same answer
+    val qv = q.where(col("vec_id") === 2L)
+      .select(col("embedding").cast("array<double>")).collect()
+      .head.getSeq[Double](0)
+    val scalar = Similarity.sq8TopKIndexedScalar(2L, qv, sq8Index,
+      cents, k = 5, nprobe = 3, rerank = Some((1000, vectors)))
+    assert(rows(scalar) === rows(reranked.where(col("qid") === 2L)))
+    intercept[IllegalArgumentException] {
+      Similarity.sq8TopKIndexedPruned(q, sq8Index, cents, k = 5,
+        nprobe = 3, rerank = Some((3, vectors)))
+    }
+  }
+
+  test("margin-routed adaptive rerank: marginPpm=0 is the bare int8 " +
+      "probe, covering margin is the full rerank door, and a mid " +
+      "threshold routes EACH query to exactly one of the two — with " +
+      "both routes actually taken on the clustered fixture") {
+    val emb = clusteredEmbeddings(160)
+    val q = emb.where(col("vec_id") < 8)
+    val cents = Similarity.centroids(emb, 8)
+    val sq8Index = Similarity.sq8Assign(emb, cents)
+    val vectors = emb.select(col("vec_id"), col("embedding"))
+    def adaptive(marginPpm: Long) = Similarity
+      .sq8TopKIndexedAdaptiveRerank(q, sq8Index, cents, k = 5,
+        nprobe = 3, rerankC = 30, marginPpm = marginPpm,
+        vectors = vectors)
+    val bare = Similarity.sq8TopKIndexedPruned(q, sq8Index, cents, 5, 3)
+    val fullTail = Similarity.sq8TopKIndexedPruned(q, sq8Index, cents,
+      5, 3, rerank = Some((30, vectors)))
+    assert(rows(adaptive(0L)) === rows(bare),
+      "marginPpm=0 must serve the bare int8 probe (no query routes)")
+    assert(rows(adaptive(Long.MaxValue)) === rows(fullTail),
+      "a covering margin must serve the full rerank door")
+    // mid threshold — picked off the measured margin census, the way a
+    // deployment tunes the knob: the median margin splits the queries,
+    // so BOTH routes must occur. Per query the answer is EITHER the
+    // bare probe's rows or the rerank door's — never a third thing.
+    val margins = Similarity.sq8CutMargins(q, sq8Index, cents, k = 5,
+      nprobe = 3, rerankC = 30)
+      .collect().flatMap(r =>
+        if (r.isNullAt(1)) None else Some(r.getLong(1))).sorted
+    assert(margins.length >= 4, "census fixture too small")
+    val mid = adaptive(margins(margins.length / 2))
+    val qids = q.select("vec_id").collect().map(_.getLong(0))
+    var (nBare, nTail) = (0, 0)
+    qids.foreach { id =>
+      val m = rows(mid.where(col("qid") === id))
+      val b = rows(bare.where(col("qid") === id))
+      val t = rows(fullTail.where(col("qid") === id))
+      assert(m === b || m === t,
+        s"qid $id: adaptive answer is neither route's")
+      if (m == t && b != t) nTail += 1
+      else if (m == b) nBare += 1
+    }
+    assert(nTail > 0, "no query routed to the tail — threshold dead")
+    assert(nBare > 0, "every query routed — threshold vacuous")
+  }
+
+  test("annSq8RecallSweep: the int8 curve is recall-monotone-capped " +
+      "by the same sweep with the covering tail at every nprobe, and " +
+      "the tail sweep at full probe reaches exact recall") {
+    val emb = clusteredEmbeddings(120)
+    val q = emb.where(col("vec_id") < 5)
+    val cents = Similarity.centroids(emb, 8)
+    val index = Similarity.sq8Assign(emb, cents)
+    val exact = Similarity.bruteForceTopK(q, emb, 5)
+      .select(col("qid"), col("nid"))
+    val vectors = emb.select(col("vec_id"), col("embedding"))
+    def recalls(rerank: Option[(Int, DataFrame)]) =
+      Retrieval.annSq8RecallSweep(q, index, cents, Seq(1, 2, 4, 8), 5,
+        exact, rerank).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bare = recalls(None)
+    val tailed = recalls(Some((1000, vectors)))
+    Seq(1L, 2L, 4L, 8L).foreach { np =>
+      assert(bare(np) <= tailed(np),
+        s"nprobe $np: the covering tail must not lose recall")
+    }
+    assert(tailed(8L) === 1000000L,
+      "full probe + covering tail must reproduce brute force")
+  }
+
   test("annPqRecallSweep: recall monotone in rerankC at fixed nprobe; " +
       "full probe + covering rerank reaches exact recall") {
     val emb = embeddings(120)
