@@ -1064,6 +1064,93 @@ object PipelineQueries {
       result
     }),
 
+    // CUTOVER as an operator ([[graft.streaming.IndexMaintenanceStream
+    // .cutover]]): the reseed migration FINISHED under a feed that
+    // kept writing — batch 0 lands on the old full-vector store,
+    // reseed captures its view into a NEW PQ store, batch 1 lands on
+    // the OLD store mid-window (the lost-batch hazard), cutover
+    // replays it from the feed's log, parks the serving pointer on
+    // the sentinel, drains, repoints — and batch 2 then applies to
+    // whichever dir the pointer names (the feed's contract). The
+    // served probe hash-matches a from-scratch encode of the corpus
+    // after ALL THREE batches under the new tables: nothing lost.
+    "ann_cutover_live" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val cents16 = pipeline.Similarity.centroids(emb, 16)
+      val vecDoor = new pipeline.Maintenance.IvfDoor(cents16)
+      val vecDir = java.nio.file.Files
+        .createTempDirectory("graft-cut-vec").toString
+      val newDir = java.nio.file.Files
+        .createTempDirectory("graft-cut-pq").toString
+      val servingDir = java.nio.file.Files
+        .createTempDirectory("graft-cut-ptr").toString
+      def cellWrite(df: org.apache.spark.sql.DataFrame, dst: String,
+                    mode: String): Unit =
+        df.write.partitionBy("cell").mode(mode).parquet(dst)
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, vecDoor, vecDir, cellWrite, emb)
+      graft.streaming.DocsStream.swapPointer(s, servingDir, vecDir)
+      val vUpd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      // the feed's replayable log: batch 0 mixed, batch 1 deletes the
+      // updated-12th ids, batch 2 adds an id-shifted copy of every
+      // 13th — fetch(b) IS this map, the Structured Streaming
+      // replay-by-offset contract
+      def fetch(b: Long): org.apache.spark.sql.DataFrame = b match {
+        case 0L => emb.where(col("vec_id") % 11 === 5)
+          .select(lit("add").as("op"),
+            (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+          .unionByName(emb
+            .where(col("vec_id") % 9 === 7 && col("vec_id") % 6 =!= 3)
+            .select(lit("delete").as("op"), col("vec_id"),
+              col("embedding")))
+          .unionByName(vUpd1.select(lit("update").as("op"),
+            col("vec_id"), col("embedding")))
+        case 1L => vUpd1.where(col("vec_id") % 12 === 3)
+          .select(lit("delete").as("op"), col("vec_id"),
+            col("embedding"))
+        case 2L => emb.where(col("vec_id") % 13 === 1)
+          .select(lit("add").as("op"),
+            (col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+        case _ => emb.limit(0)
+          .select(lit("delete").as("op"), col("vec_id"),
+            col("embedding"))
+      }
+      // feed: batch 0 → old store (pointer names it)
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, vecDoor, vecDir, cellWrite, fetch(0L), 0L)
+      // drift remedy begins: reseed into a PQ store under NEW tables
+      val cents8 = pipeline.Similarity.centroids(emb, 8)
+      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
+      val pqDoor = new pipeline.Maintenance.IvfPqDoor(cents8, cbs)
+      val asOf = graft.streaming.IndexMaintenanceStream.reseed(
+        s, vecDoor, vecDir, pqDoor, newDir, cellWrite)
+      // the feed KEEPS WRITING: batch 1 lands on the OLD store while
+      // the migration is in flight — the batch a hand-rolled cutover
+      // loses
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, vecDoor, vecDir, cellWrite, fetch(1L), 1L)
+      graft.streaming.IndexMaintenanceStream.cutover(
+        s, pqDoor, newDir, vecDir, cellWrite, fetch, servingDir, asOf,
+        graceMs = 100L)
+      // post-repoint: the feed's next batch follows the pointer
+      val servedDir = graft.streaming.DocsStream
+        .readPointer(s, servingDir).get
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, pqDoor, servedDir, cellWrite, fetch(2L), 2L)
+      val (view, _) = graft.streaming.IndexMaintenanceStream
+        .currentView(s, pqDoor, servedDir)
+      val result = pipeline.Dedup.checkpointCorpus(
+        pipeline.Similarity.ivfPqTopKIndexedPruned(
+          emb.where(col("vec_id") < 5), view, cents8, cbs, 5,
+          nprobe = 4).orderBy("qid", "rank"))
+      Seq(vecDir, newDir, servingDir).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(p)))
+      result
+    }),
+
     // SQ8 (int8 scalar-quantized) top-5 ([[pipeline.Similarity
     // .sq8TopKIndexed]]): the middle tier of the bytes-vs-recall
     // spectrum — d bytes/vector (4× smaller than float32), cosine over
@@ -4935,6 +5022,23 @@ object PipelineQueries {
             "WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
             "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
             "FROM embeddings WHERE vec_id % 11 = 5)")} " +
+       "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivfpq_topk " +
+       "ORDER BY qid, rank"),
+
+    // the cut-over store ≡ a from-scratch encode of the corpus after
+    // ALL THREE batches (batch 0 pre-reseed, batch 1 mid-window —
+    // replayed by cutover, batch 2 post-repoint) under the NEW tables
+    "ann_cutover_live" ->
+      (s"WITH ${ivfPqSql(8, 4, 8, 16, 8, 5,
+          corpusFrom = "(SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+            "THEN list_reverse(embedding) ELSE embedding END " +
+            "AS embedding FROM embeddings " +
+            "WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+            "AND NOT (vec_id % 12 = 3) " +
+            "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+            "FROM embeddings WHERE vec_id % 11 = 5 " +
+            "UNION ALL SELECT vec_id + 2000000 AS vec_id, embedding " +
+            "FROM embeddings WHERE vec_id % 13 = 1)")} " +
        "SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM ivfpq_topk " +
        "ORDER BY qid, rank"),
 

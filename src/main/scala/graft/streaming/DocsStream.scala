@@ -52,18 +52,56 @@ object DocsStream {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** Version name in the CURRENT pointer, if any. */
+  /** Version name in the CURRENT pointer, if any.
+    *
+    * Concurrent-swap tolerance: [[swapPointer]]'s rename is atomic for
+    * the pointer FILE, but on a checksummed FS (the local
+    * ChecksumFileSystem; HDFS verifies server-side) the `.crc` sidecar
+    * moves in its own step, so a reader racing a swap can catch the
+    * gap as a ChecksumException on a perfectly good pointer — the
+    * cutover spec's live feed hit exactly this. A bounded retry reads
+    * the settled pair; the exception still surfaces if the file is
+    * genuinely corrupt (it keeps failing after the swap window). */
   def readPointer(spark: SparkSession, indexDir: String): Option[String] = {
     val (fs, root) = hadoopFs(spark, indexDir)
     val cur = new org.apache.hadoop.fs.Path(root, "CURRENT")
-    if (!fs.exists(cur)) None
-    else {
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      try {
+        if (fs.exists(cur)) {
+          val in = fs.open(cur)
+          val buf = new java.io.ByteArrayOutputStream()
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096,
+            false)
+          finally in.close()
+          return Some(new String(buf.toByteArray, "UTF-8").trim)
+        }
+        // absent: EITHER no pointer yet OR a swap's delete-then-rename
+        // gap (the local FS's rename-with-overwrite deletes the
+        // destination first). A short settle distinguishes them: the
+        // gap is microseconds; a genuinely absent pointer stays absent
+        // and returns None after the bounded retries.
+        Thread.sleep(10)
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          // a reader racing the swap can catch the data/.crc sidecar
+          // gap on a perfectly good pointer; genuinely corrupt files
+          // keep failing and surface after the retries
+          if (attempt >= 20) throw e
+          Thread.sleep(10)
+        case _: java.io.FileNotFoundException =>
+          // exists() raced the delete half of the swap
+          Thread.sleep(10)
+      }
+    }
+    if (fs.exists(cur)) {
       val in = fs.open(cur)
       val buf = new java.io.ByteArrayOutputStream()
       try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
       finally in.close()
       Some(new String(buf.toByteArray, "UTF-8").trim)
-    }
+    } else None
   }
 
   /** Atomically point CURRENT at `version`: write a temp file, rename with

@@ -580,12 +580,10 @@ object IndexMaintenanceStream {
     * file included, so the new door's identity is persisted and
     * hash-checked from batch 0).
     *
-    * Returns the committed batch the rebuild captured. CUTOVER
-    * contract: the caller replays mutation batches `asOf+1..head`
-    * into the new store ([[applyBatch]] — the doors make replay
-    * idempotent), then points serving at `newDir`; a feed that keeps
-    * writing to both dirs during the window needs no other
-    * coordination. */
+    * Returns the committed batch the rebuild captured — the `asOf`
+    * that [[cutover]] (the operator that finishes the migration under
+    * a live feed: replay `asOf+1..head`, park, drain, repoint) takes
+    * to know where replay starts. */
   def reseed(spark: SparkSession, vecDoor: Maintenance.Door,
              vecDir: String, newDoor: Maintenance.Door, newDir: String,
              writer: (DataFrame, String, String) => Unit): Long = {
@@ -594,6 +592,102 @@ object IndexMaintenanceStream {
     bootstrap(spark, newDoor, newDir, writer,
       view.select(col("nid").as("vec_id"), col("ne").as("embedding")))
     asOf
+  }
+
+  /** The serving-pointer value [[cutover]] parks the feed on while it
+    * closes the window: a feed that reads this instead of a store dir
+    * WAITS (polls) until the pointer resolves — see the feed contract
+    * on [[cutover]]. */
+  val CutoverSentinel = "CUTOVER_IN_PROGRESS"
+
+  /** CUTOVER — the operator that finishes what [[reseed]] starts,
+    * under a feed that KEEPS WRITING. `reseed` captured the old
+    * store's view at `asOf` into `newDir`; batches `asOf+1..head` (and
+    * any the feed lands while we work) must replay into the new store
+    * before serving repoints, and the hand-rolled version loses a
+    * batch exactly when the feed advances the old head between the
+    * caller's last replay and its repoint (the r17 contract's named
+    * hazard). The protocol closes it with a bounded pause instead of
+    * dual-writing the new store:
+    *
+    *  1. CHASE: replay `max(newHead, asOf)+1 .. oldHead` into
+    *     `newDir`, re-reading the old head until caught up — the feed
+    *     still writes the old store, so this loop converges to within
+    *     one in-flight batch;
+    *  2. PARK: swap the serving pointer at `servingDir` to
+    *     [[CutoverSentinel]] — the feed observes it before its next
+    *     batch and waits;
+    *  3. GRACE: wait until the old head has been STABLE for
+    *     `graceMs` — the one batch the feed may have started before
+    *     observing the sentinel commits inside this window (every
+    *     commit resets the stability clock, so grace only needs to
+    *     exceed the feed's max batch duration, not the backlog);
+    *  4. FINAL DRAIN: replay the remainder — no writer races this
+    *     (the feed is parked, so the new store has exactly one
+    *     writer, and no new old-bound batch can start);
+    *  5. REPOINT: swap the serving pointer to `newDir`; the feed
+    *     resumes there.
+    *
+    * FEED CONTRACT (what the spec drives): the feed is sequential,
+    * reads the serving pointer BEFORE starting each batch, applies to
+    * the dir the pointer names (with that dir's door), and polls while
+    * the pointer reads the sentinel; `graceMs` must exceed the feed's
+    * maximum batch duration. `fetch(b)` returns the same mutation
+    * payload the feed applied as batch `b` — the replayable-log
+    * contract every Structured Streaming source already meets
+    * (replay by offset); for a batch id the feed never committed
+    * (possible only when its numbering does not start at 0) it must
+    * return an EMPTY frame, because the drain walks every id in
+    * `asOf+1..head` — a fetch that fabricates rows for such ids
+    * corrupts the new store (the spec's first draft did exactly
+    * that). Replay into the new store is idempotent
+    * ([[applyBatch]]'s batch-id skip), so a crashed cutover is
+    * recovered by RE-RUNNING it: a re-run finds the sentinel (or the
+    * already-swapped pointer — then it returns immediately) and
+    * completes the remaining phases.
+    *
+    * Returns the new store's committed head at repoint. Cost: the
+    * replayed batches' own O(delta) ticks plus one corpus-free pause
+    * of at most `graceMs` + one batch duration. */
+  def cutover(spark: SparkSession, newDoor: Maintenance.Door,
+              newDir: String, oldDir: String,
+              writer: (DataFrame, String, String) => Unit,
+              fetch: Long => DataFrame, servingDir: String, asOf: Long,
+              oldVersion: Option[DataFrame => DataFrame] = None,
+              graceMs: Long = 5000, pollMs: Long = 25): Long = {
+    val cur = DocsStream.readPointer(spark, servingDir)
+    // a replay of a COMPLETED cutover is a no-op (crash after phase 5)
+    if (cur.contains(newDir)) return committedBatch(spark, newDir)
+    require(cur.contains(oldDir) || cur.contains(CutoverSentinel),
+      s"$servingDir must point at the old store ($oldDir) or the " +
+        s"cutover sentinel before cutover, found $cur")
+    def head(dir: String): Long = committedBatch(spark, dir)
+    def drainTo(h: Long): Unit = {
+      var b = math.max(head(newDir), asOf) + 1
+      while (b <= h) {
+        applyBatch(spark, newDoor, newDir, writer, fetch(b), b,
+          oldVersion)
+        b += 1
+      }
+    }
+    // 1. chase the live backlog
+    var h = head(oldDir)
+    while (math.max(head(newDir), asOf) < h) { drainTo(h); h = head(oldDir) }
+    // 2. park the feed
+    DocsStream.swapPointer(spark, servingDir, CutoverSentinel)
+    // 3. grace: old head stable for graceMs
+    var lastH = head(oldDir)
+    var stableSince = System.nanoTime()
+    while (System.nanoTime() - stableSince < graceMs * 1000000L) {
+      Thread.sleep(pollMs)
+      val h2 = head(oldDir)
+      if (h2 != lastH) { lastH = h2; stableSince = System.nanoTime() }
+    }
+    // 4. final drain — single-writer by construction
+    drainTo(lastH)
+    // 5. repoint; the parked feed resumes on the new store
+    DocsStream.swapPointer(spark, servingDir, newDir)
+    head(newDir)
   }
 
   /** The newest batch this store's state pointer has committed (-1 =

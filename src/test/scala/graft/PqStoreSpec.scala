@@ -637,6 +637,91 @@ class PqStoreSpec extends AnyFunSuite {
     dropDirs(vecDir, newDir)
   }
 
+  test("cutover under a LIVE feed: the feed keeps committing batches " +
+      "to the old store through reseed and the chase, parks on the " +
+      "sentinel, resumes on the new store — and NO batch is lost (the " +
+      "hand-rolled contract's hazard, now an operator)") {
+    val emb = embeddings(90)
+    def cellWrite(df: DataFrame, dst: String, mode: String): Unit =
+      df.write.partitionBy("cell").mode(mode).parquet(dst)
+    val cents = Similarity.centroids(emb, 8)
+    val vecDoor = new Maintenance.IvfDoor(cents)
+    val vecDir = java.nio.file.Files
+      .createTempDirectory("pqspec-cut-vec").toString
+    val newDir = java.nio.file.Files
+      .createTempDirectory("pqspec-cut-pq").toString
+    val servingDir = java.nio.file.Files
+      .createTempDirectory("pqspec-cut-ptr").toString
+    IndexMaintenanceStream.bootstrap(spark, vecDoor, vecDir, cellWrite,
+      emb)
+    graft.streaming.DocsStream.swapPointer(spark, servingDir, vecDir)
+    val cents4 = Similarity.centroids(emb, 4)
+    val cbs = Similarity.pqCodebooks(emb, 4, 8)
+    val pqDoor = new Maintenance.IvfPqDoor(cents4, cbs)
+    val NBatches = 6
+    // batch b (micro-batch ids start at 0, the tailer's numbering)
+    // deletes the vec_id % 31 == b+1 slice — disjoint, replayable
+    def batch(b: Long): DataFrame =
+      emb.where(col("vec_id") % 31 === b + 1L)
+        .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+    // THE FEED (its documented contract): sequential; reads the
+    // serving pointer before each batch; polls while it reads the
+    // sentinel; applies to the dir the pointer names with that dir's
+    // door
+    @volatile var feedErr: Throwable = null
+    val feedDone = new java.util.concurrent.CountDownLatch(1)
+    val feed = new Thread(() => {
+      try (0 until NBatches).foreach { b =>
+        var ptr = graft.streaming.DocsStream
+          .readPointer(spark, servingDir).get
+        while (ptr == IndexMaintenanceStream.CutoverSentinel) {
+          Thread.sleep(25)
+          ptr = graft.streaming.DocsStream
+            .readPointer(spark, servingDir).get
+        }
+        val door: Maintenance.Door =
+          if (ptr == vecDir) vecDoor else pqDoor
+        IndexMaintenanceStream.applyBatch(spark, door, ptr, cellWrite,
+          batch(b.toLong), b.toLong)
+      } catch { case t: Throwable => feedErr = t }
+      finally feedDone.countDown()
+    })
+    feed.start()
+    Thread.sleep(300) // let the feed get moving against the OLD store
+    val asOf = IndexMaintenanceStream.reseed(spark, vecDoor, vecDir,
+      pqDoor, newDir, cellWrite)
+    val headAtRepoint = IndexMaintenanceStream.cutover(spark, pqDoor,
+      newDir, vecDir, cellWrite, batch, servingDir, asOf,
+      graceMs = 8000)
+    assert(feedDone.await(180, java.util.concurrent.TimeUnit.SECONDS),
+      "feed never finished — parked forever?")
+    assert(feedErr == null, s"feed thread failed: $feedErr")
+    assert(asOf < NBatches,
+      "reseed captured everything — the replay path went unexercised")
+    assert(headAtRepoint >= asOf)
+    assert(graft.streaming.DocsStream.readPointer(spark, servingDir)
+      .contains(newDir), "serving must point at the new store")
+    assert(IndexMaintenanceStream.committedBatch(spark, newDir)
+      === NBatches.toLong - 1L, "a batch was lost across the cutover")
+    // the migrated + replayed + resumed store equals the from-scratch
+    // encode of the survivors under the NEW tables
+    val survivors = emb.where(!(col("vec_id") % 31)
+      .isin((1 to NBatches).map(_.toLong): _*))
+    val q = emb.where(col("vec_id") < 3)
+    val (view, _) = IndexMaintenanceStream.currentView(spark, pqDoor,
+      newDir)
+    assert(rows(Similarity.ivfPqTopKIndexedPruned(q, view, cents4, cbs,
+        5, 2)) ===
+      rows(Similarity.ivfPqTopKIndexedPruned(q,
+        Similarity.ivfPqAssign(survivors, cents4, cbs), cents4, cbs,
+        5, 2)),
+      "the cut-over store diverged from the rebuild-on-survivors")
+    // a replay of the COMPLETED cutover is a quick no-op
+    assert(IndexMaintenanceStream.cutover(spark, pqDoor, newDir, vecDir,
+      cellWrite, batch, servingDir, asOf) === NBatches.toLong - 1L)
+    dropDirs(vecDir, newDir, servingDir)
+  }
+
   test("SQ8 quantization is per-vector scale-invariant (the cosine " +
       "probe's contract): a uniformly rescaled corpus quantizes to " +
       "identical int8 rows and identical top-k") {
