@@ -3436,6 +3436,87 @@ object PipelineQueries {
       result
     }),
 
+    // the code-tier hybrid BATCHED and FILTERED together ([[pipeline
+    // .Retrieval.hybridFromStoresPqBatch]] with `allowed`): five
+    // queries in one pass over the three mutated stores, the slice
+    // mask (base ids ≡ 0 mod 3) applied to the lexical pool, the ADC
+    // candidates, AND therefore the rerank tail — global scoring
+    // preserved on both legs. The oracle rebuilds everything from
+    // scratch per qid with the mask as an explicit base-slice
+    // semi-join (the shifted add-ids are NOT in the mask even where
+    // their id happens to be ≡ 0 mod 3).
+    "retrieval_hybrid_pq_batch_filtered" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val bmDoor = new pipeline.Maintenance.Bm25Door(col("text"), 64)
+      val bmDir = java.nio.file.Files
+        .createTempDirectory("graft-hpqf-bm").toString
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
+      val oldV: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+        u => u.select(col("doc_id"), col("old_text").as("text"))
+      val upd1old = docs.where(col("doc_id") % 6 === 3)
+      val b0 = docs.where(col("doc_id") % 11 === 5)
+        .select(lit("add").as("op"),
+          (col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit(null).cast("string").as("old_text"))
+        .unionByName(docs
+          .where(col("doc_id") % 7 === 0 && col("doc_id") % 6 =!= 3)
+          .select(lit("delete").as("op"), col("doc_id"), col("text"),
+            lit(null).cast("string").as("old_text")))
+        .unionByName(upd1old.select(lit("update").as("op"),
+          col("doc_id"),
+          concat(col("text"), lit(" shuffle data")).as("text"),
+          col("text").as("old_text")))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
+      val pqDoor = new pipeline.Maintenance.IvfPqDoor(cents, cbs)
+      val vecDoor = new pipeline.Maintenance.IvfDoor(cents)
+      val pqDir = java.nio.file.Files
+        .createTempDirectory("graft-hpqf-pq").toString
+      val vecDir = java.nio.file.Files
+        .createTempDirectory("graft-hpqf-vec").toString
+      def cellWrite(df: org.apache.spark.sql.DataFrame, dst: String,
+                    mode: String): Unit =
+        df.write.partitionBy("cell").mode(mode).parquet(dst)
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, pqDoor, pqDir, cellWrite, emb)
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, vecDoor, vecDir, cellWrite, emb)
+      val vUpd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val v0 = emb.where(col("vec_id") % 11 === 5)
+        .select(lit("add").as("op"),
+          (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .unionByName(emb
+          .where(col("vec_id") % 9 === 7 && col("vec_id") % 6 =!= 3)
+          .select(lit("delete").as("op"), col("vec_id"),
+            col("embedding")))
+        .unionByName(vUpd1.select(lit("update").as("op"), col("vec_id"),
+          col("embedding")))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, pqDoor, pqDir, cellWrite, v0, 0L)
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, vecDoor, vecDir, cellWrite, v0, 0L)
+      val result = pipeline.Dedup.checkpointCorpus(
+        pipeline.Retrieval.hybridFromStoresPqBatch(
+          s, bmDoor, bmDir, 64, pqDoor, pqDir, cents, cbs,
+          vecDoor, vecDir, emb.where(col("vec_id") < 5),
+          hybridBatchTerms, k = 10, legK = 20, rerankC = 40,
+          nprobe = 4,
+          allowed = Some(docs.where(col("doc_id") % 3 === 0)
+            .select("doc_id")))
+          .orderBy("qid", "rank"))
+      Seq(bmDir, pqDir, vecDir).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(p)))
+      result
+    }),
+
     // FILTERED retrieval on the BATCH tier ([[pipeline.Retrieval
     // .hybridTopKBatch]] with `allowed`): five queries, one pass over
     // each index, BOTH legs masked to the slice (every 3rd id) before
@@ -4191,9 +4272,14 @@ object PipelineQueries {
   /** CTE `ivfpq_topk(qid,nid,rank)` mirroring `Similarity.ivfPqTopK`:
     * IVF cell assignment/probes (float-cosine, as `ivfSql`) restrict which
     * PQ codes each query ADC-scores. */
+  /** `candWhere` (e.g. `"AND a.nid IN (...)"`) masks the ADC
+    * candidates BEFORE the rank window — `Similarity`'s FAISS-
+    * IDSelector `allowed` semantics (codes and cells are per-row, so
+    * the mask changes no score). */
   private def ivfPqSql(nlist: Int, nprobe: Int, m: Int, ksub: Int,
                        subDim: Int, k: Int,
-                       corpusFrom: String = "embeddings"): String =
+                       corpusFrom: String = "embeddings",
+                       candWhere: String = ""): String =
     s"""${pqBaseSql(m, ksub, subDim, corpusFrom)},
        cent AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
          ORDER BY vec_id LIMIT $nlist),
@@ -4213,7 +4299,7 @@ object PipelineQueries {
            FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
            CROSS JOIN cent ct) WHERE rk <= $nprobe),
        cand AS (SELECT p.qid, a.nid FROM assigned a JOIN probes p USING (cell)
-         WHERE p.qid <> a.nid),
+         WHERE p.qid <> a.nid $candWhere),
        pairsc AS (
          SELECT c.qid, c.nid,
            list_reduce(list(l.dot ORDER BY l.sub), (x, y) -> x + y) AS dotsum,
@@ -7076,6 +7162,80 @@ object PipelineQueries {
            COUNT(*) AS n_legs
          FROM legs GROUP BY 1
          ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""
+    },
+
+    // the code-tier BATCHED-FILTERED hybrid: per-qid full-corpus
+    // lexical scoring ranked over only the base-id slice, the ADC
+    // candidates masked to the slice BEFORE the rank window (so the
+    // rerank tail reranks only sliced rows), per-qid RRF fusion — the
+    // mask is the explicit base-slice semi-join, so shifted add-ids
+    // stay out even where their id is ≡ 0 mod 3
+    "retrieval_hybrid_pq_batch_filtered" -> {
+      val qtVals = hybridBatchTerms.flatMap { case (q, ts) =>
+        ts.map(t => s"($q, '$t')")
+      }.mkString(", ")
+      val docs2 = "(SELECT doc_id, CASE WHEN doc_id % 6 = 3 " +
+        "THEN text || ' shuffle data' ELSE text END AS text " +
+        "FROM documents WHERE NOT (doc_id % 7 = 0 AND doc_id % 6 <> 3) " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text " +
+        "FROM documents WHERE doc_id % 11 = 5)"
+      val emb2 = "SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+        "THEN list_reverse(embedding) ELSE embedding END AS embedding " +
+        "FROM embeddings WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+        "FROM embeddings WHERE vec_id % 11 = 5"
+      s"""WITH corpm AS ($emb2),
+         qt(qid, term) AS (SELECT * FROM (VALUES $qtVals)
+           AS v(qid, term)),
+         tok AS (SELECT doc_id, unnest($toksSql) AS term
+           FROM $docs2),
+         tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tc GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         sc AS (SELECT qt.qid, tc.doc_id,
+           CAST(CAST(n - df AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS rarity_ppm,
+           CAST(CAST(22 AS HUGEINT) * tf * total_len * 1000000 //
+             (CAST(10 AS HUGEINT) * tf * total_len +
+              CAST(3 AS HUGEINT) * total_len +
+              CAST(9 AS HUGEINT) * dl * n) AS BIGINT) AS tfnorm_ppm
+           FROM tc JOIN qt USING (term) JOIN df USING (term)
+           JOIN dl USING (doc_id) CROSS JOIN tot),
+         bm AS (SELECT qid, doc_id,
+           CAST(SUM(rarity_ppm * tfnorm_ppm) AS BIGINT) AS score
+           FROM sc GROUP BY 1, 2),
+         lex AS (SELECT qid, doc_id, rank FROM (
+           SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY score DESC, doc_id ASC) AS rank FROM bm
+           WHERE doc_id IN (SELECT doc_id FROM documents
+             WHERE doc_id % 3 = 0))
+           WHERE rank <= 20),
+         ${ivfPqSql(16, 4, 8, 16, 8, 40, corpusFrom = "corpm",
+          candWhere = "AND a.nid IN (SELECT vec_id FROM embeddings " +
+            "WHERE vec_id % 3 = 0)")},
+         vecleg AS (SELECT qid, nid AS doc_id, rank FROM (
+           SELECT c.qid, c.nid, ROW_NUMBER() OVER (PARTITION BY c.qid
+             ORDER BY list_cosine_similarity(qe.embedding, ne.embedding)
+               DESC, c.nid ASC) AS rank
+           FROM ivfpq_topk c
+           JOIN embeddings qe ON qe.vec_id = c.qid
+           JOIN corpm ne ON ne.vec_id = c.nid) WHERE rank <= 20),
+         legs AS (SELECT qid, doc_id, rank FROM lex
+           UNION ALL SELECT qid, doc_id, rank FROM vecleg),
+         fused AS (SELECT qid, doc_id,
+           CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+           COUNT(*) AS n_legs
+           FROM legs GROUP BY 1, 2)
+         SELECT CAST(qid AS BIGINT) AS qid, doc_id, rrf_ppm, n_legs,
+           CAST(rank AS BIGINT) AS rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY rrf_ppm DESC, doc_id ASC) AS rank FROM fused)
+         WHERE rank <= 10 ORDER BY qid, rank"""
     },
 
     // filtered hybrid on the BATCH tier: per-qid full-corpus scoring

@@ -186,6 +186,36 @@ class PqStoreSpec extends AnyFunSuite {
     dropDirs(bmDir, pqDir, vecDir)
   }
 
+  test("PQ-tier batched-FILTERED hybrid ≡ the per-query filtered door " +
+      "per qid (the mask slices the ADC pool AND its rerank tail, " +
+      "batch amortization changes nothing)") {
+    val d = docs(90)
+    val emb = embeddings(90)
+    val (bmDoor, bmDir, pqDoor, pqDir, vecDoor, vecDir, cents, cbs) =
+      storeTriple(d, emb)
+    val qids = Seq(1L, 2L, 4L)
+    val qs = emb.where(col("vec_id").isin(qids: _*))
+    val allowed = d.where(col("doc_id") % 3 === 0).select("doc_id")
+    val batch = Retrieval.hybridFromStoresPqBatch(spark, bmDoor, bmDir,
+      nBuckets, pqDoor, pqDir, cents, cbs, vecDoor, vecDir,
+      qs, qids.map(_ -> qTerms), k = 10, legK = 12, rerankC = 40,
+      nprobe = 3, allowed = Some(allowed))
+    qids.foreach { qid =>
+      val single = Retrieval.hybridFromStoresPq(spark, bmDoor, bmDir,
+        nBuckets, pqDoor, pqDir, cents, cbs, vecDoor, vecDir,
+        emb.where(col("vec_id") === qid), qTerms, k = 10, legK = 12,
+        rerankC = 40, nprobe = 3, allowed = Some(allowed))
+      assert(rows(batch.where(col("qid") === qid)
+          .select("doc_id", "rrf_ppm", "n_legs")) ===
+        rows(single.select("doc_id", "rrf_ppm", "n_legs")),
+        s"qid $qid: batched-filtered diverged from per-query filtered")
+      // and the mask is real: every served id is in the slice
+      assert(batch.where(col("qid") === qid &&
+        col("doc_id") % 3 =!= 0).count() === 0L)
+    }
+    dropDirs(bmDir, pqDir, vecDir)
+  }
+
   test("restart from disk: a door reconstructed from the persisted " +
       "quantizer serves the pre-restart answer; a re-trained door " +
       "fails fast in viewAt AND applyBatch") {
