@@ -2288,6 +2288,111 @@ object ScaleBench {
         new java.io.File(s"$dir.fullvec"))
     }
 
+    // ---- SQ8 on a CLUSTERED / heavy-tailed 1M fixture — the tier's
+    // HARD case, stressing the r17 ledger's fixture-derived "no rerank
+    // needed" claim: each vector carries one dominant component (its
+    // cluster's), so per-vector absmax quantization crushes the
+    // DISCRIMINATING small components onto ~5 int8 levels, and within
+    // a cluster the int8 cosine can no longer separate true neighbors
+    // (uniform vectors — the r17 fixture — are close to SQ8's BEST
+    // case: components share magnitude and no range is wasted).
+    // Measured here: bare-SQ8 vs full-vector recall on this fixture,
+    // the rerank tail's recall payback and its refetch record cost,
+    // and the margin-routed adaptive door's cost in between.
+    if (Seq("sq8_clustered", "sq8_sweep").exists(only)) {
+      val n = 1000000L
+      val dir = "/tmp/graft_sq8_clustered_1m"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$dir.fullvec"))
+      // 64 planted clusters: dominant dim = cluster id, magnitude 40
+      // vs noise in [-1, 1) — absmax ≈ 41, so noise quantizes to
+      // round(x·127/41) ∈ {-3..3}
+      val cemb = expr(
+        """transform(sequence(0, 63), d ->
+             cast((case when d = id % 64 then 40.0 else 0.0 end)
+               + pmod(xxhash64(id, d), 2000) / 1000.0 - 1.0 as float))""")
+      val corpus = spark.range(n)
+        .select(col("id").as("vec_id"), cemb.as("embedding"))
+      var cents: Seq[(Long, Array[Double])] = Nil
+      t("sq8_clustered_build_1m") {
+        cents = pipeline.Similarity.centroids(corpus, 256)
+        pipeline.Similarity.sq8Assign(corpus, cents)
+          .write.partitionBy("cell").parquet(dir)
+        pipeline.Similarity.ivfAssign(corpus, cents)
+          .write.partitionBy("cell").parquet(s"$dir.fullvec")
+        def dirBytes(p: String): Long =
+          org.apache.commons.io.FileUtils.sizeOfDirectory(
+            new java.io.File(p))
+        f"n=$n nlist=256 sq8Bytes=${dirBytes(dir)} " +
+          f"fullVecBytes=${dirBytes(s"$dir.fullvec")}"
+      }
+      val sq8Index = spark.read.parquet(dir)
+      val fullIndex = spark.read.parquet(s"$dir.fullvec")
+      val q10 = spark.range(10)
+        .select((col("id") * 1000L + 500L).as("id"))
+        .select(col("id").as("vec_id"), cemb.as("embedding"))
+        .localCheckpoint(true)
+      val exact = pipeline.Similarity.bruteForceTopK(q10, corpus, 10)
+        .select(col("qid"), col("nid")).localCheckpoint(true)
+      pin()
+      if (only("sq8_clustered")) {
+        ti("sq8_clustered_bare_vs_full_1m") {
+          val bare = pipeline.Retrieval.annSq8RecallSweep(q10, sq8Index,
+            cents, Seq(8), 10, exact).collect().head.getLong(2)
+          val full = pipeline.Retrieval.annRecallSweep(q10, fullIndex,
+            cents, Seq(8), 10, exact).collect().head.getLong(2)
+          s"np=8 sq8Recall=${bare}ppm fullVecRecall=${full}ppm"
+        }
+        ti("sq8_clustered_rerank_1m") {
+          val tailed = pipeline.Retrieval.annSq8RecallSweep(q10,
+            sq8Index, cents, Seq(8), 10, exact,
+            rerank = Some((50, fullIndex.select(col("cell"), col("nid"),
+              col("ne"))))).collect().head.getLong(2)
+          s"np=8 rerankC=50 recall=${tailed}ppm (cell-pruned refetch)"
+        }
+        ti("sq8_clustered_adaptive_1m") {
+          // threshold read off the measured margin census, the
+          // deployment loop: median margin → ~half the queries route
+          val margins = pipeline.Similarity.sq8CutMargins(q10, sq8Index,
+            cents, 10, 8, 50).collect()
+            .flatMap(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+            .sorted
+          val thr = margins(margins.length / 2)
+          val routed = margins.count(_ < thr)
+          val res = pipeline.Similarity.sq8TopKIndexedAdaptiveRerank(
+            q10, sq8Index, cents, 10, 8, 50, thr,
+            fullIndex.select(col("cell"), col("nid"), col("ne")))
+          val m = pipeline.Retrieval.evalMacro(
+            pipeline.Retrieval.evalMetrics(
+              res.select(col("qid"), col("nid").as("doc_id"),
+                col("rank")),
+              exact.select(col("qid"), col("nid").as("doc_id")), 10))
+            .collect().head
+          s"thrPpm=$thr routed=$routed/10 recall=${m.getLong(1)}ppm"
+        }
+      }
+      if (only("sq8_sweep")) {
+        ti("sq8_sweep_curve_1m") {
+          val rows = pipeline.Retrieval.annSq8RecallSweep(q10, sq8Index,
+            cents, Seq(4, 8, 32), 10, exact).collect()
+          rows.map(r => s"np${r.getLong(0)}=${r.getLong(2)}ppm")
+            .mkString(" ")
+        }
+        ti("sq8_sweep_tailed_curve_1m") {
+          val rows = pipeline.Retrieval.annSq8RecallSweep(q10, sq8Index,
+            cents, Seq(4, 8, 32), 10, exact,
+            rerank = Some((50, fullIndex.select(col("cell"), col("nid"),
+              col("ne"))))).collect()
+          rows.map(r => s"np${r.getLong(0)}=${r.getLong(2)}ppm")
+            .mkString(" ")
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$dir.fullvec"))
+    }
+
     // ---- mergeable HLL distinct census (HllCensus): the build pays one
     // partial-aggregated pass over raw events; the persisted per-day
     // sketch table then answers ANY window/grouping distinct question
