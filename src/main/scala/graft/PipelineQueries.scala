@@ -3436,6 +3436,83 @@ object PipelineQueries {
       result
     }),
 
+    // the ADAPTIVE-TIER hybrid ([[pipeline.Retrieval
+    // .hybridFromStoresSq8Adaptive]]): the margin router serving the
+    // fused ranker from THREE mutated stores (BM25 + SQ8 codes + full
+    // vectors) at one min-committed batch — the vector leg int8-ranks
+    // 40 candidates and routes through the exact full-vector tail
+    // only if the rank-20/21 margin is under the threshold. The
+    // oracle recomputes the margin rule and BOTH routes from scratch
+    // over the re-quantized mutated corpus.
+    "retrieval_hybrid_sq8_adaptive" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val bmDoor = new pipeline.Maintenance.Bm25Door(col("text"), 64)
+      val bmDir = java.nio.file.Files
+        .createTempDirectory("graft-hsa-bm").toString
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
+      val oldV: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+        u => u.select(col("doc_id"), col("old_text").as("text"))
+      val upd1old = docs.where(col("doc_id") % 6 === 3)
+      val b0 = docs.where(col("doc_id") % 11 === 5)
+        .select(lit("add").as("op"),
+          (col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          lit(null).cast("string").as("old_text"))
+        .unionByName(docs
+          .where(col("doc_id") % 7 === 0 && col("doc_id") % 6 =!= 3)
+          .select(lit("delete").as("op"), col("doc_id"), col("text"),
+            lit(null).cast("string").as("old_text")))
+        .unionByName(upd1old.select(lit("update").as("op"),
+          col("doc_id"),
+          concat(col("text"), lit(" shuffle data")).as("text"),
+          col("text").as("old_text")))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+      val cents = pipeline.Similarity.centroids(emb, 16)
+      val sq8Door = new pipeline.Maintenance.IvfSq8Door(cents)
+      val vecDoor = new pipeline.Maintenance.IvfDoor(cents)
+      val sq8Dir = java.nio.file.Files
+        .createTempDirectory("graft-hsa-sq8").toString
+      val vecDir = java.nio.file.Files
+        .createTempDirectory("graft-hsa-vec").toString
+      def cellWrite(df: org.apache.spark.sql.DataFrame, dst: String,
+                    mode: String): Unit =
+        df.write.partitionBy("cell").mode(mode).parquet(dst)
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, sq8Door, sq8Dir, cellWrite, emb)
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, vecDoor, vecDir, cellWrite, emb)
+      val vUpd1 = emb.where(col("vec_id") % 6 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val v0 = emb.where(col("vec_id") % 11 === 5)
+        .select(lit("add").as("op"),
+          (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .unionByName(emb
+          .where(col("vec_id") % 9 === 7 && col("vec_id") % 6 =!= 3)
+          .select(lit("delete").as("op"), col("vec_id"),
+            col("embedding")))
+        .unionByName(vUpd1.select(lit("update").as("op"), col("vec_id"),
+          col("embedding")))
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, sq8Door, sq8Dir, cellWrite, v0, 0L)
+      graft.streaming.IndexMaintenanceStream.applyBatch(
+        s, vecDoor, vecDir, cellWrite, v0, 0L)
+      val result = pipeline.Dedup.checkpointCorpus(
+        pipeline.Retrieval.hybridFromStoresSq8Adaptive(
+          s, bmDoor, bmDir, 64, sq8Door, sq8Dir, cents,
+          vecDoor, vecDir, emb.where(col("vec_id") === 0L),
+          Seq("data", "stream", "shuffle"),
+          k = 10, legK = 20, nprobe = 4, rerankC = 40,
+          marginPpm = 3000L))
+      Seq(bmDir, sq8Dir, vecDir).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(p)))
+      result
+    }),
+
     // the code-tier hybrid BATCHED and FILTERED together ([[pipeline
     // .Retrieval.hybridFromStoresPqBatch]] with `allowed`): five
     // queries in one pass over the three mutated stores, the slice
@@ -7157,6 +7234,89 @@ object PipelineQueries {
          legs AS (SELECT doc_id, rank FROM lex
            UNION ALL SELECT nid AS doc_id, rank FROM sq8_topk
            WHERE qid = 0)
+         SELECT doc_id,
+           CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+           COUNT(*) AS n_legs
+         FROM legs GROUP BY 1
+         ORDER BY rrf_ppm DESC, doc_id LIMIT 10"""
+    },
+
+    // the adaptive-tier hybrid: lexical leg over the mutated docs;
+    // vector leg = the margin rule over the mutated corpus
+    // re-quantized from scratch (int8-rank 40 with sims, rank-20/21
+    // margin in floored ppm, under-threshold → exact rerank against
+    // the end-state vectors, else int8 top-20), fused by the
+    // integer-exact RRF sum
+    "retrieval_hybrid_sq8_adaptive" -> {
+      val docs2 = "(SELECT doc_id, CASE WHEN doc_id % 6 = 3 " +
+        "THEN text || ' shuffle data' ELSE text END AS text " +
+        "FROM documents WHERE NOT (doc_id % 7 = 0 AND doc_id % 6 <> 3) " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text " +
+        "FROM documents WHERE doc_id % 11 = 5)"
+      val emb2 = "SELECT vec_id, CASE WHEN vec_id % 6 = 3 " +
+        "THEN list_reverse(embedding) ELSE embedding END AS embedding " +
+        "FROM embeddings WHERE NOT (vec_id % 9 = 7 AND vec_id % 6 <> 3) " +
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding " +
+        "FROM embeddings WHERE vec_id % 11 = 5"
+      s"""WITH corpm AS ($emb2),
+         ${bm25LexLegSql(20, docsFrom = docs2)},
+         cent AS (SELECT vec_id AS cent_id, embedding AS cent
+           FROM embeddings ORDER BY vec_id LIMIT 16),
+         assigned8 AS (
+           SELECT cell, nid FROM (
+             SELECT ct.cent_id AS cell, e.vec_id AS nid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, ct.cent)
+                   DESC, ct.cent_id ASC) AS rk
+             FROM corpm e CROSS JOIN cent ct) WHERE rk = 1),
+         qz8 AS (SELECT vec_id, list_transform(embedding,
+             x -> ROUND(CAST(x AS DOUBLE) * 127.0 / GREATEST(
+               list_aggregate(list_transform(embedding,
+                 y -> abs(CAST(y AS DOUBLE))), 'max'), 1e-300))) AS qv
+           FROM corpm),
+         qq8 AS (SELECT vec_id, list_transform(embedding,
+             x -> ROUND(CAST(x AS DOUBLE) * 127.0 / GREATEST(
+               list_aggregate(list_transform(embedding,
+                 y -> abs(CAST(y AS DOUBLE))), 'max'), 1e-300))) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         probes8 AS (
+           SELECT cell, qid FROM (
+             SELECT ct.cent_id AS cell, q.vec_id AS qid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, ct.cent)
+                   DESC, ct.cent_id ASC) AS rk
+             FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
+             CROSS JOIN cent ct) WHERE rk <= 4),
+         cand AS (SELECT qid, nid, sim, rank FROM (
+             SELECT s.qid, s.nid, s.sim, ROW_NUMBER() OVER (
+               PARTITION BY s.qid ORDER BY s.sim DESC, s.nid ASC)
+               AS rank FROM (
+               SELECT p.qid, a.nid,
+                 list_cosine_similarity(qq.qv, qv.qv) AS sim
+               FROM assigned8 a JOIN probes8 p USING (cell)
+               JOIN qz8 qv ON qv.vec_id = a.nid
+               JOIN qq8 qq ON qq.vec_id = p.qid
+               WHERE p.qid <> a.nid) s) WHERE rank <= 40),
+         margins AS (SELECT qid,
+             CAST(FLOOR((MAX(CASE WHEN rank = 20 THEN sim END) -
+               MAX(CASE WHEN rank = 21 THEN sim END)) * 1000000)
+               AS BIGINT) AS margin_ppm
+           FROM cand WHERE rank IN (20, 21) GROUP BY 1),
+         unc AS (SELECT qid FROM margins WHERE margin_ppm < 3000),
+         conf AS (SELECT qid, nid, rank FROM cand
+           WHERE rank <= 20 AND qid NOT IN (SELECT qid FROM unc)),
+         rr AS (SELECT qid, nid, rank FROM (
+           SELECT c.qid, c.nid, ROW_NUMBER() OVER (PARTITION BY c.qid
+             ORDER BY list_cosine_similarity(qe.embedding, ne.embedding)
+               DESC, c.nid ASC) AS rank
+           FROM cand c
+           JOIN unc u ON u.qid = c.qid
+           JOIN embeddings qe ON qe.vec_id = c.qid
+           JOIN corpm ne ON ne.vec_id = c.nid) WHERE rank <= 20),
+         vecleg AS (SELECT nid AS doc_id, rank FROM conf
+           UNION ALL SELECT nid AS doc_id, rank FROM rr),
+         legs AS (SELECT doc_id, rank FROM lex
+           UNION ALL SELECT doc_id, rank FROM vecleg)
          SELECT doc_id,
            CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
            COUNT(*) AS n_legs

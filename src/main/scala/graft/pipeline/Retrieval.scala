@@ -564,6 +564,73 @@ object Retrieval {
     (bmView, bmStats, sq8View)
   }
 
+  /** The ADAPTIVE-TIER hybrid — the margin router serving the fused
+    * ranker from THREE stores at one min-committed batch: the vector
+    * leg probes the SQ8 store and routes only margin-uncertain
+    * queries' candidates through the exact tail funded by the
+    * FULL-VECTOR store ([[Similarity.sq8TopKIndexedAdaptiveRerank]]),
+    * so the deployment's full-vector bytes scale with the query mix's
+    * actual cut-line uncertainty (read `marginPpm` off the
+    * [[Similarity.sq8CutMargins]] census). The min-committed rule
+    * covers the refetch: the int8 ranking and the exact tail can
+    * never mix corpus versions. At marginPpm = 0 this serves exactly
+    * [[hybridFromStoresSq8]]; at a covering margin it is the SQ8 tier
+    * with the full tail. */
+  def hybridFromStoresSq8Adaptive(spark: org.apache.spark.sql.SparkSession,
+                                  bmDoor: Maintenance.Door, bmDir: String,
+                                  nBuckets: Int,
+                                  sq8Door: Maintenance.Door,
+                                  sq8Dir: String,
+                                  cents: Seq[(Long, Array[Double])],
+                                  vecDoor: Maintenance.Door,
+                                  vecDir: String,
+                                  queryVecs: DataFrame,
+                                  qTerms: Seq[String],
+                                  k: Int, legK: Int = 20,
+                                  nprobe: Int = 4, rerankC: Int = 100,
+                                  marginPpm: Long = 0L, k0: Int = 60,
+                                  weights: Seq[Long] = Nil,
+                                  allowed: Option[DataFrame] = None)
+      : DataFrame = {
+    requireSingleQuery(queryVecs)
+    val (bmView, bmStats, sq8View, vectors) =
+      sq8AdaptiveStoreViews(spark, bmDoor, bmDir, sq8Door, sq8Dir,
+        vecDoor, vecDir)
+    val ids = allowed.map(a =>
+      a.select(col(a.columns.head).as("doc_id")))
+    val lex = rankLex(ids.fold(
+      Bm25Index.search(bmView, bmStats.get, qTerms, legK, nBuckets))(a =>
+      Bm25Index.searchFiltered(bmView, bmStats.get, qTerms, legK,
+        nBuckets, a)))
+    val vec = Similarity.sq8TopKIndexedAdaptiveRerank(queryVecs,
+      sq8View, cents, legK, nprobe, rerankC, marginPpm, vectors, ids)
+      .select(col("nid").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, vec), k, k0, weights)
+  }
+
+  /** Resolve the adaptive tier's three stores (BM25 postings, SQ8
+    * codes, full vectors) at ONE committed batch, shaping the
+    * full-vector view as the cell-carrying side table the adaptive
+    * tail's cell-pruned refetch takes. */
+  private def sq8AdaptiveStoreViews(
+      spark: org.apache.spark.sql.SparkSession,
+      bmDoor: Maintenance.Door, bmDir: String,
+      sq8Door: Maintenance.Door, sq8Dir: String,
+      vecDoor: Maintenance.Door, vecDir: String)
+      : (DataFrame, Option[DataFrame], DataFrame, DataFrame) = {
+    import graft.streaming.IndexMaintenanceStream
+    val asOf = Seq(bmDir, sq8Dir, vecDir)
+      .map(IndexMaintenanceStream.committedBatch(spark, _)).min
+    val (bmView, bmStats) =
+      IndexMaintenanceStream.viewAt(spark, bmDoor, bmDir, asOf)
+    val (sq8View, _) =
+      IndexMaintenanceStream.viewAt(spark, sq8Door, sq8Dir, asOf)
+    val (vecView, _) =
+      IndexMaintenanceStream.viewAt(spark, vecDoor, vecDir, asOf)
+    (bmView, bmStats, sq8View,
+      vecView.select(col("cell"), col("nid"), col("ne")))
+  }
+
   /** Resolve the three code-tier stores (BM25 postings, PQ codes, full
     * vectors) at ONE committed batch — min over the three pointers, the
     * [[hybridFromStores]] consistency rule extended to the rerank

@@ -216,6 +216,62 @@ class PqStoreSpec extends AnyFunSuite {
     dropDirs(bmDir, pqDir, vecDir)
   }
 
+  test("adaptive-tier hybrid facade: marginPpm=0 serves the SQ8 " +
+      "hybrid, a covering margin with covering rerankC serves the " +
+      "full-vector hybrid — three stores at one min-committed batch") {
+    val d = docs(90)
+    val emb = embeddings(90)
+    val bmDoor = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val bmDir = java.nio.file.Files
+      .createTempDirectory("pqspec-ada-bm").toString
+    IndexMaintenanceStream.bootstrap(spark, bmDoor, bmDir,
+      Bm25Index.write, d)
+    val oldV: DataFrame => DataFrame =
+      u => u.select(col("doc_id"), col("old_text").as("text"))
+    val bmBatch = d.where(col("doc_id") % 7 === 2)
+      .select(lit("delete").as("op"), col("doc_id"), col("text"),
+        lit(null).cast("string").as("old_text"))
+    IndexMaintenanceStream.applyBatch(spark, bmDoor, bmDir,
+      Bm25Index.write, bmBatch, 0L, Some(oldV))
+    val cents = Similarity.centroids(emb, 8)
+    def cellWrite(df: DataFrame, dst: String, mode: String): Unit =
+      df.write.partitionBy("cell").mode(mode).parquet(dst)
+    val vBatch = emb.where(col("vec_id") % 7 === 2)
+      .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+    val sq8Door = new Maintenance.IvfSq8Door(cents)
+    val sq8Dir = java.nio.file.Files
+      .createTempDirectory("pqspec-ada-sq8").toString
+    IndexMaintenanceStream.bootstrap(spark, sq8Door, sq8Dir, cellWrite,
+      emb)
+    IndexMaintenanceStream.applyBatch(spark, sq8Door, sq8Dir, cellWrite,
+      vBatch, 0L)
+    val vecDoor = new Maintenance.IvfDoor(cents)
+    val vecDir = java.nio.file.Files
+      .createTempDirectory("pqspec-ada-vec").toString
+    IndexMaintenanceStream.bootstrap(spark, vecDoor, vecDir, cellWrite,
+      emb)
+    IndexMaintenanceStream.applyBatch(spark, vecDoor, vecDir, cellWrite,
+      vBatch, 0L)
+    val q = emb.where(col("vec_id") === 2L)
+    def adaptive(marginPpm: Long, rerankC: Int) =
+      Retrieval.hybridFromStoresSq8Adaptive(spark, bmDoor, bmDir,
+        nBuckets, sq8Door, sq8Dir, cents, vecDoor, vecDir, q, qTerms,
+        k = 10, legK = 12, nprobe = 3, rerankC = rerankC,
+        marginPpm = marginPpm)
+    val sq8Hybrid = Retrieval.hybridFromStoresSq8(spark, bmDoor, bmDir,
+      nBuckets, sq8Door, sq8Dir, cents, q, qTerms, k = 10, legK = 12,
+      nprobe = 3)
+    assert(rows(adaptive(0L, 40)) === rows(sq8Hybrid),
+      "marginPpm=0 must serve the bare SQ8-tier hybrid")
+    val fullHybrid = Retrieval.hybridFromStores(spark, bmDoor, bmDir,
+      nBuckets, vecDoor, vecDir, cents, q, qTerms, k = 10, legK = 12,
+      nprobe = 3)
+    assert(rows(adaptive(Long.MaxValue, 1000)) === rows(fullHybrid),
+      "a covering margin + covering rerankC must serve the " +
+        "full-vector hybrid")
+    dropDirs(bmDir, sq8Dir, vecDir)
+  }
+
   test("restart from disk: a door reconstructed from the persisted " +
       "quantizer serves the pre-restart answer; a re-trained door " +
       "fails fast in viewAt AND applyBatch") {
