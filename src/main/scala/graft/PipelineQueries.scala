@@ -26,6 +26,34 @@ object PipelineQueries {
     * ~1e10 rows/group in non-ANSI mode — reachable at 100 TB TPC-H. */
   private def sumExactLong(c: Column): Column = sum(c.cast(dec38)).cast("long")
 
+  /** Run independent fixture phases concurrently (optimization-guide
+    * §2.6: actions are only sequential because the driver calls them
+    * sequentially). The multi-store lifecycle fixtures spend most of
+    * their wall time in per-action driver overhead + tiny parquet
+    * writes on INDEPENDENT store directories; overlapping the store
+    * chains back-fills the executor idle time without changing any
+    * store's content (each chain stays internally ordered, results are
+    * per-directory deterministic). Rethrows the first failure. */
+  private def inParallel(fs: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
+    try {
+      val futs = fs.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = f()
+        })
+      }
+      // surface the ORIGINAL exception (bench/verify print getMessage;
+      // an ExecutionException wrapper would blank it)
+      futs.foreach { fut =>
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
+  }
+
   /** 60 9×7-pixel image specs for the perceptual-dedup fixture; every 10th
     * is its predecessor's image with the (0,0) red channel nudged +5 — the
     * planted near-duplicate (≤ 1 dHash bit apart). */
@@ -930,14 +958,21 @@ object PipelineQueries {
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val del2 = upd1.where(col("vec_id") % 12 === 3)
         .unionByName(del1.orderBy(col("vec_id")).limit(1)) // re-sent
-      pqSt = pipeline.Maintenance.tick(pqDoor, pqStore, pqSt,
-        adds = add1, deletes = del1, updates = upd1)
-      pqSt = pipeline.Maintenance.tick(pqDoor, pqStore, pqSt,
-        adds = empty, deletes = del2, updates = empty)
-      vecSt = pipeline.Maintenance.tick(vecDoor, vecStore, vecSt,
-        adds = add1, deletes = del1, updates = upd1)
-      vecSt = pipeline.Maintenance.tick(vecDoor, vecStore, vecSt,
-        adds = empty, deletes = del2, updates = empty)
+      // the two in-memory stores are independent: overlap their tick
+      // chains (§2.6), each internally ordered
+      inParallel(
+        () => {
+          pqSt = pipeline.Maintenance.tick(pqDoor, pqStore, pqSt,
+            adds = add1, deletes = del1, updates = upd1)
+          pqSt = pipeline.Maintenance.tick(pqDoor, pqStore, pqSt,
+            adds = empty, deletes = del2, updates = empty)
+        },
+        () => {
+          vecSt = pipeline.Maintenance.tick(vecDoor, vecStore, vecSt,
+            adds = add1, deletes = del1, updates = upd1)
+          vecSt = pipeline.Maintenance.tick(vecDoor, vecStore, vecSt,
+            adds = empty, deletes = del2, updates = empty)
+        })
       pipeline.Similarity.ivfPqTopKIndexedPrunedRerank(
         emb.where(col("vec_id") < 5), pqSt.live(pqDoor, pqStore),
         cents, cbs, k = 5, nprobe = 4, rerankC = 15,
@@ -3095,12 +3130,6 @@ object PipelineQueries {
         col("doc_id") % 6 =!= 3)
       val add1 = docs.where(col("doc_id") % 11 === 5)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      bmSt = pipeline.Maintenance.tick(bmDoor, bmStore, bmSt,
-        adds = add1, deletes = del1, updates = upd1new,
-        updatesOld = Some(upd1old))
-      bmSt = pipeline.Maintenance.tick(bmDoor, bmStore, bmSt,
-        adds = dEmpty, deletes = upd1new.where(col("doc_id") % 12 === 3),
-        updates = dEmpty, updatesOld = Some(dEmpty))
       // ---- IVF store: the ann_ivf_lifecycle mutation plan
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
@@ -3117,11 +3146,26 @@ object PipelineQueries {
         col("vec_id") % 6 =!= 3)
       val vAdd1 = emb.where(col("vec_id") % 11 === 5)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      ivfSt = pipeline.Maintenance.tick(ivfDoor, ivfStore, ivfSt,
-        adds = vAdd1, deletes = vDel1, updates = vUpd1)
-      ivfSt = pipeline.Maintenance.tick(ivfDoor, ivfStore, ivfSt,
-        adds = vEmpty, deletes = vUpd1.where(col("vec_id") % 12 === 3),
-        updates = vEmpty)
+      // the two in-memory stores are independent: their tick chains
+      // overlap (§2.6), each chain internally ordered
+      inParallel(
+        () => {
+          bmSt = pipeline.Maintenance.tick(bmDoor, bmStore, bmSt,
+            adds = add1, deletes = del1, updates = upd1new,
+            updatesOld = Some(upd1old))
+          bmSt = pipeline.Maintenance.tick(bmDoor, bmStore, bmSt,
+            adds = dEmpty,
+            deletes = upd1new.where(col("doc_id") % 12 === 3),
+            updates = dEmpty, updatesOld = Some(dEmpty))
+        },
+        () => {
+          ivfSt = pipeline.Maintenance.tick(ivfDoor, ivfStore, ivfSt,
+            adds = vAdd1, deletes = vDel1, updates = vUpd1)
+          ivfSt = pipeline.Maintenance.tick(ivfDoor, ivfStore, ivfSt,
+            adds = vEmpty,
+            deletes = vUpd1.where(col("vec_id") % 12 === 3),
+            updates = vEmpty)
+        })
       // ---- fuse the two serving probes
       val lex = pipeline.Retrieval.rankLex(pipeline.Bm25Index.search(
         pipeline.Dedup.checkpointCorpus(bmSt.live(bmDoor, bmStore)),
@@ -3214,8 +3258,6 @@ object PipelineQueries {
       val bmDoor = new pipeline.Maintenance.Bm25Door(col("text"), 64)
       val bmDir = java.nio.file.Files
         .createTempDirectory("graft-hsb-bm").toString
-      graft.streaming.IndexMaintenanceStream.bootstrap(
-        s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
       val oldV: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame =
         u => u.select(col("doc_id"), col("old_text").as("text"))
@@ -3232,14 +3274,10 @@ object PipelineQueries {
           col("doc_id"),
           concat(col("text"), lit(" shuffle data")).as("text"),
           col("text").as("old_text")))
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
       val b1 = upd1old.where(col("doc_id") % 12 === 3)
         .select(lit("delete").as("op"), col("doc_id"),
           concat(col("text"), lit(" shuffle data")).as("text"),
           lit(null).cast("string").as("old_text"))
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, bmDoor, bmDir, pipeline.Bm25Index.write, b1, 1L, Some(oldV))
       // ---- IVF store: the ann_ivf_lifecycle mutation batches
       val cents = pipeline.Similarity.centroids(emb, 16)
       val ivfDoor = new pipeline.Maintenance.IvfDoor(cents)
@@ -3248,8 +3286,6 @@ object PipelineQueries {
       def ivfWrite(df: org.apache.spark.sql.DataFrame, dst: String,
                    mode: String): Unit =
         df.write.partitionBy("cell").mode(mode).parquet(dst)
-      graft.streaming.IndexMaintenanceStream.bootstrap(
-        s, ivfDoor, ivfDir, ivfWrite, emb)
       val vUpd1 = emb.where(col("vec_id") % 6 === 3)
         .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
       val v0 = emb.where(col("vec_id") % 11 === 5)
@@ -3261,12 +3297,27 @@ object PipelineQueries {
             col("embedding")))
         .unionByName(vUpd1.select(lit("update").as("op"), col("vec_id"),
           col("embedding")))
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, ivfDoor, ivfDir, ivfWrite, v0, 0L)
       val v1 = vUpd1.where(col("vec_id") % 12 === 3)
         .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, ivfDoor, ivfDir, ivfWrite, v1, 1L)
+      // two independent store dirs: the chains overlap (§2.6); each
+      // chain keeps its own batch order (bootstrap → b0 → b1)
+      inParallel(
+        () => {
+          graft.streaming.IndexMaintenanceStream.bootstrap(
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, b1, 1L, Some(oldV))
+        },
+        () => {
+          graft.streaming.IndexMaintenanceStream.bootstrap(
+            s, ivfDoor, ivfDir, ivfWrite, emb)
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, ivfDoor, ivfDir, ivfWrite, v0, 0L)
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, ivfDoor, ivfDir, ivfWrite, v1, 1L)
+        })
       // ---- one consistent batched fusion; eager-checkpoint the tiny
       // result so both temp stores can be dropped before the caller's
       // action runs (the tailer-fixture discipline)
@@ -3303,8 +3354,6 @@ object PipelineQueries {
       val bmDoor = new pipeline.Maintenance.Bm25Door(col("text"), 64)
       val bmDir = java.nio.file.Files
         .createTempDirectory("graft-hpq-bm").toString
-      graft.streaming.IndexMaintenanceStream.bootstrap(
-        s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
       val oldV: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame =
         u => u.select(col("doc_id"), col("old_text").as("text"))
@@ -3321,8 +3370,6 @@ object PipelineQueries {
           col("doc_id"),
           concat(col("text"), lit(" shuffle data")).as("text"),
           col("text").as("old_text")))
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
       // ---- PQ-code store + full-vector store: the same vector batch
       val cents = pipeline.Similarity.centroids(emb, 16)
       val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
@@ -3335,10 +3382,6 @@ object PipelineQueries {
       def cellWrite(df: org.apache.spark.sql.DataFrame, dst: String,
                     mode: String): Unit =
         df.write.partitionBy("cell").mode(mode).parquet(dst)
-      graft.streaming.IndexMaintenanceStream.bootstrap(
-        s, pqDoor, pqDir, cellWrite, emb)
-      graft.streaming.IndexMaintenanceStream.bootstrap(
-        s, vecDoor, vecDir, cellWrite, emb)
       val vUpd1 = emb.where(col("vec_id") % 6 === 3)
         .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
       val v0 = emb.where(col("vec_id") % 11 === 5)
@@ -3350,10 +3393,27 @@ object PipelineQueries {
             col("embedding")))
         .unionByName(vUpd1.select(lit("update").as("op"), col("vec_id"),
           col("embedding")))
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, pqDoor, pqDir, cellWrite, v0, 0L)
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, vecDoor, vecDir, cellWrite, v0, 0L)
+      // the three stores are INDEPENDENT directories; each chain stays
+      // internally ordered (bootstrap → batch), the chains overlap
+      inParallel(
+        () => {
+          graft.streaming.IndexMaintenanceStream.bootstrap(
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+        },
+        () => {
+          graft.streaming.IndexMaintenanceStream.bootstrap(
+            s, pqDoor, pqDir, cellWrite, emb)
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, pqDoor, pqDir, cellWrite, v0, 0L)
+        },
+        () => {
+          graft.streaming.IndexMaintenanceStream.bootstrap(
+            s, vecDoor, vecDir, cellWrite, emb)
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, vecDoor, vecDir, cellWrite, v0, 0L)
+        })
       // ---- one consistent code-tier serving read
       val result = pipeline.Dedup.checkpointCorpus(
         pipeline.Retrieval.hybridFromStoresPq(
@@ -3382,8 +3442,6 @@ object PipelineQueries {
       val bmDoor = new pipeline.Maintenance.Bm25Door(col("text"), 64)
       val bmDir = java.nio.file.Files
         .createTempDirectory("graft-hsq-bm").toString
-      graft.streaming.IndexMaintenanceStream.bootstrap(
-        s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
       val oldV: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame =
         u => u.select(col("doc_id"), col("old_text").as("text"))
@@ -3400,8 +3458,6 @@ object PipelineQueries {
           col("doc_id"),
           concat(col("text"), lit(" shuffle data")).as("text"),
           col("text").as("old_text")))
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
       val cents = pipeline.Similarity.centroids(emb, 16)
       val sq8Door = new pipeline.Maintenance.IvfSq8Door(cents)
       val sq8Dir = java.nio.file.Files
@@ -3409,8 +3465,6 @@ object PipelineQueries {
       def cellWrite(df: org.apache.spark.sql.DataFrame, dst: String,
                     mode: String): Unit =
         df.write.partitionBy("cell").mode(mode).parquet(dst)
-      graft.streaming.IndexMaintenanceStream.bootstrap(
-        s, sq8Door, sq8Dir, cellWrite, emb)
       val vUpd1 = emb.where(col("vec_id") % 6 === 3)
         .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
       val v0 = emb.where(col("vec_id") % 11 === 5)
@@ -3422,8 +3476,20 @@ object PipelineQueries {
             col("embedding")))
         .unionByName(vUpd1.select(lit("update").as("op"), col("vec_id"),
           col("embedding")))
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, sq8Door, sq8Dir, cellWrite, v0, 0L)
+      // independent store dirs: the two chains overlap (§2.6)
+      inParallel(
+        () => {
+          graft.streaming.IndexMaintenanceStream.bootstrap(
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+        },
+        () => {
+          graft.streaming.IndexMaintenanceStream.bootstrap(
+            s, sq8Door, sq8Dir, cellWrite, emb)
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, sq8Door, sq8Dir, cellWrite, v0, 0L)
+        })
       val result = pipeline.Dedup.checkpointCorpus(
         pipeline.Retrieval.hybridFromStoresSq8(
           s, bmDoor, bmDir, 64, sq8Door, sq8Dir, cents,
@@ -3451,8 +3517,6 @@ object PipelineQueries {
       val bmDoor = new pipeline.Maintenance.Bm25Door(col("text"), 64)
       val bmDir = java.nio.file.Files
         .createTempDirectory("graft-hsa-bm").toString
-      graft.streaming.IndexMaintenanceStream.bootstrap(
-        s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
       val oldV: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame =
         u => u.select(col("doc_id"), col("old_text").as("text"))
@@ -3469,8 +3533,6 @@ object PipelineQueries {
           col("doc_id"),
           concat(col("text"), lit(" shuffle data")).as("text"),
           col("text").as("old_text")))
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
       val cents = pipeline.Similarity.centroids(emb, 16)
       val sq8Door = new pipeline.Maintenance.IvfSq8Door(cents)
       val vecDoor = new pipeline.Maintenance.IvfDoor(cents)
@@ -3481,10 +3543,6 @@ object PipelineQueries {
       def cellWrite(df: org.apache.spark.sql.DataFrame, dst: String,
                     mode: String): Unit =
         df.write.partitionBy("cell").mode(mode).parquet(dst)
-      graft.streaming.IndexMaintenanceStream.bootstrap(
-        s, sq8Door, sq8Dir, cellWrite, emb)
-      graft.streaming.IndexMaintenanceStream.bootstrap(
-        s, vecDoor, vecDir, cellWrite, emb)
       val vUpd1 = emb.where(col("vec_id") % 6 === 3)
         .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
       val v0 = emb.where(col("vec_id") % 11 === 5)
@@ -3496,10 +3554,26 @@ object PipelineQueries {
             col("embedding")))
         .unionByName(vUpd1.select(lit("update").as("op"), col("vec_id"),
           col("embedding")))
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, sq8Door, sq8Dir, cellWrite, v0, 0L)
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, vecDoor, vecDir, cellWrite, v0, 0L)
+      // three independent store dirs: the chains overlap (§2.6)
+      inParallel(
+        () => {
+          graft.streaming.IndexMaintenanceStream.bootstrap(
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+        },
+        () => {
+          graft.streaming.IndexMaintenanceStream.bootstrap(
+            s, sq8Door, sq8Dir, cellWrite, emb)
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, sq8Door, sq8Dir, cellWrite, v0, 0L)
+        },
+        () => {
+          graft.streaming.IndexMaintenanceStream.bootstrap(
+            s, vecDoor, vecDir, cellWrite, emb)
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, vecDoor, vecDir, cellWrite, v0, 0L)
+        })
       val result = pipeline.Dedup.checkpointCorpus(
         pipeline.Retrieval.hybridFromStoresSq8Adaptive(
           s, bmDoor, bmDir, 64, sq8Door, sq8Dir, cents,
@@ -3529,8 +3603,6 @@ object PipelineQueries {
       val bmDoor = new pipeline.Maintenance.Bm25Door(col("text"), 64)
       val bmDir = java.nio.file.Files
         .createTempDirectory("graft-hpqf-bm").toString
-      graft.streaming.IndexMaintenanceStream.bootstrap(
-        s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
       val oldV: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame =
         u => u.select(col("doc_id"), col("old_text").as("text"))
@@ -3547,8 +3619,6 @@ object PipelineQueries {
           col("doc_id"),
           concat(col("text"), lit(" shuffle data")).as("text"),
           col("text").as("old_text")))
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
       val cents = pipeline.Similarity.centroids(emb, 16)
       val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
       val pqDoor = new pipeline.Maintenance.IvfPqDoor(cents, cbs)
@@ -3560,10 +3630,6 @@ object PipelineQueries {
       def cellWrite(df: org.apache.spark.sql.DataFrame, dst: String,
                     mode: String): Unit =
         df.write.partitionBy("cell").mode(mode).parquet(dst)
-      graft.streaming.IndexMaintenanceStream.bootstrap(
-        s, pqDoor, pqDir, cellWrite, emb)
-      graft.streaming.IndexMaintenanceStream.bootstrap(
-        s, vecDoor, vecDir, cellWrite, emb)
       val vUpd1 = emb.where(col("vec_id") % 6 === 3)
         .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
       val v0 = emb.where(col("vec_id") % 11 === 5)
@@ -3575,10 +3641,26 @@ object PipelineQueries {
             col("embedding")))
         .unionByName(vUpd1.select(lit("update").as("op"), col("vec_id"),
           col("embedding")))
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, pqDoor, pqDir, cellWrite, v0, 0L)
-      graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, vecDoor, vecDir, cellWrite, v0, 0L)
+      // three independent store dirs: the chains overlap (§2.6)
+      inParallel(
+        () => {
+          graft.streaming.IndexMaintenanceStream.bootstrap(
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+        },
+        () => {
+          graft.streaming.IndexMaintenanceStream.bootstrap(
+            s, pqDoor, pqDir, cellWrite, emb)
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, pqDoor, pqDir, cellWrite, v0, 0L)
+        },
+        () => {
+          graft.streaming.IndexMaintenanceStream.bootstrap(
+            s, vecDoor, vecDir, cellWrite, emb)
+          graft.streaming.IndexMaintenanceStream.applyBatch(
+            s, vecDoor, vecDir, cellWrite, v0, 0L)
+        })
       val result = pipeline.Dedup.checkpointCorpus(
         pipeline.Retrieval.hybridFromStoresPqBatch(
           s, bmDoor, bmDir, 64, pqDoor, pqDir, cents, cbs,

@@ -16,8 +16,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema cache: every schema-less `spark.read.parquet` call pays a
+    * footer-inference Spark job at `read` time, and a query registry
+    * that re-reads the same immutable tables hundreds of times per
+    * session pays it hundreds of times (measured: 1 job per
+    * `Tables.*` call in every bench run). At deployment scale the
+    * same role is played by a catalog table's stored schema. Keyed by
+    * path + the nanos conf (it changes how TIMESTAMP(NANOS) columns
+    * surface); the cached schema is exactly what inference returned,
+    * so reads behave identically. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val key = path + "#nanos=" + spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("")
+    val cached = schemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(key, df.schema)
+      df
+    }
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

@@ -83,6 +83,20 @@ object IndexMaintenanceStream {
     * it from surviving empty dirs. */
   val appendObserveTimeouts = new java.util.concurrent.atomic.AtomicLong()
 
+  /** One inferred row schema per store root (see [[VersionedStore.rows]]).
+    * Bounded defensively: a long-lived serving JVM touching many store
+    * roots clears the map instead of growing without limit (entries are
+    * re-inferred on demand). */
+  private val storeSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private def invalidateStoreSchema(storeDir: String): Unit =
+    storeSchemaCache.remove(storeDir)
+  private def cacheStoreSchema(storeDir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    if (storeSchemaCache.size() > 4096) storeSchemaCache.clear()
+    storeSchemaCache.put(storeDir, schema)
+  }
+
   /** Batch id encoded in a version/dir name: `v_b7`/`base_b7`/
     * `delta_b7` → 7; the boot names → -1. */
   private def parseBatch(version: String): Long =
@@ -208,9 +222,26 @@ object IndexMaintenanceStream {
       val (base, _, deltas) = layout
       // one read per version dir: each is a self-contained
       // hive-partitioned table (a multi-path read would cross-wire
-      // their partition discovery)
-      (base +: deltas).map(n => spark.read.parquet(s"$storeDir/$n"))
-        .reduce(_ unionByName _)
+      // their partition discovery). The store's row schema is one
+      // frozen shape per store root (all version dirs come from the
+      // same door), so it is inferred ONCE per root and supplied to
+      // every later read — a schema-less read.parquet pays a
+      // footer-inference Spark job PER version dir PER resolution
+      // (measured: 7 such jobs in one three-store serving read).
+      // [[bootstrap]] invalidates the entry (the only path that can
+      // change a root's schema is a re-bootstrap with another door).
+      val cached = storeSchemaCache.get(storeDir)
+      val frames =
+        if (cached != null)
+          (base +: deltas).map(n =>
+            spark.read.schema(cached).parquet(s"$storeDir/$n"))
+        else {
+          val first = spark.read.parquet(s"$storeDir/$base")
+          cacheStoreSchema(storeDir, first.schema)
+          first +: deltas.map(n =>
+            spark.read.schema(first.schema).parquet(s"$storeDir/$n"))
+        }
+      frames.reduce(_ unionByName _)
     }
 
     /** Size-tiered compaction signal, consulted by the tick right
@@ -410,6 +441,10 @@ object IndexMaintenanceStream {
   def bootstrap(spark: SparkSession, door: Maintenance.Door, dir: String,
                 writer: (DataFrame, String, String) => Unit,
                 docs: DataFrame): Unit = {
+    // a re-bootstrap may install a different door (different row shape)
+    // under the same root — drop the cached schema before the new base
+    // lands so the next resolution re-infers from it
+    invalidateStoreSchema(s"$dir/store")
     writer(door.stamp(door.index(docs), 0L), s"$dir/store/base_boot",
       "overwrite")
     DocsStream.swapPointer(spark, s"$dir/store", "base_boot")
