@@ -860,7 +860,10 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
       val cents = pipeline.Similarity.centroids(emb, 16)
-      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
+      // same first-16-by-id seed prefix centroids already collected —
+      // derive the codebooks driver-side, no second collect job
+      val cbs = pipeline.Similarity.pqCodebooksFromSeeds(
+        cents.map(_._2).toArray, 8)
       val door = new pipeline.Maintenance.IvfPqDoor(cents, cbs)
       val store = new pipeline.Maintenance.FrameStore(
         pipeline.Similarity.ivfStampGen(
@@ -938,7 +941,10 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
       val cents = pipeline.Similarity.centroids(emb, 16)
-      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
+      // same first-16-by-id seed prefix centroids already collected —
+      // derive the codebooks driver-side, no second collect job
+      val cbs = pipeline.Similarity.pqCodebooksFromSeeds(
+        cents.map(_._2).toArray, 8)
       val pqDoor = new pipeline.Maintenance.IvfPqDoor(cents, cbs)
       val pqStore = new pipeline.Maintenance.FrameStore(
         pipeline.Similarity.ivfStampGen(
@@ -1035,7 +1041,10 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       val q = emb.where(col("vec_id") < 5)
       val cents = pipeline.Similarity.centroids(emb, 16)
-      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
+      // same first-16-by-id seed prefix centroids already collected —
+      // derive the codebooks driver-side, no second collect job
+      val cbs = pipeline.Similarity.pqCodebooksFromSeeds(
+        cents.map(_._2).toArray, 8)
       val index = pipeline.Similarity.ivfPqAssign(emb, cents, cbs)
       pipeline.Retrieval.annPqRecallSweep(q, index, cents, cbs,
         Seq((2, 10), (2, 25), (8, 10), (8, 25)), 5,
@@ -1066,8 +1075,6 @@ object PipelineQueries {
       def cellWrite(df: org.apache.spark.sql.DataFrame, dst: String,
                     mode: String): Unit =
         df.write.partitionBy("cell").mode(mode).parquet(dst)
-      graft.streaming.IndexMaintenanceStream.bootstrap(
-        s, vecDoor, vecDir, cellWrite, emb)
       val vUpd1 = emb.where(col("vec_id") % 6 === 3)
         .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
       val v0 = emb.where(col("vec_id") % 11 === 5)
@@ -1079,11 +1086,18 @@ object PipelineQueries {
             col("embedding")))
         .unionByName(vUpd1.select(lit("update").as("op"), col("vec_id"),
           col("embedding")))
+      graft.streaming.IndexMaintenanceStream.bootstrap(
+        s, vecDoor, vecDir, cellWrite, emb)
       graft.streaming.IndexMaintenanceStream.applyBatch(
         s, vecDoor, vecDir, cellWrite, v0, 0L)
-      // drift remedy: migrate into a PQ store under re-seeded tables
-      val cents8 = pipeline.Similarity.centroids(emb, 8)
-      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
+      // drift remedy: migrate into a PQ store under re-seeded tables.
+      // Both new tables are first-by-id prefixes of the cents16 rows
+      // already collected for the old door (centroids(emb, 8) is the
+      // first 8; the codebook seeds are all 16) — derive them
+      // driver-side, zero extra training jobs, identical values
+      val cents8 = cents16.take(8)
+      val cbs = pipeline.Similarity.pqCodebooksFromSeeds(
+        cents16.map(_._2).toArray, 8)
       val pqDoor = new pipeline.Maintenance.IvfPqDoor(cents8, cbs)
       graft.streaming.IndexMaintenanceStream.reseed(
         s, vecDoor, vecDir, pqDoor, newDir, cellWrite)
@@ -1155,9 +1169,13 @@ object PipelineQueries {
       // feed: batch 0 → old store (pointer names it)
       graft.streaming.IndexMaintenanceStream.applyBatch(
         s, vecDoor, vecDir, cellWrite, fetch(0L), 0L)
-      // drift remedy begins: reseed into a PQ store under NEW tables
-      val cents8 = pipeline.Similarity.centroids(emb, 8)
-      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
+      // drift remedy begins: reseed into a PQ store under NEW tables.
+      // Both are first-by-id prefixes of the cents16 rows already
+      // collected for the old door — derived driver-side, zero extra
+      // training jobs, identical values
+      val cents8 = cents16.take(8)
+      val cbs = pipeline.Similarity.pqCodebooksFromSeeds(
+        cents16.map(_._2).toArray, 8)
       val pqDoor = new pipeline.Maintenance.IvfPqDoor(cents8, cbs)
       val asOf = graft.streaming.IndexMaintenanceStream.reseed(
         s, vecDoor, vecDir, pqDoor, newDir, cellWrite)
@@ -3372,7 +3390,10 @@ object PipelineQueries {
           col("text").as("old_text")))
       // ---- PQ-code store + full-vector store: the same vector batch
       val cents = pipeline.Similarity.centroids(emb, 16)
-      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
+      // same first-16-by-id seed prefix centroids already collected —
+      // derive the codebooks driver-side, no second collect job
+      val cbs = pipeline.Similarity.pqCodebooksFromSeeds(
+        cents.map(_._2).toArray, 8)
       val pqDoor = new pipeline.Maintenance.IvfPqDoor(cents, cbs)
       val vecDoor = new pipeline.Maintenance.IvfDoor(cents)
       val pqDir = java.nio.file.Files
@@ -3620,7 +3641,10 @@ object PipelineQueries {
           concat(col("text"), lit(" shuffle data")).as("text"),
           col("text").as("old_text")))
       val cents = pipeline.Similarity.centroids(emb, 16)
-      val cbs = pipeline.Similarity.pqCodebooks(emb, 8, 16)
+      // same first-16-by-id seed prefix centroids already collected —
+      // derive the codebooks driver-side, no second collect job
+      val cbs = pipeline.Similarity.pqCodebooksFromSeeds(
+        cents.map(_._2).toArray, 8)
       val pqDoor = new pipeline.Maintenance.IvfPqDoor(cents, cbs)
       val vecDoor = new pipeline.Maintenance.IvfDoor(cents)
       val pqDir = java.nio.file.Files

@@ -455,8 +455,16 @@ object Maintenance {
     * with the same guards. Writes are state-sized (tombstone table +
     * a small text file), never store-sized. */
   def saveState(st: State, dir: String,
-                extraProps: Map[String, String] = Map.empty): Unit = {
-    st.tombstones.write.mode("overwrite").parquet(s"$dir/tombstones")
+                extraProps: Map[String, String] = Map.empty,
+                tombstonesKnownEmpty: Boolean = false): Unit = {
+    // a caller that KNOWS the tombstone table is empty (bootstrap — its
+    // state is initialState's zero-row frame by construction) skips the
+    // parquet write whole: an empty write still pays a full Spark write
+    // action, and every lifecycle store pays it once per bootstrap. The
+    // meta carries `tombEmpty` and loadState rebuilds the empty frame
+    // from `tombSchema` as a LocalRelation — zero jobs both sides.
+    if (!tombstonesKnownEmpty)
+      st.tombstones.write.mode("overwrite").parquet(s"$dir/tombstones")
     // through the Hadoop FS layer like the parquet half, so the
     // whole snapshot may live on HDFS/S3A (java.nio would silently
     // treat a scheme-qualified dir as a relative local path)
@@ -471,6 +479,7 @@ object Maintenance {
     props.setProperty("nextGen", st.nextGen.toString)
     props.setProperty("compactions", st.compactions.toString)
     props.setProperty("tombSchema", st.tombstones.schema.toDDL)
+    if (tombstonesKnownEmpty) props.setProperty("tombEmpty", "1")
     // caller-supplied identity lines (the streaming layer rides the
     // door's quantizer hash here, so the per-batch pointer read IS the
     // identity check); names must not collide with the fixed keys
@@ -553,7 +562,17 @@ object Maintenance {
         Some(rd("stats", "statsSchema"))
       else None
     }
-    (State(rd("tombstones", "tombSchema"), stats,
+    // a snapshot saved with tombstonesKnownEmpty carries no tombstone
+    // parquet at all: rebuild the empty frame from the schema line as a
+    // LocalRelation (zero Spark jobs, exactly what the writer held)
+    val tombs =
+      if (meta.getProperty("tombEmpty") != null)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            meta.getProperty("tombSchema")))
+      else rd("tombstones", "tombSchema")
+    (State(tombs, stats,
       meta.getProperty("nextGen").toLong,
       meta.getProperty("compactions").toLong), meta)
   }

@@ -414,6 +414,17 @@ object Similarity {
         case f: Float => f.toDouble
         case d: Double => d
       }.toArray)
+    pqCodebooksFromSeeds(seeds, m)
+  }
+
+  /** [[pqCodebooks]] from ALREADY-collected seed vectors — the same
+    * slicing with no Spark job. A caller that has run
+    * `centroids(corpus, ksub)` already holds exactly the first-`ksub`
+    * vectors the seed collect would fetch (same order-by-id prefix), so
+    * deriving the codebooks from them saves one collect job per trained
+    * fixture without changing a single table value. */
+  def pqCodebooksFromSeeds(seeds: Array[Array[Double]], m: Int)
+      : Array[Array[Array[Double]]] = {
     val subDim = seeds(0).length / m
     Array.tabulate(m) { s =>
       seeds.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))

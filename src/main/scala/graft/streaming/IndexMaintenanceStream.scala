@@ -453,7 +453,11 @@ object IndexMaintenanceStream {
     // every later batch's — applyBatch re-stamps it), so the identity
     // check rides the state read every apply/view already pays; the
     // full tables also persist as their own file for loadQuantizer
-    Maintenance.saveState(st, s"$dir/state/v_boot", quantizerProps(door))
+    // initialState's tombstone table is the zero-row frame by
+    // construction — skip its parquet write (one Spark write action per
+    // bootstrapped store; loadState rebuilds the empty frame meta-side)
+    Maintenance.saveState(st, s"$dir/state/v_boot", quantizerProps(door),
+      tombstonesKnownEmpty = true)
     door.quantizer.foreach { q =>
       Maintenance.Quantizer.save(spark, quantizerPath(dir), q)
     }

@@ -671,4 +671,41 @@ class MaintenanceSpec extends AnyFunSuite {
       "the side file must not survive a completed save")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("saveState(tombstonesKnownEmpty): no tombstone parquet is " +
+      "written, loadState rebuilds the empty frame from the meta, and " +
+      "the first tick over the reloaded state equals the tick over the " +
+      "in-memory state") {
+    val dir = java.nio.file.Files.createTempDirectory("mtombs0").toString
+    val ids = (0L until 40L).map(_ -> 0)
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val (p0, s0) = Bm25Index.build(docs(ids), col("doc_id"),
+      col("text"), nBuckets)
+    val st = Maintenance.initialState(spark, door, Some(s0))
+    Maintenance.saveState(st, s"$dir/state", tombstonesKnownEmpty = true)
+    assert(!new java.io.File(s"$dir/state/tombstones").exists(),
+      "the empty tombstone table must not be written as parquet")
+    val st2 = Maintenance.loadState(spark, s"$dir/state")
+    assert(st2.tombstones.schema === st.tombstones.schema)
+    assert(st2.tombstones.count() === 0L)
+    assert(st2.nextGen === st.nextGen)
+    assert(st2.stats.get.collect().toSeq === st.stats.get.collect().toSeq)
+    // the reloaded empty tombstones behave exactly like the in-memory
+    // zero-row frame under a real tick (guard joins, demotion, fold)
+    val storeA = new Maintenance.FrameStore(Bm25Index.stampGen(p0, 0L))
+    val storeB = new Maintenance.FrameStore(Bm25Index.stampGen(p0, 0L))
+    def runTick(s0v: Maintenance.State,
+                store: Maintenance.Store): Maintenance.State =
+      Maintenance.tick(door, store, s0v,
+        adds = docs(Seq(40L -> 0)),
+        deletes = docs(Seq(1L -> 0)),
+        updates = docs(Seq(2L -> 1)),
+        updatesOld = Some(docs(Seq(2L -> 0))))
+    val a = runTick(st, storeA)
+    val b = runTick(st2, storeB)
+    assert(a.stats.get.collect().toSeq === b.stats.get.collect().toSeq)
+    assert(a.tombstones.orderBy("doc_id").collect().toSeq
+      === b.tombstones.orderBy("doc_id").collect().toSeq)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
