@@ -34,7 +34,7 @@ object PipelineQueries {
     * chains back-fills the executor idle time without changing any
     * store's content (each chain stays internally ordered, results are
     * per-directory deterministic). Rethrows the first failure. */
-  private def inParallel(fs: (() => Unit)*): Unit = {
+  private[graft] def inParallel(fs: (() => Unit)*): Unit = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
     try {
       val futs = fs.map { f =>
@@ -43,11 +43,22 @@ object PipelineQueries {
         })
       }
       // surface the ORIGINAL exception (bench/verify print getMessage;
-      // an ExecutionException wrapper would blank it)
+      // an ExecutionException wrapper would blank it). On failure, STOP
+      // the sibling chains before unwinding: a plain shutdown() lets
+      // them keep running Spark jobs and writing their temp store dirs
+      // while the caller (bench/verify) is already deleting those dirs
+      // or timing the next query — failure-path races and timing
+      // contamination. Cancel-with-interrupt plus a bounded drain keeps
+      // the failure path quiet; chains are fixture-sized, so the drain
+      // bound is generous, and timing out only degrades to the old
+      // behavior (unwind with a straggler alive), logged by the await.
       futs.foreach { fut =>
         try fut.get()
         catch {
           case e: java.util.concurrent.ExecutionException =>
+            futs.foreach(_.cancel(true))
+            pool.shutdownNow()
+            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
             throw e.getCause
         }
       }
@@ -1089,7 +1100,8 @@ object PipelineQueries {
       graft.streaming.IndexMaintenanceStream.bootstrap(
         s, vecDoor, vecDir, cellWrite, emb)
       graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, vecDoor, vecDir, cellWrite, v0, 0L)
+        s, vecDoor, vecDir, cellWrite, v0, 0L,
+            knownDeltaEmpty = Some(false))
       // drift remedy: migrate into a PQ store under re-seeded tables.
       // Both new tables are first-by-id prefixes of the cents16 rows
       // already collected for the old door (centroids(emb, 8) is the
@@ -1168,7 +1180,8 @@ object PipelineQueries {
       }
       // feed: batch 0 → old store (pointer names it)
       graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, vecDoor, vecDir, cellWrite, fetch(0L), 0L)
+        s, vecDoor, vecDir, cellWrite, fetch(0L), 0L,
+        knownDeltaEmpty = Some(false)) // batch 0 carries adds/updates
       // drift remedy begins: reseed into a PQ store under NEW tables.
       // Both are first-by-id prefixes of the cents16 rows already
       // collected for the old door — derived driver-side, zero extra
@@ -1183,15 +1196,21 @@ object PipelineQueries {
       // the migration is in flight — the batch a hand-rolled cutover
       // loses
       graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, vecDoor, vecDir, cellWrite, fetch(1L), 1L)
+        s, vecDoor, vecDir, cellWrite, fetch(1L), 1L,
+        knownDeltaEmpty = Some(true)) // batch 1 is delete-only
       graft.streaming.IndexMaintenanceStream.cutover(
         s, pqDoor, newDir, vecDir, cellWrite, fetch, servingDir, asOf,
-        graceMs = 100L)
+        graceMs = 100L,
+        // the feed's own log knowledge: only batches 0 (mixed) and 2
+        // (add-only) carry add/update rows; 1 is delete-only and every
+        // never-committed id fetches the empty delete frame
+        knownDeltaEmpty = b => Some(b != 0L && b != 2L))
       // post-repoint: the feed's next batch follows the pointer
       val servedDir = graft.streaming.DocsStream
         .readPointer(s, servingDir).get
       graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, pqDoor, servedDir, cellWrite, fetch(2L), 2L)
+        s, pqDoor, servedDir, cellWrite, fetch(2L), 2L,
+        knownDeltaEmpty = Some(false)) // batch 2 is add-only
       val (view, _) = graft.streaming.IndexMaintenanceStream
         .currentView(s, pqDoor, servedDir)
       val result = pipeline.Dedup.checkpointCorpus(
@@ -3021,13 +3040,15 @@ object PipelineQueries {
           concat(col("text"), lit(" shuffle data")).as("text"),
           col("text").as("old_text")))
       graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, door, dir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+        s, door, dir, pipeline.Bm25Index.write, b0, 0L, Some(oldV),
+            knownDeltaEmpty = Some(false))
       val b1 = upd1old.where(col("doc_id") % 12 === 3)
         .select(lit("delete").as("op"), col("doc_id"),
           concat(col("text"), lit(" shuffle data")).as("text"),
           lit(null).cast("string").as("old_text"))
       graft.streaming.IndexMaintenanceStream.applyBatch(
-        s, door, dir, pipeline.Bm25Index.write, b1, 1L, Some(oldV))
+        s, door, dir, pipeline.Bm25Index.write, b1, 1L, Some(oldV),
+            knownDeltaEmpty = Some(true))
       val (live, stats) = graft.streaming.IndexMaintenanceStream
         .currentView(s, door, dir)
       // eager-checkpoint the tiny RESULT so nothing downstream reads
@@ -3324,17 +3345,21 @@ object PipelineQueries {
           graft.streaming.IndexMaintenanceStream.bootstrap(
             s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV),
+            knownDeltaEmpty = Some(false))
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, bmDoor, bmDir, pipeline.Bm25Index.write, b1, 1L, Some(oldV))
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, b1, 1L, Some(oldV),
+            knownDeltaEmpty = Some(true))
         },
         () => {
           graft.streaming.IndexMaintenanceStream.bootstrap(
             s, ivfDoor, ivfDir, ivfWrite, emb)
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, ivfDoor, ivfDir, ivfWrite, v0, 0L)
+            s, ivfDoor, ivfDir, ivfWrite, v0, 0L,
+            knownDeltaEmpty = Some(false))
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, ivfDoor, ivfDir, ivfWrite, v1, 1L)
+            s, ivfDoor, ivfDir, ivfWrite, v1, 1L,
+            knownDeltaEmpty = Some(true))
         })
       // ---- one consistent batched fusion; eager-checkpoint the tiny
       // result so both temp stores can be dropped before the caller's
@@ -3421,19 +3446,22 @@ object PipelineQueries {
           graft.streaming.IndexMaintenanceStream.bootstrap(
             s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV),
+            knownDeltaEmpty = Some(false))
         },
         () => {
           graft.streaming.IndexMaintenanceStream.bootstrap(
             s, pqDoor, pqDir, cellWrite, emb)
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, pqDoor, pqDir, cellWrite, v0, 0L)
+            s, pqDoor, pqDir, cellWrite, v0, 0L,
+            knownDeltaEmpty = Some(false))
         },
         () => {
           graft.streaming.IndexMaintenanceStream.bootstrap(
             s, vecDoor, vecDir, cellWrite, emb)
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, vecDoor, vecDir, cellWrite, v0, 0L)
+            s, vecDoor, vecDir, cellWrite, v0, 0L,
+            knownDeltaEmpty = Some(false))
         })
       // ---- one consistent code-tier serving read
       val result = pipeline.Dedup.checkpointCorpus(
@@ -3503,13 +3531,15 @@ object PipelineQueries {
           graft.streaming.IndexMaintenanceStream.bootstrap(
             s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV),
+            knownDeltaEmpty = Some(false))
         },
         () => {
           graft.streaming.IndexMaintenanceStream.bootstrap(
             s, sq8Door, sq8Dir, cellWrite, emb)
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, sq8Door, sq8Dir, cellWrite, v0, 0L)
+            s, sq8Door, sq8Dir, cellWrite, v0, 0L,
+            knownDeltaEmpty = Some(false))
         })
       val result = pipeline.Dedup.checkpointCorpus(
         pipeline.Retrieval.hybridFromStoresSq8(
@@ -3581,19 +3611,22 @@ object PipelineQueries {
           graft.streaming.IndexMaintenanceStream.bootstrap(
             s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV),
+            knownDeltaEmpty = Some(false))
         },
         () => {
           graft.streaming.IndexMaintenanceStream.bootstrap(
             s, sq8Door, sq8Dir, cellWrite, emb)
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, sq8Door, sq8Dir, cellWrite, v0, 0L)
+            s, sq8Door, sq8Dir, cellWrite, v0, 0L,
+            knownDeltaEmpty = Some(false))
         },
         () => {
           graft.streaming.IndexMaintenanceStream.bootstrap(
             s, vecDoor, vecDir, cellWrite, emb)
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, vecDoor, vecDir, cellWrite, v0, 0L)
+            s, vecDoor, vecDir, cellWrite, v0, 0L,
+            knownDeltaEmpty = Some(false))
         })
       val result = pipeline.Dedup.checkpointCorpus(
         pipeline.Retrieval.hybridFromStoresSq8Adaptive(
@@ -3671,19 +3704,22 @@ object PipelineQueries {
           graft.streaming.IndexMaintenanceStream.bootstrap(
             s, bmDoor, bmDir, pipeline.Bm25Index.write, docs)
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV))
+            s, bmDoor, bmDir, pipeline.Bm25Index.write, b0, 0L, Some(oldV),
+            knownDeltaEmpty = Some(false))
         },
         () => {
           graft.streaming.IndexMaintenanceStream.bootstrap(
             s, pqDoor, pqDir, cellWrite, emb)
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, pqDoor, pqDir, cellWrite, v0, 0L)
+            s, pqDoor, pqDir, cellWrite, v0, 0L,
+            knownDeltaEmpty = Some(false))
         },
         () => {
           graft.streaming.IndexMaintenanceStream.bootstrap(
             s, vecDoor, vecDir, cellWrite, emb)
           graft.streaming.IndexMaintenanceStream.applyBatch(
-            s, vecDoor, vecDir, cellWrite, v0, 0L)
+            s, vecDoor, vecDir, cellWrite, v0, 0L,
+            knownDeltaEmpty = Some(false))
         })
       val result = pipeline.Dedup.checkpointCorpus(
         pipeline.Retrieval.hybridFromStoresPqBatch(

@@ -24,10 +24,28 @@ object Tables {
     * same role is played by a catalog table's stored schema. Keyed by
     * path + the nanos conf (it changes how TIMESTAMP(NANOS) columns
     * surface); the cached schema is exactly what inference returned,
-    * so reads behave identically. */
+    * so reads behave identically.
+    *
+    * ASSUMPTION (documented contract): the driver-provided tables are
+    * IMMUTABLE for the life of the JVM — the driver generates each SF
+    * directory once and never rewrites it. A harness that regenerates
+    * fixture parquet at the same path inside one JVM must call
+    * [[invalidateSchemaCache]] first, or reads serve the stale shape.
+    * Bounded like the streaming layer's store-schema cache: a
+    * long-lived serving JVM touching unbounded distinct paths clears
+    * the map instead of growing without limit (entries re-infer). */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.types.StructType]()
+  private val SchemaCacheMax = 4096
+
+  /** Drop cached schemas — all of them, or only entries under `dir`
+    * (the regeneration hook for test/dev harnesses that rewrite a
+    * fixture directory in-JVM). */
+  def invalidateSchemaCache(dir: Option[String] = None): Unit = dir match {
+    case None => schemaCache.clear()
+    case Some(d) => schemaCache.keySet.removeIf(_.startsWith(d)); ()
+  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -37,6 +55,7 @@ object Tables {
     if (cached != null) spark.read.schema(cached).parquet(path)
     else {
       val df = spark.read.parquet(path)
+      if (schemaCache.size() > SchemaCacheMax) schemaCache.clear()
       schemaCache.put(key, df.schema)
       df
     }

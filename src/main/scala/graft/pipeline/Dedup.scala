@@ -534,10 +534,20 @@ object Dedup {
     * anti-join at all (spec-pinned). */
   def compactNeeded(tombstones: DataFrame,
                     thresholdBytes: Long = 10L << 20,
-                    bytesPerRow: Long = 64L): Boolean = {
+                    bytesPerRow: Long = 64L): Boolean =
+    compactNeededFromCount(tombstones.count(), thresholdBytes, bytesPerRow)
+
+  /** [[compactNeeded]] from an already-known tombstone row count — the
+    * job-free form for callers that observed the count inside an action
+    * they ran anyway (`Maintenance.saveState`'s snapshot write). Same
+    * arithmetic, same thresholds: the two forms make the identical
+    * decision on the identical number. */
+  def compactNeededFromCount(nTombstones: Long,
+                             thresholdBytes: Long = 10L << 20,
+                             bytesPerRow: Long = 64L): Boolean = {
     require(thresholdBytes > 0 && bytesPerRow > 0,
       "compactNeeded thresholds must be positive")
-    tombstones.count() * bytesPerRow > thresholdBytes
+    nTombstones * bytesPerRow > thresholdBytes
   }
 
   /** Resolve candidate pairs (ida < idb) into duplicate clusters: every

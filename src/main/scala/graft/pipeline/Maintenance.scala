@@ -456,15 +456,37 @@ object Maintenance {
     * a small text file), never store-sized. */
   def saveState(st: State, dir: String,
                 extraProps: Map[String, String] = Map.empty,
-                tombstonesKnownEmpty: Boolean = false): Unit = {
+                tombstonesKnownEmpty: Boolean = false): Long = {
     // a caller that KNOWS the tombstone table is empty (bootstrap — its
     // state is initialState's zero-row frame by construction) skips the
     // parquet write whole: an empty write still pays a full Spark write
     // action, and every lifecycle store pays it once per bootstrap. The
     // meta carries `tombEmpty` and loadState rebuilds the empty frame
     // from `tombSchema` as a LocalRelation — zero jobs both sides.
-    if (!tombstonesKnownEmpty)
-      st.tombstones.write.mode("overwrite").parquet(s"$dir/tombstones")
+    //
+    // RETURNS the tombstone row count OBSERVED inside the write action
+    // itself (0 when known-empty, -1 when the observation timed out):
+    // the compaction trigger ([[Dedup.compactNeededFromCount]] =
+    // count × bytesPerRow vs threshold) needs exactly this number, and
+    // riding it on the write lets the streaming applyBatch skip the
+    // trigger's separate count() job per batch. Bounded await, the
+    // VersionedStore.append discipline — a timeout degrades to the
+    // caller re-counting, never a hang or a silently wrong decision.
+    var observed = 0L
+    if (!tombstonesKnownEmpty) {
+      val obs = org.apache.spark.sql.Observation()
+      st.tombstones.observe(obs, count(lit(1)).as("rows"))
+        .write.mode("overwrite").parquet(s"$dir/tombstones")
+      val timeoutSec = st.tombstones.sparkSession.conf.get(
+        "spark.graft.appendObserveTimeoutSec", "30").toLong
+      observed = try {
+        scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(timeoutSec, "s"))
+          .getAs[Long]("rows")
+      } catch {
+        case _: java.util.concurrent.TimeoutException => -1L
+      }
+    }
     // through the Hadoop FS layer like the parquet half, so the
     // whole snapshot may live on HDFS/S3A (java.nio would silently
     // treat a scheme-qualified dir as a relative local path)
@@ -514,6 +536,7 @@ object Maintenance {
       }
     }
     try props.store(out, null) finally out.close()
+    observed
   }
 
   /** Reload a [[saveState]] snapshot. The tombstone frame comes back as
@@ -629,7 +652,8 @@ object Maintenance {
            updatesOld: Option[DataFrame] = None,
            compactThresholdBytes: Long = 10L << 20,
            checkpoint: DataFrame => DataFrame = _.localCheckpoint(),
-           deltaEmpty: Boolean = false)
+           deltaEmpty: Boolean = false,
+           deferCompaction: Boolean = false)
       : State = {
     val spark = st.tombstones.sparkSession
     val gen = st.nextGen
@@ -676,20 +700,26 @@ object Maintenance {
           .otherwise(col("upto_gen")).as("upto_gen"))
 
     // ---- one appended delta, one generation stamp; adds and fresh
-    // updates each pass the door ONCE (indexWithStats) — their rows
-    // feed the append and their stats feed the fold from the same
-    // parse, instead of tokenizing every delta a second time. A caller
-    // that KNOWS adds and updates are row-free (`deltaEmpty` — the
-    // streaming tailer's delete-only op census) skips the append job
-    // and the zero-contribution stats legs whole: a retention-
-    // enforcement feed pays no per-batch write at all.
+    // updates pass the door ONCE, TOGETHER (indexWithStats over their
+    // union): their rows feed the append and their stats feed the fold
+    // from the same parse, instead of tokenizing every delta a second
+    // time. Indexing the union is row-identical to indexing each part
+    // (the tick contract pins adds/updates ids disjoint, and every
+    // door's index() is per-document), and the fold sums its legs, so
+    // the single union-level stats row ≡ the two per-part rows — while
+    // paying ONE shared-parse checkpoint per batch instead of two
+    // (measured: each buildShared materialization is its own Spark
+    // job). A caller that KNOWS adds and updates are row-free
+    // (`deltaEmpty` — the streaming tailer's delete-only op census)
+    // skips the append job and the zero-contribution stats leg whole:
+    // a retention-enforcement feed pays no per-batch write at all.
     val (addStats, updStats) =
       if (deltaEmpty) (None, None)
       else {
-        val (addRows, aS) = door.indexWithStats(adds)
-        val (updRows, uS) = door.indexWithStats(freshNewU)
-        store.append(door.stamp(updRows.unionByName(addRows), gen))
-        (aS, uS)
+        val (deltaRows, s) =
+          door.indexWithStats(freshNewU.unionByName(adds))
+        store.append(door.stamp(deltaRows, gen))
+        (s, None)
       }
 
     // ---- stats fold: adds and update-new positive, deletes and
@@ -714,8 +744,15 @@ object Maintenance {
     var tombs2 = checkpoint(
       demoted.unionByName(delTombs).unionByName(updTombs))
     var compactions = st.compactions
-    if (Dedup.compactNeeded(tombs2, compactThresholdBytes) ||
-        store.fragmented) {
+    // `deferCompaction`: a caller that PERSISTS the state right after
+    // the tick (the streaming applyBatch) runs this same two-sided
+    // trigger itself, reading the tombstone count off the snapshot
+    // write's observation instead of paying compactNeeded's separate
+    // count() job — same numbers, same decision, one fewer action per
+    // batch. In-memory callers (FrameStore soaks) keep the inline check.
+    if (!deferCompaction &&
+        (Dedup.compactNeeded(tombs2, compactThresholdBytes) ||
+          store.fragmented)) {
       store.rewrite(door.applyTombstones(store.rows, tombs2))
       tombs2 = emptyTombstones(spark, door)
       compactions += 1

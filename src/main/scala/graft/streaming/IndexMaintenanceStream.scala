@@ -445,10 +445,17 @@ object IndexMaintenanceStream {
     // under the same root — drop the cached schema before the new base
     // lands so the next resolution re-infers from it
     invalidateStoreSchema(s"$dir/store")
-    writer(door.stamp(door.index(docs), 0L), s"$dir/store/base_boot",
+    // ONE pass over the corpus for a stats-keeping door: indexWithStats
+    // shares the parse (BM25's tokenization rides a lazy checkpoint the
+    // base write materializes; the stats snap then reads the blocks
+    // back) — index(docs) + statsDelta(docs) tokenized the corpus TWICE
+    // per bootstrap. Stats-free doors compose the same two calls as
+    // before (statsDelta = None), bit-identical either way.
+    val (baseRows, baseStats) = door.indexWithStats(docs)
+    writer(door.stamp(baseRows, 0L), s"$dir/store/base_boot",
       "overwrite")
     DocsStream.swapPointer(spark, s"$dir/store", "base_boot")
-    val st = Maintenance.initialState(spark, door, door.statsDelta(docs))
+    val st = Maintenance.initialState(spark, door, baseStats)
     // the door's quantizer hash rides in the snapshot's meta (and in
     // every later batch's — applyBatch re-stamps it), so the identity
     // check rides the state read every apply/view already pays; the
@@ -479,7 +486,8 @@ object IndexMaintenanceStream {
                  oldVersion: Option[DataFrame => DataFrame] = None,
                  compactThresholdBytes: Long = 10L << 20,
                  maxDeltas: Int = 16,
-                 maxDeltaBytesRatio: Double = 1.0): Unit = {
+                 maxDeltaBytesRatio: Double = 1.0,
+                 knownDeltaEmpty: Option[Boolean] = None): Unit = {
     val applied = DocsStream.readPointer(spark, s"$dir/state")
     val store = new VersionedStore(spark, s"$dir/store", writer, batchId,
       maxDeltas, maxDeltaBytesRatio)
@@ -503,29 +511,65 @@ object IndexMaintenanceStream {
       batch.where(col("op") === op).select(payload: _*)
     val updates = part("update")
     // a delete-only batch (the normal shape of a retention-enforcement
-    // feed) appends nothing — detect it with one short-circuiting
-    // delta-sized probe (limit 1 stops at the first add/update row) and
-    // the tick skips the delta write job whole: no empty parquet write,
-    // no delta dir to drop (r14 paid a full write-then-probe per such
-    // batch)
-    val deltaEmpty = batch.where(col("op").isin("add", "update"))
-      .limit(1).count() == 0L
+    // feed) appends nothing — a caller that KNOWS the batch's op census
+    // says so (`knownDeltaEmpty`: Some(true) asserts NO add/update rows
+    // — violating that loses the rows; Some(false) asserts some may be
+    // present — always safe) and the probe job disappears; otherwise
+    // one short-circuiting delta-sized probe (limit 1 stops at the
+    // first add/update row) and the tick skips the delta write job
+    // whole: no empty parquet write, no delta dir to drop (r14 paid a
+    // full write-then-probe per such batch)
+    val deltaEmpty = knownDeltaEmpty.getOrElse(
+      batch.where(col("op").isin("add", "update"))
+        .limit(1).count() == 0L)
     // checkpoint = identity: the tick's default eager localCheckpoint
     // of the tombstone union costs one job per batch to truncate a
     // lineage that HERE never accumulates — this batch's tombstones are
     // persisted by saveState and the next batch reloads them as a
     // parquet scan, so the union tower the checkpoint guards against
     // (the in-memory FrameStore soak shape) cannot form. The
-    // compactNeeded count and the saveState write each walk the
-    // one-batch lineage once — both delta/tombstone-sized.
+    // saveState write walks the one-batch lineage once —
+    // delta/tombstone-sized.
     val st2 = Maintenance.tick(door, store, st,
       adds = part("add"), deletes = part("delete"), updates = updates,
       updatesOld = oldVersion.map(f => f(updates)),
       compactThresholdBytes = compactThresholdBytes,
       checkpoint = identity,
-      deltaEmpty = deltaEmpty)
-    Maintenance.saveState(st2, s"$dir/state/v_b$batchId",
-      quantizerProps(door))
+      deltaEmpty = deltaEmpty,
+      deferCompaction = true)
+    // persist the snapshot FIRST: the compaction trigger's tombstone
+    // count is OBSERVED inside this same write action (guide §1.4 —
+    // one action carries both numbers), so a non-compacting batch (the
+    // overwhelmingly common case) pays ONE state write and NO separate
+    // compactNeeded count() job. The decision is the tick's own
+    // two-sided trigger on the identical count; a fired trigger stages
+    // the rewrite and RE-SNAPSHOTS the post-compaction state (empty
+    // tombstones ride the meta — no second parquet write) before the
+    // pointer swap. The commit point is unchanged: a crash anywhere
+    // in between replays the whole batch from the pre-batch state.
+    val snapDir = s"$dir/state/v_b$batchId"
+    val qProps = quantizerProps(door)
+    val observed = Maintenance.saveState(st2, snapDir, qProps)
+    val needCompact = (if (observed >= 0)
+        graft.pipeline.Dedup.compactNeededFromCount(
+          observed, compactThresholdBytes)
+      else // observation timed out — degrade to the counting form
+        graft.pipeline.Dedup.compactNeeded(
+          st2.tombstones, compactThresholdBytes)) ||
+      store.fragmented
+    if (needCompact) {
+      store.rewrite(door.applyTombstones(store.rows, st2.tombstones))
+      val cleared = st2.copy(
+        tombstones = Maintenance.emptyTombstones(spark, door),
+        compactions = st2.compactions + 1)
+      Maintenance.saveState(cleared, snapDir, qProps,
+        tombstonesKnownEmpty = true)
+      // the superseded tombstone rows are unreachable (the meta now
+      // says tombEmpty) — drop the dir rather than strand it
+      val sp = new org.apache.hadoop.fs.Path(s"$snapDir/tombstones")
+      sp.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(sp, true)
+    }
     DocsStream.swapPointer(spark, s"$dir/state", s"v_b$batchId")
     // ---- committed. Everything below is housekeeping a crash may
     // skip and a replay (or the next batch) re-runs.
@@ -693,7 +737,9 @@ object IndexMaintenanceStream {
               writer: (DataFrame, String, String) => Unit,
               fetch: Long => DataFrame, servingDir: String, asOf: Long,
               oldVersion: Option[DataFrame => DataFrame] = None,
-              graceMs: Long = 5000, pollMs: Long = 25): Long = {
+              graceMs: Long = 5000, pollMs: Long = 25,
+              knownDeltaEmpty: Long => Option[Boolean] = _ => None)
+      : Long = {
     val cur = DocsStream.readPointer(spark, servingDir)
     // a replay of a COMPLETED cutover is a no-op (crash after phase 5)
     if (cur.contains(newDir)) return committedBatch(spark, newDir)
@@ -704,8 +750,12 @@ object IndexMaintenanceStream {
     def drainTo(h: Long): Unit = {
       var b = math.max(head(newDir), asOf) + 1
       while (b <= h) {
+        // the replayed batch's op census is the FEED's knowledge
+        // (`fetch(b)` is its log): a feed that knows batch b carried no
+        // add/update rows passes the hint through and the replay skips
+        // the delta-empty probe job — same contract as applyBatch's
         applyBatch(spark, newDoor, newDir, writer, fetch(b), b,
-          oldVersion)
+          oldVersion, knownDeltaEmpty = knownDeltaEmpty(b))
         b += 1
       }
     }

@@ -56,16 +56,38 @@ class JobBudgetSpec extends AnyFunSuite {
     * onJobStart count, which AQE inflates by one per materialized
     * query stage — plan-shape-dependent, pinned only loosely. */
   private def countActions(f: => Unit): (Int, Int) = {
+    val (acts, jobs, _) = countActionsNamed(f)
+    (acts, jobs)
+  }
+
+  /** [[countActions]] plus each counted action's call site — printed by
+    * the budget assertions so a regression names the extra action
+    * instead of just counting it. */
+  private def countActionsNamed(f: => Unit): (Int, Int, Seq[String]) = {
     val jobs = new java.util.concurrent.atomic.AtomicInteger()
     val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val bare = new java.util.concurrent.atomic.AtomicInteger()
+    val descs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     val l = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         Option(j.properties.getProperty("spark.sql.execution.id")) match {
           case Some(id) => execs.add(id); ()
-          case None => bare.incrementAndGet(); ()
+          case None =>
+            bare.incrementAndGet()
+            descs.put(-1000L - bare.get(), "BARE " +
+              j.stageInfos.lastOption.map(_.name).getOrElse("?"))
+            ()
         }
+      }
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui
+            .SparkListenerSQLExecutionStart =>
+          descs.put(s.executionId,
+            s.description.linesIterator.toSeq.headOption.getOrElse("?"))
+          ()
+        case _ =>
       }
     }
     spark.sparkContext.addSparkListener(l)
@@ -74,11 +96,16 @@ class JobBudgetSpec extends AnyFunSuite {
       org.apache.spark.GraftListenerBridge.waitUntilEmpty(
         spark.sparkContext)
     } finally spark.sparkContext.removeSparkListener(l)
-    (execs.size() + bare.get(), jobs.get())
+    import scala.jdk.CollectionConverters._
+    val counted = execs.asScala.map(id =>
+      Option(descs.get(id.toLong)).getOrElse(s"exec $id")).toSeq ++
+      descs.asScala.collect { case (k, v) if k < 0 => v }
+    (execs.size() + bare.get(), jobs.get(), counted.sorted)
   }
 
   test("applyBatch action budget: a mixed (non-compacting) mutation " +
-      "batch runs at most 6 Spark actions; delete-only at most 4") {
+      "batch runs at most 5 Spark actions (4 with the op-census hint); " +
+      "delete-only at most 3 (2 with the hint)") {
     val dir = java.nio.file.Files.createTempDirectory("jobbudget").toString
     val door = new Maintenance.Bm25Door(col("text"), nBuckets)
     IndexMaintenanceStream.bootstrap(spark, door, dir, Bm25Index.write,
@@ -89,37 +116,99 @@ class JobBudgetSpec extends AnyFunSuite {
         (10L until 13L).map(id => ("update", id, 1, Some(0))))
     val (acts, jobs) = countActions {
       IndexMaintenanceStream.applyBatch(spark, door, dir,
-        Bm25Index.write, b0, 0L, Some(oldVersion))
+        Bm25Index.write, b0, 0L, Some(oldVersion),
+        maxDeltaBytesRatio = 1e9) // non-compacting by construction
     }
-    // the r17 floor, itemized: delta-empty probe (1) + the shared
+    // the r19 floor, itemized: delta-empty probe (1) + the shared
     // tokenization's lazy checkpoint materializing under its own
     // execution id (1) + delta append write (1) + stats fold collect
-    // (1) + compactNeeded count (1) + saveState tombstone write (1)
-    // = 6. r16 paid one more — a separate saveState stats parquet
-    // write; the 1-row stats now ride in state.meta (values + DDL,
-    // collected from the literal snap frame — a driver fold, no job).
-    // r15 paid 4 more on top: a load-time stats snap collect, an eager
-    // tombstone localCheckpoint, and two schema-inference footer jobs.
-    // A regression that adds a per-batch action must raise this number
-    // consciously.
-    assert(acts <= 6, s"applyBatch ran $acts actions — the fixed " +
-      "per-batch machinery budget is 6 (delta probe, checkpoint, " +
-      "append, stats fold, compact trigger, one state write)")
+    // (1) + saveState tombstone write (1) = 5. r19 removed r17's
+    // separate compactNeeded count: the trigger now reads the tombstone
+    // row count OBSERVED inside the saveState write itself (same
+    // number, same decision, one fewer action). r16 paid one more — a
+    // separate saveState stats parquet write; the 1-row stats now ride
+    // in state.meta. r15 paid 4 more on top: a load-time stats snap
+    // collect, an eager tombstone localCheckpoint, and two
+    // schema-inference footer jobs. A regression that adds a per-batch
+    // action must raise this number consciously.
+    assert(acts <= 5, s"applyBatch ran $acts actions — the fixed " +
+      "per-batch machinery budget is 5 (delta probe, checkpoint, " +
+      "append, stats fold, one observed state write)")
     // raw job count is AQE-stage-inflated (one job per materialized
     // stage) — bounded loosely so a runaway (per-row or per-tombstone
     // job) still fails while plan-shape drift doesn't flake
     assert(jobs <= 4 * acts + 6,
       s"applyBatch ran $jobs raw jobs for $acts actions")
     // a DELETE-ONLY batch skips the append write job AND the shared
-    // tokenization checkpoint whole: budget 4
+    // tokenization checkpoint whole: budget 3
     val b1 = muts((20L until 23L).map(id => ("delete", id, 0, None)))
     val (delActs, _) = countActions {
       IndexMaintenanceStream.applyBatch(spark, door, dir,
-        Bm25Index.write, b1, 1L, Some(oldVersion))
+        Bm25Index.write, b1, 1L, Some(oldVersion),
+        maxDeltaBytesRatio = 1e9)
     }
-    assert(delActs <= 4, s"delete-only applyBatch ran $delActs " +
+    assert(delActs <= 3, s"delete-only applyBatch ran $delActs " +
       "actions — the deltaEmpty door must skip the append write job")
+    // the OP-CENSUS HINT (knownDeltaEmpty): a caller that knows the
+    // batch's ops skips the probe job too — one fewer action on both
+    // shapes, same store contents (pinned below by the replay-identical
+    // store dirs)
+    val b2 = muts(
+      (70L until 73L).map(id => ("add", id, 0, None)) ++
+        (30L until 33L).map(id => ("delete", id, 0, None)))
+    val (hintActs, _, hintSites) = countActionsNamed {
+      IndexMaintenanceStream.applyBatch(spark, door, dir,
+        Bm25Index.write, b2, 2L, Some(oldVersion),
+        maxDeltaBytesRatio = 1e9, knownDeltaEmpty = Some(false))
+    }
+    assert(hintActs <= 4, s"hinted mixed applyBatch ran $hintActs " +
+      "actions — the op-census hint must remove the probe job: " +
+      hintSites.mkString("; "))
+    val b3 = muts((40L until 43L).map(id => ("delete", id, 0, None)))
+    val (hintDelActs, _) = countActions {
+      IndexMaintenanceStream.applyBatch(spark, door, dir,
+        Bm25Index.write, b3, 3L, Some(oldVersion),
+        maxDeltaBytesRatio = 1e9, knownDeltaEmpty = Some(true))
+    }
+    assert(hintDelActs <= 2, s"hinted delete-only applyBatch ran " +
+      s"$hintDelActs actions — probe and append must both disappear")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("knownDeltaEmpty hint changes no store content: hinted and " +
+      "probed replays of the same batches serve identical rows") {
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    val b0 = muts(
+      (60L until 64L).map(id => ("add", id, 0, None)) ++
+        (0L until 3L).map(id => ("delete", id, 0, None)) ++
+        (10L until 13L).map(id => ("update", id, 1, Some(0))))
+    val b1 = muts((20L until 24L).map(id => ("delete", id, 0, None)))
+    def run(hints: Seq[Option[Boolean]]): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("jobbudget-hint").toString
+      IndexMaintenanceStream.bootstrap(spark, door, dir, Bm25Index.write,
+        docs((0L until 60L).map(_ -> 0)))
+      IndexMaintenanceStream.applyBatch(spark, door, dir,
+        Bm25Index.write, b0, 0L, Some(oldVersion),
+        knownDeltaEmpty = hints(0))
+      IndexMaintenanceStream.applyBatch(spark, door, dir,
+        Bm25Index.write, b1, 1L, Some(oldVersion),
+        knownDeltaEmpty = hints(1))
+      val (live, stats) =
+        IndexMaintenanceStream.currentView(spark, door, dir)
+      val rows = live.orderBy("doc_id", "term", "gen")
+        .collect().map(_.toSeq).toSeq
+      val st = stats.get.collect().map(_.toSeq).toSeq
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      (rows, st)
+    }
+    val (probedRows, probedStats) = run(Seq(None, None))
+    val (hintedRows, hintedStats) =
+      run(Seq(Some(false), Some(true)))
+    assert(hintedRows === probedRows,
+      "the op-census hint changed the served rows")
+    assert(hintedStats === probedStats,
+      "the op-census hint changed the corpus stats")
   }
 
   test("scalar single-query door: same answer as the DataFrame door " +

@@ -120,4 +120,28 @@ class TablesSpec extends AnyFunSuite {
     assertType("nation", Tables.nation(spark, dir), "n_regionkey", IntegerType)
     assertType("region", Tables.region(spark, dir), "r_regionkey", IntegerType)
   }
+
+  test("schema cache: immutable-fixture assumption is documented AND " +
+      "invalidateSchemaCache is the regeneration door") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-tabcache").toString
+    spark.range(3).select(col("id").as("a"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(Tables.table(spark, tmp, "documents")
+      .schema.fieldNames.toSeq == Seq("a"))
+    // regenerate the fixture at the same path with a DIFFERENT schema:
+    // the cache (per the documented immutable-fixture contract) still
+    // serves the stale shape ...
+    spark.range(3).select(col("id").as("a"), (col("id") * 2).as("b"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(Tables.table(spark, tmp, "documents")
+      .schema.fieldNames.toSeq == Seq("a"))
+    // ... until the regeneration hook drops it
+    Tables.invalidateSchemaCache(Some(tmp))
+    assert(Tables.table(spark, tmp, "documents")
+      .schema.fieldNames.toSeq == Seq("a", "b"))
+    Tables.invalidateSchemaCache(Some(tmp))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
 }
