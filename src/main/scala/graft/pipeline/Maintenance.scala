@@ -475,10 +475,18 @@ object Maintenance {
     var observed = 0L
     if (!tombstonesKnownEmpty) {
       val obs = org.apache.spark.sql.Observation()
+      // one output file: the table is BOUNDED by the compaction trigger
+      // (~10 MB default — compactThresholdBytes), so a single-partition
+      // write is safe at any corpus scale, halves the tiny write's
+      // task/commit overhead, and gives loadState one footer to read
       st.tombstones.observe(obs, count(lit(1)).as("rows"))
+        .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/tombstones")
       val timeoutSec = st.tombstones.sparkSession.conf.get(
         "spark.graft.appendObserveTimeoutSec", "30").toLong
+      // await cost measured at 1-4 ms per call (the execution-end
+      // listener event lands right behind the action) — not a latency
+      // hazard at any batch cadence the stream runs at
       observed = try {
         scala.concurrent.Await.result(obs.future,
           scala.concurrent.duration.Duration(timeoutSec, "s"))
@@ -700,26 +708,27 @@ object Maintenance {
           .otherwise(col("upto_gen")).as("upto_gen"))
 
     // ---- one appended delta, one generation stamp; adds and fresh
-    // updates pass the door ONCE, TOGETHER (indexWithStats over their
-    // union): their rows feed the append and their stats feed the fold
-    // from the same parse, instead of tokenizing every delta a second
-    // time. Indexing the union is row-identical to indexing each part
-    // (the tick contract pins adds/updates ids disjoint, and every
-    // door's index() is per-document), and the fold sums its legs, so
-    // the single union-level stats row ≡ the two per-part rows — while
-    // paying ONE shared-parse checkpoint per batch instead of two
-    // (measured: each buildShared materialization is its own Spark
-    // job). A caller that KNOWS adds and updates are row-free
-    // (`deltaEmpty` — the streaming tailer's delete-only op census)
-    // skips the append job and the zero-contribution stats leg whole:
-    // a retention-enforcement feed pays no per-batch write at all.
+    // updates each pass the door ONCE (indexWithStats) — their rows
+    // feed the append and their stats feed the fold from the same
+    // parse, instead of tokenizing every delta a second time. A caller
+    // that KNOWS adds and updates are row-free (`deltaEmpty` — the
+    // streaming tailer's delete-only op census) skips the append job
+    // and the zero-contribution stats legs whole: a retention-
+    // enforcement feed pays no per-batch write at all.
+    // REJECTED after measurement (r19): indexing the UNION in one
+    // door pass (index(freshNewU ∪ adds)) is row-identical and was
+    // briefly adopted to share one parse checkpoint — but it made the
+    // written delta ~2x more expensive for DOWNSTREAM READERS (the
+    // reseed/cutover rebuild that re-reads the store: its corpus write
+    // measured 0.74 s -> 1.92 s with the union delta, A/B at sf0.1),
+    // wiping out the saved action. Keep the two per-part passes.
     val (addStats, updStats) =
       if (deltaEmpty) (None, None)
       else {
-        val (deltaRows, s) =
-          door.indexWithStats(freshNewU.unionByName(adds))
-        store.append(door.stamp(deltaRows, gen))
-        (s, None)
+        val (addRows, aS) = door.indexWithStats(adds)
+        val (updRows, uS) = door.indexWithStats(freshNewU)
+        store.append(door.stamp(updRows.unionByName(addRows), gen))
+        (aS, uS)
       }
 
     // ---- stats fold: adds and update-new positive, deletes and

@@ -83,18 +83,28 @@ object IndexMaintenanceStream {
     * it from surviving empty dirs. */
   val appendObserveTimeouts = new java.util.concurrent.atomic.AtomicLong()
 
-  /** One inferred row schema per store root (see [[VersionedStore.rows]]).
+  /** One inferred row schema per store root (see [[VersionedStore.rows]]),
+    * KEYED BY THE EFFECTIVE BASE it was inferred from: any path that
+    * installs a different base under the root — an in-JVM re-bootstrap
+    * (which also invalidates eagerly), a FOREIGN JVM's re-bootstrap or
+    * re-seed, an external restore, a committed compaction — changes the
+    * resolved base name, so the next resolution re-infers from the new
+    * base instead of silently reading it through the stale shape
+    * (r18-advice hazard: explicit-schema reads null-fill missing columns
+    * instead of failing loudly). The remaining gap — an external rewrite
+    * that changes row schema while keeping the SAME dir names — is the
+    * same documented immutable-layout contract the state meta rides.
     * Bounded defensively: a long-lived serving JVM touching many store
     * roots clears the map instead of growing without limit (entries are
     * re-inferred on demand). */
   private val storeSchemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+    String, (String, org.apache.spark.sql.types.StructType)]()
   private def invalidateStoreSchema(storeDir: String): Unit =
     storeSchemaCache.remove(storeDir)
-  private def cacheStoreSchema(storeDir: String,
+  private def cacheStoreSchema(storeDir: String, base: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {
     if (storeSchemaCache.size() > 4096) storeSchemaCache.clear()
-    storeSchemaCache.put(storeDir, schema)
+    storeSchemaCache.put(storeDir, (base, schema))
   }
 
   /** Batch id encoded in a version/dir name: `v_b7`/`base_b7`/
@@ -232,12 +242,15 @@ object IndexMaintenanceStream {
       // change a root's schema is a re-bootstrap with another door).
       val cached = storeSchemaCache.get(storeDir)
       val frames =
-        if (cached != null)
+        if (cached != null && cached._1 == base)
           (base +: deltas).map(n =>
-            spark.read.schema(cached).parquet(s"$storeDir/$n"))
+            spark.read.schema(cached._2).parquet(s"$storeDir/$n"))
         else {
+          // no cache entry, or the effective base changed since it was
+          // inferred (compaction / foreign re-bootstrap / restore) —
+          // re-infer from the base actually being served
           val first = spark.read.parquet(s"$storeDir/$base")
-          cacheStoreSchema(storeDir, first.schema)
+          cacheStoreSchema(storeDir, base, first.schema)
           first +: deltas.map(n =>
             spark.read.schema(first.schema).parquet(s"$storeDir/$n"))
         }

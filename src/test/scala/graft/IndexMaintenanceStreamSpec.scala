@@ -812,4 +812,39 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
     assert(stats.get.collect().head.getLong(0) === 28L)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("store schema cache is keyed by the effective base: a restore " +
+      "that installs a new base is served with ITS schema, not the " +
+      "stale cached shape") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ims-schemakey").toString
+    val door = new Maintenance.Bm25Door(col("text"), nBuckets)
+    IndexMaintenanceStream.bootstrap(spark, door, dir, Bm25Index.write,
+      docs((0L until 20L).map(_ -> 0)))
+    // populate the per-root schema cache from base_boot
+    val (v0, _) = IndexMaintenanceStream.currentView(spark, door, dir)
+    val bootSchema = v0.schema.fieldNames.toSeq
+    v0.count()
+    assert(!bootSchema.contains("provenance"))
+    // EXTERNAL RESTORE emulation (a foreign process, so no in-JVM
+    // invalidation runs): install a NEW base carrying an extra column
+    // and commit a state snapshot for it
+    val restored = v0.withColumn("provenance", lit("restore"))
+      .localCheckpoint(true)
+    Bm25Index.write(restored, s"$dir/store/base_b0", "overwrite")
+    Maintenance.saveState(
+      Maintenance.State(Maintenance.emptyTombstones(spark, door), None, 2L),
+      s"$dir/state/v_b0", tombstonesKnownEmpty = true)
+    graft.streaming.DocsStream.swapPointer(spark, s"$dir/state", "v_b0")
+    // the effective base changed (base_boot -> base_b0): the cached
+    // schema must NOT be applied — a stale-schema read would silently
+    // DROP the new column; the base-keyed cache re-infers instead
+    val (v1, _) = IndexMaintenanceStream.currentView(spark, door, dir)
+    assert(v1.schema.fieldNames.contains("provenance"),
+      "restored base served through the stale cached schema " +
+        s"(columns: ${v1.schema.fieldNames.mkString(", ")})")
+    assert(v1.where(col("provenance") === "restore").count() ===
+      restored.count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
